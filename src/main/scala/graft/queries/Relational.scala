@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational surface of the engine: scans, filters, joins, aggregations,
+  * window/top-k, set ops, deterministic sample/shuffle — the Spark-native
+  * re-expression of the reference's set-oriented operators (SURVEY.md §2.2-2.6).
+  *
+  * Reference citations (relative to /root/reference):
+  *  - window slices / multi-interval unions: layout/FWindow.java:73-120 (P2/U1)
+  *  - enumeration: spec/datasets/types/DatasetView.java:84-104 (W7)
+  *  - sample: CMD_slab_analyze.java:60-65 (W4); shuffle: README.md:54-57 (W5)
+  *  - IN-set: spec/predicates/OpType.java:36 (U5); MATCHES full-match:
+  *    spec/predicates/PredicateEvaluator.java:207 (F4)
+  *  - cleanup/except: README.md:108-110 (U4)
+  */
+object Relational {
+
+  val all: Seq[GQuery] = Seq(
+
+    // A1/A-family aggregation over the big fact table (map-side partial agg +
+    // one shuffle on the 6-value group key; survives any scale).
+    GQuery(
+      "q01_lineitem_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2)                          AS sum_qty,
+        |       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+        |       round(avg(l_discount), 4)                          AS avg_disc,
+        |       count(*)                                           AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+    },
+
+    // Broadcast dims (region/nation) + shuffled fact joins; Catalyst picks
+    // BroadcastHashJoin for the small sides automatically.
+    GQuery(
+      "q03_join_revenue_by_nation",
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey  = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+    },
+
+    // W1-shaped top-k per group via rank window (deterministic tie-break).
+    GQuery(
+      "q04_topk_orders_per_cust",
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    },
+
+    // U5: IN-set membership kept distinct from OR-of-EQ
+    // (ordinal_predicate_writers_v1.md:41-46).
+    GQuery(
+      "q05_in_set",
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderstatus IN ('F', 'P')
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus").isin("F", "P"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+    },
+
+    // F4: MATCHES is full-match (Pattern.matches) — rlike is find(), so the
+    // pattern is anchored ^(?:...)$ to reproduce reference semantics.
+    GQuery(
+      "q06_matches_regex",
+      """SELECT p_partkey, p_type FROM part
+        |WHERE regexp_full_match(p_type, 'PROMO.*')""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir)
+        .filter(col("p_type").rlike("^(?:PROMO.*)$"))
+        .select("p_partkey", "p_type")
+    },
+
+    // P2/U1: multi-interval ordinal window — union of half-open ranges over
+    // the ordinal column, compiled to an OR of range predicates so the scan
+    // can prune (FWindow.java:73-120).
+    GQuery(
+      "q07_window_slice",
+      """SELECT event_id, event_type, round(value, 2) AS value
+        |FROM events
+        |WHERE (event_id >= 0 AND event_id < 100)
+        |   OR (event_id >= 500 AND event_id < 600)
+        |   OR (event_id >= 900 AND event_id < 1000)""".stripMargin) { (s, dir) =>
+      val intervals = Seq((0L, 100L), (500L, 600L), (900L, 1000L))
+      val pred = intervals
+        .map { case (a, b) => col("event_id") >= a && col("event_id") < b }
+        .reduce(_ || _)
+      Tables.events(s, dir)
+        .filter(pred)
+        .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+    },
+
+    // W7: row enumeration — logical ordinal over a windowed slice
+    // (DatasetView.getIndexed; logical->physical translation of FWindow).
+    GQuery(
+      "q09_enumerate",
+      """SELECT row_number() OVER (ORDER BY event_id) AS logical_ordinal,
+        |       event_id AS physical_ordinal
+        |FROM events WHERE event_id >= 200 AND event_id < 400""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_id") >= 200 && col("event_id") < 400)
+        .select(
+          row_number().over(Window.orderBy("event_id")).as("logical_ordinal"),
+          col("event_id").as("physical_ordinal"))
+    },
+
+    // Distinct projection (dedup at the relational level).
+    GQuery(
+      "q11_distinct",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem") { (s, dir) =>
+      Tables.lineitem(s, dir).select("l_returnflag", "l_linestatus").distinct()
+    },
+
+    // U4: except/anti-join cleanup — drop offenders from a candidate set.
+    GQuery(
+      "q12_except_cleanup",
+      """SELECT event_id FROM events WHERE value > 100
+        |EXCEPT
+        |SELECT event_id FROM events WHERE event_type = 'error'""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.filter(col("value") > 100).select("event_id")
+        .except(ev.filter(col("event_type") === "error").select("event_id"))
+    },
+
+    // W4: deterministic sample — reproducible by key, not task-order RNG
+    // (dataset_yaml_v1.md:143-145 requires per-index determinism).
+    GQuery(
+      "q13_sample_deterministic",
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id % 20 = 0""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_id") % 20 === 0)
+        .select("event_id", "user_id", "event_type")
+    },
+
+    // W5: seeded deterministic shuffle — Knuth multiplicative hash as the
+    // sort key (generate ivec-shuffle, README.md:54-57). Engine-neutral
+    // arithmetic so the oracle reproduces the exact permutation.
+    GQuery(
+      "q14_shuffle_deterministic",
+      """SELECT event_id,
+        |       row_number() OVER (ORDER BY (event_id * 2654435761) % 4294967296, event_id)
+        |         AS shuffle_pos
+        |FROM events WHERE event_id < 2000""".stripMargin) { (s, dir) =>
+      val h = (col("event_id") * lit(2654435761L)) % lit(4294967296L)
+      Tables.events(s, dir)
+        .filter(col("event_id") < 2000)
+        .select(
+          col("event_id"),
+          row_number().over(Window.orderBy(h, col("event_id"))).as("shuffle_pos"))
+    },
+
+    // Event-time tumbling-window aggregation (batch form of the streaming
+    // hourly rollup; the streaming variant shares this logic).
+    GQuery(
+      "q15_events_hourly",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+        |       event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+    },
+  )
+}
