@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the reference's scalar vector kernels
+  * (SURVEY.md §2.7 F1/F2): codegen'd, null-safe, operating directly on
+  * ArrayData with no row materialization.
+  */
+case class VectorDistance(left: Expression, right: Expression, metric: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DistanceKernels.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], metric)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DistanceKernels.compute($a, $b, $metric)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of a float vector. */
+case class VectorNorm(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_norm"
+
+  override def nullSafeEval(a: Any): Any =
+    DistanceKernels.norm(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.DistanceKernels.norm($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** binary16 bit pattern (short) -> float32; the scan-time decode for mvec
+  * facets (reference f16 semantics, DistanceFunction.java:103-128).
+  */
+case class F16ToF32(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = FloatType
+  override def prettyName: String = "f16_to_f32"
+
+  override def nullSafeEval(a: Any): Any = Half.toFloat(a.asInstanceOf[Short])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Half.toFloat($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Public Column API over the expression layer. */
+object VectorFunctions {
+  // Unconditional cast: a float->float element cast is eliminated by the
+  // optimizer, and pre-analysis Columns can't be dataType-inspected.
+  private def asFloatArray(c: Column): Expression =
+    Bridge.expression(c.cast(ArrayType(FloatType)))
+
+  def distance(a: Column, b: Column, metric: String): Column =
+    Bridge.column(
+      VectorDistance(asFloatArray(a), asFloatArray(b), DistanceKernels.metricId(metric)))
+
+  def cosineDistance(a: Column, b: Column): Column = distance(a, b, "COSINE")
+  def euclideanDistance(a: Column, b: Column): Column = distance(a, b, "EUCLIDEAN")
+  def l1Distance(a: Column, b: Column): Column = distance(a, b, "L1")
+  /** Reference sign convention: returns -dot(a,b), lower-is-better. */
+  def negDotProduct(a: Column, b: Column): Column = distance(a, b, "DOT_PRODUCT")
+
+  def vectorNorm(a: Column): Column =
+    Bridge.column(VectorNorm(asFloatArray(a)))
+
+  def f16ToF32(c: Column): Column =
+    Bridge.column(F16ToF32(Bridge.expression(c)))
+}

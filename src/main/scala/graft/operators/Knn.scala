@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.TopKPairs.topKPairs
+import graft.functions.VectorFunctions
+
+/** Exact KNN ground-truth computation and recall verification (SURVEY.md
+  * J3/J4/W1/A14; reference: `compute knn` / `verify_knn`, README.md:49-51,
+  * docs/user_manual/03-cli-reference.md:203-222).
+  *
+  * Physical shape, chosen for the 100TB posture: the (small) query set is
+  * broadcast against the (huge) base relation; per-task bounded heaps do the
+  * top-k map-side via partial aggregation, so the only shuffle is
+  * num_partitions × |Q| serialized k-heaps — never the |Q|×|B| pair stream.
+  * An exact result (this is ground-truth tooling), unlike LSH-style ANN.
+  */
+object Knn {
+
+  /** Top-k nearest neighbors of each query vector.
+    *
+    * @param queries  DataFrame with (idCol, vecCol) — expected small (broadcast)
+    * @param base     DataFrame with (idCol, vecCol) — arbitrarily large
+    * @param pairPredicate optional predicate over the joined (query×base) row,
+    *   e.g. hybrid-query metadata restriction (J2); columns of both sides are
+    *   in scope via the supplied extra columns.
+    * @param excludeSelf drop base rows whose id equals the query id
+    * @return (query_id, neighbor_id, rank, dist), rank 1..k by (dist, id) asc
+    */
+  def knn(
+      queries: DataFrame,
+      base: DataFrame,
+      k: Int,
+      metric: String = "COSINE",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryExtra: Seq[String] = Nil,
+      baseExtra: Seq[String] = Nil,
+      pairPredicate: Option[Column] = None,
+      excludeSelf: Boolean = false): DataFrame = {
+
+    val q = queries.select(
+      (Seq(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec")) ++
+        queryExtra.map(c => col(c).as(s"q_$c"))): _*)
+    val b = base.select(
+      (Seq(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("b_vec")) ++
+        baseExtra.map(c => col(c).as(s"b_$c"))): _*)
+
+    var pairs = b.crossJoin(broadcast(q))
+    if (excludeSelf) pairs = pairs.filter(col("neighbor_id") =!= col("query_id"))
+    pairPredicate.foreach(p => pairs = pairs.filter(p))
+
+    pairs
+      .groupBy("query_id")
+      .agg(topKPairs(
+        VectorFunctions.distance(col("q_vec"), col("b_vec"), metric),
+        col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(
+        col("query_id"),
+        col("pair.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        col("pair.dist").as("dist"))
+  }
+
+  /** recall@k between two (query_id, neighbor_id) neighbor sets — J4's
+    * verify_knn: |predicted ∩ truth| / k averaged over queries.
+    */
+  def avgRecall(predicted: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val p = predicted.select(col("query_id"), col("neighbor_id"))
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val hits = p.join(t, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    // every query contributes, including zero-hit ones
+    t.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(coalesce(col("hits"), lit(0L)).as("hits"))
+      .agg(round(avg(col("hits").cast("double") / k), 4).as("avg_recall"))
+  }
+}

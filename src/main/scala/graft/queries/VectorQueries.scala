@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import graft.operators.Knn
+
+/** KNN ground truth, hybrid (predicate-filtered) KNN, recall verification and
+  * scalar vector kernels over the embeddings table (SURVEY.md J2/J3/J4, W1,
+  * A14, F1). Oracle SQL computes the same distances from first principles in
+  * f64 so Spark and DuckDB agree to ~1e-15 — integer outputs (ids/ranks) keep
+  * the hash compare exact.
+  */
+object VectorQueries {
+
+  /** DuckDB lower-is-better distance over q.qe / b.embedding, f64. */
+  private def duckDist(metric: String): String = metric match {
+    case "COSINE" =>
+      """1.0 - list_sum(list_transform(range(1, len(q.qe)+1),
+        |          i -> q.qe[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE*x::DOUBLE))) *
+        |         sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE*x::DOUBLE))))""".stripMargin
+    case "EUCLIDEAN" =>
+      """sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+        |     i -> (q.qe[i]::DOUBLE - b.embedding[i]::DOUBLE)
+        |        * (q.qe[i]::DOUBLE - b.embedding[i]::DOUBLE))))""".stripMargin
+    case "DOT_PRODUCT" =>
+      """-list_sum(list_transform(range(1, len(q.qe)+1),
+        |   i -> q.qe[i]::DOUBLE * b.embedding[i]::DOUBLE))""".stripMargin
+    case "L1" =>
+      """list_sum(list_transform(range(1, len(q.qe)+1),
+        |   i -> abs(q.qe[i]::DOUBLE - b.embedding[i]::DOUBLE)))""".stripMargin
+  }
+
+  /** Ranked-KNN CTE body: yields qid, nid, rank columns. */
+  private def duckKnnSql(metric: String, k: Int, nQueries: Int, extraPred: String = ""): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+       |           FROM embeddings WHERE vec_id < $nQueries),
+       |d AS (
+       |  SELECT q.qid, b.vec_id AS nid, ${duckDist(metric)} AS dist
+       |  FROM q CROSS JOIN embeddings b
+       |  WHERE b.vec_id <> q.qid $extraPred)
+       |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+       |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+       |  FROM d)
+       |WHERE rank <= $k""".stripMargin
+
+  private def knnQuery(name: String, metric: String, k: Int, nQueries: Int): GQuery =
+    GQuery(name, duckKnnSql(metric, k, nQueries)) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Knn.knn(
+          emb.filter(col("vec_id") < nQueries), emb,
+          k = k, metric = metric, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }
+
+  val all: Seq[GQuery] = Seq(
+    knnQuery("q20_knn_cosine", "COSINE", 10, 20),
+    knnQuery("q21_knn_euclidean", "EUCLIDEAN", 10, 20),
+    knnQuery("q22_knn_negdot", "DOT_PRODUCT", 10, 20),
+    knnQuery("q26_knn_l1", "L1", 10, 20),
+
+    // J2: hybrid ground truth — neighbors restricted by the query's
+    // non-vector predicate (here: label equality), the reference's filtered
+    // facet discipline (ordinal_predicate_writers_v1.md:23-26).
+    GQuery(
+      "q23_hybrid_knn_label",
+      duckKnnSql("COSINE", 5, 50, extraPred = "AND b.label = q.qlabel")) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Knn.knn(
+          emb.filter(col("vec_id") < 50), emb,
+          k = 5, metric = "COSINE",
+          queryExtra = Seq("label"), baseExtra = Seq("label"),
+          pairPredicate = Some(col("b_label") === col("q_label")),
+          excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    },
+
+    // J4/A14: recall@k of the -dot ranking against cosine ground truth.
+    GQuery(
+      "q24_recall_dot_vs_cosine",
+      s"""WITH truth AS (${duckKnnSql("COSINE", 10, 20)}),
+         |pred AS (${duckKnnSql("DOT_PRODUCT", 10, 20)}),
+         |hits AS (
+         |  SELECT t.query_id, count(p.neighbor_id) AS h
+         |  FROM truth t LEFT JOIN pred p
+         |    ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+         |  GROUP BY t.query_id)
+         |SELECT round(avg(h / 10.0), 4) AS avg_recall FROM hits""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 20)
+      val truth = Knn.knn(queries, emb, k = 10, metric = "COSINE", excludeSelf = true)
+      val pred = Knn.knn(queries, emb, k = 10, metric = "DOT_PRODUCT", excludeSelf = true)
+      Knn.avgRecall(pred, truth, k = 10)
+    },
+
+    // F1-family scalar kernel exposed standalone.
+    GQuery(
+      "q25_vector_norm",
+      """SELECT vec_id,
+        |       round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE))), 6)
+        |         AS norm
+        |FROM embeddings WHERE vec_id < 100""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"), round(VectorFunctions.vectorNorm(col("embedding")), 6).as("norm"))
+    },
+  )
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal access bridge: `ExpressionUtils.column/expression` are
+  * `private[sql]` in Spark 4, so Column <-> Catalyst Expression conversion for
+  * our native expressions (distance kernels, top-k aggregate, f16 decode) must
+  * be re-exported from inside the `org.apache.spark.sql` namespace. This is
+  * the only file that lives outside the `graft` package.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
