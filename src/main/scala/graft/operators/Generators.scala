@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Deterministic synthetic data generation (SURVEY.md F11/F12; reference
+  * datagen/TestDataFiles.java:57-100 and `generate from-model`).
+  *
+  * The contract that shapes everything here: values must be a pure function
+  * of (ordinal, dim, seed) — dataset_yaml_v1.md:143-145 requires determinism
+  * by index — so no task-order-dependent RNG. Two generators:
+  *
+  *  - `lehmerGaussian`: engine-neutral arithmetic (Lehmer MCG + Box-Muller)
+  *    expressible identically in ANSI SQL, used by the oracled query.
+  *  - `gaussianVectors`: xxhash64-seeded per-(ordinal,dim) gaussians with the
+  *    reference's zero/duplicate injection knobs — the production generator
+  *    (80k+ vectors/sec/core target, BASELINE.md).
+  */
+object Generators {
+
+  private val M = 2147483647L // 2^31 - 1
+  private val A = 48271L      // Lehmer / MINSTD multiplier
+
+  /** Column pipeline: deterministic standard gaussian from a long id Column.
+    * z = sqrt(-2 ln u1) cos(2π u2) with u1,u2 from two Lehmer steps.
+    */
+  def lehmerGaussian(id: Column): Column = {
+    val x1 = ((id + 1) * A) % M
+    val x2 = (x1 * A) % M
+    val u1 = x1.cast("double") / M
+    val u2 = x2.cast("double") / M
+    sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+  }
+
+  /** The same recurrence as ANSI SQL, for oracle generation. */
+  def lehmerGaussianSql(idExpr: String): String =
+    s"sqrt(-2.0 * ln((((($idExpr + 1) * $A) % $M)::DOUBLE) / $M)) * " +
+      s"cos(2.0 * pi() * ((((((($idExpr + 1) * $A) % $M) * $A) % $M)::DOUBLE) / $M))"
+
+  /** Uniform double in [0,1) from (ordinal, dim, seed) via xxhash64 — cheap,
+    * stateless, deterministic under any partitioning.
+    */
+  private def hashUniform(ordinal: Column, dim: Column, seed: Long, stream: Int): Column =
+    (pmod(xxhash64(ordinal, dim, lit(seed), lit(stream)), lit(1L << 52)).cast("double")
+      / (1L << 52).toDouble)
+
+  /** Deterministic gaussian vectors with zero/duplicate injection, mirroring
+    * genVectors(count, dim, seed, variability, scale, zeroes, dups)
+    * (TestDataFiles.java:57-100): component = N(0,1)·variability + ordinal·scale;
+    * a deterministic fraction of ordinals become all-zero vectors or copies
+    * of the previous ordinal's vector.
+    */
+  def gaussianVectors(
+      spark: SparkSession,
+      count: Long,
+      dim: Int,
+      seed: Long = 42L,
+      variability: Double = 1.0,
+      scale: Double = 0.0,
+      zeroesProportion: Double = 0.0,
+      duplicatesProportion: Double = 0.0): DataFrame = {
+
+    val base = spark.range(0, count).toDF("ordinal")
+
+    def vecFor(ordinal: Column): Column = {
+      val dims = sequence(lit(0), lit(dim - 1))
+      transform(dims, d => {
+        val u1 = hashUniform(ordinal, d, seed, 1)
+        val u2 = hashUniform(ordinal, d, seed, 2)
+        // guard u1=0 (log(0)) by nudging to the smallest representable step
+        val safeU1 = greatest(u1, lit(1.0 / (1L << 52)))
+        val z = sqrt(lit(-2.0) * log(safeU1)) * cos(lit(2.0 * math.Pi) * u2)
+        (z * variability + ordinal.cast("double") * scale).cast("float")
+      })
+    }
+
+    val isZero = hashUniform(col("ordinal"), lit(-1), seed, 3) < zeroesProportion
+    val isDup = hashUniform(col("ordinal"), lit(-2), seed, 4) < duplicatesProportion
+
+    base.select(
+      col("ordinal"),
+      when(isZero, array_repeat(lit(0.0f), dim))
+        .when(isDup && col("ordinal") > 0, vecFor(col("ordinal") - 1))
+        .otherwise(vecFor(col("ordinal")))
+        .as("vector"))
+  }
+
+  /** F12 `generate from-model`: sample each dimension from its fitted model
+    * via inverse-CDF of hash uniforms (models broadcast, never collected).
+    */
+  def fromModel(
+      spark: SparkSession,
+      count: Long,
+      models: Seq[DistributionFit.Model],
+      seed: Long = 42L): DataFrame = {
+    val bc = spark.sparkContext.broadcast(models.toIndexedSeq)
+    val inverseCdf = udf { (dim: Int, u: Double) =>
+      val m = bc.value(dim)
+      // bisection on the model CDF — exact enough for synthesis (1e-9)
+      var lo = -1e9; var hi = 1e9
+      (0 until 60).foreach { _ =>
+        val mid = (lo + hi) / 2
+        if (DistributionFit.cdf(m, mid) < u) lo = mid else hi = mid
+      }
+      ((lo + hi) / 2).toFloat
+    }
+    val base = spark.range(0, count).toDF("ordinal")
+    base.select(
+      col("ordinal"),
+      transform(sequence(lit(0), lit(models.size - 1)),
+        d => inverseCdf(d, hashUniform(col("ordinal"), d, seed, 5))).as("vector"))
+  }
+}

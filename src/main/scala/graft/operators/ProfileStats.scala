@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Statistical profiling operators (SURVEY.md A6-A11): per-dimension moments,
+  * histograms, exact quantiles, two-sample Kolmogorov-Smirnov. Reference
+  * semantics: `analyze profile` / `analyze compare`
+  * (/root/reference/docs/user_manual/verification/05_command_reference.md:34-120,
+  * 06_model_fitting.md:30-106).
+  *
+  * Scale posture: everything is keyed by dimension, so windows/aggregations
+  * partition by `dim` — per-dim work parallelizes across executors and no
+  * global single-partition window ever forms.
+  */
+object ProfileStats {
+
+  /** Explode a vector column into (dim, value) rows. */
+  def explodeDims(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "value")))
+
+  /** Per-dimension mean/stddev(sample)/min/max/count (A6). */
+  def perDimStats(df: DataFrame, vecCol: String): DataFrame =
+    explodeDims(df, vecCol)
+      .groupBy("dim")
+      .agg(
+        avg(col("value").cast("double")).as("mean"),
+        stddev(col("value").cast("double")).as("std"),
+        min(col("value").cast("double")).as("min"),
+        max(col("value").cast("double")).as("max"),
+        count(lit(1)).as("cnt"))
+
+  /** Fixed-width histogram over [lo, hi): bucket index + count (A7).
+    * Out-of-range values are clamped into the edge buckets, mirroring the
+    * reference's text-histogram edge handling.
+    */
+  def histogram(df: DataFrame, valueCol: Column, lo: Double, hi: Double, buckets: Int): DataFrame = {
+    val w = (hi - lo) / buckets
+    val raw = floor((valueCol.cast("double") - lo) / w).cast("long")
+    val bucket = greatest(lit(0L), least(lit(buckets - 1L), raw))
+    df.select(bucket.as("bucket")).groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Exact linear-interpolation quantiles (A7's empirical model table). */
+  def quantiles(df: DataFrame, valueCol: Column, ps: Seq[Double]): DataFrame =
+    df.agg(percentile(valueCol.cast("double"), typedLit(ps)).as("qs"))
+      .select(posexplode(col("qs")).as(Seq("i", "q")))
+      .select(element_at(typedLit(ps), col("i").cast("int") + 1).as("p"), col("q"))
+
+  /** Two-sample K-S statistic D per dimension (A8). Input: (dim, value, tag)
+    * with tag ∈ {1, 2}. CDFs are step functions evaluated with ties included
+    * (RANGE window frame ≡ CDF at x counts all values <= x).
+    */
+  def ksStatistic(samples: DataFrame, dimCol: String = "dim",
+      valueCol: String = "value", tagCol: String = "tag"): DataFrame = {
+    val n1 = Window.partitionBy(dimCol)
+    val byValue = Window.partitionBy(dimCol).orderBy(col(valueCol))
+    val c1 = sum(when(col(tagCol) === 1, 1L).otherwise(0L)).over(byValue)
+    val c2 = sum(when(col(tagCol) === 2, 1L).otherwise(0L)).over(byValue)
+    val t1 = sum(when(col(tagCol) === 1, 1L).otherwise(0L)).over(n1)
+    val t2 = sum(when(col(tagCol) === 2, 1L).otherwise(0L)).over(n1)
+    samples
+      .select(col(dimCol), abs(c1 / t1 - c2 / t2).as("gap"))
+      .groupBy(dimCol)
+      .agg(max("gap").as("d"))
+  }
+
+  /** K-S p-value approximation (asymptotic Kolmogorov distribution),
+    * Q(λ) = 2 Σ (-1)^{j-1} e^{-2 j² λ²} — the reference gates fits on
+    * D/alpha rather than exact p (06_model_fitting.md:30-50).
+    */
+  def ksPValue(d: Double, na: Long, nb: Long): Double = {
+    val ne = na.toDouble * nb / (na + nb)
+    val lambda = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+    var sum = 0.0
+    var j = 1
+    while (j <= 100) {
+      sum += 2.0 * math.pow(-1, j - 1) * math.exp(-2.0 * j * j * lambda * lambda)
+      j += 1
+    }
+    math.max(0.0, math.min(1.0, sum))
+  }
+}

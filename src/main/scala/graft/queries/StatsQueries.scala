@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Cleanup, Generators, ProfileStats}
+
+/** Statistical profiling, hygiene and deterministic synthesis queries
+  * (SURVEY.md A2/A4-A8, F11): per-dim moments, histograms, exact quantiles,
+  * two-sample K-S, zero/dup cleanup, Lehmer-gaussian generation — each
+  * mirrored in engine-neutral DuckDB SQL.
+  */
+object StatsQueries {
+
+  private val explodeDimsSql =
+    "SELECT generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding)::DOUBLE AS v, label FROM embeddings"
+
+  val all: Seq[GQuery] = Seq(
+
+    // A6: per-dimension moments via posexplode + groupBy(dim).
+    GQuery(
+      "q27_per_dim_stats",
+      s"""SELECT dim, round(avg(v), 6) AS mean, round(stddev(v), 6) AS std,
+         |       round(min(v), 6) AS vmin, round(max(v), 6) AS vmax, count(*) AS cnt
+         |FROM ($explodeDimsSql)
+         |GROUP BY dim""".stripMargin) { (s, dir) =>
+      ProfileStats.perDimStats(Tables.embeddings(s, dir), "embedding")
+        .select(
+          col("dim"),
+          round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
+          round(col("min"), 6).as("vmin"), round(col("max"), 6).as("vmax"),
+          col("cnt"))
+    },
+
+    // A7: fixed-width histogram with clamped edge buckets.
+    GQuery(
+      "q28_histogram",
+      """SELECT least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 19) AS bucket,
+        |       count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      ProfileStats.histogram(Tables.events(s, dir), col("value"), lo = 0.0, hi = 500.0, buckets = 20)
+    },
+
+    // A7: exact linear-interpolation quantiles (empirical model table).
+    GQuery(
+      "q29_quantiles",
+      """SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p,
+        |       round(unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9])), 4) AS q
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      ProfileStats.quantiles(Tables.lineitem(s, dir), col("l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.9))
+        .select(col("p"), round(col("q"), 4).as("q"))
+    },
+
+    // A8: per-dimension two-sample K-S between label<5 and label>=5 vectors.
+    GQuery(
+      "q30_ks_by_label",
+      s"""WITH s AS (SELECT dim, v, CASE WHEN label < 5 THEN 1 ELSE 2 END AS tag
+         |           FROM ($explodeDimsSql) WHERE dim < 8),
+         |r AS (SELECT dim,
+         |        sum(CASE WHEN tag=1 THEN 1 ELSE 0 END) OVER (PARTITION BY dim ORDER BY v) AS c1,
+         |        sum(CASE WHEN tag=2 THEN 1 ELSE 0 END) OVER (PARTITION BY dim ORDER BY v) AS c2,
+         |        sum(CASE WHEN tag=1 THEN 1 ELSE 0 END) OVER (PARTITION BY dim) AS t1,
+         |        sum(CASE WHEN tag=2 THEN 1 ELSE 0 END) OVER (PARTITION BY dim) AS t2
+         |      FROM s)
+         |SELECT dim, round(max(abs(c1::DOUBLE / t1 - c2::DOUBLE / t2)), 6) AS d
+         |FROM r GROUP BY dim""".stripMargin) { (s, dir) =>
+      val samples = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "value")))
+        .filter(col("dim") < 8)
+        .select(col("dim"), col("value").cast("double").as("value"),
+          when(col("label") < 5, 1).otherwise(2).as("tag"))
+      ProfileStats.ksStatistic(samples)
+        .select(col("dim"), round(col("d"), 6).as("d"))
+    },
+
+    // A2: exact-zero and near-zero vector counting (forall quantifier).
+    GQuery(
+      "q31_count_zeros",
+      """SELECT
+        |  count(*) FILTER (len(list_filter(embedding, x -> x != 0)) = 0) AS n_zero,
+        |  count(*) FILTER (list_max(list_transform(embedding, x -> abs(x::DOUBLE))) < 0.02) AS n_near_zero
+        |FROM embeddings""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir).agg(
+        sum(when(Cleanup.isZeroVector(col("embedding")), 1L).otherwise(0L)).as("n_zero"),
+        sum(when(array_max(transform(col("embedding"), x => abs(x.cast("double")))) < 0.02, 1L)
+          .otherwise(0L)).as("n_near_zero"))
+    },
+
+    // A4/A5/U4: cleanfvec on a union with injected duplicates — drop zero
+    // vectors, keep the lowest-id representative of each duplicate group.
+    GQuery(
+      "q32_dedup_cleanup",
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50),
+        |nz AS (SELECT * FROM u WHERE len(list_filter(embedding, x -> x != 0)) > 0)
+        |SELECT min(vec_id) AS vec_id FROM nz GROUP BY embedding""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val withDups = emb.unionByName(
+        emb.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label")))
+      Cleanup.clean(withDups, "vec_id", "embedding").select("vec_id")
+    },
+
+    // F11: deterministic synthesis — engine-neutral Lehmer + Box-Muller, a
+    // pure function of the ordinal (dataset_yaml_v1.md:143-145).
+    GQuery(
+      "q33_generate_gaussian",
+      s"""SELECT i AS id, round(${Generators.lehmerGaussianSql("i")}, 6) AS z
+         |FROM range(1000) t(i)""".stripMargin) { (s, _) =>
+      s.range(1000).select(col("id"), round(Generators.lehmerGaussian(col("id")), 6).as("z"))
+    },
+  )
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ProfileStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perDimStats computes correct moments per dimension") {
+    val df = Seq(
+      (0L, Seq(1.0f, 10.0f)),
+      (1L, Seq(2.0f, 20.0f)),
+      (2L, Seq(3.0f, 30.0f))).toDF("id", "vec")
+    val stats = ProfileStats.perDimStats(df, "vec").orderBy("dim").collect()
+    assert(stats(0).getAs[Double]("mean") == 2.0)
+    assert(stats(1).getAs[Double]("mean") == 20.0)
+    assert(math.abs(stats(0).getAs[Double]("std") - 1.0) < 1e-12)
+    assert(stats(0).getAs[Double]("min") == 1.0 && stats(0).getAs[Double]("max") == 3.0)
+    assert(stats(0).getAs[Long]("cnt") == 3)
+  }
+
+  test("histogram clamps out-of-range values into edge buckets") {
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 150.0).toDF("v")
+    val h = ProfileStats.histogram(df, col("v"), 0.0, 100.0, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0) == 3) // -5 clamped, 0.0, 9.9
+    assert(h(1) == 1) // 10.0
+    assert(h(5) == 1) // 55
+    assert(h(9) == 2) // 99.9 + 150 clamped
+  }
+
+  test("quantiles: exact linear interpolation") {
+    val df = (1 to 5).map(_.toDouble).toDF("v")
+    val q = ProfileStats.quantiles(df, col("v"), Seq(0.0, 0.5, 0.75, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(q(0.0) == 1.0 && q(0.5) == 3.0 && q(1.0) == 5.0)
+    assert(q(0.75) == 4.0)
+  }
+
+  test("K-S: identical samples give D=0, disjoint samples give D=1") {
+    val same = (1 to 100).flatMap(i => Seq((0, i.toDouble, 1), (0, i.toDouble, 2)))
+      .toDF("dim", "value", "tag")
+    val d0 = ProfileStats.ksStatistic(same).collect()(0).getAs[Double]("d")
+    assert(d0 == 0.0)
+
+    val disjoint = ((1 to 50).map(i => (0, i.toDouble, 1)) ++
+      (51 to 100).map(i => (0, i.toDouble, 2))).toDF("dim", "value", "tag")
+    val d1 = ProfileStats.ksStatistic(disjoint).collect()(0).getAs[Double]("d")
+    assert(d1 == 1.0)
+  }
+
+  test("K-S handles ties via RANGE frame (CDF includes all equal values)") {
+    // sample1 = {1,1,2}, sample2 = {1,2,2}: D = |2/3 - 1/3| at x=1
+    val df = Seq((0, 1.0, 1), (0, 1.0, 1), (0, 2.0, 1), (0, 1.0, 2), (0, 2.0, 2), (0, 2.0, 2))
+      .toDF("dim", "value", "tag")
+    val d = ProfileStats.ksStatistic(df).collect()(0).getAs[Double]("d")
+    assert(math.abs(d - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("ksPValue: small D on large samples is insignificant, D=1 is significant") {
+    assert(ProfileStats.ksPValue(0.01, 1000, 1000) > 0.9)
+    assert(ProfileStats.ksPValue(1.0, 1000, 1000) < 1e-6)
+  }
+}
