@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private def families: Seq[GQuery] =
-    Relational.all ++ VectorQueries.all ++ PredicateQueries.all ++ StatsQueries.all
+    Relational.all ++ VectorQueries.all ++ PredicateQueries.all ++ StatsQueries.all ++
+      TextQueries.all ++ DedupQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

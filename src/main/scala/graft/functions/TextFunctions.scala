@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis Column builders for training-data pipelines: tokenization,
+  * normalization, fingerprinting, quality scoring, language ID, shingling.
+  * All built from codegen'd `org.apache.spark.sql.functions` (no UDFs in the
+  * hot path) and kept engine-neutral so DuckDB oracles can mirror them.
+  *
+  * These extend the reference's surface (its `analyze`/slab content tooling
+  * stops at content-type sniffing, CMD_slab_analyze.java:252-314) with the
+  * operators a 100TB LLM-data pipeline needs (builder brief; SURVEY.md §7
+  * step 9).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space split, empties dropped — mirrors
+    * DuckDB's `list_filter(string_split(t,' '), x -> x != '')`).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Canonical form for content fingerprinting: lowercase, collapse runs of
+    * whitespace, trim.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content fingerprint = md5 of the normalized text (the deterministic
+    * exact-dedup key; a rolling-hash variant lives in Dedup.simhash).
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  private val punctClass = "[.,!?;:]"
+  private val stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+  /** Punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, punctClass, ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Stopword tokens / total tokens (counts multiplicity). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val stops = filter(toks, t => t.isin(stopwords: _*))
+    size(stops).cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Mean token length in characters. */
+  def meanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword presence (natural
+    * prose) and 3-8 char mean word length, penalizes punctuation overload.
+    */
+  def qualityScore(text: Column): Column = {
+    val stopC = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val wlen = meanWordLength(text)
+    val wlenC = when(wlen >= 3.0 && wlen <= 8.0, 1.0).otherwise(0.5)
+    val punctC = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 10.0)
+    (stopC * 0.4 + wlenC * 0.3 + punctC * 0.3)
+  }
+
+  /** Language markers: distinctive high-frequency function words per
+    * language, counted as whole words; CJK presence short-circuits to zh.
+    */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|is|of)\\b",
+    "de" -> "\\b(der|und|die|nicht)\\b",
+    "fr" -> "\\b(le|et|les|est)\\b",
+    "es" -> "\\b(el|los|es|una)\\b")
+
+  private def markerCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+
+  /** N-gram heuristic language ID over {en,de,fr,es,zh}: CJK chars → zh,
+    * otherwise the language with the highest marker count (ties resolve in
+    * the fixed order above; all-zero → 'und').
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, pat) => lang -> markerCount(text, pat) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      when(score === best && best > 0, lang).otherwise(acc)
+    }
+    // \x{...} escapes parse identically in Java regex and RE2 (oracle parity)
+    when(markerCount(text, "[\\x{4e00}-\\x{9fff}]") > 0, "zh").otherwise(pick)
+  }
+
+  /** Word n-gram shingles (space-joined), the MinHash/Jaccard unit. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Content-type sniff in the style of slab analyze (json/jsonl/text),
+    * string-structural so oracles can mirror it.
+    */
+  def contentType(text: Column): Column = {
+    val t = trim(text)
+    when(t.startsWith("{") && t.endsWith("}"), "json")
+      .when(t.startsWith("[") && t.endsWith("]"), "json")
+      .otherwise("text")
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TopKPairs.topKPairs
+import graft.functions.VectorFunctions
+
+/** Approximate nearest-neighbor search over an embedding column — the scale
+  * path beside the exact Knn operator (brute force IS the baseline: see
+  * Knn.knn). IVF-Flat design:
+  *
+  *  - coarse quantizer: nList centroids (deterministic subset, or KMeans-
+  *    trained via `trainCentroids`)
+  *  - index: every base vector assigned to its nearest centroid (one
+  *    broadcast join — the posture that scales: centroids are small, the
+  *    base relation streams)
+  *  - search: probe the nProbe nearest cells per query, exact top-k within
+  *    probed cells via the bounded-heap aggregate
+  *
+  * At 100TB the index table is written back partitioned BY cell so a probe
+  * reads only nProbe/nList of the data (partition pruning on `cell`).
+  */
+object Ann {
+
+  /** Assign each row to its nearest centroid cell: (id, vec, cell). Ties
+    * break to the lowest centroid id (deterministic).
+    */
+  def ivfIndex(base: DataFrame, centroids: DataFrame, metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(idCol).cast("long").as("cell"), col(vecCol).as("c_vec"))
+    base.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(c))
+      .groupBy("id")
+      .agg(
+        first("vec").as("vec"),
+        min(struct(
+          VectorFunctions.distance(col("vec"), col("c_vec"), metric).as("d"),
+          col("cell"))).as("best"))
+      .select(col("id"), col("vec"), col("best.cell").as("cell"))
+  }
+
+  /** IVF search: probe the `nProbe` nearest cells per query, exact top-k
+    * within them. Output: (query_id, neighbor_id, rank, dist).
+    */
+  def ivfSearch(queries: DataFrame, index: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int, metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    val c = centroids.select(col(idCol).cast("long").as("cell"), col(vecCol).as("c_vec"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"))
+
+    // per-query probe list: nProbe nearest centroids (centroid set is small →
+    // broadcast nested loop + heap, never a wide shuffle)
+    val probes = q.crossJoin(broadcast(c))
+      .groupBy("query_id")
+      .agg(
+        first("q_vec").as("q_vec"),
+        topKPairs(VectorFunctions.distance(col("q_vec"), col("c_vec"), metric),
+          col("cell"), nProbe).as("cells"))
+      .select(col("query_id"), col("q_vec"),
+        explode(col("cells.id")).as("cell"))
+
+    // probe join is cell-equi — partition pruning territory at scale
+    var pairs = probes.join(index, "cell")
+    if (excludeSelf) pairs = pairs.filter(col("id") =!= col("query_id"))
+    pairs
+      .groupBy("query_id")
+      .agg(topKPairs(
+        VectorFunctions.distance(col("q_vec"), col("vec"), metric),
+        col("id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(col("query_id"), col("pair.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("pair.dist").as("dist"))
+  }
+
+  /** KMeans-trained centroids (production path; the deterministic-subset
+    * quantizer is the oracle-friendly path).
+    */
+  def trainCentroids(spark: SparkSession, base: DataFrame, nList: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    val feat = base.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(20).fit(feat)
+    val rows = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toArray.map(_.toFloat).toSeq)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF(idCol, vecCol)
+  }
+
+  /** Random-hyperplane LSH bucket id (sign bits of `nBits` seeded pseudo-
+    * hyperplane dot products) — the bucketed candidate generator for
+    * cosine near-dup joins at scale.
+    */
+  def hyperplaneBucket(vec: org.apache.spark.sql.Column, dim: Int, nBits: Int,
+      seed: Long = 42L): org.apache.spark.sql.Column = {
+    val bits = (0 until nBits).map { b =>
+      // deterministic pseudo-hyperplane: component j = hash(seed,b,j) mapped
+      // to [-1,1); dot computed via aggregate over the vector
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, j) =>
+          x.cast("double") *
+            (pmod(xxhash64(lit(seed), lit(b), j), lit(1L << 32)).cast("double") /
+              (1L << 31).toDouble - 1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, 1L << b).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+}

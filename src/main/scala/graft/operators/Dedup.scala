@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Document deduplication family for training-data pipelines: exact
+  * (fingerprint hash), n-gram Jaccard (inverted-index join), MinHash+LSH
+  * (signature banding), SimHash (bit-majority + chunk banding), embedding
+  * cosine.
+  *
+  * Scale posture (100TB): no operator forms the O(n²) pair space —
+  * candidates come from inverted-index joins on shingles, LSH band buckets,
+  * or simhash chunk buckets (pigeonhole-complete for the Hamming radius);
+  * exact verification runs only on candidates.
+  */
+object Dedup {
+
+  /** Exact dedup groups by content fingerprint: (fingerprint, canonical_id,
+    * multiplicity), canonical = lowest id.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("multiplicity"))
+
+  /** Distinct word-n-gram shingle sets per doc: (id, shingles array). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle,
+    * thresholded. Inverted-index join: |pairs| is bounded by co-occurrence,
+    * never n². Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val sizes = sets.select(col("id"), size(col("shingles")).as("sz"))
+    val posting = sets.select(col("id"), explode(col("shingles")).as("shingle"))
+    val inter = posting.as("a").join(posting.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** MinHash signature from a shingles-array column: for each of `numPerms`
+    * universal-hash permutations (a_i·h + b_i mod p), the minimum over the
+    * doc's shingle hashes. Seeded-deterministic, columnar — no per-perm
+    * shuffle.
+    */
+  def minhashSignature(shingles: Column, numPerms: Int, seed: Long = 42L): Column = {
+    // per-perm seeded xxhash64 rather than (a·h+b) mod p: same universality,
+    // and no i64 overflow from the multiply
+    val mins = (0 until numPerms).map { i =>
+      array_min(transform(shingles, s => pmod(xxhash64(s, lit(seed), lit(i)), lit(MersennePrime))))
+    }
+    array(mins: _*)
+  }
+
+  /** MinHash+LSH near-duplicate pairs: signatures → band buckets → candidate
+    * pairs → exact Jaccard verification >= threshold. With r rows/band and b
+    * bands, a pair at similarity s is caught with p = 1-(1-s^r)^b (defaults
+    * 128 perms = 32 bands × 4: s=0.8 → miss ~5e-8).
+    * Output: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val r = numPerms / bands
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val sigs = sets.select(col("id"), col("shingles"),
+      minhashSignature(col("shingles"), numPerms, seed).as("sig"))
+
+    val banded = sigs.select(col("id"), col("shingles"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bucket"))))
+          .as("bb"))
+      .select(col("id"), col("shingles"), col("bb.band"), col("bb.bucket"))
+
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates.select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Engine-neutral 60-bit token hash: first 15 hex digits of md5 parsed as
+    * an integer — reproducible in any SQL engine (the oracle uses
+    * `('0x' || substr(md5(tok),1,15))::BIGINT`).
+    */
+  def tokenHash60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** SimHash (60-bit, md5-derived) per doc over lowercased whitespace tokens
+    * with multiplicity: bit b is set iff Σ_tokens (2·bit_b(h(tok)) - 1) > 0.
+    * Output: (id, simhash).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+    toks.select(col("id"), tokenHash60(col("tok")).as("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("b"))
+      .select(col("id"), col("b"),
+        (expr("shiftright(h, cast(b as int)) & 1") * 2 - 1).as("s"))
+      .groupBy("id", "b")
+      .agg(sum("s").as("t"))
+      .select(col("id"), col("b"), when(col("t") > 0, 1L).otherwise(0L).as("bit"))
+      .groupBy("id")
+      .agg(sum(expr("shiftleft(bit, cast(b as int))")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within Hamming distance `maxHamming`, via chunk
+    * banding: split the hash into `chunks` equal bit ranges; any pair with
+    * <= maxHamming differing bits must agree exactly on >= chunks-maxHamming
+    * chunks, so with chunks > maxHamming it shares at least one chunk
+    * (pigeonhole) — candidates are bucket joins, verified by bit_count.
+    * Input: (id, simhash). Output: (id_a, id_b, hamming).
+    */
+  def simhashNearDupPairs(sims: DataFrame, maxHamming: Int = 3, chunks: Int = 4,
+      bits: Int = 60): DataFrame = {
+    require(chunks > maxHamming, "need more chunks than allowed bit flips")
+    val w = bits / chunks
+    val mask = (1L << w) - 1
+    val banded = sims.select(col("id"), col("simhash"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .select(col("id"), col("simhash"), col("chunk"),
+        expr(s"shiftright(simhash, cast(chunk * $w as int)) & $mask").as("ck"))
+    banded.as("a").join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (ground-truth form): all pairs
+    * with cosine similarity >= threshold. Exact — the scalable candidate
+    * generator for this is Ann.ivf/bucketed search; this form is the
+    * verifier and the small-side oracle.
+    */
+  def embeddingNearDupPairs(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (lit(1.0) - VectorFunctions.cosineDistance(col("a.v"), col("b.v"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

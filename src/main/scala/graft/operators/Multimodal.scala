@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct; decode / feature-extract /
+  * resize / frame-sample run as partition-batched kernels.
+  *
+  * The Spark-side shape (schema, partitioning, batch iteration, kernel
+  * signature) is real and tested; the codec itself is STUBBED with a
+  * deterministic fake — this container has no image/audio libraries, and a
+  * real deployment would swap `StubCodec` for an FFI decode while keeping
+  * every signature identical.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true))), nullable = true)))
+
+  /** The kernel seam. A production build plugs a real decoder here; the stub
+    * is deterministic over the payload so pipelines are testable end-to-end.
+    */
+  trait MediaCodec extends Serializable {
+    /** bytes -> fixed-length feature vector */
+    def features(modality: String, payload: Array[Byte], nFeatures: Int): Array[Float]
+    /** bytes -> (width, height) after a resize — stub records intent only */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+    /** video bytes -> every nth "frame" payload */
+    def sampleFrames(payload: Array[Byte], everyN: Int): Seq[Array[Byte]]
+  }
+
+  /** Deterministic fake codec: features are byte-histogram moments, resize
+    * re-stamps a fake header, frame sampling chunks the payload. Real decode
+    * would replace exactly these three bodies.
+    */
+  object StubCodec extends MediaCodec {
+    def features(modality: String, payload: Array[Byte], nFeatures: Int): Array[Float] = {
+      val out = new Array[Float](nFeatures)
+      if (payload == null || payload.isEmpty) return out
+      var i = 0
+      while (i < payload.length) {
+        val b = payload(i) & 0xff
+        out(b % nFeatures) += 1.0f
+        i += 1
+      }
+      val n = payload.length.toFloat
+      out.indices.foreach(j => out(j) /= n)
+      out
+    }
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      Array[Byte]((w & 0xff).toByte, (h & 0xff).toByte) ++ payload.take(64)
+    def sampleFrames(payload: Array[Byte], everyN: Int): Seq[Array[Byte]] =
+      payload.grouped(256).zipWithIndex.collect {
+        case (chunk, i) if i % everyN == 0 => chunk
+      }.toSeq
+  }
+
+  /** Partition-batched feature extraction (the Scala analogue of a
+    * mapInPandas batch kernel): one codec instance per partition, rows
+    * streamed through it, output schema = input + features array.
+    */
+  def extractFeatures(media: DataFrame, nFeatures: Int,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+
+      StructField("features", ArrayType(FloatType), nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val modalityIdx = media.schema.fieldIndex("modality")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val feats = codec.features(r.getString(modalityIdx),
+          r.getAs[Array[Byte]](bytesIdx), nFeatures)
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Synthesize a media table from any (id, text) source — payload = UTF-8
+    * bytes, modality round-robins — so the plumbing is exercisable with the
+    * driver testdata.
+    */
+  def synthesizeFromText(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"),
+      encode(col(textCol), "UTF-8").as("bytes"),
+      struct(
+        lit(64).as("width"), lit(64).as("height"),
+        lit(16000).as("sample_rate"), lit(0).as("n_frames")).as("meta"))
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Ann, Dedup}
+
+/** Deduplication + similarity-search queries over documents/embeddings —
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding cosine, IVF ANN.
+  * Oracles compute the same semantics from first principles (brute force
+  * where the Spark side uses candidate generation — the oracle IS the
+  * recall check).
+  */
+object DedupQueries {
+
+  private val duckToks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+
+  /** Distinct 3-gram shingle postings + Jaccard pair SQL (shared CTE text). */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |          i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM toks WHERE len(t) >= 3),
+       |sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sh0),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT ia AS id_a, ib AS id_b,
+       |       round(c::DOUBLE / (sa.sz + sb.sz - c), 6) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = ia
+       |JOIN sz sb ON sb.doc_id = ib
+       |WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= $threshold""".stripMargin
+
+  /** DuckDB cosine similarity between two float-list refs, f64. */
+  private def duckCosine(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       | / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE*x::DOUBLE)))
+       |  * sqrt(list_sum(list_transform($b, x -> x::DOUBLE*x::DOUBLE)))))""".stripMargin
+
+  private def duckCosDist(a: String, b: String): String = s"(1.0 - ${duckCosine(a, b)})"
+
+  /** 60-bit md5 simhash CTE over documents: yields (doc_id, simhash). */
+  private val simhashSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+       |bits AS (SELECT doc_id, b,
+       |           CASE WHEN sum(((h >> CAST(b AS INTEGER)) & 1) * 2 - 1) > 0
+       |                THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |         FROM th CROSS JOIN range(60) r(b) GROUP BY doc_id, b)
+       |SELECT doc_id, sum(bit << CAST(b AS INTEGER))::BIGINT AS simhash
+       |FROM bits GROUP BY doc_id""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+
+    // Exact dedup by content fingerprint over a corpus with injected copies.
+    GQuery(
+      "q44_exact_dedup_groups",
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 30)
+        |SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |       min(doc_id) AS canonical_id, count(*) AS multiplicity
+        |FROM u GROUP BY 1 HAVING count(*) > 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val u = docs.unionByName(
+        docs.filter(col("doc_id") < 30).select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.exactGroups(u, "doc_id", "text").filter(col("multiplicity") > 1)
+    },
+
+    // Exact n-gram Jaccard pairs via inverted-index join (no n² pair space).
+    GQuery(
+      "q45_ngram_jaccard_pairs",
+      jaccardPairsSql(0.5)) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // MinHash+LSH with exact verification: must equal the brute-force pair
+    // set at the 0.8 threshold (the oracle IS the recall proof — band miss
+    // probability ~5e-8 at s=0.8 with 32×4 bands).
+    GQuery(
+      "q46_minhash_lsh_pairs",
+      jaccardPairsSql(0.8)) { (s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, numPerms = 128, bands = 32, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // SimHash values, bit-exact against the engine-neutral md5 construction.
+    GQuery("q47_simhash", simhashSql) { (s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    },
+
+    // SimHash near-dup pairs (Hamming <= 3) via pigeonhole chunk banding;
+    // oracle brute-forces the pair space.
+    GQuery(
+      "q48_simhash_neardup",
+      s"""WITH s AS ($simhashSql)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) { (s, dir) =>
+      val sims = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.simhashNearDupPairs(sims, maxHamming = 3, chunks = 4, bits = 60)
+        .withColumnsRenamed(Map("id_a" -> "id_a", "id_b" -> "id_b"))
+    },
+
+    // Embedding-cosine near-duplicate pairs.
+    GQuery(
+      "q49_embedding_neardup",
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(${duckCosine("a.embedding", "b.embedding")}, 6) AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.4""".stripMargin) { (s, dir) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    },
+
+    // IVF-Flat ANN: deterministic coarse quantizer (cells = vec_id<16),
+    // nProbe=4, exact top-5 within probed cells. Oracle replays the exact
+    // algorithm — this checks index assignment, probe selection and ranking.
+    GQuery(
+      "q50_ann_ivf",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, base.v, c.cell, ${duckCosDist("base.v", "c.ce")} AS d,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${duckCosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, cell FROM assignr WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 120),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${duckCosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qv, cell FROM probr WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.id AS nid, ${duckCosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      val index = Ann.ivfIndex(emb, centroids)
+      Ann.ivfSearch(queries, index, centroids, k = 5, nProbe = 4, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    },
+  )
+}

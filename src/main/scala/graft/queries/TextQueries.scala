@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.Multimodal
+
+/** Text-analysis and content-tooling queries over the documents/events
+  * tables: token counting, quality scoring, language ID, fingerprinting,
+  * JSON extraction (F9), content-type sniffing (A16), multimodal plumbing.
+  */
+object TextQueries {
+
+  /** DuckDB token list for `text` (mirrors TextFunctions.tokens). */
+  private val duckToks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
+  private val stopSet = "('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'on', 'for')"
+
+  val all: Seq[GQuery] = Seq(
+
+    // F9 jjq-style JSON extraction over the events props column.
+    GQuery(
+      "q34_json_extract",
+      """SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+        |FROM events WHERE event_id < 2000""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+    },
+
+    // A16 content-type detection: sample records, classify, majority shape.
+    GQuery(
+      "q35_content_type",
+      """SELECT content_type, count(*) AS cnt FROM (
+        |  SELECT CASE
+        |    WHEN starts_with(trim(t), '{') AND ends_with(trim(t), '}') THEN 'json'
+        |    WHEN starts_with(trim(t), '[') AND ends_with(trim(t), ']') THEN 'json'
+        |    ELSE 'text' END AS content_type
+        |  FROM (SELECT text AS t FROM documents UNION ALL SELECT props AS t FROM events))
+        |GROUP BY content_type""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("text").as("t"))
+      val props = Tables.events(s, dir).select(col("props").as("t"))
+      docs.unionByName(props)
+        .select(TextFunctions.contentType(col("t")).as("content_type"))
+        .groupBy("content_type").agg(count(lit(1)).as("cnt"))
+    },
+
+    GQuery(
+      "q40_token_count",
+      s"""SELECT doc_id, len($duckToks) AS n_tokens, length(text) AS n_chars
+         |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(lower(col("text"))).as("n_tokens"),
+        length(col("text")).as("n_chars"))
+    },
+
+    GQuery(
+      "q41_quality_score",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+         |      / greatest(length(text), 1) AS punct_ratio,
+         |    len(list_filter($duckToks, tk -> tk IN $stopSet))::DOUBLE
+         |      / greatest(len($duckToks), 1) AS stop_ratio,
+         |    coalesce(list_sum(list_transform($duckToks, tk -> length(tk))), 0)::DOUBLE
+         |      / greatest(len($duckToks), 1) AS mean_wlen
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(punct_ratio, 6) AS punct_ratio,
+         |  round(stop_ratio, 6) AS stop_ratio,
+         |  round(mean_wlen, 6) AS mean_wlen,
+         |  round(least(stop_ratio * 4.0, 1.0) * 0.4
+         |      + (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 8.0 THEN 1.0 ELSE 0.5 END) * 0.3
+         |      + greatest(0.0, 1.0 - punct_ratio * 10.0) * 0.3, 6) AS quality
+         |FROM t""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TextFunctions.meanWordLength(lower(col("text"))), 6).as("mean_wlen"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+    },
+
+    GQuery(
+      "q42_langid",
+      """SELECT doc_id, CASE
+        |    WHEN len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |    WHEN greatest(en_s, de_s, fr_s, es_s) = 0 THEN 'und'
+        |    WHEN en_s = greatest(en_s, de_s, fr_s, es_s) THEN 'en'
+        |    WHEN de_s = greatest(en_s, de_s, fr_s, es_s) THEN 'de'
+        |    WHEN fr_s = greatest(en_s, de_s, fr_s, es_s) THEN 'fr'
+        |    ELSE 'es' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|is|of)\b')) AS en_s,
+        |    len(regexp_extract_all(lower(text), '\b(der|und|die|nicht)\b')) AS de_s,
+        |    len(regexp_extract_all(lower(text), '\b(le|et|les|est)\b')) AS fr_s,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|es|una)\b')) AS es_s
+        |  FROM documents)""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+    },
+
+    GQuery(
+      "q43_fingerprint",
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
+    },
+
+    // Multimodal plumbing: binary payload column + partition-batched stub
+    // feature extraction. No SQL oracle (binary kernels aren't expressible);
+    // the driver records a rows>0 check, and MultimodalSpec pins values.
+    GQuery.noOracle("q51_multimodal_features") { (s, dir) =>
+      val media = Multimodal.synthesizeFromText(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.extractFeatures(media, nFeatures = 8)
+        .select(col("media_id"), col("modality"),
+          octet_length(col("bytes")).as("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+    },
+  )
+}

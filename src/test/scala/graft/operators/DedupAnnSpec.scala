@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class DedupAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different text about spark engines here"),
+    (3L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 0
+    (4L, "short text")).toDF("doc_id", "text")
+
+  test("wordShingles produces overlapping n-grams; short docs yield none") {
+    val sh = docs.select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(0L).head == "the quick brown" && sh(0L).size == 7)
+    assert(sh(4L).isEmpty)
+  }
+
+  test("exactGroups collapses exact duplicates to the lowest id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").filter(col("multiplicity") > 1).collect()
+    assert(g.length == 1 && g(0).getAs[Long]("canonical_id") == 0L &&
+      g(0).getAs[Long]("multiplicity") == 2L)
+  }
+
+  test("ngramJaccardPairs finds near and exact dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 3L))) // exact: jaccard 1.0
+    assert(keys.contains((0L, 1L)) && keys.contains((1L, 3L))) // near
+    assert(!keys.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(pairs.find(p => (p._1, p._2) == (0L, 3L)).get._3 == 1.0)
+  }
+
+  test("minhashLshPairs agrees with exact jaccard pairs at high threshold") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs share the hash; near-dups are close in Hamming") {
+    val sims = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) == sims(3L))
+    val ham01 = java.lang.Long.bitCount(sims(0L) ^ sims(1L))
+    val ham02 = java.lang.Long.bitCount(sims(0L) ^ sims(2L))
+    assert(ham01 < ham02, s"near-dup hamming $ham01 should beat unrelated $ham02")
+  }
+
+  test("simhashNearDupPairs matches brute force on a random corpus") {
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val corpus = (0L until 60L).map { i =>
+      val base = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, if (i % 3 == 0 && i > 0) null else base) // some docs reuse others below
+    }.map { case (i, t) => (i, Option(t).getOrElse(s"alpha beta gamma delta eps zeta eta theta plus$i")) }
+      .toDF("doc_id", "text")
+    val sims = Dedup.simhash(corpus, "doc_id", "text").cache()
+    val banded = Dedup.simhashNearDupPairs(sims, maxHamming = 8, chunks = 12, bits = 60)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = sims.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 8
+    } yield (ia, ib)).toSet
+    assert(banded == brute)
+  }
+
+  test("IVF search equals exact KNN when probing every cell") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    val index = Ann.ivfIndex(emb, centroids)
+    val ivf = Ann.ivfSearch(queries, index, centroids, k = 5, nProbe = 8, excludeSelf = true)
+      .select("query_id", "neighbor_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Knn.knn(queries, emb, k = 5, excludeSelf = true)
+      .select("query_id", "neighbor_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == exact)
+  }
+
+  test("IVF index is a partition of the base set") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val index = Ann.ivfIndex(emb, emb.filter(col("vec_id") < 8)).cache()
+    assert(index.count() == emb.count())
+    assert(index.select("id").distinct().count() == emb.count())
+    assert(index.select("cell").distinct().count() <= 8)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.synthesizeFromText(
+    Seq((1L, "hello world"), (2L, "spark engine"), (3L, "x")).toDF("id", "t"), "id", "t")
+
+  test("synthesized media table matches the multimodal schema") {
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "modality", "bytes", "meta"))
+    val mods = media.select("modality").collect().map(_.getString(0)).toSet
+    assert(mods.subsetOf(Set("image", "audio", "video")))
+  }
+
+  test("extractFeatures appends a fixed-length feature vector per row") {
+    val out = Multimodal.extractFeatures(media, nFeatures = 8)
+    assert(out.count() == 3)
+    val feats = out.select("features").collect().map(_.getSeq[Float](0))
+    assert(feats.forall(_.size == 8))
+    // stub = normalized byte histogram: sums to ~1 for non-empty payloads
+    feats.foreach(f => assert(math.abs(f.sum - 1.0f) < 1e-4))
+  }
+
+  test("feature extraction is deterministic and partition-invariant") {
+    val a = Multimodal.extractFeatures(media.repartition(3), 8)
+      .orderBy("media_id").collect().map(_.getSeq[Float](4))
+    val b = Multimodal.extractFeatures(media.repartition(1), 8)
+      .orderBy("media_id").collect().map(_.getSeq[Float](4))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("stub codec seams: resize stamps dims, frame sampling chunks payload") {
+    val payload = Array.tabulate(1000)(_.toByte)
+    val resized = Multimodal.StubCodec.resize(payload, 32, 16)
+    assert(resized(0) == 32.toByte && resized(1) == 16.toByte)
+    val frames = Multimodal.StubCodec.sampleFrames(payload, everyN = 2)
+    assert(frames.size == 2) // 4 chunks of 256 -> every 2nd
+  }
+}
