@@ -1,0 +1,81 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Merkle
+import graft.sources.slab.SlabTable
+import graft.sources.xvec.XvecIO
+
+/** Source/format layer exercised through the correctness gate: xvec DSv2
+  * round trip (S1/S18 + P2 window pushdown), slab multi-get (S10/S19/J5),
+  * merkle leaf hashing + fold (A12). The oracles never read the binary
+  * formats — they recompute the expected result from the parquet tables,
+  * which is exactly what makes these round-trip checks meaningful.
+  */
+object SourceQueries {
+
+  private def tmpDir(): String = {
+    val d = Paths.get("target", "qtmp")
+    Files.createDirectories(d)
+    d.toString
+  }
+
+  val all: Seq[GQuery] = Seq(
+
+    // Write embeddings → fvec, read back through the DSv2 with a window —
+    // output must equal the original rows in [100, 200).
+    GQuery(
+      "q52_xvec_roundtrip",
+      """SELECT vec_id AS ordinal, len(embedding) AS dim,
+        |       round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE))), 6) AS norm
+        |FROM embeddings WHERE vec_id >= 100 AND vec_id < 200""".stripMargin) { (s, dir) =>
+      val path = s"${tmpDir()}/rt-${System.nanoTime()}.fvec"
+      val src = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("ordinal"), col("embedding").as("vector"))
+      XvecIO.write(src, path)
+      XvecIO.read(s, path, window = "[100..200)")
+        .select(col("ordinal"), size(col("vector")).as("dim"),
+          round(graft.functions.VectorFunctions.vectorNorm(col("vector")), 6).as("norm"))
+    },
+
+    // Slab store: append documents as (doc_id, utf8 bytes), batch multi-get
+    // with a miss — submission order preserved, payload decodes back.
+    GQuery(
+      "q53_slab_multiget",
+      """SELECT r.request_idx, r.ordinal, d.text
+        |FROM (VALUES (0, 5), (1, 17), (2, 300), (3, 9999)) AS r(request_idx, ordinal)
+        |LEFT JOIN documents d ON d.doc_id = r.ordinal""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val slab = new SlabTable(s, s"${tmpDir()}/slab-${System.nanoTime()}")
+      slab.append("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("ordinal"), encode(col("text"), "UTF-8").as("data")))
+      val req = Seq((0L, 5L), (1L, 17L), (2L, 300L), (3L, 9999L)).toDF("request_idx", "ordinal")
+      slab.getAll("docs", req)
+        .select(col("request_idx"), col("ordinal"), decode(col("data"), "UTF-8").as("text"))
+    },
+
+    // Merkle leaf hashing (distributed sha2) + one fold level. The oracle
+    // recomputes both from the raw text (string-concat fold; the
+    // spec-faithful binary fold is pinned by MerkleSpec).
+    GQuery(
+      "q54_merkle_leaves",
+      """WITH leaves AS (
+        |  SELECT doc_id AS chunk_idx, lower(sha256(text)) AS hash
+        |  FROM documents WHERE doc_id < 64)
+        |SELECT chunk_idx // 2 AS node_idx,
+        |       lower(sha256(string_agg(hash, '' ORDER BY chunk_idx))) AS hash
+        |FROM leaves GROUP BY 1""".stripMargin) { (s, dir) =>
+      val leaves = Merkle.leafHashes(
+        Tables.documents(s, dir).filter(col("doc_id") < 64)
+          .select(col("doc_id").as("chunk_idx"), col("text").as("data")))
+      leaves
+        .groupBy((col("chunk_idx") / 2).cast("long").as("node_idx"))
+        .agg(lower(sha2(concat_ws("",
+          sort_array(collect_list(struct(col("chunk_idx"), col("hash")))).getField("hash")), 256))
+          .as("hash"))
+    },
+  )
+}
