@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Batch-mode forms of the streaming transforms, oracled in SQL. The
+  * streaming variants run the same code over readStream (pinned equal by
+  * EventStreamsSpec).
+  */
+object StreamQueries {
+
+  val all: Seq[GQuery] = Seq(
+
+    // Gap-based sessionization (30-min inactivity).
+    GQuery(
+      "q17_sessionize",
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+        |                 THEN 1 ELSE 0 END AS new_session
+        |  FROM m),
+        |n AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM s)
+        |SELECT user_id, session_no::BIGINT AS session_no,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM n GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      EventStreams.sessionizeBatch(Tables.events(s, dir), gapMinutes = 30)
+        .select(
+          col("user_id"), col("session_no"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("total_value"))
+    },
+
+    // Sliding-window rate (30-min window, 10-min slide).
+    GQuery(
+      "q18_sliding_rate",
+      """WITH cand AS (
+        |  SELECT DISTINCT time_bucket(INTERVAL 10 MINUTE, ts) - (s * INTERVAL 10 MINUTE)
+        |           AS window_start
+        |  FROM events, range(0, 3) r(s)),
+        |w AS (
+        |  SELECT c.window_start, count(e.event_id) AS cnt
+        |  FROM cand c JOIN events e
+        |    ON e.ts >= c.window_start AND e.ts < c.window_start + INTERVAL 30 MINUTE
+        |  GROUP BY 1)
+        |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start, cnt
+        |FROM w WHERE cnt > 0""".stripMargin) { (s, dir) =>
+      EventStreams.slidingRate(Tables.events(s, dir))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("cnt"))
+    },
+  )
+}

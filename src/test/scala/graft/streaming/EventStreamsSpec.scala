@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.Event
+
+/** Differential tests: the streaming path must produce exactly the batch
+  * path's results once the watermark closes all windows.
+  */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val eventSeq: Seq[Event] = Seq(
+    Event(0, ts(5), 1, "click", 1.0),
+    Event(1, ts(12), 1, "click", 2.0),
+    Event(2, ts(75), 1, "buy", 3.0),   // >30min gap -> new session, next hour
+    Event(3, ts(80), 2, "click", 4.0),
+    Event(4, ts(200), 1, "click", 5.0), // far future event closes watermarks
+    Event(5, ts(290), 9, "flush", 0.0))
+
+  test("streaming hourlyRollup equals batch hourlyRollup") {
+    val mem = MemoryStream[Event](spark)
+    mem.addData(eventSeq: _*)
+    val q = EventStreams.hourlyRollup(mem.toDF(), watermark = "1 minute")
+    val query = q.writeStream.format("memory").queryName("hr").outputMode(OutputMode.Append()).start()
+    try { query.processAllAvailable() } finally query.stop()
+    val streamed = spark.table("hr").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStreams.hourlyRollup(eventSeq.toDF()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // append mode emits only watermark-closed windows; those must match batch
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    // every window strictly before the max event time must have been emitted
+    val closed = batch.filter(_._1 < "2024-01-01 04:00:00")
+    assert(closed.subsetOf(streamed))
+  }
+
+  test("streaming sessionize equals batch sessionizeBatch for closed sessions") {
+    val mem = MemoryStream[Event](spark)
+    mem.addData(eventSeq: _*)
+    val sessions = EventStreams.sessionize(
+      mem.toDF().withWatermark("ts", "1 minute").as[Event], gapMinutes = 30)
+    val query = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try { query.processAllAvailable() } finally query.stop()
+    val streamed = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getInt(3)))
+      .toSet
+    val batch = EventStreams.sessionizeBatch(eventSeq.toDF(), gapMinutes = 30).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).toString, r.getTimestamp(3).toString,
+        r.getLong(4).toInt)).toSet
+    assert(streamed.subsetOf(batch), s"streamed=$streamed\nbatch=$batch")
+    // user 1's first two sessions and user 2's session are closed by the flush
+    assert(streamed.exists(s => s._1 == 1L && s._4 == 2)) // 2-event session
+    assert(streamed.exists(s => s._1 == 2L && s._4 == 1))
+  }
+
+  test("batch sessionization splits on the gap boundary exactly") {
+    val df = Seq(
+      Event(0, ts(0), 7, "a", 1.0),
+      Event(1, ts(30), 7, "a", 1.0),  // exactly 30min gap -> same session
+      Event(2, ts(61), 7, "a", 1.0)   // 31min -> new session
+    ).toDF()
+    val sessions = EventStreams.sessionizeBatch(df).orderBy("session_no").collect()
+    assert(sessions.length == 2)
+    assert(sessions(0).getAs[Long]("n_events") == 2)
+    assert(sessions(1).getAs[Long]("n_events") == 1)
+  }
+}
