@@ -93,13 +93,18 @@ object TextFunctions {
     when(markerCount(text, "[\\x{4e00}-\\x{9fff}]") > 0, "zh").otherwise(pick)
   }
 
-  /** Word n-gram shingles (space-joined), the MinHash/Jaccard unit. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
+  /** Word n-gram shingles (space-joined), the MinHash/Jaccard unit.
+    * NOTE: evaluates `text` tokenization once per shingle position — prefer
+    * `shinglesFromTokens` over a materialized token column in hot paths.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(lower(text)), n)
+
+  /** Shingles from an (already materialized) token-array column. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
 
   /** Content-type sniff in the style of slab analyze (json/jsonl/text),
     * string-structural so oracles can mirror it.

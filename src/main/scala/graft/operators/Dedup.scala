@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{StableHash, TextFunctions, VectorFunctions}
 
 /** Document deduplication family for training-data pipelines: exact
   * (fingerprint hash), n-gram Jaccard (inverted-index join), MinHash+LSH
@@ -24,11 +24,41 @@ object Dedup {
     docs.groupBy(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("multiplicity"))
 
-  /** Distinct word-n-gram shingle sets per doc: (id, shingles array). */
+  /** Distinct word-n-gram shingle sets per doc: (id, shingles array).
+    * Tokenization is materialized into a column first so each shingle
+    * position reads the array instead of re-splitting the text (Catalyst
+    * does not CSE through higher-order-function lambdas).
+    */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.wordShingles(col(textCol), n)).as("shingles"))
+        TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      .select(col("id"),
+        array_distinct(TextFunctions.shinglesFromTokens(col("toks"), n)).as("shingles"))
       .filter(size(col("shingles")) > 0)
+
+  /** Distinct shingle sets reduced to 64-bit hashes: every downstream
+    * join/intersection runs over 8-byte keys instead of ~n·8-char strings
+    * (collision probability ~|shingles|²/2⁶⁴ — ignorable at any corpus
+    * size that fits a cluster).
+    */
+  def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), lower(col(textCol)))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val out = new java.util.LinkedHashSet[Long]()
+        var i = 0
+        while (i + n <= toks.length) {
+          out.add(StableHash.fnv64(toks.slice(i, i + n).mkString(" ")))
+          i += 1
+        }
+        (id, out.toArray(Array.empty[java.lang.Long]).map(_.longValue))
+      }
+      .filter(_._2.nonEmpty)
+      .toDF("id", "shingles")
+  }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle,
     * thresholded. Inverted-index join: |pairs| is bounded by co-occurrence,
@@ -36,7 +66,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
+    val sets = hashedShingleSets(docs, idCol, textCol, n).cache()
     val sizes = sets.select(col("id"), size(col("shingles")).as("sz"))
     val posting = sets.select(col("id"), explode(col("shingles")).as("shingle"))
     val inter = posting.as("a").join(posting.as("b"),
@@ -59,13 +89,46 @@ object Dedup {
     * doc's shingle hashes. Seeded-deterministic, columnar — no per-perm
     * shuffle.
     */
-  def minhashSignature(shingles: Column, numPerms: Int, seed: Long = 42L): Column = {
-    // per-perm seeded xxhash64 rather than (a·h+b) mod p: same universality,
-    // and no i64 overflow from the multiply
-    val mins = (0 until numPerms).map { i =>
-      array_min(transform(shingles, s => pmod(xxhash64(s, lit(seed), lit(i)), lit(MersennePrime))))
+  def minhashSignature(shingles: Column, numPerms: Int, seed: Long = 42L): Column =
+    minhashSignatureFromHashes(transform(shingles, s => xxhash64(s)), numPerms, seed)
+
+  /** Signature over an already-hashed shingle array: numPerms universal
+    * permutations (a·h+b mod p) — Column form for small inputs; the LSH
+    * operator uses the typed kernel below (interpreted lambda eval costs
+    * ~100ns/element-op; the kernel does the same 10k ops/doc in a JVM loop).
+    */
+  private def minhashSignatureFromHashes(hashes: Column, numPerms: Int, seed: Long): Column = {
+    val params = permParams(numPerms, seed)
+    val mins = params.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(xxhash64(h, lit(a), lit(b)), lit(MersennePrime))))
     }
     array(mins: _*)
+  }
+
+  private def permParams(numPerms: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPerms)((rnd.nextLong(), rnd.nextLong()))
+  }
+
+  /** JVM-loop signature kernel: min_{h in hashes} mix(h, a_i, b_i) per perm. */
+  private def signatureKernel(hashes: Array[Long], params: Array[(Long, Long)]): Array[Long] = {
+    val sig = new Array[Long](params.length)
+    var i = 0
+    while (i < params.length) {
+      val (a, b) = params(i)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hashes.length) {
+        val v = StableHash.mix(hashes(j) ^ a) + b match {
+          case x => x & Long.MaxValue // fold to non-negative
+        }
+        if (v < m) m = v
+        j += 1
+      }
+      sig(i) = m
+      i += 1
+    }
+    sig
   }
 
   /** MinHash+LSH near-duplicate pairs: signatures → band buckets → candidate
@@ -79,9 +142,13 @@ object Dedup {
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val r = numPerms / bands
-    val sets = shingleSets(docs, idCol, textCol, n)
-    val sigs = sets.select(col("id"), col("shingles"),
-      minhashSignature(col("shingles"), numPerms, seed).as("sig"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = hashedShingleSets(docs, idCol, textCol, n).cache()
+    val params = permParams(numPerms, seed).toArray
+    val sigs = sets.as[(Long, Array[Long])]
+      .map { case (id, hs) => (id, hs, signatureKernel(hs, params)) }
+      .toDF("id", "shingles", "sig")
 
     val banded = sigs.select(col("id"), col("shingles"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -114,17 +181,34 @@ object Dedup {
     * Output: (id, simhash).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
-    toks.select(col("id"), tokenHash60(col("tok")).as("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("b"))
-      .select(col("id"), col("b"),
-        (expr("shiftright(h, cast(b as int)) & 1") * 2 - 1).as("s"))
-      .groupBy("id", "b")
-      .agg(sum("s").as("t"))
-      .select(col("id"), col("b"), when(col("t") > 0, 1L).otherwise(0L).as("bit"))
-      .groupBy("id")
-      .agg(sum(expr("shiftleft(bit, cast(b as int))")).as("simhash"))
+    // typed kernel: one pass over tokens, vote array in a JVM loop. The
+    // md5-derived token hash is identical to the SQL form
+    // `conv(substr(md5(tok),1,15),16,10)` so oracles reproduce it exactly.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), lower(col(textCol)))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val votes = new Array[Int](bits)
+        text.split(" ").foreach { tok =>
+          if (tok.nonEmpty) {
+            val h = StableHash.md5Hash60(tok)
+            var b = 0
+            while (b < bits) {
+              votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+              b += 1
+            }
+          }
+        }
+        var hash = 0L
+        var b = 0
+        while (b < bits) {
+          if (votes(b) > 0) hash |= (1L << b)
+          b += 1
+        }
+        (id, hash)
+      }
+      .toDF("id", "simhash")
   }
 
   /** SimHash near-dup pairs within Hamming distance `maxHamming`, via chunk
@@ -139,19 +223,23 @@ object Dedup {
     require(chunks > maxHamming, "need more chunks than allowed bit flips")
     val w = bits / chunks
     val mask = (1L << w) - 1
+    // cache: the self-join would otherwise recompute the full upstream
+    // simhash pipeline (explode-by-bit aggregation) once per join side
     val banded = sims.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .select(col("id"), col("simhash"), col("chunk"),
         expr(s"shiftright(simhash, cast(chunk * $w as int)) & $mask").as("ck"))
+      .cache()
+    // filter on hamming BEFORE the pair dedup: the chunk join can produce a
+    // large candidate multiset on clustered data, and bit_count is a single
+    // instruction — dedup then only shuffles the survivors
     banded.as("a").join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"),
-        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Embedding-cosine near-duplicate pairs (ground-truth form): all pairs
