@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def families: Seq[GQuery] =
     Relational.all ++ VectorQueries.all ++ PredicateQueries.all ++ StatsQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ SourceQueries.all ++ StreamQueries.all
+      TextQueries.all ++ DedupQueries.all ++ SourceQueries.all ++ StreamQueries.all ++
+      MetadataQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
