@@ -18,9 +18,41 @@ object SparkEntry {
       TextQueries.all ++ DedupQueries.all ++ SourceQueries.all ++ StreamQueries.all ++
       MetadataQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q03_join_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
+    * SURVEY §7 "hybrid recall check" spine — embeddings → xvec write →
+    * DSv2 scan with window pushdown → PNode-compiled metadata filter →
+    * distance top-k join → recall vs the unfiltered ground truth. One
+    * query through every layer: format, reader, predicate, expression,
+    * join, aggregate.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+
+    // format layer: round the vectors through the xvec binary format
+    val tmp = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target", "qtmp")).toString
+    val fvec = s"$tmp/entry-${System.nanoTime()}.fvec"
+    graft.sources.xvec.XvecIO.write(
+      emb.select(col("vec_id").as("ordinal"), col("embedding").as("vector")), fvec)
+    val scanned = graft.sources.xvec.XvecIO.read(spark, fvec, window = "[0..500)")
+      .join(emb.select(col("vec_id").as("ordinal"), col("label")), Seq("ordinal"))
+      .select(col("ordinal").as("vec_id"), col("vector").as("embedding"), col("label"))
+
+    // predicate layer: metadata restriction compiled from a PNode tree
+    val pred = graft.predicates.PNodeCompiler.compile(
+      graft.predicates.PredicateNode.namedTyped(
+        "b_label", graft.predicates.OpType.IN,
+        (0 until 5).map(i => graft.predicates.Comparand.IntVal(i.toLong)): _*))
+
+    val queriesDf = scanned.filter(col("vec_id") < 20)
+    val hybrid = graft.operators.Knn.knn(queriesDf, scanned, k = 10,
+      queryExtra = Seq("label"), baseExtra = Seq("label"),
+      pairPredicate = Some(pred), excludeSelf = true)
+    val truth = graft.operators.Knn.knn(queriesDf, scanned, k = 10, excludeSelf = true)
+    graft.operators.Knn.avgRecall(hybrid, truth, k = 10)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
