@@ -50,6 +50,16 @@ object Generators {
     * a deterministic fraction of ordinals become all-zero vectors or copies
     * of the previous ordinal's vector.
     */
+  /** splitmix64 of the packed stream coordinates — the per-(ordinal,dim)
+    * deterministic randomness source for the kernel path.
+    */
+  @inline private def mix(ordinal: Long, dim: Long, seed: Long, stream: Long): Long =
+    graft.functions.StableHash.mix(
+      graft.functions.StableHash.mix(ordinal * 0x9e3779b97f4a7c15L ^ seed) ^
+        (dim * 0xc2b2ae3d27d4eb4fL + stream))
+
+  @inline private def uniform01(h: Long): Double = (h >>> 12).toDouble / (1L << 52).toDouble
+
   def gaussianVectors(
       spark: SparkSession,
       count: Long,
@@ -60,29 +70,24 @@ object Generators {
       zeroesProportion: Double = 0.0,
       duplicatesProportion: Double = 0.0): DataFrame = {
 
-    val base = spark.range(0, count).toDF("ordinal")
-
-    def vecFor(ordinal: Column): Column = {
-      val dims = sequence(lit(0), lit(dim - 1))
-      transform(dims, d => {
-        val u1 = hashUniform(ordinal, d, seed, 1)
-        val u2 = hashUniform(ordinal, d, seed, 2)
-        // guard u1=0 (log(0)) by nudging to the smallest representable step
-        val safeU1 = greatest(u1, lit(1.0 / (1L << 52)))
-        val z = sqrt(lit(-2.0) * log(safeU1)) * cos(lit(2.0 * math.Pi) * u2)
-        (z * variability + ordinal.cast("double") * scale).cast("float")
-      })
-    }
-
-    val isZero = hashUniform(col("ordinal"), lit(-1), seed, 3) < zeroesProportion
-    val isDup = hashUniform(col("ordinal"), lit(-2), seed, 4) < duplicatesProportion
-
-    base.select(
-      col("ordinal"),
-      when(isZero, array_repeat(lit(0.0f), dim))
-        .when(isDup && col("ordinal") > 0, vecFor(col("ordinal") - 1))
-        .otherwise(vecFor(col("ordinal")))
-        .as("vector"))
+    import spark.implicits._
+    // typed kernel, not Column transforms: 10M+ gaussians/sec/core in a JVM
+    // loop vs ~2M component-exprs/sec interpreted through higher-order
+    // functions — and still a pure function of (ordinal, dim, seed)
+    spark.range(0, count).as[Long].map { ordinal =>
+      val zero = uniform01(mix(ordinal, -1L, seed, 3)) < zeroesProportion
+      val dup = uniform01(mix(ordinal, -2L, seed, 4)) < duplicatesProportion
+      val srcOrdinal = if (!zero && dup && ordinal > 0) ordinal - 1 else ordinal
+      val arr =
+        if (zero) new Array[Float](dim)
+        else Array.tabulate(dim) { d =>
+          val u1 = math.max(uniform01(mix(srcOrdinal, d.toLong, seed, 1)), 1.0 / (1L << 52))
+          val u2 = uniform01(mix(srcOrdinal, d.toLong, seed, 2))
+          val z = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+          (z * variability + srcOrdinal.toDouble * scale).toFloat
+        }
+      (ordinal, arr)
+    }.toDF("ordinal", "vector")
   }
 
   /** F12 `generate from-model`: sample each dimension from its fitted model
