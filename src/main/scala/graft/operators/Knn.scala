@@ -64,6 +64,14 @@ object Knn {
         col("pair.dist").as("dist"))
   }
 
+  /** J4 `verify_profiles`: recall@k for several profiles at once —
+    * (profile, avg_recall) rows, one per named (predicted, truth) pair.
+    */
+  def verifyProfiles(profiles: Seq[(String, DataFrame, DataFrame)], k: Int): DataFrame =
+    profiles.map { case (name, predicted, truth) =>
+      avgRecall(predicted, truth, k).select(lit(name).as("profile"), col("avg_recall"))
+    }.reduce(_ unionByName _)
+
   /** recall@k between two (query_id, neighbor_id) neighbor sets — J4's
     * verify_knn: |predicted ∩ truth| / k averaged over queries.
     */

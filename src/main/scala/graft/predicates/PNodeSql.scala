@@ -37,6 +37,29 @@ object PNodeSql {
     case Comparand.NullVal     => "NULL"
   }
 
+  // ---- CQL dialect (parity with PNodeCqlCodec.java:56-110) ----
+
+  /** CQL WHERE fragment: no parenthesized grouping (flat AND/OR chain),
+    * MATCHES rendered as a comment (not a CQL keyword).
+    */
+  def cql(node: PNode): String = node match {
+    case ConjugateNode(isAnd, cs) =>
+      cs.map(cql).mkString(if (isAnd) " AND " else " OR ")
+    case p: PredicateNode =>
+      p.op match {
+        case OpType.IN =>
+          s"${p.effectiveName} IN (${p.comparands.map(refComparand).mkString(", ")})"
+        case OpType.MATCHES =>
+          val pat = p.comparands.headOption.collect {
+            case Comparand.TextVal(s) => s
+            case Comparand.IntVal(v)  => v.toString
+          }.getOrElse("")
+          s"${p.effectiveName} /* MATCHES */ '$pat'"
+        case o =>
+          s"${p.effectiveName} ${o.symbol} ${p.comparands.headOption.map(refComparand).getOrElse("")}".stripTrailing()
+      }
+  }
+
   // ---- duckdb dialect (oracle for the compiled semantics) ----
 
   def duckdb(node: PNode, resolve: Int => String = i => s"F$i"): String = node match {
