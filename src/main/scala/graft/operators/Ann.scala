@@ -76,6 +76,17 @@ object Ann {
         (col("pos") + 1).as("rank"), col("pair.dist").as("dist"))
   }
 
+  /** Persist an IVF index partitioned BY CELL: a probe that touches
+    * nProbe/nList cells reads exactly that fraction of the data via
+    * partition pruning — the posture that makes IVF pay at 100TB.
+    */
+  def writeIndex(index: DataFrame, path: String): Unit =
+    index.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path)
+
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** KMeans-trained centroids (production path; the deterministic-subset
     * quantizer is the oracle-friendly path).
     */

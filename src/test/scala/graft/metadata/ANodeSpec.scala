@@ -1,0 +1,52 @@
+package graft.metadata
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.predicates.{Comparand, ConjugateNode, OpType, PredicateNode}
+
+class ANodeSpec extends AnyFunSuite {
+
+  test("mixed MNode/PNode stream round trip with dialect auto-detection") {
+    val records: Seq[ANode.Record] = Seq(
+      ANode.M(MNode(Seq("a" -> MValue.I64(1), "b" -> MValue.Str("x")))),
+      ANode.P(PredicateNode.namedTyped("f", OpType.GT, Comparand.IntVal(5))),
+      ANode.M(MNode(Nil)),
+      ANode.P(ConjugateNode.or(
+        PredicateNode.namedTyped("g", OpType.EQ, Comparand.NullVal),
+        PredicateNode.namedTyped("h", OpType.MATCHES, Comparand.TextVal("a.*")))))
+    assert(ANode.decode(ANode.encode(records)) == records)
+  }
+
+  test("corrupt frames rejected") {
+    val good = ANode.encode(Seq(ANode.M(MNode(Seq("k" -> MValue.Bool(true))))))
+    intercept[IllegalArgumentException](ANode.decode(good.dropRight(1)))
+    val badDialect = good.clone(); badDialect(4) = 0x55
+    intercept[IllegalArgumentException](ANode.decode(badDialect))
+  }
+}
+
+class IvfIndexPersistenceSpec extends graft.SparkSpec {
+
+  test("partitioned IVF index prunes probed cells at scan time") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+    val index = graft.operators.Ann.ivfIndex(emb, centroids)
+    val path = s"target/ivf-${System.nanoTime()}"
+    graft.operators.Ann.writeIndex(index, path)
+
+    val back = graft.operators.Ann.readIndex(spark, path)
+    assert(back.count() == emb.count())
+    // a cell-restricted read must show partition filters in the plan
+    val pruned = back.filter(col("cell") === 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    // and search over the persisted index equals search over the in-memory one
+    val q = emb.filter(col("vec_id") < 3)
+    val a = graft.operators.Ann.ivfSearch(q, index, centroids, k = 3, nProbe = 8, excludeSelf = true)
+      .select("query_id", "neighbor_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = graft.operators.Ann.ivfSearch(q, back, centroids, k = 3, nProbe = 8, excludeSelf = true)
+      .select("query_id", "neighbor_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+  }
+}
