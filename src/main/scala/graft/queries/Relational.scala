@@ -185,6 +185,30 @@ object Relational {
           row_number().over(Window.orderBy(h, col("event_id"))).as("shuffle_pos"))
     },
 
+    // F10 date/time value handling: truncation, extraction, arithmetic on
+    // the orders date column (MNode DATE/DATETIME tags land as these types).
+    GQuery(
+      "q36_datetime_ops",
+      """SELECT year(o_orderdate)::BIGINT AS yr,
+        |       month(o_orderdate)::BIGINT AS mo,
+        |       count(*) AS cnt,
+        |       round(sum(o_totalprice), 2) AS total,
+        |       strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+        |       strftime(max(o_orderdate) + INTERVAL 30 DAY, '%Y-%m-%d') AS last_plus_30
+        |FROM orders
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("total"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_day"),
+          date_format(max(col("o_orderdate")) + expr("INTERVAL 30 DAYS"), "yyyy-MM-dd")
+            .as("last_plus_30"))
+    },
+
     // Event-time tumbling-window aggregation (batch form of the streaming
     // hourly rollup; the streaming variant shares this logic).
     GQuery(

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Scale-correctness suite (the reference's LargeDataTestSuite discipline):
+  * the bounded-heap KNN must produce EXACT results when the base relation is
+  * orders of magnitude larger than anything the small-SF queries touch, and
+  * partial aggregation must keep the shuffle at heap-size, not pair-count.
+  */
+class LargeScaleKnnSpec extends SparkSpec {
+
+  test("exact KNN over a 200k-vector generated base matches brute force on sampled queries") {
+    val base = Generators.gaussianVectors(spark, 200000, 32, seed = 99)
+      .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+      .repartition(16)
+      .cache()
+    base.count()
+
+    val queries = base.filter(col("vec_id") < 5)
+    val got = Knn.knn(queries, base, k = 10, metric = "EUCLIDEAN", excludeSelf = true)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+    // driver-side brute force over the same data
+    val all = base.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qs = all.filter(_._1 < 5)
+    qs.foreach { case (qid, qv) =>
+      val expected = all.iterator
+        .filter(_._1 != qid)
+        .map { case (id, v) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { val d = qv(i).toDouble - v(i).toDouble; s += d * d; i += 1 }
+          (math.sqrt(s), id)
+        }
+        .toSeq.sorted.take(10).map(_._2)
+      assert(got(qid) == expected, s"query $qid")
+    }
+
+    // the aggregate output is heap-bounded: k entries per query, exactly
+    assert(got.values.forall(_.size == 10))
+  }
+
+  test("generated corpus survives the full profile->fit->synthesize loop") {
+    val dims = 4
+    val stats = ProfileStats.perDimStats(
+      Generators.gaussianVectors(spark, 20000, dims, seed = 5), "vector").collect()
+    assert(stats.length == dims)
+    stats.foreach { r =>
+      assert(math.abs(r.getAs[Double]("mean")) < 0.05)
+      assert(math.abs(r.getAs[Double]("std") - 1.0) < 0.05)
+    }
+  }
+}
