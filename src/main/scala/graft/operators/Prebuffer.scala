@@ -53,10 +53,42 @@ object Prebuffer {
     new FileRangeFetcher(file)
   }
 
+  /** Chunk-scheduling strategies (T3; reference merklev2/schedulers,
+    * SCHEDULER_DESIGN.md): in Spark the strategy collapses into "how many
+    * consecutive chunks ride one range request" — the requests-vs-bytes
+    * trade the reference's four schedulers tune.
+    */
+  sealed trait ChunkPolicy { def maxRunChunks(totalNeeded: Int): Int }
+  object ChunkPolicy {
+    /** balanced: small multi-chunk runs */
+    case object Default extends ChunkPolicy { def maxRunChunks(n: Int) = 4 }
+    /** minimize request count: long runs (may fetch more per failure) */
+    case object Aggressive extends ChunkPolicy { def maxRunChunks(n: Int) = 16 }
+    /** minimize wasted bytes: one chunk per request */
+    case object Conservative extends ChunkPolicy { def maxRunChunks(n: Int) = 1 }
+    /** scale run length with the backlog */
+    case object Adaptive extends ChunkPolicy {
+      def maxRunChunks(n: Int) = math.max(1, math.min(16, n / 32))
+    }
+  }
+
+  /** Consecutive chunk indices coalesced into runs of at most `maxRun`. */
+  def coalesceRuns(needed: Seq[Int], maxRun: Int): Seq[(Int, Int)] = {
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    needed.sorted.foreach { idx =>
+      runs.lastOption match {
+        case Some((s, e)) if idx == e + 1 && (e - s + 1) < maxRun =>
+          runs(runs.size - 1) = (s, idx)
+        case _ => runs += ((idx, idx))
+      }
+    }
+    runs.toSeq
+  }
+
   /** Prebuffer [offset, offset+length) of `url` into `cachePath`:
-    * chunk-resolve via the merkle shape, fetch+verify+write each needed
-    * chunk, return (chunk_idx, valid, error). Chunks already marked valid
-    * in `alreadyValid` are skipped (the read-through fast path).
+    * chunk-resolve via the merkle shape, coalesce needed chunks into range
+    * requests per `policy`, fetch+verify+write, return (chunk_idx, valid,
+    * error). Chunks in `alreadyValid` are skipped (read-through fast path).
     */
   def prebuffer(
       spark: SparkSession,
@@ -65,7 +97,8 @@ object Prebuffer {
       refLeafHashes: Map[Int, String],
       offset: Long,
       length: Long,
-      alreadyValid: Set[Int] = Set.empty): DataFrame = {
+      alreadyValid: Set[Int] = Set.empty,
+      policy: ChunkPolicy = ChunkPolicy.Default): DataFrame = {
 
     val fetcher = fetcherFor(url)
     val totalSize = fetcher.size()
@@ -73,6 +106,7 @@ object Prebuffer {
     val lo = (offset / shape.chunkSize).toInt
     val hi = math.min(shape.chunkCount - 1L, (offset + length - 1) / shape.chunkSize).toInt
     val needed = (lo to hi).filterNot(alreadyValid)
+    val runs = coalesceRuns(needed, policy.maxRunChunks(needed.size))
 
     // pre-size the sparse cache file
     val raf = new java.io.RandomAccessFile(cachePath, "rw")
@@ -80,24 +114,37 @@ object Prebuffer {
 
     import spark.implicits._
     val hashesB = spark.sparkContext.broadcast(refLeafHashes)
-    needed.toDS().repartition(math.max(1, math.min(needed.size, 32)))
-      .map { idx =>
-        try {
-          val start = idx.toLong * shape.chunkSize
-          val len = math.min(shape.chunkSize, totalSize - start).toInt
-          val bytes = fetcher.fetchRange(start, len)
-          val hash = MessageDigest.getInstance("SHA-256").digest(bytes)
-            .map("%02x".format(_)).mkString
-          val expected = hashesB.value.get(idx)
-          if (!expected.contains(hash)) {
-            (idx, false, s"hash mismatch: got $hash expected ${expected.getOrElse("?")}")
-          } else {
-            val ch = FileChannel.open(Paths.get(cachePath), StandardOpenOption.WRITE)
-            try ch.write(ByteBuffer.wrap(bytes), start) finally ch.close()
-            (idx, true, null: String)
+    runs.toDS().repartition(math.max(1, math.min(runs.size, 32)))
+      .flatMap { case (first, last) =>
+        // one range request per run, then per-chunk verify + positioned write
+        val start = first.toLong * shape.chunkSize
+        val end = math.min((last + 1).toLong * shape.chunkSize, totalSize)
+        val fetched: Either[String, Array[Byte]] =
+          try Right(fetcher.fetchRange(start, (end - start).toInt))
+          catch { case e: Exception => Left(e.toString) }
+        (first to last).map { idx =>
+          fetched match {
+            case Left(err) => (idx, false, s"fetch failed: $err")
+            case Right(bytes) =>
+              try {
+                val cStart = idx.toLong * shape.chunkSize
+                val cLen = (math.min(cStart + shape.chunkSize, totalSize) - cStart).toInt
+                val chunk = java.util.Arrays.copyOfRange(
+                  bytes, (cStart - start).toInt, (cStart - start).toInt + cLen)
+                val hash = MessageDigest.getInstance("SHA-256").digest(chunk)
+                  .map("%02x".format(_)).mkString
+                val expected = hashesB.value.get(idx)
+                if (!expected.contains(hash)) {
+                  (idx, false, s"hash mismatch: got $hash expected ${expected.getOrElse("?")}")
+                } else {
+                  val ch = FileChannel.open(Paths.get(cachePath), StandardOpenOption.WRITE)
+                  try ch.write(ByteBuffer.wrap(chunk), cStart) finally ch.close()
+                  (idx, true, null: String)
+                }
+              } catch {
+                case e: Exception => (idx, false, e.toString)
+              }
           }
-        } catch {
-          case e: Exception => (idx, false, e.toString)
         }
       }
       .toDF("chunk_idx", "valid", "error")

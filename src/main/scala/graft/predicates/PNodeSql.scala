@@ -60,6 +60,35 @@ object PNodeSql {
       }
   }
 
+  // ---- CDDL dialect (P8, diagnostics — PNodeCddlCodec.java:33) ----
+
+  /** CDDL-style schema rendering of a predicate tree: conjugates become
+    * grouped maps, leaves become `field: constraint` lines.
+    */
+  def cddl(node: PNode): String = {
+    def render(n: PNode, indent: String): String = n match {
+      case ConjugateNode(isAnd, cs) =>
+        val kw = if (isAnd) "all-of" else "any-of"
+        s"$kw {\n" + cs.map(render(_, indent + "  ")).mkString("\n") + s"\n$indent}"
+          .linesIterator.map(indent + _).mkString("\n").stripPrefix(indent)
+      case p: PredicateNode =>
+        val constraint = p.op match {
+          case OpType.EQ => p.comparands.headOption.map(refComparand).getOrElse("null")
+          case OpType.IN => p.comparands.map(refComparand).mkString("(", " / ", ")")
+          case OpType.MATCHES =>
+            "text .regexp " + p.comparands.headOption.map(refComparand).getOrElse("''")
+          case o => s"number .${cddlOp(o)} ${p.comparands.headOption.map(refComparand).getOrElse("")}"
+        }
+        s"$indent${p.effectiveName}: $constraint"
+    }
+    render(node, "")
+  }
+
+  private def cddlOp(op: OpType): String = op match {
+    case OpType.GT => "gt"; case OpType.LT => "lt"; case OpType.GE => "ge"
+    case OpType.LE => "le"; case OpType.NE => "ne"; case o => o.symbol
+  }
+
   // ---- duckdb dialect (oracle for the compiled semantics) ----
 
   def duckdb(node: PNode, resolve: Int => String = i => s"F$i"): String = node match {
