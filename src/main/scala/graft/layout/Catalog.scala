@@ -62,13 +62,33 @@ object Catalog {
         facetAliases.get(facet).map(canon => canon -> parseFacet(fv))
       })
 
-    val parsed = profilesRaw.map { case (p, v) => p -> parseProfile(p, v) }
+    // `sized:` expansion (DSSizedExpander.java:84-196): each expanded count
+    // becomes a profile over the default facets windowed to [0..count)
+    val (sizedRaw, normalRaw) = profilesRaw.partition(_._1 == "sized")
+    val parsed = normalRaw.map { case (p, v) => p -> parseProfile(p, v) }
     // inheritance: every profile starts from default's facets
     val default = parsed.get("default").map(_.facets).getOrElse(Map.empty)
     val withInheritance = parsed.map { case (p, prof) =>
       p -> prof.copy(facets = default ++ prof.facets)
     }
-    DatasetEntry(name, "", attributes, withInheritance)
+    val sizedProfiles = sizedRaw.headOption.map(_._2).toSeq.flatMap { sizedData =>
+      val specs: Seq[String] = sizedData match {
+        case l: java.util.List[_] => l.asScala.toSeq.map(String.valueOf)
+        case m: java.util.Map[_, _] => asMap(m).get("ranges") match {
+          case Some(rl: java.util.List[_]) => rl.asScala.toSeq.map(String.valueOf)
+          case Some(s: String)             => Seq(s)
+          case other => throw new IllegalArgumentException(s"sized.ranges missing: $other")
+        }
+        case other => throw new IllegalArgumentException(s"bad sized spec: $other")
+      }
+      SizedExpander.expand(specs).map { e =>
+        val windowed = default.map { case (facetName, fs) =>
+          facetName -> fs.copy(window = FWindow(Seq(FInterval(0, e.count))))
+        }
+        e.name -> Profile(e.name, windowed)
+      }
+    }
+    DatasetEntry(name, "", attributes, withInheritance ++ sizedProfiles)
   }
 
   /** Parse a catalog.yaml/json: list of entries with name/url/attributes. */
