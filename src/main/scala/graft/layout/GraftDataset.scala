@@ -39,9 +39,26 @@ class GraftProfile(spark: SparkSession, dir: String, profile: Catalog.Profile) {
       throw new NoSuchElementException(s"no facet '$canonicalName'; have: ${facets.mkString(",")}"))
     val path = s"$dir/${fs.path}"
     val raw =
-      if (fs.path.endsWith(".parquet")) spark.read.parquet(path)
-        .withColumn("ordinal", monotonically_increasing_id())
-      else XvecIO.read(spark, path)
+      if (fs.path.endsWith(".parquet")) {
+        val base = spark.read.parquet(path)
+        // contiguous ordinals are the windowing contract; reuse a stored
+        // ordinal column when present, else number rows in file order
+        // (monotonic ids sort by (partition, position) = read order)
+        val withOrd =
+          if (base.columns.contains("ordinal")) base
+          else base.withColumn("ordinal",
+            (row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(monotonically_increasing_id())) - 1).cast("long"))
+        // facet payload column: explicit `vector`, else the first array column
+        if (withOrd.columns.contains("vector")) withOrd
+        else {
+          val vecCol = withOrd.schema.fields.collectFirst {
+            case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
+          }.getOrElse(throw new IllegalArgumentException(
+            s"$path: no `vector` or array-typed column for facet"))
+          withOrd.withColumnRenamed(vecCol, "vector")
+        }
+      } else XvecIO.read(spark, path)
     val windowed = raw.filter(fs.window.predicate(col("ordinal")))
     windowed.select(
       fs.window.logicalOrdinal(col("ordinal")).as("ordinal"),

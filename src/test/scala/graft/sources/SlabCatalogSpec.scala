@@ -134,4 +134,30 @@ class SlabCatalogSpec extends SparkSpec {
     assert(zipped.count() == 10)
     assert(zipped.columns.toSeq == Seq("ordinal", "base_vector", "indices_vector"))
   }
+
+  test("parquet facet gets contiguous ordinals and array-column detection") {
+    val dir = java.nio.file.Paths.get("target", "dsp-" + System.nanoTime())
+    java.nio.file.Files.createDirectories(dir)
+    // parquet facet with an `embedding` array column and NO ordinal column
+    graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("embedding").limit(40).coalesce(1)
+      .write.parquet(s"$dir/emb.parquet")
+    java.nio.file.Files.write(dir.resolve("dataset.yaml"),
+      """profiles:
+        |  default:
+        |    base: emb.parquet
+        |  slice:
+        |    base:
+        |      source: emb.parquet
+        |      window: "[10..20)"
+        |""".stripMargin.getBytes)
+    val ds = GraftDataset.load(spark, dir.toString)
+    val all = ds.profile("default").facet("base")
+    // contiguous 0..39 regardless of partitioning
+    assert(all.select("ordinal").collect().map(_.getLong(0)).sorted.toSeq == (0L until 40L))
+    val sliced = ds.profile("slice").facet("base").orderBy("ordinal").collect()
+    assert(sliced.length == 10)
+    assert(sliced.map(_.getLong(0)).toSeq == (0L until 10L))    // logical
+    assert(sliced.map(_.getLong(1)).toSeq == (10L until 20L))   // physical
+  }
 }
