@@ -30,8 +30,11 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
+    // `div` = integer division: `/` would route through DOUBLE and lose
+    // precision above 2^53 (epoch-nanos ~1.7e18), flipping 1µs at tick
+    // boundaries vs DuckDB's exact truncation
     raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

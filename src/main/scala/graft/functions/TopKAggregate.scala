@@ -144,7 +144,7 @@ object TopKPairs {
   def topKPairs(dist: Column, id: Column, k: Int): Column =
     Bridge.column(
       TopKPairs(
-        Bridge.expression(dist),
+        Bridge.expression(dist.cast("double")),
         Bridge.expression(id.cast("long")),
         k).toAggregateExpression())
 }

@@ -86,9 +86,14 @@ object FWindow {
   def parse(spec: String): FWindow = {
     if (spec == null || spec.trim.isEmpty) return ALL
     val trimmed = spec.trim
-    // strip one optional outer bracket pair only when it wraps a LIST
-    // (individual intervals carry their own brackets)
-    val parts = trimmed.split("\\s*,\\s*")
-    FWindow(parts.toSeq.map(FInterval.parse))
+    def parseParts(s: String): FWindow =
+      FWindow(s.split("\\s*,\\s*").toSeq.map(FInterval.parse))
+    try parseParts(trimmed)
+    catch {
+      case e: IllegalArgumentException
+          if trimmed.length > 1 && "[(".contains(trimmed.head) && ")]".contains(trimmed.last) =>
+        // one outer bracket pair may wrap the whole interval LIST
+        parseParts(trimmed.substring(1, trimmed.length - 1))
+    }
   }
 }

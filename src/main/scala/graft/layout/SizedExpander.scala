@@ -63,10 +63,12 @@ object SizedExpander {
   }
 
   private def fibonacci(start: Long, end: Long): Seq[SizedEntry] = {
+    require(start > 0, s"fibonacci expansion needs start > 0, got $start")
     val out = scala.collection.mutable.ArrayBuffer.empty[SizedEntry]
     var a = 1L; var b = 1L
-    while (start * a <= end) {
-      if (start * a >= start) out += entry(start * a)
+    // bound by a <= end/start so start*a can never overflow long
+    while (a <= end / start) {
+      out += entry(start * a)
       val next = a + b; a = b; b = next
     }
     out.toSeq

@@ -66,9 +66,11 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = hashedShingleSets(docs, idCol, textCol, n).cache()
-    val sizes = sets.select(col("id"), size(col("shingles")).as("sz"))
-    val posting = sets.select(col("id"), explode(col("shingles")).as("shingle"))
+    // sizes are derived from the posting list itself (shingles are already
+    // distinct per doc), so the shingle pipeline runs once with no cache
+    val posting = hashedShingleSets(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("shingles")).as("shingle"))
+    val sizes = posting.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = posting.as("a").join(posting.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

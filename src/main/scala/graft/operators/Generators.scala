@@ -27,14 +27,16 @@ object Generators {
   def lehmerGaussian(id: Column): Column = {
     val x1 = ((id + 1) * A) % M
     val x2 = (x1 * A) % M
-    val u1 = x1.cast("double") / M
+    // x1 can be 0 when (id+1) is a multiple of M (first at id = 2^31-2):
+    // clamp u1 away from log(0) — mirrored in the SQL form for parity
+    val u1 = greatest(x1.cast("double") / M, lit(1.0e-12))
     val u2 = x2.cast("double") / M
     sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
   }
 
   /** The same recurrence as ANSI SQL, for oracle generation. */
   def lehmerGaussianSql(idExpr: String): String =
-    s"sqrt(-2.0 * ln((((($idExpr + 1) * $A) % $M)::DOUBLE) / $M)) * " +
+    s"sqrt(-2.0 * ln(greatest((((($idExpr + 1) * $A) % $M)::DOUBLE) / $M, 1.0e-12))) * " +
       s"cos(2.0 * pi() * ((((((($idExpr + 1) * $A) % $M) * $A) % $M)::DOUBLE) / $M))"
 
   /** Uniform double in [0,1) from (ordinal, dim, seed) via xxhash64 — cheap,

@@ -110,7 +110,11 @@ object Merkle {
         val len = math.min(shape.chunkSize, size - start).toInt
         val buf = java.nio.ByteBuffer.allocate(len)
         var read = 0
-        while (read < len) read += ch.read(buf, start + read)
+        while (read < len) {
+          val r = ch.read(buf, start + read)
+          require(r > 0, s"$path: unexpected EOF at ${start + read}")
+          read += r
+        }
         (i, buf.array())
       }
     }.toDF("chunk_idx", "data")

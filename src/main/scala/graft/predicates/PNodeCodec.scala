@@ -35,8 +35,14 @@ object PNodeCodec {
     buf.array()
   }
 
-  /** Framed: dialect leader, plus 0xFF marker for the typed dialect. */
+  /** Framed: dialect leader, plus 0xFF marker for the typed dialect.
+    * The framed wire format only distinguishes indexed vs named-typed
+    * (PNode.java:84-96) — framing the legacy Named dialect would be
+    * misparsed as Indexed on decode, so it is rejected here.
+    */
   def encodeFramed(node: PNode, mode: Mode): Array[Byte] = {
+    require(mode != Mode.Named,
+      "framed format cannot carry the legacy Named dialect (no marker byte); use NamedTyped")
     val body = encode(node, mode)
     val head: Array[Byte] =
       if (mode == Mode.NamedTyped) Array(Dialect, TypedVersionMarker) else Array(Dialect)

@@ -41,7 +41,9 @@ class SlabTable(spark: SparkSession, dir: String) {
     * row-group stats index the ordinal space.
     */
   def append(ns: String, records: DataFrame): Unit = {
-    val newMin = records.agg(min("ordinal")).collect()(0).getLong(0)
+    val minRow = records.agg(min("ordinal")).collect()(0)
+    if (minRow.isNullAt(0)) return // empty batch: nothing to append
+    val newMin = minRow.getLong(0)
     val existing = maxOrdinal(ns)
     require(newMin > existing,
       s"slab append requires strictly ascending ordinals: new min $newMin <= existing max $existing")
