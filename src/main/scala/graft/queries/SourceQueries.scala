@@ -57,6 +57,36 @@ object SourceQueries {
         .select(col("request_idx"), col("ordinal"), decode(col("data"), "UTF-8").as("text"))
     },
 
+    // Full discovery path (§3.1): dataset.yaml with a sized profile →
+    // GraftDataset → windowed facet with logical/physical ordinals. The
+    // oracle recomputes the expected slice straight from the parquet table.
+    GQuery(
+      "q55_dataset_profile",
+      """SELECT vec_id AS logical_ordinal, vec_id AS physical_ordinal,
+        |       round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE))), 6) AS norm
+        |FROM embeddings WHERE vec_id < 200""".stripMargin) { (s, dir) =>
+      val dsDir = Paths.get(tmpDir(), s"ds-${System.nanoTime()}")
+      Files.createDirectories(dsDir)
+      XvecIO.write(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").as("ordinal"), col("embedding").as("vector")),
+        s"$dsDir/base.fvec")
+      Files.write(dsDir.resolve("dataset.yaml"),
+        """attributes:
+          |  distance_function: COSINE
+          |profiles:
+          |  default:
+          |    base: base.fvec
+          |  sized: ["200"]
+          |""".stripMargin.getBytes("UTF-8"))
+      graft.layout.GraftDataset.load(s, dsDir.toString)
+        .profile("200").facet("base")
+        .select(
+          col("ordinal").as("logical_ordinal"),
+          col("physical_ordinal"),
+          round(graft.functions.VectorFunctions.vectorNorm(col("vector")), 6).as("norm"))
+    },
+
     // Merkle leaf hashing (distributed sha2) + one fold level. The oracle
     // recomputes both from the raw text (string-concat fold; the
     // spec-faithful binary fold is pinned by MerkleSpec).
