@@ -18,7 +18,7 @@ import graft.sources.xvec.XvecIO
 object SourceQueries {
 
   private def tmpDir(): String = {
-    val d = Paths.get("target", "qtmp")
+    val d = Paths.get("/root/repo/target/qtmp")
     Files.createDirectories(d)
     d.toString
   }
