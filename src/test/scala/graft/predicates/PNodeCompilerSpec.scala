@@ -59,8 +59,8 @@ class PNodeCompilerSpec extends SparkSpec {
     if (depth == 0 || rnd.nextInt(3) == 0) randLeaf()
     else ConjugateNode(rnd.nextBoolean(), Seq.fill(1 + rnd.nextInt(3))(randTree(depth - 1)))
 
-  test("compiled Column matches reference evaluator on 150 random trees") {
-    (0 until 150).foreach(_ => check(randTree(2)))
+  test("compiled Column matches reference evaluator on 400 random trees") {
+    (0 until 400).foreach(_ => check(randTree(2)))
   }
 
   test("null field matches only EQ with null comparand (PredicateEvaluator.java:82-84)") {
