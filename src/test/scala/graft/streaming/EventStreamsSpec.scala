@@ -63,6 +63,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.exists(s => s._1 == 2L && s._4 == 1))
   }
 
+  test("file-source streaming over the events table equals batch (T5)") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = graft.Tables.events(spark, dir)
+    // file-source stream: ns timestamps forbid direct parquet streaming, so
+    // stage a µs-normalized copy (what any ingest job would produce)
+    val staged = s"target/ev-stream-${System.nanoTime()}"
+    batchEvents.write.parquet(staged)
+    val stagedBatch = spark.read.parquet(staged)
+    val stream = EventStreams.readEventsStream(spark, staged, stagedBatch)
+    val q = EventStreams.hourlyRollup(stream)
+    val query = q.writeStream.format("memory").queryName("hr_file")
+      .outputMode(OutputMode.Complete()).start()
+    try { query.processAllAvailable() } finally query.stop()
+    val streamed = spark.table("hr_file").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventStreams.hourlyRollup(batchEvents).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
+
+  test("progress reporter ticks at the record cadence (T4)") {
+    val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rep = new ProgressReporter(spark, everyRecords = 1000, everyMillis = 60000)(
+      _ => ticks.incrementAndGet())
+    try {
+      graft.Tables.events(spark, "/root/testdata/sf0.001").count()
+      // listener bus is async — poll briefly for delivery
+      val deadline = System.currentTimeMillis() + 10000
+      while (rep.totalRecords < 1000 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(rep.totalRecords >= 1000)
+      assert(ticks.get() >= 1)
+    } finally rep.close()
+  }
+
   test("batch sessionization splits on the gap boundary exactly") {
     val df = Seq(
       Event(0, ts(0), 7, "a", 1.0),
