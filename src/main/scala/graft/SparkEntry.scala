@@ -32,7 +32,8 @@ object SparkEntry {
 
     // format layer: round the vectors through the xvec binary format
     val tmp = java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get("/root/repo/target/qtmp")).toString
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
+        System.getProperty("java.io.tmpdir")), "graft-qtmp")).toString
     val fvec = s"$tmp/entry-${System.nanoTime()}.fvec"
     graft.sources.xvec.XvecIO.write(
       emb.select(col("vec_id").as("ordinal"), col("embedding").as("vector")), fvec)

@@ -1,11 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 
-import graft.functions.TopKPairs.topKPairs
-import graft.functions.VectorFunctions
-import graft.predicates.{PNode, PNodeCodec, PNodeEvaluator}
+import graft.predicates.{ConjugateNode, PNode, PNodeCodec, PNodeEvaluator, PredicateNode}
 
 /** Hybrid-query ground truth with PER-QUERY predicate trees (SURVEY.md J2,
   * §3.2; reference specs/ordinal_predicate_writers_v1.md:23-30: "Predicate
@@ -13,37 +11,54 @@ import graft.predicates.{PNode, PNodeCodec, PNodeEvaluator}
   * own predicate, and its neighbor set is restricted to base records whose
   * metadata matches that predicate).
   *
-  * Spark shape: the query side carries framed PNode blobs (the wire format,
-  * decoded per-executor once via a deserialized-tree cache); the base side
+  * Spark shape: the query side carries framed PNode blobs; the base side
   * carries its metadata columns as a struct; a row-level evaluator applies
-  * query-specific trees inside the broadcast-join pair stream, before the
-  * bounded-heap top-k. Everything else (broadcast, partial agg) is exactly
-  * the Knn plan.
+  * query-specific trees inside Knn.knn's pair stream (same broadcast +
+  * bounded-heap plan — this operator only supplies the pairPredicate).
   */
 object HybridGroundTruth {
 
-  /** Decode-and-evaluate: matches(predicateBlob, metadataStruct). The tree
-    * cache avoids re-decoding the blob for every base row.
+  /** Per-executor decoded-tree cache (bounded; keyed by blob bytes). The
+    * fields set of each tree rides along for fail-fast schema validation.
+    */
+  private object TreeCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[Seq[Byte], (PNode, Set[String])]()
+    def get(blob: Array[Byte]): (PNode, Set[String]) = {
+      if (cache.size() > 10000) cache.clear() // bound growth across jobs
+      cache.computeIfAbsent(blob.toSeq, _ => {
+        val tree = PNodeCodec.decodeFramed(blob)
+        (tree, fieldsOf(tree))
+      })
+    }
+    private def fieldsOf(n: PNode): Set[String] = n match {
+      case ConjugateNode(_, cs) => cs.flatMap(fieldsOf).toSet
+      case p: PredicateNode     => Set(p.effectiveName)
+    }
+  }
+
+  /** Decode-and-evaluate against the metadata struct. A tree referencing a
+    * field that is not in the struct fails LOUDLY — the reference's
+    * missing-field-behaves-as-null semantics would silently produce an
+    * empty "ground truth" when the caller forgets a metadata column.
     */
   private val matchesUdf = udf { (blob: Array[Byte], meta: Row) =>
     if (blob == null) true
     else {
-      val tree = TreeCache.get(blob)
-      val fields = meta.schema.fieldNames
-      val m = fields.iterator.zipWithIndex.map { case (f, i) => f -> meta.get(i) }.toMap
-      PNodeEvaluator.matches(tree, m)
+      val (tree, fields) = TreeCache.get(blob)
+      val schema = meta.schema
+      val missing = fields.filterNot(schema.fieldNames.contains)
+      if (missing.nonEmpty) {
+        throw new IllegalArgumentException(
+          s"predicate references fields ${missing.mkString(",")} not present in " +
+            s"metadataCols ${schema.fieldNames.mkString("[", ",", "]")}")
+      }
+      PNodeEvaluator.matchesRow(tree, meta)
     }
   }
 
-  /** Per-executor decoded-tree cache keyed by blob bytes. */
-  private object TreeCache {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[Seq[Byte], PNode]()
-    def get(blob: Array[Byte]): PNode =
-      cache.computeIfAbsent(blob.toSeq, _ => PNodeCodec.decodeFramed(blob))
-  }
-
   /** Top-k per query restricted by the query's own predicate over the base
-    * metadata columns.
+    * metadata columns. Delegates the physical plan to Knn.knn.
     *
     * @param queries (idCol, vecCol, predicateCol BINARY — framed PNode; null = unfiltered)
     * @param base    (idCol, vecCol, metadataCols...)
@@ -59,34 +74,19 @@ object HybridGroundTruth {
       predicateCol: String = "predicate",
       metadataCols: Seq[String] = Nil,
       excludeSelf: Boolean = false): DataFrame = {
-
-    val q = queries.select(
-      col(idCol).cast("long").as("query_id"),
-      col(vecCol).as("q_vec"),
-      col(predicateCol).as("q_pred"))
-    val b = base.select(
-      (Seq(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("b_vec")) ++
-        metadataCols.map(c => col(c))): _*)
-
-    var pairs = b.crossJoin(broadcast(q))
-    if (excludeSelf) pairs = pairs.filter(col("neighbor_id") =!= col("query_id"))
-    val metaStruct = struct(metadataCols.map(col): _*)
-    pairs = pairs.filter(matchesUdf(col("q_pred"), metaStruct))
-
-    pairs
-      .groupBy("query_id")
-      .agg(topKPairs(
-        VectorFunctions.distance(col("q_vec"), col("b_vec"), metric),
-        col("neighbor_id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "pair")))
-      .select(col("query_id"), col("pair.id").as("neighbor_id"),
-        (col("pos") + 1).as("rank"), col("pair.dist").as("dist"))
+    val metaStruct = struct(metadataCols.map(c => col(s"b_$c").as(c)): _*)
+    Knn.knn(queries, base, k, metric, idCol, vecCol,
+      queryExtra = Seq(predicateCol),
+      baseExtra = metadataCols,
+      pairPredicate = Some(matchesUdf(col(s"q_$predicateCol"), metaStruct)),
+      excludeSelf = excludeSelf)
   }
 
-  /** Build the four predicate-dataset facets (§3.2's logical tables) from a
-    * computed ground truth: `predicates` (ordinal, blob), `result_indices`
-    * (ordinal, neighbor array), plus the metadata layout/content from the
-    * base side. Facets share the query ordinal (zip-join discipline).
+  /** Build the predicate-dataset facets (§3.2's logical tables) from a
+    * computed ground truth: `predicates` (ordinal, blob) and
+    * `result_indices` (ordinal, neighbor array). Facets share the query
+    * ordinal positionally — a query with NO matching neighbors still gets
+    * its row (empty array), preserving the zip-join discipline.
     */
   def buildPackage(
       queries: DataFrame,
@@ -95,10 +95,14 @@ object HybridGroundTruth {
       predicateCol: String = "predicate"): (DataFrame, DataFrame) = {
     val predicates = queries.select(
       col(idCol).cast("long").as("ordinal"), col(predicateCol).as("blob"))
-    val resultIndices = groundTruth
+    val nonEmpty = groundTruth
       .groupBy(col("query_id").as("ordinal"))
       .agg(sort_array(collect_list(struct(col("rank"), col("neighbor_id"))))
         .getField("neighbor_id").as("neighbors"))
+    val resultIndices = predicates.select("ordinal")
+      .join(nonEmpty, Seq("ordinal"), "left")
+      .select(col("ordinal"),
+        coalesce(col("neighbors"), array().cast("array<bigint>")).as("neighbors"))
     (predicates, resultIndices)
   }
 }

@@ -96,6 +96,21 @@ object PNodeCompiler {
   */
 object PNodeEvaluator {
 
+  /** Row-direct evaluation (no per-row Map construction — the hot path for
+    * per-query predicate joins): field lookup via the Row's own schema.
+    */
+  def matchesRow(node: PNode, row: org.apache.spark.sql.Row,
+      resolve: Int => String = i => s"F$i"): Boolean =
+    node match {
+      case ConjugateNode(true, cs)  => cs.forall(matchesRow(_, row, resolve))
+      case ConjugateNode(false, cs) => cs.exists(matchesRow(_, row, resolve))
+      case p: PredicateNode =>
+        val name = p.fieldName.getOrElse(resolve(p.field))
+        val i = row.fieldIndex(name)
+        if (row.isNullAt(i)) p.op == OpType.EQ && p.comparands.contains(Comparand.NullVal)
+        else leaf(row.get(i), p)
+    }
+
   def matches(node: PNode, record: Map[String, Any], resolve: Int => String = i => s"F$i"): Boolean =
     node match {
       case ConjugateNode(true, cs)  => cs.forall(matches(_, record, resolve))

@@ -18,7 +18,10 @@ import graft.sources.xvec.XvecIO
 object SourceQueries {
 
   private def tmpDir(): String = {
-    val d = Paths.get("/root/repo/target/qtmp")
+    // cwd-independent AND host-portable: env override, else the JVM tmpdir
+    val base = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
+      System.getProperty("java.io.tmpdir"))
+    val d = Paths.get(base, "graft-qtmp")
     Files.createDirectories(d)
     d.toString
   }

@@ -71,4 +71,30 @@ class HybridGroundTruthSpec extends SparkSpec {
     // ordered by rank = ascending distance (self-consistency with J1 zip discipline)
     stored.values.foreach(n => assert(n.nonEmpty && n.size <= 6))
   }
+
+  test("zero-match queries keep their ordinal with an empty neighbor list") {
+    val impossible = PNodeCodec.encodeFramed(
+      PredicateNode.namedTyped("label", OpType.GE, IntVal(100)),
+      PNodeCodec.Mode.NamedTyped)
+    val queries = emb.filter(col("vec_id") < 4).withColumn("predicate", lit(impossible))
+    val gt = HybridGroundTruth.knnWithPerQueryPredicates(
+      queries, emb, k = 5, metadataCols = Seq("label"), excludeSelf = true)
+    assert(gt.count() == 0)
+    val (_, resultIndices) = HybridGroundTruth.buildPackage(queries, gt)
+    val rows = resultIndices.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L))
+    assert(rows.values.forall(_.isEmpty))
+  }
+
+  test("predicate referencing an undeclared metadata column fails loudly") {
+    val badTree = PNodeCodec.encodeFramed(
+      PredicateNode.namedTyped("category", OpType.EQ, TextVal("x")),
+      PNodeCodec.Mode.NamedTyped)
+    val queries = emb.filter(col("vec_id") < 2).withColumn("predicate", lit(badTree))
+    val ex = intercept[Exception] {
+      HybridGroundTruth.knnWithPerQueryPredicates(
+        queries, emb, k = 3, metadataCols = Seq("label"), excludeSelf = true).count()
+    }
+    assert(ex.getMessage != null)
+  }
 }

@@ -68,7 +68,8 @@ class EventStreamsSpec extends SparkSpec {
     val batchEvents = graft.Tables.events(spark, dir)
     // file-source stream: ns timestamps forbid direct parquet streaming, so
     // stage a µs-normalized copy (what any ingest job would produce)
-    val staged = s"target/ev-stream-${System.nanoTime()}"
+    val staged = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"ev-stream-${System.nanoTime()}").toString
     batchEvents.write.parquet(staged)
     val stagedBatch = spark.read.parquet(staged)
     val stream = EventStreams.readEventsStream(spark, staged, stagedBatch)
@@ -81,6 +82,7 @@ class EventStreamsSpec extends SparkSpec {
     val batch = EventStreams.hourlyRollup(batchEvents).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed == batch)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staged))
   }
 
   test("progress reporter ticks at the record cadence (T4)") {
