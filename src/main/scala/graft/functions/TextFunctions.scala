@@ -106,6 +106,17 @@ object TextFunctions {
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
+  /** GPT-2-style pretokenizer pattern: contraction suffixes, space-prefixed
+    * letter runs, digit runs, punctuation runs. Identical semantics in Java
+    * regex and RE2 (no backtracking constructs), so oracles can mirror it.
+    */
+  val bpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Approximate LLM token count: matches of the BPE-ish pretokenizer. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
   /** Content-type sniff in the style of slab analyze (json/jsonl/text),
     * string-structural so oracles can mirror it.
     */

@@ -84,6 +84,15 @@ object VectorFunctions {
   def vectorNorm(a: Column): Column =
     Bridge.column(VectorNorm(asFloatArray(a)))
 
+  /** Unit-normalize a vector (components emitted as double for exactness;
+    * zero vectors pass through unchanged).
+    */
+  def normalize(a: Column): Column = {
+    val n = vectorNorm(a)
+    org.apache.spark.sql.functions.when(n === 0.0, a.cast("array<double>"))
+      .otherwise(org.apache.spark.sql.functions.transform(a, x => x.cast("double") / n))
+  }
+
   def f16ToF32(c: Column): Column =
     Bridge.column(F16ToF32(Bridge.expression(c)))
 }

@@ -110,6 +110,38 @@ object TextQueries {
         col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
     },
 
+    // BPE-ish pretokenizer count (the LLM-pipeline token estimator).
+    GQuery(
+      "q57_bpe_token_count",
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+        |         AS n_bpe
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+    },
+
+    // Unit normalization of embedding vectors (f64 components).
+    GQuery(
+      "q58_normalize_embeddings",
+      """SELECT vec_id,
+        |  round(embedding[1]::DOUBLE
+        |    / sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE))), 6) AS c0,
+        |  round(sqrt(list_sum(list_transform(
+        |    list_transform(range(1, len(embedding)+1),
+        |      i -> embedding[i]::DOUBLE
+        |         / sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE)))),
+        |    x -> x*x))), 6) AS unit_norm
+        |FROM embeddings WHERE vec_id < 100""".stripMargin) { (s, dir) =>
+      import graft.functions.VectorFunctions
+      Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          VectorFunctions.normalize(col("embedding")).as("nv"))
+        .select(col("vec_id"),
+          round(element_at(col("nv"), 1), 6).as("c0"),
+          round(sqrt(aggregate(col("nv"), lit(0.0), (acc, x) => acc + x * x)), 6).as("unit_norm"))
+    },
+
     // Multimodal plumbing: binary payload column + partition-batched stub
     // feature extraction. No SQL oracle (binary kernels aren't expressible);
     // the driver records a rows>0 check, and MultimodalSpec pins values.
