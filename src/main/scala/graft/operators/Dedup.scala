@@ -244,6 +244,40 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Dedup cluster formation: connected components over a near-dup pair
+    * graph by iterative min-label propagation (converges in O(diameter)
+    * rounds; near-dup clusters are shallow, so a handful of join rounds —
+    * the driver loop checks a changed-count fixpoint). Input: (id_a, id_b)
+    * edges. Output: (id, cluster_id = min id reachable).
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
+      .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
+      .cache()
+    var labels = edges.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .cache()
+    var iterating = true
+    var rounds = 0
+    while (iterating && rounds < maxIterations) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "t").withColumnRenamed("cluster", "nc"), "t")
+        .groupBy(col("s").as("id"))
+        .agg(min("nc").as("nc"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      iterating = changed > 0
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs (ground-truth form): all pairs
     * with cosine similarity >= threshold. Exact — the scalable candidate
     * generator for this is Ann.ivf/bucketed search; this form is the

@@ -120,6 +120,28 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     },
 
+    // Dedup clusters: connected components over the >=0.8-Jaccard pair
+    // graph (iterative min-label propagation; oracle = recursive-CTE
+    // transitive closure).
+    GQuery(
+      "q59_dedup_clusters",
+      s"""WITH RECURSIVE p AS (${jaccardPairsSql(0.8)}),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS t FROM p
+         |  UNION ALL
+         |  SELECT id_b AS s, id_a AS t FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+    },
+
     // IVF-Flat ANN: deterministic coarse quantizer (cells = vec_id<16),
     // nProbe=4, exact top-5 within probed cells. Oracle replays the exact
     // algorithm — this checks index assignment, probe selection and ranking.
