@@ -254,9 +254,11 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
       .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
       .cache()
+    // localCheckpoint every round: iterative self-referencing plans double
+    // in depth per iteration otherwise (analysis-time blowup, then OOM)
     var labels = edges.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"))
-      .cache()
+      .localCheckpoint()
     var iterating = true
     var rounds = 0
     while (iterating && rounds < maxIterations) {
@@ -266,10 +268,9 @@ object Dedup {
         .agg(min("nc").as("nc"))
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       iterating = changed > 0
       rounds += 1
