@@ -16,7 +16,10 @@ object Bench {
       // count() would let Catalyst prune the computation under test
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case _: Throwable => false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          false
+        }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

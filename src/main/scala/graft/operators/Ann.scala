@@ -91,8 +91,17 @@ object Ann {
     * quantizer is the oracle-friendly path).
     */
   def trainCentroids(spark: SparkSession, base: DataFrame, nList: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
-    val feat = base.select(array_to_vector(col(vecCol)).as("features"))
+      idCol: String = "vec_id", vecCol: String = "embedding", seed: Long = 42L,
+      samplePerCell: Int = 1000): DataFrame = {
+    // never fit KMeans on the full base relation: O(nList·samplePerCell)
+    // rows train centroids of the same quality, and a deterministic hash
+    // sample keeps the fit reproducible under any partitioning
+    val target = nList.toLong * samplePerCell
+    val n = base.count()
+    val sampled =
+      if (n <= target) base
+      else base.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(n / target)) === 0)
+    val feat = sampled.select(array_to_vector(col(vecCol)).as("features"))
     val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(20).fit(feat)
     val rows = model.clusterCenters.zipWithIndex.map { case (v, i) =>
       (i.toLong, v.toArray.map(_.toFloat).toSeq)

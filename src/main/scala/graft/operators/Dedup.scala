@@ -63,25 +63,56 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle,
     * thresholded. Inverted-index join: |pairs| is bounded by co-occurrence,
     * never n². Output: (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * `dfCap > 0` enables the skew guard for real corpora: shingles whose
+    * document frequency exceeds the cap (license boilerplate, headers) are
+    * dropped from CANDIDATE GENERATION only — a hot shingle's posting list
+    * makes its bucket quadratic, and a shingle shared by >dfCap documents
+    * carries ~zero Jaccard discrimination. Verification then computes the
+    * EXACT Jaccard from the full shingle sets, so any emitted pair has its
+    * true similarity; only pairs whose overlap consists exclusively of
+    * over-cap shingles can be missed (at threshold>=0.5 that requires the
+    * docs to be built almost entirely of corpus-wide boilerplate).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // sizes are derived from the posting list itself (shingles are already
-    // distinct per doc), so the shingle pipeline runs once with no cache
-    val posting = hashedShingleSets(docs, idCol, textCol, n)
-      .select(col("id"), explode(col("shingles")).as("shingle"))
-    val sizes = posting.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = posting.as("a").join(posting.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("id_a", "sz_a"), "id_a")
-      .join(sizes.toDF("id_b", "sz_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      n: Int = 3, threshold: Double = 0.5, dfCap: Int = 0): DataFrame = {
+    if (dfCap <= 0) {
+      // exact path: sizes derived from the posting list itself (shingles are
+      // already distinct per doc), so the shingle pipeline runs once, no cache
+      val posting = hashedShingleSets(docs, idCol, textCol, n)
+        .select(col("id"), explode(col("shingles")).as("shingle"))
+      val sizes = posting.groupBy("id").agg(count(lit(1)).as("sz"))
+      val inter = posting.as("a").join(posting.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("id_a", "sz_a"), "id_a")
+        .join(sizes.toDF("id_b", "sz_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      // capped path (production): candidate pairs from sub-cap shingles only,
+      // exact verify on the full sets (same shape as minhashLshPairs verify)
+      val sets = hashedShingleSets(docs, idCol, textCol, n).cache()
+      val posting = sets.select(col("id"), explode(col("shingles")).as("shingle"))
+      val cool = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("shingle")
+      val capped = posting.join(cool, "shingle")
+      val candidates = capped.as("a").join(capped.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      candidates
+        .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+        .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
 
   private val MersennePrime = (1L << 61) - 1
@@ -290,6 +321,59 @@ object Dedup {
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (lit(1.0) - VectorFunctions.cosineDistance(col("a.v"), col("b.v"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, BUCKETED (production form):
+    * random-hyperplane LSH candidates → exact cosine verify. Candidate
+    * generation is `nTables` independent sign-hash tables of `nBits` bits
+    * each (kernel-computed; ~2 rows/bucket at 8 bits per 500 rows), so the
+    * pair space is bounded by bucket co-occupancy, never n². A pair at
+    * cosine s collides in one table with p=(1-θ/π)^nBits (θ=acos s); near
+    * dups (s>=0.95, θ<=18°) are caught with miss probability
+    * (1-0.9^8)^8 ≈ 2e-5 at the 8×8 default — the oracled query proves
+    * recall=1 against the all-pairs form on planted near-dups.
+    */
+  def embeddingNearDupPairsBucketed(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8, nTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    require(nBits <= 60, "bucket id packs into a long")
+    // typed kernel: interpreted HOF lambdas cost ~100ns/element-op and this
+    // is dim×nBits×nTables ops/row — the JVM loop keeps the scan codegen-hot
+    val e = embs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("v"))
+    val buckets = e.as[(Long, Array[Float])].flatMap { case (id, v) =>
+      (0 until nTables).map { t =>
+        var bucket = 0L
+        var b = 0
+        while (b < nBits) {
+          // deterministic pseudo-hyperplane component for (table, bit, dim):
+          // splitmix-mixed uniform mapped to [-1, 1)
+          var dot = 0.0
+          var j = 0
+          while (j < v.length) {
+            val h = graft.functions.StableHash.mix(
+              seed ^ (t.toLong << 40) ^ (b.toLong << 20) ^ j.toLong)
+            dot += v(j) * ((h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0)
+            j += 1
+          }
+          if (dot >= 0) bucket |= (1L << b)
+          b += 1
+        }
+        (id, t, bucket)
+      }
+    }.toDF("id", "tbl", "bucket")
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(e.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (lit(1.0) - VectorFunctions.cosineDistance(col("va"), col("vb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -39,6 +39,15 @@ object Generators {
     s"sqrt(-2.0 * ln(greatest((((($idExpr + 1) * $A) % $M)::DOUBLE) / $M, 1.0e-12))) * " +
       s"cos(2.0 * pi() * ((((((($idExpr + 1) * $A) % $M) * $A) % $M)::DOUBLE) / $M))"
 
+  /** Engine-neutral deterministic uniform in [0,1) from a long id Column —
+    * one Lehmer step; same arithmetic as `lehmerUniformSql`.
+    */
+  def lehmerUniform(id: Column): Column =
+    (((id + 1) * A) % M).cast("double") / M
+
+  def lehmerUniformSql(idExpr: String): String =
+    s"((((($idExpr + 1) * $A) % $M)::DOUBLE) / $M)"
+
   /** Uniform double in [0,1) from (ordinal, dim, seed) via xxhash64 — cheap,
     * stateless, deterministic under any partitioning.
     */
@@ -99,7 +108,8 @@ object Generators {
       spark: SparkSession,
       count: Long,
       models: Seq[DistributionFit.Model],
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      uniformSource: Option[(Column, Column) => Column] = None): DataFrame = {
     val bc = spark.sparkContext.broadcast(models.toIndexedSeq)
     val inverseCdf = udf { (dim: Int, u: Double) =>
       val m = bc.value(dim)
@@ -111,10 +121,14 @@ object Generators {
       }
       ((lo + hi) / 2).toFloat
     }
+    // default randomness = xxhash64 stream; an engine-neutral source (e.g.
+    // lehmerUniform over ordinal*dims+dim) lets a SQL oracle replay the draw
+    val uni = uniformSource.getOrElse(
+      (ordinal: Column, d: Column) => hashUniform(ordinal, d, seed, 5))
     val base = spark.range(0, count).toDF("ordinal")
     base.select(
       col("ordinal"),
       transform(sequence(lit(0), lit(models.size - 1)),
-        d => inverseCdf(d, hashUniform(col("ordinal"), d, seed, 5))).as("vector"))
+        d => inverseCdf(d, uni(col("ordinal"), d))).as("vector"))
   }
 }

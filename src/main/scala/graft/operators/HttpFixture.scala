@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Path, Paths}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** Loopback HTTP file server for hermetic transport tests — the analogue of
+  * the reference's Jetty test fixture (datatools-jetty-test-server/
+  * JettyFileServerFixture.java:62,108-136), on the JDK built-in server so no
+  * dependency is added. Serves GET/HEAD with `Range: bytes=a-b` support
+  * (single range, 206 + Content-Range), binding 127.0.0.1 only: the
+  * zero-egress sandbox is never left.
+  *
+  * One lazily-started server per JVM; `serve` registers a file and returns
+  * its URL. Daemon threads — the JVM exits freely.
+  */
+object HttpFixture {
+
+  private val rangeRe = "bytes=(\\d+)-(\\d+)".r
+  private val registry = new java.util.concurrent.ConcurrentHashMap[String, Path]()
+  @volatile private var server: HttpServer = null
+
+  private def ensureStarted(): HttpServer = synchronized {
+    if (server == null) {
+      val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      s.createContext("/", (ex: HttpExchange) => handle(ex))
+      s.setExecutor(java.util.concurrent.Executors.newCachedThreadPool { r =>
+        val t = new Thread(r, "graft-http-fixture")
+        t.setDaemon(true)
+        t
+      })
+      s.start()
+      server = s
+    }
+    server
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      val key = ex.getRequestURI.getPath.stripPrefix("/")
+      val path = registry.get(key)
+      if (path == null) {
+        ex.sendResponseHeaders(404, -1)
+      } else {
+        val size = Files.size(path)
+        ex.getResponseHeaders.set("Accept-Ranges", "bytes")
+        val range = Option(ex.getRequestHeaders.getFirst("Range"))
+        (ex.getRequestMethod, range) match {
+          case ("HEAD", _) =>
+            // HttpServer forbids a body on HEAD: length -1 = no body, so set
+            // Content-Length explicitly for the size probe
+            ex.getResponseHeaders.set("Content-Length", size.toString)
+            ex.sendResponseHeaders(200, -1)
+          case (_, Some(rangeRe(a, b))) =>
+            val lo = a.toLong
+            val hi = math.min(b.toLong, size - 1)
+            if (lo > hi || lo >= size) {
+              ex.sendResponseHeaders(416, -1)
+            } else {
+              val len = (hi - lo + 1).toInt
+              val ch = java.nio.channels.FileChannel.open(path)
+              val buf = java.nio.ByteBuffer.allocate(len)
+              try {
+                var read = 0
+                while (read < len) {
+                  val r = ch.read(buf, lo + read)
+                  require(r > 0, s"EOF at ${lo + read}")
+                  read += r
+                }
+              } finally ch.close()
+              ex.getResponseHeaders.set("Content-Range", s"bytes $lo-$hi/$size")
+              ex.sendResponseHeaders(206, len)
+              ex.getResponseBody.write(buf.array())
+            }
+          case _ =>
+            ex.sendResponseHeaders(200, size)
+            val out = ex.getResponseBody
+            Files.copy(path, out)
+        }
+      }
+    } catch {
+      case _: Exception => try ex.sendResponseHeaders(500, -1) catch { case _: Exception => }
+    } finally ex.close()
+  }
+
+  /** Register `path` under its file name and return the loopback URL. */
+  def serve(path: String): String = {
+    val p = Paths.get(path)
+    require(Files.exists(p), s"no such file: $path")
+    val s = ensureStarted()
+    val key = s"f${Integer.toHexString(path.hashCode)}-${p.getFileName}"
+    registry.put(key, p)
+    s"http://127.0.0.1:${s.getAddress.getPort}/$key"
+  }
+}

@@ -18,17 +18,30 @@ import graft.predicates.{ConjugateNode, PNode, PNodeCodec, PNodeEvaluator, Predi
   */
 object HybridGroundTruth {
 
-  /** Per-executor decoded-tree cache (bounded; keyed by blob bytes). The
-    * fields set of each tree rides along for fail-fast schema validation.
+  /** Per-executor decoded-tree LRU cache (keyed by blob bytes). The fields
+    * set rides along for fail-fast schema validation, and each entry
+    * memoizes the schema instances it has been validated against so the
+    * per-row path is one map hit, not a field-set recomputation.
     */
+  private final class TreeEntry(val tree: PNode, val fields: Set[String]) {
+    // identity hashes of fieldName arrays this tree was validated against —
+    // within one query every Row shares the StructType (and its array), so
+    // this collapses validation to an integer set probe; an unseen identity
+    // just re-validates (correct, merely slower)
+    val validatedSchemas = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  }
+
   private object TreeCache {
+    private val MaxEntries = 10000
     private val cache =
-      new java.util.concurrent.ConcurrentHashMap[Seq[Byte], (PNode, Set[String])]()
-    def get(blob: Array[Byte]): (PNode, Set[String]) = {
-      if (cache.size() > 10000) cache.clear() // bound growth across jobs
+      new java.util.LinkedHashMap[Seq[Byte], TreeEntry](256, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[Seq[Byte], TreeEntry]) =
+          size() > MaxEntries
+      }
+    def get(blob: Array[Byte]): TreeEntry = cache.synchronized {
       cache.computeIfAbsent(blob.toSeq, _ => {
         val tree = PNodeCodec.decodeFramed(blob)
-        (tree, fieldsOf(tree))
+        new TreeEntry(tree, fieldsOf(tree))
       })
     }
     private def fieldsOf(n: PNode): Set[String] = n match {
@@ -45,15 +58,19 @@ object HybridGroundTruth {
   private val matchesUdf = udf { (blob: Array[Byte], meta: Row) =>
     if (blob == null) true
     else {
-      val (tree, fields) = TreeCache.get(blob)
-      val schema = meta.schema
-      val missing = fields.filterNot(schema.fieldNames.contains)
-      if (missing.nonEmpty) {
-        throw new IllegalArgumentException(
-          s"predicate references fields ${missing.mkString(",")} not present in " +
-            s"metadataCols ${schema.fieldNames.mkString("[", ",", "]")}")
+      val entry = TreeCache.get(blob)
+      val names = meta.schema.fieldNames
+      val schemaId = System.identityHashCode(names)
+      if (!entry.validatedSchemas.contains(schemaId)) {
+        val missing = entry.fields.filterNot(names.contains)
+        if (missing.nonEmpty) {
+          throw new IllegalArgumentException(
+            s"predicate references fields ${missing.mkString(",")} not present in " +
+              s"metadataCols ${names.mkString("[", ",", "]")}")
+        }
+        entry.validatedSchemas.add(schemaId)
       }
-      PNodeEvaluator.matchesRow(tree, meta)
+      PNodeEvaluator.matchesRow(entry.tree, meta)
     }
   }
 

@@ -42,11 +42,35 @@ object ProfileStats {
     df.select(bucket.as("bucket")).groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 
-  /** Exact linear-interpolation quantiles (A7's empirical model table). */
+  /** Exact linear-interpolation quantiles (A7's empirical model table).
+    * SMALL-SAMPLE / ORACLE FORM ONLY: the aggregation buffer holds every
+    * value — at 100TB that is an executor OOM. The profile path is
+    * `quantilesApprox`.
+    */
   def quantiles(df: DataFrame, valueCol: Column, ps: Seq[Double]): DataFrame =
     df.agg(percentile(valueCol.cast("double"), typedLit(ps)).as("qs"))
       .select(posexplode(col("qs")).as(Seq("i", "q")))
       .select(element_at(typedLit(ps), col("i").cast("int") + 1).as("p"), col("q"))
+
+  /** Scale-safe quantiles (A7 production path): GK-sketch
+    * `percentile_approx` — the aggregation state is O(accuracy), not O(n),
+    * and partials merge map-side. Rank error is bounded by 1/accuracy.
+    */
+  def quantilesApprox(df: DataFrame, valueCol: Column, ps: Seq[Double],
+      accuracy: Int = 10000): DataFrame =
+    df.agg(percentile_approx(valueCol.cast("double"), typedLit(ps), lit(accuracy)).as("qs"))
+      .select(posexplode(col("qs")).as(Seq("i", "q")))
+      .select(element_at(typedLit(ps), col("i").cast("int") + 1).as("p"), col("q"))
+
+  /** Per-dimension approximate quantiles over a vector column — the shape
+    * the dataset profile uses (one sketch per dim, merged map-side; no
+    * global all-values buffer ever forms).
+    */
+  def quantilesApproxByDim(df: DataFrame, vecCol: String, ps: Seq[Double],
+      accuracy: Int = 10000): DataFrame =
+    explodeDims(df, vecCol)
+      .groupBy("dim")
+      .agg(percentile_approx(col("value").cast("double"), typedLit(ps), lit(accuracy)).as("qs"))
 
   /** Two-sample K-S statistic D per dimension (A8). Input: (dim, value, tag)
     * with tag ∈ {1, 2}. CDFs are step functions evaluated with ties included
