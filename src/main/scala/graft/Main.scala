@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.layout.GraftDataset
+import graft.operators.{Describe, Knn, ProfileStats}
+import graft.sources.slab.SlabTable
+import graft.sources.xvec.XvecIO
+
+/** X2: the thin CLI over the engine — the `nbvectors <command>` surface
+  * (reference README.md:34-110; services/BundledCommand.java dispatch) with
+  * each subcommand delegating to an existing operator. Commands:
+  *
+  *   describe         --dataset DIR [--profile P] [--detailed]
+  *   knn              --base PATH --query PATH [--k N] [--metric M]
+  *   verify_knn       --base PATH --query PATH [--k N] [--metric A,B]
+  *   analyze-profile  --input PATH [--col C]
+  *   generate         --count N --dim D [--seed S] --out PATH
+  *   slab-import      --slab DIR --ns NS --file PATH
+  *   slab-export      --slab DIR --ns NS --out PATH
+  *   slab-analyze     --slab DIR
+  *
+  * Vector PATHs accept .fvec/.ivec/.bvec/.dvec/.svec/.mvec or .parquet
+  * (columns ordinal/vector or vec_id/embedding).
+  */
+object Main {
+
+  private def parseFlags(args: Seq[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"expected --flag, got: $a")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        m(a.stripPrefix("--")) = args(i + 1); i += 2
+      } else { m(a.stripPrefix("--")) = "true"; i += 1 }
+    }
+    m.toMap
+  }
+
+  private def readVectors(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".parquet") || new java.io.File(path, "_SUCCESS").exists()) {
+      val df = spark.read.parquet(path)
+      if (df.columns.contains("ordinal")) df.select("ordinal", "vector")
+      else df.select(col("vec_id").as("ordinal"), col("embedding").as("vector"))
+    } else XvecIO.read(spark, path)
+
+  /** Dispatch one command; returns the result frame (printed by main). */
+  def run(spark: SparkSession, args: Seq[String]): DataFrame = {
+    require(args.nonEmpty, usage)
+    val cmd = args.head
+    val flags = parseFlags(args.tail)
+    def need(k: String): String =
+      flags.getOrElse(k, throw new IllegalArgumentException(s"$cmd requires --$k\n$usage"))
+
+    cmd match {
+      case "describe" =>
+        val ds = GraftDataset.load(spark, need("dataset"))
+        Describe.dataset(spark, ds, flags.getOrElse("profile", "default"),
+          detailed = flags.contains("detailed"))
+
+      case "knn" =>
+        val base = readVectors(spark, need("base"))
+          .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+        val query = readVectors(spark, need("query"))
+          .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+        Knn.knn(query, base, k = flags.getOrElse("k", "10").toInt,
+          metric = flags.getOrElse("metric", "COSINE"))
+
+      case "verify_knn" =>
+        // recall of metric A's top-k against metric B's (the reference's
+        // verify_knn checks packaged answer keys; here both sides recompute)
+        val base = readVectors(spark, need("base"))
+          .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+        val query = readVectors(spark, need("query"))
+          .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+        val k = flags.getOrElse("k", "10").toInt
+        val Array(mA, mB) = flags.getOrElse("metric", "COSINE,COSINE").split(",")
+        val a = Knn.knn(query, base, k, metric = mA)
+        val b = Knn.knn(query, base, k, metric = mB)
+        Knn.avgRecall(a, b, k)
+
+      case "analyze-profile" =>
+        val df = readVectors(spark, need("input"))
+        ProfileStats.perDimStats(df, "vector")
+          .orderBy("dim")
+
+      case "generate" =>
+        val out = need("out")
+        val df = operators.Generators.gaussianVectors(spark,
+          count = need("count").toLong, dim = need("dim").toInt,
+          seed = flags.getOrElse("seed", "42").toLong)
+        XvecIO.write(df, out)
+        df.agg(count(lit(1)).as("written")).withColumn("path", lit(out))
+
+      case "slab-import" =>
+        val slab = new SlabTable(spark, need("slab"))
+        val ns = need("ns")
+        slab.importText(ns, need("file"))
+        slab.stats().filter(col("namespace") === ns)
+
+      case "slab-export" =>
+        val slab = new SlabTable(spark, need("slab"))
+        val ns = need("ns")
+        slab.exportText(ns, need("out"))
+        slab.stats().filter(col("namespace") === ns)
+
+      case "slab-analyze" =>
+        new SlabTable(spark, need("slab")).stats()
+
+      case other =>
+        throw new IllegalArgumentException(s"unknown command: $other\n$usage")
+    }
+  }
+
+  val usage: String =
+    """usage: graft <command> [--flag value ...]
+      |  describe --dataset DIR [--profile P] [--detailed]
+      |  knn --base PATH --query PATH [--k N] [--metric COSINE|EUCLIDEAN|L1|DOT_PRODUCT]
+      |  verify_knn --base PATH --query PATH [--k N] [--metric A,B]
+      |  analyze-profile --input PATH
+      |  generate --count N --dim D [--seed S] --out PATH
+      |  slab-import --slab DIR --ns NS --file PATH
+      |  slab-export --slab DIR --ns NS --out PATH
+      |  slab-analyze --slab DIR""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val result = run(spark, args.toSeq)
+      val out = args.toSeq.sliding(2).collectFirst {
+        case Seq("--result-out", p) => p
+      }
+      out match {
+        case Some(p) => result.write.mode("overwrite").parquet(p)
+        case None    => result.show(100, truncate = false)
+      }
+    } finally spark.stop()
+  }
+}

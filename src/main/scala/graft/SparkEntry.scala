@@ -16,7 +16,8 @@ object SparkEntry {
   private def families: Seq[GQuery] =
     Relational.all ++ VectorQueries.all ++ PredicateQueries.all ++ StatsQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SourceQueries.all ++ StreamQueries.all ++
-      MetadataQueries.all ++ HybridQueries.all
+      MetadataQueries.all ++ HybridQueries.all ++ CoverageSourceQueries.all ++
+      CoverageFunctionQueries.all ++ FitQueries.all
 
   /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
     * SURVEY §7 "hybrid recall check" spine — embeddings → xvec write →

@@ -355,7 +355,7 @@ object Dedup {
           while (j < v.length) {
             val h = graft.functions.StableHash.mix(
               seed ^ (t.toLong << 40) ^ (b.toLong << 20) ^ j.toLong)
-            dot += v(j) * ((h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0)
+            dot += v(j) * ((h >>> 12).toDouble / (1L << 52).toDouble * 2.0 - 1.0)
             j += 1
           }
           if (dot >= 0) bucket |= (1L << b)

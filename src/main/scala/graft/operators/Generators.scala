@@ -112,14 +112,19 @@ object Generators {
       uniformSource: Option[(Column, Column) => Column] = None): DataFrame = {
     val bc = spark.sparkContext.broadcast(models.toIndexedSeq)
     val inverseCdf = udf { (dim: Int, u: Double) =>
-      val m = bc.value(dim)
-      // bisection on the model CDF — exact enough for synthesis (1e-9)
-      var lo = -1e9; var hi = 1e9
-      (0 until 60).foreach { _ =>
-        val mid = (lo + hi) / 2
-        if (DistributionFit.cdf(m, mid) < u) lo = mid else hi = mid
+      bc.value(dim) match {
+        case DistributionFit.Uniform(a, b) =>
+          // analytic inverse — exact (and SQL-replayable for oracles)
+          (a + u * (b - a)).toFloat
+        case m =>
+          // bisection on the model CDF — exact enough for synthesis (1e-9)
+          var lo = -1e9; var hi = 1e9
+          (0 until 60).foreach { _ =>
+            val mid = (lo + hi) / 2
+            if (DistributionFit.cdf(m, mid) < u) lo = mid else hi = mid
+          }
+          ((lo + hi) / 2).toFloat
       }
-      ((lo + hi) / 2).toFloat
     }
     // default randomness = xxhash64 stream; an engine-neutral source (e.g.
     // lehmerUniform over ordinal*dims+dim) lets a SQL oracle replay the draw

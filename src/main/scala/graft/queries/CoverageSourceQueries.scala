@@ -1,0 +1,330 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.layout.{Catalog, GraftDataset}
+import graft.operators.{Describe, HttpFixture, Merkle, Prebuffer}
+import graft.sources.slab.SlabTable
+import graft.sources.xvec.XvecIO
+import graft.sources.{CsvJsonArray, VectorSinks}
+
+/** Driver-oracle coverage for the source/layout operators that round 1 left
+  * spec-only: CSV/JSON-array scan (S8), slab import/export (S19/S21/S22,
+  * W3), describe (A3), slab stats (A15), merkle diff (A13), prebuffer over
+  * file:// and http:// transports (T1-T3, S13-S15), json vector sink (S20),
+  * catalog ops (S16, P10-P12, J6), facet zip-join (P1, J1, J7).
+  *
+  * Every oracle recomputes the expectation from the parquet tables (or, for
+  * string-calculus ops like catalog matching, pins the documented output as
+  * literals) — the binary formats and transports themselves are never read
+  * by DuckDB, which is exactly what makes the round trips meaningful.
+  */
+object CoverageSourceQueries {
+
+  private def tmpDir(): String = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
+      System.getProperty("java.io.tmpdir"))
+    val d = Paths.get(base, "graft-qtmp")
+    Files.createDirectories(d)
+    d.toString
+  }
+
+  private val duckNorm =
+    "round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE))), 6)"
+
+  /** Write documents `[lo, hi)` as one local text file (doc_id order), one
+    * line per doc — the import fixture (docs are single-line by contract of
+    * the testdata generator; importText would see them as multiple records
+    * otherwise).
+    */
+  private def writeDocLines(s: org.apache.spark.sql.SparkSession, dir: String,
+      lo: Int, hi: Int, path: String): Unit = {
+    val lines = Tables.documents(s, dir)
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .orderBy("doc_id").select("text").collect().map(_.getString(0))
+    Files.write(Paths.get(path), lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  val all: Seq[GQuery] = Seq(
+
+    // S8 (+S20 csv sink): embeddings → CSV with an embedded JSON-array
+    // column → auto-detecting scan back. The detection pass must find the
+    // array column; the parse must round-trip the float values exactly.
+    GQuery(
+      "q60_csv_json_array",
+      s"""SELECT vec_id AS ordinal, len(embedding) AS dim, $duckNorm AS norm
+         |FROM embeddings WHERE vec_id < 200""".stripMargin) { (s, dir) =>
+      val out = s"${tmpDir()}/csvja-${System.nanoTime()}"
+      VectorSinks.writeCsv(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+          .select(col("vec_id").as("ordinal"), col("embedding").as("vector")), out)
+      CsvJsonArray.read(s, out)
+        .select(col("_c0").cast("long").as("ordinal"),
+          size(col("vector")).as("dim"),
+          round(graft.functions.VectorFunctions.vectorNorm(col("vector")), 6).as("norm"))
+    },
+
+    // S21/S19/W3: two-batch text import — ordinals assigned in input order,
+    // second append must start above the first batch's max (the ascending-
+    // ordinal append invariant is exercised, not just asserted).
+    GQuery(
+      "q61_slab_import",
+      """SELECT doc_id AS ordinal, text FROM documents WHERE doc_id < 200""") { (s, dir) =>
+      val base = s"${tmpDir()}/slabimp-${System.nanoTime()}"
+      val slab = new SlabTable(s, s"$base/slab")
+      Files.createDirectories(Paths.get(base))
+      writeDocLines(s, dir, 0, 100, s"$base/batch1.txt")
+      writeDocLines(s, dir, 100, 200, s"$base/batch2.txt")
+      slab.importText("docs", s"$base/batch1.txt")
+      slab.importText("docs", s"$base/batch2.txt")
+      slab.read("docs")
+        .select(col("ordinal"), decode(col("data"), "UTF-8").as("text"))
+    },
+
+    // S22: import → export → line-set equality (count + order-insensitive
+    // digest; export part files carry no global order).
+    GQuery(
+      "q62_slab_export",
+      """SELECT count(*) AS n_lines,
+        |       md5(string_agg(text, chr(10) ORDER BY text)) AS digest
+        |FROM documents WHERE doc_id < 200""".stripMargin) { (s, dir) =>
+      val base = s"${tmpDir()}/slabexp-${System.nanoTime()}"
+      val slab = new SlabTable(s, s"$base/slab")
+      Files.createDirectories(Paths.get(base))
+      writeDocLines(s, dir, 0, 200, s"$base/in.txt")
+      slab.importText("docs", s"$base/in.txt")
+      slab.exportText("docs", s"$base/out")
+      s.read.text(s"$base/out")
+        .agg(count(lit(1)).as("n_lines"),
+          md5(concat_ws("\n", sort_array(collect_list(col("value"))))).as("digest"))
+    },
+
+    // A3 describe --detailed: facet inventory with counts, dims, avg norms
+    // and the dataset attribute line.
+    GQuery(
+      "q63_describe",
+      s"""WITH b AS (
+         |  SELECT 'base_vectors' AS facet, count(*) AS records,
+         |         max(len(embedding)) AS dim,
+         |         round(avg(sqrt(list_sum(list_transform(embedding,
+         |           x -> x::DOUBLE*x::DOUBLE)))), 4) AS avg_norm
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT 'query_vectors' AS facet, count(*) AS records,
+         |         max(len(embedding)) AS dim,
+         |         round(avg(sqrt(list_sum(list_transform(embedding,
+         |           x -> x::DOUBLE*x::DOUBLE)))), 4) AS avg_norm
+         |  FROM embeddings WHERE vec_id < 20)
+         |SELECT facet, records, dim, avg_norm,
+         |       'distance_function=COSINE,model=graft-test' AS attributes
+         |FROM (SELECT * FROM b UNION ALL SELECT * FROM q)""".stripMargin) { (s, dir) =>
+      val dsDir = Paths.get(tmpDir(), s"desc-${System.nanoTime()}")
+      Files.createDirectories(dsDir)
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("ordinal"), col("embedding").as("vector"))
+      XvecIO.write(emb, s"$dsDir/base.fvec")
+      XvecIO.write(emb.filter(col("ordinal") < 20), s"$dsDir/query.fvec")
+      Files.write(dsDir.resolve("dataset.yaml"),
+        """attributes:
+          |  distance_function: COSINE
+          |  model: graft-test
+          |profiles:
+          |  default:
+          |    base: base.fvec
+          |    query: query.fvec
+          |""".stripMargin.getBytes("UTF-8"))
+      val ds = GraftDataset.load(s, dsDir.toString)
+      Describe.dataset(s, ds, "default", detailed = true)
+        .select(col("facet"), col("records"), col("dim").cast("long").as("dim"),
+          col("avg_norm"), col("attributes"))
+    },
+
+    // A15 slab stats: per-namespace record count, payload bytes, ordinal span.
+    GQuery(
+      "q72_slab_stats",
+      """SELECT 'docs' AS namespace, count(*) AS records,
+        |       sum(octet_length(encode(text))) AS bytes,
+        |       min(doc_id) AS min_ordinal, max(doc_id) AS max_ordinal
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val slab = new SlabTable(s, s"${tmpDir()}/slabstats-${System.nanoTime()}")
+      slab.append("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("ordinal"), encode(col("text"), "UTF-8").as("data")))
+      slab.stats()
+    },
+
+    // A13 merkle verify/diff: corrupt one chunk, drop another — the diff
+    // must localize exactly those. Oracle recomputes both hash columns.
+    GQuery(
+      "q68_merkle_diff",
+      """WITH a AS (SELECT doc_id AS ci, lower(sha256(text)) AS ha
+        |           FROM documents WHERE doc_id < 64),
+        |b AS (SELECT doc_id AS ci,
+        |             lower(sha256(CASE WHEN doc_id = 17 THEN upper(text)
+        |                               ELSE text END)) AS hb
+        |      FROM documents WHERE doc_id < 64 AND doc_id != 42)
+        |SELECT coalesce(a.ci, b.ci) AS chunk_idx, ha AS hash_a, hb AS hash_b
+        |FROM a FULL JOIN b ON a.ci = b.ci
+        |WHERE ha IS DISTINCT FROM hb""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 64)
+      val a = Merkle.leafHashes(
+        docs.select(col("doc_id").as("chunk_idx"), col("text").as("data")))
+      val b = Merkle.leafHashes(
+        docs.filter(col("doc_id") =!= 42)
+          .select(col("doc_id").as("chunk_idx"),
+            when(col("doc_id") === 17, upper(col("text"))).otherwise(col("text")).as("data")))
+      Merkle.diffLeaves(a, b)
+    },
+
+    // T1/T2/T3 + S14: prebuffer a local file through the read-through cache
+    // (merkle-shaped chunks, run coalescing, SHA verify, sparse write) and
+    // prove the CACHE CONTENT equals the source byte-for-byte.
+    GQuery(
+      "q76_prebuffer_file",
+      """WITH d AS (SELECT text FROM documents WHERE doc_id = 0)
+        |SELECT unnest(range((octet_length(encode(text)) + 1 + 63) // 64))::BIGINT AS chunk_idx,
+        |       true AS valid, lower(sha256(text || chr(10))) AS cache_sha
+        |FROM d""".stripMargin) { (s, dir) =>
+      prebufferQuery(s, dir, http = false)
+    },
+
+    // S13/S15 + T1: the same prebuffer over a REAL ranged-HTTP transport
+    // (loopback fixture server — the hermetic stand-in for remote datasets).
+    GQuery(
+      "q77_prebuffer_http",
+      """WITH d AS (SELECT text FROM documents WHERE doc_id = 0)
+        |SELECT unnest(range((octet_length(encode(text)) + 1 + 63) // 64))::BIGINT AS chunk_idx,
+        |       true AS valid, lower(sha256(text || chr(10))) AS cache_sha
+        |FROM d""".stripMargin) { (s, dir) =>
+      prebufferQuery(s, dir, http = true)
+    },
+
+    // S20: json vector sink round trip (values ride as JSON numbers; the
+    // reader infers doubles that are exactly the written floats).
+    GQuery(
+      "q78_vector_sink_json",
+      s"""SELECT vec_id AS ordinal, len(embedding) AS dim, $duckNorm AS norm
+         |FROM embeddings WHERE vec_id < 50""".stripMargin) { (s, dir) =>
+      val out = s"${tmpDir()}/jsink-${System.nanoTime()}"
+      VectorSinks.writeJson(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 50)
+          .select(col("vec_id").as("ordinal"), col("embedding").as("vector")), out)
+      s.read.json(out)
+        .select(col("ordinal").cast("long").as("ordinal"),
+          size(col("vector")).as("dim"),
+          round(graft.functions.VectorFunctions.vectorNorm(
+            col("vector").cast("array<float>")), 6).as("norm"))
+    },
+
+    // S16/P10/P11/P12/J6: catalog parse → glob/regex match → select →
+    // templatize → attribute access. String calculus with documented
+    // outputs, pinned as literals.
+    GQuery(
+      "q79_catalog_ops",
+      """SELECT * FROM (VALUES
+        |  ('attr_source', 'base.fvec'),
+        |  ('attr_window', '0..100'),
+        |  ('glob_euclidean', 'mnist-784-euclidean|sift-128-euclidean'),
+        |  ('match_one', 'glove-25-angular'),
+        |  ('select_profile', 'sift-128-euclidean:default'),
+        |  ('templatize', 'mnist-784-euclidean-784.fvec')
+        |) AS t(op, result)""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val entries = Catalog.parseCatalog(
+        """- name: mnist-784-euclidean
+          |  url: file:///data/mnist
+          |  attributes: {dims: "784", metric: euclidean}
+          |- name: glove-25-angular
+          |  url: file:///data/glove
+          |  attributes: {dims: "25", metric: angular}
+          |- name: sift-128-euclidean
+          |  url: file:///data/sift
+          |  attributes: {dims: "128", metric: euclidean}
+          |""".stripMargin)
+      val mnist = Catalog.findExact(entries, "mnist-784-euclidean").get
+      val dsEntry = Catalog.parseDatasetYaml("ds1",
+        """profiles:
+          |  default:
+          |    base:
+          |      source: base.fvec
+          |      window: "[0..100)"
+          |""".stripMargin)
+      val sel = Catalog.select(entries, "sift-128-euclidean:default")
+      Seq(
+        ("glob_euclidean", Catalog.matchGlob(entries, "*-euclidean").map(_.name).sorted.mkString("|")),
+        ("match_one", Catalog.matchOne(entries, "glove*").name),
+        ("select_profile", s"${sel._1.name}:${sel._2}"),
+        ("templatize", Catalog.templatize("${name}-${dims}.fvec",
+          mnist.attributes + ("name" -> mnist.name))),
+        ("attr_source", Catalog.attrValue(dsEntry, "/profiles/default/base_vectors:source").get),
+        ("attr_window", Catalog.attrValue(dsEntry, "/profiles/default/base_vectors:window").get)
+      ).toDF("op", "result")
+    },
+
+    // P1/J1/J7: two facets of one dataset zip-joined on the LOGICAL ordinal
+    // — query facet windowed to [50..100) so its logical row i is physical
+    // row 50+i; the join must align base[i] with query[50+i].
+    GQuery(
+      "q80_facet_zip_join",
+      """SELECT a.vec_id AS ordinal,
+        |       round(2.0 * list_sum(list_transform(range(1, len(a.embedding)+1),
+        |         j -> a.embedding[j]::DOUBLE * b.embedding[j]::DOUBLE)), 6) AS dot
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 50
+        |WHERE a.vec_id < 50""".stripMargin) { (s, dir) =>
+      val dsDir = Paths.get(tmpDir(), s"zip-${System.nanoTime()}")
+      Files.createDirectories(dsDir)
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+        .select(col("vec_id").as("ordinal"), col("embedding").as("vector"))
+      XvecIO.write(emb, s"$dsDir/base.fvec")
+      XvecIO.write(
+        emb.select(col("ordinal"),
+          transform(col("vector"), x => (x * lit(2.0f)).cast("float")).as("vector")),
+        s"$dsDir/query.fvec")
+      Files.write(dsDir.resolve("dataset.yaml"),
+        """profiles:
+          |  default:
+          |    base: base.fvec
+          |    query:
+          |      source: query.fvec
+          |      window: "[50..100)"
+          |""".stripMargin.getBytes("UTF-8"))
+      GraftDataset.load(s, dsDir.toString).profile("default")
+        .zipped("base", "query")
+        .select(col("ordinal"),
+          round(lit(0.0) - graft.functions.VectorFunctions.negDotProduct(
+            col("base_vector"), col("query_vector")), 6).as("dot"))
+    },
+  )
+
+  /** Shared body of q76/q77: single-doc content file → merkle chunking →
+    * prebuffer through the given transport → per-chunk validity + a digest
+    * of the CACHE file (computed after materialization, so the green row
+    * proves fetch+verify+positioned-write end to end).
+    */
+  private def prebufferQuery(s: org.apache.spark.sql.SparkSession, dir: String,
+      http: Boolean): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val base = s"${tmpDir()}/pb-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(base))
+    val text = Tables.documents(s, dir).filter(col("doc_id") === 0)
+      .select("text").collect()(0).getString(0)
+    val src = s"$base/content.bin"
+    Files.write(Paths.get(src), (text + "\n").getBytes("UTF-8"))
+    val (_, chunks) = Merkle.chunkFile(s, src)
+    val refHashes = Merkle.leafHashes(chunks).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val url = if (http) HttpFixture.serve(src) else s"file://$src"
+    val policy = if (http) Prebuffer.ChunkPolicy.Aggressive else Prebuffer.ChunkPolicy.Default
+    val cache = s"$base/cache.bin"
+    val result = Prebuffer.prebuffer(s, url, cache, refHashes,
+      0, Files.size(Paths.get(src)), policy = policy)
+      .select(col("chunk_idx").cast("long"), col("valid")).collect()
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Files.readAllBytes(Paths.get(cache)))
+      .map("%02x".format(_)).mkString
+    result.map(r => (r.getLong(0), r.getBoolean(1), digest)).toSeq
+      .toDF("chunk_idx", "valid", "cache_sha")
+  }
+}

@@ -142,6 +142,44 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
     },
 
+    // Embedding near-dup, BUCKETED production path: hyperplane-LSH candidate
+    // buckets → exact cosine verify, against the all-pairs oracle over a
+    // corpus with planted perturbed copies (cos ≈ 0.999) — the green row is
+    // the recall proof for the scale path, mirroring what q46 does for
+    // MinHash.
+    GQuery(
+      "q70_embedding_neardup_bucketed",
+      s"""WITH u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000,
+         |         list_transform(embedding, x -> (x::DOUBLE * 0.9 + 0.01)::FLOAT)
+         |  FROM embeddings WHERE vec_id < 40)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(${duckCosine("a.embedding", "b.embedding")}, 6) AS cosine
+         |FROM u a JOIN u b ON a.vec_id < b.vec_id
+         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.95""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val perturbed = emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * 0.9 + 0.01).cast("float")).as("embedding"))
+      Dedup.embeddingNearDupPairsBucketed(emb.unionByName(perturbed),
+          "vec_id", "embedding", threshold = 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    },
+
+    // n-gram Jaccard with the hot-shingle document-frequency cap ON — must
+    // produce the identical pair set as the uncapped exact form (the cap
+    // only prunes candidate generation; verification reads full sets).
+    GQuery(
+      "q82_ngram_jaccard_capped",
+      jaccardPairsSql(0.5)) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.5, dfCap = 64)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
     // IVF-Flat ANN: deterministic coarse quantizer (cells = vec_id<16),
     // nProbe=4, exact top-5 within probed cells. Oracle replays the exact
     // algorithm — this checks index assignment, probe selection and ranking.

@@ -51,6 +51,36 @@ object StatsQueries {
         .select(col("p"), round(col("q"), 4).as("q"))
     },
 
+    // A7 production path: GK-sketch approximate quantiles, proven within the
+    // rank-error bound against the exact form — the output carries the EXACT
+    // quantile (oracle-recomputable) plus the bound check on the sketch.
+    GQuery(
+      "q71_quantiles_approx",
+      """SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p,
+        |       round(unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9])), 4) AS q,
+        |       true AS approx_in_bounds
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val ps = Seq(0.25, 0.5, 0.75, 0.9)
+      val acc = 10000
+      val eps = 2.0 / acc // bracket at twice the sketch's rank-error bound
+      val lo = ps.map(p => math.max(0.0, p - eps))
+      val hi = ps.map(p => math.min(1.0, p + eps))
+      val v = col("l_extendedprice").cast("double")
+      Tables.lineitem(s, dir)
+        .agg(
+          percentile(v, typedLit(ps)).as("exact"),
+          percentile(v, typedLit(lo)).as("lo"),
+          percentile(v, typedLit(hi)).as("hi"),
+          percentile_approx(v, typedLit(ps), lit(acc)).as("approx"))
+        .select(posexplode(arrays_zip(col("exact"), col("lo"), col("hi"), col("approx")))
+          .as(Seq("i", "z")))
+        .select(
+          element_at(typedLit(ps), col("i").cast("int") + 1).as("p"),
+          round(col("z.exact"), 4).as("q"),
+          (col("z.approx") >= col("z.lo") && col("z.approx") <= col("z.hi"))
+            .as("approx_in_bounds"))
+    },
+
     // A8: per-dimension two-sample K-S between label<5 and label>=5 vectors.
     GQuery(
       "q30_ks_by_label",

@@ -143,14 +143,34 @@ object TextQueries {
     },
 
     // Multimodal plumbing: binary payload column + partition-batched stub
-    // feature extraction. No SQL oracle (binary kernels aren't expressible);
-    // the driver records a rows>0 check, and MultimodalSpec pins values.
-    GQuery.noOracle("q51_multimodal_features") { (s, dir) =>
-      val media = Multimodal.synthesizeFromText(Tables.documents(s, dir), "doc_id", "text")
+    // feature extraction. The stub codec's byte-histogram features ARE
+    // SQL-expressible over ASCII payloads, so the oracle recomputes every
+    // bucket count from the text bytes (features are emitted as counts —
+    // freq × n_bytes rounds back to the exact integer).
+    GQuery(
+      "q51_multimodal_features",
+      """WITH d AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
+        |           FROM documents WHERE doc_id < 500),
+        |chars AS (SELECT doc_id, ascii(substr(t, i::INT, 1)) % 8 AS bucket
+        |          FROM d, (SELECT unnest(range(1, 2000)) AS i)
+        |          WHERE i <= length(t)),
+        |h AS (SELECT doc_id, bucket, count(*) AS cnt FROM chars GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, length(t) AS n_bytes, b.bucket
+        |         FROM d, (SELECT unnest(range(8)) AS bucket) b)
+        |SELECT g.doc_id AS media_id,
+        |       (['image','audio','video'])[(g.doc_id % 3)::INT + 1] AS modality,
+        |       g.n_bytes, g.bucket, coalesce(h.cnt, 0) AS cnt
+        |FROM grid g LEFT JOIN h ON h.doc_id = g.doc_id AND h.bucket = g.bucket""".stripMargin) { (s, dir) =>
+      val ascii = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id"), regexp_replace(col("text"), "[^ -~]", "").as("text"))
+      val media = Multimodal.synthesizeFromText(ascii, "doc_id", "text")
       Multimodal.extractFeatures(media, nFeatures = 8)
         .select(col("media_id"), col("modality"),
           octet_length(col("bytes")).as("n_bytes"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+          posexplode(col("features")).as(Seq("bucket", "freq")))
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          col("bucket").cast("long").as("bucket"),
+          round(col("freq").cast("double") * col("n_bytes")).cast("long").as("cnt"))
     },
   )
 }
