@@ -30,7 +30,13 @@ object HttpFixture {
         t.setDaemon(true)
         t
       })
-      s.start()
+      // start() spawns the internal HTTP-Dispatcher thread, which inherits
+      // daemon-ness from its creator — start from a daemon thread or the
+      // dispatcher pins the JVM open after main() returns
+      val starter = new Thread(() => s.start(), "graft-http-fixture-start")
+      starter.setDaemon(true)
+      starter.start()
+      starter.join()
       server = s
     }
     server
