@@ -53,7 +53,8 @@ class XvecDataSource extends TableProvider with DataSourceRegister {
     val fmt = Option(options.get("format")).map(XvecFormat.forName)
       .getOrElse(XvecFormat.forPath(path))
     val window = FWindow.parse(options.get("window"))
-    new XvecTable(path, fmt, window)
+    val columnar = Option(options.get("columnar")).forall(_.toBoolean)
+    new XvecTable(path, fmt, window, columnar)
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -65,17 +66,19 @@ object XvecTable {
     StructField("vector", ArrayType(fmt.elementType, containsNull = false), nullable = false)))
 }
 
-class XvecTable(path: String, fmt: XvecFormat, window: FWindow)
+class XvecTable(path: String, fmt: XvecFormat, window: FWindow,
+    columnar: Boolean = true)
     extends Table with SupportsRead {
   override def name(): String = s"xvec:$path"
   override def schema(): StructType = XvecTable.schemaFor(fmt)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new XvecScanBuilder(path, fmt, window)
+    new XvecScanBuilder(path, fmt, window, columnar)
 }
 
-class XvecScanBuilder(path: String, fmt: XvecFormat, window: FWindow)
+class XvecScanBuilder(path: String, fmt: XvecFormat, window: FWindow,
+    columnar: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -125,7 +128,7 @@ class XvecScanBuilder(path: String, fmt: XvecFormat, window: FWindow)
     val filterIntervals = pushed.foldLeft(Seq(FInterval(0, Long.MaxValue))) { (acc, f) =>
       intersect(acc, toIntervals(f).get)
     }
-    new XvecScan(path, fmt, window, filterIntervals, required)
+    new XvecScan(path, fmt, window, filterIntervals, required, columnar)
   }
 }
 
@@ -133,7 +136,8 @@ case class XvecInputPartition(path: String, dimExpected: Int, recordStart: Long,
     recordEnd: Long) extends InputPartition
 
 class XvecScan(path: String, fmt: XvecFormat, window: FWindow,
-    filterIntervals: Seq[FInterval], required: StructType) extends Scan with Batch {
+    filterIntervals: Seq[FInterval], required: StructType,
+    columnar: Boolean = true) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -172,13 +176,18 @@ class XvecScan(path: String, fmt: XvecFormat, window: FWindow,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new XvecReaderFactory(fmt, required.fieldNames.toSeq)
+    new XvecReaderFactory(fmt, required.fieldNames.toSeq, columnar)
 }
 
-class XvecReaderFactory(fmt: XvecFormat, columns: Seq[String])
+class XvecReaderFactory(fmt: XvecFormat, columns: Seq[String],
+    columnar: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new XvecPartitionReader(partition.asInstanceOf[XvecInputPartition], fmt, columns)
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new XvecColumnarReader(partition.asInstanceOf[XvecInputPartition], fmt, columns)
 }
 
 /** Streams records in [recordStart, recordEnd): positioned bulk reads in
