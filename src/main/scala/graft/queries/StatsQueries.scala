@@ -66,18 +66,22 @@ object StatsQueries {
       val lo = ps.map(p => math.max(0.0, p - eps))
       val hi = ps.map(p => math.min(1.0, p + eps))
       val v = col("l_extendedprice").cast("double")
+      val n = ps.size
+      // ONE exact-percentile buffer for ps ++ lo ++ hi (the exact agg holds
+      // every value — don't pay it three times), plus the GK sketch under test
       Tables.lineitem(s, dir)
         .agg(
-          percentile(v, typedLit(ps)).as("exact"),
-          percentile(v, typedLit(lo)).as("lo"),
-          percentile(v, typedLit(hi)).as("hi"),
+          percentile(v, typedLit(ps ++ lo ++ hi)).as("ex"),
           percentile_approx(v, typedLit(ps), lit(acc)).as("approx"))
-        .select(posexplode(arrays_zip(col("exact"), col("lo"), col("hi"), col("approx")))
-          .as(Seq("i", "z")))
+        .select(posexplode(typedLit(List.range(0, n))).as(Seq("junk", "i")),
+          col("ex"), col("approx"))
         .select(
-          element_at(typedLit(ps), col("i").cast("int") + 1).as("p"),
-          round(col("z.exact"), 4).as("q"),
-          (col("z.approx") >= col("z.lo") && col("z.approx") <= col("z.hi"))
+          element_at(typedLit(ps), col("i") + 1).as("p"),
+          round(element_at(col("ex"), col("i") + 1), 4).as("q"),
+          (element_at(col("approx"), col("i") + 1) >=
+            element_at(col("ex"), col("i") + lit(n + 1)) &&
+            element_at(col("approx"), col("i") + 1) <=
+              element_at(col("ex"), col("i") + lit(2 * n + 1)))
             .as("approx_in_bounds"))
     },
 
