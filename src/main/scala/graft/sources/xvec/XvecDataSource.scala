@@ -72,7 +72,7 @@ class XvecTable(path: String, fmt: XvecFormat, window: FWindow,
   override def name(): String = s"xvec:$path"
   override def schema(): StructType = XvecTable.schemaFor(fmt)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new XvecScanBuilder(path, fmt, window, columnar)
 }
@@ -141,6 +141,9 @@ class XvecScan(path: String, fmt: XvecFormat, window: FWindow,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new XvecMicroBatchStream(path, fmt, window, required.fieldNames.toSeq)
   override def description(): String =
     s"xvec $path window=${window.intervals} pushed=${filterIntervals}"
 
