@@ -23,6 +23,15 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Repetition ratio (1 − type/token): the within-document duplication
+    * signal training-data filters threshold on (degenerate/generated text
+    * repeats tokens). 0 for empty docs.
+    */
+  def repetitionRatio(toks: Column): Column =
+    when(size(toks) === 0, 0.0)
+      .otherwise(lit(1.0) -
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+
   /** Canonical form for content fingerprinting: lowercase, collapse runs of
     * whitespace, trim.
     */

@@ -310,6 +310,27 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: per-document n-gram containment against an
+    * evaluation set — |shingles(doc) ∩ shingles(bench)| / |shingles(doc)|.
+    * The bench shingle set is small (eval sets are) → the join broadcasts;
+    * the corpus side streams. Docs with no shingles score 0.
+    * Output: (id, containment).
+    */
+  def containmentScores(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val docShingles = hashedShingleSets(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("shingles")).as("shingle"))
+    val benchSet = hashedShingleSets(bench, idCol, textCol, n)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val sizes = docShingles.groupBy("id").agg(count(lit(1)).as("sz"))
+    val hits = docShingles.join(benchSet, Seq("shingle"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+    sizes.join(hits, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("sz").cast("double"))
+          .as("containment"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (ground-truth form): all pairs
     * with cosine similarity >= threshold. Exact — the scalable candidate
     * generator for this is Ann.ivf/bucketed search; this form is the

@@ -180,6 +180,29 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // Benchmark decontamination: per-doc 3-gram containment against an
+    // eval set (docs < 20 stand in for the benchmark) — the broadcast-side
+    // semi-join shape a 100TB decontamination pass uses.
+    GQuery(
+      "q87_decontamination",
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+         |          i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |        FROM toks WHERE len(t) >= 3),
+         |doc AS (SELECT doc_id, unnest(sh) AS shingle FROM sh0 WHERE doc_id >= 20),
+         |bset AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh0 WHERE doc_id < 20),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM doc GROUP BY 1),
+         |hits AS (SELECT d.doc_id, count(*) AS h FROM doc d
+         |         JOIN bset b ON d.shingle = b.shingle GROUP BY 1)
+         |SELECT sz.doc_id, round(coalesce(h, 0)::DOUBLE / sz, 6) AS containment
+         |FROM sz LEFT JOIN hits ON hits.doc_id = sz.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.containmentScores(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), round(col("containment"), 6).as("containment"))
+    },
+
     // IVF-Flat ANN: deterministic coarse quantizer (cells = vec_id<16),
     // nProbe=4, exact top-5 within probed cells. Oracle replays the exact
     // algorithm — this checks index assignment, probe selection and ranking.

@@ -85,6 +85,44 @@ object StatsQueries {
             .as("approx_in_bounds"))
     },
 
+    // A7 production shape at scale: PER-DIMENSION sketch quantiles (one GK
+    // sketch per dim, merged map-side — the dataset-profile path), bound-
+    // checked per dim against the exact form.
+    GQuery(
+      "q88_quantiles_by_dim",
+      s"""SELECT dim, unnest([0.25, 0.5, 0.75]) AS p,
+         |       round(unnest(quantile_cont(v, [0.25, 0.5, 0.75])), 4) AS q,
+         |       true AS in_bounds
+         |FROM ($explodeDimsSql)
+         |GROUP BY dim""".stripMargin) { (s, dir) =>
+      val ps = Seq(0.25, 0.5, 0.75)
+      val acc = 10000
+      // bracket = sketch rank error (2/acc) + discrete-sample quantization
+      // (the sketch returns an actual sample; with n values per dim the
+      // interpolated exact at p±ε only brackets it once ε covers ~2 ranks)
+      val nRows = Tables.embeddings(s, dir).count().toDouble
+      val eps = 2.0 / acc + 2.0 / nRows
+      val lo = ps.map(p => math.max(0.0, p - eps))
+      val hi = ps.map(p => math.min(1.0, p + eps))
+      val n = ps.size
+      graft.operators.ProfileStats.explodeDims(Tables.embeddings(s, dir), "embedding")
+        .groupBy("dim")
+        .agg(
+          percentile(col("value").cast("double"), typedLit(ps ++ lo ++ hi)).as("ex"),
+          percentile_approx(col("value").cast("double"), typedLit(ps), lit(acc)).as("approx"))
+        .select(col("dim"), posexplode(typedLit(List.range(0, n))).as(Seq("junk", "i")),
+          col("ex"), col("approx"))
+        .select(
+          col("dim"),
+          element_at(typedLit(ps), col("i") + 1).as("p"),
+          round(element_at(col("ex"), col("i") + 1), 4).as("q"),
+          (element_at(col("approx"), col("i") + 1) >=
+            element_at(col("ex"), col("i") + lit(n + 1)) &&
+            element_at(col("approx"), col("i") + 1) <=
+              element_at(col("ex"), col("i") + lit(2 * n + 1)))
+            .as("in_bounds"))
+    },
+
     // A8: per-dimension two-sample K-S between label<5 and label>=5 vectors.
     GQuery(
       "q30_ks_by_label",

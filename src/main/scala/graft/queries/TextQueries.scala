@@ -142,6 +142,21 @@ object TextQueries {
           round(sqrt(aggregate(col("nv"), lit(0.0), (acc, x) => acc + x * x)), 6).as("unit_norm"))
     },
 
+    // Repetition ratio (1 - type/token): the degenerate-text signal a
+    // training-data filter thresholds on.
+    GQuery(
+      "q86_repetition_ratio",
+      s"""SELECT doc_id,
+         |  round(CASE WHEN len($duckToks) = 0 THEN 0.0
+         |        ELSE 1.0 - len(list_distinct($duckToks))::DOUBLE / len($duckToks)
+         |        END, 6) AS rep_ratio
+         |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(TextFunctions.repetitionRatio(
+          TextFunctions.tokens(lower(col("text")))), 6).as("rep_ratio"))
+    },
+
     // Multimodal plumbing: binary payload column + partition-batched stub
     // feature extraction. The stub codec's byte-histogram features ARE
     // SQL-expressible over ASCII payloads, so the oracle recomputes every
