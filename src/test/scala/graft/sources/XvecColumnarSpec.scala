@@ -16,7 +16,10 @@ class XvecColumnarSpec extends SparkSpec {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
     val rows = (0L until n.toLong).map { i =>
-      (i, Array.fill(dim)((rnd.nextGaussian() * 4).toFloat))
+      // bvec is uint8: keep values in [0, 200) there; signed elsewhere
+      (i, Array.fill(dim)(
+        if (fmtExt == "bvec") rnd.nextInt(200).toFloat
+        else (rnd.nextGaussian() * 4).toFloat))
     }
     val path = Files.createTempDirectory("xvcol").toString + s"/t.$fmtExt"
     XvecIO.write(rows.toDF("ordinal", "vector"), path)
@@ -39,7 +42,7 @@ class XvecColumnarSpec extends SparkSpec {
   }
 
   test("columnar read == row read across element types") {
-    Seq("ivec", "dvec", "mvec").foreach { ext =>
+    Seq("ivec", "dvec", "mvec", "bvec", "svec").foreach { ext =>
       val path = write(ext, 300, 8)
       val col = spark.read.format("xvec").load(path).orderBy("ordinal").collect()
       val row = spark.read.format("xvec").option("columnar", "false").load(path)
