@@ -76,7 +76,12 @@ object Main {
         val query = readVectors(spark, need("query"))
           .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
         val k = flags.getOrElse("k", "10").toInt
-        val Array(mA, mB) = flags.getOrElse("metric", "COSINE,COSINE").split(",")
+        val (mA, mB) = flags.getOrElse("metric", "COSINE,COSINE").split(",") match {
+          case Array(one)    => (one, one) // one metric = self-check (recall 1)
+          case Array(a2, b2) => (a2, b2)
+          case other => throw new IllegalArgumentException(
+            s"verify_knn --metric takes A or A,B, got: ${other.mkString(",")}\n$usage")
+        }
         val a = Knn.knn(query, base, k, metric = mA)
         val b = Knn.knn(query, base, k, metric = mB)
         Knn.avgRecall(a, b, k)

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, Knn}
+
+/** Scaling soak (dev tool, not part of the driver contract): measures the
+  * flagship scale paths at 100-1000× the driver testdata sizes so the
+  * "would this survive 100×?" question has measured local answers.
+  * Prints one timing line per stage.
+  */
+object ScaleSoak {
+
+  private def timed[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[soak] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val nBase = sys.env.getOrElse("SOAK_BASE", "1000000").toLong
+    val dim = 64
+    val nQueries = 100
+
+    // --- vectors: generate once, reuse across stages
+    val base = timed(s"generate $nBase x $dim vectors") {
+      val df = operators.Generators.gaussianVectors(spark, nBase, dim)
+        .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+      df.cache(); df.count(); df
+    }
+    val queries = base.filter(col("vec_id") < nQueries)
+
+    val brute = timed(s"brute KNN $nQueries x $nBase k=10") {
+      val r = Knn.knn(queries, base, k = 10)
+      r.cache(); r.count(); r
+    }
+
+    val centroids = timed("IVF train (sampled KMeans, nList=256)") {
+      Ann.trainCentroids(spark, base, nList = 256)
+    }
+    val index = timed("IVF index assignment") {
+      val idx = Ann.ivfIndex(base, centroids)
+      idx.cache(); idx.count(); idx
+    }
+    val ivf = timed("IVF search nProbe=16") {
+      val r = Ann.ivfSearch(queries, index, centroids, k = 10, nProbe = 16)
+      r.cache(); r.count(); r
+    }
+    val recall = Knn.avgRecall(ivf, brute, 10).collect()(0).getDouble(0)
+    println(f"[soak] IVF recall@10 vs brute (nProbe=16/256): $recall%.4f")
+
+    // --- docs: synthetic corpus with planted near-dups
+    val nDocs = sys.env.getOrElse("SOAK_DOCS", "50000").toLong
+    val docs = timed(s"synthesize $nDocs docs") {
+      val d = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(w =>
+          // ~5k-word vocabulary, content seeded per (doc-family, position):
+          // every 10th doc is a near-dup of its family head (one word differs)
+          concat(lit("w"), pmod(xxhash64(
+            when(col("id") % 10 === 0, col("id") - lit(10)).otherwise(col("id") - col("id") % 10),
+            lit(w), when(lit(w) === 39, col("id") % 10).otherwise(lit(0))), lit(5000))
+          )): _*).as("text"))
+      d.cache(); d.count(); d
+    }
+    timed(s"MinHash+LSH near-dup pairs over $nDocs docs") {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+        numPerms = 128, bands = 32, threshold = 0.8).count()
+    }
+    timed(s"capped Jaccard (dfCap=500) over $nDocs docs") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.8, dfCap = 500).count()
+    }
+    timed(s"bucketed embedding near-dup over $nBase vectors") {
+      Dedup.embeddingNearDupPairsBucketed(base, "vec_id", "embedding",
+        threshold = 0.999, nBits = 12, nTables = 6).count()
+    }
+    spark.stop()
+  }
+}

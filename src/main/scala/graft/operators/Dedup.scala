@@ -95,8 +95,13 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
     } else {
       // capped path (production): candidate pairs from sub-cap shingles only,
-      // exact verify on the full sets (same shape as minhashLshPairs verify)
-      val sets = hashedShingleSets(docs, idCol, textCol, n).cache()
+      // exact verify on the full sets (same shape as minhashLshPairs verify).
+      // NOT cached: the shingle kernel is ~one-scan cost and a cache() here
+      // would pin the full corpus shingle table in executor storage with no
+      // in-function unpersist point (the returned frame is lazy); a caller
+      // reusing shingles across many dedup passes should persist its own
+      // shingle table upstream.
+      val sets = hashedShingleSets(docs, idCol, textCol, n)
       val posting = sets.select(col("id"), explode(col("shingles")).as("shingle"))
       val cool = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCap).select("shingle")
@@ -325,9 +330,14 @@ object Dedup {
     val sizes = docShingles.groupBy("id").agg(count(lit(1)).as("sz"))
     val hits = docShingles.join(benchSet, Seq("shingle"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("hits"))
-    sizes.join(hits, Seq("id"), "left")
+    // anchor on ALL input ids: hashedShingleSets drops docs with < n tokens,
+    // and those must still surface with containment 0, not vanish
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(sizes, Seq("id"), "left")
+      .join(hits, Seq("id"), "left")
       .select(col("id"),
-        (coalesce(col("hits"), lit(0L)).cast("double") / col("sz").cast("double"))
+        when(coalesce(col("sz"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(coalesce(col("hits"), lit(0L)).cast("double") / col("sz").cast("double"))
           .as("containment"))
   }
 

@@ -19,6 +19,9 @@ object HttpFixture {
 
   private val rangeRe = "bytes=(\\d+)-(\\d+)".r
   private val registry = new java.util.concurrent.ConcurrentHashMap[String, Path]()
+  // keys served WITHOUT range support (200 + full body even when a Range
+  // header arrives) — exercises the fetcher's skip-to-offset fallback
+  private val noRange = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   @volatile private var server: HttpServer = null
 
   private def ensureStarted(): HttpServer = synchronized {
@@ -51,7 +54,9 @@ object HttpFixture {
       } else {
         val size = Files.size(path)
         ex.getResponseHeaders.set("Accept-Ranges", "bytes")
-        val range = Option(ex.getRequestHeaders.getFirst("Range"))
+        val range =
+          if (noRange.contains(key)) None
+          else Option(ex.getRequestHeaders.getFirst("Range"))
         (ex.getRequestMethod, range) match {
           case ("HEAD", _) =>
             // HttpServer forbids a body on HEAD: length -1 = no body, so set
@@ -98,5 +103,14 @@ object HttpFixture {
     val key = s"f${Integer.toHexString(path.hashCode)}-${p.getFileName}"
     registry.put(key, p)
     s"http://127.0.0.1:${s.getAddress.getPort}/$key"
+  }
+
+  /** Serve `path` with Range requests IGNORED (always 200 + full body) —
+    * the degraded-server case the fetcher must survive by skipping.
+    */
+  def serveWithoutRanges(path: String): String = {
+    val url = serve(path)
+    noRange.add(url.substring(url.lastIndexOf('/') + 1))
+    url
   }
 }

@@ -18,31 +18,38 @@ import graft.predicates.{ConjugateNode, PNode, PNodeCodec, PNodeEvaluator, Predi
   */
 object HybridGroundTruth {
 
-  /** Per-executor decoded-tree LRU cache (keyed by blob bytes). The fields
-    * set rides along for fail-fast schema validation, and each entry
-    * memoizes the schema instances it has been validated against so the
-    * per-row path is one map hit, not a field-set recomputation.
+  /** Per-executor decoded-tree cache (keyed by blob bytes): lock-free
+    * ConcurrentHashMap reads with FIFO size-bounding (misses enqueue their
+    * key; over-budget inserts evict the oldest — not strict LRU, but
+    * bounded, and the hot path never takes a lock). Each entry memoizes the
+    * last StructType REFERENCE it validated against: within one query every
+    * Row carries the same schema instance, so validation collapses to one
+    * `eq` check per row; an unseen instance just re-validates (exact — no
+    * hash-collision false positives — and merely costs the optimization).
     */
   private final class TreeEntry(val tree: PNode, val fields: Set[String]) {
-    // identity hashes of fieldName arrays this tree was validated against —
-    // within one query every Row shares the StructType (and its array), so
-    // this collapses validation to an integer set probe; an unseen identity
-    // just re-validates (correct, merely slower)
-    val validatedSchemas = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    @volatile var lastValidatedSchema: AnyRef = null
   }
 
   private object TreeCache {
     private val MaxEntries = 10000
-    private val cache =
-      new java.util.LinkedHashMap[Seq[Byte], TreeEntry](256, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[Seq[Byte], TreeEntry]) =
-          size() > MaxEntries
-      }
-    def get(blob: Array[Byte]): TreeEntry = cache.synchronized {
-      cache.computeIfAbsent(blob.toSeq, _ => {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[Seq[Byte], TreeEntry]()
+    private val insertion = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Byte]]()
+    def get(blob: Array[Byte]): TreeEntry = {
+      val key: Seq[Byte] = scala.collection.immutable.ArraySeq.unsafeWrapArray(blob)
+      val hit = cache.get(key)
+      if (hit != null) return hit
+      val entry = cache.computeIfAbsent(key, _ => {
+        insertion.add(key)
         val tree = PNodeCodec.decodeFramed(blob)
         new TreeEntry(tree, fieldsOf(tree))
       })
+      while (cache.size() > MaxEntries) {
+        val oldest = insertion.poll()
+        if (oldest == null) return entry
+        cache.remove(oldest)
+      }
+      entry
     }
     private def fieldsOf(n: PNode): Set[String] = n match {
       case ConjugateNode(_, cs) => cs.flatMap(fieldsOf).toSet
@@ -59,16 +66,16 @@ object HybridGroundTruth {
     if (blob == null) true
     else {
       val entry = TreeCache.get(blob)
-      val names = meta.schema.fieldNames
-      val schemaId = System.identityHashCode(names)
-      if (!entry.validatedSchemas.contains(schemaId)) {
+      val schema = meta.schema
+      if (entry.lastValidatedSchema ne schema) {
+        val names = schema.fieldNames
         val missing = entry.fields.filterNot(names.contains)
         if (missing.nonEmpty) {
           throw new IllegalArgumentException(
             s"predicate references fields ${missing.mkString(",")} not present in " +
               s"metadataCols ${names.mkString("[", ",", "]")}")
         }
-        entry.validatedSchemas.add(schemaId)
+        entry.lastValidatedSchema = schema
       }
       PNodeEvaluator.matchesRow(entry.tree, meta)
     }

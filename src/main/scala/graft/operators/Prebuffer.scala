@@ -97,6 +97,17 @@ object Prebuffer {
           s"GET $url: HTTP $code (no range support?)")
         val in = conn.getInputStream
         try {
+          // a 200 means the server ignored the Range header and is sending
+          // the FULL body from byte 0 — skip up to `offset` or the returned
+          // window would silently be the file head, not the requested range
+          if (code == 200) {
+            var toSkip = offset
+            while (toSkip > 0) {
+              val s = in.skip(toSkip)
+              require(s > 0, s"GET $url: EOF while skipping to offset $offset")
+              toSkip -= s
+            }
+          }
           val buf = new Array[Byte](length)
           var read = 0
           while (read < length) {

@@ -194,8 +194,12 @@ object DedupQueries {
          |sz AS (SELECT doc_id, count(*) AS sz FROM doc GROUP BY 1),
          |hits AS (SELECT d.doc_id, count(*) AS h FROM doc d
          |         JOIN bset b ON d.shingle = b.shingle GROUP BY 1)
-         |SELECT sz.doc_id, round(coalesce(h, 0)::DOUBLE / sz, 6) AS containment
-         |FROM sz LEFT JOIN hits ON hits.doc_id = sz.doc_id""".stripMargin) { (s, dir) =>
+         |SELECT a.doc_id,
+         |       round(CASE WHEN coalesce(sz, 0) = 0 THEN 0.0
+         |             ELSE coalesce(h, 0)::DOUBLE / sz END, 6) AS containment
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) a
+         |LEFT JOIN sz ON sz.doc_id = a.doc_id
+         |LEFT JOIN hits ON hits.doc_id = a.doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       Dedup.containmentScores(
           docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),

@@ -167,7 +167,7 @@ object TextQueries {
       """WITH d AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t
         |           FROM documents WHERE doc_id < 500),
         |chars AS (SELECT doc_id, ascii(substr(t, i::INT, 1)) % 8 AS bucket
-        |          FROM d, (SELECT unnest(range(1, 2000)) AS i)
+        |          FROM d, (SELECT unnest(range(1, (SELECT max(length(t)) + 1 FROM d))) AS i)
         |          WHERE i <= length(t)),
         |h AS (SELECT doc_id, bucket, count(*) AS cnt FROM chars GROUP BY 1, 2),
         |grid AS (SELECT doc_id, length(t) AS n_bytes, b.bucket

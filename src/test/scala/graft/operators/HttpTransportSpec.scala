@@ -27,6 +27,16 @@ class HttpTransportSpec extends SparkSpec {
     assert(f.fetchRange(4321, 1234).toSeq == content.slice(4321, 5555).toSeq)
   }
 
+  test("HttpRangeFetcher: a server that ignores Range still yields the right window") {
+    val content = Array.tabulate[Byte](8192)(i => (i * 31 % 256).toByte)
+    val url = HttpFixture.serveWithoutRanges(tmpFile(content))
+    val f = new Prebuffer.HttpRangeFetcher(url)
+    // 200 + full body → the fetcher must skip to the offset, not return the head
+    assert(f.fetchRange(4096, 1024).toSeq == content.slice(4096, 5120).toSeq)
+    assert(f.fetchRange(0, 64).toSeq == content.slice(0, 64).toSeq)
+    assert(f.fetchRange(8000, 192).toSeq == content.slice(8000, 8192).toSeq)
+  }
+
   test("HttpRangeFetcher: bounded retry then a diagnosable failure") {
     val url = HttpFixture.serve(tmpFile(Array[Byte](1, 2, 3)))
     val missing = url.dropRight(1) + "nope"
