@@ -80,8 +80,9 @@ object ScaleSoak {
         threshold = 0.8, dfCap = 500).count()
     }
     timed(s"bucketed embedding near-dup over $nBase vectors") {
+      // bits sized to corpus (log2(1M)+2 = 22): single-digit bucket occupancy
       Dedup.embeddingNearDupPairsBucketed(base, "vec_id", "embedding",
-        threshold = 0.999, nBits = 12, nTables = 6).count()
+        threshold = 0.999, nBits = 22, nTables = 8).count()
     }
     spark.stop()
   }

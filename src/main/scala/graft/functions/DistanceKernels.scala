@@ -46,6 +46,42 @@ object DistanceKernels {
     case m           => throw new IllegalArgumentException(s"unknown metric id: $m")
   }
 
+  /** Plain float-array form for typed kernels (zero-copy path for
+    * Dataset.map operators like ivfIndex). Accumulation order is identical
+    * to the ArrayData loops, so results are bit-equal across both forms.
+    */
+  def computeArrays(a: Array[Float], b: Array[Float], metric: Int): Double = {
+    val n = a.length
+    if (n != b.length) {
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${a.length} vs ${b.length}")
+    }
+    metric match {
+      case COSINE =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+      case EUCLIDEAN =>
+        var s = 0.0; var i = 0
+        while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+        math.sqrt(s)
+      case L1 =>
+        var s = 0.0; var i = 0
+        while (i < n) { s += math.abs(a(i).toDouble - b(i).toDouble); i += 1 }
+        s
+      case DOT_PRODUCT =>
+        var s = 0.0; var i = 0
+        while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        -s
+      case m => throw new IllegalArgumentException(s"unknown metric id: $m")
+    }
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = checkDims(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -30,16 +30,34 @@ object Ann {
     */
   def ivfIndex(base: DataFrame, centroids: DataFrame, metric: String = "COSINE",
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = centroids.select(col(idCol).cast("long").as("cell"), col(vecCol).as("c_vec"))
-    base.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(c))
-      .groupBy("id")
-      .agg(
-        first("vec").as("vec"),
-        min(struct(
-          VectorFunctions.distance(col("vec"), col("c_vec"), metric).as("d"),
-          col("cell"))).as("best"))
-      .select(col("id"), col("vec"), col("best.cell").as("cell"))
+    // Map-side argmin over the BROADCAST centroid array — one pass, zero
+    // shuffle. (The declarative form — crossJoin(broadcast) + groupBy(id) —
+    // explodes nList rows per record THROUGH AN EXCHANGE carrying the vector
+    // payload: measured 322 s vs seconds for this kernel at 1M × 256 cells.)
+    val spark = base.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    val metricId = graft.functions.DistanceKernels.metricId(metric)
+    base.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, vec) =>
+        val cs = bc.value
+        var bestCell = -1L
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val d = graft.functions.DistanceKernels.computeArrays(vec, cs(i)._2, metricId)
+          // strict < with cells iterated in ascending id order = lowest-cell
+          // tie-break, matching the declarative min(struct(d, cell)) form
+          if (d < bestD) { bestD = d; bestCell = cs(i)._1 }
+          i += 1
+        }
+        (id, vec, bestCell)
+      }
+      .toDF("id", "vec", "cell")
   }
 
   /** IVF search: probe the `nProbe` nearest cells per query, exact top-k

@@ -364,6 +364,12 @@ object Dedup {
     * dups (s>=0.95, θ<=18°) are caught with miss probability
     * (1-0.9^8)^8 ≈ 2e-5 at the 8×8 default — the oracled query proves
     * recall=1 against the all-pairs form on planted near-dups.
+    *
+    * SIZE nBits TO THE CORPUS: expected bucket occupancy is n/2^nBits per
+    * table, and candidate volume grows with occupancy² — aim for single-
+    * digit occupancy (nBits ≈ log2(n) + 2; e.g. 1M rows → 22 bits,
+    * compensating recall with more tables). The 8-bit default fits the
+    * driver testdata (~500 rows); it is NOT a 1M-row setting.
     */
   def embeddingNearDupPairsBucketed(embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8, nTables: Int = 8, seed: Long = 42L): DataFrame = {
