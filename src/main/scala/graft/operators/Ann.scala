@@ -67,19 +67,39 @@ object Ann {
       k: Int, nProbe: Int, metric: String = "COSINE",
       idCol: String = "vec_id", vecCol: String = "embedding",
       excludeSelf: Boolean = false): DataFrame = {
-    val c = centroids.select(col(idCol).cast("long").as("cell"), col(vecCol).as("c_vec"))
+    val spark = queries.sparkSession
+    import spark.implicits._
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"))
 
-    // per-query probe list: nProbe nearest centroids (centroid set is small →
-    // broadcast nested loop + heap, never a wide shuffle)
-    val probes = q.crossJoin(broadcast(c))
-      .groupBy("query_id")
-      .agg(
-        first("q_vec").as("q_vec"),
-        topKPairs(VectorFunctions.distance(col("q_vec"), col("c_vec"), metric),
-          col("cell"), nProbe).as("cells"))
-      .select(col("query_id"), col("q_vec"),
-        explode(col("cells.id")).as("cell"))
+    // per-query probe list: nProbe nearest centroids via a map-side kernel
+    // over the broadcast centroid array — zero shuffle (the declarative
+    // crossJoin+groupBy form exchanges nList exploded rows per query, query
+    // vector included; same anti-pattern the index side had)
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    val metricId = graft.functions.DistanceKernels.metricId(metric)
+    val probes = q.select(col("query_id"), col("q_vec").cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        val cs = bc.value
+        // bounded selection of the nProbe best (dist, cell) pairs; ties on
+        // distance break to the lower cell (ascending scan + strict compare)
+        val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by(p => (p._1, p._2)))
+        var i = 0
+        while (i < cs.length) {
+          val d = graft.functions.DistanceKernels.computeArrays(qv, cs(i)._2, metricId)
+          if (heap.size < nProbe) heap.enqueue((d, cs(i)._1))
+          else if (Ordering.Tuple2[Double, Long].lt((d, cs(i)._1), heap.head)) {
+            heap.dequeue(); heap.enqueue((d, cs(i)._1))
+          }
+          i += 1
+        }
+        heap.toSeq.map { case (_, cell) => (qid, qv, cell) }
+      }
+      .toDF("query_id", "q_vec", "cell")
 
     // probe join is cell-equi — partition pruning territory at scale
     var pairs = probes.join(index, "cell")
