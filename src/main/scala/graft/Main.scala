@@ -76,11 +76,13 @@ object Main {
         val query = readVectors(spark, need("query"))
           .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
         val k = flags.getOrElse("k", "10").toInt
-        val (mA, mB) = flags.getOrElse("metric", "COSINE,COSINE").split(",") match {
-          case Array(one)    => (one, one) // one metric = self-check (recall 1)
-          case Array(a2, b2) => (a2, b2)
+        // split with -1: a trailing comma must be an error, not a silent
+        // self-check (split's default drops trailing empty strings)
+        val (mA, mB) = flags.getOrElse("metric", "COSINE,COSINE").split(",", -1) match {
+          case Array(one) if one.nonEmpty => (one, one) // self-check (recall 1)
+          case Array(a2, b2) if a2.nonEmpty && b2.nonEmpty => (a2, b2)
           case other => throw new IllegalArgumentException(
-            s"verify_knn --metric takes A or A,B, got: ${other.mkString(",")}\n$usage")
+            s"verify_knn --metric takes A or A,B, got: '${other.mkString(",")}'\n$usage")
         }
         val a = Knn.knn(query, base, k, metric = mA)
         val b = Knn.knn(query, base, k, metric = mB)

@@ -39,6 +39,7 @@ object Ann {
     val cents: Array[(Long, Array[Float])] = centroids
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty, "ivfIndex: empty centroid set (mis-filtered quantizer?)")
     val bc = spark.sparkContext.broadcast(cents)
     val metricId = graft.functions.DistanceKernels.metricId(metric)
     base.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
@@ -78,6 +79,7 @@ object Ann {
     val cents: Array[(Long, Array[Float])] = centroids
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty, "ivfSearch: empty centroid set (mis-filtered quantizer?)")
     val bc = spark.sparkContext.broadcast(cents)
     val metricId = graft.functions.DistanceKernels.metricId(metric)
     val probes = q.select(col("query_id"), col("q_vec").cast("array<float>"))

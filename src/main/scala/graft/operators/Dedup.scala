@@ -96,12 +96,13 @@ object Dedup {
     } else {
       // capped path (production): candidate pairs from sub-cap shingles only,
       // exact verify on the full sets (same shape as minhashLshPairs verify).
-      // NOT cached: the shingle kernel is ~one-scan cost and a cache() here
-      // would pin the full corpus shingle table in executor storage with no
-      // in-function unpersist point (the returned frame is lazy); a caller
-      // reusing shingles across many dedup passes should persist its own
-      // shingle table upstream.
-      val sets = hashedShingleSets(docs, idCol, textCol, n)
+      // cache(): `sets` feeds df-counting, candidate generation AND both
+      // verification joins — uncached, the tokenize+hash kernel would rerun
+      // up to 4× per action. The block pins executor storage until LRU
+      // eviction (same accepted trade as minhashLshPairs); callers running
+      // many dedup passes should persist a shingle table upstream and
+      // unpersist it themselves.
+      val sets = hashedShingleSets(docs, idCol, textCol, n).cache()
       val posting = sets.select(col("id"), explode(col("shingles")).as("shingle"))
       val cool = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCap).select("shingle")

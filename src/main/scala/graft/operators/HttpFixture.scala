@@ -106,11 +106,17 @@ object HttpFixture {
   }
 
   /** Serve `path` with Range requests IGNORED (always 200 + full body) —
-    * the degraded-server case the fetcher must survive by skipping.
+    * the degraded-server case the fetcher must survive by skipping. Uses its
+    * own key namespace so a normal `serve()` of the same path keeps range
+    * support (shared keys would retroactively poison earlier URLs).
     */
   def serveWithoutRanges(path: String): String = {
-    val url = serve(path)
-    noRange.add(url.substring(url.lastIndexOf('/') + 1))
-    url
+    val p = Paths.get(path)
+    require(Files.exists(p), s"no such file: $path")
+    val s = ensureStarted()
+    val key = s"nr${Integer.toHexString(path.hashCode)}-${p.getFileName}"
+    registry.put(key, p)
+    noRange.add(key)
+    s"http://127.0.0.1:${s.getAddress.getPort}/$key"
   }
 }

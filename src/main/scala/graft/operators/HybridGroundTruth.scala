@@ -28,7 +28,15 @@ object HybridGroundTruth {
     * hash-collision false positives — and merely costs the optimization).
     */
   private final class TreeEntry(val tree: PNode, val fields: Set[String]) {
-    @volatile var lastValidatedSchema: AnyRef = null
+    // identity REFERENCES of schema instances this tree was validated
+    // against (bounded): concurrent tasks each carry their own deserialized
+    // StructType, so a single slot would thrash — a small eq-scanned list
+    // accepts one instance per task. Races may drop a prepend (benign:
+    // re-validation is correct, just unmemoized for that row).
+    @volatile var validatedSchemas: List[AnyRef] = Nil
+    def isValidated(schema: AnyRef): Boolean = validatedSchemas.exists(_ eq schema)
+    def markValidated(schema: AnyRef): Unit =
+      validatedSchemas = (schema :: validatedSchemas).take(64)
   }
 
   private object TreeCache {
@@ -40,8 +48,10 @@ object HybridGroundTruth {
       val hit = cache.get(key)
       if (hit != null) return hit
       val entry = cache.computeIfAbsent(key, _ => {
-        insertion.add(key)
+        // decode BEFORE enqueueing: a throwing decode must not leave a
+        // phantom key desyncing the FIFO from the cache
         val tree = PNodeCodec.decodeFramed(blob)
+        insertion.add(key)
         new TreeEntry(tree, fieldsOf(tree))
       })
       while (cache.size() > MaxEntries) {
@@ -67,7 +77,7 @@ object HybridGroundTruth {
     else {
       val entry = TreeCache.get(blob)
       val schema = meta.schema
-      if (entry.lastValidatedSchema ne schema) {
+      if (!entry.isValidated(schema)) {
         val names = schema.fieldNames
         val missing = entry.fields.filterNot(names.contains)
         if (missing.nonEmpty) {
@@ -75,7 +85,7 @@ object HybridGroundTruth {
             s"predicate references fields ${missing.mkString(",")} not present in " +
               s"metadataCols ${names.mkString("[", ",", "]")}")
         }
-        entry.lastValidatedSchema = schema
+        entry.markValidated(schema)
       }
       PNodeEvaluator.matchesRow(entry.tree, meta)
     }
