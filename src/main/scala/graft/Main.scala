@@ -116,6 +116,34 @@ object Main {
       case "slab-analyze" =>
         new SlabTable(spark, need("slab")).stats()
 
+      case "dedup" =>
+        // near-duplicate pairs over a (id, text) parquet/csv corpus
+        val docs = spark.read.parquet(need("input"))
+        val idC = flags.getOrElse("id-col", "doc_id")
+        val txtC = flags.getOrElse("text-col", "text")
+        flags.getOrElse("method", "minhash") match {
+          case "exact"   => operators.Dedup.exactGroups(docs, idC, txtC)
+            .filter(col("multiplicity") > 1)
+          case "minhash" => operators.Dedup.minhashLshPairs(docs, idC, txtC,
+            threshold = flags.getOrElse("threshold", "0.8").toDouble)
+          case "jaccard" => operators.Dedup.ngramJaccardPairs(docs, idC, txtC,
+            threshold = flags.getOrElse("threshold", "0.5").toDouble,
+            dfCap = flags.getOrElse("df-cap", "0").toInt)
+          case "simhash" => operators.Dedup.simhashNearDupPairs(
+            operators.Dedup.simhash(docs, idC, txtC))
+          case m => throw new IllegalArgumentException(
+            s"unknown dedup method: $m (exact|minhash|jaccard|simhash)\n$usage")
+        }
+
+      case "decontaminate" =>
+        // per-doc n-gram containment of --input against --benchmark
+        val docs = spark.read.parquet(need("input"))
+        val bench = spark.read.parquet(need("benchmark"))
+        val idC = flags.getOrElse("id-col", "doc_id")
+        val txtC = flags.getOrElse("text-col", "text")
+        operators.Dedup.containmentScores(docs, bench, idC, txtC)
+          .filter(col("containment") >= flags.getOrElse("threshold", "0.0").toDouble)
+
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")
     }
@@ -130,7 +158,9 @@ object Main {
       |  generate --count N --dim D [--seed S] --out PATH
       |  slab-import --slab DIR --ns NS --file PATH
       |  slab-export --slab DIR --ns NS --out PATH
-      |  slab-analyze --slab DIR""".stripMargin
+      |  slab-analyze --slab DIR
+      |  dedup --input PARQUET [--method exact|minhash|jaccard|simhash] [--threshold T] [--df-cap N]
+      |  decontaminate --input PARQUET --benchmark PARQUET [--threshold T]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

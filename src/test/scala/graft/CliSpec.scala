@@ -74,6 +74,32 @@ class CliSpec extends SparkSpec {
     assert(lines == Seq("alpha", "beta", "gamma"))
   }
 
+  test("dedup and decontaminate") {
+    import spark.implicits._
+    val corpus = s"$dir/corpus.parquet"
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different text about something else entirely here"),
+      (3L, "benchmark sentence one two three four five six seven"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpus)
+    val bench = s"$dir/bench.parquet"
+    Seq((100L, "benchmark sentence one two three four five six seven"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(bench)
+
+    val pairs = Main.run(spark, Seq("dedup", "--input", corpus,
+      "--method", "jaccard", "--threshold", "0.9"))
+    assert(pairs.select("id_a", "id_b").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+
+    val exact = Main.run(spark, Seq("dedup", "--input", corpus, "--method", "exact"))
+    assert(exact.count() == 1)
+
+    val contam = Main.run(spark, Seq("decontaminate", "--input", corpus,
+      "--benchmark", bench, "--threshold", "0.9"))
+    assert(contam.select("id").collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))
