@@ -58,8 +58,9 @@ object ScaleSoak {
     val recall = Knn.avgRecall(ivf, brute, 10).collect()(0).getDouble(0)
     println(f"[soak] IVF recall@10 vs brute (nProbe=16/256): $recall%.4f")
 
-    // --- docs: synthetic corpus with planted near-dups
+    // --- docs: synthetic corpus with planted near-dups (SOAK_DOCS=0 skips)
     val nDocs = sys.env.getOrElse("SOAK_DOCS", "50000").toLong
+    if (nDocs == 0) { spark.stop(); return }
     val docs = timed(s"synthesize $nDocs docs") {
       val d = spark.range(nDocs).select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 40).map(w =>

@@ -13,6 +13,30 @@ object StreamQueries {
 
   val all: Seq[GQuery] = Seq(
 
+    // T4 progress events: a SparkListener-driven reporter observes a real
+    // scan — every input record is accounted for and at least one cadence
+    // tick fires. The async listener bus is drained by polling before the
+    // assertions are emitted (deterministic: sequential Verify/Bench runs
+    // mean no foreign tasks pollute the counter between attach and close).
+    GQuery(
+      "q89_progress_events",
+      """SELECT true AS scanned_all, true AS ticked""") { (s, dir) =>
+      import s.implicits._
+      val expected = Tables.embeddings(s, dir).count()
+      val ticks = new java.util.concurrent.atomic.AtomicLong(0)
+      val rep = new graft.streaming.ProgressReporter(s,
+        everyRecords = 100, everyMillis = 1)(_ => ticks.incrementAndGet())
+      try {
+        // force a real data read (a bare count() would be answered from
+        // parquet metadata and record no input rows)
+        Tables.embeddings(s, dir).agg(sum("vec_id")).collect()
+        val deadline = System.currentTimeMillis() + 15000
+        while (rep.totalRecords < expected && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+      } finally rep.close()
+      Seq((rep.totalRecords >= expected, ticks.get() > 0)).toDF("scanned_all", "ticked")
+    },
+
     // Gap-based sessionization (30-min inactivity).
     GQuery(
       "q17_sessionize",
