@@ -126,9 +126,20 @@ object Main {
             .filter(col("multiplicity") > 1)
           case "minhash" => operators.Dedup.minhashLshPairs(docs, idC, txtC,
             threshold = flags.getOrElse("threshold", "0.8").toDouble)
-          case "jaccard" => operators.Dedup.ngramJaccardPairs(docs, idC, txtC,
-            threshold = flags.getOrElse("threshold", "0.5").toDouble,
-            dfCap = flags.getOrElse("df-cap", "0").toInt)
+          case "jaccard" =>
+            val threshold = flags.getOrElse("threshold", "0.5").toDouble
+            val dfCap = flags.getOrElse("df-cap", "0").toInt
+            if (dfCap > 0) {
+              // long-lived-session hygiene: own the shingle-table persistence
+              // here — materialize the pairs (localCheckpoint truncates the
+              // lineage back into `sets`), then release the cached table so
+              // repeated CLI invocations don't accumulate pinned storage
+              val sets = operators.Dedup.hashedShingleSets(docs, idC, txtC, 3).cache()
+              try operators.Dedup.cappedJaccardPairsFromSets(sets, threshold, dfCap)
+                .localCheckpoint(eager = true)
+              finally sets.unpersist()
+            } else operators.Dedup.ngramJaccardPairs(docs, idC, txtC,
+              threshold = threshold)
           case "simhash" => operators.Dedup.simhashNearDupPairs(
             operators.Dedup.simhash(docs, idC, txtC))
           case m => throw new IllegalArgumentException(

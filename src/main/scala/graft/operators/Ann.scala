@@ -80,6 +80,7 @@ object Ann {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     require(cents.nonEmpty, "ivfSearch: empty centroid set (mis-filtered quantizer?)")
+    require(nProbe > 0 && k > 0, s"ivfSearch: nProbe ($nProbe) and k ($k) must be positive")
     val bc = spark.sparkContext.broadcast(cents)
     val metricId = graft.functions.DistanceKernels.metricId(metric)
     val probes = q.select(col("query_id"), col("q_vec").cast("array<float>"))
@@ -132,15 +133,23 @@ object Ann {
     */
   def trainCentroids(spark: SparkSession, base: DataFrame, nList: Int,
       idCol: String = "vec_id", vecCol: String = "embedding", seed: Long = 42L,
-      samplePerCell: Int = 1000): DataFrame = {
+      samplePerCell: Int = 1000, sampleFraction: Double = Double.NaN): DataFrame = {
     // never fit KMeans on the full base relation: O(nList·samplePerCell)
-    // rows train centroids of the same quality, and a deterministic hash
-    // sample keeps the fit reproducible under any partitioning
+    // rows train centroids of the same quality. When the caller knows the
+    // corpus scale, pass `sampleFraction` — that path is a single
+    // sample+fit with NO pre-count pass over the base. The fallback derives
+    // the modulus from one narrow count of idCol and hash-samples on the id;
+    // ids must be unique for that sample to be unbiased (duplicate ids are
+    // kept or dropped together).
     val target = nList.toLong * samplePerCell
-    val n = base.count()
     val sampled =
-      if (n <= target) base
-      else base.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(n / target)) === 0)
+      if (!sampleFraction.isNaN)
+        base.sample(withReplacement = false, sampleFraction, seed)
+      else {
+        val n = base.select(col(idCol)).count()
+        if (n <= target) base
+        else base.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(n / target)) === 0)
+      }
     val feat = sampled.select(array_to_vector(col(vecCol)).as("features"))
     val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(20).fit(feat)
     val rows = model.clusterCenters.zipWithIndex.map { case (v, i) =>

@@ -99,26 +99,39 @@ object Dedup {
       // cache(): `sets` feeds df-counting, candidate generation AND both
       // verification joins — uncached, the tokenize+hash kernel would rerun
       // up to 4× per action. The block pins executor storage until LRU
-      // eviction (same accepted trade as minhashLshPairs); callers running
-      // many dedup passes should persist a shingle table upstream and
-      // unpersist it themselves.
-      val sets = hashedShingleSets(docs, idCol, textCol, n).cache()
-      val posting = sets.select(col("id"), explode(col("shingles")).as("shingle"))
-      val cool = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= dfCap).select("shingle")
-      val capped = posting.join(cool, "shingle")
-      val candidates = capped.as("a").join(capped.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .dropDuplicates("id_a", "id_b")
-      candidates
-        .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-        .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
+      // eviction; long-lived sessions running repeated dedup passes should
+      // build the shingle table once (`hashedShingleSets`), persist it, call
+      // `cappedJaccardPairsFromSets`, and unpersist after materializing —
+      // the CLI dedup subcommand does exactly that.
+      cappedJaccardPairsFromSets(
+        hashedShingleSets(docs, idCol, textCol, n).cache(), threshold, dfCap)
     }
+  }
+
+  /** Capped-Jaccard pairs from a precomputed `(id, shingles)` table (the
+    * output shape of [[hashedShingleSets]]). Persistence of `sets` is the
+    * CALLER's responsibility — it is consumed by df-counting, candidate
+    * generation and both verification joins, so persist it first and
+    * unpersist once the returned frame is materialized.
+    */
+  def cappedJaccardPairsFromSets(sets: DataFrame, threshold: Double,
+      dfCap: Int): DataFrame = {
+    require(dfCap > 0, s"dfCap must be positive, got $dfCap")
+    val posting = sets.select(col("id"), explode(col("shingles")).as("shingle"))
+    val cool = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("shingle")
+    val capped = posting.join(cool, "shingle")
+    val candidates = capped.as("a").join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   private val MersennePrime = (1L << 61) - 1

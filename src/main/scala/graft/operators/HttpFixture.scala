@@ -22,6 +22,9 @@ object HttpFixture {
   // keys served WITHOUT range support (200 + full body even when a Range
   // header arrives) — exercises the fetcher's skip-to-offset fallback
   private val noRange = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // monotonic registry keys: hashCode-based keys could collide across two
+  // distinct paths with the same filename and silently remap an earlier URL
+  private val keySeq = new java.util.concurrent.atomic.AtomicLong(0)
   @volatile private var server: HttpServer = null
 
   private def ensureStarted(): HttpServer = synchronized {
@@ -100,7 +103,7 @@ object HttpFixture {
     val p = Paths.get(path)
     require(Files.exists(p), s"no such file: $path")
     val s = ensureStarted()
-    val key = s"f${Integer.toHexString(path.hashCode)}-${p.getFileName}"
+    val key = s"f${keySeq.incrementAndGet()}-${p.getFileName}"
     registry.put(key, p)
     s"http://127.0.0.1:${s.getAddress.getPort}/$key"
   }
@@ -114,7 +117,7 @@ object HttpFixture {
     val p = Paths.get(path)
     require(Files.exists(p), s"no such file: $path")
     val s = ensureStarted()
-    val key = s"nr${Integer.toHexString(path.hashCode)}-${p.getFileName}"
+    val key = s"nr${keySeq.incrementAndGet()}-${p.getFileName}"
     registry.put(key, p)
     noRange.add(key)
     s"http://127.0.0.1:${s.getAddress.getPort}/$key"

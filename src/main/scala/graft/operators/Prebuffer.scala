@@ -53,13 +53,19 @@ object Prebuffer {
   final class HttpRangeFetcher(url: String, maxRetries: Int = 3,
       baseBackoffMs: Long = 50L) extends RangeFetcher {
 
+    /** Retries ONLY transient failures — IOException (connect/read/timeout/
+      * truncation) and 5xx responses (rethrown as IOException below). 4xx
+      * statuses and argument/shape errors (IllegalArgumentException from
+      * require) are permanent: they surface immediately with their real
+      * cause instead of paying the backoff ladder.
+      */
     private def withRetry[A](what: String)(f: => A): A = {
       var attempt = 0
-      var lastErr: Exception = null
+      var lastErr: java.io.IOException = null
       while (attempt <= maxRetries) {
         try return f
         catch {
-          case e: Exception =>
+          case e: java.io.IOException =>
             lastErr = e
             attempt += 1
             if (attempt <= maxRetries) Thread.sleep(baseBackoffMs << (attempt - 1))
@@ -69,6 +75,12 @@ object Prebuffer {
         s"$what failed after ${maxRetries + 1} attempts: $lastErr", lastErr)
     }
 
+    /** 5xx → IOException (retryable); anything else unexpected → permanent. */
+    private def checkStatus(code: Int, ok: Int => Boolean, what: String): Unit = {
+      if (code >= 500) throw new java.io.IOException(s"$what: HTTP $code")
+      require(ok(code), s"$what: HTTP $code")
+    }
+
     def size(): Long = withRetry(s"HEAD $url") {
       val conn = new java.net.URL(url).openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
@@ -76,8 +88,7 @@ object Prebuffer {
         conn.setRequestMethod("HEAD")
         conn.setConnectTimeout(5000)
         conn.setReadTimeout(10000)
-        val code = conn.getResponseCode
-        require(code == 200, s"HEAD $url: HTTP $code")
+        checkStatus(conn.getResponseCode, _ == 200, s"HEAD $url")
         val len = conn.getContentLengthLong
         require(len >= 0, s"HEAD $url: no Content-Length")
         len
@@ -93,18 +104,21 @@ object Prebuffer {
         conn.setConnectTimeout(5000)
         conn.setReadTimeout(30000)
         val code = conn.getResponseCode
-        require(code == 206 || code == 200,
-          s"GET $url: HTTP $code (no range support?)")
+        checkStatus(code, c => c == 206 || c == 200,
+          s"GET $url (no range support?)")
         val in = conn.getInputStream
         try {
           // a 200 means the server ignored the Range header and is sending
           // the FULL body from byte 0 — skip up to `offset` or the returned
-          // window would silently be the file head, not the requested range
+          // window would silently be the file head, not the requested range.
+          // Truncation mid-stream is transient (server dropped us) →
+          // IOException, retried.
           if (code == 200) {
             var toSkip = offset
             while (toSkip > 0) {
               val s = in.skip(toSkip)
-              require(s > 0, s"GET $url: EOF while skipping to offset $offset")
+              if (s <= 0) throw new java.io.IOException(
+                s"GET $url: EOF while skipping to offset $offset")
               toSkip -= s
             }
           }
@@ -112,7 +126,7 @@ object Prebuffer {
           var read = 0
           while (read < length) {
             val r = in.read(buf, read, length - read)
-            require(r > 0, s"GET $url: EOF at $offset+$read")
+            if (r <= 0) throw new java.io.IOException(s"GET $url: EOF at $offset+$read")
             read += r
           }
           buf

@@ -107,7 +107,7 @@ object CoverageFunctionQueries {
         |             sum(bit * ([1,2,4,64,8,16,32,128])[(i % 8)::INT + 1]) AS mask
         |      FROM b GROUP BY 1)
         |SELECT (SELECT string_agg(chr((10240 + mask)::INT), '' ORDER BY cell) FROM m) AS image,
-        |       (SELECT sum(bit) FROM b) AS n_set""".stripMargin) { (s, dir) =>
+        |       (SELECT sum(bit) FROM b)::BIGINT AS n_set""".stripMargin) { (s, dir) =>
       import s.implicits._
       val flags = Tables.documents(s, dir).filter(col("doc_id") < 64)
         .select(col("doc_id"), (col("lang") === "en").as("f"))

@@ -146,7 +146,7 @@ object CoverageSourceQueries {
     GQuery(
       "q72_slab_stats",
       """SELECT 'docs' AS namespace, count(*) AS records,
-        |       sum(octet_length(encode(text))) AS bytes,
+        |       sum(octet_length(encode(text)))::BIGINT AS bytes,
         |       min(doc_id) AS min_ordinal, max(doc_id) AS max_ordinal
         |FROM documents""".stripMargin) { (s, dir) =>
       val slab = new SlabTable(s, s"${tmpDir()}/slabstats-${System.nanoTime()}")

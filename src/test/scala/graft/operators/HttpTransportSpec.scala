@@ -37,12 +37,26 @@ class HttpTransportSpec extends SparkSpec {
     assert(f.fetchRange(8000, 192).toSeq == content.slice(8000, 8192).toSeq)
   }
 
-  test("HttpRangeFetcher: bounded retry then a diagnosable failure") {
+  test("HttpRangeFetcher: 404 fails fast, no retry ladder") {
     val url = HttpFixture.serve(tmpFile(Array[Byte](1, 2, 3)))
     val missing = url.dropRight(1) + "nope"
     val f = new Prebuffer.HttpRangeFetcher(missing, maxRetries = 2, baseBackoffMs = 1)
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalArgumentException](f.size())
+    assert(e.getMessage.contains("404"))
+    // permanent failure must NOT pay the backoff ladder (1+2ms here, but the
+    // point is one attempt: retrying would re-raise as IOException instead)
+    assert((System.nanoTime() - t0) < 5e9)
+  }
+
+  test("HttpRangeFetcher: 5xx retries with bounded backoff then a diagnosable failure") {
+    val path = tmpFile(Array[Byte](1, 2, 3))
+    val url = HttpFixture.serve(path)
+    Files.delete(Paths.get(path)) // fixture handler now 500s on every request
+    val f = new Prebuffer.HttpRangeFetcher(url, maxRetries = 2, baseBackoffMs = 1)
     val e = intercept[java.io.IOException](f.size())
     assert(e.getMessage.contains("3 attempts"))
+    assert(e.getMessage.contains("500"))
   }
 
   test("prebuffer over http://: verified chunks land byte-exact in the cache") {

@@ -52,6 +52,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             failures += 1
             continue
+        # The real driver hashes raw values, so an int column on one side vs a
+        # float column on the other (e.g. DuckDB sum(BIGINT) -> HUGEINT ->
+        # float64 in pandas) hash-mismatches even when %.9g collapses them.
+        dtype_bad = [c for c in got.columns
+                     if ("int" in str(got[c].dtype)) != ("int" in str(want[c].dtype))
+                     and ("object" not in str(got[c].dtype))
+                     and ("object" not in str(want[c].dtype))]
+        if dtype_bad:
+            print(f"FAIL {name}: int/float dtype mismatch on {dtype_bad}: "
+                  f"{[(str(got[c].dtype), str(want[c].dtype)) for c in dtype_bad]}")
+            failures += 1
+            continue
         g = sorted(tuple(norm(v) for v in row) for row in got.itertuples(index=False))
         w = sorted(tuple(norm(v) for v in row) for row in want.itertuples(index=False))
         if len(g) != len(w):
