@@ -118,9 +118,14 @@ object Dedup {
       dfCap: Int): DataFrame = {
     require(dfCap > 0, s"dfCap must be positive, got $dfCap")
     val posting = sets.select(col("id"), explode(col("shingles")).as("shingle"))
-    val cool = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select("shingle")
-    val capped = posting.join(cool, "shingle")
+    // anti-join against the HOT set, not inner-join against the cool set:
+    // over-cap shingles are by construction a tiny fraction of the distinct
+    // shingle space (boilerplate), so the anti-join broadcasts (AQE) and the
+    // posting list keeps its partitioning — joining with the cool list would
+    // shuffle the near-complete shingle dictionary instead
+    val hot = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("shingle")
+    val capped = posting.join(hot, Seq("shingle"), "left_anti")
     val candidates = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.TopKPairs.topKPairs
+
+/** Product quantization (PQ / IVF-PQ companion): the memory-compression leg
+  * of vector search at the 100 TB posture. A D-dim float vector (D·4 bytes)
+  * becomes `m` small codes (one byte each at ksub<=256) — 32× compression at
+  * D=64, m=8 — and ADC (asymmetric distance computation) ranks candidates
+  * from a per-query lookup table without ever touching the original floats.
+  *
+  * The reference stops at exact KNN ground truth (Knn.scala implements that
+  * contract); PQ is the additive scale path this engine contributes for
+  * billion-vector corpora, following Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search" (TPAMI 2011) — public literature, no reference
+  * code involved.
+  *
+  * Spark shape (same discipline as Ann.ivfIndex/ivfSearch):
+  *  - codebooks are tiny (m·ksub·dsub floats) → broadcast;
+  *  - encode is a map-side typed kernel — zero shuffle;
+  *  - ADC search scans the CODES table (m ints per row, not D floats) with a
+  *    per-partition bounded heap, then one exchange of partitions×|Q| k-heaps
+  *    (the proven topKPairs partial-agg shape). No shuffle ever carries a
+  *    full vector.
+  *
+  * Codebook frame layout: (subspace INT, code INT, centroid ARRAY<FLOAT>)
+  * with centroid length D/m.
+  */
+object Pq {
+
+  /** Deterministic codebooks from designated rows (the oracle-friendly
+    * quantizer, mirroring q50's subset coarse quantizer): codeword `code` of
+    * subspace `s` is the s-th slice of the row whose ascending-id rank is
+    * `code`. `source` must hold exactly ksub rows.
+    */
+  def subsetCodebooks(source: DataFrame, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    val rows = source.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(rows.nonEmpty, "subsetCodebooks: empty source")
+    val dim = rows.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val out = for {
+      (row, code) <- rows.zipWithIndex
+      s <- 0 until m
+    } yield (s, code, row._2.slice(s * dsub, (s + 1) * dsub).toSeq)
+    out.toSeq.toDF("subspace", "code", "centroid")
+  }
+
+  /** Production codebooks: one KMeans(ksub) per subspace over (optionally
+    * sampled) sub-vectors. `sampleFraction` follows the trainCentroids
+    * contract — pass it when the corpus scale is known and no pre-count pass
+    * runs; NaN trains on everything (small/test corpora).
+    */
+  def trainCodebooks(base: DataFrame, m: Int, ksub: Int,
+      vecCol: String = "embedding", seed: Long = 42L,
+      sampleFraction: Double = Double.NaN): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val vecs0 = base.select(col(vecCol).cast("array<float>"))
+    val vecs = if (sampleFraction.isNaN) vecs0
+      else vecs0.sample(withReplacement = false, sampleFraction, seed)
+    // one pass: explode rows into (subspace, subvector) and cache the slim
+    // projection so the m per-subspace fits don't rescan the base relation
+    val first = vecs.limit(1).as[Array[Float]].collect()
+    require(first.nonEmpty, "trainCodebooks: empty base")
+    val dim = first.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val sub = vecs.as[Array[Float]]
+      .flatMap(v => (0 until m).map(s => (s, v.slice(s * dsub, (s + 1) * dsub))))
+      .toDF("subspace", "sv").cache()
+    try {
+      val codebooks = (0 until m).map { s =>
+        val feat = sub.filter(col("subspace") === s)
+          .select(array_to_vector(col("sv")).as("features"))
+        val model = new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(20).fit(feat)
+        model.clusterCenters.zipWithIndex.map { case (c, code) =>
+          (s, code, c.toArray.map(_.toFloat).toSeq)
+        }
+      }
+      codebooks.flatten.toDF("subspace", "code", "centroid")
+    } finally sub.unpersist()
+  }
+
+  /** Collect a codebook frame into cb(subspace)(code) = centroid, validating
+    * a dense rectangular layout.
+    */
+  private def collectCodebooks(codebooks: DataFrame): Array[Array[Array[Float]]] = {
+    val spark = codebooks.sparkSession
+    import spark.implicits._
+    val rows = codebooks
+      .select(col("subspace").cast("int"), col("code").cast("int"),
+        col("centroid").cast("array<float>"))
+      .as[(Int, Int, Array[Float])].collect()
+    require(rows.nonEmpty, "empty codebooks")
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    require(rows.length == m * ksub,
+      s"codebooks not dense: ${rows.length} entries for m=$m ksub=$ksub")
+    val cb = Array.ofDim[Array[Float]](m, ksub)
+    rows.foreach { case (s, c, v) => cb(s)(c) = v }
+    cb
+  }
+
+  private def l2sq(a: Array[Float], b: Array[Float], off: Int): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < b.length) {
+      val t = a(off + i).toDouble - b(i).toDouble
+      d += t * t
+      i += 1
+    }
+    d
+  }
+
+  /** Encode vectors into PQ codes: per subspace, the argmin-L2 codeword
+    * (ties → lower code). Map-side typed kernel over broadcast codebooks —
+    * the same zero-shuffle shape as ivfIndex assignment. Output:
+    * (id LONG, codes ARRAY<INT>), codes.length = m.
+    */
+  def encode(df: DataFrame, codebooks: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cb = collectCodebooks(codebooks)
+    val bc = spark.sparkContext.broadcast(cb)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val books = bc.value
+        val m = books.length
+        val dsub = books(0)(0).length
+        require(v.length == m * dsub, s"vector dim ${v.length} != m*dsub ${m * dsub}")
+        val codes = new Array[Int](m)
+        var s = 0
+        while (s < m) {
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < books(s).length) {
+            val d = l2sq(v, books(s)(c), s * dsub)
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          codes(s) = best
+          s += 1
+        }
+        (id, codes)
+      }
+      .toDF("id", "codes")
+  }
+
+  /** ADC top-k: for each query, distances to ALL encoded rows via the
+    * per-query lookup table lut(s)(c) = ||q_s - centroid(s)(c)||², summed
+    * over subspaces and sqrt'd (euclidean convention, rank-equivalent
+    * either way). Queries (small, broadcast) scan the codes table with a
+    * per-partition bounded heap; the exchange carries only partial k-heaps.
+    * Output: (query_id, neighbor_id, rank, adc_dist), rank 1..k by
+    * (dist, id).
+    */
+  def adcSearch(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0, s"adcSearch: k must be positive, got $k")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cb = collectCodebooks(codebooks)
+    val m = cb.length
+    val ksub = cb(0).length
+    val dsub = cb(0)(0).length
+    val qs: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (qid, qv) =>
+        require(qv.length == m * dsub, s"query dim ${qv.length} != ${m * dsub}")
+        val lut = new Array[Double](m * ksub)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < ksub) {
+            lut(s * ksub + c) = l2sq(qv, cb(s)(c), s * dsub)
+            c += 1
+          }
+          s += 1
+        }
+        (qid, lut)
+      }
+    val bq = spark.sparkContext.broadcast(qs)
+    // per-partition bounded heaps: emit at most |Q|·k candidates per
+    // partition, so the single exchange is partitions×|Q|×k rows of
+    // (qid, id, dist) — never the codes table itself
+    val partials = codes.select(col("id").cast("long"), col("codes").cast("array<int>"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val queries = bq.value
+        val heaps = queries.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by(p => (p._1, p._2))))
+        it.foreach { case (id, rowCodes) =>
+          var qi = 0
+          while (qi < queries.length) {
+            val (qid, lut) = queries(qi)
+            if (!(excludeSelf && id == qid)) {
+              var d = 0.0
+              var s = 0
+              while (s < m) {
+                d += lut(s * ksub + rowCodes(s))
+                s += 1
+              }
+              d = math.sqrt(d)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((d, id))
+              else if (Ordering.Tuple2[Double, Long].lt((d, id), h.head)) {
+                h.dequeue(); h.enqueue((d, id))
+              }
+            }
+            qi += 1
+          }
+        }
+        queries.iterator.zip(heaps.iterator).flatMap { case ((qid, _), h) =>
+          h.iterator.map { case (d, id) => (qid, id, d) }
+        }
+      }
+      .toDF("query_id", "nid", "dist")
+    partials
+      .groupBy("query_id")
+      .agg(topKPairs(col("dist"), col("nid"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(col("query_id"), col("pair.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("pair.dist").as("adc_dist"))
+  }
+
+  /** Shortlist recall of ADC search against exact KNN over the same base —
+    * the quality gate for a trained codebook (J4 analogue for the PQ path).
+    * `shortlist` (>= k, default k) is the ADC candidate depth: the
+    * production pattern is ADC-shortlist → exact re-rank, so the metric that
+    * matters is how often the true top-k survive into the ADC top-`shortlist`
+    * (quantization collapses fine-grained ranking by design — cells tie).
+    */
+  def adcRecall(spark: SparkSession, queries: DataFrame, base: DataFrame,
+      codebooks: DataFrame, k: Int, shortlist: Int = -1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val depth = if (shortlist < 0) k else shortlist
+    require(depth >= k, s"shortlist $depth < k $k")
+    val codes = encode(base, codebooks, idCol, vecCol)
+    val approx = adcSearch(queries, codes, codebooks, depth, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = Knn.knn(queries, base, k, metric = "EUCLIDEAN",
+        idCol = idCol, vecCol = vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.intersect(exact).groupBy("query_id").agg(count(lit(1)).as("hits"))
+    import spark.implicits._
+    exact.groupBy("query_id").agg(count(lit(1)).as("n"))
+      .join(hits, Seq("query_id"), "left")
+      .agg((sum(coalesce(col("hits"), lit(0L))).cast("double") /
+        sum(col("n")).cast("double")).as("recall"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Pq
+
+/** Product-quantization queries: encode assignment and ADC top-k, both with
+  * deterministic subset codebooks (codeword c of subspace s = slice s of the
+  * row with vec_id=c) so the DuckDB oracle can replay the exact algorithm
+  * from first principles — the same pattern q50 uses for IVF.
+  *
+  * Geometry at every sf: dim=64, m=8 subspaces x 8 dims, ksub=16 codewords.
+  */
+object PqQueries {
+
+  private val m = 8
+  private val dsub = 8
+  private val ksub = 16
+
+  /** Shared oracle CTE text: codebooks + argmin assignment per subspace. */
+  private val assignSql =
+    s"""sub AS (SELECT unnest(range($m))::INT AS s),
+       |cb AS (
+       |  SELECT s.s AS sub, e.vec_id::INT AS code,
+       |         list_slice(e.embedding, s.s*$dsub + 1, s.s*$dsub + $dsub) AS cw
+       |  FROM embeddings e, sub s WHERE e.vec_id < $ksub),
+       |dd AS (
+       |  SELECT sv.id, sv.sub, cb.code,
+       |         list_sum(list_transform(range(1, ${dsub + 1}),
+       |           i -> (sv.v[i]::DOUBLE - cb.cw[i]::DOUBLE)
+       |              * (sv.v[i]::DOUBLE - cb.cw[i]::DOUBLE))) AS d
+       |  FROM (SELECT e.vec_id AS id, s.s AS sub,
+       |               list_slice(e.embedding, s.s*$dsub + 1, s.s*$dsub + $dsub) AS v
+       |        FROM embeddings e, sub s) sv
+       |  JOIN cb ON cb.sub = sv.sub),
+       |assign AS (
+       |  SELECT id, sub, code FROM (
+       |    SELECT id, sub, code,
+       |           row_number() OVER (PARTITION BY id, sub ORDER BY d, code) AS rn
+       |    FROM dd)
+       |  WHERE rn = 1)""".stripMargin
+
+  def all: Seq[GQuery] = Seq(
+
+    // PQ encode: per-(vector, subspace) argmin codeword, ties to the lower
+    // code — one row per subspace so the compare is over plain ints.
+    GQuery(
+      "q90_pq_encode",
+      s"""WITH $assignSql
+         |SELECT id AS vec_id, sub AS subspace, code FROM assign""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cbs = Pq.subsetCodebooks(emb.filter(col("vec_id") < ksub), m)
+      Pq.encode(emb, cbs)
+        .select(col("id").as("vec_id"),
+          posexplode(col("codes")).as(Seq("subspace", "code")))
+    },
+
+    // ADC top-5 for 20 query vectors over the encoded corpus: lookup-table
+    // distances (sum of per-subspace L2^2 to the ASSIGNED codeword, sqrt'd),
+    // rank by (dist, id). The oracle rebuilds codes, LUTs and ranking.
+    GQuery(
+      "q91_pq_adc_topk",
+      s"""WITH $assignSql,
+         |lut AS (
+         |  SELECT q.vec_id AS qid, cb.sub, cb.code,
+         |         list_sum(list_transform(range(1, ${dsub + 1}),
+         |           i -> (list_slice(q.embedding, cb.sub*$dsub + 1, cb.sub*$dsub + $dsub)[i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE)
+         |              * (list_slice(q.embedding, cb.sub*$dsub + 1, cb.sub*$dsub + $dsub)[i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE))) AS d
+         |  FROM embeddings q, cb WHERE q.vec_id >= 100 AND q.vec_id < 120),
+         |adc AS (
+         |  SELECT l.qid, a.id AS nid, sqrt(sum(l.d)) AS d
+         |  FROM assign a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+         |  WHERE a.id <> l.qid
+         |  GROUP BY l.qid, a.id)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank, round(d, 4) AS adc_dist
+         |FROM (SELECT qid, nid, d,
+         |             row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |      FROM adc)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cbs = Pq.subsetCodebooks(emb.filter(col("vec_id") < ksub), m)
+      val codes = Pq.encode(emb, cbs)
+      Pq.adcSearch(emb.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+          codes, cbs, k = 5, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("adc_dist"), 4).as("adc_dist"))
+    },
+  )
+}
