@@ -37,6 +37,16 @@ object StreamQueries {
       Seq((rep.totalRecords >= expected, ticks.get() > 0)).toDF("scanned_all", "ticked")
     },
 
+    // Streaming dedup-groups, batch form (stream == batch pinned by
+    // StreamDedupSpec over a MemoryStream; the transform is the same code).
+    GQuery(
+      "q92_stream_dedup_groups",
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |       min(doc_id) AS canonical_id, count(*) AS multiplicity
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamDedup.dedupGroups(Tables.documents(s, dir))
+    },
+
     // Gap-based sessionization (30-min inactivity).
     GQuery(
       "q17_sessionize",
