@@ -58,6 +58,26 @@ object ScaleSoak {
     val recall = Knn.avgRecall(ivf, brute, 10).collect()(0).getDouble(0)
     println(f"[soak] IVF recall@10 vs brute (nProbe=16/256): $recall%.4f")
 
+    // --- PQ: trained codebooks, full-corpus encode, ADC shortlist scan
+    val codebooks = timed("PQ train (m=8, ksub=256, sampled)") {
+      // ~250 training samples per codeword is the standard PQ regime
+      operators.Pq.trainCodebooks(base, m = 8, ksub = 256,
+        sampleFraction = math.min(1.0, 64000.0 / nBase))
+    }
+    val codes = timed(s"PQ encode $nBase vectors") {
+      val c = operators.Pq.encode(base, codebooks)
+      c.cache(); c.count(); c
+    }
+    timed(s"PQ ADC top-100 shortlist, $nQueries queries x $nBase codes") {
+      operators.Pq.adcSearch(queries, codes, codebooks, k = 100).count()
+    }
+    val pqShort = operators.Pq.adcSearch(queries, codes, codebooks, k = 100)
+      .select(col("query_id"), col("neighbor_id"))
+    val pqHits = pqShort.join(brute.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id")).count()
+    println(f"[soak] PQ shortlist-100 recall@10 vs brute: ${pqHits.toDouble / (nQueries * 10)}%.4f")
+    codes.unpersist()
+
     // --- docs: synthetic corpus with planted near-dups (SOAK_DOCS=0 skips)
     val nDocs = sys.env.getOrElse("SOAK_DOCS", "50000").toLong
     if (nDocs == 0) { spark.stop(); return }

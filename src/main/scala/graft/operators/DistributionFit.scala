@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.GaussianMixture
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -95,17 +93,95 @@ object DistributionFit {
     if (ksAgainst(normal, sorted) < gate) return normal
 
     // composite: EM Gaussian mixture, growing component count until the CDF
-    // deviation validates (<0.10, 06_model_fitting.md:83-86)
-    val df = spark.createDataFrame(sample.map(x => Tuple1(Vectors.dense(x))))
-      .toDF("features")
+    // deviation validates (<0.10, 06_model_fitting.md:83-86). The fit runs
+    // DRIVER-SIDE: the ladder always operates on a bounded per-dimension
+    // sample (already collected), and a local EM avoids ~2s of distributed
+    // ML job overhead per fit — at scale the distributed part is the
+    // SAMPLING, never the 1-d EM itself.
+    val idx = sorted.toIndexedSeq
     (2 to maxModes).foreach { kM =>
-      val gm = new GaussianMixture().setK(kM).setSeed(42).fit(df)
-      val comps = gm.gaussians.map(g => Normal(g.mean(0), math.sqrt(g.cov(0, 0)))).toSeq
-      val model = Composite(gm.weights.toSeq, comps)
+      val (ws, comps) = emGaussian1d(idx, kM)
+      val model = Composite(ws, comps)
       if (ksAgainst(model, sorted) < 0.10) return model
     }
 
     Empirical((0 to 10).map(i => sorted(math.min(n - 1, i * (n - 1) / 10))))
+  }
+
+  /** Deterministic 1-d Gaussian-mixture EM: means seeded at spread sample
+    * quantiles, uniform weights, pooled variance; iterate to log-likelihood
+    * convergence with a variance floor against point-mass collapse. On
+    * well-separated data this converges to the thresholded cluster moments
+    * (same fixed point Spark ML's GaussianMixture reaches).
+    */
+  private[operators] def emGaussian1d(sorted: IndexedSeq[Double], k: Int,
+      maxIter: Int = 200, tol: Double = 1e-10): (Seq[Double], Seq[Normal]) = {
+    val n = sorted.length
+    val mean = sorted.sum / n
+    val globalVar = math.max(1e-12, sorted.map(x => (x - mean) * (x - mean)).sum / n)
+    val varFloor = math.max(1e-12, globalVar * 1e-9)
+    val w = Array.fill(k)(1.0 / k)
+    val mu = Array.tabulate(k)(i => sorted(((i + 0.5) / k * (n - 1)).toInt))
+    val v = Array.fill(k)(globalVar)
+    val resp = Array.ofDim[Double](n, k)
+    var prevLl = Double.NegativeInfinity
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // E-step in log space for numerical safety
+      var ll = 0.0
+      var i = 0
+      while (i < n) {
+        val x = sorted(i)
+        var maxLog = Double.NegativeInfinity
+        var j = 0
+        while (j < k) {
+          val d = x - mu(j)
+          resp(i)(j) = math.log(w(j)) - 0.5 * (math.log(2 * math.Pi * v(j)) + d * d / v(j))
+          if (resp(i)(j) > maxLog) maxLog = resp(i)(j)
+          j += 1
+        }
+        var sum = 0.0
+        j = 0
+        while (j < k) { sum += math.exp(resp(i)(j) - maxLog); j += 1 }
+        val logSum = maxLog + math.log(sum)
+        ll += logSum
+        j = 0
+        while (j < k) { resp(i)(j) = math.exp(resp(i)(j) - logSum); j += 1 }
+        i += 1
+      }
+      // M-step
+      var j = 0
+      while (j < k) {
+        var nj = 0.0
+        var sj = 0.0
+        var i2 = 0
+        while (i2 < n) { nj += resp(i2)(j); sj += resp(i2)(j) * sorted(i2); i2 += 1 }
+        if (nj < 1e-12) {
+          // dead component: re-seed at the sample median, tiny weight
+          w(j) = 1e-6; mu(j) = sorted(n / 2); v(j) = globalVar
+        } else {
+          w(j) = nj / n
+          mu(j) = sj / nj
+          var vj = 0.0
+          i2 = 0
+          while (i2 < n) {
+            val d = sorted(i2) - mu(j)
+            vj += resp(i2)(j) * d * d
+            i2 += 1
+          }
+          v(j) = math.max(varFloor, vj / nj)
+        }
+        j += 1
+      }
+      val wSum = w.sum
+      j = 0
+      while (j < k) { w(j) /= wSum; j += 1 }
+      converged = math.abs(ll - prevLl) < tol * math.max(1.0, math.abs(ll))
+      prevLl = ll
+      iter += 1
+    }
+    (w.toSeq, (0 until k).map(j => Normal(mu(j), math.sqrt(v(j)))))
   }
 
   /** A11 model-diff: per-dimension kind match + parameter drift. */
