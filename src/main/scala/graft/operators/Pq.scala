@@ -229,12 +229,187 @@ object Pq {
         }
       }
       .toDF("query_id", "nid", "dist")
+    finishTopK(partials, k)
+  }
+
+  /** Merge per-partition candidate streams into global ranked top-k. */
+  private def finishTopK(partials: DataFrame, k: Int): DataFrame =
     partials
       .groupBy("query_id")
       .agg(topKPairs(col("dist"), col("nid"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "pair")))
       .select(col("query_id"), col("pair.id").as("neighbor_id"),
-        (col("pos") + 1).as("rank"), col("pair.dist").as("adc_dist"))
+        (col("pos") + 1).cast("long").as("rank"), col("pair.dist").as("adc_dist"))
+
+  private def collectCentroids(centroids: DataFrame, idCol: String,
+      vecCol: String): Array[(Long, Array[Float])] = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    val cents = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid set")
+    cents
+  }
+
+  private def l2sqFull(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < a.length) {
+      val t = a(i).toDouble - b(i).toDouble
+      d += t * t
+      i += 1
+    }
+    d
+  }
+
+  /** IVF-PQ index: coarse L2 cell assignment (lowest-cell tie-break, the
+    * ivfIndex kernel shape) + PQ codes of the RESIDUAL (v − centroid) —
+    * residual quantization is what makes small codebooks sharp, because the
+    * residual distribution is centered and much tighter than the raw space.
+    * One map-side pass over broadcast centroids+codebooks, zero shuffle.
+    * Output: (id LONG, cell LONG, codes ARRAY<INT>). Persist with
+    * `Ann.writeIndex`-style partitionBy("cell") so probes prune partitions.
+    */
+  def ivfPqIndex(base: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    val cb = collectCodebooks(codebooks)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcB = spark.sparkContext.broadcast(cb)
+    base.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = bcC.value
+        val books = bcB.value
+        val m = books.length
+        val dsub = books(0)(0).length
+        var bestCell = -1
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val d = l2sqFull(v, cs(i)._2)
+          if (d < bestD) { bestD = d; bestCell = i }
+          i += 1
+        }
+        val cvec = cs(bestCell)._2
+        val r = new Array[Float](v.length)
+        var j = 0
+        while (j < v.length) { r(j) = (v(j).toDouble - cvec(j).toDouble).toFloat; j += 1 }
+        val codes = new Array[Int](m)
+        var s = 0
+        while (s < m) {
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < books(s).length) {
+            val d = l2sq(r, books(s)(c), s * dsub)
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          codes(s) = best
+          s += 1
+        }
+        (id, cs(bestCell)._1, codes)
+      }
+      .toDF("id", "cell", "codes")
+  }
+
+  /** IVF-PQ search: probe the nProbe nearest cells per query (L2 to
+    * centroids, lowest-cell ties), then ADC over the residual codes of
+    * probed cells with a per-(query, cell) LUT built on (q − centroid).
+    * The `cell isin probes` filter runs BEFORE the kernel so a
+    * cell-partitioned index table prunes to nProbe/nList of the data; the
+    * scan then touches only m-int code rows, never vectors.
+    */
+  def ivfPqSearch(queries: DataFrame, index: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    require(nProbe > 0 && k > 0, s"ivfPqSearch: nProbe ($nProbe) and k ($k) must be positive")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    val cb = collectCodebooks(codebooks)
+    val m = cb.length
+    val ksub = cb(0).length
+    val dsub = cb(0)(0).length
+    val centById = cents.toMap
+
+    // driver-side (queries are small by contract, like Knn): probe cells +
+    // one residual LUT per (query, probed cell)
+    val qs = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    val probers: Map[Long, Array[(Long, Array[Double])]] = qs.flatMap { case (qid, qv) =>
+      val byDist = cents.map { case (cellId, cv) => (l2sqFull(qv, cv), cellId) }
+        .sortBy(p => (p._1, p._2)).take(nProbe)
+      byDist.map { case (_, cellId) =>
+        val cvec = centById(cellId)
+        val lut = new Array[Double](m * ksub)
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < ksub) {
+            val cw = cb(s)(c)
+            var d = 0.0
+            var i = 0
+            while (i < dsub) {
+              val t = qv(s * dsub + i).toDouble - cvec(s * dsub + i).toDouble - cw(i).toDouble
+              d += t * t
+              i += 1
+            }
+            lut(s * ksub + c) = d
+            c += 1
+          }
+          s += 1
+        }
+        (cellId, (qid, lut))
+      }
+    }.groupBy(_._1).map { case (cell, xs) => cell -> xs.map(_._2) }
+    val probedCells = probers.keys.toSeq
+    val bp = spark.sparkContext.broadcast(probers)
+
+    val partials = index
+      .filter(col("cell").isInCollection(probedCells)) // partition pruning on a cell-partitioned table
+      .select(col("id").cast("long"), col("cell").cast("long"), col("codes").cast("array<int>"))
+      .as[(Long, Long, Array[Int])]
+      .mapPartitions { it =>
+        val pr = bp.value
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (id, cell, rowCodes) =>
+          pr.get(cell).foreach { qls =>
+            var qi = 0
+            while (qi < qls.length) {
+              val (qid, lut) = qls(qi)
+              if (!(excludeSelf && id == qid)) {
+                var d = 0.0
+                var s = 0
+                while (s < m) {
+                  d += lut(s * ksub + rowCodes(s))
+                  s += 1
+                }
+                d = math.sqrt(d)
+                val h = heaps.getOrElseUpdate(qid,
+                  new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+                    Ordering.by(p => (p._1, p._2))))
+                if (h.size < k) h.enqueue((d, id))
+                else if (Ordering.Tuple2[Double, Long].lt((d, id), h.head)) {
+                  h.dequeue(); h.enqueue((d, id))
+                }
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (d, id) => (qid, id, d) }
+        }
+      }
+      .toDF("query_id", "nid", "dist")
+    finishTopK(partials, k)
   }
 
   /** Shortlist recall of ADC search against exact KNN over the same base —

@@ -89,5 +89,76 @@ object PqQueries {
           col("rank").cast("long").as("rank"),
           round(col("adc_dist"), 4).as("adc_dist"))
     },
+
+    // IVF-PQ: coarse L2 cell assignment (cells = vec_id<16 rows), PQ codes
+    // of the FLOAT-ROUNDED residual (v - centroid, the index stores f32),
+    // probe nProbe=4 cells per query, ADC with per-(query,cell) residual
+    // LUTs. The oracle replays every stage; ties break to lower cell/code/id.
+    GQuery(
+      "q93_ivfpq_search",
+      s"""WITH sub AS (SELECT unnest(range($m))::INT AS s),
+         |cb AS (
+         |  SELECT s.s AS sub, e.vec_id::INT AS code,
+         |         list_slice(e.embedding, s.s*$dsub + 1, s.s*$dsub + $dsub) AS cw
+         |  FROM embeddings e, sub s WHERE e.vec_id < $ksub),
+         |cent AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |ar AS (
+         |  SELECT b.vec_id AS id, b.embedding AS v, c.cell, c.ce,
+         |         row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |           list_sum(list_transform(range(1, 65),
+         |             i -> (b.embedding[i]::DOUBLE - c.ce[i]::DOUBLE)
+         |                * (b.embedding[i]::DOUBLE - c.ce[i]::DOUBLE))), c.cell) AS rn
+         |  FROM embeddings b CROSS JOIN cent c),
+         |asg AS (SELECT id, v, cell, ce FROM ar WHERE rn = 1),
+         |rdd AS (
+         |  SELECT a.id, a.cell, cb.sub, cb.code,
+         |         list_sum(list_transform(range(1, ${dsub + 1}),
+         |           i -> ((a.v[cb.sub*$dsub + i]::DOUBLE - a.ce[cb.sub*$dsub + i]::DOUBLE)::FLOAT::DOUBLE
+         |                   - cb.cw[i]::DOUBLE)
+         |              * ((a.v[cb.sub*$dsub + i]::DOUBLE - a.ce[cb.sub*$dsub + i]::DOUBLE)::FLOAT::DOUBLE
+         |                   - cb.cw[i]::DOUBLE))) AS d
+         |  FROM asg a, cb),
+         |codes AS (
+         |  SELECT id, cell, sub, code FROM (
+         |    SELECT id, cell, sub, code,
+         |           row_number() OVER (PARTITION BY id, sub ORDER BY d, code) AS rn
+         |    FROM rdd) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 120),
+         |pr0 AS (
+         |  SELECT q.qid, q.qv, c.cell, c.ce,
+         |         row_number() OVER (PARTITION BY q.qid ORDER BY
+         |           list_sum(list_transform(range(1, 65),
+         |             i -> (q.qv[i]::DOUBLE - c.ce[i]::DOUBLE)
+         |                * (q.qv[i]::DOUBLE - c.ce[i]::DOUBLE))), c.cell) AS rn
+         |  FROM q CROSS JOIN cent c),
+         |pr AS (SELECT qid, qv, cell, ce FROM pr0 WHERE rn <= 4),
+         |lut AS (
+         |  SELECT p.qid, p.cell, cb.sub, cb.code,
+         |         list_sum(list_transform(range(1, ${dsub + 1}),
+         |           i -> (p.qv[cb.sub*$dsub + i]::DOUBLE - p.ce[cb.sub*$dsub + i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE)
+         |              * (p.qv[cb.sub*$dsub + i]::DOUBLE - p.ce[cb.sub*$dsub + i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE))) AS d
+         |  FROM pr p, cb),
+         |adc AS (
+         |  SELECT l.qid, c.id AS nid, sqrt(sum(l.d)) AS d
+         |  FROM codes c JOIN lut l ON l.cell = c.cell AND l.sub = c.sub AND l.code = c.code
+         |  WHERE c.id <> l.qid
+         |  GROUP BY 1, 2)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank, round(d, 4) AS adc_dist
+         |FROM (SELECT qid, nid, d,
+         |             row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |      FROM adc)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val cbs = Pq.subsetCodebooks(emb.filter(col("vec_id") < ksub), m)
+      val index = Pq.ivfPqIndex(emb, centroids, cbs)
+      Pq.ivfPqSearch(emb.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+          index, centroids, cbs, k = 5, nProbe = 4, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("adc_dist"), 4).as("adc_dist"))
+    },
   )
 }

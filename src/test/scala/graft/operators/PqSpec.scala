@@ -116,6 +116,88 @@ class PqSpec extends SparkSpec {
     assert(m < dim * 4 / 2)
   }
 
+  test("ivfPqIndex + ivfPqSearch match a from-scratch residual-ADC replay") {
+    val centroids = base.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+    val index = Pq.ivfPqIndex(base, centroids, cbs)
+    val queries = base.filter(col("vec_id") >= 60)
+    val nProbe = 2
+    val got = Pq.ivfPqSearch(queries, index, centroids, cbs, k = 3, nProbe = nProbe)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist")))
+      .toSet
+
+    // replay from first principles
+    val cents = (8L until 12L).map(i => i -> vec(i)).toArray
+    val books = cbs.as[(Int, Int, Array[Float])].collect()
+      .groupBy(_._1).map { case (s, rs) => s -> rs.sortBy(_._2).map(_._3) }
+    def l2sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assignCell(v: Array[Float]): Long =
+      cents.map { case (id, c) =>
+        (l2sq(v.map(_.toDouble), c.map(_.toDouble)), id)
+      }.minBy(p => (p._1, p._2))._2
+    def residCodes(v: Array[Float]): (Long, Array[Int]) = {
+      val cell = assignCell(v)
+      val cv = cents.toMap.apply(cell)
+      val r = v.indices.map(j => (v(j).toDouble - cv(j).toDouble).toFloat).toArray
+      val codes = (0 until m).map { s =>
+        books(s).zipWithIndex.map { case (cw, c) =>
+          (l2sq(r.slice(s * dsub, (s + 1) * dsub).map(_.toDouble), cw.map(_.toDouble)), c)
+        }.minBy(p => (p._1, p._2))._2
+      }.toArray
+      (cell, codes)
+    }
+    val allCodes = (0L until 64L).map(i => i -> residCodes(vec(i))).toMap
+    val expect = (60L until 64L).flatMap { qid =>
+      val qv = vec(qid)
+      val probed = cents.map { case (id, c) =>
+        (l2sq(qv.map(_.toDouble), c.map(_.toDouble)), id)
+      }.sortBy(p => (p._1, p._2)).take(nProbe).map(_._2).toSet
+      val cands = allCodes.toSeq.collect { case (id, (cell, codes)) if probed(cell) =>
+        val cv = cents.toMap.apply(cell)
+        val d = (0 until m).map { s =>
+          val cw = books(s)(codes(s))
+          (0 until dsub).map { i =>
+            val t = qv(s * dsub + i).toDouble - cv(s * dsub + i).toDouble - cw(i).toDouble
+            t * t
+          }.sum
+        }.sum
+        (id, math.sqrt(d))
+      }
+      cands.sortBy { case (id, d) => (d, id) }.take(3).zipWithIndex.map {
+        case ((id, d), i) => (qid, (i + 1).toLong, id, d)
+      }
+    }.toSet
+    // compare ids/ranks exactly, distances to 1e-9 (summation order differs)
+    assert(got.map(t => (t._1, t._2, t._3)) == expect.map(t => (t._1, t._2, t._3)))
+    val gd = got.toSeq.sortBy(t => (t._1, t._2)).map(_._4)
+    val ed = expect.toSeq.sortBy(t => (t._1, t._2)).map(_._4)
+    gd.zip(ed).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("ivfPqSearch probing all cells beats few-probe recall on clustered data") {
+    val pts = (0L until 128L).map { i =>
+      val c = (i % 8).toInt
+      val centre = vec(1000L + c, noise = 10.0)
+      val n = vec(i, noise = 0.3)
+      (i, centre.zip(n).map { case (a, b) => a + b }.toSeq)
+    }.toDF("vec_id", "embedding")
+    val centroids = pts.filter(col("vec_id") < 8) // one per cluster family
+    val trained = Pq.trainCodebooks(pts, m, ksub = 8)
+    val index = Pq.ivfPqIndex(pts, centroids, trained).cache()
+    val queries = pts.filter(col("vec_id") >= 120)
+    val exact = Knn.knn(queries, pts, k = 5, metric = "EUCLIDEAN")
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(nProbe: Int): Long =
+      Pq.ivfPqSearch(queries, index, centroids, trained, k = 20, nProbe = nProbe)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id")).count()
+    val all = hits(8)
+    assert(all >= 32, s"full-probe shortlist hits $all / 40") // >= 0.8 recall
+    assert(all >= hits(1), "more probes can only widen the candidate set")
+  }
+
   test("codebook validation rejects sparse layouts and bad dims") {
     val sparse = cbs.filter(!(col("subspace") === 0 && col("code") === 0))
     intercept[IllegalArgumentException](Pq.encode(base, sparse).collect())
