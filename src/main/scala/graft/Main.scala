@@ -155,6 +155,31 @@ object Main {
         operators.Dedup.containmentScores(docs, bench, idC, txtC)
           .filter(col("containment") >= flags.getOrElse("threshold", "0.0").toDouble)
 
+      case "pq-encode" =>
+        // train sampled codebooks, encode, persist codes + codebooks
+        val base = readVectors(spark, need("input"))
+          .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+        val out = need("out")
+        val mm = flags.getOrElse("m", "8").toInt
+        val kk = flags.getOrElse("ksub", "256").toInt
+        val cbs = operators.Pq.trainCodebooks(base, mm, kk,
+          seed = flags.getOrElse("seed", "42").toLong)
+        cbs.write.mode("overwrite").parquet(s"$out/codebooks")
+        operators.Pq.encode(base, cbs)
+          .write.mode("overwrite").parquet(s"$out/codes")
+        spark.read.parquet(s"$out/codes")
+          .agg(count(lit(1)).as("encoded")).withColumn("path", lit(out))
+
+      case "pq-search" =>
+        // ADC top-k of --query against a pq-encode output directory
+        val idx = need("index")
+        val codes = spark.read.parquet(s"$idx/codes")
+        val cbs = spark.read.parquet(s"$idx/codebooks")
+        val query = readVectors(spark, need("query"))
+          .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+        operators.Pq.adcSearch(query, codes, cbs,
+          k = flags.getOrElse("k", "10").toInt)
+
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")
     }
@@ -171,7 +196,9 @@ object Main {
       |  slab-export --slab DIR --ns NS --out PATH
       |  slab-analyze --slab DIR
       |  dedup --input PARQUET [--method exact|minhash|jaccard|simhash] [--threshold T] [--df-cap N]
-      |  decontaminate --input PARQUET --benchmark PARQUET [--threshold T]""".stripMargin
+      |  decontaminate --input PARQUET --benchmark PARQUET [--threshold T]
+      |  pq-encode --input PATH --out DIR [--m N] [--ksub N] [--seed S]
+      |  pq-search --index DIR --query PATH [--k N]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

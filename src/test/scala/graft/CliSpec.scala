@@ -100,6 +100,17 @@ class CliSpec extends SparkSpec {
     assert(contam.select("id").collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("pq-encode then pq-search") {
+    val out = Files.createTempDirectory("graft-cli-pq").toString
+    val enc = Main.run(spark, Seq("pq-encode", "--input", s"$dir/base.fvec",
+      "--out", out, "--m", "4", "--ksub", "8")).collect()
+    assert(enc.head.getAs[Long]("encoded") == 100L)
+    val hits = Main.run(spark, Seq("pq-search", "--index", out,
+      "--query", s"$dir/query.fvec", "--k", "3")).collect()
+    assert(hits.length == 30) // 10 queries x k=3
+    assert(hits.forall(_.getAs[Double]("adc_dist") >= 0.0))
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))
