@@ -28,9 +28,7 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     // Optional subset for local profiling: SPARK_GRAFT_ONLY=q82,q45
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    val results = SparkEntry.selectedQueries.toSeq.sortBy(_._1)
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column —

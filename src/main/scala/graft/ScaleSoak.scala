@@ -68,14 +68,15 @@ object ScaleSoak {
       val c = operators.Pq.encode(base, codebooks)
       c.cache(); c.count(); c
     }
-    timed(s"PQ ADC top-100 shortlist, $nQueries queries x $nBase codes") {
-      operators.Pq.adcSearch(queries, codes, codebooks, k = 100).count()
+    val pqTop = timed(s"PQ ADC top-100 shortlist, $nQueries queries x $nBase codes") {
+      val r = operators.Pq.adcSearch(queries, codes, codebooks, k = 100)
+      r.cache(); r.count(); r
     }
-    val pqShort = operators.Pq.adcSearch(queries, codes, codebooks, k = 100)
-      .select(col("query_id"), col("neighbor_id"))
+    val pqShort = pqTop.select(col("query_id"), col("neighbor_id"))
     val pqHits = pqShort.join(brute.select(col("query_id"), col("neighbor_id")),
       Seq("query_id", "neighbor_id")).count()
     println(f"[soak] PQ shortlist-100 recall@10 vs brute: ${pqHits.toDouble / (nQueries * 10)}%.4f")
+    pqTop.unpersist()
     codes.unpersist()
 
     // --- docs: synthetic corpus with planted near-dups (SOAK_DOCS=0 skips)

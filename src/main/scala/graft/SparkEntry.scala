@@ -60,6 +60,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(q => q.name -> q.run).toMap
 
+  /** Queries filtered by the SPARK_GRAFT_ONLY env prefix list (dev tooling
+    * shared by Verify and Bench; unset = everything).
+    */
+  def selectedQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    queries.filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

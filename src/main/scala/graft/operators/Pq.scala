@@ -82,6 +82,10 @@ object Pq {
         val feat = sub.filter(col("subspace") === s)
           .select(array_to_vector(col("sv")).as("features"))
         val model = new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(20).fit(feat)
+        require(model.clusterCenters.length == ksub,
+          s"subspace $s: KMeans returned ${model.clusterCenters.length} < $ksub centers — " +
+            "training sample too small or too few distinct sub-vectors; " +
+            "lower ksub or raise sampleFraction")
         model.clusterCenters.zipWithIndex.map { case (c, code) =>
           (s, code, c.toArray.map(_.toFloat).toSeq)
         }
@@ -106,7 +110,12 @@ object Pq {
     require(rows.length == m * ksub,
       s"codebooks not dense: ${rows.length} entries for m=$m ksub=$ksub")
     val cb = Array.ofDim[Array[Float]](m, ksub)
-    rows.foreach { case (s, c, v) => cb(s)(c) = v }
+    rows.foreach { case (s, c, v) =>
+      // a duplicate (subspace, code) row would mask a hole elsewhere and
+      // pass the row-count check, leaving a null slot that NPEs in kernels
+      require(cb(s)(c) == null, s"duplicate codebook entry (subspace=$s, code=$c)")
+      cb(s)(c) = v
+    }
     cb
   }
 

@@ -27,26 +27,34 @@ object StreamDedup {
   /** (fingerprint, canonical_id, multiplicity) per distinct normalized text.
     * Batch: a plain aggregation. Streaming: stateful agg — run with
     * OutputMode.Complete (or Update for incremental sinks).
+    *
+    * ONE definition of exact dedup: this delegates to `Dedup.exactGroups`
+    * (oracled by q44 batch-side, q92 here) so batch and streaming semantics
+    * cannot drift; the id cast keeps the streaming output schema stable.
     */
   def dedupGroups(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).cast("long").as("id"),
-        TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
-      .groupBy("fingerprint")
-      .agg(min("id").as("canonical_id"), count(lit(1)).as("multiplicity"))
+    graft.operators.Dedup.exactGroups(
+      docs.withColumn(idCol, col(idCol).cast("long")), idCol, textCol)
 
   /** Append-mode first-arrival filter: keep a document only if its
     * fingerprint has not been seen. `eventTimeCol`+`watermark` bound the
-    * dedup state window for unbounded streams; omit for exact global dedup
-    * (unbounded state, bounded-corpus use).
+    * dedup state window for unbounded streams via
+    * `dropDuplicatesWithinWatermark` — duplicates arriving within the
+    * watermark delay of the first sighting are dropped, duplicates later
+    * than the watermark may re-emit (the inherent bounded-state trade).
+    * Omit both for exact global dedup (unbounded state, bounded-corpus use).
     */
-  def firstSeen(docs: DataFrame, idCol: String = "doc_id",
+  def firstSeen(docs: DataFrame,
       textCol: String = "text", eventTimeCol: Option[String] = None,
       watermark: Option[String] = None): DataFrame = {
     val withFp = docs.withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
     (eventTimeCol, watermark) match {
       case (Some(tc), Some(w)) =>
-        withFp.withWatermark(tc, w).dropDuplicates("fingerprint", tc)
+        // NOT dropDuplicates("fingerprint", tc): that keys state on the
+        // (fingerprint, time) PAIR, so a real duplicate at a different
+        // event time would not be a duplicate at all
+        withFp.withWatermark(tc, w).dropDuplicatesWithinWatermark("fingerprint")
       case _ =>
         withFp.dropDuplicates("fingerprint")
     }

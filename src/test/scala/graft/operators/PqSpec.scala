@@ -203,5 +203,10 @@ class PqSpec extends SparkSpec {
     intercept[IllegalArgumentException](Pq.encode(base, sparse).collect())
     val wrongDim = base.select(col("vec_id"), slice(col("embedding"), 1, 15).as("embedding"))
     intercept[Exception](Pq.encode(wrongDim, cbs).collect())
+    // duplicate (subspace, code) + hole has the RIGHT row count — must still
+    // be rejected (a null slot would otherwise NPE inside executor kernels)
+    val dupPlusHole = sparse.union(cbs.filter(col("subspace") === 0 && col("code") === 1))
+    val e = intercept[IllegalArgumentException](Pq.encode(base, dupPlusHole).collect())
+    assert(e.getMessage.contains("duplicate codebook entry"))
   }
 }

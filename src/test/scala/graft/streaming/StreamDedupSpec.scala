@@ -40,6 +40,28 @@ class StreamDedupSpec extends SparkSpec {
     assert(batch.size == 3)
   }
 
+  test("watermarked firstSeen dedupes same fingerprint at DIFFERENT event times") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val mem = MemoryStream[(Long, String, Timestamp)](spark)
+    val q = StreamDedup.firstSeen(mem.toDF().toDF("doc_id", "text", "ts"),
+        eventTimeCol = Some("ts"), watermark = Some("1 hour"))
+      .select("doc_id", "fingerprint")
+    val query = q.writeStream.format("memory").queryName("sfw")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // doc 1 duplicates doc 0's text one second later — state must key on
+      // the FINGERPRINT alone, not the (fingerprint, event-time) pair
+      mem.addData((0L, "the quick brown fox", ts(0)),
+        (1L, "the quick brown fox", ts(1)), (2L, "something else", ts(2)))
+      query.processAllAvailable()
+      mem.addData((3L, "THE  quick   brown fox", ts(30))) // dup across batches
+      query.processAllAvailable()
+    } finally query.stop()
+    val ids = spark.table("sfw").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 2L), s"got $ids")
+  }
+
   test("firstSeen suppresses duplicates across micro-batches") {
     val mem = MemoryStream[(Long, String)](spark)
     val q = StreamDedup.firstSeen(mem.toDF().toDF("doc_id", "text"))
