@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Scalar quantization (SQ8): per-dimension affine int8 compression — the
+  * simpler, higher-fidelity sibling of PQ (4× memory instead of 32×, but no
+  * codebook training and near-exact recall). Public technique (e.g. the
+  * FAISS SQ8 index family); no reference-code involvement.
+  *
+  * Spark shape: the quantization grid (per-dim min/max) is ONE tiny
+  * aggregation row broadcast into codegen'd column expressions — encode and
+  * decode are pure projections (no shuffle, no kernel), so whole-stage
+  * codegen fuses them into the scan.
+  *
+  *  - `fitGrid`: per-dim [min, max] over the corpus (one pass).
+  *  - `encode`: v → round((v − min)·255/(max − min)), clamped to [0, 255],
+  *    stored as ARRAY<SMALLINT> (Spark has no unsigned byte; 2 bytes on the
+  *    wire still halves f32, and parquet dictionary/RLE encoding takes it
+  *    to ~1 byte at rest).
+  *  - `decode`: code → min + code·(max − min)/255 (grid midpoint-free affine
+  *    dequantization, exactly invertible for grid points).
+  *  - `l2Error`: per-row reconstruction L2 — the quality gate.
+  */
+object Sq {
+
+  /** One row: (mins ARRAY<DOUBLE>, maxs ARRAY<DOUBLE>) per dimension. */
+  def fitGrid(base: DataFrame, vecCol: String = "embedding", dim: Int): DataFrame = {
+    val cols = (0 until dim).map(i => element_at(col(vecCol), i + 1).cast("double"))
+    base.agg(
+      array(cols.map(c => min(c)): _*).as("mins"),
+      array(cols.map(c => max(c)): _*).as("maxs"))
+  }
+
+  private def gridArrays(grid: DataFrame): (Array[Double], Array[Double]) = {
+    val row = grid.select(col("mins").cast("array<double>"), col("maxs").cast("array<double>"))
+      .collect() match {
+      case Array(r) => r
+      case rs => throw new IllegalArgumentException(s"grid must be 1 row, got ${rs.length}")
+    }
+    val mins = row.getSeq[Double](0).toArray
+    val maxs = row.getSeq[Double](1).toArray
+    require(mins.length == maxs.length && mins.nonEmpty, "empty grid")
+    mins.indices.foreach(i => require(maxs(i) >= mins(i), s"grid dim $i: max < min"))
+    (mins, maxs)
+  }
+
+  /** Quantize `vecCol` to int8 codes against the grid. Pure projection —
+    * the grid rides into the expression as literals, no join, no shuffle.
+    */
+  def encode(df: DataFrame, grid: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (mins, maxs) = gridArrays(grid)
+    val codes: Column = zip_with(
+      col(vecCol).cast("array<double>"),
+      sequence(lit(0), lit(mins.length - 1)),
+      (x, i) => {
+        val lo = element_at(typedLit(mins.toSeq), i + 1)
+        val hi = element_at(typedLit(maxs.toSeq), i + 1)
+        // degenerate dim (constant value) → code 0
+        val scaled = when(hi === lo, lit(0.0))
+          .otherwise((x - lo) * 255.0 / (hi - lo))
+        least(greatest(round(scaled), lit(0.0)), lit(255.0)).cast("smallint")
+      })
+    df.select(col(idCol).cast("long").as("id"), codes.as("codes"))
+  }
+
+  /** Dequantize codes back to doubles (the approximate vector). */
+  def decode(codes: DataFrame, grid: DataFrame, idCol: String = "id",
+      codesCol: String = "codes"): DataFrame = {
+    val (mins, maxs) = gridArrays(grid)
+    val vec: Column = zip_with(
+      col(codesCol).cast("array<double>"),
+      sequence(lit(0), lit(mins.length - 1)),
+      (c, i) => {
+        val lo = element_at(typedLit(mins.toSeq), i + 1)
+        val hi = element_at(typedLit(maxs.toSeq), i + 1)
+        lo + c * (hi - lo) / 255.0
+      })
+    codes.select(col(idCol).cast("long").as("id"), vec.as("vector"))
+  }
+
+  /** Per-row L2 reconstruction error vs the original vectors — the SQ
+    * quality gate (bounded by sqrt(dim)·step/2, step = (max−min)/255).
+    */
+  def l2Error(df: DataFrame, grid: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val decoded = decode(encode(df, grid, idCol, vecCol), grid)
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("orig"))
+      .join(decoded, "id")
+      .select(col("id"),
+        sqrt(aggregate(
+          zip_with(col("orig"), col("vector"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)).as("l2_err"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Pq
+import graft.operators.{Pq, Sq}
 
 /** Product-quantization queries: encode assignment and ADC top-k, both with
   * deterministic subset codebooks (codeword c of subspace s = slice s of the
@@ -159,6 +159,37 @@ object PqQueries {
           index, centroids, cbs, k = 5, nProbe = 4, excludeSelf = true)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("adc_dist"), 4).as("adc_dist"))
+    },
+
+    // Scalar (int8) quantization round trip: per-dim affine grid fit on the
+    // corpus, encode to codes 0..255, dequantize — the oracle recomputes
+    // grid, codes and reconstruction from first principles.
+    GQuery(
+      "q94_sq_roundtrip",
+      """WITH d AS (SELECT unnest(range(1, 65))::INT AS i),
+        |g AS (SELECT d.i, min(e.embedding[d.i]::DOUBLE) AS lo,
+        |             max(e.embedding[d.i]::DOUBLE) AS hi
+        |      FROM embeddings e, d GROUP BY d.i),
+        |c AS (SELECT e.vec_id, g.i, g.lo, g.hi,
+        |             CASE WHEN g.hi = g.lo THEN 0
+        |                  ELSE least(greatest(
+        |                    round((e.embedding[g.i]::DOUBLE - g.lo) * 255.0 / (g.hi - g.lo)),
+        |                    0), 255)::INT
+        |             END AS code
+        |      FROM embeddings e, g)
+        |SELECT vec_id, (i - 1) AS dim, code,
+        |       round(lo + code * (hi - lo) / 255.0, 6) AS recon
+        |FROM c""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val grid = Sq.fitGrid(emb, dim = 64)
+      val codes = Sq.encode(emb, grid)
+      val dec = Sq.decode(codes, grid)
+      codes.select(col("id").as("vec_id"),
+          posexplode(col("codes")).as(Seq("dim", "code")))
+        .join(dec.select(col("id").as("vec_id"),
+          posexplode(col("vector")).as(Seq("dim", "recon"))), Seq("vec_id", "dim"))
+        .select(col("vec_id"), col("dim"), col("code").cast("int").as("code"),
+          round(col("recon"), 6).as("recon"))
     },
   )
 }
