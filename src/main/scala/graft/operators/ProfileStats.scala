@@ -52,6 +52,39 @@ object ProfileStats {
       .select(posexplode(col("qs")).as(Seq("i", "q")))
       .select(element_at(typedLit(ps), col("i").cast("int") + 1).as("p"), col("q"))
 
+  /** Exact quantiles via DISTRIBUTED sort + rank selection — the scale-safe
+    * EXACT form (same linear-interpolation semantics as `quantiles` /
+    * DuckDB quantile_cont): range-partitioned sort spreads the data across
+    * the cluster, then only the O(|ps|) rank-bracketing values come back to
+    * the driver. No task ever holds more than its sorted partition; nothing
+    * like the single all-values aggregation buffer forms. Cost: one count +
+    * one sort (two scans) — use `quantilesApprox` when a bounded rank error
+    * is acceptable, this when the answer must be exact at scale.
+    */
+  def quantilesExactDistributed(df: DataFrame, valueCol: Column,
+      ps: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0), s"bad quantiles: $ps")
+    val vals = df.select(valueCol.cast("double").as("v")).na.drop()
+    val n = vals.count()
+    require(n > 0, "quantilesExactDistributed: empty input")
+    // quantile_cont rank math: p -> position p*(n-1), interpolate floor/ceil
+    val positions = ps.map(p => p * (n - 1))
+    val needed = positions.flatMap(x => Seq(x.floor.toLong, x.ceil.toLong)).toSet
+    val picked: Map[Long, Double] = vals.rdd.map(_.getDouble(0))
+      .sortBy(identity) // range-partitioned distributed sort
+      .zipWithIndex()
+      .filter { case (_, idx) => needed.contains(idx) }
+      .map(_.swap)
+      .collect().toMap
+    val rows = ps.zip(positions).map { case (p, x) =>
+      val (lo, hi) = (picked(x.floor.toLong), picked(x.ceil.toLong))
+      (p, lo + (hi - lo) * (x - x.floor))
+    }
+    rows.toDF("p", "q")
+  }
+
   /** Scale-safe quantiles (A7 production path): GK-sketch
     * `percentile_approx` — the aggregation state is O(accuracy), not O(n),
     * and partials merge map-side. Rank error is bounded by 1/accuracy.

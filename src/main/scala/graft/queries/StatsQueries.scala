@@ -47,7 +47,9 @@ object StatsQueries {
       """SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p,
         |       round(unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9])), 4) AS q
         |FROM lineitem""".stripMargin) { (s, dir) =>
-      ProfileStats.quantiles(Tables.lineitem(s, dir), col("l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.9))
+      // the distributed-sort exact form: scale-safe AND oracle-exact
+      ProfileStats.quantilesExactDistributed(Tables.lineitem(s, dir),
+          col("l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.9))
         .select(col("p"), round(col("q"), 4).as("q"))
     },
 

@@ -38,6 +38,17 @@ class ProfileStatsSpec extends SparkSpec {
     assert(q(0.75) == 4.0)
   }
 
+  test("quantilesExactDistributed equals the aggregation-buffer exact form") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 5000).map(_ => rnd.nextGaussian() * 100).toDF("v")
+    val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0)
+    val agg = ProfileStats.quantiles(df, col("v"), ps)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val dist = ProfileStats.quantilesExactDistributed(df, col("v"), ps)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    ps.foreach(p => assert(math.abs(agg(p) - dist(p)) < 1e-9, s"p=$p: ${agg(p)} vs ${dist(p)}"))
+  }
+
   test("K-S: identical samples give D=0, disjoint samples give D=1") {
     val same = (1 to 100).flatMap(i => Seq((0, i.toDouble, 1), (0, i.toDouble, 2)))
       .toDF("dim", "value", "tag")
