@@ -110,9 +110,19 @@ object Dedup {
 
   /** Capped-Jaccard pairs from a precomputed `(id, shingles)` table (the
     * output shape of [[hashedShingleSets]]). Persistence of `sets` is the
-    * CALLER's responsibility — it is consumed by df-counting, candidate
-    * generation and both verification joins, so persist it first and
-    * unpersist once the returned frame is materialized.
+    * CALLER's responsibility — it feeds the posting list and the per-doc
+    * size projection, so persist it first and unpersist once the returned
+    * frame is materialized.
+    *
+    * Exact-Jaccard decomposition instead of full-set verification joins:
+    * |A∩B| = (shared sub-cap shingles) + (shared over-cap shingles). The
+    * first term falls out of the SAME pair shuffle that finds candidates
+    * (groupBy(id_a,id_b).count — no separate dropDuplicates pass); the
+    * second comes from each doc's over-cap shingle list, which is tiny by
+    * construction (over-cap shingles are the handful of corpus-wide
+    * boilerplate n-grams), so the per-side joins carry a few hashes, never
+    * the full shingle arrays. Only pairs whose overlap is EXCLUSIVELY
+    * over-cap shingles are missed — the documented cap trade.
     */
   def cappedJaccardPairsFromSets(sets: DataFrame, threshold: Double,
       dfCap: Int): DataFrame = {
@@ -126,16 +136,29 @@ object Dedup {
     val hot = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("shingle")
     val capped = posting.join(hot, Seq("shingle"), "left_anti")
-    val candidates = capped.as("a").join(capped.as("b"),
+    val interCool = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter_cool"))
+    val sizes = sets.select(col("id"), size(col("shingles")).as("sz"))
+    // per-doc over-cap shingle lists (rows exist only for docs that contain
+    // at least one hot shingle; coalesce to empty below)
+    val hotSets = posting.join(hot, "shingle")
+      .groupBy("id").agg(collect_list(col("shingle")).as("hot_sh"))
+    val empty = typedLit(Seq.empty[Long])
+    interCool
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .join(hotSets.toDF("id_a", "hot_a"), Seq("id_a"), "left")
+      .join(hotSets.toDF("id_b", "hot_b"), Seq("id_b"), "left")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        (col("inter_cool") +
+          size(array_intersect(coalesce(col("hot_a"), empty),
+            coalesce(col("hot_b"), empty)))).as("inter"),
+        col("sz_a"), col("sz_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
