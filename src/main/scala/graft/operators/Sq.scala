@@ -9,9 +9,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   * FAISS SQ8 index family); no reference-code involvement.
   *
   * Spark shape: the quantization grid (per-dim min/max) is ONE tiny
-  * aggregation row broadcast into codegen'd column expressions — encode and
-  * decode are pure projections (no shuffle, no kernel), so whole-stage
-  * codegen fuses them into the scan.
+  * aggregation row broadcast to typed map kernels — encode and decode are
+  * single-pass map jobs with zero shuffle. (Typed kernels, not
+  * `zip_with`/`transform` columns: higher-order-function lambdas are
+  * interpreted per element in Spark, which is exactly the hot path here.)
   *
   *  - `fitGrid`: per-dim [min, max] over the corpus (one pass).
   *  - `encode`: v → round((v − min)·255/(max − min)), clamped to [0, 255],
@@ -45,39 +46,59 @@ object Sq {
     (mins, maxs)
   }
 
-  /** Quantize `vecCol` to int8 codes against the grid. Pure projection —
-    * the grid rides into the expression as literals, no join, no shuffle.
+  /** Quantize `vecCol` to int8 codes against the grid: a map-side typed
+    * kernel over the broadcast grid (HALF_UP rounding, clamped to [0,255];
+    * degenerate constant dims → code 0).
     */
   def encode(df: DataFrame, grid: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val (mins, maxs) = gridArrays(grid)
-    val codes: Column = zip_with(
-      col(vecCol).cast("array<double>"),
-      sequence(lit(0), lit(mins.length - 1)),
-      (x, i) => {
-        val lo = element_at(typedLit(mins.toSeq), i + 1)
-        val hi = element_at(typedLit(maxs.toSeq), i + 1)
-        // degenerate dim (constant value) → code 0
-        val scaled = when(hi === lo, lit(0.0))
-          .otherwise((x - lo) * 255.0 / (hi - lo))
-        least(greatest(round(scaled), lit(0.0)), lit(255.0)).cast("smallint")
-      })
-    df.select(col(idCol).cast("long").as("id"), codes.as("codes"))
+    val bc = spark.sparkContext.broadcast((mins, maxs))
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val (lo, hi) = bc.value
+        require(v.length == lo.length, s"vector dim ${v.length} != grid dim ${lo.length}")
+        val codes = new Array[Short](v.length)
+        var i = 0
+        while (i < v.length) {
+          codes(i) =
+            if (hi(i) == lo(i)) 0
+            else {
+              val scaled = (v(i) - lo(i)) * 255.0 / (hi(i) - lo(i))
+              // math.round = floor(x+0.5): equals HALF_UP after the clamp
+              math.max(0L, math.min(255L, math.round(scaled))).toShort
+            }
+          i += 1
+        }
+        (id, codes)
+      }
+      .toDF("id", "codes")
   }
 
   /** Dequantize codes back to doubles (the approximate vector). */
   def decode(codes: DataFrame, grid: DataFrame, idCol: String = "id",
       codesCol: String = "codes"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
     val (mins, maxs) = gridArrays(grid)
-    val vec: Column = zip_with(
-      col(codesCol).cast("array<double>"),
-      sequence(lit(0), lit(mins.length - 1)),
-      (c, i) => {
-        val lo = element_at(typedLit(mins.toSeq), i + 1)
-        val hi = element_at(typedLit(maxs.toSeq), i + 1)
-        lo + c * (hi - lo) / 255.0
-      })
-    codes.select(col(idCol).cast("long").as("id"), vec.as("vector"))
+    val bc = spark.sparkContext.broadcast((mins, maxs))
+    codes.select(col(idCol).cast("long"), col(codesCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, cs) =>
+        val (lo, hi) = bc.value
+        require(cs.length == lo.length, s"codes dim ${cs.length} != grid dim ${lo.length}")
+        val v = new Array[Double](cs.length)
+        var i = 0
+        while (i < cs.length) {
+          v(i) = lo(i) + cs(i) * (hi(i) - lo(i)) / 255.0
+          i += 1
+        }
+        (id, v)
+      }
+      .toDF("id", "vector")
   }
 
   /** Per-row L2 reconstruction error vs the original vectors — the SQ

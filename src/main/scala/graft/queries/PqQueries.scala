@@ -182,14 +182,18 @@ object PqQueries {
         |FROM c""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val grid = Sq.fitGrid(emb, dim = 64)
-      val codes = Sq.encode(emb, grid)
-      val dec = Sq.decode(codes, grid)
-      codes.select(col("id").as("vec_id"),
+      // one pass: explode codes and dequantize inline from the grid
+      // literals — no encode⋈decode self-join
+      val g = grid.collect().head
+      val mins = g.getSeq[Double](0)
+      val maxs = g.getSeq[Double](1)
+      Sq.encode(emb, grid)
+        .select(col("id").as("vec_id"),
           posexplode(col("codes")).as(Seq("dim", "code")))
-        .join(dec.select(col("id").as("vec_id"),
-          posexplode(col("vector")).as(Seq("dim", "recon"))), Seq("vec_id", "dim"))
         .select(col("vec_id"), col("dim"), col("code").cast("int").as("code"),
-          round(col("recon"), 6).as("recon"))
+          round(element_at(typedLit(mins), col("dim") + 1) +
+            col("code") * (element_at(typedLit(maxs), col("dim") + 1) -
+              element_at(typedLit(mins), col("dim") + 1)) / 255.0, 6).as("recon"))
     },
   )
 }
