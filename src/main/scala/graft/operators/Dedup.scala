@@ -328,10 +328,46 @@ object Dedup {
     * the driver loop checks a changed-count fixpoint). Input: (id_a, id_b)
     * edges. Output: (id, cluster_id = min id reachable).
     */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
+      driverEdgeThreshold: Long = 200000): DataFrame = {
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
       .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
       .cache()
+    // adaptive execution: near-dup pair sets are usually TINY relative to
+    // the corpus (pairs, not rows). Below the threshold a driver union-find
+    // answers in one collect instead of O(diameter) join rounds whose cost
+    // is pure job overhead at this size; above it, the distributed
+    // label-propagation loop below is the scale path. The differential
+    // union-find spec pins both paths to identical output.
+    val nEdges = edges.count()
+    if (nEdges <= 2L * driverEdgeThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("s").cast("long"), col("t").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (s, t) =>
+        parent.getOrElseUpdate(s, s)
+        parent.getOrElseUpdate(t, t)
+        val (rs, rt) = (find(s), find(t))
+        if (rs != rt) parent(rs) = rt
+      }
+      val ids = parent.keys.toArray
+      val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+      ids.foreach { id =>
+        val r = find(id)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), id)
+      }
+      edges.unpersist()
+      return ids.sorted.map(id => (id, minOfRoot(find(id)))).toSeq.toDF("id", "cluster")
+    }
     // localCheckpoint every round: iterative self-referencing plans double
     // in depth per iteration otherwise (analysis-time blowup, then OOM)
     var labels = edges.select(col("s").as("id")).distinct()

@@ -41,14 +41,16 @@ class SlabTable(spark: SparkSession, dir: String) {
     * row-group stats index the ordinal space.
     */
   def append(ns: String, records: DataFrame): Unit = {
-    val minRow = records.agg(min("ordinal")).collect()(0)
-    if (minRow.isNullAt(0)) return // empty batch: nothing to append
-    val newMin = minRow.getLong(0)
+    // one validation pass: min ordinal (ascending-append check) + total vs
+    // distinct count (duplicate check) in a single aggregation job
+    val stats = records.agg(min("ordinal"), count(lit(1)),
+      count_distinct(col("ordinal"))).collect()(0)
+    if (stats.isNullAt(0)) return // empty batch: nothing to append
+    val newMin = stats.getLong(0)
     val existing = maxOrdinal(ns)
     require(newMin > existing,
       s"slab append requires strictly ascending ordinals: new min $newMin <= existing max $existing")
-    val dups = records.groupBy("ordinal").count().filter(col("count") > 1).limit(1).count()
-    require(dups == 0, "duplicate ordinals in append batch")
+    require(stats.getLong(1) == stats.getLong(2), "duplicate ordinals in append batch")
     records.select(col("ordinal").cast("long").as("ordinal"), col("data"))
       .repartitionByRange(col("ordinal"))
       .sortWithinPartitions("ordinal")

@@ -7,9 +7,19 @@ import graft.SparkSpec
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+  /** Run BOTH execution paths (driver union-find and distributed label
+    * propagation — threshold 0 forces the loop) and pin them equal before
+    * returning; every case in this suite therefore tests both.
+    */
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = pairs.toDF("id_a", "id_b")
+    val driver = Dedup.connectedComponents(df)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = Dedup.connectedComponents(df, driverEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == distributed, "driver and distributed CC paths disagree")
+    driver
+  }
 
   test("chains, triangles and singleton components resolve to min labels") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
