@@ -338,9 +338,15 @@ object Dedup {
     // answers in one collect instead of O(diameter) join rounds whose cost
     // is pure job overhead at this size; above it, the distributed
     // label-propagation loop below is the scale path. The differential
-    // union-find spec pins both paths to identical output.
+    // union-find spec pins both paths to identical output. The driver path
+    // emits LONG columns, so it only engages when the ids already ARE
+    // longs — any other id type takes the type-generic propagation loop
+    // unconditionally (otherwise the output schema would depend on input
+    // SIZE, and ANSI mode would throw on non-numeric ids).
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
     val nEdges = edges.count()
-    if (nEdges <= 2L * driverEdgeThreshold) {
+    if (longIds && nEdges <= 2L * driverEdgeThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges.select(col("s").cast("long"), col("t").cast("long"))

@@ -66,7 +66,11 @@ object ProfileStats {
     val spark = df.sparkSession
     import spark.implicits._
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0), s"bad quantiles: $ps")
-    val vals = df.select(valueCol.cast("double").as("v")).na.drop()
+    // drop NULLs only — na.drop() would ALSO drop NaN, which `percentile`
+    // and DuckDB quantile_cont keep (NaN sorts greater than every double in
+    // both Spark's percentile buffer and Scala's TotalOrdering used by
+    // sortBy below, so NaN semantics match the buffer form)
+    val vals = df.select(valueCol.cast("double").as("v")).filter(col("v").isNotNull)
     val n = vals.count()
     require(n > 0, "quantilesExactDistributed: empty input")
     // quantile_cont rank math: p -> position p*(n-1), interpolate floor/ceil

@@ -33,6 +33,11 @@ object Sq {
       array(cols.map(c => max(c)): _*).as("maxs"))
   }
 
+  private def validateGrid(mins: Array[Double], maxs: Array[Double]): Unit = {
+    require(mins.length == maxs.length && mins.nonEmpty, "empty grid")
+    mins.indices.foreach(i => require(maxs(i) >= mins(i), s"grid dim $i: max < min"))
+  }
+
   private def gridArrays(grid: DataFrame): (Array[Double], Array[Double]) = {
     val row = grid.select(col("mins").cast("array<double>"), col("maxs").cast("array<double>"))
       .collect() match {
@@ -41,8 +46,7 @@ object Sq {
     }
     val mins = row.getSeq[Double](0).toArray
     val maxs = row.getSeq[Double](1).toArray
-    require(mins.length == maxs.length && mins.nonEmpty, "empty grid")
-    mins.indices.foreach(i => require(maxs(i) >= mins(i), s"grid dim $i: max < min"))
+    validateGrid(mins, maxs)
     (mins, maxs)
   }
 
@@ -52,9 +56,19 @@ object Sq {
     */
   def encode(df: DataFrame, grid: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val (mins, maxs) = gridArrays(grid)
+    encodeArrays(df, mins, maxs, idCol, vecCol)
+  }
+
+  /** Encode against an already-collected grid (no re-scan of the grid
+    * aggregation — `gridArrays` collects an uncached one-row agg, so every
+    * call re-runs the min/max pass over the corpus).
+    */
+  def encodeArrays(df: DataFrame, mins: Array[Double], maxs: Array[Double],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    validateGrid(mins, maxs)
     val spark = df.sparkSession
     import spark.implicits._
-    val (mins, maxs) = gridArrays(grid)
     val bc = spark.sparkContext.broadcast((mins, maxs))
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
@@ -81,9 +95,16 @@ object Sq {
   /** Dequantize codes back to doubles (the approximate vector). */
   def decode(codes: DataFrame, grid: DataFrame, idCol: String = "id",
       codesCol: String = "codes"): DataFrame = {
+    val (mins, maxs) = gridArrays(grid)
+    decodeArrays(codes, mins, maxs, idCol, codesCol)
+  }
+
+  /** Decode against an already-collected grid (see [[encodeArrays]]). */
+  def decodeArrays(codes: DataFrame, mins: Array[Double], maxs: Array[Double],
+      idCol: String = "id", codesCol: String = "codes"): DataFrame = {
+    validateGrid(mins, maxs)
     val spark = codes.sparkSession
     import spark.implicits._
-    val (mins, maxs) = gridArrays(grid)
     val bc = spark.sparkContext.broadcast((mins, maxs))
     codes.select(col(idCol).cast("long"), col(codesCol).cast("array<double>"))
       .as[(Long, Array[Double])]
@@ -106,7 +127,8 @@ object Sq {
     */
   def l2Error(df: DataFrame, grid: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val decoded = decode(encode(df, grid, idCol, vecCol), grid)
+    val (mins, maxs) = gridArrays(grid) // collect the grid agg ONCE
+    val decoded = decodeArrays(encodeArrays(df, mins, maxs, idCol, vecCol), mins, maxs)
     df.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("orig"))
       .join(decoded, "id")
       .select(col("id"),

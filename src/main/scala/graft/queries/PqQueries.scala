@@ -181,13 +181,13 @@ object PqQueries {
         |       round(lo + code * (hi - lo) / 255.0, 6) AS recon
         |FROM c""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val grid = Sq.fitGrid(emb, dim = 64)
-      // one pass: explode codes and dequantize inline from the grid
-      // literals — no encode⋈decode self-join
-      val g = grid.collect().head
+      // collect the grid agg ONCE; encode against the arrays and
+      // dequantize inline from the same literals — no encode⋈decode
+      // self-join, no second min/max pass
+      val g = Sq.fitGrid(emb, dim = 64).collect().head
       val mins = g.getSeq[Double](0)
       val maxs = g.getSeq[Double](1)
-      Sq.encode(emb, grid)
+      Sq.encodeArrays(emb, mins.toArray, maxs.toArray)
         .select(col("id").as("vec_id"),
           posexplode(col("codes")).as(Seq("dim", "code")))
         .select(col("vec_id"), col("dim"), col("code").cast("int").as("code"),

@@ -1,6 +1,7 @@
 package graft.layout
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
 import graft.SparkSpec
@@ -33,12 +34,21 @@ class BucketingSpec extends SparkSpec {
       assert(rows.length == 1000)
 
       // sort-merge join over the bucketed layout, ZERO shuffle exchanges:
-      // both sides are already hash-distributed by the bucket key
-      val executed = joined.queryExecution.executedPlan
+      // both sides are already hash-distributed by the bucket key.
+      // MUST unwrap AQE: AdaptiveSparkPlanExec is a LeafExecNode, so a
+      // collect on the outer plan never descends and would pass vacuously.
+      val executed = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(!executed.isInstanceOf[AdaptiveSparkPlanExec])
       val shuffles = executed.collect { case s: ShuffleExchangeExec => s }
       assert(shuffles.isEmpty, s"unexpected shuffles in:\n$executed")
       assert(executed.toString.contains("SortMergeJoin"),
         s"expected SortMergeJoin over bucketed scans in:\n$executed")
+      // belt-and-braces on the rendered plan too
+      assert(!executed.toString.contains("Exchange"),
+        s"unexpected exchange in:\n$executed")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
