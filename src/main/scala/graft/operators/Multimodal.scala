@@ -84,6 +84,31 @@ object Multimodal {
     }(enc)
   }
 
+  /** Partition-batched frame sampling: one codec per partition, each media
+    * row exploded into its kept frames. Output: (media_id LONG,
+    * frame_idx INT — position in the KEPT sequence, frame BINARY).
+    */
+  def sampleFrames(media: DataFrame, everyN: Int,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](bytesIdx)
+        if (payload == null) Iterator.empty
+        else codec.sampleFrames(payload, everyN).iterator.zipWithIndex.map {
+          case (frame, j) => Row(r.getLong(idIdx), j, frame)
+        }
+      }
+    }(enc)
+  }
+
   /** Synthesize a media table from any (id, text) source — payload = UTF-8
     * bytes, modality round-robins — so the plumbing is exercisable with the
     * driver testdata.

@@ -187,5 +187,33 @@ object TextQueries {
           col("bucket").cast("long").as("bucket"),
           round(col("freq").cast("double") * col("n_bytes")).cast("long").as("cnt"))
     },
+
+    // Multimodal frame sampling: video-modality payloads chunked into
+    // 256-byte "frames", every 2nd kept (the decode-free stub of video
+    // frame extraction), exploded one row per kept frame. ASCII-stripped
+    // payloads make byte chunks == char chunks, so the oracle replays the
+    // chunking with substring + md5.
+    GQuery(
+      "q95_multimodal_frames",
+      """WITH v AS (SELECT doc_id AS media_id,
+        |                  regexp_replace(text, '[^ -~]', '', 'g') AS t
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |idx AS (SELECT media_id, t,
+        |               unnest(range((length(t) + 255) // 256))::BIGINT AS ci
+        |        FROM v),
+        |kept AS (SELECT media_id, ci, substring(t, (ci*256 + 1)::BIGINT, 256) AS chunk
+        |         FROM idx WHERE ci % 2 = 0)
+        |SELECT media_id, (ci // 2)::INT AS frame_idx,
+        |       length(chunk)::INT AS frame_len, md5(chunk) AS frame_md5
+        |FROM kept""".stripMargin) { (s, dir) =>
+      val ascii = Tables.documents(s, dir)
+        .select(col("doc_id"), regexp_replace(col("text"), "[^ -~]", "").as("text"))
+      val media = Multimodal.synthesizeFromText(ascii, "doc_id", "text")
+        .filter(col("modality") === "video")
+      Multimodal.sampleFrames(media, everyN = 2)
+        .select(col("media_id"), col("frame_idx"),
+          octet_length(col("frame")).as("frame_len"),
+          md5(decode(col("frame"), "UTF-8")).as("frame_md5"))
+    },
   )
 }

@@ -33,6 +33,19 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("sampleFrames operator explodes kept frames with exact chunk content") {
+    val payload = "ab" * 400 // 800 bytes -> chunks of 256: 4 chunks (last=32)
+    val df = Multimodal.synthesizeFromText(
+      Seq((2L, payload)).toDF("id", "t"), "id", "t") // id 2 -> video
+    val frames = Multimodal.sampleFrames(df, everyN = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+      .sortBy(_._2)
+    assert(frames.map(f => (f._1, f._2, f._3.length)).toSeq ==
+      Seq((2L, 0, 256), (2L, 1, 256))) // original chunks 0 and 2 kept
+    assert(new String(frames(0)._3, "UTF-8") == payload.substring(0, 256))
+    assert(new String(frames(1)._3, "UTF-8") == payload.substring(512, 768))
+  }
+
   test("stub codec seams: resize stamps dims, frame sampling chunks payload") {
     val payload = Array.tabulate(1000)(_.toByte)
     val resized = Multimodal.StubCodec.resize(payload, 32, 16)
