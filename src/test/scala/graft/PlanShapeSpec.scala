@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Knn, Pq, Sq}
+
+/** Physical-plan regression guards: the correctness suite cannot see a plan
+  * silently regressing from a map-side kernel to an extra shuffle, so the
+  * flagship scale shapes are pinned here. Every assertion unwraps AQE first
+  * (AdaptiveSparkPlanExec is a leaf — collects on the outer plan are
+  * vacuous).
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def executedPlan(df: DataFrame): SparkPlan = {
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def shuffleCount(df: DataFrame): Int =
+    executedPlan(df).collect { case _: ShuffleExchangeExec => 1 }.sum +
+      // AQE may have replaced exchanges with reused/queried stages
+      executedPlan(df).toString.linesIterator.count(_.contains("ShuffleQueryStage"))
+
+  private val dim = 16
+  private def vec(i: Long): Array[Float] =
+    Array.tabulate(dim)(j =>
+      ((graft.functions.StableHash.fnv64(s"p:$i:$j") >>> 12).toDouble / (1L << 52) * 2 - 1).toFloat)
+  private lazy val base = (0L until 256L).map(i => (i, vec(i).toSeq)).toDF("vec_id", "embedding")
+
+  test("Pq.encode executes with ZERO shuffle exchanges (pure map job)") {
+    val cbs = Pq.subsetCodebooks(base.filter(col("vec_id") < 4), m = 4)
+    assert(shuffleCount(Pq.encode(base, cbs)) == 0)
+  }
+
+  test("Sq.encode executes with ZERO shuffle exchanges") {
+    val grid = Sq.fitGrid(base, dim = dim)
+    assert(shuffleCount(Sq.encode(base, grid)) == 0)
+  }
+
+  test("Knn.knn: exactly one exchange (the k-heap partial aggregate), no sort") {
+    val q = Knn.knn(base.limit(4), base, k = 3)
+    val plan = executedPlan(q)
+    val s = plan.toString
+    // queries ride a broadcast, never a shuffle of the base
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"), s)
+    assert(shuffleCount(q) <= 1, s"more than one exchange:\n$s")
+    // top-k comes from the bounded-heap aggregate, not a global sort
+    assert(s.contains("topk_pairs"), s)
+    assert(!s.contains("GlobalSort"), s)
+  }
+
+  test("Pq.adcSearch: one exchange of partial heaps after the code-scan kernel") {
+    val cbs = Pq.subsetCodebooks(base.filter(col("vec_id") < 4), m = 4)
+    val codes = Pq.encode(base, cbs)
+    val q = Pq.adcSearch(base.limit(4), codes, cbs, k = 3)
+    assert(shuffleCount(q) <= 1, executedPlan(q).toString)
+  }
+}
