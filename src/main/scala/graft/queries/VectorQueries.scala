@@ -106,5 +106,53 @@ object VectorQueries {
         .filter(col("vec_id") < 100)
         .select(col("vec_id"), round(VectorFunctions.vectorNorm(col("embedding")), 6).as("norm"))
     },
+
+    // The reference's flagship end-to-end workflow: compute KNN ground
+    // truth, PACKAGE it (base/query fvec + neighbors ivec + distances fvec
+    // + dataset.yaml), re-open through the dataset loader, and emit the
+    // answer key AS RE-READ FROM DISK. The oracle recomputes the same
+    // ranking from first principles — a mismatch anywhere in compute,
+    // xvec encode, manifest binding or windowed re-read fails the row.
+    // dist rounds at 3 (the packaged distances are f32); query_id is the
+    // POSITIONAL ordinal within the packaged query facet (xvec answer keys
+    // are positional: row i answers query vector i), hence qid-100 in SQL.
+    GQuery(
+      "q96_ground_truth_package",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |           WHERE vec_id >= 100 AND vec_id < 120),
+        |d AS (
+        |  SELECT q.qid, b.vec_id AS nid,
+        |         sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+        |              i -> (q.qe[i]::DOUBLE - b.embedding[i]::DOUBLE)
+        |                 * (q.qe[i]::DOUBLE - b.embedding[i]::DOUBLE)))) AS dist
+        |  FROM q CROSS JOIN embeddings b)
+        |SELECT qid - 100 AS query_id, rank, nid AS neighbor_id, round(dist, 3) AS dist
+        |FROM (SELECT qid, nid, dist,
+        |             row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+        |      FROM d)
+        |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val out = {
+        val base = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
+          System.getProperty("java.io.tmpdir"))
+        val d = java.nio.file.Paths.get(base, "graft-qtmp", s"gtpkg-${System.nanoTime()}")
+        java.nio.file.Files.createDirectories(d.getParent)
+        d.toString
+      }
+      graft.layout.GroundTruthDataset.build(s, emb,
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+        k = 5, metric = "EUCLIDEAN", outDir = out)
+      val p = graft.layout.GraftDataset.load(s, out).profile("default")
+      val neighbors = p.facet("indices")
+        .select(col("ordinal").as("query_id"),
+          posexplode(col("vector")).as(Seq("pos", "neighbor_id")))
+      val dists = p.facet("distances")
+        .select(col("ordinal").as("query_id"),
+          posexplode(col("vector")).as(Seq("pos", "d")))
+      neighbors.join(dists, Seq("query_id", "pos"))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("neighbor_id").cast("long").as("neighbor_id"),
+          round(col("d").cast("double"), 3).as("dist"))
+    },
   )
 }
