@@ -155,6 +155,17 @@ object Main {
         operators.Dedup.containmentScores(docs, bench, idC, txtC)
           .filter(col("containment") >= flags.getOrElse("threshold", "0.0").toDouble)
 
+      case "compute-knn" =>
+        // the reference's headline workflow: ground truth -> packaged dataset
+        val base = readVectors(spark, need("base"))
+          .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+        val query = readVectors(spark, need("query"))
+          .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+        graft.layout.GroundTruthDataset.build(spark, base, query,
+          k = flags.getOrElse("k", "10").toInt,
+          metric = flags.getOrElse("metric", "COSINE"),
+          outDir = need("out"))
+
       case "pq-encode" =>
         // train sampled codebooks, encode, persist codes + codebooks
         val base = readVectors(spark, need("input"))
@@ -197,6 +208,7 @@ object Main {
       |  slab-analyze --slab DIR
       |  dedup --input PARQUET [--method exact|minhash|jaccard|simhash] [--threshold T] [--df-cap N]
       |  decontaminate --input PARQUET --benchmark PARQUET [--threshold T]
+      |  compute-knn --base PATH --query PATH --out DIR [--k N] [--metric M]
       |  pq-encode --input PATH --out DIR [--m N] [--ksub N] [--seed S]
       |  pq-search --index DIR --query PATH [--k N]""".stripMargin
 

@@ -100,6 +100,19 @@ class CliSpec extends SparkSpec {
     assert(contam.select("id").collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("compute-knn packages a reloadable ground-truth dataset") {
+    val out = Files.createTempDirectory("graft-cli-gt").toString
+    val summary = Main.run(spark, Seq("compute-knn", "--base", s"$dir/base.fvec",
+      "--query", s"$dir/query.fvec", "--out", out, "--k", "5")).collect()
+    assert(summary.map(_.getString(0)).toSet ==
+      Set("base_vectors", "query_vectors", "neighbor_indices", "neighbor_distances"))
+    val reloaded = graft.layout.GraftDataset.load(spark, out).profile("default")
+    assert(reloaded.facet("indices").count() == 10)
+    // the packaged answer key runs through describe too
+    val desc = Main.run(spark, Seq("describe", "--dataset", out)).collect()
+    assert(desc.nonEmpty)
+  }
+
   test("pq-encode then pq-search") {
     val out = Files.createTempDirectory("graft-cli-pq").toString
     val enc = Main.run(spark, Seq("pq-encode", "--input", s"$dir/base.fvec",
