@@ -162,6 +162,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The composed training-data dedup cascade: cheap exact dedup first,
+    * near-dup detection only over the exact survivors — the shape a real
+    * corpus pipeline runs (each stage shrinks the input of the costlier
+    * next stage). Output: one row per input doc,
+    * (id, status ∈ kept|exact_dup|near_dup, canonical_id):
+    *
+    *  - exact_dup: same fingerprint as a lower id → canonical = that
+    *    group's min id;
+    *  - near_dup: an exact-SURVIVOR with a ≥threshold Jaccard pair against
+    *    a lower-id survivor → canonical = its lowest such partner. The
+    *    drop rule is the deterministic one-hop greedy (any higher-id
+    *    member of a pair drops); chains are NOT pursued transitively —
+    *    `connectedComponents` over the pair set is the clustering form
+    *    when full transitive closure is wanted (q59).
+    *  - kept: everything else; canonical = id.
+    *
+    * `dfCap` passes through to the candidate generator (hot-shingle skew
+    * guard at scale).
+    */
+  def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, dfCap: Int = 0): DataFrame = {
+    val fp = docs.select(col(idCol).cast("long").as("id"),
+      TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+    val canon = fp.groupBy("fingerprint").agg(min("id").as("exact_canonical"))
+    val withCanon = fp.join(canon, "fingerprint")
+      .select(col("id"), col("exact_canonical"))
+    val survivors = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .join(withCanon.filter(col("id") === col("exact_canonical")).select("id"), "id")
+    val pairs = ngramJaccardPairs(survivors, "id", "text", n, threshold, dfCap)
+    val nearDropped = pairs.groupBy(col("id_b").as("id"))
+      .agg(min("id_a").as("near_canonical"))
+    withCanon.join(nearDropped, Seq("id"), "left")
+      .select(col("id"),
+        when(col("id") =!= col("exact_canonical"), lit("exact_dup"))
+          .when(col("near_canonical").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")).as("status"),
+        when(col("id") =!= col("exact_canonical"), col("exact_canonical"))
+          .when(col("near_canonical").isNotNull, col("near_canonical"))
+          .otherwise(col("id")).as("canonical_id"))
+  }
+
   private val MersennePrime = (1L << 61) - 1
 
   /** MinHash signature from a shingles-array column: for each of `numPerms`

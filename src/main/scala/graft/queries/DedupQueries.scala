@@ -207,6 +207,45 @@ object DedupQueries {
         .select(col("id").as("doc_id"), round(col("containment"), 6).as("containment"))
     },
 
+    // The composed dedup cascade (exact -> near-dup over exact survivors):
+    // one row per doc with kept/exact_dup/near_dup status and canonical id.
+    // The oracle replays both stages: md5-fingerprint groups, then string
+    // 3-gram Jaccard pairs among survivors with the one-hop greedy drop.
+    GQuery(
+      "q97_dedup_pipeline",
+      s"""WITH fp AS (SELECT doc_id,
+         |              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+         |            FROM documents),
+         |canon AS (SELECT f, min(doc_id) AS ec FROM fp GROUP BY f),
+         |wc AS (SELECT fp.doc_id, canon.ec FROM fp JOIN canon ON fp.f = canon.f),
+         |surv AS (SELECT d.doc_id, d.text FROM documents d
+         |         JOIN wc ON wc.doc_id = d.doc_id AND wc.doc_id = wc.ec),
+         |toks AS (SELECT doc_id, $duckToks AS t FROM surv),
+         |sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+         |          i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |        FROM toks WHERE len(t) >= 3),
+         |sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sh0),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT ia, ib FROM inter
+         |          JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+         |          WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.5),
+         |near AS (SELECT ib AS doc_id, min(ia) AS nc FROM pairs GROUP BY ib)
+         |SELECT wc.doc_id,
+         |       CASE WHEN wc.doc_id != wc.ec THEN 'exact_dup'
+         |            WHEN near.nc IS NOT NULL THEN 'near_dup'
+         |            ELSE 'kept' END AS status,
+         |       CASE WHEN wc.doc_id != wc.ec THEN wc.ec
+         |            WHEN near.nc IS NOT NULL THEN near.nc
+         |            ELSE wc.doc_id END AS canonical_id
+         |FROM wc LEFT JOIN near ON near.doc_id = wc.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dedupPipeline(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("id").as("doc_id"), col("status"), col("canonical_id"))
+    },
+
     // IVF-Flat ANN: deterministic coarse quantizer (cells = vec_id<16),
     // nProbe=4, exact top-5 within probed cells. Oracle replays the exact
     // algorithm — this checks index assignment, probe selection and ranking.

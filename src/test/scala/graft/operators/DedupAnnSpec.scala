@@ -22,6 +22,16 @@ class DedupAnnSpec extends SparkSpec {
     assert(sh(4L).isEmpty)
   }
 
+  test("dedupPipeline cascades: exact dup, then near-dup among survivors") {
+    val out = Dedup.dedupPipeline(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(0L) == (("kept", 0L)))
+    assert(out(3L) == (("exact_dup", 0L)))  // identical text, higher id
+    assert(out(1L) == (("near_dup", 0L)))   // one word differs, survivor stage
+    assert(out(2L) == (("kept", 2L)))
+    assert(out(4L) == (("kept", 4L)))       // too short for shingles
+  }
+
   test("exactGroups collapses exact duplicates to the lowest id") {
     val g = Dedup.exactGroups(docs, "doc_id", "text").filter(col("multiplicity") > 1).collect()
     assert(g.length == 1 && g(0).getAs[Long]("canonical_id") == 0L &&
