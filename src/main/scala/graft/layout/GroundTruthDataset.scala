@@ -30,31 +30,58 @@ object GroundTruthDataset {
       k: Int, metric: String, outDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
-    Files.createDirectories(Paths.get(outDir))
 
     val baseOrd = base.select(col(idCol).cast("long").as("ordinal"),
       col(vecCol).cast("array<float>").as("vector"))
     val queryOrd = queries.select(col(idCol).cast("long").as("ordinal"),
       col(vecCol).cast("array<float>").as("vector"))
-    val nBase = XvecIO.write(baseOrd, s"$outDir/base.fvec")
-    val nQuery = XvecIO.write(queryOrd, s"$outDir/query.fvec")
+
+    // Validate BEFORE any file is written (no half-valid directory on bad
+    // input). xvec answer keys are POSITIONAL: neighbor index i means "base
+    // row i", so base ids must be dense 0-based uniques — otherwise the
+    // packaged indices silently point at the wrong vectors. Query ids need
+    // only be unique (their sort order defines the answer-key row order).
+    def stats(df: DataFrame, what: String): (Long, Int, Long, Long) = {
+      val r = df.agg(count(lit(1)), count_distinct(col("ordinal")),
+        min("ordinal"), max("ordinal"),
+        min(size(col("vector"))), max(size(col("vector")))).collect()(0)
+      require(r.getLong(0) > 0, s"$what: empty input")
+      val n = r.getLong(0)
+      require(r.getLong(1) == n, s"$what: ids must be unique ($n rows, ${r.getLong(1)} distinct)")
+      require(r.getInt(4) == r.getInt(5),
+        s"$what: ragged vector dims ${r.getInt(4)}..${r.getInt(5)}")
+      (n, r.getInt(4), r.getLong(2), r.getLong(3))
+    }
+    val (nBase, dimB, minB, maxB) = stats(baseOrd, "base")
+    val (nQuery, dimQ, _, _) = stats(queryOrd, "query")
+    require(dimB == dimQ, s"dim mismatch: base $dimB vs query $dimQ")
+    require(minB == 0L && maxB == nBase - 1,
+      s"base ids must be dense 0-based ordinals (got [$minB..$maxB] for $nBase rows): " +
+        "positional neighbor indices would point at the wrong vectors")
+
+    Files.createDirectories(Paths.get(outDir))
+    XvecIO.write(baseOrd, s"$outDir/base.fvec")
+    XvecIO.write(queryOrd, s"$outDir/query.fvec")
 
     // ground truth: neighbors ordered by (dist, id) — the deterministic
-    // rank order every oracled KNN query pins
+    // rank order every oracled KNN query pins. The |Q|·k answer key is
+    // tiny; cache it so the expensive KNN job runs ONCE for both facets.
     val knn = Knn.knn(queries, base, k, metric, idCol, vecCol)
     val grouped = knn
       .groupBy(col("query_id").as("ordinal"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("rank"), col("neighbor_id"), col("dist")))),
-          e => e.getField("neighbor_id").cast("int")).as("neighbors"),
-        transform(array_sort(collect_list(struct(col("rank"), col("neighbor_id"), col("dist")))),
-          e => e.getField("dist").cast("float")).as("distances"))
-    val nIdx = XvecIO.write(
-      grouped.select(col("ordinal"), col("neighbors").as("vector")),
-      s"$outDir/neighbors.ivec")
-    val nDist = XvecIO.write(
-      grouped.select(col("ordinal"), col("distances").as("vector")),
-      s"$outDir/distances.fvec")
+      .agg(array_sort(collect_list(struct(col("rank"), col("neighbor_id"), col("dist"))))
+        .as("sorted"))
+      .select(col("ordinal"),
+        transform(col("sorted"), e => e.getField("neighbor_id").cast("int")).as("neighbors"),
+        transform(col("sorted"), e => e.getField("dist").cast("float")).as("distances"))
+      .cache()
+    val (nIdx, nDist) =
+      try {
+        (XvecIO.write(grouped.select(col("ordinal"), col("neighbors").as("vector")),
+          s"$outDir/neighbors.ivec"),
+          XvecIO.write(grouped.select(col("ordinal"), col("distances").as("vector")),
+            s"$outDir/distances.fvec"))
+      } finally grouped.unpersist()
 
     val manifest =
       s"""attributes:
@@ -71,10 +98,9 @@ object GroundTruthDataset {
     Files.write(Paths.get(outDir, "dataset.yaml"), manifest.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
 
-    val dim = baseOrd.select(size(col("vector"))).first().getInt(0)
     Seq(
-      ("base_vectors", nBase, dim.toLong),
-      ("query_vectors", nQuery, dim.toLong),
+      ("base_vectors", nBase, dimB.toLong),
+      ("query_vectors", nQuery, dimQ.toLong),
       ("neighbor_indices", nIdx, k.toLong),
       ("neighbor_distances", nDist, k.toLong))
       .toDF("facet", "records", "dim")

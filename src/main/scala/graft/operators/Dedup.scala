@@ -44,7 +44,7 @@ object Dedup {
   def hashedShingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), lower(col(textCol)))
+    docs.select(col(idCol).cast("long"), lower(coalesce(col(textCol), lit(""))))
       .as[(Long, String)]
       .map { case (id, text) =>
         val toks = text.split(" ").filter(_.nonEmpty)
@@ -183,8 +183,11 @@ object Dedup {
     */
   def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, dfCap: Int = 0): DataFrame = {
+    // NULL text fingerprints as the empty string: null-text docs are exact
+    // duplicates of each other (and of empty docs) rather than silently
+    // vanishing through a null-keyed equi-join — every input id gets a row
     val fp = docs.select(col(idCol).cast("long").as("id"),
-      TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      TextFunctions.fingerprint(coalesce(col(textCol), lit(""))).as("fingerprint"))
     val canon = fp.groupBy("fingerprint").agg(min("id").as("exact_canonical"))
     val withCanon = fp.join(canon, "fingerprint")
       .select(col("id"), col("exact_canonical"))
@@ -307,7 +310,7 @@ object Dedup {
     // `conv(substr(md5(tok),1,15),16,10)` so oracles reproduce it exactly.
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), lower(col(textCol)))
+    docs.select(col(idCol).cast("long"), lower(coalesce(col(textCol), lit(""))))
       .as[(Long, String)]
       .map { case (id, text) =>
         val votes = new Array[Int](bits)

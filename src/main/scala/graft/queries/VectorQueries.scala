@@ -113,9 +113,12 @@ object VectorQueries {
     // answer key AS RE-READ FROM DISK. The oracle recomputes the same
     // ranking from first principles — a mismatch anywhere in compute,
     // xvec encode, manifest binding or windowed re-read fails the row.
-    // dist rounds at 3 (the packaged distances are f32); query_id is the
-    // POSITIONAL ordinal within the packaged query facet (xvec answer keys
-    // are positional: row i answers query vector i), hence qid-100 in SQL.
+    // The packaged distances are f32, so the ORACLE replays the f32
+    // roundtrip (::FLOAT::DOUBLE) before rounding — both engines compute
+    // the f64 distance identically (sequential sum), so the f32 values are
+    // bit-equal and round(3) can never straddle a midpoint. query_id is
+    // the POSITIONAL ordinal within the packaged query facet (xvec answer
+    // keys are positional: row i answers query vector i), hence qid-100.
     GQuery(
       "q96_ground_truth_package",
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
@@ -126,16 +129,19 @@ object VectorQueries {
         |              i -> (q.qe[i]::DOUBLE - b.embedding[i]::DOUBLE)
         |                 * (q.qe[i]::DOUBLE - b.embedding[i]::DOUBLE)))) AS dist
         |  FROM q CROSS JOIN embeddings b)
-        |SELECT qid - 100 AS query_id, rank, nid AS neighbor_id, round(dist, 3) AS dist
+        |SELECT qid - 100 AS query_id, rank, nid AS neighbor_id,
+        |       round(dist::FLOAT::DOUBLE, 3) AS dist
         |FROM (SELECT qid, nid, dist,
         |             row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
         |      FROM d)
         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
+      // FIXED output name (facet writes truncate): repeated verify/bench
+      // runs overwrite one package instead of accumulating temp copies
       val out = {
         val base = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
           System.getProperty("java.io.tmpdir"))
-        val d = java.nio.file.Paths.get(base, "graft-qtmp", s"gtpkg-${System.nanoTime()}")
+        val d = java.nio.file.Paths.get(base, "graft-qtmp", "gtpkg")
         java.nio.file.Files.createDirectories(d.getParent)
         d.toString
       }

@@ -17,18 +17,24 @@ import graft.operators.{Knn, Pq, Sq}
 class PlanShapeSpec extends SparkSpec {
   import spark.implicits._
 
+  // collect() runs df's OWN QueryExecution, so its AdaptiveSparkPlanExec
+  // finalizes (a noop write would execute a separate QueryExecution and
+  // leave this one un-finalized)
   private def executedPlan(df: DataFrame): SparkPlan = {
-    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    df.collect()
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
   }
 
-  private def shuffleCount(df: DataFrame): Int =
-    executedPlan(df).collect { case _: ShuffleExchangeExec => 1 }.sum +
-      // AQE may have replaced exchanges with reused/queried stages
-      executedPlan(df).toString.linesIterator.count(_.contains("ShuffleQueryStage"))
+  // count raw exchanges AND AQE-materialized shuffle stages (both are
+  // LeafExecNode-wrapped after finalization, hence the string scan);
+  // ReusedExchange/reused stages deliberately do not count — reuse is free
+  private def shuffleCount(plan: SparkPlan): Int =
+    plan.collect { case _: ShuffleExchangeExec => 1 }.sum +
+      plan.toString.linesIterator
+        .count(l => l.contains("ShuffleQueryStage") && !l.contains("Reused"))
 
   private val dim = 16
   private def vec(i: Long): Array[Float] =
@@ -38,30 +44,32 @@ class PlanShapeSpec extends SparkSpec {
 
   test("Pq.encode executes with ZERO shuffle exchanges (pure map job)") {
     val cbs = Pq.subsetCodebooks(base.filter(col("vec_id") < 4), m = 4)
-    assert(shuffleCount(Pq.encode(base, cbs)) == 0)
+    assert(shuffleCount(executedPlan(Pq.encode(base, cbs))) == 0)
   }
 
   test("Sq.encode executes with ZERO shuffle exchanges") {
     val grid = Sq.fitGrid(base, dim = dim)
-    assert(shuffleCount(Sq.encode(base, grid)) == 0)
+    assert(shuffleCount(executedPlan(Sq.encode(base, grid))) == 0)
   }
 
   test("Knn.knn: exactly one exchange (the k-heap partial aggregate), no sort") {
-    val q = Knn.knn(base.limit(4), base, k = 3)
-    val plan = executedPlan(q)
+    val plan = executedPlan(Knn.knn(base.limit(4), base, k = 3))
     val s = plan.toString
     // queries ride a broadcast, never a shuffle of the base
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"), s)
-    assert(shuffleCount(q) <= 1, s"more than one exchange:\n$s")
-    // top-k comes from the bounded-heap aggregate, not a global sort
+    assert(shuffleCount(plan) <= 1, s"more than one exchange:\n$s")
+    // top-k comes from the bounded-heap aggregate, not a sort-based limit:
+    // a regression to ordered-limit renders as TakeOrderedAndProject or a
+    // SortExec ("Sort [" in the plan text)
     assert(s.contains("topk_pairs"), s)
-    assert(!s.contains("GlobalSort"), s)
+    assert(!s.contains("TakeOrderedAndProject"), s)
+    assert(!s.contains("Sort ["), s)
   }
 
   test("Pq.adcSearch: one exchange of partial heaps after the code-scan kernel") {
     val cbs = Pq.subsetCodebooks(base.filter(col("vec_id") < 4), m = 4)
     val codes = Pq.encode(base, cbs)
-    val q = Pq.adcSearch(base.limit(4), codes, cbs, k = 3)
-    assert(shuffleCount(q) <= 1, executedPlan(q).toString)
+    val plan = executedPlan(Pq.adcSearch(base.limit(4), codes, cbs, k = 3))
+    assert(shuffleCount(plan) <= 1, plan.toString)
   }
 }

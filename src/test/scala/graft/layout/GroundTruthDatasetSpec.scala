@@ -47,4 +47,20 @@ class GroundTruthDatasetSpec extends SparkSpec {
       .as[(Long, Array[Double])].collect().toMap
     dists.values.foreach(d => assert(d.zip(d.tail).forall { case (a, b) => a <= b }))
   }
+
+  test("build rejects non-dense base ids and empty inputs BEFORE writing") {
+    val base = (0L until 50L).map(i => (i, vec(i).toSeq)).toDF("vec_id", "embedding")
+    val out = Files.createTempDirectory("graft-gt-bad").toString
+    // gappy ids: positional neighbor indices would dereference wrong rows
+    val e = intercept[IllegalArgumentException] {
+      GroundTruthDataset.build(spark, base.filter(col("vec_id") % 2 === 0),
+        base.limit(2), k = 2, metric = "COSINE", outDir = s"$out/gappy")
+    }
+    assert(e.getMessage.contains("dense"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/gappy/base.fvec")))
+    intercept[IllegalArgumentException] {
+      GroundTruthDataset.build(spark, base.limit(0), base.limit(2),
+        k = 2, metric = "COSINE", outDir = s"$out/empty")
+    }
+  }
 }

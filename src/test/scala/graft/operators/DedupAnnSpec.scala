@@ -32,6 +32,17 @@ class DedupAnnSpec extends SparkSpec {
     assert(out(4L) == (("kept", 4L)))       // too short for shingles
   }
 
+  test("dedupPipeline keeps a row for every input id, including null text") {
+    val withNulls = docs.unionByName(
+      Seq((5L, null: String), (6L, null: String)).toDF("doc_id", "text"))
+    val out = Dedup.dedupPipeline(withNulls, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L))
+    // null-text docs are exact duplicates of each other
+    assert(out(5L) == (("kept", 5L)))
+    assert(out(6L) == (("exact_dup", 5L)))
+  }
+
   test("exactGroups collapses exact duplicates to the lowest id") {
     val g = Dedup.exactGroups(docs, "doc_id", "text").filter(col("multiplicity") > 1).collect()
     assert(g.length == 1 && g(0).getAs[Long]("canonical_id") == 0L &&
