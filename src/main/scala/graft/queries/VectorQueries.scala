@@ -160,5 +160,26 @@ object VectorQueries {
           col("neighbor_id").cast("long").as("neighbor_id"),
           round(col("d").cast("double"), 3).as("dist"))
     },
+
+    // X3/X5 as a SQL surface: the session-extension registration makes the
+    // codegen'd distance kernel callable from spark.sql TEXT; the oracle
+    // recomputes the same cosine distances in f64.
+    GQuery(
+      "q98_sql_surface",
+      """SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |  round(1.0 - list_sum(list_transform(range(1, len(a.embedding)+1),
+        |          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE*x::DOUBLE))) *
+        |         sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE*x::DOUBLE)))), 6) AS d
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 10 AND b.vec_id < 10""".stripMargin) { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .createOrReplaceTempView("sql_emb")
+      s.sql(
+        """SELECT a.vec_id AS qid, b.vec_id AS nid,
+          |       round(vector_distance(a.embedding, b.embedding, 'COSINE'), 6) AS d
+          |FROM sql_emb a JOIN sql_emb b ON a.vec_id < b.vec_id""".stripMargin)
+    },
   )
 }
