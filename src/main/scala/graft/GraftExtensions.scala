@@ -48,6 +48,20 @@ object GraftExtensions {
     "f16_to_f32" -> { args =>
       require(args.length == 1, "f16_to_f32(short)")
       F16ToF32(Cast(args(0), ShortType))
+    },
+    // X4: the bounded-heap aggregate — the analyzer wraps the returned
+    // AggregateFunction, so GROUP BY queries plan the same map-side partial
+    // top-k the Column API uses
+    "topk_pairs" -> { args =>
+      require(args.length == 3, "topk_pairs(dist, id, k)")
+      val k = args(2) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"k must be an integer literal, got $other")
+      }
+      graft.functions.TopKPairs(
+        Cast(args(0), org.apache.spark.sql.types.DoubleType),
+        Cast(args(1), org.apache.spark.sql.types.LongType), k)
     })
 
   /** Register all functions into an already-built session. */

@@ -45,6 +45,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT f16_to_f32(15360)").collect()(0).getFloat(0) == 1.0f)
   }
 
+  test("topk_pairs aggregate from SQL matches the Column API KNN tail") {
+    registered
+    vecs.createOrReplaceTempView("ext_vecs")
+    val sql = spark.sql(
+      """SELECT a.vec_id AS qid,
+        |       topk_pairs(vector_distance(a.embedding, b.embedding, 'EUCLIDEAN'),
+        |                  b.vec_id, 3) AS topk
+        |FROM ext_vecs a JOIN ext_vecs b ON a.vec_id != b.vec_id
+        |WHERE a.vec_id < 4 GROUP BY a.vec_id""".stripMargin)
+      .selectExpr("qid", "transform(topk, p -> p.id) AS ids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val api = operators.Knn.knn(
+        vecs.filter(col("vec_id") < 4), vecs, k = 3,
+        metric = "EUCLIDEAN", excludeSelf = true)
+      .groupBy("query_id").agg(collect_list(struct(col("rank"), col("neighbor_id"))).as("l"))
+      .select(col("query_id"),
+        expr("transform(array_sort(l), p -> p.neighbor_id) AS ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sql == api)
+  }
+
   test("non-literal metric argument fails with a clear message") {
     registered
     vecs.createOrReplaceTempView("ext_vecs")
