@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{ArrayType, FloatType, ShortType}
+import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseXor, Cast, Expression, ExpressionInfo, Literal, Subtract}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, ShortType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{DistanceKernels, F16ToF32, VectorDistance, VectorNorm}
+import graft.functions.{DistanceKernels, F16ToF32, TopKPairs, VectorDistance, VectorFunctions, VectorNorm}
 
-/** The SparkSessionExtensions entry point (SURVEY.md X3/X5): registers the
-  * engine's native Catalyst expressions as SQL functions, so
+/** The SparkSessionExtensions entry point (SURVEY.md X3/X4/X5): registers
+  * the engine's native Catalyst expressions as SQL functions, so
   * `spark.sql("SELECT vector_distance(a, b, 'COSINE') ...")` plans the same
   * codegen'd kernel the Column API uses. Enable with
   * `--conf spark.sql.extensions=graft.GraftExtensions`, or register into an
@@ -17,9 +17,9 @@ import graft.functions.{DistanceKernels, F16ToF32, VectorDistance, VectorNorm}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    GraftExtensions.builders.foreach { case (name, builder) =>
+    GraftExtensions.builders.foreach { case (name, className, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[VectorDistance].getName, name), b => builder(b)))
+        new ExpressionInfo(className, name), b => builder(b)))
     }
 }
 
@@ -31,42 +31,53 @@ object GraftExtensions {
       s"metric must be a string literal (COSINE|EUCLIDEAN|L1|DOT_PRODUCT), got $other")
   }
 
-  /** name -> expression builder, shared by the extensions path and the
-    * existing-session registration path.
-    */
-  private def asFloatArray(e: Expression): Expression = Cast(e, ArrayType(FloatType))
+  private def asFloatArray(e: Expression): Expression =
+    VectorFunctions.asFloatArrayExpr(e)
 
-  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vector_distance" -> { args =>
+  /** Accept any 16-bit pattern for f16 (0..0xFFFF or the signed short):
+    * mask to 16 bits then sign-extend via (x ^ 0x8000) - 0x8000 so the
+    * final short cast never overflows — a bare ANSI Cast would throw for
+    * every NEGATIVE half value (patterns >= 0x8000).
+    */
+  private def asF16Bits(e: Expression): Expression =
+    Cast(
+      Subtract(
+        BitwiseXor(BitwiseAnd(Cast(e, IntegerType), Literal(0xFFFF)), Literal(0x8000)),
+        Literal(0x8000)),
+      ShortType)
+
+  /** (name, implementing class, expression builder) — shared by the
+    * extensions path and the existing-session registration path.
+    */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("vector_distance", classOf[VectorDistance].getName, { args: Seq[Expression] =>
       require(args.length == 3, "vector_distance(vec, vec, 'METRIC')")
       VectorDistance(asFloatArray(args(0)), asFloatArray(args(1)), metricId(args(2)))
-    },
-    "vector_norm" -> { args =>
+    }),
+    ("vector_norm", classOf[VectorNorm].getName, { args: Seq[Expression] =>
       require(args.length == 1, "vector_norm(vec)")
       VectorNorm(asFloatArray(args(0)))
-    },
-    "f16_to_f32" -> { args =>
-      require(args.length == 1, "f16_to_f32(short)")
-      F16ToF32(Cast(args(0), ShortType))
-    },
+    }),
+    ("f16_to_f32", classOf[F16ToF32].getName, { args: Seq[Expression] =>
+      require(args.length == 1, "f16_to_f32(bits)")
+      F16ToF32(asF16Bits(args(0)))
+    }),
     // X4: the bounded-heap aggregate — the analyzer wraps the returned
     // AggregateFunction, so GROUP BY queries plan the same map-side partial
     // top-k the Column API uses
-    "topk_pairs" -> { args =>
+    ("topk_pairs", classOf[TopKPairs].getName, { args: Seq[Expression] =>
       require(args.length == 3, "topk_pairs(dist, id, k)")
       val k = args(2) match {
         case Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(
           s"k must be an integer literal, got $other")
       }
-      graft.functions.TopKPairs(
-        Cast(args(0), org.apache.spark.sql.types.DoubleType),
-        Cast(args(1), org.apache.spark.sql.types.LongType), k)
-    })
+      TopKPairs(Cast(args(0), DoubleType), Cast(args(1), LongType), k)
+    }))
 
   /** Register all functions into an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    builders.foreach { case (name, builder) =>
+    builders.foreach { case (name, _, builder) =>
       org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, builder)
     }
 }

@@ -68,8 +68,13 @@ case class F16ToF32(child: Expression)
 object VectorFunctions {
   // Unconditional cast: a float->float element cast is eliminated by the
   // optimizer, and pre-analysis Columns can't be dataType-inspected.
+  // ONE definition of the cast policy — the SQL surface (GraftExtensions)
+  // uses the Expression-level form so the two surfaces cannot diverge.
+  private[graft] def asFloatArrayExpr(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e, ArrayType(FloatType))
+
   private def asFloatArray(c: Column): Expression =
-    Bridge.expression(c.cast(ArrayType(FloatType)))
+    asFloatArrayExpr(Bridge.expression(c))
 
   def distance(a: Column, b: Column, metric: String): Column =
     Bridge.column(

@@ -41,8 +41,10 @@ class GraftExtensionsSpec extends SparkSpec {
     val api = vecs.select(col("vec_id"), VectorFunctions.vectorNorm(col("embedding")))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(n == api)
-    // 0x3C00 is 1.0 in binary16
+    // 0x3C00 is 1.0 in binary16; 0xBC00 (an int the raw short can't hold
+    // under ANSI cast) is -1.0 — the 16-bit mask must accept both
     assert(spark.sql("SELECT f16_to_f32(15360)").collect()(0).getFloat(0) == 1.0f)
+    assert(spark.sql("SELECT f16_to_f32(48128)").collect()(0).getFloat(0) == -1.0f)
   }
 
   test("topk_pairs aggregate from SQL matches the Column API KNN tail") {
@@ -76,10 +78,28 @@ class GraftExtensionsSpec extends SparkSpec {
   }
 
   test("GraftExtensions class wires every builder through injectFunction") {
-    // the extensions entry point is exercised via a fresh session builder
-    // only at deployment (spark.sql.extensions); here pin that the class
-    // applies cleanly against a fresh SparkSessionExtensions instance
+    // the extensions entry point is only consumed by a fresh session
+    // builder at deployment (spark.sql.extensions); pin that applying the
+    // class is clean AND that every one of the 4 builders produces the
+    // right expression type when invoked (the registry invokes them the
+    // same way)
     val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(ext) // must not throw, registers 3 functions
+    new GraftExtensions().apply(ext)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val vec = Literal.create(Seq(1.0f, 2.0f),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val byName = GraftExtensions.builders.map(b => b._1 -> b._3).toMap
+    assert(byName("vector_distance")(Seq(vec, vec, Literal("COSINE")))
+      .isInstanceOf[graft.functions.VectorDistance])
+    assert(byName("vector_norm")(Seq(vec)).find {
+      case _: graft.functions.VectorNorm => true; case _ => false
+    }.isDefined)
+    assert(byName("f16_to_f32")(Seq(Literal(15360))).find {
+      case _: graft.functions.F16ToF32 => true; case _ => false
+    }.isDefined)
+    assert(byName("topk_pairs")(Seq(Literal(1.0), Literal(1L), Literal(3)))
+      .isInstanceOf[graft.functions.TopKPairs])
+    // class metadata points at each function's own implementation
+    assert(GraftExtensions.builders.map(_._2).distinct.length == 4)
   }
 }
