@@ -109,6 +109,29 @@ object Multimodal {
     }(enc)
   }
 
+  /** Partition-batched resize: payloads re-encoded via the codec seam, the
+    * meta struct re-stamped with the target dims. Output schema = input
+    * (modality/meta preserved, bytes replaced).
+    */
+  def resize(media: DataFrame, w: Int, h: Int,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    require(w > 0 && h > 0, s"resize dims must be positive, got ${w}x$h")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(media.schema)
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](bytesIdx)
+        val resized = if (payload == null) null else codec.resize(payload, w, h)
+        val meta = r.getAs[Row](metaIdx)
+        val newMeta =
+          if (meta == null) null
+          else Row(w, h, meta.get(2), meta.get(3))
+        Row.fromSeq(r.toSeq.updated(bytesIdx, resized).updated(metaIdx, newMeta))
+      }
+    }(enc)
+  }
+
   /** Synthesize a media table from any (id, text) source — payload = UTF-8
     * bytes, modality round-robins — so the plumbing is exercisable with the
     * driver testdata.

@@ -215,5 +215,22 @@ object TextQueries {
           octet_length(col("frame")).as("frame_len"),
           md5(decode(col("frame"), "UTF-8")).as("frame_md5"))
     },
+
+    // Multimodal resize: image-modality payloads through the codec seam
+    // (stub = dims header + 64-byte cap), meta re-stamped. The oracle
+    // replays the output SHAPE (stamped dims + capped length); the byte
+    // content is pinned by MultimodalSpec.
+    GQuery(
+      "q99_multimodal_resize",
+      """SELECT doc_id AS media_id, 32 AS w, 16 AS h,
+        |       (2 + least(octet_length(encode(text)), 64))::INT AS resized_len
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin) { (s, dir) =>
+      val media = Multimodal.synthesizeFromText(
+          Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("modality") === "image")
+      Multimodal.resize(media, 32, 16)
+        .select(col("media_id"), col("meta.width").as("w"), col("meta.height").as("h"),
+          octet_length(col("bytes")).as("resized_len"))
+    },
   )
 }

@@ -46,6 +46,17 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(frames(1)._3, "UTF-8") == payload.substring(512, 768))
   }
 
+  test("resize operator re-stamps meta dims and payload header, preserves schema") {
+    val out = Multimodal.resize(media, 32, 16).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).schema.fieldNames.toSeq == media.schema.fieldNames.toSeq)
+    val bytes = out(1L).getAs[Array[Byte]]("bytes")
+    assert(bytes(0) == 32.toByte && bytes(1) == 16.toByte)
+    assert(bytes.length == 2 + math.min(64, "hello world".length))
+    val meta = out(1L).getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getInt(0) == 32 && meta.getInt(1) == 16)
+  }
+
   test("stub codec seams: resize stamps dims, frame sampling chunks payload") {
     val payload = Array.tabulate(1000)(_.toByte)
     val resized = Multimodal.StubCodec.resize(payload, 32, 16)
