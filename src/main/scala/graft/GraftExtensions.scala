@@ -34,17 +34,10 @@ object GraftExtensions {
   private def asFloatArray(e: Expression): Expression =
     VectorFunctions.asFloatArrayExpr(e)
 
-  /** Accept any 16-bit pattern for f16 (0..0xFFFF or the signed short):
-    * mask to 16 bits then sign-extend via (x ^ 0x8000) - 0x8000 so the
-    * final short cast never overflows — a bare ANSI Cast would throw for
-    * every NEGATIVE half value (patterns >= 0x8000).
-    */
+  // f16 bit-pattern normalization is defined ONCE in VectorFunctions
+  // (asF16BitsExpr) and shared with the Column API
   private def asF16Bits(e: Expression): Expression =
-    Cast(
-      Subtract(
-        BitwiseXor(BitwiseAnd(Cast(e, IntegerType), Literal(0xFFFF)), Literal(0x8000)),
-        Literal(0x8000)),
-      ShortType)
+    VectorFunctions.asF16BitsExpr(e)
 
   /** (name, implementing class, expression builder) — shared by the
     * extensions path and the existing-session registration path.

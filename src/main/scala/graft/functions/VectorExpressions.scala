@@ -98,6 +98,33 @@ object VectorFunctions {
       .otherwise(org.apache.spark.sql.functions.transform(a, x => x.cast("double") / n))
   }
 
+  /** Normalize any numeric f16 BIT-PATTERN input to the short the kernel
+    * takes: accept 0..0xFFFF (unsigned patterns — a bare ANSI short cast
+    * throws for every negative half, >= 0x8000) as well as the signed
+    * short itself; reject anything outside [-32768, 65535] loudly instead
+    * of silently wrapping to an unrelated pattern. ONE definition shared
+    * by the Column API and the SQL surface (GraftExtensions).
+    */
+  private[graft] def asF16BitsExpr(e: Expression): Expression = {
+    // raw Catalyst constructors, NOT the Column DSL: a registry-built
+    // expression must not embed unresolved ColumnNode wrappers
+    import org.apache.spark.sql.catalyst.expressions._
+    val i = Cast(e, IntegerType)
+    val inRange = And(
+      GreaterThanOrEqual(i, Literal(-32768)),
+      LessThanOrEqual(i, Literal(65535)))
+    val value = Cast(
+      Subtract(BitwiseXor(BitwiseAnd(i, Literal(0xFFFF)), Literal(0x8000)), Literal(0x8000)),
+      ShortType)
+    val err = Cast(
+      new RaiseError(Concat(Seq(
+        Literal(org.apache.spark.unsafe.types.UTF8String
+          .fromString("f16 bits out of range [-32768, 65535]: "), StringType),
+        Cast(i, StringType)))),
+      ShortType)
+    If(inRange, value, err)
+  }
+
   def f16ToF32(c: Column): Column =
-    Bridge.column(F16ToF32(Bridge.expression(c)))
+    Bridge.column(F16ToF32(asF16BitsExpr(Bridge.expression(c))))
 }

@@ -119,6 +119,11 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(media.schema)
     val bytesIdx = media.schema.fieldIndex("bytes")
     val metaIdx = media.schema.fieldIndex("meta")
+    // resolve the dim fields BY NAME within whatever meta struct the caller
+    // has — only width/height are touched, other fields ride through
+    val metaSchema = media.schema(metaIdx).dataType.asInstanceOf[StructType]
+    val wIdx = metaSchema.fieldIndex("width")
+    val hIdx = metaSchema.fieldIndex("height")
     media.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](bytesIdx)
@@ -126,7 +131,7 @@ object Multimodal {
         val meta = r.getAs[Row](metaIdx)
         val newMeta =
           if (meta == null) null
-          else Row(w, h, meta.get(2), meta.get(3))
+          else Row.fromSeq(meta.toSeq.updated(wIdx, w).updated(hIdx, h))
         Row.fromSeq(r.toSeq.updated(bytesIdx, resized).updated(metaIdx, newMeta))
       }
     }(enc)

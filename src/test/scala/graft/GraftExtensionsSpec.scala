@@ -42,9 +42,14 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(n == api)
     // 0x3C00 is 1.0 in binary16; 0xBC00 (an int the raw short can't hold
-    // under ANSI cast) is -1.0 — the 16-bit mask must accept both
+    // under ANSI cast) is -1.0 — the 16-bit mask must accept both, on BOTH
+    // surfaces, and anything beyond 16 bits must error, not wrap
     assert(spark.sql("SELECT f16_to_f32(15360)").collect()(0).getFloat(0) == 1.0f)
     assert(spark.sql("SELECT f16_to_f32(48128)").collect()(0).getFloat(0) == -1.0f)
+    assert(spark.range(1).select(VectorFunctions.f16ToF32(lit(48128)))
+      .collect()(0).getFloat(0) == -1.0f)
+    val oob = intercept[Exception](spark.sql("SELECT f16_to_f32(65536)").collect())
+    assert(oob.getMessage.contains("out of range"))
   }
 
   test("topk_pairs aggregate from SQL matches the Column API KNN tail") {
