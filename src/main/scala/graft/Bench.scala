@@ -41,10 +41,20 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver retains only the last ~2000 chars of stdout; the full
+    // query-name map with 9-decimal floats is ~3100 chars and its head got
+    // truncated every round ("parsed": null in BENCH_r{1..3}.json). Emit a
+    // compact line (qNN keys, 3-decimal secs, ~1300 chars) that fits whole,
+    // and the full-precision map on stderr for local profiling.
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    System.err.println(s"""[bench-full] {"total":$total,"queries":$fullQs}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

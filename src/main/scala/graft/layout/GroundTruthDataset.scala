@@ -58,6 +58,9 @@ object GroundTruthDataset {
     require(minB == 0L && maxB == nBase - 1,
       s"base ids must be dense 0-based ordinals (got [$minB..$maxB] for $nBase rows): " +
         "positional neighbor indices would point at the wrong vectors")
+    require(nBase >= k,
+      s"k=$k exceeds base size $nBase: answer-key rows would hold fewer than k " +
+        "neighbors while the manifest's max_k still advertised k")
 
     Files.createDirectories(Paths.get(outDir))
     XvecIO.write(baseOrd, s"$outDir/base.fvec")

@@ -213,6 +213,7 @@ object Pq {
         val heaps = queries.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
           Ordering.by(p => (p._1, p._2))))
         it.foreach { case (id, rowCodes) =>
+          checkCodes(rowCodes, id, m, ksub)
           var qi = 0
           while (qi < queries.length) {
             val (qid, lut) = queries(qi)
@@ -242,6 +243,26 @@ object Pq {
   }
 
   /** Merge per-partition candidate streams into global ranked top-k. */
+  /** Codes/codebook geometry guard: a codes row with arity != m would throw
+    * a bare ArrayIndexOutOfBoundsException deep in an executor, and codes
+    * encoded with a LARGER ksub than this codebook silently read wrong LUT
+    * slots (e.g. a search pointed at a stale or mismatched index dir). */
+  private def checkCodes(rowCodes: Array[Int], id: Long, m: Int, ksub: Int): Unit = {
+    if (rowCodes.length != m)
+      throw new IllegalArgumentException(
+        s"PQ codes row id=$id has ${rowCodes.length} subcodes but the codebooks " +
+          s"have m=$m subspaces — codes table does not match these codebooks")
+    var s = 0
+    while (s < m) {
+      val c = rowCodes(s)
+      if (c < 0 || c >= ksub)
+        throw new IllegalArgumentException(
+          s"PQ codes row id=$id subcode $c (subspace $s) outside [0,$ksub) — " +
+            "codes were encoded with a different ksub than these codebooks")
+      s += 1
+    }
+  }
+
   private def finishTopK(partials: DataFrame, k: Int): DataFrame =
     partials
       .groupBy("query_id")
@@ -389,6 +410,7 @@ object Pq {
         val heaps = scala.collection.mutable.HashMap
           .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
         it.foreach { case (id, cell, rowCodes) =>
+          checkCodes(rowCodes, id, m, ksub)
           pr.get(cell).foreach { qls =>
             var qi = 0
             while (qi < qls.length) {

@@ -136,12 +136,15 @@ object VectorQueries {
         |      FROM d)
         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      // FIXED output name (facet writes truncate): repeated verify/bench
-      // runs overwrite one package instead of accumulating temp copies
+      // PER-PROCESS fixed name (facet writes truncate): repeated runs in one
+      // JVM overwrite a single package instead of accumulating temp copies,
+      // while concurrent driver processes (verify + bench at once) each get
+      // their own dir and can't interleave facet writes into one package
       val out = {
         val base = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
           System.getProperty("java.io.tmpdir"))
-        val d = java.nio.file.Paths.get(base, "graft-qtmp", "gtpkg")
+        val d = java.nio.file.Paths.get(base, "graft-qtmp",
+          s"gtpkg-${ProcessHandle.current().pid()}")
         java.nio.file.Files.createDirectories(d.getParent)
         d.toString
       }

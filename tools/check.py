@@ -55,13 +55,31 @@ def main(sf_dir, out_dir):
         # The real driver hashes raw values, so an int column on one side vs a
         # float column on the other (e.g. DuckDB sum(BIGINT) -> HUGEINT ->
         # float64 in pandas) hash-mismatches even when %.9g collapses them.
+        # Compare on the DECLARED schema types (parquet footer / DuckDB plan),
+        # not pandas dtypes: pyarrow->pandas promotes a nullable int64 column
+        # to float64 on whichever side happens to hold NULLs, which would
+        # spuriously flag values that genuinely match. HUGEINT classifies as
+        # float because that's what the driver's pandas conversion sees.
+        def duck_family(t):
+            t = t.upper()
+            if t in ("HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT", "REAL"):
+                return "float"
+            if "INT" in t:
+                return "int"
+            return "other"  # strings, bools, lists, DECIMAL, ... — skip
+        try:
+            gt = {r[0]: duck_family(r[1]) for r in con.sql(
+                f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()}
+            wt = {r[0]: duck_family(r[1]) for r in con.sql(
+                f"DESCRIBE {oracle[name]}").fetchall()}
+        except Exception:
+            gt, wt = {}, {}
         dtype_bad = [c for c in got.columns
-                     if ("int" in str(got[c].dtype)) != ("int" in str(want[c].dtype))
-                     and ("object" not in str(got[c].dtype))
-                     and ("object" not in str(want[c].dtype))]
+                     if gt.get(c, "other") != wt.get(c, "other")
+                     and "other" not in (gt.get(c, "other"), wt.get(c, "other"))]
         if dtype_bad:
-            print(f"FAIL {name}: int/float dtype mismatch on {dtype_bad}: "
-                  f"{[(str(got[c].dtype), str(want[c].dtype)) for c in dtype_bad]}")
+            print(f"FAIL {name}: int/float schema-type mismatch on {dtype_bad}: "
+                  f"{[(gt.get(c), wt.get(c)) for c in dtype_bad]}")
             failures += 1
             continue
         g = sorted(tuple(norm(v) for v in row) for row in got.itertuples(index=False))
