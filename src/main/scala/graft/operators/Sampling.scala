@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-neutral sampling and split assignment for corpus
+  * curation: stratified keep-fractions per group and train/val/test split
+  * labels, both derived from an md5 key hash so (a) any engine reproduces
+  * the decision bit-for-bit (the DuckDB oracle replays it), (b) re-runs and
+  * incremental appends are stable — a document's fate never depends on
+  * partitioning, row order, or cluster size, and (c) the operator is a pure
+  * PROJECTION/FILTER: zero shuffle, fully codegen'd, trivially 100TB-safe.
+  *
+  * Extends the reference's sampling surface (its `select=`/random draws over
+  * windows, testdata-apis sized selections) with the per-stratum quota and
+  * split-assignment forms an LLM data-mix pipeline needs.
+  */
+object Sampling {
+
+  /** Uniform hash in [0, 1e6) as a LONG: first 15 md5 hex digits of
+    * `key:salt` (60 bits, exactly representable) mod 1e6. Integer compare
+    * against `fraction * 1e6` avoids float-threshold edge cases.
+    * DuckDB replay: `('0x' || substr(md5(key || ':salt'), 1, 15))::BIGINT % 1000000`.
+    */
+  def hashUnit(key: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 15), 16, 10)
+      .cast("long"), lit(1000000L))
+
+  /** Keep each row with its stratum's fraction: deterministic per-key draw
+    * compared to the per-stratum quota. Strata absent from `fractions` use
+    * `default`.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], default: Double = 0.0,
+      salt: String = "strat"): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val quota = fractions.foldLeft(lit((default * 1e6).toLong)) { case (acc, (s, f)) =>
+      when(col(strataCol) === s, lit((f * 1e6).toLong)).otherwise(acc)
+    }
+    df.filter(hashUnit(col(keyCol), salt) < quota)
+  }
+
+  /** Assign a split label per row from cumulative weight thresholds:
+    * `splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Weights
+    * must sum to 1 (±1e-9). Deterministic in the key; adding data never
+    * reassigns existing rows.
+    */
+  def assignSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+      salt: String = "split", outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val u = hashUnit(col(keyCol), salt)
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail.map(c => (c * 1e6).round)
+    val labeled = splits.map(_._1).zip(thresholds).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, (name, cum)) =>
+        when(u < cum, name).otherwise(acc)
+      }
+    df.withColumn(outCol, labeled)
+  }
+}
