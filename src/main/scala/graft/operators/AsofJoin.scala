@@ -19,21 +19,34 @@ import org.apache.spark.sql.functions._
   * external-sort spill for skewed keys, no pair space at any point.
   *
   * Ties: a right row AT the left timestamp qualifies (<=). Multiple right
-  * rows on the same (key, time) resolve to the greatest `tieCol`
-  * (deterministic).
+  * rows on the same (key, time) resolve to the greatest `tieCol`; the
+  * result is deterministic when `tieCol` is unique per (key, time) — pass
+  * a row id as the tie column to guarantee that.
+  *
+  * Nulls: right rows with a null key or null time never qualify (they are
+  * filtered before the union). Left rows always survive; a left row with a
+  * null key or null time gets a null as-of payload (null never matches).
   *
   * Output: every left row/column, plus each requested right payload column
-  * as `asof_<name>` (null when no right row precedes).
+  * as `asof_<name>` (null when no right row precedes). Left columns named
+  * `asof_<a requested payload>` are rejected up front — the output would
+  * silently carry two columns with one name.
   */
 object AsofJoin {
 
   def asof(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
       tieCol: String, payloadCols: Seq[String]): DataFrame = {
     require(payloadCols.nonEmpty, "asof: at least one right payload column")
-    val payload = struct((tieCol +: payloadCols).distinct.map(col): _*)
-    val r = right.select(
-      col(keyCol).as("_k"), col(timeCol).as("_t"),
-      lit(0).as("_side"), col(tieCol).as("_tie"), payload.as("_payload"))
+    val outPayload = payloadCols.distinct
+    val clash = outPayload.map("asof_" + _).toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"asof: left columns collide with output names: ${clash.mkString(", ")}")
+    val payload = struct((tieCol +: outPayload).distinct.map(col): _*)
+    val r = right
+      .filter(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .select(
+        col(keyCol).as("_k"), col(timeCol).as("_t"),
+        lit(0).as("_side"), col(tieCol).as("_tie"), payload.as("_payload"))
     val payloadType = r.schema("_payload").dataType
     val tieType = r.schema("_tie").dataType
     val l = left.select(
@@ -43,7 +56,10 @@ object AsofJoin {
       struct(left.columns.map(col): _*).as("_row"))
     // right rows sort BEFORE the left row at an equal timestamp (side 0 < 1)
     // so boundary-time rows are visible; among equal (t, side) the largest
-    // tie wins because `last` reads the frame in sort order
+    // tie wins because `last` reads the frame in sort order. A null left
+    // time sorts first (nulls-first ascending) — no right row precedes it
+    // in the frame, so its as-of payload is null, and null-key left rows
+    // partition with no right rows at all (right nulls were filtered).
     val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val unioned = r.withColumn("_row", lit(null).cast(l.schema("_row").dataType))
@@ -53,6 +69,6 @@ object AsofJoin {
       .filter(col("_side") === 1)
       .select(
         (left.columns.map(c => col(s"_row.$c").as(c)) ++
-          (tieCol +: payloadCols).distinct.map(c => col(s"_asof.$c").as(s"asof_$c"))): _*)
+          outPayload.map(c => col(s"_asof.$c").as(s"asof_$c"))): _*)
   }
 }

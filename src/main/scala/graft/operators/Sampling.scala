@@ -17,34 +17,48 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Null keys hash as this sentinel so a null-key row gets a deterministic
+    * draw instead of silently vanishing (concat/md5 of a null is null, which
+    * would fail every `<` compare — rows dropped by stratifiedSample even at
+    * fraction 1.0, and all assigned the last split by assignSplit).
+    */
+  val NullKeySentinel = "__null__"
+
   /** Uniform hash in [0, 1e6) as a LONG: first 15 md5 hex digits of
     * `key:salt` (60 bits, exactly representable) mod 1e6. Integer compare
-    * against `fraction * 1e6` avoids float-threshold edge cases.
-    * DuckDB replay: `('0x' || substr(md5(key || ':salt'), 1, 15))::BIGINT % 1000000`.
+    * against `round(fraction * 1e6)` avoids float-threshold edge cases.
+    * DuckDB replay:
+    * `('0x' || substr(md5(coalesce(key::VARCHAR, '__null__') || ':salt'), 1, 15))::BIGINT % 1000000`.
     */
   def hashUnit(key: Column, salt: String): Column =
-    pmod(conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 15), 16, 10)
+    pmod(conv(substring(md5(concat(
+      coalesce(key.cast("string"), lit(NullKeySentinel)), lit(":" + salt))), 1, 15), 16, 10)
       .cast("long"), lit(1000000L))
+
+  /** [0,1] fraction -> integer hash quota, shared by both operators so the
+    * documented replay SQL (`round(f * 1e6)`) holds everywhere. */
+  private def quotaOf(f: Double): Long = (f * 1e6).round
 
   /** Keep each row with its stratum's fraction: deterministic per-key draw
     * compared to the per-stratum quota. Strata absent from `fractions` use
-    * `default`.
+    * `default`. Null keys draw from the sentinel hash (see
+    * [[NullKeySentinel]]); null strata fall through to `default`.
     */
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
       fractions: Map[String, Double], default: Double = 0.0,
       salt: String = "strat"): DataFrame = {
     require((fractions.values ++ Seq(default)).forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be in [0, 1]")
-    val quota = fractions.foldLeft(lit((default * 1e6).toLong)) { case (acc, (s, f)) =>
-      when(col(strataCol) === s, lit((f * 1e6).toLong)).otherwise(acc)
+    val quota = fractions.foldLeft(lit(quotaOf(default))) { case (acc, (s, f)) =>
+      when(col(strataCol) === s, lit(quotaOf(f))).otherwise(acc)
     }
     df.filter(hashUnit(col(keyCol), salt) < quota)
   }
 
   /** Assign a split label per row from cumulative weight thresholds:
     * `splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Weights
-    * must sum to 1 (±1e-9). Deterministic in the key; adding data never
-    * reassigns existing rows.
+    * must sum to 1 (±1e-9). Deterministic in the key (null keys included,
+    * via the sentinel hash); adding data never reassigns existing rows.
     */
   def assignSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
       salt: String = "split", outCol: String = "split"): DataFrame = {

@@ -17,15 +17,6 @@ import graft.sources.xvec.XvecIO
   */
 object SourceQueries {
 
-  private def tmpDir(): String = {
-    // cwd-independent AND host-portable: env override, else the JVM tmpdir
-    val base = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
-      System.getProperty("java.io.tmpdir"))
-    val d = Paths.get(base, "graft-qtmp")
-    Files.createDirectories(d)
-    d.toString
-  }
-
   val all: Seq[GQuery] = Seq(
 
     // Write embeddings → fvec, read back through the DSv2 with a window —

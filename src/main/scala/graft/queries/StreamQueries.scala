@@ -47,6 +47,49 @@ object StreamQueries {
       graft.streaming.StreamDedup.dedupGroups(Tables.documents(s, dir))
     },
 
+    // S7/T5 driver row: the xvec micro-batch stream run to completion, the
+    // way q92 oracles StreamDedup. Two AvailableNow passes over a file that
+    // GROWS between them share one checkpoint — exactly-once delivery means
+    // the sink holds each of the 450 records exactly once, which the oracle
+    // (a plain recompute from the parquet table) can only match if the
+    // second pass resumed from ordinal 300 rather than re-reading from 0.
+    GQuery(
+      "q103_xvec_stream",
+      """SELECT vec_id AS ordinal, len(embedding) AS dim,
+        |       round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE))), 6) AS norm
+        |FROM embeddings WHERE vec_id < 450""".stripMargin) { (s, dir) =>
+      import java.nio.file.{Files, Paths}
+      val base = s"${tmpDir()}/xvs-${System.nanoTime()}"
+      Files.createDirectories(Paths.get(base))
+      val path = s"$base/s.fvec"
+      val src = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("ordinal"), col("embedding").as("vector"))
+      graft.sources.xvec.XvecIO.write(src.filter(col("ordinal") < 300), path)
+      val outDir = s"$base/out"
+      def drain(): Unit = {
+        val q = s.readStream.format("xvec").load(path)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      }
+      drain()
+      // grow the file in place: xvec is a bare record concatenation, so
+      // append == concatenate encodings (ordinals 300..449 by position)
+      val tail = s"$base/tail.fvec"
+      graft.sources.xvec.XvecIO.write(
+        src.filter(col("ordinal") >= 300 && col("ordinal") < 450), tail)
+      val out = new java.io.FileOutputStream(path, true)
+      try out.write(Files.readAllBytes(Paths.get(tail)))
+      finally out.close()
+      drain()
+      s.read.parquet(outDir).select(
+        col("ordinal"), size(col("vector")).as("dim"),
+        round(graft.functions.VectorFunctions.vectorNorm(col("vector")), 6).as("norm"))
+    },
+
     // Gap-based sessionization (30-min inactivity).
     GQuery(
       "q17_sessionize",

@@ -3,6 +3,17 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 package object queries {
+  /** Scratch dir for queries that must round data through a file format:
+    * cwd-independent AND host-portable — env override, else the JVM tmpdir.
+    */
+  private[queries] def tmpDir(): String = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
+      System.getProperty("java.io.tmpdir"))
+    val d = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(base, "graft-qtmp"))
+    d.toString
+  }
+
   /** One driver-checkable query: a Spark implementation plus (when the
     * semantics are SQL-expressible) an equivalent DuckDB oracle over the same
     * parquet tables. Column names must match exactly between the two — the

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deterministic sampling/split semantics: hash stability, quota rounding,
+  * stratum routing, null-key handling, append stability, plan purity.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private def docs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "stratum")
+  }
+
+  test("hashUnit is deterministic, salted, and in [0, 1e6)") {
+    import spark.implicits._
+    val df = (0 until 5000).map(_.toLong).toDF("id")
+    val h1 = df.select(Sampling.hashUnit(col("id"), "a").as("h")).collect().map(_.getLong(0))
+    val h2 = df.select(Sampling.hashUnit(col("id"), "a").as("h")).collect().map(_.getLong(0))
+    val hb = df.select(Sampling.hashUnit(col("id"), "b").as("h")).collect().map(_.getLong(0))
+    assert(h1.toSeq == h2.toSeq)
+    assert(h1.toSeq != hb.toSeq)
+    assert(h1.forall(h => h >= 0 && h < 1000000))
+    // roughly uniform: mean of U[0,1e6) is 5e5 ± a few percent at n=5000
+    val mean = h1.sum.toDouble / h1.length
+    assert(math.abs(mean - 500000.0) < 25000.0)
+  }
+
+  test("stratified sample keeps ~fraction per stratum, exactly and stably") {
+    val d = docs(4000)
+    val out = Sampling.stratifiedSample(d, "stratum", "id",
+      Map("s0" -> 0.5, "s1" -> 1.0, "s2" -> 0.0), default = 0.25)
+    val counts = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("s1") == 1000)            // fraction 1.0 keeps everything
+    assert(!counts.contains("s2"))          // fraction 0 drops everything
+    assert(math.abs(counts("s0") - 500) < 60)   // ~0.5 of 1000
+    assert(math.abs(counts("s3") - 250) < 60)   // default 0.25 of 1000
+    // per-key decisions are stable across runs
+    val again = Sampling.stratifiedSample(d, "stratum", "id",
+      Map("s0" -> 0.5, "s1" -> 1.0, "s2" -> 0.0), default = 0.25)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("quota rounds (not truncates), matching assignSplit thresholds") {
+    import spark.implicits._
+    val d = Seq(42L).toDF("id").withColumn("s", lit("x"))
+    val u = d.select(Sampling.hashUnit(col("id"), "strat").as("u")).collect()(0).getLong(0)
+    // quota = round(u + 0.7) = u + 1 keeps the row; a truncating quota
+    // (u) would drop it — the off-by-one slot the DuckDB replay disputes
+    val f = (u + 0.7) / 1e6
+    assert(Sampling.stratifiedSample(d, "s", "id", Map("x" -> f)).count() == 1)
+  }
+
+  test("null keys draw from the sentinel: kept at fraction 1, split assigned") {
+    import spark.implicits._
+    val d = Seq((java.lang.Long.valueOf(1L), "x"), (null.asInstanceOf[java.lang.Long], "x"))
+      .toDF("id", "s")
+    assert(Sampling.stratifiedSample(d, "s", "id", Map("x" -> 1.0)).count() == 2)
+    val splits = Sampling.assignSplit(d, "id", Seq("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => Option(r.get(0)) -> r.getString(2)).toMap
+    // the null row's label equals the sentinel string's label — deterministic
+    val sentinel = Seq(Tuple1(Sampling.NullKeySentinel)).toDF("id")
+    val want = Sampling.assignSplit(sentinel, "id", Seq("a" -> 0.5, "b" -> 0.5))
+      .collect()(0).getString(1)
+    assert(splits(None) == want)
+  }
+
+  test("split assignment covers all rows with ~the requested weights, stable on append") {
+    val d = docs(10000)
+    val out = Sampling.assignSplit(d, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000)
+    assert(math.abs(counts("train") - 8000) < 200)
+    assert(math.abs(counts("val") - 1000) < 120)
+    assert(math.abs(counts("test") - 1000) < 120)
+    // growing the corpus never reassigns existing keys
+    val grown = Sampling.assignSplit(docs(20000), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val before = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val after = grown.filter(col("id") < 10000).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(before == after)
+  }
+
+  test("both operators are pure projection/filter: no shuffle in the plan") {
+    val d = docs(100)
+    val p1 = Sampling.stratifiedSample(d, "stratum", "id", Map("s0" -> 0.5))
+      .queryExecution.executedPlan.toString
+    val p2 = Sampling.assignSplit(d, "id", Seq("a" -> 0.5, "b" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange") && !p2.contains("Exchange"))
+  }
+}
