@@ -28,18 +28,32 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     // Optional subset for local profiling: SPARK_GRAFT_ONLY=q82,q45
-    val results = SparkEntry.selectedQueries.toSeq.sortBy(_._1)
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces full materialization of every output column —
-      // count() would let Catalyst prune the computation under test
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e")
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // Median of N full sweeps (default 3): a machine-load / page-cache /
+    // JIT swing inflates one sweep, not the per-query median — round 5's
+    // +27% "regression" on byte-identical code was exactly this artifact.
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "3").toInt
+    def runSweep(): Seq[(String, Double)] =
+      SparkEntry.selectedQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink forces full materialization of every output column —
+        // count() would let Catalyst prune the computation under test
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e")
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    val bySweep = (1 to sweeps).map { i =>
+      val r = runSweep()
+      System.err.println(f"[bench] sweep $i/$sweeps total ${r.map(_._2).filter(_ >= 0).sum}%.1f s")
+      r
+    }
+    // per-query median; a query that failed ANY sweep reports -1
+    val results = bySweep.head.map(_._1).map { name =>
+      val ts = bySweep.map(_.toMap.apply(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
     }
     // The driver retains only the last ~2000 chars of stdout; the full
     // query-name map with 9-decimal floats is ~3100 chars and its head got

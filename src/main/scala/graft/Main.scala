@@ -4,22 +4,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.layout.GraftDataset
-import graft.operators.{Describe, Knn, ProfileStats}
+import graft.operators.{AsofJoin, Describe, Knn, ProfileStats, Sampling}
 import graft.sources.slab.SlabTable
 import graft.sources.xvec.XvecIO
 
 /** X2: the thin CLI over the engine — the `nbvectors <command>` surface
   * (reference README.md:34-110; services/BundledCommand.java dispatch) with
-  * each subcommand delegating to an existing operator. Commands:
-  *
-  *   describe         --dataset DIR [--profile P] [--detailed]
-  *   knn              --base PATH --query PATH [--k N] [--metric M]
-  *   verify_knn       --base PATH --query PATH [--k N] [--metric A,B]
-  *   analyze-profile  --input PATH [--col C]
-  *   generate         --count N --dim D [--seed S] --out PATH
-  *   slab-import      --slab DIR --ns NS --file PATH
-  *   slab-export      --slab DIR --ns NS --out PATH
-  *   slab-analyze     --slab DIR
+  * each subcommand delegating to an existing operator; see [[usage]] for the
+  * full 16-command inventory (dataset description, KNN/ground truth, PQ,
+  * slab I/O, dedup/decontamination, as-of join, sampling/splits).
   *
   * Vector PATHs accept .fvec/.ivec/.bvec/.dvec/.svec/.mvec or .parquet
   * (columns ordinal/vector or vec_id/embedding).
@@ -191,6 +184,41 @@ object Main {
         operators.Pq.adcSearch(query, codes, cbs,
           k = flags.getOrElse("k", "10").toInt)
 
+      case "asof" =>
+        // point-in-time join: latest --right row per --left row at-or-before
+        // its timestamp, matched on --key, --payload columns carried over
+        AsofJoin.asof(
+          spark.read.parquet(need("left")), spark.read.parquet(need("right")),
+          keyCol = need("key"), timeCol = need("time"), tieCol = need("tie"),
+          payloadCols = need("payload").split(",").toSeq)
+
+      case "sample" =>
+        // deterministic stratified keep-fractions: --fractions en=0.5,zh=1.0
+        val fracs = need("fractions").split(",").map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) => k -> v.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"--fractions wants name=frac pairs, got: '$kv'\n$usage")
+          }
+        }.toMap
+        Sampling.stratifiedSample(spark.read.parquet(need("input")),
+          strataCol = need("strata-col"), keyCol = need("key-col"),
+          fractions = fracs,
+          default = flags.getOrElse("default", "0.0").toDouble)
+
+      case "split" =>
+        // deterministic split labels: --splits train=0.8,val=0.1,test=0.1
+        val splits = need("splits").split(",").toSeq.map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) => k -> v.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"--splits wants name=weight pairs, got: '$kv'\n$usage")
+          }
+        }
+        Sampling.assignSplit(spark.read.parquet(need("input")),
+          keyCol = need("key-col"), splits = splits,
+          outCol = flags.getOrElse("out-col", "split"))
+
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")
     }
@@ -210,7 +238,10 @@ object Main {
       |  decontaminate --input PARQUET --benchmark PARQUET [--threshold T]
       |  compute-knn --base PATH --query PATH --out DIR [--k N] [--metric M]
       |  pq-encode --input PATH --out DIR [--m N] [--ksub N] [--seed S]
-      |  pq-search --index DIR --query PATH [--k N]""".stripMargin
+      |  pq-search --index DIR --query PATH [--k N]
+      |  asof --left PARQUET --right PARQUET --key K --time T --tie C --payload a,b
+      |  sample --input PARQUET --strata-col S --key-col K --fractions n=F,... [--default F]
+      |  split --input PARQUET --key-col K --splits n=W,... [--out-col C]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

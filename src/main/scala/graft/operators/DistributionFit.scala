@@ -73,11 +73,26 @@ object DistributionFit {
   /** Parametric ladder on one dimension's sample: simplest model whose K-S
     * is under `threshold` (default 0.03 per 06_model_fitting.md:44), else
     * EM-composite (2..maxModes), else empirical quantile table.
+    *
+    * Driver-memory guard: the ladder is meant for a BOUNDED per-dimension
+    * sample; a caller that collects a full 100TB column into `sample` gets
+    * a deterministic stride-decimation down to `maxSample` points (every
+    * k-th order statistic — the empirical CDF the K-S gate reads is
+    * preserved to ±1/maxSample) instead of an O(n·modes·iters) driver EM.
     */
   def fit(spark: SparkSession, sample: Seq[Double], threshold: Double = 0.03,
-      maxModes: Int = 4): Model = {
+      maxModes: Int = 4, maxSample: Int = 1000000): Model = {
     require(sample.nonEmpty, "empty sample")
-    val sorted = sample.sorted
+    require(maxSample > 1, s"maxSample must be > 1, got $maxSample")
+    val sortedAll = sample.sorted
+    val sorted =
+      if (sortedAll.size <= maxSample) sortedAll
+      else {
+        val all = sortedAll.toIndexedSeq
+        val n = all.size
+        // endpoints pinned so Uniform/Empirical keep the true range
+        (0 until maxSample).map(i => all((i.toLong * (n - 1) / (maxSample - 1)).toInt))
+      }
     val n = sorted.size
     // finite-sample floor: even a perfect model shows K-S noise ~1.36/sqrt(n)
     // (95% critical value), so the 0.03 "excellent" gate only binds when the

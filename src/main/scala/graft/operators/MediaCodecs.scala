@@ -1,0 +1,207 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** Real, pure-JVM media codecs behind the [[Multimodal.MediaCodec]] seam:
+  * binary PPM (P6) for images and RIFF/WAV PCM16-mono for audio — formats a
+  * JVM decodes from first principles with zero native libraries, so one
+  * image and one audio modality are REAL (bytes in, pixels/samples out)
+  * while richer formats stay on the declared stub.
+  *
+  * [[JvmCodec]] is the drop-in [[Multimodal.MediaCodec]]: payloads that
+  * parse as PPM/WAV get real decode-based features, nearest-neighbor
+  * resize (images) and frame chunking (audio); anything else falls back to
+  * [[Multimodal.StubCodec]] behavior, keeping every pipeline total.
+  */
+object MediaCodecs {
+
+  // ---------------------------------------------------------------- PPM (P6)
+
+  /** Encode a packed-RGB raster as binary PPM (P6, maxval 255). */
+  def encodePpm(width: Int, height: Int, raster: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(raster.length == 3 * width * height,
+      s"raster ${raster.length} != 3*$width*$height")
+    s"P6\n$width $height\n255\n".getBytes(US_ASCII) ++ raster
+  }
+
+  /** Decode binary PPM: (width, height, packed RGB raster), or None when the
+    * payload is not a well-formed single-byte-maxval P6 (header tokens may
+    * be separated by any whitespace and `#` comments, per the spec).
+    */
+  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 9 ||
+      payload(0) != 'P' || payload(1) != '6') return None
+    var pos = 2
+    def readInt(): Int = {
+      var skipping = true
+      while (skipping && pos < payload.length) {
+        val c = payload(pos)
+        if (c == '#') { while (pos < payload.length && payload(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') pos += 1
+        else skipping = false
+      }
+      var v = -1
+      while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+        v = math.max(0, v) * 10 + (payload(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxVal = readInt()
+    pos += 1 // exactly one whitespace byte separates maxval from the raster
+    if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return None
+    if (w.toLong * h * 3 > payload.length - pos) return None
+    Some((w, h, java.util.Arrays.copyOfRange(payload, pos, pos + 3 * w * h)))
+  }
+
+  /** Nearest-neighbor resize of a PPM payload, re-encoded as PPM; None when
+    * the payload isn't PPM. Source pixel = floor(dst * src_extent / dst_extent).
+    */
+  def resizePpmNearest(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decodePpm(payload).map { case (w0, h0, px) =>
+      val out = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * h0 / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx = (x.toLong * w0 / w).toInt
+          val s = 3 * (sy * w0 + sx)
+          val d = 3 * (y * w + x)
+          out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      encodePpm(w, h, out)
+    }
+
+  // ------------------------------------------------- WAV (RIFF, PCM16 mono)
+
+  /** Encode PCM16-mono samples as a canonical 44-byte-header WAV. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, s"bad sample rate $sampleRate")
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(US_ASCII)).putInt(36 + dataLen).put("WAVE".getBytes(US_ASCII))
+    bb.put("fmt ".getBytes(US_ASCII)).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits
+    bb.put("data".getBytes(US_ASCII)).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Decode a PCM16-mono WAV: (sample rate, samples), or None for anything
+    * else (wrong magic, compressed, stereo, 8/24-bit). Walks the RIFF chunk
+    * list — real writers interleave LIST/fact chunks and pad odd lengths.
+    */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (payload == null || payload.length < 44) return None
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(at: Int): String = new String(payload, at, 4, US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var rate = -1
+    var fmtOk = false
+    var data: Array[Short] = null
+    while (pos + 8 <= payload.length) {
+      val id = tag(pos)
+      val len = bb.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len > payload.length) return None
+      id match {
+        case "fmt " if len >= 16 =>
+          fmtOk = bb.getShort(pos + 8) == 1 && bb.getShort(pos + 10) == 1 &&
+            bb.getShort(pos + 22) == 16
+          rate = bb.getInt(pos + 12)
+        case "data" =>
+          val n = len / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = bb.getShort(pos + 8 + 2 * i); i += 1 }
+          data = out
+        case _ => () // LIST/fact/cue: skip
+      }
+      pos += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    if (fmtOk && rate > 0 && data != null) Some((rate, data)) else None
+  }
+
+  // ------------------------------------------------------------ the codec
+
+  /** The production-shaped codec: real decode where the bytes ARE a format
+    * this JVM parses, stub behavior everywhere else.
+    */
+  object JvmCodec extends Multimodal.MediaCodec {
+
+    override def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      decodePpm(payload)
+
+    override def decodeAudio(payload: Array[Byte]): Option[(Int, Array[Short])] =
+      decodeWav(payload)
+
+    /** Image: [rMean, gMean, bMean] in [0,1] then a luminance histogram over
+      * the remaining bins. Audio: [mean, rms] in [-1,1]/[0,1] then an
+      * amplitude histogram. Neither decodable: stub byte histogram.
+      */
+    def features(modality: String, payload: Array[Byte], nFeatures: Int): Array[Float] = {
+      decodePpm(payload) match {
+        case Some((w, h, px)) if nFeatures >= 4 =>
+          val out = new Array[Float](nFeatures)
+          val n = w * h
+          val bins = nFeatures - 3
+          var j = 0
+          while (j < px.length) {
+            val r = px(j) & 0xff; val g = px(j + 1) & 0xff; val b = px(j + 2) & 0xff
+            out(0) += r; out(1) += g; out(2) += b
+            // integer ITU-R 601 luma; bin index in [0, bins)
+            val luma = (299 * r + 587 * g + 114 * b) / 1000
+            out(3 + math.min(bins - 1, luma * bins / 256)) += 1.0f
+            j += 3
+          }
+          var c = 0
+          while (c < 3) { out(c) /= 255.0f * n; c += 1 }
+          while (c < nFeatures) { out(c) /= n; c += 1 }
+          out
+        case _ => decodeWav(payload) match {
+          case Some((_, samples)) if nFeatures >= 3 && samples.nonEmpty =>
+            val out = new Array[Float](nFeatures)
+            val bins = nFeatures - 2
+            var sum = 0.0; var sq = 0.0
+            var i = 0
+            while (i < samples.length) {
+              val s = samples(i).toInt
+              sum += s; sq += s.toDouble * s
+              out(2 + math.min(bins - 1, (s + 32768) * bins / 65536)) += 1.0f
+              i += 1
+            }
+            val n = samples.length
+            out(0) = (sum / n / 32768.0).toFloat
+            out(1) = (math.sqrt(sq / n) / 32768.0).toFloat
+            var c = 2
+            while (c < nFeatures) { out(c) /= n; c += 1 }
+            out
+          case _ => Multimodal.StubCodec.features(modality, payload, nFeatures)
+        }
+      }
+    }
+
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      resizePpmNearest(payload, w, h)
+        .getOrElse(Multimodal.StubCodec.resize(payload, w, h))
+
+    /** Audio "frames": 1024-sample windows re-encoded as standalone WAVs,
+      * every Nth kept — the audio analogue of video frame sampling. */
+    def sampleFrames(payload: Array[Byte], everyN: Int): Seq[Array[Byte]] =
+      decodeWav(payload) match {
+        case Some((rate, samples)) =>
+          samples.grouped(1024).zipWithIndex.collect {
+            case (chunk, i) if i % everyN == 0 => encodeWav(rate, chunk)
+          }.toSeq
+        case None => Multimodal.StubCodec.sampleFrames(payload, everyN)
+      }
+  }
+}

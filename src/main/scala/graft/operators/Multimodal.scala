@@ -36,6 +36,12 @@ object Multimodal {
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
     /** video bytes -> every nth "frame" payload */
     def sampleFrames(payload: Array[Byte], everyN: Int): Seq[Array[Byte]]
+    /** bytes -> (width, height, packed RGB raster) when this codec TRULY
+      * decodes the payload as an image; None otherwise. The stub decodes
+      * nothing; [[MediaCodecs.JvmCodec]] decodes PPM for real. */
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = None
+    /** bytes -> (sample rate, PCM16 samples) when truly decodable as audio. */
+    def decodeAudio(payload: Array[Byte]): Option[(Int, Array[Short])] = None
   }
 
   /** Deterministic fake codec: features are byte-histogram moments, resize
@@ -133,6 +139,110 @@ object Multimodal {
           if (meta == null) null
           else Row.fromSeq(meta.toSeq.updated(wIdx, w).updated(hIdx, h))
         Row.fromSeq(r.toSeq.updated(bytesIdx, resized).updated(metaIdx, newMeta))
+      }
+    }(enc)
+  }
+
+  /** Decoded image stats through the codec seam: one row per payload the
+    * codec truly decodes — (media_id, width, height, per-channel byte sums).
+    * Integer sums, so a SQL oracle replays them EXACTLY (float moments would
+    * drift between f32 kernel and f64 SQL at the 6th decimal).
+    */
+  def imageStats(media: DataFrame,
+      codec: MediaCodec = MediaCodecs.JvmCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        codec.decodeImage(r.getAs[Array[Byte]](bytesIdx)).map { case (w, h, px) =>
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var j = 0
+          while (j < px.length) {
+            val v = (px(j) & 0xff).toLong
+            (j % 3: @annotation.switch) match {
+              case 0 => rs += v
+              case 1 => gs += v
+              case _ => bs += v
+            }
+            j += 1
+          }
+          Row(r.getLong(idIdx), w, h, rs, gs, bs)
+        }
+      }
+    }(enc)
+  }
+
+  /** Decoded audio stats through the codec seam: one row per truly-decoded
+    * payload — (media_id, header sample rate, sample count, signed sum,
+    * abs sum). Integer outputs for exact SQL replay, as [[imageStats]].
+    */
+  def audioStats(media: DataFrame,
+      codec: MediaCodec = MediaCodecs.JvmCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("sum_samples", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        codec.decodeAudio(r.getAs[Array[Byte]](bytesIdx)).map { case (rate, samples) =>
+          var sum = 0L; var abs = 0L
+          var i = 0
+          while (i < samples.length) {
+            val s = samples(i).toLong
+            sum += s; abs += math.abs(s)
+            i += 1
+          }
+          Row(r.getLong(idIdx), rate, samples.length, sum, abs)
+        }
+      }
+    }(enc)
+  }
+
+  /** Synthesize REAL-format payloads from an id column: even ids carry a
+    * 16x16 binary PPM whose raster byte j is `(id*2654435761 + j*40503) % 256`;
+    * odd ids a 441-sample PCM16 WAV at `8000 + (id%8)*1000` Hz whose sample i
+    * is `(id*40503 + i*69069) % 65536 - 32768`. The formulas ARE the oracle
+    * contract: DuckDB replays the decoded stats from first principles while
+    * the payload itself round-trips a real codec.
+    */
+  def synthesizeReal(ids: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        if (id % 2 == 0) {
+          val raster = new Array[Byte](768)
+          var j = 0
+          while (j < 768) {
+            raster(j) = ((id * 2654435761L + j * 40503L) % 256L).toByte
+            j += 1
+          }
+          Row(id, "image", MediaCodecs.encodePpm(16, 16, raster),
+            Row(16, 16, null, null))
+        } else {
+          val rate = (8000 + (id % 8) * 1000).toInt
+          val samples = new Array[Short](441)
+          var i = 0
+          while (i < 441) {
+            samples(i) = ((id * 40503L + i * 69069L) % 65536L - 32768L).toShort
+            i += 1
+          }
+          Row(id, "audio", MediaCodecs.encodeWav(rate, samples),
+            Row(null, null, rate, null))
+        }
       }
     }(enc)
   }

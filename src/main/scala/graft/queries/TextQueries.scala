@@ -232,5 +232,44 @@ object TextQueries {
         .select(col("media_id"), col("meta.width").as("w"), col("meta.height").as("h"),
           octet_length(col("bytes")).as("resized_len"))
     },
+
+    // REAL image decode: even-id docs carry a synthesized binary PPM (P6)
+    // whose raster bytes follow the documented formula; JvmCodec parses the
+    // actual format (header tokenizer + raster) and the query emits integer
+    // per-channel sums. The oracle knows NOTHING about PPM — it replays the
+    // raster formula from first principles, so a green row proves the
+    // encode→real-decode round trip is lossless.
+    GQuery(
+      "q104_ppm_decode",
+      """SELECT d.doc_id AS media_id, 16 AS width, 16 AS height,
+        |       sum(CASE WHEN t.j % 3 = 0 THEN (d.doc_id * 2654435761 + t.j * 40503) % 256 ELSE 0 END)::BIGINT AS r_sum,
+        |       sum(CASE WHEN t.j % 3 = 1 THEN (d.doc_id * 2654435761 + t.j * 40503) % 256 ELSE 0 END)::BIGINT AS g_sum,
+        |       sum(CASE WHEN t.j % 3 = 2 THEN (d.doc_id * 2654435761 + t.j * 40503) % 256 ELSE 0 END)::BIGINT AS b_sum
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+        |CROSS JOIN range(768) t(j)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ids = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(2)) === 0).select("doc_id")
+      Multimodal.imageStats(Multimodal.synthesizeReal(ids, "doc_id"))
+    },
+
+    // REAL audio decode: odd-id docs carry a synthesized PCM16-mono WAV
+    // (sample rate varies per id so the value genuinely comes from the
+    // RIFF fmt chunk); JvmCodec walks the chunk list and the query emits
+    // integer sample sums the oracle replays from the generator formula.
+    GQuery(
+      "q105_wav_decode",
+      """SELECT d.doc_id AS media_id,
+        |       (8000 + (d.doc_id % 8) * 1000)::INT AS sample_rate,
+        |       441 AS n_samples,
+        |       sum((d.doc_id * 40503 + t.i * 69069) % 65536 - 32768)::BIGINT AS sum_samples,
+        |       sum(abs((d.doc_id * 40503 + t.i * 69069) % 65536 - 32768))::BIGINT AS sum_abs
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |CROSS JOIN range(441) t(i)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ids = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(2)) === 1).select("doc_id")
+      Multimodal.audioStats(Multimodal.synthesizeReal(ids, "doc_id"))
+    },
   )
 }

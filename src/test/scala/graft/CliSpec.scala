@@ -124,6 +124,49 @@ class CliSpec extends SparkSpec {
     assert(hits.forall(_.getAs[Double]("adc_dist") >= 0.0))
   }
 
+  test("asof joins latest right state at-or-before each left row") {
+    import spark.implicits._
+    val left = s"$dir/asof-left.parquet"
+    val right = s"$dir/asof-right.parquet"
+    Seq(("u1", 100L), ("u1", 205L), ("u2", 50L))
+      .toDF("user", "t").write.mode("overwrite").parquet(left)
+    Seq(("u1", 100L, 1L, "a"), ("u1", 200L, 2L, "b"), ("u2", 60L, 3L, "c"))
+      .toDF("user", "t", "rid", "state").write.mode("overwrite").parquet(right)
+    val r = Main.run(spark, Seq("asof", "--left", left, "--right", right,
+      "--key", "user", "--time", "t", "--tie", "rid", "--payload", "state"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2))).toSet
+    // boundary (<=) match at t=100; u2@50 precedes every right row -> null
+    assert(r == Set(("u1", 100L, "a"), ("u1", 205L, "b"), ("u2", 50L, null)))
+  }
+
+  test("sample and split assign deterministic fates from the key hash") {
+    import spark.implicits._
+    val input = s"$dir/sample-in.parquet"
+    (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang").write.mode("overwrite").parquet(input)
+    val kept = Main.run(spark, Seq("sample", "--input", input,
+      "--strata-col", "lang", "--key-col", "doc_id",
+      "--fractions", "en=0.5,zh=1.0"))
+    val langs = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs("zh") == 200L) // fraction 1.0 keeps every zh row
+    assert(langs("en") > 50L && langs("en") < 150L) // ~0.5 of 200
+    // re-run returns the identical keep set
+    val again = Main.run(spark, Seq("sample", "--input", input,
+      "--strata-col", "lang", "--key-col", "doc_id",
+      "--fractions", "en=0.5,zh=1.0"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select("doc_id").collect().map(_.getLong(0)).toSet)
+
+    val split = Main.run(spark, Seq("split", "--input", input,
+      "--key-col", "doc_id", "--splits", "train=0.8,val=0.1,test=0.1"))
+    val byLabel = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel.values.sum == 400L)
+    assert(byLabel("train") > 280L) // ~320 expected
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))

@@ -42,6 +42,24 @@ class DistributionFitSpec extends SparkSpec {
     assert(!rows(1).getAs[Boolean]("kind_match"))
   }
 
+  test("oversized samples are stride-decimated, fit unchanged") {
+    val rng = new scala.util.Random(7)
+    val sample = Seq.fill(40000)(rng.nextGaussian() * 3 + 10)
+    val full = DistributionFit.fit(spark, sample)
+    // force the guard: cap far below the sample size
+    val capped = DistributionFit.fit(spark, sample, maxSample = 2000)
+    assert(full.kind == "normal" && capped.kind == "normal")
+    val drift = (full.params.keySet ++ capped.params.keySet).map(k =>
+      math.abs(full.params.getOrElse(k, 0.0) - capped.params.getOrElse(k, 0.0))).max
+    assert(drift < 0.05, s"decimation moved the fit by $drift")
+    // endpoints pinned: a uniform stays uniform with the true range
+    val uni = (0 until 10000).map(_ / 9999.0)
+    val u = DistributionFit.fit(spark, uni, maxSample = 100)
+    assert(u == DistributionFit.Uniform(0.0, 1.0))
+    intercept[IllegalArgumentException](
+      DistributionFit.fit(spark, Seq(1.0), maxSample = 1))
+  }
+
   test("empirical CDF interpolates the quantile table") {
     val e = DistributionFit.Empirical((0 to 10).map(_.toDouble))
     assert(DistributionFit.cdf(e, -1) == 0.0)

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.MediaCodecs._
+
+class MediaCodecsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def raster(w: Int, h: Int)(f: Int => Int): Array[Byte] =
+    Array.tabulate(3 * w * h)(j => f(j).toByte)
+
+  test("PPM encode/decode round-trips dims and every raster byte") {
+    val px = raster(5, 3)(j => j * 7)
+    val Some((w, h, out)) = decodePpm(encodePpm(5, 3, px))
+    assert(w == 5 && h == 3)
+    assert(out.toSeq == px.toSeq)
+  }
+
+  test("PPM header parser handles comments and mixed whitespace") {
+    val px = raster(2, 2)(identity)
+    val hdr = "P6 # a comment\n# another\n 2\t2 # dims\n255\n"
+    val Some((w, h, out)) = decodePpm(hdr.getBytes("US-ASCII") ++ px)
+    assert(w == 2 && h == 2 && out.toSeq == px.toSeq)
+  }
+
+  test("PPM decode rejects wrong magic, 2-byte maxval, truncated raster") {
+    assert(decodePpm("P5\n2 2\n255\n".getBytes ++ raster(2, 2)(identity)).isEmpty)
+    assert(decodePpm("P6\n2 2\n65535\n".getBytes ++ raster(2, 2)(identity)).isEmpty)
+    assert(decodePpm(encodePpm(4, 4, raster(4, 4)(identity)).dropRight(1)).isEmpty)
+    assert(decodePpm(null).isEmpty)
+    assert(decodePpm("not an image".getBytes).isEmpty)
+  }
+
+  test("nearest-neighbor resize picks floor-mapped source pixels") {
+    // 4x2 source, channel-r byte at pixel p = p (g=b=0)
+    val px = new Array[Byte](24)
+    (0 until 8).foreach(p => px(3 * p) = p.toByte)
+    val Some(resized) = resizePpmNearest(encodePpm(4, 2, px), 2, 1)
+    val Some((w, h, out)) = decodePpm(resized)
+    assert(w == 2 && h == 1)
+    // dst x=0 -> src (0,0) = pixel 0; dst x=1 -> src x = 1*4/2 = 2 -> pixel 2
+    assert(out(0) == 0.toByte && out(3) == 2.toByte)
+    // upscale 1x1 -> 3x3 replicates the single pixel
+    val one = encodePpm(1, 1, Array[Byte](9, 8, 7))
+    val Some((_, _, up)) = decodePpm(resizePpmNearest(one, 3, 3).get)
+    assert(up.grouped(3).forall(_.toSeq == Seq[Byte](9, 8, 7)))
+  }
+
+  test("WAV encode/decode round-trips rate and samples incl. negative") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345)
+    val Some((rate, out)) = decodeWav(encodeWav(22050, samples))
+    assert(rate == 22050)
+    assert(out.toSeq == samples.toSeq)
+  }
+
+  test("WAV chunk walker skips foreign chunks and honors odd-length padding") {
+    val base = encodeWav(8000, Array[Short](5, -5, 100))
+    // splice a 3-byte LIST chunk (padded to 4) between WAVE and fmt
+    val foreign = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0)
+    val spliced = base.take(12) ++ foreign ++ base.drop(12)
+    // RIFF size field must cover the splice
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val Some((rate, out)) = decodeWav(spliced)
+    assert(rate == 8000 && out.toSeq == Seq[Short](5, -5, 100))
+  }
+
+  test("WAV decode rejects stereo, non-PCM, truncated payloads") {
+    val good = encodeWav(8000, Array[Short](1, 2, 3))
+    val stereo = good.clone()
+    stereo(22) = 2 // channels
+    assert(decodeWav(stereo).isEmpty)
+    val compressed = good.clone()
+    compressed(20) = 3 // IEEE float format tag
+    assert(decodeWav(compressed).isEmpty)
+    assert(decodeWav(good.dropRight(2)).isEmpty) // data chunk overruns
+    assert(decodeWav(null).isEmpty)
+    assert(decodeWav("RIFFxxxxNOPE".getBytes).isEmpty)
+  }
+
+  test("JvmCodec: real features for decodable payloads, stub fallback else") {
+    val flat = encodePpm(4, 4, raster(4, 4)(_ => 255)) // all-white image
+    val f = JvmCodec.features("image", flat, 8)
+    assert(f(0) == 1.0f && f(1) == 1.0f && f(2) == 1.0f) // channel means
+    assert(math.abs(f.drop(3).sum - 1.0f) < 1e-5) // luma histogram sums to 1
+    assert(f(7) == 1.0f) // all pixels in the top luma bin
+    val silence = encodeWav(8000, Array.fill[Short](100)(0))
+    val a = JvmCodec.features("audio", silence, 6)
+    assert(a(0) == 0.0f && a(1) == 0.0f) // mean, rms
+    val text = "just some text".getBytes
+    assert(JvmCodec.features("image", text, 8).toSeq ==
+      Multimodal.StubCodec.features("image", text, 8).toSeq)
+    assert(JvmCodec.resize(text, 4, 4).toSeq ==
+      Multimodal.StubCodec.resize(text, 4, 4).toSeq)
+  }
+
+  test("JvmCodec audio frames: 1024-sample WAV windows, every Nth kept") {
+    val samples = Array.tabulate[Short](3000)(i => (i % 251).toShort)
+    val frames = JvmCodec.sampleFrames(encodeWav(16000, samples), everyN = 2)
+    assert(frames.size == 2) // windows 0 and 2 of 3
+    val Some((r0, s0)) = decodeWav(frames.head)
+    assert(r0 == 16000 && s0.toSeq == samples.slice(0, 1024).toSeq)
+    val Some((_, s2)) = decodeWav(frames(1))
+    assert(s2.toSeq == samples.slice(2048, 3000).toSeq)
+  }
+
+  test("synthesizeReal payloads round-trip the real codecs distributed") {
+    val ids = (0L until 20L).toDF("doc_id")
+    val media = Multimodal.synthesizeReal(ids, "doc_id")
+    val img = Multimodal.imageStats(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(img.keySet == (0L until 20L by 2).toSet) // even ids only
+    // replay the raster formula for id 4
+    val expected = (0 until 768).map(j => (4L * 2654435761L + j * 40503L) % 256L)
+    val rSum = expected.zipWithIndex.collect { case (v, j) if j % 3 == 0 => v }.sum
+    assert(img(4L).getInt(1) == 16 && img(4L).getInt(2) == 16)
+    assert(img(4L).getLong(3) == rSum)
+    val aud = Multimodal.audioStats(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(aud.keySet == (1L until 20L by 2).toSet)
+    val s = (0 until 441).map(i => (3L * 40503L + i * 69069L) % 65536L - 32768L)
+    assert(aud(3L).getInt(1) == 11000) // 8000 + (3%8)*1000
+    assert(aud(3L).getInt(2) == 441)
+    assert(aud(3L).getLong(3) == s.sum && aud(3L).getLong(4) == s.map(math.abs).sum)
+  }
+}
