@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, Knn}
+import graft.operators.{Ann, AsofJoin, Dedup, Knn, Sampling}
 
 /** Scaling soak (dev tool, not part of the driver contract): measures the
   * flagship scale paths at 100-1000× the driver testdata sizes so the
@@ -30,6 +30,29 @@ object ScaleSoak {
     val nBase = sys.env.getOrElse("SOAK_BASE", "1000000").toLong
     val dim = 64
     val nQueries = 100
+
+    // --- curation ops (SOAK_EVENTS=0 skips): skewed as-of + wide split
+    val nEvents = sys.env.getOrElse("SOAK_EVENTS", "10000000").toLong
+    if (nEvents > 0) {
+      // 90% of state updates land on ONE key — the documented worst case
+      // for the union+window plan (single hot partition, external sort)
+      val right = spark.range(nEvents).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id") % 100).as("k"),
+        col("id").as("t"), col("id").as("rid"),
+        (col("id") % 1000).cast("double").as("v"))
+      val left = spark.range(nEvents / 10).select(
+        (col("id") % 100).as("k"), (col("id") * 7 % nEvents).as("t"))
+      timed(s"as-of join ${nEvents / 10} probes vs $nEvents states (90% one key)") {
+        AsofJoin.asof(left, right, keyCol = "k", timeCol = "t",
+          tieCol = "rid", payloadCols = Seq("v")).count()
+      }
+      timed(s"split assignment over ${nEvents * 10} keys (pure projection)") {
+        Sampling.assignSplit(spark.range(nEvents * 10).toDF(), "id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy("split").count().collect()
+      }
+    }
+    if (nBase == 0) { spark.stop(); return }
 
     // --- vectors: generate once, reuse across stages
     val base = timed(s"generate $nBase x $dim vectors") {
