@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis Column builders for training-data pipelines: tokenization,
@@ -125,6 +125,73 @@ object TextFunctions {
   /** Approximate LLM token count: matches of the BPE-ish pretokenizer. */
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  /** Fixed-window token chunking for training-sequence preparation: chunk
+    * `i` covers tokens `[i*stride, i*stride + maxTokens)` with
+    * `stride = maxTokens - overlap`; a window opens only while it
+    * contributes ≥1 token beyond the previous one (no pure-overlap tail
+    * chunk), so every token lands in ≥1 chunk and consecutive chunks share
+    * `overlap` tokens. Pure per-row explode — zero shuffle, fully
+    * parallel, and engine-replayable (the chunk is a deterministic slice
+    * of the whitespace tokens).
+    *
+    * Output: (id, chunk_idx INT, n_tokens INT, chunk STRING). Empty/
+    * whitespace-only docs yield no chunks.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap maxTokens=$maxTokens")
+    val stride = maxTokens - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0),
+          greatest(lit(0),
+            floor((size(col("_toks")) - 1 - overlap) / stride)).cast("int")))
+          .as("_ci"))
+      .select(col(idCol), col("_ci").cast("int").as("chunk_idx"),
+        slice(col("_toks"), col("_ci") * stride + 1, lit(maxTokens)).as("_chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("_chunk")).as("n_tokens"),
+        concat_ws(" ", col("_chunk")).as("chunk"))
+  }
+
+  /** The Gopher stopword set (rule 8 of the Gopher quality filters). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules as per-doc boolean flags (word
+    * count 50..100k, mean word length 3..10, symbol-to-word ratio ≤0.1 for
+    * `#`/`...`, ≥80% words with an alphabetic char, ≥2 distinct stopwords)
+    * plus the conjunction. Pure projection — zero shuffle; every flag is
+    * replayable in SQL.
+    */
+  def gopherFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val out = df.select(col(idCol), toks.as("_toks"),
+      size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).as("_syms"))
+    val n = size(col("_toks"))
+    val mwl = when(n === 0, 0.0).otherwise(
+      aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .cast("double") / n.cast("double"))
+    val alphaWords = size(filter(col("_toks"), t => t.rlike("[A-Za-z]")))
+    val stopHits = size(filter(
+      typedLit(gopherStopwords), s => array_contains(col("_toks"), s)))
+    val flags = out.select(col(idCol),
+      n.as("n_words"), round(mwl, 6).as("mean_word_len"),
+      (n >= 50 && n <= 100000).as("word_count_ok"),
+      (mwl >= 3.0 && mwl <= 10.0).as("word_len_ok"),
+      (col("_syms").cast("double") / greatest(n, lit(1)).cast("double") <= 0.1)
+        .as("symbol_ok"),
+      (alphaWords.cast("double") / greatest(n, lit(1)).cast("double") >= 0.8)
+        .as("alpha_ok"),
+      (stopHits >= 2).as("stop_ok"))
+    flags.withColumn("passes",
+      col("word_count_ok") && col("word_len_ok") && col("symbol_ok") &&
+        col("alpha_ok") && col("stop_ok"))
+  }
 
   /** Content-type sniff in the style of slab analyze (json/jsonl/text),
     * string-structural so oracles can mirror it.

@@ -26,14 +26,15 @@ object MediaCodecs {
     s"P6\n$width $height\n255\n".getBytes(US_ASCII) ++ raster
   }
 
-  /** Decode binary PPM: (width, height, packed RGB raster), or None when the
-    * payload is not a well-formed single-byte-maxval P6 (header tokens may
-    * be separated by any whitespace and `#` comments, per the spec).
+  /** Parse one P6 header at `start`: (width, height, raster offset), or
+    * None when the bytes there are not a well-formed single-byte-maxval P6
+    * header (tokens may be separated by any whitespace and `#` comments,
+    * per the spec). Does NOT check the raster fits — callers do.
     */
-  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    if (payload == null || payload.length < 9 ||
-      payload(0) != 'P' || payload(1) != '6') return None
-    var pos = 2
+  private def parseHeader(payload: Array[Byte], start: Int): Option[(Int, Int, Int)] = {
+    if (payload == null || start < 0 || start + 9 > payload.length ||
+      payload(start) != 'P' || payload(start + 1) != '6') return None
+    var pos = start + 2
     def readInt(): Int = {
       var skipping = true
       while (skipping && pos < payload.length) {
@@ -50,9 +51,39 @@ object MediaCodecs {
     }
     val w = readInt(); val h = readInt(); val maxVal = readInt()
     pos += 1 // exactly one whitespace byte separates maxval from the raster
-    if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return None
-    if (w.toLong * h * 3 > payload.length - pos) return None
-    Some((w, h, java.util.Arrays.copyOfRange(payload, pos, pos + 3 * w * h)))
+    if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) None
+    else Some((w, h, pos))
+  }
+
+  /** Decode binary PPM: (width, height, packed RGB raster), or None when
+    * the payload does not start with a well-formed P6 frame.
+    */
+  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    parseHeader(payload, 0).flatMap { case (w, h, rasterAt) =>
+      if (w.toLong * h * 3 > payload.length - rasterAt) None
+      else Some((w, h,
+        java.util.Arrays.copyOfRange(payload, rasterAt, rasterAt + 3 * w * h)))
+    }
+
+  /** Split a back-to-back concatenation of P6 frames — the MJPEG-style
+    * raster stream this library uses as its real "video" format — into the
+    * per-frame payloads. None unless the WHOLE payload is consumed by
+    * well-formed frames (a trailing partial frame rejects the stream).
+    */
+  def splitPpmStream(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (payload == null || payload.isEmpty) return None
+    val frames = Seq.newBuilder[Array[Byte]]
+    var pos = 0
+    while (pos < payload.length) {
+      parseHeader(payload, pos) match {
+        case Some((w, h, rasterAt)) if rasterAt + 3L * w * h <= payload.length =>
+          val end = rasterAt + 3 * w * h
+          frames += java.util.Arrays.copyOfRange(payload, pos, end)
+          pos = end
+        case _ => return None
+      }
+    }
+    Some(frames.result())
   }
 
   /** Nearest-neighbor resize of a PPM payload, re-encoded as PPM; None when
@@ -193,15 +224,21 @@ object MediaCodecs {
       resizePpmNearest(payload, w, h)
         .getOrElse(Multimodal.StubCodec.resize(payload, w, h))
 
-    /** Audio "frames": 1024-sample windows re-encoded as standalone WAVs,
-      * every Nth kept — the audio analogue of video frame sampling. */
+    /** Real frame sampling: a concatenated-PPM stream splits on frame
+      * boundaries (every Nth standalone PPM kept); WAV audio yields
+      * 1024-sample windows re-encoded as standalone WAVs; anything else
+      * falls back to the stub chunking. */
     def sampleFrames(payload: Array[Byte], everyN: Int): Seq[Array[Byte]] =
-      decodeWav(payload) match {
-        case Some((rate, samples)) =>
-          samples.grouped(1024).zipWithIndex.collect {
-            case (chunk, i) if i % everyN == 0 => encodeWav(rate, chunk)
-          }.toSeq
-        case None => Multimodal.StubCodec.sampleFrames(payload, everyN)
+      splitPpmStream(payload) match {
+        case Some(frames) =>
+          frames.zipWithIndex.collect { case (f, i) if i % everyN == 0 => f }
+        case None => decodeWav(payload) match {
+          case Some((rate, samples)) =>
+            samples.grouped(1024).zipWithIndex.collect {
+              case (chunk, i) if i % everyN == 0 => encodeWav(rate, chunk)
+            }.toSeq
+          case None => Multimodal.StubCodec.sampleFrames(payload, everyN)
+        }
       }
   }
 }

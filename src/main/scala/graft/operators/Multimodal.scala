@@ -247,6 +247,33 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize real multi-frame "video": each payload is `frames`
+    * back-to-back binary PPMs (the concatenated-raster stream
+    * [[MediaCodecs.splitPpmStream]] parses); frame `f` raster byte `j` is
+    * `(id*2654435761 + f*7919 + j*40503) % 256` — the oracle contract for
+    * replaying per-frame stats after real frame extraction.
+    */
+  def synthesizeVideoPpm(ids: DataFrame, idCol: String, frames: Int = 6,
+      w: Int = 8, h: Int = 6): DataFrame = {
+    require(frames > 0 && w > 0 && h > 0, s"bad video shape ${frames}x${w}x$h")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val stream = (0 until frames).flatMap { f =>
+          val raster = new Array[Byte](3 * w * h)
+          var j = 0
+          while (j < raster.length) {
+            raster(j) = ((id * 2654435761L + f * 7919L + j * 40503L) % 256L).toByte
+            j += 1
+          }
+          MediaCodecs.encodePpm(w, h, raster)
+        }.toArray
+        Row(id, "video", stream, Row(w, h, null, frames))
+      }
+    }(enc)
+  }
+
   /** Synthesize a media table from any (id, text) source — payload = UTF-8
     * bytes, modality round-robins — so the plumbing is exercisable with the
     * driver testdata.

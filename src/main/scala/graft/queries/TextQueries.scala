@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.Multimodal
+import graft.operators.{MediaCodecs, Multimodal}
 
 /** Text-analysis and content-tooling queries over the documents/events
   * tables: token counting, quality scoring, language ID, fingerprinting,
@@ -270,6 +270,86 @@ object TextQueries {
       val ids = Tables.documents(s, dir)
         .filter(pmod(col("doc_id"), lit(2)) === 1).select("doc_id")
       Multimodal.audioStats(Multimodal.synthesizeReal(ids, "doc_id"))
+    },
+
+    // REAL video frame extraction: payloads are concatenated binary PPMs
+    // (an MJPEG-style raster stream); JvmCodec splits on parsed frame
+    // boundaries, every 2nd frame kept, and each kept frame is then REALLY
+    // decoded to per-channel sums. The oracle replays the per-frame raster
+    // formula — green only if boundary detection AND frame decode are both
+    // exact.
+    GQuery(
+      "q108_ppm_video_frames",
+      """SELECT (d.doc_id * 16 + f.fi)::BIGINT AS frame_key, 8 AS width, 6 AS height,
+        |       sum(CASE WHEN t.j % 3 = 0 THEN (d.doc_id * 2654435761 + f.fi * 7919 + t.j * 40503) % 256 ELSE 0 END)::BIGINT AS r_sum,
+        |       sum(CASE WHEN t.j % 3 = 1 THEN (d.doc_id * 2654435761 + f.fi * 7919 + t.j * 40503) % 256 ELSE 0 END)::BIGINT AS g_sum,
+        |       sum(CASE WHEN t.j % 3 = 2 THEN (d.doc_id * 2654435761 + f.fi * 7919 + t.j * 40503) % 256 ELSE 0 END)::BIGINT AS b_sum
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+        |CROSS JOIN (VALUES (0), (2), (4)) f(fi)
+        |CROSS JOIN range(144) t(j)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ids = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id")
+      val media = Multimodal.synthesizeVideoPpm(ids, "doc_id", frames = 6)
+      val kept = Multimodal.sampleFrames(media, everyN = 2, MediaCodecs.JvmCodec)
+      // frame_idx indexes the KEPT sequence; original index = frame_idx * 2
+      Multimodal.imageStats(kept.select(
+          (col("media_id") * 16 + col("frame_idx") * 2).as("media_id"),
+          col("frame").as("bytes")))
+        .withColumnRenamed("media_id", "frame_key")
+    },
+
+    // Token-window chunking (training-sequence prep): 32-token windows at
+    // stride 24 (overlap 8). The oracle replays the whitespace tokenization
+    // and slice arithmetic; md5 of the joined chunk pins the exact content
+    // of every window without hauling the text through the compare.
+    GQuery(
+      "q106_chunk_text",
+      """WITH t AS (SELECT doc_id,
+        |                  list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |           FROM documents),
+        |i AS (SELECT doc_id, toks,
+        |             unnest(range(greatest(0, (len(toks) - 1 - 8) // 24) + 1)) AS ci
+        |      FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, ci::INT AS chunk_idx,
+        |       (least(len(toks), ci*24 + 32) - ci*24)::INT AS n_tokens,
+        |       md5(array_to_string(toks[(ci*24 + 1):least(len(toks), ci*24 + 32)], ' ')) AS chunk_md5
+        |FROM i""".stripMargin) { (s, dir) =>
+      TextFunctions.chunkByTokens(Tables.documents(s, dir),
+          "doc_id", "text", maxTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk")).as("chunk_md5"))
+    },
+
+    // Gopher-style quality rules: every flag recomputed by the oracle from
+    // the same token list (count/word-length windows, symbol ratio, alpha
+    // ratio, distinct-stopword floor) — boolean parity per document.
+    GQuery(
+      "q107_gopher_rules",
+      """WITH t AS (SELECT doc_id, text,
+        |                  list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n,
+        |             CASE WHEN len(toks) = 0 THEN 0.0
+        |                  ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+        |             END AS mwl,
+        |             len(regexp_extract_all(text, '#|\.\.\.')) AS syms,
+        |             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+        |             len(list_filter(['the','be','to','of','and','that','have','with'],
+        |                             s -> list_contains(toks, s))) AS stop_hits
+        |      FROM t)
+        |SELECT doc_id, n::INT AS n_words, round(mwl, 6) AS mean_word_len,
+        |       (n BETWEEN 50 AND 100000) AS word_count_ok,
+        |       (mwl BETWEEN 3.0 AND 10.0) AS word_len_ok,
+        |       (syms::DOUBLE / greatest(n, 1) <= 0.1) AS symbol_ok,
+        |       (alpha_words::DOUBLE / greatest(n, 1) >= 0.8) AS alpha_ok,
+        |       (stop_hits >= 2) AS stop_ok,
+        |       ((n BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+        |        AND (syms::DOUBLE / greatest(n, 1) <= 0.1)
+        |        AND (alpha_words::DOUBLE / greatest(n, 1) >= 0.8)
+        |        AND (stop_hits >= 2)) AS passes
+        |FROM m""".stripMargin) { (s, dir) =>
+      TextFunctions.gopherFlags(Tables.documents(s, dir), "doc_id", "text")
     },
   )
 }

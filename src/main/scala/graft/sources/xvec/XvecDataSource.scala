@@ -54,7 +54,8 @@ class XvecDataSource extends TableProvider with DataSourceRegister {
       .getOrElse(XvecFormat.forPath(path))
     val window = FWindow.parse(options.get("window"))
     val columnar = Option(options.get("columnar")).forall(_.toBoolean)
-    new XvecTable(path, fmt, window, columnar)
+    val maxPerTrigger = Option(options.get("maxRecordsPerTrigger")).map(_.toLong).getOrElse(0L)
+    new XvecTable(path, fmt, window, columnar, maxPerTrigger)
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -67,18 +68,18 @@ object XvecTable {
 }
 
 class XvecTable(path: String, fmt: XvecFormat, window: FWindow,
-    columnar: Boolean = true)
+    columnar: Boolean = true, maxPerTrigger: Long = 0L)
     extends Table with SupportsRead {
   override def name(): String = s"xvec:$path"
   override def schema(): StructType = XvecTable.schemaFor(fmt)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new XvecScanBuilder(path, fmt, window, columnar)
+    new XvecScanBuilder(path, fmt, window, columnar, maxPerTrigger)
 }
 
 class XvecScanBuilder(path: String, fmt: XvecFormat, window: FWindow,
-    columnar: Boolean = true)
+    columnar: Boolean = true, maxPerTrigger: Long = 0L)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -128,7 +129,8 @@ class XvecScanBuilder(path: String, fmt: XvecFormat, window: FWindow,
     val filterIntervals = pushed.foldLeft(Seq(FInterval(0, Long.MaxValue))) { (acc, f) =>
       intersect(acc, toIntervals(f).get)
     }
-    new XvecScan(path, fmt, window, filterIntervals, required, columnar)
+    new XvecScan(path, fmt, window, filterIntervals, required, columnar,
+      maxPerTrigger)
   }
 }
 
@@ -137,13 +139,14 @@ case class XvecInputPartition(path: String, dimExpected: Int, recordStart: Long,
 
 class XvecScan(path: String, fmt: XvecFormat, window: FWindow,
     filterIntervals: Seq[FInterval], required: StructType,
-    columnar: Boolean = true) extends Scan with Batch {
+    columnar: Boolean = true, maxPerTrigger: Long = 0L) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new XvecMicroBatchStream(path, fmt, window, required.fieldNames.toSeq)
+    new XvecMicroBatchStream(path, fmt, window, required.fieldNames.toSeq,
+      maxPerTrigger)
   override def description(): String =
     s"xvec $path window=${window.intervals} pushed=${filterIntervals}"
 

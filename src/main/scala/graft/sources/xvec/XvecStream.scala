@@ -2,7 +2,7 @@ package graft.sources.xvec
 
 import java.nio.file.Paths
 
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
 import graft.layout.FWindow
@@ -17,15 +17,45 @@ import graft.layout.FWindow
   * A bounded file behaves as a one-batch stream (stream == batch, pinned by
   * XvecStreamSpec); a growing file yields incremental batches. The window
   * option still applies — excluded ordinals are never materialized.
+  *
+  * `Trigger.AvailableNow` is supported natively: the end offset is snapshot
+  * at query start ([[prepareForTriggerAvailableNow]]) so the run drains
+  * exactly the records present then — even while the file keeps growing —
+  * and terminates (q103 proves exactly-once delivery across two such runs
+  * over one checkpoint). `ReadMaxRows` admission control caps records per
+  * micro-batch when a trigger asks for it.
   */
 class XvecMicroBatchStream(path: String, fmt: XvecFormat, window: FWindow,
-    required: Seq[String]) extends MicroBatchStream {
+    required: Seq[String], maxPerTrigger: Long = 0L)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def recordCount(): Long = XvecFormat.stat(Paths.get(path), fmt)._3
+
+  // end-offset ceiling for an AvailableNow run, snapshot at query start
+  @volatile private var availableNowCap: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = recordCount()
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerTrigger > 0) ReadLimit.maxRows(maxPerTrigger)
+    else ReadLimit.allAvailable()
 
   override def initialOffset(): Offset = XvecOffset(0L)
 
   override def latestOffset(): Offset = XvecOffset(recordCount())
+
+  override def reportLatestOffset(): Offset = XvecOffset(recordCount())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cap = if (availableNowCap >= 0) availableNowCap else recordCount()
+    val lo = start.asInstanceOf[XvecOffset].record
+    val hi = limit match {
+      case r: ReadMaxRows => math.min(cap, lo + r.maxRows())
+      case _ => cap
+    }
+    XvecOffset(math.max(lo, hi))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[XvecOffset].record

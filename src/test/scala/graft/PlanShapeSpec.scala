@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.{Knn, Pq, Sq}
+import graft.operators.{AsofJoin, Knn, Pq, Sq}
 
 /** Physical-plan regression guards: the correctness suite cannot see a plan
   * silently regressing from a map-side kernel to an extra shuffle, so the
@@ -71,5 +71,19 @@ class PlanShapeSpec extends SparkSpec {
     val codes = Pq.encode(base, cbs)
     val plan = executedPlan(Pq.adcSearch(base.limit(4), codes, cbs, k = 3))
     assert(shuffleCount(plan) <= 1, plan.toString)
+  }
+
+  test("AsofJoin: ONE key shuffle, no join pair space") {
+    val left = (0L until 200L).map(i => (i % 5, i)).toDF("k", "t")
+    val right = (0L until 400L).map(i => (i % 5, i / 2, i)).toDF("k", "t", "rid")
+      .withColumn("v", col("rid") * 2)
+    val plan = executedPlan(
+      AsofJoin.asof(left, right, "k", "t", "rid", Seq("v")))
+    val s = plan.toString
+    // union + window = one exchange on the key; a regression to a range
+    // join would surface as a Join node and per-key pair blowup
+    assert(shuffleCount(plan) <= 1, s"more than one exchange:\n$s")
+    assert(!s.contains("Join"), s"pair-space join reappeared:\n$s")
+    assert(s.contains("Window"), s)
   }
 }

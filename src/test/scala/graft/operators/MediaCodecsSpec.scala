@@ -95,6 +95,22 @@ class MediaCodecsSpec extends SparkSpec {
       Multimodal.StubCodec.resize(text, 4, 4).toSeq)
   }
 
+  test("PPM stream split: exact frame boundaries, whole-payload consumption") {
+    val frames = (0 until 5).map(f => encodePpm(3, 2, raster(3, 2)(j => f * 50 + j)))
+    val stream = frames.flatten.toArray
+    val Some(split) = splitPpmStream(stream)
+    assert(split.size == 5)
+    split.zip(frames).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+    // a trailing partial frame rejects the whole stream
+    assert(splitPpmStream(stream ++ "P6\n3 2\n255\n".getBytes).isEmpty)
+    assert(splitPpmStream("not ppm".getBytes).isEmpty)
+    // JvmCodec keeps every Nth standalone frame
+    val kept = JvmCodec.sampleFrames(stream, everyN = 2)
+    assert(kept.size == 3)
+    assert(kept.map(decodePpm(_).get._3.toSeq) ==
+      Seq(0, 2, 4).map(f => frames(f).toSeq.drop(frames(f).length - 18)))
+  }
+
   test("JvmCodec audio frames: 1024-sample WAV windows, every Nth kept") {
     val samples = Array.tabulate[Short](3000)(i => (i % 251).toShort)
     val frames = JvmCodec.sampleFrames(encodeWav(16000, samples), everyN = 2)

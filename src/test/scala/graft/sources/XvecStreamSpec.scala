@@ -78,6 +78,46 @@ class XvecStreamSpec extends SparkSpec {
     assert((lo, hi) == (300L, 450L))
   }
 
+  test("AvailableNow honors maxRecordsPerTrigger: multi-batch drain, once each") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("xvstream5").toString + "/s.fvec"
+    XvecIO.write(vecs(0, 500, 8).toDF("ordinal", "vector"), path)
+    val q = spark.readStream.format("xvec")
+      .option("maxRecordsPerTrigger", "150").load(path)
+      .writeStream.format("memory").queryName("xvs5")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // 500 records at <=150/batch: 4 micro-batches, every record exactly once
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4)
+    assert(q.recentProgress.map(_.numInputRows).filter(_ > 0).max <= 150)
+    val got = spark.table("xvs5").agg(
+      count(lit(1)), countDistinct(col("ordinal")), max("ordinal")).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == (500L, 500L, 499L))
+  }
+
+  test("native AvailableNow snapshots the end offset at query start") {
+    val path = Files.createTempDirectory("xvstream6").toString + "/s.fvec"
+    val fmt = XvecFormat.forPath(path)
+    import spark.implicits._
+    XvecIO.write(vecs(0, 200, 8).toDF("ordinal", "vector"), path)
+    val stream = new graft.sources.xvec.XvecMicroBatchStream(
+      path, fmt, graft.layout.FWindow.ALL, Seq("ordinal", "vector"))
+    stream.prepareForTriggerAvailableNow() // snapshot: 200 records
+    // the file grows AFTER query start
+    val tail = Files.createTempFile("tail6", ".fvec").toString
+    XvecIO.write(vecs(200, 260, 8).toDF("ordinal", "vector"), tail)
+    val out = new java.io.FileOutputStream(path, true)
+    try out.write(Files.readAllBytes(java.nio.file.Paths.get(tail)))
+    finally out.close()
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val end = stream.latestOffset(graft.sources.xvec.XvecOffset(0), ReadLimit.allAvailable())
+    assert(end.asInstanceOf[graft.sources.xvec.XvecOffset].record == 200L,
+      "AvailableNow run must drain to the snapshot, not chase the growing file")
+    // the un-snapshot admission path and the progress report see the growth
+    assert(stream.reportLatestOffset()
+      .asInstanceOf[graft.sources.xvec.XvecOffset].record == 260L)
+  }
+
   test("window option bounds the streamed ordinals") {
     import spark.implicits._
     val path = Files.createTempDirectory("xvstream3").toString + "/s.fvec"
