@@ -11,8 +11,9 @@ import graft.sources.xvec.XvecIO
 /** X2: the thin CLI over the engine — the `nbvectors <command>` surface
   * (reference README.md:34-110; services/BundledCommand.java dispatch) with
   * each subcommand delegating to an existing operator; see [[usage]] for the
-  * full 16-command inventory (dataset description, KNN/ground truth, PQ,
-  * slab I/O, dedup/decontamination, as-of join, sampling/splits).
+  * full 19-command inventory (dataset description, KNN/ground truth, PQ,
+  * slab I/O, dedup/decontamination, as-of join, sampling/splits, chunking,
+  * quality rules, PII redaction).
   *
   * Vector PATHs accept .fvec/.ivec/.bvec/.dvec/.svec/.mvec or .parquet
   * (columns ordinal/vector or vec_id/embedding).
@@ -219,6 +220,29 @@ object Main {
           keyCol = need("key-col"), splits = splits,
           outCol = flags.getOrElse("out-col", "split"))
 
+      case "chunk" =>
+        // token-window chunks for training-sequence prep
+        graft.functions.TextFunctions.chunkByTokens(
+          spark.read.parquet(need("input")),
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          textCol = flags.getOrElse("text-col", "text"),
+          maxTokens = flags.getOrElse("max-tokens", "512").toInt,
+          overlap = flags.getOrElse("overlap", "64").toInt)
+
+      case "quality" =>
+        // Gopher-style quality flags per document
+        graft.functions.TextFunctions.gopherFlags(
+          spark.read.parquet(need("input")),
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          textCol = flags.getOrElse("text-col", "text"))
+
+      case "redact" =>
+        // PII redaction (emails / IPv4 / phone runs -> typed placeholders)
+        val idC = flags.getOrElse("id-col", "doc_id")
+        val txtC = flags.getOrElse("text-col", "text")
+        spark.read.parquet(need("input")).select(col(idC),
+          graft.functions.TextFunctions.redactPii(col(txtC)).as(txtC))
+
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")
     }
@@ -241,7 +265,10 @@ object Main {
       |  pq-search --index DIR --query PATH [--k N]
       |  asof --left PARQUET --right PARQUET --key K --time T --tie C --payload a,b
       |  sample --input PARQUET --strata-col S --key-col K --fractions n=F,... [--default F]
-      |  split --input PARQUET --key-col K --splits n=W,... [--out-col C]""".stripMargin
+      |  split --input PARQUET --key-col K --splits n=W,... [--out-col C]
+      |  chunk --input PARQUET [--max-tokens N] [--overlap N]
+      |  quality --input PARQUET [--id-col C] [--text-col C]
+      |  redact --input PARQUET [--id-col C] [--text-col C]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -193,6 +193,29 @@ object TextFunctions {
         col("alpha_ok") && col("stop_ok"))
   }
 
+  /** PII patterns, RE2-compatible (no backtracking constructs) so SQL
+    * engines replay the redaction byte-for-byte. Order of application
+    * matters: emails first (they contain dots and digits), then IPv4,
+    * then international-format phone runs.
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern: String = "\\+\\d{7,15}"
+
+  /** PII redaction for corpus curation: emails / IPv4s / phone runs
+    * replaced with typed placeholders. Pure projection, zero shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Count of matches for one PII pattern (pre-redaction). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Content-type sniff in the style of slab analyze (json/jsonl/text),
     * string-structural so oracles can mirror it.
     */

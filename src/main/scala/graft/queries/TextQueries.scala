@@ -351,5 +351,34 @@ object TextQueries {
         |FROM m""".stripMargin) { (s, dir) =>
       TextFunctions.gopherFlags(Tables.documents(s, dir), "doc_id", "text")
     },
+
+    // PII redaction: the corpus text is augmented with a synthetic email /
+    // IPv4 / phone per row (both engines build the identical string), then
+    // redacted with the documented RE2-compatible patterns. The md5 of the
+    // redacted text is a byte-for-byte regex-parity proof between the JVM
+    // regex engine and the oracle's RE2 — the operator IS the regex.
+    GQuery(
+      "q109_pii_redact",
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com from 10.0.' ||
+        |  (doc_id % 256) || '.1 call +1555' || lpad(doc_id::VARCHAR, 7, '0') AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{7,15}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM t""".stripMargin) { (s, dir) =>
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+        pmod(col("doc_id"), lit(256)), lit(".1 call +1555"),
+        lpad(col("doc_id").cast("string"), 7, "0"))
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.piiCount(aug, TextFunctions.emailPattern).as("n_emails"),
+        TextFunctions.piiCount(aug, TextFunctions.ipv4Pattern).as("n_ips"),
+        md5(TextFunctions.redactPii(aug)).as("redacted_md5"))
+    },
   )
 }

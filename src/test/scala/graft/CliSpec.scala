@@ -167,6 +167,28 @@ class CliSpec extends SparkSpec {
     assert(byLabel("train") > 280L) // ~320 expected
   }
 
+  test("chunk, quality and redact drive the text-pipeline operators") {
+    import spark.implicits._
+    val input = s"$dir/textops.parquet"
+    val prose = ((0 until 60).map(i => s"word$i") ++ Seq("the", "and", "of")).mkString(" ")
+    Seq((1L, prose + " mail me at a.b@example.org now"), (2L, "tiny"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(input)
+
+    val chunks = Main.run(spark, Seq("chunk", "--input", input,
+      "--max-tokens", "32", "--overlap", "8")).collect()
+    assert(chunks.count(_.getLong(0) == 1L) == 3) // 68 toks @ stride 24
+    assert(chunks.count(_.getLong(0) == 2L) == 1)
+
+    val q = Main.run(spark, Seq("quality", "--input", input)).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("passes")).toMap
+    assert(q(1L) && !q(2L))
+
+    val red = Main.run(spark, Seq("redact", "--input", input)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L).contains("<EMAIL>") && !red(1L).contains("example.org"))
+    assert(red(2L) == "tiny")
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))
