@@ -35,6 +35,26 @@ object SourceQueries {
           round(graft.functions.VectorFunctions.vectorNorm(col("vector")), 6).as("norm"))
     },
 
+    // NumPy .npy round trip through the same DSv2 (file-headered, headerless
+    // records): write the embeddings as a real v1.0 '<f4' C-order npy, read
+    // back with an ordinal window (pushdown applies unchanged), norms must
+    // match the parquet source. Interop with numpy itself is pinned by
+    // NpySpec-independent cross-checks (numpy.save -> our scan; our write ->
+    // numpy.load).
+    GQuery(
+      "q110_npy_roundtrip",
+      """SELECT vec_id AS ordinal, len(embedding) AS dim,
+        |       round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE*x::DOUBLE))), 6) AS norm
+        |FROM embeddings WHERE vec_id >= 50 AND vec_id < 250""".stripMargin) { (s, dir) =>
+      val path = s"${tmpDir()}/rt-${System.nanoTime()}.npy"
+      val src = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("ordinal"), col("embedding").as("vector"))
+      XvecIO.write(src, path)
+      XvecIO.read(s, path, window = "[50..250)")
+        .select(col("ordinal"), size(col("vector")).as("dim"),
+          round(graft.functions.VectorFunctions.vectorNorm(col("vector")), 6).as("norm"))
+    },
+
     // Slab store: append documents as (doc_id, utf8 bytes), batch multi-get
     // with a miss — submission order preserved, payload decodes back.
     GQuery(

@@ -42,7 +42,7 @@ class XvecColumnarReader(p: XvecInputPartition, fmt: XvecFormat, columns: Seq[St
     val bytes = ByteBuffer.allocate(n * stride).order(ByteOrder.LITTLE_ENDIAN)
     var read = 0
     while (read < bytes.capacity()) {
-      val r = ch.read(bytes, current * stride + read)
+      val r = ch.read(bytes, p.dataOffset + current * stride + read)
       require(r > 0, s"${p.path}: unexpected EOF at record $current")
       read += r
     }
@@ -60,9 +60,13 @@ class XvecColumnarReader(p: XvecInputPartition, fmt: XvecFormat, columns: Seq[St
         var i = 0
         while (i < n) {
           bytes.position(i * stride)
-          val dim = bytes.getInt()
-          require(dim == p.dimExpected,
-            s"${p.path}: record ${current + i} has dim $dim, expected ${p.dimExpected}")
+          val dim =
+            if (fmt.recordHeaderBytes == 4) {
+              val d = bytes.getInt()
+              require(d == p.dimExpected,
+                s"${p.path}: record ${current + i} has dim $d, expected ${p.dimExpected}")
+              d
+            } else p.dimExpected
           fmt.decode(bytes, dim) match {
             case a: Array[Float]  => child.putFloats(i * dim, dim, a, 0)
             case a: Array[Int]    => child.putInts(i * dim, dim, a, 0)

@@ -135,7 +135,7 @@ class XvecScanBuilder(path: String, fmt: XvecFormat, window: FWindow,
 }
 
 case class XvecInputPartition(path: String, dimExpected: Int, recordStart: Long,
-    recordEnd: Long) extends InputPartition
+    recordEnd: Long, dataOffset: Long = 0L) extends InputPartition
 
 class XvecScan(path: String, fmt: XvecFormat, window: FWindow,
     filterIntervals: Seq[FInterval], required: StructType,
@@ -151,7 +151,8 @@ class XvecScan(path: String, fmt: XvecFormat, window: FWindow,
     s"xvec $path window=${window.intervals} pushed=${filterIntervals}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (dim, stride, count) = XvecFormat.stat(Paths.get(path), fmt)
+    val (dim, dataOffset, count) = fmt.fileMeta(Paths.get(path))
+    val stride = fmt.stride(dim)
     // window ∩ pushed filters ∩ file bounds → normalized interval list
     val base = if (window.isAll) Seq(FInterval(0, count)) else window.clamp(0, count).intervals
     val clipped = for {
@@ -166,7 +167,8 @@ class XvecScan(path: String, fmt: XvecFormat, window: FWindow,
     val targetRecords = math.max(1L, (64L << 20) / stride)
     merged.flatMap { iv =>
       (iv.minIncl until iv.maxExcl by targetRecords).map { s =>
-        XvecInputPartition(path, dim, s, math.min(iv.maxExcl, s + targetRecords))
+        XvecInputPartition(path, dim, s, math.min(iv.maxExcl, s + targetRecords),
+          dataOffset)
       }
     }.toArray
   }
@@ -219,9 +221,13 @@ class XvecPartitionReader(p: XvecInputPartition, fmt: XvecFormat, columns: Seq[S
     if (current >= p.recordEnd) return false
     if (buf == null || current >= bufFirstRecord + (buf.limit() / stride)) fill()
     buf.position(((current - bufFirstRecord) * stride).toInt)
-    val dim = buf.getInt()
-    require(dim == p.dimExpected,
-      s"${p.path}: record $current has dim $dim, expected ${p.dimExpected}")
+    val dim =
+      if (fmt.recordHeaderBytes == 4) {
+        val d = buf.getInt()
+        require(d == p.dimExpected,
+          s"${p.path}: record $current has dim $d, expected ${p.dimExpected}")
+        d
+      } else p.dimExpected
     val values = new Array[Any](columns.size)
     var i = 0
     columns.foreach { c =>
@@ -248,7 +254,7 @@ class XvecPartitionReader(p: XvecInputPartition, fmt: XvecFormat, columns: Seq[S
     val bytes = ByteBuffer.allocate(n * stride).order(ByteOrder.LITTLE_ENDIAN)
     var read = 0
     while (read < bytes.capacity()) {
-      val r = ch.read(bytes, current * stride + read)
+      val r = ch.read(bytes, p.dataOffset + current * stride + read)
       require(r > 0, s"${p.path}: unexpected EOF at record $current")
       read += r
     }
