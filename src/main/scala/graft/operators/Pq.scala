@@ -263,6 +263,36 @@ object Pq {
     }
   }
 
+  /** Exact re-rank of an ADC shortlist — the production two-stage ANN read
+    * path: PQ prunes the corpus to C candidates per query map-side, then
+    * only the |Q|·C shortlisted RAW vectors are touched for exact scoring.
+    * The shortlist (small by construction) broadcasts against the base
+    * table — the 100TB scan reduces to a broadcast-hash semi-join, no
+    * shuffle of the base — queries broadcast too, and the final top-k is a
+    * per-query window over ≤C rows. Output mirrors [[adcSearch]] with the
+    * exact `dist` instead of `adc_dist`.
+    */
+  def refine(queries: DataFrame, shortlist: DataFrame, base: DataFrame,
+      k: Int, metric: String = "EUCLIDEAN", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"refine: k must be positive, got $k")
+    val cand = base
+      .select(col(idCol).cast("long").as("_nid"), col(vecCol).as("_bv"))
+      .join(broadcast(shortlist.select(col("query_id"),
+        col("neighbor_id").as("_nid"))), "_nid")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("_qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist"), col("_nid"))
+    cand.join(broadcast(q), "query_id")
+      .withColumn("dist",
+        graft.functions.VectorFunctions.distance(col("_qv"), col("_bv"), metric))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("_nid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("dist"))
+  }
+
   private def finishTopK(partials: DataFrame, k: Int): DataFrame =
     partials
       .groupBy("query_id")

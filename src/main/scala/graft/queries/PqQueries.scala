@@ -90,6 +90,56 @@ object PqQueries {
           round(col("adc_dist"), 4).as("adc_dist"))
     },
 
+    // Two-stage read path: ADC shortlist (top-20) -> exact L2 re-rank to
+    // top-5 over the raw vectors. The oracle replays the whole chain —
+    // codes, LUTs, ADC shortlist, then the exact distances — so a green row
+    // proves the refine stage sees exactly the ADC candidates and ranks
+    // them by true distance.
+    GQuery(
+      "q111_pq_refine",
+      s"""WITH $assignSql,
+         |lut AS (
+         |  SELECT q.vec_id AS qid, cb.sub, cb.code,
+         |         list_sum(list_transform(range(1, ${dsub + 1}),
+         |           i -> (list_slice(q.embedding, cb.sub*$dsub + 1, cb.sub*$dsub + $dsub)[i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE)
+         |              * (list_slice(q.embedding, cb.sub*$dsub + 1, cb.sub*$dsub + $dsub)[i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE))) AS d
+         |  FROM embeddings q, cb WHERE q.vec_id >= 100 AND q.vec_id < 120),
+         |adc AS (
+         |  SELECT l.qid, a.id AS nid, sum(l.d) AS d
+         |  FROM assign a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+         |  WHERE a.id <> l.qid
+         |  GROUP BY l.qid, a.id),
+         |short AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn
+         |    FROM adc)
+         |  WHERE rn <= 20),
+         |exact AS (
+         |  SELECT s.qid, s.nid,
+         |         sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> (q.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+         |              * (q.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)))) AS d
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.qid
+         |  JOIN embeddings b ON b.vec_id = s.nid)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank, round(d, 6) AS dist
+         |FROM (SELECT qid, nid, d,
+         |             row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |      FROM exact)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cbs = Pq.subsetCodebooks(emb.filter(col("vec_id") < ksub), m)
+      val codes = Pq.encode(emb, cbs)
+      val qs = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      val short = Pq.adcSearch(qs, codes, cbs, k = 20, excludeSelf = true)
+      Pq.refine(qs, short, emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("dist"), 6).as("dist"))
+    },
+
     // IVF-PQ: coarse L2 cell assignment (cells = vec_id<16 rows), PQ codes
     // of the FLOAT-ROUNDED residual (v - centroid, the index stores f32),
     // probe nProbe=4 cells per query, ADC with per-(query,cell) residual

@@ -198,6 +198,29 @@ class PqSpec extends SparkSpec {
     assert(all >= hits(1), "more probes can only widen the candidate set")
   }
 
+  test("refine over a full shortlist equals exact brute-force KNN") {
+    val queries = base.filter(col("vec_id") < 4)
+    val codes = Pq.encode(base, cbs)
+    // shortlist = the whole corpus: refine must reduce to exact KNN
+    val full = Pq.adcSearch(queries, codes, cbs, k = 64)
+    val refined = Pq.refine(queries, full, base, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    val brute = Knn.knn(
+        queries.select(col("vec_id"), col("embedding")), base, k = 5,
+        metric = "EUCLIDEAN")
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    assert(refined.toSeq == brute.toSeq)
+    // a narrow shortlist strictly bounds the candidate pool
+    val short = Pq.adcSearch(queries, codes, cbs, k = 8)
+    val narrow = Pq.refine(queries, short, base, k = 5).collect()
+    assert(narrow.length == 20) // 4 queries x 5
+    val pool = short.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    narrow.foreach(r => assert(pool.contains((r.getLong(0), r.getLong(1)))))
+  }
+
   test("codebook validation rejects sparse layouts and bad dims") {
     val sparse = cbs.filter(!(col("subspace") === 0 && col("code") === 0))
     intercept[IllegalArgumentException](Pq.encode(base, sparse).collect())
