@@ -86,26 +86,108 @@ object MediaCodecs {
     Some(frames.result())
   }
 
+  /** Nearest-neighbor raster resample: source pixel =
+    * floor(dst * src_extent / dst_extent), packed RGB in and out. */
+  private def nearestRaster(px: Array[Byte], w0: Int, h0: Int,
+      w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * h0 / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * w0 / w).toInt
+        val s = 3 * (sy * w0 + sx)
+        val d = 3 * (y * w + x)
+        out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Nearest-neighbor resize of a PPM payload, re-encoded as PPM; None when
-    * the payload isn't PPM. Source pixel = floor(dst * src_extent / dst_extent).
+    * the payload isn't PPM.
     */
   def resizePpmNearest(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
     decodePpm(payload).map { case (w0, h0, px) =>
-      val out = new Array[Byte](3 * w * h)
-      var y = 0
-      while (y < h) {
-        val sy = (y.toLong * h0 / h).toInt
-        var x = 0
-        while (x < w) {
-          val sx = (x.toLong * w0 / w).toInt
-          val s = 3 * (sy * w0 + sx)
-          val d = 3 * (y * w + x)
-          out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
-          x += 1
-        }
-        y += 1
+      encodePpm(w, h, nearestRaster(px, w0, h0, w, h))
+    }
+
+  // ------------------------------------------------ BMP (24bpp, BI_RGB)
+
+  /** Encode a packed-RGB raster as a 24bpp uncompressed BMP
+    * (BITMAPINFOHEADER): bottom-up rows, BGR byte order, rows padded to
+    * 4-byte boundaries — the classic format's three traps, all exercised
+    * by the round-trip oracle.
+    */
+  def encodeBmp(width: Int, height: Int, raster: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(raster.length == 3 * width * height,
+      s"raster ${raster.length} != 3*$width*$height")
+    val rowStride = ((3 * width + 3) / 4) * 4
+    val dataLen = rowStride * height
+    val bb = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putShort(0).putShort(0).putInt(54) // reserved, data offset
+    bb.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER, +h = bottom-up
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI
+    var y = height - 1
+    while (y >= 0) { // bottom-up
+      var x = 0
+      while (x < width) {
+        val s = 3 * (y * width + x)
+        bb.put(raster(s + 2)).put(raster(s + 1)).put(raster(s)) // BGR
+        x += 1
       }
-      encodePpm(w, h, out)
+      var pad = rowStride - 3 * width
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** Decode a 24bpp uncompressed BMP to (width, height, top-down packed RGB
+    * raster); None for anything else (other bit depths, compression,
+    * top-down negative-height files, truncation).
+    */
+  def decodeBmp(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 54 ||
+      payload(0) != 'B' || payload(1) != 'M') return None
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val dataAt = bb.getInt(10)
+    val hdrSize = bb.getInt(14)
+    val w = bb.getInt(18)
+    val h = bb.getInt(22)
+    val planes = bb.getShort(26)
+    val bpp = bb.getShort(28)
+    val compression = bb.getInt(30)
+    if (hdrSize < 40 || w <= 0 || h <= 0 || planes != 1 || bpp != 24 ||
+      compression != 0) return None
+    val rowStride = ((3 * w + 3) / 4) * 4
+    if (dataAt < 54 || dataAt.toLong + rowStride.toLong * h > payload.length) return None
+    val out = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val src = dataAt + (h - 1 - y) * rowStride // file rows are bottom-up
+      var x = 0
+      while (x < w) {
+        val s = src + 3 * x
+        val d = 3 * (y * w + x)
+        out(d) = payload(s + 2); out(d + 1) = payload(s + 1); out(d + 2) = payload(s) // BGR -> RGB
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** Nearest-neighbor resize of a BMP payload, re-encoded as BMP. */
+  def resizeBmpNearest(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decodeBmp(payload).map { case (w0, h0, px) =>
+      encodeBmp(w, h, nearestRaster(px, w0, h0, w, h))
     }
 
   // ------------------------------------------------- WAV (RIFF, PCM16 mono)
@@ -169,7 +251,7 @@ object MediaCodecs {
   object JvmCodec extends Multimodal.MediaCodec {
 
     override def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-      decodePpm(payload)
+      decodePpm(payload).orElse(decodeBmp(payload))
 
     override def decodeAudio(payload: Array[Byte]): Option[(Int, Array[Short])] =
       decodeWav(payload)
@@ -179,7 +261,7 @@ object MediaCodecs {
       * amplitude histogram. Neither decodable: stub byte histogram.
       */
     def features(modality: String, payload: Array[Byte], nFeatures: Int): Array[Float] = {
-      decodePpm(payload) match {
+      decodeImage(payload) match {
         case Some((w, h, px)) if nFeatures >= 4 =>
           val out = new Array[Float](nFeatures)
           val n = w * h
@@ -220,8 +302,10 @@ object MediaCodecs {
       }
     }
 
+    /** Format-preserving: PPM stays PPM, BMP stays BMP, else stub. */
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       resizePpmNearest(payload, w, h)
+        .orElse(resizeBmpNearest(payload, w, h))
         .getOrElse(Multimodal.StubCodec.resize(payload, w, h))
 
     /** Real frame sampling: a concatenated-PPM stream splits on frame

@@ -274,6 +274,30 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize real 24bpp BMP payloads: logical (top-down RGB) raster byte
+    * j of id's image is `(id*1103515245 + j*12345) % 256` — the oracle
+    * contract. The encoder then applies BMP's bottom-up row order, BGR
+    * channel swap and 4-byte row padding, so a matching decode proves all
+    * three inversions.
+    */
+  def synthesizeBmp(ids: DataFrame, idCol: String, w: Int = 10,
+      h: Int = 7): DataFrame = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val raster = new Array[Byte](3 * w * h)
+        var j = 0
+        while (j < raster.length) {
+          raster(j) = ((id * 1103515245L + j * 12345L) % 256L).toByte
+          j += 1
+        }
+        Row(id, "image", MediaCodecs.encodeBmp(w, h, raster), Row(w, h, null, null))
+      }
+    }(enc)
+  }
+
   /** Synthesize a media table from any (id, text) source — payload = UTF-8
     * bytes, modality round-robins — so the plumbing is exercisable with the
     * driver testdata.

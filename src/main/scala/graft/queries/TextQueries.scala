@@ -272,6 +272,25 @@ object TextQueries {
       Multimodal.audioStats(Multimodal.synthesizeReal(ids, "doc_id"))
     },
 
+    // REAL BMP decode: 24bpp BITMAPINFOHEADER payloads (10x7 — row stride
+    // 30 pads to 32, odd height exercises the bottom-up flip, BGR order the
+    // channel swap). The oracle replays the LOGICAL raster formula; green
+    // only if the encoder's padding/flip/swap and the decoder's inversions
+    // cancel exactly.
+    GQuery(
+      "q112_bmp_decode",
+      """SELECT d.doc_id AS media_id, 10 AS width, 7 AS height,
+        |       sum(CASE WHEN t.j % 3 = 0 THEN (d.doc_id * 1103515245 + t.j * 12345) % 256 ELSE 0 END)::BIGINT AS r_sum,
+        |       sum(CASE WHEN t.j % 3 = 1 THEN (d.doc_id * 1103515245 + t.j * 12345) % 256 ELSE 0 END)::BIGINT AS g_sum,
+        |       sum(CASE WHEN t.j % 3 = 2 THEN (d.doc_id * 1103515245 + t.j * 12345) % 256 ELSE 0 END)::BIGINT AS b_sum
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 1) d
+        |CROSS JOIN range(210) t(j)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ids = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 1).select("doc_id")
+      Multimodal.imageStats(Multimodal.synthesizeBmp(ids, "doc_id"))
+    },
+
     // REAL video frame extraction: payloads are concatenated binary PPMs
     // (an MJPEG-style raster stream); JvmCodec splits on parsed frame
     // boundaries, every 2nd frame kept, and each kept frame is then REALLY

@@ -95,6 +95,66 @@ class MediaCodecsSpec extends SparkSpec {
       Multimodal.StubCodec.resize(text, 4, 4).toSeq)
   }
 
+  test("BMP encode/decode round-trips padding, bottom-up rows, BGR swap") {
+    // 5x3: row stride 15 pads to 16; every raster byte distinct
+    val px = raster(5, 3)(j => j * 11)
+    val bmp = encodeBmp(5, 3, px)
+    assert(bmp.length == 54 + 16 * 3)
+    val Some((w, h, out)) = decodeBmp(bmp)
+    assert(w == 5 && h == 3)
+    assert(out.toSeq == px.toSeq)
+    // byte-level spot check: logical top-left pixel RGB lands in the LAST
+    // file row as BGR
+    val lastRowAt = 54 + 16 * 2
+    assert(bmp(lastRowAt) == px(2) && bmp(lastRowAt + 2) == px(0))
+    // resize stays BMP and picks floor-mapped pixels
+    val Some(r2) = resizeBmpNearest(bmp, 2, 1)
+    val Some((_, _, rp)) = decodeBmp(r2)
+    assert(rp.slice(0, 3).toSeq == px.slice(0, 3).toSeq)
+    // JvmCodec treats BMP as a first-class image
+    assert(JvmCodec.decodeImage(bmp).isDefined)
+    assert(JvmCodec.features("image", bmp, 8).sum > 0)
+  }
+
+  test("BMP interop with the JDK's ImageIO, both directions") {
+    // our encoder -> ImageIO decodes pixel-identical
+    val px = raster(5, 3)(j => j * 7)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encodeBmp(5, 3, px)))
+    assert(img.getWidth == 5 && img.getHeight == 3)
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val rgb = img.getRGB(x, y)
+      val s = 3 * (y * 5 + x)
+      assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) ==
+        ((px(s) & 0xff, px(s + 1) & 0xff, px(s + 2) & 0xff)))
+    }
+    // ImageIO's writer -> our decoder reads pixel-identical
+    val bi = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      bi.setRGB(x, y, (x * 40 << 16) | (y * 90 << 8) | (x + y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "bmp", baos)
+    val Some((w, h, out)) = decodeBmp(baos.toByteArray)
+    assert(w == 4 && h == 2)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val s = 3 * (y * 4 + x)
+      assert(((out(s) & 0xff, out(s + 1) & 0xff, out(s + 2) & 0xff)) ==
+        ((x * 40, y * 90, x + y)))
+    }
+  }
+
+  test("BMP decode rejects other depths, compression, truncation") {
+    val good = encodeBmp(4, 2, raster(4, 2)(identity))
+    val bpp8 = good.clone(); bpp8(28) = 8
+    assert(decodeBmp(bpp8).isEmpty)
+    val rle = good.clone(); rle(30) = 1 // BI_RLE8
+    assert(decodeBmp(rle).isEmpty)
+    assert(decodeBmp(good.dropRight(1)).isEmpty)
+    assert(decodeBmp("BMnope".getBytes).isEmpty)
+    assert(decodeBmp(null).isEmpty)
+  }
+
   test("PPM stream split: exact frame boundaries, whole-payload consumption") {
     val frames = (0 until 5).map(f => encodePpm(3, 2, raster(3, 2)(j => f * 50 + j)))
     val stream = frames.flatten.toArray
