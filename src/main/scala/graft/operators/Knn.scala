@@ -64,6 +64,29 @@ object Knn {
         col("pair.dist").as("dist"))
   }
 
+  /** [[knn]] for query sets too large for a single broadcast (the 100TB
+    * deployment note in PLANS.md): queries are split into `nChunks`
+    * deterministic hash partitions, each chunk runs the broadcast+heap plan
+    * independently, and the per-chunk results union. Per-query top-k is
+    * independent across queries, so the result is EXACTLY knn()'s; the
+    * trade is `nChunks` scans of the base for an `|Q|/nChunks`-sized
+    * broadcast. Use when |Q|·dim·4B would blow the broadcast budget.
+    */
+  def knnChunked(
+      queries: DataFrame,
+      base: DataFrame,
+      k: Int,
+      nChunks: Int,
+      metric: String = "COSINE",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nChunks > 0, s"nChunks must be positive, got $nChunks")
+    (0 until nChunks).map { i =>
+      knn(queries.filter(pmod(xxhash64(col(idCol)), lit(nChunks)) === i),
+        base, k, metric, idCol, vecCol)
+    }.reduce(_ unionByName _)
+  }
+
   /** J4 `verify_profiles`: recall@k for several profiles at once —
     * (profile, avg_recall) rows, one per named (predicted, truth) pair.
     */

@@ -43,6 +43,18 @@ class LargeScaleKnnSpec extends SparkSpec {
     assert(got.values.forall(_.size == 10))
   }
 
+  test("knnChunked equals single-broadcast knn for any chunking") {
+    val base = Generators.gaussianVectors(spark, 5000, 16, seed = 7)
+      .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+    val queries = base.filter(col("vec_id") < 40)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val whole = canon(Knn.knn(queries, base, k = 5))
+    assert(canon(Knn.knnChunked(queries, base, k = 5, nChunks = 3)) == whole)
+    assert(canon(Knn.knnChunked(queries, base, k = 5, nChunks = 7)) == whole)
+  }
+
   test("generated corpus survives the full profile->fit->synthesize loop") {
     val dims = 4
     val stats = ProfileStats.perDimStats(
