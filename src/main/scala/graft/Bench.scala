@@ -32,6 +32,7 @@ object Bench {
     // JIT swing inflates one sweep, not the per-query median — round 5's
     // +27% "regression" on byte-identical code was exactly this artifact.
     val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "3").toInt
+    require(sweeps >= 1, s"SPARK_GRAFT_SWEEPS must be >= 1, got $sweeps")
     def runSweep(): Seq[(String, Double)] =
       SparkEntry.selectedQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -168,7 +168,10 @@ object TextFunctions {
     * replayable in SQL.
     */
   def gopherFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val text = col(textCol)
+    // null text = empty doc (fails word_count_ok like any short doc) —
+    // without this, size(null) = -1 leaks a nonsensical n_words=-1 and a
+    // vacuously-true symbol ratio
+    val text = coalesce(col(textCol), lit(""))
     val toks = tokens(text)
     val out = df.select(col(idCol), toks.as("_toks"),
       size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).as("_syms"))

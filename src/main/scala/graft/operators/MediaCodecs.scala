@@ -43,11 +43,14 @@ object MediaCodecs {
         else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') pos += 1
         else skipping = false
       }
-      var v = -1
+      // Long accumulation: an oversized token must parse as INVALID, not
+      // wrap around Int into a small bogus dim that mis-accepts the file
+      var v = -1L
       while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
-        v = math.max(0, v) * 10 + (payload(pos) - '0'); pos += 1
+        v = math.min(math.max(0L, v) * 10 + (payload(pos) - '0'), Long.MaxValue / 16)
+        pos += 1
       }
-      v
+      if (v > 1000000000L) -1 else v.toInt
     }
     val w = readInt(); val h = readInt(); val maxVal = readInt()
     pos += 1 // exactly one whitespace byte separates maxval from the raster
@@ -166,12 +169,15 @@ object MediaCodecs {
     val compression = bb.getInt(30)
     if (hdrSize < 40 || w <= 0 || h <= 0 || planes != 1 || bpp != 24 ||
       compression != 0) return None
-    val rowStride = ((3 * w + 3) / 4) * 4
-    if (dataAt < 54 || dataAt.toLong + rowStride.toLong * h > payload.length) return None
+    // all size arithmetic in Long: crafted dims must yield None, not an
+    // Int-overflow crash or a multi-GB allocation attempt
+    val rowStride = ((3L * w + 3) / 4) * 4
+    if (dataAt < 54 || dataAt.toLong + rowStride * h > payload.length) return None
+    if (3L * w * h > payload.length) return None // implied by the row check, belt+braces
     val out = new Array[Byte](3 * w * h)
     var y = 0
     while (y < h) {
-      val src = dataAt + (h - 1 - y) * rowStride // file rows are bottom-up
+      val src = (dataAt + (h - 1 - y) * rowStride).toInt // bottom-up rows; bounds checked above
       var x = 0
       while (x < w) {
         val s = src + 3 * x

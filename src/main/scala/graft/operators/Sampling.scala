@@ -65,7 +65,7 @@ object Sampling {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
     val u = hashUnit(col(keyCol), salt)
-    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail.map(c => (c * 1e6).round)
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail.map(quotaOf)
     val labeled = splits.map(_._1).zip(thresholds).reverse
       .foldLeft(lit(splits.last._1)) { case (acc, (name, cum)) =>
         when(u < cum, name).otherwise(acc)

@@ -73,7 +73,13 @@ object StreamQueries {
           .option("checkpointLocation", s"$base/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        // a false return means the drain is STILL RUNNING — starting the
+        // second pass on the same checkpoint would then fail; stop and
+        // surface the timeout instead of racing
+        if (!q.awaitTermination(120000)) {
+          q.stop()
+          throw new IllegalStateException("q103: AvailableNow drain timed out")
+        }
       }
       drain()
       // grow the file in place: xvec is a bare record concatenation, so

@@ -169,14 +169,25 @@ object XvecFormat {
       ("""\{\s*'descr'\s*:\s*'([^']+)'\s*,\s*'fortran_order'\s*:\s*(True|False)""" +
         """\s*,\s*'shape'\s*:\s*\(\s*(\d+)\s*,\s*(\d+)\s*,?\s*\)\s*,?\s*\}\s*""").r
 
+    /** Positioned reads may return short (network/FUSE filesystems) — loop
+      * to the full requested length, as the data-path readers do. */
+    private def readFully(ch: FileChannel, buf: ByteBuffer, at: Long): Unit = {
+      var pos = at
+      while (buf.hasRemaining) {
+        val r = ch.read(buf, pos)
+        require(r > 0, s"unexpected EOF at byte $pos")
+        pos += r
+      }
+      buf.flip()
+    }
+
     override def fileMeta(path: Path): (Int, Long, Long) = {
       val ch = FileChannel.open(path, StandardOpenOption.READ)
       try {
         val size = ch.size()
         require(size >= 12, s"$path: too small for an npy header ($size bytes)")
         val head = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
-        ch.read(head, 0)
-        head.flip()
+        readFully(ch, head, 0)
         val magic = new Array[Byte](6)
         head.get(magic)
         require(magic.sameElements("\u0093NUMPY".getBytes("ISO-8859-1")),
@@ -189,7 +200,7 @@ object XvecFormat {
           else throw new IllegalArgumentException(s"$path: unsupported npy version $major")
         require(dictAt + dictLen <= size, s"$path: npy header overruns the file")
         val dictBuf = ByteBuffer.allocate(dictLen.toInt)
-        ch.read(dictBuf, dictAt)
+        readFully(ch, dictBuf, dictAt)
         val dict = new String(dictBuf.array(), "ISO-8859-1").trim
         dict match {
           case headerRe(descr, fortran, n, d) =>
@@ -198,11 +209,13 @@ object XvecFormat {
             require(fortran == "False", s"$path: fortran-order npy unsupported")
             val dim = d.toInt
             val count = n.toLong
-            require(dim > 0, s"$path: invalid npy dim $dim")
+            require(dim > 0 || count == 0, s"$path: invalid npy dim $dim")
             val offset = dictAt + dictLen
             require(offset + count * stride(dim) == size,
               s"$path: npy size $size inconsistent with shape ($count, $dim) at offset $offset")
-            (dim, offset, count)
+            // empty arrays report a dummy positive dim so downstream
+            // stride math stays divide-safe; count 0 plans no partitions
+            (if (count == 0) math.max(dim, 1) else dim, offset, count)
           case _ => throw new IllegalArgumentException(
             s"$path: cannot parse npy header dict (2-D C-order arrays only): $dict")
         }

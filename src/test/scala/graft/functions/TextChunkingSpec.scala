@@ -50,4 +50,12 @@ class TextChunkingSpec extends SparkSpec {
     assert(!f(4L).getAs[Boolean]("alpha_ok"))
     assert(f(1L).getAs[Boolean]("stop_ok")) // the/and/of/to >= 2 distinct
   }
+
+  test("gopherFlags treats null text as an empty doc, not size(null) = -1") {
+    val f = TextFunctions.gopherFlags(
+      Seq((1L, null.asInstanceOf[String])).toDF("id", "text"), "id", "text")
+      .collect().head
+    assert(f.getAs[Int]("n_words") == 0)
+    assert(!f.getAs[Boolean]("word_count_ok") && !f.getAs[Boolean]("passes"))
+  }
 }

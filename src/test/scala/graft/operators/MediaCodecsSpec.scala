@@ -155,6 +155,21 @@ class MediaCodecsSpec extends SparkSpec {
     assert(decodeBmp(null).isEmpty)
   }
 
+  test("crafted headers yield None, never a crash or giant allocation") {
+    // BMP with width chosen so 3*w+3 overflows Int (rowStride would go
+    // negative in 32-bit math and slip past the bounds check)
+    val evil = encodeBmp(4, 2, raster(4, 2)(identity)).clone()
+    val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 715827883) // width
+    bb.putInt(22, 1) // height
+    assert(decodeBmp(evil).isEmpty)
+    bb.putInt(18, Int.MaxValue / 3)
+    assert(decodeBmp(evil).isEmpty)
+    // PPM dim token that wraps Int (2^32+1 would parse as 1)
+    assert(decodePpm(("P6\n4294967297 1\n255\n" + "xxx").getBytes).isEmpty)
+    assert(decodePpm(("P6\n1 4294967297\n255\n" + "xxx").getBytes).isEmpty)
+  }
+
   test("PPM stream split: exact frame boundaries, whole-payload consumption") {
     val frames = (0 until 5).map(f => encodePpm(3, 2, raster(3, 2)(j => f * 50 + j)))
     val stream = frames.flatten.toArray

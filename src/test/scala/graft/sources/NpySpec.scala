@@ -82,6 +82,14 @@ class NpySpec extends SparkSpec {
       XvecFormat.Npy.fileMeta(Paths.get(s"$d/trunc.npy")))
   }
 
+  test("empty dataset round-trips: shape (0,0) written, 0 rows read back") {
+    val path = Files.createTempDirectory("npy6").toString + "/empty.npy"
+    XvecIO.write(Seq.empty[(Long, Array[Float])].toDF("ordinal", "vector"), path)
+    val (_, _, count) = XvecFormat.Npy.fileMeta(Paths.get(path))
+    assert(count == 0L)
+    assert(XvecIO.read(spark, path).count() == 0L)
+  }
+
   test("v2.0 headers (u32 dict length) parse too") {
     val path = Files.createTempDirectory("npy5").toString + "/v2.npy"
     val dict = "{'descr': '<f4', 'fortran_order': False, 'shape': (3, 2), }"
