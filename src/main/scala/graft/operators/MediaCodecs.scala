@@ -196,6 +196,55 @@ object MediaCodecs {
       encodeBmp(w, h, nearestRaster(px, w0, h0, w, h))
     }
 
+  // --------------------------------------- PNG/JPEG/GIF via JDK ImageIO
+
+  /** Decode via the JDK's own ImageIO registry (PNG, JPEG, GIF — real
+    * third-party codecs that ship with every JVM) to a packed top-down RGB
+    * raster. None when no registered reader claims the bytes.
+    */
+  def decodeImageIo(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      if (payload == null || payload.length == 0) return None
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val argb = img.getRGB(0, 0, w, h, null, 0, w)
+        val out = new Array[Byte](3 * w * h)
+        var p = 0
+        while (p < w * h) {
+          val v = argb(p)
+          out(3 * p) = ((v >> 16) & 0xff).toByte
+          out(3 * p + 1) = ((v >> 8) & 0xff).toByte
+          out(3 * p + 2) = (v & 0xff).toByte
+          p += 1
+        }
+        (w, h, out)
+      }
+    } catch { case _: Exception => None }
+
+  /** Encode a packed-RGB raster as PNG (lossless — encode→decode is
+    * byte-exact, which the q113 oracle depends on).
+    */
+  def encodePng(width: Int, height: Int, raster: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(raster.length == 3 * width * height,
+      s"raster ${raster.length} != 3*$width*$height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val argb = new Array[Int](width * height)
+    var p = 0
+    while (p < argb.length) {
+      argb(p) = ((raster(3 * p) & 0xff) << 16) |
+        ((raster(3 * p + 1) & 0xff) << 8) | (raster(3 * p + 2) & 0xff)
+      p += 1
+    }
+    img.setRGB(0, 0, width, height, argb, 0, width)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   // ------------------------------------------------- WAV (RIFF, PCM16 mono)
 
   /** Encode PCM16-mono samples as a canonical 44-byte-header WAV. */
@@ -256,8 +305,10 @@ object MediaCodecs {
     */
   object JvmCodec extends Multimodal.MediaCodec {
 
+    /** Hand-rolled formats first (cheap magic checks), then the JDK's
+      * ImageIO registry (PNG/JPEG/GIF). */
     override def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-      decodePpm(payload).orElse(decodeBmp(payload))
+      decodePpm(payload).orElse(decodeBmp(payload)).orElse(decodeImageIo(payload))
 
     override def decodeAudio(payload: Array[Byte]): Option[(Int, Array[Short])] =
       decodeWav(payload)

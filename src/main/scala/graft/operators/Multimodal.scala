@@ -8,11 +8,12 @@ import org.apache.spark.sql.{DataFrame, Row}
   * `binary` columns with a typed metadata struct; decode / feature-extract /
   * resize / frame-sample run as partition-batched kernels.
   *
-  * The Spark-side shape (schema, partitioning, batch iteration, kernel
-  * signature) is real and tested; the codec itself is STUBBED with a
-  * deterministic fake — this container has no image/audio libraries, and a
-  * real deployment would swap `StubCodec` for an FFI decode while keeping
-  * every signature identical.
+  * Codecs behind the seam ([[MediaCodecs.JvmCodec]]): REAL decode for
+  * PPM/BMP (hand-rolled), PNG/JPEG/GIF (JDK ImageIO), WAV-PCM16 audio and
+  * concatenated-PPM video streams — all oracled (q104/q105/q108/q112/q113).
+  * [[StubCodec]] remains the deterministic fallback for formats a bare JVM
+  * cannot parse (compressed audio/video); a production build swaps in an
+  * FFI decoder for those while keeping every signature identical.
   */
 object Multimodal {
 
@@ -294,6 +295,30 @@ object Multimodal {
           j += 1
         }
         Row(id, "image", MediaCodecs.encodeBmp(w, h, raster), Row(w, h, null, null))
+      }
+    }(enc)
+  }
+
+  /** Synthesize real PNG payloads through the JDK's ImageIO encoder:
+    * logical raster byte j of id's 12x5 image is `(id*48271 + j*16807) % 256`.
+    * PNG is lossless, so the q113 oracle replaying this formula proves the
+    * ImageIO encode→decode round trip bit-for-bit — a REAL third-party
+    * codec in the decode path, not a hand-rolled one.
+    */
+  def synthesizePng(ids: DataFrame, idCol: String, w: Int = 12,
+      h: Int = 5): DataFrame = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val raster = new Array[Byte](3 * w * h)
+        var j = 0
+        while (j < raster.length) {
+          raster(j) = ((id * 48271L + j * 16807L) % 256L).toByte
+          j += 1
+        }
+        Row(id, "image", MediaCodecs.encodePng(w, h, raster), Row(w, h, null, null))
       }
     }(enc)
   }

@@ -291,6 +291,25 @@ object TextQueries {
       Multimodal.imageStats(Multimodal.synthesizeBmp(ids, "doc_id"))
     },
 
+    // REAL PNG decode through the JDK's ImageIO (an actual third-party
+    // codec, not hand-rolled): payloads are ImageIO-encoded PNGs of a
+    // formula raster; the codec seam routes them through the ImageIO
+    // reader; PNG losslessness means the oracle's formula replay matches
+    // exactly.
+    GQuery(
+      "q113_png_decode",
+      """SELECT d.doc_id AS media_id, 12 AS width, 5 AS height,
+        |       sum(CASE WHEN t.j % 3 = 0 THEN (d.doc_id * 48271 + t.j * 16807) % 256 ELSE 0 END)::BIGINT AS r_sum,
+        |       sum(CASE WHEN t.j % 3 = 1 THEN (d.doc_id * 48271 + t.j * 16807) % 256 ELSE 0 END)::BIGINT AS g_sum,
+        |       sum(CASE WHEN t.j % 3 = 2 THEN (d.doc_id * 48271 + t.j * 16807) % 256 ELSE 0 END)::BIGINT AS b_sum
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 3) d
+        |CROSS JOIN range(180) t(j)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ids = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(4)) === 3).select("doc_id")
+      Multimodal.imageStats(Multimodal.synthesizePng(ids, "doc_id"))
+    },
+
     // REAL video frame extraction: payloads are concatenated binary PPMs
     // (an MJPEG-style raster stream); JvmCodec splits on parsed frame
     // boundaries, every 2nd frame kept, and each kept frame is then REALLY

@@ -155,6 +155,24 @@ class MediaCodecsSpec extends SparkSpec {
     assert(decodeBmp(null).isEmpty)
   }
 
+  test("PNG via JDK ImageIO: lossless round trip, JPEG decodes, junk is None") {
+    val px = raster(6, 4)(j => j * 13)
+    val png = encodePng(6, 4, px)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val Some((w, h, out)) = decodeImageIo(png)
+    assert(w == 6 && h == 4 && out.toSeq == px.toSeq)
+    // the codec seam routes PNG through ImageIO (PPM/BMP decliners first)
+    assert(JvmCodec.decodeImage(png).map(_._3.toSeq).contains(px.toSeq))
+    // a real JPEG decodes (lossy, so only shape is asserted)
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    assert(decodeImageIo(jb.toByteArray).exists { case (jw, jh, _) => jw == 8 && jh == 8 })
+    assert(decodeImageIo("definitely not an image".getBytes).isEmpty)
+    assert(decodeImageIo(null).isEmpty)
+  }
+
   test("crafted headers yield None, never a crash or giant allocation") {
     // BMP with width chosen so 3*w+3 overflows Int (rowStride would go
     // negative in 32-bit math and slip past the bounds check)
