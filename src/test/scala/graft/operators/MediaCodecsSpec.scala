@@ -79,6 +79,31 @@ class MediaCodecsSpec extends SparkSpec {
     assert(decodeWav("RIFFxxxxNOPE".getBytes).isEmpty)
   }
 
+  test("WAV interop with the JDK's AudioSystem, both directions") {
+    import javax.sound.sampled._
+    // our encoder -> AudioSystem parses format + samples identically
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 12345)
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(encodeWav(16000, samples)))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 16000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+    val bytes = ais.readAllBytes()
+    val got = (0 until bytes.length / 2).map(i =>
+      ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort)
+    assert(got == samples.toSeq)
+    // AudioSystem's writer -> our decoder
+    val af = new AudioFormat(8000f, 16, 1, true, false)
+    val data = samples.flatMap(s =>
+      Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val src = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), af, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(src, AudioFileFormat.Type.WAVE, baos)
+    val Some((rate, out)) = decodeWav(baos.toByteArray)
+    assert(rate == 8000 && out.toSeq == samples.toSeq)
+  }
+
   test("JvmCodec: real features for decodable payloads, stub fallback else") {
     val flat = encodePpm(4, 4, raster(4, 4)(_ => 255)) // all-white image
     val f = JvmCodec.features("image", flat, 8)
