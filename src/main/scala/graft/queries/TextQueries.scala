@@ -310,6 +310,28 @@ object TextQueries {
       Multimodal.imageStats(Multimodal.synthesizePng(ids, "doc_id"))
     },
 
+    // REAL image resize: 16x16 PPM payloads through JvmCodec's
+    // nearest-neighbor resize to 4x4, then really decoded. The oracle
+    // replays the floor-mapped source-pixel formula (target (x,y) reads
+    // source (4x, 4y)) — green only if the whole decode->resample->
+    // re-encode->decode chain is exact. Complements q99, which pins the
+    // STUB codec's shape semantics.
+    GQuery(
+      "q114_ppm_resize_real",
+      """SELECT d.doc_id AS media_id, 4 AS width, 4 AS height,
+        |       sum(CASE WHEN c.c = 0 THEN (d.doc_id * 2654435761 + (3*(y.y*4*16 + x.x*4) + c.c) * 40503) % 256 ELSE 0 END)::BIGINT AS r_sum,
+        |       sum(CASE WHEN c.c = 1 THEN (d.doc_id * 2654435761 + (3*(y.y*4*16 + x.x*4) + c.c) * 40503) % 256 ELSE 0 END)::BIGINT AS g_sum,
+        |       sum(CASE WHEN c.c = 2 THEN (d.doc_id * 2654435761 + (3*(y.y*4*16 + x.x*4) + c.c) * 40503) % 256 ELSE 0 END)::BIGINT AS b_sum
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+        |CROSS JOIN range(4) x(x) CROSS JOIN range(4) y(y) CROSS JOIN range(3) c(c)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ids = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(2)) === 0).select("doc_id")
+      val media = Multimodal.synthesizeReal(ids, "doc_id") // 16x16 PPMs
+      Multimodal.imageStats(
+        Multimodal.resize(media, 4, 4, MediaCodecs.JvmCodec))
+    },
+
     // REAL video frame extraction: payloads are concatenated binary PPMs
     // (an MJPEG-style raster stream); JvmCodec splits on parsed frame
     // boundaries, every 2nd frame kept, and each kept frame is then REALLY
