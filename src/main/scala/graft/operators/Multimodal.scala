@@ -214,12 +214,14 @@ object Multimodal {
 
   /** Synthesize REAL-format payloads from an id column: even ids carry a
     * 16x16 binary PPM whose raster byte j is `(id*2654435761 + j*40503) % 256`;
-    * odd ids a 441-sample PCM16 WAV at `8000 + (id%8)*1000` Hz whose sample i
-    * is `(id*40503 + i*69069) % 65536 - 32768`. The formulas ARE the oracle
-    * contract: DuckDB replays the decoded stats from first principles while
-    * the payload itself round-trips a real codec.
+    * odd ids an `audioSamples`-sample PCM16 WAV at `8000 + (id%8)*1000` Hz
+    * whose sample i is `(id*40503 + i*69069) % 65536 - 32768`. The formulas
+    * ARE the oracle contract: DuckDB replays the decoded stats from first
+    * principles while the payload itself round-trips a real codec.
     */
-  def synthesizeReal(ids: DataFrame, idCol: String): DataFrame = {
+  def synthesizeReal(ids: DataFrame, idCol: String,
+      audioSamples: Int = 441): DataFrame = {
+    require(audioSamples > 0, s"audioSamples must be positive, got $audioSamples")
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
     ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
       rows.map { r =>
@@ -235,9 +237,9 @@ object Multimodal {
             Row(16, 16, null, null))
         } else {
           val rate = (8000 + (id % 8) * 1000).toInt
-          val samples = new Array[Short](441)
+          val samples = new Array[Short](audioSamples)
           var i = 0
-          while (i < 441) {
+          while (i < audioSamples) {
             samples(i) = ((id * 40503L + i * 69069L) % 65536L - 32768L).toShort
             i += 1
           }

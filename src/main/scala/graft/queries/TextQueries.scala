@@ -359,6 +359,33 @@ object TextQueries {
         .withColumnRenamed("media_id", "frame_key")
     },
 
+    // REAL audio frame extraction: 2500-sample WAVs split into 1024-sample
+    // windows re-encoded as standalone WAVs (every 2nd kept: windows 0 and
+    // 2), each then REALLY decoded. The oracle replays the sample formula
+    // over each window's index range — green only if windowing, WAV
+    // re-encode and decode all align sample-exactly.
+    GQuery(
+      "q115_wav_frames",
+      """SELECT (d.doc_id * 16 + f.fi)::BIGINT AS frame_key,
+        |       (8000 + (d.doc_id % 8) * 1000)::INT AS sample_rate,
+        |       count(*)::INT AS n_samples,
+        |       sum((d.doc_id * 40503 + (f.fi*1024 + t.i0) * 69069) % 65536 - 32768)::BIGINT AS sum_samples,
+        |       sum(abs((d.doc_id * 40503 + (f.fi*1024 + t.i0) * 69069) % 65536 - 32768))::BIGINT AS sum_abs
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |CROSS JOIN (VALUES (0), (2)) f(fi)
+        |CROSS JOIN range(1024) t(i0)
+        |WHERE f.fi * 1024 + t.i0 < 2500
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ids = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(2)) === 1).select("doc_id")
+      val media = Multimodal.synthesizeReal(ids, "doc_id", audioSamples = 2500)
+      val kept = Multimodal.sampleFrames(media, everyN = 2, MediaCodecs.JvmCodec)
+      Multimodal.audioStats(kept.select(
+          (col("media_id") * 16 + col("frame_idx") * 2).as("media_id"),
+          col("frame").as("bytes")))
+        .withColumnRenamed("media_id", "frame_key")
+    },
+
     // Token-window chunking (training-sequence prep): 32-token windows at
     // stride 24 (overlap 8). The oracle replays the whitespace tokenization
     // and slice arithmetic; md5 of the joined chunk pins the exact content
