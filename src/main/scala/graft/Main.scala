@@ -11,9 +11,10 @@ import graft.sources.xvec.XvecIO
 /** X2: the thin CLI over the engine — the `nbvectors <command>` surface
   * (reference README.md:34-110; services/BundledCommand.java dispatch) with
   * each subcommand delegating to an existing operator; see [[usage]] for the
-  * full 19-command inventory (dataset description, KNN/ground truth, PQ,
+  * full 24-command inventory (dataset description, KNN/ground truth, PQ,
   * slab I/O, dedup/decontamination, as-of join, sampling/splits, chunking,
-  * quality rules, PII redaction).
+  * quality rules, PII redaction, sequence packing, duplicated spans,
+  * semantic dedup, BM25, mixture materialization).
   *
   * Vector PATHs accept .fvec/.ivec/.bvec/.dvec/.svec/.mvec or .parquet
   * (columns ordinal/vector or vec_id/embedding).
@@ -243,6 +244,55 @@ object Main {
         spark.read.parquet(need("input")).select(col(idC),
           graft.functions.TextFunctions.redactPii(col(txtC)).as(txtC))
 
+      case "pack" =>
+        // training-sequence packing: --manifest emits per-(sequence, slice)
+        // loader rows, default emits per-doc coordinates
+        val docs = spark.read.parquet(need("input"))
+        val idC = flags.getOrElse("id-col", "doc_id")
+        val txtC = flags.getOrElse("text-col", "text")
+        val withCounts = docs.select(col(idC),
+          graft.functions.TextFunctions.tokenCount(col(txtC)).as("_n_tok"))
+        val seqLen = flags.getOrElse("seq-len", "2048").toInt
+        if (flags.contains("manifest"))
+          operators.Packing.packManifest(withCounts, idC, "_n_tok", seqLen)
+        else operators.Packing.packCoordinates(withCounts, idC, "_n_tok", seqLen)
+
+      case "dupspans" =>
+        // duplicated token-w-gram span fractions per document
+        operators.Dedup.duplicatedSpans(spark.read.parquet(need("input")),
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          textCol = flags.getOrElse("text-col", "text"),
+          w = flags.getOrElse("width", "8").toInt)
+
+      case "semdedup" =>
+        // embedding-space semantic dedup: cluster ids + keep decisions
+        operators.Dedup.semanticDedup(spark.read.parquet(need("input")),
+          idCol = flags.getOrElse("id-col", "vec_id"),
+          vecCol = flags.getOrElse("vec-col", "embedding"),
+          threshold = flags.getOrElse("threshold", "0.95").toDouble)
+
+      case "bm25" =>
+        // sparse keyword top-k retrieval
+        operators.Bm25.bm25(spark.read.parquet(need("input")),
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          textCol = flags.getOrElse("text-col", "text"),
+          terms = need("terms").split(",").toSeq,
+          k = flags.getOrElse("k", "10").toInt)
+
+      case "mix" =>
+        // mixture materialization: --factors books=2.25,web=0.5
+        val factors = need("factors").split(",").map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) => k -> v.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"--factors wants name=factor pairs, got: '$kv'\n$usage")
+          }
+        }.toMap
+        operators.Mixture.materialize(spark.read.parquet(need("input")),
+          domainCol = need("domain-col"), keyCol = need("key-col"),
+          factors = factors,
+          default = flags.getOrElse("default", "1.0").toDouble)
+
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")
     }
@@ -268,7 +318,12 @@ object Main {
       |  split --input PARQUET --key-col K --splits n=W,... [--out-col C]
       |  chunk --input PARQUET [--max-tokens N] [--overlap N]
       |  quality --input PARQUET [--id-col C] [--text-col C]
-      |  redact --input PARQUET [--id-col C] [--text-col C]""".stripMargin
+      |  redact --input PARQUET [--id-col C] [--text-col C]
+      |  pack --input PARQUET [--seq-len N] [--manifest] [--id-col C] [--text-col C]
+      |  dupspans --input PARQUET [--width N] [--id-col C] [--text-col C]
+      |  semdedup --input PARQUET [--threshold T] [--id-col C] [--vec-col C]
+      |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
+      |  mix --input PARQUET --domain-col D --key-col K --factors n=F,... [--default F]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

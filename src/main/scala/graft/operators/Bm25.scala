@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** BM25 keyword retrieval over whitespace-lowercased tokens — the lexical
+  * top-k a corpus-curation pipeline runs next to the embedding KNN (hybrid
+  * retrieval, boilerplate probes, eval-set leakage hunts). Extends the
+  * reference's query surface (its retrieval is vector-only, SURVEY §2.3)
+  * with the sparse ranking function.
+  *
+  * Scoring is the Lucene/Robertson non-negative form:
+  * `idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`,
+  * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgLen))`.
+  *
+  * Scale shape: the corpus is scanned once to build per-(doc, term) term
+  * frequencies — the explode is filtered to the query terms BEFORE the
+  * aggregation, so postings volume is O(term hits), not O(tokens). Document
+  * frequencies (|terms| rows) and the global (N, avgLen) scalar broadcast;
+  * the final top-k is a TakeOrdered, never a global sort materialization.
+  * Ties rank deterministically: rounded score desc, id asc.
+  */
+object Bm25 {
+
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25: at least one query term")
+    require(k > 0, "bm25: k must be positive")
+    val qTerms = terms.map(_.toLowerCase).distinct
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(lower(col(textCol))).as("toks"))
+    val lens = toks.select(col("id"), size(col("toks")).cast("double").as("len"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("len")).as("avg_len"))
+    val tf = toks.select(col("id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(qTerms: _*))
+      .groupBy("id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .join(lens, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_s",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * col("tf") * lit(k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avg_len"))))
+      .groupBy("id").agg(round(sum(col("_s")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+}

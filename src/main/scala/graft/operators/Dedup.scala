@@ -541,4 +541,65 @@ object Dedup {
         (lit(1.0) - VectorFunctions.cosineDistance(col("va"), col("vb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Duplicated-span detection (exact-substring dedup at token-w-gram
+    * granularity, the Lee et al. "Deduplicating Training Data" signal): a
+    * token position is DUPLICATED iff its w-gram occurs more than once in
+    * the whole corpus (another document or another position of the same
+    * one). Output per document: `(id, n_positions, n_dup, dup_fraction)` —
+    * the per-doc fraction of duplicated w-gram starts, the number filters
+    * threshold on to drop or trim boilerplate-heavy documents. Documents
+    * with fewer than w tokens have 0 positions and fraction 0.
+    *
+    * Scale shape: positional postings are O(total tokens) rows keyed by the
+    * engine-neutral 60-bit md5 gram hash; the global count is a map-side-
+    * combinable groupBy, and membership comes back via a LEFT SEMI join —
+    * no pair space anywhere, hot grams cost a skewed-bucket semi-join (AQE
+    * territory), never a quadratic blowup.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8): DataFrame = {
+    val grams = docs.select(col(idCol).cast("long").as("id"),
+        TextFunctions.shinglesFromTokens(
+          TextFunctions.tokens(lower(col(textCol))), w).as("grams"))
+      .select(col("id"), explode(col("grams")).as("gram"))
+      .select(col("id"), tokenHash60(col("gram")).as("h"))
+    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val totals = grams.groupBy("id").agg(count(lit(1)).as("n_positions"))
+    val dups = grams.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(dups, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_positions"), lit(0L)).as("n_positions"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_positions"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_dup"), lit(0L)).cast("double")
+            / col("n_positions").cast("double"))
+          .as("dup_fraction"))
+  }
+
+  /** Semantic deduplication (SemDeDup-style): embedding near-duplicate
+    * pairs above `threshold` cosine → connected components → keep the
+    * minimum id per component. Output for EVERY input id:
+    * `(id, cluster_id, keep)` — singletons cluster with themselves and are
+    * kept. Composes the bucketed LSH candidate path (the 100TB scan shape)
+    * with the same component formation q59 oracles; the oracled query
+    * proves the whole composition against an all-pairs + recursive-CTE
+    * recompute.
+    */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8, nTables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val pairs = embeddingNearDupPairsBucketed(
+      embs, idCol, vecCol, threshold, nBits, nTables, seed)
+    val clusters = connectedComponents(pairs.select("id_a", "id_b"))
+    embs.select(col(idCol).cast("long").as("id"))
+      .join(clusters.withColumnRenamed("cluster", "_c"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_c"), col("id")).as("cluster_id"),
+        (coalesce(col("_c"), col("id")) === col("id")).as("keep"))
+  }
 }

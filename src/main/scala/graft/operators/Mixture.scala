@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-mixture materialization: turn per-domain repeat factors (the
+  * "epochs per source" a training mix prescribes — e.g. books 2.25×, web
+  * 0.5×) into an explicit (row, epoch) expansion. A factor f emits each row
+  * `floor(f)` times always, plus one more epoch with probability
+  * `f − floor(f)` decided by the same deterministic md5 draw
+  * [[Sampling.hashUnit]] uses — so the mix is bit-reproducible in any
+  * engine, stable under re-runs and appends, and independent of
+  * partitioning. Extends the reference's sampling surface the same way
+  * [[Sampling]] does (SURVEY §2 has draws, not mixture weights).
+  *
+  * Scale shape: a pure projection + per-row `sequence` explode — zero
+  * shuffle; output volume is exactly the mixture size.
+  */
+object Mixture {
+
+  /** Emit `(every input column, <epochCol>)` with epoch = 0..nEpochs−1 per
+    * row, where nEpochs = floor(f) + (draw < round(frac(f)·1e6) ? 1 : 0)
+    * and f is the row's domain factor (absent domains and null domains use
+    * `default`). Rows with nEpochs = 0 are dropped. Null keys draw via the
+    * [[Sampling.NullKeySentinel]] hash, like every sampling operator here.
+    */
+  def materialize(df: DataFrame, domainCol: String, keyCol: String,
+      factors: Map[String, Double], default: Double = 1.0,
+      salt: String = "mix", epochCol: String = "epoch"): DataFrame = {
+    require((factors.values ++ Seq(default)).forall(_ >= 0.0),
+      "mixture factors must be non-negative")
+    require(!df.columns.contains(epochCol),
+      s"mixture: input already has a column named $epochCol")
+    val u = Sampling.hashUnit(col(keyCol), salt)
+    def epochsOf(f: Double) = {
+      val whole = math.floor(f).toLong
+      val fracQuota = ((f - math.floor(f)) * 1e6).round
+      lit(whole) + when(u < fracQuota, 1L).otherwise(0L)
+    }
+    val n = factors.foldLeft(epochsOf(default)) { case (acc, (d, f)) =>
+      when(col(domainCol) === d, epochsOf(f)).otherwise(acc)
+    }
+    df.withColumn("_n", n)
+      .filter(col("_n") > 0)
+      .withColumn(epochCol, explode(sequence(lit(0L), col("_n") - 1)))
+      .drop("_n")
+  }
+}

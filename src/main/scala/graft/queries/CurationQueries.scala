@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsofJoin, Sampling}
+import graft.operators.{AsofJoin, Bm25, Mixture, Packing, Sampling}
 
 /** Corpus-curation operators: point-in-time (as-of) join, stratified
   * sampling, split assignment. Every oracle replays the operator's
@@ -79,6 +79,106 @@ object CurationQueries {
         Tables.documents(s, dir).select("doc_id"),
         keyCol = "doc_id",
         splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    },
+
+    // Training-sequence packing coordinates: concatenate documents in doc_id
+    // order, cut at 512 tokens. The oracle replays the exclusive prefix sum
+    // with a window cumsum — proving the distributed two-phase prefix sum
+    // (range partitions + per-partition offsets) equals the sequential
+    // definition.
+    GQuery(
+      "q116_pack_coordinates",
+      """WITH t AS (SELECT doc_id,
+        |                  len(list_filter(string_split(text, ' '), x -> x != '')) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n::BIGINT AS n_tokens,
+        |             coalesce(sum(n) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+        |      FROM t WHERE n > 0)
+        |SELECT doc_id, n_tokens, tok_start,
+        |       (tok_start // 512) AS seq_first,
+        |       ((tok_start + n_tokens - 1) // 512) AS seq_last,
+        |       (tok_start % 512) AS seq_offset
+        |FROM c""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+      Packing.packCoordinates(docs, "doc_id", "n_tok", seqLen = 512)
+    },
+
+    // Exploded dataloader manifest: one row per (sequence, document slice).
+    // The oracle derives every slice boundary from the same prefix sum —
+    // green only if the explode arithmetic tiles each sequence exactly.
+    GQuery(
+      "q117_pack_manifest",
+      """WITH t AS (SELECT doc_id,
+        |                  len(list_filter(string_split(text, ' '), x -> x != '')) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n::BIGINT AS n_tokens,
+        |             coalesce(sum(n) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+        |      FROM t WHERE n > 0),
+        |m AS (SELECT doc_id, n_tokens, tok_start,
+        |             unnest(range((tok_start // 512), ((tok_start + n_tokens - 1) // 512) + 1)) AS seq_id
+        |      FROM c)
+        |SELECT doc_id, seq_id,
+        |       greatest(0, seq_id * 512 - tok_start) AS doc_tok_start,
+        |       least(n_tokens, (seq_id + 1) * 512 - tok_start) AS doc_tok_end,
+        |       greatest(0, tok_start - seq_id * 512) AS seq_offset
+        |FROM m""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+      Packing.packManifest(docs, "doc_id", "n_tok", seqLen = 512)
+    },
+
+    // BM25 top-20 keyword retrieval. The oracle recomputes tf/df/idf and the
+    // full Robertson scoring formula term-for-term (literal arithmetic kept
+    // identical on both sides so the IEEE ops match), with the documented
+    // (rounded score desc, id asc) tie rule.
+    GQuery(
+      "q120_bm25_topk",
+      """WITH toks AS (SELECT doc_id,
+        |                     list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+        |              FROM documents),
+        |lens AS (SELECT doc_id, len(toks)::DOUBLE AS len FROM toks),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avg_len FROM lens),
+        |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+        |       FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+        |       WHERE tok IN ('vector', 'hash', 'spark') GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+        |s AS (SELECT doc_id,
+        |             round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |                       * tf * (1.2 + 1.0)
+        |                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avg_len))), 6) AS score
+        |      FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc_id) CROSS JOIN stats
+        |      GROUP BY doc_id)
+        |SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      Bm25.bm25(Tables.documents(s, dir), "doc_id", "text",
+          terms = Seq("vector", "hash", "spark"), k = 20)
+        .select(col("id").as("doc_id"), col("score"))
+    },
+
+    // Mixture materialization: per-language repeat factors (en 0.5×, de
+    // 2.25×, zh 1×, es dropped, default 1×) expanded to (row, epoch). The
+    // oracle replays the whole-epoch + fractional-hash-draw rule per row.
+    GQuery(
+      "q121_mixture_materialize",
+      s"""WITH t AS (SELECT doc_id, lang,
+         |                  ${duckHashUnit("doc_id::VARCHAR", "mix")} AS u
+         |           FROM documents),
+         |n AS (SELECT doc_id, lang,
+         |             CASE lang WHEN 'en' THEN 0 + CASE WHEN u < 500000 THEN 1 ELSE 0 END
+         |                       WHEN 'de' THEN 2 + CASE WHEN u < 250000 THEN 1 ELSE 0 END
+         |                       WHEN 'zh' THEN 1
+         |                       WHEN 'es' THEN 0
+         |                       ELSE 1 END AS ne
+         |      FROM t)
+         |SELECT doc_id, lang, unnest(range(ne))::BIGINT AS epoch
+         |FROM n WHERE ne > 0""".stripMargin) { (s, dir) =>
+      Mixture.materialize(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        domainCol = "lang", keyCol = "doc_id",
+        factors = Map("en" -> 0.5, "de" -> 2.25, "zh" -> 1.0, "es" -> 0.0),
+        default = 1.0)
     },
   )
 }

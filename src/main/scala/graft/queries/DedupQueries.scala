@@ -282,5 +282,73 @@ object DedupQueries {
       Ann.ivfSearch(queries, index, centroids, k = 5, nProbe = 4, excludeSelf = true)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     },
+
+    // Duplicated-span detection (exact-substring dedup signal): every 25th
+    // document is planted twice, so its every 8-gram position is duplicated
+    // (dup_fraction 1.0) and the originals light up too. The oracle
+    // recomputes tokenization, positional 8-grams, the md5-60-bit gram hash,
+    // global counts and the per-doc fractions from first principles.
+    GQuery(
+      "q118_duplicated_spans",
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10000, text FROM documents WHERE doc_id % 25 = 0),
+        |t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+        |      FROM d),
+        |g AS (SELECT doc_id,
+        |             ('0x' || substr(md5(array_to_string(toks[(i+1):(i+8)], ' ')), 1, 15))::BIGINT AS h
+        |      FROM (SELECT doc_id, toks, unnest(range(len(toks) - 8 + 1)) AS i
+        |            FROM t WHERE len(toks) >= 8)),
+        |counts AS (SELECT h, count(*) AS c FROM g GROUP BY h),
+        |tot AS (SELECT doc_id, count(*) AS n_positions FROM g GROUP BY doc_id),
+        |dup AS (SELECT g.doc_id, count(*) AS n_dup
+        |        FROM g JOIN counts USING (h) WHERE c > 1 GROUP BY g.doc_id)
+        |SELECT d.doc_id, coalesce(n_positions, 0) AS n_positions,
+        |       coalesce(n_dup, 0) AS n_dup,
+        |       round(CASE WHEN coalesce(n_positions, 0) = 0 THEN 0.0
+        |                  ELSE coalesce(n_dup, 0)::DOUBLE / n_positions END, 6) AS dup_fraction
+        |FROM d LEFT JOIN tot USING (doc_id) LEFT JOIN dup USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      Dedup.duplicatedSpans(docs.unionByName(planted), "doc_id", "text", w = 8)
+        .select(col("id").as("doc_id"), col("n_positions"), col("n_dup"),
+          round(col("dup_fraction"), 6).as("dup_fraction"))
+    },
+
+    // Semantic dedup (SemDeDup composition): bucketed-LSH near-dup pairs →
+    // connected components → keep-min survivors, over a corpus with planted
+    // perturbed copies (cos ≈ 0.999). The oracle recomputes the whole thing
+    // from all-pairs cosine + a recursive-CTE component closure — green only
+    // if LSH recall, component formation AND the keep rule all hold.
+    GQuery(
+      "q119_semantic_dedup",
+      s"""WITH RECURSIVE u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000,
+         |         list_transform(embedding, x -> (x::DOUBLE * 0.9 + 0.01)::FLOAT)
+         |  FROM embeddings WHERE vec_id < 40),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |      FROM u a JOIN u b ON a.vec_id < b.vec_id
+         |      WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.95),
+         |edges AS (SELECT id_a AS s, id_b AS t FROM p
+         |          UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         |SELECT u.vec_id AS id, coalesce(lab.cluster, u.vec_id) AS cluster_id,
+         |       (coalesce(lab.cluster, u.vec_id) = u.vec_id) AS keep
+         |FROM u LEFT JOIN lab ON lab.id = u.vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val perturbed = emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * 0.9 + 0.01).cast("float")).as("embedding"))
+      Dedup.semanticDedup(emb.unionByName(perturbed), "vec_id", "embedding",
+        threshold = 0.95)
+    },
   )
 }

@@ -189,6 +189,45 @@ class CliSpec extends SparkSpec {
     assert(red(2L) == "tiny")
   }
 
+  test("pack, dupspans, bm25 and mix drive the curation operators") {
+    import spark.implicits._
+    val input = s"$dir/packops.parquet"
+    Seq((1L, "a b c d e f g h", "web"), (2L, "a b c d e f g h", "web"),
+        (3L, "p q r s", "books"), (4L, "", "books"))
+      .toDF("doc_id", "text", "domain").write.mode("overwrite").parquet(input)
+
+    val coords = Main.run(spark, Seq("pack", "--input", input, "--seq-len", "8"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(coords == Map(1L -> 0L, 2L -> 8L, 3L -> 16L)) // empty doc dropped
+    val manifest = Main.run(spark, Seq("pack", "--input", input,
+      "--seq-len", "8", "--manifest"))
+    assert(manifest.count() == 3)
+
+    val spans = Main.run(spark, Seq("dupspans", "--input", input, "--width", "4"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(spans(1L) == 1.0 && spans(2L) == 1.0 && spans(3L) == 0.0)
+
+    val hits = Main.run(spark, Seq("bm25", "--input", input,
+      "--terms", "p,q", "--k", "2")).collect()
+    assert(hits.length == 1 && hits(0).getLong(0) == 3L)
+
+    val mixed = Main.run(spark, Seq("mix", "--input", input, "--domain-col",
+      "domain", "--key-col", "doc_id", "--factors", "web=2.0,books=1.0"))
+    assert(mixed.collect().count(_.getString(2) == "web") == 4)
+  }
+
+  test("semdedup clusters embedding near-duplicates via the CLI") {
+    import spark.implicits._
+    val input = s"$dir/semdedup.parquet"
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 20L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val dup = (100L, base.head._2.map(x => x * 0.999f))
+    (base :+ dup).toDF("vec_id", "embedding").write.mode("overwrite").parquet(input)
+    val r = Main.run(spark, Seq("semdedup", "--input", input))
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(r(0L) && !r(100L) && r.size == 21)
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BM25 scoring, mixture materialization, duplicated-span detection and
+  * semantic dedup: each checked against an independent in-test recompute of
+  * its documented semantics.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- BM25 ----
+
+  private def bmDocs = Seq(
+    (1L, "a b a c"), (2L, "a a a a"), (3L, "b b c d"), (4L, "x y z w"))
+    .toDF("doc_id", "text")
+
+  test("bm25 matches the hand-computed Robertson formula with tie-stable order") {
+    val got = Bm25.bm25(bmDocs, "doc_id", "text", Seq("a", "b"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // N=4, avgLen=4, df(a)=df(b)=2 → idf=ln(1+2.5/2.5)=ln 2; len=4 for all
+    def s(tf: Double) = math.log(2.0) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Seq(
+      1L -> r6(s(2) + s(1)), // a twice, b once
+      2L -> r6(s(4)),        // a four times
+      3L -> r6(s(2)))        // b twice
+    assert(got == expected.sortBy { case (id, sc) => (-sc, id) })
+  }
+
+  test("bm25 k bounds the result and terms are case-normalized") {
+    assert(Bm25.bm25(bmDocs, "doc_id", "text", Seq("A"), k = 1).count() == 1)
+    intercept[IllegalArgumentException] { Bm25.bm25(bmDocs, "doc_id", "text", Nil, 1) }
+  }
+
+  // ---- Mixture ----
+
+  private def mixDocs = (0L until 300L).map(i =>
+    (i, if (i % 3 == 0) "web" else if (i % 3 == 1) "books" else "code"))
+    .toDF("doc_id", "domain")
+
+  test("integral factors emit exactly floor(f) epochs; zero drops the domain") {
+    val out = Mixture.materialize(mixDocs, "domain", "doc_id",
+      Map("web" -> 2.0, "books" -> 0.0), default = 1.0)
+    val byDomain = out.groupBy("domain").agg(
+      countDistinct("doc_id").as("docs"), count(lit(1)).as("rows"),
+      max("epoch").as("maxEpoch"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byDomain("web") == ((100L, 200L, 1L)))
+    assert(!byDomain.contains("books"))
+    assert(byDomain("code") == ((100L, 100L, 0L)))
+  }
+
+  test("fractional factor: per-key count in {floor, floor+1}, deterministic, ~frac extra") {
+    val out = Mixture.materialize(mixDocs, "domain", "doc_id", Map.empty, default = 1.5)
+    val perKey = out.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perKey.values.forall(c => c == 1L || c == 2L))
+    val extra = perKey.values.count(_ == 2L).toDouble / perKey.size
+    assert(math.abs(extra - 0.5) < 0.1, s"extra-epoch share $extra far from 0.5")
+    val again = Mixture.materialize(mixDocs, "domain", "doc_id", Map.empty, default = 1.5)
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perKey == again)
+  }
+
+  test("mixture decisions are append-stable (subset invariance)") {
+    val full = Mixture.materialize(mixDocs, "domain", "doc_id",
+      Map("web" -> 0.4), default = 1.25)
+    val subset = Mixture.materialize(mixDocs.filter(col("doc_id") < 100),
+      "domain", "doc_id", Map("web" -> 0.4), default = 1.25)
+    val fullOn = full.filter(col("doc_id") < 100)
+      .orderBy("doc_id", "epoch").collect().toSeq
+    assert(fullOn == subset.orderBy("doc_id", "epoch").collect().toSeq)
+  }
+
+  test("mixture rejects an existing epoch column and negative factors") {
+    intercept[IllegalArgumentException] {
+      Mixture.materialize(mixDocs.withColumn("epoch", lit(0)), "domain", "doc_id", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.materialize(mixDocs, "domain", "doc_id", Map("web" -> -0.1))
+    }
+  }
+
+  // ---- Duplicated spans ----
+
+  test("duplicated spans: planted copy saturates, unique doc scores zero") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), // full copies: every 3-gram dup
+      (3L, "q w e r t"),                    // unique
+      (4L, "x y"),                          // < w tokens: no positions
+      (5L, "m n m n m n"))                  // self-repeating
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((3L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    // "m n m n m n": grams at 0,2 = "m n m", at 1,3 = "n m n" → all of the
+    // first four positions duplicated within the doc itself
+    assert(got(5L) == ((4L, 4L, 1.0)))
+  }
+
+  test("duplicated spans match a brute-force recompute on a mixed corpus") {
+    val texts = (0L until 40L).map { i =>
+      val base = (0 until 12).map(j => s"w${(i * 7 + j * 3) % 23}").mkString(" ")
+      (i, if (i % 10 == 0) "common prefix tokens here " + base else base)
+    }
+    val w = 4
+    val grams = texts.flatMap { case (id, t) =>
+      val toks = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      toks.sliding(w).filter(_.length == w).zipWithIndex
+        .map { case (g, p) => (id, p, g.mkString(" ")) }
+    }
+    val counts = grams.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+    val expected = texts.map { case (id, _) =>
+      val mine = grams.filter(_._1 == id)
+      val dup = mine.count(g => counts(g._3) > 1)
+      id -> ((mine.size.toLong, dup.toLong,
+        if (mine.isEmpty) 0.0 else dup.toDouble / mine.size))
+    }.toMap
+    val got = Dedup.duplicatedSpans(texts.toDF("doc_id", "text"), "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expected)
+  }
+
+  // ---- Semantic dedup ----
+
+  test("semantic dedup equals the exact all-pairs + components composition") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 30L).map { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      (i, v.map(_ / n))
+    }
+    val copies = base.take(5).map { case (i, v) =>
+      (i + 100L, v.map(x => x * 0.999f + 0.0005f))
+    }
+    val embs = (base ++ copies).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(embs, "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // exact composition: all-pairs verifier + the same component labels
+    val pairs = Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.95)
+    val labels = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (base ++ copies).map(_._1).map { id =>
+      val c = labels.getOrElse(id, id)
+      (id, c, c == id)
+    }.toSet
+    assert(got == expected)
+    // every planted copy lost, every original kept
+    copies.map(_._1).foreach(id => assert(got.contains((id, id - 100L, false))))
+    assert(got.count(!_._3) == 5)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Sequence-packing invariants: the distributed two-phase prefix sum equals
+  * the sequential definition, is partition-count independent, and the
+  * exploded manifest tiles every sequence exactly and covers every document
+  * contiguously.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val L = 16
+  private val counts = Seq((1L, 5L), (2L, 20L), (3L, 0L), (4L, 7L),
+    (5L, 16L), (6L, 1L), (7L, 40L))
+  private def docs = counts.toDF("doc_id", "n_tok")
+  private val kept = counts.filter(_._2 > 0)
+  private val totalTokens = kept.map(_._2).sum
+
+  test("coordinates equal the sequential definition (zero-token docs excluded)") {
+    val got = Packing.packCoordinates(docs, "doc_id", "n_tok", L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    var start = 0L
+    val expected = kept.map { case (id, n) =>
+      val row = (id, n, start, start / L, (start + n - 1) / L, start % L)
+      start += n
+      row
+    }
+    assert(got == expected)
+  }
+
+  test("coordinates are independent of the partition count") {
+    val one = Packing.packCoordinates(docs, "doc_id", "n_tok", L, numParts = 1)
+      .orderBy("doc_id").collect().toSeq
+    val many = Packing.packCoordinates(docs, "doc_id", "n_tok", L, numParts = 7)
+      .orderBy("doc_id").collect().toSeq
+    assert(one == many)
+  }
+
+  test("manifest tiles every sequence exactly") {
+    val rows = Packing.packManifest(docs, "doc_id", "n_tok", L).collect()
+    val lastSeq = (totalTokens - 1) / L
+    val bySeq = rows.groupBy(_.getLong(1))
+    assert(bySeq.keySet == (0L to lastSeq).toSet)
+    for ((seq, slices) <- bySeq) {
+      val ordered = slices.map(r => (r.getLong(4), r.getLong(3) - r.getLong(2)))
+        .sortBy(_._1)
+      var pos = 0L
+      for ((off, len) <- ordered) {
+        assert(off == pos, s"seq $seq: slice at offset $off, expected $pos")
+        assert(len > 0)
+        pos += len
+      }
+      val want = if (seq == lastSeq) totalTokens - seq * L else L.toLong
+      assert(pos == want, s"seq $seq holds $pos tokens, expected $want")
+    }
+  }
+
+  test("manifest slices cover each document contiguously from token 0") {
+    val rows = Packing.packManifest(docs, "doc_id", "n_tok", L).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == kept.map(_._1).toSet)
+    for ((id, slices) <- byDoc) {
+      val ordered = slices.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(ordered.head._2 == 0L, s"doc $id first slice starts at token 0")
+      ordered.sliding(2).foreach {
+        case Array((s1, _, e1), (s2, st2, _)) =>
+          assert(s2 == s1 + 1 && st2 == e1, s"doc $id slices not contiguous")
+        case _ =>
+      }
+      assert(ordered.last._3 == kept.toMap.apply(id), s"doc $id fully covered")
+    }
+  }
+
+  test("seqLen must be positive") {
+    intercept[IllegalArgumentException] {
+      Packing.packCoordinates(docs, "doc_id", "n_tok", 0)
+    }
+  }
+}
