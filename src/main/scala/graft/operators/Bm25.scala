@@ -17,10 +17,13 @@ import graft.functions.TextFunctions
   *
   * Scale shape: the corpus is scanned once to build per-(doc, term) term
   * frequencies — the explode is filtered to the query terms BEFORE the
-  * aggregation, so postings volume is O(term hits), not O(tokens). Document
-  * frequencies (|terms| rows) and the global (N, avgLen) scalar broadcast;
-  * the final top-k is a TakeOrdered, never a global sort materialization.
-  * Ties rank deterministically: rounded score desc, id asc.
+  * aggregation, so postings volume is O(term hits), not O(tokens), and the
+  * document length rides THROUGH the postings as a grouping column so no
+  * corpus-wide (tf ⋈ lens) join ever shuffles. Document frequencies
+  * (|terms| rows) and the global (N, avgLen) scalar broadcast; the final
+  * top-k is a TakeOrdered, never a global sort materialization
+  * (PlanShapeSpec pins all of this). Ties rank deterministically: rounded
+  * score desc, id asc.
   */
 object Bm25 {
 
@@ -31,15 +34,15 @@ object Bm25 {
     val qTerms = terms.map(_.toLowerCase).distinct
     val toks = docs.select(col(idCol).as("id"),
       TextFunctions.tokens(lower(col(textCol))).as("toks"))
-    val lens = toks.select(col("id"), size(col("toks")).cast("double").as("len"))
-    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("len")).as("avg_len"))
-    val tf = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("toks")).cast("double")).as("avg_len"))
+    val tf = toks
+      .select(col("id"), size(col("toks")).cast("double").as("len"),
+        explode(col("toks")).as("tok"))
       .filter(col("tok").isin(qTerms: _*))
-      .groupBy("id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+      .groupBy("id", "len", "tok").agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(dfreq), Seq("tok"))
-      .join(lens, Seq("id"))
       .crossJoin(broadcast(stats))
       .withColumn("_s",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)

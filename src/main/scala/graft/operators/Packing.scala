@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-sequence packing: concatenate documents in ascending-id order
@@ -13,12 +12,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the only global state is an EXCLUSIVE PREFIX SUM of token
   * counts in id order. A naive `Window.orderBy(id)` cumsum drags the whole
-  * corpus through ONE partition; instead this range-repartitions on the id,
-  * cumsums within each partition, and adds per-partition offsets computed
-  * from the (numPartitions)-row totals frame — one range shuffle, one tiny
-  * broadcast join, everything else is a projection. Determinism does not
-  * depend on partition boundaries: any range partitioning yields the same
-  * global prefix sum.
+  * corpus through ONE partition — and even the partitioned form
+  * (`Window.partitionBy(spark_partition_id())`) re-shuffles the corpus a
+  * second time, because Catalyst cannot know `_pid` is constant within a
+  * partition and inserts `hashpartitioning(_pid)` to satisfy the window.
+  * So this uses the canonical two-pass pattern (the one Spark's own
+  * `zipWithIndex` uses): range-repartition on the id, a first pass
+  * collecting one running total PER PARTITION (numPartitions longs — the
+  * same O(10k) driver state any range partitioner already holds), then a
+  * mapPartitions pass adding the broadcast partition offset to a running
+  * local sum. ONE corpus shuffle total; both passes read the same range
+  * exchange (shared RDD lineage → the shuffle files are reused, the second
+  * pass skips the stage). Determinism does not depend on partition
+  * boundaries: any range partitioning yields the same global prefix sum.
   *
   * Zero-token documents are excluded (they occupy no coordinates); ids and
   * token counts must be non-null, counts non-negative.
@@ -42,31 +48,37 @@ object Packing {
       .filter(col("n_tokens") > 0)
       .repartitionByRange(parts, col(idCol))
       .sortWithinPartitions(idCol)
-      .withColumn("_pid", spark_partition_id())
-    // within-partition INCLUSIVE cumsum; minus n_tokens = exclusive
-    val local = base.withColumn("_local",
-      sum(col("n_tokens")).over(
-        Window.partitionBy("_pid").orderBy(idCol)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        - col("n_tokens"))
-    // per-partition totals -> exclusive offsets: a (numParts)-row frame, so
-    // the single-partition window and the broadcast are both O(numParts)
-    val offsets = local.groupBy("_pid")
-      .agg(sum("n_tokens").as("_total"))
-      .withColumn("_offset",
-        coalesce(sum(col("_total")).over(
-          Window.orderBy("_pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_pid", "_offset")
+    val schema = base.schema
+    val nIdx = schema.fieldIndex("n_tokens")
+    // one RDD value shared by both jobs: the range exchange computes once
+    val rows = base.rdd
+    val totals = rows.mapPartitionsWithIndex { case (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(nIdx))
+      Iterator(pid -> s)
+    }.collect().toMap
+    val offsets = (0 until rows.getNumPartitions)
+      .map(p => totals.getOrElse(p, 0L)).scanLeft(0L)(_ + _).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val withStart = rows.mapPartitionsWithIndex { case (pid, it) =>
+      var run = bc.value(pid)
+      it.map { r =>
+        val start = run
+        run += r.getLong(nIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ start)
+      }
+    }
+    val coords = spark.createDataFrame(withStart,
+      org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField("tok_start",
+          org.apache.spark.sql.types.LongType, nullable = false)))
     // `div`, not `/`: Spark's `/` is double division, inexact past 2^53
     // total tokens — integer division keeps coordinates exact at any scale
     val l = lit(seqLen.toLong)
-    local.join(broadcast(offsets), Seq("_pid"))
-      .withColumn("tok_start", col("_offset") + col("_local"))
-      .select(col(idCol), col("n_tokens"), col("tok_start"),
-        expr(s"tok_start div ${seqLen}L").as("seq_first"),
-        expr(s"(tok_start + n_tokens - 1) div ${seqLen}L").as("seq_last"),
-        pmod(col("tok_start"), l).as("seq_offset"))
+    coords.select(col(idCol), col("n_tokens"), col("tok_start"),
+      expr(s"tok_start div ${seqLen}L").as("seq_first"),
+      expr(s"(tok_start + n_tokens - 1) div ${seqLen}L").as("seq_last"),
+      pmod(col("tok_start"), l).as("seq_offset"))
   }
 
   /** Exploded dataloader manifest: one row per (sequence, document slice) —

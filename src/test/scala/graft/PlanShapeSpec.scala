@@ -73,6 +73,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffleCount(plan) <= 1, plan.toString)
   }
 
+  test("Mixture.materialize executes with ZERO shuffle exchanges (projection + explode)") {
+    val rows = (0L until 128L).map(i => (i, if (i % 2 == 0) "web" else "books"))
+      .toDF("id", "domain")
+    val plan = executedPlan(graft.operators.Mixture.materialize(
+      rows, "domain", "id", Map("web" -> 2.5, "books" -> 0.5)))
+    assert(shuffleCount(plan) == 0, plan.toString)
+  }
+
+  test("Packing: no exchange beyond the range repartition inside the RDD lineage") {
+    val docs = (0L until 512L).map(i => (i, (i % 37) + 1)).toDF("id", "n")
+    val coords = graft.operators.Packing.packCoordinates(docs, "id", "n", seqLen = 64)
+    val plan = executedPlan(coords)
+    val s = plan.toString
+    // the prefix sum runs as two mapPartitions passes over ONE range
+    // exchange held in the RDD lineage; the visible SQL plan on top must
+    // stay a pure projection — any Exchange/Window/Join here means the
+    // cumsum regressed to a shuffling form
+    assert(shuffleCount(plan) == 0, s"exchange above the prefix-sum RDD:\n$s")
+    assert(!s.contains("Window"), s)
+    assert(!s.contains("Join"), s)
+    // and the range exchange is genuinely in the lineage (not a coalesce)
+    assert(coords.rdd.getNumPartitions == spark.sessionState.conf.numShufflePartitions)
+  }
+
+  test("Bm25: term-filtered postings, broadcast df/stats, TakeOrdered top-k") {
+    val docs = (0L until 256L).map(i => (i, s"alpha w$i beta gamma w${i % 7}"))
+      .toDF("id", "text")
+    val plan = executedPlan(
+      graft.operators.Bm25.bm25(docs, "id", "text", Seq("alpha", "beta"), k = 5))
+    val s = plan.toString
+    // df + corpus stats come back as broadcasts — never a corpus-wide join
+    // (doc length rides through the postings as a grouping column)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+    // top-k is TakeOrderedAndProject (local heaps + driver merge), not a
+    // global Sort materialization
+    assert(s.contains("TakeOrderedAndProject"), s)
+    // shuffles: term-hit tf aggregate, |terms|-row df aggregate, 1-row
+    // stats aggregate, per-doc score aggregate — only the first is even
+    // O(term hits); none is O(corpus tokens)
+    assert(shuffleCount(plan) <= 5, s)
+  }
+
   test("AsofJoin: ONE key shuffle, no join pair space") {
     val left = (0L until 200L).map(i => (i % 5, i)).toDF("k", "t")
     val right = (0L until 400L).map(i => (i % 5, i / 2, i)).toDF("k", "t", "rid")
