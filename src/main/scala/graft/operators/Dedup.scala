@@ -551,31 +551,39 @@ object Dedup {
     * threshold on to drop or trim boilerplate-heavy documents. Documents
     * with fewer than w tokens have 0 positions and fraction 0.
     *
-    * Scale shape: positional postings are O(total tokens) rows keyed by the
-    * engine-neutral 60-bit md5 gram hash; the global count is a map-side-
-    * combinable groupBy, and membership comes back via a LEFT SEMI join —
-    * no pair space anywhere, hot grams cost a skewed-bucket semi-join (AQE
-    * territory), never a quadratic blowup.
+    * Scale shape: positional postings are O(total tokens) rows of 8-byte
+    * md5-60 hashes from a typed JVM kernel (interpreted HOF lambdas cost
+    * ~100ns/element and the naive transform+concat_ws+md5 column form ran
+    * 10× slower); the kernel runs twice (global counts, then membership)
+    * rather than caching O(tokens) rows. Totals are a pure projection
+    * (max(0, tokens−w+1)) — no gram pass at all. The global count is a
+    * map-side-combinable groupBy and membership comes back via a LEFT SEMI
+    * join — no pair space anywhere; hot grams cost a skewed-bucket
+    * semi-join (AQE territory), never a quadratic blowup.
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 8): DataFrame = {
-    val grams = docs.select(col(idCol).cast("long").as("id"),
-        TextFunctions.shinglesFromTokens(
-          TextFunctions.tokens(lower(col(textCol))), w).as("grams"))
-      .select(col("id"), explode(col("grams")).as("gram"))
-      .select(col("id"), tokenHash60(col("gram")).as("h"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      lower(coalesce(col(textCol), lit(""))).as("t"))
+    val grams = base.as[(Long, String)].flatMap { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.length < w) Iterator.empty
+      else (0 to toks.length - w).iterator
+        .map(i => (id, StableHash.md5Hash60(toks.slice(i, i + w).mkString(" "))))
+    }.toDF("id", "h")
     val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("h")
-    val totals = grams.groupBy("id").agg(count(lit(1)).as("n_positions"))
     val dups = grams.join(dupHashes, Seq("h"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_dup"))
-    docs.select(col(idCol).cast("long").as("id"))
-      .join(totals, Seq("id"), "left")
-      .join(dups, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_positions"), lit(0L)).as("n_positions"),
+    val totals = base.select(col("id"),
+      greatest(lit(0L),
+        (TextFunctions.tokenCount(col("t")) - (w - 1)).cast("long")).as("n_positions"))
+    totals.join(dups, Seq("id"), "left")
+      .select(col("id"), col("n_positions"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        when(coalesce(col("n_positions"), lit(0L)) === 0L, lit(0.0))
+        when(col("n_positions") === 0L, lit(0.0))
           .otherwise(coalesce(col("n_dup"), lit(0L)).cast("double")
             / col("n_positions").cast("double"))
           .as("dup_fraction"))
