@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, AsofJoin, Dedup, Knn, Sampling}
+import graft.operators.{Ann, AsofJoin, Bm25, Dedup, Knn, Mixture, Packing, Sampling}
 
 /** Scaling soak (dev tool, not part of the driver contract): measures the
   * flagship scale paths at 100-1000× the driver testdata sizes so the
@@ -128,6 +128,40 @@ object ScaleSoak {
       // bits sized to corpus (log2(1M)+2 = 22): single-digit bucket occupancy
       Dedup.embeddingNearDupPairsBucketed(base, "vec_id", "embedding",
         threshold = 0.999, nBits = 22, nTables = 8).count()
+    }
+    timed(s"duplicated-span fractions (w=8) over $nDocs docs") {
+      Dedup.duplicatedSpans(docs, "doc_id", "text", w = 8)
+        .agg(sum("n_dup")).collect()
+    }
+    timed(s"BM25 top-100 over $nDocs docs") {
+      Bm25.bm25(docs, "doc_id", "text",
+        terms = Seq("w0", "w17", "w4999"), k = 100).count()
+    }
+    timed(s"semantic dedup over $nBase embeddings") {
+      Dedup.semanticDedup(base, "vec_id", "embedding",
+        threshold = 0.999, nBits = 22, nTables = 8)
+        .filter(!col("keep")).count()
+    }
+    // --- packing / mixture: counts-only frames, 20x the doc corpus
+    val nPack = nDocs * 20
+    timed(s"sequence packing coordinates over $nPack docs") {
+      Packing.packCoordinates(
+        spark.range(nPack).select(col("id"), (col("id") % 900 + 100).as("n_tok")),
+        "id", "n_tok", seqLen = 2048)
+        .agg(max("seq_last")).collect()
+    }
+    timed(s"pack manifest explode over $nPack docs") {
+      Packing.packManifest(
+        spark.range(nPack).select(col("id"), (col("id") % 900 + 100).as("n_tok")),
+        "id", "n_tok", seqLen = 2048).count()
+    }
+    timed(s"mixture materialization over $nPack rows") {
+      Mixture.materialize(
+        spark.range(nPack).select(col("id"),
+          concat(lit("d"), pmod(col("id"), lit(7))).as("domain")),
+        "domain", "id",
+        factors = Map("d0" -> 2.5, "d1" -> 0.3, "d2" -> 0.0), default = 1.0)
+        .count()
     }
     spark.stop()
   }
