@@ -32,8 +32,9 @@ object Bm25 {
     require(terms.nonEmpty, "bm25: at least one query term")
     require(k > 0, "bm25: k must be positive")
     val qTerms = terms.map(_.toLowerCase).distinct
+    // coalesce BEFORE size(): size(null) is -1 and would poison avg_len
     val toks = docs.select(col(idCol).as("id"),
-      TextFunctions.tokens(lower(col(textCol))).as("toks"))
+      TextFunctions.tokens(lower(coalesce(col(textCol), lit("")))).as("toks"))
     val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(size(col("toks")).cast("double")).as("avg_len"))
     val tf = toks

@@ -57,6 +57,28 @@ object VectorQueries {
 
   val all: Seq[GQuery] = Seq(
     knnQuery("q20_knn_cosine", "COSINE", 10, 20),
+
+    // Chunked KNN (the bounded-broadcast form for query sets past the
+    // broadcast budget): 3 deterministic hash chunks of the query set, each
+    // a broadcast+heap plan, unioned. The oracle is the plain exact ranking
+    // — green only if the chunk split/union is lossless.
+    GQuery(
+      "q122_knn_chunked",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+         |           FROM embeddings WHERE vec_id < 20),
+         |d AS (
+         |  SELECT q.qid, b.vec_id AS nid, ${duckDist("COSINE")} AS dist
+         |  FROM q CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+         |                     WHERE vec_id >= 20) b)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+         |  FROM d)
+         |WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Knn.knnChunked(emb.filter(col("vec_id") < 20),
+          emb.filter(col("vec_id") >= 20), k = 10, nChunks = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    },
     knnQuery("q21_knn_euclidean", "EUCLIDEAN", 10, 20),
     knnQuery("q22_knn_negdot", "DOT_PRODUCT", 10, 20),
     knnQuery("q26_knn_l1", "L1", 10, 20),

@@ -35,6 +35,21 @@ class CurationOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Bm25.bm25(bmDocs, "doc_id", "text", Nil, 1) }
   }
 
+  test("bm25 treats null text as empty (no poisoned corpus stats)") {
+    val withNull = bmDocs.unionByName(
+      Seq((9L, null: String)).toDF("doc_id", "text"))
+    // null doc contributes len 0 to avg_len (N=5, avgLen=16/5) and no hits
+    val got = Bm25.bm25(withNull, "doc_id", "text", Seq("a"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def s(tf: Double) = {
+      val idf = math.log(1.0 + (5.0 - 2.0 + 0.5) / (2.0 + 0.5))
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * 4.0 / (16.0 / 5.0)))
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1).toSet == Set(1L, 2L))
+    assert(got.toMap == Map(1L -> r6(s(2)), 2L -> r6(s(4))))
+  }
+
   // ---- Mixture ----
 
   private def mixDocs = (0L until 300L).map(i =>
