@@ -11,10 +11,11 @@ import graft.sources.xvec.XvecIO
 /** X2: the thin CLI over the engine — the `nbvectors <command>` surface
   * (reference README.md:34-110; services/BundledCommand.java dispatch) with
   * each subcommand delegating to an existing operator; see [[usage]] for the
-  * full 24-command inventory (dataset description, KNN/ground truth, PQ,
-  * slab I/O, dedup/decontamination, as-of join, sampling/splits, chunking,
-  * quality rules, PII redaction, sequence packing, duplicated spans,
-  * semantic dedup, BM25, mixture materialization).
+  * full 26-command inventory (dataset description, KNN/ground truth, PQ,
+  * slab I/O, dedup/decontamination — n-gram and embedding-space — as-of
+  * join, sampling/splits, chunking, quality rules, PII redaction, sequence
+  * packing, duplicated spans, semantic dedup, BM25, mixture
+  * materialization, unigram surprisal).
   *
   * Vector PATHs accept .fvec/.ivec/.bvec/.dvec/.svec/.mvec or .parquet
   * (columns ordinal/vector or vec_id/embedding).
@@ -279,6 +280,20 @@ object Main {
           terms = need("terms").split(",").toSeq,
           k = flags.getOrElse("k", "10").toInt)
 
+      case "surprisal" =>
+        // unigram-LM mean token surprisal per document
+        operators.UnigramLm.surprisal(spark.read.parquet(need("input")),
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          textCol = flags.getOrElse("text-col", "text"))
+
+      case "semdecontaminate" =>
+        // embedding-space decontamination vs a benchmark embedding set
+        operators.Dedup.semanticContamination(
+          spark.read.parquet(need("input")),
+          spark.read.parquet(need("benchmark")),
+          idCol = flags.getOrElse("id-col", "vec_id"),
+          vecCol = flags.getOrElse("vec-col", "embedding"))
+
       case "mix" =>
         // mixture materialization: --factors books=2.25,web=0.5
         val factors = need("factors").split(",").map { kv =>
@@ -323,7 +338,9 @@ object Main {
       |  dupspans --input PARQUET [--width N] [--id-col C] [--text-col C]
       |  semdedup --input PARQUET [--threshold T] [--id-col C] [--vec-col C]
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
-      |  mix --input PARQUET --domain-col D --key-col K --factors n=F,... [--default F]""".stripMargin
+      |  mix --input PARQUET --domain-col D --key-col K --factors n=F,... [--default F]
+      |  surprisal --input PARQUET [--id-col C] [--text-col C]
+      |  semdecontaminate --input PARQUET --benchmark PARQUET [--id-col C] [--vec-col C]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

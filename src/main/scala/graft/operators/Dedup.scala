@@ -469,6 +469,25 @@ object Dedup {
           .as("containment"))
   }
 
+  /** Semantic decontamination: per-document MAXIMUM cosine similarity
+    * against a benchmark embedding set — the embedding-space complement of
+    * the n-gram [[containmentScores]] (paraphrased eval leakage carries no
+    * shared shingles but lights up here). The benchmark is small (eval sets
+    * are) → it broadcasts and the corpus streams through one
+    * max-aggregation; no shuffle of the corpus embeddings. Output:
+    * `(id, max_cosine)`; docs score against every bench row, so an empty
+    * bench yields an empty frame.
+    */
+  def semanticContamination(embs: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val e = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val b = bench.select(col(vecCol).as("bv"))
+    e.crossJoin(broadcast(b))
+      .groupBy("id")
+      .agg(round(max(lit(1.0) -
+        VectorFunctions.cosineDistance(col("v"), col("bv"))), 6).as("max_cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (ground-truth form): all pairs
     * with cosine similarity >= threshold. Exact — the scalable candidate
     * generator for this is Ann.ivf/bucketed search; this form is the

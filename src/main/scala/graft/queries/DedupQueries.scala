@@ -350,5 +350,31 @@ object DedupQueries {
       Dedup.semanticDedup(emb.unionByName(perturbed), "vec_id", "embedding",
         threshold = 0.95)
     },
+
+    // Semantic decontamination: per-doc max cosine against a "benchmark"
+    // embedding set (the first 10 vectors), over a corpus with planted
+    // perturbed bench copies that must light up near 1.0. The oracle
+    // recomputes every pairwise cosine and the max from first principles.
+    GQuery(
+      "q124_semantic_decontamination",
+      s"""WITH bench AS (SELECT embedding FROM embeddings WHERE vec_id < 10),
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10
+         |  UNION ALL
+         |  SELECT vec_id + 20000,
+         |         list_transform(embedding, x -> (x::DOUBLE * 0.95 + 0.02)::FLOAT)
+         |  FROM embeddings WHERE vec_id < 10)
+         |SELECT c.vec_id AS id, round(max(${duckCosine("c.embedding", "b.embedding")}), 6) AS max_cosine
+         |FROM corpus c CROSS JOIN bench b
+         |GROUP BY c.vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val bench = emb.filter(col("vec_id") < 10)
+      val planted = bench.select((col("vec_id") + 20000).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * 0.95 + 0.02).cast("float")).as("embedding"))
+      val corpus = emb.filter(col("vec_id") >= 10)
+        .select("vec_id", "embedding").unionByName(planted)
+      Dedup.semanticContamination(corpus, bench, "vec_id", "embedding")
+    },
   )
 }

@@ -467,5 +467,24 @@ object TextQueries {
         TextFunctions.piiCount(aug, TextFunctions.ipv4Pattern).as("n_ips"),
         md5(TextFunctions.redactPii(aug)).as("redacted_md5"))
     },
+
+    // Unigram-LM surprisal (corpus-relative quality signal): the oracle
+    // rebuilds the whole language model — per-doc token multiplicities,
+    // vocabulary counts, corpus total — and the weighted mean surprisal
+    // from first principles.
+    GQuery(
+      "q123_unigram_surprisal",
+      """WITH toks AS (SELECT doc_id,
+        |                     unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS tok
+        |              FROM documents),
+        |m AS (SELECT doc_id, tok, count(*)::DOUBLE AS k FROM toks GROUP BY doc_id, tok),
+        |cnt AS (SELECT tok, sum(k) AS c FROM m GROUP BY tok),
+        |tot AS (SELECT sum(c) AS t FROM cnt)
+        |SELECT doc_id, round(sum(k * -ln(c / t)) / sum(k), 6) AS surprisal
+        |FROM m JOIN cnt USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.UnigramLm.surprisal(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    },
   )
 }

@@ -216,6 +216,27 @@ class CliSpec extends SparkSpec {
     assert(mixed.collect().count(_.getString(2) == "web") == 4)
   }
 
+  test("surprisal and semdecontaminate drive the corpus-relative scores") {
+    import spark.implicits._
+    val tIn = s"$dir/surprisal.parquet"
+    Seq((1L, "x x x x"), (2L, "x y")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(tIn)
+    val sp = Main.run(spark, Seq("surprisal", "--input", tIn))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // p(x)=5/6, p(y)=1/6: doc 1 scores -ln(5/6), doc 2 the mean of both
+    assert(sp(1L) < sp(2L))
+
+    val eIn = s"$dir/semdecon-corpus.parquet"
+    val bIn = s"$dir/semdecon-bench.parquet"
+    Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(bIn)
+    Seq((5L, Array(1f, 0f)), (6L, Array(0f, 1f))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(eIn)
+    val sc = Main.run(spark, Seq("semdecontaminate", "--input", eIn,
+      "--benchmark", bIn)).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sc == Map(5L -> 1.0, 6L -> 0.0))
+  }
+
   test("semdedup clusters embedding near-duplicates via the CLI") {
     import spark.implicits._
     val input = s"$dir/semdedup.parquet"

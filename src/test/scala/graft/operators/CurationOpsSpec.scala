@@ -144,6 +144,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ---- Unigram surprisal ----
+
+  test("unigram surprisal matches a hand-built language model") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, ""), (4L, null: String))
+      .toDF("doc_id", "text")
+    // corpus counts: a=2, b=2, c=1, total=5
+    def sp(toks: Seq[(String, Int)]) = {
+      val p = Map("a" -> 2.0 / 5, "b" -> 2.0 / 5, "c" -> 1.0 / 5)
+      val num = toks.map { case (t, k) => k * -math.log(p(t)) }.sum
+      val den = toks.map(_._2).sum
+      BigDecimal(num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = UnigramLm.surprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(
+      1L -> sp(Seq("a" -> 2, "b" -> 1)),
+      2L -> sp(Seq("b" -> 1, "c" -> 1))))
+    // empty / null docs have no mean and are absent
+    assert(!got.contains(3L) && !got.contains(4L))
+  }
+
+  // ---- Semantic decontamination ----
+
+  test("semantic contamination reports the max cosine against the bench set") {
+    val bench = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.6f, 0.8f, 0f, 0f)), // cos 0.8 vs bench 1
+      (11L, Array(0f, 0f, 1f, 0f)),     // orthogonal to both
+      (12L, Array(2f, 0f, 0f, 0f)))     // colinear with bench 0
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticContamination(corpus, bench, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(10L -> 0.8, 11L -> 0.0, 12L -> 1.0))
+  }
+
   // ---- Semantic dedup ----
 
   test("semantic dedup equals the exact all-pairs + components composition") {
