@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.operators.{Mixture, Sampling}
+
+/** The stateless curation operators (split assignment, stratified sample,
+  * mixture materialization) are pure projections/explodes, so they compose
+  * with Structured Streaming unchanged — stream output must equal the batch
+  * output row-for-row regardless of micro-batch boundaries, because every
+  * decision is a deterministic function of the row alone.
+  */
+class StreamCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val batch1 = (0L until 150L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+  private val batch2 = (150L until 300L).map(i => (i, if (i % 3 == 0) "zh" else "en"))
+
+  private def runStream(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      name: String): Set[Seq[Any]] = {
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = f(mem.toDF().toDF("doc_id", "lang"))
+    val query = q.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(batch1: _*)
+      query.processAllAvailable()
+      mem.addData(batch2: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(name).collect().map(_.toSeq).toSet
+  }
+
+  test("assignSplit on a stream equals the batch assignment") {
+    val streamed = runStream(
+      df => Sampling.assignSplit(df, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)), "scs_split")
+    val batch = Sampling.assignSplit((batch1 ++ batch2).toDF("doc_id", "lang"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.size == 300)
+  }
+
+  test("stratifiedSample on a stream equals the batch sample") {
+    val fracs = Map("en" -> 0.5, "de" -> 1.0)
+    val streamed = runStream(
+      df => Sampling.stratifiedSample(df, "lang", "doc_id", fracs), "scs_sample")
+    val batch = Sampling.stratifiedSample((batch1 ++ batch2).toDF("doc_id", "lang"),
+        "lang", "doc_id", fracs)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.size < 300) // en subsampled, zh dropped
+  }
+
+  test("mixture materialization on a stream equals the batch mixture") {
+    val factors = Map("en" -> 1.5, "de" -> 2.0, "zh" -> 0.25)
+    val streamed = runStream(
+      df => Mixture.materialize(df, "lang", "doc_id", factors), "scs_mix")
+    val batch = Mixture.materialize((batch1 ++ batch2).toDF("doc_id", "lang"),
+        "lang", "doc_id", factors)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // de rows appear exactly twice (epochs 0 and 1)
+    assert(batch.count(r => r(1) == "de" && r(2) == 1L) ==
+      batch.count(r => r(1) == "de" && r(2) == 0L))
+  }
+}
