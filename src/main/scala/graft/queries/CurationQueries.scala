@@ -180,5 +180,85 @@ object CurationQueries {
         factors = Map("en" -> 0.5, "de" -> 2.25, "zh" -> 1.0, "es" -> 0.0),
         default = 1.0)
     },
+
+    // The flagship curation PIPELINE: quality gate → exact dedup (planted
+    // copies removed) → benchmark decontamination (bench docs remove
+    // themselves) → deterministic split → training-sequence packing of the
+    // train split. One oracle replays all five stages in a single CTE
+    // chain; every inter-stage decision is integer/hash-deterministic, so
+    // the hash compare proves the COMPOSITION, not just each stage alone.
+    GQuery(
+      "q125_curation_pipeline",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 30000, text FROM documents WHERE doc_id % 20 = 0),
+         |q AS (SELECT doc_id, text FROM corpus
+         |      WHERE len(list_filter(string_split(text, ' '), x -> x != ''))
+         |            BETWEEN 50 AND 100000),
+         |fp AS (SELECT doc_id, text,
+         |              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+         |       FROM q),
+         |keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |dd AS (SELECT fp.doc_id, fp.text FROM fp
+         |       JOIN keep ON keep.f = fp.f AND keep.doc_id = fp.doc_id),
+         |lt AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS lt
+         |       FROM dd),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(lt) - 1),
+         |              i -> array_to_string(lt[i:i+2], ' '))) AS sh
+         |       FROM lt WHERE len(lt) >= 3),
+         |bt AS (SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS lt
+         |       FROM documents WHERE doc_id < 20),
+         |bset AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(lt) - 1),
+         |                i -> array_to_string(lt[i:i+2], ' ')))) AS shingle
+         |         FROM bt WHERE len(lt) >= 3),
+         |dsh AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY 1),
+         |hits AS (SELECT d.doc_id, count(*) AS h FROM dsh d
+         |         JOIN bset b USING (shingle) GROUP BY 1),
+         |cont AS (SELECT dd.doc_id,
+         |                CASE WHEN coalesce(sz, 0) = 0 THEN 0.0
+         |                     ELSE coalesce(h, 0)::DOUBLE / sz END AS c
+         |         FROM dd LEFT JOIN sz USING (doc_id) LEFT JOIN hits USING (doc_id)),
+         |clean AS (SELECT dd.doc_id, dd.text FROM dd JOIN cont USING (doc_id)
+         |          WHERE c < 0.5),
+         |train AS (SELECT doc_id, text FROM clean
+         |          WHERE ${duckHashUnit("doc_id::VARCHAR", "split")} < 900000),
+         |n AS (SELECT doc_id,
+         |             len(list_filter(string_split(text, ' '), x -> x != '')) AS n
+         |      FROM train),
+         |c AS (SELECT doc_id, n::BIGINT AS n_tokens,
+         |             coalesce(sum(n) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+         |      FROM n WHERE n > 0)
+         |SELECT doc_id, n_tokens, tok_start,
+         |       (tok_start // 256) AS seq_first,
+         |       ((tok_start + n_tokens - 1) // 256) AS seq_last,
+         |       (tok_start % 256) AS seq_offset
+         |FROM c""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      import graft.operators.Dedup
+      val docs0 = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = docs0.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text"))
+      val corpus = docs0.unionByName(planted)
+      val quality = TextFunctions.gopherFlags(corpus, "doc_id", "text")
+        .filter(col("word_count_ok")).select("doc_id")
+      val fp = corpus.join(quality, Seq("doc_id"))
+        .select(col("doc_id"), col("text"),
+          TextFunctions.fingerprint(col("text")).as("f"))
+      val keep = fp.groupBy("f").agg(min("doc_id").as("doc_id"))
+      val deduped = fp.join(keep, Seq("f", "doc_id")).select("doc_id", "text")
+      val bench = docs0.filter(col("doc_id") < 20)
+      val cleanIds = Dedup.containmentScores(deduped, bench, "doc_id", "text", n = 3)
+        .filter(col("containment") < 0.5).select(col("id").as("doc_id"))
+      val clean = deduped.join(cleanIds, Seq("doc_id"))
+      val train = Sampling.assignSplit(clean, "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.1))
+        .filter(col("split") === "train")
+      val counts = train.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+      Packing.packCoordinates(counts, "doc_id", "n_tok", seqLen = 256)
+    },
   )
 }
