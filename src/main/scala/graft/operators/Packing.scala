@@ -99,4 +99,38 @@ object Packing {
         least(col("n_tokens"), (col("seq_id") + 1) * l - col("tok_start")).as("doc_tok_end"),
         greatest(lit(0L), col("tok_start") - col("seq_id") * l).as("seq_offset"))
   }
+
+  /** Materialized training sequences from raw text: whitespace-tokenize,
+    * pack, then assemble each sequence's actual token content by joining
+    * the manifest back to the token arrays and concatenating slices in
+    * offset order. Output: `(seq_id, n_tokens, seq_md5)` where `seq_md5`
+    * hashes the space-joined sequence text — the loader-contract form a
+    * downstream trainer can verify shard-by-shard without shipping text
+    * through the comparison.
+    *
+    * Scale shape: the manifest (coordinates only) joins the token arrays on
+    * the document id — one hash shuffle of (id-keyed) rows — and sequence
+    * assembly is a groupBy(seq_id) whose per-group state is the ≤seqLen
+    * tokens of ONE sequence. `collect_list` of (offset, slice) structs is
+    * order-normalized with `array_sort` before joining, so the result is
+    * partition-order independent.
+    */
+  def materializeSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, numParts: Int = 0): DataFrame = {
+    val toks = docs.select(col(idCol),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+    val counts = toks.select(col(idCol), size(col("_toks")).cast("long").as("_n"))
+    val manifest = packManifest(counts, idCol, "_n", seqLen, numParts)
+    manifest.join(toks, Seq(idCol))
+      .select(col("seq_id"), col("seq_offset"),
+        (col("doc_tok_end") - col("doc_tok_start")).as("_k"),
+        concat_ws(" ", slice(col("_toks"),
+          (col("doc_tok_start") + 1).cast("int"),
+          (col("doc_tok_end") - col("doc_tok_start")).cast("int"))).as("_slice"))
+      .groupBy("seq_id")
+      .agg(sum(col("_k")).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("seq_offset"), col("_slice")))),
+          s => s.getField("_slice")), " ")).as("seq_md5"))
+  }
 }

@@ -181,6 +181,35 @@ object CurationQueries {
         default = 1.0)
     },
 
+    // Materialized training sequences: every 256-token sequence's CONTENT
+    // is reconstructed from the manifest slices and md5-pinned. The oracle
+    // rebuilds each sequence with string_agg over the same slice arithmetic
+    // — green only if packing, slicing AND offset-ordered assembly agree
+    // byte-for-byte.
+    GQuery(
+      "q126_pack_sequences",
+      """WITH t AS (SELECT doc_id,
+        |                  list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+        |             coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+        |      FROM t WHERE len(toks) > 0),
+        |m AS (SELECT doc_id, toks, n, s,
+        |             unnest(range((s // 256), ((s + n - 1) // 256) + 1)) AS seq_id
+        |      FROM c),
+        |x AS (SELECT seq_id,
+        |             greatest(0, s - seq_id * 256) AS seq_offset,
+        |             least(n, (seq_id + 1) * 256 - s) - greatest(0, seq_id * 256 - s) AS k,
+        |             array_to_string(toks[(greatest(0, seq_id * 256 - s) + 1):(least(n, (seq_id + 1) * 256 - s))], ' ') AS slice
+        |      FROM m)
+        |SELECT seq_id, sum(k)::BIGINT AS n_tokens,
+        |       md5(string_agg(slice, ' ' ORDER BY seq_offset)) AS seq_md5
+        |FROM x GROUP BY seq_id""".stripMargin) { (s, dir) =>
+      Packing.materializeSequences(Tables.documents(s, dir), "doc_id", "text",
+        seqLen = 256)
+    },
+
     // The flagship curation PIPELINE: quality gate → exact dedup (planted
     // copies removed) → benchmark decontamination (bench docs remove
     // themselves) → deterministic split → training-sequence packing of the

@@ -75,6 +75,21 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("materialized sequences reconstruct the corpus token stream exactly") {
+    val textDocs = Seq((1L, "a b c"), (2L, "d e f g h"), (3L, ""), (4L, "i j"))
+      .toDF("doc_id", "text")
+    val rows = Packing.materializeSequences(textDocs, "doc_id", "text", seqLen = 4)
+      .orderBy("seq_id").collect()
+    // stream = a b c | d e f g h | i j → seqs: "a b c d", "e f g h", "i j"
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 4L), (1L, 4L), (2L, 2L)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    assert(rows.map(_.getString(2)).toSeq ==
+      Seq("a b c d", "e f g h", "i j").map(md5hex))
+  }
+
   test("seqLen must be positive") {
     intercept[IllegalArgumentException] {
       Packing.packCoordinates(docs, "doc_id", "n_tok", 0)
