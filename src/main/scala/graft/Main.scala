@@ -247,16 +247,21 @@ object Main {
 
       case "pack" =>
         // training-sequence packing: --manifest emits per-(sequence, slice)
-        // loader rows, default emits per-doc coordinates
+        // loader rows, --sequences emits content-hashed materialized
+        // sequences, default emits per-doc coordinates
         val docs = spark.read.parquet(need("input"))
         val idC = flags.getOrElse("id-col", "doc_id")
         val txtC = flags.getOrElse("text-col", "text")
-        val withCounts = docs.select(col(idC),
-          graft.functions.TextFunctions.tokenCount(col(txtC)).as("_n_tok"))
         val seqLen = flags.getOrElse("seq-len", "2048").toInt
-        if (flags.contains("manifest"))
-          operators.Packing.packManifest(withCounts, idC, "_n_tok", seqLen)
-        else operators.Packing.packCoordinates(withCounts, idC, "_n_tok", seqLen)
+        if (flags.contains("sequences"))
+          operators.Packing.materializeSequences(docs, idC, txtC, seqLen)
+        else {
+          val withCounts = docs.select(col(idC),
+            graft.functions.TextFunctions.tokenCount(col(txtC)).as("_n_tok"))
+          if (flags.contains("manifest"))
+            operators.Packing.packManifest(withCounts, idC, "_n_tok", seqLen)
+          else operators.Packing.packCoordinates(withCounts, idC, "_n_tok", seqLen)
+        }
 
       case "dupspans" =>
         // duplicated token-w-gram span fractions per document
@@ -334,7 +339,7 @@ object Main {
       |  chunk --input PARQUET [--max-tokens N] [--overlap N]
       |  quality --input PARQUET [--id-col C] [--text-col C]
       |  redact --input PARQUET [--id-col C] [--text-col C]
-      |  pack --input PARQUET [--seq-len N] [--manifest] [--id-col C] [--text-col C]
+      |  pack --input PARQUET [--seq-len N] [--manifest | --sequences] [--id-col C] [--text-col C]
       |  dupspans --input PARQUET [--width N] [--id-col C] [--text-col C]
       |  semdedup --input PARQUET [--threshold T] [--id-col C] [--vec-col C]
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]

@@ -202,6 +202,9 @@ class CliSpec extends SparkSpec {
     val manifest = Main.run(spark, Seq("pack", "--input", input,
       "--seq-len", "8", "--manifest"))
     assert(manifest.count() == 3)
+    val seqs = Main.run(spark, Seq("pack", "--input", input,
+      "--seq-len", "8", "--sequences")).collect()
+    assert(seqs.length == 3 && seqs.forall(_.getLong(1) <= 8))
 
     val spans = Main.run(spark, Seq("dupspans", "--input", input, "--width", "4"))
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
