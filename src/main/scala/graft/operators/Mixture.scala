@@ -40,9 +40,13 @@ object Mixture {
     val n = factors.foldLeft(epochsOf(default)) { case (acc, (d, f)) =>
       when(col(domainCol) === d, epochsOf(f)).otherwise(acc)
     }
-    df.withColumn("_n", n)
-      .filter(col("_n") > 0)
-      .withColumn(epochCol, explode(sequence(lit(0L), col("_n") - 1)))
-      .drop("_n")
+    // temp column name chosen to not collide with user columns (the input
+    // passes through unprojected, unlike the other curation operators)
+    val nCol = "_graft_mix_n"
+    require(!df.columns.contains(nCol), s"mixture: input column $nCol is reserved")
+    df.withColumn(nCol, n)
+      .filter(col(nCol) > 0)
+      .withColumn(epochCol, explode(sequence(lit(0L), col(nCol) - 1)))
+      .drop(nCol)
   }
 }
