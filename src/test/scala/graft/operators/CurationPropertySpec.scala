@@ -76,6 +76,53 @@ class CurationPropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join equals a brute-force per-row recompute on random data") {
+    val rnd = new scala.util.Random(99)
+    val left = (0 until 300).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, i.toLong))
+    val right = (0 until 500).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, i.toLong,
+        (rnd.nextInt(1000) / 10.0)))
+    val got = AsofJoin.asof(left.toDF("k", "t", "lid"),
+        right.toDF("k", "t", "rid", "v"), "k", "t", "rid", Seq("v"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val expected = left.map { case (k, t, lid) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= t)
+      lid -> (if (cands.isEmpty) None
+        else Some(cands.maxBy(r => (r._2, r._3))._4))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("bm25 equals an independent in-test recompute on a random corpus") {
+    val rnd = new scala.util.Random(5)
+    val docs = (0 until 120).map { i =>
+      val len = 5 + rnd.nextInt(40)
+      (i.toLong, (0 until len).map(_ => s"t${rnd.nextInt(30)}").mkString(" "))
+    }
+    val terms = Seq("t3", "t7", "t11")
+    val k1 = 1.2; val b = 0.75
+    val tokLists = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+    val nDocs = docs.size.toDouble
+    val avgLen = tokLists.map(_._2.size.toDouble).sum / nDocs
+    val dfreq = terms.map(t => t -> tokLists.count(_._2.contains(t)).toDouble).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = tokLists.flatMap { case (id, toks) =>
+      val len = toks.size.toDouble
+      val s = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0 || dfreq(t) == 0) 0.0
+        else math.log((nDocs - dfreq(t) + 0.5) / (dfreq(t) + 0.5) + 1.0) * tf *
+          (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * len / avgLen))
+      }.sum
+      if (s > 0) Some(id -> r6(s)) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = Bm25.bm25(docs.toDF("doc_id", "text"), "doc_id", "text", terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got == expected)
+  }
+
   test("mixture epoch counts stay in {floor(f), floor(f)+1} for random factors") {
     val rnd = new scala.util.Random(13)
     for (trial <- 0 until 4) {
