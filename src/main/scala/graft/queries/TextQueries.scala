@@ -486,5 +486,22 @@ object TextQueries {
       graft.operators.UnigramLm.surprisal(Tables.documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
     },
+
+    // Vocabulary building (exact heavy hitters): the top-100 corpus tokens
+    // by frequency with a deterministic (count desc, token asc) tie rule —
+    // the precursor to tokenizer training. Map-side-combined aggregate +
+    // TakeOrdered; the oracle recounts from scratch.
+    GQuery(
+      "q127_vocab_topk",
+      """WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS tok
+        |              FROM documents)
+        |SELECT tok, count(*) AS cnt FROM toks
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(100)
+    },
   )
 }
