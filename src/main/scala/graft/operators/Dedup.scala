@@ -260,6 +260,16 @@ object Dedup {
     * bands, a pair at similarity s is caught with p = 1-(1-s^r)^b (defaults
     * 128 perms = 32 bands × 4: s=0.8 → miss ~5e-8).
     * Output: (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * Scale shape: the band self-join shuffles ONLY `(id, band, bucket)` —
+    * 24 bytes × bands per doc — never the shingle arrays. Candidate id
+    * pairs are deduped first and only then rehydrated from the cached
+    * shingle table (two hash joins) for exact verification, so shuffle
+    * volume is O(bands·|docs| + |candidate pairs|·|avg set|), not
+    * O(bands·|docs|·|avg set|). The `sets` cache feeds the signature pass
+    * and both rehydration joins; callers doing repeated passes should
+    * persist [[hashedShingleSets]] themselves and unpersist after
+    * materializing (the CLI dedup subcommand's pattern).
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 128, bands: Int = 32,
@@ -271,23 +281,25 @@ object Dedup {
     val sets = hashedShingleSets(docs, idCol, textCol, n).cache()
     val params = permParams(numPerms, seed).toArray
     val sigs = sets.as[(Long, Array[Long])]
-      .map { case (id, hs) => (id, hs, signatureKernel(hs, params)) }
-      .toDF("id", "shingles", "sig")
+      .map { case (id, hs) => (id, signatureKernel(hs, params)) }
+      .toDF("id", "sig")
 
-    val banded = sigs.select(col("id"), col("shingles"),
+    val banded = sigs.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bucket"))))
           .as("bb"))
-      .select(col("id"), col("shingles"), col("bb.band"), col("bb.bucket"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
 
-    val candidates = banded.as("a").join(banded.as("b"),
+    val idPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
 
-    candidates.select(col("id_a"), col("id_b"),
+    idPairs
+      .join(sets.toDF("id_a", "sh_a"), "id_a")
+      .join(sets.toDF("id_b", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -129,4 +129,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("Join"), s"pair-space join reappeared:\n$s")
     assert(s.contains("Window"), s)
   }
+
+  test("Dedup.minhashLshPairs: band-join exchanges carry NO array column") {
+    val docs = (0L until 64L)
+      .map(i => (i, s"tok${i % 8} tok${(i + 1) % 8} tok${(i + 2) % 8} alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    // at production scale the band join is a shuffle join; at test scale it
+    // broadcasts, so force shuffle joins (and disable AQE so executedPlan
+    // exposes raw ShuffleExchangeExec nodes with their output schema)
+    val priorBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // the band self-join must shuffle (id, band, bucket) only, never the
+      // shingle arrays (the 32×-array shuffle was the q46 scale-killer)
+      graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", n = 2, threshold = 0.5)
+        .queryExecution.executedPlan
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBc)
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+    }
+    val bandExchanges = plan.collect {
+      case e: ShuffleExchangeExec if e.output.exists(a => a.name == "bucket") => e
+    }
+    assert(bandExchanges.nonEmpty, s"no band exchange found:\n$plan")
+    bandExchanges.foreach { e =>
+      val arrayCols = e.output.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrayCols.isEmpty,
+        s"band exchange carries array column(s) ${arrayCols.map(_.name).mkString(",")}:\n$e")
+    }
+  }
 }
