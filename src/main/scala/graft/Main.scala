@@ -271,18 +271,27 @@ object Main {
           w = flags.getOrElse("width", "8").toInt)
 
       case "semdedup" =>
-        // embedding-space semantic dedup: cluster ids + keep decisions
+        // embedding-space semantic dedup: cluster ids + keep decisions.
+        // Recall is probabilistic (LSH candidates): size --n-bits to the
+        // corpus (≈ log2(n)+2) and raise --n-tables to compensate — a
+        // missed near-dup pair silently keeps a true duplicate.
         operators.Dedup.semanticDedup(spark.read.parquet(need("input")),
           idCol = flags.getOrElse("id-col", "vec_id"),
           vecCol = flags.getOrElse("vec-col", "embedding"),
-          threshold = flags.getOrElse("threshold", "0.95").toDouble)
+          threshold = flags.getOrElse("threshold", "0.95").toDouble,
+          nBits = flags.getOrElse("n-bits", "8").toInt,
+          nTables = flags.getOrElse("n-tables", "8").toInt)
 
       case "bm25" =>
-        // sparse keyword top-k retrieval
+        // sparse keyword top-k retrieval; terms are trimmed so
+        // `--terms "a, b"` matches the space-split tokens
+        val terms = need("terms").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (terms.isEmpty) throw new IllegalArgumentException(
+          s"--terms must contain at least one non-empty term\n$usage")
         operators.Bm25.bm25(spark.read.parquet(need("input")),
           idCol = flags.getOrElse("id-col", "doc_id"),
           textCol = flags.getOrElse("text-col", "text"),
-          terms = need("terms").split(",").toSeq,
+          terms = terms,
           k = flags.getOrElse("k", "10").toInt)
 
       case "surprisal" =>
@@ -292,12 +301,14 @@ object Main {
           textCol = flags.getOrElse("text-col", "text"))
 
       case "semdecontaminate" =>
-        // embedding-space decontamination vs a benchmark embedding set
+        // embedding-space decontamination vs a benchmark embedding set;
+        // --bench-chunks splits a bench too big for one broadcast
         operators.Dedup.semanticContamination(
           spark.read.parquet(need("input")),
           spark.read.parquet(need("benchmark")),
           idCol = flags.getOrElse("id-col", "vec_id"),
-          vecCol = flags.getOrElse("vec-col", "embedding"))
+          vecCol = flags.getOrElse("vec-col", "embedding"),
+          benchChunks = flags.getOrElse("bench-chunks", "1").toInt)
 
       case "mix" =>
         // mixture materialization: --factors books=2.25,web=0.5
@@ -312,6 +323,18 @@ object Main {
           domainCol = need("domain-col"), keyCol = need("key-col"),
           factors = factors,
           default = flags.getOrElse("default", "1.0").toDouble)
+
+      case "vocab" =>
+        // exact top-k vocabulary (tokenizer-training precursor): map-side-
+        // combined count per token + deterministic (count desc, token asc)
+        // TakeOrdered — the q127 composition
+        val txtC = flags.getOrElse("text-col", "text")
+        spark.read.parquet(need("input"))
+          .select(explode(graft.functions.TextFunctions.tokens(lower(col(txtC)))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= flags.getOrElse("min-count", "1").toLong)
+          .orderBy(col("cnt").desc, col("tok"))
+          .limit(flags.getOrElse("k", "100").toInt)
 
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")
@@ -341,11 +364,12 @@ object Main {
       |  redact --input PARQUET [--id-col C] [--text-col C]
       |  pack --input PARQUET [--seq-len N] [--manifest | --sequences] [--id-col C] [--text-col C]
       |  dupspans --input PARQUET [--width N] [--id-col C] [--text-col C]
-      |  semdedup --input PARQUET [--threshold T] [--id-col C] [--vec-col C]
+      |  semdedup --input PARQUET [--threshold T] [--n-bits N] [--n-tables N] [--id-col C] [--vec-col C]
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
       |  mix --input PARQUET --domain-col D --key-col K --factors n=F,... [--default F]
       |  surprisal --input PARQUET [--id-col C] [--text-col C]
-      |  semdecontaminate --input PARQUET --benchmark PARQUET [--id-col C] [--vec-col C]""".stripMargin
+      |  semdecontaminate --input PARQUET --benchmark PARQUET [--bench-chunks N] [--id-col C] [--vec-col C]
+      |  vocab --input PARQUET [--k N] [--min-count N] [--id-col C] [--text-col C]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

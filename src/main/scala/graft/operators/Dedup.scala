@@ -489,15 +489,32 @@ object Dedup {
     * max-aggregation; no shuffle of the corpus embeddings. Output:
     * `(id, max_cosine)`; docs score against every bench row, so an empty
     * bench yields an empty frame.
+    *
+    * A bench too large for one broadcast does NOT force a corpus shuffle:
+    * pass `benchChunks > 1` and the bench is hash-split into that many
+    * broadcastable slices, each scanned against the corpus independently
+    * (the [[Knn.knnChunked]] trade — `benchChunks` corpus scans for a
+    * `|bench|/benchChunks`-sized broadcast), with per-chunk maxima merged
+    * by a final id-keyed max. Results are EXACTLY the single-broadcast
+    * form's: max is insensitive to how the bench rows are partitioned.
     */
   def semanticContamination(embs: DataFrame, bench: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String, benchChunks: Int = 1): DataFrame = {
+    require(benchChunks > 0, s"benchChunks must be positive, got $benchChunks")
     val e = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val b = bench.select(col(vecCol).as("bv"))
-    e.crossJoin(broadcast(b))
-      .groupBy("id")
-      .agg(round(max(lit(1.0) -
-        VectorFunctions.cosineDistance(col("v"), col("bv"))), 6).as("max_cosine"))
+    def chunkMax(bc: DataFrame): DataFrame =
+      e.crossJoin(broadcast(bc))
+        .groupBy("id")
+        .agg(max(lit(1.0) -
+          VectorFunctions.cosineDistance(col("v"), col("bv"))).as("mc"))
+    val merged =
+      if (benchChunks == 1) chunkMax(b)
+      else (0 until benchChunks).map { i =>
+          chunkMax(b.filter(pmod(xxhash64(col("bv")), lit(benchChunks)) === i))
+        }.reduce(_ unionByName _)
+        .groupBy("id").agg(max(col("mc")).as("mc"))
+    merged.select(col("id"), round(col("mc"), 6).as("max_cosine"))
   }
 
   /** Embedding-cosine near-duplicate pairs (ground-truth form): all pairs

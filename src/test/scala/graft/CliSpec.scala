@@ -95,6 +95,15 @@ class CliSpec extends SparkSpec {
     val exact = Main.run(spark, Seq("dedup", "--input", corpus, "--method", "exact"))
     assert(exact.count() == 1)
 
+    // minhash and simhash candidate generators find the same exact-dup pair
+    val mh = Main.run(spark, Seq("dedup", "--input", corpus,
+      "--method", "minhash", "--threshold", "0.9"))
+    assert(mh.select("id_a", "id_b").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+    val sh = Main.run(spark, Seq("dedup", "--input", corpus, "--method", "simhash"))
+    assert(sh.select("id_a", "id_b").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+
     val contam = Main.run(spark, Seq("decontaminate", "--input", corpus,
       "--benchmark", bench, "--threshold", "0.9"))
     assert(contam.select("id").collect().map(_.getLong(0)).toSet == Set(3L))
@@ -213,6 +222,14 @@ class CliSpec extends SparkSpec {
     val hits = Main.run(spark, Seq("bm25", "--input", input,
       "--terms", "p,q", "--k", "2")).collect()
     assert(hits.length == 1 && hits(0).getLong(0) == 3L)
+    // terms are trimmed: "p, q" must match the same docs, not silently
+    // search for the unmatched term " q"
+    val spaced = Main.run(spark, Seq("bm25", "--input", input,
+      "--terms", "p, q", "--k", "2")).collect()
+    assert(spaced.map(_.getLong(0)).toSeq == hits.map(_.getLong(0)).toSeq)
+    val err = intercept[IllegalArgumentException](Main.run(spark,
+      Seq("bm25", "--input", input, "--terms", " , ", "--k", "2")))
+    assert(err.getMessage.contains("non-empty term"))
 
     val mixed = Main.run(spark, Seq("mix", "--input", input, "--domain-col",
       "domain", "--key-col", "doc_id", "--factors", "web=2.0,books=1.0"))
@@ -238,6 +255,24 @@ class CliSpec extends SparkSpec {
     val sc = Main.run(spark, Seq("semdecontaminate", "--input", eIn,
       "--benchmark", bIn)).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(sc == Map(5L -> 1.0, 6L -> 0.0))
+    // a chunked bench yields the identical scores
+    val scChunked = Main.run(spark, Seq("semdecontaminate", "--input", eIn,
+      "--benchmark", bIn, "--bench-chunks", "2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scChunked == sc)
+  }
+
+  test("vocab returns the exact top-k token counts") {
+    import spark.implicits._
+    val input = s"$dir/vocab.parquet"
+    Seq((1L, "a a a b b c"), (2L, "b a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(input)
+    val r = Main.run(spark, Seq("vocab", "--input", input, "--k", "2"))
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r == Seq(("a", 4L), ("b", 3L)))
+    val mc = Main.run(spark, Seq("vocab", "--input", input, "--min-count", "3"))
+      .collect().map(_.getString(0)).toSet
+    assert(mc == Set("a", "b"))
   }
 
   test("semdedup clusters embedding near-duplicates via the CLI") {
@@ -250,6 +285,11 @@ class CliSpec extends SparkSpec {
     val r = Main.run(spark, Seq("semdedup", "--input", input))
       .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
     assert(r(0L) && !r(100L) && r.size == 21)
+    // recall knobs are exposed: a wider table setting finds the same dup
+    val tuned = Main.run(spark, Seq("semdedup", "--input", input,
+      "--n-bits", "6", "--n-tables", "12"))
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(tuned(0L) && !tuned(100L) && tuned.size == 21)
   }
 
   test("unknown command fails with usage") {

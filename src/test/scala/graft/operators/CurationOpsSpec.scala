@@ -181,6 +181,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Map(10L -> 0.8, 11L -> 0.0, 12L -> 1.0))
   }
 
+  test("semantic contamination: chunked bench equals single-broadcast form") {
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Float] = {
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val bench = (0L until 37L).map(i => (i, unit())).toDF("vec_id", "embedding")
+    val corpus = (100L until 160L).map(i => (i, unit())).toDF("vec_id", "embedding")
+    val whole = Dedup.semanticContamination(corpus, bench, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // max is partition-insensitive: any bench chunking yields identical scores
+    for (chunks <- Seq(2, 5)) {
+      val chunked = Dedup.semanticContamination(
+        corpus, bench, "vec_id", "embedding", benchChunks = chunks)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(chunked == whole, s"benchChunks=$chunks diverged")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.semanticContamination(corpus, bench, "vec_id", "embedding", benchChunks = 0)
+    }
+  }
+
   // ---- Semantic dedup ----
 
   test("semantic dedup equals the exact all-pairs + components composition") {
