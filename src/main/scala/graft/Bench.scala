@@ -49,6 +49,22 @@ object Bench {
     val bySweep = (1 to sweeps).map { i =>
       val r = runSweep()
       System.err.println(f"[bench] sweep $i/$sweeps total ${r.map(_._2).filter(_ >= 0).sum}%.1f s")
+      // storage-memory snapshot: cached-block pressure in a 124-query JVM is
+      // otherwise invisible — an evicted shingle/embedding cache silently
+      // turns a 2s query into a recompute (the r6 q46/q45 drift signature)
+      val rdds = spark.sparkContext.getRDDStorageInfo
+      val (maxB, remB) = spark.sparkContext.getExecutorMemoryStatus
+        .values.headOption.getOrElse((0L, 0L))
+      System.err.println(
+        f"[bench] storage-memory sweep $i: ${rdds.length} cached rdds " +
+        f"${rdds.map(_.memSize).sum / 1e6}%.1f MB in-mem, " +
+        f"${rdds.map(_.diskSize).sum / 1e6}%.1f MB spilled; " +
+        f"pool ${(maxB - remB) / 1e6}%.1f / ${maxB / 1e6}%.1f MB used")
+      // sweep isolation: drop caches accumulated across the query set so
+      // every sweep measures sweep-1 behavior (a query's own cache build
+      // still happens inside its own timing), not LRU state left by the
+      // previous 123 queries
+      spark.catalog.clearCache()
       r
     }
     // per-query median; a query that failed ANY sweep reports -1
