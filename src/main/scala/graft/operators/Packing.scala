@@ -36,6 +36,17 @@ object Packing {
     * offset within the first sequence. Output columns: `<idCol>, n_tokens,
     * tok_start, seq_first, seq_last, seq_offset` (all longs except the id,
     * which keeps its type).
+    *
+    * INPUT PINNING: the per-partition totals job runs eagerly at call time
+    * and freezes the partition offsets in a broadcast; the second pass
+    * re-reads the SAME range-shuffle files (shared RDD lineage), so both
+    * passes observe one materialization under normal execution. The input
+    * must still be DETERMINISTIC across recomputation: if shuffle files are
+    * lost (executor death) the map stage re-runs from the source, and a
+    * non-deterministic source (fresh `rand()`, a mutated table) would then
+    * disagree with the frozen offsets, silently corrupting `tok_start`.
+    * Callers packing from volatile inputs should `cache()`/`localCheckpoint`
+    * the input first.
     */
   def packCoordinates(df: DataFrame, idCol: String, tokensCol: String,
       seqLen: Int, numParts: Int = 0): DataFrame = {
@@ -102,31 +113,51 @@ object Packing {
 
   /** Materialized training sequences from raw text: whitespace-tokenize,
     * pack, then assemble each sequence's actual token content by joining
-    * the manifest back to the token arrays and concatenating slices in
-    * offset order. Output: `(seq_id, n_tokens, seq_md5)` where `seq_md5`
-    * hashes the space-joined sequence text — the loader-contract form a
-    * downstream trainer can verify shard-by-shard without shipping text
-    * through the comparison.
+    * the token arrays to the per-document coordinates and concatenating
+    * slices in offset order. Output: `(seq_id, n_tokens, seq_md5)` where
+    * `seq_md5` hashes the space-joined sequence text — the loader-contract
+    * form a downstream trainer can verify shard-by-shard without shipping
+    * text through the comparison.
     *
-    * Scale shape: the manifest (coordinates only) joins the token arrays on
-    * the document id — one hash shuffle of (id-keyed) rows — and sequence
-    * assembly is a groupBy(seq_id) whose per-group state is the ≤seqLen
-    * tokens of ONE sequence. `collect_list` of (offset, slice) structs is
-    * order-normalized with `array_sort` before joining, so the result is
-    * partition-order independent.
+    * Scale shape: the token arrays join the COORDINATES (one row per doc),
+    * not the exploded manifest — joining the manifest would ship a
+    * straddling document's full `_toks` array once per touched sequence
+    * (amplification up to len/seqLen + 1, ~2× the corpus for 2·seqLen
+    * docs). Here each array crosses the one id-keyed join exactly once and
+    * every per-sequence slice is cut inside a single per-doc
+    * transform+explode projection, so downstream rows carry only their own
+    * slice content. Sequence assembly is then a groupBy(seq_id) whose
+    * per-group state is the ≤seqLen tokens of ONE sequence;
+    * `collect_list` of (offset, slice) structs is order-normalized with
+    * `array_sort`, so the result is partition-order independent.
     */
   def materializeSequences(docs: DataFrame, idCol: String, textCol: String,
       seqLen: Int, numParts: Int = 0): DataFrame = {
     val toks = docs.select(col(idCol),
       graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
     val counts = toks.select(col(idCol), size(col("_toks")).cast("long").as("_n"))
-    val manifest = packManifest(counts, idCol, "_n", seqLen, numParts)
-    manifest.join(toks, Seq(idCol))
-      .select(col("seq_id"), col("seq_offset"),
-        (col("doc_tok_end") - col("doc_tok_start")).as("_k"),
-        concat_ws(" ", slice(col("_toks"),
-          (col("doc_tok_start") + 1).cast("int"),
-          (col("doc_tok_end") - col("doc_tok_start")).cast("int"))).as("_slice"))
+    val coords = packCoordinates(counts, idCol, "_n", seqLen, numParts)
+    val l = lit(seqLen.toLong)
+    // per-sequence slice bounds within the doc, same arithmetic as
+    // packManifest's rows — computed per doc inside one lambda so the
+    // array is referenced, never duplicated per manifest row
+    val slices = coords.join(toks, Seq(idCol))
+      .select(explode(transform(
+        sequence(col("seq_first"), col("seq_last")),
+        q => {
+          val sliceStart = greatest(lit(0L), q * l - col("tok_start"))
+          val sliceEnd = least(col("n_tokens"), (q + 1) * l - col("tok_start"))
+          struct(
+            q.as("seq_id"),
+            greatest(lit(0L), col("tok_start") - q * l).as("seq_offset"),
+            (sliceEnd - sliceStart).as("_k"),
+            concat_ws(" ", slice(col("_toks"),
+              (sliceStart + 1).cast("int"),
+              (sliceEnd - sliceStart).cast("int"))).as("_slice"))
+        })).as("s"))
+      .select(col("s.seq_id").as("seq_id"), col("s.seq_offset").as("seq_offset"),
+        col("s._k").as("_k"), col("s._slice").as("_slice"))
+    slices
       .groupBy("seq_id")
       .agg(sum(col("_k")).as("n_tokens"),
         md5(array_join(transform(

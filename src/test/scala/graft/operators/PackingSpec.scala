@@ -90,6 +90,26 @@ class PackingSpec extends SparkSpec {
       Seq("a b c d", "e f g h", "i j").map(md5hex))
   }
 
+  test("a doc straddling many sequences materializes each slice exactly once") {
+    // one 23-token doc at seqLen 4 straddles 7 sequences (the shape whose
+    // slices must come from ONE join row, not 7 copies of the token array),
+    // flanked by docs that shift it off a sequence boundary
+    val big = (0 until 23).map(i => s"w$i").mkString(" ")
+    val textDocs = Seq((1L, "p q"), (2L, big), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val rows = Packing.materializeSequences(textDocs, "doc_id", "text", seqLen = 4)
+      .orderBy("seq_id").collect()
+    val stream = ("p q " + big + " x y z").split(" ")
+    val expected = stream.grouped(4).map(_.mkString(" ")).toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    // 2 + 23 + 3 = 28 tokens → exactly 7 full sequences
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L until 7L).map(i => (i, 4L)))
+    assert(rows.map(_.getString(2)).toSeq == expected.map(md5hex))
+  }
+
   test("seqLen must be positive") {
     intercept[IllegalArgumentException] {
       Packing.packCoordinates(docs, "doc_id", "n_tok", 0)
