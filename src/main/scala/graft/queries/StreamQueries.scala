@@ -96,6 +96,39 @@ object StreamQueries {
         round(graft.functions.VectorFunctions.vectorNorm(col("vector")), 6).as("norm"))
     },
 
+    // Streaming as-of join, batch form (stream == batch pinned by
+    // StreamAsofSpec over out-of-order MemoryStream micro-batches; the
+    // flatMapGroupsWithState function is the same code). The oracle
+    // recomputes every match independently under the <= / greatest-tie
+    // rules, exactly like q100 does for the batch AsofJoin operator —
+    // a green row checks the SEMANTICS of the streaming join function.
+    GQuery(
+      "q128_stream_asof",
+      """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_id % 4 = 0),
+        |     r AS (SELECT user_id, ts, event_id, value FROM events WHERE event_id % 4 <> 0)
+        |SELECT l.user_id, l.event_id,
+        |       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |       (SELECT r.event_id FROM r
+        |        WHERE r.user_id = l.user_id AND r.ts <= l.ts
+        |        ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS asof_event_id,
+        |       round(coalesce((SELECT r.value FROM r
+        |        WHERE r.user_id = l.user_id AND r.ts <= l.ts
+        |        ORDER BY r.ts DESC, r.event_id DESC LIMIT 1), 0.0), 6) AS asof_value
+        |FROM l""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val left = ev.filter(pmod(col("event_id"), lit(4)) === 0)
+        .select("user_id", "ts", "event_id")
+      val right = ev.filter(pmod(col("event_id"), lit(4)) =!= 0)
+        .select("user_id", "ts", "event_id", "value")
+      graft.streaming.StreamAsof.asof(
+          graft.streaming.StreamAsof.tag(left, right, "user_id", "ts", "event_id", "value"))
+        .select(
+          col("key").as("user_id"), col("tie").as("event_id"),
+          date_format(col("t"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("asof_tie").as("asof_event_id"),
+          round(coalesce(col("asof_value"), lit(0.0)), 6).as("asof_value"))
+    },
+
     // Gap-based sessionization (30-min inactivity).
     GQuery(
       "q17_sessionize",
