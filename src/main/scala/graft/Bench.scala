@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // see Verify.scala: keep bounded-heap aggregates in hash mode past
+      // 128 grouping keys (sort-based fallback sorts the raw pair stream)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/JIT/codegen + parquet reader init are process

@@ -377,6 +377,9 @@ object Main {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")
+      // see Verify.scala: keep bounded-heap aggregates in hash mode past
+      // 128 grouping keys (sort-based fallback sorts the raw pair stream)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

@@ -23,7 +23,11 @@ object ScaleSoak {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // see Verify.scala: keep bounded-heap aggregates in hash mode past
+      // 128 grouping keys (sort-based fallback sorts the raw pair stream)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
@@ -52,6 +56,89 @@ object ScaleSoak {
           .groupBy("split").count().collect()
       }
     }
+    // --- shuffle-partitioned exact KNN at the scale it exists for: a query
+    // set past any broadcast budget, no base re-scans (SOAK_KNNPART_Q=0
+    // skips). Exactness is checked on a 50-query sample against the
+    // broadcast plan — the full-size run proves the plan executes, the
+    // sample proves the grid loses/duplicates nothing.
+    val nPartQ = sys.env.getOrElse("SOAK_KNNPART_Q", "10000").toInt
+    if (nPartQ > 0) {
+      val pBase = timed("knnPartitioned: generate 200k x 16 base") {
+        val d = operators.Generators.gaussianVectors(spark, 200000, 16, seed = 21)
+          .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+        d.cache(); d.count(); d
+      }
+      val pQ = pBase.filter(col("vec_id") < nPartQ)
+      val part = timed(s"knnPartitioned 200k x $nPartQ k=10 grid 8x4") {
+        val r = Knn.knnPartitioned(pQ, pBase, k = 10, nQBlocks = 8, nBBlocks = 4)
+        r.cache(); r.count(); r
+      }
+      val sample = pBase.filter(
+        pmod(col("vec_id"), lit(nPartQ / 50)) === 0 && col("vec_id") < nPartQ)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val refRows = canon(Knn.knn(sample, pBase, k = 10))
+      val gotRows = canon(part.join(
+        sample.select(col("vec_id").as("query_id")), Seq("query_id")))
+      println(s"[soak] knnPartitioned sampled-exactness vs broadcast knn: " +
+        s"${gotRows == refRows} (${refRows.size} rows)")
+      require(gotRows == refRows, "knnPartitioned sample diverged from knn")
+      part.unpersist(); pBase.unpersist()
+    }
+
+    // --- five-stage curation pipeline end-to-end (SOAK_PIPE=0 skips): the
+    // q125 composition — quality gate → exact dedup → decontamination →
+    // split → packing — at 100x the driver corpus, each stage materialized
+    // for a clean per-stage time. ~5% planted exact dups; the 20-doc bench
+    // is drawn FROM the corpus so decontamination provably removes leaks.
+    val nPipe = sys.env.getOrElse("SOAK_PIPE", "1000000").toLong
+    if (nPipe > 0) {
+      import graft.functions.TextFunctions
+      val pdocs = timed(s"pipeline: synthesize $nPipe docs (60 words, 5% exact dups)") {
+        val d = spark.range(nPipe).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 60).map(w =>
+            concat(lit("w"), pmod(xxhash64(
+              when(col("id") % 20 === 0 && col("id") > 0, col("id") - 1)
+                .otherwise(col("id")), lit(w)), lit(5000)))): _*).as("text"))
+        d.cache(); d.count(); d
+      }
+      val bench = pdocs.filter(col("doc_id") < 20).select("doc_id", "text")
+      val quality = timed("pipeline: quality gate (gopher flags)") {
+        val q = TextFunctions.gopherFlags(pdocs, "doc_id", "text")
+          .filter(col("word_count_ok")).select("doc_id")
+        val j = pdocs.join(q, Seq("doc_id")); j.cache(); j.count(); j
+      }
+      val deduped = timed("pipeline: exact dedup keep-min") {
+        val fp = quality.select(col("doc_id"), col("text"),
+          TextFunctions.fingerprint(col("text")).as("f"))
+        val keep = fp.groupBy("f").agg(min("doc_id").as("doc_id"))
+        val d = fp.join(keep, Seq("f", "doc_id")).select("doc_id", "text")
+        d.cache(); d.count(); d
+      }
+      val clean = timed("pipeline: 3-gram decontamination vs 20-doc bench") {
+        val ids = Dedup.containmentScores(deduped, bench, "doc_id", "text", n = 3)
+          .filter(col("containment") < 0.5).select(col("id").as("doc_id"))
+        val c = deduped.join(ids, Seq("doc_id")); c.cache(); c.count(); c
+      }
+      val train = timed("pipeline: split assignment (train 90%)") {
+        val t = Sampling.assignSplit(clean, "doc_id",
+            Seq("train" -> 0.9, "val" -> 0.1))
+          .filter(col("split") === "train")
+        t.cache(); t.count(); t
+      }
+      timed("pipeline: packing coordinates of the train split") {
+        Packing.packCoordinates(
+          train.select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tok")),
+          "doc_id", "n_tok", seqLen = 2048).agg(max("seq_last")).collect()
+      }
+      println(s"[soak] pipeline row counts: corpus=${pdocs.count()} " +
+        s"quality=${quality.count()} deduped=${deduped.count()} " +
+        s"clean=${clean.count()} train=${train.count()}")
+      Seq(pdocs, quality, deduped, clean, train).foreach(_.unpersist())
+    }
+
     if (nBase == 0) { spark.stop(); return }
 
     // --- vectors: generate once, reuse across stages

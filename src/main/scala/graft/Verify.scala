@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bounded-heap aggregates (TopKPairs) keep k-sized buffers, so the
+      // hash map stays small at ANY key count — Spark's default 128-key
+      // fallback to sort-based aggregation would instead SORT the raw pair
+      // stream (the knnPartitioned grid join measured a disk-filling spill
+      // at 200k x 10k before this was raised)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -87,6 +87,63 @@ object Knn {
     }.reduce(_ unionByName _)
   }
 
+  /** [[knn]] with NO broadcast and NO base re-scans — the shuffle-partitioned
+    * exact form for query sets too large even to chunk. Queries hash into
+    * `nQBlocks` blocks and base rows into `nBBlocks`; each side replicates
+    * across the other dimension so every (query-block, base-block) grid cell
+    * meets on a plain shuffle key, and the bounded-heap aggregate reduces
+    * each cell's pair stream MAP-SIDE — only k-sized partial heaps cross the
+    * second exchange (the k-way merge). Results are EXACTLY [[knn]]'s (same
+    * distances, same (dist, id) tie rule — per-query top-k is insensitive to
+    * how its pairs were blocked).
+    *
+    * The trade vs [[knnChunked]]: the base crosses the wire `nQBlocks` times
+    * and the queries `nBBlocks` times, instead of `nChunks` full base SCANS
+    * each gated on a driver-held broadcast. At 100 TB pick
+    * `nQBlocks ≈ |Q|·dim·4 B / (shuffle-partition budget)` so one replicated
+    * query block fits a task, and `nBBlocks ≈ |B|·dim·4 B / (same budget)`;
+    * the |Q|×|B| pair space itself never materializes anywhere.
+    *
+    * SIZING CONSTRAINT: queries-per-block (|Q|/nQBlocks) must stay under
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (this
+    * repo's sessions set 65536; Spark's default is 128). Past it, the
+    * partial heap aggregate falls back to SORT-BASED aggregation, which
+    * sorts the raw pair stream — measured as a disk-filling spill at
+    * 200k×10k. The heap buffers are k-sized, so hash mode is safe at any
+    * realistic key count; raise the threshold or nQBlocks together.
+    */
+  def knnPartitioned(
+      queries: DataFrame,
+      base: DataFrame,
+      k: Int,
+      nQBlocks: Int,
+      nBBlocks: Int,
+      metric: String = "COSINE",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nQBlocks > 0, s"nQBlocks must be positive, got $nQBlocks")
+    require(nBBlocks > 0, s"nBBlocks must be positive, got $nBBlocks")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("q_vec"),
+      pmod(xxhash64(col(idCol)), lit(nQBlocks)).cast("int").as("_qb"))
+    val b = base.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("b_vec"),
+      pmod(xxhash64(col(idCol)), lit(nBBlocks)).cast("int").as("_bb"))
+    val qRep = q.withColumn("_bb", explode(sequence(lit(0), lit(nBBlocks - 1))))
+    val bRep = b.withColumn("_qb", explode(sequence(lit(0), lit(nQBlocks - 1))))
+    qRep.join(bRep, Seq("_qb", "_bb"))
+      .groupBy("query_id")
+      .agg(topKPairs(
+        VectorFunctions.distance(col("q_vec"), col("b_vec"), metric),
+        col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(
+        col("query_id"),
+        col("pair.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        col("pair.dist").as("dist"))
+  }
+
   /** J4 `verify_profiles`: recall@k for several profiles at once —
     * (profile, avg_recall) rows, one per named (predicted, truth) pair.
     */

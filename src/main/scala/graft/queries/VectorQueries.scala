@@ -79,6 +79,27 @@ object VectorQueries {
           emb.filter(col("vec_id") >= 20), k = 10, nChunks = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     },
+    // Shuffle-partitioned exact KNN (no broadcast, no base re-scans): a
+    // 3×2 block grid meets on shuffle keys, per-cell bounded heaps merge in
+    // the aggregate. Oracle = the plain exact ranking — green only if the
+    // grid covers every (query, base) pair exactly once.
+    GQuery(
+      "q129_knn_partitioned",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+         |           FROM embeddings WHERE vec_id < 20),
+         |d AS (
+         |  SELECT q.qid, b.vec_id AS nid, ${duckDist("COSINE")} AS dist
+         |  FROM q CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+         |                     WHERE vec_id >= 20) b)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+         |  FROM d)
+         |WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Knn.knnPartitioned(emb.filter(col("vec_id") < 20),
+          emb.filter(col("vec_id") >= 20), k = 10, nQBlocks = 3, nBBlocks = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    },
     knnQuery("q21_knn_euclidean", "EUCLIDEAN", 10, 20),
     knnQuery("q22_knn_negdot", "DOT_PRODUCT", 10, 20),
     knnQuery("q26_knn_l1", "L1", 10, 20),

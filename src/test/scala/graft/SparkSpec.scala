@@ -16,6 +16,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Verify.scala: keep bounded-heap aggregates in hash mode past
+      // 128 grouping keys (sort-based fallback sorts the raw pair stream)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       // bucketed-table specs write via saveAsTable — keep the warehouse
       // out of the repo working tree
       .config("spark.sql.warehouse.dir",

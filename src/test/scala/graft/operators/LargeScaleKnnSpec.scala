@@ -55,6 +55,43 @@ class LargeScaleKnnSpec extends SparkSpec {
     assert(canon(Knn.knnChunked(queries, base, k = 5, nChunks = 7)) == whole)
   }
 
+  test("knnPartitioned equals single-broadcast knn for any grid") {
+    val base = Generators.gaussianVectors(spark, 5000, 16, seed = 7)
+      .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+    val queries = base.filter(col("vec_id") < 40)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val whole = canon(Knn.knn(queries, base, k = 5))
+    assert(canon(Knn.knnPartitioned(queries, base, k = 5, nQBlocks = 1, nBBlocks = 1)) == whole)
+    assert(canon(Knn.knnPartitioned(queries, base, k = 5, nQBlocks = 3, nBBlocks = 2)) == whole)
+    assert(canon(Knn.knnPartitioned(queries, base, k = 5, nQBlocks = 4, nBBlocks = 7)) == whole)
+  }
+
+  test("knnPartitioned at 100k base x 2k queries equals the broadcast plan") {
+    // a query set past broadcast comfort with every grid block non-trivial;
+    // equality proves the grid loses/duplicates no pair. (The 200k x 10k
+    // form runs in ScaleSoak — full-size partitioned plan, exactness
+    // checked on a sampled-query broadcast rerun — to keep the unit suite
+    // fast on local[4].)
+    val base = Generators.gaussianVectors(spark, 100000, 16, seed = 21)
+      .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+      .repartition(16)
+      .cache()
+    base.count()
+    val queries = base.filter(col("vec_id") < 2000)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    try {
+      val whole = canon(Knn.knn(queries, base, k = 3, metric = "EUCLIDEAN"))
+      val blocked = canon(Knn.knnPartitioned(queries, base, k = 3,
+        nQBlocks = 8, nBBlocks = 4, metric = "EUCLIDEAN"))
+      assert(blocked == whole)
+      assert(whole.size == 2000 * 3)
+    } finally base.unpersist()
+  }
+
   test("generated corpus survives the full profile->fit->synthesize loop") {
     val dims = 4
     val stats = ProfileStats.perDimStats(
