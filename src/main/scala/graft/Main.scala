@@ -324,6 +324,20 @@ object Main {
           factors = factors,
           default = flags.getOrElse("default", "1.0").toDouble)
 
+      case "tfidf" =>
+        // sparse TF-IDF document vectors (df-pruned smoothed idf)
+        operators.TfIdf.tfidf(spark.read.parquet(need("input")),
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          textCol = flags.getOrElse("text-col", "text"),
+          minDf = flags.getOrElse("min-df", "1").toInt)
+
+      case "hashtf" =>
+        // hashing-trick term counts (no vocabulary pass)
+        operators.TfIdf.hashedTf(spark.read.parquet(need("input")),
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          textCol = flags.getOrElse("text-col", "text"),
+          nBuckets = flags.getOrElse("n-buckets", (1 << 18).toString).toInt)
+
       case "vocab" =>
         // exact top-k vocabulary (tokenizer-training precursor): map-side-
         // combined count per token + deterministic (count desc, token asc)
@@ -369,7 +383,9 @@ object Main {
       |  mix --input PARQUET --domain-col D --key-col K --factors n=F,... [--default F]
       |  surprisal --input PARQUET [--id-col C] [--text-col C]
       |  semdecontaminate --input PARQUET --benchmark PARQUET [--bench-chunks N] [--id-col C] [--vec-col C]
-      |  vocab --input PARQUET [--k N] [--min-count N] [--id-col C] [--text-col C]""".stripMargin
+      |  vocab --input PARQUET [--k N] [--min-count N] [--id-col C] [--text-col C]
+      |  tfidf --input PARQUET [--min-df N] [--id-col C] [--text-col C]
+      |  hashtf --input PARQUET [--n-buckets N] [--id-col C] [--text-col C]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

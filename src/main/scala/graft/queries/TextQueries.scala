@@ -491,6 +491,41 @@ object TextQueries {
     // by frequency with a deterministic (count desc, token asc) tie rule —
     // the precursor to tokenizer training. Map-side-combined aggregate +
     // TakeOrdered; the oracle recounts from scratch.
+    // TF-IDF sparse document vectors (the corpus-wide vectorization BM25 is
+    // the query-time form of): smoothed idf ln((1+N)/(1+df))+1, df-pruned
+    // vocabulary. The oracle rebuilds tf, df, N and the formula from
+    // scratch.
+    GQuery(
+      "q130_tfidf",
+      """WITH toks AS (SELECT doc_id,
+        |                     unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) >= 5),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf,
+        |       round(tf * (ln((1 + n_docs)::DOUBLE / (1 + df)::DOUBLE) + 1), 6) AS tfidf
+        |FROM tf JOIN df USING (term) CROSS JOIN n""".stripMargin) { (s, dir) =>
+      graft.operators.TfIdf.tfidf(Tables.documents(s, dir), "doc_id", "text",
+        minDf = 5)
+    },
+
+    // Feature hashing (hashing-trick vectorizer): md5-60 buckets mod 4096,
+    // no vocabulary pass — the oracle recomputes every bucket from the
+    // same engine-neutral hash.
+    GQuery(
+      "q131_hashed_tf",
+      """WITH toks AS (SELECT doc_id,
+        |                     unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS term
+        |              FROM documents)
+        |SELECT doc_id,
+        |       ('0x' || substr(md5(term), 1, 15))::BIGINT % 4096 AS bucket,
+        |       count(*) AS cnt
+        |FROM toks GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.operators.TfIdf.hashedTf(Tables.documents(s, dir), "doc_id", "text",
+        nBuckets = 4096)
+    },
+
     GQuery(
       "q127_vocab_topk",
       """WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS tok

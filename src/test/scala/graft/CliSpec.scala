@@ -275,6 +275,22 @@ class CliSpec extends SparkSpec {
     assert(mc == Set("a", "b"))
   }
 
+  test("tfidf and hashtf drive the vectorization operators") {
+    import spark.implicits._
+    val input = s"$dir/tfidf.parquet"
+    Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(input)
+    val tfidf = Main.run(spark, Seq("tfidf", "--input", input, "--min-df", "2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(tfidf.map(_._2).toSet == Set("a")) // df pruning applied
+    assert(tfidf.toSet == Set((1L, "a", 2L), (2L, "a", 1L)))
+    val hashed = Main.run(spark, Seq("hashtf", "--input", input,
+      "--n-buckets", "32")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    assert(hashed == Map(1L -> 3L, 2L -> 2L)) // token mass conserved
+  }
+
   test("semdedup clusters embedding near-duplicates via the CLI") {
     import spark.implicits._
     val input = s"$dir/semdedup.parquet"
