@@ -300,6 +300,16 @@ object Main {
           idCol = flags.getOrElse("id-col", "doc_id"),
           textCol = flags.getOrElse("text-col", "text"))
 
+      case "buckets" =>
+        // CCNet-style quantile bucketing by unigram surprisal: ntile(k)
+        // without the single-partition window (Ranking two-pass rank)
+        val scores = operators.UnigramLm.surprisal(
+          spark.read.parquet(need("input")),
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          textCol = flags.getOrElse("text-col", "text"))
+        operators.Ranking.ntileBuckets(scores, Seq("surprisal", "id"),
+          k = flags.getOrElse("k", "10").toInt)
+
       case "semdecontaminate" =>
         // embedding-space decontamination vs a benchmark embedding set;
         // --bench-chunks splits a bench too big for one broadcast
@@ -382,6 +392,7 @@ object Main {
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
       |  mix --input PARQUET --domain-col D --key-col K --factors n=F,... [--default F]
       |  surprisal --input PARQUET [--id-col C] [--text-col C]
+      |  buckets --input PARQUET [--k N] [--id-col C] [--text-col C]
       |  semdecontaminate --input PARQUET --benchmark PARQUET [--bench-chunks N] [--id-col C] [--vec-col C]
       |  vocab --input PARQUET [--k N] [--min-count N] [--id-col C] [--text-col C]
       |  tfidf --input PARQUET [--min-df N] [--id-col C] [--text-col C]

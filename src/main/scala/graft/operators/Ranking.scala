@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global ranking and quantile bucketing. A naive
+  * `row_number().over(Window.orderBy(...))` or `ntile(k)` drags the whole
+  * relation through ONE partition (Spark warns "No Partition Defined for
+  * Window operation"); at corpus scale that window is the job. This is the
+  * two-pass range-partition pattern `Packing.packCoordinates` uses for its
+  * prefix sum, specialized to row COUNTS: range-repartition on the order
+  * key, collect one count per partition (numPartitions longs of driver
+  * state — the same order as the range partitioner's own sample), then add
+  * the broadcast partition offset to a running local index. ONE shuffle
+  * total; both passes reuse the same range-exchange files.
+  *
+  * The caller's `orderCols` must be a TOTAL order (include a unique
+  * tiebreaker such as the id column) — rows that compare equal would
+  * otherwise take partition-dependent ranks. Determinism does not depend on
+  * where the range boundaries fall: any range partitioning of a total order
+  * yields the same global ranks.
+  *
+  * The primary consumer is quantile bucketing (`ntile`): CCNet-style
+  * perplexity bucketing assigns each document to one of k equal-size
+  * buckets by LM surprisal; the head bucket is boilerplate, the tail bucket
+  * is garbage vocabulary, and mid buckets feed training mixtures.
+  *
+  * INPUT PINNING: like packCoordinates, the per-partition counts job runs
+  * eagerly and freezes offsets; a non-deterministic input recomputed after
+  * shuffle-file loss could disagree. Cache volatile inputs first.
+  */
+object Ranking {
+
+  /** Rank pass returning the ranked frame plus the total row count (free
+    * from the partition-counts job — no extra aggregate).
+    */
+  private def rankWithCount(df: DataFrame, orderCols: Seq[String],
+      rankCol: String, numParts: Int): (DataFrame, Long) = {
+    require(orderCols.nonEmpty, "globalRank needs at least one order column")
+    val spark = df.sparkSession
+    val parts = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val oc: Seq[Column] = orderCols.map(col)
+    val base = df.repartitionByRange(parts, oc: _*)
+      .sortWithinPartitions(oc: _*)
+    val schema = base.schema
+    val rows = base.rdd // shared lineage: the exchange computes once
+    val counts = rows.mapPartitionsWithIndex { case (pid, it) =>
+      Iterator(pid -> it.size.toLong)
+    }.collect().toMap
+    val offsets = (0 until rows.getNumPartitions)
+      .map(p => counts.getOrElse(p, 0L)).scanLeft(0L)(_ + _).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ranked = rows.mapPartitionsWithIndex { case (pid, it) =>
+      var r = bc.value(pid)
+      it.map { row => r += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r) }
+    }
+    val out = spark.createDataFrame(ranked,
+      org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(rankCol,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    (out, offsets.last)
+  }
+
+  /** Append a 1-based dense global `rank` column ordering by `orderCols`
+    * (must be a total order). One range shuffle; no single-partition window.
+    */
+  def globalRank(df: DataFrame, orderCols: Seq[String],
+      rankCol: String = "rank", numParts: Int = 0): DataFrame =
+    rankWithCount(df, orderCols, rankCol, numParts)._1
+
+  /** Append SQL `ntile(k)` bucket numbers (1..k) ordering by `orderCols`,
+    * without the single-partition window: the first `n mod k` buckets get
+    * `ceil(n/k)` rows, the rest `floor(n/k)` — exactly ANSI ntile, derived
+    * arithmetically from the global rank.
+    */
+  def ntileBuckets(df: DataFrame, orderCols: Seq[String], k: Int,
+      bucketCol: String = "bucket", numParts: Int = 0): DataFrame = {
+    require(k > 0, s"ntile bucket count must be positive, got $k")
+    val (ranked, n) = rankWithCount(df, orderCols, "_rank", numParts)
+    val q = n / k
+    val rem = n % k
+    val cut = rem * (q + 1) // ranks 1..cut fall in the ceil-sized buckets
+    val r0 = col("_rank") - 1
+    val bucket =
+      if (q == 0L) col("_rank") // n < k: ntile gives row i bucket i
+      else when(r0 < cut, floor(r0 / (q + 1)) + 1)
+        .otherwise(floor((r0 - cut) / q) + rem + 1)
+    ranked.withColumn(bucketCol, bucket.cast("long")).drop("_rank")
+  }
+}

@@ -487,6 +487,36 @@ object TextQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // CCNet-style perplexity bucketing: every doc into one of 10 equal-size
+    // quantile buckets by unigram surprisal — head bucket = boilerplate,
+    // tail = garbage vocabulary. Spark side computes ANSI ntile WITHOUT the
+    // single-partition window (Ranking two-pass global rank); the oracle is
+    // DuckDB's real ntile over the same (rounded) surprisal order, so the
+    // bucket arithmetic is proven against the ANSI definition. The order key
+    // is (rounded surprisal, doc_id) — a total order whose sort keys are
+    // byte-identical in both engines because q123's hash already proves the
+    // rounded surprisal values match.
+    GQuery(
+      "q132_surprisal_buckets",
+      """WITH toks AS (SELECT doc_id,
+        |                     unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS tok
+        |              FROM documents),
+        |m AS (SELECT doc_id, tok, count(*)::DOUBLE AS k FROM toks GROUP BY doc_id, tok),
+        |cnt AS (SELECT tok, sum(k) AS c FROM m GROUP BY tok),
+        |tot AS (SELECT sum(c) AS t FROM cnt),
+        |s AS (SELECT doc_id, round(sum(k * -ln(c / t)) / sum(k), 6) AS surprisal
+        |      FROM m JOIN cnt USING (tok) CROSS JOIN tot
+        |      GROUP BY doc_id)
+        |SELECT doc_id, surprisal,
+        |       ntile(10) OVER (ORDER BY surprisal, doc_id) AS bucket
+        |FROM s""".stripMargin) { (s, dir) =>
+      val scores = graft.operators.UnigramLm
+        .surprisal(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      graft.operators.Ranking.ntileBuckets(
+        scores, Seq("surprisal", "doc_id"), k = 10)
+    },
+
     // Vocabulary building (exact heavy hitters): the top-100 corpus tokens
     // by frequency with a deterministic (count desc, token asc) tie rule —
     // the precursor to tokenizer training. Map-side-combined aggregate +

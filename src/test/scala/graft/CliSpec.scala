@@ -262,6 +262,18 @@ class CliSpec extends SparkSpec {
     assert(scChunked == sc)
   }
 
+  test("buckets assigns surprisal quantiles 1..k") {
+    import spark.implicits._
+    val input = s"$dir/buckets.parquet"
+    (1L to 8L).map(i => (i, ("w" + i + " ") * i.toInt)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(input)
+    val r = Main.run(spark, Seq("buckets", "--input", input, "--k", "4"))
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r.size == 8)
+    assert(r.values.toSet == Set(1L, 2L, 3L, 4L)) // 8 docs / 4 buckets, 2 each
+    assert(r.values.groupBy(identity).values.forall(_.size == 2))
+  }
+
   test("vocab returns the exact top-k token counts") {
     import spark.implicits._
     val input = s"$dir/vocab.parquet"

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The two-pass global rank / ntile must equal Spark's own window-function
+  * definitions (which ARE the ANSI definitions) on every size/bucket shape:
+  * n < k, n divisible by k, and ragged n % k != 0 — and must be independent
+  * of the partition count.
+  */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(n: Int) = {
+    // non-trivial order: descending values with duplicate payloads, unique id
+    (1 to n).map(i => ((i * 37) % n, i.toLong)).toDF("v", "id")
+      .repartition(5)
+  }
+
+  test("globalRank equals row_number over the same total order") {
+    val d = df(101)
+    val got = Ranking.globalRank(d, Seq("v", "id"))
+      .select("v", "id", "rank").orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val want = d.withColumn("rank",
+        row_number().over(Window.orderBy("v", "id")).cast("long"))
+      .select("v", "id", "rank").orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("ntileBuckets equals ntile(k) for ragged, exact and n<k shapes") {
+    for ((n, k) <- Seq((101, 10), (100, 10), (7, 10), (1, 3), (64, 8))) {
+      val d = df(n)
+      val got = Ranking.ntileBuckets(d, Seq("v", "id"), k)
+        .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = d.withColumn("bucket",
+          ntile(k).over(Window.orderBy("v", "id")).cast("long"))
+        .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"n=$n k=$k")
+    }
+  }
+
+  test("ranks are independent of the partition count") {
+    val d = df(53)
+    val one = Ranking.globalRank(d, Seq("v", "id"), numParts = 1)
+      .select("id", "rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val many = Ranking.globalRank(d, Seq("v", "id"), numParts = 11)
+      .select("id", "rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == many)
+  }
+
+  test("empty input yields empty output") {
+    val d = Seq.empty[(Int, Long)].toDF("v", "id")
+    assert(Ranking.ntileBuckets(d, Seq("v", "id"), 4).count() == 0L)
+  }
+}
