@@ -300,6 +300,25 @@ object Main {
           idCol = flags.getOrElse("id-col", "doc_id"),
           textCol = flags.getOrElse("text-col", "text"))
 
+      case "cluster" =>
+        // deterministic k-means: lloyd training + final assignment; with
+        // --per-cell, emit the cluster-balanced subsample instead
+        val pts = spark.read.parquet(need("input"))
+        val idC = flags.getOrElse("id-col", "vec_id")
+        val vecC = flags.getOrElse("vec-col", "embedding")
+        val cents = operators.Clustering.lloyd(pts,
+          k = flags.getOrElse("k", "16").toInt,
+          iters = flags.getOrElse("iters", "5").toInt,
+          metric = flags.getOrElse("metric", "EUCLIDEAN"),
+          idCol = idC, vecCol = vecC)
+        val assigned = operators.Clustering.assign(pts, cents,
+          metric = flags.getOrElse("metric", "EUCLIDEAN"),
+          idCol = idC, vecCol = vecC)
+        flags.get("per-cell") match {
+          case Some(m) => operators.Clustering.clusterSample(assigned, m.toInt)
+          case None    => assigned.select(col("id").as(idC), col("cell"))
+        }
+
       case "buckets" =>
         // CCNet-style quantile bucketing by unigram surprisal: ntile(k)
         // without the single-partition window (Ranking two-pass rank)
@@ -393,6 +412,7 @@ object Main {
       |  mix --input PARQUET --domain-col D --key-col K --factors n=F,... [--default F]
       |  surprisal --input PARQUET [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--id-col C] [--text-col C]
+      |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M] [--id-col C] [--vec-col C]
       |  semdecontaminate --input PARQUET --benchmark PARQUET [--bench-chunks N] [--id-col C] [--vec-col C]
       |  vocab --input PARQUET [--k N] [--min-count N] [--id-col C] [--text-col C]
       |  tfidf --input PARQUET [--min-df N] [--id-col C] [--text-col C]

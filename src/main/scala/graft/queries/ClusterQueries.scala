@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Clustering
+
+/** Deterministic k-means clustering queries over the embeddings table:
+  * nearest-centroid assignment, cluster-balanced subsampling, and the Lloyd
+  * mean-update step — each proven engine-neutrally (the oracle replays the
+  * argmin, the per-cell top-k and the per-dim mean from first principles).
+  * Multi-iteration convergence is spec territory (ClusteringSpec proves
+  * parity with a sequential reference); the oracles pin the two primitive
+  * steps every iteration is made of.
+  */
+object ClusterQueries {
+
+  /** Squared L2 between two DuckDB float lists, accumulated in double in
+    * index order — same order as DistanceKernels.computeArrays(EUCLIDEAN)
+    * (sqrt omitted: argmin-invariant).
+    */
+  private def duckL2Sq(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a)+1),
+       |  i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)))""".stripMargin
+
+  /** The k=8 lowest-id embeddings as cells 0..7 (lloyd's deterministic
+    * init), and the argmin assignment with the lowest-cell tie rule.
+    */
+  private def duckAssignCte: String =
+    s"""c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+       |      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |r AS (SELECT e.vec_id, e.embedding AS v, c.cell,
+       |             row_number() OVER (PARTITION BY e.vec_id
+       |                                ORDER BY ${duckL2Sq("e.embedding", "c.ce")}, c.cell) AS rn
+       |      FROM embeddings e CROSS JOIN c),
+       |assign AS (SELECT vec_id, v, cell FROM r WHERE rn = 1)""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+
+    // Nearest-centroid assignment (the per-iteration E-step and the
+    // cluster-membership primitive): broadcast map-side argmin, lowest-cell
+    // tie-break. The oracle replays the full k-way distance comparison.
+    GQuery(
+      "q133_kmeans_assign",
+      s"""WITH $duckAssignCte
+         |SELECT vec_id, cell FROM assign""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      // assignment against lloyd's deterministic INIT state (8 lowest ids
+      // as cells 0..7) — the E-step in isolation, fixed centroids
+      val init = emb.orderBy("vec_id").limit(8)
+        .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+          .cast("long").as("cell"), col("embedding").as("centroid"))
+      Clustering.assign(emb, init, metric = "EUCLIDEAN")
+        .select(col("id").as("vec_id"), col("cell"))
+    },
+
+    // Cluster-balanced subsample: the 10 lowest-id members per cell —
+    // bounded-heap per-cell top-k (map-side combined), not a per-cell
+    // window sort. Oracle = the window-sort definition.
+    GQuery(
+      "q134_cluster_sample",
+      s"""WITH $duckAssignCte
+         |SELECT cell, vec_id FROM (
+         |  SELECT cell, vec_id,
+         |         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+         |  FROM assign)
+         |WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val init = emb.orderBy("vec_id").limit(8)
+        .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+          .cast("long").as("cell"), col("embedding").as("centroid"))
+      val assigned = Clustering.assign(emb, init, metric = "EUCLIDEAN")
+      Clustering.clusterSample(assigned, perCell = 10)
+        .select(col("cell"), col("id").as("vec_id"))
+    },
+
+    // One full Lloyd iteration (the M-step): per-cell per-dim centroid
+    // means rounded to 6, plus cell sizes. Floats survive the round trip:
+    // lloyd stores round-6 doubles as float32 (quantization < 5e-7 for
+    // |v| < 8), so re-rounding the cast-back double recovers the exact
+    // oracle value.
+    GQuery(
+      "q135_kmeans_centroids",
+      s"""WITH $duckAssignCte,
+         |m AS (SELECT cell, generate_subscripts(v, 1) - 1 AS idx,
+         |             unnest(v)::DOUBLE AS x
+         |      FROM assign)
+         |SELECT cell, idx, round(avg(x), 6) AS c, count(*) AS n_points
+         |FROM m GROUP BY cell, idx""".stripMargin) { (s, dir) =>
+      Clustering.lloyd(Tables.embeddings(s, dir), k = 8, iters = 1)
+        .select(col("cell"), posexplode(col("centroid")).as(Seq("idx", "x")),
+          col("n_points"))
+        .select(col("cell"), col("idx").cast("long").as("idx"),
+          round(col("x").cast("double"), 6).as("c"), col("n_points"))
+    },
+  )
+}

@@ -262,6 +262,25 @@ class CliSpec extends SparkSpec {
     assert(scChunked == sc)
   }
 
+  test("cluster assigns k-means cells and balanced samples") {
+    import spark.implicits._
+    val input = s"$dir/cluster.parquet"
+    val rnd2 = new scala.util.Random(3)
+    (0L until 40L).map { i =>
+      val c = if (i % 2 == 0) 0f else 8f
+      (i, Array(c + rnd2.nextGaussian().toFloat * 0.3f, c))
+    }.toDF("vec_id", "embedding").write.mode("overwrite").parquet(input)
+    val r = Main.run(spark, Seq("cluster", "--input", input, "--k", "2",
+      "--iters", "4")).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 40)
+    // two blobs separate perfectly: even ids together, odd ids together
+    assert(r.filter(_._1 % 2 == 0).values.toSet.size == 1)
+    assert(r.filter(_._1 % 2 == 1).values.toSet.size == 1)
+    val sampled = Main.run(spark, Seq("cluster", "--input", input, "--k", "2",
+      "--iters", "4", "--per-cell", "5"))
+    assert(sampled.count() == 10)
+  }
+
   test("buckets assigns surprisal quantiles 1..k") {
     import spark.implicits._
     val input = s"$dir/buckets.parquet"
