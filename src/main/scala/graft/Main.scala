@@ -300,6 +300,16 @@ object Main {
           idCol = flags.getOrElse("id-col", "doc_id"),
           textCol = flags.getOrElse("text-col", "text"))
 
+      case "bpe" =>
+        // BPE tokenizer training (merge table) or encoding (piece counts)
+        val input = spark.read.parquet(need("input"))
+        val txtC = flags.getOrElse("text-col", "text")
+        val m = flags.getOrElse("merges", "100").toInt
+        if (flags.contains("encode"))
+          operators.Bpe.encodeCounts(input,
+            flags.getOrElse("id-col", "doc_id"), txtC, m)
+        else operators.Bpe.train(input, txtC, m)
+
       case "cluster" =>
         // deterministic k-means: lloyd training + final assignment; with
         // --per-cell, emit the cluster-balanced subsample instead
@@ -413,6 +423,7 @@ object Main {
       |  surprisal --input PARQUET [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--id-col C] [--text-col C]
       |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M] [--id-col C] [--vec-col C]
+      |  bpe --input PARQUET [--merges N] [--encode] [--id-col C] [--text-col C]
       |  semdecontaminate --input PARQUET --benchmark PARQUET [--bench-chunks N] [--id-col C] [--vec-col C]
       |  vocab --input PARQUET [--k N] [--min-count N] [--id-col C] [--text-col C]
       |  tfidf --input PARQUET [--min-df N] [--id-col C] [--text-col C]

@@ -556,6 +556,100 @@ object TextQueries {
         nBuckets = 4096)
     },
 
+    // BPE tokenizer training, step by step. q136 pins the initial pair
+    // statistics (top-20 character pairs weighted by word count, with the
+    // byte-order tie rule); q137 pins two full training iterations — the
+    // oracle replays each merge as a left-to-right `replace` on the
+    // space-joined segmentation, which IS greedy BPE because pieces never
+    // contain spaces; q138 pins the encode side (per-doc piece counts
+    // after the two learned merges). Deeper merge sequences are spec
+    // territory (BpeSpec: 30-merge parity with a sequential reference).
+    GQuery(
+      "q136_bpe_pairs",
+      """WITH w AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS word
+        |           FROM documents),
+        |wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        |pc AS (SELECT substr(word, i+1, 1) AS l, substr(word, i+2, 1) AS r, sum(cnt)::BIGINT AS cnt
+        |       FROM (SELECT word, cnt, unnest(range(length(word) - 1)) AS i FROM wc)
+        |       GROUP BY 1, 2)
+        |SELECT l AS merge_left, r AS merge_right, cnt AS pair_cnt
+        |FROM pc ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.Bpe.wordCounts(docs, "text")
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, char_length(word) - 1), " +
+            "i -> struct(substring(word, i, 1) AS l, substring(word, i + 1, 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("merge_left"), col("p.r").as("merge_right"))
+        .agg(sum(col("cnt")).as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("merge_left"), col("merge_right"))
+        .limit(20)
+    },
+
+    GQuery(
+      "q137_bpe_train",
+      """WITH w AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS word
+        |           FROM documents),
+        |wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        |seg0 AS (SELECT cnt,
+        |                array_to_string(list_transform(range(1, length(word)+1),
+        |                                               i -> substr(word, i, 1)), ' ') AS seg
+        |         FROM wc),
+        |pc0 AS (SELECT s[i+1] AS l, s[i+2] AS r, sum(cnt)::BIGINT AS cnt
+        |        FROM (SELECT cnt, s, unnest(range(len(s) - 1)) AS i
+        |              FROM (SELECT cnt, string_split(seg, ' ') AS s FROM seg0))
+        |        GROUP BY 1, 2),
+        |m1 AS (SELECT 1::BIGINT AS merge_rank, l, r, cnt FROM pc0
+        |       ORDER BY cnt DESC, l, r LIMIT 1),
+        |seg1 AS (SELECT seg0.cnt,
+        |                replace(seg0.seg, m1.l || ' ' || m1.r, m1.l || m1.r) AS seg
+        |         FROM seg0 CROSS JOIN m1),
+        |pc1 AS (SELECT s[i+1] AS l, s[i+2] AS r, sum(cnt)::BIGINT AS cnt
+        |        FROM (SELECT cnt, s, unnest(range(len(s) - 1)) AS i
+        |              FROM (SELECT cnt, string_split(seg, ' ') AS s FROM seg1))
+        |        GROUP BY 1, 2),
+        |m2 AS (SELECT 2::BIGINT AS merge_rank, l, r, cnt FROM pc1
+        |       ORDER BY cnt DESC, l, r LIMIT 1)
+        |SELECT merge_rank, l AS merge_left, r AS merge_right, cnt AS pair_cnt FROM m1
+        |UNION ALL
+        |SELECT merge_rank, l AS merge_left, r AS merge_right, cnt AS pair_cnt FROM m2""".stripMargin) { (s, dir) =>
+      graft.operators.Bpe.train(Tables.documents(s, dir), "text", numMerges = 2)
+    },
+
+    GQuery(
+      "q138_bpe_encode",
+      """WITH w AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS word
+        |           FROM documents),
+        |wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+        |seg0 AS (SELECT word, cnt,
+        |                array_to_string(list_transform(range(1, length(word)+1),
+        |                                               i -> substr(word, i, 1)), ' ') AS seg
+        |         FROM wc),
+        |pc0 AS (SELECT s[i+1] AS l, s[i+2] AS r, sum(cnt)::BIGINT AS cnt
+        |        FROM (SELECT cnt, s, unnest(range(len(s) - 1)) AS i
+        |              FROM (SELECT cnt, string_split(seg, ' ') AS s FROM seg0))
+        |        GROUP BY 1, 2),
+        |m1 AS (SELECT l, r FROM pc0 ORDER BY cnt DESC, l, r LIMIT 1),
+        |seg1 AS (SELECT word, seg0.cnt,
+        |                replace(seg0.seg, m1.l || ' ' || m1.r, m1.l || m1.r) AS seg
+        |         FROM seg0 CROSS JOIN m1),
+        |pc1 AS (SELECT s[i+1] AS l, s[i+2] AS r, sum(cnt)::BIGINT AS cnt
+        |        FROM (SELECT cnt, s, unnest(range(len(s) - 1)) AS i
+        |              FROM (SELECT cnt, string_split(seg, ' ') AS s FROM seg1))
+        |        GROUP BY 1, 2),
+        |m2 AS (SELECT l, r FROM pc1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |seg2 AS (SELECT word, seg1.cnt,
+        |                replace(seg1.seg, m2.l || ' ' || m2.r, m2.l || m2.r) AS seg
+        |         FROM seg1 CROSS JOIN m2),
+        |pieces AS (SELECT word, len(string_split(seg, ' '))::BIGINT AS n_pieces FROM seg2),
+        |dw AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS word
+        |       FROM documents)
+        |SELECT doc_id, sum(n_pieces)::BIGINT AS n_bpe_tokens
+        |FROM dw JOIN pieces USING (word) GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Bpe.encodeCounts(Tables.documents(s, dir), "doc_id", "text",
+        numMerges = 2)
+    },
+
     GQuery(
       "q127_vocab_topk",
       """WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS tok

@@ -262,6 +262,19 @@ class CliSpec extends SparkSpec {
     assert(scChunked == sc)
   }
 
+  test("bpe trains merges and encodes piece counts") {
+    import spark.implicits._
+    val input = s"$dir/bpe.parquet"
+    Seq((1L, "ab ab ab"), (2L, "abc abc")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(input)
+    val merges = Main.run(spark, Seq("bpe", "--input", input, "--merges", "2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq((1L, "a", "b", 5L), (2L, "ab", "c", 2L)))
+    val enc = Main.run(spark, Seq("bpe", "--input", input, "--merges", "2",
+      "--encode")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(enc == Map(1L -> 3L, 2L -> 2L)) // "ab"=1 piece, "abc"=1 piece
+  }
+
   test("cluster assigns k-means cells and balanced samples") {
     import spark.implicits._
     val input = s"$dir/cluster.parquet"
