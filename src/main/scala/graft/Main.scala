@@ -300,6 +300,18 @@ object Main {
           idCol = flags.getOrElse("id-col", "doc_id"),
           textCol = flags.getOrElse("text-col", "text"))
 
+      case "pca" =>
+        // embedding-space second-order stats: --covariance, --standardize,
+        // --components, or (default) top-k projection
+        val input = spark.read.parquet(need("input"))
+        val idC = flags.getOrElse("id-col", "vec_id")
+        val vecC = flags.getOrElse("vec-col", "embedding")
+        if (flags.contains("covariance")) operators.Pca.covariance(input, vecC)
+        else if (flags.contains("standardize")) operators.Pca.standardize(input, idC, vecC)
+        else if (flags.contains("components"))
+          operators.Pca.principalComponents(input, vecC, flags.getOrElse("k", "8").toInt)
+        else operators.Pca.project(input, idC, vecC, flags.getOrElse("k", "8").toInt)
+
       case "bpe" =>
         // BPE tokenizer training (merge table) or encoding (piece counts)
         val input = spark.read.parquet(need("input"))
@@ -424,6 +436,7 @@ object Main {
       |  buckets --input PARQUET [--k N] [--id-col C] [--text-col C]
       |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M] [--id-col C] [--vec-col C]
       |  bpe --input PARQUET [--merges N] [--encode] [--id-col C] [--text-col C]
+      |  pca --input PARQUET [--k N] [--covariance | --standardize | --components] [--id-col C] [--vec-col C]
       |  semdecontaminate --input PARQUET --benchmark PARQUET [--bench-chunks N] [--id-col C] [--vec-col C]
       |  vocab --input PARQUET [--k N] [--min-count N] [--id-col C] [--text-col C]
       |  tfidf --input PARQUET [--min-df N] [--id-col C] [--text-col C]

@@ -32,6 +32,34 @@ object StatsQueries {
           col("cnt"))
     },
 
+    // Embedding covariance matrix (the one-pass treeAggregate input to
+    // PCA/whitening): all d*d population covariances, oracled against
+    // covar_pop recomputed from the exploded dims. The eigensolve/
+    // projection on top is PcaSpec territory (not SQL-expressible).
+    GQuery(
+      "q139_covariance",
+      """WITH m AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |                  unnest(embedding)::DOUBLE AS x
+        |           FROM embeddings)
+        |SELECT a.dim AS i, b.dim AS j, round(covar_pop(a.x, b.x), 6) AS cov
+        |FROM m a JOIN m b ON a.vec_id = b.vec_id
+        |GROUP BY a.dim, b.dim""".stripMargin) { (s, dir) =>
+      graft.operators.Pca.covariance(Tables.embeddings(s, dir), "embedding")
+    },
+
+    // Per-dimension z-score standardization (feature scaling ahead of
+    // clustering/LSH): stats collect to the driver, transform is map-side.
+    GQuery(
+      "q140_standardize",
+      """WITH m AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS idx,
+        |                  unnest(embedding)::DOUBLE AS x
+        |           FROM embeddings),
+        |st AS (SELECT idx, avg(x) AS mu, stddev_samp(x) AS sd FROM m GROUP BY idx)
+        |SELECT vec_id, idx, round((x - mu) / sd, 6) AS z
+        |FROM m JOIN st USING (idx)""".stripMargin) { (s, dir) =>
+      graft.operators.Pca.standardize(Tables.embeddings(s, dir), "vec_id", "embedding")
+    },
+
     // A7: fixed-width histogram with clamped edge buckets.
     GQuery(
       "q28_histogram",

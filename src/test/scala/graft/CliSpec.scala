@@ -262,6 +262,21 @@ class CliSpec extends SparkSpec {
     assert(scChunked == sc)
   }
 
+  test("pca projects, covaries and standardizes") {
+    import spark.implicits._
+    val input = s"$dir/pca.parquet"
+    val rnd3 = new scala.util.Random(17)
+    (0L until 50L).map(i => (i, Array.fill(4)(rnd3.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(input)
+    val proj = Main.run(spark, Seq("pca", "--input", input, "--k", "2"))
+    assert(proj.count() == 50)
+    assert(proj.select("proj").head.getSeq[Double](0).length == 2)
+    val cov = Main.run(spark, Seq("pca", "--input", input, "--covariance"))
+    assert(cov.count() == 16)
+    val std = Main.run(spark, Seq("pca", "--input", input, "--standardize"))
+    assert(std.count() == 200)
+  }
+
   test("bpe trains merges and encodes piece counts") {
     import spark.implicits._
     val input = s"$dir/bpe.parquet"
