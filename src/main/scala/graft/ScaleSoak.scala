@@ -250,6 +250,24 @@ object ScaleSoak {
         factors = Map("d0" -> 2.5, "d1" -> 0.3, "d2" -> 0.0), default = 1.0)
         .count()
     }
+    // --- round-7 additions: clustering / PCA / ranking / BPE
+    timed(s"k-means lloyd k=256 x 3 iters over $nBase x $dim") {
+      graft.operators.Clustering.lloyd(base, k = 256, iters = 3).count()
+    }
+    timed(s"PCA covariance + top-16 projection over $nBase x $dim") {
+      graft.operators.Pca.project(base, "vec_id", "embedding", k = 16)
+        .agg(max(element_at(col("proj"), 1))).collect()
+    }
+    timed(s"global rank + ntile(100) over ${nBase * 10} rows") {
+      graft.operators.Ranking.ntileBuckets(
+        spark.range(nBase * 10).select(col("id"),
+          (col("id") * 2654435761L % 1000000007L).as("score")),
+        Seq("score", "id"), k = 100)
+        .groupBy("bucket").count().count()
+    }
+    timed(s"BPE 20 merges over the $nDocs-doc corpus vocabulary") {
+      graft.operators.Bpe.train(docs, "text", numMerges = 20).count()
+    }
     spark.stop()
   }
 }
