@@ -81,6 +81,27 @@ object StatsQueries {
         .select(col("p"), round(col("q"), 4).as("q"))
     },
 
+    // HLL++ approximate distinct (the scale-path cardinality primitive:
+    // constant sketch memory vs a distinct shuffle) proven within its
+    // relative-error bound against the exact count — q71's pattern: the
+    // output carries the EXACT per-source count (oracle-recomputable) plus
+    // the bound check on the sketch.
+    GQuery(
+      "q141_distinct_approx",
+      """SELECT source, count(DISTINCT doc_id) AS n_distinct,
+        |       true AS approx_in_bounds
+        |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+      val rsd = 0.02
+      val byjoin = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_distinct"),
+          approx_count_distinct(col("doc_id"), rsd).as("approx"))
+      byjoin.select(col("source"), col("n_distinct"),
+        // 5 sigma on the sketch's standard relative error
+        (abs(col("approx") - col("n_distinct")).cast("double") /
+          col("n_distinct") <= rsd * 5).as("approx_in_bounds"))
+    },
+
     // A7 production path: GK-sketch approximate quantiles, proven within the
     // rank-error bound against the exact form — the output carries the EXACT
     // quantile (oracle-recomputable) plus the bound check on the sketch.
