@@ -362,18 +362,27 @@ object Main {
           benchChunks = flags.getOrElse("bench-chunks", "1").toInt)
 
       case "mix" =>
-        // mixture materialization: --factors books=2.25,web=0.5
-        val factors = need("factors").split(",").map { kv =>
-          kv.split("=", 2) match {
-            case Array(k, v) => k -> v.toDouble
-            case _ => throw new IllegalArgumentException(
-              s"--factors wants name=factor pairs, got: '$kv'\n$usage")
-          }
-        }.toMap
-        operators.Mixture.materialize(spark.read.parquet(need("input")),
-          domainCol = need("domain-col"), keyCol = need("key-col"),
+        // mixture materialization: --factors books=2.25,web=0.5, or
+        // --balance to solve uniform-rebalance factors from --weight-col
+        val input = spark.read.parquet(need("input"))
+        val domainC = need("domain-col")
+        val factors =
+          if (flags.contains("balance")) {
+            val wC = flags.getOrElse("weight-col", "n_tokens")
+            operators.Mixture.balanceFactors(input, domainC, wC)
+              .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+          } else need("factors").split(",").map { kv =>
+            kv.split("=", 2) match {
+              case Array(k, v) => k -> v.toDouble
+              case _ => throw new IllegalArgumentException(
+                s"--factors wants name=factor pairs, got: '$kv'\n$usage")
+            }
+          }.toMap
+        operators.Mixture.materialize(input,
+          domainCol = domainC, keyCol = need("key-col"),
           factors = factors,
-          default = flags.getOrElse("default", "1.0").toDouble)
+          default = flags.getOrElse("default",
+            if (flags.contains("balance")) "0.0" else "1.0").toDouble)
 
       case "tfidf" =>
         // sparse TF-IDF document vectors (df-pruned smoothed idf)
@@ -431,7 +440,7 @@ object Main {
       |  dupspans --input PARQUET [--width N] [--id-col C] [--text-col C]
       |  semdedup --input PARQUET [--threshold T] [--n-bits N] [--n-tables N] [--id-col C] [--vec-col C]
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
-      |  mix --input PARQUET --domain-col D --key-col K --factors n=F,... [--default F]
+      |  mix --input PARQUET --domain-col D --key-col K (--factors n=F,... | --balance [--weight-col W]) [--default F]
       |  surprisal --input PARQUET [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--id-col C] [--text-col C]
       |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M] [--id-col C] [--vec-col C]

@@ -18,6 +18,40 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
+  /** Solve per-domain repeat factors that hit TARGET post-mix shares while
+    * preserving total volume: `factor_d = target_d · T / T_d` where `T_d`
+    * is domain d's weight (token count) and `T` the corpus total — the
+    * static form of mixture-reweighting (set the shares, derive the
+    * epochs). Domains absent from `targets` get factor 0 (dropped).
+    * Factors are rounded to 6 so any engine replays them. One
+    * domain-keyed aggregate (domains are few); the 1-row total broadcasts.
+    */
+  def solveFactors(df: DataFrame, domainCol: String, weightCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.values.forall(_ >= 0.0), "target shares must be >= 0")
+    val t = df.groupBy(domainCol).agg(sum(col(weightCol)).as("tok"))
+    val tot = t.agg(sum(col("tok")).as("T"))
+    val share = targets.foldLeft(lit(0.0)) { case (acc, (d, s)) =>
+      when(col(domainCol) === d, lit(s)).otherwise(acc)
+    }
+    t.crossJoin(broadcast(tot))
+      .select(col(domainCol),
+        round(share * col("T") / col("tok"), 6).as("factor"))
+  }
+
+  /** Uniform rebalance: every domain ends with ~T/n of the post-mix weight
+    * (`factor_d = T / (n_domains · T_d)`) — the "flatten the source
+    * skew" mixture a balanced-evaluation corpus uses.
+    */
+  def balanceFactors(df: DataFrame, domainCol: String,
+      weightCol: String): DataFrame = {
+    val t = df.groupBy(domainCol).agg(sum(col(weightCol)).as("tok"))
+    val tot = t.agg(sum(col("tok")).as("T"), count(lit(1)).as("nd"))
+    t.crossJoin(broadcast(tot))
+      .select(col(domainCol),
+        round(col("T") / (col("nd") * col("tok")), 6).as("factor"))
+  }
+
   /** Emit `(every input column, <epochCol>)` with epoch = 0..nEpochs−1 per
     * row, where nEpochs = floor(f) + (draw < round(frac(f)·1e6) ? 1 : 0)
     * and f is the row's domain factor (absent domains and null domains use

@@ -181,6 +181,57 @@ object CurationQueries {
         default = 1.0)
     },
 
+    // Mixture weight solving: uniform-rebalance factors from per-source
+    // token mass (factor_d = T / (n·T_d) — every source ends with ~T/n of
+    // the post-mix tokens). Pure domain-keyed aggregate; the oracle
+    // recomputes token mass, totals and the division.
+    GQuery(
+      "q142_mixture_weights",
+      """WITH toks AS (SELECT source,
+        |                     len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS n
+        |              FROM documents),
+        |t AS (SELECT source, sum(n) AS tok FROM toks GROUP BY source),
+        |tot AS (SELECT sum(tok) AS T, count(*) AS nd FROM t)
+        |SELECT source, round(T / (nd * tok), 6) AS factor
+        |FROM t CROSS JOIN tot""".stripMargin) { (s, dir) =>
+      Mixture.balanceFactors(
+        Tables.documents(s, dir).select(col("source"),
+          graft.functions.TextFunctions.tokenCount(lower(col("text"))).as("w")),
+        "source", "w")
+    },
+
+    // The COMPOSITION: solve balanced factors, then materialize the mix
+    // with them — auto-balanced epochs end-to-end under one oracle (the
+    // q125 pattern: the CTE chain recomputes the factors AND replays the
+    // whole-epoch + fractional-draw rule per row from them).
+    GQuery(
+      "q143_balanced_mixture",
+      s"""WITH toks AS (SELECT doc_id, source,
+         |                     len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS n
+         |              FROM documents),
+         |t AS (SELECT source, sum(n) AS tok FROM toks GROUP BY source),
+         |tot AS (SELECT sum(tok) AS T, count(*) AS nd FROM t),
+         |f AS (SELECT source, round(T / (nd * tok), 6) AS factor
+         |      FROM t CROSS JOIN tot),
+         |e AS (SELECT d.doc_id, d.source,
+         |             floor(f.factor)::BIGINT +
+         |             CASE WHEN ${duckHashUnit("d.doc_id::VARCHAR", "mix")} <
+         |                       round((f.factor - floor(f.factor)) * 1e6)
+         |                  THEN 1 ELSE 0 END AS ne
+         |      FROM documents d JOIN f USING (source))
+         |SELECT doc_id, source, unnest(range(ne))::BIGINT AS epoch
+         |FROM e WHERE ne > 0""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val factors = Mixture.balanceFactors(
+          docs.select(col("source"),
+            graft.functions.TextFunctions.tokenCount(lower(col("text"))).as("w")),
+          "source", "w")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      Mixture.materialize(docs.select("doc_id", "source"),
+        domainCol = "source", keyCol = "doc_id", factors = factors,
+        default = 0.0)
+    },
+
     // Materialized training sequences: every 256-token sequence's CONTENT
     // is reconstructed from the manifest slices and md5-pinned. The oracle
     // rebuilds each sequence with string_agg over the same slice arithmetic

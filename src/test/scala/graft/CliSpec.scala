@@ -236,6 +236,19 @@ class CliSpec extends SparkSpec {
     assert(mixed.collect().count(_.getString(2) == "web") == 4)
   }
 
+  test("mix --balance solves uniform-rebalance factors from a weight column") {
+    import spark.implicits._
+    val input = s"$dir/mixbal.parquet"
+    // a: 1 row x 30 tokens, b: 3 rows x 10 tokens -> equal mass already:
+    // factors T/(2*30)=1.0 each -> every row exactly once
+    (Seq((1L, "a", 30L)) ++ (2L to 4L).map(i => (i, "b", 10L)))
+      .toDF("doc_id", "domain", "n_tokens")
+      .write.mode("overwrite").parquet(input)
+    val out = Main.run(spark, Seq("mix", "--input", input, "--domain-col",
+      "domain", "--key-col", "doc_id", "--balance"))
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("surprisal and semdecontaminate drive the corpus-relative scores") {
     import spark.implicits._
     val tIn = s"$dir/surprisal.parquet"

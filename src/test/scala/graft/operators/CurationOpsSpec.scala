@@ -99,6 +99,48 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("balanceFactors flattens skew; solveFactors hits explicit targets") {
+    import spark.implicits._
+    // domain a: 100 tokens, b: 300 → T=400, n=2
+    val w = Seq(("a", 40L), ("a", 60L), ("b", 300L)).toDF("domain", "w")
+    val bal = Mixture.balanceFactors(w, "domain", "w")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bal == Map("a" -> 2.0, "b" -> 0.666667)) // T/(n·T_d) = 400/(2·100), 400/(2·300)
+    val tgt = Mixture.solveFactors(w, "domain", "w", Map("a" -> 0.75, "b" -> 0.25))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(tgt == Map("a" -> 3.0, "b" -> 0.333333))
+    // a domain absent from the targets is dropped (factor 0)
+    val drop = Mixture.solveFactors(w, "domain", "w", Map("a" -> 1.0))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(drop("b") == 0.0)
+  }
+
+  test("materializing balanced INTEGER factors equalizes domain row mass exactly") {
+    import spark.implicits._
+    // rows carry weight 1 each: a×10, b×20, c×40 rows; T=70 — use
+    // weights that make T/(n·T_d) integral: a×10, b×20, c×30 is not; take
+    // a×10, b×30, c×20 with n=3, T=60 → factors 2.0, 0.666.., 1.0 — not
+    // all integral either. Integral for all: a×10, b×20, c×10, T=40, n=4?
+    // keep it simple: two domains a×10, b×30 → T=40, n=2 → fa=2, bb=0.666;
+    // so instead check CONSERVATION: post-mix totals match factor·T_d
+    // within the fractional-draw bound (±1 per row is the draw's variance,
+    // but the draw is deterministic — recompute expectation exactly).
+    val rows = (0L until 40L).map(i => (i, if (i < 10) "a" else "b")).toDF("doc_id", "domain")
+    val w = rows.withColumn("w", lit(1L))
+    val factors = Mixture.balanceFactors(w, "domain", "w")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(factors == Map("a" -> 2.0, "b" -> 0.666667))
+    val out = Mixture.materialize(rows, "domain", "doc_id", factors, default = 0.0)
+      .groupBy("domain").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == 20L) // integral factor: exact
+    // fractional: floor(0)·30 + deterministic draws — recompute the rule
+    val quota = ((0.666667 - 0.0) * 1e6).round
+    val expectB = (10L until 40L).count { id =>
+      graft.functions.StableHash.md5Hash60(s"$id:mix") % 1000000 < quota
+    }
+    assert(out("b").toInt == expectB)
+  }
+
   // ---- Duplicated spans ----
 
   test("duplicated spans: planted copy saturates, unique doc scores zero") {
