@@ -56,4 +56,20 @@ class RankingSpec extends SparkSpec {
     val d = Seq.empty[(Int, Long)].toDF("v", "id")
     assert(Ranking.ntileBuckets(d, Seq("v", "id"), 4).count() == 0L)
   }
+
+  test("randomized differential: ntile equals the window definition on random shapes") {
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 8) {
+      val n = 1 + rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(16)
+      val rows = (1 to n).map(i => (rnd.nextInt(20), i.toLong)) // heavy ties
+      val d = rows.toDF("v", "id").repartition(1 + rnd.nextInt(8))
+      val got = Ranking.ntileBuckets(d, Seq("v", "id"), k)
+        .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = d.withColumn("bucket",
+          ntile(k).over(Window.orderBy("v", "id")).cast("long"))
+        .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"n=$n k=$k")
+    }
+  }
 }

@@ -66,4 +66,36 @@ class StreamCurationSpec extends SparkSpec {
     assert(batch.count(r => r(1) == "de" && r(2) == 1L) ==
       batch.count(r => r(1) == "de" && r(2) == 0L))
   }
+
+  test("cluster assignment on a stream equals the batch assignment") {
+    // fixed centroids broadcast into the map-side argmin — a pure per-row
+    // function, so online cluster routing composes with streaming unchanged
+    val rnd = new scala.util.Random(23)
+    val pts = (0L until 200L).map { i =>
+      val c = if (i % 2 == 0) 0f else 6f
+      (i, Array(c + rnd.nextGaussian().toFloat, c - rnd.nextGaussian().toFloat))
+    }
+    val init = pts.take(2).toDF("vec_id", "embedding")
+      .select((org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+        .cast("long").as("cell"),
+        org.apache.spark.sql.functions.col("embedding").as("centroid"))
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    val q = graft.operators.Clustering.assign(
+      mem.toDF().toDF("vec_id", "embedding"), init)
+      .select("id", "cell")
+    val query = q.writeStream.format("memory").queryName("scs_cluster")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(pts.take(80): _*)
+      query.processAllAvailable()
+      mem.addData(pts.drop(80): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("scs_cluster").collect().map(_.toSeq).toSet
+    val batch = graft.operators.Clustering.assign(
+        pts.toDF("vec_id", "embedding"), init)
+      .select("id", "cell").collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.size == 200)
+  }
 }
