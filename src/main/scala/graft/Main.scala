@@ -295,10 +295,13 @@ object Main {
           k = flags.getOrElse("k", "10").toInt)
 
       case "surprisal" =>
-        // unigram-LM mean token surprisal per document
-        operators.UnigramLm.surprisal(spark.read.parquet(need("input")),
-          idCol = flags.getOrElse("id-col", "doc_id"),
-          textCol = flags.getOrElse("text-col", "text"))
+        // unigram (default) or --bigram LM mean token surprisal per doc
+        val sIn = spark.read.parquet(need("input"))
+        val sId = flags.getOrElse("id-col", "doc_id")
+        val sTxt = flags.getOrElse("text-col", "text")
+        if (flags.contains("bigram"))
+          operators.UnigramLm.bigramSurprisal(sIn, sId, sTxt)
+        else operators.UnigramLm.surprisal(sIn, sId, sTxt)
 
       case "pca" =>
         // embedding-space second-order stats: --covariance, --standardize,
@@ -441,7 +444,7 @@ object Main {
       |  semdedup --input PARQUET [--threshold T] [--n-bits N] [--n-tables N] [--id-col C] [--vec-col C]
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
       |  mix --input PARQUET --domain-col D --key-col K (--factors n=F,... | --balance [--weight-col W]) [--default F]
-      |  surprisal --input PARQUET [--id-col C] [--text-col C]
+      |  surprisal --input PARQUET [--bigram] [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--id-col C] [--text-col C]
       |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M] [--id-col C] [--vec-col C]
       |  bpe --input PARQUET [--merges N] [--encode] [--id-col C] [--text-col C]

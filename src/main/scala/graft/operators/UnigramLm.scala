@@ -34,4 +34,33 @@ object UnigramLm {
       .agg(round(sum(col("k") * -log(col("c") / col("t"))) / sum(col("k")), 6)
         .as("surprisal"))
   }
+
+  /** Bigram conditional surprisal: mean `−ln p(wᵢ | wᵢ₋₁)` over a doc's
+    * token transitions, with `p(w|v) = c(v,w) / c(v·)` from the corpus
+    * itself (every scored bigram was counted, so no smoothing is needed —
+    * this is the self-scoring quality-filter form). Sharper than the
+    * unigram score at flagging locally-incoherent text (random word salad
+    * has plausible unigrams but improbable transitions). Docs with < 2
+    * tokens have no transitions and are absent. Same scale shape as the
+    * unigram: per-(doc, bigram) multiplicities first (distinct pairs, not
+    * corpus positions, cross the shuffle), bigram and context totals
+    * aggregate from that already-collapsed frame.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = docs.select(col(idCol).as("id"),
+        TextFunctions.tokens(lower(coalesce(col(textCol), lit("")))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = t.select(col("id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
+      .select(col("id"), col("p.l").as("l"), col("p.r").as("r"))
+    val m = bg.groupBy("id", "l", "r").agg(count(lit(1)).cast("double").as("k"))
+    val clr = m.groupBy("l", "r").agg(sum(col("k")).as("clr"))
+    val cl = clr.groupBy("l").agg(sum(col("clr")).as("cltot"))
+    m.join(clr, Seq("l", "r")).join(cl, Seq("l"))
+      .groupBy("id")
+      .agg(round(sum(col("k") * -log(col("clr") / col("cltot"))) / sum(col("k")), 6)
+        .as("bigram_surprisal"))
+  }
 }

@@ -487,6 +487,29 @@ object TextQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // Bigram conditional surprisal (the sharper local-coherence signal
+    // beside q123's unigram): mean −ln p(w|prev) with p from the corpus'
+    // own transition counts. The oracle rebuilds the transition LM —
+    // positional bigrams, per-doc multiplicities, bigram + context
+    // totals — from first principles.
+    GQuery(
+      "q144_bigram_surprisal",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+        |           FROM documents),
+        |bg AS (SELECT doc_id, toks[i+1] AS l, toks[i+2] AS r
+        |       FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+        |             FROM t WHERE len(toks) >= 2)),
+        |m AS (SELECT doc_id, l, r, count(*)::DOUBLE AS k FROM bg GROUP BY 1, 2, 3),
+        |c AS (SELECT l, r, sum(k) AS clr FROM m GROUP BY 1, 2),
+        |cl AS (SELECT l, sum(clr) AS cltot FROM c GROUP BY 1)
+        |SELECT doc_id, round(sum(k * -ln(clr / cltot)) / sum(k), 6) AS bigram_surprisal
+        |FROM m JOIN c USING (l, r) JOIN cl USING (l)
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.UnigramLm
+        .bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // CCNet-style perplexity bucketing: every doc into one of 10 equal-size
     // quantile buckets by unigram surprisal — head bucket = boilerplate,
     // tail = garbage vocabulary. Spark side computes ANSI ntile WITHOUT the

@@ -258,6 +258,11 @@ class CliSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // p(x)=5/6, p(y)=1/6: doc 1 scores -ln(5/6), doc 2 the mean of both
     assert(sp(1L) < sp(2L))
+    // --bigram scores transitions: (x,x)=3 of c(x·)=4, (x,y)=1
+    val bsp = Main.run(spark, Seq("surprisal", "--input", tIn, "--bigram"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bsp(1L) < bsp(2L)) // x->x is the likely transition
+    assert(bsp.size == 2)
 
     val eIn = s"$dir/semdecon-corpus.parquet"
     val bIn = s"$dir/semdecon-bench.parquet"

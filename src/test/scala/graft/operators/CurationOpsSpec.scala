@@ -207,6 +207,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(!got.contains(3L) && !got.contains(4L))
   }
 
+  test("bigram surprisal matches a hand-built transition model") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    // transitions: (a,b)=3, (b,a)=1, (b,c)=1; contexts: a·=3, b·=2
+    val p = Map(("a", "b") -> 3.0 / 3, ("b", "a") -> 1.0 / 2, ("b", "c") -> 1.0 / 2)
+    def sp(trans: Seq[((String, String), Int)]) = {
+      val num = trans.map { case (t, k) => k * -math.log(p(t)) }.sum
+      val den = trans.map(_._2).sum
+      BigDecimal(num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = UnigramLm.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(
+      1L -> sp(Seq(("a", "b") -> 2, ("b", "a") -> 1)),
+      2L -> sp(Seq(("a", "b") -> 1, ("b", "c") -> 1))))
+    // single-token and empty docs have no transitions and are absent
+    assert(!got.contains(3L) && !got.contains(4L))
+  }
+
   // ---- Semantic decontamination ----
 
   test("semantic contamination reports the max cosine against the bench set") {
