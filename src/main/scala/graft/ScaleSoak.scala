@@ -268,6 +268,10 @@ object ScaleSoak {
     timed(s"BPE 20 merges over the $nDocs-doc corpus vocabulary") {
       graft.operators.Bpe.train(docs, "text", numMerges = 20).count()
     }
+    timed(s"bigram surprisal over $nDocs docs") {
+      graft.operators.UnigramLm.bigramSurprisal(docs, "doc_id", "text")
+        .agg(max("bigram_surprisal")).collect()
+    }
     spark.stop()
   }
 }
