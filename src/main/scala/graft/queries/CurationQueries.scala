@@ -267,6 +267,57 @@ object CurationQueries {
     // train split. One oracle replays all five stages in a single CTE
     // chain; every inter-stage decision is integer/hash-deterministic, so
     // the hash compare proves the COMPOSITION, not just each stage alone.
+    // Perplexity-bucket-then-balance composition (the CCNet recipe): score
+    // every doc with the unigram LM, cut into 10 surprisal ntiles WITHOUT
+    // a global window, drop the extreme buckets (1 = boilerplate, 10 =
+    // garbage), solve uniform-rebalance mixture factors from the
+    // SURVIVORS' token mass, and materialize the balanced epochs. One
+    // CTE-chain oracle recomputes the LM, the ANSI ntile, the filter, the
+    // factors and the epoch draws — proving the COMPOSITION end-to-end.
+    GQuery(
+      "q145_bucket_balance_pipeline",
+      s"""WITH toks AS (SELECT doc_id,
+         |                     unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS tok
+         |              FROM documents),
+         |m AS (SELECT doc_id, tok, count(*)::DOUBLE AS k FROM toks GROUP BY doc_id, tok),
+         |cnt AS (SELECT tok, sum(k) AS c FROM m GROUP BY tok),
+         |tot AS (SELECT sum(c) AS t FROM cnt),
+         |s AS (SELECT doc_id, round(sum(k * -ln(c / t)) / sum(k), 6) AS surprisal
+         |      FROM m JOIN cnt USING (tok) CROSS JOIN tot GROUP BY doc_id),
+         |b AS (SELECT doc_id, ntile(10) OVER (ORDER BY surprisal, doc_id) AS bucket FROM s),
+         |kept AS (SELECT d.doc_id, d.source,
+         |                len(list_filter(string_split(lower(d.text), ' '), x -> x != '')) AS n
+         |         FROM documents d JOIN b USING (doc_id)
+         |         WHERE b.bucket BETWEEN 2 AND 9),
+         |t2 AS (SELECT source, sum(n) AS tok FROM kept GROUP BY source),
+         |tot2 AS (SELECT sum(tok) AS T, count(*) AS nd FROM t2),
+         |f AS (SELECT source, round(T / (nd * tok), 6) AS factor
+         |      FROM t2 CROSS JOIN tot2),
+         |e AS (SELECT kept.doc_id, kept.source,
+         |             floor(f.factor)::BIGINT +
+         |             CASE WHEN ${duckHashUnit("kept.doc_id::VARCHAR", "mix")} <
+         |                       round((f.factor - floor(f.factor)) * 1e6)
+         |                  THEN 1 ELSE 0 END AS ne
+         |      FROM kept JOIN f USING (source))
+         |SELECT doc_id, source, unnest(range(ne))::BIGINT AS epoch
+         |FROM e WHERE ne > 0""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scores = graft.operators.UnigramLm.surprisal(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      val buckets = graft.operators.Ranking.ntileBuckets(
+        scores, Seq("surprisal", "doc_id"), k = 10)
+      val kept = docs.join(
+        buckets.filter(col("bucket").between(2, 9)).select("doc_id"), "doc_id")
+      val factors = Mixture.balanceFactors(
+          kept.select(col("source"),
+            graft.functions.TextFunctions.tokenCount(lower(col("text"))).as("w")),
+          "source", "w")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      Mixture.materialize(kept.select("doc_id", "source"),
+        domainCol = "source", keyCol = "doc_id", factors = factors,
+        default = 0.0)
+    },
+
     GQuery(
       "q125_curation_pipeline",
       s"""WITH corpus AS (
