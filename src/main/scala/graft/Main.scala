@@ -303,6 +303,12 @@ object Main {
           operators.UnigramLm.bigramSurprisal(sIn, sId, sTxt)
         else operators.UnigramLm.surprisal(sIn, sId, sTxt)
 
+      case "normalize" =>
+        // Unicode NFC canonicalization (run before any hash-keyed dedup)
+        operators.TextNormalize.nfc(spark.read.parquet(need("input")),
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          textCol = flags.getOrElse("text-col", "text"))
+
       case "pca" =>
         // embedding-space second-order stats: --covariance, --standardize,
         // --components, or (default) top-k projection
@@ -449,6 +455,7 @@ object Main {
       |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M] [--id-col C] [--vec-col C]
       |  bpe --input PARQUET [--merges N] [--encode] [--id-col C] [--text-col C]
       |  pca --input PARQUET [--k N] [--covariance | --standardize | --components] [--id-col C] [--vec-col C]
+      |  normalize --input PARQUET [--id-col C] [--text-col C]
       |  semdecontaminate --input PARQUET --benchmark PARQUET [--bench-chunks N] [--id-col C] [--vec-col C]
       |  vocab --input PARQUET [--k N] [--min-count N] [--id-col C] [--text-col C]
       |  tfidf --input PARQUET [--min-df N] [--id-col C] [--text-col C]

@@ -487,6 +487,25 @@ object TextQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // Unicode NFC canonicalization ahead of hash-keyed dedup: every row's
+    // text is decorated with a DECOMPOSED sequence (e + combining acute),
+    // so the md5s only match if both engines perform real canonical
+    // composition — Spark's java.text.Normalizer vs DuckDB's
+    // nfc_normalize, proven byte-equal on every document.
+    GQuery(
+      "q146_nfc_normalize",
+      """SELECT doc_id,
+        |       md5(nfc_normalize('e' || chr(769) || ' ' || coalesce(text, ''))) AS nfc_md5,
+        |       length(nfc_normalize('e' || chr(769) || ' ' || coalesce(text, '')))::BIGINT AS n_chars
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val decorated = Tables.documents(s, dir)
+        .select(col("doc_id"), // the literal is DECOMPOSED e + U+0301
+          concat(lit("é "), coalesce(col("text"), lit(""))).as("text"))
+      graft.operators.TextNormalize.nfc(decorated, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text_nfc")).as("nfc_md5"),
+          length(col("text_nfc")).cast("long").as("n_chars"))
+    },
+
     // Bigram conditional surprisal (the sharper local-coherence signal
     // beside q123's unigram): mean −ln p(w|prev) with p from the corpus'
     // own transition counts. The oracle rebuilds the transition LM —

@@ -280,6 +280,18 @@ class CliSpec extends SparkSpec {
     assert(scChunked == sc)
   }
 
+  test("normalize composes decomposed sequences to NFC") {
+    import spark.implicits._
+    val input = s"$dir/nfc.parquet"
+    Seq((1L, "caf\u00e9"), (2L, "cafe\u0301"), (3L, "plain"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(input)
+    val r = Main.run(spark, Seq("normalize", "--input", input))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == r(2L))            // precomposed == composed(decomposed)
+    assert(r(2L) == "caf\u00e9")      // NFC form
+    assert(r(3L) == "plain")          // ASCII unchanged
+  }
+
   test("pca projects, covaries and standardizes") {
     import spark.implicits._
     val input = s"$dir/pca.parquet"
