@@ -11,6 +11,11 @@ object Bench {
       // see Verify.scala: keep bounded-heap aggregates in hash mode past
       // 128 grouping keys (sort-based fallback sorts the raw pair stream)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // the default 100-entry codegen cache thrashes under a 143-query
+      // sweep (every sweep recompiles every generated class — measured as
+      // uniform per-query inflation vs small sweeps; see PLANS.md bench
+      // protocol); size it to hold the whole suite's codegen units
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/JIT/codegen + parquet reader init are process

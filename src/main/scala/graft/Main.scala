@@ -470,6 +470,9 @@ object Main {
       // see Verify.scala: keep bounded-heap aggregates in hash mode past
       // 128 grouping keys (sort-based fallback sorts the raw pair stream)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // default 100-entry codegen cache thrashes across a 143-query run
+      // (see Bench.scala / PLANS.md bench protocol)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

@@ -18,6 +18,9 @@ object Verify {
       // stream (the knnPartitioned grid join measured a disk-filling spill
       // at 200k x 10k before this was raised)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // default 100-entry codegen cache thrashes across a 143-query run
+      // (see Bench.scala / PLANS.md bench protocol)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
