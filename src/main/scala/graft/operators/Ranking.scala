@@ -69,6 +69,18 @@ object Ranking {
       rankCol: String = "rank", numParts: Int = 0): DataFrame =
     rankWithCount(df, orderCols, rankCol, numParts)._1
 
+  /** Append ANSI `percent_rank()` = (rank−1)/(n−1) ordering by `orderCols`
+    * (rounded to 6, engine-replayable; n=1 yields 0.0 as SQL does) — the
+    * score-normalization form of the global rank, same one-shuffle pass.
+    */
+  def percentRank(df: DataFrame, orderCols: Seq[String],
+      outCol: String = "pr", numParts: Int = 0): DataFrame = {
+    val (ranked, n) = rankWithCount(df, orderCols, "_rank", numParts)
+    val pr = if (n <= 1L) lit(0.0)
+      else round((col("_rank") - 1).cast("double") / (n - 1).toDouble, 6)
+    ranked.withColumn(outCol, pr).drop("_rank")
+  }
+
   /** Append SQL `ntile(k)` bucket numbers (1..k) ordering by `orderCols`,
     * without the single-partition window: the first `n mod k` buckets get
     * `ceil(n/k)` rows, the rest `floor(n/k)` — exactly ANSI ntile, derived

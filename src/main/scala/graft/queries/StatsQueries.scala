@@ -60,6 +60,21 @@ object StatsQueries {
       graft.operators.Pca.standardize(Tables.embeddings(s, dir), "vec_id", "embedding")
     },
 
+    // ANSI percent_rank without the single-partition window (the Ranking
+    // two-pass rank, q132's machinery): score normalization over the
+    // events value column. Oracle = DuckDB's real percent_rank over the
+    // identical total order.
+    GQuery(
+      "q147_percent_rank",
+      """SELECT event_id,
+        |       round(percent_rank() OVER (ORDER BY value, event_id), 6) AS pr
+        |FROM events""".stripMargin) { (s, dir) =>
+      graft.operators.Ranking.percentRank(
+        Tables.events(s, dir).select("event_id", "value"),
+        Seq("value", "event_id"))
+        .select("event_id", "pr")
+    },
+
     // A7: fixed-width histogram with clamped edge buckets.
     GQuery(
       "q28_histogram",

@@ -57,6 +57,19 @@ class RankingSpec extends SparkSpec {
     assert(Ranking.ntileBuckets(d, Seq("v", "id"), 4).count() == 0L)
   }
 
+  test("percentRank equals percent_rank(), including the n=1 edge") {
+    val d = df(77)
+    val got = Ranking.percentRank(d, Seq("v", "id"))
+      .select("id", "pr").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = d.withColumn("pr",
+        round(percent_rank().over(Window.orderBy("v", "id")), 6))
+      .select("id", "pr").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+    val one = Seq((5, 1L)).toDF("v", "id")
+    assert(Ranking.percentRank(one, Seq("v", "id"))
+      .select("pr").head.getDouble(0) == 0.0)
+  }
+
   test("randomized differential: ntile equals the window definition on random shapes") {
     val rnd = new scala.util.Random(41)
     for (_ <- 1 to 8) {
