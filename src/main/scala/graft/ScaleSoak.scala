@@ -76,8 +76,11 @@ object ScaleSoak {
         val r = Knn.knnPartitioned(pQ, pBase, k = 10, nQBlocks = 8, nBBlocks = 4)
         r.cache(); r.count(); r
       }
+      // max(1, .): nPartQ in 1..49 would make the modulus 0 and pmod(x, 0)
+      // null, silently emptying the sample and passing the check vacuously
       val sample = pBase.filter(
-        pmod(col("vec_id"), lit(nPartQ / 50)) === 0 && col("vec_id") < nPartQ)
+        pmod(col("vec_id"), lit(math.max(1, nPartQ / 50))) === 0 &&
+          col("vec_id") < nPartQ)
       def canon(df: org.apache.spark.sql.DataFrame) =
         df.select("query_id", "neighbor_id", "rank").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet

@@ -31,9 +31,13 @@ import graft.functions.TextFunctions
   * Determinism: pair ties break on (count desc, left asc, right asc) in
   * binary string order — byte-replayable by any engine. Merge application
   * is left-to-right non-overlapping (greedy BPE): for the pair (a,a) on
-  * "a a a" the result is "aa a", exactly SQL `replace(seg, 'a a', 'aa')`
-  * on the space-joined segmentation — which is how the oracle replays
-  * training without a procedural loop.
+  * "a a a" the result is "aa a". While every piece is still a single
+  * character (i.e. for the FIRST merge only) this equals SQL
+  * `replace(seg, 'a b', 'ab')` on the space-joined segmentation; once
+  * pieces are multi-character a bare replace can match across a piece
+  * boundary ('th e' -> 'the' for the merge (h,e)), so later merges must
+  * be replayed piece-wise (the oracle folds the piece list with a
+  * boundary-guarded `list_reduce`).
   */
 object Bpe {
 

@@ -18,8 +18,13 @@ import org.apache.spark.sql.functions._
   * matmul against the broadcast component matrix — zero shuffle again.
   *
   * Sign convention: each eigenvector is flipped so its
-  * largest-absolute-value entry is positive (ties to the lowest index),
-  * making results reproducible across partitionings and engines.
+  * largest-absolute-value entry is positive (ties to the lowest index).
+  * Reproducibility across partitionings: the treeAggregate's double
+  * summation order is partition-dependent, so the raw covariance carries
+  * ULP noise; the eigensolve (and the projection) therefore runs on the
+  * covariance ROUNDED to 6 decimals — the same quantization
+  * `covariance()`/`standardize()` emit — pinning one matrix (hence one
+  * deterministic Jacobi result) for every partitioning of the same data.
   */
 object Pca {
 
@@ -63,6 +68,12 @@ object Pca {
     }
     (mean, cov, n)
   }
+
+  /** Covariance quantized to 6 decimals — the partitioning-independent
+    * matrix the eigensolve runs on (see the reproducibility note above).
+    */
+  private def rounded6(a: Array[Double]): Array[Double] =
+    a.map(x => math.rint(x * 1e6) / 1e6)
 
   /** Population covariance matrix as (i, j, cov) rows, rounded to 6 —
     * engine-replayable (`covar_pop` in any SQL dialect).
@@ -154,7 +165,7 @@ object Pca {
     val (_, cov, _) = momentsOf(df, vecCol)
     val d = math.sqrt(cov.length.toDouble).toInt
     require(k > 0 && k <= d, s"k must be in [1, $d], got $k")
-    val (vals, vecs) = jacobi(cov, d)
+    val (vals, vecs) = jacobi(rounded6(cov), d)
     val rows = for (c <- 0 until k; i <- 0 until d)
       yield (c.toLong, i.toLong, vecs(c)(i), vals(c))
     rows.toDF("component", "idx", "weight", "eigenvalue")
@@ -170,9 +181,9 @@ object Pca {
     val (mean, cov, _) = momentsOf(df, vecCol)
     val d = mean.length
     require(k > 0 && k <= d, s"k must be in [1, $d], got $k")
-    val (_, vecs) = jacobi(cov, d)
+    val (_, vecs) = jacobi(rounded6(cov), d)
     val comps = vecs.take(k)
-    val bcM = spark.sparkContext.broadcast(mean)
+    val bcM = spark.sparkContext.broadcast(rounded6(mean))
     val bcC = spark.sparkContext.broadcast(comps)
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]

@@ -37,6 +37,11 @@ object Ranking {
   private def rankWithCount(df: DataFrame, orderCols: Seq[String],
       rankCol: String, numParts: Int): (DataFrame, Long) = {
     require(orderCols.nonEmpty, "globalRank needs at least one order column")
+    // reserved-column guard (the Mixture.materialize convention): appending
+    // a rank column over an input that already has one would produce
+    // duplicate field names and an ambiguous downstream col(rankCol)
+    require(!df.columns.contains(rankCol),
+      s"input already has a '$rankCol' column; pass a different rankCol")
     val spark = df.sparkSession
     val parts = if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
@@ -44,7 +49,11 @@ object Ranking {
     val base = df.repartitionByRange(parts, oc: _*)
       .sortWithinPartitions(oc: _*)
     val schema = base.schema
-    val rows = base.rdd // shared lineage: the exchange computes once
+    // InternalRow lineage, not `.rdd`: the external-Row conversion boxes
+    // every field and plans a serialization boundary that knocks the rank
+    // output out of whole-stage codegen. `toRdd` shares one lineage, so
+    // the range-exchange map stage computes once across both passes.
+    val rows = base.queryExecution.toRdd
     val counts = rows.mapPartitionsWithIndex { case (pid, it) =>
       Iterator(pid -> it.size.toLong)
     }.collect().toMap
@@ -53,9 +62,13 @@ object Ranking {
     val bc = spark.sparkContext.broadcast(offsets)
     val ranked = rows.mapPartitionsWithIndex { case (pid, it) =>
       var r = bc.value(pid)
-      it.map { row => r += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r) }
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      it.map { row => r += 1; extra.update(0, r)
+        joined(row, extra): org.apache.spark.sql.catalyst.InternalRow }
     }
-    val out = spark.createDataFrame(ranked,
+    val out = org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(
+      spark, ranked,
       org.apache.spark.sql.types.StructType(schema.fields :+
         org.apache.spark.sql.types.StructField(rankCol,
           org.apache.spark.sql.types.LongType, nullable = false)))

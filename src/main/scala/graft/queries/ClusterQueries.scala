@@ -89,7 +89,12 @@ object ClusterQueries {
          |      FROM assign)
          |SELECT cell, idx, round(avg(x), 6) AS c, count(*) AS n_points
          |FROM m GROUP BY cell, idx""".stripMargin) { (s, dir) =>
+      // lloyd keeps an empty cell's previous centroid with n_points=0; the
+      // oracle derives rows only from cells that received assignments, so
+      // the projection drops empties (can occur when the 8 lowest-id init
+      // embeddings contain duplicates and the tie rule empties a cell).
       Clustering.lloyd(Tables.embeddings(s, dir), k = 8, iters = 1)
+        .filter(col("n_points") > 0)
         .select(col("cell"), posexplode(col("centroid")).as(Seq("idx", "x")),
           col("n_points"))
         .select(col("cell"), col("idx").cast("long").as("idx"),

@@ -658,6 +658,12 @@ object TextQueries {
       graft.operators.Bpe.train(Tables.documents(s, dir), "text", numMerges = 2)
     },
 
+    // Merge 1 runs over single-character pieces, where a bare string
+    // replace IS the greedy piece-level merge. Merge 2 runs over
+    // multi-character pieces, where a bare replace could match a merged
+    // piece's suffix across a piece boundary ('th e' -> 'the' for the
+    // merge (h,e)); seg2 therefore folds the piece LIST left-to-right with
+    // a boundary-guarded list_reduce — exactly Bpe.applyMerge.
     GQuery(
       "q138_bpe_encode",
       """WITH w AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS word
@@ -681,7 +687,12 @@ object TextQueries {
         |        GROUP BY 1, 2),
         |m2 AS (SELECT l, r FROM pc1 ORDER BY cnt DESC, l, r LIMIT 1),
         |seg2 AS (SELECT word, seg1.cnt,
-        |                replace(seg1.seg, m2.l || ' ' || m2.r, m2.l || m2.r) AS seg
+        |                list_reduce(string_split(seg1.seg, ' '),
+        |                  (acc, x) -> CASE WHEN x = m2.r AND
+        |                                   (acc = m2.l OR ends_with(acc, ' ' || m2.l))
+        |                              THEN substr(acc, 1, length(acc) - length(m2.l))
+        |                                   || m2.l || x
+        |                              ELSE acc || ' ' || x END) AS seg
         |         FROM seg1 CROSS JOIN m2),
         |pieces AS (SELECT word, len(string_split(seg, ' '))::BIGINT AS n_pieces FROM seg2),
         |dw AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS word

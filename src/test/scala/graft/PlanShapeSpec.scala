@@ -193,4 +193,28 @@ class PlanShapeSpec extends SparkSpec {
         s"pair exchange carries an array column:\n$e")
     }
   }
+
+  test("Ranking.globalRank output is an InternalRow scan, codegen-capable") {
+    val df = (0L until 512L).map(i => (i, (i * 2654435761L) % 997))
+      .toDF("id", "score")
+    // the rank pass itself stays on InternalRow (compile-time: toRdd +
+    // JoinedRow in Ranking.rankWithCount) — the external-Row round trip
+    // would surface here as an RDD of Rows needing per-field conversion;
+    // the output must be a plain ExistingRDD scan with no object
+    // serialization boundary, and downstream expressions must still fuse
+    // into WholeStageCodegen over that scan
+    val ranked = graft.operators.Ranking.globalRank(df, Seq("score", "id"))
+    val downstream = ranked.filter(col("rank") <= 100)
+      .select(col("id"), (col("rank") * 2).as("r2"))
+    val s = executedPlan(downstream).toString
+    assert(!s.contains("DeserializeToObject") && !s.contains("SerializeFromObject"),
+      s"rank plan crosses an object-serialization boundary:\n$s")
+    // the `*(n)` prefix is toString's WholeStageCodegen marker: the scan
+    // and everything above it must carry it
+    assert(s.linesIterator.exists(l =>
+        l.contains("Scan ExistingRDD") && l.replace("+- ", "").trim.startsWith("*(")),
+      s"rank scan not inside WholeStageCodegen:\n$s")
+    assert(s.linesIterator.exists(l => l.trim.startsWith("*(") && l.contains("Project")),
+      s"downstream of rank fell out of codegen:\n$s")
+  }
 }

@@ -94,7 +94,9 @@ class PcaSpec extends SparkSpec {
     pts.take(20).foreach { case (id, x) =>
       val cn = math.sqrt(x.indices.map(i => math.pow(x(i) - mean(i), 2)).sum)
       val pn = math.sqrt(full(id).map(v => v * v).sum)
-      assert(math.abs(cn - pn) < 1e-8)
+      // 1e-6-quantized covariance/mean (the determinism contract) perturbs
+      // the rotation by O(1e-6) relative — norms agree to that order
+      assert(math.abs(cn - pn) < 1e-5, s"id=$id: |x-mean|=$cn proj=$pn")
     }
   }
 
