@@ -322,11 +322,25 @@ object Main {
         else operators.Pca.project(input, idC, vecC, flags.getOrElse("k", "8").toInt)
 
       case "bpe" =>
-        // BPE tokenizer training (merge table) or encoding (piece counts)
+        // BPE tokenizer training (merge table), count encoding, or token-id
+        // encoding (--ids: per-doc id sequences from the trained model)
         val input = spark.read.parquet(need("input"))
         val txtC = flags.getOrElse("text-col", "text")
         val m = flags.getOrElse("merges", "100").toInt
-        if (flags.contains("encode"))
+        // training is one driver-coordinated job round-trip PER MERGE
+        // (~0.2 s floor each, independent of cluster size) — refuse
+        // vocabulary-scale merge counts unless the caller raises the
+        // ceiling explicitly and owns the hours-long driver loop
+        val maxM = flags.getOrElse("max-merges", "50000").toInt
+        require(m <= maxM,
+          s"--merges $m exceeds --max-merges $maxM: each merge is a driver " +
+            s"round-trip (~0.2 s floor, cluster-size independent; $m merges " +
+            s"≈ ${m / 300} min of job overhead). Pass --max-merges $m to proceed.")
+        if (flags.contains("ids")) {
+          val model = operators.Bpe.fit(input, txtC, m)
+          operators.Bpe.encode(input,
+            flags.getOrElse("id-col", "doc_id"), txtC, model)
+        } else if (flags.contains("encode"))
           operators.Bpe.encodeCounts(input,
             flags.getOrElse("id-col", "doc_id"), txtC, m)
         else operators.Bpe.train(input, txtC, m)
@@ -453,7 +467,7 @@ object Main {
       |  surprisal --input PARQUET [--bigram] [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--id-col C] [--text-col C]
       |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M] [--id-col C] [--vec-col C]
-      |  bpe --input PARQUET [--merges N] [--encode] [--id-col C] [--text-col C]
+      |  bpe --input PARQUET [--merges N] [--encode | --ids] [--id-col C] [--text-col C] [--max-merges N]
       |  pca --input PARQUET [--k N] [--covariance | --standardize | --components] [--id-col C] [--vec-col C]
       |  normalize --input PARQUET [--id-col C] [--text-col C]
       |  semdecontaminate --input PARQUET --benchmark PARQUET [--bench-chunks N] [--id-col C] [--vec-col C]

@@ -117,6 +117,130 @@ object Bpe {
       .toDF("merge_rank", "merge_left", "merge_right", "pair_cnt")
   }
 
+  /** A trained tokenizer: the ordered merge list plus the token vocabulary
+    * (training alphabet ∪ merge outputs), ids assigned by UTF-8 binary sort
+    * order — the one ordering every engine reproduces (Spark's UTF8String
+    * and DuckDB's default collation both compare raw bytes, unlike Java's
+    * UTF-16 `compareTo`, which misorders supplementary-plane characters).
+    */
+  final case class BpeModel(merges: Seq[(String, String)], vocab: Map[String, Int]) {
+    /** rank lookup for the encode kernel (1-based, training order) */
+    private[operators] lazy val mergeRank: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+  }
+
+  private val utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
+  /** Train `numMerges` merges and package them with the token vocabulary as
+    * an applicable tokenizer. The alphabet is the training corpus's distinct
+    * characters (one vocabulary-relation aggregate — no extra corpus pass);
+    * merge outputs extend it; ids are the UTF-8 binary rank.
+    */
+  def fit(docs: DataFrame, textCol: String, numMerges: Int): BpeModel = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, vocabSeg) = trainInternal(docs, textCol, numMerges)
+    val alphabet = vocabSeg
+      .select(explode(expr(
+        "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")).as("ch"))
+      .distinct().as[String].collect()
+    vocabSeg.unpersist(blocking = false)
+    val mergeList = merges.map { case (_, l, r, _) => (l, r) }
+    val pieces = (alphabet ++ mergeList.map { case (l, r) => l + r })
+      .distinct.sorted(utf8Order)
+    BpeModel(mergeList, pieces.zipWithIndex.toMap)
+  }
+
+  /** Segment one word with the trained merges — lowest-rank-first, which
+    * equals replaying the merges sequentially in training order (a merge of
+    * rank i can never become newly applicable after a merge of rank k > i
+    * fires: rank i's right element was a token that existed at training
+    * round i, and rank k's output first exists at round k). The rank-driven
+    * loop costs O(len × merges-applied) per word, independent of the merge
+    * table size — sequential replay would pay O(len × numMerges).
+    */
+  private[operators] def segmentWord(word: String,
+      rank: Map[(String, String), Int]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        syms = applyMerge(syms, syms(bi), syms(bi + 1))
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Corpus-wide BPE encoding: apply a trained model to every document,
+    * yielding `(idCol, tok_ids array<int>)` — the per-document token-id
+    * sequence a packer/dataloader consumes. The missing link between
+    * `train` (a merge-table learner) and `Packing` (which needs actual
+    * token streams).
+    *
+    * Scale shape: ZERO shuffle — a typed `mapPartitions` kernel over the
+    * document rows with the merge table + vocabulary broadcast (a 50k-merge
+    * model is a few MB). Word segmentations are memoized per partition
+    * (Zipf makes the hit rate high; the memo is size-capped so a
+    * pathological all-unique partition cannot grow it unboundedly).
+    * Tokenization matches training (`lower` + single-space split, empties
+    * dropped). A piece absent from the vocabulary (a character never seen
+    * in training) encodes as -1 — the conventional UNK sentinel,
+    * impossible when encoding the training corpus itself.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      model: BpeModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val memoCap = 1 << 20
+    docs.select(col(idCol).cast("long"),
+        lower(coalesce(col(textCol), lit(""))))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        val rank = m.mergeRank
+        val vocab = m.vocab
+        val memo = new java.util.HashMap[String, Array[Int]]()
+        it.map { case (id, text) =>
+          val words = text.split(" ").iterator.filter(_.nonEmpty)
+          val out = scala.collection.mutable.ArrayBuilder.make[Int]
+          words.foreach { w =>
+            var ids = memo.get(w)
+            if (ids == null) {
+              ids = segmentWord(w, rank).map(p => vocab.getOrElse(p, -1))
+              if (memo.size < memoCap) memo.put(w, ids)
+            }
+            out ++= ids
+          }
+          (id, out.result())
+        }
+      }
+      .toDF(idCol, "tok_ids")
+  }
+
   /** Per-document BPE token counts after `numMerges` trained merges: join
     * each document's words to the final vocabulary segmentation and sum
     * piece counts — the compression-ratio signal tokenizer ablations read

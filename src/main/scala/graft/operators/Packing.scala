@@ -61,8 +61,10 @@ object Packing {
       .sortWithinPartitions(idCol)
     val schema = base.schema
     val nIdx = schema.fieldIndex("n_tokens")
-    // one RDD value shared by both jobs: the range exchange computes once
-    val rows = base.rdd
+    // one InternalRow lineage shared by both jobs: the range exchange
+    // computes once, and (unlike `.rdd`) no external-Row boxing boundary —
+    // the coords output stays a codegen-capable ExistingRDD scan
+    val rows = base.queryExecution.toRdd
     val totals = rows.mapPartitionsWithIndex { case (pid, it) =>
       var s = 0L
       it.foreach(r => s += r.getLong(nIdx))
@@ -73,13 +75,17 @@ object Packing {
     val bc = spark.sparkContext.broadcast(offsets)
     val withStart = rows.mapPartitionsWithIndex { case (pid, it) =>
       var run = bc.value(pid)
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       it.map { r =>
         val start = run
         run += r.getLong(nIdx)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ start)
+        extra.update(0, start)
+        joined(r, extra): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    val coords = spark.createDataFrame(withStart,
+    val coords = org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(
+      spark, withStart,
       org.apache.spark.sql.types.StructType(schema.fields :+
         org.apache.spark.sql.types.StructField("tok_start",
           org.apache.spark.sql.types.LongType, nullable = false)))
@@ -132,9 +138,22 @@ object Packing {
     * `array_sort`, so the result is partition-order independent.
     */
   def materializeSequences(docs: DataFrame, idCol: String, textCol: String,
-      seqLen: Int, numParts: Int = 0): DataFrame = {
-    val toks = docs.select(col(idCol),
-      graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+      seqLen: Int, numParts: Int = 0): DataFrame =
+    materializeTokenSequences(
+      docs.select(col(idCol),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("_toks")),
+      idCol, "_toks", seqLen, numParts)
+
+  /** `materializeSequences` over a PRE-TOKENIZED corpus: `toksCol` is any
+    * `array<string>` token column (whitespace words, BPE pieces, token ids
+    * rendered as strings — the packer is tokenizer-agnostic). This is the
+    * entry point a tokenize→pack pipeline composes with `Bpe.encode`.
+    * Same output and scale shape as `materializeSequences` (which now
+    * delegates here after whitespace-tokenizing).
+    */
+  def materializeTokenSequences(pretok: DataFrame, idCol: String,
+      toksCol: String, seqLen: Int, numParts: Int = 0): DataFrame = {
+    val toks = pretok.select(col(idCol), col(toksCol).as("_toks"))
     val counts = toks.select(col(idCol), size(col("_toks")).cast("long").as("_n"))
     val coords = packCoordinates(counts, idCol, "_n", seqLen, numParts)
     val l = lit(seqLen.toLong)

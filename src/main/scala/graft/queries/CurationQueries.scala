@@ -391,5 +391,87 @@ object CurationQueries {
         TextFunctions.tokenCount(col("text")).as("n_tok"))
       Packing.packCoordinates(counts, "doc_id", "n_tok", seqLen = 256)
     },
+
+    // The tokenize→pack spine end-to-end: TRAIN a 2-merge BPE tokenizer on
+    // the corpus, ENCODE every document to token-id sequences with the
+    // trained model (zero-shuffle kernel, UTF-8-ranked vocabulary ids),
+    // then PACK the id stream into 32-token sequences and md5-pin each
+    // sequence's content. The oracle replays all three stages in one CTE
+    // chain — training (pair counts, both merges, the second piece-wise via
+    // the boundary-guarded list_reduce), the vocabulary id assignment
+    // (binary-collation row_number), per-document id streams (word join in
+    // position order), and q126's packing arithmetic — so a green hash
+    // proves the COMPOSITION: trained merges → applied segmentation → ids
+    // → sequence content, byte-for-byte.
+    GQuery(
+      "q148_bpe_pack_pipeline",
+      """WITH w AS (SELECT doc_id,
+        |                  list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+        |           FROM documents),
+        |wc AS (SELECT word, count(*) AS cnt
+        |       FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word),
+        |seg0 AS (SELECT word, cnt,
+        |                array_to_string(list_transform(range(1, length(word)+1),
+        |                                               i -> substr(word, i, 1)), ' ') AS seg
+        |         FROM wc),
+        |pc0 AS (SELECT s[i+1] AS l, s[i+2] AS r, sum(cnt)::BIGINT AS cnt
+        |        FROM (SELECT cnt, s, unnest(range(len(s) - 1)) AS i
+        |              FROM (SELECT cnt, string_split(seg, ' ') AS s FROM seg0))
+        |        GROUP BY 1, 2),
+        |m1 AS (SELECT l, r FROM pc0 ORDER BY cnt DESC, l, r LIMIT 1),
+        |seg1 AS (SELECT word, seg0.cnt,
+        |                replace(seg0.seg, m1.l || ' ' || m1.r, m1.l || m1.r) AS seg
+        |         FROM seg0 CROSS JOIN m1),
+        |pc1 AS (SELECT s[i+1] AS l, s[i+2] AS r, sum(cnt)::BIGINT AS cnt
+        |        FROM (SELECT cnt, s, unnest(range(len(s) - 1)) AS i
+        |              FROM (SELECT cnt, string_split(seg, ' ') AS s FROM seg1))
+        |        GROUP BY 1, 2),
+        |m2 AS (SELECT l, r FROM pc1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |seg2 AS (SELECT word, seg1.cnt,
+        |                list_reduce(string_split(seg1.seg, ' '),
+        |                  (acc, x) -> CASE WHEN x = m2.r AND
+        |                                   (acc = m2.l OR ends_with(acc, ' ' || m2.l))
+        |                              THEN substr(acc, 1, length(acc) - length(m2.l))
+        |                                   || m2.l || x
+        |                              ELSE acc || ' ' || x END) AS seg
+        |         FROM seg1 CROSS JOIN m2),
+        |vp AS (SELECT DISTINCT unnest(string_split(seg, ' ')) AS piece FROM seg0
+        |       UNION SELECT l || r FROM m1
+        |       UNION SELECT l || r FROM m2),
+        |vocab AS (SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS tid FROM vp),
+        |wp AS (SELECT word, generate_subscripts(string_split(seg, ' '), 1) AS pi,
+        |              unnest(string_split(seg, ' ')) AS piece
+        |       FROM seg2),
+        |wseq AS (SELECT word, string_agg(tid::VARCHAR, ' ' ORDER BY pi) AS ids,
+        |                count(*)::BIGINT AS np
+        |         FROM wp JOIN vocab USING (piece) GROUP BY word),
+        |dw AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS word FROM w),
+        |dt AS (SELECT doc_id,
+        |              string_split(string_agg(ids, ' ' ORDER BY wi), ' ') AS toks,
+        |              sum(np)::BIGINT AS n
+        |       FROM dw JOIN wseq USING (word) GROUP BY doc_id),
+        |c AS (SELECT doc_id, toks, n,
+        |             coalesce(sum(n) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+        |      FROM dt WHERE n > 0),
+        |m AS (SELECT doc_id, toks, n, s,
+        |             unnest(range((s // 32), ((s + n - 1) // 32) + 1)) AS seq_id
+        |      FROM c),
+        |x AS (SELECT seq_id,
+        |             greatest(0, s - seq_id * 32) AS seq_offset,
+        |             least(n, (seq_id + 1) * 32 - s) - greatest(0, seq_id * 32 - s) AS k,
+        |             array_to_string(toks[(greatest(0, seq_id * 32 - s) + 1):(least(n, (seq_id + 1) * 32 - s))], ' ') AS slice
+        |      FROM m)
+        |SELECT seq_id, sum(k)::BIGINT AS n_tokens,
+        |       md5(string_agg(slice, ' ' ORDER BY seq_offset)) AS seq_md5
+        |FROM x GROUP BY seq_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.Bpe.fit(docs, "text", numMerges = 2)
+      val enc = graft.operators.Bpe.encode(docs, "doc_id", "text", model)
+      Packing.materializeTokenSequences(
+        enc.select(col("doc_id"),
+          expr("transform(tok_ids, t -> cast(t AS string))").as("toks")),
+        "doc_id", "toks", seqLen = 32)
+    },
   )
 }

@@ -318,6 +318,18 @@ class CliSpec extends SparkSpec {
     val enc = Main.run(spark, Seq("bpe", "--input", input, "--merges", "2",
       "--encode")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(enc == Map(1L -> 3L, 2L -> 2L)) // "ab"=1 piece, "abc"=1 piece
+    // --ids: token-id sequences from the trained model. Vocab in UTF-8
+    // order: a=0, ab=1, abc=2, b=3, c=4
+    val ids = Main.run(spark, Seq("bpe", "--input", input, "--merges", "2",
+      "--ids")).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(ids == Map(1L -> Seq(1, 1, 1), 2L -> Seq(2, 2)))
+    // merge-count ceiling: a driver loop per merge, refuse past --max-merges
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("bpe", "--input", input, "--merges", "60000"))
+    }
+    assert(e.getMessage.contains("max-merges"))
+    assert(Main.run(spark, Seq("bpe", "--input", input, "--merges", "3",
+      "--max-merges", "3")).count() >= 1)
   }
 
   test("cluster assigns k-means cells and balanced samples") {

@@ -194,6 +194,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("Bpe.encode executes with ZERO shuffle exchanges (broadcast-model kernel)") {
+    val docs = (0L until 64L).map(i => (i, s"alpha beta tok${i % 4} gamma"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.Bpe.fit(docs, "text", numMerges = 2)
+    // the encode itself is a pure per-row kernel over a broadcast model —
+    // any exchange here would mean the corpus shuffles to get tokenized
+    assert(shuffleCount(executedPlan(
+      graft.operators.Bpe.encode(docs, "doc_id", "text", model))) == 0)
+  }
+
   test("Ranking.globalRank output is an InternalRow scan, codegen-capable") {
     val df = (0L until 512L).map(i => (i, (i * 2654435761L) % 997))
       .toDF("id", "score")

@@ -69,6 +69,64 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "a", "b", 2L))) // one merge, then exhausted
   }
 
+  test("fit: vocabulary = alphabet ∪ merge outputs, ids in UTF-8 byte order") {
+    val model = Bpe.fit(docs, "text", numMerges = 3)
+    assert(model.merges.length == 3)
+    val alphabet = corpus.flatMap(_._2.split(" ")).flatMap(_.map(_.toString)).toSet
+    val expectPieces = alphabet ++ model.merges.map { case (l, r) => l + r }
+    assert(model.vocab.keySet == expectPieces)
+    // ids are the rank in byte order, contiguous from 0
+    val byId = model.vocab.toSeq.sortBy(_._2)
+    assert(byId.map(_._2) == byId.indices)
+    assert(byId.map(_._1) == byId.map(_._1).sorted) // ASCII fixture: byte order = natural
+  }
+
+  test("encode replays the trained segmentation: ids decode to refTrain pieces") {
+    val words = corpus.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val (_, segs) = refTrain(words, 10)
+    val model = Bpe.fit(docs, "text", numMerges = 10)
+    val inv = model.vocab.map(_.swap)
+    val got = Bpe.encode(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).map(inv)).toMap
+    val want = corpus.map { case (id, t) =>
+      id -> t.split(" ").flatMap(w => segs(w)).toSeq
+    }.toMap
+    assert(got == want)
+  }
+
+  test("segmentWord lowest-rank-first equals sequential merge replay (randomized)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 30) {
+      // train on a random corpus so the merge table has the trained-rank
+      // structure the lowest-rank-first equivalence relies on
+      val ws = (0 until 12).map(_ =>
+        (0 until (1 + rnd.nextInt(7))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val wc = ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val (merges, _) = refTrain(wc, 8)
+      val rank = merges.map { case (rk, l, r, _) => (l, r) -> rk.toInt }.toMap
+      // sequential replay: apply each merge in rank order
+      ws.distinct.foreach { w =>
+        var seq: Array[String] = w.map(_.toString).toArray
+        merges.sortBy(_._1).foreach { case (_, l, r, _) =>
+          seq = Bpe.applyMerge(seq, l, r)
+        }
+        val fast = Bpe.segmentWord(w, rank)
+        assert(fast.toSeq == seq.toSeq, s"trial $trial word '$w'")
+      }
+    }
+  }
+
+  test("encode maps pieces outside the training vocabulary to -1 (UNK)") {
+    val model = Bpe.fit(docs, "text", numMerges = 2)
+    val unseen = Seq((9L, "low zzq")).toDF("doc_id", "text")
+    val ids = Bpe.encode(unseen, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // 'z' and 'q' never appear in the training corpus
+    assert(ids(9L).count(_ == -1) == 3)
+    assert(ids(9L).forall(i => i == -1 || i >= 0))
+  }
+
   test("encodeCounts equals the reference segmentation's piece totals") {
     val words = corpus.flatMap(_._2.split(" ")).groupBy(identity)
       .map { case (w, g) => w -> g.size.toLong }

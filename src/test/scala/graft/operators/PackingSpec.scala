@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Sequence-packing invariants: the distributed two-phase prefix sum equals
@@ -114,5 +116,17 @@ class PackingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Packing.packCoordinates(docs, "doc_id", "n_tok", 0)
     }
+  }
+
+  test("materializeTokenSequences over pre-tokenized arrays == text path") {
+    val textDocs = Seq((1L, "a b c"), (2L, "d e f g h"), (3L, ""), (4L, "i j"))
+      .toDF("doc_id", "text")
+    val pretok = textDocs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+    val viaText = Packing.materializeSequences(textDocs, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val viaToks = Packing.materializeTokenSequences(pretok, "doc_id", "tk", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(viaText == viaToks)
   }
 }
