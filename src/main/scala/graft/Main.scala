@@ -272,15 +272,28 @@ object Main {
 
       case "semdedup" =>
         // embedding-space semantic dedup: cluster ids + keep decisions.
-        // Recall is probabilistic (LSH candidates): size --n-bits to the
-        // corpus (≈ log2(n)+2) and raise --n-tables to compensate — a
-        // missed near-dup pair silently keeps a true duplicate.
-        operators.Dedup.semanticDedup(spark.read.parquet(need("input")),
-          idCol = flags.getOrElse("id-col", "vec_id"),
-          vecCol = flags.getOrElse("vec-col", "embedding"),
-          threshold = flags.getOrElse("threshold", "0.95").toDouble,
-          nBits = flags.getOrElse("n-bits", "8").toInt,
-          nTables = flags.getOrElse("n-tables", "8").toInt)
+        // Default path = LSH candidates; recall is probabilistic — size
+        // --n-bits to the corpus (≈ log2(n)+2) and raise --n-tables to
+        // compensate, a missed near-dup pair silently keeps a true
+        // duplicate. --cells K switches to the k-means-sharded paper shape
+        // (lloyd-trained cells bound candidates structurally; the
+        // approximation becomes cell boundaries instead of hash recall).
+        val sdIn = spark.read.parquet(need("input"))
+        val sdId = flags.getOrElse("id-col", "vec_id")
+        val sdVec = flags.getOrElse("vec-col", "embedding")
+        val sdThr = flags.getOrElse("threshold", "0.95").toDouble
+        flags.get("cells") match {
+          case Some(k) =>
+            val cents = operators.Clustering.lloyd(sdIn, k.toInt,
+                iters = flags.getOrElse("iters", "3").toInt,
+                idCol = sdId, vecCol = sdVec)
+              .select(col("cell"), col("centroid"))
+            operators.Dedup.semanticDedupSharded(sdIn, sdId, sdVec, sdThr, cents)
+          case None =>
+            operators.Dedup.semanticDedup(sdIn, sdId, sdVec, sdThr,
+              nBits = flags.getOrElse("n-bits", "8").toInt,
+              nTables = flags.getOrElse("n-tables", "8").toInt)
+        }
 
       case "bm25" =>
         // sparse keyword top-k retrieval; terms are trimmed so
@@ -461,7 +474,7 @@ object Main {
       |  redact --input PARQUET [--id-col C] [--text-col C]
       |  pack --input PARQUET [--seq-len N] [--manifest | --sequences] [--id-col C] [--text-col C]
       |  dupspans --input PARQUET [--width N] [--id-col C] [--text-col C]
-      |  semdedup --input PARQUET [--threshold T] [--n-bits N] [--n-tables N] [--id-col C] [--vec-col C]
+      |  semdedup --input PARQUET [--threshold T] [--n-bits N] [--n-tables N] [--cells K] [--iters N] [--id-col C] [--vec-col C]
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
       |  mix --input PARQUET --domain-col D --key-col K (--factors n=F,... | --balance [--weight-col W]) [--default F]
       |  surprisal --input PARQUET [--bigram] [--id-col C] [--text-col C]

@@ -235,6 +235,31 @@ object ScaleSoak {
         threshold = 0.999, nBits = 22, nTables = 8)
         .filter(!col("keep")).count()
     }
+    // k-means-sharded SemDeDup at the same scale: candidate volume is
+    // STRUCTURAL (Σ n_c² over cells) vs the LSH path's bucket co-occupancy
+    // — print both so the knob trade (cells vs nBits) is measured, then run
+    // the full sharded dedup
+    val sdCells = sys.env.getOrElse("SOAK_SEMDEDUP_CELLS", "2048").toInt
+    if (sdCells > 0) {
+      val sdCents = timed(s"sharded semdedup: train $sdCells cells (sampled)") {
+        Ann.trainCentroids(spark, base, nList = sdCells)
+          .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      }
+      val hist = operators.Clustering.assign(base, sdCents, metric = "EUCLIDEAN")
+        .groupBy("cell").count().select(col("count").as("c"))
+      val shardedCand = hist.agg(sum(expr("c * (c - 1) / 2"))).collect()(0).getLong(0)
+      val lshCand = timed("LSH candidate volume (threshold=-1 passes all)") {
+        Dedup.embeddingNearDupPairsBucketed(base, "vec_id", "embedding",
+          threshold = -1.0, nBits = 22, nTables = 8).count()
+      }
+      println(s"[soak] semdedup candidates: sharded($sdCells cells)=$shardedCand " +
+        s"vs LSH(22x8)=$lshCand over $nBase embeddings")
+      timed(s"sharded semantic dedup ($sdCells cells) over $nBase embeddings") {
+        Dedup.semanticDedupSharded(base, "vec_id", "embedding",
+          threshold = 0.999, centroids = sdCents)
+          .filter(!col("keep")).count()
+      }
+    }
     // --- packing / mixture: counts-only frames, 20x the doc corpus
     val nPack = nDocs * 20
     timed(s"sequence packing coordinates over $nPack docs") {

@@ -651,6 +651,55 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val pairs = embeddingNearDupPairsBucketed(
       embs, idCol, vecCol, threshold, nBits, nTables, seed)
+    semanticClusters(embs, idCol, pairs)
+  }
+
+  /** Near-duplicate pairs within k-means cells only — SemDeDup's actual
+    * paper shape (Abbas et al. 2023: cluster the embedding space, compare
+    * within clusters). Unlike the hyperplane-LSH candidate path, the cells
+    * bound the candidate space STRUCTURALLY — there is no nBits/nTables
+    * recall knob to mis-size for the corpus geometry; the approximation is
+    * the paper's own: cross-cell near-duplicates are invisible by design
+    * (tighter centroids → smaller cells → cheaper and blinder).
+    *
+    * Scale shape: assignment is the zero-shuffle broadcast-argmin kernel
+    * (`Clustering.assign`); the pair stage shuffles the corpus ONCE keyed
+    * on cell — the self-join's two sides share one exchange — and the
+    * per-cell pair space is Σ n_c², sized by the centroid count the caller
+    * picks (the paper runs ~corpus/k of 10k–100k per cell). A skewed cell
+    * is AQE skew-join territory, never a global blowup. Centroids come in
+    * as a `(cell, centroid)` frame so callers can pass `Clustering.lloyd`
+    * output (the trained form) or any fixed quantizer.
+    */
+  def embeddingNearDupPairsSharded(embs: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, centroids: DataFrame): DataFrame = {
+    val assigned = Clustering.assign(embs, centroids,
+      metric = "EUCLIDEAN", idCol = idCol, vecCol = vecCol)
+      .select(col("id"), col("vec"), col("cell"))
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("vec").as("_va"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("vec").as("_vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (lit(1.0) - VectorFunctions.cosineDistance(col("_va"), col("_vb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** `semanticDedup` with the k-means-sharded candidate generator: assign →
+    * within-cell near-dup pairs → connected components → keep-min. Same
+    * output contract as `semanticDedup` (`(id, cluster_id, keep)` for every
+    * input id, singletons keep themselves).
+    */
+  def semanticDedupSharded(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, centroids: DataFrame): DataFrame =
+    semanticClusters(embs, idCol,
+      embeddingNearDupPairsSharded(embs, idCol, vecCol, threshold, centroids))
+
+  /** Shared tail of the semantic-dedup family: components over the pair
+    * set, keep-min labeling, singletons kept.
+    */
+  private def semanticClusters(embs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
     val clusters = connectedComponents(pairs.select("id_a", "id_b"))
     embs.select(col(idCol).cast("long").as("id"))
       .join(clusters.withColumnRenamed("cluster", "_c"), Seq("id"), "left")

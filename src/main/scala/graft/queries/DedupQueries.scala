@@ -41,6 +41,11 @@ object DedupQueries {
 
   private def duckCosDist(a: String, b: String): String = s"(1.0 - ${duckCosine(a, b)})"
 
+  /** DuckDB squared-L2 between two float-list refs (argmin-invariant). */
+  private def duckL2Sq(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a)+1),
+       |  i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)))""".stripMargin
+
   /** 60-bit md5 simhash CTE over documents: yields (doc_id, simhash). */
   private val simhashSql: String =
     s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
@@ -375,6 +380,57 @@ object DedupQueries {
       val corpus = emb.filter(col("vec_id") >= 10)
         .select("vec_id", "embedding").unionByName(planted)
       Dedup.semanticContamination(corpus, bench, "vec_id", "embedding")
+    },
+
+    // k-means-sharded semantic dedup — SemDeDup's actual paper shape:
+    // assign every embedding to its nearest centroid (8 lowest-id inits,
+    // q133's deterministic E-step), near-dup pairs WITHIN cells only, then
+    // the q119 components + keep-min. The cells bound the candidate space
+    // structurally (no LSH recall knob to mis-size); the oracle replays
+    // assignment, within-cell cosine pairs and the recursive closure from
+    // first principles, so a green hash proves the sharded SEMANTICS —
+    // including which near-dup pairs a cell boundary hides.
+    GQuery(
+      "q150_semantic_dedup_sharded",
+      s"""WITH RECURSIVE u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000,
+         |         list_transform(embedding, x -> (x::DOUBLE * 0.9 + 0.01)::FLOAT)
+         |  FROM embeddings WHERE vec_id < 40),
+         |cen AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |               embedding AS ce
+         |        FROM (SELECT * FROM u ORDER BY vec_id LIMIT 8)),
+         |r AS (SELECT e.vec_id, e.embedding AS v, cen.cell,
+         |             row_number() OVER (PARTITION BY e.vec_id
+         |                                ORDER BY ${duckL2Sq("e.embedding", "cen.ce")}, cen.cell) AS rn
+         |      FROM u e CROSS JOIN cen),
+         |asg AS (SELECT vec_id, v, cell FROM r WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |      WHERE ${duckCosine("a.v", "b.v")} >= 0.95),
+         |edges AS (SELECT id_a AS s, id_b AS t FROM p
+         |          UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         |SELECT u.vec_id AS id, coalesce(lab.cluster, u.vec_id) AS cluster_id,
+         |       (coalesce(lab.cluster, u.vec_id) = u.vec_id) AS keep
+         |FROM u LEFT JOIN lab ON lab.id = u.vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val perturbed = emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * 0.9 + 0.01).cast("float")).as("embedding"))
+      val corpus = emb.unionByName(perturbed)
+      val init = corpus.orderBy("vec_id").limit(8)
+        .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+          .cast("long").as("cell"), col("embedding").as("centroid"))
+      Dedup.semanticDedupSharded(corpus, "vec_id", "embedding",
+        threshold = 0.95, centroids = init)
     },
   )
 }

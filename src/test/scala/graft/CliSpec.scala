@@ -407,6 +407,11 @@ class CliSpec extends SparkSpec {
       "--n-bits", "6", "--n-tables", "12"))
       .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
     assert(tuned(0L) && !tuned(100L) && tuned.size == 21)
+    // --cells: the k-means-sharded paper shape finds the planted dup too
+    val sharded = Main.run(spark, Seq("semdedup", "--input", input,
+      "--cells", "2", "--iters", "2"))
+      .collect().map(x => x.getLong(0) -> x.getBoolean(2)).toMap
+    assert(sharded(0L) && !sharded(100L) && sharded.size == 21)
   }
 
   test("unknown command fails with usage") {

@@ -293,4 +293,36 @@ class CurationOpsSpec extends SparkSpec {
     copies.map(_._1).foreach(id => assert(got.contains((id, id - 100L, false))))
     assert(got.count(!_._3) == 5)
   }
+
+  test("k-means-sharded semantic dedup equals the LSH path on separated clusters") {
+    // three well-separated unit clusters with planted in-cluster near-dups:
+    // every near-dup pair lives inside one k-means cell, so the sharded
+    // path must reproduce the LSH path's keep-set exactly
+    val rnd = new scala.util.Random(11)
+    def unit(center: Array[Float]): Array[Float] = {
+      val v = center.map(c => c + rnd.nextGaussian().toFloat * 0.02f)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Seq(
+      Array.fill(8)(1f), Array(5f, -5f, 5f, -5f, 5f, -5f, 5f, -5f),
+      Array(-1f, -1f, -1f, -1f, 9f, 9f, 9f, 9f))
+    val base = (0L until 36L).map(i => (i, unit(centers((i % 3).toInt))))
+    val copies = base.take(6).map { case (i, v) =>
+      (i + 100L, v.map(x => x * 0.999f + 0.0002f))
+    }
+    val embs = (base ++ copies).toDF("vec_id", "embedding")
+    val cents = Clustering.lloyd(embs, k = 3, iters = 4)
+      .select(col("cell"), col("centroid"))
+    val sharded = Dedup.semanticDedupSharded(embs, "vec_id", "embedding",
+        threshold = 0.95, centroids = cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val lsh = Dedup.semanticDedup(embs, "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(sharded == lsh)
+    // every planted copy is dropped (its component min is some original id
+    // of the same tight cluster, not necessarily its own source)
+    val keepOf = sharded.map(t => t._1 -> t._3).toMap
+    copies.map(_._1).foreach(id => assert(!keepOf(id), s"copy $id kept"))
+  }
 }
