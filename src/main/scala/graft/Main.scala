@@ -61,8 +61,27 @@ object Main {
           .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
         val query = readVectors(spark, need("query"))
           .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
-        Knn.knn(query, base, k = flags.getOrElse("k", "10").toInt,
-          metric = flags.getOrElse("metric", "COSINE"))
+        val k = flags.getOrElse("k", "10").toInt
+        val metric = flags.getOrElse("metric", "COSINE")
+        // --strategy auto sizes broadcast/chunked/partitioned from the
+        // query count + dim (and base plan stats) so the caller never has
+        // to know the broadcast budget or the heap-fallback cliff
+        flags.getOrElse("strategy", "broadcast") match {
+          case "auto" =>
+            val (chosen, df) = Knn.autoPlan(query, base, k, metric)
+            println(s"[knn] --strategy auto chose: $chosen")
+            df
+          case "chunked" =>
+            Knn.knnChunked(query, base, k,
+              nChunks = flags.getOrElse("chunks", "4").toInt, metric)
+          case "partitioned" =>
+            Knn.knnPartitioned(query, base, k,
+              nQBlocks = flags.getOrElse("q-blocks", "8").toInt,
+              nBBlocks = flags.getOrElse("b-blocks", "4").toInt, metric)
+          case "broadcast" => Knn.knn(query, base, k, metric)
+          case other => throw new IllegalArgumentException(
+            s"unknown --strategy $other (auto|broadcast|chunked|partitioned)")
+        }
 
       case "verify_knn" =>
         // recall of metric A's top-k against metric B's (the reference's
@@ -178,14 +197,28 @@ object Main {
           .agg(count(lit(1)).as("encoded")).withColumn("path", lit(out))
 
       case "pq-search" =>
-        // ADC top-k of --query against a pq-encode output directory
+        // ADC top-k of --query against a pq-encode output directory.
+        // --chunks N splits the query set (bounded driver LUT state);
+        // --strategy auto sizes the split from |Q| × m·ksub·8B vs a 256 MB
+        // LUT budget (1 chunk = the plain single-pass search).
         val idx = need("index")
         val codes = spark.read.parquet(s"$idx/codes")
         val cbs = spark.read.parquet(s"$idx/codebooks")
         val query = readVectors(spark, need("query"))
           .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
-        operators.Pq.adcSearch(query, codes, cbs,
-          k = flags.getOrElse("k", "10").toInt)
+        val k = flags.getOrElse("k", "10").toInt
+        val nChunks = flags.get("chunks").map(_.toInt).orElse {
+          if (flags.get("strategy").contains("auto")) {
+            val geom = cbs.agg((max(col("subspace")) + 1).cast("long"),
+              (max(col("code")) + 1).cast("long")).head()
+            val lutBytes = query.count() * geom.getLong(0) * geom.getLong(1) * 8
+            Some(math.max(1L, (lutBytes + (256L << 20) - 1) / (256L << 20)).toInt)
+          } else None
+        }.getOrElse(1)
+        if (nChunks > 1) {
+          println(s"[pq-search] chunked query split: $nChunks chunks")
+          operators.Pq.adcSearchChunked(query, codes, cbs, k, nChunks)
+        } else operators.Pq.adcSearch(query, codes, cbs, k)
 
       case "asof" =>
         // point-in-time join: latest --right row per --left row at-or-before
@@ -379,13 +412,19 @@ object Main {
 
       case "buckets" =>
         // CCNet-style quantile bucketing by unigram surprisal: ntile(k)
-        // without the single-partition window (Ranking two-pass rank)
+        // without the single-partition window (Ranking two-pass rank).
+        // --thresholds emits the k-1 VALUE cut points instead (the
+        // broadcastable form a streaming pipeline applies via bucketize;
+        // --approx uses the mergeable GK-family sketch)
         val scores = operators.UnigramLm.surprisal(
           spark.read.parquet(need("input")),
           idCol = flags.getOrElse("id-col", "doc_id"),
           textCol = flags.getOrElse("text-col", "text"))
-        operators.Ranking.ntileBuckets(scores, Seq("surprisal", "id"),
-          k = flags.getOrElse("k", "10").toInt)
+        val kB = flags.getOrElse("k", "10").toInt
+        if (flags.contains("thresholds"))
+          operators.Ranking.bucketThresholds(scores, "surprisal", kB,
+            exact = !flags.contains("approx"))
+        else operators.Ranking.ntileBuckets(scores, Seq("surprisal", "id"), kB)
 
       case "semdecontaminate" =>
         // embedding-space decontamination vs a benchmark embedding set;
@@ -454,7 +493,7 @@ object Main {
   val usage: String =
     """usage: graft <command> [--flag value ...]
       |  describe --dataset DIR [--profile P] [--detailed]
-      |  knn --base PATH --query PATH [--k N] [--metric COSINE|EUCLIDEAN|L1|DOT_PRODUCT]
+      |  knn --base PATH --query PATH [--k N] [--metric COSINE|EUCLIDEAN|L1|DOT_PRODUCT] [--strategy auto|broadcast|chunked|partitioned] [--chunks N] [--q-blocks N] [--b-blocks N]
       |  verify_knn --base PATH --query PATH [--k N] [--metric A,B]
       |  analyze-profile --input PATH
       |  generate --count N --dim D [--seed S] --out PATH
@@ -465,7 +504,7 @@ object Main {
       |  decontaminate --input PARQUET --benchmark PARQUET [--threshold T]
       |  compute-knn --base PATH --query PATH --out DIR [--k N] [--metric M]
       |  pq-encode --input PATH --out DIR [--m N] [--ksub N] [--seed S]
-      |  pq-search --index DIR --query PATH [--k N]
+      |  pq-search --index DIR --query PATH [--k N] [--chunks N | --strategy auto]
       |  asof --left PARQUET --right PARQUET --key K --time T --tie C --payload a,b
       |  sample --input PARQUET --strata-col S --key-col K --fractions n=F,... [--default F]
       |  split --input PARQUET --key-col K --splits n=W,... [--out-col C]
@@ -478,7 +517,7 @@ object Main {
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
       |  mix --input PARQUET --domain-col D --key-col K (--factors n=F,... | --balance [--weight-col W]) [--default F]
       |  surprisal --input PARQUET [--bigram] [--id-col C] [--text-col C]
-      |  buckets --input PARQUET [--k N] [--id-col C] [--text-col C]
+      |  buckets --input PARQUET [--k N] [--thresholds [--approx]] [--id-col C] [--text-col C]
       |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M] [--id-col C] [--vec-col C]
       |  bpe --input PARQUET [--merges N] [--encode | --ids] [--id-col C] [--text-col C] [--max-merges N]
       |  pca --input PARQUET [--k N] [--covariance | --standardize | --components] [--id-col C] [--vec-col C]

@@ -241,13 +241,17 @@ object ScaleSoak {
     // the full sharded dedup
     val sdCells = sys.env.getOrElse("SOAK_SEMDEDUP_CELLS", "2048").toInt
     if (sdCells > 0) {
-      val sdCents = timed(s"sharded semdedup: train $sdCells cells (sampled)") {
-        Ann.trainCentroids(spark, base, nList = sdCells)
-          .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      val sdCents = timed(s"sharded semdedup: lloyd $sdCells cells x 2 iters") {
+        // our own deterministic Lloyd (one treeAggregate per iteration) —
+        // the ML-KMeans trainer at k=2048 spends minutes on k-means|| init
+        val c = operators.Clustering.lloyd(base, k = sdCells, iters = 2)
+          .select(col("cell"), col("centroid"))
+        c.cache(); c.count(); c
       }
       val hist = operators.Clustering.assign(base, sdCents, metric = "EUCLIDEAN")
         .groupBy("cell").count().select(col("count").as("c"))
-      val shardedCand = hist.agg(sum(expr("c * (c - 1) / 2"))).collect()(0).getLong(0)
+      // `div`: Spark's `/` is double division and would overflow getLong
+      val shardedCand = hist.agg(sum(expr("c * (c - 1) div 2"))).collect()(0).getLong(0)
       val lshCand = timed("LSH candidate volume (threshold=-1 passes all)") {
         Dedup.embeddingNearDupPairsBucketed(base, "vec_id", "embedding",
           threshold = -1.0, nBits = 22, nTables = 8).count()

@@ -144,6 +144,82 @@ object Knn {
         col("pair.dist").as("dist"))
   }
 
+  /** Adaptive dispatch over the three exact forms: measure the QUERY side
+    * (one count + one row for the dim — it is the small side by
+    * construction) and pick broadcast / chunked / partitioned so the
+    * broadcast budget and the sort-based-fallback cliff are respected
+    * without the caller sizing anything. The base side is never scanned to
+    * decide: its only role is choosing `nBBlocks` in the partitioned
+    * regime, read from Catalyst's size estimate (plan statistics, free).
+    *
+    * Regimes (budget defaults: 128 MB broadcast, ≤4 extra base scans):
+    *  - query bytes ≤ budget            → `knn` (one broadcast)
+    *  - ≤ budget × maxBaseScans         → `knnChunked` (nChunks = ⌈bytes/budget⌉)
+    *  - else                            → `knnPartitioned`, with nQBlocks
+    *    sized to the budget AND the per-block query count held under the
+    *    sort-based-fallback threshold — which this method RAISES to 65536
+    *    for the session if it is lower (the silent cliff documented on
+    *    [[knnPartitioned]]), and nBBlocks from the base size estimate at
+    *    ~256 MB of vectors per block.
+    * Returns the same (query_id, neighbor_id, rank, dist) contract.
+    */
+  def auto(
+      queries: DataFrame,
+      base: DataFrame,
+      k: Int,
+      metric: String = "COSINE",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      broadcastBudgetBytes: Long = 128L << 20,
+      maxBaseScans: Int = 4): DataFrame =
+    autoPlan(queries, base, k, metric, idCol, vecCol,
+      broadcastBudgetBytes, maxBaseScans)._2
+
+  /** [[auto]] exposing the chosen strategy name ("broadcast" | "chunked" |
+    * "partitioned") for specs, logs and the CLI's plan report.
+    */
+  def autoPlan(
+      queries: DataFrame,
+      base: DataFrame,
+      k: Int,
+      metric: String = "COSINE",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      broadcastBudgetBytes: Long = 128L << 20,
+      maxBaseScans: Int = 4): (String, DataFrame) = {
+    require(broadcastBudgetBytes > 0 && maxBaseScans >= 1,
+      "auto: budget must be positive and maxBaseScans >= 1")
+    val spark = queries.sparkSession
+    val nQ = queries.count()
+    if (nQ == 0L) return ("broadcast", knn(queries, base, k, metric, idCol, vecCol))
+    val dim = queries.select(col(vecCol)).head().getSeq[Any](0).length
+    // per-row broadcast cost: dim floats + id + array/row overhead
+    val qBytes = nQ * (dim.toLong * 4 + 64)
+    if (qBytes <= broadcastBudgetBytes)
+      ("broadcast", knn(queries, base, k, metric, idCol, vecCol))
+    else {
+      val nChunks = ((qBytes + broadcastBudgetBytes - 1) / broadcastBudgetBytes).toInt
+      if (nChunks <= maxBaseScans)
+        ("chunked", knnChunked(queries, base, k, nChunks, metric, idCol, vecCol))
+      else {
+        val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+        val fallback = spark.conf.getOption(fallbackKey).map(_.toInt).getOrElse(128)
+        if (fallback < 65536) spark.conf.set(fallbackKey, "65536")
+        val maxQPerBlock = math.max(1024, math.min(
+          spark.conf.get(fallbackKey).toInt / 2,
+          (broadcastBudgetBytes / (dim.toLong * 4 + 64)).toInt))
+        val nQBlocks = ((nQ + maxQPerBlock - 1) / maxQPerBlock).toInt
+        // base size from plan statistics — an ESTIMATE is fine: nBBlocks
+        // only balances task size, never correctness
+        val bBytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+        val nBBlocks = math.max(1, math.min(4096,
+          (bBytes / BigInt(256L << 20)).toInt + 1))
+        ("partitioned",
+          knnPartitioned(queries, base, k, nQBlocks, nBBlocks, metric, idCol, vecCol))
+      }
+    }
+  }
+
   /** J4 `verify_profiles`: recall@k for several profiles at once —
     * (profile, avg_recall) rows, one per named (predicted, truth) pair.
     */

@@ -242,6 +242,24 @@ object Pq {
     finishTopK(partials, k)
   }
 
+  /** [[adcSearch]] for query sets past the driver-LUT budget — the
+    * `knnChunked` escape hatch applied to the ANN read path (each query
+    * costs m·ksub doubles of driver LUT, so a large query set outgrows the
+    * driver with no other recourse): deterministic hash split of the
+    * queries into `nChunks`, per-chunk adcSearch, union. Per-query top-k is
+    * independent, so the result is EXACTLY adcSearch's; the trade is
+    * nChunks scans of the codes table for a |Q|/nChunks-sized LUT set.
+    */
+  def adcSearchChunked(queries: DataFrame, codes: DataFrame,
+      codebooks: DataFrame, k: Int, nChunks: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", excludeSelf: Boolean = false): DataFrame = {
+    require(nChunks > 0, s"adcSearchChunked: nChunks must be positive, got $nChunks")
+    (0 until nChunks).map { i =>
+      adcSearch(queries.filter(pmod(xxhash64(col(idCol)), lit(nChunks)) === i),
+        codes, codebooks, k, idCol, vecCol, excludeSelf)
+    }.reduce(_ unionByName _)
+  }
+
   /** Merge per-partition candidate streams into global ranked top-k. */
   /** Codes/codebook geometry guard: a codes row with arity != m would throw
     * a bare ArrayIndexOutOfBoundsException deep in an executor, and codes
@@ -471,6 +489,23 @@ object Pq {
       }
       .toDF("query_id", "nid", "dist")
     finishTopK(partials, k)
+  }
+
+  /** [[ivfPqSearch]] with the same chunked-query escape hatch as
+    * [[adcSearchChunked]] — a per-(query, probed-cell) residual LUT is
+    * nProbe × m·ksub doubles of driver state, so the query budget is even
+    * tighter than ADC's. Exactly ivfPqSearch's result per query; nChunks
+    * passes over the (cell-pruned) index table.
+    */
+  def ivfPqSearchChunked(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, k: Int, nProbe: Int,
+      nChunks: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    require(nChunks > 0, s"ivfPqSearchChunked: nChunks must be positive, got $nChunks")
+    (0 until nChunks).map { i =>
+      ivfPqSearch(queries.filter(pmod(xxhash64(col(idCol)), lit(nChunks)) === i),
+        index, centroids, codebooks, k, nProbe, idCol, vecCol, excludeSelf)
+    }.reduce(_ unionByName _)
   }
 
   /** Shortlist recall of ADC search against exact KNN over the same base —

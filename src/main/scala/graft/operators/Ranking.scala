@@ -94,6 +94,49 @@ object Ranking {
     ranked.withColumn(outCol, pr).drop("_rank")
   }
 
+  /** k-quantile bucket THRESHOLDS (the CCNet cut points as VALUES, not row
+    * ranks): t_i = quantile(i/k) for i in 1..k-1, so bucket i spans
+    * (t_{i-1}, t_i]. `exact=true` computes them with the distributed-sort
+    * exact form (`quantile_cont` semantics — engine-replayable, the oracle
+    * path); `exact=false` uses the mergeable `percentile_approx` sketch
+    * (GK-family) — the form a progressive-ingest pipeline can keep folding
+    * micro-batches into, at a bounded rank error of n/accuracy. Output:
+    * `(bucket, threshold)` with threshold rounded to 6.
+    *
+    * Thresholds versus `ntileBuckets`: ntile assigns by ROW RANK (exact
+    * equal counts, needs the full relation), thresholds assign by VALUE —
+    * which is what a stream needs, because a row's bucket is then a pure
+    * function of the row against k−1 broadcast doubles (`bucketize`).
+    */
+  def bucketThresholds(df: DataFrame, valueCol: String, k: Int,
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(k >= 2, s"bucket count must be >= 2, got $k")
+    val ps = (1 until k).map(_.toDouble / k)
+    val qs = if (exact) ProfileStats.quantilesExactDistributed(df, col(valueCol), ps)
+      else ProfileStats.quantilesApprox(df, col(valueCol), ps, accuracy)
+    qs.select(round(col("p") * k).cast("long").as("bucket"),
+      round(col("q").cast("double"), 6).as("threshold"))
+  }
+
+  /** Stateless bucket assignment against materialized thresholds: bucket =
+    * 1 + |{t_i < v}| (ties at a threshold fall into the lower bucket,
+    * matching the (t_{i-1}, t_i] spans of [[bucketThresholds]]). A pure
+    * k-term projection — composes with batch and Structured Streaming
+    * unchanged, the streaming half of CCNet quantile bucketing.
+    */
+  def bucketize(df: DataFrame, valueCol: String, thresholds: Seq[Double],
+      bucketCol: String = "bucket"): DataFrame = {
+    require(thresholds.nonEmpty, "bucketize needs at least one threshold")
+    require(thresholds == thresholds.sorted, "thresholds must be ascending")
+    require(!df.columns.contains(bucketCol),
+      s"input already has a '$bucketCol' column; pass a different bucketCol")
+    val v = col(valueCol).cast("double")
+    val bucket = thresholds
+      .map(t => when(v > t, 1L).otherwise(0L))
+      .reduce(_ + _) + 1L
+    df.withColumn(bucketCol, bucket)
+  }
+
   /** Append SQL `ntile(k)` bucket numbers (1..k) ordering by `orderCols`,
     * without the single-partition window: the first `n mod k` buckets get
     * `ceil(n/k)` rows, the rest `floor(n/k)` — exactly ANSI ntile, derived

@@ -75,6 +75,24 @@ object StatsQueries {
         .select("event_id", "pr")
     },
 
+    // CCNet bucketing's cut points as VALUES (deciles of the score column):
+    // the materialized thresholds a progressive-ingest pipeline broadcasts
+    // so bucket assignment becomes a stateless per-row projection
+    // (Ranking.bucketize — streaming-composable, StreamCurationSpec). The
+    // exact path is oracled here; the approx path is the same mergeable
+    // sketch quantilesApprox wraps.
+    GQuery(
+      "q149_bucket_thresholds",
+      """WITH qs AS (SELECT quantile_cont(value,
+        |                     [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        |            FROM events)
+        |SELECT generate_subscripts(q, 1)::BIGINT AS bucket,
+        |       round(unnest(q), 6) AS threshold
+        |FROM qs""".stripMargin) { (s, dir) =>
+      graft.operators.Ranking.bucketThresholds(
+        Tables.events(s, dir).select("value"), "value", k = 10)
+    },
+
     // A7: fixed-width histogram with clamped edge buckets.
     GQuery(
       "q28_histogram",

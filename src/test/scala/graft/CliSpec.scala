@@ -39,6 +39,17 @@ class CliSpec extends SparkSpec {
       "--query", s"$dir/query.fvec", "--k", "5"))
     assert(r.count() == 50)
     assert(r.columns.toSet == Set("query_id", "neighbor_id", "rank", "dist"))
+    // every strategy produces the same 50 ranked rows
+    val want = r.collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    Seq(Seq("--strategy", "auto"), Seq("--strategy", "chunked", "--chunks", "3"),
+      Seq("--strategy", "partitioned", "--q-blocks", "2", "--b-blocks", "2"))
+      .foreach { extra =>
+        val s = Main.run(spark, Seq("knn", "--base", s"$dir/base.fvec",
+          "--query", s"$dir/query.fvec", "--k", "5") ++ extra)
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+        assert(s == want, s"strategy $extra diverged")
+      }
   }
 
   test("verify_knn: identical metrics → recall 1") {
@@ -131,6 +142,16 @@ class CliSpec extends SparkSpec {
       "--query", s"$dir/query.fvec", "--k", "3")).collect()
     assert(hits.length == 30) // 10 queries x k=3
     assert(hits.forall(_.getAs[Double]("adc_dist") >= 0.0))
+    // chunked query split and auto sizing return the identical result set
+    val want = hits.map(x => (x.getAs[Long]("query_id"),
+      x.getAs[Long]("neighbor_id"), x.getAs[Long]("rank"))).toSet
+    Seq(Seq("--chunks", "3"), Seq("--strategy", "auto")).foreach { extra =>
+      val s = Main.run(spark, Seq("pq-search", "--index", out,
+        "--query", s"$dir/query.fvec", "--k", "3") ++ extra)
+        .collect().map(x => (x.getAs[Long]("query_id"),
+          x.getAs[Long]("neighbor_id"), x.getAs[Long]("rank"))).toSet
+      assert(s == want, s"pq-search $extra diverged")
+    }
   }
 
   test("asof joins latest right state at-or-before each left row") {
@@ -361,6 +382,14 @@ class CliSpec extends SparkSpec {
     assert(r.size == 8)
     assert(r.values.toSet == Set(1L, 2L, 3L, 4L)) // 8 docs / 4 buckets, 2 each
     assert(r.values.groupBy(identity).values.forall(_.size == 2))
+    // --thresholds: the k-1 value cut points, ascending
+    val t = Main.run(spark, Seq("buckets", "--input", input, "--k", "4",
+      "--thresholds")).orderBy("bucket").collect()
+    assert(t.length == 3 && t.map(_.getDouble(1)).toSeq.sorted ==
+      t.map(_.getDouble(1)).toSeq)
+    val ta = Main.run(spark, Seq("buckets", "--input", input, "--k", "4",
+      "--thresholds", "--approx")).collect()
+    assert(ta.length == 3)
   }
 
   test("vocab returns the exact top-k token counts") {

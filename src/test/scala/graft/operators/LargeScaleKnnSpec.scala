@@ -55,6 +55,31 @@ class LargeScaleKnnSpec extends SparkSpec {
     assert(canon(Knn.knnChunked(queries, base, k = 5, nChunks = 7)) == whole)
   }
 
+  test("auto dispatch picks the regime from the query budget, results identical") {
+    val base = Generators.gaussianVectors(spark, 5000, 16, seed = 7)
+      .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+    val queries = base.filter(col("vec_id") < 40)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val whole = canon(Knn.knn(queries, base, k = 5))
+    // 40 queries x 16 dims fits any sane budget -> broadcast
+    val (s1, d1) = Knn.autoPlan(queries, base, k = 5)
+    assert(s1 == "broadcast" && canon(d1) == whole)
+    // starve the budget to one query-row -> chunked (few chunks)
+    val rowBytes = 16L * 4 + 64
+    val (s2, d2) = Knn.autoPlan(queries, base, k = 5,
+      broadcastBudgetBytes = rowBytes * 20, maxBaseScans = 4)
+    assert(s2 == "chunked" && canon(d2) == whole)
+    // starve it past maxBaseScans -> partitioned
+    val (s3, d3) = Knn.autoPlan(queries, base, k = 5,
+      broadcastBudgetBytes = rowBytes * 2, maxBaseScans = 4)
+    assert(s3 == "partitioned" && canon(d3) == whole)
+    // the partitioned regime raised the sort-based-fallback cliff for the session
+    assert(spark.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold").toInt >= 65536)
+  }
+
   test("knnPartitioned equals single-broadcast knn for any grid") {
     val base = Generators.gaussianVectors(spark, 5000, 16, seed = 7)
       .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))

@@ -87,6 +87,29 @@ class PqSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("adcSearchChunked equals single-pass adcSearch for any chunking") {
+    val queries = base.filter(col("vec_id") >= 48)
+    val codes = Pq.encode(base, cbs).cache()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toSet
+    val whole = canon(Pq.adcSearch(queries, codes, cbs, k = 5))
+    assert(canon(Pq.adcSearchChunked(queries, codes, cbs, k = 5, nChunks = 3)) == whole)
+    assert(canon(Pq.adcSearchChunked(queries, codes, cbs, k = 5, nChunks = 7)) == whole)
+  }
+
+  test("ivfPqSearchChunked equals single-pass ivfPqSearch for any chunking") {
+    val centroids = base.filter(col("vec_id") >= 8 && col("vec_id") < 12)
+    val index = Pq.ivfPqIndex(base, centroids, cbs)
+    val queries = base.filter(col("vec_id") >= 48)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toSet
+    val whole = canon(Pq.ivfPqSearch(queries, index, centroids, cbs, k = 5, nProbe = 2))
+    assert(canon(Pq.ivfPqSearchChunked(queries, index, centroids, cbs,
+      k = 5, nProbe = 2, nChunks = 3)) == whole)
+  }
+
   test("excludeSelf drops the query row from its own neighbor list") {
     val codes = Pq.encode(base, cbs)
     val rows = Pq.adcSearch(base.filter(col("vec_id") === 0), codes, cbs, k = 3,

@@ -98,4 +98,49 @@ class StreamCurationSpec extends SparkSpec {
       .select("id", "cell").collect().map(_.toSeq).toSet
     assert(streamed == batch && batch.size == 200)
   }
+
+  test("quantile bucketize on a stream equals batch, within ε of exact ntile") {
+    import graft.operators.Ranking
+    // deterministic distinct scores; thresholds from the mergeable approx
+    // sketch (the GK-family state a progressive pipeline keeps folding),
+    // then bucket assignment is a stateless per-row projection
+    val scores = (0L until 400L).map(i =>
+      (i, ((i * 2654435761L) % 100003).toDouble / 100))
+    val k = 4
+    val thresholds = Ranking.bucketThresholds(
+        scores.toDF("doc_id", "score"), "score", k, exact = false)
+      .orderBy("bucket").collect().map(_.getDouble(1)).toSeq
+    val mem = MemoryStream[(Long, Double)](spark)
+    val q = Ranking.bucketize(mem.toDF().toDF("doc_id", "score"),
+      "score", thresholds)
+    val query = q.writeStream.format("memory").queryName("scs_buckets")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(scores.take(150): _*)
+      query.processAllAvailable()
+      mem.addData(scores.drop(150): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("scs_buckets").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val batch = Ranking.bucketize(scores.toDF("doc_id", "score"),
+        "score", thresholds)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(streamed == batch && batch.size == 400)
+    // ε-closeness to the exact ANSI ntile: value-threshold buckets must hold
+    // each bucket within rank error n/accuracy (+1 for the cut itself) of
+    // the exact n/k ntile size
+    val sizes = batch.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    val eps = 400 / 10000 + 2
+    (1 to k).foreach { b =>
+      assert(math.abs(sizes.getOrElse(b.toLong, 0) - 400 / k) <= eps,
+        s"bucket $b size ${sizes.get(b.toLong)} vs ${400 / k} ± $eps")
+    }
+    // streamed bucket of each row equals the threshold definition exactly
+    val tmap = thresholds
+    scores.foreach { case (id, v) =>
+      val want = 1L + tmap.count(v > _)
+      assert(streamed.contains((id, want)))
+    }
+  }
 }
