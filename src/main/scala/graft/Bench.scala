@@ -73,6 +73,22 @@ object Bench {
       // still happens inside its own timing), not LRU state left by the
       // previous 123 queries
       spark.catalog.clearCache()
+      // ...and make the isolation SYNCHRONOUS: clearCache issues async
+      // RemoveRdd messages, so without this barrier the block-removal work
+      // and the GC of the freed cache blocks land inside the FIRST queries
+      // of the next sweep — measured in round 7 as a 2-3x inflation of the
+      // alphabetically-early sub-second queries (q01/q02/q100) while
+      // nothing in their plans changed. Wait for the storage pool to
+      // drain, then take the GC hit here, outside any query's timing.
+      val drainDeadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (spark.sparkContext.getRDDStorageInfo.nonEmpty &&
+          System.nanoTime() < drainDeadline)
+        Thread.sleep(50)
+      System.gc()
+      if (sys.env.get("SPARK_GRAFT_SWEEP_DETAIL").contains("1"))
+        System.err.println(s"[bench-sweep $i] " + r.map { case (k, v) =>
+          "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+        }.mkString("{", ",", "}"))
       r
     }
     // per-query median; a query that failed ANY sweep reports -1
