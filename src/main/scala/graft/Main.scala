@@ -426,6 +426,22 @@ object Main {
             exact = !flags.contains("approx"))
         else operators.Ranking.ntileBuckets(scores, Seq("surprisal", "id"), kB)
 
+      case "logreg" =>
+        // model-based quality classifier: deterministic full-batch GD
+        // logistic regression (one treeAggregate per step). Default emits
+        // the (idx, weight) model table; --score emits per-row sigmoid
+        // scores of the just-trained model instead.
+        val lrIn = spark.read.parquet(need("input"))
+        val lrFeats = need("features").split(",").toSeq
+        val lrLabel = need("label-col")
+        val lrSteps = flags.getOrElse("steps", "10").toInt
+        val lrRate = flags.getOrElse("lr", "1.0").toDouble
+        if (flags.contains("score")) {
+          val w = operators.LogReg.train(lrIn, lrFeats, lrLabel, lrSteps, lrRate)
+          operators.LogReg.score(lrIn,
+            flags.getOrElse("id-col", "doc_id"), lrFeats, w)
+        } else operators.LogReg.trainDf(lrIn, lrFeats, lrLabel, lrSteps, lrRate)
+
       case "semdecontaminate" =>
         // embedding-space decontamination vs a benchmark embedding set;
         // --bench-chunks splits a bench too big for one broadcast
@@ -518,6 +534,7 @@ object Main {
       |  mix --input PARQUET --domain-col D --key-col K (--factors n=F,... | --balance [--weight-col W]) [--default F]
       |  surprisal --input PARQUET [--bigram] [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--thresholds [--approx]] [--id-col C] [--text-col C]
+      |  logreg --input PARQUET --features C1,C2 --label-col C [--steps N] [--lr F] [--score [--id-col C]]
       |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M] [--id-col C] [--vec-col C]
       |  bpe --input PARQUET [--merges N] [--encode | --ids] [--id-col C] [--text-col C] [--max-merges N]
       |  pca --input PARQUET [--k N] [--covariance | --standardize | --components] [--id-col C] [--vec-col C]

@@ -155,6 +155,49 @@ object ScaleSoak {
     }
     val queries = base.filter(col("vec_id") < nQueries)
 
+    // --- the grid form PAST the broadcast-impossible line (opt-in:
+    // SOAK_KNNPART_BIG=100000): 1M x 64 base against a 100k query set —
+    // 1e11 exact pairs, a query side nothing should broadcast per task at
+    // production dims. Sizing per PLANS.md: queries-per-block under the
+    // (raised) sort-based-fallback threshold -> nQBlocks = ceil(100k/32k)
+    // = 4; base at ~64 MB of replicated vectors per block -> nBBlocks = 4.
+    // A listener totals shuffle-write bytes so the heap-exchange volume is
+    // MEASURED against the 1e11-pair space that never materializes.
+    val nBigQ = sys.env.getOrElse("SOAK_KNNPART_BIG", "0").toInt
+    if (nBigQ > 0) {
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val bigQ = base.filter(col("vec_id") < nBigQ)
+      val grid = timed(s"knnPartitioned $nBase x $nBigQ k=10 grid 4x4") {
+        val r = Knn.knnPartitioned(bigQ, base, k = 10, nQBlocks = 4, nBBlocks = 4)
+        r.cache(); r.count(); r
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      val pairSpace = nBase * nBigQ.toLong
+      println(f"[soak] knnPartitioned grid shuffle-write ${shuffleBytes.get / 1e9}%.2f GB " +
+        f"vs pair space $pairSpace%,d pairs (~${pairSpace * 24 / 1e12}%.1f TB if materialized)")
+      // sampled exactness vs the broadcast plan (the grid must lose nothing)
+      val bigSample = base.filter(
+        pmod(col("vec_id"), lit(math.max(1, nBigQ / 50))) === 0 &&
+          col("vec_id") < nBigQ)
+      def canonB(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val wantB = canonB(Knn.knn(bigSample, base, k = 10))
+      val gotB = canonB(grid.join(
+        bigSample.select(col("vec_id").as("query_id")), Seq("query_id")))
+      println(s"[soak] knnPartitioned 1Mx100k sampled-exactness: ${gotB == wantB} " +
+        s"(${wantB.size} rows)")
+      require(gotB == wantB, "big-grid knnPartitioned diverged from broadcast knn")
+      grid.unpersist()
+    }
+
     val brute = timed(s"brute KNN $nQueries x $nBase k=10") {
       val r = Knn.knn(queries, base, k = 10)
       r.cache(); r.count(); r

@@ -473,5 +473,43 @@ object CurationQueries {
           expr("transform(tok_ids, t -> cast(t AS string))").as("toks")),
         "doc_id", "toks", seqLen = 32)
     },
+
+    // Model-based quality classification (the fastText-style filter stage):
+    // TRAIN a logistic-regression language classifier with two full-batch
+    // GD steps (one treeAggregate each, weights rounded to 6 per step —
+    // the lloyd/PCA determinism convention), then SCORE every document.
+    // The oracle replays both steps' gradient aggregates and the scoring
+    // sigmoid as chained CTEs — a green hash proves the train→score
+    // COMPOSITION arithmetic, not just the projection.
+    GQuery(
+      "q151_logreg_quality_score",
+      """WITH f AS (SELECT doc_id,
+        |                  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |                  least(len(list_filter(string_split(text, ' '), t -> t != '')), 100) / 100.0 AS x1,
+        |                  least(n_chars, 500) / 500.0 AS x2
+        |           FROM documents),
+        |w1 AS (SELECT round(-avg(0.5 - y), 6) AS b,
+        |              round(-avg((0.5 - y) * x1), 6) AS wa,
+        |              round(-avg((0.5 - y) * x2), 6) AS wb
+        |       FROM f),
+        |w2 AS (SELECT round(max(w1.b) -
+        |                avg(1/(1+exp(-(w1.b + w1.wa*x1 + w1.wb*x2))) - y), 6) AS b,
+        |              round(max(w1.wa) -
+        |                avg((1/(1+exp(-(w1.b + w1.wa*x1 + w1.wb*x2))) - y) * x1), 6) AS wa,
+        |              round(max(w1.wb) -
+        |                avg((1/(1+exp(-(w1.b + w1.wa*x1 + w1.wb*x2))) - y) * x2), 6) AS wb
+        |       FROM f CROSS JOIN w1)
+        |SELECT doc_id,
+        |       round(1/(1+exp(-(w2.b + w2.wa*x1 + w2.wb*x2))), 6) AS score
+        |FROM f CROSS JOIN w2""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      import graft.operators.LogReg
+      val feats = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        (least(TextFunctions.tokenCount(col("text")), lit(100)).cast("double") / 100.0).as("x1"),
+        (least(col("n_chars"), lit(500L)).cast("double") / 500.0).as("x2"))
+      val w = LogReg.train(feats, Seq("x1", "x2"), "y", steps = 2, lr = 1.0)
+      LogReg.score(feats, "doc_id", Seq("x1", "x2"), w)
+    },
   )
 }

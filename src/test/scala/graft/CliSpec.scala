@@ -443,6 +443,23 @@ class CliSpec extends SparkSpec {
     assert(sharded(0L) && !sharded(100L) && sharded.size == 21)
   }
 
+  test("logreg trains a model table and scores rows via the CLI") {
+    import spark.implicits._
+    val input = s"$dir/logreg.parquet"
+    (0L until 100L).map(i => (i, (i % 2).toDouble, (i % 2).toDouble, 1.0 - (i % 2)))
+      .toDF("doc_id", "y", "x1", "x2").write.mode("overwrite").parquet(input)
+    val model = Main.run(spark, Seq("logreg", "--input", input,
+      "--features", "x1,x2", "--label-col", "y", "--steps", "5"))
+      .orderBy("idx").collect()
+    assert(model.length == 3) // bias + 2 weights
+    assert(model(1).getDouble(1) > 0 && model(2).getDouble(1) < 0)
+    val scored = Main.run(spark, Seq("logreg", "--input", input,
+      "--features", "x1,x2", "--label-col", "y", "--steps", "50",
+      "--lr", "5.0", "--score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((0L until 100L).forall(i => (scored(i) >= 0.5) == (i % 2 == 1)))
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))
