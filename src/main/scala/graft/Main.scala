@@ -341,11 +341,15 @@ object Main {
           k = flags.getOrElse("k", "10").toInt)
 
       case "surprisal" =>
-        // unigram (default) or --bigram LM mean token surprisal per doc
+        // unigram (default), --bigram MLE, or --kn interpolated Kneser-Ney
+        // bigram (the KenLM-style smoothing; --discount tunes d)
         val sIn = spark.read.parquet(need("input"))
         val sId = flags.getOrElse("id-col", "doc_id")
         val sTxt = flags.getOrElse("text-col", "text")
-        if (flags.contains("bigram"))
+        if (flags.contains("kn"))
+          operators.UnigramLm.kneserNeySurprisal(sIn, sId, sTxt,
+            discount = flags.getOrElse("discount", "0.75").toDouble)
+        else if (flags.contains("bigram"))
           operators.UnigramLm.bigramSurprisal(sIn, sId, sTxt)
         else operators.UnigramLm.surprisal(sIn, sId, sTxt)
 
@@ -532,7 +536,7 @@ object Main {
       |  semdedup --input PARQUET [--threshold T] [--n-bits N] [--n-tables N] [--cells K] [--iters N] [--id-col C] [--vec-col C]
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
       |  mix --input PARQUET --domain-col D --key-col K (--factors n=F,... | --balance [--weight-col W]) [--default F]
-      |  surprisal --input PARQUET [--bigram] [--id-col C] [--text-col C]
+      |  surprisal --input PARQUET [--bigram | --kn [--discount D]] [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--thresholds [--approx]] [--id-col C] [--text-col C]
       |  logreg --input PARQUET --features C1,C2 --label-col C [--steps N] [--lr F] [--score [--id-col C]]
       |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M] [--id-col C] [--vec-col C]

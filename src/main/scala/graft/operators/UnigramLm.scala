@@ -63,4 +63,51 @@ object UnigramLm {
       .agg(round(sum(col("k") * -log(col("clr") / col("cltot"))) / sum(col("k")), 6)
         .as("bigram_surprisal"))
   }
+
+  /** Interpolated Kneser–Ney bigram surprisal — the smoothing the KenLM
+    * scorers behind CCNet-style filtering actually use, reduced to its
+    * bigram form:
+    * {{{
+    * P_KN(w|v) = max(c(v,w) − d, 0)/c(v·) + λ(v)·P_cont(w)
+    * λ(v)      = d · N1+(v·) / c(v·)        (mass discounted from v)
+    * P_cont(w) = N1+(·w) / |bigram types|   (continuation probability)
+    * }}}
+    * Versus the MLE form (`bigramSurprisal`), KN punishes transitions into
+    * words that only ever follow few contexts (the "San Francisco" effect:
+    * "francisco" is frequent but not versatile) — a materially better
+    * garbage detector on natural text. Doc score = multiplicity-weighted
+    * mean `−ln P_KN` over its transitions, rounded to 6.
+    *
+    * Same scale shape as `bigramSurprisal`: every statistic (bigram
+    * counts, context totals, follower/predecessor type counts, the 1-row
+    * type total) aggregates from the already-collapsed per-(doc, bigram)
+    * multiplicity frame; scored bigrams all exist in the corpus, so the
+    * interpolated probability is always positive.
+    */
+  def kneserNeySurprisal(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val t = docs.select(col(idCol).as("id"),
+        TextFunctions.tokens(lower(coalesce(col(textCol), lit("")))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg = t.select(col("id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
+      .select(col("id"), col("p.l").as("l"), col("p.r").as("r"))
+    val m = bg.groupBy("id", "l", "r").agg(count(lit(1)).cast("double").as("k"))
+    val clr = m.groupBy("l", "r").agg(sum(col("k")).as("clr"))
+    val cl = clr.groupBy("l").agg(sum(col("clr")).as("cltot"),
+      count(lit(1)).cast("double").as("nfollow"))
+    val cont = clr.groupBy("r").agg(count(lit(1)).cast("double").as("nprec"))
+    val tot = clr.agg(count(lit(1)).cast("double").as("ntypes"))
+    val d = lit(discount)
+    val pkn = greatest(col("clr") - d, lit(0.0)) / col("cltot") +
+      (d * col("nfollow") / col("cltot")) * (col("nprec") / col("ntypes"))
+    m.join(clr, Seq("l", "r")).join(cl, Seq("l")).join(cont, Seq("r"))
+      .crossJoin(broadcast(tot))
+      .groupBy("id")
+      .agg(round(sum(col("k") * -log(pkn)) / sum(col("k")), 6)
+        .as("kn_surprisal"))
+  }
 }

@@ -529,6 +529,36 @@ object TextQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // Interpolated Kneser-Ney bigram surprisal — the KenLM-style smoothing
+    // CCNet's perplexity filter uses: absolute discount d=0.75, discounted
+    // mass re-spent on the continuation probability N1+(.w)/|types|. The
+    // oracle rebuilds every statistic (bigram counts, context totals,
+    // follower/predecessor TYPE counts, the type total) and the full
+    // interpolation formula from first principles.
+    GQuery(
+      "q152_kneser_ney_surprisal",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+        |           FROM documents),
+        |bg AS (SELECT doc_id, toks[i+1] AS l, toks[i+2] AS r
+        |       FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+        |             FROM t WHERE len(toks) >= 2)),
+        |m AS (SELECT doc_id, l, r, count(*)::DOUBLE AS k FROM bg GROUP BY 1, 2, 3),
+        |c AS (SELECT l, r, sum(k) AS clr FROM m GROUP BY 1, 2),
+        |cl AS (SELECT l, sum(clr) AS cltot, count(*)::DOUBLE AS nfollow FROM c GROUP BY 1),
+        |cont AS (SELECT r, count(*)::DOUBLE AS nprec FROM c GROUP BY 1),
+        |tot AS (SELECT count(*)::DOUBLE AS ntypes FROM c)
+        |SELECT doc_id,
+        |       round(sum(k * -ln(greatest(clr - 0.75, 0) / cltot
+        |                         + (0.75 * nfollow / cltot) * (nprec / ntypes)))
+        |             / sum(k), 6) AS kn_surprisal
+        |FROM m JOIN c USING (l, r) JOIN cl USING (l) JOIN cont USING (r)
+        |CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.UnigramLm
+        .kneserNeySurprisal(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // CCNet-style perplexity bucketing: every doc into one of 10 equal-size
     // quantile buckets by unigram surprisal — head bucket = boilerplate,
     // tail = garbage vocabulary. Spark side computes ANSI ntile WITHOUT the

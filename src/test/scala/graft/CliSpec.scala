@@ -284,6 +284,13 @@ class CliSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(bsp(1L) < bsp(2L)) // x->x is the likely transition
     assert(bsp.size == 2)
+    // --kn: interpolated Kneser-Ney keeps the quality ordering (on this
+    // single-context fixture KN's discounted+continuation mass happens to
+    // recompose the MLE values exactly — CurationOpsSpec covers the
+    // multi-context case where they differ)
+    val ksp = Main.run(spark, Seq("surprisal", "--input", tIn, "--kn"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ksp(1L) < ksp(2L) && ksp.size == 2)
 
     val eIn = s"$dir/semdecon-corpus.parquet"
     val bIn = s"$dir/semdecon-bench.parquet"

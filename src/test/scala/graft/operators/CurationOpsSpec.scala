@@ -226,6 +226,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(!got.contains(3L) && !got.contains(4L))
   }
 
+  test("Kneser-Ney surprisal matches the hand-computed interpolation") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // bigram counts: (a,b)=3, (b,a)=1, (b,c)=1 -> 3 types
+    // c(a·)=3 N1+(a·)=1; c(b·)=2 N1+(b·)=2
+    // N1+(·b)=1, N1+(·a)=1, N1+(·c)=1; |types|=3
+    val d = 0.75
+    def pkn(clr: Double, cltot: Double, nfollow: Double, nprec: Double) =
+      math.max(clr - d, 0) / cltot + (d * nfollow / cltot) * (nprec / 3.0)
+    val p = Map(
+      ("a", "b") -> pkn(3, 3, 1, 1),
+      ("b", "a") -> pkn(1, 2, 2, 1),
+      ("b", "c") -> pkn(1, 2, 2, 1))
+    def sp(trans: Seq[((String, String), Int)]) = {
+      val num = trans.map { case (t, k) => k * -math.log(p(t)) }.sum
+      val den = trans.map(_._2).sum
+      BigDecimal(num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = UnigramLm.kneserNeySurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(
+      1L -> sp(Seq(("a", "b") -> 2, ("b", "a") -> 1)),
+      2L -> sp(Seq(("a", "b") -> 1, ("b", "c") -> 1))))
+    intercept[IllegalArgumentException](
+      UnigramLm.kneserNeySurprisal(docs, "doc_id", "text", discount = 1.5))
+  }
+
   // ---- Semantic decontamination ----
 
   test("semantic contamination reports the max cosine against the bench set") {
