@@ -293,6 +293,10 @@ object Main {
             graft.functions.TextFunctions.tokenCount(col(txtC)).as("_n_tok"))
           if (flags.contains("manifest"))
             operators.Packing.packManifest(withCounts, idC, "_n_tok", seqLen)
+          else if (flags.contains("batches"))
+            // length-ordered token-budget batches (padding minimizer);
+            // --seq-len doubles as the per-batch token budget
+            operators.Packing.lengthBatches(withCounts, idC, "_n_tok", seqLen)
           else operators.Packing.packCoordinates(withCounts, idC, "_n_tok", seqLen)
         }
 
@@ -531,7 +535,7 @@ object Main {
       |  chunk --input PARQUET [--max-tokens N] [--overlap N]
       |  quality --input PARQUET [--id-col C] [--text-col C]
       |  redact --input PARQUET [--id-col C] [--text-col C]
-      |  pack --input PARQUET [--seq-len N] [--manifest | --sequences] [--id-col C] [--text-col C]
+      |  pack --input PARQUET [--seq-len N] [--manifest | --sequences | --batches] [--id-col C] [--text-col C]
       |  dupspans --input PARQUET [--width N] [--id-col C] [--text-col C]
       |  semdedup --input PARQUET [--threshold T] [--n-bits N] [--n-tables N] [--cells K] [--iters N] [--id-col C] [--vec-col C]
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]

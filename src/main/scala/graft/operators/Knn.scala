@@ -104,13 +104,21 @@ object Knn {
     * query block fits a task, and `nBBlocks ≈ |B|·dim·4 B / (same budget)`;
     * the |Q|×|B| pair space itself never materializes anywhere.
     *
-    * SIZING CONSTRAINT: queries-per-block (|Q|/nQBlocks) must stay under
-    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (this
-    * repo's sessions set 65536; Spark's default is 128). Past it, the
-    * partial heap aggregate falls back to SORT-BASED aggregation, which
+    * SIZING CONSTRAINT: the partial heap aggregate's key count per task is
+    * queries-per-block × CELLS-PER-SHUFFLE-PARTITION, and it must stay
+    * under `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (this repo's sessions set 65536; Spark's default is 128). Past it,
+    * the partial aggregate falls back to SORT-BASED aggregation, which
     * sorts the raw pair stream — measured as a disk-filling spill at
-    * 200k×10k. The heap buffers are k-sized, so hash mode is safe at any
-    * realistic key count; raise the threshold or nQBlocks together.
+    * 200k×10k, and (round 8) as a 1M×100k grid run that went from ~8 min
+    * of kernel work to 45+ min of spill when hash collisions packed 3 of
+    * the 16 grid cells into one shuffle partition (25k queries × 3 cells
+    * = 75k keys > 65536). The cells-per-partition factor is why this
+    * method now repartitions the grid join onto ≥4× nQBlocks·nBBlocks
+    * partitions: with cells spread that thin the expected max is 1–2
+    * cells per task, keeping the key count at queries-per-block scale.
+    * The heap buffers are k-sized, so hash mode is safe at any realistic
+    * key count; raise the threshold or nQBlocks together.
     */
   def knnPartitioned(
       queries: DataFrame,
@@ -131,7 +139,16 @@ object Knn {
       pmod(xxhash64(col(idCol)), lit(nBBlocks)).cast("int").as("_bb"))
     val qRep = q.withColumn("_bb", explode(sequence(lit(0), lit(nBBlocks - 1))))
     val bRep = b.withColumn("_qb", explode(sequence(lit(0), lit(nQBlocks - 1))))
-    qRep.join(bRep, Seq("_qb", "_bb"))
+    // spread the nQBlocks×nBBlocks cells across ≥4× as many partitions:
+    // hash collisions otherwise pack multiple cells into one task and the
+    // partial-heap key count multiplies past the sort-based-fallback cliff
+    // (see the sizing constraint above). Repartitioning on the join keys IS
+    // the join exchange — no extra shuffle is added.
+    val gridParts = math.max(
+      queries.sparkSession.sessionState.conf.numShufflePartitions,
+      nQBlocks * nBBlocks * 4)
+    qRep.repartition(gridParts, col("_qb"), col("_bb"))
+      .join(bRep.repartition(gridParts, col("_qb"), col("_bb")), Seq("_qb", "_bb"))
       .groupBy("query_id")
       .agg(topKPairs(
         VectorFunctions.distance(col("q_vec"), col("b_vec"), metric),

@@ -144,6 +144,43 @@ object Packing {
         graft.functions.TextFunctions.tokens(col(textCol)).as("_toks")),
       idCol, "_toks", seqLen, numParts)
 
+  /** Length-ordered token-budget BATCHING — the padding-minimizing batch
+    * assignment a trainer's dataloader wants: sort documents by token
+    * count (ties on id), run the same exclusive prefix sum, and assign
+    * each document WHOLE to batch `tok_start div budget`. Documents are
+    * atomic (unlike sequence packing, nothing straddles), so a batch's
+    * token total is bounded by `budget + (max doc length in the batch) − 1`
+    * — the standard distributed approximation of greedy sequential fill,
+    * whose exact form is inherently serial (each boundary depends on the
+    * running remainder). Because neighbors in the length order have
+    * near-equal lengths, per-batch padding (max_len − mean_len) stays
+    * small — the point of length bucketing.
+    *
+    * Output: (idCol, n_tokens, batch_id) plus nothing else — feed it to a
+    * groupBy(batch_id) for batch manifests. Scale shape = packCoordinates'
+    * (ONE range shuffle on the (n_tokens, id) sort key, two passes over
+    * shared exchange lineage).
+    */
+  def lengthBatches(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Int, numParts: Int = 0): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    // surrogate range key: length-major, id-minor — the documented batch
+    // order. 2^31 bounds doc ids of the sf tables and any test corpus;
+    // callers with wider ids should pre-compose their own sort key.
+    val idOk = col(idCol).cast("long").between(0L, (1L << 31) - 1)
+    val keyed = df.select(col(idCol),
+      col(tokensCol).cast("long").as("_n"),
+      (col(tokensCol).cast("long") * (1L << 31) +
+        when(idOk, col(idCol).cast("long"))
+          .otherwise(raise_error(concat(lit("lengthBatches: id outside [0, 2^31): "),
+            col(idCol).cast("string")))))
+        .as("_lenkey"))
+    packCoordinates(keyed, "_lenkey", "_n", seqLen = budget, numParts)
+      // id recovers arithmetically from the surrogate key — no join back
+      .select(pmod(col("_lenkey"), lit(1L << 31)).as(idCol), col("n_tokens"),
+        expr(s"tok_start div ${budget}L").as("batch_id"))
+  }
+
   /** `materializeSequences` over a PRE-TOKENIZED corpus: `toksCol` is any
     * `array<string>` token column (whitespace words, BPE pieces, token ids
     * rendered as strings — the packer is tokenizer-agnostic). This is the

@@ -511,5 +511,29 @@ object CurationQueries {
       val w = LogReg.train(feats, Seq("x1", "x2"), "y", steps = 2, lr = 1.0)
       LogReg.score(feats, "doc_id", Seq("x1", "x2"), w)
     },
+
+    // Length-ordered token-budget batching (the dataloader's padding
+    // minimizer): documents sorted by (token count, id), then assigned
+    // WHOLE to batch floor(prefix_sum / budget) — the distributed
+    // approximation of greedy sequential fill, zero single-partition
+    // windows (packCoordinates' two-pass range prefix sum under a
+    // length-major surrogate key). The oracle replays the sort, the
+    // exclusive cumsum and the batch arithmetic.
+    GQuery(
+      "q153_length_batches",
+      """WITH t AS (SELECT doc_id,
+        |                  len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n,
+        |             coalesce(sum(n) OVER (ORDER BY n, doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+        |      FROM t WHERE n > 0)
+        |SELECT doc_id, n AS n_tokens, (s // 256) AS batch_id
+        |FROM c""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val counts = Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"))
+      Packing.lengthBatches(counts, "doc_id", "n_tok", budget = 256)
+    },
   )
 }

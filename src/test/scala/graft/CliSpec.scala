@@ -235,6 +235,11 @@ class CliSpec extends SparkSpec {
     val seqs = Main.run(spark, Seq("pack", "--input", input,
       "--seq-len", "8", "--sequences")).collect()
     assert(seqs.length == 3 && seqs.forall(_.getLong(1) <= 8))
+    // --batches: docs atomic, length-ordered, budget respected per batch
+    val batches = Main.run(spark, Seq("pack", "--input", input,
+      "--seq-len", "8", "--batches"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(batches == Map(3L -> 0L, 1L -> 0L, 2L -> 1L)) // 4, then 8s split
 
     val spans = Main.run(spark, Seq("dupspans", "--input", input, "--width", "4"))
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap

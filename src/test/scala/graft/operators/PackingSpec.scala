@@ -118,6 +118,32 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("lengthBatches: length order, atomic docs, bounded batch totals") {
+    val B = 16
+    val rows = Seq((1L, 5L), (2L, 9L), (3L, 3L), (4L, 9L), (5L, 14L),
+      (6L, 1L), (7L, 0L), (8L, 5L), (9L, 2L))
+    val got = Packing.lengthBatches(rows.toDF("doc_id", "n_tok"),
+        "doc_id", "n_tok", budget = B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sequential replay of the documented rule
+    val kept = rows.filter(_._2 > 0).sortBy { case (id, n) => (n, id) }
+    var s = 0L
+    val want = kept.map { case (id, n) =>
+      val b = s / B; s += n; (id, n, b)
+    }.toSet
+    assert(got.toSet == want)
+    assert(!got.exists(_._1 == 7L)) // zero-token docs excluded
+    // bound: each batch's total < budget + its own max doc length
+    got.groupBy(_._3).values.foreach { batch =>
+      assert(batch.map(_._2).sum < B + batch.map(_._2).max)
+    }
+    // ids outside [0, 2^31) fail loudly, not silently corrupt the key
+    val bad = Seq((Long.MaxValue, 5L)).toDF("doc_id", "n_tok")
+    intercept[Exception] {
+      Packing.lengthBatches(bad, "doc_id", "n_tok", budget = B).collect()
+    }
+  }
+
   test("materializeTokenSequences over pre-tokenized arrays == text path") {
     val textDocs = Seq((1L, "a b c"), (2L, "d e f g h"), (3L, ""), (4L, "i j"))
       .toDF("doc_id", "text")
