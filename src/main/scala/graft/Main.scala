@@ -434,6 +434,23 @@ object Main {
             exact = !flags.contains("approx"))
         else operators.Ranking.ntileBuckets(scores, Seq("surprisal", "id"), kB)
 
+      case "hardneg" =>
+        // contrastive hard-negative mining: per anchor, the k nearest
+        // neighbors with a DIFFERENT label (q23's hybrid plan, inverted
+        // predicate). --anchors N limits the anchor set to ids < N.
+        val hIn = spark.read.parquet(need("input"))
+        val hId = flags.getOrElse("id-col", "vec_id")
+        val hVec = flags.getOrElse("vec-col", "embedding")
+        val hLab = flags.getOrElse("label-col", "label")
+        val anchors = flags.get("anchors").map(n => hIn.filter(col(hId) < n.toLong))
+          .getOrElse(hIn)
+        Knn.knn(anchors, hIn, k = flags.getOrElse("k", "10").toInt,
+          metric = flags.getOrElse("metric", "COSINE"),
+          idCol = hId, vecCol = hVec,
+          queryExtra = Seq(hLab), baseExtra = Seq(hLab),
+          pairPredicate = Some(col(s"b_$hLab") =!= col(s"q_$hLab")),
+          excludeSelf = true)
+
       case "logreg" =>
         // model-based quality classifier: deterministic full-batch GD
         // logistic regression (one treeAggregate per step). Default emits
@@ -543,6 +560,7 @@ object Main {
       |  surprisal --input PARQUET [--bigram | --kn [--discount D]] [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--thresholds [--approx]] [--id-col C] [--text-col C]
       |  logreg --input PARQUET --features C1,C2 --label-col C [--steps N] [--lr F] [--score [--id-col C]]
+      |  hardneg --input PARQUET [--k N] [--anchors N] [--metric M] [--id-col C] [--vec-col C] [--label-col C]
       |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M] [--id-col C] [--vec-col C]
       |  bpe --input PARQUET [--merges N] [--encode | --ids] [--id-col C] [--text-col C] [--max-merges N]
       |  pca --input PARQUET [--k N] [--covariance | --standardize | --components] [--id-col C] [--vec-col C]

@@ -120,6 +120,26 @@ object VectorQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     },
 
+    // Hard-negative mining for contrastive training: each anchor's top-k
+    // NEAREST neighbors with a DIFFERENT label — the batch-building recipe
+    // for embedding-model training (high-similarity cross-class pairs are
+    // the gradient-rich negatives). The inverse predicate of q23's hybrid
+    // restriction over the same broadcast-heap plan: the pair stream is
+    // filtered BEFORE the bounded heaps, so the exchange still carries
+    // only k-heaps.
+    GQuery(
+      "q154_hard_negatives",
+      duckKnnSql("COSINE", 5, 50, extraPred = "AND b.label <> q.qlabel")) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Knn.knn(
+          emb.filter(col("vec_id") < 50), emb,
+          k = 5, metric = "COSINE",
+          queryExtra = Seq("label"), baseExtra = Seq("label"),
+          pairPredicate = Some(col("b_label") =!= col("q_label")),
+          excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    },
+
     // J4/A14: recall@k of the -dot ranking against cosine ground truth.
     GQuery(
       "q24_recall_dot_vs_cosine",

@@ -472,6 +472,26 @@ class CliSpec extends SparkSpec {
     assert((0L until 100L).forall(i => (scored(i) >= 0.5) == (i % 2 == 1)))
   }
 
+  test("hardneg mines cross-label nearest neighbors") {
+    import spark.implicits._
+    val input = s"$dir/hardneg.parquet"
+    // two tight clusters; labels split WITHIN each cluster so the nearest
+    // cross-label neighbor is a same-cluster point
+    (0L until 40L).map { i =>
+      val c = if (i % 2 == 0) 0f else 10f
+      (i, Array(c + (i % 5) * 0.01f, c), s"L${i % 4 / 2}")
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(input)
+    val r = Main.run(spark, Seq("hardneg", "--input", input, "--k", "3",
+      "--anchors", "10")).collect()
+    assert(r.length == 30) // 10 anchors x 3
+    val labels = (0L until 40L).map(i => i -> s"L${i % 4 / 2}").toMap
+    r.foreach { row =>
+      val (q, n) = (row.getLong(0), row.getLong(1))
+      assert(labels(q) != labels(n), s"pair ($q,$n) shares a label")
+    }
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))
