@@ -131,6 +131,23 @@ object Main {
       case "slab-analyze" =>
         new SlabTable(spark, need("slab")).stats()
 
+      case "linededup" =>
+        // CCNet paragraph dedup: keep only each normalized paragraph's
+        // globally-first (id, position) occurrence, reassemble docs
+        operators.Dedup.lineDedup(spark.read.parquet(need("input")),
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("text-col", "text"),
+          flags.getOrElse("delim", "\n"))
+
+      case "dsir" =>
+        // DSIR importance weights of --input docs against a --target corpus
+        operators.Dsir.importanceWeights(
+          spark.read.parquet(need("input")),
+          spark.read.parquet(need("target")),
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("text-col", "text"),
+          flags.getOrElse("buckets", "4096").toInt)
+
       case "dedup" =>
         // near-duplicate pairs over a (id, text) parquet/csv corpus
         val docs = spark.read.parquet(need("input"))
@@ -373,6 +390,8 @@ object Main {
         else if (flags.contains("standardize")) operators.Pca.standardize(input, idC, vecC)
         else if (flags.contains("components"))
           operators.Pca.principalComponents(input, vecC, flags.getOrElse("k", "8").toInt)
+        else if (flags.contains("random"))
+          operators.Pca.randomProject(input, idC, vecC, flags.getOrElse("k", "8").toInt)
         else operators.Pca.project(input, idC, vecC, flags.getOrElse("k", "8").toInt)
 
       case "bpe" =>
@@ -487,6 +506,11 @@ object Main {
             val wC = flags.getOrElse("weight-col", "n_tokens")
             operators.Mixture.balanceFactors(input, domainC, wC)
               .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+          } else if (flags.contains("temperature")) {
+            val wC = flags.getOrElse("weight-col", "n_tokens")
+            operators.Mixture.temperatureFactors(input, domainC, wC,
+                flags("temperature").toDouble)
+              .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
           } else need("factors").split(",").map { kv =>
             kv.split("=", 2) match {
               case Array(k, v) => k -> v.toDouble
@@ -542,6 +566,8 @@ object Main {
       |  slab-export --slab DIR --ns NS --out PATH
       |  slab-analyze --slab DIR
       |  dedup --input PARQUET [--method exact|minhash|jaccard|simhash] [--threshold T] [--df-cap N]
+      |  linededup --input PARQUET [--id-col C] [--text-col C] [--delim D]
+      |  dsir --input PARQUET --target PARQUET [--id-col C] [--text-col C] [--buckets N]
       |  decontaminate --input PARQUET --benchmark PARQUET [--threshold T]
       |  compute-knn --base PATH --query PATH --out DIR [--k N] [--metric M]
       |  pq-encode --input PATH --out DIR [--m N] [--ksub N] [--seed S]
@@ -556,14 +582,14 @@ object Main {
       |  dupspans --input PARQUET [--width N] [--id-col C] [--text-col C]
       |  semdedup --input PARQUET [--threshold T] [--n-bits N] [--n-tables N] [--cells K] [--iters N] [--id-col C] [--vec-col C]
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
-      |  mix --input PARQUET --domain-col D --key-col K (--factors n=F,... | --balance [--weight-col W]) [--default F]
+      |  mix --input PARQUET --domain-col D --key-col K (--factors n=F,... | --balance | --temperature A [--weight-col W]) [--default F]
       |  surprisal --input PARQUET [--bigram | --kn [--discount D]] [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--thresholds [--approx]] [--id-col C] [--text-col C]
       |  logreg --input PARQUET --features C1,C2 --label-col C [--steps N] [--lr F] [--score [--id-col C]]
       |  hardneg --input PARQUET [--k N] [--anchors N] [--metric M] [--id-col C] [--vec-col C] [--label-col C]
       |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M] [--id-col C] [--vec-col C]
       |  bpe --input PARQUET [--merges N] [--encode | --ids] [--id-col C] [--text-col C] [--max-merges N]
-      |  pca --input PARQUET [--k N] [--covariance | --standardize | --components] [--id-col C] [--vec-col C]
+      |  pca --input PARQUET [--k N] [--covariance | --standardize | --components | --random] [--id-col C] [--vec-col C]
       |  normalize --input PARQUET [--id-col C] [--text-col C]
       |  semdecontaminate --input PARQUET --benchmark PARQUET [--bench-chunks N] [--id-col C] [--vec-col C]
       |  vocab --input PARQUET [--k N] [--min-count N] [--id-col C] [--text-col C]

@@ -52,6 +52,28 @@ object Mixture {
         round(col("T") / (col("nd") * col("tok")), 6).as("factor"))
   }
 
+  /** Temperature-scaled sampling factors: domain d's post-mix share is
+    * `T_d^α / Σ_e T_e^α` (the multilingual-LM sampling rule with α = 1/τ —
+    * the `(T_d/T)^α` form's totals cancel), and the volume-preserving
+    * repeat factor is `share_d · T / T_d`. α = 1 keeps the corpus
+    * proportions (every factor 1); α = 0 is exactly [[balanceFactors]];
+    * in between it lifts the tail without flattening the head. Same
+    * plan shape as the other solvers: one domain-keyed aggregate, a 1-row
+    * broadcast total, results rounded to 6 so any engine replays them.
+    */
+  def temperatureFactors(df: DataFrame, domainCol: String, weightCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"temperature alpha must be in [0, 1], got $alpha")
+    val t = df.groupBy(domainCol).agg(sum(col(weightCol)).as("tok"))
+    val z = t.agg(sum(pow(col("tok"), alpha)).as("Z"), sum(col("tok")).as("T"))
+    t.crossJoin(broadcast(z))
+      .select(col(domainCol),
+        round(pow(col("tok"), alpha) / col("Z"), 6).as("share"),
+        round(pow(col("tok"), alpha) * col("T") / (col("Z") * col("tok")), 6)
+          .as("factor"))
+  }
+
   /** Emit `(every input column, <epochCol>)` with epoch = 0..nEpochs−1 per
     * row, where nEpochs = floor(f) + (draw < round(frac(f)·1e6) ? 1 : 0)
     * and f is the row's domain factor (absent domains and null domains use

@@ -202,6 +202,43 @@ object Pca {
       .toDF(idCol, "proj")
   }
 
+  /** Johnson–Lindenstrauss random projection to `k` dimensions against a
+    * deterministic ±1/√k sign matrix (Achlioptas 2003's database-friendly
+    * form), signs derived from the engine-neutral md5-60 hash of
+    * `salt:outDim:inDim` — no RNG state, so the projection reproduces in
+    * any engine, across partitionings and appends. The k×d matrix builds
+    * on the driver (k·d doubles) and broadcasts; the pass is a map-side
+    * matmul, zero shuffle. Output exploded as (id, idx, proj rounded 6),
+    * the dimensionality-reduction front end for LSH / clustering when d
+    * is too wide to bucket directly.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      salt: String = "rp"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    val d = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    val m = Array.tabulate(k, d) { (i, j) =>
+      (if (graft.functions.StableHash.md5Hash60(s"$salt:$i:$j") % 2 == 0) scale
+       else -scale)
+    }
+    val bc = spark.sparkContext.broadcast(m)
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, x) =>
+        val cs = bc.value
+        Iterator.tabulate(cs.length) { i =>
+          val row = cs(i)
+          var s = 0.0; var j = 0
+          while (j < x.length) { s += x(j) * row(j); j += 1 }
+          (id, i.toLong, s)
+        }
+      }
+      .toDF(idCol, "idx", "p")
+      .select(col(idCol), col("idx"), round(col("p"), 6).as("proj"))
+  }
+
   /** Per-dimension z-score standardization (sample stddev), exploded as
     * (id, idx, z) rounded to 6 — feature scaling ahead of clustering /
     * LSH. Stats collect to the driver (2d doubles); the transform is a

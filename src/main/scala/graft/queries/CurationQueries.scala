@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsofJoin, Bm25, Mixture, Packing, Sampling}
+import graft.operators.{AsofJoin, Bm25, Dsir, Mixture, Packing, Sampling}
 
 /** Corpus-curation operators: point-in-time (as-of) join, stratified
   * sampling, split assignment. Every oracle replays the operator's
@@ -534,6 +534,54 @@ object CurationQueries {
       val counts = Tables.documents(s, dir).select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tok"))
       Packing.lengthBatches(counts, "doc_id", "n_tok", budget = 256)
+    },
+
+    // Temperature-scaled mixture (the multilingual sampling rule, α = 0.5):
+    // share_d = T_d^α / Σ T_e^α, factor_d = share·T/T_d. The oracle
+    // recomputes both from the same per-source token totals; α=1/α=0
+    // degenerate cases are spec-pinned against proportional/balanceFactors.
+    GQuery(
+      "q155_temperature_mixture",
+      """WITH toks AS (SELECT source,
+        |                     len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS n
+        |              FROM documents),
+        |t AS (SELECT source, sum(n) AS tok FROM toks GROUP BY source),
+        |z AS (SELECT sum(pow(tok, 0.5)) AS Z, sum(tok) AS T FROM t)
+        |SELECT source, round(pow(tok, 0.5) / Z, 6) AS share,
+        |       round(pow(tok, 0.5) * T / (Z * tok), 6) AS factor
+        |FROM t CROSS JOIN z""".stripMargin) { (s, dir) =>
+      Mixture.temperatureFactors(
+        Tables.documents(s, dir).select(col("source"),
+          graft.functions.TextFunctions.tokenCount(lower(col("text"))).as("w")),
+        "source", "w", alpha = 0.5)
+    },
+
+    // DSIR importance weights: every raw document scored by how zh-like its
+    // hashed unigram distribution is (target = the corpus's zh slice). The
+    // oracle recomputes both smoothed bucket marginals and the per-doc
+    // log-likelihood-ratio sum from the same md5-60 bucketing.
+    GQuery(
+      "q157_dsir_weights",
+      """WITH tok AS (SELECT doc_id, lang,
+        |                    unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS t
+        |             FROM documents),
+        |b AS (SELECT doc_id, lang, ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS bucket FROM tok),
+        |tgt AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'zh' GROUP BY bucket),
+        |rawm AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket),
+        |tt AS (SELECT sum(ct) AS st FROM tgt),
+        |tr AS (SELECT sum(cr) AS sr FROM rawm),
+        |llr AS (SELECT r.bucket,
+        |               ln((coalesce(t.ct, 0) + 1)::DOUBLE / (tt.st + 64)) -
+        |               ln((r.cr + 1)::DOUBLE / (tr.sr + 64)) AS llr
+        |        FROM rawm r LEFT JOIN tgt t USING (bucket) CROSS JOIN tt CROSS JOIN tr),
+        |dc AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY doc_id, bucket)
+        |SELECT dc.doc_id, round(sum(dc.n * llr.llr), 6) AS log_weight
+        |FROM dc JOIN llr USING (bucket)
+        |GROUP BY dc.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dsir.importanceWeights(docs.select("doc_id", "text"),
+        docs.filter(col("lang") === "zh").select("text"),
+        "doc_id", "text", nBuckets = 64)
     },
   )
 }

@@ -432,5 +432,40 @@ object DedupQueries {
       Dedup.semanticDedupSharded(corpus, "vec_id", "embedding",
         threshold = 0.95, centroids = init)
     },
+
+    // Paragraph-level exact dedup (CCNet's first pass): every 7th document
+    // gains boilerplate header/footer paragraphs, so the operator must keep
+    // each boilerplate line only in the lowest (doc_id, pos) occurrence and
+    // reassemble the rest in order; the corpus's planted exact-duplicate
+    // docs lose their whole body the same way. The oracle replays the
+    // normalized-fingerprint winner rule with a window over (doc_id, pos).
+    GQuery(
+      "q156_line_dedup",
+      """WITH d AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 7 = 0
+        |                  THEN 'Subscribe to our newsletter' || chr(10) || text
+        |                       || chr(10) || 'All rights reserved'
+        |                  ELSE text END AS t
+        |           FROM documents),
+        |p AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS para,
+        |             unnest(range(len(string_split(t, chr(10))))) AS pos
+        |      FROM d),
+        |k AS (SELECT doc_id, pos, para,
+        |             row_number() OVER (
+        |               PARTITION BY md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g')))
+        |               ORDER BY doc_id, pos) AS rn
+        |      FROM p)
+        |SELECT doc_id,
+        |       coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE rn = 1), '') AS text,
+        |       count(*) FILTER (WHERE rn = 1) AS n_kept,
+        |       count(*) FILTER (WHERE rn > 1) AS n_dropped
+        |FROM k GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("Subscribe to our newsletter\n"), col("text"),
+            lit("\nAll rights reserved")))
+          .otherwise(col("text")).as("text"))
+      Dedup.lineDedup(docs, "doc_id", "text", "\n")
+    },
   )
 }

@@ -264,5 +264,25 @@ object StatsQueries {
          |FROM range(1000) t(i)""".stripMargin) { (s, _) =>
       s.range(1000).select(col("id"), round(Generators.lehmerGaussian(col("id")), 6).as("z"))
     },
+
+    // Johnson–Lindenstrauss random projection 64→16 dims: the oracle
+    // rebuilds the ±1/√k sign matrix from the same md5-60 parity and
+    // replays the matmul — determinism IS the contract (no RNG state).
+    GQuery(
+      "q158_random_project",
+      """WITH m AS (SELECT i, j,
+        |             CASE WHEN ('0x' || substr(md5('rp:' || i || ':' || j), 1, 15))::BIGINT % 2 = 0
+        |                  THEN 1.0 ELSE -1.0 END / sqrt(16) AS w
+        |           FROM range(16) r1(i) CROSS JOIN range(64) r2(j)),
+        |e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+        |             unnest(embedding)::DOUBLE AS v
+        |      FROM embeddings)
+        |SELECT e.vec_id, m.i AS idx, round(sum(e.v * m.w), 6) AS proj
+        |FROM e JOIN m ON m.j = e.j
+        |GROUP BY e.vec_id, m.i""".stripMargin) { (s, dir) =>
+      graft.operators.Pca.randomProject(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        "vec_id", "embedding", k = 16)
+    },
   )
 }

@@ -275,6 +275,22 @@ class CliSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("mix --temperature lifts the tail domain without flattening the head") {
+    import spark.implicits._
+    val input = s"$dir/mixtemp.parquet"
+    // a: 1 row x 100 tokens, b: 4 rows x 100 tokens -> T_a=100, T_b=400;
+    // α=0.5 factors: a 1.666667 (1 whole epoch + draw), b 0.833333
+    ((1L to 1L).map(i => (i, "a", 100L)) ++ (2L to 5L).map(i => (i, "b", 100L)))
+      .toDF("doc_id", "domain", "n_tokens")
+      .write.mode("overwrite").parquet(input)
+    val out = Main.run(spark, Seq("mix", "--input", input, "--domain-col",
+      "domain", "--key-col", "doc_id", "--temperature", "0.5"))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // every a-row appears at least once (factor > 1); b-rows at most once
+    assert(out.count(_._1 == 1L) >= 1)
+    assert(out.filter(_._1 >= 2L).groupBy(_._1).forall(_._2.length == 1))
+  }
+
   test("surprisal and semdecontaminate drive the corpus-relative scores") {
     import spark.implicits._
     val tIn = s"$dir/surprisal.parquet"

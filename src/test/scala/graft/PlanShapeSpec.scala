@@ -176,6 +176,37 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("Dedup.lineDedup: no exchange carries paragraph or document text") {
+    val docs = (0L until 64L)
+      .map(i => (i, s"header line\nbody ${i % 8}\nfooter line"))
+      .toDF("doc_id", "text")
+    // disable broadcast+AQE so the winner join shows its production shuffle
+    val priorBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.operators.Dedup.lineDedup(docs, "doc_id", "text")
+        .queryExecution.executedPlan
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBc)
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.nonEmpty, s"expected shuffles in lineDedup plan:\n$plan")
+    // the exploded paragraph relation (per-PARAGRAPH rows, the big side)
+    // must shuffle scalars only; document text may cross exactly once, on
+    // the doc-keyed reassembly join
+    exchanges.foreach { e =>
+      val para = e.output.filter(_.name == "para")
+      assert(para.isEmpty,
+        s"lineDedup exchange carries paragraph column:\n$e")
+    }
+    val textCarrying = exchanges.filter(_.output.exists(_.name == "text"))
+    assert(textCarrying.size <= 1,
+      s"document text crosses ${textCarrying.size} exchanges, want <= 1:\n$plan")
+  }
+
   test("Bpe pair-count exchange carries pair keys, not segmentations") {
     val docs = (0L until 32L).map(i => (i, s"alpha beta gamma tok${i % 4}"))
       .toDF("doc_id", "text")

@@ -115,6 +115,92 @@ class CurationOpsSpec extends SparkSpec {
     assert(drop("b") == 0.0)
   }
 
+  // ---- paragraph (line) dedup ----
+
+  test("lineDedup keeps only the globally first (id, pos) occurrence and reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A\nB"), (2L, "B\nC"), (3L, "A\nC"), (4L, "X\nA\nY"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("A\nB", 2L, 0L)))
+    assert(got(2L) == (("C", 1L, 1L)))   // B first seen in doc 1
+    assert(got(3L) == (("", 0L, 2L)))    // both paragraphs seen earlier
+    assert(got(4L) == (("X\nY", 2L, 1L))) // middle A drops, order survives
+  }
+
+  test("lineDedup dedups on the NORMALIZED fingerprint but keeps the first raw text") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello  World\nunique1"), (2L, "hello world\nunique2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "Hello  World\nunique1", 2L -> "unique2"))
+  }
+
+  test("lineDedup treats regex-special delimiters literally") {
+    import spark.implicits._
+    val docs = Seq((1L, "a|b"), (2L, "b|c")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text", delim = "|")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a|b", 2L -> "c"))
+    intercept[IllegalArgumentException] { Dedup.lineDedup(docs, "doc_id", "text", "") }
+  }
+
+  // ---- DSIR importance weights ----
+
+  test("dsir importanceWeights equals the hand-replayed smoothed LLR sum") {
+    import spark.implicits._
+    val raw = Seq((1L, "a a b"), (2L, "c"), (3L, "a c")).toDF("doc_id", "text")
+    val target = Seq(Tuple1("a a"), Tuple1("a b")).toDF("text")
+    val B = 8
+    def bkt(t: String) = (graft.functions.StableHash.md5Hash60(t) % B).toInt
+    // replay both marginals and the per-doc sum sequentially
+    val rawToks = Seq("a", "a", "b", "c", "a", "c")
+    val tgtToks = Seq("a", "a", "a", "b")
+    val cr = rawToks.groupBy(bkt).view.mapValues(_.size).toMap
+    val ct = tgtToks.groupBy(bkt).view.mapValues(_.size).toMap
+    def llr(b: Int) =
+      math.log((ct.getOrElse(b, 0) + 1.0) / (tgtToks.size + B)) -
+        math.log((cr(b) + 1.0) / (rawToks.size + B))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Map(
+      1L -> r6(Seq("a", "a", "b").map(t => llr(bkt(t))).sum),
+      2L -> r6(llr(bkt("c"))),
+      3L -> r6(llr(bkt("a")) + llr(bkt("c"))))
+    val got = Dsir.importanceWeights(raw, target, "doc_id", "text", B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expected)
+    // target-looking docs must outscore the off-target one
+    assert(got(1L) > got(2L))
+    // partition-count independence
+    val got7 = Dsir.importanceWeights(raw.repartition(7), target.repartition(3),
+        "doc_id", "text", B)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got7 == got)
+  }
+
+  test("temperatureFactors: α=1 is proportional, α=0 is balanceFactors, α=0.5 between") {
+    import spark.implicits._
+    val w = Seq(("a", 100L), ("b", 400L)).toDF("domain", "w")
+    def fm(alpha: Double) = Mixture.temperatureFactors(w, "domain", "w", alpha)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // α=1: shares are the corpus proportions, every factor exactly 1
+    assert(fm(1.0) == Map("a" -> (0.2, 1.0), "b" -> (0.8, 1.0)))
+    // α=0: every domain share 1/n — factors match balanceFactors
+    val bal = Mixture.balanceFactors(w, "domain", "w")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fm(0.0).map { case (d, (_, f)) => d -> f } == bal)
+    // α=0.5: shares ∝ sqrt(T_d): 10/30, 20/30; factor = share·T/T_d
+    val half = fm(0.5)
+    assert(half("a") == (0.333333, 1.666667))
+    assert(half("b") == (0.666667, 0.833333))
+    intercept[IllegalArgumentException] {
+      Mixture.temperatureFactors(w, "domain", "w", 1.5)
+    }
+  }
+
   test("materializing balanced INTEGER factors equalizes domain row mass exactly") {
     import spark.implicits._
     // rows carry weight 1 each: a×10, b×20, c×40 rows; T=70 — use

@@ -108,6 +108,29 @@ class PcaSpec extends SparkSpec {
     assert(one == many) // round-6 output absorbs ULP reorder noise
   }
 
+  test("randomProject equals the sequential ±1/√k matmul and ignores partitioning") {
+    val k = 3
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    def sign(i: Int, j: Int) =
+      if (graft.functions.StableHash.md5Hash60(s"rp:$i:$j") % 2 == 0) scale else -scale
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (for {
+      (id, x) <- pts
+      i <- 0 until k
+    } yield (id, i.toLong) -> r6((0 until d).map(j => x(j) * sign(i, j)).sum)).toMap
+    val got = Pca.randomProject(df, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == pts.size * k)
+    // ULP tolerance: the kernel sums j-ascending like the replay, so exact
+    assert(got == expected)
+    val got31 = Pca.randomProject(df.repartition(31), "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got31 == got)
+    intercept[IllegalArgumentException] {
+      Pca.randomProject(df, "vec_id", "embedding", 0)
+    }
+  }
+
   test("standardize yields mean ~0 / sample std ~1 per dim") {
     val z = Pca.standardize(df, "vec_id", "embedding")
       .collect().map(r => (r.getLong(1), r.getDouble(2)))
