@@ -413,6 +413,14 @@ object Main {
           val model = operators.Bpe.fit(input, txtC, m)
           operators.Bpe.encode(input,
             flags.getOrElse("id-col", "doc_id"), txtC, model)
+        } else if (flags.contains("decode")) {
+          // round trip: encode then decode back (the lossless-inversion
+          // surface; output text is the space-stripped lowered corpus)
+          val model = operators.Bpe.fit(input, txtC, m)
+          val idC = flags.getOrElse("id-col", "doc_id")
+          operators.Bpe.decode(
+            operators.Bpe.encode(input, idC, txtC, model),
+            idC, "tok_ids", model)
         } else if (flags.contains("encode"))
           operators.Bpe.encodeCounts(input,
             flags.getOrElse("id-col", "doc_id"), txtC, m)
@@ -588,7 +596,7 @@ object Main {
       |  logreg --input PARQUET --features C1,C2 --label-col C [--steps N] [--lr F] [--score [--id-col C]]
       |  hardneg --input PARQUET [--k N] [--anchors N] [--metric M] [--id-col C] [--vec-col C] [--label-col C]
       |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M] [--id-col C] [--vec-col C]
-      |  bpe --input PARQUET [--merges N] [--encode | --ids] [--id-col C] [--text-col C] [--max-merges N]
+      |  bpe --input PARQUET [--merges N] [--encode | --ids | --decode] [--id-col C] [--text-col C] [--max-merges N]
       |  pca --input PARQUET [--k N] [--covariance | --standardize | --components | --random] [--id-col C] [--vec-col C]
       |  normalize --input PARQUET [--id-col C] [--text-col C]
       |  semdecontaminate --input PARQUET --benchmark PARQUET [--bench-chunks N] [--id-col C] [--vec-col C]

@@ -241,6 +241,38 @@ object Bpe {
       .toDF(idCol, "tok_ids")
   }
 
+  /** Invert [[encode]]: map each token id back to its vocabulary piece and
+    * concatenate — (idCol, outCol). The id stream carries no end-of-word
+    * marker (the model has no `</w>` sentinel), so the round trip
+    * reconstructs the space-stripped lowered corpus exactly:
+    * `decode(encode(d)) == concat(split-nonempty(lower(d)))` — q159 pins
+    * that identity corpus-wide. Ids outside the vocabulary (the -1 UNK
+    * sentinel) decode to U+FFFD. Zero shuffle: a broadcast
+    * reverse-vocabulary array kernel, same shape as encode.
+    */
+  def decode(ids: DataFrame, idCol: String, idsCol: String,
+      model: BpeModel, outCol: String = "decoded"): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val rev = new Array[String](model.vocab.size)
+    model.vocab.foreach { case (p, i) => rev(i) = p }
+    val bc = spark.sparkContext.broadcast(rev)
+    ids.select(col(idCol).cast("long"), col(idsCol).cast("array<int>"))
+      .as[(Long, Array[Int])]
+      .map { case (id, toks) =>
+        val r = bc.value
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          sb.append(if (t >= 0 && t < r.length) r(t) else "�")
+          i += 1
+        }
+        (id, sb.toString)
+      }
+      .toDF(idCol, outCol)
+  }
+
   /** Per-document BPE token counts after `numMerges` trained merges: join
     * each document's words to the final vocabulary segmentation and sum
     * piece counts — the compression-ratio signal tokenizer ablations read

@@ -745,5 +745,53 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("tok"))
         .limit(100)
     },
+
+    // BPE round trip: decode(encode(corpus)) must reproduce the
+    // space-stripped lowered corpus EXACTLY — the id stream carries no
+    // word boundary, so concatenated pieces equal concatenated words. A
+    // correct round trip erases the tokenizer; any id-mapping bug in
+    // encode or decode breaks the identity (vocab-id canonicality itself
+    // is pinned separately by q148's SQL-replayed ids).
+    GQuery(
+      "q159_bpe_roundtrip",
+      """SELECT doc_id,
+        |       array_to_string(list_filter(string_split(lower(text), ' '), x -> x != ''), '') AS decoded
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.Bpe.fit(docs, "text", numMerges = 20)
+      graft.operators.Bpe.decode(
+        graft.operators.Bpe.encode(docs, "doc_id", "text", model),
+        "doc_id", "tok_ids", model)
+    },
+
+    // Vocabulary coverage curve: what fraction of corpus TOKEN MASS the
+    // top-k types cover, for a few k — the vocab-sizing diagnostic. Ranks
+    // come from the two-pass range-partitioned globalRank (one shuffle, no
+    // single-partition window); coverage is a conditional aggregate per
+    // threshold. The oracle replays with a SQL window rank.
+    GQuery(
+      "q160_vocab_coverage",
+      """WITH tok AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS t
+        |             FROM documents),
+        |wc AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rk FROM wc),
+        |tot AS (SELECT sum(cnt) AS tt FROM wc)
+        |SELECT k, round(sum(CASE WHEN rk <= k THEN cnt ELSE 0 END) / max(tt), 6) AS coverage
+        |FROM r CROSS JOIN tot
+        |     CROSS JOIN (SELECT unnest([5, 10, 20, 40]) AS k) ks
+        |GROUP BY k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wc = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cnt"))
+        .withColumn("nc", -col("cnt"))
+      val ranked = graft.operators.Ranking.globalRank(wc, Seq("nc", "t"), rankCol = "rk")
+      val tot = wc.agg(sum(col("cnt")).as("tt"))
+      val ks = Seq(5L, 10L, 20L, 40L).toDF("k")
+      ranked.crossJoin(broadcast(tot)).crossJoin(broadcast(ks))
+        .groupBy("k")
+        .agg(round(sum(when(col("rk") <= col("k"), col("cnt")).otherwise(0L)) /
+          max(col("tt")), 6).as("coverage"))
+    },
   )
 }

@@ -372,6 +372,10 @@ class CliSpec extends SparkSpec {
     val ids = Main.run(spark, Seq("bpe", "--input", input, "--merges", "2",
       "--ids")).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(ids == Map(1L -> Seq(1, 1, 1), 2L -> Seq(2, 2)))
+    // --decode: round trip back to the space-stripped corpus
+    val dec = Main.run(spark, Seq("bpe", "--input", input, "--merges", "2",
+      "--decode")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec == Map(1L -> "ababab", 2L -> "abcabc"))
     // merge-count ceiling: a driver loop per merge, refuse past --max-merges
     val e = intercept[IllegalArgumentException] {
       Main.run(spark, Seq("bpe", "--input", input, "--merges", "60000"))

@@ -127,6 +127,22 @@ class BpeSpec extends SparkSpec {
     assert(ids(9L).forall(i => i == -1 || i >= 0))
   }
 
+  test("decode inverts encode to the space-stripped corpus; UNK ids yield U+FFFD") {
+    val model = Bpe.fit(docs, "text", numMerges = 10)
+    val roundTrip = Bpe.decode(
+        Bpe.encode(docs, "doc_id", "text", model), "doc_id", "tok_ids", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = corpus.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).mkString("")
+    }.toMap
+    assert(roundTrip == want)
+    // out-of-vocabulary ids decode to the replacement character
+    val bad = Seq((1L, Array(0, -1, model.vocab.size))).toDF("doc_id", "tok_ids")
+    val got = Bpe.decode(bad, "doc_id", "tok_ids", model)
+      .collect().head.getString(1)
+    assert(got.count(_ == '�') == 2)
+  }
+
   test("encodeCounts equals the reference segmentation's piece totals") {
     val words = corpus.flatMap(_._2.split(" ")).groupBy(identity)
       .map { case (w, g) => w -> g.size.toLong }
