@@ -184,8 +184,19 @@ object Main {
         val bench = spark.read.parquet(need("benchmark"))
         val idC = flags.getOrElse("id-col", "doc_id")
         val txtC = flags.getOrElse("text-col", "text")
-        operators.Dedup.containmentScores(docs, bench, idC, txtC)
-          .filter(col("containment") >= flags.getOrElse("threshold", "0.0").toDouble)
+        if (flags.contains("bloom")) {
+          // approximate screening: bench folds into a fixed-size bitset,
+          // corpus scores map-side (no false negatives)
+          val k = flags.getOrElse("k-probes", "4").toInt
+          val bits = operators.Bloom.build(bench, txtC,
+            mBits = flags.getOrElse("m-bits", (1 << 20).toString).toInt,
+            kProbes = k)
+          operators.Bloom.containmentScores(docs, bits, idC, txtC, kProbes = k)
+            .filter(col("bloom_containment") >=
+              flags.getOrElse("threshold", "0.0").toDouble)
+        } else
+          operators.Dedup.containmentScores(docs, bench, idC, txtC)
+            .filter(col("containment") >= flags.getOrElse("threshold", "0.0").toDouble)
 
       case "compute-knn" =>
         // the reference's headline workflow: ground truth -> packaged dataset
@@ -246,6 +257,12 @@ object Main {
           payloadCols = need("payload").split(",").toSeq)
 
       case "sample" =>
+        if (flags.contains("weight-col")) {
+          // Efraimidis-Spirakis weighted sample without replacement
+          Sampling.weightedSample(spark.read.parquet(need("input")),
+            keyCol = need("key-col"), weightCol = need("weight-col"),
+            n = need("n").toInt)
+        } else {
         // deterministic stratified keep-fractions: --fractions en=0.5,zh=1.0
         val fracs = need("fractions").split(",").map { kv =>
           kv.split("=", 2) match {
@@ -258,6 +275,7 @@ object Main {
           strataCol = need("strata-col"), keyCol = need("key-col"),
           fractions = fracs,
           default = flags.getOrElse("default", "0.0").toDouble)
+        }
 
       case "split" =>
         // deterministic split labels: --splits train=0.8,val=0.1,test=0.1
@@ -318,11 +336,15 @@ object Main {
         }
 
       case "dupspans" =>
-        // duplicated token-w-gram span fractions per document
-        operators.Dedup.duplicatedSpans(spark.read.parquet(need("input")),
-          idCol = flags.getOrElse("id-col", "doc_id"),
-          textCol = flags.getOrElse("text-col", "text"),
-          w = flags.getOrElse("width", "8").toInt)
+        // duplicated token-w-gram span fractions per document; --remove
+        // excises the covered tokens instead (ExactSubstr removal)
+        val dsIn = spark.read.parquet(need("input"))
+        val dsId = flags.getOrElse("id-col", "doc_id")
+        val dsTxt = flags.getOrElse("text-col", "text")
+        val dsW = flags.getOrElse("width", "8").toInt
+        if (flags.contains("remove"))
+          operators.Dedup.removeDuplicatedSpans(dsIn, dsId, dsTxt, dsW)
+        else operators.Dedup.duplicatedSpans(dsIn, dsId, dsTxt, dsW)
 
       case "semdedup" =>
         // embedding-space semantic dedup: cluster ids + keep decisions.
@@ -440,9 +462,13 @@ object Main {
         val assigned = operators.Clustering.assign(pts, cents,
           metric = flags.getOrElse("metric", "EUCLIDEAN"),
           idCol = idC, vecCol = vecC)
-        flags.get("per-cell") match {
-          case Some(m) => operators.Clustering.clusterSample(assigned, m.toInt)
-          case None    => assigned.select(col("id").as(idC), col("cell"))
+        (flags.get("per-cell"), flags.get("drop-proto")) match {
+          case (Some(m), _) => operators.Clustering.clusterSample(assigned, m.toInt)
+          case (None, Some(f)) => // D4 prototypicality prune against the trained centroids
+            operators.Clustering.prototypicalityPrune(pts, cents, f.toDouble,
+              metric = flags.getOrElse("metric", "EUCLIDEAN"),
+              idCol = idC, vecCol = vecC)
+          case _ => assigned.select(col("id").as(idC), col("cell"))
         }
 
       case "buckets" =>
@@ -576,18 +602,18 @@ object Main {
       |  dedup --input PARQUET [--method exact|minhash|jaccard|simhash] [--threshold T] [--df-cap N]
       |  linededup --input PARQUET [--id-col C] [--text-col C] [--delim D]
       |  dsir --input PARQUET --target PARQUET [--id-col C] [--text-col C] [--buckets N]
-      |  decontaminate --input PARQUET --benchmark PARQUET [--threshold T]
+      |  decontaminate --input PARQUET --benchmark PARQUET [--threshold T] [--bloom [--m-bits N] [--k-probes N]]
       |  compute-knn --base PATH --query PATH --out DIR [--k N] [--metric M]
       |  pq-encode --input PATH --out DIR [--m N] [--ksub N] [--seed S]
       |  pq-search --index DIR --query PATH [--k N] [--chunks N | --strategy auto]
       |  asof --left PARQUET --right PARQUET --key K --time T --tie C --payload a,b
-      |  sample --input PARQUET --strata-col S --key-col K --fractions n=F,... [--default F]
+      |  sample --input PARQUET --key-col K (--strata-col S --fractions n=F,... [--default F] | --weight-col W --n N)
       |  split --input PARQUET --key-col K --splits n=W,... [--out-col C]
       |  chunk --input PARQUET [--max-tokens N] [--overlap N]
       |  quality --input PARQUET [--id-col C] [--text-col C]
       |  redact --input PARQUET [--id-col C] [--text-col C]
       |  pack --input PARQUET [--seq-len N] [--manifest | --sequences | --batches] [--id-col C] [--text-col C]
-      |  dupspans --input PARQUET [--width N] [--id-col C] [--text-col C]
+      |  dupspans --input PARQUET [--width N] [--remove] [--id-col C] [--text-col C]
       |  semdedup --input PARQUET [--threshold T] [--n-bits N] [--n-tables N] [--cells K] [--iters N] [--id-col C] [--vec-col C]
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
       |  mix --input PARQUET --domain-col D --key-col K (--factors n=F,... | --balance | --temperature A [--weight-col W]) [--default F]
@@ -595,7 +621,7 @@ object Main {
       |  buckets --input PARQUET [--k N] [--thresholds [--approx]] [--id-col C] [--text-col C]
       |  logreg --input PARQUET --features C1,C2 --label-col C [--steps N] [--lr F] [--score [--id-col C]]
       |  hardneg --input PARQUET [--k N] [--anchors N] [--metric M] [--id-col C] [--vec-col C] [--label-col C]
-      |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M] [--id-col C] [--vec-col C]
+      |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M | --drop-proto F] [--id-col C] [--vec-col C]
       |  bpe --input PARQUET [--merges N] [--encode | --ids | --decode] [--id-col C] [--text-col C] [--max-merges N]
       |  pca --input PARQUET [--k N] [--covariance | --standardize | --components | --random] [--id-col C] [--vec-col C]
       |  normalize --input PARQUET [--id-col C] [--text-col C]

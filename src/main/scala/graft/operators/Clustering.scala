@@ -107,6 +107,74 @@ object Clustering {
       centroids.select(col(centIdCol).as(idCol), col(centVecCol).as(vecCol)),
       metric, idCol, vecCol)
 
+  /** Prototypicality scores: each point's distance to its OWN nearest
+    * centroid — (id, cell, proto), proto rounded to 6 decimals (the
+    * cross-engine contract shared with lloyd's centroids). Same zero-shuffle
+    * broadcast argmin as [[assign]], but the winning distance is kept — the
+    * "how typical of its cluster is this example" signal SSL-prototype
+    * pruning ranks on.
+    */
+  def protoScores(points: DataFrame, centroids: DataFrame,
+      metric: String = "COSINE", idCol: String = "vec_id",
+      vecCol: String = "embedding", centIdCol: String = "cell",
+      centVecCol: String = "centroid"): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty, "protoScores: empty centroid set")
+    val bc = spark.sparkContext.broadcast(cents)
+    val mid = DistanceKernels.metricId(metric)
+    points.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, vec) =>
+        val cs = bc.value
+        var bestCell = -1L; var bestD = Double.MaxValue; var i = 0
+        while (i < cs.length) { // ascending scan + strict < = lowest-cell ties
+          val dd = DistanceKernels.computeArrays(vec, cs(i)._2, mid)
+          if (dd < bestD) { bestD = dd; bestCell = cs(i)._1 }
+          i += 1
+        }
+        (id, bestCell, math.rint(bestD * 1e6) / 1e6)
+      }
+      .toDF(idCol, centIdCol, "proto")
+  }
+
+  /** D4-style prototypicality pruning (the SSL-prototypes step of Tirumala
+    * et al. 2023, arXiv:2308.12284): per cluster, DROP the
+    * `ceil(dropFrac * |cell|)` points closest to the centroid — the most
+    * prototypical examples carry the least marginal information once the
+    * cluster is represented — and keep the diverse remainder as
+    * (id, cell, proto).
+    *
+    * Scale shape: scoring is the zero-shuffle broadcast argmin above; the
+    * prune itself is ONE cell-keyed window exchange carrying only
+    * (id, cell, proto) scalars — the vector column never crosses a shuffle.
+    * Per-cell rank + count share the single Exchange+Sort. Cell sizes are
+    * ~n/k rows, so the per-cell sort is bounded by the cluster granularity
+    * the caller picked (at 100 TB, k is tens of thousands of cells).
+    * Deterministic: ranks order by (round-6 proto, id), so the kept set is
+    * partition- and engine-independent.
+    */
+  def prototypicalityPrune(points: DataFrame, centroids: DataFrame,
+      dropFrac: Double, metric: String = "COSINE", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"dropFrac must be in [0, 1), got $dropFrac")
+    require(idCol != "_rnk" && idCol != "_cnt",
+      s"idCol collides with a reserved rank column: $idCol")
+    val scored = protoScores(points, centroids, metric, idCol, vecCol)
+    import org.apache.spark.sql.expressions.Window
+    val cellW = Window.partitionBy("cell")
+    scored
+      .withColumn("_rnk",
+        row_number().over(cellW.orderBy(col("proto"), col(idCol))))
+      .withColumn("_cnt", count(lit(1)).over(cellW))
+      .filter(col("_rnk") > ceil(col("_cnt") * lit(dropFrac)))
+      .drop("_rnk", "_cnt")
+  }
+
   /** Cluster-balanced subsample: the `perCell` LOWEST-id members of every
     * cell — the diversity-sampling step after clustering (take a bounded,
     * deterministic representative set per cluster instead of frequency-

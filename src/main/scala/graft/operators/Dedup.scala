@@ -675,6 +675,62 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** ExactSubstr REMOVAL (the transform behind [[duplicatedSpans]]' signal,
+    * Lee et al. 2022): delete from every document each token covered by at
+    * least one w-gram that occurs more than once corpus-wide, and return
+    * the surviving token stream — `(id, text, n_removed)` for EVERY input
+    * id (text is the lowercased space-joined survivors; a fully-duplicated
+    * doc comes back empty, docs under w tokens come back whole).
+    *
+    * Scale shape: the positional gram pass and global count are exactly
+    * [[duplicatedSpans]]' (8-byte hash postings, map-side-combined count,
+    * LEFT SEMI membership — no pair space). The only additions are a
+    * per-doc `collect_list` of duplicated window STARTS (ints, bounded by
+    * the doc's token count — the lineDedup kept-positions shape) and ONE
+    * doc-keyed join carrying the text to the excision kernel; document
+    * text never crosses more than that one exchange.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 8): DataFrame = {
+    require(w > 0, s"w must be positive, got $w")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      lower(coalesce(col(textCol), lit(""))).as("t"))
+    val grams = base.as[(Long, String)].flatMap { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.length < w) Iterator.empty
+      else (0 to toks.length - w).iterator
+        .map(i => (id, i, StableHash.md5Hash60(toks.slice(i, i + w).mkString(" "))))
+    }.toDF("id", "pos", "h")
+    val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val starts = grams.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy("id").agg(collect_list(col("pos")).as("starts"))
+    base.join(starts, Seq("id"), "left")
+      .as[(Long, String, Option[Seq[Int]])]
+      .map { case (id, text, st) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val covered = new java.util.BitSet(toks.length)
+        st.getOrElse(Nil).foreach { s =>
+          covered.set(s, math.min(s + w, toks.length))
+        }
+        val kept = new StringBuilder
+        var i = 0
+        var nKept = 0
+        while (i < toks.length) {
+          if (!covered.get(i)) {
+            if (nKept > 0) kept.append(' ')
+            kept.append(toks(i))
+            nKept += 1
+          }
+          i += 1
+        }
+        (id, kept.toString, (toks.length - nKept).toLong)
+      }
+      .toDF(idCol, textCol, "n_removed")
+  }
+
   /** Semantic deduplication (SemDeDup-style): embedding near-duplicate
     * pairs above `threshold` cosine → connected components → keep the
     * minimum id per component. Output for EVERY input id:

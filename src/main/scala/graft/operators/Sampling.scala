@@ -30,10 +30,16 @@ object Sampling {
     * DuckDB replay:
     * `('0x' || substr(md5(coalesce(key::VARCHAR, '__null__') || ':salt'), 1, 15))::BIGINT % 1000000`.
     */
-  def hashUnit(key: Column, salt: String): Column =
-    pmod(conv(substring(md5(concat(
+  /** Raw 60-bit md5 key hash (the [[hashUnit]] numerator). DuckDB replay:
+    * `('0x' || substr(md5(coalesce(key::VARCHAR, '__null__') || ':salt'), 1, 15))::BIGINT`.
+    */
+  def hash60(key: Column, salt: String): Column =
+    conv(substring(md5(concat(
       coalesce(key.cast("string"), lit(NullKeySentinel)), lit(":" + salt))), 1, 15), 16, 10)
-      .cast("long"), lit(1000000L))
+      .cast("long")
+
+  def hashUnit(key: Column, salt: String): Column =
+    pmod(hash60(key, salt), lit(1000000L))
 
   /** [0,1] fraction -> integer hash quota, shared by both operators so the
     * documented replay SQL (`round(f * 1e6)`) holds everywhere. */
@@ -71,5 +77,33 @@ object Sampling {
         when(u < cum, name).otherwise(acc)
       }
     df.withColumn(outCol, labeled)
+  }
+
+  /** Weighted sampling WITHOUT replacement, deterministic (Efraimidis &
+    * Spirakis 2006, one-pass A-ES form): each row draws u from the
+    * md5-60 key hash, ranks by `es = ln(u) / w`, and the n LARGEST ranks
+    * win — inclusion probability proportional to weight, no RNG state, a
+    * row's draw never depends on partitioning or corpus growth. Rows with
+    * null or non-positive weight are excluded (the algorithm's domain).
+    *
+    * Scale shape: a pure projection feeding `orderBy(...).limit(n)` —
+    * Catalyst plans TakeOrderedAndProject (per-partition bounded heap of n,
+    * driver merges n per partition), never a global sort. Output = the
+    * winning rows with their `es_key` rounded to 6 (selection uses the
+    * unrounded key; ties break by the sample key column).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, n: Int,
+      salt: String = "wsample"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(!df.columns.contains("_es") && !df.columns.contains("es_key"),
+      "input collides with reserved columns _es/es_key")
+    // u = (h+1) / 2^60 in (0, 1]: +1 dodges ln(0); both bounds exact in f64
+    val u = (hash60(col(keyCol), salt) + 1).cast("double") / lit(math.pow(2, 60))
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("_es", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("_es").desc, col(keyCol))
+      .limit(n)
+      .withColumn("es_key", round(col("_es"), 6))
+      .drop("_es")
   }
 }

@@ -23,6 +23,14 @@ object ClusterQueries {
     s"""list_sum(list_transform(range(1, len($a)+1),
        |  i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)))""".stripMargin
 
+  /** Cosine distance between two DuckDB float lists, f64 accumulation in
+    * index order — same as DistanceKernels.computeArrays(COSINE).
+    */
+  private def duckCosDist(a: String, b: String): String =
+    s"""(1.0 - (list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       | / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE*x::DOUBLE)))
+       |  * sqrt(list_sum(list_transform($b, x -> x::DOUBLE*x::DOUBLE))))))""".stripMargin
+
   /** The k=8 lowest-id embeddings as cells 0..7 (lloyd's deterministic
     * init), and the argmin assignment with the lowest-cell tie rule.
     */
@@ -99,6 +107,35 @@ object ClusterQueries {
           col("n_points"))
         .select(col("cell"), col("idx").cast("long").as("idx"),
           round(col("x").cast("double"), 6).as("c"), col("n_points"))
+    },
+
+    // D4 prototypicality pruning (SSL-prototypes): per cell, drop the 25%
+    // of points CLOSEST to the centroid (cosine), keep the diverse
+    // remainder. Assignment argmin replays unrounded; the prune rank orders
+    // by the round-6 proto score shared by both engines. The operator's
+    // window exchange carries (id, cell, proto) scalars only — machine-
+    // asserted by PlanShapeSpec.
+    GQuery(
+      "q161_prototypicality_prune",
+      s"""WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+         |           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |r AS (SELECT e.vec_id, c.cell, ${duckCosDist("e.embedding", "c.ce")} AS d,
+         |             row_number() OVER (PARTITION BY e.vec_id
+         |                                ORDER BY ${duckCosDist("e.embedding", "c.ce")}, c.cell) AS rn
+         |      FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT vec_id, cell, round(d, 6) AS proto FROM r WHERE rn = 1),
+         |rk AS (SELECT vec_id, cell, proto,
+         |              row_number() OVER (PARTITION BY cell ORDER BY proto, vec_id) AS rnk,
+         |              count(*) OVER (PARTITION BY cell) AS cnt
+         |       FROM assign)
+         |SELECT vec_id, cell, proto FROM rk WHERE rnk > ceil(cnt * 0.25)""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val init = emb.orderBy("vec_id").limit(8)
+        .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+          .cast("long").as("cell"), col("embedding").as("centroid"))
+      Clustering.prototypicalityPrune(emb, init, dropFrac = 0.25,
+        metric = "COSINE")
     },
   )
 }

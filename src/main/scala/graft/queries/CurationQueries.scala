@@ -583,5 +583,29 @@ object CurationQueries {
         docs.filter(col("lang") === "zh").select("text"),
         "doc_id", "text", nBuckets = 64)
     },
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    // 50 docs drawn proportional to token count, deterministically — the
+    // rank key ln(u)/w derives u from the md5-60 doc_id hash, so the oracle
+    // replays the exact draw and the exact winner set. The Spark plan is a
+    // TakeOrderedAndProject bounded heap (machine-asserted), never a global
+    // sort.
+    GQuery(
+      "q163_weighted_sample",
+      """WITH w AS (SELECT doc_id,
+        |             len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+        |           FROM documents),
+        |k AS (SELECT doc_id, w,
+        |             ln((('0x' || substr(md5(doc_id::VARCHAR || ':wsample'), 1, 15))::BIGINT + 1)
+        |                / 1152921504606846976.0) / w AS es
+        |      FROM w WHERE w > 0)
+        |SELECT doc_id, w, round(es, 6) AS es_key
+        |FROM k ORDER BY es DESC, doc_id LIMIT 50""".stripMargin) { (s, dir) =>
+      val weighted = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(lower(col("text"))))
+            .cast("long").as("w"))
+      Sampling.weightedSample(weighted, "doc_id", "w", n = 50)
+    },
   )
 }

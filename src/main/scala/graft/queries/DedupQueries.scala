@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Bloom, Dedup}
 
 /** Deduplication + similarity-search queries over documents/embeddings —
   * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding cosine, IVF ANN.
@@ -466,6 +466,76 @@ object DedupQueries {
             lit("\nAll rights reserved")))
           .otherwise(col("text")).as("text"))
       Dedup.lineDedup(docs, "doc_id", "text", "\n")
+    },
+
+    // Bloom-filter decontamination: the benchmark (docs < 20) folds into a
+    // 2^16-bit / 3-probe filter, and each corpus doc scores the fraction of
+    // its distinct 3-gram shingles whose every probe bit is set. The filter
+    // is deliberately small so FALSE POSITIVES occur at this scale — the
+    // oracle replays every probe position from the md5-60 contract, so a
+    // green row proves the engine reproduces the bloom decision bit-exactly,
+    // collisions included (and bloom_containment >= the exact q87 score by
+    // construction).
+    GQuery(
+      "q162_bloom_decontamination",
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+         |          i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |        FROM toks WHERE len(t) >= 3),
+         |doc AS (SELECT doc_id, unnest(sh) AS shingle FROM sh0 WHERE doc_id >= 20),
+         |bsh AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh0 WHERE doc_id < 20),
+         |js AS (SELECT unnest([0, 1, 2]) AS j),
+         |bpos AS (SELECT DISTINCT
+         |           ('0x' || substr(md5(shingle || ':' || j::VARCHAR), 1, 15))::BIGINT % 65536 AS pos
+         |         FROM bsh CROSS JOIN js),
+         |dp AS (SELECT doc_id, shingle,
+         |         ('0x' || substr(md5(shingle || ':' || j::VARCHAR), 1, 15))::BIGINT % 65536 AS pos
+         |       FROM doc CROSS JOIN js),
+         |hit AS (SELECT d.doc_id, d.shingle, bool_and(b.pos IS NOT NULL) AS hit
+         |        FROM dp d LEFT JOIN bpos b ON d.pos = b.pos
+         |        GROUP BY d.doc_id, d.shingle),
+         |sz AS (SELECT doc_id, count(*) AS sz, count(*) FILTER (WHERE hit) AS h
+         |       FROM hit GROUP BY doc_id)
+         |SELECT a.doc_id,
+         |       round(CASE WHEN coalesce(sz, 0) = 0 THEN 0.0
+         |             ELSE coalesce(h, 0)::DOUBLE / sz END, 6) AS bloom_containment
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) a
+         |LEFT JOIN sz USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bits = Bloom.build(docs.filter(col("doc_id") < 20), "text",
+        n = 3, mBits = 1 << 16, kProbes = 3)
+      Bloom.containmentScores(docs.filter(col("doc_id") >= 20), bits,
+        "doc_id", "text", n = 3, kProbes = 3)
+    },
+
+    // ExactSubstr removal (Lee et al.): every token covered by a 4-gram
+    // occurring more than once corpus-wide is excised; survivors rejoin in
+    // order. The planted exact-duplicate docs lose their whole body; docs
+    // under 4 tokens pass through whole. The oracle replays positional
+    // grams, the >1 count, the covered-position union and the ordered
+    // reassembly from first principles.
+    GQuery(
+      "q164_exactsubstr_removal",
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+3], ' ') AS gram
+         |      FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         |cov AS (SELECT DISTINCT g.doc_id, g.pos + x.x AS p
+         |        FROM g JOIN dup USING (gram), UNNEST(range(0, 4)) AS x(x)),
+         |tokpos AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+         |           FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+         |agg AS (SELECT tk.doc_id,
+         |               coalesce(string_agg(tok, ' ' ORDER BY tk.p)
+         |                 FILTER (WHERE c.p IS NULL), '') AS text,
+         |               count(*) FILTER (WHERE c.p IS NOT NULL) AS n_removed
+         |        FROM tokpos tk LEFT JOIN cov c
+         |          ON c.doc_id = tk.doc_id AND c.p = tk.p
+         |        GROUP BY tk.doc_id)
+         |SELECT d.doc_id, coalesce(agg.text, '') AS text,
+         |       coalesce(agg.n_removed, 0) AS n_removed
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin) { (s, dir) =>
+      Dedup.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
+        w = 4)
     },
   )
 }

@@ -118,6 +118,11 @@ class CliSpec extends SparkSpec {
     val contam = Main.run(spark, Seq("decontaminate", "--input", corpus,
       "--benchmark", bench, "--threshold", "0.9"))
     assert(contam.select("id").collect().map(_.getLong(0)).toSet == Set(3L))
+
+    // --bloom: same verdict through the fixed-size filter (no false negatives)
+    val bloom = Main.run(spark, Seq("decontaminate", "--input", corpus,
+      "--benchmark", bench, "--threshold", "0.9", "--bloom"))
+    assert(bloom.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
   test("compute-knn packages a reloadable ground-truth dataset") {
@@ -188,6 +193,18 @@ class CliSpec extends SparkSpec {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
       again.select("doc_id").collect().map(_.getLong(0)).toSet)
 
+    // --weight-col: E-S weighted draw, deterministic size-n winner set
+    val winput = s"$dir/wsample-in.parquet"
+    (0L until 100L).map(i => (i, (i % 5) + 1.0)).toDF("doc_id", "w")
+      .write.mode("overwrite").parquet(winput)
+    val ws = Main.run(spark, Seq("sample", "--input", winput,
+      "--key-col", "doc_id", "--weight-col", "w", "--n", "10"))
+    assert(ws.count() == 10)
+    val ws2 = Main.run(spark, Seq("sample", "--input", winput,
+      "--key-col", "doc_id", "--weight-col", "w", "--n", "10"))
+    assert(ws.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      ws2.select("doc_id").collect().map(_.getLong(0)).toSet)
+
     val split = Main.run(spark, Seq("split", "--input", input,
       "--key-col", "doc_id", "--splits", "train=0.8,val=0.1,test=0.1"))
     val byLabel = split.groupBy("split").count().collect()
@@ -244,6 +261,12 @@ class CliSpec extends SparkSpec {
     val spans = Main.run(spark, Seq("dupspans", "--input", input, "--width", "4"))
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(spans(1L) == 1.0 && spans(2L) == 1.0 && spans(3L) == 0.0)
+    // --remove: the duplicated docs lose everything, unique docs survive
+    val removed = Main.run(spark, Seq("dupspans", "--input", input,
+      "--width", "4", "--remove"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(removed(1L) == "" && removed(2L) == "")
+    assert(removed(3L) == "p q r s" && removed(4L) == "")
 
     val hits = Main.run(spark, Seq("bm25", "--input", input,
       "--terms", "p,q", "--k", "2")).collect()
@@ -402,6 +425,10 @@ class CliSpec extends SparkSpec {
     val sampled = Main.run(spark, Seq("cluster", "--input", input, "--k", "2",
       "--iters", "4", "--per-cell", "5"))
     assert(sampled.count() == 10)
+    // --drop-proto: D4 prune drops ceil(0.25 * 20) = 5 per cell
+    val kept = Main.run(spark, Seq("cluster", "--input", input, "--k", "2",
+      "--iters", "4", "--drop-proto", "0.25"))
+    assert(kept.count() == 30)
   }
 
   test("buckets assigns surprisal quantiles 1..k") {

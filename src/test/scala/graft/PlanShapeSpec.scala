@@ -176,6 +176,41 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("Clustering.prototypicalityPrune: the window exchange carries scalars only") {
+    val init = base.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    // scoring is a broadcast argmin (no shuffle); the per-cell rank window
+    // must exchange (id, cell, proto) only — the vector column never
+    // crosses a shuffle
+    val plan = executedPlan(
+      graft.operators.Clustering.prototypicalityPrune(base, init, 0.25))
+    // AQE hides materialized exchanges inside leaf QueryStageExec wrappers —
+    // recurse through them
+    def allExchanges(p: SparkPlan): Seq[ShuffleExchangeExec] =
+      p.collect {
+        case e: ShuffleExchangeExec => Seq(e)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allExchanges(q.plan)
+      }.flatten
+    val exchanges = allExchanges(plan)
+    assert(exchanges.size == 1, s"want exactly one window exchange:\n$plan")
+    exchanges.foreach { e =>
+      val arrayCols = e.output.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrayCols.isEmpty,
+        s"prune exchange carries array column(s) ${arrayCols.map(_.name).mkString(",")}:\n$e")
+    }
+  }
+
+  test("Sampling.weightedSample plans a TakeOrderedAndProject bounded heap") {
+    val df = (1L to 64L).map(i => (i, 1.0 + i % 5)).toDF("id", "w")
+    val plan = executedPlan(graft.operators.Sampling.weightedSample(df, "id", "w", 8))
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject"), s)
+    // top-n must never become a global range-partitioned sort
+    assert(!s.contains("rangepartitioning"), s)
+  }
+
   test("Dedup.lineDedup: no exchange carries paragraph or document text") {
     val docs = (0L until 64L)
       .map(i => (i, s"header line\nbody ${i % 8}\nfooter line"))

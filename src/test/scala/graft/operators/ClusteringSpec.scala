@@ -124,4 +124,36 @@ class ClusteringSpec extends SparkSpec {
     assert(got == want)
     assert(got.values.forall(_.size <= 4))
   }
+
+  test("prototypicalityPrune drops the ceil-fraction closest per cell") {
+    val cents = Clustering.lloyd(df, k = 3, iters = 2)
+    val kept = Clustering.prototypicalityPrune(df, cents, dropFrac = 0.3,
+        metric = "EUCLIDEAN")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // sequential reference: round-6 distance to own (argmin) centroid,
+    // per-cell sort by (proto, id), drop the first ceil(0.3 * n)
+    val cs = cents.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val scored = blobs.map { case (id, v) =>
+      var best = 0; var bestD = Double.MaxValue
+      for (i <- cs.indices) {
+        val dd = DistanceKernels.computeArrays(v, cs(i), DistanceKernels.EUCLIDEAN)
+        if (dd < bestD) { bestD = dd; best = i }
+      }
+      (id, best.toLong, math.rint(bestD * 1e6) / 1e6)
+    }
+    val want = scored.groupBy(_._2).flatMap { case (_, members) =>
+      val sorted = members.sortBy(m => (m._3, m._1))
+      sorted.drop(math.ceil(sorted.size * 0.3).toInt)
+    }.toSet
+    assert(kept.toSet == want)
+    assert(kept.length < blobs.size) // something was actually dropped
+    // dropFrac = 0 keeps every point
+    assert(Clustering.prototypicalityPrune(df, cents, dropFrac = 0.0,
+      metric = "EUCLIDEAN").count() == blobs.size)
+    // reserved rank column guard
+    intercept[IllegalArgumentException] {
+      Clustering.prototypicalityPrune(df, cents, 0.3, idCol = "_rnk")
+    }
+  }
 }

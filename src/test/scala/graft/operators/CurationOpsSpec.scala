@@ -272,6 +272,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("removeDuplicatedSpans excises covered tokens, keeps the rest in order") {
+    val docs = Seq(
+      (1L, "a b c d e unique tail one"),  // shares "a b c d e" with doc 2
+      (2L, "a b c d e other suffix two"),
+      (3L, "q w e r t y u i"),            // unique: untouched
+      (4L, "x y"),                        // < w tokens: whole
+      (5L, "M  N   m n m n"))             // self-repeating + case/space noise
+      .toDF("doc_id", "text")
+    val rows = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // docs 1/2: 3-grams at 0..2 duplicated -> positions 0..4 covered
+    assert(rows(1L) == (("unique tail one", 5L)))
+    assert(rows(2L) == (("other suffix two", 5L)))
+    assert(rows(3L) == (("q w e r t y u i", 0L)))
+    assert(rows(4L) == (("x y", 0L)))
+    // "m n m n m n": "m n m"@0,2 and "n m n"@1,3 all multiply-occurring
+    // (within the doc itself) -> every position covered
+    assert(rows(5L) == (("", 6L)))
+    assert(rows.size == 5)
+  }
+
   // ---- Unigram surprisal ----
 
   test("unigram surprisal matches a hand-built language model") {

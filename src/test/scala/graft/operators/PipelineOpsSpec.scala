@@ -38,4 +38,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2) == 0.25)
     assert(got(3) == 0.0)
   }
+
+  test("bloom containment: exact at ample size, superset when tiny, partition-stable build") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),          // exact containment 1.0
+      (2L, "alpha beta gamma zork quux flam"), // exact 0.25
+      (3L, "one two three four"),              // exact 0.0
+      (4L, "too short")                        // < n tokens -> 0.0
+    ).toDF("id", "text")
+    // ample filter (2^20 bits for 2 bench shingles): zero FP probability in
+    // practice -> bloom == exact
+    val big = Bloom.build(bench, "text", n = 3, mBits = 1 << 20, kProbes = 4)
+    val gotBig = Bloom.containmentScores(docs, big, "id", "text", n = 3, kProbes = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotBig == Map(1L -> 1.0, 2L -> 0.25, 3L -> 0.0, 4L -> 0.0))
+    // tiny filter (64 bits): false positives can only ADD — no false negatives
+    val tiny = Bloom.build(bench, "text", n = 3, mBits = 64, kProbes = 2)
+    val gotTiny = Bloom.containmentScores(docs, tiny, "id", "text", n = 3, kProbes = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotTiny(1L) == 1.0)
+    assert(gotTiny(2L) >= 0.25 && gotTiny(4L) == 0.0)
+    // the OR-merge is partition-count independent
+    val b1 = Bloom.build(bench.repartition(7), "text", n = 3, mBits = 1 << 10, kProbes = 3)
+    val b2 = Bloom.build(bench.coalesce(1), "text", n = 3, mBits = 1 << 10, kProbes = 3)
+    assert(b1.toSeq == b2.toSeq)
+    // the probe hash equals the SQL md5-60 contract the oracles replay
+    val sqlPos = spark.sql(
+      "SELECT conv(substr(md5('alpha beta gamma:1'), 1, 15), 16, 10)")
+      .head().getString(0).toLong % (1 << 10)
+    val jvmPos = graft.functions.StableHash.md5Hash60("alpha beta gamma:1") % (1 << 10)
+    assert(sqlPos == jvmPos)
+  }
 }

@@ -87,6 +87,27 @@ class SamplingSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("weightedSample matches the sequential E-S draw; non-positive weights excluded") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => (i, (i % 7) + 1.0)) ++
+      Seq((200L, 0.0), (201L, -3.0))
+    val got = Sampling.weightedSample(rows.toDF("id", "w").repartition(5),
+        "id", "w", n = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // sequential reference: u from the md5-60 hash, rank by ln(u)/w desc
+    val want = rows.filter(_._2 > 0).map { case (id, w) =>
+      val u = (graft.functions.StableHash.md5Hash60(s"$id:wsample") + 1)
+        .toDouble / math.pow(2, 60)
+      (id, math.log(u) / w)
+    }.sortBy { case (id, es) => (-es, id) }.take(10)
+      .map { case (id, es) => (id, math.rint(es * 1e6) / 1e6) }
+    assert(got.toSeq == want)
+    assert(!got.exists(r => r._1 == 200L || r._1 == 201L))
+    // sample size caps at the eligible row count
+    assert(Sampling.weightedSample(
+      rows.toDF("id", "w"), "id", "w", n = 500).count() == 100)
+  }
+
   test("both operators are pure projection/filter: no shuffle in the plan") {
     val d = docs(100)
     val p1 = Sampling.stratifiedSample(d, "stratum", "id", Map("s0" -> 0.5))
