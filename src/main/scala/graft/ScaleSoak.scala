@@ -350,6 +350,30 @@ object ScaleSoak {
       graft.operators.UnigramLm.bigramSurprisal(docs, "doc_id", "text")
         .agg(max("bigram_surprisal")).collect()
     }
+    // --- round-8 additions: D4 prune / bloom / weighted sample / excision
+    timed(s"prototypicality prune (drop 30%) over $nBase x $dim, 256 cells") {
+      val init = base.orderBy("vec_id").limit(256)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+      graft.operators.Clustering.prototypicalityPrune(base, init, 0.3,
+        metric = "EUCLIDEAN").count()
+    }
+    timed(s"bloom build (2^24 bits) from 5k bench docs + score $nDocs docs") {
+      val bits = graft.operators.Bloom.build(
+        docs.filter(col("doc_id") < 5000), "text", n = 3,
+        mBits = 1 << 24, kProbes = 4)
+      graft.operators.Bloom.containmentScores(docs, bits, "doc_id", "text",
+        n = 3, kProbes = 4).agg(avg("bloom_containment")).collect()
+    }
+    timed(s"weighted sample 1000 of ${nBase * 10} rows (TakeOrdered heap)") {
+      graft.operators.Sampling.weightedSample(
+        spark.range(nBase * 10).select(col("id"),
+          (pmod(col("id") * 2654435761L, lit(97L)) + 1).cast("double").as("w")),
+        "id", "w", n = 1000).count()
+    }
+    timed(s"exactsubstr removal (w=8) over $nDocs docs") {
+      graft.operators.Dedup.removeDuplicatedSpans(docs, "doc_id", "text", w = 8)
+        .agg(sum("n_removed")).collect()
+    }
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Ann, Bloom, Dedup}
+import graft.operators.{Ann, Bloom, Clustering, Dedup}
 
 /** Deduplication + similarity-search queries over documents/embeddings —
   * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding cosine, IVF ANN.
@@ -536,6 +536,67 @@ object DedupQueries {
          |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin) { (s, dir) =>
       Dedup.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
         w = 4)
+    },
+
+    // The full D4 recipe (Tirumala et al.) under ONE oracle: cluster-shard
+    // the corpus (with planted near-dups), SemDeDup within cells (CC ->
+    // keep-min), then prototypicality-prune the survivors per cell against
+    // the same centroids. The CTE chain replays all three stages — cell
+    // argmin, per-cell cosine pairs, recursive closure, keep rule, round-6
+    // proto rank and the ceil-fraction drop — so a green row proves the
+    // composed pipeline end-to-end.
+    GQuery(
+      "q165_d4_pipeline",
+      s"""WITH RECURSIVE u AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000,
+         |         list_transform(embedding, x -> (x::DOUBLE * 0.9 + 0.01)::FLOAT)
+         |  FROM embeddings WHERE vec_id < 40),
+         |cen AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |               embedding AS ce
+         |        FROM (SELECT * FROM u ORDER BY vec_id LIMIT 8)),
+         |r AS (SELECT e.vec_id, e.embedding AS v, cen.cell,
+         |             ${duckL2Sq("e.embedding", "cen.ce")} AS d,
+         |             row_number() OVER (PARTITION BY e.vec_id
+         |                                ORDER BY ${duckL2Sq("e.embedding", "cen.ce")}, cen.cell) AS rn
+         |      FROM u e CROSS JOIN cen),
+         |asg AS (SELECT vec_id, v, cell, round(sqrt(d), 6) AS proto FROM r WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |      WHERE ${duckCosine("a.v", "b.v")} >= 0.95),
+         |edges AS (SELECT id_a AS s, id_b AS t FROM p
+         |          UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, rr) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.t, reach.rr FROM reach JOIN edges e ON e.s = reach.id),
+         |lab AS (SELECT id, min(rr) AS cluster FROM reach GROUP BY id),
+         |keepers AS (SELECT u.vec_id FROM u LEFT JOIN lab ON lab.id = u.vec_id
+         |            WHERE coalesce(lab.cluster, u.vec_id) = u.vec_id),
+         |rk AS (SELECT k.vec_id, a.cell, a.proto,
+         |              row_number() OVER (PARTITION BY a.cell
+         |                                 ORDER BY a.proto, k.vec_id) AS rnk,
+         |              count(*) OVER (PARTITION BY a.cell) AS cnt
+         |       FROM keepers k JOIN asg a USING (vec_id))
+         |SELECT vec_id, cell, proto FROM rk WHERE rnk > ceil(cnt * 0.25)""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val perturbed = emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * 0.9 + 0.01).cast("float")).as("embedding"))
+      val corpus = emb.unionByName(perturbed)
+      val init = corpus.orderBy("vec_id").limit(8)
+        .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+          .cast("long").as("cell"), col("embedding").as("centroid"))
+      val dedup = Dedup.semanticDedupSharded(corpus, "vec_id", "embedding",
+        threshold = 0.95, centroids = init)
+      val kept = corpus.join(
+        dedup.filter(col("keep")).select(col("id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      Clustering.prototypicalityPrune(kept, init, dropFrac = 0.25,
+        metric = "EUCLIDEAN")
     },
   )
 }

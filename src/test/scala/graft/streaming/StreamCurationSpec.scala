@@ -67,6 +67,35 @@ class StreamCurationSpec extends SparkSpec {
       batch.count(r => r(1) == "de" && r(2) == 0L))
   }
 
+  test("bloom decontamination on a stream equals the batch scores") {
+    import graft.operators.Bloom
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val bits = Bloom.build(bench, "text", n = 3, mBits = 1 << 12, kProbes = 3)
+    val docs = (0L until 120L).map { i =>
+      (i, if (i % 5 == 0) "alpha beta gamma delta filler"
+          else s"doc $i with its own content words w${i % 11} w${i % 13} tail")
+    }
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Bloom.containmentScores(mem.toDF().toDF("doc_id", "text"), bits,
+      "doc_id", "text", n = 3, kProbes = 3)
+    val query = q.writeStream.format("memory").queryName("scs_bloom")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(docs.take(60): _*)
+      query.processAllAvailable()
+      mem.addData(docs.drop(60): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("scs_bloom").collect().map(_.toSeq).toSet
+    val batch = Bloom.containmentScores(docs.toDF("doc_id", "text"), bits,
+        "doc_id", "text", n = 3, kProbes = 3)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.size == 120)
+    // the planted contaminated docs actually score above zero
+    assert(batch.exists(r => r(1).asInstanceOf[Double] > 0.0))
+  }
+
   test("cluster assignment on a stream equals the batch assignment") {
     // fixed centroids broadcast into the map-side argmin — a pure per-row
     // function, so online cluster routing composes with streaming unchanged
