@@ -584,6 +584,16 @@ object Main {
           .orderBy(col("cnt").desc, col("tok"))
           .limit(flags.getOrElse("k", "100").toInt)
 
+      case "cms" =>
+        // Count-Min heavy hitters: fixed-memory frequency sketch (q166) —
+        // constant depth×width grid regardless of vocabulary size
+        operators.Cms.heavyHitters(
+          spark.read.parquet(need("input")),
+          flags.getOrElse("text-col", "text"),
+          depth = flags.getOrElse("depth", "4").toInt,
+          width = flags.getOrElse("width", "65536").toInt,
+          threshold = flags.getOrElse("threshold", "100").toLong)
+
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")
     }
@@ -628,7 +638,8 @@ object Main {
       |  semdecontaminate --input PARQUET --benchmark PARQUET [--bench-chunks N] [--id-col C] [--vec-col C]
       |  vocab --input PARQUET [--k N] [--min-count N] [--id-col C] [--text-col C]
       |  tfidf --input PARQUET [--min-df N] [--id-col C] [--text-col C]
-      |  hashtf --input PARQUET [--n-buckets N] [--id-col C] [--text-col C]""".stripMargin
+      |  hashtf --input PARQUET [--n-buckets N] [--id-col C] [--text-col C]
+      |  cms --input PARQUET [--depth N] [--width N] [--threshold N] [--text-col C]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

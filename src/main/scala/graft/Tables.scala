@@ -23,18 +23,29 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; read nanos as long and truncate to the engine's
-    * microsecond TimestampType (matching DuckDB's ns→µs truncation).
+  /** events.parquet has shipped with two physical `ts` encodings across
+    * testdata generations: INT64 TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects without nanosAsLong, then needs a ns→µs truncation to
+    * match DuckDB) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (which
+    * Spark 4 infers as TIMESTAMP_NTZ). Normalize BOTH to the engine's
+    * session-TZ TimestampType so every consumer — SQL windows, the
+    * streaming Event encoder (java.sql.Timestamp), the as-of join — sees
+    * one type regardless of which generation is on disk. Sessions run UTC
+    * (Verify/Bench set it), so the NTZ→TZ cast is instant-preserving.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
-    // `div` = integer division: `/` would route through DOUBLE and lose
-    // precision above 2^53 (epoch-nanos ~1.7e18), flipping 1µs at tick
-    // boundaries vs DuckDB's exact truncation
-    raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      // nanos-as-long generation: `div`, not `/` — double division is
+      // inexact past 2^53 (epoch-nanos ~1.7e18) and would flip 1µs at
+      // tick boundaries vs DuckDB's exact truncation
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

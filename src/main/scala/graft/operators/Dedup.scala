@@ -801,4 +801,37 @@ object Dedup {
         coalesce(col("_c"), col("id")).as("cluster_id"),
         (coalesce(col("_c"), col("id")) === col("id")).as("keep"))
   }
+
+  /** Quality-aware representative selection over near-dup clusters: instead
+    * of the keep-min-id rule, each connected component keeps its HIGHEST-
+    * `scoreCol` member (ties → lowest id) — the curation-grade rule
+    * (SemDeDup/CCNet pipelines keep the best-quality copy, not an arbitrary
+    * one). Output: every doc as (idCol, cluster_id, kept); singletons
+    * cluster to themselves and are kept.
+    *
+    * Scale shape: `pairs`/components are the near-dup SUBSET (pairs, not
+    * corpus rows); the score join and the per-cluster argmax run on that
+    * subset only, and the corpus-wide labeling is one left join of ids
+    * against the (small) membership — corpus text never moves.
+    */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs.select("id_a", "id_b"))
+    val members = cc.join(
+      docs.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("_s")), "id")
+    // per-cluster argmax by (score, -id): lexicographic struct max gives
+    // highest score, ties to the LOWEST id
+    val rep = members.groupBy("cluster")
+      .agg(max(struct(col("_s").as("s"), (-col("id")).as("ni"))).as("b"))
+      .select(col("cluster"), (-col("b.ni")).as("rep_id"))
+    val labeled = members.join(rep, "cluster")
+      .select(col("id"), col("cluster").as("_c"),
+        (col("id") === col("rep_id")).as("_k"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(labeled, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_c"), col("id")).as("cluster_id"),
+        coalesce(col("_k"), lit(true)).as("kept"))
+  }
 }

@@ -156,4 +156,30 @@ object Ranking {
         .otherwise(floor((r0 - cut) / q) + rem + 1)
     ranked.withColumn(bucketCol, bucket.cast("long")).drop("_rank")
   }
+
+  /** Rank-average ensemble of quality signals: percent_rank each signal
+    * independently (ordering by `(signal, idCol)` — the total-order
+    * contract), then average the ranks into one `outCol` score. Rank
+    * averaging is the scale-robust way to combine signals with unrelated
+    * units (a z-score ensemble would let one heavy-tailed signal dominate;
+    * ranks are distribution-free). Per-signal pr columns are kept
+    * (`pr_<signal>`) so a consumer can weight or ablate them. One range
+    * shuffle PER SIGNAL — inherent, each signal is its own total order;
+    * nothing else moves, and no single-partition window anywhere.
+    */
+  def rankEnsemble(df: DataFrame, signalCols: Seq[String], idCol: String,
+      outCol: String = "quality_ensemble"): DataFrame = {
+    require(signalCols.nonEmpty, "rankEnsemble needs at least one signal")
+    val prCols = signalCols.map(s => s"pr_$s")
+    val withPr = signalCols.zip(prCols).foldLeft(df) { case (acc, (s, pc)) =>
+      percentRank(acc, Seq(s, idCol), pc)
+    }
+    // no rounding on the blend: the inputs are already 6-decimal-rounded
+    // doubles, so the sum/divide is bit-identical across engines — while
+    // ROUNDING it would sit exactly on decimal half-boundaries (e.g.
+    // (0.847695+0.104208)/2 = 0.4759515) where banker's vs half-up
+    // rounding diverge
+    val avg = prCols.map(col).reduce(_ + _) / prCols.size.toDouble
+    withPr.withColumn(outCol, avg)
+  }
 }

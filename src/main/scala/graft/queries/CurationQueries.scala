@@ -15,6 +15,58 @@ object CurationQueries {
   private def duckHashUnit(keyExpr: String, salt: String): String =
     s"('0x' || substr(md5($keyExpr || ':$salt'), 1, 15))::BIGINT % 1000000"
 
+  /** Shared CTE prefix replaying a 2-merge BPE train + apply on the
+    * documents corpus: `w` (per-doc word lists) → `wc`/`seg0` (char
+    * segmentation) → `m1`/`seg1` (first merge, single-char pieces so plain
+    * replace is exact) → `m2`/`seg2` (second merge, boundary-guarded
+    * list_reduce — pieces may be multi-char now) → `vocab` (binary-collation
+    * ids) → `wseq` (per-word id strings + piece counts) → `dw` (per-doc
+    * word stream in position order). q148 packs `wseq`; q167 aggregates its
+    * `np` fertility signal — one replay, two compositions.
+    */
+  private val bpe2MergeCte: String =
+    """WITH w AS (SELECT doc_id,
+      |                  list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+      |           FROM documents),
+      |wc AS (SELECT word, count(*) AS cnt
+      |       FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word),
+      |seg0 AS (SELECT word, cnt,
+      |                array_to_string(list_transform(range(1, length(word)+1),
+      |                                               i -> substr(word, i, 1)), ' ') AS seg
+      |         FROM wc),
+      |pc0 AS (SELECT s[i+1] AS l, s[i+2] AS r, sum(cnt)::BIGINT AS cnt
+      |        FROM (SELECT cnt, s, unnest(range(len(s) - 1)) AS i
+      |              FROM (SELECT cnt, string_split(seg, ' ') AS s FROM seg0))
+      |        GROUP BY 1, 2),
+      |m1 AS (SELECT l, r FROM pc0 ORDER BY cnt DESC, l, r LIMIT 1),
+      |seg1 AS (SELECT word, seg0.cnt,
+      |                replace(seg0.seg, m1.l || ' ' || m1.r, m1.l || m1.r) AS seg
+      |         FROM seg0 CROSS JOIN m1),
+      |pc1 AS (SELECT s[i+1] AS l, s[i+2] AS r, sum(cnt)::BIGINT AS cnt
+      |        FROM (SELECT cnt, s, unnest(range(len(s) - 1)) AS i
+      |              FROM (SELECT cnt, string_split(seg, ' ') AS s FROM seg1))
+      |        GROUP BY 1, 2),
+      |m2 AS (SELECT l, r FROM pc1 ORDER BY cnt DESC, l, r LIMIT 1),
+      |seg2 AS (SELECT word, seg1.cnt,
+      |                list_reduce(string_split(seg1.seg, ' '),
+      |                  (acc, x) -> CASE WHEN x = m2.r AND
+      |                                   (acc = m2.l OR ends_with(acc, ' ' || m2.l))
+      |                              THEN substr(acc, 1, length(acc) - length(m2.l))
+      |                                   || m2.l || x
+      |                              ELSE acc || ' ' || x END) AS seg
+      |         FROM seg1 CROSS JOIN m2),
+      |vp AS (SELECT DISTINCT unnest(string_split(seg, ' ')) AS piece FROM seg0
+      |       UNION SELECT l || r FROM m1
+      |       UNION SELECT l || r FROM m2),
+      |vocab AS (SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS tid FROM vp),
+      |wp AS (SELECT word, generate_subscripts(string_split(seg, ' '), 1) AS pi,
+      |              unnest(string_split(seg, ' ')) AS piece
+      |       FROM seg2),
+      |wseq AS (SELECT word, string_agg(tid::VARCHAR, ' ' ORDER BY pi) AS ids,
+      |                count(*)::BIGINT AS np
+      |         FROM wp JOIN vocab USING (piece) GROUP BY word),
+      |dw AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS word FROM w)""".stripMargin
+
   val all: Seq[GQuery] = Seq(
 
     // Backward as-of join: every 5th event is a "query point", the rest are
@@ -405,48 +457,11 @@ object CurationQueries {
     // → sequence content, byte-for-byte.
     GQuery(
       "q148_bpe_pack_pipeline",
-      """WITH w AS (SELECT doc_id,
-        |                  list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
-        |           FROM documents),
-        |wc AS (SELECT word, count(*) AS cnt
-        |       FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word),
-        |seg0 AS (SELECT word, cnt,
-        |                array_to_string(list_transform(range(1, length(word)+1),
-        |                                               i -> substr(word, i, 1)), ' ') AS seg
-        |         FROM wc),
-        |pc0 AS (SELECT s[i+1] AS l, s[i+2] AS r, sum(cnt)::BIGINT AS cnt
-        |        FROM (SELECT cnt, s, unnest(range(len(s) - 1)) AS i
-        |              FROM (SELECT cnt, string_split(seg, ' ') AS s FROM seg0))
-        |        GROUP BY 1, 2),
-        |m1 AS (SELECT l, r FROM pc0 ORDER BY cnt DESC, l, r LIMIT 1),
-        |seg1 AS (SELECT word, seg0.cnt,
-        |                replace(seg0.seg, m1.l || ' ' || m1.r, m1.l || m1.r) AS seg
-        |         FROM seg0 CROSS JOIN m1),
-        |pc1 AS (SELECT s[i+1] AS l, s[i+2] AS r, sum(cnt)::BIGINT AS cnt
-        |        FROM (SELECT cnt, s, unnest(range(len(s) - 1)) AS i
-        |              FROM (SELECT cnt, string_split(seg, ' ') AS s FROM seg1))
-        |        GROUP BY 1, 2),
-        |m2 AS (SELECT l, r FROM pc1 ORDER BY cnt DESC, l, r LIMIT 1),
-        |seg2 AS (SELECT word, seg1.cnt,
-        |                list_reduce(string_split(seg1.seg, ' '),
-        |                  (acc, x) -> CASE WHEN x = m2.r AND
-        |                                   (acc = m2.l OR ends_with(acc, ' ' || m2.l))
-        |                              THEN substr(acc, 1, length(acc) - length(m2.l))
-        |                                   || m2.l || x
-        |                              ELSE acc || ' ' || x END) AS seg
-        |         FROM seg1 CROSS JOIN m2),
-        |vp AS (SELECT DISTINCT unnest(string_split(seg, ' ')) AS piece FROM seg0
-        |       UNION SELECT l || r FROM m1
-        |       UNION SELECT l || r FROM m2),
-        |vocab AS (SELECT piece, row_number() OVER (ORDER BY piece) - 1 AS tid FROM vp),
-        |wp AS (SELECT word, generate_subscripts(string_split(seg, ' '), 1) AS pi,
-        |              unnest(string_split(seg, ' ')) AS piece
-        |       FROM seg2),
-        |wseq AS (SELECT word, string_agg(tid::VARCHAR, ' ' ORDER BY pi) AS ids,
-        |                count(*)::BIGINT AS np
-        |         FROM wp JOIN vocab USING (piece) GROUP BY word),
-        |dw AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS word FROM w),
-        |dt AS (SELECT doc_id,
+      // concatenation, not interpolation-under-stripMargin: the prefix is
+      // already margin-stripped, and a second stripMargin pass would eat
+      // the leading `|` of its `||` concat operators
+      bpe2MergeCte + ",\n" +
+      """dt AS (SELECT doc_id,
         |              string_split(string_agg(ids, ' ' ORDER BY wi), ' ') AS toks,
         |              sum(np)::BIGINT AS n
         |       FROM dw JOIN wseq USING (word) GROUP BY doc_id),
@@ -472,6 +487,43 @@ object CurationQueries {
         enc.select(col("doc_id"),
           expr("transform(tok_ids, t -> cast(t AS string))").as("toks")),
         "doc_id", "toks", seqLen = 32)
+    },
+
+    // Tokenizer fertility by language — the ablation signal tokenizer
+    // papers read (tokens per character / per word after training): the
+    // same 2-merge trained BPE as q148, but aggregated per language
+    // partition instead of packed. Scale shape: encodeCounts is ONE
+    // (word ⋈ vocabulary) shuffle + a doc-keyed aggregate; the per-lang
+    // rollup is a second tiny aggregate over |docs| rows — the corpus text
+    // itself never moves twice. The oracle reuses the exact q148 training
+    // CTE, so both compositions pin the SAME replayed tokenizer.
+    GQuery(
+      "q167_tokenizer_fertility",
+      bpe2MergeCte + ",\n" +
+      """dn AS (SELECT doc_id, sum(np)::BIGINT AS toks,
+        |              sum(length(word))::BIGINT AS chars, count(*)::BIGINT AS nw
+        |       FROM dw JOIN wseq USING (word) GROUP BY doc_id)
+        |SELECT d.lang,
+        |       round(sum(toks)::DOUBLE / sum(chars), 6) AS tokens_per_char,
+        |       round(sum(toks)::DOUBLE / sum(nw), 6) AS tokens_per_word,
+        |       sum(toks)::BIGINT AS n_tokens
+        |FROM dn JOIN documents d USING (doc_id)
+        |GROUP BY d.lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val counts = graft.operators.Bpe.encodeCounts(docs, "doc_id", "text",
+        numMerges = 2)
+      val words = docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("word"))
+        .groupBy("doc_id").agg(
+          sum(length(col("word"))).as("chars"), count(lit(1)).as("nw"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(counts, "doc_id").join(words, "doc_id")
+        .groupBy("lang").agg(
+          round(sum("n_bpe_tokens").cast("double") / sum("chars"), 6)
+            .as("tokens_per_char"),
+          round(sum("n_bpe_tokens").cast("double") / sum("nw"), 6)
+            .as("tokens_per_word"),
+          sum("n_bpe_tokens").as("n_tokens"))
     },
 
     // Model-based quality classification (the fastText-style filter stage):

@@ -598,5 +598,38 @@ object DedupQueries {
       Clustering.prototypicalityPrune(kept, init, dropFrac = 0.25,
         metric = "EUCLIDEAN")
     },
+
+    // Quality-aware representative selection: near-dup clusters (3-gram
+    // Jaccard >= 0.8 -> connected components) keep their LONGEST member
+    // (ties -> lowest id) instead of the arbitrary min-id — the rule real
+    // curation pipelines want (keep the best copy, drop the rest). The
+    // oracle replays pairs, the recursive closure, the per-cluster argmax
+    // and the corpus-wide labeling; singletons cluster to themselves and
+    // are kept.
+    GQuery(
+      "q169_keep_best_dedup",
+      s"""WITH RECURSIVE p AS (${jaccardPairsSql(0.8)}),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS t FROM p
+         |  UNION ALL
+         |  SELECT id_b AS s, id_a AS t FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |rk AS (SELECT cl.id, cl.cluster,
+         |              row_number() OVER (PARTITION BY cl.cluster
+         |                ORDER BY d.n_chars DESC, cl.id) AS rn
+         |       FROM cl JOIN documents d ON d.doc_id = cl.id)
+         |SELECT d.doc_id, coalesce(rk.cluster, d.doc_id) AS cluster_id,
+         |       coalesce(rk.rn = 1, true) AS kept
+         |FROM documents d LEFT JOIN rk ON rk.id = d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      Dedup.keepBestPerCluster(docs, "doc_id", "n_chars", pairs)
+        .withColumnRenamed("id", "doc_id")
+    },
   )
 }

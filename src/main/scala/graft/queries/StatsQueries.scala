@@ -284,5 +284,30 @@ object StatsQueries {
         Tables.embeddings(s, dir).select("vec_id", "embedding"),
         "vec_id", "embedding", k = 16)
     },
+
+    // Count-Min heavy hitters: the corpus token stream folds into a 3×64
+    // counter grid (one treeAggregate, no shuffle), and every distinct
+    // token with min-over-rows bucket sum ≥ 100 surfaces. The grid is
+    // deliberately narrow so COLLISIONS inflate the estimates at this
+    // scale — the oracle replays every counter from the md5-60 contract,
+    // so a green row proves the engine reproduces the sketch bit-exactly,
+    // collision inflation included (and cms_count ≥ the true count by the
+    // CMS guarantee — no heavy hitter is missed).
+    GQuery(
+      "q166_cms_heavy_hitters",
+      """WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                x -> x != '')) AS term FROM documents),
+        |tc AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |ps AS (SELECT term, c, j,
+        |         ('0x' || substr(md5(term || ':' || j::VARCHAR), 1, 15))::BIGINT % 64 AS pos
+        |       FROM tc CROSS JOIN js),
+        |bkt AS (SELECT j, pos, sum(c) AS bc FROM ps GROUP BY j, pos),
+        |est AS (SELECT term, min(bc)::BIGINT AS cms_count
+        |        FROM ps JOIN bkt USING (j, pos) GROUP BY term)
+        |SELECT term, cms_count FROM est WHERE cms_count >= 100""".stripMargin) { (s, dir) =>
+      graft.operators.Cms.heavyHitters(Tables.documents(s, dir), "text",
+        depth = 3, width = 64, threshold = 100L)
+    },
   )
 }

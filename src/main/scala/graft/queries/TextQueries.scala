@@ -793,5 +793,41 @@ object TextQueries {
         .agg(round(sum(when(col("rk") <= col("k"), col("cnt")).otherwise(0L)) /
           max(col("tt")), 6).as("coverage"))
     },
+
+    // Rank-average quality ensemble: two signals with unrelated units
+    // (document length; lexical diversity = distinct-token ratio) each
+    // percent_rank'd globally, then averaged — the distribution-free way
+    // to combine filter signals (a z-score blend would let the heavy-
+    // tailed length dominate). Scale shape: one range shuffle per signal
+    // via Ranking's two-pass rank (no single-partition window), and the
+    // diversity signal is a single doc-keyed aggregate. The oracle
+    // replays both window ranks and the blend arithmetic.
+    GQuery(
+      "q168_quality_rank_ensemble",
+      s"""WITH dv AS (SELECT doc_id,
+         |              round(coalesce(count(DISTINCT t)::DOUBLE / nullif(count(t), 0), 0.0), 6) AS ttr
+         |            FROM (SELECT doc_id, unnest($duckToks) AS t FROM documents)
+         |            GROUP BY doc_id),
+         |s AS (SELECT d.doc_id, d.n_chars, coalesce(dv.ttr, 0.0) AS ttr
+         |      FROM documents d LEFT JOIN dv USING (doc_id)),
+         |p AS (SELECT doc_id, n_chars, ttr,
+         |             round(percent_rank() OVER (ORDER BY n_chars, doc_id), 6) AS pr_n_chars,
+         |             round(percent_rank() OVER (ORDER BY ttr, doc_id), 6) AS pr_ttr
+         |      FROM s)
+         |SELECT doc_id, pr_n_chars, pr_ttr,
+         |       (pr_n_chars + pr_ttr) / 2.0 AS quality_ensemble
+         |FROM p""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val dv = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+        .groupBy("doc_id")
+        .agg(round(countDistinct(col("t")).cast("double") / count(col("t")), 6).as("ttr"))
+      val sig = docs.select(col("doc_id"), col("n_chars"))
+        .join(dv, Seq("doc_id"), "left")
+        .na.fill(0.0, Seq("ttr"))
+      graft.operators.Ranking
+        .rankEnsemble(sig, Seq("n_chars", "ttr"), "doc_id")
+        .select("doc_id", "pr_n_chars", "pr_ttr", "quality_ensemble")
+    },
   )
 }

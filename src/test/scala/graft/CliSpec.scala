@@ -480,6 +480,17 @@ class CliSpec extends SparkSpec {
     assert(hashed == Map(1L -> 3L, 2L -> 2L)) // token mass conserved
   }
 
+  test("cms surfaces heavy hitters with exact counts on a wide grid") {
+    import spark.implicits._
+    val input = s"$dir/cms.parquet"
+    Seq((1L, "a a a b"), (2L, "a b c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(input)
+    val got = Main.run(spark, Seq("cms", "--input", input,
+      "--depth", "4", "--width", "65536", "--threshold", "2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 4L, "b" -> 2L)) // collision-free => exact
+  }
+
   test("semdedup clusters embedding near-duplicates via the CLI") {
     import spark.implicits._
     val input = s"$dir/semdedup.parquet"
