@@ -332,6 +332,9 @@ object Main {
             // length-ordered token-budget batches (padding minimizer);
             // --seq-len doubles as the per-batch token budget
             operators.Packing.lengthBatches(withCounts, idC, "_n_tok", seqLen)
+          else if (flags.contains("report"))
+            // one-row shard-sizing summary (fill rate / padding / straddles)
+            operators.Packing.packReport(withCounts, idC, "_n_tok", seqLen)
           else operators.Packing.packCoordinates(withCounts, idC, "_n_tok", seqLen)
         }
 
@@ -584,6 +587,40 @@ object Main {
           .orderBy(col("cnt").desc, col("tok"))
           .limit(flags.getOrElse("k", "100").toInt)
 
+      case "curriculum" =>
+        // easy-to-hard stage assignment + seeded within-stage shuffle
+        // (q171); --salt is the epoch reshuffle knob
+        operators.Sampling.curriculumSchedule(
+          spark.read.parquet(need("input")),
+          flags.getOrElse("id-col", "doc_id"),
+          need("difficulty-col"),
+          k = flags.getOrElse("k", "4").toInt,
+          salt = flags.getOrElse("salt", "curriculum"))
+
+      case "winsorize" =>
+        // outlier-robust clipping to median ± c·MAD (q172)
+        operators.ProfileStats.madWinsorize(
+          spark.read.parquet(need("input")),
+          flags.getOrElse("value-col", "value"),
+          c = flags.getOrElse("c", "3.0").toDouble)
+
+      case "ensemble" =>
+        // rank-average quality blend over --signals columns (q168)
+        operators.Ranking.rankEnsemble(
+          spark.read.parquet(need("input")),
+          need("signals").split(",").toSeq,
+          flags.getOrElse("id-col", "doc_id"))
+
+      case "keepbest" =>
+        // near-dup clusters keep the highest --score-col member (q169)
+        val docs = spark.read.parquet(need("input"))
+        val idC = flags.getOrElse("id-col", "doc_id")
+        val pairs = operators.Dedup.ngramJaccardPairs(docs, idC,
+          flags.getOrElse("text-col", "text"),
+          n = flags.getOrElse("n", "3").toInt,
+          threshold = flags.getOrElse("threshold", "0.8").toDouble)
+        operators.Dedup.keepBestPerCluster(docs, idC, need("score-col"), pairs)
+
       case "cms" =>
         // Count-Min heavy hitters: fixed-memory frequency sketch (q166) —
         // constant depth×width grid regardless of vocabulary size
@@ -622,7 +659,7 @@ object Main {
       |  chunk --input PARQUET [--max-tokens N] [--overlap N]
       |  quality --input PARQUET [--id-col C] [--text-col C]
       |  redact --input PARQUET [--id-col C] [--text-col C]
-      |  pack --input PARQUET [--seq-len N] [--manifest | --sequences | --batches] [--id-col C] [--text-col C]
+      |  pack --input PARQUET [--seq-len N] [--manifest | --sequences | --batches | --report] [--id-col C] [--text-col C]
       |  dupspans --input PARQUET [--width N] [--remove] [--id-col C] [--text-col C]
       |  semdedup --input PARQUET [--threshold T] [--n-bits N] [--n-tables N] [--cells K] [--iters N] [--id-col C] [--vec-col C]
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
@@ -639,7 +676,11 @@ object Main {
       |  vocab --input PARQUET [--k N] [--min-count N] [--id-col C] [--text-col C]
       |  tfidf --input PARQUET [--min-df N] [--id-col C] [--text-col C]
       |  hashtf --input PARQUET [--n-buckets N] [--id-col C] [--text-col C]
-      |  cms --input PARQUET [--depth N] [--width N] [--threshold N] [--text-col C]""".stripMargin
+      |  cms --input PARQUET [--depth N] [--width N] [--threshold N] [--text-col C]
+      |  curriculum --input PARQUET --difficulty-col C [--k N] [--salt S] [--id-col C]
+      |  winsorize --input PARQUET [--value-col C] [--c F]
+      |  ensemble --input PARQUET --signals C1,C2 [--id-col C]
+      |  keepbest --input PARQUET --score-col C [--threshold T] [--n N] [--id-col C] [--text-col C]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -181,6 +181,54 @@ object Packing {
         expr(s"tok_start div ${budget}L").as("batch_id"))
   }
 
+  /** Packing efficiency report — the shard-sizing summary a training job
+    * reads before committing to a seqLen: one row of
+    * `(seq_len, n_sequences, total_tokens, fill_rate, pad_tokens,
+    * n_split_docs, n_docs)` where `fill_rate` = tokens over sequence
+    * capacity (the tail sequence carries the only padding under the
+    * greedy-concat layout) and `n_split_docs` counts documents straddling
+    * a sequence boundary (the cross-attention-contamination signal).
+    * Cost: the packCoordinates pass plus ONE aggregate over per-doc
+    * coordinate rows — no token materialization.
+    */
+  def packReport(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Int, numParts: Int = 0): DataFrame = {
+    val l = seqLen.toLong
+    packCoordinates(df, idCol, tokensCol, seqLen, numParts)
+      .agg(
+        coalesce(sum(col("n_tokens")), lit(0L)).as("_tot"),
+        sum(when(col("seq_last") > col("seq_first"), 1L).otherwise(0L))
+          .as("n_split_docs"),
+        count(lit(1)).as("n_docs"))
+      .select(
+        lit(l).as("seq_len"),
+        expr(s"(_tot + ${l - 1}) div ${l}L").as("n_sequences"),
+        col("_tot").as("total_tokens"),
+        round(col("_tot").cast("double") /
+          (expr(s"(_tot + ${l - 1}) div ${l}L") * l), 6).as("fill_rate"),
+        (expr(s"(_tot + ${l - 1}) div ${l}L") * l - col("_tot")).as("pad_tokens"),
+        coalesce(col("n_split_docs"), lit(0L)).as("n_split_docs"),
+        col("n_docs"))
+  }
+
+  /** Per-sequence document-boundary metadata — what a trainer needs to
+    * reset position ids and block cross-document attention inside packed
+    * sequences: for each sequence, the ascending list of offsets where a
+    * new document slice begins (offset 0 is a boundary iff a doc starts
+    * there; a straddling doc's continuation also lands at 0, which is why
+    * `n_slices` can exceed the boundary count's gaps). Emitted as a
+    * space-joined string so the loader contract is engine-neutral. One
+    * groupBy over the manifest rows, whose per-group state is ≤
+    * seqLen/1 + 1 offsets.
+    */
+  def sequenceBoundaries(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Int, numParts: Int = 0): DataFrame =
+    packManifest(df, idCol, tokensCol, seqLen, numParts)
+      .groupBy("seq_id").agg(
+        count(lit(1)).as("n_slices"),
+        expr("array_join(transform(array_sort(collect_list(seq_offset)), " +
+          "x -> cast(x as string)), ' ')").as("boundaries"))
+
   /** `materializeSequences` over a PRE-TOKENIZED corpus: `toksCol` is any
     * `array<string>` token column (whitespace words, BPE pieces, token ids
     * rendered as strings — the packer is tokenizer-agnostic). This is the

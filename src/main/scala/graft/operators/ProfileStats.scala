@@ -142,4 +142,26 @@ object ProfileStats {
     }
     math.max(0.0, math.min(1.0, sum))
   }
+
+  /** MAD winsorization — outlier-robust clipping of a score column before
+    * it feeds thresholds or mixtures: clip to `median ± c·MAD` where MAD =
+    * `median(|x − median|)` (the robust spread measure; mean/stddev clips
+    * would let the outliers being removed set their own fence). Appends
+    * `outCol` (clipped value, rounded to 6). Two exact-median passes
+    * (each the range-partitioned distributed sort of
+    * [[quantilesExactDistributed]], one double collected per pass), then
+    * a pure projection — the corpus itself never shuffles.
+    */
+  def madWinsorize(df: DataFrame, valueCol: String, c: Double = 3.0,
+      outCol: String = "winsorized"): DataFrame = {
+    require(c > 0, s"fence multiplier must be positive, got $c")
+    val v = col(valueCol).cast("double")
+    val med = quantilesExactDistributed(df, v, Seq(0.5))
+      .collect()(0).getDouble(1)
+    val mad = quantilesExactDistributed(
+      df.select(abs(v - med).as("_ad")), col("_ad"), Seq(0.5))
+      .collect()(0).getDouble(1)
+    df.withColumn(outCol,
+      round(least(greatest(v, lit(med - c * mad)), lit(med + c * mad)), 6))
+  }
 }

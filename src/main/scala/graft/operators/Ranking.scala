@@ -157,6 +157,32 @@ object Ranking {
     ranked.withColumn(bucketCol, bucket.cast("long")).drop("_rank")
   }
 
+  /** ANSI `percent_rank() OVER (PARTITION BY groupCol ORDER BY orderCols)`
+    * WITHOUT a per-group window: a skewed group (one language owning half
+    * a 100 TB corpus) would drag its whole partition through one task
+    * under `Window.partitionBy`. Instead: ONE global two-pass rank over
+    * `(groupCol, orderCols)` — the concatenated total order — then a tiny
+    * per-group (offset, count) aggregate broadcast back, so the in-group
+    * rank is `global − offset` arithmetically. The range partitioner
+    * splits a hot group across tasks like any other key range; group
+    * count is assumed broadcast-small (languages, domains, sources — not
+    * doc ids).
+    */
+  def groupedPercentRank(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], outCol: String = "pr",
+      numParts: Int = 0): DataFrame = {
+    val (ranked, _) =
+      rankWithCount(df, groupCol +: orderCols, "_grank", numParts)
+    val groups = ranked.groupBy(groupCol).agg(
+      min(col("_grank")).as("_goff"), count(lit(1)).as("_gn"))
+    val pr = when(col("_gn") === 1L, 0.0) // SQL: single-row group -> 0
+      .otherwise(round((col("_grank") - col("_goff")).cast("double") /
+        (col("_gn") - 1L), 6))
+    ranked.join(broadcast(groups), groupCol)
+      .withColumn(outCol, pr)
+      .drop("_grank", "_goff", "_gn")
+  }
+
   /** Rank-average ensemble of quality signals: percent_rank each signal
     * independently (ordering by `(signal, idCol)` — the total-order
     * contract), then average the ranks into one `outCol` score. Rank

@@ -106,4 +106,19 @@ object Sampling {
       .withColumn("es_key", round(col("_es"), 6))
       .drop("_es")
   }
+
+  /** Curriculum schedule: cut the corpus into `k` difficulty stages
+    * (ntile by ascending `difficultyCol` — easy first) and give every row
+    * a deterministic within-stage shuffle key, so a trainer consuming in
+    * `(stage, shuffle_key, id)` order sees stages in sequence but each
+    * stage in seeded-random document order. Appends `stage` (1..k) and
+    * `shuffle_key`. No single-partition window: the stage comes from
+    * [[Ranking.ntileBuckets]]' two-pass rank (one range shuffle), the
+    * shuffle key is a pure per-row hash — an epoch reshuffle is a salt
+    * change, not a data move.
+    */
+  def curriculumSchedule(df: DataFrame, idCol: String, difficultyCol: String,
+      k: Int, salt: String = "curriculum"): DataFrame =
+    Ranking.ntileBuckets(df, Seq(difficultyCol, idCol), k, bucketCol = "stage")
+      .withColumn("shuffle_key", hashUnit(col(idCol), salt))
 }

@@ -313,6 +313,97 @@ object CurationQueries {
         seqLen = 256)
     },
 
+    // Point-in-interval (range) join via bucket discretization: every
+    // 100th event opens a 30-minute per-user window; count/sum the user's
+    // events inside it. Spark has no native range-join strategy — the
+    // BETWEEN predicate alone would plan a nested-loop — so the operator
+    // explodes intervals into 15-minute buckets and equi-joins points on
+    // (user, bucket) before the exact containment filter (pair space =
+    // temporal locality, not |points|×|intervals|). The oracle does the
+    // naive BETWEEN join: a green row proves the bucketing loses nothing.
+    GQuery(
+      "q174_interval_join",
+      """WITH iv AS (SELECT event_id AS window_id, user_id, ts AS s,
+        |                   ts + INTERVAL 30 MINUTE AS e
+        |            FROM events WHERE event_id % 100 = 0),
+        |pt AS (SELECT user_id, ts, value FROM events)
+        |SELECT iv.window_id, count(pt.ts)::BIGINT AS n_events,
+        |       round(coalesce(sum(pt.value), 0.0), 6) AS total_value
+        |FROM iv LEFT JOIN pt
+        |  ON pt.user_id = iv.user_id AND pt.ts >= iv.s AND pt.ts < iv.e
+        |GROUP BY iv.window_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val iv = ev.filter(pmod(col("event_id"), lit(100)) === 0)
+        .select(col("event_id").as("window_id"), col("user_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + lit(1800000000L)).as("e_us"))
+      val pt = ev.select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("value"))
+      val joined = graft.operators.IntervalJoin.pointInInterval(
+        pt, iv, "t_us", "s_us", "e_us", Seq("user_id"),
+        bucketWidth = 900000000L) // 15-minute buckets
+      val agg = joined.groupBy("window_id").agg(
+        count(lit(1)).as("n_events"), sum(col("value")).as("_tv"))
+      iv.select("window_id").join(agg, Seq("window_id"), "left")
+        .select(col("window_id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          round(coalesce(col("_tv"), lit(0.0)), 6).as("total_value"))
+    },
+
+    // Packing efficiency report: the one-row shard-sizing summary (fill
+    // rate, pad tokens, boundary-straddling docs) a training job reads
+    // before committing to a seqLen. Same q126 packing arithmetic, but the
+    // oracle aggregates the coordinates instead of materializing content —
+    // and the operator's cost is exactly that: one coordinates pass + one
+    // aggregate, no token movement.
+    GQuery(
+      "q170_pack_report",
+      """WITH t AS (SELECT doc_id,
+        |                  len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n,
+        |             coalesce(sum(n) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+        |      FROM t WHERE n > 0)
+        |SELECT 256::BIGINT AS seq_len,
+        |       ((sum(n) + 255) // 256)::BIGINT AS n_sequences,
+        |       sum(n)::BIGINT AS total_tokens,
+        |       round(sum(n)::DOUBLE / (((sum(n) + 255) // 256) * 256), 6) AS fill_rate,
+        |       (((sum(n) + 255) // 256) * 256 - sum(n))::BIGINT AS pad_tokens,
+        |       (count(*) FILTER (WHERE (s // 256) != ((s + n - 1) // 256)))::BIGINT AS n_split_docs,
+        |       count(*)::BIGINT AS n_docs
+        |FROM c""".stripMargin) { (s, dir) =>
+      val counts = Tables.documents(s, dir).select(col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n_toks"))
+      Packing.packReport(counts, "doc_id", "n_toks", seqLen = 256)
+    },
+
+    // Packed-sequence boundary metadata: per sequence, the ascending slice
+    // offsets (where position ids reset / attention blocks split) and the
+    // slice count — the loader-side contract that makes packed training
+    // correct, not just dense. Same q126 coordinates; the oracle replays
+    // the slice arithmetic and the ordered string_agg.
+    GQuery(
+      "q175_sequence_boundaries",
+      """WITH t AS (SELECT doc_id,
+        |                  len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n,
+        |             coalesce(sum(n) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+        |      FROM t WHERE n > 0),
+        |m AS (SELECT doc_id, n, s,
+        |             unnest(range((s // 32), ((s + n - 1) // 32) + 1)) AS seq_id
+        |      FROM c),
+        |x AS (SELECT seq_id, greatest(0, s - seq_id * 32) AS seq_offset FROM m)
+        |SELECT seq_id, count(*)::BIGINT AS n_slices,
+        |       string_agg(seq_offset::VARCHAR, ' ' ORDER BY seq_offset) AS boundaries
+        |FROM x GROUP BY seq_id""".stripMargin) { (s, dir) =>
+      val counts = Tables.documents(s, dir).select(col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n_toks"))
+      Packing.sequenceBoundaries(counts, "doc_id", "n_toks", seqLen = 32)
+    },
+
     // The flagship curation PIPELINE: quality gate → exact dedup (planted
     // copies removed) → benchmark decontamination (bench docs remove
     // themselves) → deterministic split → training-sequence packing of the

@@ -309,5 +309,24 @@ object StatsQueries {
       graft.operators.Cms.heavyHitters(Tables.documents(s, dir), "text",
         depth = 3, width = 64, threshold = 100L)
     },
+
+    // MAD winsorization: outlier-robust clipping of the event value column
+    // to median ± 3·MAD — the fence a quality-score pipeline applies
+    // before thresholds/mixtures so outliers can't set their own cut
+    // (mean ± k·stddev would move WITH the outliers). Exact medians via
+    // the distributed-sort quantile path (q29's machinery, one double
+    // collected per pass); the clip itself is a pure projection. The
+    // oracle replays both medians and the fence arithmetic.
+    GQuery(
+      "q172_mad_winsorize",
+      """WITH med AS (SELECT median(value) AS m FROM events),
+        |mad AS (SELECT median(abs(value - m)) AS d FROM events CROSS JOIN med)
+        |SELECT event_id,
+        |       round(least(greatest(value, m - 3 * d), m + 3 * d), 6) AS winsorized
+        |FROM events CROSS JOIN med CROSS JOIN mad""".stripMargin) { (s, dir) =>
+      ProfileStats.madWinsorize(
+        Tables.events(s, dir).select("event_id", "value"), "value")
+        .select("event_id", "winsorized")
+    },
   )
 }

@@ -589,6 +589,37 @@ object TextQueries {
         scores, Seq("surprisal", "doc_id"), k = 10)
     },
 
+    // Curriculum schedule: 4 difficulty stages by ascending unigram-LM
+    // surprisal (easy → hard), each stage internally shuffled by a
+    // deterministic seeded hash — the easy-to-hard training order
+    // curriculum-learning recipes consume. The stage cut reuses the q132
+    // arithmetic-ntile machinery (one range shuffle, no single-partition
+    // window); the shuffle key is a pure per-row projection, so an epoch
+    // reshuffle is a salt change, not a data move. The oracle replays the
+    // LM, the ANSI ntile and the md5 key.
+    GQuery(
+      "q171_curriculum_schedule",
+      """WITH toks AS (SELECT doc_id,
+        |                     unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS tok
+        |              FROM documents),
+        |m AS (SELECT doc_id, tok, count(*)::DOUBLE AS k FROM toks GROUP BY doc_id, tok),
+        |cnt AS (SELECT tok, sum(k) AS c FROM m GROUP BY tok),
+        |tot AS (SELECT sum(c) AS t FROM cnt),
+        |s AS (SELECT doc_id, round(sum(k * -ln(c / t)) / sum(k), 6) AS surprisal
+        |      FROM m JOIN cnt USING (tok) CROSS JOIN tot
+        |      GROUP BY doc_id)
+        |SELECT doc_id, surprisal,
+        |       ntile(4) OVER (ORDER BY surprisal, doc_id) AS stage,
+        |       ('0x' || substr(md5(doc_id::VARCHAR || ':curriculum'), 1, 15))::BIGINT % 1000000
+        |         AS shuffle_key
+        |FROM s""".stripMargin) { (s, dir) =>
+      val scores = graft.operators.UnigramLm
+        .surprisal(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      graft.operators.Sampling.curriculumSchedule(
+        scores, "doc_id", "surprisal", k = 4)
+    },
+
     // Vocabulary building (exact heavy hitters): the top-100 corpus tokens
     // by frequency with a deterministic (count desc, token asc) tie rule —
     // the precursor to tokenizer training. Map-side-combined aggregate +
@@ -828,6 +859,25 @@ object TextQueries {
       graft.operators.Ranking
         .rankEnsemble(sig, Seq("n_chars", "ttr"), "doc_id")
         .select("doc_id", "pr_n_chars", "pr_ttr", "quality_ensemble")
+    },
+
+    // Per-GROUP percent rank without a per-group window: score-normalizing
+    // WITHIN a language (so a verbose language's long docs don't crowd out
+    // a terse one's in a global cut) is `percent_rank() OVER (PARTITION BY
+    // lang ...)` — which at corpus scale drags each language through ONE
+    // task. groupedPercentRank instead takes one global two-pass rank over
+    // the concatenated (lang, signal, id) order plus a broadcast per-group
+    // offset/count — the in-group rank is pure arithmetic. The oracle IS
+    // the partitioned window definition.
+    GQuery(
+      "q173_grouped_percent_rank",
+      """SELECT doc_id, lang,
+        |       round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id), 6) AS pr
+        |FROM documents""".stripMargin) { (s, dir) =>
+      graft.operators.Ranking.groupedPercentRank(
+        Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+        "lang", Seq("n_chars", "doc_id"))
+        .select("doc_id", "lang", "pr")
     },
   )
 }

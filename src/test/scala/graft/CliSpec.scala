@@ -491,6 +491,39 @@ class CliSpec extends SparkSpec {
     assert(got == Map("a" -> 4L, "b" -> 2L)) // collision-free => exact
   }
 
+  test("curriculum, winsorize, ensemble, keepbest and pack --report drive the curation operators") {
+    import spark.implicits._
+    val input = s"$dir/cur.parquet"
+    (1L to 20L).map(i => (i, s"tok$i word common text here now", i.toDouble))
+      .toDF("doc_id", "text", "score")
+      .write.mode("overwrite").parquet(input)
+
+    val cur = Main.run(spark, Seq("curriculum", "--input", input,
+      "--difficulty-col", "score", "--k", "2")).collect()
+    assert(cur.length == 20)
+    val stages = cur.map(r => r.getAs[Long]("stage")).toSet
+    assert(stages == Set(1L, 2L))
+
+    val win = Main.run(spark, Seq("winsorize", "--input", input,
+      "--value-col", "score", "--c", "1.0")).collect()
+      .map(_.getAs[Double]("winsorized"))
+    // median 10.5, MAD 5 -> fence [5.5, 15.5]
+    assert(win.min == 5.5 && win.max == 15.5)
+
+    val ens = Main.run(spark, Seq("ensemble", "--input", input,
+      "--signals", "score")).collect()
+    assert(ens.map(_.getAs[Double]("quality_ensemble")).max == 1.0)
+
+    val kb = Main.run(spark, Seq("keepbest", "--input", input,
+      "--score-col", "score")).collect()
+    assert(kb.length == 20 && kb.forall(_.getAs[Boolean]("kept")))
+
+    val rep = Main.run(spark, Seq("pack", "--input", input,
+      "--seq-len", "16", "--report")).head()
+    assert(rep.getAs[Long]("total_tokens") == 120L) // 6 tokens x 20 docs
+    assert(rep.getAs[Long]("n_sequences") == 8L)
+  }
+
   test("semdedup clusters embedding near-duplicates via the CLI") {
     import spark.implicits._
     val input = s"$dir/semdedup.parquet"

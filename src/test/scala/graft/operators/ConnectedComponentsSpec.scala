@@ -61,4 +61,18 @@ class ConnectedComponentsSpec extends SparkSpec {
     val want = expected.map { case (v, r) => v -> byRoot(r) }
     assert(got == want)
   }
+
+  test("keepBestPerCluster keeps the highest score, ties to lowest id") {
+    // clusters: {1,2,3} scores (5,9,9) -> keep 2; {10,11} (4,4) -> keep 10;
+    // 20 is a singleton (kept, self-cluster)
+    val docs = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (10L, 4.0), (11L, 4.0),
+      (20L, 7.0)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.keepBestPerCluster(docs, "doc_id", "score", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)),
+      10L -> ((10L, true)), 11L -> ((10L, false)),
+      20L -> ((20L, true))))
+  }
 }

@@ -144,6 +144,27 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packReport summarizes fill rate, padding and boundary straddles") {
+    // kept docs: 5,20,7,16,1,40 tokens (89 total) at L=16 -> 6 sequences
+    val r = Packing.packReport(docs, "doc_id", "n_tok", seqLen = L).head()
+    assert(r.getAs[Long]("seq_len") == L)
+    assert(r.getAs[Long]("total_tokens") == totalTokens)
+    assert(r.getAs[Long]("n_sequences") == (totalTokens + L - 1) / L)
+    assert(r.getAs[Long]("pad_tokens") ==
+      (totalTokens + L - 1) / L * L - totalTokens)
+    assert(r.getAs[Double]("fill_rate") ==
+      math.rint(totalTokens.toDouble / ((totalTokens + L - 1) / L * L) * 1e6) / 1e6)
+    assert(r.getAs[Long]("n_docs") == kept.size)
+    // sequential replay of which docs straddle a boundary
+    var off = 0L
+    var straddles = 0L
+    kept.foreach { case (_, n) =>
+      if (off / L != (off + n - 1) / L) straddles += 1
+      off += n
+    }
+    assert(r.getAs[Long]("n_split_docs") == straddles)
+  }
+
   test("materializeTokenSequences over pre-tokenized arrays == text path") {
     val textDocs = Seq((1L, "a b c"), (2L, "d e f g h"), (3L, ""), (4L, "i j"))
       .toDF("doc_id", "text")

@@ -73,4 +73,17 @@ class ProfileStatsSpec extends SparkSpec {
     assert(ProfileStats.ksPValue(0.01, 1000, 1000) > 0.9)
     assert(ProfileStats.ksPValue(1.0, 1000, 1000) < 1e-6)
   }
+
+  test("madWinsorize clips to median ± c·MAD; inliers pass through") {
+    // values 1..9 plus outliers ±1000: median 5 (11 values -> 6th = 6? no:
+    // sorted: -1000,1,2,...,9,1000 -> median = 5), |x-5| medians to 3
+    val df = (Seq(-1000.0, 1000.0) ++ (1 to 9).map(_.toDouble))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .repartition(3)
+    val got = ProfileStats.madWinsorize(df, "v", c = 3.0)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // fence = 5 ± 9
+    assert(got(-1000.0) == -4.0 && got(1000.0) == 14.0)
+    (1 to 9).foreach(i => assert(got(i.toDouble) == i.toDouble))
+  }
 }

@@ -85,4 +85,37 @@ class RankingSpec extends SparkSpec {
       assert(got == want, s"n=$n k=$k")
     }
   }
+
+  test("groupedPercentRank equals the partitioned window, skew included") {
+    // heavily skewed groups: one group owns ~80% of rows, plus a
+    // singleton group (pr must be 0.0 there, the SQL n=1 rule)
+    val rows = (1 to 400).map { i =>
+      val g = if (i <= 320) "big" else if (i == 400) "solo" else s"g${i % 7}"
+      (g, (i * 13) % 50, i.toLong)
+    }
+    val d = rows.toDF("grp", "v", "id").repartition(6)
+    val got = Ranking.groupedPercentRank(d, "grp", Seq("v", "id"))
+      .select("id", "pr").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = d.withColumn("pr",
+        round(percent_rank().over(Window.partitionBy("grp").orderBy("v", "id")), 6))
+      .select("id", "pr").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+  }
+
+  test("rankEnsemble averages the per-signal percent ranks, keeping each") {
+    val d = (1 to 50).map(i => (i.toLong, (i * 13) % 50, (i * 29) % 50))
+      .toDF("id", "a", "b").repartition(4)
+    val got = Ranking.rankEnsemble(d, Seq("a", "b"), "id")
+    assert(got.columns.toSet ==
+      Set("id", "a", "b", "pr_a", "pr_b", "quality_ensemble"))
+    val rows = got.collect().map(r => (
+      r.getAs[Long]("id"), r.getAs[Double]("pr_a"), r.getAs[Double]("pr_b"),
+      r.getAs[Double]("quality_ensemble")))
+    rows.foreach { case (id, a, b, e) =>
+      assert(e == (a + b) / 2.0, s"id=$id") }
+    val wantA = d.withColumn("w",
+        round(percent_rank().over(Window.orderBy("a", "id")), 6))
+      .select("id", "w").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, a, _, _) => assert(a == wantA(id)) }
+  }
 }

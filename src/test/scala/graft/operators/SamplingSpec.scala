@@ -116,4 +116,28 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p1.contains("Exchange") && !p2.contains("Exchange"))
   }
+
+  test("curriculumSchedule: monotone stages, salted within-stage shuffle") {
+    import spark.implicits._
+    val d = (1 to 97).map(i => (i.toLong, (i * 31 % 97).toDouble))
+      .toDF("id", "difficulty").repartition(5)
+    val got = Sampling.curriculumSchedule(d, "id", "difficulty", k = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("difficulty"),
+        r.getAs[Long]("stage"), r.getAs[Long]("shuffle_key")))
+    // stages partition the difficulty order: max difficulty of stage s
+    // <= min of stage s+1
+    val byStage = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byStage.keySet == Set(1L, 2L, 3L, 4L))
+    for (s <- 1L to 3L)
+      assert(byStage(s).max <= byStage(s + 1).min)
+    // shuffle key is the documented hashUnit (deterministic, salted)
+    val want = d.select(col("id"),
+        Sampling.hashUnit(col("id"), "curriculum").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, _, _, k) => assert(k == want(id)) }
+    // a different salt reorders within stages (epoch reshuffle)
+    val other = Sampling.curriculumSchedule(d, "id", "difficulty", 4, salt = "ep2")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shuffle_key")))
+    assert(other.toMap != got.map(t => t._1 -> t._4).toMap)
+  }
 }
