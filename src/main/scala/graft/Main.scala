@@ -622,14 +622,28 @@ object Main {
         operators.Dedup.keepBestPerCluster(docs, idC, need("score-col"), pairs)
 
       case "cms" =>
-        // Count-Min heavy hitters: fixed-memory frequency sketch (q166) —
-        // constant depth×width grid regardless of vocabulary size
-        operators.Cms.heavyHitters(
+        // Count-Min frequency sketch: --score emits the per-doc
+        // heavy-hitter token fraction (q177), default emits the heavy
+        // hitters themselves (q166) — constant depth×width grid either way
+        val docs = spark.read.parquet(need("input"))
+        val txtC = flags.getOrElse("text-col", "text")
+        val depth = flags.getOrElse("depth", "4").toInt
+        val width = flags.getOrElse("width", "65536").toInt
+        val threshold = flags.getOrElse("threshold", "100").toLong
+        if (flags.contains("score")) {
+          val toks = docs.select(explode(split(lower(col(txtC)), " ")).as("term"))
+            .filter(col("term") =!= "")
+          val grid = operators.Cms.build(toks, "term", depth, width)
+          operators.Cms.commonTokenFraction(docs, grid, depth,
+            flags.getOrElse("id-col", "doc_id"), txtC, threshold)
+        } else operators.Cms.heavyHitters(docs, txtC, depth, width, threshold)
+
+      case "viterbi" =>
+        // optimal unigram-LM segmentation scores per vocabulary word (q176)
+        operators.UnigramSeg.wordBestScores(
           spark.read.parquet(need("input")),
           flags.getOrElse("text-col", "text"),
-          depth = flags.getOrElse("depth", "4").toInt,
-          width = flags.getOrElse("width", "65536").toInt,
-          threshold = flags.getOrElse("threshold", "100").toLong)
+          maxPieceLen = flags.getOrElse("max-piece-len", "2").toInt)
 
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")
@@ -676,7 +690,8 @@ object Main {
       |  vocab --input PARQUET [--k N] [--min-count N] [--id-col C] [--text-col C]
       |  tfidf --input PARQUET [--min-df N] [--id-col C] [--text-col C]
       |  hashtf --input PARQUET [--n-buckets N] [--id-col C] [--text-col C]
-      |  cms --input PARQUET [--depth N] [--width N] [--threshold N] [--text-col C]
+      |  cms --input PARQUET [--depth N] [--width N] [--threshold N] [--score [--id-col C]] [--text-col C]
+      |  viterbi --input PARQUET [--max-piece-len N] [--text-col C]
       |  curriculum --input PARQUET --difficulty-col C [--k N] [--salt S] [--id-col C]
       |  winsorize --input PARQUET [--value-col C] [--c F]
       |  ensemble --input PARQUET --signals C1,C2 [--id-col C]

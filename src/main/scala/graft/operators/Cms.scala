@@ -89,6 +89,50 @@ object Cms {
       .toDF(termCol, outCol)
   }
 
+  /** Per-document fraction of token OCCURRENCES whose CMS estimate ≥
+    * `threshold` — the boilerplate/commonness signal (a doc made of
+    * corpus-wide heavy hitters is template text): (idCol, common_frac
+    * rounded to 6; empty docs score 0). A pure map against the broadcast
+    * grid — zero shuffle, and streaming-composable unchanged
+    * (StreamCurationSpec pins stream == batch), unlike [[estimates]]
+    * whose distinct aggregate needs the full relation.
+    */
+  def commonTokenFraction(docs: DataFrame, grid: Array[Long], depth: Int,
+      idCol: String, textCol: String, threshold: Long,
+      outCol: String = "common_frac"): DataFrame = {
+    require(depth > 0 && grid.length % depth == 0,
+      s"grid length ${grid.length} not a multiple of depth $depth")
+    val width = grid.length / depth
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(grid)
+    docs.select(col(idCol).cast("long"),
+        lower(coalesce(col(textCol), lit(""))))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val g = bc.value
+        var total = 0L
+        var common = 0L
+        text.split(" ").foreach { t =>
+          if (t.nonEmpty) {
+            total += 1
+            var est = Long.MaxValue
+            var j = 0
+            while (j < depth) {
+              val pos = (StableHash.md5Hash60(t + ":" + j) % width).toInt
+              val c = g(j * width + pos)
+              if (c < est) est = c
+              j += 1
+            }
+            if (est >= threshold) common += 1
+          }
+        }
+        val f = if (total == 0L) 0.0 else common.toDouble / total
+        (id, math.rint(f * 1e6) / 1e6)
+      }
+      .toDF(idCol, outCol)
+  }
+
   /** Heavy hitters over lowercase whitespace tokens of `docs(textCol)`:
     * (term, cms_count) for every distinct token whose CMS estimate ≥
     * `threshold`. No false negatives (est ≥ true count): every true

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Viterbi segmentation under a unigram piece LM — the inference step of a
+  * SentencePiece-style tokenizer (Kudo 2018): each word takes the
+  * segmentation maximizing the summed piece log-probabilities. The piece
+  * inventory here is every 1- and 2-character substring of the corpus
+  * vocabulary (occurrence-weighted by word frequency), scored
+  * `ln(cnt / total)` under one shared distribution — single characters
+  * guarantee every word segments, multi-char pieces make the DP
+  * non-trivial.
+  *
+  * Scale shape: piece counting is ONE (piece)-keyed aggregate over the
+  * vocabulary relation (words × their ≤2·len substrings — the RELATION,
+  * not the corpus: multiplicities ride the `cnt` column). The inventory
+  * is bounded by |alphabet|² + |alphabet| regardless of corpus size, so
+  * it broadcasts by construction, and the per-word DP is a map-side
+  * kernel over distinct words. The corpus text itself is touched once
+  * (word counting).
+  *
+  * Determinism: every candidate path score is a LEFT-TO-RIGHT sum of the
+  * same doubles in both engines, so `max` over candidates is bit-stable —
+  * the DP emits only the optimal SCORE (unique even when multiple
+  * segmentations attain it), never an arbitrary argmax.
+  */
+object UnigramSeg {
+
+  /** (piece, score) for every 1-/2-char substring of the weighted
+    * vocabulary: score = ln(cnt / total) with `total` summed over the
+    * whole inventory (one distribution, chars and bigrams together).
+    */
+  def pieceScores(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 2): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val wc = Bpe.wordCounts(docs, textCol)
+    // CASE guard, not greatest(): Spark's sequence(1, 0) is the DESCENDING
+    // [1, 0], which would double-count a word shorter than the piece length
+    val pieces = wc.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, $maxPieceLen), l ->
+           |  CASE WHEN char_length(word) >= l THEN
+           |    transform(sequence(1, char_length(word) - l + 1),
+           |              i -> substring(word, i, l))
+           |  ELSE array() END))""".stripMargin))
+        .as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("pcnt"))
+    val total = pieces.agg(sum(col("pcnt")).as("t"))
+    pieces.crossJoin(broadcast(total))
+      .select(col("piece"),
+        log(col("pcnt").cast("double") / col("t")).as("score"))
+  }
+
+  /** Optimal (max total piece score) segmentation score per DISTINCT
+    * word: (word, best_score rounded to 6). The DP is exact Viterbi —
+    * `best(i) = max over piece lengths l: best(i-l) + score(word[i-l, i))`
+    * — against the broadcast inventory; [[UnigramSegSpec]] and the q176
+    * oracle both pin it to exhaustive path enumeration.
+    */
+  def wordBestScores(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scores: Map[String, Double] = pieceScores(docs, textCol, maxPieceLen)
+      .as[(String, Double)].collect().toMap
+    val bc = spark.sparkContext.broadcast(scores)
+    val maxL = maxPieceLen
+    Bpe.wordCounts(docs, textCol).select(col("word")).as[String]
+      .map { word =>
+        val s = bc.value
+        val n = word.length
+        val best = new Array[Double](n + 1)
+        var i = 1
+        while (i <= n) {
+          var b = Double.NegativeInfinity
+          var l = 1
+          while (l <= maxL && l <= i) {
+            s.get(word.substring(i - l, i)) match {
+              case Some(ps) =>
+                val cand = best(i - l) + ps
+                if (cand > b) b = cand
+              case None =>
+            }
+            l += 1
+          }
+          best(i) = b
+          i += 1
+        }
+        (word, math.rint(best(n) * 1e6) / 1e6)
+      }
+      .toDF("word", "best_score")
+  }
+}

@@ -310,6 +310,39 @@ object StatsQueries {
         depth = 3, width = 64, threshold = 100L)
     },
 
+    // CMS commonness scoring: the per-document fraction of token
+    // occurrences that are corpus-wide heavy hitters (CMS estimate ≥ 800)
+    // — the boilerplate signal, and the STREAMING face of the sketch: the
+    // probe is a pure map against the broadcast grid (StreamCurationSpec
+    // pins stream == batch), so progressive ingest scores docs against a
+    // frozen corpus sketch with zero shuffle. The oracle replays the
+    // counters and the per-doc fraction.
+    GQuery(
+      "q177_cms_common_fraction",
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |                x -> x != '')) AS term FROM documents),
+        |tc AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |ps AS (SELECT term, c, j,
+        |         ('0x' || substr(md5(term || ':' || j::VARCHAR), 1, 15))::BIGINT % 4096 AS pos
+        |       FROM tc CROSS JOIN js),
+        |bkt AS (SELECT j, pos, sum(c) AS bc FROM ps GROUP BY j, pos),
+        |est AS (SELECT term, min(bc)::BIGINT AS e
+        |        FROM ps JOIN bkt USING (j, pos) GROUP BY term),
+        |d AS (SELECT t.doc_id, count(*) AS total,
+        |             count(*) FILTER (WHERE e >= 800) AS common
+        |      FROM toks t JOIN est USING (term) GROUP BY t.doc_id)
+        |SELECT doc.doc_id,
+        |       round(coalesce(common::DOUBLE / total, 0.0), 6) AS common_frac
+        |FROM documents doc LEFT JOIN d USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val grid = graft.operators.Cms.build(toks, "term", depth = 3, width = 4096)
+      graft.operators.Cms.commonTokenFraction(docs, grid, depth = 3,
+        "doc_id", "text", threshold = 800L)
+    },
+
     // MAD winsorization: outlier-robust clipping of the event value column
     // to median ± 3·MAD — the fence a quality-score pipeline applies
     // before thresholds/mixtures so outliers can't set their own cut

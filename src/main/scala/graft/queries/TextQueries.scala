@@ -879,5 +879,41 @@ object TextQueries {
         "lang", Seq("n_chars", "doc_id"))
         .select("doc_id", "lang", "pr")
     },
+
+    // Viterbi segmentation under a unigram piece LM (the SentencePiece
+    // inference step): pieces = all 1-/2-char substrings of the weighted
+    // vocabulary under ONE ln(cnt/total) distribution; each word scores
+    // its optimal segmentation. The engine runs true DP; the oracle
+    // ENUMERATES every segmentation path by recursive CTE and takes the
+    // max — a green row proves the DP optimum equals the exhaustive
+    // optimum for every vocabulary word (scores are left-to-right sums in
+    // both engines, so max is bit-stable; only the unique optimal SCORE
+    // is emitted, never an arbitrary argmax).
+    GQuery(
+      "q176_viterbi_segmentation",
+      s"""WITH RECURSIVE
+         |wc AS (SELECT word, count(*) AS cnt
+         |       FROM (SELECT unnest($duckToks) AS word FROM documents)
+         |       GROUP BY word),
+         |pieces AS (SELECT piece, sum(cnt) AS pcnt FROM (
+         |    SELECT cnt, unnest(flatten([
+         |      list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
+         |      list_transform(range(1, greatest(0, length(word) - 1) + 1),
+         |                     i -> substr(word, i, 2))
+         |    ])) AS piece FROM wc) GROUP BY piece),
+         |tot AS (SELECT sum(pcnt) AS t FROM pieces),
+         |sc AS (SELECT piece, ln(pcnt / t) AS score FROM pieces CROSS JOIN tot),
+         |paths(word, pos, score) AS (
+         |  SELECT word, 0, 0.0::DOUBLE FROM wc
+         |  UNION ALL
+         |  SELECT p.word, p.pos + l.l, p.score + sc.score
+         |  FROM paths p
+         |  JOIN (SELECT 1 AS l UNION ALL SELECT 2) l ON p.pos + l.l <= length(p.word)
+         |  JOIN sc ON sc.piece = substr(p.word, p.pos + 1, l.l))
+         |SELECT word, round(max(score), 6) AS best_score
+         |FROM paths WHERE pos = length(word) GROUP BY word""".stripMargin) { (s, dir) =>
+      graft.operators.UnigramSeg.wordBestScores(
+        Tables.documents(s, dir), "text")
+    },
   )
 }

@@ -524,6 +524,28 @@ class CliSpec extends SparkSpec {
     assert(rep.getAs[Long]("n_sequences") == 8L)
   }
 
+  test("cms --score and viterbi drive the sketch-scoring and segmentation operators") {
+    import spark.implicits._
+    val input = s"$dir/vit.parquet"
+    Seq((1L, "aa aa aa b"), (2L, "aa b c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(input)
+    val sc = Main.run(spark, Seq("cms", "--input", input, "--score",
+      "--depth", "3", "--width", "4096", "--threshold", "4")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // counts: aa=4, b=2, c=1 -> only aa passes threshold 4
+    assert(sc == Map(1L -> 0.75, 2L -> math.rint(1.0 / 3 * 1e6) / 1e6))
+    val vit = Main.run(spark, Seq("viterbi", "--input", input)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(vit.keySet == Set("aa", "b", "c"))
+    // "aa" segments as the single piece "aa" (score ln(4/total)) rather
+    // than "a"+"a": piece counts aa=4, a=8 per occurrence... the DP just
+    // must beat or equal the char-level path
+    val pieces = graft.operators.UnigramSeg.pieceScores(
+      spark.read.parquet(input), "text").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(vit("aa") >= math.rint((pieces("a") * 2) * 1e6) / 1e6)
+  }
+
   test("semdedup clusters embedding near-duplicates via the CLI") {
     import spark.implicits._
     val input = s"$dir/semdedup.parquet"

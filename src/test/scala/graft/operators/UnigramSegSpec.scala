@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Viterbi DP vs exhaustive segmentation enumeration, inventory counting
+  * edge cases (1-char words must not double-count), and the
+  * all-words-segmentable guarantee.
+  */
+class UnigramSegSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a single 1-char word yields one piece with score 0 (no double count)") {
+    val docs = Seq("a").toDF("text")
+    val pieces = UnigramSeg.pieceScores(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pieces == Map("a" -> 0.0)) // ln(1/1)
+    val best = UnigramSeg.wordBestScores(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(best == Map("a" -> 0.0))
+  }
+
+  test("DP equals exhaustive enumeration on a random corpus") {
+    val rnd = new scala.util.Random(19)
+    val words = (1 to 60).map(_ =>
+      (1 to (1 + rnd.nextInt(9))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val scores = UnigramSeg.pieceScores(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    def allPaths(w: String): Seq[Double] = {
+      def rec(pos: Int, acc: Double): Seq[Double] =
+        if (pos == w.length) Seq(acc)
+        else (1 to 2).filter(pos + _ <= w.length).flatMap { l =>
+          scores.get(w.substring(pos, pos + l)).toSeq
+            .flatMap(s => rec(pos + l, acc + s))
+        }
+      rec(0, 0.0)
+    }
+
+    val got = UnigramSeg.wordBestScores(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == words.toSet)
+    words.distinct.foreach { w =>
+      val want = math.rint(allPaths(w).max * 1e6) / 1e6
+      assert(got(w) == want, s"word=$w")
+    }
+  }
+
+  test("every vocabulary word is segmentable (finite score)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val best = UnigramSeg.wordBestScores(docs, "text").collect()
+    assert(best.nonEmpty)
+    assert(best.forall(r => !r.getDouble(1).isNegInfinity))
+  }
+}

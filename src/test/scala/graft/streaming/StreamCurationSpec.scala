@@ -96,6 +96,38 @@ class StreamCurationSpec extends SparkSpec {
     assert(batch.exists(r => r(1).asInstanceOf[Double] > 0.0))
   }
 
+  test("CMS commonness scoring on a stream equals the batch scores") {
+    import graft.operators.Cms
+    val corpus = (0L until 100L).map(i =>
+      (i, if (i % 2 == 0) "the the common words here" else s"rare token r$i only"))
+    val corpusDf = corpus.toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{col, explode, lower, split}
+    val toks = corpusDf.select(
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val grid = Cms.build(toks, "term", depth = 3, width = 1 << 12)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = Cms.commonTokenFraction(mem.toDF().toDF("doc_id", "text"), grid,
+      depth = 3, "doc_id", "text", threshold = 40L)
+    val query = q.writeStream.format("memory").queryName("scs_cms")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(corpus.take(50): _*)
+      query.processAllAvailable()
+      mem.addData(corpus.drop(50): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("scs_cms").collect().map(_.toSeq).toSet
+    val batch = Cms.commonTokenFraction(corpusDf, grid, depth = 3,
+        "doc_id", "text", threshold = 40L)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.size == 100)
+    // template docs are all heavy hitters; rare docs carry one cold token
+    val byId = batch.map(r => r.head.asInstanceOf[Long] ->
+      r(1).asInstanceOf[Double]).toMap
+    assert(byId(0L) == 1.0 && byId(1L) == 0.75)
+  }
+
   test("cluster assignment on a stream equals the batch assignment") {
     // fixed centroids broadcast into the map-side argmin — a pure per-row
     // function, so online cluster routing composes with streaming unchanged
