@@ -257,7 +257,12 @@ object Main {
           payloadCols = need("payload").split(",").toSeq)
 
       case "sample" =>
-        if (flags.contains("weight-col")) {
+        if (flags.contains("group-col")) {
+          // deterministic k hash-random rows per group (q179)
+          Sampling.perGroupSample(spark.read.parquet(need("input")),
+            groupCol = need("group-col"), keyCol = need("key-col"),
+            k = need("n").toInt)
+        } else if (flags.contains("weight-col")) {
           // Efraimidis-Spirakis weighted sample without replacement
           Sampling.weightedSample(spark.read.parquet(need("input")),
             keyCol = need("key-col"), weightCol = need("weight-col"),
@@ -638,6 +643,13 @@ object Main {
             flags.getOrElse("id-col", "doc_id"), txtC, threshold)
         } else operators.Cms.heavyHitters(docs, txtC, depth, width, threshold)
 
+      case "gquantiles" =>
+        // exact per-group quantiles without per-group windows (q178)
+        operators.Ranking.groupedQuantiles(
+          spark.read.parquet(need("input")),
+          need("group-col"), need("value-col"),
+          flags.getOrElse("ps", "0.25,0.5,0.75").split(",").toSeq.map(_.toDouble))
+
       case "viterbi" =>
         // optimal unigram-LM segmentation scores per vocabulary word (q176)
         operators.UnigramSeg.wordBestScores(
@@ -668,7 +680,7 @@ object Main {
       |  pq-encode --input PATH --out DIR [--m N] [--ksub N] [--seed S]
       |  pq-search --index DIR --query PATH [--k N] [--chunks N | --strategy auto]
       |  asof --left PARQUET --right PARQUET --key K --time T --tie C --payload a,b
-      |  sample --input PARQUET --key-col K (--strata-col S --fractions n=F,... [--default F] | --weight-col W --n N)
+      |  sample --input PARQUET --key-col K (--strata-col S --fractions n=F,... [--default F] | --weight-col W --n N | --group-col G --n N)
       |  split --input PARQUET --key-col K --splits n=W,... [--out-col C]
       |  chunk --input PARQUET [--max-tokens N] [--overlap N]
       |  quality --input PARQUET [--id-col C] [--text-col C]
@@ -692,6 +704,7 @@ object Main {
       |  hashtf --input PARQUET [--n-buckets N] [--id-col C] [--text-col C]
       |  cms --input PARQUET [--depth N] [--width N] [--threshold N] [--score [--id-col C]] [--text-col C]
       |  viterbi --input PARQUET [--max-piece-len N] [--text-col C]
+      |  gquantiles --input PARQUET --group-col G --value-col C [--ps P1,P2,...]
       |  curriculum --input PARQUET --difficulty-col C [--k N] [--salt S] [--id-col C]
       |  winsorize --input PARQUET [--value-col C] [--c F]
       |  ensemble --input PARQUET --signals C1,C2 [--id-col C]

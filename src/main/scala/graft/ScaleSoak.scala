@@ -374,6 +374,46 @@ object ScaleSoak {
       graft.operators.Dedup.removeDuplicatedSpans(docs, "doc_id", "text", w = 8)
         .agg(sum("n_removed")).collect()
     }
+    // --- round-8 session 2: CMS / grouped rank / interval join / Viterbi
+    timed(s"CMS build 4x2^20 + heavy hitters over $nDocs docs") {
+      val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+      val grid = graft.operators.Cms.build(toks, "term", depth = 4, width = 1 << 20)
+      graft.operators.Cms.estimates(toks, grid, depth = 4, termCol = "term")
+        .filter(col("cms_count") >= 1000).count()
+    }
+    timed(s"grouped percent rank over ${nBase * 10} rows, skewed 7 groups") {
+      // group g0 owns ~80% of rows — the per-group-window killer case
+      graft.operators.Ranking.groupedPercentRank(
+        spark.range(nBase * 10).select(col("id"),
+          when(pmod(col("id"), lit(10L)) < 8, "g0")
+            .otherwise(concat(lit("g"), pmod(col("id"), lit(7L)))).as("grp"),
+          (col("id") * 2654435761L % 1000000007L).as("score")),
+        "grp", Seq("score", "id"))
+        .groupBy("grp").agg(max("pr")).count()
+    }
+    timed(s"grouped quantiles (3 ps, skewed groups) over ${nBase * 10} rows") {
+      graft.operators.Ranking.groupedQuantiles(
+        spark.range(nBase * 10).select(col("id"),
+          when(pmod(col("id"), lit(10L)) < 8, "g0")
+            .otherwise(concat(lit("g"), pmod(col("id"), lit(7L)))).as("grp"),
+          (col("id") * 2654435761L % 1000000007L).cast("double").as("score")),
+        "grp", "score", Seq(0.25, 0.5, 0.75)).count()
+    }
+    timed(s"interval join: ${nBase * 10} points vs ${nBase / 10} intervals") {
+      val pts = spark.range(nBase * 10).select(
+        pmod(col("id"), lit(64L)).as("k"),
+        (col("id") * 37L % (nBase * 100L)).as("p"))
+      val ivs = spark.range(nBase / 10).select(col("id").as("iid"),
+        pmod(col("id"), lit(64L)).as("k"),
+        (col("id") * 3700L % (nBase * 100L)).as("s"))
+        .withColumn("e", col("s") + 5000L)
+      graft.operators.IntervalJoin.pointInInterval(
+        pts, ivs, "p", "s", "e", Seq("k"), bucketWidth = 5000L).count()
+    }
+    timed(s"Viterbi segmentation scores over the $nDocs-doc vocabulary") {
+      graft.operators.UnigramSeg.wordBestScores(docs, "text")
+        .agg(min("best_score")).collect()
+    }
     spark.stop()
   }
 }

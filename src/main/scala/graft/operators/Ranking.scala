@@ -183,6 +183,69 @@ object Ranking {
       .drop("_grank", "_goff", "_gn")
   }
 
+  /** 1-based in-group `row_number() OVER (PARTITION BY groupCol ORDER BY
+    * orderCols)` from ONE global two-pass rank plus broadcast per-group
+    * offsets — the window-free form every per-group top-k/sample
+    * composition builds on. `orderCols` must totally order rows WITHIN
+    * each group.
+    */
+  def groupedRank(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      rankCol: String = "grank", numParts: Int = 0): DataFrame = {
+    val (ranked, _) =
+      rankWithCount(df, groupCol +: orderCols, "_grank", numParts)
+    val groups = ranked.groupBy(groupCol).agg(min(col("_grank")).as("_goff"))
+    ranked.join(broadcast(groups), groupCol)
+      .withColumn(rankCol, col("_grank") - col("_goff") + 1L)
+      .drop("_grank", "_goff")
+  }
+
+  /** Exact per-GROUP quantiles (`quantile_cont` semantics) without a
+    * per-group window or per-group sort job: the same global-two-pass-rank
+    * + broadcast-group-offsets trick as [[groupedPercentRank]], then the
+    * interpolation rank positions `p·(n_g−1)` are picked out
+    * arithmetically and interpolated. Output: `(groupCol, p, q)` with q
+    * rounded to 6. ONE range shuffle total for ANY number of groups and
+    * quantiles; a skewed group spreads across tasks like any key range.
+    * Ties within a value are rank-order ambiguous but value-identical, so
+    * the picked quantiles are deterministic regardless.
+    */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], numParts: Int = 0): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"bad quantiles: $ps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (ranked, _) = rankWithCount(
+      df.select(col(groupCol), col(valueCol).cast("double").as("_v"))
+        .filter(col("_v").isNotNull),
+      Seq(groupCol, "_v"), "_grank", numParts)
+    val groups = ranked.groupBy(groupCol).agg(
+      min(col("_grank")).as("_goff"), count(lit(1)).as("_gn"))
+    // per-(group, p) interpolation positions: x = p*(n-1), pick ranks
+    // floor(x)/ceil(x) — a tiny broadcast relation (groups × quantiles)
+    // "_tg" rename severs the shared lineage with `ranked` (both descend
+    // from the same frame — Spark's ambiguous-self-join check fires on
+    // same-name join keys otherwise)
+    val targets = groups.crossJoin(ps.toDF("p"))
+      .select(col(groupCol).as("_tg"), col("p"),
+        (col("p") * (col("_gn") - 1L)).as("_x"), col("_goff"))
+      .select(col("_tg"), col("p"), col("_x"),
+        (floor(col("_x")) + col("_goff")).as("_lo"),
+        (ceil(col("_x")) + col("_goff")).as("_hi"))
+    ranked.join(broadcast(targets),
+        col(groupCol) === col("_tg") &&
+          (col("_grank") === col("_lo") || col("_grank") === col("_hi")))
+      .groupBy(col("_tg"), col("p"))
+      .agg(
+        first(col("_x")).as("_xx"),
+        min(when(col("_grank") === col("_lo"), col("_v"))).as("_qlo"),
+        min(when(col("_grank") === col("_hi"), col("_v"))).as("_qhi"))
+      .select(col("_tg").as(groupCol), col("p"),
+        round(col("_qlo") +
+          (col("_qhi") - col("_qlo")) * (col("_xx") - floor(col("_xx"))), 6)
+          .as("q"))
+  }
+
   /** Rank-average ensemble of quality signals: percent_rank each signal
     * independently (ordering by `(signal, idCol)` — the total-order
     * contract), then average the ranks into one `outCol` score. Rank

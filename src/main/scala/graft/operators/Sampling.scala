@@ -121,4 +121,22 @@ object Sampling {
       k: Int, salt: String = "curriculum"): DataFrame =
     Ranking.ntileBuckets(df, Seq(difficultyCol, idCol), k, bucketCol = "stage")
       .withColumn("shuffle_key", hashUnit(col(idCol), salt))
+
+  /** Deterministic k-per-group sample: rank each group by the salted key
+    * hash (uniform random order, reproducible) and keep in-group rank ≤ k
+    * — the inspection/eval-slice sampler ("5 random docs per language",
+    * same 5 every run). Window-free: [[Ranking.groupedRank]]'s one global
+    * range shuffle + broadcast offsets, so a group with 90% of the corpus
+    * still spreads across tasks. Appends `rn` (the in-group rank).
+    */
+  def perGroupSample(df: DataFrame, groupCol: String, keyCol: String, k: Int,
+      salt: String = "pergroup"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(!df.columns.contains("_h") && !df.columns.contains("rn"),
+      "input collides with reserved columns _h/rn")
+    Ranking.groupedRank(df.withColumn("_h", hashUnit(col(keyCol), salt)),
+        groupCol, Seq("_h", keyCol), rankCol = "rn")
+      .filter(col("rn") <= k)
+      .drop("_h")
+  }
 }

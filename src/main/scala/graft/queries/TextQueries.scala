@@ -880,6 +880,47 @@ object TextQueries {
         .select("doc_id", "lang", "pr")
     },
 
+    // Per-GROUP exact quantiles without per-group windows: the per-language
+    // length quartiles (the inputs to language-local filtering fences).
+    // One global range shuffle serves every (group, quantile) pair — the
+    // interpolation ranks are picked arithmetically from broadcast group
+    // offsets, so a skewed language spreads across tasks instead of
+    // pinning one. The oracle is quantile_cont per language.
+    GQuery(
+      "q178_grouped_quantiles",
+      """SELECT lang, 0.25::DOUBLE AS p, round(quantile_cont(n_chars, 0.25), 6) AS q
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT lang, 0.5::DOUBLE AS p, round(quantile_cont(n_chars, 0.5), 6) AS q
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT lang, 0.75::DOUBLE AS p, round(quantile_cont(n_chars, 0.75), 6) AS q
+        |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+      graft.operators.Ranking.groupedQuantiles(
+        Tables.documents(s, dir).select("lang", "n_chars"),
+        "lang", "n_chars", Seq(0.25, 0.5, 0.75))
+    },
+
+    // Deterministic k-per-group sample: 5 hash-random docs per language,
+    // identical every run (the eval-slice/inspection sampler). The
+    // in-group rank comes from the same window-free grouped-rank
+    // machinery as q173/q178; the oracle is the partitioned row_number
+    // over the replayed md5 order.
+    GQuery(
+      "q179_per_group_sample",
+      """WITH h AS (SELECT doc_id, lang,
+        |             ('0x' || substr(md5(doc_id::VARCHAR || ':pergroup'), 1, 15))::BIGINT % 1000000 AS hk
+        |           FROM documents),
+        |r AS (SELECT doc_id, lang, hk,
+        |             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |      FROM h)
+        |SELECT doc_id, lang, rn FROM r WHERE rn <= 5""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.perGroupSample(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        "lang", "doc_id", k = 5)
+        .select("doc_id", "lang", "rn")
+    },
+
     // Viterbi segmentation under a unigram piece LM (the SentencePiece
     // inference step): pieces = all 1-/2-char substrings of the weighted
     // vocabulary under ONE ln(cnt/total) distribution; each word scores

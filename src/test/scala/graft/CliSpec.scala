@@ -546,6 +546,22 @@ class CliSpec extends SparkSpec {
     assert(vit("aa") >= math.rint((pieces("a") * 2) * 1e6) / 1e6)
   }
 
+  test("sample --group-col and gquantiles drive the grouped-rank operators") {
+    import spark.implicits._
+    val input = s"$dir/grp.parquet"
+    (1L to 40L).map(i => (i, s"g${i % 2}", i.toDouble))
+      .toDF("doc_id", "grp", "v")
+      .write.mode("overwrite").parquet(input)
+    val gs = Main.run(spark, Seq("sample", "--input", input,
+      "--group-col", "grp", "--key-col", "doc_id", "--n", "3")).collect()
+    assert(gs.length == 6) // 2 groups x 3
+    val gq = Main.run(spark, Seq("gquantiles", "--input", input,
+      "--group-col", "grp", "--value-col", "v", "--ps", "0.5")).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // g0: evens 2..40 -> median 21; g1: odds 1..39 -> median 20
+    assert(gq == Map("g0" -> 21.0, "g1" -> 20.0))
+  }
+
   test("semdedup clusters embedding near-duplicates via the CLI") {
     import spark.implicits._
     val input = s"$dir/semdedup.parquet"

@@ -102,6 +102,36 @@ class RankingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("groupedRank equals the partitioned row_number") {
+    val rows = (1 to 300).map(i =>
+      (s"g${i % 5}", (i * 17) % 40, i.toLong))
+    val d = rows.toDF("grp", "v", "id").repartition(7)
+    val got = Ranking.groupedRank(d, "grp", Seq("v", "id"))
+      .select("id", "grank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = d.withColumn("rn",
+        row_number().over(Window.partitionBy("grp").orderBy("v", "id")).cast("long"))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("groupedQuantiles equals per-group quantile_cont interpolation") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 500).map(i =>
+      (s"g${i % 4}", rnd.nextInt(1000).toDouble, i.toLong))
+    val d = rows.toDF("grp", "v", "id").repartition(6)
+    val ps = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+    val got = Ranking.groupedQuantiles(d, "grp", "v", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // sequential quantile_cont replay per group
+    for ((g, vs0) <- rows.groupBy(_._1); p <- ps) {
+      val vs = vs0.map(_._2).sorted
+      val x = p * (vs.length - 1)
+      val (lo, hi) = (vs(x.floor.toInt), vs(x.ceil.toInt))
+      val want = math.rint((lo + (hi - lo) * (x - x.floor)) * 1e6) / 1e6
+      assert(got((g, p)) == want, s"g=$g p=$p")
+    }
+  }
+
   test("rankEnsemble averages the per-signal percent ranks, keeping each") {
     val d = (1 to 50).map(i => (i.toLong, (i * 13) % 50, (i * 29) % 50))
       .toDF("id", "a", "b").repartition(4)

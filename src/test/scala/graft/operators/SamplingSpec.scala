@@ -117,6 +117,21 @@ class SamplingSpec extends SparkSpec {
     assert(!p1.contains("Exchange") && !p2.contains("Exchange"))
   }
 
+  test("perGroupSample: exactly k per group, stable across runs, salted") {
+    import spark.implicits._
+    val d = (1 to 200).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "grp")
+      .repartition(6)
+    val s1 = Sampling.perGroupSample(d, "grp", "id", k = 7)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rn")))
+    val s2 = Sampling.perGroupSample(d, "grp", "id", k = 7)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rn")))
+    assert(s1.toSet == s2.toSet && s1.length == 28) // 4 groups x 7
+    assert(s1.map(_._2).forall(rn => rn >= 1 && rn <= 7))
+    val other = Sampling.perGroupSample(d, "grp", "id", k = 7, salt = "b")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(other != s1.map(_._1).toSet)
+  }
+
   test("curriculumSchedule: monotone stages, salted within-stage shuffle") {
     import spark.implicits._
     val d = (1 to 97).map(i => (i.toLong, (i * 31 % 97).toDouble))
