@@ -293,4 +293,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.linesIterator.exists(l => l.trim.startsWith("*(") && l.contains("Project")),
       s"downstream of rank fell out of codegen:\n$s")
   }
+
+  test("groupedPercentRank: no Window operator, one range exchange on the data path") {
+    val df = spark.range(2000).select(col("id"),
+      concat(lit("g"), pmod(col("id"), lit(3L))).as("grp"),
+      (col("id") * 37 % 101).as("score"))
+    val plan = executedPlan(graft.operators.Ranking
+      .groupedPercentRank(df, "grp", Seq("score", "id")))
+    val s = plan.toString
+    // the whole point: a skewed group must never route through a
+    // partitionBy window (one task per group)
+    assert(!s.contains("Window"), s"grouped rank planned a Window:\n$s")
+    // per-group offsets ride a broadcast; the ranked data path is the
+    // shared ExistingRDD lineage (its range exchange lives inside the RDD,
+    // like Packing's) and must reach the join with NO further exchange —
+    // the only shuffle in this plan is the tiny per-group aggregate
+    assert(s.contains("BroadcastHashJoin"), s"group offsets not broadcast:\n$s")
+    assert(s.contains("Scan ExistingRDD"), s"rank lineage not reused:\n$s")
+    assert(shuffleCount(plan) <= 1,
+      s"data path re-shuffled beyond the group aggregate:\n$s")
+  }
+
+  test("Cms.commonTokenFraction executes with ZERO shuffle exchanges") {
+    val docs = (0L until 64L).map(i => (i, s"a b c tok$i")).toDF("doc_id", "text")
+    val toks = docs.select(explode(split(lower(col("text")), " ")).as("term"))
+    val grid = graft.operators.Cms.build(toks, "term", depth = 3, width = 256)
+    val plan = executedPlan(graft.operators.Cms.commonTokenFraction(
+      docs, grid, depth = 3, "doc_id", "text", threshold = 10L))
+    assert(shuffleCount(plan) == 0,
+      s"CMS probe must be a pure map against the broadcast grid:\n$plan")
+  }
+
+  test("IntervalJoin: hash join on (keys, bucket), never a nested loop") {
+    val priorBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pts = spark.range(5000).select(pmod(col("id"), lit(4L)).as("k"),
+        (col("id") * 7 % 100000).as("p"))
+      val ivs = spark.range(500).select(col("id").as("iid"),
+        pmod(col("id"), lit(4L)).as("k"), (col("id") * 70 % 100000).as("s"))
+        .withColumn("e", col("s") + 300L)
+      executedPlan(graft.operators.IntervalJoin.pointInInterval(
+        pts, ivs, "p", "s", "e", Seq("k"), bucketWidth = 300L))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBc)
+    val s = plan.toString
+    assert(!s.contains("NestedLoop"),
+      s"interval join degenerated to a nested loop:\n$s")
+    assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
+      s"expected a shuffled equi-join on (k, bucket):\n$s")
+  }
 }
