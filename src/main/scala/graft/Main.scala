@@ -603,11 +603,31 @@ object Main {
           salt = flags.getOrElse("salt", "curriculum"))
 
       case "winsorize" =>
-        // outlier-robust clipping to median ± c·MAD (q172)
-        operators.ProfileStats.madWinsorize(
+        // outlier-robust clipping to median ± c·MAD (q172); --group-col
+        // fences per group instead (q181)
+        val win = spark.read.parquet(need("input"))
+        val vc = flags.getOrElse("value-col", "value")
+        val cf = flags.getOrElse("c", "3.0").toDouble
+        flags.get("group-col") match {
+          case Some(g) => operators.ProfileStats.groupedMadWinsorize(win, g, vc, cf)
+          case None => operators.ProfileStats.madWinsorize(win, vc, cf)
+        }
+
+      case "novelty" =>
+        // 1 - max Jaccard vs any other doc (q183)
+        operators.Dedup.noveltyScores(
           spark.read.parquet(need("input")),
-          flags.getOrElse("value-col", "value"),
-          c = flags.getOrElse("c", "3.0").toDouble)
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("text-col", "text"),
+          n = flags.getOrElse("n", "3").toInt,
+          threshold = flags.getOrElse("threshold", "0.3").toDouble)
+
+      case "entropy" =>
+        // per-doc character-entropy quality signal (q182)
+        spark.read.parquet(need("input")).select(
+          col(flags.getOrElse("id-col", "doc_id")),
+          graft.functions.TextFunctions.charEntropy(
+            col(flags.getOrElse("text-col", "text"))).as("entropy"))
 
       case "ensemble" =>
         // rank-average quality blend over --signals columns (q168)
@@ -706,7 +726,9 @@ object Main {
       |  viterbi --input PARQUET [--max-piece-len N] [--text-col C]
       |  gquantiles --input PARQUET --group-col G --value-col C [--ps P1,P2,...]
       |  curriculum --input PARQUET --difficulty-col C [--k N] [--salt S] [--id-col C]
-      |  winsorize --input PARQUET [--value-col C] [--c F]
+      |  winsorize --input PARQUET [--value-col C] [--c F] [--group-col G]
+      |  novelty --input PARQUET [--n N] [--threshold T] [--id-col C] [--text-col C]
+      |  entropy --input PARQUET [--id-col C] [--text-col C]
       |  ensemble --input PARQUET --signals C1,C2 [--id-col C]
       |  keepbest --input PARQUET --score-col C [--threshold T] [--n N] [--id-col C] [--text-col C]""".stripMargin
 

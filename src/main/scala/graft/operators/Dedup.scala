@@ -802,6 +802,25 @@ object Dedup {
         (coalesce(col("_c"), col("id")) === col("id")).as("keep"))
   }
 
+  /** Per-document novelty: `1 − max Jaccard` against any OTHER document
+    * (1.0 when nothing co-occurs above `threshold`) — the inverse-dup
+    * signal data-selection recipes weight by (keep what the corpus hasn't
+    * already said). Same inverted-index pair generation as
+    * [[ngramJaccardPairs]]; the per-doc rollup is a max over the PAIR
+    * relation (small), then one left join of bare ids.
+    */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+    val m = pairs.select(col("id_a").as("id"), col("jaccard"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("jaccard")))
+      .groupBy("id").agg(max(col("jaccard")).as("_mx"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(m, Seq("id"), "left")
+      .select(col("id"),
+        round(lit(1.0) - coalesce(col("_mx"), lit(0.0)), 6).as("novelty"))
+  }
+
   /** Quality-aware representative selection over near-dup clusters: instead
     * of the keep-min-id rule, each connected component keeps its HIGHEST-
     * `scoreCol` member (ties → lowest id) — the curation-grade rule

@@ -164,4 +164,31 @@ object ProfileStats {
     df.withColumn(outCol,
       round(least(greatest(v, lit(med - c * mad)), lit(med + c * mad)), 6))
   }
+
+  /** [[madWinsorize]] with PER-GROUP fences — each group (language,
+    * domain, source) clips to its own `median_g ± c·MAD_g`, so a verbose
+    * group's spread doesn't set another's fence. Built on
+    * [[Ranking.groupedQuantiles]] (window-free grouped medians): two
+    * range-shuffle passes — value medians, then absolute-deviation
+    * medians — each a tiny broadcast relation joined back; the clip is a
+    * pure projection. Medians arrive 6-rounded (groupedQuantiles'
+    * contract), which the oracle replays identically.
+    */
+  def groupedMadWinsorize(df: DataFrame, groupCol: String, valueCol: String,
+      c: Double = 3.0, outCol: String = "winsorized"): DataFrame = {
+    require(c > 0, s"fence multiplier must be positive, got $c")
+    val v = col(valueCol).cast("double")
+    val med = Ranking.groupedQuantiles(
+        df.select(col(groupCol), v.as("_mv")), groupCol, "_mv", Seq(0.5))
+      .select(col(groupCol), col("q").as("_med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .select(col(groupCol), abs(v - col("_med")).as("_ad"))
+    val mad = Ranking.groupedQuantiles(dev, groupCol, "_ad", Seq(0.5))
+      .select(col(groupCol), col("q").as("_mad"))
+    df.join(broadcast(med), groupCol).join(broadcast(mad), groupCol)
+      .withColumn(outCol,
+        round(least(greatest(v, col("_med") - col("_mad") * c),
+          col("_med") + col("_mad") * c), 6))
+      .drop("_med", "_mad")
+  }
 }

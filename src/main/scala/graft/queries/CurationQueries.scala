@@ -404,6 +404,65 @@ object CurationQueries {
       Packing.sequenceBoundaries(counts, "doc_id", "n_toks", seqLen = 32)
     },
 
+    // Data-SELECTION pipeline v2 (the round-8 signals composed end-to-end):
+    // score every doc with char entropy + length, rank-average the two
+    // into one ensemble (q168 machinery), keep the ensemble's top ~60%,
+    // drop near-dup docs (novelty < 0.7 under 3-gram Jaccard ≥ 0.3),
+    // then assign the survivors 4 curriculum stages by ensemble order
+    // with the salted epoch shuffle key (q171). ONE CTE chain replays
+    // entropy, both window ranks, the blend, the pair max, the ANSI
+    // ntile over survivors and the md5 key — a green hash pins the whole
+    // composition, not the stages separately.
+    GQuery(
+      "q184_selection_pipeline",
+      s"""WITH ch AS (SELECT doc_id,
+         |              unnest(list_transform(range(1, length(text) + 1),
+         |                                    i -> substr(text, i, 1))) AS c
+         |            FROM documents),
+         |cc AS (SELECT doc_id, c, count(*)::DOUBLE AS k FROM ch GROUP BY 1, 2),
+         |hh AS (SELECT doc_id, round(ln(sum(k)) - sum(k * ln(k)) / sum(k), 6) AS entropy
+         |       FROM cc GROUP BY doc_id),
+         |sg AS (SELECT d.doc_id, d.n_chars, coalesce(hh.entropy, 0.0) AS entropy
+         |       FROM documents d LEFT JOIN hh USING (doc_id)),
+         |pr AS (SELECT doc_id, n_chars, entropy,
+         |              round(percent_rank() OVER (ORDER BY n_chars, doc_id), 6) AS pr_n_chars,
+         |              round(percent_rank() OVER (ORDER BY entropy, doc_id), 6) AS pr_entropy
+         |       FROM sg),
+         |en AS (SELECT doc_id, (pr_n_chars + pr_entropy) / 2.0 AS ens FROM pr),
+         |top AS (SELECT doc_id, ens FROM en WHERE ens >= 0.4),
+         |p AS (${DedupQueries.jaccardPairsSql(0.3)}),
+         |mx AS (SELECT id, max(j) AS mj FROM (
+         |         SELECT id_a AS id, jaccard AS j FROM p
+         |         UNION ALL
+         |         SELECT id_b AS id, jaccard AS j FROM p) GROUP BY id),
+         |keep AS (SELECT t.doc_id, t.ens FROM top t
+         |         LEFT JOIN mx ON mx.id = t.doc_id
+         |         WHERE round(1.0 - coalesce(mx.mj, 0.0), 6) >= 0.7)
+         |SELECT doc_id, ens,
+         |       ntile(4) OVER (ORDER BY ens, doc_id) AS stage,
+         |       ('0x' || substr(md5(doc_id::VARCHAR || ':sel'), 1, 15))::BIGINT % 1000000
+         |         AS shuffle_key
+         |FROM keep""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sig = docs.select(col("doc_id"), col("n_chars"),
+        graft.functions.TextFunctions.charEntropy(col("text")).as("entropy"))
+      val ens = graft.operators.Ranking
+        .rankEnsemble(sig, Seq("n_chars", "entropy"), "doc_id")
+        .select(col("doc_id"), col("quality_ensemble").as("ens"))
+        .filter(col("ens") >= 0.4)
+      val nov = graft.operators.Dedup
+        .noveltyScores(docs, "doc_id", "text", n = 3, threshold = 0.3)
+        .withColumnRenamed("id", "doc_id")
+      // ens stays UNROUNDED (the q168 lesson: the blend of two 6-decimal
+      // ranks is bit-identical across engines, while rounding it sits on
+      // exact decimal half-boundaries where rounding modes diverge)
+      val kept = ens.join(nov, "doc_id").filter(col("novelty") >= 0.7)
+        .select(col("doc_id"), col("ens"))
+      graft.operators.Sampling.curriculumSchedule(kept, "doc_id", "ens",
+        k = 4, salt = "sel")
+        .select("doc_id", "ens", "stage", "shuffle_key")
+    },
+
     // The flagship curation PIPELINE: quality gate → exact dedup (planted
     // copies removed) → benchmark decontamination (bench docs remove
     // themselves) → deterministic split → training-sequence packing of the

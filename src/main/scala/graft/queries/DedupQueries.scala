@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Ann, Bloom, Clustering, Dedup}
+import graft.operators.{Ann, Bloom, Clustering, Dedup, Sampling}
 
 /** Deduplication + similarity-search queries over documents/embeddings —
   * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding cosine, IVF ANN.
@@ -16,7 +16,7 @@ object DedupQueries {
   private val duckToks = "list_filter(string_split(lower(text), ' '), x -> x != '')"
 
   /** Distinct 3-gram shingle postings + Jaccard pair SQL (shared CTE text). */
-  private def jaccardPairsSql(threshold: Double): String =
+  private[queries] def jaccardPairsSql(threshold: Double): String =
     s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
        |sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
        |          i -> array_to_string(t[i:i+2], ' '))) AS sh
@@ -597,6 +597,67 @@ object DedupQueries {
         Seq("vec_id"), "left_semi")
       Clustering.prototypicalityPrune(kept, init, dropFrac = 0.25,
         metric = "EUCLIDEAN")
+    },
+
+    // Split-leak audit: deterministically split the corpus 80/20, then
+    // score every TEST document's 3-gram containment against the TRAIN
+    // shingle set — the after-the-fact contamination check a train/eval
+    // separation needs (planted duplicate docs that land on opposite
+    // sides of the split surface with containment 1.0). One oracle
+    // replays the split hash AND the containment join, so the green row
+    // pins the composition.
+    GQuery(
+      "q180_split_leak_audit",
+      s"""WITH sp AS (SELECT doc_id,
+         |              CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 15))::BIGINT % 1000000 < 800000
+         |                   THEN 'train' ELSE 'test' END AS split
+         |            FROM documents),
+         |toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+         |          i -> array_to_string(t[i:i+2], ' '))) AS sh
+         |        FROM toks WHERE len(t) >= 3),
+         |te AS (SELECT s.doc_id, unnest(sh) AS shingle
+         |       FROM sh0 JOIN sp s USING (doc_id) WHERE s.split = 'test'),
+         |tr AS (SELECT DISTINCT unnest(sh) AS shingle
+         |       FROM sh0 JOIN sp s USING (doc_id) WHERE s.split = 'train'),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM te GROUP BY 1),
+         |hits AS (SELECT te.doc_id, count(*) AS h FROM te
+         |         JOIN tr ON te.shingle = tr.shingle GROUP BY 1)
+         |SELECT a.doc_id,
+         |       round(CASE WHEN coalesce(sz, 0) = 0 THEN 0.0
+         |             ELSE coalesce(h, 0)::DOUBLE / sz END, 6) AS containment
+         |FROM (SELECT doc_id FROM sp WHERE split = 'test') a
+         |LEFT JOIN sz USING (doc_id)
+         |LEFT JOIN hits USING (doc_id)""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sp = Sampling.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "test" -> 0.2))
+      Dedup.containmentScores(
+          sp.filter(col("split") === "test"),
+          sp.filter(col("split") === "train"),
+          "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"),
+          round(col("containment"), 6).as("containment"))
+    },
+
+    // Per-document novelty (1 − max Jaccard vs any other doc): the
+    // inverse-dup weighting signal. Pairs above 0.3 come from the same
+    // inverted-index generator as q45; docs with no qualifying pair are
+    // maximally novel. Oracle replays pairs + the two-sided max + the
+    // corpus-wide left join.
+    GQuery(
+      "q183_novelty_scores",
+      s"""WITH p AS (${jaccardPairsSql(0.3)}),
+         |m AS (SELECT id, max(j) AS mx FROM (
+         |        SELECT id_a AS id, jaccard AS j FROM p
+         |        UNION ALL
+         |        SELECT id_b AS id, jaccard AS j FROM p)
+         |      GROUP BY id)
+         |SELECT d.doc_id, round(1.0 - coalesce(m.mx, 0.0), 6) AS novelty
+         |FROM documents d LEFT JOIN m ON m.id = d.doc_id""".stripMargin) { (s, dir) =>
+      Dedup.noveltyScores(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.3)
+        .withColumnRenamed("id", "doc_id")
     },
 
     // Quality-aware representative selection: near-dup clusters (3-gram

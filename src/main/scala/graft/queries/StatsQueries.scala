@@ -343,6 +343,30 @@ object StatsQueries {
         "doc_id", "text", threshold = 800L)
     },
 
+    // Per-group MAD winsorization: each event_type clips to its OWN
+    // median ± 3·MAD fence — the per-domain form of q172, built on the
+    // window-free grouped quantiles (two range passes, broadcast fences,
+    // pure-projection clip). The oracle replays both grouped medians
+    // (6-rounded, groupedQuantiles' contract) and the fence arithmetic.
+    GQuery(
+      "q181_grouped_winsorize",
+      """WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS m
+        |             FROM events GROUP BY event_type),
+        |mad AS (SELECT e.event_type,
+        |               round(quantile_cont(abs(e.value - m.m), 0.5), 6) AS d
+        |        FROM events e JOIN med m USING (event_type)
+        |        GROUP BY e.event_type),
+        |f AS (SELECT med.event_type, m, d FROM med JOIN mad USING (event_type))
+        |SELECT e.event_id, e.event_type,
+        |       round(least(greatest(e.value, f.m - 3 * f.d), f.m + 3 * f.d), 6)
+        |         AS winsorized
+        |FROM events e JOIN f USING (event_type)""".stripMargin) { (s, dir) =>
+      ProfileStats.groupedMadWinsorize(
+        Tables.events(s, dir).select("event_id", "event_type", "value"),
+        "event_type", "value")
+        .select("event_id", "event_type", "winsorized")
+    },
+
     // MAD winsorization: outlier-robust clipping of the event value column
     // to median ± 3·MAD — the fence a quality-score pipeline applies
     // before thresholds/mixtures so outliers can't set their own cut

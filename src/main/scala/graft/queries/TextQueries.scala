@@ -880,6 +880,28 @@ object TextQueries {
         .select("doc_id", "lang", "pr")
     },
 
+    // Character-entropy quality signal: Shannon entropy (nats) of each
+    // document's character distribution — keyboard mash and repeated-char
+    // padding score far below natural text, base64/hex blobs above it.
+    // A PURE projection (higher-order array functions, no explode, no
+    // shuffle — streaming-composable like the other per-row signals); the
+    // oracle recomputes the same ln(n) − Σ k·ln(k)/n form from a grouped
+    // character relation.
+    GQuery(
+      "q182_char_entropy",
+      """WITH ch AS (SELECT doc_id,
+        |              unnest(list_transform(range(1, length(text) + 1),
+        |                                    i -> substr(text, i, 1))) AS c
+        |            FROM documents),
+        |cc AS (SELECT doc_id, c, count(*)::DOUBLE AS k FROM ch GROUP BY 1, 2),
+        |h AS (SELECT doc_id, round(ln(sum(k)) - sum(k * ln(k)) / sum(k), 6) AS entropy
+        |      FROM cc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(h.entropy, 0.0) AS entropy
+        |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.charEntropy(col("text")).as("entropy"))
+    },
+
     // Per-GROUP exact quantiles without per-group windows: the per-language
     // length quartiles (the inputs to language-local filtering fences).
     // One global range shuffle serves every (group, quantile) pair — the

@@ -562,6 +562,25 @@ class CliSpec extends SparkSpec {
     assert(gq == Map("g0" -> 21.0, "g1" -> 20.0))
   }
 
+  test("novelty, entropy and winsorize --group-col drive the new signals") {
+    import spark.implicits._
+    val input = s"$dir/nov.parquet"
+    Seq((1L, "alpha beta gamma delta", "g0", 5.0),
+        (2L, "alpha beta gamma delta", "g0", 6.0),
+        (3L, "other words over here", "g1", 100.0))
+      .toDF("doc_id", "text", "grp", "v")
+      .write.mode("overwrite").parquet(input)
+    val nov = Main.run(spark, Seq("novelty", "--input", input)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nov == Map(1L -> 0.0, 2L -> 0.0, 3L -> 1.0))
+    val ent = Main.run(spark, Seq("entropy", "--input", input)).collect()
+    assert(ent.length == 3 && ent.forall(_.getDouble(1) > 0.0))
+    val gw = Main.run(spark, Seq("winsorize", "--input", input,
+      "--value-col", "v", "--group-col", "grp")).collect()
+      .map(r => r.getAs[Double]("winsorized")).toSet
+    assert(gw == Set(5.0, 6.0, 100.0)) // no outliers -> identity per group
+  }
+
   test("semdedup clusters embedding near-duplicates via the CLI") {
     import spark.implicits._
     val input = s"$dir/semdedup.parquet"

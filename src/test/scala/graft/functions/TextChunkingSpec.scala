@@ -58,4 +58,17 @@ class TextChunkingSpec extends SparkSpec {
     assert(f.getAs[Int]("n_words") == 0)
     assert(!f.getAs[Boolean]("word_count_ok") && !f.getAs[Boolean]("passes"))
   }
+
+  test("charEntropy: degenerate 0, uniform ln(k), null/empty 0, pure projection") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "aaaa"), (2L, "ab"), (3L, "abcd"), (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.charEntropy(col("text")).as("h"))
+    val m = got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) == 0.0 && m(4L) == 0.0 && m(5L) == 0.0)
+    assert(m(2L) == math.rint(math.log(2) * 1e6) / 1e6)
+    assert(m(3L) == math.rint(math.log(4) * 1e6) / 1e6)
+    // the signal must stay a shuffle-free projection (streaming-composable)
+    assert(!got.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }

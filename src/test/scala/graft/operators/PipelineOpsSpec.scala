@@ -71,4 +71,19 @@ class PipelineOpsSpec extends SparkSpec {
     val jvmPos = graft.functions.StableHash.md5Hash60("alpha beta gamma:1") % (1 << 10)
     assert(sqlPos == jvmPos)
   }
+
+  test("noveltyScores: exact dup -> 0, near-dup -> 1 - jaccard, unrelated -> 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),   // exact dup of 1
+      (3L, "alpha beta gamma delta zeta"),      // near dup of 1/2
+      (4L, "completely different words here entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(docs, "doc_id", "text", n = 3, threshold = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0 && got(2L) == 0.0) // identical shingle sets
+    assert(got(4L) == 1.0)                   // shares no shingle
+    assert(got(3L) > 0.0 && got(3L) < 1.0)   // partial overlap
+  }
 }

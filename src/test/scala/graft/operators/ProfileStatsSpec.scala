@@ -74,6 +74,21 @@ class ProfileStatsSpec extends SparkSpec {
     assert(ProfileStats.ksPValue(1.0, 1000, 1000) < 1e-6)
   }
 
+  test("groupedMadWinsorize: each group clips to its OWN fence") {
+    // g0: 1..9 + outlier 1000 -> med 5.5, MAD 2.5, fence [-2, 13]
+    // g1: 100,200,300 -> med 200, MAD 100, fence [-100, 500] (no clip)
+    val rows = ((1 to 9).map(i => ("g0", i.toDouble)) :+ (("g0", 1000.0))) ++
+      Seq(("g1", 100.0), ("g1", 200.0), ("g1", 300.0))
+    val df = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "v").repartition(3)
+    val got = ProfileStats.groupedMadWinsorize(df, "grp", "v", c = 3.0)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Double]("v")) ->
+        r.getAs[Double]("winsorized")).toMap
+    assert(got(("g0", 1000.0)) == 13.0)
+    (1 to 9).foreach(i => assert(got(("g0", i.toDouble)) == i.toDouble))
+    Seq(100.0, 200.0, 300.0).foreach(v => assert(got(("g1", v)) == v))
+  }
+
   test("madWinsorize clips to median ± c·MAD; inliers pass through") {
     // values 1..9 plus outliers ±1000: median 5 (11 values -> 6th = 6? no:
     // sorted: -1000,1,2,...,9,1000 -> median = 5), |x-5| medians to 3
