@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseXor, Cast, Expression, ExpressionInfo, Literal, Subtract}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{DistanceKernels, F16ToF32, TopKPairs, VectorDistance, VectorFunctions, VectorNorm}
+import graft.functions.{CharEntropy, DistanceKernels, F16ToF32, TopKPairs, VectorDistance, VectorFunctions, VectorNorm}
 
 /** The SparkSessionExtensions entry point (SURVEY.md X3/X4/X5): registers
   * the engine's native Catalyst expressions as SQL functions, so
@@ -54,6 +54,10 @@ object GraftExtensions {
     ("f16_to_f32", classOf[F16ToF32].getName, { args: Seq[Expression] =>
       require(args.length == 1, "f16_to_f32(bits)")
       F16ToF32(asF16Bits(args(0)))
+    }),
+    ("char_entropy", classOf[CharEntropy].getName, { args: Seq[Expression] =>
+      require(args.length == 1, "char_entropy(text)")
+      CharEntropy(Cast(args(0), StringType))
     }),
     // X4: the bounded-heap aggregate — the analyzer wraps the returned
     // AggregateFunction, so GROUP BY queries plan the same map-side partial

@@ -26,35 +26,15 @@ object TextFunctions {
   /** Shannon entropy (nats) of the CHARACTER distribution of `text` — the
     * degenerate-text signal (keyboard mash and repeated-char padding sit
     * far below natural-language entropy; high-entropy base64/hex blobs sit
-    * above it). Computed as `ln(n) − Σ k·ln(k) / n` over per-char counts —
-    * a PURE projection (higher-order array functions, no explode/shuffle),
-    * so it composes with streaming unchanged. 0 for empty text.
+    * above it). Computed as `ln(n) − Σ k·ln(k) / n` over per-code-point
+    * counts by the native codegen'd [[CharEntropy]] expression — a PURE
+    * shuffle-free projection inside WholeStageCodegen, so it composes with
+    * streaming unchanged. 0 for empty/null text.
     */
-  def charEntropy(text: Column): Column = {
-    val t = coalesce(text, lit(""))
-    val chars = transform(sequence(lit(1), length(t)), i => t.substr(i, lit(1)))
-    // sort, then ONE linear run-length pass accumulating Σ k·ln(k): state
-    // = (current char, run length, acc). The naive per-distinct-char
-    // filter scan is O(len × distinct) of interpreted lambda calls and
-    // measured 6 s over the sf0.001 corpus; this is O(len)
-    val runSum = aggregate(
-      array_sort(chars),
-      struct(lit("").as("p"), lit(0.0).as("k"), lit(0.0).as("acc")),
-      (s, c) => {
-        val closeRun = s.getField("acc") +
-          when(s.getField("k") > 0, s.getField("k") * log(s.getField("k")))
-            .otherwise(0.0)
-        when(c === s.getField("p"),
-          struct(c.as("p"), (s.getField("k") + 1.0).as("k"),
-            s.getField("acc").as("acc")))
-          .otherwise(struct(c.as("p"), lit(1.0).as("k"), closeRun.as("acc")))
-      },
-      s => s.getField("acc") +
-        when(s.getField("k") > 0, s.getField("k") * log(s.getField("k")))
-          .otherwise(0.0))
-    val n = length(t).cast("double")
-    when(length(t) === 0, 0.0).otherwise(round(log(n) - runSum / n, 6))
-  }
+  def charEntropy(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      CharEntropy(org.apache.spark.sql.graftbridge.Bridge.expression(
+        coalesce(text, lit("")))))
 
   /** Repetition ratio (1 − type/token): the within-document duplication
     * signal training-data filters threshold on (degenerate/generated text

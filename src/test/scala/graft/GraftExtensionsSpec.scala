@@ -48,6 +48,9 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT f16_to_f32(48128)").collect()(0).getFloat(0) == -1.0f)
     assert(spark.range(1).select(VectorFunctions.f16ToF32(lit(48128)))
       .collect()(0).getFloat(0) == -1.0f)
+    // char_entropy: SQL surface == Column API == closed form ln(2)
+    assert(spark.sql("SELECT char_entropy('abab')").collect()(0).getDouble(0) ==
+      math.rint(math.log(2) * 1e6) / 1e6)
     val oob = intercept[Exception](spark.sql("SELECT f16_to_f32(65536)").collect())
     assert(oob.getMessage.contains("out of range"))
   }
@@ -104,7 +107,10 @@ class GraftExtensionsSpec extends SparkSpec {
     }.isDefined)
     assert(byName("topk_pairs")(Seq(Literal(1.0), Literal(1L), Literal(3)))
       .isInstanceOf[graft.functions.TopKPairs])
+    assert(byName("char_entropy")(Seq(Literal("aaab"))).find {
+      case _: graft.functions.CharEntropy => true; case _ => false
+    }.isDefined)
     // class metadata points at each function's own implementation
-    assert(GraftExtensions.builders.map(_._2).distinct.length == 4)
+    assert(GraftExtensions.builders.map(_._2).distinct.length == 5)
   }
 }
