@@ -880,6 +880,71 @@ object TextQueries {
         .select("doc_id", "lang", "pr")
     },
 
+    // Zipf rank-frequency slope: least-squares fit of ln(freq) on
+    // ln(rank) over the token vocabulary — the one-number corpus health
+    // statistic (natural language sits near −1; template/generated text
+    // flattens it). Ranks come from the window-free global rank (q160's
+    // machinery); the oracle uses DuckDB's closed-form regr_slope/
+    // regr_intercept over the same replayed ranking.
+    GQuery(
+      "q185_zipf_slope",
+      """WITH tok AS (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS t
+        |             FROM documents),
+        |wc AS (SELECT t, count(*)::DOUBLE AS cnt FROM tok GROUP BY t),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rk FROM wc)
+        |SELECT count(*)::BIGINT AS n_types,
+        |       round(regr_slope(ln(cnt), ln(rk)), 6) AS slope,
+        |       round(regr_intercept(ln(cnt), ln(rk)), 6) AS intercept
+        |FROM r""".stripMargin) { (s, dir) =>
+      val wc = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+        .groupBy("t").agg(count(lit(1)).cast("double").as("cnt"))
+        .withColumn("nc", -col("cnt"))
+      val ranked = graft.operators.Ranking.globalRank(wc, Seq("nc", "t"),
+        rankCol = "rk")
+      val xy = ranked.select(log(col("rk").cast("double")).as("x"),
+        log(col("cnt")).as("y"))
+      // regr_slope = covar_pop(y,x)/var_pop(x); regr_intercept =
+      // avg(y) − slope·avg(x) — the same closed forms DuckDB evaluates
+      xy.agg(count(lit(1)).as("n_types"),
+          covar_pop(col("y"), col("x")).as("_c"),
+          var_pop(col("x")).as("_v"),
+          avg(col("y")).as("_my"), avg(col("x")).as("_mx"))
+        .select(col("n_types"),
+          round(col("_c") / col("_v"), 6).as("slope"),
+          round(col("_my") - (col("_c") / col("_v")) * col("_mx"), 6)
+            .as("intercept"))
+    },
+
+    // Language-ID confusion matrix: the q42 heuristic classifier evaluated
+    // against the corpus labels — (true lang, predicted, count), the eval
+    // artifact a filter-stage classifier ships with. One aggregate over
+    // the per-doc projection; the oracle replays the classifier CASE and
+    // the crosstab.
+    GQuery(
+      "q186_langid_confusion",
+      """SELECT lang, pred_lang, count(*)::BIGINT AS n
+        |FROM (
+        |  SELECT lang, CASE
+        |      WHEN len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |      WHEN greatest(en_s, de_s, fr_s, es_s) = 0 THEN 'und'
+        |      WHEN en_s = greatest(en_s, de_s, fr_s, es_s) THEN 'en'
+        |      WHEN de_s = greatest(en_s, de_s, fr_s, es_s) THEN 'de'
+        |      WHEN fr_s = greatest(en_s, de_s, fr_s, es_s) THEN 'fr'
+        |      ELSE 'es' END AS pred_lang
+        |  FROM (
+        |    SELECT lang, text,
+        |      len(regexp_extract_all(lower(text), '\b(the|and|is|of)\b')) AS en_s,
+        |      len(regexp_extract_all(lower(text), '\b(der|und|die|nicht)\b')) AS de_s,
+        |      len(regexp_extract_all(lower(text), '\b(le|et|les|est)\b')) AS fr_s,
+        |      len(regexp_extract_all(lower(text), '\b(el|los|es|una)\b')) AS es_s
+        |    FROM documents))
+        |GROUP BY lang, pred_lang""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), TextFunctions.langId(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    },
+
     // Character-entropy quality signal: Shannon entropy (nats) of each
     // document's character distribution — keyboard mash and repeated-char
     // padding score far below natural text, base64/hex blobs above it.

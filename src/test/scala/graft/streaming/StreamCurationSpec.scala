@@ -128,6 +128,32 @@ class StreamCurationSpec extends SparkSpec {
     assert(byId(0L) == 1.0 && byId(1L) == 0.75)
   }
 
+  test("interval join of a point stream against static intervals equals batch") {
+    import graft.operators.IntervalJoin
+    val ivs = (1L to 40L).map(i => (i, i % 3, i * 50, i * 50 + 80))
+      .toDF("iid", "k", "s", "e")
+    val points = (0L until 300L).map(i => (i % 3, (i * 13) % 2100))
+    val mem = MemoryStream[(Long, Long)](spark)
+    val q = IntervalJoin.pointInInterval(mem.toDF().toDF("k", "p"), ivs,
+      "p", "s", "e", Seq("k"), bucketWidth = 64L)
+      .select("iid", "k", "p")
+    val query = q.writeStream.format("memory").queryName("scs_iv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(points.take(150): _*)
+      query.processAllAvailable()
+      mem.addData(points.drop(150): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("scs_iv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val batch = IntervalJoin.pointInInterval(points.toDF("k", "p"), ivs,
+        "p", "s", "e", Seq("k"), bucketWidth = 64L)
+      .select("iid", "k", "p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("cluster assignment on a stream equals the batch assignment") {
     // fixed centroids broadcast into the map-side argmin — a pure per-row
     // function, so online cluster routing composes with streaming unchanged
