@@ -88,6 +88,36 @@ object LogReg {
   /** Score rows with a trained weight vector: (idCol, score) with score =
     * round6(σ(w·x)) — a pure projection (batch- and stream-composable).
     */
+  /** Binary classification metrics at a threshold — the eval artifact a
+    * filter-stage classifier ships with: one row of (tp, fp, fn, tn,
+    * precision, recall, f1, accuracy), 6-rounded, zero-denominator cases
+    * scoring 0.0. ONE aggregate over the scored frame; the count
+    * arithmetic is integer-exact so the derived ratios are bit-identical
+    * across engines.
+    */
+  def binaryMetrics(scored: DataFrame, labelCol: String, scoreCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val y = col(labelCol).cast("double")
+    val p = (col(scoreCol).cast("double") >= threshold).cast("long")
+    scored.agg(
+        sum(p * y.cast("long")).as("tp"),
+        sum(p * (lit(1L) - y.cast("long"))).as("fp"),
+        sum((lit(1L) - p) * y.cast("long")).as("fn"),
+        sum((lit(1L) - p) * (lit(1L) - y.cast("long"))).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(when(col("tp") + col("fp") === 0L, 0.0)
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))), 6)
+          .as("precision"),
+        round(when(col("tp") + col("fn") === 0L, 0.0)
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fn"))), 6)
+          .as("recall"),
+        round(when(col("tp") * 2 + col("fp") + col("fn") === 0L, 0.0)
+          .otherwise(col("tp").cast("double") * 2 /
+            (col("tp") * 2 + col("fp") + col("fn"))), 6).as("f1"),
+        round((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"))
+  }
+
   def score(df: DataFrame, idCol: String, featCols: Seq[String],
       weights: Array[Double]): DataFrame = {
     require(weights.length == featCols.length + 1,

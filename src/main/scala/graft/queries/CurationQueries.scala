@@ -714,6 +714,58 @@ object CurationQueries {
       LogReg.score(feats, "doc_id", Seq("x1", "x2"), w)
     },
 
+    // Classifier eval metrics: train the q151 logistic quality classifier,
+    // score the corpus, threshold at 0.5 and report precision/recall/F1/
+    // accuracy — the eval card a filter-stage model ships with. The count
+    // arithmetic is integer-exact, so the oracle (which replays training,
+    // scoring, thresholding and the ratios in one CTE chain) pins the
+    // train→score→evaluate composition bit-for-bit.
+    GQuery(
+      "q188_classifier_metrics",
+      """WITH f AS (SELECT doc_id,
+        |                  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |                  least(len(list_filter(string_split(text, ' '), t -> t != '')), 100) / 100.0 AS x1,
+        |                  least(n_chars, 500) / 500.0 AS x2
+        |           FROM documents),
+        |w1 AS (SELECT round(-avg(0.5 - y), 6) AS b,
+        |              round(-avg((0.5 - y) * x1), 6) AS wa,
+        |              round(-avg((0.5 - y) * x2), 6) AS wb
+        |       FROM f),
+        |w2 AS (SELECT round(max(w1.b) -
+        |                avg(1/(1+exp(-(w1.b + w1.wa*x1 + w1.wb*x2))) - y), 6) AS b,
+        |              round(max(w1.wa) -
+        |                avg((1/(1+exp(-(w1.b + w1.wa*x1 + w1.wb*x2))) - y) * x1), 6) AS wa,
+        |              round(max(w1.wb) -
+        |                avg((1/(1+exp(-(w1.b + w1.wa*x1 + w1.wb*x2))) - y) * x2), 6) AS wb
+        |       FROM f CROSS JOIN w1),
+        |sc AS (SELECT y,
+        |              CASE WHEN round(1/(1+exp(-(w2.b + w2.wa*x1 + w2.wb*x2))), 6) >= 0.5
+        |                   THEN 1 ELSE 0 END AS p
+        |       FROM f CROSS JOIN w2),
+        |cm AS (SELECT sum(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |              sum(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |              sum(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+        |              sum(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+        |       FROM sc)
+        |SELECT tp, fp, fn, tn,
+        |       round(CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fp) END, 6) AS precision,
+        |       round(CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp::DOUBLE / (tp + fn) END, 6) AS recall,
+        |       round(CASE WHEN tp * 2 + fp + fn = 0 THEN 0.0
+        |             ELSE tp::DOUBLE * 2 / (tp * 2 + fp + fn) END, 6) AS f1,
+        |       round((tp + tn)::DOUBLE / (tp + fp + fn + tn), 6) AS accuracy
+        |FROM cm""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      import graft.operators.LogReg
+      val feats = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        (least(TextFunctions.tokenCount(col("text")), lit(100)).cast("double") / 100.0).as("x1"),
+        (least(col("n_chars"), lit(500L)).cast("double") / 500.0).as("x2"))
+      val w = LogReg.train(feats, Seq("x1", "x2"), "y", steps = 2, lr = 1.0)
+      val scored = LogReg.score(feats, "doc_id", Seq("x1", "x2"), w)
+        .join(feats.select("doc_id", "y"), "doc_id")
+      LogReg.binaryMetrics(scored, "y", "score", threshold = 0.5)
+    },
+
     // Length-ordered token-budget batching (the dataloader's padding
     // minimizer): documents sorted by (token count, id), then assigned
     // WHOLE to batch floor(prefix_sum / budget) — the distributed

@@ -916,6 +916,35 @@ object TextQueries {
             .as("intercept"))
     },
 
+    // Per-LANGUAGE Zipf slopes: q185's rank-frequency fit computed within
+    // each language partition — one window-free grouped rank (q173's
+    // machinery) feeds every per-language regression; the oracle is
+    // regr_slope per partitioned row_number ranking.
+    GQuery(
+      "q187_grouped_zipf",
+      """WITH tok AS (SELECT lang,
+        |                    unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS t
+        |             FROM documents),
+        |wc AS (SELECT lang, t, count(*)::DOUBLE AS cnt FROM tok GROUP BY 1, 2),
+        |r AS (SELECT lang, cnt,
+        |             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, t) AS rk
+        |      FROM wc)
+        |SELECT lang, count(*)::BIGINT AS n_types,
+        |       round(regr_slope(ln(cnt), ln(rk)), 6) AS slope
+        |FROM r GROUP BY lang""".stripMargin) { (s, dir) =>
+      val wc = Tables.documents(s, dir)
+        .select(col("lang"), explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+        .groupBy("lang", "t").agg(count(lit(1)).cast("double").as("cnt"))
+        .withColumn("nc", -col("cnt"))
+      val ranked = graft.operators.Ranking.groupedRank(wc, "lang",
+        Seq("nc", "t"), rankCol = "rk")
+      ranked.select(col("lang"), log(col("rk").cast("double")).as("x"),
+          log(col("cnt")).as("y"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_types"),
+          round(covar_pop(col("y"), col("x")) / var_pop(col("x")), 6).as("slope"))
+    },
+
     // Language-ID confusion matrix: the q42 heuristic classifier evaluated
     // against the corpus labels — (true lang, predicted, count), the eval
     // artifact a filter-stage classifier ships with. One aggregate over

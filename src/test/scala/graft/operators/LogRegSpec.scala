@@ -82,4 +82,22 @@ class LogRegSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       LogReg.score(df, "id", Seq("x1", "x2"), Array(0.0, 0.0)))
   }
+
+  test("binaryMetrics: confusion counts and derived ratios, boundary at >=") {
+    import spark.implicits._
+    val scored = Seq((0.9, 1.0), (0.6, 0.0), (0.5, 1.0), (0.4, 1.0), (0.1, 0.0))
+      .toDF("score", "y")
+    val m = LogReg.binaryMetrics(scored, "y", "score", threshold = 0.5).head()
+    // preds: 1,1,1(>= boundary),0,0 -> tp=2 fp=1 fn=1 tn=1
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3)) == ((2L, 1L, 1L, 1L)))
+    assert(m.getAs[Double]("precision") == math.rint(2.0 / 3 * 1e6) / 1e6)
+    assert(m.getAs[Double]("recall") == math.rint(2.0 / 3 * 1e6) / 1e6)
+    assert(m.getAs[Double]("f1") == math.rint(4.0 / 6 * 1e6) / 1e6)
+    assert(m.getAs[Double]("accuracy") == 0.6)
+    // degenerate: no positive predictions -> precision/recall 0, not NaN
+    val none = LogReg.binaryMetrics(
+      Seq((0.1, 1.0), (0.2, 0.0)).toDF("score", "y"), "y", "score").head()
+    assert(none.getAs[Double]("precision") == 0.0 &&
+      none.getAs[Double]("recall") == 0.0 && none.getAs[Double]("f1") == 0.0)
+  }
 }
