@@ -99,11 +99,14 @@ object LogReg {
       threshold: Double = 0.5): DataFrame = {
     val y = col(labelCol).cast("double")
     val p = (col(scoreCol).cast("double") >= threshold).cast("long")
+    // coalesce(0): sum over an empty frame is NULL, but the metrics row
+    // must be total — an empty corpus scores all-zero counts and 0.0 ratios
     scored.agg(
-        sum(p * y.cast("long")).as("tp"),
-        sum(p * (lit(1L) - y.cast("long"))).as("fp"),
-        sum((lit(1L) - p) * y.cast("long")).as("fn"),
-        sum((lit(1L) - p) * (lit(1L) - y.cast("long"))).as("tn"))
+        coalesce(sum(p * y.cast("long")), lit(0L)).as("tp"),
+        coalesce(sum(p * (lit(1L) - y.cast("long"))), lit(0L)).as("fp"),
+        coalesce(sum((lit(1L) - p) * y.cast("long")), lit(0L)).as("fn"),
+        coalesce(sum((lit(1L) - p) * (lit(1L) - y.cast("long"))), lit(0L))
+          .as("tn"))
       .select(col("tp"), col("fp"), col("fn"), col("tn"),
         round(when(col("tp") + col("fp") === 0L, 0.0)
           .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))), 6)
@@ -114,8 +117,10 @@ object LogReg {
         round(when(col("tp") * 2 + col("fp") + col("fn") === 0L, 0.0)
           .otherwise(col("tp").cast("double") * 2 /
             (col("tp") * 2 + col("fp") + col("fn"))), 6).as("f1"),
-        round((col("tp") + col("tn")).cast("double") /
-          (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"))
+        round(when(col("tp") + col("fp") + col("fn") + col("tn") === 0L, 0.0)
+          .otherwise((col("tp") + col("tn")).cast("double") /
+            (col("tp") + col("fp") + col("fn") + col("tn"))), 6)
+          .as("accuracy"))
   }
 
   def score(df: DataFrame, idCol: String, featCols: Seq[String],

@@ -204,8 +204,11 @@ object Packing {
         lit(l).as("seq_len"),
         expr(s"(_tot + ${l - 1}) div ${l}L").as("n_sequences"),
         col("_tot").as("total_tokens"),
-        round(col("_tot").cast("double") /
-          (expr(s"(_tot + ${l - 1}) div ${l}L") * l), 6).as("fill_rate"),
+        // 0-token corpus ⇒ n_sequences = 0; Divide's null must not leak
+        // into the one-row report — a defined 0.0 keeps it total
+        round(when(col("_tot") === 0L, 0.0)
+          .otherwise(col("_tot").cast("double") /
+            (expr(s"(_tot + ${l - 1}) div ${l}L") * l)), 6).as("fill_rate"),
         (expr(s"(_tot + ${l - 1}) div ${l}L") * l - col("_tot")).as("pad_tokens"),
         coalesce(col("n_split_docs"), lit(0L)).as("n_split_docs"),
         col("n_docs"))

@@ -185,10 +185,16 @@ object ProfileStats {
       .select(col(groupCol), abs(v - col("_med")).as("_ad"))
     val mad = Ranking.groupedQuantiles(dev, groupCol, "_ad", Seq(0.5))
       .select(col(groupCol), col("q").as("_mad"))
-    df.join(broadcast(med), groupCol).join(broadcast(mad), groupCol)
+    // LEFT join: a group whose values are all NULL has no fence row, but
+    // its rows must survive (same output-cardinality contract as the
+    // ungrouped form) — they pass through with a null winsorized value
+    df.join(broadcast(med), Seq(groupCol), "left")
+      .join(broadcast(mad), Seq(groupCol), "left")
       .withColumn(outCol,
-        round(least(greatest(v, col("_med") - col("_mad") * c),
-          col("_med") + col("_mad") * c), 6))
+        when(col("_med").isNull || col("_mad").isNull, round(v, 6))
+          .otherwise(
+            round(least(greatest(v, col("_med") - col("_mad") * c),
+              col("_med") + col("_mad") * c), 6)))
       .drop("_med", "_mad")
   }
 }

@@ -260,6 +260,10 @@ object Ranking {
       outCol: String = "quality_ensemble"): DataFrame = {
     require(signalCols.nonEmpty, "rankEnsemble needs at least one signal")
     val prCols = signalCols.map(s => s"pr_$s")
+    (prCols :+ outCol).foreach { c =>
+      require(!df.columns.contains(c),
+        s"input collides with reserved column $c")
+    }
     val withPr = signalCols.zip(prCols).foldLeft(df) { case (acc, (s, pc)) =>
       percentRank(acc, Seq(s, idCol), pc)
     }

@@ -118,9 +118,12 @@ object Sampling {
     * change, not a data move.
     */
   def curriculumSchedule(df: DataFrame, idCol: String, difficultyCol: String,
-      k: Int, salt: String = "curriculum"): DataFrame =
+      k: Int, salt: String = "curriculum"): DataFrame = {
+    require(!df.columns.contains("shuffle_key"),
+      "input collides with reserved column shuffle_key")
     Ranking.ntileBuckets(df, Seq(difficultyCol, idCol), k, bucketCol = "stage")
       .withColumn("shuffle_key", hashUnit(col(idCol), salt))
+  }
 
   /** Deterministic k-per-group sample: rank each group by the salted key
     * hash (uniform random order, reproducible) and keep in-group rank ≤ k

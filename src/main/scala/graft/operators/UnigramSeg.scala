@@ -68,14 +68,17 @@ object UnigramSeg {
     Bpe.wordCounts(docs, textCol).select(col("word")).as[String]
       .map { word =>
         val s = bc.value
-        val n = word.length
+        // DP over CODE POINTS, matching pieceScores' SQL char_length/substring
+        // semantics — a supplementary-plane char is one piece unit, not two.
+        val cps = word.codePoints().toArray
+        val n = cps.length
         val best = new Array[Double](n + 1)
         var i = 1
         while (i <= n) {
           var b = Double.NegativeInfinity
           var l = 1
           while (l <= maxL && l <= i) {
-            s.get(word.substring(i - l, i)) match {
+            s.get(new String(cps, i - l, l)) match {
               case Some(ps) =>
                 val cand = best(i - l) + ps
                 if (cand > b) b = cand

@@ -100,4 +100,16 @@ class LogRegSpec extends SparkSpec {
     assert(none.getAs[Double]("precision") == 0.0 &&
       none.getAs[Double]("recall") == 0.0 && none.getAs[Double]("f1") == 0.0)
   }
+
+  test("binaryMetrics on an EMPTY scored frame is all-zero, never null") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Double)].toDF("score", "y")
+    val m = LogReg.binaryMetrics(empty, "y", "score").head()
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3)) ==
+      ((0L, 0L, 0L, 0L)))
+    Seq("precision", "recall", "f1", "accuracy").foreach { c =>
+      assert(!m.isNullAt(m.fieldIndex(c)), s"$c must not be null")
+      assert(m.getAs[Double](c) == 0.0, s"$c must be 0.0")
+    }
+  }
 }

@@ -165,6 +165,18 @@ class PackingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_split_docs") == straddles)
   }
 
+  test("packReport on a zero-token corpus is total (fill_rate 0.0, no nulls)") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tok")
+    for (d <- Seq(empty, Seq((1L, 0L)).toDF("doc_id", "n_tok"))) {
+      val r = Packing.packReport(d, "doc_id", "n_tok", seqLen = L).head()
+      assert(r.getAs[Long]("n_sequences") == 0L)
+      assert(r.getAs[Long]("total_tokens") == 0L)
+      assert(!r.isNullAt(r.fieldIndex("fill_rate")) &&
+        r.getAs[Double]("fill_rate") == 0.0)
+      assert(r.getAs[Long]("pad_tokens") == 0L)
+    }
+  }
+
   test("materializeTokenSequences over pre-tokenized arrays == text path") {
     val textDocs = Seq((1L, "a b c"), (2L, "d e f g h"), (3L, ""), (4L, "i j"))
       .toDF("doc_id", "text")

@@ -89,6 +89,26 @@ class ProfileStatsSpec extends SparkSpec {
     Seq(100.0, 200.0, 300.0).foreach(v => assert(got(("g1", v)) == v))
   }
 
+  test("groupedMadWinsorize preserves rows of a group with no fence") {
+    // g1's values are all NULL -> no quantile row for g1; its rows must
+    // still appear (null winsorized), matching the ungrouped cardinality
+    // contract — and g0 must clip exactly as if g1 were absent.
+    val rows = Seq(("g0", Some(1.0)), ("g0", Some(2.0)), ("g0", Some(3.0)),
+      ("g0", Some(1000.0)), ("g1", None), ("g1", None))
+    val df = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "v").repartition(3)
+    val out = ProfileStats.groupedMadWinsorize(df, "grp", "v", c = 3.0)
+    assert(out.count() == rows.size.toLong)
+    val g1 = out.filter(col("grp") === "g1").collect()
+    assert(g1.length == 2)
+    g1.foreach(r => assert(r.isNullAt(r.fieldIndex("winsorized"))))
+    // g0: med of (1,2,3,1000) = 2.5, MAD = med(1.5,0.5,0.5,997.5) = 1.0
+    val g0 = out.filter(col("grp") === "g0").collect()
+      .map(r => r.getAs[Double]("v") -> r.getAs[Double]("winsorized")).toMap
+    assert(g0(1000.0) == 5.5)
+    assert(g0(1.0) == 1.0 && g0(2.0) == 2.0 && g0(3.0) == 3.0)
+  }
+
   test("madWinsorize clips to median ± c·MAD; inliers pass through") {
     // values 1..9 plus outliers ±1000: median 5 (11 values -> 6th = 6? no:
     // sorted: -1000,1,2,...,9,1000 -> median = 5), |x-5| medians to 3

@@ -148,4 +148,15 @@ class RankingSpec extends SparkSpec {
       .select("id", "w").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     rows.foreach { case (id, a, _, _) => assert(a == wantA(id)) }
   }
+
+  test("rankEnsemble rejects pre-existing pr_<signal>/out columns") {
+    val withPr = Seq((1L, 2, 0.0)).toDF("id", "a", "pr_a")
+    intercept[IllegalArgumentException] {
+      Ranking.rankEnsemble(withPr, Seq("a"), "id")
+    }
+    val withOut = Seq((1L, 2, 0.0)).toDF("id", "a", "quality_ensemble")
+    intercept[IllegalArgumentException] {
+      Ranking.rankEnsemble(withOut, Seq("a"), "id")
+    }
+  }
 }

@@ -155,4 +155,12 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shuffle_key")))
     assert(other.toMap != got.map(t => t._1 -> t._4).toMap)
   }
+
+  test("curriculumSchedule rejects a pre-existing shuffle_key column") {
+    import spark.implicits._
+    val d = Seq((1L, 0.5, 9L)).toDF("id", "difficulty", "shuffle_key")
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumSchedule(d, "id", "difficulty", k = 2)
+    }
+  }
 }

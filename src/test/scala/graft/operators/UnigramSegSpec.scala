@@ -46,6 +46,35 @@ class UnigramSegSpec extends SparkSpec {
     }
   }
 
+  test("supplementary-plane code points count as ONE piece unit") {
+    // 𝔞 (U+1D51E) is 2 UTF-16 units but 1 code point; pieceScores builds
+    // the inventory with code-point substrings, so the DP must too —
+    // "𝔞𝔟" has the 2-code-point piece available, and "a𝔞" segments.
+    val w1 = new String(Character.toChars(0x1D51E)) // 𝔞
+    val w2 = new String(Character.toChars(0x1D51F)) // 𝔟
+    val docs = Seq(s"$w1$w2 a$w1").toDF("text")
+    val pieces = UnigramSeg.pieceScores(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pieces.contains(w1 + w2), "2-code-point piece must be in inventory")
+    val best = UnigramSeg.wordBestScores(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // exhaustive optimum over code-point segmentations
+    def exhaustive(w: String): Double = {
+      val cps = w.codePoints().toArray
+      def rec(pos: Int, acc: Double): Seq[Double] =
+        if (pos == cps.length) Seq(acc)
+        else (1 to 2).filter(pos + _ <= cps.length).flatMap { l =>
+          pieces.get(new String(cps, pos, l)).toSeq
+            .flatMap(s => rec(pos + l, acc + s))
+        }
+      math.rint(rec(0, 0.0).max * 1e6) / 1e6
+    }
+    Seq(w1 + w2, "a" + w1).foreach { w =>
+      assert(best(w) == exhaustive(w), s"word=$w")
+      assert(!best(w).isNegInfinity)
+    }
+  }
+
   test("every vocabulary word is segmentable (finite score)") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val best = UnigramSeg.wordBestScores(docs, "text").collect()
