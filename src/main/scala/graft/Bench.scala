@@ -54,9 +54,29 @@ object Bench {
           }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
+    // per-sweep contamination telemetry: a loaded machine or a GC storm
+    // inflates a sweep uniformly — round 8's committed bench carried a 40×
+    // load artifact (q185 22.6 s vs 0.56 s idle) that only an external
+    // re-run could diagnose. loadavg + GC delta per sweep make the
+    // committed artifact self-explaining.
+    def loadAvg1m(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val sweepLoad = Array.fill(sweeps)(-1.0)
+    val sweepGcMs = Array.fill(sweeps)(0L)
     val bySweep = (1 to sweeps).map { i =>
+      val gc0 = gcMillis()
       val r = runSweep()
-      System.err.println(f"[bench] sweep $i/$sweeps total ${r.map(_._2).filter(_ >= 0).sum}%.1f s")
+      sweepLoad(i - 1) = loadAvg1m()
+      sweepGcMs(i - 1) = gcMillis() - gc0
+      System.err.println(f"[bench] sweep $i/$sweeps total ${r.map(_._2).filter(_ >= 0).sum}%.1f s " +
+        f"loadavg ${sweepLoad(i - 1)}%.2f gc ${sweepGcMs(i - 1)} ms")
       // storage-memory snapshot: cached-block pressure in a 124-query JVM is
       // otherwise invisible — an evicted shingle/embedding cache silently
       // turns a 2s query into a recompute (the r6 q46/q45 drift signature)
@@ -91,25 +111,47 @@ object Bench {
         }.mkString("{", ",", "}"))
       r
     }
-    // per-query median; a query that failed ANY sweep reports -1
+    // per-query median AND min; a query that failed ANY sweep reports -1.
+    // min is the contamination detector: an idle machine's median ≈ min,
+    // while a loaded sweep inflates the median far above it.
     val results = bySweep.head.map(_._1).map { name =>
       val ts = bySweep.map(_.toMap.apply(name))
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
+      val (med, mn) =
+        if (ts.exists(_ < 0)) (-1.0, -1.0)
+        else (ts.sorted.apply(ts.size / 2), ts.min)
+      (name, med, mn)
     }
-    // The driver retains only the last ~2000 chars of stdout; the full
-    // query-name map with 9-decimal floats is ~3100 chars and its head got
-    // truncated every round ("parsed": null in BENCH_r{1..3}.json). Emit a
-    // compact line (qNN keys, 3-decimal secs, ~1300 chars) that fits whole,
-    // and the full-precision map on stderr for local profiling.
     def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The committed artifact is the LAST ~2000 chars of combined output, so
+    // layout is survival order: full-precision map first (pushed out first),
+    // then the contract line with queries sorted FASTEST-FIRST (truncation
+    // eats sub-100ms entries, every slow query survives in the tail; failed
+    // queries sort last so a -1 is always visible), then a short diagnostics
+    // line that always fits whole.
+    val fullQs = results.map { case (k, med, mn) => s"\"$k\":[$med,$mn]" }
       .mkString("{", ",", "}")
-    System.err.println(s"""[bench-full] {"total":$total,"queries":$fullQs}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.err.println(s"""[bench-full] {"queries_med_min":$fullQs}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val totalMin = results.map(_._3).filter(_ >= 0).sum
+    val qs = results
+      .sortBy { case (_, med, _) => if (med < 0) Double.MaxValue else med }
+      .map { case (k, med, _) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(med) }
+      .mkString("{", ",", "}")
+    println(s"""{"queries":$qs,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
+    // outliers: median > 2× min AND > 0.5 s absolute — the per-query form
+    // of "this sweep was contaminated". Empty on an idle machine.
+    val outliers = results
+      .filter { case (_, med, mn) => mn >= 0 && med > 0.5 && med > 2 * mn }
+      .sortBy { case (_, med, mn) => -(med - mn) }.take(8)
+      .map { case (k, med, mn) =>
+        "\"" + k.takeWhile(_ != '_') + s"""\":[${f3(mn)},${f3(med)}]""" }
+      .mkString("{", ",", "}")
+    val sweepTotals = bySweep.map(r => f3(r.map(_._2).filter(_ >= 0).sum))
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"diag","sweep_totals":$sweepTotals,""" +
+      s""""loadavg":${sweepLoad.map(l => f"$l%.2f").mkString("[", ",", "]")},""" +
+      s""""gc_ms":${sweepGcMs.mkString("[", ",", "]")},""" +
+      s""""total_min":${f3(totalMin)},"outliers_min_med":$outliers}""")
     spark.stop()
   }
 }

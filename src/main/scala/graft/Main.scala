@@ -49,6 +49,10 @@ object Main {
     val flags = parseFlags(args.tail)
     def need(k: String): String =
       flags.getOrElse(k, throw new IllegalArgumentException(s"$cmd requires --$k\n$usage"))
+    // sketch/bucketing hash: xx64 (Spark's xxhash64, codegen'd) is the
+    // production default; --hash md5 selects the engine-neutral
+    // oracle-parity form the CORRECTNESS oracles replay
+    val hashMode = graft.functions.HashMode.parse(flags.getOrElse("hash", "xx64"))
 
     cmd match {
       case "describe" =>
@@ -146,7 +150,7 @@ object Main {
           spark.read.parquet(need("target")),
           flags.getOrElse("id-col", "doc_id"),
           flags.getOrElse("text-col", "text"),
-          flags.getOrElse("buckets", "4096").toInt)
+          flags.getOrElse("buckets", "4096").toInt, mode = hashMode)
 
       case "dedup" =>
         // near-duplicate pairs over a (id, text) parquet/csv corpus
@@ -173,7 +177,7 @@ object Main {
             } else operators.Dedup.ngramJaccardPairs(docs, idC, txtC,
               threshold = threshold)
           case "simhash" => operators.Dedup.simhashNearDupPairs(
-            operators.Dedup.simhash(docs, idC, txtC))
+            operators.Dedup.simhash(docs, idC, txtC, mode = hashMode))
           case m => throw new IllegalArgumentException(
             s"unknown dedup method: $m (exact|minhash|jaccard|simhash)\n$usage")
         }
@@ -190,8 +194,9 @@ object Main {
           val k = flags.getOrElse("k-probes", "4").toInt
           val bits = operators.Bloom.build(bench, txtC,
             mBits = flags.getOrElse("m-bits", (1 << 20).toString).toInt,
-            kProbes = k)
-          operators.Bloom.containmentScores(docs, bits, idC, txtC, kProbes = k)
+            kProbes = k, mode = hashMode)
+          operators.Bloom.containmentScores(docs, bits, idC, txtC,
+            kProbes = k, mode = hashMode)
             .filter(col("bloom_containment") >=
               flags.getOrElse("threshold", "0.0").toDouble)
         } else
@@ -351,8 +356,10 @@ object Main {
         val dsTxt = flags.getOrElse("text-col", "text")
         val dsW = flags.getOrElse("width", "8").toInt
         if (flags.contains("remove"))
-          operators.Dedup.removeDuplicatedSpans(dsIn, dsId, dsTxt, dsW)
-        else operators.Dedup.duplicatedSpans(dsIn, dsId, dsTxt, dsW)
+          operators.Dedup.removeDuplicatedSpans(dsIn, dsId, dsTxt, dsW,
+            mode = hashMode)
+        else operators.Dedup.duplicatedSpans(dsIn, dsId, dsTxt, dsW,
+          mode = hashMode)
 
       case "semdedup" =>
         // embedding-space semantic dedup: cluster ids + keep decisions.
@@ -578,7 +585,8 @@ object Main {
         operators.TfIdf.hashedTf(spark.read.parquet(need("input")),
           idCol = flags.getOrElse("id-col", "doc_id"),
           textCol = flags.getOrElse("text-col", "text"),
-          nBuckets = flags.getOrElse("n-buckets", (1 << 18).toString).toInt)
+          nBuckets = flags.getOrElse("n-buckets", (1 << 18).toString).toInt,
+          mode = hashMode)
 
       case "vocab" =>
         // exact top-k vocabulary (tokenizer-training precursor): map-side-
@@ -658,10 +666,12 @@ object Main {
         if (flags.contains("score")) {
           val toks = docs.select(explode(split(lower(col(txtC)), " ")).as("term"))
             .filter(col("term") =!= "")
-          val grid = operators.Cms.build(toks, "term", depth, width)
+          val grid = operators.Cms.build(toks, "term", depth, width, hashMode)
           operators.Cms.commonTokenFraction(docs, grid, depth,
-            flags.getOrElse("id-col", "doc_id"), txtC, threshold)
-        } else operators.Cms.heavyHitters(docs, txtC, depth, width, threshold)
+            flags.getOrElse("id-col", "doc_id"), txtC, threshold,
+            mode = hashMode)
+        } else operators.Cms.heavyHitters(docs, txtC, depth, width, threshold,
+          hashMode)
 
       case "gquantiles" =>
         // exact per-group quantiles without per-group windows (q178)
@@ -723,6 +733,8 @@ object Main {
       |  tfidf --input PARQUET [--min-df N] [--id-col C] [--text-col C]
       |  hashtf --input PARQUET [--n-buckets N] [--id-col C] [--text-col C]
       |  cms --input PARQUET [--depth N] [--width N] [--threshold N] [--score [--id-col C]] [--text-col C]
+      |  (sketch/bucketing commands take [--hash md5|xx64]: xx64 is the fast
+      |   production default, md5 the engine-neutral oracle-parity mode)
       |  viterbi --input PARQUET [--max-piece-len N] [--text-col C]
       |  gquantiles --input PARQUET --group-col G --value-col C [--ps P1,P2,...]
       |  curriculum --input PARQUET --difficulty-col C [--k N] [--salt S] [--id-col C]

@@ -375,11 +375,23 @@ object ScaleSoak {
         .agg(sum("n_removed")).collect()
     }
     // --- round-8 session 2: CMS / grouped rank / interval join / Viterbi
-    timed(s"CMS build 4x2^20 + heavy hitters over $nDocs docs") {
-      val toks = docs.select(explode(split(col("text"), " ")).as("term"))
-      val grid = graft.operators.Cms.build(toks, "term", depth = 4, width = 1 << 20)
-      graft.operators.Cms.estimates(toks, grid, depth = 4, termCol = "term")
-        .filter(col("cms_count") >= 1000).count()
+    // both hash modes: the md5-vs-xx64 delta IS the oracle-parity tax
+    // this soak exists to measure (4 probes/token on the build)
+    for (m <- Seq(graft.functions.HashMode.Md5, graft.functions.HashMode.Xx64)) {
+      timed(s"CMS build 4x2^20 + heavy hitters over $nDocs docs [${m.name}]") {
+        val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+        val grid = graft.operators.Cms.build(toks, "term",
+          depth = 4, width = 1 << 20, mode = m)
+        graft.operators.Cms.estimates(toks, grid, depth = 4, termCol = "term",
+          mode = m).filter(col("cms_count") >= 1000).count()
+      }
+    }
+    for (m <- Seq(graft.functions.HashMode.Md5, graft.functions.HashMode.Xx64)) {
+      timed(s"DSIR weights (4096 buckets) over $nDocs docs [${m.name}]") {
+        graft.operators.Dsir.importanceWeights(docs,
+          docs.filter(col("doc_id") < 2000), "doc_id", "text",
+          nBuckets = 4096, mode = m).agg(sum("log_weight")).collect()
+      }
     }
     timed(s"grouped percent rank over ${nBase * 10} rows, skewed 7 groups") {
       // group g0 owns ~80% of rows — the per-group-window killer case

@@ -45,4 +45,14 @@ object StableHash {
     }
     (h << 4) | ((d(7) & 0xf0L) >> 4)
   }
+
+  /** xxHash64 over UTF-8 bytes with Spark's SQL seed (42) — byte-equal to
+    * the `xxhash64(col)` Column function (same catalyst XXH64 kernel), so
+    * a typed-kernel consumer and a Column consumer agree exactly.
+    */
+  def xx64(s: String): Long = {
+    val b = s.getBytes("UTF-8")
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+  }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.StableHash
+import graft.functions.HashMode
 
 /** Bloom-filter benchmark decontamination — the O(mBits)-memory scale path
   * for eval-set screening. [[Dedup.containmentScores]] joins corpus shingles
@@ -33,7 +33,8 @@ object Bloom {
     * returned words array is the filter (bit b = word b>>6, bit b&63).
     */
   def build(bench: DataFrame, textCol: String, n: Int = 3,
-      mBits: Int = 1 << 20, kProbes: Int = 4): Array[Long] = {
+      mBits: Int = 1 << 20, kProbes: Int = 4,
+      mode: HashMode = HashMode.Md5): Array[Long] = {
     require(mBits > 0 && mBits % 64 == 0,
       s"mBits must be a positive multiple of 64, got $mBits")
     require(kProbes > 0, s"kProbes must be positive, got $kProbes")
@@ -47,7 +48,7 @@ object Bloom {
           eachShingle(text, n) { sh =>
             var j = 0
             while (j < kProbes) {
-              val pos = (StableHash.md5Hash60(sh + ":" + j) % mBits).toInt
+              val pos = (mode.hash60(sh + ":" + j) % mBits).toInt
               bits(pos >> 6) |= 1L << (pos & 63)
               j += 1
             }
@@ -68,7 +69,8 @@ object Bloom {
     * negatives); the FP excess is the filter-sizing signal.
     */
   def containmentScores(docs: DataFrame, bits: Array[Long], idCol: String,
-      textCol: String, n: Int = 3, kProbes: Int = 4): DataFrame = {
+      textCol: String, n: Int = 3, kProbes: Int = 4,
+      mode: HashMode = HashMode.Md5): DataFrame = {
     require(bits.nonEmpty, "empty bloom filter")
     val mBits = bits.length * 64
     val spark = docs.sparkSession
@@ -85,7 +87,7 @@ object Bloom {
           var j = 0
           var allSet = true
           while (allSet && j < kProbes) {
-            val pos = (StableHash.md5Hash60(sh + ":" + j) % mBits).toInt
+            val pos = (mode.hash60(sh + ":" + j) % mBits).toInt
             allSet = (b(pos >> 6) & (1L << (pos & 63))) != 0L
             j += 1
           }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.StableHash
+import graft.functions.{HashMode, StableHash}
 
 /** Count-Min sketch heavy hitters — the O(depth×width)-memory frequency
   * path that completes the sketch family (GK quantiles, HLL++ distinct,
@@ -35,7 +35,8 @@ object Cms {
     * through a treeAggregate. Row-major: counter (j, pos) = grid(j*width
     * + pos).
     */
-  def build(terms: DataFrame, termCol: String, depth: Int, width: Int): Array[Long] = {
+  def build(terms: DataFrame, termCol: String, depth: Int, width: Int,
+      mode: HashMode = HashMode.Md5): Array[Long] = {
     require(depth > 0, s"depth must be positive, got $depth")
     require(width > 0, s"width must be positive, got $width")
     val spark = terms.sparkSession
@@ -46,7 +47,7 @@ object Cms {
         seqOp = { (grid, term) =>
           var j = 0
           while (j < depth) {
-            val pos = (StableHash.md5Hash60(term + ":" + j) % width).toInt
+            val pos = (mode.hash60(term + ":" + j) % width).toInt
             grid(j * width + pos) += 1L
             j += 1
           }
@@ -65,7 +66,8 @@ object Cms {
     * broadcast grid.
     */
   def estimates(terms: DataFrame, grid: Array[Long], depth: Int,
-      termCol: String, outCol: String = "cms_count"): DataFrame = {
+      termCol: String, outCol: String = "cms_count",
+      mode: HashMode = HashMode.Md5): DataFrame = {
     require(depth > 0 && grid.length % depth == 0,
       s"grid length ${grid.length} not a multiple of depth $depth")
     val width = grid.length / depth
@@ -79,7 +81,7 @@ object Cms {
         var est = Long.MaxValue
         var j = 0
         while (j < depth) {
-          val pos = (StableHash.md5Hash60(term + ":" + j) % width).toInt
+          val pos = (mode.hash60(term + ":" + j) % width).toInt
           val c = g(j * width + pos)
           if (c < est) est = c
           j += 1
@@ -99,7 +101,7 @@ object Cms {
     */
   def commonTokenFraction(docs: DataFrame, grid: Array[Long], depth: Int,
       idCol: String, textCol: String, threshold: Long,
-      outCol: String = "common_frac"): DataFrame = {
+      outCol: String = "common_frac", mode: HashMode = HashMode.Md5): DataFrame = {
     require(depth > 0 && grid.length % depth == 0,
       s"grid length ${grid.length} not a multiple of depth $depth")
     val width = grid.length / depth
@@ -119,7 +121,7 @@ object Cms {
             var est = Long.MaxValue
             var j = 0
             while (j < depth) {
-              val pos = (StableHash.md5Hash60(t + ":" + j) % width).toInt
+              val pos = (mode.hash60(t + ":" + j) % width).toInt
               val c = g(j * width + pos)
               if (c < est) est = c
               j += 1
@@ -141,10 +143,11 @@ object Cms {
     * oracle replays.
     */
   def heavyHitters(docs: DataFrame, textCol: String, depth: Int, width: Int,
-      threshold: Long): DataFrame = {
+      threshold: Long, mode: HashMode = HashMode.Md5): DataFrame = {
     val toks = docs.select(explode(split(lower(coalesce(col(textCol),
       lit(""))), " ")).as("term")).filter(col("term") =!= "")
-    val grid = build(toks, "term", depth, width)
-    estimates(toks, grid, depth, "term").filter(col("cms_count") >= threshold)
+    val grid = build(toks, "term", depth, width, mode)
+    estimates(toks, grid, depth, "term", mode = mode)
+      .filter(col("cms_count") >= threshold)
   }
 }

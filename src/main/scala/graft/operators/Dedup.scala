@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.functions.{StableHash, TextFunctions, VectorFunctions}
+import graft.functions.{HashMode, StableHash, TextFunctions, VectorFunctions}
 
 /** Document deduplication family for training-data pipelines: exact
   * (fingerprint hash), n-gram Jaccard (inverted-index join), MinHash+LSH
@@ -343,20 +343,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Engine-neutral 60-bit token hash: first 15 hex digits of md5 parsed as
-    * an integer — reproducible in any SQL engine (the oracle uses
-    * `('0x' || substr(md5(tok),1,15))::BIGINT`).
+  /** 60-bit token hash in the given [[HashMode]]. The md5 default is the
+    * engine-neutral oracle-parity form (`('0x' ||
+    * substr(md5(tok),1,15))::BIGINT` in DuckDB); production deployments
+    * free of the replay contract pass [[HashMode.Xx64]] — every consumer's
+    * plan shape is mode-agnostic.
     */
-  def tokenHash60(tok: Column): Column =
-    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+  def tokenHash60(tok: Column, mode: HashMode = HashMode.Md5): Column =
+    mode.col60(tok)
 
   /** SimHash (60-bit, md5-derived) per doc over lowercased whitespace tokens
     * with multiplicity: bit b is set iff Σ_tokens (2·bit_b(h(tok)) - 1) > 0.
     * Output: (id, simhash).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 60,
+      mode: HashMode = HashMode.Md5): DataFrame = {
     // typed kernel: one pass over tokens, vote array in a JVM loop. The
-    // md5-derived token hash is identical to the SQL form
+    // default md5-derived token hash is identical to the SQL form
     // `conv(substr(md5(tok),1,15),16,10)` so oracles reproduce it exactly.
     val spark = docs.sparkSession
     import spark.implicits._
@@ -366,7 +369,7 @@ object Dedup {
         val votes = new Array[Int](bits)
         text.split(" ").foreach { tok =>
           if (tok.nonEmpty) {
-            val h = StableHash.md5Hash60(tok)
+            val h = mode.hash60(tok)
             var b = 0
             while (b < bits) {
               votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
@@ -648,7 +651,7 @@ object Dedup {
     * semi-join (AQE territory), never a quadratic blowup.
     */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      w: Int = 8): DataFrame = {
+      w: Int = 8, mode: HashMode = HashMode.Md5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col(idCol).cast("long").as("id"),
@@ -657,7 +660,7 @@ object Dedup {
       val toks = text.split(" ").filter(_.nonEmpty)
       if (toks.length < w) Iterator.empty
       else (0 to toks.length - w).iterator
-        .map(i => (id, StableHash.md5Hash60(toks.slice(i, i + w).mkString(" "))))
+        .map(i => (id, mode.hash60(toks.slice(i, i + w).mkString(" "))))
     }.toDF("id", "h")
     val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("h")
@@ -691,7 +694,7 @@ object Dedup {
     * text never crosses more than that one exchange.
     */
   def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      w: Int = 8): DataFrame = {
+      w: Int = 8, mode: HashMode = HashMode.Md5): DataFrame = {
     require(w > 0, s"w must be positive, got $w")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -701,7 +704,7 @@ object Dedup {
       val toks = text.split(" ").filter(_.nonEmpty)
       if (toks.length < w) Iterator.empty
       else (0 to toks.length - w).iterator
-        .map(i => (id, i, StableHash.md5Hash60(toks.slice(i, i + w).mkString(" "))))
+        .map(i => (id, i, mode.hash60(toks.slice(i, i + w).mkString(" "))))
     }.toDF("id", "pos", "h")
     val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("h")

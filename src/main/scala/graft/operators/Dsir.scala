@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{HashMode, TextFunctions}
 
 /** Data Selection via Importance Resampling (Xie et al. 2023, NeurIPS —
   * public method): score every raw document by how target-like its hashed
@@ -31,11 +31,12 @@ object Dsir {
     * multiplicities, the unigram feature vector of the DSIR paper.
     */
   private def bucketCounts(docs: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int): DataFrame =
+      nBuckets: Int, mode: HashMode): DataFrame =
     docs.select(col(idCol),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
       .select(col(idCol),
-        pmod(Dedup.tokenHash60(col("tok")), lit(nBuckets.toLong)).as("bucket"))
+        pmod(Dedup.tokenHash60(col("tok"), mode), lit(nBuckets.toLong))
+          .as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("n"))
 
   /** Per-raw-document DSIR log importance weights against `target`'s hashed
@@ -43,11 +44,13 @@ object Dsir {
     * no tokens are dropped (they carry no evidence either way).
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, nBuckets: Int = 4096): DataFrame = {
+      textCol: String, nBuckets: Int = 4096,
+      mode: HashMode = HashMode.Md5): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     def marginal(df: DataFrame, cnt: String) =
       df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
-        .select(pmod(Dedup.tokenHash60(col("tok")), lit(nBuckets.toLong)).as("bucket"))
+        .select(pmod(Dedup.tokenHash60(col("tok"), mode),
+          lit(nBuckets.toLong)).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as(cnt))
     val tgt = marginal(target, "ct")
     val rawM = marginal(raw, "cr")
@@ -62,7 +65,7 @@ object Dsir {
         (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
             (col("st") + nBuckets)) -
           log((col("cr") + 1).cast("double") / (col("sr") + nBuckets))).as("llr"))
-    bucketCounts(raw, idCol, textCol, nBuckets)
+    bucketCounts(raw, idCol, textCol, nBuckets, mode)
       .join(broadcast(llr), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(round(sum(col("n") * col("llr")), 6).as("log_weight"))

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{HashMode, TextFunctions}
 
 /** Sparse document vectorization — TF-IDF scores and hashing-trick feature
   * counts, the two standard text→vector precursors (BM25's scoring siblings;
@@ -51,12 +51,13 @@ object TfIdf {
     * the dedup family, so the bucketing reproduces in any SQL engine.
     */
   def hashedTf(docs: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int = 1 << 18): DataFrame = {
+      nBuckets: Int = 1 << 18, mode: HashMode = HashMode.Md5): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     docs.select(col(idCol).cast("long").as("doc_id"),
         explode(TextFunctions.tokens(lower(coalesce(col(textCol), lit(""))))).as("term"))
       .select(col("doc_id"),
-        pmod(Dedup.tokenHash60(col("term")), lit(nBuckets.toLong)).as("bucket"))
+        pmod(Dedup.tokenHash60(col("term"), mode),
+          lit(nBuckets.toLong)).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
   }
 }
