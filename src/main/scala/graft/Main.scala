@@ -355,7 +355,12 @@ object Main {
         val dsId = flags.getOrElse("id-col", "doc_id")
         val dsTxt = flags.getOrElse("text-col", "text")
         val dsW = flags.getOrElse("width", "8").toInt
-        if (flags.contains("remove"))
+        if (flags.contains("char"))
+          // suffix-array-true form: duplicated substrings of >= --min-len
+          // CODE POINTS at any alignment (Lee et al. 2022 semantics)
+          operators.Dedup.removeExactSubstrChar(dsIn, dsId, dsTxt,
+            flags.getOrElse("min-len", "40").toInt, mode = hashMode)
+        else if (flags.contains("remove"))
           operators.Dedup.removeDuplicatedSpans(dsIn, dsId, dsTxt, dsW,
             mode = hashMode)
         else operators.Dedup.duplicatedSpans(dsIn, dsId, dsTxt, dsW,
@@ -446,21 +451,32 @@ object Main {
           s"--merges $m exceeds --max-merges $maxM: each merge is a driver " +
             s"round-trip (~0.2 s floor, cluster-size independent; $m merges " +
             s"≈ ${m / 300} min of job overhead). Pass --max-merges $m to proceed.")
+        val byteLevel = flags.contains("bytes")
         if (flags.contains("ids")) {
-          val model = operators.Bpe.fit(input, txtC, m)
-          operators.Bpe.encode(input,
-            flags.getOrElse("id-col", "doc_id"), txtC, model)
-        } else if (flags.contains("decode")) {
-          // round trip: encode then decode back (the lossless-inversion
-          // surface; output text is the space-stripped lowered corpus)
-          val model = operators.Bpe.fit(input, txtC, m)
           val idC = flags.getOrElse("id-col", "doc_id")
-          operators.Bpe.decode(
-            operators.Bpe.encode(input, idC, txtC, model),
-            idC, "tok_ids", model)
+          if (byteLevel) operators.Bpe.encodeBytes(input, idC, txtC,
+            operators.Bpe.fitBytes(input, txtC, m))
+          else operators.Bpe.encode(input, idC, txtC,
+            operators.Bpe.fit(input, txtC, m))
+        } else if (flags.contains("decode")) {
+          // round trip: encode then decode back. Char level reproduces the
+          // space-stripped lowered corpus; byte level (--bytes) is EXACT
+          val idC = flags.getOrElse("id-col", "doc_id")
+          if (byteLevel) {
+            val model = operators.Bpe.fitBytes(input, txtC, m)
+            operators.Bpe.decodeBytes(
+              operators.Bpe.encodeBytes(input, idC, txtC, model),
+              idC, "tok_ids", model)
+          } else {
+            val model = operators.Bpe.fit(input, txtC, m)
+            operators.Bpe.decode(
+              operators.Bpe.encode(input, idC, txtC, model),
+              idC, "tok_ids", model)
+          }
         } else if (flags.contains("encode"))
           operators.Bpe.encodeCounts(input,
             flags.getOrElse("id-col", "doc_id"), txtC, m)
+        else if (byteLevel) operators.Bpe.trainBytes(input, txtC, m)
         else operators.Bpe.train(input, txtC, m)
 
       case "cluster" =>
@@ -716,7 +732,7 @@ object Main {
       |  quality --input PARQUET [--id-col C] [--text-col C]
       |  redact --input PARQUET [--id-col C] [--text-col C]
       |  pack --input PARQUET [--seq-len N] [--manifest | --sequences | --batches | --report] [--id-col C] [--text-col C]
-      |  dupspans --input PARQUET [--width N] [--remove] [--id-col C] [--text-col C]
+      |  dupspans --input PARQUET [--width N] [--remove | --char [--min-len N]] [--id-col C] [--text-col C]
       |  semdedup --input PARQUET [--threshold T] [--n-bits N] [--n-tables N] [--cells K] [--iters N] [--id-col C] [--vec-col C]
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
       |  mix --input PARQUET --domain-col D --key-col K (--factors n=F,... | --balance | --temperature A [--weight-col W]) [--default F]
@@ -725,7 +741,7 @@ object Main {
       |  logreg --input PARQUET --features C1,C2 --label-col C [--steps N] [--lr F] [--score [--id-col C]]
       |  hardneg --input PARQUET [--k N] [--anchors N] [--metric M] [--id-col C] [--vec-col C] [--label-col C]
       |  cluster --input PARQUET [--k N] [--iters N] [--metric M] [--per-cell M | --drop-proto F] [--id-col C] [--vec-col C]
-      |  bpe --input PARQUET [--merges N] [--encode | --ids | --decode] [--id-col C] [--text-col C] [--max-merges N]
+      |  bpe --input PARQUET [--merges N] [--bytes] [--encode | --ids | --decode] [--id-col C] [--text-col C] [--max-merges N]
       |  pca --input PARQUET [--k N] [--covariance | --standardize | --components | --random] [--id-col C] [--vec-col C]
       |  normalize --input PARQUET [--id-col C] [--text-col C]
       |  semdecontaminate --input PARQUET --benchmark PARQUET [--bench-chunks N] [--id-col C] [--vec-col C]

@@ -374,6 +374,19 @@ object ScaleSoak {
       graft.operators.Dedup.removeDuplicatedSpans(docs, "doc_id", "text", w = 8)
         .agg(sum("n_removed")).collect()
     }
+    // char-level (suffix-array-true) form: O(len·L) window hashing is the
+    // dominant kernel — report bytes/sec in both hash modes
+    locally {
+      val corpusChars = docs.agg(sum(length(col("text")))).collect()(0).getLong(0)
+      for (m <- Seq(graft.functions.HashMode.Md5, graft.functions.HashMode.Xx64)) {
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.removeExactSubstrChar(docs, "doc_id", "text",
+          minLen = 40, mode = m).agg(sum("n_removed")).collect()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[soak] exactsubstr CHAR (L=40) over $nDocs docs [${m.name}]: " +
+          f"$secs%.2f s (${corpusChars / secs / 1e6}%.1f MB/s)")
+      }
+    }
     // --- round-8 session 2: CMS / grouped rank / interval join / Viterbi
     // both hash modes: the md5-vs-xx64 delta IS the oracle-parity tax
     // this soak exists to measure (4 probes/token on the build)

@@ -67,12 +67,21 @@ object Bpe {
     * the final per-word segmentation. Stops early if no pair remains.
     */
   private def trainInternal(docs: DataFrame, textCol: String,
+      numMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) =
+    trainFromCounts(wordCounts(docs, textCol), numMerges)
+
+  /** The merge loop over any `(word, cnt)` relation — char-level `train`
+    * passes lowercased whitespace word counts, byte-level `trainBytes`
+    * passes mapped-byte pretoken counts. Same scale shape either way:
+    * every iteration runs on the vocabulary relation, never the corpus.
+    */
+  private def trainFromCounts(wc: DataFrame,
       numMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
-    val spark = docs.sparkSession
+    val spark = wc.sparkSession
     import spark.implicits._
     // initial segmentation: one symbol per character
-    var vocab = wordCounts(docs, textCol)
+    var vocab = wc
       .select(col("word"), col("cnt"),
         expr("transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")
           .as("syms"))
@@ -269,6 +278,167 @@ object Bpe {
           i += 1
         }
         (id, sb.toString)
+      }
+      .toDF(idCol, outCol)
+  }
+
+  // ---- byte-level BPE (GPT-2 construction, public) ----------------------
+
+  /** GPT-2-style pretokenization, RE2-compatible (no lookahead, no
+    * contraction alternates) so a SQL engine's regexp_extract_all replays
+    * it: a pretoken is an optionally space-prefixed letter run, digit run,
+    * or other-symbol run, or a whitespace run. The alternates tile every
+    * character, so pretokens concatenate back to the exact input.
+    */
+  private[operators] val pretokenRegex = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  private val pretokenPattern = java.util.regex.Pattern.compile(pretokenRegex)
+
+  private[operators] def pretokenize(text: String): Iterator[String] = {
+    val m = pretokenPattern.matcher(text)
+    new Iterator[String] {
+      private var has = m.find()
+      def hasNext: Boolean = has
+      def next(): String = { val s = m.group(); has = m.find(); s }
+    }
+  }
+
+  /** The GPT-2 byte→printable-unicode table (public construction): the 188
+    * visible latin bytes map to themselves, the other 68 map to U+0100+n in
+    * ascending byte order — so arbitrary bytes become a real unicode string
+    * every string engine handles, and byte-level BPE reduces to char-level
+    * machinery over the mapped alphabet.
+    */
+  private[operators] val byteToChar: Array[Char] = {
+    val out = new Array[Char](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      val printable = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) ||
+        (b >= 174 && b <= 255)
+      if (printable) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+    }
+    out
+  }
+  private[operators] val charToByte: Map[Char, Int] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** UTF-8 bytes of `s`, each mapped through [[byteToChar]]. */
+  private[operators] def mapBytes(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(byteToChar(bytes(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  /** `(word, cnt)` over mapped-byte pretokens — the byte-level analogue of
+    * [[wordCounts]]: case- and whitespace-PRESERVING (whitespace runs are
+    * pretokens too; nothing is lost). One corpus pass.
+    */
+  def pretokenCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(coalesce(col(textCol), lit("")).as("t")).as[String]
+      .flatMap(t => pretokenize(t).map(mapBytes))
+      .toDF("word")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Byte-level merge table: (merge_rank, merge_left, merge_right,
+    * pair_cnt) over mapped-byte symbols. Reference byte-level trainers
+    * (GPT-2, the HF tokenizers library) learn exactly this table given the
+    * same pretokenizer; [[BpeSpec]] pins parity with a sequential
+    * reference implementation on multi-byte scripts.
+    */
+  def trainBytes(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, vocab) = trainFromCounts(pretokenCounts(docs, textCol), numMerges)
+    vocab.unpersist(blocking = false)
+    merges.map { case (rk, l, r, c) => (rk.toLong, l, r, c) }
+      .toDF("merge_rank", "merge_left", "merge_right", "pair_cnt")
+  }
+
+  /** Train a byte-level tokenizer: base vocabulary = ALL 256 mapped bytes
+    * (full byte fallback — any future input encodes, UNK is impossible)
+    * plus the merge outputs; ids by UTF-8 binary rank of the mapped piece,
+    * the same engine-neutral ordering [[fit]] uses.
+    */
+  def fitBytes(docs: DataFrame, textCol: String, numMerges: Int): BpeModel = {
+    val (merges, vocabSeg) = trainFromCounts(pretokenCounts(docs, textCol), numMerges)
+    vocabSeg.unpersist(blocking = false)
+    val mergeList = merges.map { case (_, l, r, _) => (l, r) }
+    val pieces = (byteToChar.map(_.toString) ++
+      mergeList.map { case (l, r) => l + r }).distinct.sorted(utf8Order)
+    BpeModel(mergeList, pieces.zipWithIndex.toMap)
+  }
+
+  /** Byte-level corpus encoding: pretokenize (case/space-preserving), map
+    * bytes, segment each pretoken with the trained merges, emit
+    * `(idCol, tok_ids array<int>)`. Same zero-shuffle memoized-kernel
+    * shape as [[encode]]; ids are never -1 (byte fallback).
+    */
+  def encodeBytes(docs: DataFrame, idCol: String, textCol: String,
+      model: BpeModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val memoCap = 1 << 20
+    docs.select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        val rank = m.mergeRank
+        val vocab = m.vocab
+        val memo = new java.util.HashMap[String, Array[Int]]()
+        it.map { case (id, text) =>
+          val out = scala.collection.mutable.ArrayBuilder.make[Int]
+          pretokenize(text).foreach { pre =>
+            val w = mapBytes(pre)
+            var ids = memo.get(w)
+            if (ids == null) {
+              ids = segmentWord(w, rank).map(p => vocab.getOrElse(p, -1))
+              if (memo.size < memoCap) memo.put(w, ids)
+            }
+            out ++= ids
+          }
+          (id, out.result())
+        }
+      }
+      .toDF(idCol, "tok_ids")
+  }
+
+  /** Invert [[encodeBytes]]: pieces → mapped chars → bytes → UTF-8 text.
+    * Byte-level decoding is EXACT — `decodeBytes(encodeBytes(d)) == d`
+    * byte-for-byte, case, whitespace and multi-byte scripts included
+    * (q190 pins the identity corpus-wide, zh slice and all).
+    */
+  def decodeBytes(ids: DataFrame, idCol: String, idsCol: String,
+      model: BpeModel, outCol: String = "decoded"): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val rev = new Array[String](model.vocab.size)
+    model.vocab.foreach { case (p, i) => rev(i) = p }
+    val bc = spark.sparkContext.broadcast(rev)
+    ids.select(col(idCol).cast("long"), col(idsCol).cast("array<int>"))
+      .as[(Long, Array[Int])]
+      .map { case (id, toks) =>
+        val r = bc.value
+        val bytes = new java.io.ByteArrayOutputStream()
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          if (t >= 0 && t < r.length) {
+            val piece = r(t)
+            var j = 0
+            while (j < piece.length) {
+              bytes.write(charToByte(piece.charAt(j)))
+              j += 1
+            }
+          }
+          i += 1
+        }
+        (id, new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
       }
       .toDF(idCol, outCol)
   }

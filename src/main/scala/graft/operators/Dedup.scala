@@ -734,6 +734,81 @@ object Dedup {
       .toDF(idCol, textCol, "n_removed")
   }
 
+  /** CHARACTER-level ExactSubstr removal — the suffix-array-true semantics
+    * of Lee et al. 2022: excise every code point covered by SOME duplicated
+    * substring of length ≥ `minLen` code points, at ANY alignment. This is
+    * exact, not a gram approximation, by a window identity: a substring of
+    * length m ≥ L is duplicated iff the length-L window at each of its
+    * offsets is duplicated, so {covered positions} = ∪ [p, p+L) over
+    * duplicated length-L window starts p — the same position set a suffix
+    * array's duplicated-prefix scan yields, without the O(log L) rounds of
+    * distributed prefix-doubling rank construction (each a corpus-wide
+    * shuffle; the window form shuffles ONCE).
+    *
+    * Token-window [[removeDuplicatedSpans]] misses two classes this form
+    * catches: duplicates long in characters but short in tokens (< w
+    * tokens), and duplicates not aligned on token boundaries.
+    *
+    * Scale shape: identical to [[removeDuplicatedSpans]] — positional
+    * window hashes (one per code point, 8-byte keys from the typed
+    * kernel), a map-side-combinable duplicate count, LEFT SEMI membership,
+    * one doc-keyed `collect_list` of starts (ints, ≤ doc length), one
+    * doc-keyed join into the excision kernel; text crosses exactly one
+    * exchange. Hash work is O(len·L) per doc in md5 mode (the
+    * oracle-parity tax measured in PLANS.md); [[HashMode.Xx64]] for
+    * production. Output: `(id, text, n_removed)` for EVERY input id —
+    * docs under `minLen` code points come back whole.
+    */
+  def removeExactSubstrChar(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 40, mode: HashMode = HashMode.Md5): DataFrame = {
+    require(minLen > 0, s"minLen must be positive, got $minLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      coalesce(col(textCol), lit("")).as("t"))
+    val l = minLen
+    val starts = exactSubstrDupStarts(base, l, mode)
+      .groupBy("id").agg(collect_list(col("pos")).as("starts"))
+    base.join(starts, Seq("id"), "left")
+      .as[(Long, String, Option[Seq[Int]])]
+      .map { case (id, text, st) =>
+        val cps = text.codePoints().toArray
+        val covered = new java.util.BitSet(cps.length)
+        st.getOrElse(Nil).foreach { s =>
+          covered.set(s, math.min(s + l, cps.length))
+        }
+        val kept = new java.lang.StringBuilder
+        var i = 0
+        var nRemoved = 0L
+        while (i < cps.length) {
+          if (covered.get(i)) nRemoved += 1
+          else kept.appendCodePoint(cps(i))
+          i += 1
+        }
+        (id, kept.toString, nRemoved)
+      }
+      .toDF(idCol, textCol, "n_removed")
+  }
+
+  /** `(id, pos)` of every duplicated length-`l` code-point window (0-based
+    * start; corpus-wide count > 1, same-doc repeats included). The
+    * candidate kernel shared by [[removeExactSubstrChar]].
+    */
+  private def exactSubstrDupStarts(base: DataFrame, l: Int,
+      mode: HashMode): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val wins = base.as[(Long, String)].flatMap { case (id, text) =>
+      val cps = text.codePoints().toArray
+      if (cps.length < l) Iterator.empty
+      else (0 to cps.length - l).iterator
+        .map(i => (id, i, mode.hash60(new String(cps, i, l))))
+    }.toDF("id", "pos", "h")
+    val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    wins.join(dupHashes, Seq("h"), "left_semi").select("id", "pos")
+  }
+
   /** Semantic deduplication (SemDeDup-style): embedding near-duplicate
     * pairs above `threshold` cosine → connected components → keep the
     * minimum id per component. Output for EVERY input id:

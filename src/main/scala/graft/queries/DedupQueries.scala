@@ -692,5 +692,38 @@ object DedupQueries {
       Dedup.keepBestPerCluster(docs, "doc_id", "n_chars", pairs)
         .withColumnRenamed("id", "doc_id")
     },
+
+    // Suffix-array-true ExactSubstr (Lee et al. 2022) at CHARACTER level:
+    // every code point covered by a duplicated substring of length >= 40,
+    // at any alignment, is excised — q164's token-gram form misses
+    // duplicates short in tokens or off token boundaries. The oracle
+    // replays the window identity from first principles: length-40 char
+    // windows, the corpus-wide >1 count on the window VALUE (so a Spark
+    // hash collision would be caught as a mismatch), the covered-position
+    // union and the character-by-character reassembly.
+    GQuery(
+      "q189_exactsubstr_char",
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |pos AS (SELECT doc_id, i - 1 AS pos, substr(text, i, 40) AS win
+         |        FROM d, UNNEST(range(1, length(text) - 38)) AS u(i)
+         |        WHERE length(text) >= 40),
+         |dup AS (SELECT win FROM pos GROUP BY win HAVING count(*) > 1),
+         |cov AS (SELECT DISTINCT p.doc_id, p.pos + x.x AS cp
+         |        FROM pos p JOIN dup USING (win), UNNEST(range(0, 40)) AS x(x)),
+         |chars AS (SELECT doc_id, i - 1 AS cp, substr(text, i, 1) AS ch
+         |          FROM d, UNNEST(range(1, length(text) + 1)) AS u(i)),
+         |agg AS (SELECT ch.doc_id,
+         |               coalesce(string_agg(ch.ch, '' ORDER BY ch.cp)
+         |                 FILTER (WHERE c.cp IS NULL), '') AS text,
+         |               count(*) FILTER (WHERE c.cp IS NOT NULL) AS n_removed
+         |        FROM chars ch LEFT JOIN cov c
+         |          ON c.doc_id = ch.doc_id AND c.cp = ch.cp
+         |        GROUP BY ch.doc_id)
+         |SELECT d.doc_id, coalesce(agg.text, '') AS text,
+         |       coalesce(agg.n_removed, 0) AS n_removed
+         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin) { (s, dir) =>
+      Dedup.removeExactSubstrChar(Tables.documents(s, dir), "doc_id", "text",
+        minLen = 40)
+    },
   )
 }

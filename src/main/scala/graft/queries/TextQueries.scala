@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{MediaCodecs, Multimodal}
+import graft.operators.{MediaCodecs, Multimodal, Packing}
 
 /** Text-analysis and content-tooling queries over the documents/events
   * tables: token counting, quality scoring, language ID, fingerprinting,
@@ -1071,6 +1071,51 @@ object TextQueries {
          |FROM paths WHERE pos = length(word) GROUP BY word""".stripMargin) { (s, dir) =>
       graft.operators.UnigramSeg.wordBestScores(
         Tables.documents(s, dir), "text")
+    },
+
+    // Byte-level BPE round trip (GPT-2 construction): pretokenize → map
+    // UTF-8 bytes through the 256-char table → 16 trained merges → encode
+    // → decode must reproduce the corpus EXACTLY — case, whitespace runs
+    // and multi-byte scripts included (the zh slice is the point: its
+    // chars are 3 UTF-8 bytes each, so any byte-handling bug corrupts the
+    // identity). The oracle is the identity itself; unlike char-level
+    // q159, byte-level decoding loses NOTHING.
+    GQuery(
+      "q190_bpe_bytes_roundtrip",
+      "SELECT doc_id, text AS decoded FROM documents") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.Bpe.fitBytes(docs, "text", numMerges = 16)
+      graft.operators.Bpe.decodeBytes(
+        graft.operators.Bpe.encodeBytes(docs, "doc_id", "text", model),
+        "doc_id", "tok_ids", model)
+    },
+
+    // The pack spine over BYTE-level token ids: a 0-merge byte tokenizer
+    // emits exactly one id per UTF-8 byte (the pretokens tile the text,
+    // the base vocab covers all 256 bytes), so the oracle can replay the
+    // whole encode→packCoordinates composition from octet_length alone —
+    // zh documents pack at 3 tokens per character, which is precisely
+    // what this query pins (byte-correct token accounting, not char
+    // counts, feeding q116's prefix-sum arithmetic).
+    GQuery(
+      "q191_bpe_bytes_pack",
+      """WITH t AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n AS n_tokens,
+        |             coalesce(sum(n) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+        |      FROM t WHERE n > 0)
+        |SELECT doc_id, n_tokens, tok_start,
+        |       (tok_start // 512) AS seq_first,
+        |       ((tok_start + n_tokens - 1) // 512) AS seq_last,
+        |       (tok_start % 512) AS seq_offset
+        |FROM c""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val model = graft.operators.Bpe.fitBytes(docs, "text", numMerges = 0)
+      val enc = graft.operators.Bpe.encodeBytes(docs, "doc_id", "text", model)
+      Packing.packCoordinates(
+        enc.select(col("doc_id"), size(col("tok_ids")).cast("long").as("n_tok")),
+        "doc_id", "n_tok", seqLen = 512)
     },
   )
 }

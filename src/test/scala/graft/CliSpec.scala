@@ -408,6 +408,27 @@ class CliSpec extends SparkSpec {
       "--max-merges", "3")).count() >= 1)
   }
 
+  test("bpe --bytes: byte-level merges and the exact decode round trip") {
+    import spark.implicits._
+    val input = s"$dir/bpe_bytes.parquet"
+    val texts = Seq((1L, "Mixed CASE text"), (2L, "多字节 bytes 多字节"))
+    texts.toDF("doc_id", "text").write.mode("overwrite").parquet(input)
+    val merges = Main.run(spark,
+      Seq("bpe", "--input", input, "--bytes", "--merges", "4"))
+    assert(merges.count() == 4L)
+    // byte-level round trip is EXACT (case, spaces, multi-byte)
+    val dec = Main.run(spark, Seq("bpe", "--input", input, "--bytes",
+      "--merges", "4", "--decode"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dec == texts.toMap)
+    val ids = Main.run(spark, Seq("bpe", "--input", input, "--bytes",
+      "--merges", "0", "--ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // 0 merges -> one id per UTF-8 byte; zh chars are 3 bytes each
+    assert(ids(1L).size == texts(0)._2.getBytes("UTF-8").length)
+    assert(ids(2L).size == texts(1)._2.getBytes("UTF-8").length)
+  }
+
   test("cluster assigns k-means cells and balanced samples") {
     import spark.implicits._
     val input = s"$dir/cluster.parquet"

@@ -154,4 +154,65 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  // ---- byte level --------------------------------------------------------
+
+  private val byteCorpus = Seq(
+    (1L, "Hello world, hello World!"),          // case differs -> distinct bytes
+    (2L, "数据处理引擎 spark 数据处理"),            // multi-byte zh
+    (3L, "  leading spaces and émojis: 🙂🙂"),  // supplementary plane + accents
+    (4L, "1234 5678 1234 worlds apart"))
+  private def byteDocs = byteCorpus.toDF("doc_id", "text").repartition(3)
+
+  test("byteToChar is the GPT-2 bijection: 256 distinct printable chars") {
+    val chars = Bpe.byteToChar
+    assert(chars.length == 256 && chars.distinct.length == 256)
+    assert(chars('A'.toInt) == 'A' && chars('!'.toInt) == '!')
+    // the 68 non-printable bytes map above U+00FF in ascending byte order
+    val remapped = (0 until 256).filter(b => chars(b) >= 256)
+    assert(remapped.size == 68)
+    assert(remapped.map(chars(_).toInt) == remapped.indices.map(256 + _))
+    assert(Bpe.charToByte.size == 256)
+  }
+
+  test("pretokens tile the text exactly (concatenation identity)") {
+    byteCorpus.foreach { case (_, t) =>
+      assert(Bpe.pretokenize(t).mkString == t, s"text='$t'")
+    }
+    assert(Bpe.pretokenize("").isEmpty)
+  }
+
+  test("byte-level 25-merge training equals the sequential reference") {
+    val words = byteCorpus.flatMap { case (_, t) =>
+      Bpe.pretokenize(t).map(Bpe.mapBytes)
+    }.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val (want, _) = refTrain(words, 25)
+    val got = Bpe.trainBytes(byteDocs, "text", numMerges = 25)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == want)
+  }
+
+  test("fitBytes: full 256-byte base vocab, encode never emits -1") {
+    val model = Bpe.fitBytes(byteDocs, "text", numMerges = 10)
+    assert(model.vocab.size == 256 + model.merges.map { case (l, r) => l + r }
+      .distinct.size)
+    val ids = Bpe.encodeBytes(byteDocs, "doc_id", "text", model)
+      .collect().flatMap(r => r.getSeq[Int](r.fieldIndex("tok_ids")))
+    assert(ids.nonEmpty && ids.forall(_ >= 0))
+    // unseen input (new chars, new script) still encodes via byte fallback
+    val unseen = Seq((9L, "Ω never-seen-at-train-time ληξ"))
+      .toDF("doc_id", "text")
+    val u = Bpe.encodeBytes(unseen, "doc_id", "text", model)
+      .collect()(0) match { case r => r.getSeq[Int](r.fieldIndex("tok_ids")) }
+    assert(u.nonEmpty && u.forall(_ >= 0))
+  }
+
+  test("decodeBytes inverts encodeBytes EXACTLY (case, spaces, multi-byte)") {
+    val model = Bpe.fitBytes(byteDocs, "text", numMerges = 12)
+    val enc = Bpe.encodeBytes(byteDocs, "doc_id", "text", model)
+    val got = Bpe.decodeBytes(enc, "doc_id", "tok_ids", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    byteCorpus.foreach { case (id, t) => assert(got(id) == t, s"doc $id") }
+  }
 }

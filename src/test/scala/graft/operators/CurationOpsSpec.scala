@@ -293,6 +293,66 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.size == 5)
   }
 
+  test("removeExactSubstrChar: suffix-true parity + off-boundary catches") {
+    // chars 0-25 of docs 1/2 are an identical 26-char run; doc 3 unique.
+    val shared = "the same twenty-six chars!"
+    assert(shared.length == 26)
+    val docs = Seq(
+      (1L, shared + "1tail one ******"),   // tails diverge at char 26, so
+      (2L, shared + "2tail two ######"),   // the duplicated run is EXACTLY 26
+      (3L, "a completely different and unrepeated doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeExactSubstrChar(docs, "doc_id", "text", minLen = 26)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // only the 26-char window at offset 0 is duplicated -> exactly chars
+    // [0, 26) excised from docs 1/2; doc 3 untouched
+    assert(got(1L) == (("1tail one ******", 26L)))
+    assert(got(2L) == (("2tail two ######", 26L)))
+    assert(got(3L) == (("a completely different and unrepeated doc", 0L)))
+
+    // the two classes the token-gram form (w=8) misses:
+    // (a) a duplicate long in chars but only 4 tokens
+    val fewToks = "ABCDEFGHIJKLM NOPQRSTUVWXYZab cdefghijklmnop qrstuvwxyz0123"
+    // (b) a duplicate NOT aligned on token boundaries: doc 6 embeds doc 5's
+    //     run starting mid-token
+    val run = "0123456789012345678901234567890123456789"
+    val offBoundary = Seq(
+      (4L, s"$fewToks unique left"),
+      (5L, s"unique right $fewToks"),
+      (6L, s"prefix$run suffixA"),
+      (7L, s"other${run}B tail"))
+      .toDF("doc_id", "text")
+    val tokenForm = Dedup.removeDuplicatedSpans(offBoundary, "doc_id", "text",
+      w = 8).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tokenForm.values.forall(_ == 0L), s"token form should miss: $tokenForm")
+    val charForm = Dedup.removeExactSubstrChar(offBoundary, "doc_id", "text",
+      minLen = 40).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(charForm(4L) >= 59L && charForm(5L) >= 59L,
+      s"few-token duplicate must be caught: $charForm")
+    assert(charForm(6L) >= 40L && charForm(7L) >= 40L,
+      s"off-boundary duplicate must be caught: $charForm")
+
+    // token-aligned full-doc duplicates: char coverage == token coverage
+    // (both excise everything) — the parity anchor with q164's form
+    val full = Seq((8L, "one two three four five six seven eight nine ten"),
+      (9L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val cf = Dedup.removeExactSubstrChar(full, "doc_id", "text", minLen = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cf(8L) == "" && cf(9L) == "")
+  }
+
+  test("removeExactSubstrChar modes agree (collision-free equality)") {
+    val docs = Seq((1L, "xyxyxyxyxyxyxyxyxyxyxy distinct end"),
+      (2L, "xyxyxyxyxyxyxyxyxyxyxy other close"),
+      (3L, "nothing shared here at all today"))
+      .toDF("doc_id", "text")
+    val byMode = Seq(graft.functions.HashMode.Md5, graft.functions.HashMode.Xx64)
+      .map(m => Dedup.removeExactSubstrChar(docs, "doc_id", "text", 20, m)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
+    assert(byMode(0) == byMode(1))
+  }
+
   // ---- Unigram surprisal ----
 
   test("unigram surprisal matches a hand-built language model") {
