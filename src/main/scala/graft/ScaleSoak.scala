@@ -216,6 +216,21 @@ object ScaleSoak {
     }
     val recall = Knn.avgRecall(ivf, brute, 10).collect()(0).getDouble(0)
     println(f"[soak] IVF recall@10 vs brute (nProbe=16/256): $recall%.4f")
+    // lloyd-trained quantizer + the recall@nProbe eval card (q192's shape
+    // at scale): one assignment, four probe widths, exact truth reused
+    locally {
+      val lloydCents = timed("IVF lloyd train (k=256, 3 iters)") {
+        operators.Ann.lloydCentroids(
+          operators.Clustering.lloyd(base, k = 256, iters = 3)
+            .filter(col("n_points") > 0))
+      }
+      val curve = timed("IVF recall curve nProbe=4/16/64 (lloyd centroids)") {
+        operators.Ann.recallCurve(queries, base, lloydCents, k = 10,
+          nProbes = Seq(4, 16, 64)).collect()
+      }
+      curve.sortBy(_.getLong(0)).foreach(r =>
+        println(f"[soak] IVF lloyd recall@10 nProbe=${r.getLong(0)}: ${r.getDouble(1)}%.4f"))
+    }
 
     // --- PQ: trained codebooks, full-corpus encode, ADC shortlist scan
     val codebooks = timed("PQ train (m=8, ksub=256, sampled)") {
@@ -438,6 +453,113 @@ object ScaleSoak {
     timed(s"Viterbi segmentation scores over the $nDocs-doc vocabulary") {
       graft.operators.UnigramSeg.wordBestScores(docs, "text")
         .agg(min("best_score")).collect()
+    }
+
+    // --- round-9: COMPOSED pipelines at soak scale (the sf0.1 oracled
+    // queries run on 5k docs; these are the same compositions on the
+    // 50k-doc / nBase-emb corpus with per-stage timings, so a stage whose
+    // share grows superlinearly has a named cause)
+    locally {
+      // selection-v2 (q184's composition)
+      val sig = timed(s"selection-v2 [1/4] signals over $nDocs docs") {
+        val s0 = docs.select(col("doc_id"), length(col("text")).as("n_chars"),
+          graft.functions.TextFunctions.charEntropy(col("text")).as("entropy"))
+        s0.cache(); s0.count(); s0
+      }
+      val ens = timed("selection-v2 [2/4] rank ensemble + gate") {
+        val e = graft.operators.Ranking
+          .rankEnsemble(sig, Seq("n_chars", "entropy"), "doc_id")
+          .select(col("doc_id"), col("quality_ensemble").as("ens"))
+          .filter(col("ens") >= 0.4)
+        e.cache(); e.count(); e
+      }
+      val nov = timed(s"selection-v2 [3/4] novelty scores over $nDocs docs") {
+        val n = graft.operators.Dedup
+          .noveltyScores(docs, "doc_id", "text", n = 3, threshold = 0.3)
+          .withColumnRenamed("id", "doc_id")
+        n.cache(); n.count(); n
+      }
+      timed("selection-v2 [4/4] novelty gate + curriculum") {
+        graft.operators.Sampling.curriculumSchedule(
+          ens.join(nov, "doc_id").filter(col("novelty") >= 0.7)
+            .select(col("doc_id"), col("ens")),
+          "doc_id", "ens", k = 4, salt = "sel").count()
+      }
+      Seq(sig, ens, nov).foreach(_.unpersist())
+
+      // D4 (q165's composition) over nBase embeddings: lloyd-sharded
+      // SemDeDup then prototypicality prune against the SAME centroids
+      val d4Cents = timed(s"D4 [1/3] lloyd 2048 cells over $nBase embeddings") {
+        val c = operators.Clustering.lloyd(base, k = 2048, iters = 2)
+          .filter(col("n_points") > 0)
+          .select(col("cell"), col("centroid"))
+        c.cache(); c.count(); c
+      }
+      val d4Kept = timed("D4 [2/3] sharded SemDeDup keep set") {
+        val dd = Dedup.semanticDedupSharded(base, "vec_id", "embedding",
+          threshold = 0.95, centroids = d4Cents)
+        val kept = base.join(dd.filter(col("keep")).select(col("id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        kept.cache(); kept.count(); kept
+      }
+      timed("D4 [3/3] prototypicality prune (drop 25%)") {
+        operators.Clustering.prototypicalityPrune(d4Kept, d4Cents,
+          dropFrac = 0.25, metric = "EUCLIDEAN").count()
+      }
+      d4Cents.unpersist(); d4Kept.unpersist()
+
+      // tokenize→pack spine (q148's composition) over the doc corpus
+      val model = timed(s"pack spine [1/3] BPE fit 8 merges on $nDocs docs") {
+        operators.Bpe.fit(docs, "text", numMerges = 8)
+      }
+      val enc = timed("pack spine [2/3] encode to id streams") {
+        val e = operators.Bpe.encode(docs, "doc_id", "text", model)
+        e.cache(); e.count(); e
+      }
+      timed("pack spine [3/3] materialize 512-token sequences") {
+        operators.Packing.materializeTokenSequences(
+          enc.select(col("doc_id"),
+            expr("transform(tok_ids, t -> cast(t AS string))").as("toks")),
+          "doc_id", "toks", seqLen = 512).count()
+      }
+      enc.unpersist()
+
+      // Zipf rank-frequency fit at REALISTIC type counts: a 100k-type
+      // skewed corpus (the 31-type sf fit is statistically degenerate —
+      // this records the two-pass rank's cost at real vocabulary size)
+      val zdocs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(w =>
+          concat(lit("z"), (pmod(xxhash64(col("id"), lit(w)), lit(100000L)) *
+            pmod(xxhash64(col("id"), lit(w)), lit(100000L)) / 100000L))): _*)
+          .as("text"))
+      zdocs.cache(); zdocs.count()
+      timed(s"Zipf fit over $nDocs docs, ~100k-type skewed vocabulary") {
+        val wc = zdocs
+          .select(explode(split(col("text"), " ")).as("t"))
+          .filter(col("t") =!= "")
+          .groupBy("t").agg(count(lit(1)).cast("double").as("cnt"))
+          .withColumn("nc", -col("cnt"))
+        val ranked = operators.Ranking.globalRank(wc, Seq("nc", "t"), rankCol = "rk")
+        val xy = ranked.select(log(col("rk").cast("double")).as("x"),
+          log(col("cnt")).as("y"))
+        val fit = xy.agg(count(lit(1)).as("n_types"),
+          (covar_pop(col("y"), col("x")) / var_pop(col("x"))).as("slope"))
+        val row = fit.collect()(0)
+        println(f"[soak]   zipf n_types=${row.getLong(0)} slope=${row.getDouble(1)}%.4f")
+        // posture check: the whole executed fit plan (token agg + two-pass
+        // rank + regression) — the rank's range shuffle must stay the only
+        // exchange beyond the two tiny aggregates
+        val plan = fit.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        val nEx = plan.toString.linesIterator
+          .count(l => (l.contains("Exchange") || l.contains("ShuffleQueryStage"))
+            && !l.contains("Reused"))
+        println(s"[soak]   zipf full-plan exchanges (wc agg + rank + regr): $nEx")
+      }
+      zdocs.unpersist()
     }
     spark.stop()
   }

@@ -117,6 +117,52 @@ object Ann {
         (col("pos") + 1).as("rank"), col("pair.dist").as("dist"))
   }
 
+  /** Recall@k vs nProbe — the index-quality eval card ANN benchmarking
+    * exists for: one row `(n_probe, recall)` per probed width, recall =
+    * mean over queries of |IVF top-k ∩ exact top-k| / k (round-6).
+    * `centroids` takes ANY `(vec_id, embedding)`-shaped quantizer —
+    * [[trainCentroids]], a deterministic subset, or `Clustering.lloyd`
+    * output via [[lloydCentroids]] (the trained path).
+    *
+    * Scale shape: the index is assigned ONCE (zero-shuffle argmin kernel)
+    * and reused by every probe width; exact ground truth is ONE Knn pass;
+    * each curve point is an ivfSearch (cell-equi probe join + bounded
+    * heaps) plus a semi-join against the truth — the whole card costs
+    * |nProbes| probe joins, not |nProbes| index builds.
+    */
+  def recallCurve(queries: DataFrame, base: DataFrame, centroids: DataFrame,
+      k: Int, nProbes: Seq[Int], metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    require(nProbes.nonEmpty, "recallCurve needs at least one nProbe")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val index = ivfIndex(base, centroids, metric, idCol, vecCol)
+      .localCheckpoint() // assigned once, probed |nProbes| times
+    val truth = Knn.knn(queries, base, k, metric, idCol, vecCol,
+        excludeSelf = excludeSelf)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val nQ = truth.select("query_id").distinct().count()
+    val curves = nProbes.map { np =>
+      val pred = ivfSearch(queries, index, centroids, k, np, metric,
+        idCol, vecCol, excludeSelf)
+      val hits = pred.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(coalesce(sum(lit(1L)), lit(0L)).as("hits"))
+        .select(lit(np.toLong).as("n_probe"),
+          round(col("hits").cast("double") / (nQ * k), 6).as("recall"))
+      hits
+    }
+    curves.reduce(_ unionAll _)
+  }
+
+  /** Adapt `Clustering.lloyd` output `(cell, centroid, n_points)` to the
+    * `(vec_id, embedding)` quantizer shape every Ann entry point takes.
+    */
+  def lloydCentroids(lloyd: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    lloyd.select(col("cell").as(idCol), col("centroid").as(vecCol))
+
   /** Persist an IVF index partitioned BY CELL: a probe that touches
     * nProbe/nList cells reads exactly that fraction of the data via
     * partition pruning — the posture that makes IVF pay at 100TB.

@@ -137,5 +137,68 @@ object ClusterQueries {
       Clustering.prototypicalityPrune(emb, init, dropFrac = 0.25,
         metric = "COSINE")
     },
+
+    // IVF recall@5 vs nProbe with LLOYD-TRAINED centroids — the
+    // index-quality eval card: one Lloyd iteration (init = 8 lowest ids,
+    // round-6 means stored float32), re-assign the base to the trained
+    // cells, probe 1/2/4/8 cells per query, and score each width's top-5
+    // against exact KNN. The oracle replays the ENTIRE composition —
+    // training M-step (round(avg,6)::FLOAT reproduces the engine's float32
+    // centroids exactly, the q135 convention), trained-cell assignment,
+    // probe selection, per-width ranking, and the recall rollup — so a
+    // green row proves trained-quantizer IVF end-to-end, not just the
+    // fixed-quantizer form q50 pins.
+    GQuery(
+      "q192_ivf_recall_curve",
+      s"""WITH $duckAssignCte,
+         |m AS (SELECT cell, generate_subscripts(v, 1) - 1 AS idx,
+         |             unnest(v)::DOUBLE AS x
+         |      FROM assign),
+         |cm AS (SELECT cell, idx, round(avg(x), 6)::FLOAT AS cv
+         |       FROM m GROUP BY cell, idx),
+         |tc AS (SELECT cell, list(cv ORDER BY idx) AS ce FROM cm GROUP BY cell),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 120),
+         |ar AS (SELECT e.vec_id AS id, e.embedding AS v, tc.cell,
+         |              row_number() OVER (PARTITION BY e.vec_id
+         |                                 ORDER BY ${duckL2Sq("e.embedding", "tc.ce")}, tc.cell) AS rn
+         |       FROM embeddings e CROSS JOIN tc),
+         |a2 AS (SELECT id, v, cell FROM ar WHERE rn = 1),
+         |pr AS (SELECT q.qid, q.qv, tc.cell,
+         |              row_number() OVER (PARTITION BY q.qid
+         |                                 ORDER BY ${duckL2Sq("q.qv", "tc.ce")}, tc.cell) AS rn
+         |       FROM q CROSS JOIN tc),
+         |ex AS (SELECT qid, nid FROM (
+         |         SELECT q.qid, e.vec_id AS nid,
+         |                row_number() OVER (PARTITION BY q.qid
+         |                                   ORDER BY ${duckL2Sq("q.qv", "e.embedding")}, e.vec_id) AS rk
+         |         FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+         |       WHERE rk <= 5),
+         |np AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+         |cand AS (SELECT np.n_probe, p.qid, a2.id AS nid,
+         |                ${duckL2Sq("p.qv", "a2.v")} AS d
+         |         FROM np JOIN pr p ON p.rn <= np.n_probe
+         |              JOIN a2 ON a2.cell = p.cell
+         |         WHERE a2.id <> p.qid),
+         |ivf AS (SELECT n_probe, qid, nid FROM (
+         |          SELECT n_probe, qid, nid,
+         |                 row_number() OVER (PARTITION BY n_probe, qid
+         |                                    ORDER BY d, nid) AS rk
+         |          FROM cand)
+         |        WHERE rk <= 5),
+         |h AS (SELECT n_probe, count(*) AS c
+         |      FROM ivf JOIN ex USING (qid, nid) GROUP BY n_probe)
+         |SELECT np.n_probe::BIGINT AS n_probe,
+         |       round(coalesce(h.c, 0)::DOUBLE / 100, 6) AS recall
+         |FROM np LEFT JOIN h USING (n_probe)""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val trained = Clustering.lloyd(emb, k = 8, iters = 1)
+        .filter(col("n_points") > 0)
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      graft.operators.Ann.recallCurve(queries, emb,
+        graft.operators.Ann.lloydCentroids(trained),
+        k = 5, nProbes = Seq(1, 2, 4, 8), metric = "EUCLIDEAN",
+        excludeSelf = true)
+    },
   )
 }

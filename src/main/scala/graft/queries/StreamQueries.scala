@@ -176,5 +176,43 @@ object StreamQueries {
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("cnt"))
     },
+
+    // STREAMING CMS build (q166's sketch through progressive ingest): the
+    // documents parquet is read as a FILE STREAM, each micro-batch folds
+    // its own counter grid into the accumulator (foreachBatch +
+    // Trigger.AvailableNow), and the heavy hitters come off the MERGED
+    // grid. Counter addition is an order-free monoid, so the merged grid
+    // equals the batch build exactly — which is precisely what a green
+    // row proves, because the oracle replays the BATCH arithmetic while
+    // the engine went through the stream.
+    GQuery(
+      "q193_stream_cms_build",
+      """WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                x -> x != '')) AS term FROM documents),
+        |tc AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        |js AS (SELECT unnest([0, 1, 2]) AS j),
+        |ps AS (SELECT term, c, j,
+        |         ('0x' || substr(md5(term || ':' || j::VARCHAR), 1, 15))::BIGINT % 128 AS pos
+        |       FROM tc CROSS JOIN js),
+        |bkt AS (SELECT j, pos, sum(c) AS bc FROM ps GROUP BY j, pos),
+        |est AS (SELECT term, min(bc)::BIGINT AS cms_count
+        |        FROM ps JOIN bkt USING (j, pos) GROUP BY term)
+        |SELECT term, cms_count FROM est WHERE cms_count >= 80""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      // file-source streams want a DIRECTORY; the sf layout keeps each
+      // table as one file, so glob-filter the table out of the sf dir
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("recursiveFileLookup", "false")
+        .parquet(dir)
+      val grid = graft.streaming.StreamSketch.cmsFromStream(
+        stream.select(explode(split(lower(col("text")), " ")).as("term"))
+          .filter(col("term") =!= ""),
+        "term", depth = 3, width = 128)
+      val toks = docs.select(explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      graft.operators.Cms.estimates(toks, grid, depth = 3, termCol = "term")
+        .filter(col("cms_count") >= 80)
+    },
   )
 }

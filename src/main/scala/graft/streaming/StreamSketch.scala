@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.DataFrame
+
+import graft.functions.HashMode
+import graft.operators.{Bloom, Cms}
+
+/** Progressive-ingest sketch builds — the streaming face of the CMS and
+  * Bloom BUILD step (their probes have been stream-composable since round
+  * 8; the build was batch-only). Both sketches are order-free monoids —
+  * counter grids merge by addition, bit arrays by OR — so a
+  * `foreachBatch` that folds each micro-batch's sketch into an
+  * accumulator yields EXACTLY the batch-built sketch regardless of batch
+  * boundaries, arrival order, or batch count. [[StreamSketchSpec]] pins
+  * the equality array-for-array; q193 oracles a threshold query through
+  * the streaming build path.
+  *
+  * Scale shape: each micro-batch pays one treeAggregate over ITS rows
+  * (no shuffle, task state = the sketch); the merge is a driver-side
+  * array add/OR of the size the operator picked. State never grows with
+  * corpus size — the defining property that makes sketch builds the
+  * progressive-ingest form of decontamination (Bloom) and frequency
+  * tracking (CMS).
+  */
+object StreamSketch {
+
+  /** Mutable CMS accumulator: fold per-batch grids in with [[add]]; read
+    * the merged grid at any point. Addition commutes and associates in
+    * Long, so partial reads are themselves valid sketches of the data
+    * ingested so far.
+    */
+  final class CmsAccumulator(val depth: Int, val width: Int,
+      val mode: HashMode = HashMode.Md5) {
+    val grid = new Array[Long](depth * width)
+    def add(batch: DataFrame, termCol: String): Unit = {
+      val g = Cms.build(batch, termCol, depth, width, mode)
+      synchronized {
+        var i = 0
+        while (i < grid.length) { grid(i) += g(i); i += 1 }
+      }
+    }
+  }
+
+  /** Mutable Bloom accumulator: per-batch bit arrays OR in. */
+  final class BloomAccumulator(val mBits: Int, val n: Int, val kProbes: Int,
+      val mode: HashMode = HashMode.Md5) {
+    val bits = new Array[Long](mBits / 64)
+    def add(batch: DataFrame, textCol: String): Unit = {
+      val b = Bloom.build(batch, textCol, n, mBits, kProbes, mode)
+      synchronized {
+        var i = 0
+        while (i < bits.length) { bits(i) |= b(i); i += 1 }
+      }
+    }
+  }
+
+  /** Drain a STREAMING term relation into a merged CMS grid
+    * (Trigger.AvailableNow: process everything currently available, then
+    * stop — the batch-parity ingest used by q193; a continuous deployment
+    * starts the same foreachBatch with its own trigger and reads
+    * `acc.grid` whenever it needs the current sketch).
+    */
+  def cmsFromStream(terms: DataFrame, termCol: String, depth: Int, width: Int,
+      mode: HashMode = HashMode.Md5): Array[Long] = {
+    val acc = new CmsAccumulator(depth, width, mode)
+    val q = terms.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => acc.add(batch, termCol) }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cms-stream").toString)
+      .start()
+    q.awaitTermination()
+    acc.grid
+  }
+
+  /** Drain a STREAMING document relation into a merged Bloom filter. */
+  def bloomFromStream(bench: DataFrame, textCol: String, n: Int = 3,
+      mBits: Int = 1 << 20, kProbes: Int = 4,
+      mode: HashMode = HashMode.Md5): Array[Long] = {
+    val acc = new BloomAccumulator(mBits, n, kProbes, mode)
+    val q = bench.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => acc.add(batch, textCol) }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-bloom-stream").toString)
+      .start()
+    q.awaitTermination()
+    acc.bits
+  }
+}
