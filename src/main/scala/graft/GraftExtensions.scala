@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseXor, Cast, 
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CharEntropy, DistanceKernels, F16ToF32, TopKPairs, VectorDistance, VectorFunctions, VectorNorm}
+import graft.functions.{CharEntropy, DistanceKernels, F16ToF32, PolyHash60, TopKPairs, VectorDistance, VectorFunctions, VectorNorm}
 
 /** The SparkSessionExtensions entry point (SURVEY.md X3/X4/X5): registers
   * the engine's native Catalyst expressions as SQL functions, so
@@ -58,6 +58,10 @@ object GraftExtensions {
     ("char_entropy", classOf[CharEntropy].getName, { args: Seq[Expression] =>
       require(args.length == 1, "char_entropy(text)")
       CharEntropy(Cast(args(0), StringType))
+    }),
+    ("poly_hash60", classOf[PolyHash60].getName, { args: Seq[Expression] =>
+      require(args.length == 1, "poly_hash60(text)")
+      PolyHash60(Cast(args(0), StringType))
     }),
     // X4: the bounded-heap aggregate — the analyzer wraps the returned
     // AggregateFunction, so GROUP BY queries plan the same map-side partial

@@ -749,8 +749,9 @@ object Main {
       |  tfidf --input PARQUET [--min-df N] [--id-col C] [--text-col C]
       |  hashtf --input PARQUET [--n-buckets N] [--id-col C] [--text-col C]
       |  cms --input PARQUET [--depth N] [--width N] [--threshold N] [--score [--id-col C]] [--text-col C]
-      |  (sketch/bucketing commands take [--hash md5|xx64]: xx64 is the fast
-      |   production default, md5 the engine-neutral oracle-parity mode)
+      |  (sketch/bucketing commands take [--hash md5|xx64|poly]: xx64 is the
+      |   fast production default, md5 the engine-neutral oracle-parity mode,
+      |   poly the rolling-window mode for char-level exactsubstr)
       |  viterbi --input PARQUET [--max-piece-len N] [--text-col C]
       |  gquantiles --input PARQUET --group-col G --value-col C [--ps P1,P2,...]
       |  curriculum --input PARQUET --difficulty-col C [--k N] [--salt S] [--id-col C]

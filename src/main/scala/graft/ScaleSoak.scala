@@ -198,6 +198,8 @@ object ScaleSoak {
       grid.unpersist()
     }
 
+    // --- exact-KNN / IVF / PQ block (SOAK_ANN=0 skips)
+    if (sys.env.getOrElse("SOAK_ANN", "1") != "0") {
     val brute = timed(s"brute KNN $nQueries x $nBase k=10") {
       val r = Knn.knn(queries, base, k = 10)
       r.cache(); r.count(); r
@@ -252,6 +254,7 @@ object ScaleSoak {
     println(f"[soak] PQ shortlist-100 recall@10 vs brute: ${pqHits.toDouble / (nQueries * 10)}%.4f")
     pqTop.unpersist()
     codes.unpersist()
+    }
 
     // --- docs: synthetic corpus with planted near-dups (SOAK_DOCS=0 skips)
     val nDocs = sys.env.getOrElse("SOAK_DOCS", "50000").toLong
@@ -389,11 +392,14 @@ object ScaleSoak {
       graft.operators.Dedup.removeDuplicatedSpans(docs, "doc_id", "text", w = 8)
         .agg(sum("n_removed")).collect()
     }
-    // char-level (suffix-array-true) form: O(len·L) window hashing is the
-    // dominant kernel — report bytes/sec in both hash modes
+    // char-level (suffix-array-true) form: window hashing is the dominant
+    // kernel — O(len·L) under md5/xx64, O(len) under poly's rolling
+    // recurrence. Report bytes/sec in all three modes; the md5→xx64 delta
+    // is the hash-cost tax, the xx64→poly delta is the rolling win.
     locally {
       val corpusChars = docs.agg(sum(length(col("text")))).collect()(0).getLong(0)
-      for (m <- Seq(graft.functions.HashMode.Md5, graft.functions.HashMode.Xx64)) {
+      for (m <- Seq(graft.functions.HashMode.Md5, graft.functions.HashMode.Xx64,
+          graft.functions.HashMode.Poly)) {
         val t0 = System.nanoTime()
         graft.operators.Dedup.removeExactSubstrChar(docs, "doc_id", "text",
           minLen = 40, mode = m).agg(sum("n_removed")).collect()

@@ -29,6 +29,19 @@ sealed trait HashMode {
   /** Column form; equal to [[hash60]] on every row. */
   def col60(c: Column): Column
   def name: String
+
+  /** 60-bit hash of every length-`l` code-point window of `cps` (index i
+    * = window starting at code point i; empty if shorter than `l`). Each
+    * element equals `hash60` of that window's string. Default: one
+    * kernel call per window — O(len·l) hash work; [[HashMode.Poly]]
+    * overrides with the O(len) rolling recurrence.
+    */
+  def windowHash60(cps: Array[Int], l: Int): Array[Long] = {
+    require(l > 0, s"window length must be positive, got $l")
+    val n = cps.length - l + 1
+    if (n <= 0) Array.emptyLongArray
+    else Array.tabulate(n)(i => hash60(new String(cps, i, l)))
+  }
 }
 
 object HashMode {
@@ -46,11 +59,29 @@ object HashMode {
     val name = "xx64"
   }
 
+  /** Rolling-window production mode: the Rabin–Karp code-point
+    * polynomial ([[PolyHash]]). Same per-string cost class as xx64, but
+    * its [[windowHash60]] is O(len) instead of O(len·l) — the mode for
+    * every-position window kernels (char-level ExactSubstr). Column form
+    * is the codegen'd `poly_hash60` expression, so kernel and Column
+    * agree exactly.
+    */
+  case object Poly extends HashMode {
+    def hash60(s: String): Long = PolyHash.hash60(s)
+    def col60(c: Column): Column =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        PolyHash60(org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+    val name = "poly"
+    override def windowHash60(cps: Array[Int], l: Int): Array[Long] =
+      PolyHash.windowHashes60(cps, l)
+  }
+
   def parse(s: String): HashMode = s.toLowerCase match {
     case "md5" => Md5
     case "xx64" | "xxhash64" | "xx" => Xx64
+    case "poly" | "rolling" => Poly
     case other =>
       throw new IllegalArgumentException(
-        s"unknown hash mode: $other (md5|xx64)")
+        s"unknown hash mode: $other (md5|xx64|poly)")
   }
 }

@@ -754,9 +754,9 @@ object Dedup {
     * kernel), a map-side-combinable duplicate count, LEFT SEMI membership,
     * one doc-keyed `collect_list` of starts (ints, ≤ doc length), one
     * doc-keyed join into the excision kernel; text crosses exactly one
-    * exchange. Hash work is O(len·L) per doc in md5 mode (the
-    * oracle-parity tax measured in PLANS.md); [[HashMode.Xx64]] for
-    * production. Output: `(id, text, n_removed)` for EVERY input id —
+    * exchange. Hash work is O(len·L) per doc under Md5/Xx64 (the
+    * oracle-parity tax measured in PLANS.md); [[HashMode.Poly]]'s rolling
+    * recurrence makes it O(len) — the production mode for this operator. Output: `(id, text, n_removed)` for EVERY input id —
     * docs under `minLen` code points come back whole.
     */
   def removeExactSubstrChar(docs: DataFrame, idCol: String, textCol: String,
@@ -800,9 +800,10 @@ object Dedup {
     import spark.implicits._
     val wins = base.as[(Long, String)].flatMap { case (id, text) =>
       val cps = text.codePoints().toArray
-      if (cps.length < l) Iterator.empty
-      else (0 to cps.length - l).iterator
-        .map(i => (id, i, mode.hash60(new String(cps, i, l))))
+      // mode.windowHash60: O(len·l) hash work under Md5/Xx64, O(len)
+      // under Poly's rolling recurrence — the production mode here.
+      val hs = mode.windowHash60(cps, l)
+      hs.indices.iterator.map(i => (id, i, hs(i)))
     }.toDF("id", "pos", "h")
     val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("h")

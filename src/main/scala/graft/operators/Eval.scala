@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Threshold-free classifier evaluation cards — the artifacts a
+  * filter-stage quality model (LogReg, or any scored frame) ships with
+  * beyond the fixed-threshold confusion matrix of
+  * [[LogReg.binaryMetrics]]: ROC-AUC (ranking quality across ALL
+  * thresholds) and the calibration reliability card + ECE (is a 0.8
+  * score right 80% of the time — the property mixture weighting and
+  * threshold selection actually consume).
+  *
+  * Scale shapes: everything aggregates per DISTINCT SCORE first (one
+  * hash aggregate over the corpus), so the expensive relations are
+  * bounded by the score alphabet (round-6 scores in [0,1]: ≤ 1e6+1
+  * rows), never the corpus. The AUC cumulative runs through
+  * [[Ranking.exclusivePrefixSum]] — one range shuffle over the per-value
+  * relation, no single-partition window. All derived ratios are computed
+  * from integer-exact counts, so results are bit-identical across
+  * engines and partitionings.
+  */
+object Eval {
+
+  /** ROC-AUC by the rank statistic (Mann–Whitney U) with exact tie
+    * handling: AUC = [Σ_v pos_v·(2·neg_below_v + neg_v)] / (2·P·N) over
+    * distinct score values v — ties contribute ½, the trapezoidal-ROC
+    * value. One row: `(n_pos, n_neg, auc)`; `auc` is round-6, NULL when
+    * the frame has no positive or no negative (no ranking is defined).
+    * The numerator is an integer sum — no floating-point accumulation
+    * order anywhere before the final division.
+    */
+  def rocAuc(scored: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val perValue = scored.select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("s").agg(count(lit(1)).as("c"), sum("y").as("pos"))
+      .withColumn("neg", col("c") - col("pos"))
+    val cum = Ranking.exclusivePrefixSum(perValue, Seq("s"), "neg", "neg_below")
+    cum.agg(
+        coalesce(sum("pos"), lit(0L)).as("n_pos"),
+        coalesce(sum("neg"), lit(0L)).as("n_neg"),
+        coalesce(sum(col("pos") * (col("neg_below") * 2 + col("neg"))), lit(0L))
+          .as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(col("num2").cast("double") /
+            (col("n_pos").cast("double") * col("n_neg") * 2.0), 6)).as("auc"))
+  }
+
+  /** Reliability card: equal-width score bins `[i/k, (i+1)/k)` (top bin
+    * closed at 1.0), one row per NON-EMPTY bin:
+    * `(bin, n, mean_score, frac_pos, abs_gap)` — mean_score and frac_pos
+    * round-6, abs_gap = round6(|mean_score − frac_pos|) computed FROM the
+    * rounded values (the engine-replayable contract). One hash aggregate.
+    */
+  def calibrationBins(scored: DataFrame, labelCol: String, scoreCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    scored.select(
+        least(floor(col(scoreCol).cast("double") * nBins).cast("long"),
+          lit(nBins - 1L)).as("bin"),
+        col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("double").as("y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        round(avg("s"), 6).as("mean_score"),
+        round(avg("y"), 6).as("frac_pos"))
+      .withColumn("abs_gap",
+        round(abs(col("mean_score") - col("frac_pos")), 6))
+  }
+
+  /** Expected calibration error over the [[calibrationBins]] card:
+    * ECE = round6(Σ n_b·abs_gap_b / Σ n_b). One row `(n, ece)`; an empty
+    * frame scores `(0, 0.0)`. Defined from the card's ROUNDED per-bin
+    * columns so any engine replaying the card replays the scalar.
+    */
+  def ece(scored: DataFrame, labelCol: String, scoreCol: String,
+      nBins: Int = 10): DataFrame =
+    calibrationBins(scored, labelCol, scoreCol, nBins).agg(
+        coalesce(sum("n"), lit(0L)).as("n"),
+        coalesce(round(sum(col("n") * col("abs_gap")) / sum("n"), 6), lit(0.0))
+          .as("ece"))
+}

@@ -75,6 +75,57 @@ object Ranking {
     (out, offsets.last)
   }
 
+  /** Append an EXCLUSIVE global prefix sum of long column `valueCol` in
+    * `orderCols` order as `outCol` — the `Packing.packCoordinates` two-pass
+    * range-partition shape exposed as a primitive (one range shuffle, no
+    * single-partition window; both passes share the exchange files).
+    * `orderCols` must be a TOTAL order over the input rows (include a
+    * unique tiebreaker, or order by a key each row holds exactly once —
+    * the per-score-value cumulative pattern): rows comparing equal would
+    * otherwise take partition-dependent prefixes. Subject to the same
+    * input-pinning caveat as `globalRank`.
+    */
+  def exclusivePrefixSum(df: DataFrame, orderCols: Seq[String],
+      valueCol: String, outCol: String, numParts: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "exclusivePrefixSum needs an order column")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column; pass a different outCol")
+    val spark = df.sparkSession
+    val parts = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val oc: Seq[Column] = orderCols.map(col)
+    val base = df.withColumn(valueCol, col(valueCol).cast("long"))
+      .repartitionByRange(parts, oc: _*)
+      .sortWithinPartitions(oc: _*)
+    val schema = base.schema
+    val vIdx = schema.fieldIndex(valueCol)
+    val rows = base.queryExecution.toRdd
+    val totals = rows.mapPartitionsWithIndex { case (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator(pid -> s)
+    }.collect().toMap
+    val offsets = (0 until rows.getNumPartitions)
+      .map(p => totals.getOrElse(p, 0L)).scanLeft(0L)(_ + _).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val withSum = rows.mapPartitionsWithIndex { case (pid, it) =>
+      var run = bc.value(pid)
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      it.map { r =>
+        val before = run
+        run += r.getLong(vIdx)
+        extra.update(0, before)
+        joined(r, extra): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(
+      spark, withSum,
+      org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** Append a 1-based dense global `rank` column ordering by `orderCols`
     * (must be a total order). One range shuffle; no single-partition window.
     */

@@ -861,5 +861,113 @@ object CurationQueries {
             .cast("long").as("w"))
       Sampling.weightedSample(weighted, "doc_id", "w", n = 50)
     },
+
+    // ROC-AUC of the q151 quality classifier — the threshold-free eval
+    // card: per-distinct-score aggregates (bounded by the round-6 score
+    // alphabet, never the corpus), an exclusive cumulative of negatives
+    // via the two-pass range prefix sum (no single-partition window), and
+    // an INTEGER numerator (ties at ½) so the statistic is bit-exact
+    // across engines. The oracle replays train→score→rank-statistic in
+    // one CTE chain.
+    GQuery(
+      "q194_roc_auc",
+      logregScoredCte + ",\n" +
+      """ag AS (SELECT s, count(*)::BIGINT AS c, sum(y)::BIGINT AS pos
+        |       FROM sc GROUP BY s),
+        |cum AS (SELECT pos, c - pos AS neg,
+        |               coalesce(sum(c - pos) OVER (ORDER BY s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS neg_below
+        |        FROM ag),
+        |t AS (SELECT coalesce(sum(pos), 0)::BIGINT AS n_pos,
+        |             coalesce(sum(neg), 0)::BIGINT AS n_neg,
+        |             coalesce(sum(pos * (2*neg_below + neg)), 0)::BIGINT AS num2
+        |      FROM cum)
+        |SELECT n_pos, n_neg,
+        |       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |            ELSE round(num2::DOUBLE / (n_pos::DOUBLE * n_neg * 2.0), 6)
+        |       END AS auc
+        |FROM t""".stripMargin) { (s, dir) =>
+      graft.operators.Eval.rocAuc(logregScored(s, dir), "y", "score")
+    },
+
+    // Calibration reliability card for the same classifier: 100 equal-width
+    // score bins, per-bin confidence (mean score) vs accuracy (positive
+    // fraction) — the artifact threshold selection and mixture weighting
+    // read. abs_gap is defined from the ROUNDED per-bin values so the card
+    // is engine-replayable to the last bit. One hash aggregate.
+    GQuery(
+      "q195_calibration_card",
+      logregScoredCte + ",\n" +
+      """b AS (SELECT least(floor(s * 100)::BIGINT, 99) AS bin, s, y FROM sc),
+        |g AS (SELECT bin, count(*)::BIGINT AS n,
+        |             round(avg(s), 6) AS mean_score,
+        |             round(avg(y), 6) AS frac_pos
+        |      FROM b GROUP BY bin)
+        |SELECT bin, n, mean_score, frac_pos,
+        |       round(abs(mean_score - frac_pos), 6) AS abs_gap
+        |FROM g""".stripMargin) { (s, dir) =>
+      graft.operators.Eval.calibrationBins(logregScored(s, dir), "y", "score",
+        nBins = 100)
+    },
+
+    // Expected calibration error — the q195 card folded to its scalar:
+    // ECE = Σ n_b·abs_gap_b / Σ n_b over the card's rounded columns.
+    GQuery(
+      "q196_ece",
+      logregScoredCte + ",\n" +
+      """b AS (SELECT least(floor(s * 100)::BIGINT, 99) AS bin, s, y FROM sc),
+        |g AS (SELECT bin, count(*)::BIGINT AS n,
+        |             round(avg(s), 6) AS mean_score,
+        |             round(avg(y), 6) AS frac_pos
+        |      FROM b GROUP BY bin),
+        |g2 AS (SELECT n, round(abs(mean_score - frac_pos), 6) AS abs_gap FROM g)
+        |SELECT coalesce(sum(n), 0)::BIGINT AS n,
+        |       coalesce(round(sum(n * abs_gap) / sum(n), 6), 0.0) AS ece
+        |FROM g2""".stripMargin) { (s, dir) =>
+      graft.operators.Eval.ece(logregScored(s, dir), "y", "score", nBins = 100)
+    },
   )
+
+  /** The q151 logistic train→score composition joined back to its labels —
+    * the scored frame the q194–q196 eval cards aggregate (Spark side of
+    * [[logregScoredCte]]).
+    */
+  private def logregScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.LogReg
+    val feats = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      (least(TextFunctions.tokenCount(col("text")), lit(100)).cast("double") / 100.0).as("x1"),
+      (least(col("n_chars"), lit(500L)).cast("double") / 500.0).as("x2"))
+    val w = LogReg.train(feats, Seq("x1", "x2"), "y", steps = 2, lr = 1.0)
+    LogReg.score(feats, "doc_id", Seq("x1", "x2"), w)
+      .join(feats.select("doc_id", "y"), "doc_id")
+  }
+
+  /** Shared CTE replaying the q151 logistic train→score composition into
+    * `sc(doc_id, y, s)` — the scored frame the q194–q196 eval cards
+    * aggregate. Identical arithmetic to q151/q188's inline copies.
+    * (lazy: referenced from `all`, which initializes first.)
+    */
+  private lazy val logregScoredCte: String =
+    """WITH f AS (SELECT doc_id,
+      |                  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+      |                  least(len(list_filter(string_split(text, ' '), t -> t != '')), 100) / 100.0 AS x1,
+      |                  least(n_chars, 500) / 500.0 AS x2
+      |           FROM documents),
+      |w1 AS (SELECT round(-avg(0.5 - y), 6) AS b,
+      |              round(-avg((0.5 - y) * x1), 6) AS wa,
+      |              round(-avg((0.5 - y) * x2), 6) AS wb
+      |       FROM f),
+      |w2 AS (SELECT round(max(w1.b) -
+      |                avg(1/(1+exp(-(w1.b + w1.wa*x1 + w1.wb*x2))) - y), 6) AS b,
+      |              round(max(w1.wa) -
+      |                avg((1/(1+exp(-(w1.b + w1.wa*x1 + w1.wb*x2))) - y) * x1), 6) AS wa,
+      |              round(max(w1.wb) -
+      |                avg((1/(1+exp(-(w1.b + w1.wa*x1 + w1.wb*x2))) - y) * x2), 6) AS wb
+      |       FROM f CROSS JOIN w1),
+      |sc AS (SELECT doc_id, y::BIGINT AS y,
+      |              round(1/(1+exp(-(w2.b + w2.wa*x1 + w2.wb*x2))), 6) AS s
+      |       FROM f CROSS JOIN w2)""".stripMargin
 }

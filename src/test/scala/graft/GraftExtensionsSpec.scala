@@ -51,6 +51,9 @@ class GraftExtensionsSpec extends SparkSpec {
     // char_entropy: SQL surface == Column API == closed form ln(2)
     assert(spark.sql("SELECT char_entropy('abab')").collect()(0).getDouble(0) ==
       math.rint(math.log(2) * 1e6) / 1e6)
+    // poly_hash60: SQL surface == the typed kernel
+    assert(spark.sql("SELECT poly_hash60('the cat sat')").collect()(0).getLong(0) ==
+      graft.functions.PolyHash.hash60("the cat sat"))
     val oob = intercept[Exception](spark.sql("SELECT f16_to_f32(65536)").collect())
     assert(oob.getMessage.contains("out of range"))
   }
@@ -111,6 +114,6 @@ class GraftExtensionsSpec extends SparkSpec {
       case _: graft.functions.CharEntropy => true; case _ => false
     }.isDefined)
     // class metadata points at each function's own implementation
-    assert(GraftExtensions.builders.map(_._2).distinct.length == 5)
+    assert(GraftExtensions.builders.map(_._2).distinct.length == 6)
   }
 }
