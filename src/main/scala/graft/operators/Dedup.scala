@@ -146,6 +146,38 @@ object Dedup {
     }
   }
 
+  /** Edit-distance-VERIFIED near-duplicate pairs: recall-oriented n-gram
+    * Jaccard candidates (inverted-index join — never an all-pairs space),
+    * then a banded Levenshtein verify over the raw text. This is the
+    * fuzzy-dedup certificate shingle overlap alone can't give: Jaccard is
+    * order-insensitive (a fully permuted doc scores 1.0), while edit
+    * distance certifies the pair really is within `maxDist` single-
+    * character edits. Output: `(id_a, id_b, jaccard, edit_dist)` with
+    * id_a < id_b, jaccard round-6.
+    *
+    * Scale shape: the pair space is the candidate generator's (posting-
+    * list co-occurrence; lower `candidateThreshold` = higher recall,
+    * more verify work). Text crosses two doc-keyed hash joins into the
+    * verify; the kernel is Spark's banded `levenshtein(l, r, threshold)`
+    * — O(len·maxDist) per pair, not O(len²), codegen'd. Distance units
+    * are Spark-native (UTF-16-char edits); the oracle pins the ASCII
+    * slice, where every engine's unit coincides.
+    */
+  def editVerifiedNearDupPairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, candidateThreshold: Double = 0.3,
+      maxDist: Int = 50): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      coalesce(col(textCol), lit("")).as("t"))
+    ngramJaccardPairs(docs, idCol, textCol, n, candidateThreshold)
+      .join(base.select(col("id").as("id_a"), col("t").as("_ta")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("t").as("_tb")), "id_b")
+      .withColumn("_d", levenshtein(col("_ta"), col("_tb"), maxDist))
+      .filter(col("_d") >= 0) // banded form returns -1 past the threshold
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
+        col("_d").cast("long").as("edit_dist"))
+  }
+
   /** Capped-Jaccard pairs from a precomputed `(id, shingles)` table (the
     * output shape of [[hashedShingleSets]]). Persistence of `sets` is the
     * CALLER's responsibility — it feeds the posting list and the per-doc
@@ -334,6 +366,76 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
+    idPairs
+      .join(sets.toDF("id_a", "sh_a"), "id_a")
+      .join(sets.toDF("id_b", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Persistable MinHash index over a corpus: one row per doc,
+    * `(id, shingles, sig)` — the artifact an INCREMENTAL dedup pipeline
+    * writes once (parquet) and probes on every ingest batch instead of
+    * re-signaturing the corpus. Band buckets are NOT materialized (they
+    * re-derive from `sig` with a slice+hash projection at probe time —
+    * cheaper to recompute than to store ×bands). Same shingle/signature
+    * kernels as [[minhashLshPairs]], so an index built at `(n, numPerms,
+    * seed)` is bit-compatible with the batch operator.
+    */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 128, seed: Long = 42L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val params = permParams(numPerms, seed).toArray
+    hashedShingleSets(docs, idCol, textCol, n).as[(Long, Array[Long])]
+      .map { case (id, hs) => (id, hs, signatureKernel(hs, params)) }
+      .toDF("id", "shingles", "sig")
+  }
+
+  /** `(id, band, bucket)` LSH projection of a [[minhashIndex]] frame. */
+  private def bandBuckets(index: DataFrame, bands: Int, r: Int): DataFrame =
+    index.select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bucket"))))
+          .as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+
+  /** INCREMENTAL MinHash-LSH near-dup pairs: every verified pair touching
+    * the NEW batch — (new × indexed) and (new × new), never re-examining
+    * (indexed × indexed), which the index build already emitted. With
+    * disjoint id spaces, `minhashLshPairs(old ∪ new)` ≡
+    * `minhashLshPairs(old) ∪ thisOperator(oldIndex, newIndex)` (spec-pinned)
+    * — the progressive-ingest dedup contract. Output `(id_a, id_b,
+    * jaccard)`, id_a < id_b, same verification threshold semantics as the
+    * batch form.
+    *
+    * Scale shape: the candidate join streams the SMALL new batch's band
+    * tuples against the corpus index's — band/bucket-keyed equi-join (AQE
+    * can broadcast the new side when the batch is small); shingle arrays
+    * move only for verified-candidate rehydration, exactly like the batch
+    * operator. Ids must be disjoint across the two indices.
+    */
+  def minhashLshPairsIncremental(oldIndex: DataFrame, newIndex: DataFrame,
+      numPerms: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val r = numPerms / bands
+    val bOld = bandBuckets(oldIndex, bands, r).withColumn("is_new", lit(false))
+    val bNew = bandBuckets(newIndex, bands, r).withColumn("is_new", lit(true))
+    val idPairs = bNew.as("a")
+      .join(bOld.unionByName(bNew).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          // new×new once (a.id < b.id); new×old always from the new side
+          (!col("b.is_new") && col("a.id") =!= col("b.id") ||
+            col("a.id") < col("b.id")))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val sets = oldIndex.select("id", "shingles")
+      .unionByName(newIndex.select("id", "shingles"))
     idPairs
       .join(sets.toDF("id_a", "sh_a"), "id_a")
       .join(sets.toDF("id_b", "sh_b"), "id_b")

@@ -725,5 +725,65 @@ object DedupQueries {
       Dedup.removeExactSubstrChar(Tables.documents(s, dir), "doc_id", "text",
         minLen = 40)
     },
+
+    // Edit-distance-VERIFIED near-dup pairs: low-threshold Jaccard
+    // candidates (recall), then banded Levenshtein <= 50 (precision) —
+    // at sf0.01 the verify genuinely rejects candidates (dist up to ~87),
+    // so a green hash proves BOTH stages. The oracle restricts to the
+    // ASCII slice (strlen = length), where DuckDB's byte-level levenshtein
+    // and Spark's char-level one coincide; the Spark side applies the
+    // same restriction so the compared relations are identical.
+    GQuery(
+      "q197_edit_verified_neardup",
+      """WITH docs AS (SELECT doc_id, text FROM documents
+        |              WHERE strlen(text) = length(text)),
+        |toks AS (SELECT doc_id,
+        |                list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |         FROM docs),
+        |sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |          i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |        FROM toks WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id, unnest(sh) AS shingle FROM sh0),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |j AS (SELECT ia AS id_a, ib AS id_b,
+        |             c::DOUBLE / (sa.sz + sb.sz - c) AS jacc
+        |      FROM inter JOIN sz sa ON sa.doc_id = ia
+        |                 JOIN sz sb ON sb.doc_id = ib
+        |      WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.05)
+        |SELECT id_a, id_b, round(jacc, 6) AS jaccard,
+        |       levenshtein(a.text, b.text)::BIGINT AS edit_dist
+        |FROM j JOIN docs a ON a.doc_id = j.id_a
+        |       JOIN docs b ON b.doc_id = j.id_b
+        |WHERE levenshtein(a.text, b.text) <= 50""".stripMargin) { (s, dir) =>
+      val ascii = Tables.documents(s, dir)
+        .filter(octet_length(col("text")) === length(col("text")))
+      Dedup.editVerifiedNearDupPairs(ascii, "doc_id", "text", n = 3,
+        candidateThreshold = 0.05, maxDist = 50)
+    },
+
+    // INCREMENTAL LSH dedup: corpus docs (doc_id % 5 != 0) are pre-indexed
+    // (minhashIndex — the persisted artifact); the "ingest batch"
+    // (doc_id % 5 = 0) probes it. Output = every verified pair TOUCHING
+    // the batch. The oracle brute-forces exact Jaccard over the full
+    // corpus and keeps pairs with a batch member — so a green hash is
+    // simultaneously the recall proof (no band miss) and the no-buffered-
+    // duplicate proof (nothing emitted twice from the new×new side).
+    GQuery(
+      "q198_incremental_lsh_dedup",
+      s"""SELECT id_a, id_b, jaccard FROM (
+         |${jaccardPairsSql(0.8)}
+         |) WHERE id_a % 5 = 0 OR id_b % 5 = 0""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val oldIdx = Dedup.minhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")
+      val newIdx = Dedup.minhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+      Dedup.minhashLshPairsIncremental(oldIdx, newIdx,
+          numPerms = 128, bands = 32, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
   )
 }

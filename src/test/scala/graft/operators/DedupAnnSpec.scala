@@ -114,4 +114,49 @@ class DedupAnnSpec extends SparkSpec {
     assert(index.select("id").distinct().count() == emb.count())
     assert(index.select("cell").distinct().count() <= 8)
   }
+
+  test("edit-verified near-dup keeps near-identical pairs, rejects permutations") {
+    val head = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, head),
+      (2L, head.replace("delta", "felta")),          // 1 char edit
+      (3L, head.split(" ").reverse.mkString(" ")),   // same words, permuted
+      (4L, "totally unrelated content nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editVerifiedNearDupPairs(docs, "doc_id", "text",
+        n = 3, candidateThreshold = 0.05, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // (1,2) survives with distance 1; the permuted doc 3 shares unigrams
+    // but its 3-gram Jaccard and its edit distance both reject it
+    assert(got == Set((1L, 2L, 1L)))
+    // the permutation IS within reach of a very loose candidate threshold +
+    // huge maxDist — proving the verify (not candidate recall) rejected it
+    val loose = Dedup.editVerifiedNearDupPairs(docs, "doc_id", "text",
+        n = 1, candidateThreshold = 0.5, maxDist = 1000)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((1L, 3L)))
+    val tight = Dedup.editVerifiedNearDupPairs(docs, "doc_id", "text",
+        n = 1, candidateThreshold = 0.5, maxDist = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!tight.contains((1L, 3L)) && tight.contains((1L, 2L)))
+  }
+
+  test("incremental LSH == batch pairs touching the new batch (exact union invariant)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = canon(Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numPerms = 128, bands = 32, threshold = 0.8))
+    val isNew = pmod(col("doc_id"), lit(5)) === 0
+    val oldPairs = canon(Dedup.minhashLshPairs(docs.filter(!isNew),
+      "doc_id", "text", n = 3, numPerms = 128, bands = 32, threshold = 0.8))
+    val oldIdx = Dedup.minhashIndex(docs.filter(!isNew), "doc_id", "text")
+    val newIdx = Dedup.minhashIndex(docs.filter(isNew), "doc_id", "text")
+    val inc = canon(Dedup.minhashLshPairsIncremental(oldIdx, newIdx,
+      numPerms = 128, bands = 32, threshold = 0.8))
+    assert(oldPairs.union(inc) == full, "old ∪ incremental != full-corpus pairs")
+    assert(oldPairs.intersect(inc).isEmpty, "incremental re-emitted an indexed pair")
+    assert(inc.nonEmpty, "vacuous: no pair touches the new batch at sf0.001")
+  }
 }
