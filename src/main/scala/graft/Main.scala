@@ -689,6 +689,14 @@ object Main {
         } else operators.Cms.heavyHitters(docs, txtC, depth, width, threshold,
           hashMode)
 
+      case "mg-heavy" =>
+        // Misra-Gries guaranteed heavy hitters: k-counter sketch pass +
+        // exact count restricted to the surviving candidates (q199)
+        operators.Freq.guaranteedHeavyTokens(
+          spark.read.parquet(need("input")),
+          flags.getOrElse("text-col", "text"),
+          flags.getOrElse("k", "100").toInt)
+
       case "gquantiles" =>
         // exact per-group quantiles without per-group windows (q178)
         operators.Ranking.groupedQuantiles(
@@ -749,6 +757,7 @@ object Main {
       |  tfidf --input PARQUET [--min-df N] [--id-col C] [--text-col C]
       |  hashtf --input PARQUET [--n-buckets N] [--id-col C] [--text-col C]
       |  cms --input PARQUET [--depth N] [--width N] [--threshold N] [--score [--id-col C]] [--text-col C]
+      |  mg-heavy --input PARQUET [--k N] [--text-col C]
       |  (sketch/bucketing commands take [--hash md5|xx64|poly]: xx64 is the
       |   fast production default, md5 the engine-neutral oracle-parity mode,
       |   poly the rolling-window mode for char-level exactsubstr)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Cleanup, Generators, ProfileStats}
+import graft.operators.{Cleanup, Freq, Generators, ProfileStats}
 
 /** Statistical profiling, hygiene and deterministic synthesis queries
   * (SURVEY.md A2/A4-A8, F11): per-dim moments, histograms, exact quantiles,
@@ -384,6 +384,31 @@ object StatsQueries {
       ProfileStats.madWinsorize(
         Tables.events(s, dir).select("event_id", "value"), "value")
         .select("event_id", "winsorized")
+    },
+
+    // Misra-Gries guaranteed heavy hitters: the DETERMINISTIC leg of the
+    // frequency family. Phase 1 folds the term stream (word-initial code
+    // points here — the discriminative domain on this corpus) into ≤ 15
+    // counters in one treeAggregate; phase 2 exact-counts ONLY the ≤ 15
+    // broadcast candidates and filters to the n/(k+1) guarantee. The
+    // full-vocabulary shuffle never runs, yet the output — every term
+    // with true count > n/16, with its EXACT count — is deterministic
+    // under any partitioning (the MG guarantee; FreqSpec pins merge-order
+    // invariance). The oracle computes the same set directly.
+    GQuery(
+      "q199_mg_heavy",
+      """WITH toks AS (SELECT substr(unnest(list_filter(
+        |                string_split(lower(text), ' '), x -> x != '')), 1, 1)
+        |                AS term FROM documents),
+        |n AS (SELECT count(*) AS c FROM toks),
+        |tc AS (SELECT term, count(*) AS tf FROM toks GROUP BY term)
+        |SELECT term, tf FROM tc CROSS JOIN n
+        |WHERE tf > c / 16.0""".stripMargin) { (s, dir) =>
+      val terms = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .select(substring(col("w"), 1, 1).as("term"))
+      Freq.guaranteedHeavy(terms, "term", k = 15)
     },
   )
 }

@@ -512,6 +512,17 @@ class CliSpec extends SparkSpec {
     assert(got == Map("a" -> 4L, "b" -> 2L)) // collision-free => exact
   }
 
+  test("mg-heavy surfaces the guaranteed-heavy tokens with exact counts") {
+    import spark.implicits._
+    val input = s"$dir/mg.parquet"
+    Seq((1L, "a a a a b"), (2L, "a b c d")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(input)
+    // n=9, k=3 => threshold 2.25: only 'a' (5) and nothing else qualifies
+    val got = Main.run(spark, Seq("mg-heavy", "--input", input, "--k", "3"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 5L))
+  }
+
   test("curriculum, winsorize, ensemble, keepbest and pack --report drive the curation operators") {
     import spark.implicits._
     val input = s"$dir/cur.parquet"
