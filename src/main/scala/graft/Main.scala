@@ -589,6 +589,16 @@ object Main {
           default = flags.getOrElse("default",
             if (flags.contains("balance")) "0.0" else "1.0").toDouble)
 
+      case "doremi" =>
+        // excess-loss multiplicative-weights domain reweighting (q200)
+        operators.Mixture.doremiFactors(
+          spark.read.parquet(need("input")),
+          need("domain-col"), need("loss-col"),
+          eta = flags.getOrElse("eta", "1.0").toDouble,
+          smoothing = flags.getOrElse("smoothing", "0.1").toDouble,
+          steps = flags.getOrElse("steps", "3").toInt,
+          refCol = flags.get("ref-col"))
+
       case "tfidf" =>
         // sparse TF-IDF document vectors (df-pruned smoothed idf)
         operators.TfIdf.tfidf(spark.read.parquet(need("input")),
@@ -744,6 +754,7 @@ object Main {
       |  semdedup --input PARQUET [--threshold T] [--n-bits N] [--n-tables N] [--cells K] [--iters N] [--id-col C] [--vec-col C]
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
       |  mix --input PARQUET --domain-col D --key-col K (--factors n=F,... | --balance | --temperature A [--weight-col W]) [--default F]
+      |  doremi --input PARQUET --domain-col D --loss-col L [--eta F] [--smoothing F] [--steps N] [--ref-col R]
       |  surprisal --input PARQUET [--bigram | --kn [--discount D]] [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--thresholds [--approx]] [--id-col C] [--text-col C]
       |  logreg --input PARQUET --features C1,C2 --label-col C [--steps N] [--lr F] [--score [--id-col C]]

@@ -74,6 +74,61 @@ object Mixture {
           .as("factor"))
   }
 
+  /** Excess-loss domain reweighting (the DoReMi update, Xie et al. 2023,
+    * in its static-excess form): starting uniform over the k domains,
+    * `steps` multiplicative-weights rounds of
+    *
+    *   w'(d) ∝ w(d) · exp(η · ε_d),   w ← (1−s)·w' + s/k
+    *
+    * where ε_d = max(0, L_d − R_d) is domain d's clamped excess loss
+    * (L_d = mean of `lossCol`; R_d = mean of `refCol` if given — the
+    * reference-model losses — else the global mean of `lossCol`), and
+    * `s` is the uniform-smoothing mass that keeps every domain sampled.
+    * Domains that already beat the reference (ε = 0) decay toward the
+    * smoothing floor; domains with headroom gain mass.
+    *
+    * Scale shape: ONE domain-keyed aggregate over the corpus; the MW
+    * iteration runs on the collected k-row table (bounded by the domain
+    * count, like the DSIR LLR tables) in sorted-domain order so the
+    * normalization sum is deterministic. Output: (domain, weight) rounded
+    * to 6 — any engine replays it by unrolling the steps.
+    */
+  def doremiFactors(df: DataFrame, domainCol: String, lossCol: String,
+      eta: Double, smoothing: Double = 0.1, steps: Int = 3,
+      refCol: Option[String] = None): DataFrame = {
+    require(eta >= 0.0, s"eta must be >= 0, got $eta")
+    require(smoothing >= 0.0 && smoothing <= 1.0,
+      s"smoothing must be in [0, 1], got $smoothing")
+    require(steps >= 0, s"steps must be >= 0, got $steps")
+    val spark = df.sparkSession
+    val perDomain = refCol match {
+      case Some(r) =>
+        df.groupBy(domainCol).agg(avg(col(lossCol)).as("L"), avg(col(r)).as("R"))
+      case None =>
+        val g = df.agg(avg(col(lossCol)).as("R"))
+        df.groupBy(domainCol).agg(avg(col(lossCol)).as("L"))
+          .crossJoin(broadcast(g))
+    }
+    val rows = perDomain
+      .select(col(domainCol).cast("string"), greatest(col("L") - col("R"), lit(0.0)))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "doremiFactors: no domains")
+    val k = rows.length
+    val excess = rows.map(_._2)
+    var w = Array.fill(k)(1.0 / k)
+    var t = 0
+    while (t < steps) {
+      val un = Array.tabulate(k)(i => w(i) * math.exp(eta * excess(i)))
+      val z = un.sum // sorted-domain order: deterministic float sum
+      w = Array.tabulate(k)(i => (1.0 - smoothing) * un(i) / z + smoothing / k)
+      t += 1
+    }
+    import spark.implicits._
+    rows.map(_._1).zip(w).toSeq.toDF(domainCol, "weight")
+      .select(col(domainCol), round(col("weight"), 6).as("weight"))
+  }
+
   /** Emit `(every input column, <epochCol>)` with epoch = 0..nEpochs−1 per
     * row, where nEpochs = floor(f) + (draw < round(frac(f)·1e6) ? 1 : 0)
     * and f is the row's domain factor (absent domains and null domains use

@@ -810,6 +810,37 @@ object CurationQueries {
         "source", "w", alpha = 0.5)
     },
 
+    // DoReMi-style domain reweighting: three multiplicative-weights rounds
+    // over the per-language clamped excess loss (proxy loss = n_chars/1000,
+    // reference = the global mean), each round smoothed with 0.1 uniform
+    // mass. One domain-keyed aggregate feeds a k-row driver iteration in
+    // sorted-domain order (bounded like the DSIR LLR tables); the oracle
+    // unrolls the three steps as CTEs. Languages already beating the
+    // reference decay to the smoothing floor; fr/zh (positive excess on
+    // this corpus) gain mass.
+    GQuery(
+      "q200_doremi_weights",
+      """WITH d AS (SELECT lang, avg(n_chars / 1000.0) AS L FROM documents GROUP BY lang),
+        |g AS (SELECT avg(n_chars / 1000.0) AS R FROM documents),
+        |e AS (SELECT lang, greatest(L - R, 0.0) AS x FROM d CROSS JOIN g),
+        |kk AS (SELECT count(*)::DOUBLE AS k FROM e),
+        |w0 AS (SELECT lang, x, 1.0 / k AS w FROM e CROSS JOIN kk),
+        |u1 AS (SELECT lang, x, w * exp(20.0 * x) AS uw FROM w0),
+        |w1 AS (SELECT lang, x, 0.9 * uw / (sum(uw) OVER ()) + 0.1 / k AS w
+        |       FROM u1 CROSS JOIN kk),
+        |u2 AS (SELECT lang, x, w * exp(20.0 * x) AS uw FROM w1),
+        |w2 AS (SELECT lang, x, 0.9 * uw / (sum(uw) OVER ()) + 0.1 / k AS w
+        |       FROM u2 CROSS JOIN kk),
+        |u3 AS (SELECT lang, x, w * exp(20.0 * x) AS uw FROM w2),
+        |w3 AS (SELECT lang, 0.9 * uw / (sum(uw) OVER ()) + 0.1 / k AS w
+        |       FROM u3 CROSS JOIN kk)
+        |SELECT lang, round(w, 6) AS weight FROM w3""".stripMargin) { (s, dir) =>
+      Mixture.doremiFactors(
+        Tables.documents(s, dir)
+          .select(col("lang"), (col("n_chars") / 1000.0).as("loss")),
+        "lang", "loss", eta = 20.0, smoothing = 0.1, steps = 3)
+    },
+
     // DSIR importance weights: every raw document scored by how zh-like its
     // hashed unigram distribution is (target = the corpus's zh slice). The
     // oracle recomputes both smoothed bucket marginals and the per-doc

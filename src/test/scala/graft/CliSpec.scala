@@ -523,6 +523,18 @@ class CliSpec extends SparkSpec {
     assert(got == Map("a" -> 5L))
   }
 
+  test("doremi reweights domains by excess loss via the CLI") {
+    import spark.implicits._
+    val input = s"$dir/doremi.parquet"
+    Seq(("a", 2.0, 1.0), ("b", 1.0, 2.0)).toDF("d", "loss", "ref")
+      .write.mode("overwrite").parquet(input)
+    val got = Main.run(spark, Seq("doremi", "--input", input,
+      "--domain-col", "d", "--loss-col", "loss", "--ref-col", "ref",
+      "--eta", s"${math.log(3.0)}", "--smoothing", "0.2", "--steps", "1"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 0.7, "b" -> 0.3))
+  }
+
   test("curriculum, winsorize, ensemble, keepbest and pack --report drive the curation operators") {
     import spark.implicits._
     val input = s"$dir/cur.parquet"

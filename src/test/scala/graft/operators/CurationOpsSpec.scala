@@ -201,6 +201,43 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("doremiFactors: zero excess everywhere stays uniform; positive excess gains mass") {
+    import spark.implicits._
+    // two domains with identical mean loss: every excess clamps to 0
+    val flat = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 2.0)).toDF("d", "loss")
+    val w = Mixture.doremiFactors(flat, "d", "loss", eta = 5.0, steps = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w == Map("a" -> 0.5, "b" -> 0.5))
+
+    // b's mean loss exceeds the global mean: b must strictly gain
+    val skew = Seq(("a", 1.0), ("b", 3.0)).toDF("d", "loss")
+    val w2 = Mixture.doremiFactors(skew, "d", "loss", eta = 1.0, steps = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w2("b") > w2("a"))
+    assert(math.abs(w2.values.sum - 1.0) < 1e-5, s"weights must sum to 1: $w2")
+    // smoothing floor: no domain below s/k = 0.05
+    assert(w2.values.forall(_ >= 0.05 - 1e-9))
+  }
+
+  test("doremiFactors matches a hand-computed one-step update with an explicit reference") {
+    import spark.implicits._
+    // excess: a = max(0, 2-1) = 1, b = max(0, 1-2) = 0
+    val df = Seq(("a", 2.0, 1.0), ("b", 1.0, 2.0)).toDF("d", "loss", "ref")
+    val got = Mixture.doremiFactors(df, "d", "loss", eta = math.log(3.0),
+      smoothing = 0.2, steps = 1, refCol = Some("ref"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // u = (0.5*3, 0.5); w_a = 0.8*1.5/2 + 0.1 = 0.7, w_b = 0.8*0.5/2 + 0.1 = 0.3
+    assert(got == Map("a" -> 0.7, "b" -> 0.3))
+  }
+
+  test("doremiFactors: steps=0 is uniform regardless of losses") {
+    import spark.implicits._
+    val df = Seq(("a", 9.0), ("b", 1.0), ("c", 5.0)).toDF("d", "loss")
+    val w = Mixture.doremiFactors(df, "d", "loss", eta = 10.0, steps = 0)
+      .collect().map(_.getDouble(1))
+    assert(w.forall(x => math.abs(x - 1.0 / 3) < 1e-6))
+  }
+
   test("materializing balanced INTEGER factors equalizes domain row mass exactly") {
     import spark.implicits._
     // rows carry weight 1 each: a×10, b×20, c×40 rows; T=70 — use
