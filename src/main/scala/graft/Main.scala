@@ -589,6 +589,17 @@ object Main {
           default = flags.getOrElse("default",
             if (flags.contains("balance")) "0.0" else "1.0").toDouble)
 
+      case "mmr" =>
+        // greedy diversified top-k over per-query candidate sets (q201)
+        operators.Mmr.mmrSelect(
+          spark.read.parquet(need("input")),
+          queryCol = flags.getOrElse("query-col", "query_id"),
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          relCol = flags.getOrElse("rel-col", "rel"),
+          vecCol = flags.getOrElse("vec-col", "embedding"),
+          lambda = flags.getOrElse("lambda", "0.7").toDouble,
+          k = flags.getOrElse("k", "10").toInt)
+
       case "doremi" =>
         // excess-loss multiplicative-weights domain reweighting (q200)
         operators.Mixture.doremiFactors(
@@ -755,6 +766,7 @@ object Main {
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
       |  mix --input PARQUET --domain-col D --key-col K (--factors n=F,... | --balance | --temperature A [--weight-col W]) [--default F]
       |  doremi --input PARQUET --domain-col D --loss-col L [--eta F] [--smoothing F] [--steps N] [--ref-col R]
+      |  mmr --input PARQUET [--query-col Q] [--id-col C] [--rel-col R] [--vec-col V] [--lambda F] [--k N]
       |  surprisal --input PARQUET [--bigram | --kn [--discount D]] [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--thresholds [--approx]] [--id-col C] [--text-col C]
       |  logreg --input PARQUET --features C1,C2 --label-col C [--steps N] [--lr F] [--score [--id-col C]]

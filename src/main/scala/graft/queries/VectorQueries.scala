@@ -247,5 +247,73 @@ object VectorQueries {
           |       round(vector_distance(a.embedding, b.embedding, 'COSINE'), 6) AS d
           |FROM sql_emb a JOIN sql_emb b ON a.vec_id < b.vec_id""".stripMargin)
     },
+
+    // MMR diversified top-3: greedy maximal-marginal-relevance selection
+    // over per-query candidate sets (8 queries × ~19 residue-class
+    // candidates). One query-keyed shuffle, then the O(n·k·d) greedy runs
+    // in-task per group; relevance/sims/scores round to 6 BEFORE every
+    // argmax and ties break by id, so the oracle — the three steps
+    // unrolled as CTEs over a rounded pairwise-sim relation — walks the
+    // identical selection chain, redundancy penalties included.
+    GQuery(
+      "q201_mmr_diversify",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 8),
+        |cand AS (
+        |  SELECT q.qid, b.vec_id AS id, b.embedding AS ce,
+        |    round(list_sum(list_transform(range(1, len(q.qe)+1),
+        |            i -> q.qe[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE*x::DOUBLE))) *
+        |         sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE*x::DOUBLE)))), 6)
+        |      AS rel
+        |  FROM q JOIN embeddings b ON b.vec_id % 25 = q.qid AND b.vec_id != q.qid),
+        |sim AS (
+        |  SELECT a.qid, a.id AS ia, b.id AS ib,
+        |    round(list_sum(list_transform(range(1, len(a.ce)+1),
+        |            i -> a.ce[i]::DOUBLE * b.ce[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(a.ce, x -> x::DOUBLE*x::DOUBLE))) *
+        |         sqrt(list_sum(list_transform(b.ce, x -> x::DOUBLE*x::DOUBLE)))), 6) AS s
+        |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.id != b.id),
+        |s1 AS (SELECT qid, id, round(0.7 * rel, 6) AS score,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY round(0.7 * rel, 6) DESC, id) AS rn
+        |       FROM cand),
+        |p1 AS (SELECT qid, id, score FROM s1 WHERE rn = 1),
+        |s2 AS (SELECT c.qid, c.id, round(0.7 * c.rel - 0.3 * sim.s, 6) AS score,
+        |         row_number() OVER (PARTITION BY c.qid
+        |           ORDER BY round(0.7 * c.rel - 0.3 * sim.s, 6) DESC, c.id) AS rn
+        |       FROM cand c
+        |       JOIN p1 ON c.qid = p1.qid AND c.id != p1.id
+        |       JOIN sim ON sim.qid = c.qid AND sim.ia = c.id AND sim.ib = p1.id),
+        |p2 AS (SELECT qid, id, score FROM s2 WHERE rn = 1),
+        |s3 AS (SELECT c.qid, c.id,
+        |         round(0.7 * c.rel - 0.3 * greatest(sa.s, sb.s), 6) AS score,
+        |         row_number() OVER (PARTITION BY c.qid
+        |           ORDER BY round(0.7 * c.rel - 0.3 * greatest(sa.s, sb.s), 6) DESC,
+        |                    c.id) AS rn
+        |       FROM cand c
+        |       JOIN p1 ON c.qid = p1.qid AND c.id != p1.id
+        |       JOIN p2 ON c.qid = p2.qid AND c.id != p2.id
+        |       JOIN sim sa ON sa.qid = c.qid AND sa.ia = c.id AND sa.ib = p1.id
+        |       JOIN sim sb ON sb.qid = c.qid AND sb.ia = c.id AND sb.ib = p2.id),
+        |p3 AS (SELECT qid, id, score FROM s3 WHERE rn = 1)
+        |SELECT qid AS query_id, id AS doc_id, rank, score AS mmr_score FROM (
+        |  SELECT qid, id, 1::BIGINT AS rank, score FROM p1
+        |  UNION ALL SELECT qid, id, 2::BIGINT, score FROM p2
+        |  UNION ALL SELECT qid, id, 3::BIGINT, score FROM p3)""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val cand = q.join(
+          emb.select(col("vec_id").as("id"), col("embedding").as("ce")),
+          col("id") % 25 === col("qid") && col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          (lit(1.0) - VectorFunctions.cosineDistance(col("qe"), col("ce"))).as("rel"),
+          col("ce"))
+      graft.operators.Mmr.mmrSelect(cand, "qid", "id", "rel", "ce",
+          lambda = 0.7, k = 3)
+        .select(col("qid").as("query_id"), col("id").as("doc_id"),
+          col("rank").cast("long").as("rank"), col("mmr_score"))
+    },
   )
 }

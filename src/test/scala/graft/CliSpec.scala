@@ -523,6 +523,19 @@ class CliSpec extends SparkSpec {
     assert(got == Map("a" -> 5L))
   }
 
+  test("mmr defers the redundant near-duplicate via the CLI") {
+    import spark.implicits._
+    val input = s"$dir/mmr.parquet"
+    Seq((1L, 1L, 0.90, Array(1f, 0f)), (1L, 2L, 0.89, Array(1f, 0f)),
+        (1L, 3L, 0.50, Array(0f, 1f)))
+      .toDF("query_id", "doc_id", "rel", "embedding")
+      .write.mode("overwrite").parquet(input)
+    val got = Main.run(spark, Seq("mmr", "--input", input,
+      "--lambda", "0.5", "--k", "2"))
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+
   test("doremi reweights domains by excess loss via the CLI") {
     import spark.implicits._
     val input = s"$dir/doremi.parquet"
