@@ -11,6 +11,13 @@ import graft.streaming.EventStreams
   */
 object StreamQueries {
 
+  /** DuckDB cosine distance between two float-list refs (the q50 form). */
+  private def cosDistSql(a: String, b: String): String =
+    s"""(1.0 - list_sum(list_transform(range(1, len($a)+1),
+       |          i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       |      / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE*x::DOUBLE))) *
+       |         sqrt(list_sum(list_transform($b, x -> x::DOUBLE*x::DOUBLE)))))""".stripMargin
+
   val all: Seq[GQuery] = Seq(
 
     // T4 progress events: a SparkListener-driven reporter observes a real
@@ -213,6 +220,54 @@ object StreamQueries {
         .filter(col("term") =!= "")
       graft.operators.Cms.estimates(toks, grid, depth = 3, termCol = "term")
         .filter(col("cms_count") >= 80)
+    },
+
+    // Streaming IVF probe: the query set arrives as a STREAM and probes a
+    // frozen index via foreachBatch — each micro-batch runs the exact
+    // batch search and appends its top-k. Queries are independent and the
+    // index is static, so any batching unions to the whole-batch result;
+    // the oracle is the full from-first-principles IVF replay (the q50
+    // SQL), green only if the streaming path loses or duplicates nothing.
+    GQuery(
+      "q202_stream_ivf_probe",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, base.v, c.cell, ${cosDistSql("base.v", "c.ce")} AS d,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${cosDistSql("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, cell FROM assignr WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 120),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${cosDistSql("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qv, cell FROM probr WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.id AS nid, ${cosDistSql("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val index = graft.operators.Ann.ivfIndex(emb, centroids)
+      val queryStream = s.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("recursiveFileLookup", "false")
+        .parquet(dir)
+        .filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      val out = s"${tmpDir()}/annstream-${System.nanoTime()}"
+      graft.streaming.StreamAnn.ivfSearchToPath(queryStream, index, centroids,
+        k = 5, nProbe = 4, outPath = out, excludeSelf = true)
+      s.read.parquet(out)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
     },
   )
 }

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Ann
+
+/** Streaming ANN probe — the serving face of the IVF index: a STREAMING
+  * query relation probes a frozen (index, centroids) pair micro-batch by
+  * micro-batch, each batch running the exact batch search (zero-shuffle
+  * probe selection over the broadcast centroids + cell-equi candidate
+  * join + bounded per-query heaps) and appending its top-k.
+  *
+  * Queries are independent rows and the index is static, so the union
+  * over ANY batching equals the whole-batch search exactly —
+  * [[StreamAnnSpec]] pins the equality through a real multi-batch file
+  * stream; q202 oracles the result against the from-first-principles
+  * IVF replay (the q50 oracle) run through this path.
+  *
+  * Scale shape: per-batch cost is the batch search's (probe lists are
+  * map-side; the candidate join touches only probed cells — partition
+  * pruning territory when the index is written `partitionBy(cell)`);
+  * no streaming state at all — the index IS the state, updated by
+  * re-indexing offline, which is how IVF deployments roll.
+  */
+object StreamAnn {
+
+  /** Drain a streaming query relation against the static index, appending
+    * each micro-batch's `(query_id, neighbor_id, rank, dist)` to
+    * `outPath` as parquet (Trigger.AvailableNow: process what's there,
+    * then stop — a continuous deployment starts the same foreachBatch
+    * with its own trigger).
+    */
+  def ivfSearchToPath(queryStream: DataFrame, index: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int, outPath: String,
+      metric: String = "COSINE", idCol: String = "vec_id",
+      vecCol: String = "embedding", excludeSelf: Boolean = false): Unit = {
+    val q = queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Ann.ivfSearch(batch, index, centroids, k, nProbe, metric,
+            idCol, vecCol, excludeSelf)
+          .write.mode("append").parquet(outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ann-stream").toString)
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Ann
+
+/** Streaming IVF probe == batch IVF search, under any batching of the
+  * query stream (queries are independent; the index is frozen).
+  */
+class StreamAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    graft.Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+
+  test("multi-batch file-streamed probes union to the exact batch search") {
+    val centroids = emb.filter(col("vec_id") < 8)
+    val index = Ann.ivfIndex(emb, centroids)
+    val queries = emb.filter(col("vec_id") >= 50 && col("vec_id") < 70)
+
+    val want = Ann.ivfSearch(queries, index, centroids, k = 4, nProbe = 3,
+        excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // 4 separate files => 4 micro-batches under maxFilesPerTrigger=1
+    val inDir = java.nio.file.Files.createTempDirectory("ann-stream-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ann-stream-out").toString + "/r"
+    (0 until 4).foreach { i =>
+      queries.filter(col("vec_id") % 4 === i)
+        .coalesce(1).write.parquet(s"$inDir/part$i")
+    }
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(inDir)
+    StreamAnn.ivfSearchToPath(stream, index, centroids, k = 4, nProbe = 3,
+      outPath = outDir, excludeSelf = true)
+
+    val got = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+}
