@@ -35,6 +35,28 @@ object SourceQueries {
           round(graft.functions.VectorFunctions.vectorNorm(col("vector")), 6).as("norm"))
     },
 
+    // DSv2 aggregate pushdown: count/min/max over a windowed xvec scan
+    // answer from the file header + interval arithmetic alone — the scan
+    // plans ONE metadata partition and reads zero payload bytes (XvecSpec
+    // asserts the aggPushed plan marker; at 100 TB a dataset count is
+    // O(files) metadata reads). The oracle counts the same slice on the
+    // source table the file was written from.
+    GQuery(
+      "q203_xvec_agg_pushdown",
+      """SELECT count(*) AS n, min(vec_id) AS mn, max(vec_id) AS mx
+        |FROM embeddings WHERE vec_id < 300""".stripMargin) { (s, dir) =>
+      val path = s"${tmpDir()}/aggpush-${System.nanoTime()}.fvec"
+      XvecIO.write(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").as("ordinal"), col("embedding").as("vector")),
+        path)
+      val scan = XvecIO.read(s, path, window = "[0..300)")
+        .agg(count(lit(1)).as("n"), min("ordinal").as("mn"), max("ordinal").as("mx"))
+      require(scan.queryExecution.executedPlan.toString.contains("aggPushed="),
+        "xvec aggregate pushdown did not engage")
+      scan
+    },
+
     // NumPy .npy round trip through the same DSv2 (file-headered, headerless
     // records): write the embeddings as a real v1.0 '<f4' C-order npy, read
     // back with an ordinal window (pushdown applies unchanged), norms must

@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.sources.{And => FAnd, EqualTo => FEq, GreaterThan => FGt, GreaterThanOrEqual => FGe, In => FIn, LessThan => FLt, LessThanOrEqual => FLe, Or => FOr}
@@ -80,10 +81,12 @@ class XvecTable(path: String, fmt: XvecFormat, window: FWindow,
 
 class XvecScanBuilder(path: String, fmt: XvecFormat, window: FWindow,
     columnar: Boolean = true, maxPerTrigger: Long = 0L)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = XvecTable.schemaFor(fmt)
+  private var aggSpec: Option[Seq[String]] = None // "count" | "min" | "max"
 
   /** Translate an ordinal filter into an interval set; None = can't push. */
   private def toIntervals(f: Filter): Option[Seq[FInterval]] = f match {
@@ -125,35 +128,85 @@ class XvecScanBuilder(path: String, fmt: XvecFormat, window: FWindow,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** COUNT(*) / MIN(ordinal) / MAX(ordinal) with no grouping answer from
+    * the file header + interval arithmetic alone — at 100 TB a dataset
+    * count is O(files) metadata reads, zero payload IO. Partial-pushdown
+    * semantics (Spark re-aggregates the one metadata row), declined
+    * whenever ordinal filters are present: those stay post-evaluated by
+    * Spark (see pushFilters), so a pre-counted row would skip them.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty || pushed.nonEmpty) return false
+    def isOrdinal(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference =>
+          nr.fieldNames.length == 1 && nr.fieldNames()(0) == "ordinal"
+        case _ => false
+      }
+    val kinds = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if isOrdinal(m.column) => Some("min")
+      case m: Max if isOrdinal(m.column) => Some("max")
+      case _ => None
+    }
+    if (kinds.exists(_.isEmpty)) false
+    else { aggSpec = Some(kinds.map(_.get)); true }
+  }
+
   override def build(): Scan = {
     val filterIntervals = pushed.foldLeft(Seq(FInterval(0, Long.MaxValue))) { (acc, f) =>
       intersect(acc, toIntervals(f).get)
     }
     new XvecScan(path, fmt, window, filterIntervals, required, columnar,
-      maxPerTrigger)
+      maxPerTrigger, aggSpec)
   }
 }
 
 case class XvecInputPartition(path: String, dimExpected: Int, recordStart: Long,
     recordEnd: Long, dataOffset: Long = 0L) extends InputPartition
 
+/** Metadata partition for a pushed aggregation: carries the pre-computed
+  * answers (count / min / max over the merged intervals).
+  */
+case class XvecAggPartition(kinds: Seq[String], count: Long,
+    minOrd: Option[Long], maxOrd: Option[Long]) extends InputPartition
+
+/** Emits the single metadata row of a pushed aggregation. */
+class XvecAggReader(p: XvecAggPartition) extends PartitionReader[InternalRow] {
+  private var emitted = false
+  override def next(): Boolean = { val go = !emitted; emitted = true; go }
+  override def get(): InternalRow = new GenericInternalRow(
+    p.kinds.map {
+      case "count" => p.count: Any
+      case "min"   => p.minOrd.map(x => x: Any).orNull
+      case "max"   => p.maxOrd.map(x => x: Any).orNull
+      case other   => throw new IllegalStateException(s"unknown agg kind: $other")
+    }.toArray)
+  override def close(): Unit = ()
+}
+
 class XvecScan(path: String, fmt: XvecFormat, window: FWindow,
     filterIntervals: Seq[FInterval], required: StructType,
-    columnar: Boolean = true, maxPerTrigger: Long = 0L) extends Scan with Batch {
+    columnar: Boolean = true, maxPerTrigger: Long = 0L,
+    aggSpec: Option[Seq[String]] = None) extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = aggSpec match {
+    case Some(kinds) => StructType(kinds.zipWithIndex.map { case (kind, i) =>
+      StructField(s"${kind}_$i", LongType, nullable = kind != "count")
+    })
+    case None => required
+  }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new XvecMicroBatchStream(path, fmt, window, required.fieldNames.toSeq,
       maxPerTrigger)
   override def description(): String =
-    s"xvec $path window=${window.intervals} pushed=${filterIntervals}"
+    s"xvec $path window=${window.intervals} pushed=${filterIntervals}" +
+      aggSpec.map(k => s" aggPushed=[${k.mkString(",")}]").getOrElse("")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val (dim, dataOffset, count) = fmt.fileMeta(Paths.get(path))
-    val stride = fmt.stride(dim)
-    // window ∩ pushed filters ∩ file bounds → normalized interval list
+  /** window ∩ pushed filters ∩ file bounds → normalized interval list. */
+  private def mergedIntervals(count: Long): Seq[FInterval] = {
     val base = if (window.isAll) Seq(FInterval(0, count)) else window.clamp(0, count).intervals
     val clipped = for {
       w <- base
@@ -161,16 +214,31 @@ class XvecScan(path: String, fmt: XvecFormat, window: FWindow,
       lo = math.max(w.minIncl, f.minIncl); hi = math.min(w.maxExcl, f.maxExcl)
       if hi > lo
     } yield FInterval(lo, hi)
-    val merged = normalize(clipped)
+    normalize(clipped)
+  }
 
-    // split for parallelism: target ~64MB of payload per partition
-    val targetRecords = math.max(1L, (64L << 20) / stride)
-    merged.flatMap { iv =>
-      (iv.minIncl until iv.maxExcl by targetRecords).map { s =>
-        XvecInputPartition(path, dim, s, math.min(iv.maxExcl, s + targetRecords),
-          dataOffset)
-      }
-    }.toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (dim, dataOffset, count) = fmt.fileMeta(Paths.get(path))
+    val stride = fmt.stride(dim)
+    val merged = mergedIntervals(count)
+
+    aggSpec match {
+      case Some(kinds) =>
+        // one metadata row answers the whole aggregation — no payload IO
+        val n = merged.map(_.count).sum
+        val minOrd = if (n == 0) None else Some(merged.map(_.minIncl).min)
+        val maxOrd = if (n == 0) None else Some(merged.map(_.maxExcl).max - 1)
+        Array(XvecAggPartition(kinds, n, minOrd, maxOrd))
+      case None =>
+        // split for parallelism: target ~64MB of payload per partition
+        val targetRecords = math.max(1L, (64L << 20) / stride)
+        merged.flatMap { iv =>
+          (iv.minIncl until iv.maxExcl by targetRecords).map { s =>
+            XvecInputPartition(path, dim, s, math.min(iv.maxExcl, s + targetRecords),
+              dataOffset)
+          }
+        }.toArray
+    }
   }
 
   /** Sort + merge overlapping intervals (OR unions may overlap). */
@@ -191,8 +259,12 @@ class XvecReaderFactory(fmt: XvecFormat, columns: Seq[String],
     columnar: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new XvecPartitionReader(partition.asInstanceOf[XvecInputPartition], fmt, columns)
-  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+    partition match {
+      case agg: XvecAggPartition => new XvecAggReader(agg)
+      case p: XvecInputPartition => new XvecPartitionReader(p, fmt, columns)
+    }
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && !partition.isInstanceOf[XvecAggPartition]
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new XvecColumnarReader(partition.asInstanceOf[XvecInputPartition], fmt, columns)

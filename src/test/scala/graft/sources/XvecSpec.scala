@@ -130,4 +130,48 @@ class XvecSpec extends SparkSpec {
     val got = df.collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
     (0L until 6L).foreach(l => assert(got(l) == w.resolvePhysical(l)))
   }
+
+  test("count/min/max push down to file metadata (aggPushed plan, zero payload IO)") {
+    val path = s"$tmpDir/agg.fvec"
+    XvecFormat.writeLocal(path, XvecFormat.Fvec,
+      (0 until 5000).map(i => Seq.tabulate(16)(j => (i * 16 + j).toFloat)).iterator)
+    val df = XvecIO.read(spark, path)
+      .agg(count(lit(1)).as("n"), min("ordinal").as("mn"), max("ordinal").as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("aggPushed="), s"aggregation not pushed:\n$plan")
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5000L, 0L, 4999L)))
+  }
+
+  test("agg pushdown respects the window option") {
+    val path = s"$tmpDir/aggwin.fvec"
+    XvecFormat.writeLocal(path, XvecFormat.Fvec,
+      (0 until 1000).map(i => Seq.tabulate(4)(j => (i + j).toFloat)).iterator)
+    val df = XvecIO.read(spark, path, window = "[100..300)")
+      .agg(count(lit(1)).as("n"), min("ordinal").as("mn"), max("ordinal").as("mx"))
+    assert(df.queryExecution.executedPlan.toString.contains("aggPushed="))
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((200L, 100L, 299L)))
+  }
+
+  test("agg pushdown declines when ordinal filters are present (post-eval stays correct)") {
+    val path = s"$tmpDir/aggfil.fvec"
+    XvecFormat.writeLocal(path, XvecFormat.Fvec,
+      (0 until 1000).map(i => Seq.tabulate(4)(j => (i + j).toFloat)).iterator)
+    val df = XvecIO.read(spark, path).filter(col("ordinal") >= 900)
+      .agg(count(lit(1)).as("n"), max("ordinal").as("mx"))
+    assert(!df.queryExecution.executedPlan.toString.contains("aggPushed="))
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((100L, 999L)))
+  }
+
+  test("count on an empty window is 0, min/max null") {
+    val path = s"$tmpDir/aggempty.fvec"
+    XvecFormat.writeLocal(path, XvecFormat.Fvec,
+      (0 until 10).map(i => Seq.tabulate(4)(_ => i.toFloat)).iterator)
+    val df = XvecIO.read(spark, path).filter(lit(false))
+      .agg(count(lit(1)).as("n"), min("ordinal").as("mn"))
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+  }
 }
