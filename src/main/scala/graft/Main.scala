@@ -589,6 +589,15 @@ object Main {
           default = flags.getOrElse("default",
             if (flags.contains("balance")) "0.0" else "1.0").toDouble)
 
+      case "kcenter" =>
+        // k-center greedy coreset selection over a vector column (q204)
+        operators.Coreset.kCenterGreedy(
+          spark.read.parquet(need("input")),
+          idCol = flags.getOrElse("id-col", "vec_id"),
+          vecCol = flags.getOrElse("vec-col", "embedding"),
+          k = flags.getOrElse("k", "16").toInt,
+          metric = flags.getOrElse("metric", "EUCLIDEAN"))
+
       case "mmr" =>
         // greedy diversified top-k over per-query candidate sets (q201)
         operators.Mmr.mmrSelect(
@@ -767,6 +776,7 @@ object Main {
       |  mix --input PARQUET --domain-col D --key-col K (--factors n=F,... | --balance | --temperature A [--weight-col W]) [--default F]
       |  doremi --input PARQUET --domain-col D --loss-col L [--eta F] [--smoothing F] [--steps N] [--ref-col R]
       |  mmr --input PARQUET [--query-col Q] [--id-col C] [--rel-col R] [--vec-col V] [--lambda F] [--k N]
+      |  kcenter --input PARQUET [--id-col C] [--vec-col V] [--k N] [--metric M]
       |  surprisal --input PARQUET [--bigram | --kn [--discount D]] [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--thresholds [--approx]] [--id-col C] [--text-col C]
       |  logreg --input PARQUET --features C1,C2 --label-col C [--steps N] [--lr F] [--score [--id-col C]]

@@ -200,5 +200,41 @@ object ClusterQueries {
         k = 5, nProbes = Seq(1, 2, 4, 8), metric = "EUCLIDEAN",
         excludeSelf = true)
     },
+
+    // k-center greedy coreset: seed at the lowest id, then twice pick the
+    // point farthest from the selected set (max-min, the Gonzalez
+    // 2-approximation) — the "spread the picks out" dual of
+    // prototypicality pruning. Per round the corpus never moves: one pure
+    // map against the single broadcast center + a bounded TakeOrdered(1).
+    // Distances round to 6 before every argmax and ties break by id, so
+    // the oracle unrolls the rounds and walks the identical pick chain,
+    // emitting each pick's coverage radius.
+    GQuery(
+      "q204_kcenter_coreset",
+      """WITH pts AS (SELECT vec_id AS id, embedding AS v
+        |             FROM embeddings WHERE vec_id < 200),
+        |s1 AS (SELECT id, v FROM pts ORDER BY id LIMIT 1),
+        |d1 AS (SELECT p.id, p.v,
+        |         round(sqrt(list_sum(list_transform(range(1, len(p.v)+1),
+        |           i -> (p.v[i]::DOUBLE - s1.v[i]::DOUBLE)
+        |              * (p.v[i]::DOUBLE - s1.v[i]::DOUBLE)))), 6) AS mind
+        |       FROM pts p CROSS JOIN s1 WHERE p.id != s1.id),
+        |p2 AS (SELECT id, v, mind FROM d1 ORDER BY mind DESC, id LIMIT 1),
+        |d2 AS (SELECT d1.id, d1.v,
+        |         least(d1.mind,
+        |           round(sqrt(list_sum(list_transform(range(1, len(d1.v)+1),
+        |             i -> (d1.v[i]::DOUBLE - p2.v[i]::DOUBLE)
+        |                * (d1.v[i]::DOUBLE - p2.v[i]::DOUBLE)))), 6)) AS mind
+        |       FROM d1 CROSS JOIN p2 WHERE d1.id != p2.id),
+        |p3 AS (SELECT id, mind FROM d2 ORDER BY mind DESC, id LIMIT 1)
+        |SELECT rank, id, d FROM (
+        |  SELECT 1::BIGINT AS rank, id, 0.0 AS d FROM s1
+        |  UNION ALL SELECT 2::BIGINT, id, mind FROM p2
+        |  UNION ALL SELECT 3::BIGINT, id, mind FROM p3)""".stripMargin) { (s, dir) =>
+      graft.operators.Coreset.kCenterGreedy(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 200),
+        "vec_id", "embedding", k = 3, metric = "EUCLIDEAN")
+        .select(col("rank").cast("long").as("rank"), col("id"), col("d"))
+    },
   )
 }

@@ -1117,5 +1117,33 @@ object TextQueries {
         enc.select(col("doc_id"), size(col("tok_ids")).cast("long").as("n_tok")),
         "doc_id", "n_tok", seqLen = 512)
     },
+
+    // Distinct-n diversity card: the fraction of n-gram occurrences that
+    // are distinct types, n = 1..3 — the mode-collapse gauge a
+    // synthetic-data pipeline reads before training on its own output.
+    // Per n: one explode + one aggregate (count_distinct partial-
+    // aggregates map-side, the exchange carries types not the corpus).
+    // The oracle replays positional grams and both counts per n.
+    GQuery(
+      "q205_distinct_n",
+      """WITH t AS (SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+        |           FROM documents),
+        |g1 AS (SELECT array_to_string(toks[(i+1):(i+1)], ' ') AS gram
+        |       FROM (SELECT toks, unnest(range(len(toks))) AS i FROM t WHERE len(toks) >= 1)),
+        |g2 AS (SELECT array_to_string(toks[(i+1):(i+2)], ' ') AS gram
+        |       FROM (SELECT toks, unnest(range(len(toks) - 1)) AS i FROM t WHERE len(toks) >= 2)),
+        |g3 AS (SELECT array_to_string(toks[(i+1):(i+3)], ' ') AS gram
+        |       FROM (SELECT toks, unnest(range(len(toks) - 2)) AS i FROM t WHERE len(toks) >= 3))
+        |SELECT 1::BIGINT AS n, count(*) AS total_ngrams,
+        |       count(DISTINCT gram) AS distinct_ngrams,
+        |       round(count(DISTINCT gram)::DOUBLE / count(*), 6) AS distinct_ratio FROM g1
+        |UNION ALL
+        |SELECT 2::BIGINT, count(*), count(DISTINCT gram),
+        |       round(count(DISTINCT gram)::DOUBLE / count(*), 6) FROM g2
+        |UNION ALL
+        |SELECT 3::BIGINT, count(*), count(DISTINCT gram),
+        |       round(count(DISTINCT gram)::DOUBLE / count(*), 6) FROM g3""".stripMargin) { (s, dir) =>
+      graft.operators.Diversity.distinctN(Tables.documents(s, dir), "text")
+    },
   )
 }

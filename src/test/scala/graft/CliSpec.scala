@@ -523,6 +523,16 @@ class CliSpec extends SparkSpec {
     assert(got == Map("a" -> 5L))
   }
 
+  test("kcenter picks the farthest point after the low-id seed via the CLI") {
+    import spark.implicits._
+    val input = s"$dir/kcenter.parquet"
+    Seq((1L, Array(0f, 0f)), (2L, Array(1f, 0f)), (3L, Array(10f, 0f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(input)
+    val got = Main.run(spark, Seq("kcenter", "--input", input, "--k", "2"))
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+
   test("mmr defers the redundant near-duplicate via the CLI") {
     import spark.implicits._
     val input = s"$dir/mmr.parquet"
