@@ -589,6 +589,15 @@ object Main {
           default = flags.getOrElse("default",
             if (flags.contains("balance")) "0.0" else "1.0").toDouble)
 
+      case "snapdiff" =>
+        // corpus snapshot diff: per-id status, or --card for the summary
+        val o = spark.read.parquet(need("old"))
+        val n = spark.read.parquet(need("new"))
+        val idC = flags.getOrElse("id-col", "doc_id")
+        val txtC = flags.getOrElse("text-col", "text")
+        if (flags.contains("card")) operators.Snapshot.diffCard(o, n, idC, txtC)
+        else operators.Snapshot.diff(o, n, idC, txtC)
+
       case "kcenter" =>
         // k-center greedy coreset selection over a vector column (q204)
         operators.Coreset.kCenterGreedy(
@@ -777,6 +786,7 @@ object Main {
       |  doremi --input PARQUET --domain-col D --loss-col L [--eta F] [--smoothing F] [--steps N] [--ref-col R]
       |  mmr --input PARQUET [--query-col Q] [--id-col C] [--rel-col R] [--vec-col V] [--lambda F] [--k N]
       |  kcenter --input PARQUET [--id-col C] [--vec-col V] [--k N] [--metric M]
+      |  snapdiff --old PARQUET --new PARQUET [--card] [--id-col C] [--text-col C]
       |  surprisal --input PARQUET [--bigram | --kn [--discount D]] [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--thresholds [--approx]] [--id-col C] [--text-col C]
       |  logreg --input PARQUET --features C1,C2 --label-col C [--steps N] [--lr F] [--score [--id-col C]]

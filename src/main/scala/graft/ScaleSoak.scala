@@ -460,6 +460,29 @@ object ScaleSoak {
       graft.operators.UnigramSeg.wordBestScores(docs, "text")
         .agg(min("best_score")).collect()
     }
+    // --- round-9 session 2: MG / MMR / k-center / distinct-n
+    timed(s"Misra-Gries k=256 two-phase guaranteed heavy over $nDocs docs") {
+      graft.operators.Freq.guaranteedHeavyTokens(docs, "text", k = 256).count()
+    }
+    timed(s"exact full-vocab frequency aggregate (the shuffle MG's phase 1 avoids)") {
+      docs.select(explode(split(lower(col("text")), " ")).as("t"))
+        .filter(col("t") =!= "").groupBy("t").count().count()
+    }
+    timed(s"distinct-n (1..3) diversity card over $nDocs docs") {
+      graft.operators.Diversity.distinctN(docs, "text").collect()
+    }
+    timed(s"MMR k=10 over 1000 queries x ~100 candidates ($dim-dim)") {
+      val cand = base.filter(col("vec_id") < 100000)
+        .select(pmod(col("vec_id"), lit(1000L)).as("q"), col("vec_id").as("id"),
+          (pmod(col("vec_id") * 2654435761L, lit(1000000L)) / 1e6).as("rel"),
+          col("embedding"))
+      graft.operators.Mmr.mmrSelect(cand, "q", "id", "rel", "embedding",
+        lambda = 0.7, k = 10).count()
+    }
+    timed(s"k-center greedy k=16 over $nBase x $dim (16 map+TakeOrdered rounds)") {
+      graft.operators.Coreset.kCenterGreedy(base, "vec_id", "embedding",
+        k = 16).count()
+    }
 
     // --- round-9: COMPOSED pipelines at soak scale (the sf0.1 oracled
     // queries run on 5k docs; these are the same compositions on the

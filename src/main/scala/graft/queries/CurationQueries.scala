@@ -841,6 +841,40 @@ object CurationQueries {
         "lang", "loss", eta = 20.0, smoothing = 0.1, steps = 3)
     },
 
+    // Corpus snapshot diff: the ingest-ops card between two corpus
+    // versions (simulated deterministically from documents: every 31st id
+    // dropped, every 17th modified, every 41st re-added under a new id).
+    // Both sides reduce to (id, md5) at the scan — text never crosses the
+    // exchange — then ONE id-keyed full outer join decides added/removed/
+    // changed/unchanged. Incremental re-processing starts from exactly
+    // the added+changed slice. The oracle replays the hash compare.
+    GQuery(
+      "q206_snapshot_diff",
+      """WITH oldv AS (SELECT doc_id, text FROM documents),
+        |newv AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 31 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 41 = 0),
+        |o AS (SELECT doc_id, md5(text) AS h FROM oldv),
+        |n AS (SELECT doc_id, md5(text) AS h FROM newv)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.h != n.h THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val newv = docs.filter(col("doc_id") % 31 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 41 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      graft.operators.Snapshot.diff(docs, newv, "doc_id", "text")
+    },
+
     // DSIR importance weights: every raw document scored by how zh-like its
     // hashed unigram distribution is (target = the corpus's zh slice). The
     // oracle recomputes both smoothed bucket marginals and the per-doc

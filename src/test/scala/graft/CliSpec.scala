@@ -523,6 +523,19 @@ class CliSpec extends SparkSpec {
     assert(got == Map("a" -> 5L))
   }
 
+  test("snapdiff --card totals the four statuses via the CLI") {
+    import spark.implicits._
+    val oldP = s"$dir/snap_old.parquet"; val newP = s"$dir/snap_new.parquet"
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(oldP)
+    Seq((1L, "a"), (2L, "b2"), (3L, "c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(newP)
+    val got = Main.run(spark, Seq("snapdiff", "--old", oldP, "--new", newP,
+      "--card")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("added" -> 1L, "removed" -> 0L,
+      "changed" -> 1L, "unchanged" -> 1L))
+  }
+
   test("kcenter picks the farthest point after the low-id seed via the CLI") {
     import spark.implicits._
     val input = s"$dir/kcenter.parquet"
