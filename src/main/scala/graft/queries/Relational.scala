@@ -223,5 +223,25 @@ object Relational {
           col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
     },
+
+    // Z-order (Morton) key: interleave the low 8 bits of two bucketed join
+    // keys — the multi-dim file-pruning layout key (ZOrderSpec measures
+    // the pruning asymmetry vs a 1-d sort: a y-only filter touches every
+    // x-sorted file but only the z-layout's tile row). Pure Catalyst bit
+    // arithmetic, whole-stage codegen'd; the oracle recomputes the code
+    // with the same shifts, bit for bit.
+    GQuery(
+      "q207_zorder_key",
+      """SELECT l_orderkey, l_linenumber,
+        |  list_sum(list_transform(range(0, 8),
+        |    i -> ((((l_partkey % 256) >> i) & 1) << (2*i))
+        |       + ((((l_suppkey % 256) >> i) & 1) << (2*i + 1))))::BIGINT AS z
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.layout.ZOrder.zValue(
+          pmod(col("l_partkey"), lit(256L)),
+          pmod(col("l_suppkey"), lit(256L)), bits = 8).as("z"))
+    },
   )
 }
