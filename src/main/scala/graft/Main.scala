@@ -589,6 +589,14 @@ object Main {
           default = flags.getOrElse("default",
             if (flags.contains("balance")) "0.0" else "1.0").toDouble)
 
+      case "budget-select" =>
+        // greedy token-budget selection by score density (q208)
+        operators.Sampling.budgetSelect(
+          spark.read.parquet(need("input")),
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          scoreCol = need("score-col"), costCol = need("cost-col"),
+          budget = need("budget").toLong)
+
       case "snapdiff" =>
         // corpus snapshot diff: per-id status, or --card for the summary
         val o = spark.read.parquet(need("old"))
@@ -787,6 +795,7 @@ object Main {
       |  mmr --input PARQUET [--query-col Q] [--id-col C] [--rel-col R] [--vec-col V] [--lambda F] [--k N]
       |  kcenter --input PARQUET [--id-col C] [--vec-col V] [--k N] [--metric M]
       |  snapdiff --old PARQUET --new PARQUET [--card] [--id-col C] [--text-col C]
+      |  budget-select --input PARQUET --score-col S --cost-col C --budget N [--id-col C]
       |  surprisal --input PARQUET [--bigram | --kn [--discount D]] [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--thresholds [--approx]] [--id-col C] [--text-col C]
       |  logreg --input PARQUET --features C1,C2 --label-col C [--steps N] [--lr F] [--score [--id-col C]]

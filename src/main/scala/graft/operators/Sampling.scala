@@ -142,4 +142,31 @@ object Sampling {
       .filter(col("rn") <= k)
       .drop("_h")
   }
+
+  /** Token-budget selection: keep the maximal PREFIX of rows, in
+    * score-density order (score/cost desc, id ties ascending), whose
+    * cumulative cost fits `budget` — "the best `budget` tokens of this
+    * corpus", the greedy knapsack a data-selection stage runs after
+    * scoring. Density rounds to 6 before ordering so any engine replays
+    * the cut (the [[Mmr]]/[[Coreset]] convention); rows past the first
+    * overflow are out even if a later small row would fit (prefix
+    * semantics, stated contract).
+    *
+    * Scale shape: [[Ranking.exclusivePrefixSum]]'s machinery — ONE range
+    * shuffle on the density order, per-partition running sums against
+    * broadcast offsets, no Window, no single partition. Appends
+    * `cum_before` (cost mass strictly ahead of the row; `costCol` comes
+    * back cast to long).
+    */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+      costCol: String, budget: Long): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    require(!df.columns.contains("_neg_density") && !df.columns.contains("cum_before"),
+      "input collides with reserved columns _neg_density/cum_before")
+    val d = df.withColumn("_neg_density",
+      -round(col(scoreCol) / col(costCol), 6))
+    Ranking.exclusivePrefixSum(d, Seq("_neg_density", idCol), costCol, "cum_before")
+      .filter(col("cum_before") + col(costCol) <= budget)
+      .drop("_neg_density")
+  }
 }

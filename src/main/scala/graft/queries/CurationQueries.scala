@@ -841,6 +841,32 @@ object CurationQueries {
         "lang", "loss", eta = 20.0, smoothing = 0.1, steps = 3)
     },
 
+    // Token-budget selection: the greedy knapsack after scoring — keep
+    // the maximal density-ordered prefix (score/cost desc, id ties) whose
+    // cumulative token cost fits the budget. One range shuffle on the
+    // density order + per-partition running sums against broadcast
+    // offsets (the packCoordinates prefix-sum machinery) — no Window.
+    // Density rounds to 6 before ordering; the oracle replays the order,
+    // the running sum and the prefix cut.
+    GQuery(
+      "q208_budget_select",
+      """WITH d AS (SELECT doc_id, ln(1 + n_chars) AS score,
+        |             len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS cost
+        |           FROM documents),
+        |o AS (SELECT doc_id, cost,
+        |        sum(cost) OVER (ORDER BY round(score / cost, 6) DESC, doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb
+        |      FROM d)
+        |SELECT doc_id, cost AS n_tok, coalesce(cb, 0)::BIGINT AS cum_before
+        |FROM o WHERE coalesce(cb, 0) + cost <= 10000""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"),
+        log(lit(1) + col("n_chars")).as("score"),
+        graft.functions.TextFunctions.tokenCount(lower(col("text"))).as("cost"))
+      Sampling.budgetSelect(d, "doc_id", "score", "cost", budget = 10000L)
+        .select(col("doc_id"), col("cost").as("n_tok"), col("cum_before"))
+    },
+
     // Corpus snapshot diff: the ingest-ops card between two corpus
     // versions (simulated deterministically from documents: every 31st id
     // dropped, every 17th modified, every 41st re-added under a new id).

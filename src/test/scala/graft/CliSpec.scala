@@ -523,6 +523,17 @@ class CliSpec extends SparkSpec {
     assert(got == Map("a" -> 5L))
   }
 
+  test("budget-select keeps the fitting density prefix via the CLI") {
+    import spark.implicits._
+    val input = s"$dir/budget.parquet"
+    Seq((1L, 30.0, 10L), (2L, 40.0, 20L), (3L, 30.0, 30L))
+      .toDF("doc_id", "score", "cost").write.mode("overwrite").parquet(input)
+    val got = Main.run(spark, Seq("budget-select", "--input", input,
+      "--score-col", "score", "--cost-col", "cost", "--budget", "30"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("snapdiff --card totals the four statuses via the CLI") {
     import spark.implicits._
     val oldP = s"$dir/snap_old.parquet"; val newP = s"$dir/snap_new.parquet"

@@ -163,4 +163,42 @@ class SamplingSpec extends SparkSpec {
       Sampling.curriculumSchedule(d, "id", "difficulty", k = 2)
     }
   }
+
+  test("budgetSelect keeps the maximal density-ordered prefix under the budget") {
+    import spark.implicits._
+    // densities: a=3.0, b=2.0, c=1.0, d=0.5; costs 10, 20, 30, 40
+    val d = Seq((1L, 30.0, 10L), (2L, 40.0, 20L), (3L, 30.0, 30L), (4L, 20.0, 40L))
+      .toDF("id", "score", "cost")
+    // budget 60: a(10) + b(20) + c(30) = 60 fits; d overflows
+    val got = Sampling.budgetSelect(d, "id", "score", "cost", budget = 60L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum_before")).toMap
+    assert(got == Map(1L -> 0L, 2L -> 10L, 3L -> 30L))
+    // budget 35: a + b = 30 fits; c (cum 30 + 30 > 35) is out AND so is
+    // everything after it (prefix semantics), even though nothing fits anyway
+    val got35 = Sampling.budgetSelect(d, "id", "score", "cost", budget = 35L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got35 == Set(1L, 2L))
+  }
+
+  test("budgetSelect is partition-invariant and ties break by id") {
+    import spark.implicits._
+    val d = (0L until 1000L).map(i => (i, 10.0, 10L)).toDF("id", "score", "cost")
+    // all densities tie at 1.0: the budget keeps the lowest 50 ids
+    for (parts <- Seq(1, 7)) {
+      val got = Sampling.budgetSelect(d.repartition(parts), "id", "score", "cost",
+        budget = 500L).collect().map(_.getAs[Long]("id")).toSet
+      assert(got == (0L until 50L).toSet, s"parts=$parts")
+    }
+  }
+
+  test("budgetSelect: zero budget selects nothing; reserved column rejected") {
+    import spark.implicits._
+    val d = Seq((1L, 1.0, 1L)).toDF("id", "score", "cost")
+    assert(Sampling.budgetSelect(d, "id", "score", "cost", 0L).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.budgetSelect(
+        Seq((1L, 1.0, 1L, 0L)).toDF("id", "score", "cost", "cum_before"),
+        "id", "score", "cost", 10L)
+    }
+  }
 }
