@@ -589,6 +589,16 @@ object Main {
           default = flags.getOrElse("default",
             if (flags.contains("balance")) "0.0" else "1.0").toDouble)
 
+      case "wordpiece" =>
+        // greedy WordPiece segmentation of the corpus's distinct words (q209)
+        val docs = spark.read.parquet(need("input"))
+        val txtC = flags.getOrElse("text-col", "text")
+        val v = operators.WordPiece.vocabFromCorpus(docs, txtC,
+          maxLen = flags.getOrElse("max-len", "2").toInt,
+          minCount = flags.getOrElse("min-count", "2").toLong)
+        operators.WordPiece.encodeWords(docs, txtC, v,
+          maxLen = flags.getOrElse("max-len", "2").toInt)
+
       case "budget-select" =>
         // greedy token-budget selection by score density (q208)
         operators.Sampling.budgetSelect(
@@ -796,6 +806,7 @@ object Main {
       |  kcenter --input PARQUET [--id-col C] [--vec-col V] [--k N] [--metric M]
       |  snapdiff --old PARQUET --new PARQUET [--card] [--id-col C] [--text-col C]
       |  budget-select --input PARQUET --score-col S --cost-col C --budget N [--id-col C]
+      |  wordpiece --input PARQUET [--max-len N] [--min-count N] [--text-col C]
       |  surprisal --input PARQUET [--bigram | --kn [--discount D]] [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--thresholds [--approx]] [--id-col C] [--text-col C]
       |  logreg --input PARQUET --features C1,C2 --label-col C [--steps N] [--lr F] [--score [--id-col C]]

@@ -1145,5 +1145,47 @@ object TextQueries {
         |       round(count(DISTINCT gram)::DOUBLE / count(*), 6) FROM g3""".stripMargin) { (s, dir) =>
       graft.operators.Diversity.distinctN(Tables.documents(s, dir), "text")
     },
+
+    // WordPiece greedy segmentation over the corpus's distinct words —
+    // the third segmenter of the tokenizer family (BPE: merge-ranked;
+    // unigram: Viterbi-optimal; WordPiece: longest-match greedy with ##
+    // continuations). Vocabulary is corpus-derived and bounded (all
+    // single chars + the ≥2-count 2-grams per position class), broadcast;
+    // the walk runs map-side over distinct words only. Greedy is a
+    // single-successor relation, so the oracle materializes the
+    // per-(word, pos) choice and follows it with a recursive CTE — no
+    // argmax inside the recursion.
+    GQuery(
+      "q209_wordpiece",
+      """WITH RECURSIVE
+        |w AS (SELECT DISTINCT unnest(list_filter(string_split(lower(text), ' '),
+        |        x -> x != '')) AS word FROM documents),
+        |pos AS (SELECT word, unnest(range(len(word))) AS p FROM w),
+        |big AS (SELECT word, p, substr(word, p + 1, 2) AS s
+        |        FROM pos WHERE p + 2 <= len(word)),
+        |vinit AS (SELECT s FROM big WHERE p = 0 GROUP BY s HAVING count(*) >= 2),
+        |vcont AS (SELECT s FROM big WHERE p > 0 GROUP BY s HAVING count(*) >= 2),
+        |g AS (SELECT pos.word, pos.p,
+        |        CASE WHEN p + 2 <= len(word)
+        |              AND ((p = 0 AND substr(word, p+1, 2) IN (SELECT s FROM vinit))
+        |                OR (p > 0 AND substr(word, p+1, 2) IN (SELECT s FROM vcont)))
+        |             THEN 2 ELSE 1 END AS l
+        |      FROM pos),
+        |walk AS (
+        |  SELECT word, 0 AS p, 0 AS idx FROM w
+        |  UNION ALL
+        |  SELECT walk.word, walk.p + g.l, walk.idx + 1
+        |  FROM walk JOIN g ON g.word = walk.word AND g.p = walk.p
+        |  WHERE walk.p + g.l < len(walk.word))
+        |SELECT walk.word, walk.idx::BIGINT AS idx,
+        |       CASE WHEN walk.p = 0 THEN substr(walk.word, 1, g.l)
+        |            ELSE '##' || substr(walk.word, walk.p + 1, g.l) END AS piece
+        |FROM walk JOIN g ON g.word = walk.word AND g.p = walk.p""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.WordPiece.vocabFromCorpus(docs, "text",
+        maxLen = 2, minCount = 2)
+      graft.operators.WordPiece.encodeWords(docs, "text", vocab, maxLen = 2)
+        .select(col("word"), col("idx").cast("long").as("idx"), col("piece"))
+    },
   )
 }

@@ -523,6 +523,22 @@ class CliSpec extends SparkSpec {
     assert(got == Map("a" -> 5L))
   }
 
+  test("wordpiece segments distinct words with ## continuations via the CLI") {
+    import spark.implicits._
+    val input = s"$dir/wp.parquet"
+    Seq((1L, "abx aby"), (2L, "zab wab")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(input)
+    val got = Main.run(spark, Seq("wordpiece", "--input", input))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    // 'ab' reaches minCount=2 as an initial (abx, aby) AND as a
+    // continuation (zab, wab); everything else stays characters
+    assert(got == Set(
+      ("abx", 0, "ab"), ("abx", 1, "##x"),
+      ("aby", 0, "ab"), ("aby", 1, "##y"),
+      ("zab", 0, "z"), ("zab", 1, "##ab"),
+      ("wab", 0, "w"), ("wab", 1, "##ab")))
+  }
+
   test("budget-select keeps the fitting density prefix via the CLI") {
     import spark.implicits._
     val input = s"$dir/budget.parquet"
