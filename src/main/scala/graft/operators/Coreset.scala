@@ -37,6 +37,7 @@ object Coreset {
 
     val base = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("vec"))
+      .na.drop() // a point without id or vector can't be covered or picked
 
     // deterministic seed: the lowest id
     val seedRow = base.orderBy(col("id")).limit(1).collect()

@@ -101,12 +101,14 @@ object Mixture {
       s"smoothing must be in [0, 1], got $smoothing")
     require(steps >= 0, s"steps must be >= 0, got $steps")
     val spark = df.sparkSession
+    // a row without a domain can't receive mixture mass — dropped
+    val in = df.filter(col(domainCol).isNotNull)
     val perDomain = refCol match {
       case Some(r) =>
-        df.groupBy(domainCol).agg(avg(col(lossCol)).as("L"), avg(col(r)).as("R"))
+        in.groupBy(domainCol).agg(avg(col(lossCol)).as("L"), avg(col(r)).as("R"))
       case None =>
-        val g = df.agg(avg(col(lossCol)).as("R"))
-        df.groupBy(domainCol).agg(avg(col(lossCol)).as("L"))
+        val g = in.agg(avg(col(lossCol)).as("R"))
+        in.groupBy(domainCol).agg(avg(col(lossCol)).as("L"))
           .crossJoin(broadcast(g))
     }
     val rows = perDomain

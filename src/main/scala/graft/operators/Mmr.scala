@@ -69,7 +69,9 @@ object Mmr {
       col(queryCol).cast("long").as("q"),
       col(idCol).cast("long").as("id"),
       col(relCol).cast("double").as("rel"),
-      col(vecCol).cast("array<float>").as("vec")).as[Cand]
+      col(vecCol).cast("array<float>").as("vec"))
+      .na.drop() // a candidate without relevance or vector can't compete
+      .as[Cand]
     val out = ds.groupByKey(_.q).flatMapGroups { (q, it) =>
       val cands = it.toArray
       require(cands.length <= maxCandidates,

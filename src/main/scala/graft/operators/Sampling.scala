@@ -163,8 +163,11 @@ object Sampling {
     require(budget >= 0L, s"budget must be >= 0, got $budget")
     require(!df.columns.contains("_neg_density") && !df.columns.contains("cum_before"),
       "input collides with reserved columns _neg_density/cum_before")
-    val d = df.withColumn("_neg_density",
-      -round(col(scoreCol) / col(costCol), 6))
+    // rows without a computable density (null score/cost, cost <= 0)
+    // can't be ordered or budgeted — dropped, documented
+    val d = df
+      .filter(col(scoreCol).isNotNull && col(costCol).isNotNull && col(costCol) > 0)
+      .withColumn("_neg_density", -round(col(scoreCol) / col(costCol), 6))
     Ranking.exclusivePrefixSum(d, Seq("_neg_density", idCol), costCol, "cum_before")
       .filter(col("cum_before") + col(costCol) <= budget)
       .drop("_neg_density")

@@ -28,7 +28,9 @@ object Snapshot {
         coalesce(col("_o_id"), col("_n_id")).as(idCol),
         when(col("_o_id").isNull, "added")
           .when(col("_n_id").isNull, "removed")
-          .when(col("_o_h") =!= col("_n_h"), "changed")
+          // null-SAFE compare: a null text on one side is a content
+          // change, not silently "unchanged"
+          .when(!(col("_o_h") <=> col("_n_h")), "changed")
           .otherwise("unchanged").as("status"))
   }
 

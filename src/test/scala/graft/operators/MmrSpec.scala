@@ -84,6 +84,18 @@ class MmrSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("candidates with null relevance or vector are dropped, not crashed on") {
+    val v = Array(1f, 0f)
+    val in = Seq(
+      (1L, 1L, Some(0.9), Some(v)),
+      (1L, 2L, None, Some(v)),
+      (1L, 3L, Some(0.5), Option.empty[Array[Float]]))
+      .toDF("q", "id", "rel", "vec")
+    val got = Mmr.mmrSelect(in, "q", "id", "rel", "vec", 0.5, 3)
+      .collect().map(_.getLong(1))
+    assert(got.toSeq == Seq(1L))
+  }
+
   test("maxCandidates bound rejects an unbounded retrieval stage") {
     val v = Array(1f)
     val in = df((0L until 20L).map(i => (1L, i, 0.5, v)))

@@ -191,6 +191,20 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("budgetSelect drops rows without a computable density (null/zero/negative cost)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Some(10.0), Some(10L)),
+      (2L, None, Some(10L)),
+      (3L, Some(10.0), Some(0L)),
+      (4L, Some(10.0), None),
+      (5L, Some(1.0), Some(-5L)))
+      .toDF("id", "score", "cost")
+    val got = Sampling.budgetSelect(d, "id", "score", "cost", budget = 100L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got == Set(1L))
+  }
+
   test("budgetSelect: zero budget selects nothing; reserved column rejected") {
     import spark.implicits._
     val d = Seq((1L, 1.0, 1L)).toDF("id", "score", "cost")

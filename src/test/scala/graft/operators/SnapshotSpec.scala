@@ -27,6 +27,16 @@ class SnapshotSpec extends SparkSpec {
       "changed" -> 0L, "unchanged" -> 3L))
   }
 
+  test("a null text on one side is a content CHANGE (null-safe hash compare)") {
+    val o = Seq((1L, Some("alpha")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val n = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = Snapshot.diff(o, n, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "unchanged"))
+  }
+
   test("self-diff is all-unchanged at corpus scale") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val statuses = Snapshot.diff(docs, docs, "doc_id", "text")
