@@ -224,4 +224,32 @@ object Ann {
     }
     bits.reduce(_ + _)
   }
+
+  /** Matryoshka truncation recall card: recall@k of exact search over the
+    * FIRST `d` dimensions vs the full-dimension ground truth, one row per
+    * probed prefix width — the eval an MRL-style embedding deployment
+    * reads before picking how many dims to store/serve (shorter prefixes
+    * = smaller index + faster scans, bought with recall).
+    *
+    * Scale shape: the truth is ONE exact-KNN pass; each probed width is
+    * one exact-KNN pass over SLICED vectors (the slice happens in the
+    * projection — the scan still reads the column once per pass) plus a
+    * semi-join against the broadcast-size truth. Same card discipline as
+    * [[recallCurve]].
+    */
+  def matryoshkaRecall(queries: DataFrame, base: DataFrame, dims: Seq[Int],
+      k: Int, metric: String = "COSINE", idCol: String = "vec_id",
+      vecCol: String = "embedding", excludeSelf: Boolean = false): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ > 0), s"dims must be positive, got $dims")
+    val truth = Knn.knn(queries, base, k, metric, idCol, vecCol,
+      excludeSelf = excludeSelf)
+    dims.map { d =>
+      val qd = queries.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val bd = base.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val pred = Knn.knn(qd, bd, k, metric, idCol, vecCol,
+        excludeSelf = excludeSelf)
+      Knn.avgRecall(pred, truth, k)
+        .select(lit(d.toLong).as("dim"), col("avg_recall"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -315,5 +315,52 @@ object VectorQueries {
         .select(col("qid").as("query_id"), col("id").as("doc_id"),
           col("rank").cast("long").as("rank"), col("mmr_score"))
     },
+
+    // Matryoshka truncation recall card: exact top-10 over the FIRST
+    // d ∈ {8,16,32} dims vs the full-64-dim truth — the "how many dims
+    // can the index drop" eval of an MRL-style deployment. Truth is one
+    // KNN pass; each width is one KNN pass over sliced vectors + a
+    // semi-join. The oracle replays all four rankings and the per-query
+    // recall mean (zero-hit queries included).
+    GQuery(
+      "q210_matryoshka_recall", {
+        def cosDistD(d: Int) =
+          s"""1.0 - list_sum(list_transform(range(1, $d + 1),
+             |          i -> q.qe[i]::DOUBLE * b.be[i]::DOUBLE))
+             |      / (sqrt(list_sum(list_transform(list_slice(q.qe, 1, $d),
+             |            x -> x::DOUBLE*x::DOUBLE))) *
+             |         sqrt(list_sum(list_transform(list_slice(b.be, 1, $d),
+             |            x -> x::DOUBLE*x::DOUBLE))))""".stripMargin
+        def block(d: Int) =
+          s"""t$d AS (SELECT qid, nid FROM (
+             |  SELECT q.qid, b.nid,
+             |         row_number() OVER (PARTITION BY q.qid
+             |           ORDER BY ${cosDistD(d)}, b.nid) AS rk
+             |  FROM q CROSS JOIN b WHERE b.nid != q.qid) WHERE rk <= 10),
+             |h$d AS (SELECT f.qid, count(*) AS h
+             |        FROM t$d JOIN fullr f ON f.qid = t$d.qid AND f.nid = t$d.nid
+             |        GROUP BY f.qid),
+             |r$d AS (SELECT round(avg(coalesce(h, 0) / 10.0), 4) AS avg_recall
+             |        FROM q LEFT JOIN h$d ON h$d.qid = q.qid)""".stripMargin
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+           |           FROM embeddings WHERE vec_id < 20),
+           |b AS (SELECT vec_id AS nid, embedding AS be FROM embeddings),
+           |fullr AS (SELECT qid, nid FROM (
+           |  SELECT q.qid, b.nid,
+           |         row_number() OVER (PARTITION BY q.qid
+           |           ORDER BY ${cosDistD(64)}, b.nid) AS rk
+           |  FROM q CROSS JOIN b WHERE b.nid != q.qid) WHERE rk <= 10),
+           |${block(8)},
+           |${block(16)},
+           |${block(32)}
+           |SELECT 8::BIGINT AS dim, avg_recall FROM r8
+           |UNION ALL SELECT 16::BIGINT, avg_recall FROM r16
+           |UNION ALL SELECT 32::BIGINT, avg_recall FROM r32""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Ann.matryoshkaRecall(
+        emb.filter(col("vec_id") < 20), emb,
+        dims = Seq(8, 16, 32), k = 10, excludeSelf = true)
+    },
   )
 }

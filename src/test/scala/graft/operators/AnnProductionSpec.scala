@@ -52,4 +52,14 @@ class AnnProductionSpec extends SparkSpec {
     val distinct = b1.select("bucket").distinct().count()
     assert(distinct > 20, s"only $distinct distinct buckets")
   }
+
+  test("matryoshka recall: full-width prefix is exactly 1.0, all widths in [0,1]") {
+    import org.apache.spark.sql.functions._
+    val card = Ann.matryoshkaRecall(emb.filter(col("vec_id") < 10), emb,
+        dims = Seq(4, 16, 64), k = 5, excludeSelf = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(card(64L) == 1.0, s"full-dim truncation must equal truth: $card")
+    assert(card.values.forall(v => v >= 0.0 && v <= 1.0), card.toString)
+    assert(card.keySet == Set(4L, 16L, 64L))
+  }
 }
