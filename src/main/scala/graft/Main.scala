@@ -589,6 +589,12 @@ object Main {
           default = flags.getOrElse("default",
             if (flags.contains("balance")) "0.0" else "1.0").toDouble)
 
+      case "heaps" =>
+        // Heaps'-law vocabulary-growth fit over doc-id order (q212)
+        operators.Heaps.heapsFit(spark.read.parquet(need("input")),
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("text-col", "text"))
+
       case "wordpiece" =>
         // greedy WordPiece segmentation of the corpus's distinct words (q209)
         val docs = spark.read.parquet(need("input"))
@@ -617,13 +623,19 @@ object Main {
         else operators.Snapshot.diff(o, n, idC, txtC)
 
       case "kcenter" =>
-        // k-center greedy coreset selection over a vector column (q204)
-        operators.Coreset.kCenterGreedy(
-          spark.read.parquet(need("input")),
-          idCol = flags.getOrElse("id-col", "vec_id"),
-          vecCol = flags.getOrElse("vec-col", "embedding"),
-          k = flags.getOrElse("k", "16").toInt,
-          metric = flags.getOrElse("metric", "EUCLIDEAN"))
+        // k-center greedy coreset selection over a vector column (q204);
+        // --group-col runs the per-domain grouped form (q211)
+        val kcIn = spark.read.parquet(need("input"))
+        val kcId = flags.getOrElse("id-col", "vec_id")
+        val kcVec = flags.getOrElse("vec-col", "embedding")
+        val kcK = flags.getOrElse("k", "16").toInt
+        val kcM = flags.getOrElse("metric", "EUCLIDEAN")
+        flags.get("group-col") match {
+          case Some(g) =>
+            operators.Coreset.kCenterPerGroup(kcIn, g, kcId, kcVec, kcK, kcM)
+          case None =>
+            operators.Coreset.kCenterGreedy(kcIn, kcId, kcVec, kcK, kcM)
+        }
 
       case "mmr" =>
         // greedy diversified top-k over per-query candidate sets (q201)
@@ -803,10 +815,11 @@ object Main {
       |  mix --input PARQUET --domain-col D --key-col K (--factors n=F,... | --balance | --temperature A [--weight-col W]) [--default F]
       |  doremi --input PARQUET --domain-col D --loss-col L [--eta F] [--smoothing F] [--steps N] [--ref-col R]
       |  mmr --input PARQUET [--query-col Q] [--id-col C] [--rel-col R] [--vec-col V] [--lambda F] [--k N]
-      |  kcenter --input PARQUET [--id-col C] [--vec-col V] [--k N] [--metric M]
+      |  kcenter --input PARQUET [--group-col G] [--id-col C] [--vec-col V] [--k N] [--metric M]
       |  snapdiff --old PARQUET --new PARQUET [--card] [--id-col C] [--text-col C]
       |  budget-select --input PARQUET --score-col S --cost-col C --budget N [--id-col C]
       |  wordpiece --input PARQUET [--max-len N] [--min-count N] [--text-col C]
+      |  heaps --input PARQUET [--id-col C] [--text-col C]
       |  surprisal --input PARQUET [--bigram | --kn [--discount D]] [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--thresholds [--approx]] [--id-col C] [--text-col C]
       |  logreg --input PARQUET --features C1,C2 --label-col C [--steps N] [--lr F] [--score [--id-col C]]

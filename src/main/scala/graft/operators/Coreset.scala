@@ -72,4 +72,65 @@ object Coreset {
     work.unpersist()
     picks.result().toDF("rank", "id", "d")
   }
+
+  /** Row shape for the grouped greedy (public for the Dataset encoder). */
+  case class GCand(g: Long, id: Long, vec: Array[Float])
+
+  /** Per-group k-center greedy — the per-domain diversity sampler
+    * ("the k most spread-out examples of every language/source"): same
+    * greedy, same determinism rules (round-6 distances, id ties, lowest
+    * id seeds), but each group's selection runs in-task over its bounded
+    * member set via flatMapGroups (the [[Mmr]] shape: ONE group-keyed
+    * shuffle, no window, no driver rounds at all — the group bound is
+    * what buys back the per-round jobs of the global form).
+    */
+  def kCenterPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      vecCol: String, k: Int, metric: String = "EUCLIDEAN",
+      maxGroupSize: Int = 100000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val metricId = graft.functions.DistanceKernels.metricId(metric)
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    df.select(col(groupCol).cast("long").as("g"),
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .na.drop().as[GCand]
+      .groupByKey(_.g).flatMapGroups { (g, it) =>
+        val members = it.toArray.sortBy(_.id)
+        require(members.length <= maxGroupSize,
+          s"group $g has ${members.length} members > maxGroupSize " +
+            s"$maxGroupSize — pre-sample the group first")
+        val n = members.length
+        val mind = Array.fill(n)(Double.MaxValue)
+        val taken = Array.fill(n)(false)
+        val out = Seq.newBuilder[(Long, Int, Long, Double)]
+        var center = 0 // lowest id seeds
+        var r = 1
+        var d = 0.0
+        while (r <= math.min(k, n)) {
+          taken(center) = true
+          out += ((g, r, members(center).id, d))
+          var best = -1; var bestD = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              val di = r6(graft.functions.DistanceKernels.computeArrays(
+                members(i).vec, members(center).vec, metricId))
+              if (di < mind(i)) mind(i) = di
+              if (mind(i) > bestD ||
+                  (mind(i) == bestD && members(i).id < members(best).id)) {
+                best = i; bestD = mind(i)
+              }
+            }
+            i += 1
+          }
+          center = best; d = bestD
+          r += 1
+        }
+        out.result().iterator
+      }
+      .toDF(groupCol, "rank", "id", "d")
+  }
 }

@@ -236,5 +236,39 @@ object ClusterQueries {
         "vec_id", "embedding", k = 3, metric = "EUCLIDEAN")
         .select(col("rank").cast("long").as("rank"), col("id"), col("d"))
     },
+
+    // Per-group k-center: the per-domain diversity sampler ("the 2 most
+    // spread-out vectors of every label"). Same greedy and determinism
+    // rules as q204, but each label's selection runs in-task over its
+    // bounded member set (one group-keyed shuffle, no window, no driver
+    // rounds). The oracle unrolls both picks per group with windowed
+    // argmaxes partitioned by label.
+    GQuery(
+      "q211_kcenter_per_group",
+      """WITH pts AS (SELECT label, vec_id AS id, embedding AS v
+        |             FROM embeddings WHERE vec_id < 300),
+        |s1 AS (SELECT label, id, v FROM (
+        |         SELECT label, id, v,
+        |                row_number() OVER (PARTITION BY label ORDER BY id) AS rn
+        |         FROM pts) WHERE rn = 1),
+        |d1 AS (SELECT p.label, p.id,
+        |         round(sqrt(list_sum(list_transform(range(1, len(p.v)+1),
+        |           i -> (p.v[i]::DOUBLE - s1.v[i]::DOUBLE)
+        |              * (p.v[i]::DOUBLE - s1.v[i]::DOUBLE)))), 6) AS mind
+        |       FROM pts p JOIN s1 ON s1.label = p.label AND p.id != s1.id),
+        |p2 AS (SELECT label, id, mind FROM (
+        |         SELECT label, id, mind,
+        |                row_number() OVER (PARTITION BY label
+        |                  ORDER BY mind DESC, id) AS rn
+        |         FROM d1) WHERE rn = 1)
+        |SELECT label::BIGINT AS label, rank, id, d FROM (
+        |  SELECT label, 1::BIGINT AS rank, id, 0.0 AS d FROM s1
+        |  UNION ALL SELECT label, 2::BIGINT, id, mind FROM p2)""".stripMargin) { (s, dir) =>
+      graft.operators.Coreset.kCenterPerGroup(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 300),
+        "label", "vec_id", "embedding", k = 2, metric = "EUCLIDEAN")
+        .select(col("label"), col("rank").cast("long").as("rank"),
+          col("id"), col("d"))
+    },
   )
 }

@@ -1146,6 +1146,37 @@ object TextQueries {
       graft.operators.Diversity.distinctN(Tables.documents(s, dir), "text")
     },
 
+    // Heaps'-law vocabulary-growth fit: V(N) ~ K·N^beta over the corpus
+    // in doc-id order — the companion card to the q185 Zipf fit ("how
+    // fast does everything vocab-keyed grow as this corpus scales?").
+    // Window-free: per-doc token and new-type counts are aggregates,
+    // both running totals are range-shuffle prefix sums, the log-log
+    // regression is one closed-form aggregate. The oracle replays the
+    // windows and the regression.
+    GQuery(
+      "q212_heaps_fit",
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |             x -> x != '')) AS term FROM documents),
+        |n AS (SELECT d.doc_id, coalesce(c.n, 0) AS n
+        |      FROM documents d LEFT JOIN
+        |        (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id) c USING (doc_id)),
+        |f AS (SELECT term, min(doc_id) AS fd FROM t GROUP BY term),
+        |v AS (SELECT d.doc_id, coalesce(x.v, 0) AS v
+        |      FROM documents d LEFT JOIN
+        |        (SELECT fd AS doc_id, count(*) AS v FROM f GROUP BY fd) x USING (doc_id)),
+        |c AS (SELECT n.doc_id,
+        |        sum(n.n) OVER (ORDER BY n.doc_id) AS bigN,
+        |        sum(v.v) OVER (ORDER BY n.doc_id) AS bigV
+        |      FROM n JOIN v ON n.doc_id = v.doc_id),
+        |x AS (SELECT ln(bigN::DOUBLE) AS lx, ln(bigV::DOUBLE) AS ly
+        |      FROM c WHERE bigN > 0 AND bigV > 0)
+        |SELECT count(*) AS n_points,
+        |       round(covar_pop(ly, lx) / var_pop(lx), 6) AS beta,
+        |       round(avg(ly) - covar_pop(ly, lx) / var_pop(lx) * avg(lx), 6) AS log_k
+        |FROM x""".stripMargin) { (s, dir) =>
+      graft.operators.Heaps.heapsFit(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // WordPiece greedy segmentation over the corpus's distinct words —
     // the third segmenter of the tokenizer family (BPE: merge-ranked;
     // unigram: Viterbi-optimal; WordPiece: longest-match greedy with ##

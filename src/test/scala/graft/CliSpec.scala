@@ -523,6 +523,15 @@ class CliSpec extends SparkSpec {
     assert(got == Map("a" -> 5L))
   }
 
+  test("heaps fits the all-new-tokens corpus at beta=1 via the CLI") {
+    import spark.implicits._
+    val input = s"$dir/heaps.parquet"
+    (0L until 20L).map(i => (i, s"x${i}a x${i}b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(input)
+    val r = Main.run(spark, Seq("heaps", "--input", input)).collect()(0)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 0.0)
+  }
+
   test("wordpiece segments distinct words with ## continuations via the CLI") {
     import spark.implicits._
     val input = s"$dir/wp.parquet"

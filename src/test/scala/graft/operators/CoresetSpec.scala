@@ -54,6 +54,35 @@ class CoresetSpec extends SparkSpec {
     }
   }
 
+  test("kCenterPerGroup matches the global greedy run per group") {
+    import spark.implicits._
+    val grouped = pts.map { case (i, v) => (i % 3, i, v) }
+      .toDF("grp", "vec_id", "embedding")
+    val k = 4
+    val got = Coreset.kCenterPerGroup(grouped, "grp", "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = (0L until 3L).flatMap { g =>
+      Coreset.kCenterGreedy(
+        grouped.filter(org.apache.spark.sql.functions.col("grp") === g),
+        "vec_id", "embedding", k)
+        .collect().map(r => (g, r.getInt(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(got == want)
+  }
+
+  test("kCenterPerGroup rejects a group past maxGroupSize") {
+    import spark.implicits._
+    val big = (0L until 30L).map(i => (1L, i, Array(1f, i.toFloat)))
+      .toDF("grp", "vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      Coreset.kCenterPerGroup(big, "grp", "vec_id", "embedding", k = 2,
+        maxGroupSize = 10).collect()
+    }
+    assert(e.getMessage.contains("maxGroupSize") ||
+      (e.getCause != null && e.getCause.getMessage.contains("maxGroupSize")))
+  }
+
   test("k larger than the input stops at n distinct picks, seeded at the lowest id") {
     val small = pts.take(3)
     val got = Coreset.kCenterGreedy(small.toDF("vec_id", "embedding"),
