@@ -214,6 +214,16 @@ object Main {
           metric = flags.getOrElse("metric", "COSINE"),
           outDir = need("out"))
 
+      case "binary-topk" =>
+        // sign-quantized Hamming shortlist over parquet vectors (q213)
+        val bIn = spark.read.parquet(need("input"))
+        val idC = flags.getOrElse("id-col", "vec_id")
+        val vC = flags.getOrElse("vec-col", "embedding")
+        operators.Sq.binaryTopK(
+          bIn.filter(col(idC) < flags.getOrElse("queries", "20").toLong),
+          bIn, k = flags.getOrElse("k", "10").toInt,
+          idCol = idC, vecCol = vC, excludeSelf = true)
+
       case "pq-encode" =>
         // train sampled codebooks, encode, persist codes + codebooks
         val base = readVectors(spark, need("input"))
@@ -800,6 +810,7 @@ object Main {
       |  dsir --input PARQUET --target PARQUET [--id-col C] [--text-col C] [--buckets N]
       |  decontaminate --input PARQUET --benchmark PARQUET [--threshold T] [--bloom [--m-bits N] [--k-probes N]]
       |  compute-knn --base PATH --query PATH --out DIR [--k N] [--metric M]
+      |  binary-topk --input PARQUET [--queries N] [--k N] [--id-col C] [--vec-col V]
       |  pq-encode --input PATH --out DIR [--m N] [--ksub N] [--seed S]
       |  pq-search --index DIR --query PATH [--k N] [--chunks N | --strategy auto]
       |  asof --left PARQUET --right PARQUET --key K --time T --tie C --payload a,b

@@ -136,4 +136,56 @@ object Sq {
           zip_with(col("orig"), col("vector"), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x)).as("l2_err"))
   }
+
+  /** Binary (sign) quantization — the 32×-compression end of the family
+    * (PQ 32× with codebooks, SQ8 4× affine, binary 32× sign-only): bit i
+    * = 1 iff v_i ≥ 0, packed 16 dims per word so every engine's SIGNED
+    * integer arithmetic replays the words exactly (no 2^63 sign traps).
+    * Output (idCol, bits ARRAY<BIGINT> of ⌈dim/16⌉ words).
+    */
+  def binarize(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .na.drop().as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val words = new Array[Long]((v.length + 15) / 16)
+        var i = 0
+        while (i < v.length) {
+          if (v(i) >= 0f) words(i / 16) |= 1L << (i % 16)
+          i += 1
+        }
+        (id, words)
+      }.toDF(idCol, "bits")
+  }
+
+  /** Hamming top-k over binarized vectors: the [[Knn.knn]] plan shape
+    * (stream base × broadcast queries → bounded per-query heaps), with
+    * XOR-popcount as the distance — integer-exact, so the oracle (q213)
+    * replays the ranking bit for bit. Output: (query_id, neighbor_id,
+    * rank, hamming). A production read path takes this as the shortlist
+    * and exact-reranks the survivors (the [[Pq]] refine discipline).
+    */
+  def binaryTopK(queries: DataFrame, base: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = binarize(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("bits").as("q_bits"))
+    val b = binarize(base, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("bits").as("b_bits"))
+    var pairs = b.crossJoin(broadcast(q))
+    if (excludeSelf) pairs = pairs.filter(col("neighbor_id") =!= col("query_id"))
+    val ham = aggregate(
+      zip_with(col("q_bits"), col("b_bits"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double")
+    pairs
+      .groupBy("query_id")
+      .agg(graft.functions.TopKPairs.topKPairs(ham, col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(col("query_id"), col("pair.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("pair.dist").cast("long").as("hamming"))
+  }
 }

@@ -245,5 +245,43 @@ object PqQueries {
             col("code") * (element_at(typedLit(maxs), col("dim") + 1) -
               element_at(typedLit(mins), col("dim") + 1)) / 255.0, 6).as("recon"))
     },
+
+    // Binary (sign) quantization + Hamming top-5: the 32x-compression end
+    // of the quantization family. Bits pack 16 dims per word (signed-safe
+    // in any engine), distance is XOR-popcount — integer-exact, so the
+    // oracle replays words, distances and the (hamming, id) ranking bit
+    // for bit. Plan shape is the exact-KNN broadcast+bounded-heap plan
+    // with a cheaper kernel; a production read path exact-reranks this
+    // shortlist (the PQ refine discipline).
+    GQuery(
+      "q213_binary_hamming_topk",
+      """WITH ws AS (SELECT unnest(range(4)) AS w),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |b AS (SELECT vec_id AS nid, embedding AS be FROM embeddings),
+        |qb AS (SELECT qid, w,
+        |         list_sum(list_transform(range(0, 16),
+        |           j -> CASE WHEN qe[16*w + j + 1] >= 0 THEN (1 << j) ELSE 0 END))::BIGINT
+        |           AS word
+        |       FROM q CROSS JOIN ws),
+        |bb AS (SELECT nid, w,
+        |         list_sum(list_transform(range(0, 16),
+        |           j -> CASE WHEN be[16*w + j + 1] >= 0 THEN (1 << j) ELSE 0 END))::BIGINT
+        |           AS word
+        |       FROM b CROSS JOIN ws),
+        |d AS (SELECT qb.qid, bb.nid, sum(bit_count(xor(qb.word, bb.word)))::BIGINT AS h
+        |      FROM qb JOIN bb ON qb.w = bb.w
+        |      WHERE bb.nid != qb.qid
+        |      GROUP BY qb.qid, bb.nid)
+        |SELECT qid AS query_id, nid AS neighbor_id, rank, h AS hamming FROM (
+        |  SELECT qid, nid, h,
+        |         row_number() OVER (PARTITION BY qid ORDER BY h, nid) AS rank
+        |  FROM d)
+        |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Sq.binaryTopK(emb.filter(col("vec_id") < 20), emb, k = 5,
+          excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("hamming"))
+    },
   )
 }

@@ -523,6 +523,18 @@ class CliSpec extends SparkSpec {
     assert(got == Map("a" -> 5L))
   }
 
+  test("binary-topk ranks by XOR-popcount via the CLI") {
+    import spark.implicits._
+    val input = s"$dir/bin.parquet"
+    Seq((0L, Array(1f, 1f, 1f, 1f)), (1L, Array(1f, 1f, 1f, -1f)),
+        (2L, Array(-1f, -1f, -1f, -1f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(input)
+    val got = Main.run(spark, Seq("binary-topk", "--input", input,
+      "--queries", "1", "--k", "2"))
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 4L))) // hamming 1 then 4
+  }
+
   test("heaps fits the all-new-tokens corpus at beta=1 via the CLI") {
     import spark.implicits._
     val input = s"$dir/heaps.parquet"

@@ -72,4 +72,40 @@ class SqSpec extends SparkSpec {
     val errs = Sq.l2Error(const, g).select("l2_err").as[Double].collect()
     assert(errs.forall(_ == 0.0))
   }
+
+  test("binarize packs the sign pattern, 16 dims per word, non-multiple dims included") {
+    val v = Array(1f, -2f, 0f, -0.5f) ++ Array.fill(13)(1f) // 17 dims -> 2 words
+    val words = Sq.binarize(Seq((7L, v)).toDF("vec_id", "embedding"))
+      .collect()(0).getSeq[Long](1)
+    assert(words.length == 2)
+    // dims 0..16: signs 1,0,1(0f>=0),0, then 13 ones; word0 bits 0,2,4..15
+    val expect0 = (0 until 16).map(i => if (v(i) >= 0f) 1L << i else 0L).sum
+    assert(words(0) == expect0)
+    assert(words(1) == 1L) // dim 16 positive
+  }
+
+  test("binaryTopK matches a brute-force XOR-popcount ranking") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Sq.binaryTopK(emb.filter(col("vec_id") < 5), emb, k = 4,
+        excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    val all = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def bits(v: Array[Float]): Array[Long] = {
+      val w = new Array[Long]((v.length + 15) / 16)
+      v.indices.foreach(i => if (v(i) >= 0f) w(i / 16) |= 1L << (i % 16))
+      w
+    }
+    for (q <- 0L until 5L) {
+      val qb = bits(all(q))
+      val ranked = all.toSeq.filter(_._1 != q).map { case (id, v) =>
+        val bb = bits(v)
+        (id, qb.indices.map(i => java.lang.Long.bitCount(qb(i) ^ bb(i))).sum.toLong)
+      }.sortBy { case (id, h) => (h, id) }.take(4)
+      ranked.zipWithIndex.foreach { case ((id, h), i) =>
+        assert(got((q, i + 1)) == ((id, h)), s"query $q rank ${i + 1}")
+      }
+    }
+  }
 }
