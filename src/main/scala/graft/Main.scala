@@ -214,6 +214,13 @@ object Main {
           metric = flags.getOrElse("metric", "COSINE"),
           outDir = need("out"))
 
+      case "rrf" =>
+        // reciprocal-rank fusion of ranking parquets (q215)
+        val lists = need("inputs").split(",").toSeq.map(spark.read.parquet(_))
+        operators.Fusion.rrf(lists,
+          k = flags.getOrElse("k", "10").toInt,
+          c = flags.getOrElse("c", "60").toInt)
+
       case "binary-topk" =>
         // sign-quantized Hamming shortlist over parquet vectors (q213)
         val bIn = spark.read.parquet(need("input"))
@@ -811,6 +818,7 @@ object Main {
       |  decontaminate --input PARQUET --benchmark PARQUET [--threshold T] [--bloom [--m-bits N] [--k-probes N]]
       |  compute-knn --base PATH --query PATH --out DIR [--k N] [--metric M]
       |  binary-topk --input PARQUET [--queries N] [--k N] [--id-col C] [--vec-col V]
+      |  rrf --inputs A.parquet,B.parquet,... [--k N] [--c N]
       |  pq-encode --input PATH --out DIR [--m N] [--ksub N] [--seed S]
       |  pq-search --index DIR --query PATH [--k N] [--chunks N | --strategy auto]
       |  asof --left PARQUET --right PARQUET --key K --time T --tie C --payload a,b

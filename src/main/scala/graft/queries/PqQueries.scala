@@ -283,5 +283,72 @@ object PqQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), col("hamming"))
     },
+
+    // The binary read path's eval card: recall@10 of (a) raw Hamming
+    // top-10 and (b) Hamming top-50 shortlist → exact-cosine rerank,
+    // both against the exact cosine truth — the number that says how
+    // much shortlist width buys back what sign-quantization threw away.
+    // Shortlist = q213's plan; rerank = the PQ refine discipline; the
+    // oracle replays all three rankings and the per-query recall means.
+    GQuery(
+      "q214_binary_rerank_recall",
+      """WITH ws AS (SELECT unnest(range(4)) AS w),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |b AS (SELECT vec_id AS nid, embedding AS be FROM embeddings),
+        |qb AS (SELECT qid, w,
+        |         list_sum(list_transform(range(0, 16),
+        |           j -> CASE WHEN qe[16*w + j + 1] >= 0 THEN (1 << j) ELSE 0 END))::BIGINT
+        |           AS word
+        |       FROM q CROSS JOIN ws),
+        |bb AS (SELECT nid, w,
+        |         list_sum(list_transform(range(0, 16),
+        |           j -> CASE WHEN be[16*w + j + 1] >= 0 THEN (1 << j) ELSE 0 END))::BIGINT
+        |           AS word
+        |       FROM b CROSS JOIN ws),
+        |hd AS (SELECT qb.qid, bb.nid, sum(bit_count(xor(qb.word, bb.word)))::BIGINT AS h
+        |       FROM qb JOIN bb ON qb.w = bb.w WHERE bb.nid != qb.qid
+        |       GROUP BY qb.qid, bb.nid),
+        |hrank AS (SELECT qid, nid,
+        |            row_number() OVER (PARTITION BY qid ORDER BY h, nid) AS rk
+        |          FROM hd),
+        |cos AS (SELECT q.qid, b.nid,
+        |          1.0 - list_sum(list_transform(range(1, len(q.qe)+1),
+        |                  i -> q.qe[i]::DOUBLE * b.be[i]::DOUBLE))
+        |              / (sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE*x::DOUBLE))) *
+        |                 sqrt(list_sum(list_transform(b.be, x -> x::DOUBLE*x::DOUBLE)))) AS d
+        |        FROM q CROSS JOIN b WHERE b.nid != q.qid),
+        |truth AS (SELECT qid, nid FROM (
+        |            SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+        |            FROM cos) WHERE rk <= 10),
+        |bin10 AS (SELECT qid, nid FROM hrank WHERE rk <= 10),
+        |short50 AS (SELECT qid, nid FROM hrank WHERE rk <= 50),
+        |rer AS (SELECT c.qid, c.nid FROM (
+        |          SELECT c.qid, c.nid,
+        |                 row_number() OVER (PARTITION BY c.qid ORDER BY c.d, c.nid) AS rk
+        |          FROM cos c JOIN short50 s ON s.qid = c.qid AND s.nid = c.nid) c
+        |        WHERE rk <= 10),
+        |hb AS (SELECT t.qid, count(*) AS hits FROM truth t
+        |       JOIN bin10 p ON p.qid = t.qid AND p.nid = t.nid GROUP BY t.qid),
+        |hr AS (SELECT t.qid, count(*) AS hits FROM truth t
+        |       JOIN rer p ON p.qid = t.qid AND p.nid = t.nid GROUP BY t.qid),
+        |rb AS (SELECT round(avg(coalesce(hits, 0) / 10.0), 4) AS avg_recall
+        |       FROM q LEFT JOIN hb ON hb.qid = q.qid),
+        |rr AS (SELECT round(avg(coalesce(hits, 0) / 10.0), 4) AS avg_recall
+        |       FROM q LEFT JOIN hr ON hr.qid = q.qid)
+        |SELECT 'binary@10' AS method, avg_recall FROM rb
+        |UNION ALL SELECT 'binary50_rerank@10', avg_recall FROM rr""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 20)
+      val truth = graft.operators.Knn.knn(queries, emb, k = 10,
+        excludeSelf = true)
+      val bin10 = Sq.binaryTopK(queries, emb, k = 10, excludeSelf = true)
+      val short50 = Sq.binaryTopK(queries, emb, k = 50, excludeSelf = true)
+      val rer = Pq.refine(queries, short50.select("query_id", "neighbor_id"),
+        emb, k = 10, metric = "COSINE")
+      graft.operators.Knn.avgRecall(bin10, truth, k = 10)
+        .select(lit("binary@10").as("method"), col("avg_recall"))
+        .unionAll(graft.operators.Knn.avgRecall(rer, truth, k = 10)
+          .select(lit("binary50_rerank@10").as("method"), col("avg_recall")))
+    },
   )
 }

@@ -362,5 +362,47 @@ object VectorQueries {
         emb.filter(col("vec_id") < 20), emb,
         dims = Seq(8, 16, 32), k = 10, excludeSelf = true)
     },
+
+    // Reciprocal-rank fusion of two heterogeneous retrievers (cosine and
+    // raw dot-product rankings genuinely disagree on unnormalized
+    // vectors): score = sum of 1/(60 + rank) over the lists a candidate
+    // appears in, re-ranked. One union + one (query,id)-keyed aggregate +
+    // the bounded top-k heap — no window, no calibration. Scores round
+    // to 6 before the final ranking; the oracle replays both retriever
+    // rankings, the fusion sum and the re-rank.
+    GQuery(
+      "q215_rrf_fusion",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+         |           FROM embeddings WHERE vec_id < 10),
+         |b AS (SELECT vec_id AS nid, embedding AS be FROM embeddings),
+         |cosr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY
+         |    1.0 - list_sum(list_transform(range(1, len(q.qe)+1),
+         |            i -> q.qe[i]::DOUBLE * b.be[i]::DOUBLE))
+         |        / (sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE*x::DOUBLE))) *
+         |           sqrt(list_sum(list_transform(b.be, x -> x::DOUBLE*x::DOUBLE)))),
+         |    nid) AS rk
+         |  FROM q CROSS JOIN b WHERE b.nid != q.qid),
+         |dotr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY
+         |    -list_sum(list_transform(range(1, len(q.qe)+1),
+         |        i -> q.qe[i]::DOUBLE * b.be[i]::DOUBLE)), nid) AS rk
+         |  FROM q CROSS JOIN b WHERE b.nid != q.qid),
+         |u AS (SELECT qid, nid, rk FROM cosr WHERE rk <= 20
+         |      UNION ALL SELECT qid, nid, rk FROM dotr WHERE rk <= 20),
+         |f AS (SELECT qid, nid, round(sum(1.0 / (60 + rk)), 6) AS s
+         |      FROM u GROUP BY qid, nid)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank, s AS rrf_score FROM (
+         |  SELECT qid, nid, s,
+         |         row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS rank
+         |  FROM f)
+         |WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cosR = Knn.knn(queries, emb, k = 20, excludeSelf = true)
+      val dotR = Knn.knn(queries, emb, k = 20, metric = "DOT_PRODUCT",
+        excludeSelf = true)
+      graft.operators.Fusion.rrf(Seq(cosR, dotR), k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("rrf_score"))
+    },
   )
 }

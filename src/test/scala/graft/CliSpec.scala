@@ -523,6 +523,18 @@ class CliSpec extends SparkSpec {
     assert(got == Map("a" -> 5L))
   }
 
+  test("rrf fuses two ranking parquets via the CLI") {
+    import spark.implicits._
+    val aP = s"$dir/rrf_a.parquet"; val bP = s"$dir/rrf_b.parquet"
+    Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "neighbor_id", "rank")
+      .write.mode("overwrite").parquet(aP)
+    Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("query_id", "neighbor_id", "rank")
+      .write.mode("overwrite").parquet(bP)
+    val got = Main.run(spark, Seq("rrf", "--inputs", s"$aP,$bP", "--k", "1"))
+      .collect()(0)
+    assert(got.getLong(1) == 11L) // in both lists, wins the fusion
+  }
+
   test("binary-topk ranks by XOR-popcount via the CLI") {
     import spark.implicits._
     val input = s"$dir/bin.parquet"
