@@ -135,6 +135,22 @@ object Main {
       case "slab-analyze" =>
         new SlabTable(spark, need("slab")).stats()
 
+      case "slab-delete" =>
+        // tombstone ordinals (comma list); live reads hide them at once
+        val slab = new SlabTable(spark, need("slab"))
+        val ns = need("ns")
+        import spark.implicits._
+        slab.delete(ns, need("ordinals").split(",").map(_.trim.toLong).toSeq
+          .toDF("ordinal"))
+        slab.stats().filter(col("namespace") === ns)
+
+      case "slab-compact" =>
+        // dead-page GC: rewrite live rows, keep the watermark (q216)
+        val slab = new SlabTable(spark, need("slab"))
+        val ns = need("ns")
+        slab.compact(ns)
+        slab.stats().filter(col("namespace") === ns)
+
       case "linededup" =>
         // CCNet paragraph dedup: keep only each normalized paragraph's
         // globally-first (id, position) occurrence, reassemble docs
@@ -812,6 +828,8 @@ object Main {
       |  slab-import --slab DIR --ns NS --file PATH
       |  slab-export --slab DIR --ns NS --out PATH
       |  slab-analyze --slab DIR
+      |  slab-delete --slab DIR --ns NS --ordinals O1,O2,...
+      |  slab-compact --slab DIR --ns NS
       |  dedup --input PARQUET [--method exact|minhash|jaccard|simhash] [--threshold T] [--df-cap N]
       |  linededup --input PARQUET [--id-col C] [--text-col C] [--delim D]
       |  dsir --input PARQUET --target PARQUET [--id-col C] [--text-col C] [--buckets N]

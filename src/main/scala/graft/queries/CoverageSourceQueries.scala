@@ -102,6 +102,34 @@ object CoverageSourceQueries {
           md5(concat_ws("\n", sort_array(collect_list(col("value"))))).as("digest"))
     },
 
+    // Slab delete + dead-page GC: tombstones hide rows immediately (the
+    // live read anti-joins them); compact rewrites the survivors into
+    // fresh range-sorted files, persists the pre-compaction high
+    // watermark (ascending-append never reuses a reclaimed ordinal —
+    // the deletion set includes the TOP ordinals to prove it), and drops
+    // the tombstones. In-query requires assert reclamation + watermark;
+    // the oracle is the surviving slice.
+    GQuery(
+      "q216_slab_delete_compact",
+      """SELECT doc_id AS ordinal, text FROM documents
+        |WHERE doc_id < 195 AND doc_id % 7 != 0""".stripMargin) { (s, dir) =>
+      val base = s"${tmpDir()}/slabgc-${System.nanoTime()}"
+      val slab = new SlabTable(s, s"$base/slab")
+      Files.createDirectories(Paths.get(base))
+      writeDocLines(s, dir, 0, 200, s"$base/in.txt")
+      slab.importText("docs", s"$base/in.txt")
+      slab.delete("docs", s.range(200)
+        .filter(col("id") % 7 === 0 || col("id") >= 195)
+        .select(col("id").as("ordinal")))
+      val hwBefore = slab.maxOrdinal("docs")
+      slab.compact("docs")
+      require(slab.deadCount("docs") == 0L, "tombstones must be reclaimed")
+      require(slab.maxOrdinal("docs") == hwBefore,
+        "the high watermark must survive compaction of the top ordinals")
+      slab.read("docs")
+        .select(col("ordinal"), decode(col("data"), "UTF-8").as("text"))
+    },
+
     // A3 describe --detailed: facet inventory with counts, dims, avg norms
     // and the dataset attribute line.
     GQuery(

@@ -22,19 +22,47 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 class SlabTable(spark: SparkSession, dir: String) {
 
   private def nsPath(ns: String) = s"$dir/ns=$ns"
+  private def tombPath(ns: String) = s"$dir/tomb=$ns"
+  private def wmPath(ns: String) = s"$dir/wm=$ns"
+  private def exists(p: String) = new java.io.File(p).exists()
 
-  def read(ns: String): DataFrame =
-    spark.read.parquet(nsPath(ns)).select(lit(ns).as("namespace"), col("ordinal"), col("data"))
+  private def rawRead(ns: String): DataFrame = spark.read.parquet(nsPath(ns))
+
+  /** Live view: tombstoned ordinals are hidden until [[compact]] reclaims
+    * them (the reference's dead-page discipline: deletes mark, GC frees).
+    */
+  def read(ns: String): DataFrame = {
+    val live =
+      if (exists(tombPath(ns)))
+        rawRead(ns).join(spark.read.parquet(tombPath(ns)).select("ordinal"),
+          Seq("ordinal"), "left_anti")
+      else rawRead(ns)
+    live.select(lit(ns).as("namespace"), col("ordinal"), col("data"))
+  }
 
   def namespaces(): Seq[String] = {
     val d = new java.io.File(dir)
     if (!d.exists()) Seq.empty
-    else d.listFiles().filter(_.isDirectory).map(_.getName.stripPrefix("ns=")).sorted.toSeq
+    else d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("ns="))
+      .map(_.getName.stripPrefix("ns=")).sorted.toSeq
   }
 
-  def maxOrdinal(ns: String): Long =
-    if (!new java.io.File(nsPath(ns)).exists()) -1L
-    else read(ns).agg(max("ordinal")).collect()(0).getLong(0)
+  /** High watermark over every ordinal EVER appended (deleted or not) —
+    * the ascending-append constraint survives deletion and compaction.
+    */
+  def maxOrdinal(ns: String): Long = {
+    val dataMax: Option[Long] =
+      if (!exists(nsPath(ns))) None
+      else {
+        val r = rawRead(ns).agg(max("ordinal")).collect()(0)
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    val wm: Option[Long] =
+      if (!exists(wmPath(ns))) None
+      else spark.read.parquet(wmPath(ns)).agg(max("ordinal")).collect()
+        .headOption.filter(!_.isNullAt(0)).map(_.getLong(0))
+    (dataMax.toSeq ++ wm.toSeq).reduceOption(_ max _).getOrElse(-1L)
+  }
 
   /** Append (ordinal, data) rows; every new ordinal must exceed the current
     * maximum (the slab append constraint). Rows are range-sorted so parquet
@@ -104,4 +132,48 @@ class SlabTable(spark: SparkSession, dir: String) {
     read(ns).orderBy("ordinal")
       .select(decode(col("data"), "UTF-8").as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
+
+  /** Mark ordinals deleted (tombstones — the data files are untouched;
+    * [[read]] hides the rows, [[compact]] reclaims the space).
+    */
+  def delete(ns: String, ordinals: DataFrame): Unit = {
+    require(exists(nsPath(ns)), s"slab delete: unknown namespace $ns")
+    ordinals.select(col("ordinal").cast("long").as("ordinal")).distinct()
+      .write.mode(SaveMode.Append).parquet(tombPath(ns))
+  }
+
+  /** Tombstoned-but-unreclaimed ordinal count — the GC-pressure gauge. */
+  def deadCount(ns: String): Long =
+    if (!exists(tombPath(ns))) 0L
+    else spark.read.parquet(tombPath(ns)).select("ordinal").distinct().count()
+
+  /** Dead-page GC as a rewrite job (the reference's compaction model,
+    * SURVEY §2 slab append-constraint row): rewrite the live rows
+    * range-sorted into fresh files, persist the pre-compaction high
+    * watermark (so ascending-append never reuses a reclaimed ordinal),
+    * and drop the tombstones.
+    */
+  def compact(ns: String): Unit = {
+    require(exists(nsPath(ns)), s"slab compact: unknown namespace $ns")
+    val hw = maxOrdinal(ns)
+    val tmp = s"$dir/.compact-$ns-${System.nanoTime()}"
+    read(ns).select("ordinal", "data")
+      .repartitionByRange(col("ordinal"))
+      .sortWithinPartitions("ordinal")
+      .write.parquet(tmp)
+    rmTree(new java.io.File(nsPath(ns)))
+    require(new java.io.File(tmp).renameTo(new java.io.File(nsPath(ns))),
+      s"slab compact: could not swap $tmp into place")
+    if (hw >= 0L) {
+      import spark.implicits._
+      Seq(hw).toDF("ordinal").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(wmPath(ns))
+    }
+    rmTree(new java.io.File(tombPath(ns)))
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    if (f.exists()) f.delete()
+  }
 }

@@ -523,6 +523,21 @@ class CliSpec extends SparkSpec {
     assert(got == Map("a" -> 5L))
   }
 
+  test("slab-delete then slab-compact reclaims dead rows via the CLI") {
+    import spark.implicits._
+    val slabDir = s"$dir/slab-cli-gc"
+    val slab = new graft.sources.slab.SlabTable(spark, slabDir)
+    slab.append("ns", (0L until 10L).map(i => (i, s"r$i".getBytes))
+      .toDF("ordinal", "data"))
+    val afterDel = Main.run(spark, Seq("slab-delete", "--slab", slabDir,
+      "--ns", "ns", "--ordinals", "3,9")).collect()(0)
+    assert(afterDel.getLong(1) == 8L) // live records
+    val afterGc = Main.run(spark, Seq("slab-compact", "--slab", slabDir,
+      "--ns", "ns")).collect()(0)
+    assert(afterGc.getLong(1) == 8L)
+    assert(slab.deadCount("ns") == 0L && slab.maxOrdinal("ns") == 9L)
+  }
+
   test("rrf fuses two ranking parquets via the CLI") {
     import spark.implicits._
     val aP = s"$dir/rrf_a.parquet"; val bP = s"$dir/rrf_b.parquet"

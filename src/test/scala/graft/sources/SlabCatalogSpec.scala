@@ -29,6 +29,41 @@ class SlabCatalogSpec extends SparkSpec {
     assert(slab.get("main", 3L).isEmpty)
   }
 
+  test("delete tombstones hide rows everywhere; compact reclaims and keeps the watermark") {
+    val slab = new SlabTable(spark, freshDir("slab-gc"))
+    slab.append("ns", (0L until 50L).map(i => (i, s"r$i".getBytes)).toDF("ordinal", "data"))
+    slab.delete("ns", Seq(10L, 20L, 49L).toDF("ordinal"))
+    // visible immediately, before any compaction
+    assert(slab.get("ns", 10L).isEmpty && slab.get("ns", 11L).isDefined)
+    assert(slab.read("ns").count() == 47L)
+    assert(slab.deadCount("ns") == 3L)
+    assert(slab.maxOrdinal("ns") == 49L) // high watermark counts dead rows
+
+    slab.compact("ns")
+    assert(slab.deadCount("ns") == 0L)
+    assert(slab.read("ns").count() == 47L)
+    assert(slab.maxOrdinal("ns") == 49L,
+      "the reclaimed top ordinal must not be reusable")
+    // ascending-append still measured against the watermark
+    intercept[IllegalArgumentException] {
+      slab.append("ns", Seq((49L, "again".getBytes)).toDF("ordinal", "data"))
+    }
+    slab.append("ns", Seq((50L, "next".getBytes)).toDF("ordinal", "data"))
+    assert(new String(slab.get("ns", 50L).get) == "next")
+  }
+
+  test("compacting a fully-deleted namespace leaves an empty live view with the watermark") {
+    val slab = new SlabTable(spark, freshDir("slab-gc-all"))
+    slab.append("ns", (0L until 5L).map(i => (i, s"r$i".getBytes)).toDF("ordinal", "data"))
+    slab.delete("ns", (0L until 5L).toDF("ordinal"))
+    slab.compact("ns")
+    assert(slab.read("ns").count() == 0L)
+    assert(slab.maxOrdinal("ns") == 4L)
+    intercept[IllegalArgumentException] {
+      slab.append("ns", Seq((2L, "x".getBytes)).toDF("ordinal", "data"))
+    }
+  }
+
   test("multi-get returns submission order with nulls for misses (J5)") {
     val slab = new SlabTable(spark, freshDir("slab-mg"))
     slab.append("ns", (0L until 20L).map(i => (i, s"rec$i".getBytes)).toDF("ordinal", "data"))
