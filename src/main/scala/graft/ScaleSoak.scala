@@ -483,6 +483,56 @@ object ScaleSoak {
       graft.operators.Coreset.kCenterGreedy(base, "vec_id", "embedding",
         k = 16).count()
     }
+    timed(s"wordpiece vocab+encode over the $nDocs-doc distinct words") {
+      val v = graft.operators.WordPiece.vocabFromCorpus(docs, "text")
+      graft.operators.WordPiece.encodeWords(docs, "text", v).count()
+    }
+    timed(s"heaps vocabulary-growth fit over $nDocs docs") {
+      graft.operators.Heaps.heapsFit(docs, "doc_id", "text").collect()
+    }
+    timed(s"snapshot diff over 2x${nBase} synthesized doc versions") {
+      val oldv = spark.range(nBase).select(col("id").as("doc_id"),
+        concat(lit("body "), col("id")).as("text"))
+      val newv = spark.range(nBase + nBase / 100).select(col("id").as("doc_id"),
+        when(col("id") % 13 === 0, concat(lit("edited "), col("id")))
+          .otherwise(concat(lit("body "), col("id"))).as("text"))
+      graft.operators.Snapshot.diffCard(oldv, newv, "doc_id", "text").collect()
+    }
+    timed(s"budget-select (density prefix) over ${nBase * 10} rows") {
+      graft.operators.Sampling.budgetSelect(
+        spark.range(nBase * 10).select(col("id"),
+          (pmod(col("id") * 2654435761L, lit(1000L)) + 1).cast("double").as("score"),
+          (pmod(col("id"), lit(900L)) + 100).as("cost")),
+        "id", "score", "cost", budget = nBase).count()
+    }
+    timed(s"binary (sign) Hamming top-10: 100 queries vs $nBase x $dim") {
+      graft.operators.Sq.binaryTopK(base.filter(col("vec_id") < 100), base,
+        k = 10, excludeSelf = true).count()
+    }
+    timed(s"RRF fusion of two ${nBase}-row rankings") {
+      def synthRank(salt: Long) = spark.range(nBase).select(
+        (col("id") / 20).cast("long").as("query_id"),
+        pmod(col("id") * salt, lit(100000L)).as("neighbor_id"),
+        (pmod(col("id"), lit(20L)) + 1).as("rank"))
+      graft.operators.Fusion.rrf(Seq(synthRank(2654435761L),
+        synthRank(40503L)), k = 10).count()
+    }
+    locally {
+      // z-order layout at 10M rows, 64 files: write cost + the pruning
+      // asymmetry measured by file-footer intersection (y-slice 1/16)
+      val zd = java.nio.file.Files.createTempDirectory("soak-z").toString + "/t"
+      val rows = spark.range(nBase * 10).select(
+        pmod(col("id") * 2654435761L, lit(1024L)).as("x"),
+        pmod(col("id") * 40503L, lit(1024L)).as("y"))
+      timed(s"z-order write ${nBase * 10} rows, 10-bit keys, 64 files") {
+        graft.layout.ZOrder.zorderWrite(rows, zd, "x", "y", bits = 10, nFiles = 64)
+      }
+      val files = new java.io.File(zd).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      val touched = files.count(f => spark.read.parquet(f)
+        .filter(col("y") >= 64 && col("y") < 128).limit(1).count() > 0)
+      println(s"[soak] z-order y-slice (1/16 of space): $touched of ${files.length} files contain matches")
+    }
 
     // --- round-9: COMPOSED pipelines at soak scale (the sf0.1 oracled
     // queries run on 5k docs; these are the same compositions on the

@@ -80,4 +80,41 @@ object Eval {
         coalesce(sum("n"), lit(0L)).as("n"),
         coalesce(round(sum(col("n") * col("abs_gap")) / sum("n"), 6), lit(0.0))
           .as("ece"))
+
+  /** Youden-J optimal operating point: over the distinct score thresholds
+    * (predict positive iff score ≥ t), the t maximizing
+    * J = tpr − fpr — the threshold-selection card read off a trained
+    * quality classifier before it gates a corpus. tpr/fpr round to 6 and
+    * J is defined from the ROUNDED values (the [[calibrationBins]]
+    * engine-replay contract); ties on J break to the HIGHER threshold
+    * (the conservative gate). Returns one row
+    * `(threshold, tpr, fpr, j)`; EMPTY when either class is absent
+    * (tpr or fpr undefined — documented, spec'd).
+    *
+    * Same scale shape as [[rocAuc]]: per-distinct-score aggregates
+    * (bounded by the score alphabet), one range prefix sum, a bounded
+    * TakeOrdered(1) argmax.
+    */
+  def youdenThreshold(scored: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val perValue = scored.select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("s").agg(count(lit(1)).as("c"), sum("y").as("pos"))
+      .withColumn("neg", col("c") - col("pos"))
+    val cum = Ranking.exclusivePrefixSum(
+      Ranking.exclusivePrefixSum(perValue, Seq("s"), "neg", "neg_below"),
+      Seq("s"), "pos", "pos_below")
+    val tot = cum.agg(coalesce(sum("pos"), lit(0L)).as("n_pos"),
+      coalesce(sum("neg"), lit(0L)).as("n_neg"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("s").as("threshold"),
+        round((col("n_pos") - col("pos_below")).cast("double") / col("n_pos"), 6)
+          .as("tpr"),
+        round((col("n_neg") - col("neg_below")).cast("double") / col("n_neg"), 6)
+          .as("fpr"))
+      .withColumn("j", round(col("tpr") - col("fpr"), 6))
+      .orderBy(col("j").desc, col("threshold").desc)
+      .limit(1)
+  }
 }

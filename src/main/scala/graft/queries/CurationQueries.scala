@@ -981,6 +981,35 @@ object CurationQueries {
       graft.operators.Eval.rocAuc(logregScored(s, dir), "y", "score")
     },
 
+    // Youden-J operating point for the q151 classifier: over distinct
+    // score thresholds (predict positive iff score >= t), the t
+    // maximizing J = tpr - fpr, ties to the HIGHER threshold (the
+    // conservative gate). Same machinery as the ROC card: per-score
+    // aggregates + the range prefix sum + a bounded argmax; tpr/fpr
+    // round to 6 and J is defined from the rounded values, so the oracle
+    // replays the whole selection.
+    GQuery(
+      "q217_youden_threshold",
+      logregScoredCte + ",\n" +
+      """ag AS (SELECT s, count(*)::BIGINT AS c, sum(y)::BIGINT AS pos
+        |       FROM sc GROUP BY s),
+        |cum AS (SELECT s, pos, c - pos AS neg,
+        |               coalesce(sum(c - pos) OVER (ORDER BY s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS neg_below,
+        |               coalesce(sum(pos) OVER (ORDER BY s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pos_below
+        |        FROM ag),
+        |t AS (SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg FROM cum),
+        |r AS (SELECT s AS threshold,
+        |             round((n_pos - pos_below)::DOUBLE / n_pos, 6) AS tpr,
+        |             round((n_neg - neg_below)::DOUBLE / n_neg, 6) AS fpr
+        |      FROM cum CROSS JOIN t WHERE n_pos > 0 AND n_neg > 0)
+        |SELECT threshold, tpr, fpr, round(tpr - fpr, 6) AS j
+        |FROM r ORDER BY round(tpr - fpr, 6) DESC, threshold DESC LIMIT 1""".stripMargin) {
+      (s, dir) =>
+      graft.operators.Eval.youdenThreshold(logregScored(s, dir), "y", "score")
+    },
+
     // Calibration reliability card for the same classifier: 100 equal-width
     // score bins, per-bin confidence (mean score) vs accuracy (positive
     // fraction) — the artifact threshold selection and mixture weighting

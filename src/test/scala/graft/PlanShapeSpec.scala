@@ -342,4 +342,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"),
       s"expected a shuffled equi-join on (k, bucket):\n$s")
   }
+
+  test("ZOrder.zValue is a pure projection (ZERO exchanges) inside codegen") {
+    val df = spark.range(1000).select(
+      pmod(col("id"), lit(64L)).as("a"), pmod(col("id") * 7, lit(64L)).as("b"))
+    val plan = executedPlan(df.select(
+      graft.layout.ZOrder.zValue(col("a"), col("b"), 6).as("z")))
+    assert(shuffleCount(plan) == 0)
+    // the `*(n)` prefix is the WholeStageCodegen marker in plan rendering
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, s"z-value fell out of codegen:\n$plan")
+  }
+
+  test("budgetSelect: exactly one exchange (the density range shuffle), no Window") {
+    val d = spark.range(5000).select(col("id"),
+      (pmod(col("id") * 31, lit(100L)) + 1).cast("double").as("score"),
+      (pmod(col("id"), lit(50L)) + 1).as("cost"))
+    val out = graft.operators.Sampling.budgetSelect(d, "id", "score", "cost", 10000L)
+    val plan = executedPlan(out)
+    assert(shuffleCount(plan) <= 1, s"extra exchange:\n$plan")
+    assert(!plan.toString.contains("Window"), s"window crept in:\n$plan")
+  }
+
+  test("Snapshot.diff exchanges carry the hash, never the text") {
+    val o = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("body "), col("id")).as("text"))
+    val n = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("BODY "), col("id")).as("text"))
+    val plan = executedPlan(graft.operators.Snapshot.diff(o, n, "doc_id", "text"))
+    plan.collect { case ex: ShuffleExchangeExec =>
+      val cols = ex.child.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"snapshot exchange carries raw text: $cols")
+    }
+  }
+
+  test("Fusion.rrf: aggregates + bounded heap, no Window, no sort of the union") {
+    val a = spark.range(2000).select((col("id") / 20).as("query_id"),
+      pmod(col("id") * 7, lit(500L)).as("neighbor_id"),
+      (pmod(col("id"), lit(20L)) + 1).as("rank"))
+    val plan = executedPlan(graft.operators.Fusion.rrf(Seq(a, a), k = 5))
+    val s = plan.toString
+    assert(!s.contains("Window"), s"window crept in:\n$s")
+    assert(shuffleCount(plan) <= 2, s"fusion plan shuffled more than twice:\n$s")
+  }
 }

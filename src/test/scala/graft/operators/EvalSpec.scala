@@ -87,4 +87,34 @@ class EvalSpec extends SparkSpec {
       .collect()(0)
     assert(e.getLong(0) == 0L && e.getDouble(1) == 0.0)
   }
+
+  test("youdenThreshold picks the separating threshold on a separable set") {
+    // positives score >= 0.8, negatives <= 0.3: t = 0.8 gives J = 1
+    val scored = Seq((0.9, 1L), (0.8, 1L), (0.3, 0L), (0.1, 0L), (0.2, 0L))
+      .toDF("s", "y")
+    val r = Eval.youdenThreshold(scored, "y", "s").collect()(0)
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+      ((0.8, 1.0, 0.0, 1.0)))
+  }
+
+  test("youdenThreshold matches a brute-force scan and breaks J ties upward") {
+    val rng = (1 to 60).map { i =>
+      val s = math.rint(math.abs(math.sin(i * 7.0)) * 100) / 100
+      (s, if (math.cos(i * 3.0) > -0.2) 1L else 0L)
+    }
+    val got = Eval.youdenThreshold(rng.toDF("s", "y"), "y", "s").collect()(0)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val nPos = rng.count(_._2 == 1L); val nNeg = rng.size - nPos
+    val want = rng.map(_._1).distinct.map { t =>
+      val tp = rng.count(p => p._1 >= t && p._2 == 1L)
+      val fp = rng.count(p => p._1 >= t && p._2 == 0L)
+      (t, r6(r6(tp.toDouble / nPos) - r6(fp.toDouble / nNeg)))
+    }.maxBy { case (t, j) => (j, t) }
+    assert((got.getDouble(0), got.getDouble(3)) == want)
+  }
+
+  test("youdenThreshold is empty when a class is absent (undefined rates)") {
+    val onlyPos = Seq((0.9, 1L), (0.2, 1L)).toDF("s", "y")
+    assert(Eval.youdenThreshold(onlyPos, "y", "s").count() == 0L)
+  }
 }
