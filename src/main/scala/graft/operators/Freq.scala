@@ -95,8 +95,16 @@ object Freq {
     * guarantee threshold. Output: every term with true count > n/(k+1),
     * with its EXACT count — deterministic under any partitioning.
     */
-  def guaranteedHeavy(terms: DataFrame, termCol: String, k: Int): DataFrame = {
-    val acc = mgSummary(terms, termCol, k)
+  def guaranteedHeavy(terms: DataFrame, termCol: String, k: Int): DataFrame =
+    guaranteedHeavyFrom(mgSummary(terms, termCol, k), terms, termCol, k)
+
+  /** Phase 2 against a PRE-BUILT summary (batch-built, or merged out of a
+    * stream — [[graft.streaming.StreamSketch.mgFromStream]]; the
+    * mergeable-summaries rule preserves the guarantee under any batching,
+    * so the output is identical either way).
+    */
+  def guaranteedHeavyFrom(acc: MgAcc, terms: DataFrame, termCol: String,
+      k: Int): DataFrame = {
     val cands = acc.counts.keys.toSeq
     val threshold = acc.n.toDouble / (k + 1)
     terms.select(col(termCol).cast("string").as("term")).na.drop()

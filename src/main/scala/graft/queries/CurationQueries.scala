@@ -463,6 +463,55 @@ object CurationQueries {
         .select("doc_id", "ens", "stage", "shuffle_key")
     },
 
+    // Selection v3: the v2 signal machinery capped by a HARD TOKEN BUDGET
+    // — entropy+length rank ensemble gates the pool (ens >= 0.3), then
+    // the greedy knapsack keeps the maximal ens-per-token prefix fitting
+    // 5000 tokens (q208's budgetSelect over the q184 ensemble). ONE CTE
+    // chain replays entropy, both ranks, the blend, the gate, the
+    // density order, the running sum and the prefix cut — the hash pins
+    // the COMPOSITION.
+    GQuery(
+      "q219_selection_budget",
+      s"""WITH ch AS (SELECT doc_id,
+         |              unnest(list_transform(range(1, length(text) + 1),
+         |                                    i -> substr(text, i, 1))) AS c
+         |            FROM documents),
+         |cc AS (SELECT doc_id, c, count(*)::DOUBLE AS k FROM ch GROUP BY 1, 2),
+         |hh AS (SELECT doc_id, round(ln(sum(k)) - sum(k * ln(k)) / sum(k), 6) AS entropy
+         |       FROM cc GROUP BY doc_id),
+         |sg AS (SELECT d.doc_id, d.n_chars, coalesce(hh.entropy, 0.0) AS entropy
+         |       FROM documents d LEFT JOIN hh USING (doc_id)),
+         |pr AS (SELECT doc_id,
+         |              round(percent_rank() OVER (ORDER BY n_chars, doc_id), 6) AS pr_n,
+         |              round(percent_rank() OVER (ORDER BY entropy, doc_id), 6) AS pr_e
+         |       FROM sg),
+         |en AS (SELECT doc_id, (pr_n + pr_e) / 2.0 AS ens FROM pr),
+         |top AS (SELECT doc_id, ens FROM en WHERE ens >= 0.3),
+         |cost AS (SELECT doc_id,
+         |           len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS cost
+         |         FROM documents),
+         |j AS (SELECT t.doc_id, t.ens, c.cost
+         |      FROM top t JOIN cost c USING (doc_id) WHERE c.cost > 0),
+         |o AS (SELECT doc_id, cost,
+         |        sum(cost) OVER (ORDER BY round(ens / cost, 6) DESC, doc_id
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb
+         |      FROM j)
+         |SELECT doc_id, cost AS n_tok, coalesce(cb, 0)::BIGINT AS cum_before
+         |FROM o WHERE coalesce(cb, 0) + cost <= 5000""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sig = docs.select(col("doc_id"), col("n_chars"),
+        graft.functions.TextFunctions.charEntropy(col("text")).as("entropy"))
+      val ens = graft.operators.Ranking
+        .rankEnsemble(sig, Seq("n_chars", "entropy"), "doc_id")
+        .select(col("doc_id"), col("quality_ensemble").as("ens"))
+        .filter(col("ens") >= 0.3)
+      val cost = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(lower(col("text"))).as("cost"))
+      Sampling.budgetSelect(ens.join(cost, "doc_id"), "doc_id", "ens", "cost",
+          budget = 5000L)
+        .select(col("doc_id"), col("cost").as("n_tok"), col("cum_before"))
+    },
+
     // The flagship curation PIPELINE: quality gate → exact dedup (planted
     // copies removed) → benchmark decontamination (bench docs remove
     // themselves) → deterministic split → training-sequence packing of the

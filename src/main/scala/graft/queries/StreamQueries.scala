@@ -222,6 +222,34 @@ object StreamQueries {
         .filter(col("cms_count") >= 80)
     },
 
+    // Streaming Misra-Gries build: per-micro-batch summaries merged with
+    // the mergeable-summaries rule. Counter VALUES are merge-order
+    // dependent, but the n/(k+1) superset guarantee and the exact total
+    // survive any batching — so phase 2 (exact counts over the broadcast
+    // survivors) emits the IDENTICAL guaranteed-heavy set, and q199's
+    // oracle replays it unchanged through the streaming path.
+    GQuery(
+      "q218_stream_mg_heavy",
+      """WITH toks AS (SELECT substr(unnest(list_filter(
+        |                string_split(lower(text), ' '), x -> x != '')), 1, 1)
+        |                AS term FROM documents),
+        |n AS (SELECT count(*) AS c FROM toks),
+        |tc AS (SELECT term, count(*) AS tf FROM toks GROUP BY term)
+        |SELECT term, tf FROM tc CROSS JOIN n
+        |WHERE tf > c / 16.0""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      def terms(df: org.apache.spark.sql.DataFrame) = df
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .select(substring(col("w"), 1, 1).as("term"))
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("recursiveFileLookup", "false")
+        .parquet(dir)
+      val acc = graft.streaming.StreamSketch.mgFromStream(terms(stream), "term", k = 15)
+      graft.operators.Freq.guaranteedHeavyFrom(acc, terms(docs), "term", k = 15)
+    },
+
     // Streaming IVF probe: the query set arrives as a STREAM and probes a
     // frozen index via foreachBatch — each micro-batch runs the exact
     // batch search and appends its top-k. Queries are independent and the

@@ -88,4 +88,30 @@ object StreamSketch {
     q.awaitTermination()
     acc.bits
   }
+
+  /** Drain a STREAMING term relation into a merged Misra-Gries summary.
+    * The summary is NOT an exact monoid — counter values depend on merge
+    * order — but the mergeable-summaries rule preserves the n/(k+1)
+    * superset guarantee and the exact total under ANY batching, so the
+    * guaranteed-heavy OUTPUT (phase 2,
+    * [[graft.operators.Freq.guaranteedHeavyFrom]]) is identical to the
+    * batch build's. [[StreamSketchSpec]] pins output equality; q218
+    * oracles the guaranteed set built through this path.
+    */
+  def mgFromStream(terms: DataFrame, termCol: String,
+      k: Int): graft.operators.Freq.MgAcc = {
+    val acc = new graft.operators.Freq.MgAcc(k)
+    val lock = new Object
+    val q = terms.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = graft.operators.Freq.mgSummary(batch, termCol, k)
+        lock.synchronized { acc.merge(b); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-mg-stream").toString)
+      .start()
+    q.awaitTermination()
+    acc
+  }
 }

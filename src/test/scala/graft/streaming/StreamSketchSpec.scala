@@ -53,6 +53,29 @@ class StreamSketchSpec extends SparkSpec {
     }
   }
 
+  test("streamed Misra-Gries build yields the identical guaranteed-heavy set, any batching") {
+    import graft.operators.Freq
+    val toks = corpus.toDF("doc_id", "text")
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val k = 4
+    val want = Freq.guaranteedHeavy(toks, "term", k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (split3 <- Seq(Seq(corpus), Seq(corpus.take(7), corpus.drop(7)),
+        Seq(corpus.take(30), corpus.slice(30, 31), corpus.drop(31)))) {
+      val acc = new Freq.MgAcc(k)
+      drainBatches((b, _) => {
+        val t = b.select(explode(org.apache.spark.sql.functions.split(
+          lower(col("text")), " ")).as("term")).filter(col("term") =!= "")
+        acc.merge(Freq.mgSummary(t, "term", k)); ()
+      }, split3)
+      assert(acc.n == toks.count())
+      val got = Freq.guaranteedHeavyFrom(acc, toks, "term", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"batching=${split3.map(_.size)}")
+    }
+  }
+
   test("streamed Bloom bit merge equals the batch build; probes agree") {
     val want = Bloom.build(corpus.toDF("doc_id", "text"), "text",
       n = 3, mBits = 1 << 12, kProbes = 3)
