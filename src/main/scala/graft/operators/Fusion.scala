@@ -29,6 +29,8 @@ object Fusion {
       .map(_.select(col("query_id").cast("long"),
         col("neighbor_id").cast("long"), col("rank").cast("long")))
       .reduce(_ unionAll _)
+      .na.drop()                  // a rankless / keyless row can't score
+      .filter(col("rank") >= 1)   // ranks are 1-based by contract
     union
       .groupBy("query_id", "neighbor_id")
       .agg(round(sum(lit(1.0) / (lit(c) + col("rank"))), 6).as("rrf_score"))

@@ -42,32 +42,37 @@ object WordPiece {
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = docs
+    // distributed piece counting: distinct words stay on the cluster (a
+    // real corpus has 10^8+ types — only the BOUNDED piece table, at most
+    // 2·|alphabet|^maxLen rows, ever reaches the driver). Per word type:
+    // every (position-class, substring ≤ maxLen); single chars pass with
+    // count ≥ 1 (the always-available fallback), longer pieces need
+    // minCount.
+    val pieces = docs
       .select(explode(split(lower(col(textCol)), " ")).as("word"))
-      .filter(col("word") =!= "").distinct().as[String].collect()
-    val initCounts = scala.collection.mutable.HashMap.empty[String, Long]
-    val contCounts = scala.collection.mutable.HashMap.empty[String, Long]
-    val init = scala.collection.mutable.HashSet.empty[String]
-    val cont = scala.collection.mutable.HashSet.empty[String]
-    words.foreach { w =>
-      val cps = w.codePoints().toArray
-      val n = cps.length
-      var p = 0
-      while (p < n) {
-        var l = 1
-        while (l <= maxLen && p + l <= n) {
-          val s = new String(cps, p, l)
-          if (l == 1) { if (p == 0) init += s else cont += s }
-          else if (p == 0) initCounts.update(s, initCounts.getOrElse(s, 0L) + 1L)
-          else contCounts.update(s, contCounts.getOrElse(s, 0L) + 1L)
-          l += 1
+      .filter(col("word") =!= "").distinct().as[String]
+      .flatMap { w =>
+        val cps = w.codePoints().toArray
+        val out = Seq.newBuilder[(Boolean, String)]
+        var p = 0
+        while (p < cps.length) {
+          var l = 1
+          while (l <= maxLen && p + l <= cps.length) {
+            out += ((p == 0, new String(cps, p, l)))
+            l += 1
+          }
+          p += 1
         }
-        p += 1
+        out.result()
       }
-    }
+      .toDF("is_init", "piece")
+      .groupBy("is_init", "piece").agg(count(lit(1)).as("c"))
+      .filter(length(col("piece")) === 1 || col("c") >= minCount)
+      .select("is_init", "piece")
+      .collect()
     WpVocab(
-      init.toSet ++ initCounts.collect { case (s, c) if c >= minCount => s },
-      cont.toSet ++ contCounts.collect { case (s, c) if c >= minCount => s })
+      pieces.collect { case r if r.getBoolean(0) => r.getString(1) }.toSet,
+      pieces.collect { case r if !r.getBoolean(0) => r.getString(1) }.toSet)
   }
 
   /** Greedy-segment every DISTINCT word of the corpus: one output row per
