@@ -639,12 +639,18 @@ object Main {
           maxLen = flags.getOrElse("max-len", "2").toInt)
 
       case "budget-select" =>
-        // greedy token-budget selection by score density (q208)
-        operators.Sampling.budgetSelect(
-          spark.read.parquet(need("input")),
-          idCol = flags.getOrElse("id-col", "doc_id"),
-          scoreCol = need("score-col"), costCol = need("cost-col"),
-          budget = need("budget").toLong)
+        // greedy token-budget selection by score density (q208);
+        // --group-col runs an independent budget per group (q220)
+        val bsIn = spark.read.parquet(need("input"))
+        val bsId = flags.getOrElse("id-col", "doc_id")
+        flags.get("group-col") match {
+          case Some(g) =>
+            operators.Sampling.budgetSelectPerGroup(bsIn, g, bsId,
+              need("score-col"), need("cost-col"), need("budget").toLong)
+          case None =>
+            operators.Sampling.budgetSelect(bsIn, bsId,
+              need("score-col"), need("cost-col"), need("budget").toLong)
+        }
 
       case "snapdiff" =>
         // corpus snapshot diff: per-id status, or --card for the summary
@@ -854,7 +860,7 @@ object Main {
       |  mmr --input PARQUET [--query-col Q] [--id-col C] [--rel-col R] [--vec-col V] [--lambda F] [--k N]
       |  kcenter --input PARQUET [--group-col G] [--id-col C] [--vec-col V] [--k N] [--metric M]
       |  snapdiff --old PARQUET --new PARQUET [--card] [--id-col C] [--text-col C]
-      |  budget-select --input PARQUET --score-col S --cost-col C --budget N [--id-col C]
+      |  budget-select --input PARQUET --score-col S --cost-col C --budget N [--group-col G] [--id-col C]
       |  wordpiece --input PARQUET [--max-len N] [--min-count N] [--text-col C]
       |  heaps --input PARQUET [--id-col C] [--text-col C]
       |  surprisal --input PARQUET [--bigram | --kn [--discount D]] [--id-col C] [--text-col C]

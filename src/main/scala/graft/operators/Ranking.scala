@@ -126,6 +126,103 @@ object Ranking {
           org.apache.spark.sql.types.LongType, nullable = false)))
   }
 
+  /** PER-GROUP exclusive prefix sums without a window: range-partition on
+    * `(groupCol, orderCols…)` so each group occupies a CONTIGUOUS run of
+    * partitions, then two passes. Pass 1 collects, per partition, only
+    * the totals of its FIRST and LAST group — the only groups that can
+    * cross a partition boundary — so the driver state is O(partitions)
+    * REGARDLESS of group count (a billion tiny groups collect nothing
+    * beyond the boundary entries; one giant skewed group threads its
+    * running carry through every partition it spans). Pass 2 streams
+    * each partition with the carried offset for its first group, 0 for
+    * every later group, resetting at group changes.
+    *
+    * The grouped sibling of [[exclusivePrefixSum]] — per-group running
+    * token budgets, per-group packing coordinates, per-group CDFs — with
+    * the same no-Window, one-range-shuffle contract.
+    */
+  def groupedExclusivePrefixSum(df: DataFrame, groupCol: String,
+      orderCols: Seq[String], valueCol: String, outCol: String,
+      numParts: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "groupedExclusivePrefixSum needs an order column")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column; pass a different outCol")
+    val spark = df.sparkSession
+    val parts = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val oc: Seq[Column] = (groupCol +: orderCols).map(col)
+    val base = df.withColumn(valueCol, col(valueCol).cast("long"))
+      .repartitionByRange(parts, oc: _*)
+      .sortWithinPartitions(oc: _*)
+    val schema = base.schema
+    val vIdx = schema.fieldIndex(valueCol)
+    val gIdx = schema.fieldIndex(groupCol)
+    val gType = schema.fields(gIdx).dataType
+    val rows = base.queryExecution.toRdd
+
+    // pass 1: (firstGroup, firstTotal, lastGroup, lastTotal) per partition
+    val bounds = rows.mapPartitionsWithIndex { case (pid, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var firstG: Any = null; var firstT = 0L
+        var curG: Any = null; var curT = 0L
+        var started = false
+        it.foreach { r =>
+          val g = r.get(gIdx, gType)
+          val v = r.getLong(vIdx)
+          if (!started) {
+            started = true; firstG = g; firstT = v; curG = g; curT = v
+          } else if (g == curG) {
+            curT += v
+            if (g == firstG && curG == firstG) firstT = curT
+          } else {
+            curG = g; curT = v
+          }
+        }
+        Iterator((pid, firstG, firstT, curG, curT))
+      }
+    }.collect().sortBy(_._1)
+
+    // driver walk: carry the running total of the group spanning the
+    // boundary into each partition's first group
+    val offsets = scala.collection.mutable.HashMap.empty[Int, Long]
+    var carryG: Any = null // last group of the previous non-empty partition
+    var carryT = 0L        // its mass accumulated over its span so far
+    var haveCarry = false
+    bounds.foreach { case (pid, fg, _, lg, lt) =>
+      val off = if (haveCarry && carryG == fg) carryT else 0L
+      if (off != 0L) offsets.update(pid, off)
+      carryG = lg
+      // a single-group partition EXTENDS the span; otherwise the last
+      // group starts fresh inside this partition
+      carryT = if (fg == lg) off + lt else lt
+      haveCarry = true
+    }
+    val bc = spark.sparkContext.broadcast(offsets.toMap)
+
+    val withSum = rows.mapPartitionsWithIndex { case (pid, it) =>
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      var run = bc.value.getOrElse(pid, 0L)
+      var curG: Any = null
+      var started = false
+      it.map { r =>
+        val g = r.get(gIdx, gType)
+        if (!started) { started = true; curG = g }
+        else if (g != curG) { curG = g; run = 0L }
+        val before = run
+        run += r.getLong(vIdx)
+        extra.update(0, before)
+        joined(r, extra): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(
+      spark, withSum,
+      org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** Append a 1-based dense global `rank` column ordering by `orderCols`
     * (must be a total order). One range shuffle; no single-partition window.
     */

@@ -172,4 +172,27 @@ object Sampling {
       .filter(col("cum_before") + col(costCol) <= budget)
       .drop("_neg_density")
   }
+
+  /** [[budgetSelect]] with an INDEPENDENT budget per group ("2000 tokens
+    * of every language"): the per-group greedy prefix in density order,
+    * via [[Ranking.groupedExclusivePrefixSum]] — one range shuffle on
+    * (group, density, id), O(partitions) driver state regardless of
+    * group count, no Window. Same determinism and degenerate-row
+    * contracts as the global form.
+    */
+  def budgetSelectPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, costCol: String, budgetPerGroup: Long): DataFrame = {
+    require(budgetPerGroup >= 0L,
+      s"budgetPerGroup must be >= 0, got $budgetPerGroup")
+    require(!df.columns.contains("_neg_density") && !df.columns.contains("cum_before"),
+      "input collides with reserved columns _neg_density/cum_before")
+    val d = df
+      .filter(col(groupCol).isNotNull &&
+        col(scoreCol).isNotNull && col(costCol).isNotNull && col(costCol) > 0)
+      .withColumn("_neg_density", -round(col(scoreCol) / col(costCol), 6))
+    Ranking.groupedExclusivePrefixSum(d, groupCol,
+        Seq("_neg_density", idCol), costCol, "cum_before")
+      .filter(col("cum_before") + col(costCol) <= budgetPerGroup)
+      .drop("_neg_density")
+  }
 }

@@ -512,6 +512,34 @@ object CurationQueries {
         .select(col("doc_id"), col("cost").as("n_tok"), col("cum_before"))
     },
 
+    // PER-LANGUAGE token budgets: q208's greedy knapsack run
+    // independently inside every language ("2000 tokens of each") via
+    // the grouped prefix-sum primitive — one range shuffle on
+    // (lang, density, id), O(partitions) driver state however many
+    // groups exist, no Window. The oracle partitions the running sum by
+    // language and replays every per-group prefix cut.
+    GQuery(
+      "q220_budget_per_lang",
+      """WITH d AS (SELECT doc_id, lang, ln(1 + n_chars) AS score,
+        |             len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS cost
+        |           FROM documents),
+        |o AS (SELECT doc_id, lang, cost,
+        |        sum(cost) OVER (PARTITION BY lang
+        |                        ORDER BY round(score / cost, 6) DESC, doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb
+        |      FROM d WHERE cost > 0)
+        |SELECT doc_id, lang, cost AS n_tok, coalesce(cb, 0)::BIGINT AS cum_before
+        |FROM o WHERE coalesce(cb, 0) + cost <= 2000""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        log(lit(1) + col("n_chars")).as("score"),
+        graft.functions.TextFunctions.tokenCount(lower(col("text"))).as("cost"))
+      Sampling.budgetSelectPerGroup(d, "lang", "doc_id", "score", "cost",
+          budgetPerGroup = 2000L)
+        .select(col("doc_id"), col("lang"), col("cost").as("n_tok"),
+          col("cum_before"))
+    },
+
     // The flagship curation PIPELINE: quality gate → exact dedup (planted
     // copies removed) → benchmark decontamination (bench docs remove
     // themselves) → deterministic split → training-sequence packing of the

@@ -159,4 +159,43 @@ class RankingSpec extends SparkSpec {
       Ranking.rankEnsemble(withOut, Seq("a"), "id")
     }
   }
+
+  test("groupedExclusivePrefixSum equals the sequential per-group scan at any partitioning") {
+    import spark.implicits._
+    // mixed sizes: g0 is a GIANT group that must span partitions; g1..g9
+    // are small; values vary so a wrong carry is visible
+    val rows = (0L until 3000L).map { i =>
+      val g = if (i < 2400) "g0" else s"g${1 + (i % 9)}"
+      (g, i, (i % 13) + 1)
+    }
+    val want = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      var run = 0L
+      rs.sortBy(_._2).map { r => val b = run; run += r._3; (r._2, b) }
+    }
+    for (parts <- Seq(1, 3, 17)) {
+      val got = Ranking.groupedExclusivePrefixSum(
+          rows.toDF("g", "ord", "v"), "g", Seq("ord"), "v", "cum",
+          numParts = parts)
+        .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+      assert(got == want.toMap, s"parts=$parts")
+    }
+  }
+
+  test("groupedExclusivePrefixSum: one group spanning EVERY partition carries exactly") {
+    import spark.implicits._
+    val rows = (0L until 500L).map(i => ("only", i, 2L))
+    val got = Ranking.groupedExclusivePrefixSum(
+        rows.toDF("g", "ord", "v"), "g", Seq("ord"), "v", "cum", numParts = 11)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    (0L until 500L).foreach(i => assert(got(i) == i * 2L, s"ord $i"))
+  }
+
+  test("groupedExclusivePrefixSum rejects an existing output column") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Ranking.groupedExclusivePrefixSum(
+        Seq(("g", 1L, 1L, 0L)).toDF("g", "ord", "v", "cum"),
+        "g", Seq("ord"), "v", "cum")
+    }
+  }
 }

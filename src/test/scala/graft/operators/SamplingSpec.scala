@@ -205,6 +205,20 @@ class SamplingSpec extends SparkSpec {
     assert(got == Set(1L))
   }
 
+  test("budgetSelectPerGroup runs the knapsack independently inside each group") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", 1L, 30.0, 10L), ("a", 2L, 40.0, 20L), ("a", 3L, 30.0, 30L),
+      ("b", 4L, 5.0, 25L), ("b", 5L, 50.0, 10L))
+      .toDF("g", "id", "score", "cost")
+    val got = Sampling.budgetSelectPerGroup(d, "g", "id", "score", "cost",
+        budgetPerGroup = 30L)
+      .collect().map(r => r.getAs[Long]("id")).toSet
+    // a: densities 3.0(c10), 2.0(c20), 1.0(c30) -> 10+20 fits; b: 5.0(c10)
+    // fits, 0.2(c25) overflows 30
+    assert(got == Set(1L, 2L, 5L))
+  }
+
   test("budgetSelect: zero budget selects nothing; reserved column rejected") {
     import spark.implicits._
     val d = Seq((1L, 1.0, 1L)).toDF("id", "score", "cost")
