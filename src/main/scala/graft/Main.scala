@@ -622,6 +622,14 @@ object Main {
           default = flags.getOrElse("default",
             if (flags.contains("balance")) "0.0" else "1.0").toDouble)
 
+      case "datasheet" =>
+        // one-row corpus release card (q222)
+        operators.Describe.corpusDatasheet(
+          spark.read.parquet(need("input")),
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("text-col", "text"),
+          flags.getOrElse("lang-col", "lang"))
+
       case "heaps" =>
         // Heaps'-law vocabulary-growth fit over doc-id order (q212)
         operators.Heaps.heapsFit(spark.read.parquet(need("input")),
@@ -863,6 +871,7 @@ object Main {
       |  budget-select --input PARQUET --score-col S --cost-col C --budget N [--group-col G] [--id-col C]
       |  wordpiece --input PARQUET [--max-len N] [--min-count N] [--text-col C]
       |  heaps --input PARQUET [--id-col C] [--text-col C]
+      |  datasheet --input PARQUET [--id-col C] [--text-col C] [--lang-col C]
       |  surprisal --input PARQUET [--bigram | --kn [--discount D]] [--id-col C] [--text-col C]
       |  buckets --input PARQUET [--k N] [--thresholds [--approx]] [--id-col C] [--text-col C]
       |  logreg --input PARQUET --features C1,C2 --label-col C [--steps N] [--lr F] [--score [--id-col C]]

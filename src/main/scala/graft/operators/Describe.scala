@@ -36,4 +36,32 @@ object Describe {
       .withColumn("attributes",
         lit(ds.attributes.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")))
   }
+
+  /** Corpus datasheet — the one-row card a dataset release ships with
+    * (the "datasheets for datasets" summary distilled to what the engine
+    * can attest): document and token volume, vocabulary size, language
+    * count, exact-duplicate document count (by content hash), and the
+    * token-length profile. Three aggregates total (corpus scalars, token
+    * scalars, dup rollup) — no window, nothing collected but the card.
+    */
+  def corpusDatasheet(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val toks = docs.select(
+      explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tokStats = toks.agg(
+      count(lit(1)).as("n_tokens"),
+      count_distinct(col("term")).as("n_types"))
+    val dupDocs = docs.select(md5(col(textCol)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum("c"), lit(0L)).as("n_exact_dup_docs"))
+    val docStats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col(langCol)).as("n_langs"),
+      round(avg(length(col(textCol))), 6).as("mean_chars"))
+    docStats.crossJoin(broadcast(tokStats)).crossJoin(broadcast(dupDocs))
+      .select(col("n_docs"), col("n_tokens"), col("n_types"), col("n_langs"),
+        col("n_exact_dup_docs"), col("mean_chars"))
+  }
 }

@@ -98,6 +98,29 @@ object Packing {
       pmod(col("tok_start"), l).as("seq_offset"))
   }
 
+  /** [[packCoordinates]] with an independent token stream PER GROUP (the
+    * multilingual shape: each language packs into its own sequence ids,
+    * so a per-language dataloader shard never splices streams). Built on
+    * [[Ranking.groupedExclusivePrefixSum]]: one range shuffle on
+    * (group, id), O(partitions) driver state regardless of group count,
+    * no Window. Output adds `groupCol`; `seq_first`/`seq_last`/
+    * `seq_offset` are group-local.
+    */
+  def packCoordinatesPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      tokensCol: String, seqLen: Int, numParts: Int = 0): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val base = df
+      .select(col(groupCol), col(idCol), col(tokensCol).cast("long").as("n_tokens"))
+      .filter(col(groupCol).isNotNull && col("n_tokens") > 0)
+    val l = lit(seqLen.toLong)
+    Ranking.groupedExclusivePrefixSum(base, groupCol, Seq(idCol),
+        "n_tokens", "tok_start", numParts)
+      .select(col(groupCol), col(idCol), col("n_tokens"), col("tok_start"),
+        expr(s"tok_start div ${seqLen}L").as("seq_first"),
+        expr(s"(tok_start + n_tokens - 1) div ${seqLen}L").as("seq_last"),
+        pmod(col("tok_start"), l).as("seq_offset"))
+  }
+
   /** Exploded dataloader manifest: one row per (sequence, document slice) —
     * for sequence `seq_id`, take document tokens `[doc_tok_start,
     * doc_tok_end)` and place them at `seq_offset` within the sequence.

@@ -540,6 +540,52 @@ object CurationQueries {
           col("cum_before"))
     },
 
+    // Per-language sequence packing: every language packs its own
+    // token stream into its own 128-token sequence ids (the multilingual
+    // dataloader-shard shape — no stream ever splices languages), via
+    // the grouped prefix-sum primitive. The oracle partitions the
+    // exclusive running sum by language and replays all coordinates with
+    // integer division.
+    GQuery(
+      "q221_pack_per_lang",
+      """WITH d AS (SELECT doc_id, lang,
+        |             len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS n
+        |           FROM documents),
+        |o AS (SELECT doc_id, lang, n,
+        |        coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS ts
+        |      FROM d WHERE n > 0)
+        |SELECT doc_id, lang, n AS n_tokens, ts AS tok_start,
+        |       ts // 128 AS seq_first, (ts + n - 1) // 128 AS seq_last,
+        |       ts % 128 AS seq_offset
+        |FROM o""".stripMargin) { (s, dir) =>
+      Packing.packCoordinatesPerGroup(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.tokenCount(lower(col("text"))).as("n")),
+        "lang", "doc_id", "n", seqLen = 128)
+    },
+
+    // Corpus datasheet: the one-row release card — doc/token volume,
+    // vocabulary size, language count, exact-duplicate docs by content
+    // hash, mean length. Three aggregates, no window, nothing collected
+    // but the card; the oracle recomputes every cell.
+    GQuery(
+      "q222_corpus_datasheet",
+      """WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                x -> x != '')) AS term FROM documents),
+        |ts AS (SELECT count(*) AS n_tokens, count(DISTINCT term) AS n_types FROM toks),
+        |dup AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_exact_dup_docs FROM (
+        |          SELECT md5(text) AS h, count(*) AS c FROM documents
+        |          GROUP BY md5(text) HAVING count(*) > 1)),
+        |ds AS (SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |              round(avg(length(text)), 6) AS mean_chars
+        |       FROM documents)
+        |SELECT n_docs, n_tokens, n_types, n_langs, n_exact_dup_docs, mean_chars
+        |FROM ds CROSS JOIN ts CROSS JOIN dup""".stripMargin) { (s, dir) =>
+      graft.operators.Describe.corpusDatasheet(
+        Tables.documents(s, dir), "doc_id", "text", "lang")
+    },
+
     // The flagship curation PIPELINE: quality gate → exact dedup (planted
     // copies removed) → benchmark decontamination (bench docs remove
     // themselves) → deterministic split → training-sequence packing of the

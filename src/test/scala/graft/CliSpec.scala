@@ -562,6 +562,17 @@ class CliSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (2L, 4L))) // hamming 1 then 4
   }
 
+  test("datasheet emits the one-row corpus card via the CLI") {
+    import spark.implicits._
+    val input = s"$dir/datasheet.parquet"
+    Seq((1L, "a b", "en"), (2L, "a b", "en"), (3L, "c", "de"))
+      .toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(input)
+    val r = Main.run(spark, Seq("datasheet", "--input", input)).collect()(0)
+    // 3 docs, 5 tokens, 3 types, 2 langs, 2 exact-dup docs
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((3L, 5L, 3L, 2L, 2L)))
+  }
+
   test("heaps fits the all-new-tokens corpus at beta=1 via the CLI") {
     import spark.implicits._
     val input = s"$dir/heaps.parquet"

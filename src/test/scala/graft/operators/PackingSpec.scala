@@ -188,4 +188,26 @@ class PackingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(viaText == viaToks)
   }
+
+  test("per-group coordinates: contiguous group-local streams, matching the global form per group") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (s"g${i % 3}", i, (i % 5) + 1))
+      .toDF("g", "id", "n")
+    val grouped = Packing.packCoordinatesPerGroup(rows, "g", "id", "n", seqLen = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    grouped.groupBy(_._1).foreach { case (g, rs) =>
+      // group-local contiguity: each doc starts where the previous ended
+      val sorted = rs.sortBy(_._2)
+      sorted.foldLeft(0L) { case (expect, (_, id, n, start)) =>
+        assert(start == expect, s"group $g doc $id starts at $start, expected $expect")
+        expect + n
+      }
+      // parity with the GLOBAL packer run on this group alone
+      val solo = Packing.packCoordinates(
+        rows.filter(col("g") === g).select("id", "n"), "id", "n", seqLen = 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      sorted.foreach { case (_, id, _, start) => assert(solo(id) == start) }
+    }
+  }
 }
