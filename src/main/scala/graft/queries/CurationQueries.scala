@@ -565,6 +565,42 @@ object CurationQueries {
         "lang", "doc_id", "n", seqLen = 128)
     },
 
+    // Fair-budget selection: per-language score NORMALIZATION before one
+    // GLOBAL token budget — each doc's quality becomes its percent-rank
+    // WITHIN its language (q173's window-free grouped machinery), so no
+    // language's systematically longer docs can hog the global knapsack
+    // (contrast q219: raw global ensemble; q220: separate per-group
+    // budgets). One grouped rank + one global prefix cut; the oracle
+    // replays the partitioned percent_rank, the density order, the
+    // running sum and the cut.
+    GQuery(
+      "q223_fair_budget_select",
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |             len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS cost
+        |           FROM documents),
+        |p AS (SELECT doc_id, lang, cost,
+        |        round(percent_rank() OVER (PARTITION BY lang
+        |          ORDER BY n_chars, doc_id), 6) AS pr
+        |      FROM d),
+        |j AS (SELECT doc_id, lang, pr, cost FROM p WHERE cost > 0),
+        |o AS (SELECT doc_id, lang, pr, cost,
+        |        sum(cost) OVER (ORDER BY round(pr / cost, 6) DESC, doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb
+        |      FROM j)
+        |SELECT doc_id, lang, pr, cost AS n_tok, coalesce(cb, 0)::BIGINT AS cum_before
+        |FROM o WHERE coalesce(cb, 0) + cost <= 8000""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        graft.functions.TextFunctions.tokenCount(lower(col("text"))).as("cost"))
+      val normalized = graft.operators.Ranking.groupedPercentRank(
+        d, "lang", Seq("n_chars", "doc_id"), outCol = "pr")
+      Sampling.budgetSelect(
+          normalized.select("doc_id", "lang", "pr", "cost"),
+          "doc_id", "pr", "cost", budget = 8000L)
+        .select(col("doc_id"), col("lang"), col("pr"),
+          col("cost").as("n_tok"), col("cum_before"))
+    },
+
     // Corpus datasheet: the one-row release card — doc/token volume,
     // vocabulary size, language count, exact-duplicate docs by content
     // hash, mean length. Three aggregates, no window, nothing collected
