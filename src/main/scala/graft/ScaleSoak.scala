@@ -517,6 +517,25 @@ object ScaleSoak {
       graft.operators.Fusion.rrf(Seq(synthRank(2654435761L),
         synthRank(40503L)), k = 10).count()
     }
+    timed(s"grouped prefix sum over ${nBase * 10} rows, 100k groups + 1 giant") {
+      // 50% of rows in ONE group (spans many partitions -> the boundary
+      // carry path), the rest spread over ~100k small groups
+      val rows = spark.range(nBase * 10).select(
+        when(col("id") % 2 === 0, lit("giant"))
+          .otherwise(concat(lit("g"), pmod(col("id") * 2654435761L, lit(100000L))))
+          .as("g"),
+        col("id").as("ord"), (pmod(col("id"), lit(13L)) + 1).as("v"))
+      graft.operators.Ranking.groupedExclusivePrefixSum(
+        rows, "g", Seq("ord"), "v", "cum").count()
+    }
+    timed(s"per-group budget select over ${nBase * 10} rows, 1000 groups") {
+      graft.operators.Sampling.budgetSelectPerGroup(
+        spark.range(nBase * 10).select(
+          pmod(col("id"), lit(1000L)).as("g"), col("id"),
+          (pmod(col("id") * 31L, lit(997L)) + 1).cast("double").as("score"),
+          (pmod(col("id"), lit(500L)) + 10).as("cost")),
+        "g", "id", "score", "cost", budgetPerGroup = 10000L).count()
+    }
     locally {
       // z-order layout at 10M rows, 64 files: write cost + the pruning
       // asymmetry measured by file-footer intersection (y-slice 1/16)

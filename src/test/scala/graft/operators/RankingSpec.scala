@@ -190,6 +190,35 @@ class RankingSpec extends SparkSpec {
     (0L until 500L).foreach(i => assert(got(i) == i * 2L, s"ord $i"))
   }
 
+  test("groupedExclusivePrefixSum: randomized group layouts across partitionings") {
+    import spark.implicits._
+    // deterministic pseudo-random layouts: group sizes from 1 to ~700,
+    // several seeds, several partition counts — every (seed, parts) pair
+    // must match the sequential per-group scan exactly
+    for (seed <- Seq(1, 7, 23)) {
+      val sizes = (0 until 40).map(g =>
+        1 + (graft.functions.StableHash.fnv64(s"sz:$seed:$g").abs % 700L).toInt)
+      val rows = sizes.zipWithIndex.flatMap { case (sz, g) =>
+        (0 until sz).map { i =>
+          val ord = (graft.functions.StableHash.fnv64(s"o:$seed:$g:$i").abs % 1000000L)
+          (f"g$g%03d", ord * 1024 + i, // unique order key (i < 701 < 1024)
+            (graft.functions.StableHash.fnv64(s"v:$seed:$g:$i").abs % 9L) + 1)
+        }
+      }
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        var run = 0L
+        rs.sortBy(_._2).map { r => val b = run; run += r._3; ((g, r._2), b) }
+      }.toMap
+      for (parts <- Seq(2, 13)) {
+        val got = Ranking.groupedExclusivePrefixSum(
+            rows.toDF("g", "ord", "v"), "g", Seq("ord"), "v", "cum",
+            numParts = parts)
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+        assert(got == want, s"seed=$seed parts=$parts")
+      }
+    }
+  }
+
   test("groupedExclusivePrefixSum rejects an existing output column") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
