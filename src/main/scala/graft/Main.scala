@@ -821,11 +821,14 @@ object Main {
           flags.getOrElse("ps", "0.25,0.5,0.75").split(",").toSeq.map(_.toDouble))
 
       case "viterbi" =>
-        // optimal unigram-LM segmentation scores per vocabulary word (q176)
-        operators.UnigramSeg.wordBestScores(
-          spark.read.parquet(need("input")),
-          flags.getOrElse("text-col", "text"),
-          maxPieceLen = flags.getOrElse("max-piece-len", "2").toInt)
+        // optimal unigram-LM segmentation scores per vocabulary word
+        // (q176); --em runs one hard-EM re-estimation instead (q224)
+        val vIn = spark.read.parquet(need("input"))
+        val vTxt = flags.getOrElse("text-col", "text")
+        val vMax = flags.getOrElse("max-piece-len", "2").toInt
+        if (flags.contains("em"))
+          operators.UnigramSeg.hardEmIteration(vIn, vTxt, vMax)
+        else operators.UnigramSeg.wordBestScores(vIn, vTxt, vMax)
 
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")
@@ -889,7 +892,7 @@ object Main {
       |  (sketch/bucketing commands take [--hash md5|xx64|poly]: xx64 is the
       |   fast production default, md5 the engine-neutral oracle-parity mode,
       |   poly the rolling-window mode for char-level exactsubstr)
-      |  viterbi --input PARQUET [--max-piece-len N] [--text-col C]
+      |  viterbi --input PARQUET [--em] [--max-piece-len N] [--text-col C]
       |  gquantiles --input PARQUET --group-col G --value-col C [--ps P1,P2,...]
       |  curriculum --input PARQUET --difficulty-col C [--k N] [--salt S] [--id-col C]
       |  winsorize --input PARQUET [--value-col C] [--c F] [--group-col G]

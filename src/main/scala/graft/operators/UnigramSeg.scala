@@ -93,4 +93,81 @@ object UnigramSeg {
       }
       .toDF("word", "best_score")
   }
+
+  /** ONE hard-EM (Viterbi-training) iteration of the unigram model (the
+    * SentencePiece training loop's E/M step pair, Viterbi variant):
+    * E-step — segment every vocabulary word with the CURRENT inventory
+    * and count the winning pieces (occurrence-weighted); M-step —
+    * re-normalize: `new_score = round6(ln(em_cnt / Σ em_cnt))`. Pieces
+    * no winning path uses drop out — the pruning that concentrates
+    * probability mass, which is the point of the iteration.
+    *
+    * Engine-neutral path selection: piece scores QUANTIZE to 6 decimals
+    * before the DP, so every path score is the identical left-to-right
+    * double sum in any engine, and exact ties break to the
+    * lexicographically smallest piece-LENGTH sequence ("1" before "2" at
+    * the earliest divergence — prefer the shorter piece first). Both
+    * rules are exchange-safe for the DP (equal-sum length strings are
+    * never prefixes of each other), so q224's oracle replays the
+    * selection by exhaustive path enumeration, tie rule included.
+    *
+    * Scale shape: [[pieceScores]]' bounded inventory broadcasts; the DP
+    * runs map-side over DISTINCT words; counts are one piece-keyed
+    * aggregate over (winning pieces × word multiplicity).
+    */
+  def hardEmIteration(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scores: Map[String, Double] =
+      pieceScores(docs, textCol, maxPieceLen)
+        .select(col("piece"), round(col("score"), 6).as("score"))
+        .as[(String, Double)].collect().toMap
+    val bc = spark.sparkContext.broadcast(scores)
+    val maxL = maxPieceLen
+    val used = Bpe.wordCounts(docs, textCol).as[(String, Long)]
+      .flatMap { case (word, cnt) =>
+        val s = bc.value
+        val cps = word.codePoints().toArray
+        val n = cps.length
+        val best = new Array[Double](n + 1)
+        val path = new Array[String](n + 1)
+        path(0) = ""
+        var i = 1
+        while (i <= n) {
+          var b = Double.NegativeInfinity
+          var bp: String = null
+          var l = 1
+          while (l <= maxL && l <= i) {
+            s.get(new String(cps, i - l, l)) match {
+              case Some(ps) =>
+                val cand = best(i - l) + ps
+                val candPath = path(i - l) + l
+                if (cand > b || (cand == b && (bp == null || candPath < bp))) {
+                  b = cand; bp = candPath
+                }
+              case None =>
+            }
+            l += 1
+          }
+          best(i) = b; path(i) = bp
+          i += 1
+        }
+        // walk the winning length sequence back into pieces
+        val out = Seq.newBuilder[(String, Long)]
+        var p = 0
+        path(n).foreach { d =>
+          val l = d - '0'
+          out += ((new String(cps, p, l), cnt))
+          p += l
+        }
+        out.result()
+      }
+      .toDF("piece", "cnt")
+    val counts = used.groupBy("piece").agg(sum("cnt").as("em_cnt"))
+    val total = counts.agg(sum("em_cnt").as("t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("piece"), col("em_cnt"),
+        round(log(col("em_cnt").cast("double") / col("t")), 6).as("new_score"))
+  }
 }

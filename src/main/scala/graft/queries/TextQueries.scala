@@ -1146,6 +1146,57 @@ object TextQueries {
       graft.operators.Diversity.distinctN(Tables.documents(s, dir), "text")
     },
 
+    // ONE hard-EM (Viterbi-training) iteration of the unigram tokenizer
+    // (the SentencePiece E/M pair, Viterbi variant): segment every vocab
+    // word under the current round-6-quantized inventory — exact ties
+    // break to the lexicographically smallest piece-LENGTH sequence —
+    // count winning pieces occurrence-weighted, re-normalize. Unused
+    // pieces drop out (the pruning that concentrates mass). Quantized
+    // scores make every path sum the identical left-to-right double in
+    // both engines, so the oracle replays the SELECTION by exhaustive
+    // path enumeration with the same tie rule, then the counts and the
+    // re-normalization.
+    GQuery(
+      "q224_unigram_hard_em",
+      s"""WITH RECURSIVE
+         |wc AS (SELECT word, count(*) AS cnt
+         |       FROM (SELECT unnest($duckToks) AS word FROM documents)
+         |       GROUP BY word),
+         |pieces AS (SELECT piece, sum(cnt) AS pcnt FROM (
+         |    SELECT cnt, unnest(flatten([
+         |      list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
+         |      list_transform(range(1, greatest(0, length(word) - 1) + 1),
+         |                     i -> substr(word, i, 2))
+         |    ])) AS piece FROM wc) GROUP BY piece),
+         |tot AS (SELECT sum(pcnt) AS t FROM pieces),
+         |sc AS (SELECT piece, round(ln(pcnt / t), 6) AS score
+         |       FROM pieces CROSS JOIN tot),
+         |paths(word, pos, lenpath, pieces_s, score) AS (
+         |  SELECT word, 0, '', '', 0.0::DOUBLE FROM wc
+         |  UNION ALL
+         |  SELECT p.word, p.pos + l.l, p.lenpath || l.l::VARCHAR,
+         |         CASE WHEN p.pieces_s = '' THEN sc.piece
+         |              ELSE p.pieces_s || '|' || sc.piece END,
+         |         p.score + sc.score
+         |  FROM paths p
+         |  JOIN (SELECT 1 AS l UNION ALL SELECT 2) l ON p.pos + l.l <= length(p.word)
+         |  JOIN sc ON sc.piece = substr(p.word, p.pos + 1, l.l)),
+         |best AS (SELECT word, pieces_s FROM (
+         |    SELECT word, pieces_s,
+         |           row_number() OVER (PARTITION BY word
+         |             ORDER BY score DESC, lenpath) AS rn
+         |    FROM paths WHERE pos = length(word)) WHERE rn = 1),
+         |used AS (SELECT b.word, unnest(string_split(b.pieces_s, '|')) AS piece
+         |         FROM best b),
+         |c2 AS (SELECT u.piece, sum(wc.cnt)::BIGINT AS em_cnt
+         |       FROM used u JOIN wc ON wc.word = u.word GROUP BY u.piece),
+         |t2 AS (SELECT sum(em_cnt) AS t FROM c2)
+         |SELECT piece, em_cnt, round(ln(em_cnt / t), 6) AS new_score
+         |FROM c2 CROSS JOIN t2""".stripMargin) { (s, dir) =>
+      graft.operators.UnigramSeg.hardEmIteration(
+        Tables.documents(s, dir), "text")
+    },
+
     // Heaps'-law vocabulary-growth fit: V(N) ~ K·N^beta over the corpus
     // in doc-id order — the companion card to the q185 Zipf fit ("how
     // fast does everything vocab-keyed grow as this corpus scales?").

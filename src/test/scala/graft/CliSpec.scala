@@ -562,6 +562,16 @@ class CliSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (2L, 4L))) // hamming 1 then 4
   }
 
+  test("viterbi --em re-estimates the unigram inventory via the CLI") {
+    import spark.implicits._
+    val input = s"$dir/em.parquet"
+    Seq((1L, "abab abab"), (2L, "abab")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(input)
+    val got = Main.run(spark, Seq("viterbi", "--input", input, "--em"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 6L))
+  }
+
   test("datasheet emits the one-row corpus card via the CLI") {
     import spark.implicits._
     val input = s"$dir/datasheet.parquet"

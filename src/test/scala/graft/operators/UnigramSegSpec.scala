@@ -81,4 +81,34 @@ class UnigramSegSpec extends SparkSpec {
     assert(best.nonEmpty)
     assert(best.forall(r => !r.getDouble(1).isNegInfinity))
   }
+
+  test("hard-EM concentrates mass on the winning bigram and prunes the rest") {
+    import spark.implicits._
+    // vocabulary {abab ×3}: the 'ab'-piece path dominates every 1-char
+    // path, so one iteration keeps ab (count 2 per word × 3) and drops
+    // a, b, ba entirely
+    val docs = Seq((1L, "abab abab"), (2L, "abab")).toDF("doc_id", "text")
+    val got = UnigramSeg.hardEmIteration(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 6L))
+  }
+
+  test("an EXACT quantized-score tie breaks to the shorter-piece path (the stated rule)") {
+    import spark.implicits._
+    // pieces: a(2), aa(1), b(1), total 4 -> s(a)=round6(ln .5),
+    // s(aa)=round6(ln .25) = exactly 2*s(a) in doubles: the 'aa' word's
+    // two paths TIE, and lenpath '11' < '2' must win -> aa never counted
+    val docs = Seq((1L, "aa b")).toDF("doc_id", "text")
+    val got = UnigramSeg.hardEmIteration(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L), s"tie rule violated: $got")
+  }
+
+  test("hard-EM output is a normalized distribution over surviving pieces") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = UnigramSeg.hardEmIteration(docs, "text").collect()
+    assert(rows.nonEmpty)
+    val z = rows.map(r => math.exp(r.getDouble(2))).sum
+    assert(math.abs(z - 1.0) < 1e-3, s"sum exp(new_score) = $z")
+  }
 }
