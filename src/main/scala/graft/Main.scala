@@ -827,7 +827,8 @@ object Main {
         val vTxt = flags.getOrElse("text-col", "text")
         val vMax = flags.getOrElse("max-piece-len", "2").toInt
         if (flags.contains("em"))
-          operators.UnigramSeg.hardEmIteration(vIn, vTxt, vMax)
+          operators.UnigramSeg.hardEm(vIn, vTxt,
+            iters = flags.getOrElse("iters", "1").toInt, maxPieceLen = vMax)
         else operators.UnigramSeg.wordBestScores(vIn, vTxt, vMax)
 
       case other =>
@@ -892,7 +893,7 @@ object Main {
       |  (sketch/bucketing commands take [--hash md5|xx64|poly]: xx64 is the
       |   fast production default, md5 the engine-neutral oracle-parity mode,
       |   poly the rolling-window mode for char-level exactsubstr)
-      |  viterbi --input PARQUET [--em] [--max-piece-len N] [--text-col C]
+      |  viterbi --input PARQUET [--em [--iters N]] [--max-piece-len N] [--text-col C]
       |  gquantiles --input PARQUET --group-col G --value-col C [--ps P1,P2,...]
       |  curriculum --input PARQUET --difficulty-col C [--k N] [--salt S] [--id-col C]
       |  winsorize --input PARQUET [--value-col C] [--c F] [--group-col G]

@@ -123,9 +123,49 @@ object UnigramSeg {
       pieceScores(docs, textCol, maxPieceLen)
         .select(col("piece"), round(col("score"), 6).as("score"))
         .as[(String, Double)].collect().toMap
+    emStep(Bpe.wordCounts(docs, textCol), scores, maxPieceLen)
+  }
+
+  /** Iterated hard EM: run `iters` E/M pairs, each re-segmenting under
+    * the PREVIOUS step's re-normalized scores. The Viterbi objective
+    * (Σ_words cnt · best-path score) is non-decreasing across iterations
+    * by the usual hard-EM argument — the E-step picks the best paths
+    * under the current scores, the M-step maximizes the same objective
+    * for those fixed paths ([[UnigramSegSpec]] asserts the monotonicity
+    * on the corpus). The inventory only ever SHRINKS, so each iteration
+    * costs no more than the last; the corpus is touched once (word
+    * counts), every iteration runs on the vocabulary relation.
+    */
+  def hardEm(docs: DataFrame, textCol: String, iters: Int,
+      maxPieceLen: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = Bpe.wordCounts(docs, textCol).cache()
+    var scores: Map[String, Double] =
+      pieceScores(docs, textCol, maxPieceLen)
+        .select(col("piece"), round(col("score"), 6).as("score"))
+        .as[(String, Double)].collect().toMap
+    var out: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      out = emStep(wc, scores, maxPieceLen)
+      scores = out.select(col("piece"), col("new_score"))
+        .as[(String, Double)].collect().toMap
+      it += 1
+    }
+    wc.unpersist()
+    out
+  }
+
+  /** One E/M pair against an explicit quantized score table. */
+  private def emStep(wc: DataFrame, scores: Map[String, Double],
+      maxPieceLen: Int): DataFrame = {
+    val spark = wc.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(scores)
     val maxL = maxPieceLen
-    val used = Bpe.wordCounts(docs, textCol).as[(String, Long)]
+    val used = wc.as[(String, Long)]
       .flatMap { case (word, cnt) =>
         val s = bc.value
         val cps = word.codePoints().toArray
@@ -153,6 +193,10 @@ object UnigramSeg {
           best(i) = b; path(i) = bp
           i += 1
         }
+        // every word stays segmentable: its own previous winning path's
+        // pieces all survived the M-step (inductive invariant)
+        require(n == 0 || path(n) != null,
+          s"hard-EM: word '$word' unsegmentable under the current inventory")
         // walk the winning length sequence back into pieces
         val out = Seq.newBuilder[(String, Long)]
         var p = 0

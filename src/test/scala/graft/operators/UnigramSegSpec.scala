@@ -104,6 +104,37 @@ class UnigramSegSpec extends SparkSpec {
     assert(got == Map("a" -> 2L, "b" -> 1L), s"tie rule violated: $got")
   }
 
+  test("iterated hard-EM: Viterbi objective non-decreasing, inventory only shrinks") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val wc = graft.operators.Bpe.wordCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    def objective(scores: Map[String, Double]): Double = wc.map { case (w, cnt) =>
+      val cps = w.codePoints().toArray
+      val best = Array.fill(cps.length + 1)(Double.NegativeInfinity)
+      best(0) = 0.0
+      for (i <- 1 to cps.length; l <- 1 to math.min(2, i))
+        scores.get(new String(cps, i - l, l)).foreach { s =>
+          best(i) = math.max(best(i), best(i - l) + s)
+        }
+      cnt * best(cps.length)
+    }.sum
+    val iterScores = (1 to 3).map { it =>
+      UnigramSeg.hardEm(docs, "text", iters = it)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    }
+    // inventory monotone shrinking
+    assert(iterScores(0).keySet.subsetOf(
+      UnigramSeg.pieceScores(docs, "text").select("piece")
+        .collect().map(_.getString(0)).toSet))
+    assert(iterScores(1).keySet.subsetOf(iterScores(0).keySet))
+    assert(iterScores(2).keySet.subsetOf(iterScores(1).keySet))
+    // objective non-decreasing across the re-estimations
+    val o1 = objective(iterScores(0)); val o2 = objective(iterScores(1))
+    val o3 = objective(iterScores(2))
+    assert(o2 >= o1 - 1e-6 && o3 >= o2 - 1e-6, s"objective fell: $o1 -> $o2 -> $o3")
+  }
+
   test("hard-EM output is a normalized distribution over surviving pieces") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val rows = UnigramSeg.hardEmIteration(docs, "text").collect()
