@@ -712,6 +712,15 @@ object Main {
           textCol = flags.getOrElse("text-col", "text"),
           minDf = flags.getOrElse("min-df", "1").toInt)
 
+      case "hashembed" =>
+        // model-free signed feature-hashing doc embedding (q225)
+        operators.TfIdf.hashedEmbedding(
+          spark.read.parquet(need("input")),
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          textCol = flags.getOrElse("text-col", "text"),
+          dim = flags.getOrElse("dim", "64").toInt,
+          mode = hashMode)
+
       case "hashtf" =>
         // hashing-trick term counts (no vocabulary pass)
         operators.TfIdf.hashedTf(spark.read.parquet(need("input")),
@@ -888,6 +897,7 @@ object Main {
       |  vocab --input PARQUET [--k N] [--min-count N] [--id-col C] [--text-col C]
       |  tfidf --input PARQUET [--min-df N] [--id-col C] [--text-col C]
       |  hashtf --input PARQUET [--n-buckets N] [--id-col C] [--text-col C]
+      |  hashembed --input PARQUET [--dim N] [--id-col C] [--text-col C]
       |  cms --input PARQUET [--depth N] [--width N] [--threshold N] [--score [--id-col C]] [--text-col C]
       |  mg-heavy --input PARQUET [--k N] [--text-col C]
       |  (sketch/bucketing commands take [--hash md5|xx64|poly]: xx64 is the

@@ -60,4 +60,44 @@ object TfIdf {
           lit(nBuckets.toLong)).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
   }
+
+  /** Signed feature-hashing document embedding — a MODEL-FREE doc vector
+    * (the hashing-trick / signed-random-projection of the bag of words:
+    * dim j accumulates ±1 per token occurrence, sign = the low bit of
+    * hash(token:j)). Integer-exact, so any engine replays every
+    * coordinate; cosine between two such vectors approximates BoW
+    * similarity, which makes it the cheap embedding for dedup/retrieval
+    * BEFORE any model exists — it feeds the whole ANN family (KNN, IVF,
+    * binary Hamming) unchanged.
+    *
+    * Scale shape: a typed kernel computes all `dim` coordinates per doc
+    * in one pass (no token×dim explode); zero shuffle. `Md5` replays in
+    * oracles (q225); `Xx64` is the fast path (the [[HashMode]] contract).
+    * Docs with no tokens emit nothing (documented).
+    */
+  def hashedEmbedding(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64, mode: HashMode = HashMode.Md5): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"),
+        coalesce(lower(col(textCol)), lit("")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        if (toks.isEmpty) Iterator.empty
+        else {
+          val v = new Array[Long](dim)
+          toks.foreach { t =>
+            var j = 0
+            while (j < dim) {
+              v(j) += (if ((mode.hash60(t + ":" + j) & 1L) == 1L) 1L else -1L)
+              j += 1
+            }
+          }
+          Iterator((id, v))
+        }
+      }
+      .toDF(idCol, "hvec")
+  }
 }

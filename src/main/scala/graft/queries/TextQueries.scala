@@ -1146,6 +1146,27 @@ object TextQueries {
       graft.operators.Diversity.distinctN(Tables.documents(s, dir), "text")
     },
 
+    // Signed feature-hashing doc embedding: a MODEL-FREE vector per doc
+    // (dim j accumulates ±1 per token, sign = the low hash bit) —
+    // integer-exact, so the oracle replays every coordinate from the
+    // md5-60 contract. The cheap embedding that feeds the ANN family
+    // before any model exists; one typed kernel pass per doc, no
+    // token×dim explode, zero shuffle.
+    GQuery(
+      "q225_hashed_doc_embedding",
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS t FROM documents),
+         |dj AS (SELECT doc_id, t, unnest(range(16)) AS j FROM tok),
+         |s AS (SELECT doc_id, j::BIGINT AS dim,
+         |        sum(CASE WHEN (('0x' || substr(md5(t || ':' || j::VARCHAR), 1, 15))::BIGINT & 1) = 1
+         |                 THEN 1 ELSE -1 END)::BIGINT AS v
+         |      FROM dj GROUP BY doc_id, j)
+         |SELECT doc_id, dim, v FROM s""".stripMargin) { (s, dir) =>
+      graft.operators.TfIdf.hashedEmbedding(
+          Tables.documents(s, dir), "doc_id", "text", dim = 16)
+        .select(col("doc_id"), posexplode(col("hvec")).as(Seq("dim", "v")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"), col("v"))
+    },
+
     // ONE hard-EM (Viterbi-training) iteration of the unigram tokenizer
     // (the SentencePiece E/M pair, Viterbi variant): segment every vocab
     // word under the current round-6-quantized inventory — exact ties

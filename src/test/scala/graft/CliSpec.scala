@@ -562,6 +562,17 @@ class CliSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (2L, 4L))) // hamming 1 then 4
   }
 
+  test("hashembed emits a deterministic model-free doc vector via the CLI") {
+    import spark.implicits._
+    val input = s"$dir/hembed.parquet"
+    Seq((1L, "x x"), (2L, "x x")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(input)
+    val got = Main.run(spark, Seq("hashembed", "--input", input, "--dim", "4"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == got(2L)) // identical text -> identical vector
+    assert(got(1L).forall(v => math.abs(v) == 2L))
+  }
+
   test("viterbi --em re-estimates the unigram inventory via the CLI") {
     import spark.implicits._
     val input = s"$dir/em.parquet"

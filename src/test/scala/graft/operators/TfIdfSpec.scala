@@ -52,4 +52,32 @@ class TfIdfSpec extends SparkSpec {
     // token mass is conserved per doc (collisions only merge buckets)
     assert(byDoc(1L).values.sum == 3L && byDoc(2L).values.sum == 2L)
   }
+
+  test("hashedEmbedding matches the per-(token, dim) sign sum; empty docs emit nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = TfIdf.hashedEmbedding(docs, "doc_id", "text", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def sign(t: String, j: Int) =
+      if ((graft.functions.StableHash.md5Hash60(s"$t:$j") & 1L) == 1L) 1L else -1L
+    (0 until 8).foreach { j =>
+      assert(got(1L)(j) == 2 * sign("x", j) + sign("y", j))
+      assert(got(3L)(j) == sign("x", j))
+    }
+    assert(!got.contains(2L)) // tokenless doc: no vector
+    // identical text => identical vector (the dedup utility)
+    val dup = TfIdf.hashedEmbedding(
+      Seq((7L, "x x y")).toDF("doc_id", "text"), "doc_id", "text", dim = 8)
+      .collect()(0).getSeq[Long](1)
+    assert(dup == got(1L).toSeq)
+  }
+
+  test("hashedEmbedding magnitude grows with token count (Rademacher sums, parity bound)") {
+    import spark.implicits._
+    val doc = Seq((1L, Seq.fill(100)("w").mkString(" "))).toDF("doc_id", "text")
+    val v = TfIdf.hashedEmbedding(doc, "doc_id", "text", dim = 4)
+      .collect()(0).getSeq[Long](1)
+    // one repeated token: every dim is exactly ±100
+    assert(v.forall(x => math.abs(x) == 100L))
+  }
 }
