@@ -528,6 +528,13 @@ object ScaleSoak {
       graft.operators.Ranking.groupedExclusivePrefixSum(
         rows, "g", Seq("ord"), "v", "cum").count()
     }
+    timed(s"hashed doc embedding (64-dim, xx64) over $nDocs docs") {
+      graft.operators.TfIdf.hashedEmbedding(docs, "doc_id", "text",
+        dim = 64, mode = graft.functions.HashMode.Xx64).count()
+    }
+    timed(s"hard-EM unigram training x3 over the $nDocs-doc vocabulary") {
+      graft.operators.UnigramSeg.hardEm(docs, "text", iters = 3).count()
+    }
     timed(s"per-group budget select over ${nBase * 10} rows, 1000 groups") {
       graft.operators.Sampling.budgetSelectPerGroup(
         spark.range(nBase * 10).select(

@@ -1167,6 +1167,41 @@ object TextQueries {
         .select(col("doc_id"), col("dim").cast("long").as("dim"), col("v"))
     },
 
+    // The model-free embedding RETRIEVES: cosine top-5 over the q225
+    // hashed doc vectors (queries = first 10 docs) — exact-KNN's
+    // broadcast+heap plan over integer-exact vectors, so the oracle can
+    // replay the vectors, every distance and the (dist, id) ranking.
+    // Closes the loop: hash-embed → ANN works before any model exists.
+    GQuery(
+      "q226_hashed_embedding_knn",
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS t FROM documents),
+         |dj AS (SELECT doc_id, t, unnest(range(16)) AS j FROM tok),
+         |s AS (SELECT doc_id, j,
+         |        sum(CASE WHEN (('0x' || substr(md5(t || ':' || j::VARCHAR), 1, 15))::BIGINT & 1) = 1
+         |                 THEN 1 ELSE -1 END)::DOUBLE AS v
+         |      FROM dj GROUP BY doc_id, j),
+         |dot AS (SELECT q.doc_id AS qid, b.doc_id AS nid,
+         |          sum(q.v * b.v) AS d, sum(q.v * q.v) AS nq, sum(b.v * b.v) AS nb
+         |        FROM s q JOIN s b ON q.j = b.j
+         |        WHERE q.doc_id < 10 AND b.doc_id != q.doc_id
+         |        GROUP BY q.doc_id, b.doc_id),
+         |r AS (SELECT qid, nid,
+         |        row_number() OVER (PARTITION BY qid ORDER BY
+         |          CASE WHEN nq = 0 OR nb = 0 THEN 1.0
+         |               ELSE 1.0 - d / (sqrt(nq) * sqrt(nb)) END, nid) AS rank
+         |      FROM dot)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank
+         |FROM r WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = graft.operators.TfIdf.hashedEmbedding(
+          Tables.documents(s, dir), "doc_id", "text", dim = 16)
+        .select(col("doc_id").as("vec_id"),
+          col("hvec").cast("array<float>").as("embedding"))
+      graft.operators.Knn.knn(emb.filter(col("vec_id") < 10), emb, k = 5,
+          excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+    },
+
     // ONE hard-EM (Viterbi-training) iteration of the unigram tokenizer
     // (the SentencePiece E/M pair, Viterbi variant): segment every vocab
     // word under the current round-6-quantized inventory — exact ties
