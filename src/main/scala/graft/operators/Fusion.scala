@@ -27,10 +27,13 @@ object Fusion {
     require(k > 0 && c >= 0, s"rrf: k=$k must be > 0, c=$c must be >= 0")
     val union = rankings
       .map(_.select(col("query_id").cast("long"),
-        col("neighbor_id").cast("long"), col("rank").cast("long")))
+        col("neighbor_id").cast("long"), col("rank").cast("long"))
+        .na.drop()                 // a rankless / keyless row can't score
+        .filter(col("rank") >= 1)  // ranks are 1-based by contract
+        // a malformed list repeating a candidate contributes its BEST
+        // rank once, not a double-counted score
+        .groupBy("query_id", "neighbor_id").agg(min("rank").as("rank")))
       .reduce(_ unionAll _)
-      .na.drop()                  // a rankless / keyless row can't score
-      .filter(col("rank") >= 1)   // ranks are 1-based by contract
     union
       .groupBy("query_id", "neighbor_id")
       .agg(round(sum(lit(1.0) / (lit(c) + col("rank"))), 6).as("rrf_score"))

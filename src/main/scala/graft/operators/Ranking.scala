@@ -160,6 +160,16 @@ object Ranking {
     val gType = schema.fields(gIdx).dataType
     val rows = base.queryExecution.toRdd
 
+    // COPY any stored group key: the row iterator may REUSE its UnsafeRow
+    // buffer, so a raw UTF8String reference held across rows silently
+    // mutates (whether it does depends on the spill path — the bug class
+    // that only reproduces under some partition layouts)
+    def keyOf(r: org.apache.spark.sql.catalyst.InternalRow): Any =
+      r.get(gIdx, gType) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+        case other => other
+      }
+
     // pass 1: (firstGroup, firstTotal, lastGroup, lastTotal) per partition
     val bounds = rows.mapPartitionsWithIndex { case (pid, it) =>
       if (!it.hasNext) Iterator.empty
@@ -168,7 +178,7 @@ object Ranking {
         var curG: Any = null; var curT = 0L
         var started = false
         it.foreach { r =>
-          val g = r.get(gIdx, gType)
+          val g = keyOf(r)
           val v = r.getLong(vIdx)
           if (!started) {
             started = true; firstG = g; firstT = v; curG = g; curT = v
@@ -207,7 +217,7 @@ object Ranking {
       var curG: Any = null
       var started = false
       it.map { r =>
-        val g = r.get(gIdx, gType)
+        val g = keyOf(r) // copied: held across the (buffer-reusing) iterator
         if (!started) { started = true; curG = g }
         else if (g != curG) { curG = g; run = 0L }
         val before = run

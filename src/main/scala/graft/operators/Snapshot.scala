@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
-  /** Per-id status relation: (idCol, status). */
+  /** Per-id status relation: (idCol, status). CONTRACT: ids are unique
+    * within each version (the corpus primary key) — a duplicated id
+    * fans out through the full outer join, exactly as SQL would.
+    */
   def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val o = oldDf.select(col(idCol).as("_o_id"), md5(col(textCol)).as("_o_h"))

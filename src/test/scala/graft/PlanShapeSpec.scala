@@ -385,6 +385,9 @@ class PlanShapeSpec extends SparkSpec {
     val plan = executedPlan(graft.operators.Fusion.rrf(Seq(a, a), k = 5))
     val s = plan.toString
     assert(!s.contains("Window"), s"window crept in:\n$s")
-    assert(shuffleCount(plan) <= 2, s"fusion plan shuffled more than twice:\n$s")
+    // one keyed exchange per list (the within-list best-rank collapse) +
+    // the fusion aggregate + the per-query heap; identical lists may
+    // reuse an exchange, so the bound is the worst case
+    assert(shuffleCount(plan) <= 4, s"fusion plan over-shuffled:\n$s")
   }
 }

@@ -30,6 +30,14 @@ class FusionSpec extends SparkSpec {
     assert(got.toSeq == Seq(10L, 20L))
   }
 
+  test("a candidate repeated WITHIN one list scores its best rank once") {
+    val malformed = ranking((1L, 10L, 1L), (1L, 10L, 5L))
+    val clean = ranking((1L, 10L, 1L))
+    val gm = Fusion.rrf(Seq(malformed), k = 1).collect()(0).getDouble(3)
+    val gc = Fusion.rrf(Seq(clean), k = 1).collect()(0).getDouble(3)
+    assert(gm == gc)
+  }
+
   test("smaller c weights top ranks more aggressively") {
     val a = ranking((1L, 10L, 1L))
     val s60 = Fusion.rrf(Seq(a), k = 1, c = 60).collect()(0).getDouble(3)
