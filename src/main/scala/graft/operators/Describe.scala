@@ -44,6 +44,41 @@ object Describe {
     * token-length profile. Three aggregates total (corpus scalars, token
     * scalars, dup rollup) — no window, nothing collected but the card.
     */
+  /** Deterministic Poisson-bootstrap CI for the corpus mean length — the
+    * error bar a release card should carry. Each (doc, replicate) draws
+    * a Poisson(1) weight from the md5 hash unit via FIXED integer CDF
+    * thresholds (367879/735759/919699/981012/996340 of 1e6 — contract
+    * constants, both engines use the literals), so every replicate mean
+    * and the 5th/95th order statistics replay exactly. The scalable
+    * bootstrap shape: B×n weighted rows collapse per replicate with
+    * map-side combine; order statistics come from the window-free global
+    * rank over the B-row relation. Replicates with zero total weight
+    * (vanishing for n ≫ 10) drop out, documented.
+    */
+  def bootstrapMeanChars(docs: DataFrame, idCol: String, textCol: String,
+      b: Int = 100): DataFrame = {
+    require(b >= 20, s"bootstrap needs >= 20 replicates, got $b")
+    val u = graft.operators.Sampling.hashUnit(
+      concat(col(idCol).cast("string"), lit(":"), col("rep").cast("string")), "boot")
+    val k = when(u < 367879L, 0L).when(u < 735759L, 1L).when(u < 919699L, 2L)
+      .when(u < 981012L, 3L).when(u < 996340L, 4L).otherwise(5L)
+    val perRep = docs
+      .select(col(idCol), length(col(textCol)).cast("long").as("chars"))
+      .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("k", k)
+      .groupBy("rep")
+      .agg(sum(col("k") * col("chars")).as("wsum"), sum("k").as("wn"))
+      .filter(col("wn") > 0)
+      .select(col("rep"), (col("wsum").cast("double") / col("wn")).as("m"))
+    val ranked = graft.operators.Ranking.globalRank(perRep, Seq("m", "rep"))
+    val lo = ranked.filter(col("rank") === math.max(1, b / 20))
+      .select(round(col("m"), 6).as("ci_lo"))
+    val hi = ranked.filter(col("rank") === b - b / 20)
+      .select(round(col("m"), 6).as("ci_hi"))
+    docs.agg(round(avg(length(col(textCol))), 6).as("mean_chars"))
+      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+  }
+
   def corpusDatasheet(docs: DataFrame, idCol: String, textCol: String,
       langCol: String): DataFrame = {
     val toks = docs.select(

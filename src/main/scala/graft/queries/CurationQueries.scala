@@ -601,6 +601,36 @@ object CurationQueries {
           col("cost").as("n_tok"), col("cum_before"))
     },
 
+    // Bootstrap CI for the datasheet's mean length: deterministic Poisson
+    // bootstrap — each (doc, replicate) draws a Poisson(1) weight from
+    // the md5 hash unit via FIXED integer CDF thresholds (contract
+    // constants), replicate means collapse with map-side combine, and
+    // the 5th/95th order statistics come from the window-free global
+    // rank over the 100-row replicate relation. The oracle replays
+    // every weight, every replicate mean and both order statistics.
+    GQuery(
+      "q227_bootstrap_ci",
+      s"""WITH reps AS (SELECT unnest(range(100)) AS rep),
+         |kk AS (SELECT d.doc_id, r.rep, length(d.text) AS chars,
+         |         CASE WHEN ${duckHashUnit("d.doc_id::VARCHAR || ':' || r.rep::VARCHAR", "boot")} < 367879 THEN 0
+         |              WHEN ${duckHashUnit("d.doc_id::VARCHAR || ':' || r.rep::VARCHAR", "boot")} < 735759 THEN 1
+         |              WHEN ${duckHashUnit("d.doc_id::VARCHAR || ':' || r.rep::VARCHAR", "boot")} < 919699 THEN 2
+         |              WHEN ${duckHashUnit("d.doc_id::VARCHAR || ':' || r.rep::VARCHAR", "boot")} < 981012 THEN 3
+         |              WHEN ${duckHashUnit("d.doc_id::VARCHAR || ':' || r.rep::VARCHAR", "boot")} < 996340 THEN 4
+         |              ELSE 5 END AS k
+         |       FROM documents d CROSS JOIN reps r),
+         |pr AS (SELECT rep, sum(k * chars)::DOUBLE / sum(k) AS m
+         |       FROM kk GROUP BY rep HAVING sum(k) > 0),
+         |rk AS (SELECT rep, m, row_number() OVER (ORDER BY m, rep) AS rank FROM pr),
+         |lo AS (SELECT round(m, 6) AS ci_lo FROM rk WHERE rank = 5),
+         |hi AS (SELECT round(m, 6) AS ci_hi FROM rk WHERE rank = 95),
+         |mn AS (SELECT round(avg(length(text)), 6) AS mean_chars FROM documents)
+         |SELECT mean_chars, ci_lo, ci_hi FROM mn CROSS JOIN lo CROSS JOIN hi""".stripMargin) {
+      (s, dir) =>
+      graft.operators.Describe.bootstrapMeanChars(
+        Tables.documents(s, dir), "doc_id", "text", b = 100)
+    },
+
     // Corpus datasheet: the one-row release card — doc/token volume,
     // vocabulary size, language count, exact-duplicate docs by content
     // hash, mean length. Three aggregates, no window, nothing collected

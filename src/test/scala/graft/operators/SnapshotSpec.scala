@@ -37,6 +37,22 @@ class SnapshotSpec extends SparkSpec {
     assert(got == Map(1L -> "changed", 2L -> "unchanged"))
   }
 
+  test("bootstrap CI: degenerate one-length corpus collapses to the mean; corpus CI brackets it") {
+    // all docs the same length: every replicate mean IS that length
+    val flat = (0L until 50L).map(i => (i, "aaaa")).toDF("doc_id", "text")
+    val r = Describe.bootstrapMeanChars(flat, "doc_id", "text").collect()(0)
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2)) == ((4.0, 4.0, 4.0)))
+
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val c = Describe.bootstrapMeanChars(docs, "doc_id", "text").collect()(0)
+    assert(c.getDouble(1) <= c.getDouble(0) && c.getDouble(0) <= c.getDouble(2),
+      s"CI must bracket the mean: $c")
+    assert(c.getDouble(1) < c.getDouble(2)) // genuine spread on real lengths
+    // deterministic: a second run is identical
+    val c2 = Describe.bootstrapMeanChars(docs, "doc_id", "text").collect()(0)
+    assert(c.toSeq == c2.toSeq)
+  }
+
   test("self-diff is all-unchanged at corpus scale") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val statuses = Snapshot.diff(docs, docs, "doc_id", "text")
