@@ -70,11 +70,21 @@ object Describe {
       .agg(sum(col("k") * col("chars")).as("wsum"), sum("k").as("wn"))
       .filter(col("wn") > 0)
       .select(col("rep"), (col("wsum").cast("double") / col("wn")).as("m"))
+    // order-statistic ranks derive from the SURVIVING replicate count, not
+    // the nominal b: if replicates drop out (zero total Poisson weight,
+    // possible for tiny corpora) the 95th rank of b rows may not exist and
+    // a fixed-rank filter would silently empty the whole card through the
+    // crossJoin. The agg(min) frames are total — a fully-degenerate input
+    // yields null CI bounds beside the mean, never an empty card.
+    val nReps = perRep.agg(count(lit(1)).as("n_reps"))
     val ranked = graft.operators.Ranking.globalRank(perRep, Seq("m", "rep"))
-    val lo = ranked.filter(col("rank") === math.max(1, b / 20))
-      .select(round(col("m"), 6).as("ci_lo"))
-    val hi = ranked.filter(col("rank") === b - b / 20)
-      .select(round(col("m"), 6).as("ci_hi"))
+      .crossJoin(broadcast(nReps))
+    val loRank = greatest(lit(1L), floor(col("n_reps") / 20).cast("long"))
+    val hiRank = col("n_reps") - floor(col("n_reps") / 20).cast("long")
+    val lo = ranked.filter(col("rank") === loRank)
+      .agg(min(round(col("m"), 6)).as("ci_lo"))
+    val hi = ranked.filter(col("rank") === hiRank)
+      .agg(min(round(col("m"), 6)).as("ci_hi"))
     docs.agg(round(avg(length(col(textCol))), 6).as("mean_chars"))
       .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
   }

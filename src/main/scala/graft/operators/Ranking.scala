@@ -160,13 +160,30 @@ object Ranking {
     val gType = schema.fields(gIdx).dataType
     val rows = base.queryExecution.toRdd
 
+    // group keys are compared with Scala == across rows and partitions, so
+    // the key type must carry VALUE equality: atomic types only (an array/
+    // struct/map group key would need deep normalization)
+    require({
+      import org.apache.spark.sql.types._
+      gType match {
+        case _: NumericType | StringType | BinaryType | BooleanType |
+            DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+    }, s"groupedExclusivePrefixSum: group column '$groupCol' must be an atomic " +
+      s"type (string/numeric/binary/date/bool), got $gType")
     // COPY any stored group key: the row iterator may REUSE its UnsafeRow
     // buffer, so a raw UTF8String reference held across rows silently
     // mutates (whether it does depends on the spill path — the bug class
-    // that only reproduces under some partition layouts)
+    // that only reproduces under some partition layouts). BINARY keys come
+    // back as Array[Byte], where == is REFERENCE equality — wrap them in an
+    // ArraySeq so every comparison (and the driver boundary walk) sees
+    // element-wise value equality.
     def keyOf(r: org.apache.spark.sql.catalyst.InternalRow): Any =
       r.get(gIdx, gType) match {
         case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+        case a: Array[Byte] =>
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(a.clone())
         case other => other
       }
 

@@ -105,9 +105,10 @@ object UnigramSeg {
     * Engine-neutral path selection: piece scores QUANTIZE to 6 decimals
     * before the DP, so every path score is the identical left-to-right
     * double sum in any engine, and exact ties break to the
-    * lexicographically smallest piece-LENGTH sequence ("1" before "2" at
-    * the earliest divergence — prefer the shorter piece first). Both
-    * rules are exchange-safe for the DP (equal-sum length strings are
+    * lexicographically smallest piece-LENGTH sequence (1 before 2 at
+    * the earliest divergence — prefer the shorter piece first; lengths
+    * compare as INTEGERS, so length >= 10 pieces order correctly). Both
+    * rules are exchange-safe for the DP (equal-sum length sequences are
     * never prefixes of each other), so q224's oracle replays the
     * selection by exhaustive path enumeration, tie rule included.
     *
@@ -171,19 +172,37 @@ object UnigramSeg {
         val cps = word.codePoints().toArray
         val n = cps.length
         val best = new Array[Double](n + 1)
-        val path = new Array[String](n + 1)
-        path(0) = ""
+        // the winning path at each prefix is its piece-LENGTH sequence,
+        // held as a Vector[Int] and compared element-wise lexicographically
+        // (a digit-string encoding would collide distinct segmentations
+        // once pieces reach length 10: "2"+"1" vs "21")
+        val path = new Array[Vector[Int]](n + 1)
+        path(0) = Vector.empty
+        // lexicographic over length sequences; equal-sum sequences are
+        // never prefixes of one another, so prefix order never decides
+        def lexLt(a: Vector[Int], b: Vector[Int]): Boolean = {
+          var i = 0
+          val m = math.min(a.length, b.length)
+          while (i < m) {
+            if (a(i) != b(i)) return a(i) < b(i)
+            i += 1
+          }
+          a.length < b.length
+        }
         var i = 1
         while (i <= n) {
           var b = Double.NegativeInfinity
-          var bp: String = null
+          var bp: Vector[Int] = null
           var l = 1
           while (l <= maxL && l <= i) {
-            s.get(new String(cps, i - l, l)) match {
+            // skip candidates extending an UNREACHABLE prefix (no path,
+            // score -Inf): they can never win at n, and extending a null
+            // path is meaningless
+            if (path(i - l) != null) s.get(new String(cps, i - l, l)) match {
               case Some(ps) =>
                 val cand = best(i - l) + ps
-                val candPath = path(i - l) + l
-                if (cand > b || (cand == b && (bp == null || candPath < bp))) {
+                val candPath = path(i - l) :+ l
+                if (cand > b || (cand == b && (bp == null || lexLt(candPath, bp)))) {
                   b = cand; bp = candPath
                 }
               case None =>
@@ -200,8 +219,7 @@ object UnigramSeg {
         // walk the winning length sequence back into pieces
         val out = Seq.newBuilder[(String, Long)]
         var p = 0
-        path(n).foreach { d =>
-          val l = d - '0'
+        path(n).foreach { l =>
           out += ((new String(cps, p, l), cnt))
           p += l
         }

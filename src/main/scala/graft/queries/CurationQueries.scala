@@ -621,9 +621,12 @@ object CurationQueries {
          |       FROM documents d CROSS JOIN reps r),
          |pr AS (SELECT rep, sum(k * chars)::DOUBLE / sum(k) AS m
          |       FROM kk GROUP BY rep HAVING sum(k) > 0),
+         |nr AS (SELECT count(*) AS n_reps FROM pr),
          |rk AS (SELECT rep, m, row_number() OVER (ORDER BY m, rep) AS rank FROM pr),
-         |lo AS (SELECT round(m, 6) AS ci_lo FROM rk WHERE rank = 5),
-         |hi AS (SELECT round(m, 6) AS ci_hi FROM rk WHERE rank = 95),
+         |lo AS (SELECT min(round(m, 6)) AS ci_lo FROM rk, nr
+         |       WHERE rank = greatest(1, n_reps // 20)),
+         |hi AS (SELECT min(round(m, 6)) AS ci_hi FROM rk, nr
+         |       WHERE rank = n_reps - n_reps // 20),
          |mn AS (SELECT round(avg(length(text)), 6) AS mean_chars FROM documents)
          |SELECT mean_chars, ci_lo, ci_hi FROM mn CROSS JOIN lo CROSS JOIN hi""".stripMargin) {
       (s, dir) =>

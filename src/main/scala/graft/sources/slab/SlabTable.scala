@@ -24,7 +24,28 @@ class SlabTable(spark: SparkSession, dir: String) {
   private def nsPath(ns: String) = s"$dir/ns=$ns"
   private def tombPath(ns: String) = s"$dir/tomb=$ns"
   private def wmPath(ns: String) = s"$dir/wm=$ns"
+  private def asidePath(ns: String) = s"$dir/.old-$ns"
   private def exists(p: String) = new java.io.File(p).exists()
+
+  /** Heal a mid-[[compact]] crash (the reference's write-then-rename
+    * discipline, datatools-io-slabtastic docs/reference.md:157-162, makes
+    * every interleaving leave a complete generation — this is the read-side
+    * half). If the rename-aside dir exists WITHOUT a live dir, the crash
+    * hit between the two renames: restore the old generation (tombstones
+    * are still present, so the restored view is exactly pre-compact). If
+    * both exist, the crash hit after the new generation went live: the
+    * aside copy is garbage — drop it (the tombstone anti-join over the
+    * already-compacted data is a no-op, so reads were already correct).
+    */
+  private def recover(ns: String): Unit = {
+    val live = new java.io.File(nsPath(ns))
+    val aside = new java.io.File(asidePath(ns))
+    if (aside.exists()) {
+      if (!live.exists())
+        require(aside.renameTo(live), s"slab recover: could not restore $aside")
+      else rmTree(aside)
+    }
+  }
 
   private def rawRead(ns: String): DataFrame = spark.read.parquet(nsPath(ns))
 
@@ -32,6 +53,7 @@ class SlabTable(spark: SparkSession, dir: String) {
     * them (the reference's dead-page discipline: deletes mark, GC frees).
     */
   def read(ns: String): DataFrame = {
+    recover(ns)
     val live =
       if (exists(tombPath(ns)))
         rawRead(ns).join(spark.read.parquet(tombPath(ns)).select("ordinal"),
@@ -51,6 +73,7 @@ class SlabTable(spark: SparkSession, dir: String) {
     * the ascending-append constraint survives deletion and compaction.
     */
   def maxOrdinal(ns: String): Long = {
+    recover(ns)
     val dataMax: Option[Long] =
       if (!exists(nsPath(ns))) None
       else {
@@ -137,6 +160,7 @@ class SlabTable(spark: SparkSession, dir: String) {
     * [[read]] hides the rows, [[compact]] reclaims the space).
     */
   def delete(ns: String, ordinals: DataFrame): Unit = {
+    recover(ns)
     require(exists(nsPath(ns)), s"slab delete: unknown namespace $ns")
     ordinals.select(col("ordinal").cast("long").as("ordinal")).distinct()
       .write.mode(SaveMode.Append).parquet(tombPath(ns))
@@ -152,23 +176,63 @@ class SlabTable(spark: SparkSession, dir: String) {
     * range-sorted into fresh files, persist the pre-compaction high
     * watermark (so ascending-append never reuses a reclaimed ordinal),
     * and drop the tombstones.
+    *
+    * CRASH-ATOMIC, the reference's `.buffer`-then-rename discipline
+    * (docs/reference.md:157-162): the new generation is fully written to a
+    * tmp dir, the watermark is persisted BEFORE the old data moves (so the
+    * ascending-append ceiling survives any crash), and the swap is two
+    * atomic renames (live → aside, tmp → live) with [[recover]] healing
+    * the one window where neither name holds the data. Every interleaving
+    * leaves either the complete old generation (restorable) or the
+    * complete new one — [[SlabCrashSpec]] injects a crash after every
+    * step and proves it.
     */
-  def compact(ns: String): Unit = {
+  def compact(ns: String): Unit = compactWithFailpoint(ns, Int.MaxValue)
+
+  /** [[compact]] with a crash injected after `failAfter` completed steps
+    * (test hook — production passes MaxValue). Steps: 1 new generation
+    * written to tmp; 2 watermark persisted; 3 live renamed aside;
+    * 4 tmp renamed live; 5 aside deleted; 6 tombstones deleted.
+    */
+  private[slab] def compactWithFailpoint(ns: String, failAfter: Int): Unit = {
+    recover(ns)
     require(exists(nsPath(ns)), s"slab compact: unknown namespace $ns")
+    // GC orphans of earlier crashed compacts (tmp generations that never
+    // went live, watermark staging dirs) — never referenced once orphaned
+    new java.io.File(dir).listFiles().filter(f =>
+      f.getName.startsWith(s".compact-$ns-") || f.getName.startsWith(s".wm-$ns-"))
+      .foreach(rmTree)
+    def crash(step: Int): Unit =
+      if (failAfter == step) throw new RuntimeException(s"injected crash after step $step")
     val hw = maxOrdinal(ns)
     val tmp = s"$dir/.compact-$ns-${System.nanoTime()}"
     read(ns).select("ordinal", "data")
       .repartitionByRange(col("ordinal"))
       .sortWithinPartitions("ordinal")
       .write.parquet(tmp)
-    rmTree(new java.io.File(nsPath(ns)))
-    require(new java.io.File(tmp).renameTo(new java.io.File(nsPath(ns))),
-      s"slab compact: could not swap $tmp into place")
+    crash(1)
+    // watermark FIRST: until the swap below, the live data itself still
+    // carries hw, so a half-written watermark can never lower the ceiling;
+    // once written, the ceiling survives the data swap and tombstone drop
     if (hw >= 0L) {
       import spark.implicits._
-      Seq(hw).toDF("ordinal").coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(wmPath(ns))
+      val wmTmp = s"$dir/.wm-$ns-${System.nanoTime()}"
+      Seq(hw).toDF("ordinal").coalesce(1).write.parquet(wmTmp)
+      rmTree(new java.io.File(wmPath(ns)))
+      require(new java.io.File(wmTmp).renameTo(new java.io.File(wmPath(ns))),
+        s"slab compact: could not swap watermark $wmTmp into place")
     }
+    crash(2)
+    val live = new java.io.File(nsPath(ns))
+    val aside = new java.io.File(asidePath(ns))
+    require(!aside.exists(), s"slab compact: stale aside dir $aside")
+    require(live.renameTo(aside), s"slab compact: could not move $live aside")
+    crash(3)
+    require(new java.io.File(tmp).renameTo(live),
+      s"slab compact: could not swap $tmp into place")
+    crash(4)
+    rmTree(aside)
+    crash(5)
     rmTree(new java.io.File(tombPath(ns)))
   }
 

@@ -25,21 +25,28 @@ import graft.operators.Ann
   */
 object StreamAnn {
 
-  /** Drain a streaming query relation against the static index, appending
+  /** Drain a streaming query relation against the static index, writing
     * each micro-batch's `(query_id, neighbor_id, rank, dist)` to
-    * `outPath` as parquet (Trigger.AvailableNow: process what's there,
-    * then stop — a continuous deployment starts the same foreachBatch
-    * with its own trigger).
+    * `outPath/batch=<batchId>` as parquet (Trigger.AvailableNow: process
+    * what's there, then stop — a continuous deployment starts the same
+    * foreachBatch with its own trigger).
+    *
+    * RETRY SAFETY: foreachBatch is at-least-once — a mid-run failure
+    * replays the last batch id. Each batch therefore OVERWRITES its own
+    * deterministic `batch=<id>` subpath (idempotent per id, batch
+    * contents are deterministic under AvailableNow), so a retry replaces
+    * rather than duplicates, keeping the exact-union contract. Readers
+    * see one extra `batch` partition-discovery column.
     */
   def ivfSearchToPath(queryStream: DataFrame, index: DataFrame,
       centroids: DataFrame, k: Int, nProbe: Int, outPath: String,
       metric: String = "COSINE", idCol: String = "vec_id",
       vecCol: String = "embedding", excludeSelf: Boolean = false): Unit = {
     val q = queryStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Ann.ivfSearch(batch, index, centroids, k, nProbe, metric,
             idCol, vecCol, excludeSelf)
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation",

@@ -219,6 +219,30 @@ class RankingSpec extends SparkSpec {
     }
   }
 
+  test("groupedExclusivePrefixSum: binary group keys compare by VALUE across partitions") {
+    import spark.implicits._
+    // two groups whose keys are byte arrays; Array[Byte] == is reference
+    // equality, so without normalization every row would look like a new
+    // group and carries/resets would silently zero out
+    val rows = (0L until 600L).map { i =>
+      val g = if (i < 400) Array[Byte](1, 2, 3) else Array[Byte](9)
+      (g, i, 3L)
+    }
+    val got = Ranking.groupedExclusivePrefixSum(
+        rows.toDF("g", "ord", "v"), "g", Seq("ord"), "v", "cum", numParts = 7)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    (0L until 400L).foreach(i => assert(got(i) == i * 3L, s"group-a ord $i"))
+    (400L until 600L).foreach(i => assert(got(i) == (i - 400L) * 3L, s"group-b ord $i"))
+  }
+
+  test("groupedExclusivePrefixSum rejects non-atomic group key types") {
+    import spark.implicits._
+    val df = Seq((Seq(1L), 1L, 1L)).toDF("g", "ord", "v")
+    intercept[IllegalArgumentException] {
+      Ranking.groupedExclusivePrefixSum(df, "g", Seq("ord"), "v", "cum")
+    }
+  }
+
   test("groupedExclusivePrefixSum rejects an existing output column") {
     import spark.implicits._
     intercept[IllegalArgumentException] {

@@ -135,6 +135,27 @@ class UnigramSegSpec extends SparkSpec {
     assert(o2 >= o1 - 1e-6 && o3 >= o2 - 1e-6, s"objective fell: $o1 -> $o2 -> $o3")
   }
 
+  test("hard-EM with pieces of length >= 10 conserves characters (path decode)") {
+    import spark.implicits._
+    // a 12-char word with maxPieceLen = 12 puts length-10+ pieces in the
+    // inventory; the old digit-string path encoding decoded "12" as pieces
+    // of length 1 and 2, breaking character conservation
+    val docs = Seq(
+      "abcdefghijkl abcdefghijkl abcdefghijkl xy xy",
+      "abcdefghijkl qq").toDF("text")
+    val wc = graft.operators.Bpe.wordCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val wantChars = wc.map { case (w, c) => w.codePointCount(0, w.length) * c }.sum
+    val out = UnigramSeg.hardEmIteration(docs, "text", maxPieceLen = 12)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val gotChars = out.map { case (p, c) => p.codePointCount(0, p.length) * c }.sum
+    assert(gotChars == wantChars,
+      s"E-step pieces cover $gotChars chars, corpus has $wantChars")
+    // the dominant 12-char word must be segmentable into real substrings
+    out.foreach { case (p, _) =>
+      assert("abcdefghijkl xy qq".contains(p) || p.forall(_.isLetter)) }
+  }
+
   test("hard-EM output is a normalized distribution over surviving pieces") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val rows = UnigramSeg.hardEmIteration(docs, "text").collect()
