@@ -61,6 +61,169 @@ object Ann {
       .toDF("id", "vec", "cell")
   }
 
+  /** [[ivfIndex]] carrying metadata columns beside `(id, vec, cell)` — the
+    * index shape the FILTERED search probes: per-query predicates evaluate
+    * against these columns BEFORE the distance kernel. Same zero-shuffle
+    * map-side argmin (the kernel runs as a column function so arbitrary
+    * metadata rides along untouched); cell assignment is bit-identical to
+    * [[ivfIndex]]'s ([[FilteredAnnSpec]] pins the parity). At 100 TB the
+    * metadata travels WITH the cell-partitioned index, so a filtered probe
+    * still reads only nProbe/nList of the data and never joins back to the
+    * base relation.
+    */
+  def ivfIndexWithMeta(base: DataFrame, centroids: DataFrame,
+      metric: String = "COSINE", idCol: String = "vec_id",
+      vecCol: String = "embedding", metaCols: Seq[String] = Nil): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty, "ivfIndexWithMeta: empty centroid set (mis-filtered quantizer?)")
+    val bc = spark.sparkContext.broadcast(cents)
+    val metricId = graft.functions.DistanceKernels.metricId(metric)
+    val cellUdf = udf { (vec: Seq[Float]) =>
+      val v = vec.toArray
+      val cs = bc.value
+      var bestCell = -1L
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val d = graft.functions.DistanceKernels.computeArrays(v, cs(i)._2, metricId)
+        if (d < bestD) { bestD = d; bestCell = cs(i)._1 } // lowest-cell ties
+        i += 1
+      }
+      bestCell
+    }
+    base.select(
+      (Seq(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"),
+        cellUdf(col(vecCol).cast("array<float>")).as("cell")) ++
+        metaCols.map(col)): _*)
+  }
+
+  /** FILTERED IVF search — the reference's hybrid discipline ("logical
+    * conjunction of the vector ANN predicate and the non-vector
+    * predicates", specs/ordinal_predicate_writers_v1.md:23-26) on the
+    * APPROXIMATE path: each query row carries its own framed PNode blob
+    * (`predicateCol`, null = unfiltered), and candidates from the probed
+    * cells are eliminated by that predicate BEFORE the distance kernel and
+    * heap (pre-filter semantics — the top-k is over the ELIGIBLE set, never
+    * "search then discard", which silently returns < k under selective
+    * predicates). Same probe selection, candidate join and bounded-heap
+    * plan as [[ivfSearch]]; the predicate filter is one extra map-side
+    * stage between the cell join and the kernel.
+    *
+    * `index` must come from [[ivfIndexWithMeta]] (or carry
+    * `(id, vec, cell, metadataCols…)`). Output: (query_id, neighbor_id,
+    * rank, dist). Predicate semantics match the exact path
+    * ([[HybridGroundTruth.knnWithPerQueryPredicates]]) verbatim — same
+    * evaluator, same loud missing-field failure.
+    */
+  def ivfSearchFiltered(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int, metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      predicateCol: String = "predicate", metadataCols: Seq[String] = Nil,
+      excludeSelf: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty, "ivfSearchFiltered: empty centroid set")
+    require(nProbe > 0 && k > 0,
+      s"ivfSearchFiltered: nProbe ($nProbe) and k ($k) must be positive")
+    val bc = spark.sparkContext.broadcast(cents)
+    val metricId = graft.functions.DistanceKernels.metricId(metric)
+    // probe list with the query's predicate blob riding along
+    val probes = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"),
+        col(predicateCol).cast("binary"))
+      .as[(Long, Array[Float], Array[Byte])]
+      .flatMap { case (qid, qv, blob) =>
+        val cs = bc.value
+        val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by(p => (p._1, p._2)))
+        var i = 0
+        while (i < cs.length) {
+          val d = graft.functions.DistanceKernels.computeArrays(qv, cs(i)._2, metricId)
+          if (heap.size < nProbe) heap.enqueue((d, cs(i)._1))
+          else if (Ordering.Tuple2[Double, Long].lt((d, cs(i)._1), heap.head)) {
+            heap.dequeue(); heap.enqueue((d, cs(i)._1))
+          }
+          i += 1
+        }
+        heap.toSeq.map { case (_, cell) => (qid, qv, blob, cell) }
+      }
+      .toDF("query_id", "q_vec", "_pred", "cell")
+
+    var pairs = probes.join(index, "cell")
+    if (excludeSelf) pairs = pairs.filter(col("id") =!= col("query_id"))
+    // PRE-FILTER: the per-query predicate runs against the index metadata
+    // BEFORE any distance is computed — the kernel and heap only ever see
+    // eligible candidates (PlanShapeSpec asserts the Filter sits under the
+    // aggregate)
+    val metaStruct = struct(metadataCols.map(c => col(c).as(c)): _*)
+    pairs = pairs.filter(HybridGroundTruth.matchesColumn(col("_pred"), metaStruct))
+    pairs
+      .groupBy("query_id")
+      .agg(topKPairs(
+        VectorFunctions.distance(col("q_vec"), col("vec"), metric),
+        col("id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(col("query_id"), col("pair.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("pair.dist").as("dist"))
+  }
+
+  /** Recall-vs-selectivity card for the FILTERED approximate path — the
+    * eval a serving deployment reads before fixing nProbe under metadata
+    * filtering: as the predicate gets more selective, each probed cell
+    * holds fewer eligible candidates and recall@k falls at fixed nProbe,
+    * so nProbe must GROW with filter selectivity. One row per
+    * (tier, n_probe): `tier` labels the query's selectivity class
+    * (`tierCol` on the query relation), recall is micro-averaged
+    * Σhits / Σ|filtered exact truth| over the tier's queries (truth from
+    * [[HybridGroundTruth.knnWithPerQueryPredicates]] — the reference's
+    * hybrid ground-truth discipline; queries whose predicate matches
+    * nothing drop out, documented).
+    *
+    * Scale shape: the metadata-carrying index is assigned ONCE and probed
+    * |nProbes| times; the exact filtered truth is ONE hybrid-KNN pass;
+    * each curve point costs one filtered probe join plus a semi-join
+    * against the truth.
+    */
+  def filteredRecallCurve(queries: DataFrame, base: DataFrame,
+      centroids: DataFrame, k: Int, nProbes: Seq[Int], tierCol: String,
+      metric: String = "COSINE", idCol: String = "vec_id",
+      vecCol: String = "embedding", predicateCol: String = "predicate",
+      metadataCols: Seq[String] = Nil, excludeSelf: Boolean = false): DataFrame = {
+    require(nProbes.nonEmpty, "filteredRecallCurve needs at least one nProbe")
+    val index = ivfIndexWithMeta(base, centroids, metric, idCol, vecCol, metadataCols)
+      .localCheckpoint()
+    val truth = HybridGroundTruth.knnWithPerQueryPredicates(
+        queries, base, k, metric, idCol, vecCol, predicateCol, metadataCols,
+        excludeSelf)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val truthN = truth.groupBy("query_id").agg(count(lit(1)).as("truth_n"))
+    val tiers = queries.select(col(idCol).cast("long").as("query_id"),
+      col(tierCol).as("tier"))
+    nProbes.map { np =>
+      val pred = ivfSearchFiltered(queries, index, centroids, k, np, metric,
+        idCol, vecCol, predicateCol, metadataCols, excludeSelf)
+      val hits = pred.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      tiers.join(truthN, Seq("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum(coalesce(col("hits"), lit(0L))).cast("double") /
+            sum("truth_n"), 6).as("recall"))
+        .select(col("tier"), lit(np.toLong).as("n_probe"),
+          col("n_queries"), col("recall"))
+    }.reduce(_ unionAll _)
+  }
+
   /** IVF search: probe the `nProbe` nearest cells per query, exact top-k
     * within them. Output: (query_id, neighbor_id, rank, dist).
     */

@@ -91,6 +91,16 @@ object HybridGroundTruth {
     }
   }
 
+  /** The decoded-and-cached per-pair predicate matcher as a Column — the
+    * same evaluator the exact hybrid path runs, exposed so the FILTERED
+    * approximate path ([[Ann.ivfSearchFiltered]]) applies identical
+    * semantics (null blob = unfiltered; missing metadata field = loud
+    * failure) to candidates before its distance kernel.
+    */
+  def matchesColumn(blob: org.apache.spark.sql.Column,
+      metaStruct: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    matchesUdf(blob, metaStruct)
+
   /** Top-k per query restricted by the query's own predicate over the base
     * metadata columns. Delegates the physical plan to Knn.knn.
     *

@@ -508,6 +508,123 @@ object Pq {
     }.reduce(_ unionByName _)
   }
 
+  /** FILTERED IVF-PQ search — the hybrid discipline (per-query wire
+    * predicates, specs/ordinal_predicate_writers_v1.md:23-26) on the
+    * compressed path: each query carries a framed PNode blob (null =
+    * unfiltered) and index rows are eliminated by that predicate BEFORE
+    * the ADC distance is computed (pre-filter semantics: the heap ranks
+    * only eligible candidates). The index must carry `metadataCols`
+    * beside (id, cell, codes) — metadata travels WITH the cell-partitioned
+    * codes table, so a filtered probe still reads nProbe/nList of the data
+    * and never rejoins the base relation. Same probe selection, residual
+    * LUTs and per-partition heaps as [[ivfPqSearch]]; trees decode ONCE on
+    * the driver and ride the same broadcast as the LUTs.
+    */
+  def ivfPqSearchFiltered(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      predicateCol: String = "predicate", metadataCols: Seq[String] = Nil,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(nProbe > 0 && k > 0,
+      s"ivfPqSearchFiltered: nProbe ($nProbe) and k ($k) must be positive")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = collectCentroids(centroids, idCol, vecCol)
+    val cb = collectCodebooks(codebooks)
+    val m = cb.length
+    val ksub = cb(0).length
+    val dsub = cb(0)(0).length
+    val centById = cents.toMap
+
+    val qs = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"),
+        col(predicateCol).cast("binary"))
+      .as[(Long, Array[Float], Array[Byte])].collect()
+    val probers: Map[Long, Array[(Long, Array[Double], graft.predicates.PNode)]] =
+      qs.flatMap { case (qid, qv, blob) =>
+        // decode the query's tree ONCE, driver-side (PNode case classes are
+        // plain serializable data — they broadcast beside the LUTs)
+        val tree: graft.predicates.PNode =
+          if (blob == null) null else graft.predicates.PNodeCodec.decodeFramed(blob)
+        val byDist = cents.map { case (cellId, cv) => (l2sqFull(qv, cv), cellId) }
+          .sortBy(p => (p._1, p._2)).take(nProbe)
+        byDist.map { case (_, cellId) =>
+          val cvec = centById(cellId)
+          val lut = new Array[Double](m * ksub)
+          var s = 0
+          while (s < m) {
+            var c = 0
+            while (c < ksub) {
+              val cw = cb(s)(c)
+              var d = 0.0
+              var i = 0
+              while (i < dsub) {
+                val t = qv(s * dsub + i).toDouble - cvec(s * dsub + i).toDouble - cw(i).toDouble
+                d += t * t
+                i += 1
+              }
+              lut(s * ksub + c) = d
+              c += 1
+            }
+            s += 1
+          }
+          (cellId, (qid, lut, tree))
+        }
+      }.groupBy(_._1).map { case (cell, xs) => cell -> xs.map(_._2) }
+    val probedCells = probers.keys.toSeq
+    val bp = spark.sparkContext.broadcast(probers)
+
+    val metaStruct = struct(metadataCols.map(c => col(c).as(c)): _*)
+    val partials = index
+      .filter(col("cell").isInCollection(probedCells)) // partition pruning first
+      .select(col("id").cast("long"), col("cell").cast("long"),
+        col("codes").cast("array<int>"), metaStruct.as("_meta"))
+      .rdd.mapPartitions { it =>
+        val pr = bp.value
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { r =>
+          val id = r.getLong(0)
+          val cell = r.getLong(1)
+          val rowCodes = r.getSeq[Int](2).toArray
+          val meta = r.getStruct(3)
+          checkCodes(rowCodes, id, m, ksub)
+          pr.get(cell).foreach { qls =>
+            var qi = 0
+            while (qi < qls.length) {
+              val (qid, lut, tree) = qls(qi)
+              // PRE-FILTER: the predicate eliminates the row BEFORE the ADC
+              // distance — the heap only ever ranks eligible candidates
+              if (!(excludeSelf && id == qid) &&
+                  (tree == null ||
+                    graft.predicates.PNodeEvaluator.matchesRow(tree, meta))) {
+                var d = 0.0
+                var s = 0
+                while (s < m) {
+                  d += lut(s * ksub + rowCodes(s))
+                  s += 1
+                }
+                d = math.sqrt(d)
+                val h = heaps.getOrElseUpdate(qid,
+                  new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+                    Ordering.by(p => (p._1, p._2))))
+                if (h.size < k) h.enqueue((d, id))
+                else if (Ordering.Tuple2[Double, Long].lt((d, id), h.head)) {
+                  h.dequeue(); h.enqueue((d, id))
+                }
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (d, id) => (qid, id, d) }
+        }
+      }
+      .toDF("query_id", "nid", "dist")
+    finishTopK(partials, k)
+  }
+
   /** Shortlist recall of ADC search against exact KNN over the same base —
     * the quality gate for a trained codebook (J4 analogue for the PQ path).
     * `shortlist` (>= k, default k) is the ADC candidate depth: the

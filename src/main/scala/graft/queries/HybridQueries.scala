@@ -27,6 +27,23 @@ object HybridQueries {
   private def blobFor(mod: Long): Array[Byte] =
     PNodeCodec.encodeFramed(treeFor(mod), PNodeCodec.Mode.NamedTyped)
 
+  // selectivity tiers for the filtered-ANN recall card: ~10% / ~1% / ~50%
+  // of the 500-row sf0.01 corpus (absolute thresholds, like q56's cycle)
+  private def tierTreeFor(mod: Long): PNode = mod match {
+    case 0 => PredicateNode.namedTyped("ord", OpType.LT, IntVal(50))
+    case 1 => PredicateNode.namedTyped("ord", OpType.LT, IntVal(5))
+    case _ => PredicateNode.namedTyped("label", OpType.GE, IntVal(5))
+  }
+
+  private def tierBlobFor(mod: Long): Array[Byte] =
+    PNodeCodec.encodeFramed(tierTreeFor(mod), PNodeCodec.Mode.NamedTyped)
+
+  /** DuckDB cosine distance between two float-list refs (the q50 form). */
+  private def cosDist(a: String, b: String): String =
+    s"""(1.0 - list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       | / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE*x::DOUBLE)))
+       |  * sqrt(list_sum(list_transform($b, x -> x::DOUBLE*x::DOUBLE)))))""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery(
       "q56_hybrid_per_query_pred",
@@ -55,6 +72,213 @@ object HybridQueries {
           queries, emb, k = 5, metric = "COSINE",
           metadataCols = Seq("label"), excludeSelf = true)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    },
+
+    // FILTERED IVF: the q56 per-query wire-predicate cycle pushed through
+    // the APPROXIMATE path — candidates from the probed cells are
+    // predicate-filtered BEFORE the distance kernel (pre-filter). The
+    // oracle replays q50's from-first-principles IVF with the q56 CASE
+    // applied to the candidate set, so assignment, probe selection,
+    // predicate semantics and ranking are all checked together.
+    GQuery(
+      "q228_ivf_filtered",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v, label FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, base.v, base.label, c.cell,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${cosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, label, cell FROM assignr WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 120),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${cosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qv, cell FROM probr WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.id AS nid, ${cosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid
+         |    AND CASE p.qid % 3
+         |          WHEN 0 THEN a.label IN (0, 1, 2, 3)
+         |          WHEN 1 THEN a.label >= 5
+         |          ELSE TRUE END)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val blobUdf = udf((qid: Long) => blobFor(qid % 3))
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+        .withColumn("predicate", blobUdf(col("vec_id")))
+      val index = graft.operators.Ann.ivfIndexWithMeta(
+        emb, centroids, metaCols = Seq("label"))
+      graft.operators.Ann.ivfSearchFiltered(queries, index, centroids,
+          k = 5, nProbe = 4, metadataCols = Seq("label"), excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+    },
+
+    // Recall-vs-selectivity card for filtered IVF: three selectivity tiers
+    // (~10% / ~1% / ~50% of the corpus) × four probe widths, recall
+    // micro-averaged against the FILTERED exact truth (q56's hybrid
+    // ground-truth discipline). nProbe = nList = 16 probes everything, so
+    // its rows anchor at recall 1.0; the 1%-tier rows at small nProbe are
+    // the "filtering starves the probed cells" signal the card exists to
+    // expose. The oracle replays assignment, probes, both predicate-
+    // filtered searches and the micro-average from first principles.
+    GQuery(
+      "q229_filtered_recall_card",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v, label, vec_id AS ord FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, base.v, base.label, base.ord, c.cell,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${cosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, label, ord, cell FROM assignr WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv,
+         |        CASE vec_id % 3 WHEN 0 THEN 'sel_10pct'
+         |                        WHEN 1 THEN 'sel_1pct'
+         |                        ELSE 'sel_50pct' END AS tier
+         |      FROM embeddings WHERE vec_id >= 100 AND vec_id < 130),
+         |elig AS (
+         |  SELECT q.qid, b.id, ${cosDist("q.qv", "b.v")} AS d
+         |  FROM q CROSS JOIN base b
+         |  WHERE b.id <> q.qid
+         |    AND CASE q.qid % 3 WHEN 0 THEN b.ord < 50
+         |                       WHEN 1 THEN b.ord < 5
+         |                       ELSE b.label >= 5 END),
+         |truth AS (SELECT qid, id FROM (
+         |            SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rn
+         |            FROM elig) WHERE rn <= 5),
+         |tn AS (SELECT qid, count(*) AS truth_n FROM truth GROUP BY qid),
+         |np AS (SELECT unnest([1, 2, 4, 16]) AS n_probe),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${cosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT np.n_probe, pr.qid, pr.qv, pr.cell
+         |           FROM probr pr JOIN np ON pr.rn <= np.n_probe),
+         |cand AS (
+         |  SELECT p.n_probe, p.qid, a.id, ${cosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid
+         |    AND CASE p.qid % 3 WHEN 0 THEN a.ord < 50
+         |                       WHEN 1 THEN a.ord < 5
+         |                       ELSE a.label >= 5 END),
+         |pred AS (SELECT n_probe, qid, id FROM (
+         |           SELECT n_probe, qid, id,
+         |                  row_number() OVER (PARTITION BY n_probe, qid ORDER BY d, id) AS rn
+         |           FROM cand) WHERE rn <= 5),
+         |hits AS (SELECT p.n_probe, p.qid, count(*) AS h
+         |         FROM pred p JOIN truth t ON t.qid = p.qid AND t.id = p.id
+         |         GROUP BY 1, 2),
+         |qn AS (SELECT q.qid, q.tier, np.n_probe, tn.truth_n
+         |       FROM q JOIN tn ON tn.qid = q.qid CROSS JOIN np)
+         |SELECT qn.tier, qn.n_probe::BIGINT AS n_probe,
+         |       count(*) AS n_queries,
+         |       round(sum(coalesce(h.h, 0))::DOUBLE / sum(qn.truth_n), 6) AS recall
+         |FROM qn LEFT JOIN hits h ON h.qid = qn.qid AND h.n_probe = qn.n_probe
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).withColumn("ord", col("vec_id"))
+      val centroids = emb.filter(col("vec_id") < 16)
+      val blobUdf = udf((qid: Long) => tierBlobFor(qid % 3))
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 130)
+        .withColumn("predicate", blobUdf(col("vec_id")))
+        .withColumn("tier",
+          when(pmod(col("vec_id"), lit(3)) === 0, "sel_10pct")
+            .when(pmod(col("vec_id"), lit(3)) === 1, "sel_1pct")
+            .otherwise("sel_50pct"))
+      graft.operators.Ann.filteredRecallCurve(queries, emb, centroids,
+        k = 5, nProbes = Seq(1, 2, 4, 16), tierCol = "tier",
+        metadataCols = Seq("label", "ord"), excludeSelf = true)
+    },
+
+    // FILTERED IVF-PQ: the same per-query predicate cycle through the
+    // COMPRESSED path — index rows are predicate-eliminated before the ADC
+    // distance (metadata rides the codes table). Oracle = q93's full
+    // IVF-PQ replay (assignment, residual codes, probes, residual LUTs)
+    // with the q56 CASE applied before ranking.
+    GQuery(
+      "q230_ivfpq_filtered",
+      s"""WITH sub AS (SELECT unnest(range(8))::INT AS s),
+         |cb AS (
+         |  SELECT s.s AS sub, e.vec_id::INT AS code,
+         |         list_slice(e.embedding, s.s*8 + 1, s.s*8 + 8) AS cw
+         |  FROM embeddings e, sub s WHERE e.vec_id < 16),
+         |cent AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |ar AS (
+         |  SELECT b.vec_id AS id, b.embedding AS v, b.label, c.cell, c.ce,
+         |         row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |           list_sum(list_transform(range(1, 65),
+         |             i -> (b.embedding[i]::DOUBLE - c.ce[i]::DOUBLE)
+         |                * (b.embedding[i]::DOUBLE - c.ce[i]::DOUBLE))), c.cell) AS rn
+         |  FROM embeddings b CROSS JOIN cent c),
+         |asg AS (SELECT id, v, label, cell, ce FROM ar WHERE rn = 1),
+         |rdd AS (
+         |  SELECT a.id, a.label, a.cell, cb.sub, cb.code,
+         |         list_sum(list_transform(range(1, 9),
+         |           i -> ((a.v[cb.sub*8 + i]::DOUBLE - a.ce[cb.sub*8 + i]::DOUBLE)::FLOAT::DOUBLE
+         |                   - cb.cw[i]::DOUBLE)
+         |              * ((a.v[cb.sub*8 + i]::DOUBLE - a.ce[cb.sub*8 + i]::DOUBLE)::FLOAT::DOUBLE
+         |                   - cb.cw[i]::DOUBLE))) AS d
+         |  FROM asg a, cb),
+         |codes AS (
+         |  SELECT id, label, cell, sub, code FROM (
+         |    SELECT id, label, cell, sub, code,
+         |           row_number() OVER (PARTITION BY id, sub ORDER BY d, code) AS rn
+         |    FROM rdd) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 120),
+         |pr0 AS (
+         |  SELECT q.qid, q.qv, c.cell, c.ce,
+         |         row_number() OVER (PARTITION BY q.qid ORDER BY
+         |           list_sum(list_transform(range(1, 65),
+         |             i -> (q.qv[i]::DOUBLE - c.ce[i]::DOUBLE)
+         |                * (q.qv[i]::DOUBLE - c.ce[i]::DOUBLE))), c.cell) AS rn
+         |  FROM q CROSS JOIN cent c),
+         |pr AS (SELECT qid, qv, cell, ce FROM pr0 WHERE rn <= 4),
+         |lut AS (
+         |  SELECT p.qid, p.cell, cb.sub, cb.code,
+         |         list_sum(list_transform(range(1, 9),
+         |           i -> (p.qv[cb.sub*8 + i]::DOUBLE - p.ce[cb.sub*8 + i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE)
+         |              * (p.qv[cb.sub*8 + i]::DOUBLE - p.ce[cb.sub*8 + i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE))) AS d
+         |  FROM pr p, cb),
+         |adc AS (
+         |  SELECT l.qid, c.id AS nid, sqrt(sum(l.d)) AS d
+         |  FROM codes c JOIN lut l ON l.cell = c.cell AND l.sub = c.sub AND l.code = c.code
+         |  WHERE c.id <> l.qid
+         |    AND CASE l.qid % 3
+         |          WHEN 0 THEN c.label IN (0, 1, 2, 3)
+         |          WHEN 1 THEN c.label >= 5
+         |          ELSE TRUE END
+         |  GROUP BY 1, 2)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank, round(d, 4) AS adc_dist
+         |FROM (SELECT qid, nid, d,
+         |             row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |      FROM adc)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      import graft.operators.Pq
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val cbs = Pq.subsetCodebooks(emb.filter(col("vec_id") < 16), 8)
+      val blobUdf = udf((qid: Long) => blobFor(qid % 3))
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+        .withColumn("predicate", blobUdf(col("vec_id")))
+      val index = Pq.ivfPqIndex(emb, centroids, cbs)
+        .join(emb.select(col("vec_id").as("id"), col("label")), Seq("id"))
+      Pq.ivfPqSearchFiltered(queries, index, centroids, cbs,
+          k = 5, nProbe = 4, metadataCols = Seq("label"), excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("adc_dist"), 4).as("adc_dist"))
     },
   )
 }

@@ -66,6 +66,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("Sort ["), s)
   }
 
+  test("Ann.ivfSearchFiltered: the predicate Filter runs BELOW the heap aggregate") {
+    import graft.predicates._
+    val labeled = base.withColumn("label", pmod(col("vec_id"), lit(10)))
+    val cents = labeled.filter(col("vec_id") < 8)
+    val blob = PNodeCodec.encodeFramed(
+      PredicateNode.namedTyped("label", OpType.GE, Comparand.IntVal(5)),
+      PNodeCodec.Mode.NamedTyped)
+    val q = labeled.filter(col("vec_id") < 4)
+      .withColumn("predicate", udf(() => blob).apply())
+    val index = graft.operators.Ann.ivfIndexWithMeta(
+      labeled, cents, metaCols = Seq("label"))
+    val plan = executedPlan(graft.operators.Ann.ivfSearchFiltered(
+      q, index, cents, k = 3, nProbe = 2, metadataCols = Seq("label")))
+    // pre-filter semantics: the predicate UDF must evaluate in the PARTIAL
+    // heap aggregate's input subtree — candidates are eliminated before the
+    // bounded heap ever ranks them ("search then discard" would filter
+    // above the final aggregate, silently returning < k under selective
+    // predicates). Catalyst pushes the UDF all the way into the cell-join
+    // condition, so the check reads the rendered tree: children print
+    // AFTER parents, so the UDF line must come after the partial-agg line
+    // and no UDF may appear above it.
+    val lines = plan.toString.linesIterator.toIndexedSeq
+    val ip = lines.indexWhere(_.contains("partial_topk_pairs"))
+    val iu = lines.indexWhere(_.contains("UDF("))
+    assert(ip >= 0, s"no partial heap aggregate in plan:\n$plan")
+    assert(iu > ip,
+      s"predicate UDF not below the partial aggregate (udf@$iu, agg@$ip):\n$plan")
+    assert(!lines.take(ip).exists(_.contains("UDF(")),
+      s"predicate UDF above the partial aggregate:\n$plan")
+  }
+
   test("Pq.adcSearch: one exchange of partial heaps after the code-scan kernel") {
     val cbs = Pq.subsetCodebooks(base.filter(col("vec_id") < 4), m = 4)
     val codes = Pq.encode(base, cbs)
