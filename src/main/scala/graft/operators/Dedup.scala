@@ -573,6 +573,29 @@ object Dedup {
       edges.unpersist()
       return ids.sorted.map(id => (id, minOfRoot(find(id)))).toSeq.toDF("id", "cluster")
     }
+    val (labels, rounds, converged) = propagateMinLabels(edges, maxIterations)
+    edges.unpersist()
+    // FAIL LOUDLY on non-convergence: a still-changing loop that returns
+    // anyway hands back SPLIT clusters (wrong dedup groups) with no error —
+    // exactly the silent-truncation hazard on high-diameter components
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: label propagation still changing after $rounds " +
+        s"rounds (maxIterations=$maxIterations) — component structure exceeds " +
+        "the round budget; raise maxIterations")
+    labels
+  }
+
+  /** The distributed label-propagation loop: min-label over neighbors PLUS
+    * pointer jumping (each node also adopts its current label's label —
+    * `L(L(v))`), so label distance to the component minimum HALVES per
+    * round on top of the one-hop neighbor move: O(log diameter) rounds
+    * instead of O(diameter). Every label is always some node id in the
+    * relation (least of node ids), so the self-join lookup is total.
+    * Returns (labels, rounds, converged) — [[ConnectedComponentsSpec]]
+    * asserts the logarithmic round count on a planted 1,000-node chain.
+    */
+  private[operators] def propagateMinLabels(edges: DataFrame,
+      maxIterations: Int): (DataFrame, Int, Boolean) = {
     // localCheckpoint every round: iterative self-referencing plans double
     // in depth per iteration otherwise (analysis-time blowup, then OOM)
     var labels = edges.select(col("s").as("id")).distinct()
@@ -585,8 +608,16 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "t").withColumnRenamed("cluster", "nc"), "t")
         .groupBy(col("s").as("id"))
         .agg(min("nc").as("nc"))
+      // pointer jump: L(L(v)) — the doubling step that makes convergence
+      // structural for chain-shaped components
+      val viaLabel = labels.as("a")
+        .join(labels.as("b"), col("a.cluster") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.cluster").as("lc"))
       val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("nc"), col("cluster"))).as("cluster"))
+        .join(viaLabel, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nc"), col("cluster")),
+            coalesce(col("lc"), col("cluster"))).as("cluster"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).limit(1).count()
@@ -594,8 +625,7 @@ object Dedup {
       iterating = changed > 0
       rounds += 1
     }
-    edges.unpersist()
-    labels
+    (labels, rounds, !iterating)
   }
 
   /** Benchmark decontamination: per-document n-gram containment against an
@@ -868,10 +898,56 @@ object Dedup {
     import spark.implicits._
     val base = docs.select(col(idCol).cast("long").as("id"),
       coalesce(col(textCol), lit("")).as("t"))
-    val l = minLen
-    val starts = exactSubstrDupStarts(base, l, mode)
-      .groupBy("id").agg(collect_list(col("pos")).as("starts"))
-    base.join(starts, Seq("id"), "left")
+    exciseCovered(base, exactSubstrDupStarts(base, minLen, mode), minLen,
+      idCol, textCol)
+  }
+
+  /** [[removeExactSubstrChar]] with a KEEP-FIRST contract: for every
+    * duplicated window, the lowest-(id, pos) occurrence is canonical and
+    * its characters survive; every other occurrence excises. The
+    * remove-all form deletes corpus-wide boilerplate from ALL documents
+    * including the canonical copy — legitimate shared text (licenses,
+    * canonical definitions) vanishes entirely; this form keeps exactly
+    * one copy. Excised positions are a SUBSET of the remove-all form's
+    * ([[PipelineOpsSpec]]), and a character of the canonical occurrence
+    * is removed only if some OTHER duplicated window it sits in is
+    * non-canonical there.
+    *
+    * Scale shape: identical to the remove-all form (one shuffle of
+    * (id, pos, hash60) postings) plus a struct-min per window hash inside
+    * the SAME aggregate pass — the canonical pick is min(struct(id, pos)),
+    * deterministic in any engine, so q231's oracle replays it VALUE-keyed.
+    */
+  def removeExactSubstrCharKeepFirst(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 40,
+      mode: HashMode = HashMode.Md5): DataFrame = {
+    require(minLen > 0, s"minLen must be positive, got $minLen")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      coalesce(col(textCol), lit("")).as("t"))
+    val wins = charWindowHashes(base, minLen, mode)
+    // one pass: occurrence count AND the canonical (lowest id, pos)
+    // occurrence per window hash
+    val firsts = wins.groupBy("h")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("id"), col("pos"))).as("first"))
+      .filter(col("c") > 1)
+      .select(col("h"), col("first"))
+    val nonCanonical = wins.join(firsts, Seq("h"))
+      .filter(!(col("id") === col("first.id") && col("pos") === col("first.pos")))
+      .select("id", "pos")
+    exciseCovered(base, nonCanonical, minLen, idCol, textCol)
+  }
+
+  /** Shared excision kernel: drop every code point covered by a start in
+    * `starts` (id, pos), reassemble, count. One doc-keyed join, map-side
+    * rebuild.
+    */
+  private def exciseCovered(base: DataFrame, starts: DataFrame, l: Int,
+      idCol: String, textCol: String): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val perDoc = starts.groupBy("id").agg(collect_list(col("pos")).as("starts"))
+    base.join(perDoc, Seq("id"), "left")
       .as[(Long, String, Option[Seq[Int]])]
       .map { case (id, text, st) =>
         val cps = text.codePoints().toArray
@@ -898,18 +974,26 @@ object Dedup {
     */
   private def exactSubstrDupStarts(base: DataFrame, l: Int,
       mode: HashMode): DataFrame = {
+    val wins = charWindowHashes(base, l, mode)
+    val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    wins.join(dupHashes, Seq("h"), "left_semi").select("id", "pos")
+  }
+
+  /** (id, pos, hash60) posting per length-`l` char window — the kernel
+    * shared by the remove-all and keep-first ExactSubstr forms.
+    */
+  private def charWindowHashes(base: DataFrame, l: Int,
+      mode: HashMode): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    val wins = base.as[(Long, String)].flatMap { case (id, text) =>
+    base.as[(Long, String)].flatMap { case (id, text) =>
       val cps = text.codePoints().toArray
       // mode.windowHash60: O(len·l) hash work under Md5/Xx64, O(len)
       // under Poly's rolling recurrence — the production mode here.
       val hs = mode.windowHash60(cps, l)
       hs.indices.iterator.map(i => (id, i, hs(i)))
     }.toDF("id", "pos", "h")
-    val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select("h")
-    wins.join(dupHashes, Seq("h"), "left_semi").select("id", "pos")
   }
 
   /** Semantic deduplication (SemDeDup-style): embedding near-duplicate

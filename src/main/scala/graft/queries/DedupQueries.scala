@@ -726,6 +726,43 @@ object DedupQueries {
         minLen = 40)
     },
 
+    // KEEP-FIRST ExactSubstr: per duplicated 40-char window the lowest
+    // (doc_id, pos) occurrence survives, every other occurrence excises —
+    // one copy of legitimate shared text remains (q189's remove-all form
+    // deletes the canonical copy too). The oracle replays the canonical
+    // pick on the window VALUE (row_number over (doc_id, pos) per window —
+    // a Spark hash collision would surface as a mismatch), the covered-
+    // position union over NON-canonical occurrences only, and the
+    // reassembly.
+    GQuery(
+      "q231_exactsubstr_keepfirst",
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |pos AS (SELECT doc_id, i - 1 AS pos, substr(text, i, 40) AS win
+         |        FROM d, UNNEST(range(1, length(text) - 38)) AS u(i)
+         |        WHERE length(text) >= 40),
+         |occ AS (SELECT doc_id, pos,
+         |               row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
+         |               count(*) OVER (PARTITION BY win) AS c
+         |        FROM pos),
+         |noncanon AS (SELECT doc_id, pos FROM occ WHERE c > 1 AND rn > 1),
+         |cov AS (SELECT DISTINCT p.doc_id, p.pos + x.x AS cp
+         |        FROM noncanon p, UNNEST(range(0, 40)) AS x(x)),
+         |chars AS (SELECT doc_id, i - 1 AS cp, substr(text, i, 1) AS ch
+         |          FROM d, UNNEST(range(1, length(text) + 1)) AS u(i)),
+         |agg AS (SELECT ch.doc_id,
+         |               coalesce(string_agg(ch.ch, '' ORDER BY ch.cp)
+         |                 FILTER (WHERE c.cp IS NULL), '') AS text,
+         |               count(*) FILTER (WHERE c.cp IS NOT NULL) AS n_removed
+         |        FROM chars ch LEFT JOIN cov c
+         |          ON c.doc_id = ch.doc_id AND c.cp = ch.cp
+         |        GROUP BY ch.doc_id)
+         |SELECT d.doc_id, coalesce(agg.text, '') AS text,
+         |       coalesce(agg.n_removed, 0) AS n_removed
+         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin) { (s, dir) =>
+      Dedup.removeExactSubstrCharKeepFirst(Tables.documents(s, dir),
+        "doc_id", "text", minLen = 40)
+    },
+
     // Edit-distance-VERIFIED near-dup pairs: low-threshold Jaccard
     // candidates (recall), then banded Levenshtein <= 50 (precision) —
     // at sf0.01 the verify genuinely rejects candidates (dist up to ~87),

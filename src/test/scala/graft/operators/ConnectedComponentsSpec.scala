@@ -62,6 +62,38 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("1,000-node chain (diameter 999) converges distributed in O(log n) rounds") {
+    // pre-pointer-jumping, min-label propagation needed O(diameter) rounds
+    // and SILENTLY returned split clusters past maxIterations = 20 — the
+    // class of component templated near-dup drift produces. The doubling
+    // step must close this chain well inside the default budget.
+    val chain = (0L until 999L).map(i => (i, i + 1))
+    val edges = chain.toDF("id_a", "id_b")
+      .select(col("id_a").as("s"), col("id_b").as("t"))
+      .unionByName(chain.toDF("id_a", "id_b")
+        .select(col("id_b").as("s"), col("id_a").as("t")))
+    val (labels, rounds, converged) = Dedup.propagateMinLabels(edges, maxIterations = 20)
+    assert(converged, s"chain did not converge in 20 rounds")
+    assert(rounds <= 15, s"expected O(log 1000) ~ 10-12 rounds, took $rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 1000 && got.values.toSet == Set(0L))
+    // the public entry point agrees (forced onto the distributed path) and
+    // matches union-find
+    val viaPublic = Dedup.connectedComponents(chain.toDF("id_a", "id_b"),
+        driverEdgeThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPublic == got)
+  }
+
+  test("non-convergence fails loudly instead of returning split clusters") {
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain.toDF("id_a", "id_b"),
+        maxIterations = 2, driverEdgeThreshold = 0)
+    }
+    assert(ex.getMessage.contains("still changing"))
+  }
+
   test("keepBestPerCluster keeps the highest score, ties to lowest id") {
     // clusters: {1,2,3} scores (5,9,9) -> keep 2; {10,11} (4,4) -> keep 10;
     // 20 is a singleton (kept, self-cluster)

@@ -379,6 +379,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(cf(8L) == "" && cf(9L) == "")
   }
 
+  test("removeExactSubstrCharKeepFirst: canonical copy survives, others excise") {
+    val shared = "the same twenty-six chars!"
+    val docs = Seq(
+      (1L, shared + "1tail one ******"),
+      (2L, shared + "2tail two ######"),
+      (3L, shared + "3tail three %%%%"),
+      (4L, "a completely different and unrepeated doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeExactSubstrCharKeepFirst(docs, "doc_id", "text",
+        minLen = 26)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 1 holds the lowest (id, pos) occurrence -> keeps the run; docs
+    // 2/3 lose exactly the 26 duplicated chars; doc 4 untouched
+    assert(got(1L) == ((shared + "1tail one ******", 0L)))
+    assert(got(2L) == (("2tail two ######", 26L)))
+    assert(got(3L) == (("3tail three %%%%", 26L)))
+    assert(got(4L) == (("a completely different and unrepeated doc", 0L)))
+
+    // keep-first excises a SUBSET of remove-all, and agrees with it on
+    // every non-canonical occurrence (the "excised remainder" parity)
+    val all = Dedup.removeExactSubstrChar(docs, "doc_id", "text", minLen = 26)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, (_, nKf)) =>
+      assert(nKf <= all(id), s"doc $id: keep-first removed more than remove-all") }
+    assert(all(1L) == 26L, "remove-all must excise the canonical copy too")
+    assert(got(2L)._1 == "2tail two ######" && got(3L)._1 == "3tail three %%%%")
+  }
+
   test("removeExactSubstrChar modes agree (collision-free equality)") {
     val docs = Seq((1L, "xyxyxyxyxyxyxyxyxyxyxy distinct end"),
       (2L, "xyxyxyxyxyxyxyxyxyxyxy other close"),
