@@ -243,5 +243,26 @@ object Relational {
           pmod(col("l_partkey"), lit(256L)),
           pmod(col("l_suppkey"), lit(256L)), bits = 8).as("z"))
     },
+
+    // 3-column Morton key (round-robin interleave, column j's bit i at
+    // z bit 3i+j) — the n-dim generalization behind zorderWriteN; the
+    // oracle replays every shift from first principles, so the bit
+    // layout is pinned engine-neutrally (ZOrderSpec measures the 3-D
+    // pruning this key buys).
+    GQuery(
+      "q232_zorder3_key",
+      """SELECT l_orderkey, l_linenumber,
+        |  list_sum(list_transform(range(0, 6),
+        |    i -> ((((l_partkey % 64) >> i) & 1) << (3*i))
+        |       + ((((l_suppkey % 64) >> i) & 1) << (3*i + 1))
+        |       + ((((l_orderkey % 64) >> i) & 1) << (3*i + 2))))::BIGINT AS z
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.layout.ZOrder.zValueN(Seq(
+          pmod(col("l_partkey"), lit(64L)),
+          pmod(col("l_suppkey"), lit(64L)),
+          pmod(col("l_orderkey"), lit(64L))), bits = 6).as("z"))
+    },
   )
 }
