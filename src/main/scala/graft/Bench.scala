@@ -152,6 +152,53 @@ object Bench {
       s""""loadavg":${sweepLoad.map(l => f"$l%.2f").mkString("[", ",", "]")},""" +
       s""""gc_ms":${sweepGcMs.mkString("[", ",", "]")},""" +
       s""""total_min":${f3(totalMin)},"outliers_min_med":$outliers}""")
+    // hash-mode rider: the sweeps above run every sketch/window query in
+    // md5 (the oracle-parity configuration the correctness gate replays).
+    // Production deployments run xx64/poly, so the committed artifact
+    // carries BOTH numbers for the hash-hot operator family — same
+    // operators, same inputs, only the mode flag differs (round-9 verdict
+    // observation #5: the headline should not measure only the test
+    // configuration of these operators).
+    if (sys.env.getOrElse("SPARK_GRAFT_HASH_RIDER", "1") != "0") {
+      import graft.functions.HashMode
+      val docs = Tables.documents(spark, sfDir).cache()
+      docs.count()
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def riderSweep(prod: Boolean): Seq[(String, Double)] = Seq(
+        "exactsubstr_char" -> time {
+          graft.operators.Dedup.removeExactSubstrChar(docs, "doc_id", "text",
+              minLen = 40, mode = if (prod) HashMode.Poly else HashMode.Md5)
+            .write.mode("overwrite").format("noop").save()
+        },
+        "cms_heavy_hitters" -> time {
+          graft.operators.Cms.heavyHitters(docs, "text", depth = 3,
+              width = 64, threshold = 100L,
+              mode = if (prod) HashMode.Xx64 else HashMode.Md5)
+            .write.mode("overwrite").format("noop").save()
+        },
+        "dsir_weights" -> time {
+          graft.operators.Dsir.importanceWeights(
+              docs.select(org.apache.spark.sql.functions.col("doc_id"),
+                org.apache.spark.sql.functions.col("text")),
+              docs.filter(org.apache.spark.sql.functions.col("lang") === "zh"),
+              "doc_id", "text", nBuckets = 64,
+              mode = if (prod) HashMode.Xx64 else HashMode.Md5)
+            .write.mode("overwrite").format("noop").save()
+        })
+      try {
+        riderSweep(prod = false) // untimed warmup pass for the rider plans
+        val md5T = riderSweep(prod = false).toMap
+        val prodT = riderSweep(prod = true).toMap
+        val keys = md5T.keys.toSeq.sorted
+        def obj(m: Map[String, Double]) =
+          keys.map(k => "\"" + k + "\":" + f3(m(k))).mkString("{", ",", "}")
+        println(s"""{"metric":"hash_modes","md5":${obj(md5T)},""" +
+          s""""production":${obj(prodT)}}""")
+      } catch { case e: Throwable => System.err.println(s"[bench] hash rider: $e") }
+      docs.unpersist()
+    }
     spark.stop()
   }
 }

@@ -230,6 +230,58 @@ object Main {
           metric = flags.getOrElse("metric", "COSINE"),
           outDir = need("out"))
 
+      case "release" =>
+        // corpus release: dedup -> decontaminate -> score -> budget select.
+        // --incremental reuses the previous corpus's artifacts and
+        // re-processes only the snapshot diff's added+changed slice
+        // (output provably equals the from-scratch run, q233).
+        val newC = spark.read.parquet(need("new"))
+        val bench = spark.read.parquet(need("bench"))
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val textCol = flags.getOrElse("text-col", "text")
+        val p = graft.operators.Release.Params(
+          threshold = flags.getOrElse("threshold", "0.8").toDouble,
+          contamMax = flags.getOrElse("contam-max", "0.5").toDouble,
+          budget = flags.getOrElse("budget", "10000").toLong)
+        if (flags.contains("incremental")) {
+          val oldC = spark.read.parquet(need("old"))
+          val art = graft.operators.Release.artifacts(oldC, bench, idCol, textCol, p)
+          graft.operators.Release.incremental(oldC, art, newC, bench, idCol, textCol, p)
+        } else graft.operators.Release.fromScratch(newC, bench, idCol, textCol, p)
+
+      case "hybrid-ann" =>
+        // FILTERED approximate search: --predicate (PNode JSON) restricts
+        // every query's candidate set BEFORE the distance kernel (the
+        // per-query-blob form is the programmatic API; the CLI applies one
+        // predicate to all queries). --probes N,N,... switches to the
+        // recall-vs-selectivity card against the filtered exact truth.
+        val base = spark.read.parquet(need("base"))
+        val metaCols = need("meta").split(",", -1).map(_.trim).filter(_.nonEmpty).toSeq
+        require(metaCols.nonEmpty, "hybrid-ann: --meta needs at least one column")
+        val nList = flags.getOrElse("n-list", "16").toInt
+        val centroids = base.filter(col("vec_id") < nList)
+        val tree = graft.predicates.PNodeJson.parse(need("predicate"))
+        val blob = graft.predicates.PNodeCodec.encodeFramed(
+          tree, graft.predicates.PNodeCodec.Mode.NamedTyped)
+        val queries = spark.read.parquet(need("query"))
+          .withColumn("predicate", udf(() => blob).apply())
+        val k = flags.getOrElse("k", "10").toInt
+        val exclSelf = flags.contains("exclude-self")
+        flags.get("probes") match {
+          case Some(ps) =>
+            val widths = ps.split(",", -1).map(_.trim.toInt).toSeq
+            graft.operators.Ann.filteredRecallCurve(
+              queries.withColumn("tier", lit("all")), base, centroids, k,
+              widths, tierCol = "tier", metadataCols = metaCols,
+              excludeSelf = exclSelf)
+          case None =>
+            val index = graft.operators.Ann.ivfIndexWithMeta(
+              base, centroids, metaCols = metaCols)
+            graft.operators.Ann.ivfSearchFiltered(queries, index, centroids,
+              k, nProbe = flags.getOrElse("n-probe", "4").toInt,
+              metadataCols = metaCols, excludeSelf = exclSelf)
+        }
+
       case "rrf" =>
         // reciprocal-rank fusion of ranking parquets (q215)
         val lists = need("inputs").split(",").toSeq.map(spark.read.parquet(_))
@@ -866,6 +918,8 @@ object Main {
       |  rrf --inputs A.parquet,B.parquet,... [--k N] [--c N]
       |  pq-encode --input PATH --out DIR [--m N] [--ksub N] [--seed S]
       |  pq-search --index DIR --query PATH [--k N] [--chunks N | --strategy auto]
+      |  hybrid-ann --base PARQUET --query PARQUET --meta C1,C2 --predicate JSON [--k N] [--n-list N] [--n-probe N | --probes N,N,...] [--exclude-self]
+      |  release --new PARQUET --bench PARQUET [--incremental --old PARQUET] [--budget N] [--threshold T] [--contam-max T] [--id-col C] [--text-col C]
       |  asof --left PARQUET --right PARQUET --key K --time T --tie C --payload a,b
       |  sample --input PARQUET --key-col K (--strata-col S --fractions n=F,... [--default F] | --weight-col W --n N | --group-col G --n N)
       |  split --input PARQUET --key-col K --splits n=W,... [--out-col C]

@@ -666,6 +666,123 @@ object ScaleSoak {
       }
       zdocs.unpersist()
     }
+
+    // --- round 10: skewed sharded SemDeDup under AQE skew-join, and the
+    // incremental release vs its from-scratch equivalent (per-stage)
+    if (sys.env.getOrElse("SOAK_R10", "1") != "0") {
+      // (a) one giant cell holding 5% of 1M embeddings (50k² /2 = 1.25G
+      // candidate pairs in one join key) — AQE must split it
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      // scale the skew threshold to the planted data the same way the
+      // production default (256 MB) relates to real partitions: the giant
+      // cell here is a few MB, so detection needs a proportional floor
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        (1L << 20).toString)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        (512L << 10).toString)
+      val dimS = 16
+      val skCents = (0L until 256L).map { c =>
+        (c, Array.tabulate(dimS)(j => if (j == (c % dimS).toInt) (10f + c) else 0f).toSeq)
+      }.toDF("cell", "centroid")
+      val giant = math.max(10000L, nBase / 20)
+      val skEmb = spark.range(nBase / 2).select(col("id"),
+          when(col("id") < giant, lit(0L)).otherwise(col("id") % 255 + 1).as("c"))
+        .as[(Long, Long)]
+        .map { case (i, c) =>
+          val v = Array.tabulate(dimS) { j =>
+            val base = if (j == (c % dimS).toInt) (10f + c) else 0f
+            base + ((graft.functions.StableHash.fnv64(s"sk:$i:$j") >>> 40)
+              .toFloat / (1L << 24) - 0.5f) * 0.01f
+          }
+          (i, v.toSeq)
+        }.toDF("vec_id", "embedding")
+      skEmb.cache(); skEmb.count()
+      timed(s"sharded pair stage, ${nBase / 2} embeddings, giant cell = $giant (AQE skew)") {
+        val agg = operators.Dedup.embeddingNearDupPairsSharded(
+          skEmb, "vec_id", "embedding", threshold = 0.999999, skCents)
+          .groupBy().count()
+        val n = agg.collect()(0).getLong(0)
+        val plan = agg.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        println(s"[soak]   pairs=$n skew-split=${plan.toString.contains("skew=true")}")
+      }
+      skEmb.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+
+      // (b) incremental release vs from-scratch, stage-by-stage: v2 =
+      // synthetic corpus, v1 = v2 minus 2% added, 1% changed — the
+      // incremental path must cost O(slice), not O(corpus)
+      val nRel = sys.env.getOrElse("SOAK_REL_DOCS", "100000").toLong
+      // 600 tokens/doc (a few KB — the realistic document size class): the
+      // incremental win scales with PER-DOC text work (shingling, md5
+      // signaturing, containment), which from-scratch pays on the whole
+      // corpus and incremental only on the 3% slice. The costs incremental
+      // cannot avoid (band-bucket derivation of the persisted index, the
+      // probe join, the global scalar re-selection) are doc-size
+      // independent — at toy doc sizes they hide the win, which is itself
+      // the honest claim: incremental pays off in proportion to how much
+      // text the cached artifacts let you skip.
+      val relDocs = spark.range(nRel).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 600).map(w =>
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(w)), lit(50000L)))): _*)
+          .as("text"))
+      relDocs.cache(); relDocs.count()
+      val v2 = relDocs
+      val v1 = relDocs.filter(pmod(col("doc_id"), lit(50)) =!= 1)
+        .withColumn("text", when(pmod(col("doc_id"), lit(100)) === 2,
+          concat(lit("OLDV "), col("text"))).otherwise(col("text")))
+      val bench = relDocs.filter(pmod(col("doc_id"), lit(1000)) === 0)
+      val p10 = operators.Release.Params(budget = nRel * 10)
+      val art = timed(s"release [v1 artifacts] over ${nRel} docs (the cached prior release)") {
+        val a = operators.Release.artifacts(v1, bench, "doc_id", "text", p10)
+        operators.Release.Artifacts(a.index.localCheckpoint(),
+          a.pairs.localCheckpoint(), a.contam.localCheckpoint(),
+          a.scores.localCheckpoint())
+      }
+      timed(s"release [from-scratch] over $nRel docs") {
+        operators.Release.fromScratch(v2, bench, "doc_id", "text", p10).count()
+      }
+      timed(s"release [incremental] 2% added + 1% changed of $nRel docs") {
+        operators.Release.incremental(v1, art, v2, bench, "doc_id", "text", p10).count()
+      }
+      // per-stage decomposition of the incremental path (same public
+      // pieces Release.incremental composes, each materialized separately
+      // so the expensive stage is NAMED in the artifact)
+      locally {
+        import operators._
+        val d = timed("release/incr [1/5] snapshot diff (2 md5 scans + id join)") {
+          Snapshot.diff(v1, v2, "doc_id", "text").localCheckpoint()
+        }
+        val unchanged = d.filter(col("status") === "unchanged")
+          .select(col("doc_id").cast("long").as("id")).localCheckpoint()
+        val newSlice = v2.join(d.filter(col("status").isin("added", "changed"))
+          .select("doc_id"), Seq("doc_id"), "left_semi").localCheckpoint()
+        val newIdx = timed("release/incr [2/5] signature the new slice only") {
+          Dedup.minhashIndex(newSlice, "doc_id", "text").localCheckpoint()
+        }
+        timed("release/incr [3/5] incremental LSH probe vs pruned index") {
+          Dedup.minhashLshPairsIncremental(
+            art.index.join(unchanged, Seq("id"), "left_semi"), newIdx).count()
+        }
+        timed("release/incr [4/5] decontam + scores of the slice") {
+          Dedup.containmentScores(newSlice, bench, "doc_id", "text").count()
+          Release.tokenScores(newSlice, "doc_id", "text").count()
+        }
+        timed("release/incr [5/5] global budget re-selection over scalars") {
+          Sampling.budgetSelect(
+            art.scores.join(unchanged, Seq("id"), "left_semi")
+              .unionByName(Release.tokenScores(newSlice, "doc_id", "text")),
+            "id", "score", "cost", p10.budget).count()
+        }
+      }
+      relDocs.unpersist()
+    }
     spark.stop()
   }
 }

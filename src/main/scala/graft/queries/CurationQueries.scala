@@ -1238,7 +1238,152 @@ object CurationQueries {
         |FROM g2""".stripMargin) { (s, dir) =>
       graft.operators.Eval.ece(logregScored(s, dir), "y", "score", nBins = 100)
     },
+
+    // INCREMENTAL RELEASE (the composition that makes 100 TB re-releases
+    // affordable): snapshot diff -> incremental LSH pairs against the
+    // pruned persisted index -> decontamination of the new slice only ->
+    // cached-score reuse -> global budget re-selection. The Spark side
+    // runs the INCREMENTAL path (v1 = corpus with some docs missing, some
+    // texts changed, some extra docs later removed); the oracle replays
+    // the FROM-SCRATCH pipeline on the new corpus — the hash equality IS
+    // the invariant: incremental == from-scratch on the union.
+    GQuery(
+      "q233_incremental_release",
+      s"""WITH v2 AS (SELECT doc_id, text FROM documents),
+         |${benchShingleSql}
+         |${releaseSelSql("r_", "v2", 8000L)}
+         |SELECT doc_id, score, cost AS n_tok, cum_before FROM r_sel""".stripMargin) {
+      (s, dir) =>
+      val (v1, v2, bench, p) = releaseFixture(s, dir)
+      val art = graft.operators.Release.artifacts(v1, bench, "doc_id", "text", p)
+      graft.operators.Release.incremental(v1, art, v2, bench, "doc_id", "text", p)
+        .select(col("id").as("doc_id"), col("score"),
+          col("cost").as("n_tok"), col("cum_before"))
+    },
+
+    // Datasheet DELTA between two releases: the v2 selection's release
+    // card beside its drift from v1's (docs/tokens/types/mean-length
+    // deltas — what a release note reads). v1's selection replays from
+    // scratch in the oracle, v2's through the incremental path on the
+    // Spark side, so the delta is green only if BOTH pipelines and both
+    // datasheets agree.
+    GQuery(
+      "q234_release_datasheet_delta",
+      s"""WITH v2 AS (SELECT doc_id, text FROM documents),
+         |v1 AS (SELECT doc_id,
+         |         CASE WHEN doc_id % 11 = 3 AND doc_id % 7 != 1
+         |              THEN 'OLDV ' || text ELSE text END AS text
+         |       FROM documents WHERE doc_id % 7 != 1
+         |       UNION ALL
+         |       SELECT doc_id + 20000 AS doc_id, text FROM documents
+         |       WHERE doc_id % 13 = 2),
+         |${benchShingleSql}
+         |${releaseSelSql("a_", "v1", 8000L)},
+         |${releaseSelSql("b_", "v2", 8000L)},
+         |d1 AS (SELECT
+         |  (SELECT count(*) FROM a_sel) AS n_docs,
+         |  (SELECT coalesce(sum(cost), 0)::BIGINT FROM a_sel) AS n_tokens,
+         |  (SELECT count(DISTINCT tok) FROM
+         |     (SELECT unnest(t) AS tok FROM a_toks JOIN a_sel USING (doc_id))) AS n_types,
+         |  (SELECT round(avg(length(text)), 6) FROM v1 JOIN a_sel USING (doc_id)) AS mean_chars),
+         |d2 AS (SELECT
+         |  (SELECT count(*) FROM b_sel) AS n_docs,
+         |  (SELECT coalesce(sum(cost), 0)::BIGINT FROM b_sel) AS n_tokens,
+         |  (SELECT count(DISTINCT tok) FROM
+         |     (SELECT unnest(t) AS tok FROM b_toks JOIN b_sel USING (doc_id))) AS n_types,
+         |  (SELECT round(avg(length(text)), 6) FROM v2 JOIN b_sel USING (doc_id)) AS mean_chars)
+         |SELECT d2.n_docs, d2.n_tokens, d2.n_types, d2.mean_chars,
+         |       d2.n_docs - d1.n_docs AS d_docs,
+         |       d2.n_tokens - d1.n_tokens AS d_tokens,
+         |       d2.n_types - d1.n_types AS d_types,
+         |       round(d2.mean_chars - d1.mean_chars, 6) AS d_mean_chars
+         |FROM d2 CROSS JOIN d1""".stripMargin) { (s, dir) =>
+      import graft.operators.Release
+      val (v1, v2, bench, p) = releaseFixture(s, dir)
+      val art = Release.artifacts(v1, bench, "doc_id", "text", p)
+      val selV1 = Release.fromScratch(v1, bench, "doc_id", "text", p)
+      val selV2 = Release.incremental(v1, art, v2, bench, "doc_id", "text", p)
+      val d1 = Release.selectionDatasheet(selV1, v1, "doc_id", "text")
+        .select(col("n_docs").as("o_docs"), col("n_tokens").as("o_tokens"),
+          col("n_types").as("o_types"), col("mean_chars").as("o_mean"))
+      Release.selectionDatasheet(selV2, v2, "doc_id", "text")
+        .crossJoin(broadcast(d1))
+        .select(col("n_docs"), col("n_tokens"), col("n_types"), col("mean_chars"),
+          (col("n_docs") - col("o_docs")).as("d_docs"),
+          (col("n_tokens") - col("o_tokens")).as("d_tokens"),
+          (col("n_types") - col("o_types")).as("d_types"),
+          round(col("mean_chars") - col("o_mean"), 6).as("d_mean_chars"))
+    },
   )
+
+  /** The q233/q234 version fixture: v2 = the documents table; v1 = v2
+    * minus every doc_id % 7 == 1 (-> "added"), with 'OLDV ' prefixed onto
+    * doc_id % 11 == 3 texts (-> "changed"), plus doc_id+20000 copies of
+    * doc_id % 13 == 2 (-> "removed"); bench = doc_id % 25 == 0 of v2.
+    */
+  private def releaseFixture(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame, graft.operators.Release.Params) = {
+    val v2 = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val changed = pmod(col("doc_id"), lit(11)) === 3 &&
+      pmod(col("doc_id"), lit(7)) =!= 1
+    val v1 = v2.filter(pmod(col("doc_id"), lit(7)) =!= 1)
+      .withColumn("text",
+        when(changed, concat(lit("OLDV "), col("text"))).otherwise(col("text")))
+      .unionByName(v2.filter(pmod(col("doc_id"), lit(13)) === 2)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    val bench = v2.filter(pmod(col("doc_id"), lit(25)) === 0)
+    (v1, v2, bench, graft.operators.Release.Params(budget = 8000L))
+  }
+
+  /** Benchmark shingle set (doc_id % 25 == 0 of the live corpus) — shared
+    * by both release replays.
+    */
+  private lazy val benchShingleSql: String =
+    """bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+      |btoks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t FROM bench),
+      |bsh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |          i -> array_to_string(t[i:i+2], ' '))) AS sh
+      |        FROM btoks WHERE len(t) >= 3),
+      |bsh AS (SELECT DISTINCT unnest(sh) AS shingle FROM bsh0),""".stripMargin
+
+  /** One release pipeline replay over corpus CTE `c` (doc_id, text):
+    * 3-gram Jaccard >= 0.8 pairs -> drop the higher id of every pair ->
+    * containment <= 0.5 vs `bsh` -> distinct-token/token scores -> greedy
+    * density-ordered budget prefix. Emits CTEs `{p}toks ... {p}sel`.
+    */
+  private def releaseSelSql(p: String, c: String, budget: Long): String =
+    s"""${p}toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t FROM $c),
+       |${p}sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+       |          i -> array_to_string(t[i:i+2], ' '))) AS sh
+       |        FROM ${p}toks WHERE len(t) >= 3),
+       |${p}sh AS (SELECT doc_id, unnest(sh) AS shingle FROM ${p}sh0),
+       |${p}sz AS (SELECT doc_id, count(*) AS sz FROM ${p}sh GROUP BY doc_id),
+       |${p}drop1 AS (SELECT DISTINCT ib AS doc_id FROM (
+       |    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS cnt
+       |    FROM ${p}sh a JOIN ${p}sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) i
+       |  JOIN ${p}sz sa ON sa.doc_id = i.ia JOIN ${p}sz sb ON sb.doc_id = i.ib
+       |  WHERE cnt::DOUBLE / (sa.sz + sb.sz - cnt) >= 0.8),
+       |${p}hits AS (SELECT s.doc_id, count(*) AS h FROM ${p}sh s
+       |  JOIN bsh USING (shingle) GROUP BY 1),
+       |${p}cont AS (SELECT cp.doc_id,
+       |    CASE WHEN coalesce(sz.sz, 0) = 0 THEN 0.0
+       |         ELSE coalesce(h.h, 0)::DOUBLE / sz.sz END AS cont
+       |  FROM $c cp LEFT JOIN ${p}sz sz ON sz.doc_id = cp.doc_id
+       |             LEFT JOIN ${p}hits h ON h.doc_id = cp.doc_id),
+       |${p}surv AS (SELECT ct.doc_id FROM ${p}cont ct
+       |  WHERE ct.cont <= 0.5
+       |    AND ct.doc_id NOT IN (SELECT doc_id FROM ${p}drop1)),
+       |${p}sc AS (SELECT doc_id, count(DISTINCT tok) AS score, count(*) AS cost
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM ${p}toks) GROUP BY 1),
+       |${p}sel AS (SELECT doc_id, score, cost, coalesce(cb, 0)::BIGINT AS cum_before
+       |  FROM (SELECT doc_id, score, cost,
+       |          sum(cost) OVER (ORDER BY round(score::DOUBLE / cost, 6) DESC, doc_id
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb
+       |        FROM (SELECT s.doc_id, sc.score, sc.cost FROM ${p}surv s
+       |              JOIN ${p}sc sc USING (doc_id) WHERE sc.cost > 0))
+       |  WHERE coalesce(cb, 0) + cost <= $budget)""".stripMargin
 
   /** The q151 logistic train→score composition joined back to its labels —
     * the scored frame the q194–q196 eval cards aggregate (Spark side of

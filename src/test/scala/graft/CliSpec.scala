@@ -550,6 +550,58 @@ class CliSpec extends SparkSpec {
     assert(got.getLong(1) == 11L) // in both lists, wins the fusion
   }
 
+  test("release: --incremental equals the from-scratch run on the new corpus") {
+    import spark.implicits._
+    val mk = (i: Long) => s"document number $i with shared words " +
+      (if (i % 6 == 0) "duplicate body duplicate body duplicate body common run"
+       else s"unique tail $i ${"x" * (i % 9).toInt} content piece $i")
+    val v2 = (0L until 80L).map(i => (i, mk(i))).toDF("doc_id", "text")
+    val v1 = v2.filter(col("doc_id") % 5 =!= 1)
+      .withColumn("text", when(col("doc_id") % 9 === 2,
+        concat(lit("OLD "), col("text"))).otherwise(col("text")))
+    val bench = v2.filter(col("doc_id") % 20 === 0)
+    val (vp1, vp2, bp) = (s"$dir/rel-v1.parquet", s"$dir/rel-v2.parquet", s"$dir/rel-b.parquet")
+    v1.write.mode("overwrite").parquet(vp1)
+    v2.write.mode("overwrite").parquet(vp2)
+    bench.write.mode("overwrite").parquet(bp)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val scratch = rows(Main.run(spark, Seq("release", "--new", vp2,
+      "--bench", bp, "--budget", "400")))
+    val incr = rows(Main.run(spark, Seq("release", "--new", vp2, "--bench", bp,
+      "--incremental", "--old", vp1, "--budget", "400")))
+    assert(scratch.nonEmpty && incr == scratch)
+  }
+
+  test("hybrid-ann: filtered search respects the predicate; --probes yields the card") {
+    import spark.implicits._
+    val input = s"$dir/hybrid.parquet"
+    val rnd = new scala.util.Random(11)
+    (0L until 120L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(input)
+    val qPath = s"$dir/hybrid-q.parquet"
+    spark.read.parquet(input).filter(col("vec_id") >= 110)
+      .write.mode("overwrite").parquet(qPath)
+    val got = Main.run(spark, Seq("hybrid-ann", "--base", input,
+      "--query", qPath, "--meta", "label",
+      "--predicate", """{"field":"label","op":"GE","values":[2]}""",
+      "--k", "3", "--n-list", "8", "--n-probe", "8", "--exclude-self"))
+    val rows = got.join(spark.read.parquet(input)
+        .select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .select("label").collect().map(_.getLong(0))
+    assert(rows.nonEmpty && rows.forall(_ >= 2L))
+
+    val card = Main.run(spark, Seq("hybrid-ann", "--base", input,
+      "--query", qPath, "--meta", "label",
+      "--predicate", """{"field":"label","op":"GE","values":[2]}""",
+      "--k", "3", "--n-list", "8", "--probes", "2,8", "--exclude-self"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(card.keySet == Set(2L, 8L))
+    assert(card(8L) == 1.0, s"exhaustive probe must hit recall 1.0: $card")
+    assert(card(2L) <= card(8L))
+  }
+
   test("binary-topk ranks by XOR-popcount via the CLI") {
     import spark.implicits._
     val input = s"$dir/bin.parquet"
