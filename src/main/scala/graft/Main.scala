@@ -277,10 +277,58 @@ object Main {
           case None =>
             val index = graft.operators.Ann.ivfIndexWithMeta(
               base, centroids, metaCols = metaCols)
-            graft.operators.Ann.ivfSearchFiltered(queries, index, centroids,
-              k, nProbe = flags.getOrElse("n-probe", "4").toInt,
-              metadataCols = metaCols, excludeSelf = exclSelf)
+            val np = flags.getOrElse("n-probe", "4").toInt
+            if (flags.contains("guaranteed"))
+              // count-based escalation: starved queries re-run exhaustive
+              graft.operators.Ann.ivfSearchFilteredGuaranteed(queries, index,
+                centroids, k, np, metadataCols = metaCols,
+                excludeSelf = exclSelf)
+            else
+              graft.operators.Ann.ivfSearchFiltered(queries, index, centroids,
+                k, nProbe = np, metadataCols = metaCols, excludeSelf = exclSelf)
         }
+
+      case "ivf-maintain" =>
+        // maintained IVF index: build on --base against a frozen quantizer,
+        // optionally ivfAppend --add and ivfDelete --delete slices;
+        // --occupancy reports per-cell counts instead of the index rows
+        val mBase = spark.read.parquet(need("base"))
+        val mNList = flags.getOrElse("n-list", "16").toInt
+        val mCents = mBase.filter(col("vec_id") < mNList)
+        val mMeta = flags.get("meta").toSeq
+          .flatMap(_.split(",", -1).map(_.trim).filter(_.nonEmpty))
+        var mIndex = graft.operators.Ann.ivfIndexWithMeta(
+          mBase, mCents, metaCols = mMeta)
+        flags.get("add").foreach { p =>
+          mIndex = graft.operators.Ann.ivfAppend(
+            mIndex, spark.read.parquet(p), mCents, metaCols = mMeta)
+        }
+        flags.get("delete").foreach { p =>
+          mIndex = graft.operators.Ann.ivfDelete(mIndex, spark.read.parquet(p))
+        }
+        if (flags.contains("occupancy")) graft.operators.Ann.cellOccupancy(mIndex)
+        else mIndex
+
+      case "ivf-staleness" =>
+        // quantizer-staleness card: stale = Lloyd on --old, retrained =
+        // Lloyd on --new; measures recall@k at --n-probe plus occupancy
+        // skew over the CURRENT corpus for both
+        val sOld = spark.read.parquet(need("old"))
+        val sNew = spark.read.parquet(need("new"))
+        val sQ = spark.read.parquet(need("queries"))
+        val cells = flags.getOrElse("cells", "8").toInt
+        val iters = flags.getOrElse("iters", "1").toInt
+        val stale = graft.operators.Ann.lloydCentroids(
+          graft.operators.Clustering.lloyd(sOld, cells, iters)
+            .filter(col("n_points") > 0))
+        val fresh = graft.operators.Ann.lloydCentroids(
+          graft.operators.Clustering.lloyd(sNew, cells, iters)
+            .filter(col("n_points") > 0))
+        graft.operators.Ann.ivfStalenessCard(sQ, sNew,
+          Seq("stale" -> stale, "retrained" -> fresh),
+          k = flags.getOrElse("k", "5").toInt,
+          nProbe = flags.getOrElse("n-probe", "2").toInt,
+          metric = "EUCLIDEAN", excludeSelf = flags.contains("exclude-self"))
 
       case "rrf" =>
         // reciprocal-rank fusion of ranking parquets (q215)
@@ -918,7 +966,9 @@ object Main {
       |  rrf --inputs A.parquet,B.parquet,... [--k N] [--c N]
       |  pq-encode --input PATH --out DIR [--m N] [--ksub N] [--seed S]
       |  pq-search --index DIR --query PATH [--k N] [--chunks N | --strategy auto]
-      |  hybrid-ann --base PARQUET --query PARQUET --meta C1,C2 --predicate JSON [--k N] [--n-list N] [--n-probe N | --probes N,N,...] [--exclude-self]
+      |  hybrid-ann --base PARQUET --query PARQUET --meta C1,C2 --predicate JSON [--k N] [--n-list N] [--n-probe N [--guaranteed] | --probes N,N,...] [--exclude-self]
+      |  ivf-maintain --base PARQUET [--add PARQUET] [--delete PARQUET] [--meta C1,C2] [--n-list N] [--occupancy]
+      |  ivf-staleness --old PARQUET --new PARQUET --queries PARQUET [--cells N] [--iters N] [--k N] [--n-probe N] [--exclude-self]
       |  release --new PARQUET --bench PARQUET [--incremental --old PARQUET] [--budget N] [--threshold T] [--contam-max T] [--id-col C] [--text-col C]
       |  asof --left PARQUET --right PARQUET --key K --time T --tie C --payload a,b
       |  sample --input PARQUET --key-col K (--strata-col S --fractions n=F,... [--default F] | --weight-col W --n N | --group-col G --n N)

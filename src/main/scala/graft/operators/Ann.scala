@@ -415,4 +415,123 @@ object Ann {
         .select(lit(d.toLong).as("dim"), col("avg_recall"))
     }.reduce(_ unionAll _)
   }
+
+  // ── Index maintenance ─────────────────────────────────────────────────
+  //
+  // A 100 TB corpus is never reindexed per release: vectors arrive and
+  // vectors are tombstoned, and the IVF index must absorb both WITHOUT a
+  // rebuild. Cell assignment is a per-vector function of the FROZEN
+  // quantizer, so append and delete commute with a from-scratch build over
+  // the same centroids — the parity invariant q235 pins. What maintenance
+  // can NOT heal is quantizer staleness: appended vectors drawn from a
+  // drifted distribution crowd into few stale cells (occupancy skew) and
+  // recall at fixed nProbe decays — [[ivfStalenessCard]] is the artifact
+  // that tells an operator when to pay for retraining.
+
+  /** Append a slice of new vectors to a maintained index: the slice is
+    * assigned against the SAME frozen centroids and unioned on. Cost is
+    * O(|slice|) — the existing index rows never move or recompute.
+    */
+  def ivfAppend(index: DataFrame, newVecs: DataFrame, centroids: DataFrame,
+      metric: String = "COSINE", idCol: String = "vec_id",
+      vecCol: String = "embedding", metaCols: Seq[String] = Nil): DataFrame =
+    index.unionByName(
+      ivfIndexWithMeta(newVecs, centroids, metric, idCol, vecCol, metaCols))
+
+  /** Drop tombstoned ids from a maintained index (one anti-join; at rest
+    * this is the slab-delete discipline applied to the index relation).
+    */
+  def ivfDelete(index: DataFrame, removedIds: DataFrame,
+      idCol: String = "vec_id"): DataFrame =
+    index.join(removedIds.select(col(idCol).cast("long").as("id")),
+      Seq("id"), "left_anti")
+
+  /** Per-cell occupancy of an index: (cell, n) plus each cell's share of
+    * the corpus — the skew diagnostic the staleness card reads. One
+    * map-side-combined groupBy over (cell) longs.
+    */
+  def cellOccupancy(index: DataFrame): DataFrame =
+    index.groupBy("cell").agg(count(lit(1)).as("n"))
+
+  /** Quantizer-staleness card: for each labelled centroid set (e.g. "stale"
+    * = trained before a drifted append, "retrained" = trained on the
+    * current corpus), measure over the CURRENT corpus
+    *   recall@k at `nProbe` (vs exact truth, micro over queries) and
+    *   max_cell_frac — the occupancy share of the fullest cell (drifted
+    *   appends crowd into few stale cells, so this rises with staleness
+    *   and with it the per-probe candidate cost).
+    * One row per config: (config, n_probe, recall, max_cell_frac). The
+    * operator an ingest pipeline runs per release to decide when the
+    * centroids have aged out.
+    *
+    * Scale shape: per config ONE zero-shuffle assignment pass + one probe
+    * join + one (cell) count rollup; the exact truth is computed once and
+    * shared across configs.
+    */
+  def ivfStalenessCard(queries: DataFrame, base: DataFrame,
+      configs: Seq[(String, DataFrame)], k: Int, nProbe: Int,
+      metric: String = "COSINE", idCol: String = "vec_id",
+      vecCol: String = "embedding", excludeSelf: Boolean = false): DataFrame = {
+    require(configs.nonEmpty, "ivfStalenessCard needs at least one centroid config")
+    val truth = Knn.knn(queries, base, k, metric, idCol, vecCol,
+        excludeSelf = excludeSelf)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val nQ = truth.select("query_id").distinct().count()
+    val total = base.count().toDouble
+    configs.map { case (name, cents) =>
+      val index = ivfIndex(base, cents, metric, idCol, vecCol).localCheckpoint()
+      val pred = ivfSearch(queries, index, cents, k, nProbe, metric,
+        idCol, vecCol, excludeSelf)
+      val hits = pred.select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(coalesce(sum(lit(1L)), lit(0L)).as("hits"))
+      val skew = cellOccupancy(index)
+        .agg(max(col("n")).cast("double").as("max_n"))
+      hits.crossJoin(broadcast(skew))
+        .select(lit(name).as("config"), lit(nProbe.toLong).as("n_probe"),
+          round(col("hits").cast("double") / (nQ * k), 6).as("recall"),
+          round(col("max_n") / total, 6).as("max_cell_frac"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** GUARANTEED-k filtered search: [[ivfSearchFiltered]]'s pre-filter
+    * semantics with the under-k failure mode healed. Under a selective
+    * predicate the nProbe cells may hold fewer than k eligible candidates
+    * — the approximate pass then silently returns short lists. Here any
+    * query whose pass-1 list is short ESCALATES to an exhaustive probe
+    * (nProbe = nList — an exact filtered scan of the index, never a rejoin
+    * to the base), so every query returns exactly min(k, |eligible|) rows.
+    * Output adds `escalated`; escalated rows equal the exact hybrid truth
+    * by construction.
+    *
+    * This is the count-based escalation policy production filtered-ANN
+    * serving uses: the common unfiltered/mildly-filtered mass stays on the
+    * cheap path and only the starved tail (bounded by the card q229
+    * measures) pays the full scan. Pass-2 runs over ONLY the starved
+    * queries — one extra probe join sized by the tail, not the load.
+    */
+  def ivfSearchFilteredGuaranteed(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int, metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      predicateCol: String = "predicate", metadataCols: Seq[String] = Nil,
+      excludeSelf: Boolean = false): DataFrame = {
+    val nList = centroids.count().toInt
+    val approx = ivfSearchFiltered(queries, index, centroids, k, nProbe,
+      metric, idCol, vecCol, predicateCol, metadataCols, excludeSelf)
+      .localCheckpoint() // consumed by the starvation count AND the union
+    // a query is starved if its list is short — including EMPTY (absent
+    // from approx entirely), hence the left join from the query relation
+    val starvedIds = queries.select(col(idCol).cast("long").as("query_id"))
+      .join(approx.groupBy("query_id").agg(count(lit(1)).as("n_got")),
+        Seq("query_id"), "left")
+      .filter(coalesce(col("n_got"), lit(0L)) < k)
+      .select("query_id").localCheckpoint()
+    val starved = queries.join(
+      starvedIds.withColumnRenamed("query_id", idCol), Seq(idCol), "left_semi")
+    val exact = ivfSearchFiltered(starved, index, centroids, k, nList,
+      metric, idCol, vecCol, predicateCol, metadataCols, excludeSelf)
+    approx.join(starvedIds, Seq("query_id"), "left_anti")
+      .withColumn("escalated", lit(false))
+      .unionByName(exact.withColumn("escalated", lit(true)))
+  }
 }

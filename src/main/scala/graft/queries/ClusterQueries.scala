@@ -34,6 +34,51 @@ object ClusterQueries {
   /** The k=8 lowest-id embeddings as cells 0..7 (lloyd's deterministic
     * init), and the argmin assignment with the lowest-cell tie rule.
     */
+  /** One-step Lloyd replay over the CTE `corpus(vec_id, embedding)`:
+    * init = the 8 lowest-id rows as cells 0..7, E-step argmin with the
+    * lowest-cell tie rule, M-step round(avg,6)::FLOAT (the engine's q135
+    * float32-centroid convention). Emits `${p}tc(cell, ce)`; cells that
+    * received no assignments drop (lloyd's n_points>0 filter).
+    */
+  private def lloydTrainCte(corpus: String, p: String): String =
+    s"""${p}i AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+       |      FROM (SELECT * FROM $corpus ORDER BY vec_id LIMIT 8)),
+       |${p}r AS (SELECT e.vec_id, e.embedding AS v, i.cell,
+       |             row_number() OVER (PARTITION BY e.vec_id
+       |                                ORDER BY ${duckL2Sq("e.embedding", "i.ce")}, i.cell) AS rn
+       |      FROM $corpus e CROSS JOIN ${p}i i),
+       |${p}a AS (SELECT vec_id, v, cell FROM ${p}r WHERE rn = 1),
+       |${p}m AS (SELECT cell, generate_subscripts(v, 1) - 1 AS idx, unnest(v)::DOUBLE AS x
+       |      FROM ${p}a),
+       |${p}cm AS (SELECT cell, idx, round(avg(x), 6)::FLOAT AS cv
+       |      FROM ${p}m GROUP BY cell, idx),
+       |${p}tc AS (SELECT cell, list(cv ORDER BY idx) AS ce FROM ${p}cm GROUP BY cell)""".stripMargin
+
+  /** Staleness-card evaluation for the trained centroids `${p}tc`: assign
+    * the current corpus `v2`, probe 2 cells per query from `q`, take top-5
+    * within them, count hits against the exact truth `ex`, and measure the
+    * fullest cell. Emits `${p}h(hits)` and `${p}occ(max_n)`.
+    */
+  private def stalenessEvalCte(p: String): String =
+    s"""${p}ar AS (SELECT b.vec_id AS id, b.embedding AS v, t.cell,
+       |         row_number() OVER (PARTITION BY b.vec_id
+       |           ORDER BY ${duckL2Sq("b.embedding", "t.ce")}, t.cell) AS rn
+       |       FROM v2 b CROSS JOIN ${p}tc t),
+       |${p}ix AS (SELECT id, v, cell FROM ${p}ar WHERE rn = 1),
+       |${p}pr AS (SELECT q.qid, q.qv, t.cell,
+       |         row_number() OVER (PARTITION BY q.qid
+       |           ORDER BY ${duckL2Sq("q.qv", "t.ce")}, t.cell) AS rn
+       |       FROM q CROSS JOIN ${p}tc t),
+       |${p}cand AS (SELECT pp.qid, ix.id AS nid, ${duckL2Sq("pp.qv", "ix.v")} AS d
+       |       FROM ${p}pr pp JOIN ${p}ix ix ON ix.cell = pp.cell AND pp.rn <= 2
+       |       WHERE ix.id <> pp.qid),
+       |${p}top AS (SELECT qid, nid FROM (
+       |         SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+       |         FROM ${p}cand) WHERE rk <= 5),
+       |${p}h AS (SELECT count(*) AS hits FROM ${p}top t JOIN ex USING (qid, nid)),
+       |${p}occ AS (SELECT max(cnt) AS max_n FROM (
+       |         SELECT count(*) AS cnt FROM ${p}ix GROUP BY cell))""".stripMargin
+
   private def duckAssignCte: String =
     s"""c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
        |      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
@@ -269,6 +314,60 @@ object ClusterQueries {
         "label", "vec_id", "embedding", k = 2, metric = "EUCLIDEAN")
         .select(col("label"), col("rank").cast("long").as("rank"),
           col("id"), col("d"))
+    },
+
+    // Quantizer-staleness card: a drifted slice (vec_id >= 400, every
+    // component scaled by -3 — exact in float32 on both engines since the
+    // double intermediate of a small-constant product never rounds twice)
+    // is appended to the corpus, and the card measures recall@5 at
+    // nProbe=2 plus occupancy skew for STALE centroids (Lloyd on the
+    // pre-drift corpus) vs RETRAINED (Lloyd on the full corpus) — the
+    // when-to-retrain artifact index maintenance (q235) cannot provide by
+    // itself. The oracle replays BOTH one-step Lloyd trainings (q192's
+    // round-6-mean float32 convention), both assignments, probes, top-5,
+    // the shared exact truth, and the max-cell occupancy share.
+    GQuery(
+      "q236_ivf_staleness_card",
+      s"""WITH v1 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+         |sl AS (SELECT vec_id,
+         |         list_transform(embedding, x -> (x::DOUBLE * -3.0)::FLOAT) AS embedding
+         |       FROM embeddings WHERE vec_id >= 400),
+         |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM sl),
+         |${lloydTrainCte("v1", "s")},
+         |${lloydTrainCte("v2", "f")},
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM sl WHERE vec_id < 420),
+         |exr AS (SELECT q.qid, b.vec_id AS nid,
+         |          row_number() OVER (PARTITION BY q.qid
+         |            ORDER BY ${duckL2Sq("q.qv", "b.embedding")}, b.vec_id) AS rk
+         |        FROM q JOIN v2 b ON b.vec_id <> q.qid),
+         |ex AS (SELECT qid, nid FROM exr WHERE rk <= 5),
+         |${stalenessEvalCte("s")},
+         |${stalenessEvalCte("f")},
+         |den AS (SELECT count(*) * 5 AS n FROM q),
+         |tot AS (SELECT count(*) AS n FROM v2)
+         |SELECT 'stale' AS config, 2::BIGINT AS n_probe,
+         |       round(sh.hits::DOUBLE / den.n, 6) AS recall,
+         |       round(socc.max_n::DOUBLE / tot.n, 6) AS max_cell_frac
+         |FROM sh, socc, den, tot
+         |UNION ALL
+         |SELECT 'retrained', 2::BIGINT,
+         |       round(fh.hits::DOUBLE / den.n, 6),
+         |       round(focc.max_n::DOUBLE / tot.n, 6)
+         |FROM fh, focc, den, tot""".stripMargin) { (s, dir) =>
+      import graft.operators.Ann
+      val emb = Tables.embeddings(s, dir)
+      val v1 = emb.select("vec_id", "embedding").filter(col("vec_id") < 400)
+      val slice = emb.select("vec_id", "embedding").filter(col("vec_id") >= 400)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(-3.0f)))
+      val v2 = v1.unionByName(slice)
+      val stale = Ann.lloydCentroids(
+        Clustering.lloyd(v1, k = 8, iters = 1).filter(col("n_points") > 0))
+      val fresh = Ann.lloydCentroids(
+        Clustering.lloyd(v2, k = 8, iters = 1).filter(col("n_points") > 0))
+      val queries = slice.filter(col("vec_id") < 420)
+      Ann.ivfStalenessCard(queries, v2,
+        Seq("stale" -> stale, "retrained" -> fresh),
+        k = 5, nProbe = 2, metric = "EUCLIDEAN", excludeSelf = true)
     },
   )
 }

@@ -280,5 +280,120 @@ object HybridQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("adc_dist"), 4).as("adc_dist"))
     },
+
+    // MAINTAINED-index parity: build the IVF index on an old corpus slice,
+    // ivfAppend a late-arriving slice, ivfDelete a tombstoned prefix, and
+    // search the result — the oracle replays a FROM-SCRATCH IVF build over
+    // the final corpus. Equality is the maintenance invariant (cell
+    // assignment is a per-vector function of the frozen quantizer, so
+    // append/delete commute with rebuild) that makes a 100 TB index
+    // evolvable without reindexing. The deleted prefix includes the rows
+    // the quantizer was seeded from — centroids are frozen independently
+    // of index membership.
+    GQuery(
+      "q235_ivf_maintained_parity",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id >= 30),
+         |assignr AS (
+         |  SELECT base.id, base.v, c.cell,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${cosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, cell FROM assignr WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 120),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${cosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qv, cell FROM probr WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.id AS nid, ${cosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      import graft.operators.Ann
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val index1 = Ann.ivfIndexWithMeta(emb.filter(col("vec_id") < 480), centroids)
+      val appended = Ann.ivfAppend(index1, emb.filter(col("vec_id") >= 480), centroids)
+      val maintained = Ann.ivfDelete(appended, emb.filter(col("vec_id") < 30))
+      Ann.ivfSearch(emb.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+          maintained, centroids, k = 5, nProbe = 4, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+    },
+
+    // GUARANTEED-k filtered search: q229's card shows a selective predicate
+    // starves the probed cells (short lists at small nProbe) — this is the
+    // serving-side policy that heals it. Queries whose pass-1 filtered
+    // list is short escalate to an exhaustive probe (an exact filtered
+    // scan of the index, never a base rejoin), so every query returns
+    // min(k, |eligible|) rows; `escalated` marks which path answered. The
+    // oracle replays the starvation count at nProbe=2 and ranks escalated
+    // queries over ALL eligible candidates, the rest over the probed set.
+    GQuery(
+      "q237_filtered_guaranteed_k",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v, label, vec_id AS ord FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, base.v, base.label, base.ord, c.cell,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${cosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, label, ord, cell FROM assignr WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 130),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${cosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qv, cell FROM probr WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.qid, a.id AS nid, ${cosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid
+         |    AND CASE p.qid % 3 WHEN 0 THEN a.ord < 50
+         |                       WHEN 1 THEN a.ord < 5
+         |                       ELSE a.label >= 5 END),
+         |cnt AS (SELECT qid, count(*) AS n FROM cand GROUP BY qid),
+         |esc AS (SELECT q.qid FROM q LEFT JOIN cnt USING (qid)
+         |        WHERE coalesce(cnt.n, 0) < 5),
+         |elig AS (
+         |  SELECT q.qid, b.id AS nid, ${cosDist("q.qv", "b.v")} AS d
+         |  FROM q JOIN esc USING (qid) CROSS JOIN base b
+         |  WHERE b.id <> q.qid
+         |    AND CASE q.qid % 3 WHEN 0 THEN b.ord < 50
+         |                       WHEN 1 THEN b.ord < 5
+         |                       ELSE b.label >= 5 END),
+         |exact AS (
+         |  SELECT qid, nid, rank, TRUE AS escalated FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |    FROM elig) WHERE rank <= 5),
+         |approx AS (
+         |  SELECT qid, nid, rank, FALSE AS escalated FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |    FROM cand WHERE qid NOT IN (SELECT qid FROM esc)) WHERE rank <= 5)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank, escalated
+         |FROM (SELECT * FROM exact UNION ALL SELECT * FROM approx)""".stripMargin) { (s, dir) =>
+      import graft.operators.Ann
+      val emb = Tables.embeddings(s, dir).withColumn("ord", col("vec_id"))
+      val centroids = emb.filter(col("vec_id") < 16)
+      val blobUdf = udf((qid: Long) => tierBlobFor(qid % 3))
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 130)
+        .withColumn("predicate", blobUdf(col("vec_id")))
+      val index = Ann.ivfIndexWithMeta(emb, centroids,
+        metaCols = Seq("label", "ord"))
+      Ann.ivfSearchFilteredGuaranteed(queries, index, centroids,
+          k = 5, nProbe = 2, metadataCols = Seq("label", "ord"),
+          excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("escalated"))
+    },
   )
 }

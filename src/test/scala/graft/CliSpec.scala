@@ -602,6 +602,55 @@ class CliSpec extends SparkSpec {
     assert(card(2L) <= card(8L))
   }
 
+  test("hybrid-ann --guaranteed fills short lists; ivf-maintain appends/deletes; ivf-staleness emits both configs") {
+    import spark.implicits._
+    val input = s"$dir/hybrid.parquet" // written by the hybrid-ann test data
+    val rnd = new scala.util.Random(11)
+    (0L until 120L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(input)
+    val qPath = s"$dir/hybrid-q.parquet"
+    spark.read.parquet(input).filter(col("vec_id") >= 110)
+      .write.mode("overwrite").parquet(qPath)
+
+    // guaranteed: label>=3 keeps 1/4 of the corpus; nProbe=1 starves some
+    // queries and every list must still reach k=5
+    val got = Main.run(spark, Seq("hybrid-ann", "--base", input,
+      "--query", qPath, "--meta", "label",
+      "--predicate", """{"field":"label","op":"GE","values":[3]}""",
+      "--k", "5", "--n-list", "8", "--n-probe", "1", "--guaranteed",
+      "--exclude-self"))
+    val perQ = got.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQ.length == 10 && perQ.forall(_ == 5L))
+    assert(got.columns.contains("escalated"))
+
+    // maintain: base rows 0..99, add 100..119, delete multiples of 10 —
+    // occupancy totals must reflect exactly the surviving 108 ids
+    val basePath = s"$dir/maint-base.parquet"
+    val addPath = s"$dir/maint-add.parquet"
+    val delPath = s"$dir/maint-del.parquet"
+    spark.read.parquet(input).filter(col("vec_id") < 100)
+      .write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(input).filter(col("vec_id") >= 100)
+      .write.mode("overwrite").parquet(addPath)
+    spark.read.parquet(input).filter(col("vec_id") % 10 === 0)
+      .write.mode("overwrite").parquet(delPath)
+    val idx = Main.run(spark, Seq("ivf-maintain", "--base", basePath,
+      "--add", addPath, "--delete", delPath, "--meta", "label"))
+    assert(idx.count() == 108)
+    val occ = Main.run(spark, Seq("ivf-maintain", "--base", basePath,
+      "--add", addPath, "--delete", delPath, "--occupancy"))
+    assert(occ.agg(sum("n")).collect().head.getLong(0) == 108L)
+
+    // staleness: two configs, sane measurements
+    val card = Main.run(spark, Seq("ivf-staleness", "--old", basePath,
+      "--new", input, "--queries", qPath, "--cells", "4", "--k", "3",
+      "--n-probe", "2", "--exclude-self"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(card.keySet == Set("stale", "retrained"))
+    assert(card.values.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
   test("binary-topk ranks by XOR-popcount via the CLI") {
     import spark.implicits._
     val input = s"$dir/bin.parquet"

@@ -117,6 +117,123 @@ class FilteredAnnSpec extends SparkSpec {
     }
   }
 
+  test("maintained index (build -> append -> delete) equals a from-scratch rebuild") {
+    val idx1 = Ann.ivfIndexWithMeta(base.filter(col("vec_id") < 150), centroids,
+      metaCols = Seq("label"))
+    val appended = Ann.ivfAppend(idx1, base.filter(col("vec_id") >= 150),
+      centroids, metaCols = Seq("label"))
+    val maintained = Ann.ivfDelete(appended, base.filter(col("vec_id") % 5 === 0))
+    val rebuilt = Ann.ivfIndexWithMeta(base.filter(col("vec_id") % 5 =!= 0),
+      centroids, metaCols = Seq("label"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("cell"), col("label")).as[(Long, Long, Long)]
+        .collect().toSet
+    val m = rows(maintained)
+    assert(m == rows(rebuilt))
+    assert(m.size == 160)
+  }
+
+  test("guaranteed-k: every query gets min(k, |eligible|) rows; escalated rows are exact") {
+    val index = Ann.ivfIndexWithMeta(base, centroids, metaCols = Seq("label"))
+    val k = 5
+    val out = Ann.ivfSearchFilteredGuaranteed(queries, index, centroids,
+      k = k, nProbe = 1, metadataCols = Seq("label"), excludeSelf = true)
+      .localCheckpoint()
+
+    // row-count guarantee: min(k, |eligible|) per query
+    val eligible = queries.select(col("vec_id").as("query_id"))
+      .join(base.select(col("vec_id").as("nid"), col("label").as("nlab")),
+        col("query_id") =!= col("nid"))
+      .filter(
+        when(pmod(col("query_id"), lit(3)) === 0, col("nlab").isin(0, 1, 2))
+          .when(pmod(col("query_id"), lit(3)) === 1, col("nlab") >= 7)
+          .otherwise(lit(true)))
+      .groupBy("query_id").agg(count(lit(1)).as("n_elig"))
+    val got = out.groupBy("query_id").agg(count(lit(1)).as("n_got"))
+    val joined = queries.select(col("vec_id").as("query_id"))
+      .join(eligible, Seq("query_id"), "left")
+      .join(got, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_elig"), lit(0L)),
+        coalesce(col("n_got"), lit(0L)))
+      .as[(Long, Long, Long)].collect()
+    joined.foreach { case (qid, nElig, nGot) =>
+      assert(nGot == math.min(k.toLong, nElig), s"query $qid: $nGot of $nElig")
+    }
+
+    // escalated rows match the exact hybrid truth for those queries
+    val escalatedIds = out.filter(col("escalated")).select("query_id").distinct()
+    assert(escalatedIds.count() > 0, "the nProbe=1 run should starve someone")
+    val truth = HybridGroundTruth.knnWithPerQueryPredicates(
+        queries, base, k = k, metadataCols = Seq("label"), excludeSelf = true)
+      .join(escalatedIds, Seq("query_id"), "left_semi")
+    assert(key(out.filter(col("escalated"))) == key(truth))
+
+    // non-escalated rows are exactly the plain filtered-search rows
+    val plain = Ann.ivfSearchFiltered(queries, index, centroids,
+        k = k, nProbe = 1, metadataCols = Seq("label"), excludeSelf = true)
+      .join(escalatedIds, Seq("query_id"), "left_anti")
+    assert(key(out.filter(!col("escalated"))) == key(plain))
+  }
+
+  test("staleness card: planted drift degrades stale-centroid recall; retrain recovers") {
+    // drifted slice = the mirrored 3x-scaled shell (every component * -3):
+    // spread out like the original mass but far outside it, so v1-trained
+    // centroids both crowd it (occupancy skew) and cut arbitrary Voronoi
+    // boundaries through it (recall loss at small nProbe); a one-blob
+    // shift would NOT lose recall — queries and their neighbors would
+    // co-locate in the same crowded cell
+    val v1 = base.select("vec_id", "embedding")
+    val drift = (200L until 280L).map { i =>
+      (i, vec(i - 200L).map(x => x * -3.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val v2 = v1.unionByName(drift)
+    val stale = Ann.lloydCentroids(
+      Clustering.lloyd(v1, k = 8, iters = 2).filter(col("n_points") > 0))
+    val fresh = Ann.lloydCentroids(
+      Clustering.lloyd(v2, k = 8, iters = 2).filter(col("n_points") > 0))
+    val card = Ann.ivfStalenessCard(drift.filter(col("vec_id") < 240), v2,
+        Seq("stale" -> stale, "retrained" -> fresh),
+        k = 5, nProbe = 2, metric = "EUCLIDEAN", excludeSelf = true)
+      .select(col("config"), col("recall"), col("max_cell_frac"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(card.keySet == Set("stale", "retrained"))
+    val (staleRec, staleSkew) = card("stale")
+    val (freshRec, freshSkew) = card("retrained")
+    assert(staleRec < freshRec,
+      s"stale recall $staleRec should trail retrained $freshRec")
+    // max_cell_frac is the COST diagnostic (it spikes under concentrated
+    // one-blob drift, which does NOT lose recall); under this spread-shell
+    // drift it stays a sane fraction for both configs
+    Seq(staleSkew, freshSkew).foreach(s => assert(s > 0.0 && s <= 1.0))
+  }
+
+  test("staleness card mechanics: identical configs tie; clean split is exact") {
+    // identical centroid sets must produce identical measurements
+    val cents = base.filter(col("vec_id") < 8).select("vec_id", "embedding")
+    val tie = Ann.ivfStalenessCard(base.filter(col("vec_id") >= 190),
+        base.select("vec_id", "embedding"),
+        Seq("a" -> cents, "b" -> cents), k = 3, nProbe = 2,
+        metric = "EUCLIDEAN", excludeSelf = true)
+      .select(col("config"), col("recall"), col("max_cell_frac"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(tie("a") == tie("b"))
+
+    // hand-computable case: two far blobs, one centroid in each -> probing
+    // both cells at nProbe=2 is exhaustive (recall 1.0) and the fuller
+    // blob's share is the max occupancy
+    val blobs = ((0L until 30L).map(i => (i, Array.fill(dim)(0.0f).updated(0, i * 0.01f).toSeq)) ++
+      (30L until 40L).map(i => (i, Array.fill(dim)(50.0f).updated(0, 50f + i * 0.01f).toSeq)))
+      .toDF("vec_id", "embedding")
+    val twoCents = blobs.filter(col("vec_id").isin(0L, 30L))
+    val card = Ann.ivfStalenessCard(blobs.filter(col("vec_id") < 5), blobs,
+        Seq("two" -> twoCents), k = 2, nProbe = 2,
+        metric = "EUCLIDEAN", excludeSelf = true)
+      .select(col("recall"), col("max_cell_frac"))
+      .as[(Double, Double)].collect().head
+    assert(card._1 == 1.0)
+    assert(card._2 == 0.75) // 30 of 40 in the origin blob's cell
+  }
+
   test("predicate naming a missing metadata column fails loudly") {
     val badBlob = PNodeCodec.encodeFramed(
       PredicateNode.namedTyped("nope", OpType.GE, IntVal(1)),
