@@ -234,6 +234,83 @@ object ScaleSoak {
         println(f"[soak] IVF lloyd recall@10 nProbe=${r.getLong(0)}: ${r.getDouble(1)}%.4f"))
     }
 
+    // --- filtered ANN + index maintenance at 1M (SOAK_FILTERED=0 skips)
+    if (sys.env.getOrElse("SOAK_FILTERED", "1") != "0") {
+      import graft.predicates._
+      val metaBase = base.withColumn("lab", pmod(col("vec_id"), lit(100000)))
+      val fIndex = timed(s"filtered IVF index with metadata ($nBase rows)") {
+        val i = operators.Ann.ivfIndexWithMeta(metaBase, centroids,
+          metaCols = Seq("lab"))
+        i.cache(); i.count(); i
+      }
+      def blob(lt: Long): Array[Byte] = PNodeCodec.encodeFramed(
+        PredicateNode.namedTyped("lab", OpType.LT, Comparand.IntVal(lt)),
+        PNodeCodec.Mode.NamedTyped)
+      // the 0.001% tier leaves ~nBase/1e5·10 eligible rows corpus-WIDE —
+      // nProbe=16/256 sees ~1/16 of them, well under k: the escalation
+      // path MUST engage for that tier
+      val blobUdf = udf((qid: Long) => (qid % 3) match {
+        case 0 => blob(10000) // 10% selectivity
+        case 1 => blob(100)   // 0.1%
+        case _ => blob(10)    // 0.001%
+      })
+      val fq = metaBase.filter(col("vec_id") < nQueries)
+        .withColumn("predicate", blobUdf(col("vec_id")))
+      val filtered = timed("filtered IVF search nProbe=16 (10%/1%/0.1% tiers)") {
+        val r = operators.Ann.ivfSearchFiltered(fq, fIndex, centroids,
+          k = 10, nProbe = 16, metadataCols = Seq("lab"))
+        r.cache(); r.count(); r
+      }
+      val full = filtered.groupBy("query_id").count()
+        .filter(col("count") === 10).count()
+      println(s"[soak] filtered IVF starved queries at nProbe=16: " +
+        s"${nQueries - full} of $nQueries")
+      val guaranteed = timed("guaranteed-k filtered search (pass1 + escalation)") {
+        val g = operators.Ann.ivfSearchFilteredGuaranteed(fq, fIndex, centroids,
+          k = 10, nProbe = 16, metadataCols = Seq("lab"))
+        g.cache(); g.count(); g
+      }
+      val esc = guaranteed.filter(col("escalated"))
+        .select("query_id").distinct().count()
+      val minRows = guaranteed.groupBy("query_id").count()
+        .agg(min("count")).collect()(0).getLong(0)
+      println(s"[soak] guaranteed-k: $esc of $nQueries queries escalated; " +
+        s"min per-query rows = $minRows (k=10; 0.001% tier has ~${nBase / 10000} eligible)")
+      filtered.unpersist(); guaranteed.unpersist()
+
+      // maintenance: the append path assigns ONLY the 5% slice — measured
+      // against the full-rebuild assignment it replaces; search parity on
+      // the soak queries proves the maintained index loses nothing
+      val cut = (nBase * 95 / 100).toLong
+      val oldIndex = timed("maintenance: index the 95% old corpus") {
+        val i = operators.Ann.ivfIndexWithMeta(
+          metaBase.filter(col("vec_id") < cut), centroids, metaCols = Seq("lab"))
+        i.cache(); i.count(); i
+      }
+      val maintained = timed(s"maintenance: append 5% slice + delete ids%20==0") {
+        val m = operators.Ann.ivfDelete(
+          operators.Ann.ivfAppend(oldIndex,
+            metaBase.filter(col("vec_id") >= cut), centroids,
+            metaCols = Seq("lab")),
+          metaBase.filter(col("vec_id") % 20 === 0))
+        m.cache(); m.count(); m
+      }
+      val rebuilt = timed("maintenance: full rebuild over the final corpus") {
+        val r = operators.Ann.ivfIndexWithMeta(
+          metaBase.filter(col("vec_id") % 20 =!= 0), centroids,
+          metaCols = Seq("lab"))
+        r.cache(); r.count(); r
+      }
+      def srch(ix: org.apache.spark.sql.DataFrame) =
+        operators.Ann.ivfSearch(queries, ix, centroids, k = 10, nProbe = 16)
+          .select("query_id", "neighbor_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val parity = srch(maintained) == srch(rebuilt)
+      println(s"[soak] maintained-index search parity vs rebuild: $parity")
+      require(parity, "maintained IVF index diverged from rebuild")
+      Seq(fIndex, oldIndex, maintained, rebuilt).foreach(_.unpersist())
+    }
+
     // --- PQ: trained codebooks, full-corpus encode, ADC shortlist scan
     val codebooks = timed("PQ train (m=8, ksub=256, sampled)") {
       // ~250 training samples per codeword is the standard PQ regime

@@ -160,6 +160,59 @@ object Sq {
       }.toDF(idCol, "bits")
   }
 
+  /** [[binarize]] as a pure column expression (dim known statically):
+    * word w = Σ_j [v[16w+j] ≥ 0] · 2^j. Bit-identical to the typed-map
+    * form (SqSpec pins it); exists so a binarized relation can KEEP
+    * arbitrary metadata columns without a rebinarize-and-join shuffle —
+    * the shape [[binaryTopKFiltered]] needs.
+    */
+  def binarizeExpr(vecCol: Column, dim: Int): Column = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val words = (dim + 15) / 16
+    array((0 until words).map { w =>
+      aggregate(
+        transform(slice(vecCol, w * 16 + 1, 16), (x, j) =>
+          when(x >= 0f, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+  }
+
+  /** FILTERED Hamming top-k: the per-query wire-predicate discipline
+    * (q56/q228's pre-filter semantics, the same evaluator as the exact
+    * hybrid path) on the BINARY read path — candidates are eliminated by
+    * each query's framed PNode blob BEFORE the XOR-popcount kernel and
+    * heap, so the shortlist ranks only eligible rows. Same zero-shuffle
+    * plan as [[binaryTopK]] (stream base × broadcast queries → bounded
+    * heaps); metadata rides the binarized base via [[binarizeExpr]].
+    */
+  def binaryTopKFiltered(queries: DataFrame, base: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      predicateCol: String = "predicate", metadataCols: Seq[String] = Nil,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      binarizeExpr(col(vecCol).cast("array<float>"), dim).as("q_bits"),
+      col(predicateCol).cast("binary").as("_pred"))
+    val b = base.select(
+      (Seq(col(idCol).cast("long").as("neighbor_id"),
+        binarizeExpr(col(vecCol).cast("array<float>"), dim).as("b_bits")) ++
+        metadataCols.map(col)): _*)
+    var pairs = b.crossJoin(broadcast(q))
+    if (excludeSelf) pairs = pairs.filter(col("neighbor_id") =!= col("query_id"))
+    val metaStruct = struct(metadataCols.map(c => col(c).as(c)): _*)
+    pairs = pairs.filter(HybridGroundTruth.matchesColumn(col("_pred"), metaStruct))
+    val ham = aggregate(
+      zip_with(col("q_bits"), col("b_bits"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double")
+    pairs
+      .groupBy("query_id")
+      .agg(graft.functions.TopKPairs.topKPairs(ham, col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(col("query_id"), col("pair.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("pair.dist").cast("long").as("hamming"))
+  }
+
   /** Hamming top-k over binarized vectors: the [[Knn.knn]] plan shape
     * (stream base × broadcast queries → bounded per-query heaps), with
     * XOR-popcount as the distance — integer-exact, so the oracle (q213)

@@ -350,5 +350,63 @@ object PqQueries {
         .unionAll(graft.operators.Knn.avgRecall(rer, truth, k = 10)
           .select(lit("binary50_rerank@10").as("method"), col("avg_recall")))
     },
+
+    // FILTERED binary Hamming top-k — the per-query wire-predicate cycle
+    // (q56's shapes) through the BINARY read path, completing the hybrid
+    // discipline across every search family (exact q23, IVF q228, IVF-PQ
+    // q230, binary here). Pre-filter: the predicate eliminates candidates
+    // before the XOR-popcount heap. The oracle is q213's bit-exact
+    // sign-pack/popcount replay with the predicate CASE on the candidate
+    // set.
+    GQuery(
+      "q239_binary_topk_filtered",
+      """WITH ws AS (SELECT unnest(range(4)) AS w),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 30),
+        |b AS (SELECT vec_id AS nid, embedding AS be, label FROM embeddings),
+        |qb AS (SELECT qid, w,
+        |         list_sum(list_transform(range(0, 16),
+        |           j -> CASE WHEN qe[16*w + j + 1] >= 0 THEN (1 << j) ELSE 0 END))::BIGINT
+        |           AS word
+        |       FROM q CROSS JOIN ws),
+        |bb AS (SELECT nid, w,
+        |         list_sum(list_transform(range(0, 16),
+        |           j -> CASE WHEN be[16*w + j + 1] >= 0 THEN (1 << j) ELSE 0 END))::BIGINT
+        |           AS word
+        |       FROM b CROSS JOIN ws),
+        |lab AS (SELECT nid, any_value(label) AS label FROM b GROUP BY nid),
+        |d AS (SELECT qb.qid, bb.nid, sum(bit_count(xor(qb.word, bb.word)))::BIGINT AS h
+        |      FROM qb JOIN bb ON qb.w = bb.w
+        |      WHERE bb.nid != qb.qid
+        |      GROUP BY qb.qid, bb.nid),
+        |df AS (SELECT d.qid, d.nid, d.h FROM d JOIN lab ON lab.nid = d.nid
+        |       WHERE CASE d.qid % 3
+        |               WHEN 0 THEN lab.label IN (0, 1, 2, 3)
+        |               WHEN 1 THEN lab.label >= 5
+        |               ELSE TRUE END)
+        |SELECT qid AS query_id, nid AS neighbor_id, rank, h AS hamming FROM (
+        |  SELECT qid, nid, h,
+        |         row_number() OVER (PARTITION BY qid ORDER BY h, nid) AS rank
+        |  FROM df)
+        |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      import graft.predicates._
+      import Comparand._
+      val emb = Tables.embeddings(s, dir)
+      def blobFor(mod: Long): Array[Byte] = {
+        val tree: PNode = mod match {
+          case 0 => PredicateNode.namedTyped("label", OpType.IN,
+            IntVal(0), IntVal(1), IntVal(2), IntVal(3))
+          case 1 => PredicateNode.namedTyped("label", OpType.GE, IntVal(5))
+          case _ => ConjugateNode.and()
+        }
+        PNodeCodec.encodeFramed(tree, PNodeCodec.Mode.NamedTyped)
+      }
+      val blobUdf = udf((qid: Long) => blobFor(qid % 3))
+      val queries = emb.filter(col("vec_id") < 30)
+        .withColumn("predicate", blobUdf(col("vec_id")))
+      Sq.binaryTopKFiltered(queries, emb, k = 5, dim = 64,
+          metadataCols = Seq("label"), excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("hamming"))
+    },
   )
 }

@@ -297,5 +297,55 @@ object StreamQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"))
     },
+
+    // STREAMING index ingest + maintenance: vectors arrive as a stream and
+    // are assigned to the frozen quantizer micro-batch by micro-batch
+    // (persisted per-batch = the maintained index); a tombstone anti-join
+    // then deletes a prefix and the search runs over what survived. The
+    // oracle replays a FROM-SCRATCH batch IVF build over the final corpus
+    // (q235's invariant) — green only if streaming ingest + delete lose
+    // and duplicate nothing vs the rebuild.
+    GQuery(
+      "q238_stream_index_append",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id >= 30),
+         |assignr AS (
+         |  SELECT base.id, base.v, c.cell,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${cosDistSql("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, cell FROM assignr WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 120),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${cosDistSql("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qv, cell FROM probr WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.id AS nid, ${cosDistSql("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val vecStream = s.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("recursiveFileLookup", "false")
+        .parquet(dir)
+      val out = s"${tmpDir()}/ivfappend-${System.nanoTime()}"
+      graft.streaming.StreamAnn.ivfAppendToPath(vecStream, centroids, out)
+      val maintained = graft.operators.Ann.ivfDelete(
+        s.read.parquet(out), emb.filter(col("vec_id") < 30))
+      graft.operators.Ann.ivfSearch(
+          emb.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+          maintained, centroids, k = 5, nProbe = 4, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+    },
   )
 }

@@ -38,6 +38,34 @@ object StreamAnn {
     * rather than duplicates, keeping the exact-union contract. Readers
     * see one extra `batch` partition-discovery column.
     */
+  /** Streaming INGEST into a maintained IVF index: each micro-batch of
+    * arriving vectors is assigned against the FROZEN quantizer
+    * ([[Ann.ivfIndexWithMeta]] — zero-shuffle map-side argmin, metadata
+    * riding along) and written to `outPath/batch=<batchId>`. The persisted
+    * union IS the maintained index ([[Ann.ivfAppend]]'s contract batch by
+    * batch): cell assignment is per-vector, so any batching unions to the
+    * from-scratch build — q238 pins that through a delete and a search.
+    *
+    * Same retry discipline as [[ivfSearchToPath]]: deterministic per-batch
+    * subpaths overwritten idempotently. Tombstoning stays a batch-side
+    * anti-join ([[Ann.ivfDelete]]) over the read-back index; quantizer
+    * refresh is the offline retrain the q236 staleness card schedules.
+    */
+  def ivfAppendToPath(vecStream: DataFrame, centroids: DataFrame,
+      outPath: String, metric: String = "COSINE", idCol: String = "vec_id",
+      vecCol: String = "embedding", metaCols: Seq[String] = Nil): Unit = {
+    val q = vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Ann.ivfIndexWithMeta(batch, centroids, metric, idCol, vecCol, metaCols)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ivf-append").toString)
+      .start()
+    q.awaitTermination()
+  }
+
   def ivfSearchToPath(queryStream: DataFrame, index: DataFrame,
       centroids: DataFrame, k: Int, nProbe: Int, outPath: String,
       metric: String = "COSINE", idCol: String = "vec_id",

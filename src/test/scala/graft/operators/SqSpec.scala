@@ -108,4 +108,40 @@ class SqSpec extends SparkSpec {
       }
     }
   }
+
+  test("binarizeExpr is bit-identical to the typed-map binarize") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val typed = Sq.binarize(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val expr = emb.select(col("vec_id"),
+        Sq.binarizeExpr(col("embedding"), dim = 64).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(expr == typed)
+  }
+
+  test("binaryTopKFiltered: pre-filter semantics; null blob == unfiltered") {
+    import graft.predicates._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val blob = PNodeCodec.encodeFramed(
+      PredicateNode.namedTyped("label", OpType.GE, Comparand.IntVal(5)),
+      PNodeCodec.Mode.NamedTyped)
+    val q = emb.filter(col("vec_id") < 5)
+      .withColumn("predicate", udf(() => blob).apply())
+    val out = Sq.binaryTopKFiltered(q, emb, k = 4, dim = 64,
+        metadataCols = Seq("label"), excludeSelf = true)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+        "neighbor_id")
+    val labs = out.select("label").collect().map(_.getInt(0))
+    assert(labs.length == 20 && labs.forall(_ >= 5))
+
+    val nullQ = emb.filter(col("vec_id") < 5)
+      .withColumn("predicate", lit(null).cast("binary"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(Sq.binaryTopKFiltered(nullQ, emb, k = 4, dim = 64,
+        metadataCols = Seq("label"), excludeSelf = true)) ==
+      key(Sq.binaryTopK(emb.filter(col("vec_id") < 5), emb, k = 4,
+        excludeSelf = true)))
+  }
 }

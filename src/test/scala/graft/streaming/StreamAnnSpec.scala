@@ -41,4 +41,36 @@ class StreamAnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == want)
   }
+
+  test("multi-batch streamed ingest builds exactly the batch index (with metadata)") {
+    val centroids = emb.filter(col("vec_id") < 8)
+    val want = Ann.ivfIndexWithMeta(emb, centroids, metaCols = Seq("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
+
+    val inDir = java.nio.file.Files.createTempDirectory("ivf-append-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ivf-append-out").toString + "/ix"
+    (0 until 3).foreach { i =>
+      emb.filter(col("vec_id") % 3 === i).coalesce(1).write.parquet(s"$inDir/part$i")
+    }
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(inDir)
+    StreamAnn.ivfAppendToPath(stream, centroids, outDir, metaCols = Seq("label"))
+
+    val got = spark.read.parquet(outDir)
+      .select("id", "cell", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+
+    // a replayed batch overwrites its own subpath: rerunning batch 0's
+    // write must leave the index row set unchanged (retry idempotence)
+    val b0 = emb.filter(col("vec_id") % 3 === 0)
+    Ann.ivfIndexWithMeta(b0, centroids, metaCols = Seq("label"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=0")
+    val again = spark.read.parquet(outDir)
+      .select("id", "cell", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == want)
+  }
 }
