@@ -278,7 +278,17 @@ object Main {
             val index = graft.operators.Ann.ivfIndexWithMeta(
               base, centroids, metaCols = metaCols)
             val np = flags.getOrElse("n-probe", "4").toInt
-            if (flags.contains("guaranteed"))
+            if (flags.contains("adaptive")) {
+              // stats-planned per-query widths (safety × k expected
+              // eligible); plans on the FIRST --meta column
+              val stats = graft.operators.Ann.cellSelectivityStats(
+                index, metaCols.head)
+              graft.operators.Ann.ivfSearchFilteredAdaptive(queries, index,
+                centroids, stats, metaCols.head, k,
+                safety = flags.getOrElse("safety", "2.0").toDouble,
+                minProbe = 1, maxProbe = np,
+                metadataCols = metaCols, excludeSelf = exclSelf)
+            } else if (flags.contains("guaranteed"))
               // count-based escalation: starved queries re-run exhaustive
               graft.operators.Ann.ivfSearchFilteredGuaranteed(queries, index,
                 centroids, k, np, metadataCols = metaCols,
@@ -966,7 +976,7 @@ object Main {
       |  rrf --inputs A.parquet,B.parquet,... [--k N] [--c N]
       |  pq-encode --input PATH --out DIR [--m N] [--ksub N] [--seed S]
       |  pq-search --index DIR --query PATH [--k N] [--chunks N | --strategy auto]
-      |  hybrid-ann --base PARQUET --query PARQUET --meta C1,C2 --predicate JSON [--k N] [--n-list N] [--n-probe N [--guaranteed] | --probes N,N,...] [--exclude-self]
+      |  hybrid-ann --base PARQUET --query PARQUET --meta C1,C2 --predicate JSON [--k N] [--n-list N] [--n-probe N [--guaranteed | --adaptive [--safety S]]] [--probes N,N,...] [--exclude-self]
       |  ivf-maintain --base PARQUET [--add PARQUET] [--delete PARQUET] [--meta C1,C2] [--n-list N] [--occupancy]
       |  ivf-staleness --old PARQUET --new PARQUET --queries PARQUET [--cells N] [--iters N] [--k N] [--n-probe N] [--exclude-self]
       |  release --new PARQUET --bench PARQUET [--incremental --old PARQUET] [--budget N] [--threshold T] [--contam-max T] [--id-col C] [--text-col C]

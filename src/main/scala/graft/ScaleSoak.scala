@@ -256,7 +256,7 @@ object ScaleSoak {
       })
       val fq = metaBase.filter(col("vec_id") < nQueries)
         .withColumn("predicate", blobUdf(col("vec_id")))
-      val filtered = timed("filtered IVF search nProbe=16 (10%/1%/0.1% tiers)") {
+      val filtered = timed("filtered IVF search nProbe=16 (10%/0.1%/0.001% tiers)") {
         val r = operators.Ann.ivfSearchFiltered(fq, fIndex, centroids,
           k = 10, nProbe = 16, metadataCols = Seq("lab"))
         r.cache(); r.count(); r

@@ -494,6 +494,150 @@ object Ann {
     }.reduce(_ unionAll _)
   }
 
+  /** Per-(cell, metadata-value) occupancy of an index — the statistics
+    * relation [[ivfSearchFilteredAdaptive]] plans probe widths from. Size
+    * is nList × |distinct metaCol| (a broadcast-scale aggregate for the
+    * categorical columns selective predicates filter on); build it once
+    * per index generation, maintain it with the same append/delete deltas.
+    */
+  def cellSelectivityStats(index: DataFrame, metaCol: String): DataFrame =
+    index.groupBy(col("cell"), col(metaCol)).agg(count(lit(1)).as("n"))
+
+  /** Probe list carrying each cell's rank in the query's distance order
+    * (rank 1 = nearest centroid) — the planning substrate: a width chosen
+    * per query keeps exactly its `cell_rank <= width` prefix.
+    */
+  private def rankedProbes(queries: DataFrame, cents: Array[(Long, Array[Float])],
+      maxProbe: Int, metricId: Int, idCol: String, vecCol: String,
+      predicateCol: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"),
+        col(predicateCol).cast("binary"))
+      .as[(Long, Array[Float], Array[Byte])]
+      .flatMap { case (qid, qv, blob) =>
+        val cs = bc.value
+        val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by(p => (p._1, p._2)))
+        var i = 0
+        while (i < cs.length) {
+          val d = graft.functions.DistanceKernels.computeArrays(qv, cs(i)._2, metricId)
+          if (heap.size < maxProbe) heap.enqueue((d, cs(i)._1))
+          else if (Ordering.Tuple2[Double, Long].lt((d, cs(i)._1), heap.head)) {
+            heap.dequeue(); heap.enqueue((d, cs(i)._1))
+          }
+          i += 1
+        }
+        heap.toSeq.sorted.zipWithIndex.map { case ((_, cell), r) =>
+          (qid, qv, blob, cell, r + 1)
+        }
+      }
+      .toDF("query_id", "q_vec", "_pred", "cell", "cell_rank")
+  }
+
+  /** PREDICATE-AWARE probe planning: for each query, the number of cells
+    * to probe so the EXPECTED eligible-candidate count reaches
+    * `ceil(safety · k)` — walked over the query's own nearest-cell order
+    * with per-cell eligible counts from [[cellSelectivityStats]] (the
+    * query's predicate evaluated against each cell's distinct `metaCol`
+    * values — same evaluator as every hybrid path). Queries whose
+    * cumulative eligible mass never reaches the target plan `maxProbe`
+    * (the starved tail guaranteed-k heals exactly).
+    *
+    * Output: (query_id, n_probe, est_eligible). This is the upfront
+    * alternative to [[ivfSearchFilteredGuaranteed]]'s react-after-starving
+    * escalation: selective queries widen BEFORE the candidate join, so the
+    * common case needs one pass. Cost: one ranked probe list (map-side),
+    * one join against the broadcast-scale stats relation, one windowed
+    * cumsum over ≤ maxProbe rows per query.
+    */
+  def adaptiveProbeWidths(queries: DataFrame, centroids: DataFrame,
+      stats: DataFrame, metaCol: String, k: Int, safety: Double,
+      minProbe: Int, maxProbe: Int, metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      predicateCol: String = "predicate"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    require(minProbe > 0 && maxProbe >= minProbe && k > 0,
+      s"bad widths: minProbe=$minProbe maxProbe=$maxProbe k=$k")
+    require(safety > 0, s"safety must be positive, got $safety")
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty, "adaptiveProbeWidths: empty centroid set")
+    val metricId = graft.functions.DistanceKernels.metricId(metric)
+    val probes = rankedProbes(queries, cents, maxProbe, metricId,
+      idCol, vecCol, predicateCol)
+    val target = math.ceil(safety * k).toLong
+    // eligible mass per (query, probed cell): every distinct metaCol value
+    // in the cell contributes its count iff the query's predicate matches
+    // it; zero-eligible cells stay in the walk (their rank must not vanish
+    // from the cumsum — a query whose every probed cell is ineligible
+    // still plans maxProbe)
+    val perCell = probes
+      .join(broadcast(stats), Seq("cell"), "left")
+      .withColumn("elig_n",
+        when(col("n").isNotNull &&
+          HybridGroundTruth.matchesColumn(col("_pred"),
+            struct(col(metaCol).as(metaCol))), col("n"))
+          .otherwise(lit(0L)))
+      .groupBy("query_id", "cell", "cell_rank")
+      .agg(sum("elig_n").as("elig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("cell_rank") // ≤ maxProbe rows/query
+    perCell
+      .withColumn("cum", sum("elig").over(w))
+      .groupBy("query_id")
+      .agg(
+        coalesce(min(when(col("cum") >= target, col("cell_rank"))),
+          lit(maxProbe.toLong)).as("reach"),
+        max(col("cum")).as("total_est"))
+      .select(col("query_id"),
+        greatest(col("reach"), lit(minProbe.toLong)).as("n_probe"),
+        col("total_est").as("est_eligible"))
+  }
+
+  /** Filtered IVF search with PER-QUERY probe widths from
+    * [[adaptiveProbeWidths]]: each query keeps the `cell_rank <= n_probe`
+    * prefix of its ranked probe list, then the standard pre-filter
+    * candidate join + bounded heap. One pass for every query — selective
+    * queries simply probe wider upfront.
+    */
+  def ivfSearchFilteredAdaptive(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, stats: DataFrame, metaCol: String, k: Int,
+      safety: Double, minProbe: Int, maxProbe: Int, metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      predicateCol: String = "predicate", metadataCols: Seq[String] = Nil,
+      excludeSelf: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty, "ivfSearchFilteredAdaptive: empty centroid set")
+    val metricId = graft.functions.DistanceKernels.metricId(metric)
+    val widths = adaptiveProbeWidths(queries, centroids, stats, metaCol, k,
+      safety, minProbe, maxProbe, metric, idCol, vecCol, predicateCol)
+    val probes = rankedProbes(queries, cents, maxProbe, metricId,
+        idCol, vecCol, predicateCol)
+      .join(widths.select("query_id", "n_probe"), Seq("query_id"))
+      .filter(col("cell_rank") <= col("n_probe"))
+    var pairs = probes.join(index, "cell")
+    if (excludeSelf) pairs = pairs.filter(col("id") =!= col("query_id"))
+    val metaStruct = struct(metadataCols.map(c => col(c).as(c)): _*)
+    pairs = pairs.filter(HybridGroundTruth.matchesColumn(col("_pred"), metaStruct))
+    pairs
+      .groupBy("query_id")
+      .agg(topKPairs(
+        VectorFunctions.distance(col("q_vec"), col("vec"), metric),
+        col("id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(col("query_id"), col("pair.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("pair.dist").as("dist"))
+  }
+
   /** GUARANTEED-k filtered search: [[ivfSearchFiltered]]'s pre-filter
     * semantics with the under-k failure mode healed. Under a selective
     * predicate the nProbe cells may hold fewer than k eligible candidates

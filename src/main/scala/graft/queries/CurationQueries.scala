@@ -1314,6 +1314,82 @@ object CurationQueries {
           (col("n_types") - col("o_types")).as("d_types"),
           round(col("mean_chars") - col("o_mean"), 6).as("d_mean_chars"))
     },
+
+    // RELEASE + SERVING INDEX, end-to-end incremental: the v2 selection
+    // comes from the INCREMENTAL release path (q233) and its ANN index
+    // from MAINTENANCE deltas (q235) — the previous selection's index is
+    // patched by deleting deselected/changed docs and appending
+    // newly-selected/changed ones (hash-embedded from the CURRENT text,
+    // assigned against the frozen bench-seeded quantizer). The oracle
+    // replays the FROM-SCRATCH pipeline: v2 selection -> hashed embeddings
+    // of the selected docs -> centroid assignment. Equality proves the
+    // full 100 TB re-release story: neither the corpus pipeline NOR the
+    // serving index ever rebuilds from scratch.
+    GQuery(
+      "q242_release_with_index",
+      s"""WITH v2 AS (SELECT doc_id, text FROM documents),
+         |${benchShingleSql}
+         |${releaseSelSql("r_", "v2", 8000L)},
+         |etok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS t
+         |         FROM v2 JOIN r_sel USING (doc_id)),
+         |edj AS (SELECT doc_id, t, unnest(range(16)) AS j FROM etok),
+         |evec0 AS (SELECT doc_id, j,
+         |            sum(CASE WHEN (('0x' || substr(md5(t || ':' || j::VARCHAR), 1, 15))::BIGINT & 1) = 1
+         |                     THEN 1 ELSE -1 END)::DOUBLE AS v
+         |          FROM edj GROUP BY doc_id, j),
+         |evec AS (SELECT doc_id, list(v ORDER BY j) AS hv FROM evec0 GROUP BY doc_id),
+         |ctok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS t
+         |         FROM bench),
+         |cdj AS (SELECT doc_id, t, unnest(range(16)) AS j FROM ctok),
+         |cvec0 AS (SELECT doc_id, j,
+         |            sum(CASE WHEN (('0x' || substr(md5(t || ':' || j::VARCHAR), 1, 15))::BIGINT & 1) = 1
+         |                     THEN 1 ELSE -1 END)::DOUBLE AS v
+         |          FROM cdj GROUP BY doc_id, j),
+         |cvec AS (SELECT doc_id, list(v ORDER BY j) AS cv FROM cvec0 GROUP BY doc_id),
+         |cents AS (SELECT doc_id AS cell, cv FROM cvec ORDER BY doc_id LIMIT 8),
+         |ar AS (SELECT e.doc_id, c.cell,
+         |         row_number() OVER (PARTITION BY e.doc_id ORDER BY
+         |           list_sum(list_transform(range(1, 17),
+         |             i -> (e.hv[i] - c.cv[i]) * (e.hv[i] - c.cv[i]))), c.cell) AS rn
+         |       FROM evec e CROSS JOIN cents c)
+         |SELECT doc_id, cell FROM ar WHERE rn = 1""".stripMargin) { (s, dir) =>
+      import graft.operators.{Ann, Release, Snapshot, TfIdf}
+      val (v1, v2, bench, p) = releaseFixture(s, dir)
+      def embed(corpus: org.apache.spark.sql.DataFrame,
+          ids: org.apache.spark.sql.DataFrame) =
+        TfIdf.hashedEmbedding(
+            corpus.join(ids, Seq("doc_id"), "left_semi"), "doc_id", "text", dim = 16)
+          .select(col("doc_id").as("vec_id"),
+            col("hvec").cast("array<float>").as("embedding"))
+      // frozen quantizer: the 8 lowest bench docs that hash-embed
+      val centroids = TfIdf.hashedEmbedding(bench, "doc_id", "text", dim = 16)
+        .orderBy("doc_id").limit(8)
+        .select(col("doc_id").as("vec_id"),
+          col("hvec").cast("array<float>").as("embedding"))
+
+      val art = Release.artifacts(v1, bench, "doc_id", "text", p)
+      val selV1 = Release.fromScratch(v1, bench, "doc_id", "text", p)
+        .select("id").localCheckpoint()
+      val selV2 = Release.incremental(v1, art, v2, bench, "doc_id", "text", p)
+        .select("id").localCheckpoint()
+      val i1 = Ann.ivfIndexWithMeta(
+        embed(v1, selV1.select(col("id").as("doc_id"))), centroids,
+        metric = "EUCLIDEAN")
+      // index deltas: deselected docs leave; newly selected arrive; docs
+      // selected in both but with CHANGED text re-embed (leave + arrive)
+      val changed = Snapshot.diff(v1, v2, "doc_id", "text")
+        .filter(col("status") === "changed")
+        .select(col("doc_id").cast("long").as("id"))
+      val removedIdx = selV1.join(selV2, Seq("id"), "left_anti")
+        .unionByName(selV1.join(changed, Seq("id"), "left_semi")).distinct()
+      val added = selV2.join(selV1, Seq("id"), "left_anti")
+        .unionByName(selV2.join(changed, Seq("id"), "left_semi")).distinct()
+      val i2 = Ann.ivfAppend(
+        Ann.ivfDelete(i1, removedIdx, idCol = "id"),
+        embed(v2, added.select(col("id").as("doc_id"))), centroids,
+        metric = "EUCLIDEAN")
+      i2.select(col("id").as("doc_id"), col("cell"))
+    },
   )
 
   /** The q233/q234 version fixture: v2 = the documents table; v1 = v2

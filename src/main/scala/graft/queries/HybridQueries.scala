@@ -38,6 +38,17 @@ object HybridQueries {
   private def tierBlobFor(mod: Long): Array[Byte] =
     PNodeCodec.encodeFramed(tierTreeFor(mod), PNodeCodec.Mode.NamedTyped)
 
+  // label-only cycle for the stats-planned adaptive path (q240/q241):
+  // ~10% / ~50% / ~20% of the corpus — widths must come out different
+  private def statsBlobFor(mod: Long): Array[Byte] = {
+    val tree: PNode = mod match {
+      case 0 => PredicateNode.namedTyped("label", OpType.IN, IntVal(0))
+      case 1 => PredicateNode.namedTyped("label", OpType.GE, IntVal(5))
+      case _ => PredicateNode.namedTyped("label", OpType.IN, IntVal(0), IntVal(1))
+    }
+    PNodeCodec.encodeFramed(tree, PNodeCodec.Mode.NamedTyped)
+  }
+
   /** DuckDB cosine distance between two float-list refs (the q50 form). */
   private def cosDist(a: String, b: String): String =
     s"""(1.0 - list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
@@ -394,6 +405,131 @@ object HybridQueries {
           excludeSelf = true)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), col("escalated"))
+    },
+
+    // PREDICATE-AWARE probe planning: per query, walk its nearest-cell
+    // order accumulating per-cell eligible counts (cellSelectivityStats ×
+    // the query's predicate over the stats values) until the expected mass
+    // reaches ceil(safety·k) — the upfront alternative to q237's
+    // react-after-starving escalation. The oracle replays the stats
+    // rollup, the full 8-deep ranked probe list, the predicate-gated
+    // cumulative walk, and the clamped width pick.
+    GQuery(
+      "q240_adaptive_probe_widths",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v, label FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, base.label, c.cell,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${cosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, label, cell FROM assignr WHERE rn = 1),
+         |stats AS (SELECT cell, label, count(*) AS n FROM assign GROUP BY cell, label),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 130),
+         |probr AS (
+         |  SELECT q.qid, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${cosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, cell, rn FROM probr WHERE rn <= 8),
+         |percell AS (
+         |  SELECT p.qid, p.cell, p.rn,
+         |         sum(CASE WHEN s.n IS NOT NULL AND
+         |                       CASE p.qid % 3 WHEN 0 THEN s.label IN (0)
+         |                                      WHEN 1 THEN s.label >= 5
+         |                                      ELSE s.label IN (0, 1) END
+         |                  THEN s.n ELSE 0 END) AS elig
+         |  FROM probes p LEFT JOIN stats s ON s.cell = p.cell
+         |  GROUP BY p.qid, p.cell, p.rn),
+         |cumt AS (SELECT qid, rn, elig,
+         |                sum(elig) OVER (PARTITION BY qid ORDER BY rn) AS cum
+         |         FROM percell)
+         |SELECT qid AS query_id,
+         |       greatest(coalesce(min(CASE WHEN cum >= 10 THEN rn END), 8), 1)::BIGINT
+         |         AS n_probe,
+         |       max(cum)::BIGINT AS est_eligible
+         |FROM cumt GROUP BY qid""".stripMargin) { (s, dir) =>
+      import graft.operators.Ann
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val blobUdf = udf((qid: Long) => statsBlobFor(qid % 3))
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 130)
+        .withColumn("predicate", blobUdf(col("vec_id")))
+      val index = Ann.ivfIndexWithMeta(emb, centroids, metaCols = Seq("label"))
+      val stats = Ann.cellSelectivityStats(index, "label")
+      Ann.adaptiveProbeWidths(queries, centroids, stats, "label",
+          k = 5, safety = 2.0, minProbe = 1, maxProbe = 8)
+        .select(col("query_id"), col("n_probe").cast("long").as("n_probe"),
+          col("est_eligible").cast("long").as("est_eligible"))
+    },
+
+    // The adaptive-width filtered SEARCH: each query probes exactly its
+    // planned width (q240's pick) and the standard pre-filter candidate
+    // join + heap runs once — selective queries widen upfront instead of
+    // escalating after. The oracle chains the q240 width replay into the
+    // q228-style filtered ranking with a per-query rn <= n_probe cut.
+    GQuery(
+      "q241_adaptive_filtered_search",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v, label FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, base.v, base.label, c.cell,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${cosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, label, cell FROM assignr WHERE rn = 1),
+         |stats AS (SELECT cell, label, count(*) AS n FROM assign GROUP BY cell, label),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 130),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${cosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qv, cell, rn FROM probr WHERE rn <= 8),
+         |percell AS (
+         |  SELECT p.qid, p.rn,
+         |         sum(CASE WHEN s.n IS NOT NULL AND
+         |                       CASE p.qid % 3 WHEN 0 THEN s.label IN (0)
+         |                                      WHEN 1 THEN s.label >= 5
+         |                                      ELSE s.label IN (0, 1) END
+         |                  THEN s.n ELSE 0 END) AS elig
+         |  FROM probes p LEFT JOIN stats s ON s.cell = p.cell
+         |  GROUP BY p.qid, p.rn),
+         |cumt AS (SELECT qid, rn,
+         |                sum(elig) OVER (PARTITION BY qid ORDER BY rn) AS cum
+         |         FROM percell),
+         |widths AS (
+         |  SELECT qid,
+         |         greatest(coalesce(min(CASE WHEN cum >= 10 THEN rn END), 8), 1)
+         |           AS n_probe
+         |  FROM cumt GROUP BY qid),
+         |cand AS (
+         |  SELECT p.qid, a.id AS nid, ${cosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN widths w ON w.qid = p.qid AND p.rn <= w.n_probe
+         |       JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid
+         |    AND CASE p.qid % 3 WHEN 0 THEN a.label IN (0)
+         |                       WHEN 1 THEN a.label >= 5
+         |                       ELSE a.label IN (0, 1) END)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      import graft.operators.Ann
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val blobUdf = udf((qid: Long) => statsBlobFor(qid % 3))
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 130)
+        .withColumn("predicate", blobUdf(col("vec_id")))
+      val index = Ann.ivfIndexWithMeta(emb, centroids, metaCols = Seq("label"))
+      val stats = Ann.cellSelectivityStats(index, "label")
+      Ann.ivfSearchFilteredAdaptive(queries, index, centroids, stats, "label",
+          k = 5, safety = 2.0, minProbe = 1, maxProbe = 8,
+          metadataCols = Seq("label"), excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
     },
   )
 }

@@ -624,6 +624,18 @@ class CliSpec extends SparkSpec {
     assert(perQ.length == 10 && perQ.forall(_ == 5L))
     assert(got.columns.contains("escalated"))
 
+    // adaptive: stats-planned widths — same predicate, every neighbor
+    // still satisfies it
+    val adp = Main.run(spark, Seq("hybrid-ann", "--base", input,
+      "--query", qPath, "--meta", "label",
+      "--predicate", """{"field":"label","op":"GE","values":[3]}""",
+      "--k", "5", "--n-list", "8", "--n-probe", "8", "--adaptive",
+      "--exclude-self"))
+      .join(spark.read.parquet(input)
+        .select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+    val adpLabs = adp.select("label").collect().map(_.getLong(0))
+    assert(adpLabs.nonEmpty && adpLabs.forall(_ >= 3L))
+
     // maintain: base rows 0..99, add 100..119, delete multiples of 10 —
     // occupancy totals must reflect exactly the surviving 108 ids
     val basePath = s"$dir/maint-base.parquet"

@@ -207,6 +207,51 @@ class FilteredAnnSpec extends SparkSpec {
     Seq(staleSkew, freshSkew).foreach(s => assert(s > 0.0 && s <= 1.0))
   }
 
+  test("adaptive probe planning: widths hit the eligible target; search matches fixed-width runs") {
+    val index = Ann.ivfIndexWithMeta(base, centroids, metaCols = Seq("label"))
+    val stats = Ann.cellSelectivityStats(index, "label")
+    val k = 3
+    val widths = Ann.adaptiveProbeWidths(queries, centroids, stats, "label",
+        k = k, safety = 2.0, minProbe = 1, maxProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(widths.map(_._1).toSet ==
+      queries.select("vec_id").collect().map(_.getLong(0)).toSet)
+    val target = math.ceil(2.0 * k).toLong
+    widths.foreach { case (qid, np, est) =>
+      assert(np >= 1 && np <= 8, s"q$qid width $np")
+      // a width below max must only be planned once the target is reachable
+      if (np < 8) assert(est >= target, s"q$qid stopped early at est=$est")
+    }
+    // selective (mod 1: label>=7, 20%) queries must plan wider than
+    // unfiltered (mod 2) ones on aggregate
+    def avg(mod: Long) = { val s = widths.filter(_._1 % 3 == mod); s.map(_._2).sum.toDouble / s.length }
+    assert(avg(1) > avg(2), s"selective ${avg(1)} vs unfiltered ${avg(2)}")
+
+    // the adaptive search equals per-query fixed-width filtered searches
+    val got = key(Ann.ivfSearchFilteredAdaptive(queries, index, centroids,
+      stats, "label", k = k, safety = 2.0, minProbe = 1, maxProbe = 8,
+      metadataCols = Seq("label"), excludeSelf = true))
+    val want = widths.groupBy(_._2).flatMap { case (np, qs) =>
+      val ids = qs.map(_._1).toSet
+      val sub = queries.filter(col("vec_id").isInCollection(ids))
+      key(Ann.ivfSearchFiltered(sub, index, centroids, k = k,
+        nProbe = np.toInt, metadataCols = Seq("label"), excludeSelf = true))
+    }.toSet
+    assert(got == want)
+
+    // a predicate matching NOTHING plans maxProbe and returns no rows —
+    // but still appears in the width plan
+    val noneBlob = PNodeCodec.encodeFramed(
+      PredicateNode.namedTyped("label", OpType.GE, Comparand.IntVal(99)),
+      PNodeCodec.Mode.NamedTyped)
+    val qNone = base.filter(col("vec_id") >= 198)
+      .withColumn("predicate", udf(() => noneBlob).apply())
+    val wNone = Ann.adaptiveProbeWidths(qNone, centroids, stats, "label",
+      k = k, safety = 2.0, minProbe = 1, maxProbe = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(wNone.length == 2 && wNone.forall(_ == (8L, 0L)))
+  }
+
   test("staleness card mechanics: identical configs tie; clean split is exact") {
     // identical centroid sets must produce identical measurements
     val cents = base.filter(col("vec_id") < 8).select("vec_id", "embedding")
