@@ -97,6 +97,31 @@ class PlanShapeSpec extends SparkSpec {
       s"predicate UDF above the partial aggregate:\n$plan")
   }
 
+  test("Ann.adaptiveProbeWidths: stats join is broadcast; one bounded window") {
+    import graft.predicates._
+    val labeled = base.withColumn("label", pmod(col("vec_id"), lit(10)))
+    val cents = labeled.filter(col("vec_id") < 8)
+    val blob = PNodeCodec.encodeFramed(
+      PredicateNode.namedTyped("label", OpType.GE, Comparand.IntVal(5)),
+      PNodeCodec.Mode.NamedTyped)
+    val q = labeled.filter(col("vec_id") < 4)
+      .withColumn("predicate", udf(() => blob).apply())
+    val index = graft.operators.Ann.ivfIndexWithMeta(
+      labeled, cents, metaCols = Seq("label"))
+    val stats = graft.operators.Ann.cellSelectivityStats(index, "label")
+    val plan = executedPlan(graft.operators.Ann.adaptiveProbeWidths(
+      q, cents, stats, "label", k = 3, safety = 2.0, minProbe = 1, maxProbe = 4))
+    val s = plan.toString
+    // the stats relation is broadcast-scale BY CONTRACT (nList × distinct
+    // values) — a sort-merge join here would shuffle the probe lists on
+    // cell and break the map-side planning claim
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+    // exactly one Window — the cumulative walk, partitioned per query over
+    // ≤ maxProbe rows (bounded by the ranked-probe construction)
+    assert(s.linesIterator.count(_.contains("Window")) >= 1, s)
+  }
+
   test("Pq.adcSearch: one exchange of partial heaps after the code-scan kernel") {
     val cbs = Pq.subsetCodebooks(base.filter(col("vec_id") < 4), m = 4)
     val codes = Pq.encode(base, cbs)
