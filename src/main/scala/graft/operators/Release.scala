@@ -96,15 +96,30 @@ object Release {
     Sampling.budgetSelect(surv, "id", "score", "cost", p.budget)
   }
 
+  /** Selection from already-built artifacts — the path a caller that just
+    * ran [[artifacts]] (to persist them for the NEXT release) uses, instead
+    * of paying the corpus scans twice through [[fromScratch]].
+    */
+  def fromArtifacts(corpus: DataFrame, art: Artifacts, idCol: String,
+      p: Params): DataFrame =
+    select(corpus.select(col(idCol).cast("long").as("id")),
+      art.pairs, art.contam, art.scores, p)
+
+  /** Materialize the artifact frames (localCheckpoint) — the query-scale
+    * stand-in for the production contract, where artifacts are PERSISTED
+    * parquet between releases: every downstream consumer reads the
+    * computed relations, never re-runs the corpus text scans.
+    */
+  def materialized(a: Artifacts): Artifacts =
+    Artifacts(a.index.localCheckpoint(), a.pairs.localCheckpoint(),
+      a.contam.localCheckpoint(), a.scores.localCheckpoint())
+
   /** From-scratch release over one corpus (the baseline the incremental
     * path must equal).
     */
   def fromScratch(corpus: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, p: Params): DataFrame = {
-    val art = artifacts(corpus, bench, idCol, textCol, p)
-    select(corpus.select(col(idCol).cast("long").as("id")),
-      art.pairs, art.contam, art.scores, p)
-  }
+      textCol: String, p: Params): DataFrame =
+    fromArtifacts(corpus, artifacts(corpus, bench, idCol, textCol, p), idCol, p)
 
   /** Incremental release: previous corpus + its artifacts + the new corpus
     * version. Only the added+changed slice is signatured, decontaminated

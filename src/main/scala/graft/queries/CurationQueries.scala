@@ -1255,7 +1255,8 @@ object CurationQueries {
          |SELECT doc_id, score, cost AS n_tok, cum_before FROM r_sel""".stripMargin) {
       (s, dir) =>
       val (v1, v2, bench, p) = releaseFixture(s, dir)
-      val art = graft.operators.Release.artifacts(v1, bench, "doc_id", "text", p)
+      val art = graft.operators.Release.materialized(
+        graft.operators.Release.artifacts(v1, bench, "doc_id", "text", p))
       graft.operators.Release.incremental(v1, art, v2, bench, "doc_id", "text", p)
         .select(col("id").as("doc_id"), col("score"),
           col("cost").as("n_tok"), col("cum_before"))
@@ -1300,8 +1301,9 @@ object CurationQueries {
          |FROM d2 CROSS JOIN d1""".stripMargin) { (s, dir) =>
       import graft.operators.Release
       val (v1, v2, bench, p) = releaseFixture(s, dir)
-      val art = Release.artifacts(v1, bench, "doc_id", "text", p)
-      val selV1 = Release.fromScratch(v1, bench, "doc_id", "text", p)
+      val art = Release.materialized(
+        Release.artifacts(v1, bench, "doc_id", "text", p))
+      val selV1 = Release.fromArtifacts(v1, art, "doc_id", p)
       val selV2 = Release.incremental(v1, art, v2, bench, "doc_id", "text", p)
       val d1 = Release.selectionDatasheet(selV1, v1, "doc_id", "text")
         .select(col("n_docs").as("o_docs"), col("n_tokens").as("o_tokens"),
@@ -1367,8 +1369,9 @@ object CurationQueries {
         .select(col("doc_id").as("vec_id"),
           col("hvec").cast("array<float>").as("embedding"))
 
-      val art = Release.artifacts(v1, bench, "doc_id", "text", p)
-      val selV1 = Release.fromScratch(v1, bench, "doc_id", "text", p)
+      val art = Release.materialized(
+        Release.artifacts(v1, bench, "doc_id", "text", p))
+      val selV1 = Release.fromArtifacts(v1, art, "doc_id", p)
         .select("id").localCheckpoint()
       val selV2 = Release.incremental(v1, art, v2, bench, "doc_id", "text", p)
         .select("id").localCheckpoint()
@@ -1389,6 +1392,59 @@ object CurationQueries {
         embed(v2, added.select(col("id").as("doc_id"))), centroids,
         metric = "EUCLIDEAN")
       i2.select(col("id").as("doc_id"), col("cell"))
+    },
+
+    // SEMANTIC PACKING: long-context training sequences composed of
+    // semantically-similar documents (the related-document packing recipe
+    // — in-context relevance instead of random concatenation). Three
+    // existing primitives compose: model-free hashed embeddings (q225) ->
+    // nearest-centroid cluster assignment (q133's argmin against a frozen
+    // 4-cell quantizer) -> per-CLUSTER packing coordinates over the
+    // grouped prefix-sum (q221's shape, group = semantic cluster). The
+    // oracle replays embedding, assignment and the partitioned running
+    // sum from first principles.
+    GQuery(
+      "q243_semantic_packing",
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS t
+        |             FROM documents),
+        |dj AS (SELECT doc_id, t, unnest(range(16)) AS j FROM tok),
+        |s AS (SELECT doc_id, j,
+        |        sum(CASE WHEN (('0x' || substr(md5(t || ':' || j::VARCHAR), 1, 15))::BIGINT & 1) = 1
+        |                 THEN 1 ELSE -1 END)::DOUBLE AS v
+        |      FROM dj GROUP BY doc_id, j),
+        |vec AS (SELECT doc_id, list(v ORDER BY j) AS hv FROM s GROUP BY doc_id),
+        |cents AS (SELECT doc_id AS cell, hv AS cv FROM vec ORDER BY doc_id LIMIT 4),
+        |ar AS (SELECT v.doc_id, c.cell,
+        |         row_number() OVER (PARTITION BY v.doc_id ORDER BY
+        |           list_sum(list_transform(range(1, 17),
+        |             i -> (v.hv[i] - c.cv[i]) * (v.hv[i] - c.cv[i]))), c.cell) AS rn
+        |       FROM vec v CROSS JOIN cents c),
+        |asg AS (SELECT doc_id, cell FROM ar WHERE rn = 1),
+        |d AS (SELECT doc_id,
+        |        len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS n
+        |      FROM documents),
+        |o AS (SELECT d.doc_id, a.cell, d.n,
+        |        coalesce(sum(d.n) OVER (PARTITION BY a.cell ORDER BY d.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS ts
+        |      FROM d JOIN asg a USING (doc_id) WHERE d.n > 0)
+        |SELECT cell, doc_id, n AS n_tokens, ts AS tok_start,
+        |       ts // 128 AS seq_first, (ts + n - 1) // 128 AS seq_last,
+        |       ts % 128 AS seq_offset
+        |FROM o""".stripMargin) { (s, dir) =>
+      import graft.operators.{Ann, TfIdf}
+      val docs = Tables.documents(s, dir)
+      val emb = TfIdf.hashedEmbedding(docs, "doc_id", "text", dim = 16)
+        .select(col("doc_id").as("vec_id"),
+          col("hvec").cast("array<float>").as("embedding"))
+      val cents = emb.orderBy("vec_id").limit(4)
+      val assigned = Ann.ivfIndexWithMeta(emb, cents, metric = "EUCLIDEAN")
+      val withTok = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(lower(col("text"))).as("n"))
+        .join(assigned.select(col("id").as("doc_id"), col("cell")), Seq("doc_id"))
+      Packing.packCoordinatesPerGroup(withTok, "cell", "doc_id", "n",
+          seqLen = 128)
+        .select(col("cell"), col("doc_id"), col("n_tokens"), col("tok_start"),
+          col("seq_first"), col("seq_last"), col("seq_offset"))
     },
   )
 
