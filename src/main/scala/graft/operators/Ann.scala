@@ -337,6 +337,62 @@ object Ann {
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** The distinct cells a query batch will probe — one map-side pass over
+    * the queries against the broadcast centroids (the index is never
+    * touched), collected driver-side. Bounded by nList regardless of the
+    * query count, so this is always a tiny literal set.
+    */
+  def probedCells(queries: DataFrame, centroids: DataFrame, nProbe: Int,
+      metric: String = "COSINE", idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Long] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty, "probedCells: empty centroid set")
+    val bc = spark.sparkContext.broadcast(cents)
+    val metricId = graft.functions.DistanceKernels.metricId(metric)
+    queries.select(col(vecCol).cast("array<float>"))
+      .as[Array[Float]]
+      .flatMap { qv =>
+        val cs = bc.value
+        val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by(p => (p._1, p._2)))
+        var i = 0
+        while (i < cs.length) {
+          val d = graft.functions.DistanceKernels.computeArrays(qv, cs(i)._2, metricId)
+          if (heap.size < nProbe) heap.enqueue((d, cs(i)._1))
+          else if (Ordering.Tuple2[Double, Long].lt((d, cs(i)._1), heap.head)) {
+            heap.dequeue(); heap.enqueue((d, cs(i)._1))
+          }
+          i += 1
+        }
+        heap.toSeq.map(_._2)
+      }
+      .distinct().collect().sorted
+  }
+
+  /** Search a PERSISTED cell-partitioned index ([[writeIndex]]) with
+    * GUARANTEED static partition pruning: the probed-cell set is computed
+    * first ([[probedCells]] — bounded ≤ nList) and pushed as a literal
+    * `cell IN (...)` filter, so the parquet scan provably reads only the
+    * probed partitions. The declarative probe JOIN alone cannot promise
+    * this — runtime DPP may or may not fire across it, and at 100 TB
+    * "maybe reads 16/256 of the index, maybe all of it" is not a plan.
+    * IvfIndexPersistenceSpec reads the scan's numFiles metric to pin it.
+    */
+  def ivfSearchPersisted(queries: DataFrame, indexPath: String,
+      centroids: DataFrame, k: Int, nProbe: Int, metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    val cells = probedCells(queries, centroids, nProbe, metric, idCol, vecCol)
+    val index = readIndex(queries.sparkSession, indexPath)
+      .filter(col("cell").isin(cells: _*))
+    ivfSearch(queries, index, centroids, k, nProbe, metric, idCol, vecCol,
+      excludeSelf)
+  }
+
   /** KMeans-trained centroids (production path; the deterministic-subset
     * quantizer is the oracle-friendly path).
     */

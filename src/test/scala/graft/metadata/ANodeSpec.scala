@@ -49,4 +49,55 @@ class IvfIndexPersistenceSpec extends graft.SparkSpec {
       .select("query_id", "neighbor_id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(a == b)
   }
+
+  test("ivfSearchPersisted: the scan reads ONLY the probed partitions (measured)") {
+    import graft.operators.Ann
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+    val index = Ann.ivfIndex(emb, centroids)
+    val path = s"target/ivf-pruned-${System.nanoTime()}"
+    Ann.writeIndex(index, path)
+
+    val q = emb.filter(col("vec_id") < 3)
+    val cells = Ann.probedCells(q, centroids, nProbe = 2)
+    assert(cells.length >= 1 && cells.length <= 6) // ≤ 3 queries × 2 probes
+
+    val search = Ann.ivfSearchPersisted(q, path, centroids, k = 3, nProbe = 2,
+      excludeSelf = true)
+    val rows = search.collect()
+    assert(rows.nonEmpty)
+
+    // the parquet scan's partition filter is a LITERAL cell IN (...) and
+    // its measured partition count equals the probed-cell set — not the
+    // full nList
+    // recurse through AQE wrappers (AdaptiveSparkPlanExec and QueryStageExec
+    // are collect() boundaries)
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans)
+    }
+    val scans = fileScans(search.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(path)))
+    assert(scans.nonEmpty, search.queryExecution.executedPlan.toString)
+    val scan = scans.head
+    assert(scan.toString.contains("PartitionFilters"), scan.toString)
+    val nParts = scan.metrics.get("numPartitions").map(_.value)
+      .getOrElse(scan.metrics("numFiles").value)
+    val total = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(total == 8, s"expected 8 cell partitions, got $total")
+    assert(nParts == cells.length,
+      s"scan read $nParts partitions, probed ${cells.length} of $total")
+
+    // and the pruned search equals the unpruned one
+    val want = Ann.ivfSearch(q, index, centroids, k = 3, nProbe = 2,
+        excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == want)
+  }
 }
