@@ -243,11 +243,20 @@ object Main {
           threshold = flags.getOrElse("threshold", "0.8").toDouble,
           contamMax = flags.getOrElse("contam-max", "0.5").toDouble,
           budget = flags.getOrElse("budget", "10000").toLong)
-        if (flags.contains("incremental")) {
-          val oldC = spark.read.parquet(need("old"))
-          val art = graft.operators.Release.artifacts(oldC, bench, idCol, textCol, p)
-          graft.operators.Release.incremental(oldC, art, newC, bench, idCol, textCol, p)
-        } else graft.operators.Release.fromScratch(newC, bench, idCol, textCol, p)
+        val sel =
+          if (flags.contains("incremental")) {
+            val oldC = spark.read.parquet(need("old"))
+            val art = graft.operators.Release.artifacts(oldC, bench, idCol, textCol, p)
+            graft.operators.Release.incremental(oldC, art, newC, bench, idCol, textCol, p)
+          } else graft.operators.Release.fromScratch(newC, bench, idCol, textCol, p)
+        // --index-out: also ship the selection's serving index (hashed
+        // embeddings, bench-seeded quantizer), cell-partitioned on disk
+        flags.get("index-out").foreach { out =>
+          graft.operators.Ann.writeIndex(
+            graft.operators.Release.selectionIndex(newC, sel, bench,
+              idCol, textCol), out)
+        }
+        sel
 
       case "hybrid-ann" =>
         // FILTERED approximate search: --predicate (PNode JSON) restricts
@@ -979,7 +988,7 @@ object Main {
       |  hybrid-ann --base PARQUET --query PARQUET --meta C1,C2 --predicate JSON [--k N] [--n-list N] [--n-probe N [--guaranteed | --adaptive [--safety S]]] [--probes N,N,...] [--exclude-self]
       |  ivf-maintain --base PARQUET [--add PARQUET] [--delete PARQUET] [--meta C1,C2] [--n-list N] [--occupancy]
       |  ivf-staleness --old PARQUET --new PARQUET --queries PARQUET [--cells N] [--iters N] [--k N] [--n-probe N] [--exclude-self]
-      |  release --new PARQUET --bench PARQUET [--incremental --old PARQUET] [--budget N] [--threshold T] [--contam-max T] [--id-col C] [--text-col C]
+      |  release --new PARQUET --bench PARQUET [--incremental --old PARQUET] [--index-out PATH] [--budget N] [--threshold T] [--contam-max T] [--id-col C] [--text-col C]
       |  asof --left PARQUET --right PARQUET --key K --time T --tie C --payload a,b
       |  sample --input PARQUET --key-col K (--strata-col S --fractions n=F,... [--default F] | --weight-col W --n N | --group-col G --n N)
       |  split --input PARQUET --key-col K --splits n=W,... [--out-col C]

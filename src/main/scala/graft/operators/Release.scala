@@ -163,6 +163,26 @@ object Release {
     select(ids, pairs, contam, scores, p)
   }
 
+  /** The selection's SERVING INDEX (q242's composition as one call):
+    * model-free hashed embeddings of the selected docs, assigned against a
+    * bench-seeded frozen quantizer (the `nCells` lowest bench docs that
+    * hash-embed). Returns `(id, vec, cell)` ready for [[Ann.writeIndex]]'s
+    * cell-partitioned layout; an incremental release patches the previous
+    * release's persisted index with [[Ann.ivfAppend]]/[[Ann.ivfDelete]]
+    * deltas instead (q242 pins delta == from-scratch).
+    */
+  def selectionIndex(corpus: DataFrame, selected: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, dim: Int = 16, nCells: Int = 8): DataFrame = {
+    def embed(docs: DataFrame) =
+      TfIdf.hashedEmbedding(docs, idCol, textCol, dim)
+        .select(col(idCol).cast("long").as("vec_id"),
+          col("hvec").cast("array<float>").as("embedding"))
+    val centroids = embed(bench).orderBy("vec_id").limit(nCells)
+    val sel = corpus.join(
+      selected.select(col("id").cast("long").as(idCol)), Seq(idCol), "left_semi")
+    Ann.ivfIndexWithMeta(embed(sel), centroids, metric = "EUCLIDEAN")
+  }
+
   /** The release-set datasheet (what the selection ships with): doc count,
     * token volume, vocabulary size, mean chars — over the SELECTED docs.
     */

@@ -571,6 +571,16 @@ class CliSpec extends SparkSpec {
     val incr = rows(Main.run(spark, Seq("release", "--new", vp2, "--bench", bp,
       "--incremental", "--old", vp1, "--budget", "400")))
     assert(scratch.nonEmpty && incr == scratch)
+
+    // --index-out ships the selection's serving index: one cell-partitioned
+    // row per selected doc
+    val idxOut = s"$dir/rel-index"
+    val sel2 = Main.run(spark, Seq("release", "--new", vp2, "--bench", bp,
+      "--budget", "400", "--index-out", idxOut))
+    val idx = spark.read.parquet(idxOut)
+    assert(idx.columns.contains("cell"))
+    assert(idx.select("id").collect().map(_.getLong(0)).toSet ==
+      sel2.select("id").collect().map(_.getLong(0)).toSet)
   }
 
   test("hybrid-ann: filtered search respects the predicate; --probes yields the card") {
