@@ -117,4 +117,49 @@ object Eval {
       .orderBy(col("j").desc, col("threshold").desc)
       .limit(1)
   }
+
+  /** Retrieval ranking card: MRR@k and binary nDCG@k of a ranked list
+    * against a relevance set — the two numbers that complete the recall
+    * cards (q192/q214/q229): recall ignores WHERE in the list the hits
+    * land; MRR scores the first hit's position, nDCG the whole ranking's.
+    *
+    *  - `ranked`: (query_id, neighbor_id, rank), rank 1-based (any of the
+    *    search family's outputs).
+    *  - `relevant`: (query_id, neighbor_id) — the graded-relevance=1 set
+    *    (typically exact-KNN truth).
+    *
+    * Per query: MRR term = 1/rank of the first relevant hit in the top-k
+    * (0 if none); DCG = Σ_{relevant hits} 1/log2(rank+1); IDCG = the DCG
+    * of a perfect ranking = Σ_{i=1..min(k,|rel_q|)} 1/log2(i+1). Averages
+    * go over the queries in `relevant` (a query with an empty relevance
+    * set defines neither metric, documented drop). One row:
+    * (n_queries, mrr, ndcg), round-4.
+    *
+    * Scale shape: one semi-join of the top-k lists against the relevance
+    * set + two bounded per-query aggregates — cost is the RANKED list
+    * size (n_queries × k), never the corpus.
+    */
+  def mrrNdcgAtK(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val rel = relevant.select(col("query_id").cast("long"),
+      col("neighbor_id").cast("long"))
+    val hits = ranked
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("rank").cast("long"))
+      .filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "neighbor_id"), "left_semi")
+    val perQ = hits.groupBy("query_id").agg(
+      min("rank").as("first_rel"),
+      sum(lit(1.0) / log2(col("rank") + 1)).as("dcg"))
+    val idcg = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+      .withColumn("idcg", expr(
+        s"aggregate(sequence(1L, least(n_rel, ${k}L)), 0D, (acc, i) -> acc + 1.0 / log2(i + 1))"))
+    idcg.join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("mrr_q"),
+        (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg_q"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg("mrr_q"), 4).as("mrr"),
+        round(avg("ndcg_q"), 4).as("ndcg"))
+  }
 }

@@ -395,6 +395,27 @@ object Pq {
       .toDF("id", "cell", "codes")
   }
 
+  /** PQ-side index maintenance — the q235 discipline on the COMPRESSED
+    * path: append assigns + residual-encodes ONLY the new slice against
+    * the frozen quantizer and codebooks (cell and codes are per-vector
+    * functions of them, so maintenance commutes with a from-scratch
+    * rebuild — q244 pins the search equality); delete is one anti-join on
+    * the codes table. What maintenance cannot heal here is codebook drift
+    * — residuals of a drifted append quantize poorly under stale
+    * codebooks; the q236 staleness card (recall leg) covers the retrain
+    * trigger for the quantizer, and a rerank card (q214) bounds the ADC
+    * error either way.
+    */
+  def ivfPqAppend(index: DataFrame, newVecs: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    index.unionByName(ivfPqIndex(newVecs, centroids, codebooks, idCol, vecCol))
+
+  def ivfPqDelete(index: DataFrame, removedIds: DataFrame,
+      idCol: String = "vec_id"): DataFrame =
+    index.join(removedIds.select(col(idCol).cast("long").as("id")),
+      Seq("id"), "left_anti")
+
   /** IVF-PQ search: probe the nProbe nearest cells per query (L2 to
     * centroids, lowest-cell ties), then ADC over the residual codes of
     * probed cells with a per-(query, cell) LUT built on (q − centroid).

@@ -211,6 +211,84 @@ object PqQueries {
           round(col("adc_dist"), 4).as("adc_dist"))
     },
 
+    // MAINTAINED IVF-PQ parity (q235's discipline on the compressed path):
+    // build the codes table on an old slice, ivfPqAppend a late slice,
+    // ivfPqDelete a tombstoned prefix, search — the oracle replays q93's
+    // full from-scratch IVF-PQ (assignment, residual codes, probes,
+    // residual LUTs, ADC) over the FINAL corpus. Green iff cell+codes are
+    // per-vector functions of the frozen quantizer/codebooks, i.e.
+    // maintenance commutes with rebuild on the compressed index too.
+    GQuery(
+      "q244_ivfpq_maintained_parity",
+      s"""WITH sub AS (SELECT unnest(range($m))::INT AS s),
+         |cb AS (
+         |  SELECT s.s AS sub, e.vec_id::INT AS code,
+         |         list_slice(e.embedding, s.s*$dsub + 1, s.s*$dsub + $dsub) AS cw
+         |  FROM embeddings e, sub s WHERE e.vec_id < $ksub),
+         |cent AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |ar AS (
+         |  SELECT b.vec_id AS id, b.embedding AS v, c.cell, c.ce,
+         |         row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |           list_sum(list_transform(range(1, 65),
+         |             i -> (b.embedding[i]::DOUBLE - c.ce[i]::DOUBLE)
+         |                * (b.embedding[i]::DOUBLE - c.ce[i]::DOUBLE))), c.cell) AS rn
+         |  FROM embeddings b CROSS JOIN cent c
+         |  WHERE b.vec_id >= 30),
+         |asg AS (SELECT id, v, cell, ce FROM ar WHERE rn = 1),
+         |rdd AS (
+         |  SELECT a.id, a.cell, cb.sub, cb.code,
+         |         list_sum(list_transform(range(1, ${dsub + 1}),
+         |           i -> ((a.v[cb.sub*$dsub + i]::DOUBLE - a.ce[cb.sub*$dsub + i]::DOUBLE)::FLOAT::DOUBLE
+         |                   - cb.cw[i]::DOUBLE)
+         |              * ((a.v[cb.sub*$dsub + i]::DOUBLE - a.ce[cb.sub*$dsub + i]::DOUBLE)::FLOAT::DOUBLE
+         |                   - cb.cw[i]::DOUBLE))) AS d
+         |  FROM asg a, cb),
+         |codes AS (
+         |  SELECT id, cell, sub, code FROM (
+         |    SELECT id, cell, sub, code,
+         |           row_number() OVER (PARTITION BY id, sub ORDER BY d, code) AS rn
+         |    FROM rdd) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 120),
+         |pr0 AS (
+         |  SELECT q.qid, q.qv, c.cell, c.ce,
+         |         row_number() OVER (PARTITION BY q.qid ORDER BY
+         |           list_sum(list_transform(range(1, 65),
+         |             i -> (q.qv[i]::DOUBLE - c.ce[i]::DOUBLE)
+         |                * (q.qv[i]::DOUBLE - c.ce[i]::DOUBLE))), c.cell) AS rn
+         |  FROM q CROSS JOIN cent c),
+         |pr AS (SELECT qid, qv, cell, ce FROM pr0 WHERE rn <= 4),
+         |lut AS (
+         |  SELECT p.qid, p.cell, cb.sub, cb.code,
+         |         list_sum(list_transform(range(1, ${dsub + 1}),
+         |           i -> (p.qv[cb.sub*$dsub + i]::DOUBLE - p.ce[cb.sub*$dsub + i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE)
+         |              * (p.qv[cb.sub*$dsub + i]::DOUBLE - p.ce[cb.sub*$dsub + i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE))) AS d
+         |  FROM pr p, cb),
+         |adc AS (
+         |  SELECT l.qid, c.id AS nid, sqrt(sum(l.d)) AS d
+         |  FROM codes c JOIN lut l ON l.cell = c.cell AND l.sub = c.sub AND l.code = c.code
+         |  WHERE c.id <> l.qid
+         |  GROUP BY 1, 2)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank, round(d, 4) AS adc_dist
+         |FROM (SELECT qid, nid, d,
+         |             row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |      FROM adc)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val cbs = Pq.subsetCodebooks(emb.filter(col("vec_id") < ksub), m)
+      val old = Pq.ivfPqIndex(emb.filter(col("vec_id") < 480), centroids, cbs)
+      val appended = Pq.ivfPqAppend(old, emb.filter(col("vec_id") >= 480),
+        centroids, cbs)
+      val maintained = Pq.ivfPqDelete(appended, emb.filter(col("vec_id") < 30))
+      Pq.ivfPqSearch(emb.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+          maintained, centroids, cbs, k = 5, nProbe = 4, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("adc_dist"), 4).as("adc_dist"))
+    },
+
     // Scalar (int8) quantization round trip: per-dim affine grid fit on the
     // corpus, encode to codes 0..255, dequantize — the oracle recomputes
     // grid, codes and reconstruction from first principles.
@@ -349,6 +427,66 @@ object PqQueries {
         .select(lit("binary@10").as("method"), col("avg_recall"))
         .unionAll(graft.operators.Knn.avgRecall(rer, truth, k = 10)
           .select(lit("binary50_rerank@10").as("method"), col("avg_recall")))
+    },
+
+    // MRR@10 + nDCG@10 of the binary Hamming ranking against the exact
+    // cosine truth — the position-aware legs of the q214 recall card
+    // (recall ignores WHERE in the list the hits land; MRR scores the
+    // first hit, nDCG the whole ranking). The oracle replays the Hamming
+    // ranking, the truth, both per-query statistics, the ideal-DCG
+    // normalizer and the averages.
+    GQuery(
+      "q245_retrieval_rank_card",
+      """WITH ws AS (SELECT unnest(range(4)) AS w),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |b AS (SELECT vec_id AS nid, embedding AS be FROM embeddings),
+        |qb AS (SELECT qid, w,
+        |         list_sum(list_transform(range(0, 16),
+        |           j -> CASE WHEN qe[16*w + j + 1] >= 0 THEN (1 << j) ELSE 0 END))::BIGINT
+        |           AS word
+        |       FROM q CROSS JOIN ws),
+        |bb AS (SELECT nid, w,
+        |         list_sum(list_transform(range(0, 16),
+        |           j -> CASE WHEN be[16*w + j + 1] >= 0 THEN (1 << j) ELSE 0 END))::BIGINT
+        |           AS word
+        |       FROM b CROSS JOIN ws),
+        |hd AS (SELECT qb.qid, bb.nid, sum(bit_count(xor(qb.word, bb.word)))::BIGINT AS h
+        |       FROM qb JOIN bb ON qb.w = bb.w WHERE bb.nid != qb.qid
+        |       GROUP BY qb.qid, bb.nid),
+        |bin10 AS (SELECT qid, nid, rk FROM (
+        |            SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY h, nid) AS rk
+        |            FROM hd) WHERE rk <= 10),
+        |cos AS (SELECT q.qid, b.nid,
+        |          1.0 - list_sum(list_transform(range(1, len(q.qe)+1),
+        |                  i -> q.qe[i]::DOUBLE * b.be[i]::DOUBLE))
+        |              / (sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE*x::DOUBLE))) *
+        |                 sqrt(list_sum(list_transform(b.be, x -> x::DOUBLE*x::DOUBLE)))) AS d
+        |        FROM q CROSS JOIN b WHERE b.nid != q.qid),
+        |truth AS (SELECT qid, nid FROM (
+        |            SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+        |            FROM cos) WHERE rk <= 10),
+        |hits AS (SELECT p.qid, p.rk FROM bin10 p
+        |         JOIN truth t ON t.qid = p.qid AND t.nid = p.nid),
+        |perq AS (SELECT qid, min(rk) AS fr,
+        |                sum(1.0 / log2(rk + 1)) AS dcg
+        |         FROM hits GROUP BY qid),
+        |reln AS (SELECT qid, count(*) AS n_rel FROM truth GROUP BY qid),
+        |ideal AS (SELECT qid, list_sum(list_transform(range(1, least(n_rel, 10) + 1),
+        |                   i -> 1.0 / log2(i + 1))) AS idcg
+        |          FROM reln),
+        |fin AS (SELECT i.qid,
+        |               coalesce(1.0 / p.fr, 0.0) AS mrr_q,
+        |               coalesce(p.dcg, 0.0) / i.idcg AS ndcg_q
+        |        FROM ideal i LEFT JOIN perq p USING (qid))
+        |SELECT count(*) AS n_queries, round(avg(mrr_q), 4) AS mrr,
+        |       round(avg(ndcg_q), 4) AS ndcg
+        |FROM fin""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 20)
+      val ranked = Sq.binaryTopK(queries, emb, k = 10, excludeSelf = true)
+      val truth = graft.operators.Knn.knn(queries, emb, k = 10,
+        excludeSelf = true)
+      graft.operators.Eval.mrrNdcgAtK(ranked, truth, k = 10)
     },
 
     // FILTERED binary Hamming top-k — the per-query wire-predicate cycle

@@ -117,4 +117,33 @@ class EvalSpec extends SparkSpec {
     val onlyPos = Seq((0.9, 1L), (0.2, 1L)).toDF("s", "y")
     assert(Eval.youdenThreshold(onlyPos, "y", "s").count() == 0L)
   }
+
+  test("mrrNdcgAtK matches hand-computed values on a planted ranking") {
+    // q1: relevant {10, 11}; hits at ranks 1 and 3 of 3.
+    //   mrr = 1/1; dcg = 1/log2(2) + 1/log2(4) = 1.5; idcg = 1 + 1/log2(3)
+    // q2: relevant {20}; hit at rank 2.
+    //   mrr = 1/2; dcg = 1/log2(3); idcg = 1
+    // q3: relevant {30}; NO hit in the list. mrr = 0; ndcg = 0
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3),
+      (2L, 98L, 1), (2L, 20L, 2), (2L, 97L, 3),
+      (3L, 96L, 1), (3L, 95L, 2)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val relevant = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val row = Eval.mrrNdcgAtK(ranked, relevant, k = 3).collect()(0)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val log2 = (x: Double) => math.log(x) / math.log(2)
+    val ndcg1 = 1.5 / (1.0 + 1.0 / log2(3))
+    val ndcg2 = 1.0 / log2(3)
+    assert(row.getLong(0) == 3)
+    assert(row.getDouble(1) == r4((1.0 + 0.5 + 0.0) / 3))
+    assert(row.getDouble(2) == r4((ndcg1 + ndcg2 + 0.0) / 3))
+
+    // a perfect ranking scores 1.0 on both
+    val perfect = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val perfRel = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "neighbor_id")
+    val p = Eval.mrrNdcgAtK(perfect, perfRel, k = 3).collect()(0)
+    assert(p.getDouble(1) == 1.0 && p.getDouble(2) == 1.0)
+  }
 }
