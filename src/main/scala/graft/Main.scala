@@ -249,12 +249,15 @@ object Main {
             val art = graft.operators.Release.artifacts(oldC, bench, idCol, textCol, p)
             graft.operators.Release.incremental(oldC, art, newC, bench, idCol, textCol, p)
           } else graft.operators.Release.fromScratch(newC, bench, idCol, textCol, p)
-        // --index-out: also ship the selection's serving index (hashed
-        // embeddings, bench-seeded quantizer), cell-partitioned on disk
+        // --index-out: also ship the selection's serving index as a
+        // SELF-CONTAINED bundle (cell-partitioned rows + the bench-seeded
+        // quantizer) — servable by `ivf-search --index PATH` alone
         flags.get("index-out").foreach { out =>
-          graft.operators.Ann.writeIndex(
+          graft.operators.Ann.writeIndexBundle(
             graft.operators.Release.selectionIndex(newC, sel, bench,
-              idCol, textCol), out)
+              idCol, textCol),
+            graft.operators.Release.selectionQuantizer(bench, idCol, textCol),
+            out)
         }
         sel
 
@@ -327,6 +330,25 @@ object Main {
         }
         if (flags.contains("occupancy")) graft.operators.Ann.cellOccupancy(mIndex)
         else mIndex
+
+      case "ivf-search" =>
+        // serve a self-contained index bundle (writeIndexBundle /
+        // release --index-out): quantizer comes from the bundle, the scan
+        // reads only the probed cell partitions
+        graft.operators.Ann.searchBundle(
+          spark.read.parquet(need("query")), need("index"),
+          k = flags.getOrElse("k", "10").toInt,
+          nProbe = flags.getOrElse("n-probe", "4").toInt,
+          metric = flags.getOrElse("metric", "EUCLIDEAN"),
+          excludeSelf = flags.contains("exclude-self"))
+
+      case "rankeval" =>
+        // MRR@k + nDCG@k of a ranked parquet (query_id, neighbor_id, rank)
+        // against a relevance parquet (query_id, neighbor_id)
+        graft.operators.Eval.mrrNdcgAtK(
+          spark.read.parquet(need("ranked")),
+          spark.read.parquet(need("truth")),
+          k = flags.getOrElse("k", "10").toInt)
 
       case "ivf-staleness" =>
         // quantizer-staleness card: stale = Lloyd on --old, retrained =
@@ -988,6 +1010,8 @@ object Main {
       |  hybrid-ann --base PARQUET --query PARQUET --meta C1,C2 --predicate JSON [--k N] [--n-list N] [--n-probe N [--guaranteed | --adaptive [--safety S]]] [--probes N,N,...] [--exclude-self]
       |  ivf-maintain --base PARQUET [--add PARQUET] [--delete PARQUET] [--meta C1,C2] [--n-list N] [--occupancy]
       |  ivf-staleness --old PARQUET --new PARQUET --queries PARQUET [--cells N] [--iters N] [--k N] [--n-probe N] [--exclude-self]
+      |  rankeval --ranked PARQUET --truth PARQUET [--k N]
+      |  ivf-search --index BUNDLE --query PARQUET [--k N] [--n-probe N] [--metric M] [--exclude-self]
       |  release --new PARQUET --bench PARQUET [--incremental --old PARQUET] [--index-out PATH] [--budget N] [--threshold T] [--contam-max T] [--id-col C] [--text-col C]
       |  asof --left PARQUET --right PARQUET --key K --time T --tie C --payload a,b
       |  sample --input PARQUET --key-col K (--strata-col S --fractions n=F,... [--default F] | --weight-col W --n N | --group-col G --n N)

@@ -857,6 +857,28 @@ object ScaleSoak {
               .unionByName(Release.tokenScores(newSlice, "doc_id", "text")),
             "id", "score", "cost", p10.budget).count()
         }
+
+        // --- the serving-index leg (q242's composition at scale): index
+        // embedding+assignment is PER-DOC TEXT WORK, so the delta path's
+        // cost is proportional to the changed slice, the rebuild's to the
+        // whole release. Measured over the full corpus vs the 3% slice
+        // (the selection filter is a semi-join either way).
+        locally {
+          import graft.functions.HashMode
+          def emb(docs: org.apache.spark.sql.DataFrame) = TfIdf
+            .hashedEmbedding(docs, "doc_id", "text", dim = 16, HashMode.Xx64)
+            .select(col("doc_id").as("vec_id"),
+              col("hvec").cast("array<float>").as("embedding"))
+          val quant = emb(bench).orderBy("vec_id").limit(8).localCheckpoint()
+          timed(s"release/index [rebuild] embed+assign ALL $nRel docs") {
+            operators.Ann.ivfIndexWithMeta(emb(v2), quant,
+              metric = "EUCLIDEAN").count()
+          }
+          timed("release/index [delta] embed+assign the 3% changed slice") {
+            operators.Ann.ivfIndexWithMeta(emb(newSlice), quant,
+              metric = "EUCLIDEAN").count()
+          }
+        }
       }
       relDocs.unpersist()
     }

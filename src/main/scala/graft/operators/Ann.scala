@@ -337,6 +337,35 @@ object Ann {
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Self-contained index BUNDLE: the cell-partitioned rows under
+    * `path/cells` plus the frozen quantizer under `path/quantizer` — the
+    * property real ANN index formats have and a bare parquet dir lacks: a
+    * consumer needs NOTHING but the path to serve queries (the quantizer
+    * is part of the index's identity anyway — append/delete maintenance
+    * and every probe must use exactly the build-time centroids).
+    */
+  def writeIndexBundle(index: DataFrame, centroids: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    writeIndex(index, s"$path/cells")
+    centroids.select(col(idCol).cast("long").as(idCol), col(vecCol).as(vecCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/quantizer")
+  }
+
+  def readQuantizer(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/quantizer")
+
+  /** Serve a [[writeIndexBundle]] directory: quantizer read from the
+    * bundle, probed-cell static pruning on the cells table
+    * ([[ivfSearchPersisted]]'s guarantee). One argument to search.
+    */
+  def searchBundle(queries: DataFrame, path: String, k: Int, nProbe: Int,
+      metric: String = "COSINE", idCol: String = "vec_id",
+      vecCol: String = "embedding", excludeSelf: Boolean = false): DataFrame =
+    ivfSearchPersisted(queries, s"$path/cells",
+      readQuantizer(queries.sparkSession, path), k, nProbe, metric,
+      idCol, vecCol, excludeSelf)
+
   /** The distinct cells a query batch will probe — one map-side pass over
     * the queries against the broadcast centroids (the index is never
     * touched), collected driver-side. Bounded by nList regardless of the

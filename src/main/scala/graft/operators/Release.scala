@@ -171,16 +171,27 @@ object Release {
     * release's persisted index with [[Ann.ivfAppend]]/[[Ann.ivfDelete]]
     * deltas instead (q242 pins delta == from-scratch).
     */
+  private def embedDocs(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame =
+    TfIdf.hashedEmbedding(docs, idCol, textCol, dim)
+      .select(col(idCol).cast("long").as("vec_id"),
+        col("hvec").cast("array<float>").as("embedding"))
+
+  /** The release's frozen quantizer: the `nCells` lowest bench docs that
+    * hash-embed. Part of the index's identity — maintenance deltas and
+    * every probe must reuse it (ship it in the [[Ann.writeIndexBundle]]).
+    */
+  def selectionQuantizer(bench: DataFrame, idCol: String, textCol: String,
+      dim: Int = 16, nCells: Int = 8): DataFrame =
+    embedDocs(bench, idCol, textCol, dim).orderBy("vec_id").limit(nCells)
+
   def selectionIndex(corpus: DataFrame, selected: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, dim: Int = 16, nCells: Int = 8): DataFrame = {
-    def embed(docs: DataFrame) =
-      TfIdf.hashedEmbedding(docs, idCol, textCol, dim)
-        .select(col(idCol).cast("long").as("vec_id"),
-          col("hvec").cast("array<float>").as("embedding"))
-    val centroids = embed(bench).orderBy("vec_id").limit(nCells)
     val sel = corpus.join(
       selected.select(col("id").cast("long").as(idCol)), Seq(idCol), "left_semi")
-    Ann.ivfIndexWithMeta(embed(sel), centroids, metric = "EUCLIDEAN")
+    Ann.ivfIndexWithMeta(embedDocs(sel, idCol, textCol, dim),
+      selectionQuantizer(bench, idCol, textCol, dim, nCells),
+      metric = "EUCLIDEAN")
   }
 
   /** The release-set datasheet (what the selection ships with): doc count,

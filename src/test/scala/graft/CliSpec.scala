@@ -572,15 +572,36 @@ class CliSpec extends SparkSpec {
       "--incremental", "--old", vp1, "--budget", "400")))
     assert(scratch.nonEmpty && incr == scratch)
 
-    // --index-out ships the selection's serving index: one cell-partitioned
-    // row per selected doc
+    // --index-out ships the selection's serving index as a self-contained
+    // BUNDLE: cell-partitioned rows + the frozen quantizer
     val idxOut = s"$dir/rel-index"
     val sel2 = Main.run(spark, Seq("release", "--new", vp2, "--bench", bp,
       "--budget", "400", "--index-out", idxOut))
-    val idx = spark.read.parquet(idxOut)
+    val selIds = sel2.select("id").collect().map(_.getLong(0)).toSet
+    val idx = spark.read.parquet(s"$idxOut/cells")
     assert(idx.columns.contains("cell"))
-    assert(idx.select("id").collect().map(_.getLong(0)).toSet ==
-      sel2.select("id").collect().map(_.getLong(0)).toSet)
+    assert(idx.select("id").collect().map(_.getLong(0)).toSet == selIds)
+    assert(spark.read.parquet(s"$idxOut/quantizer").count() > 0)
+
+    // lifecycle: the bundle serves queries with NOTHING but its path —
+    // hash-embed two selected docs and search; every neighbor is a
+    // selected doc and each query finds itself at rank 1
+    val qIds = selIds.toSeq.sorted.take(2)
+    val qVecs = graft.operators.TfIdf.hashedEmbedding(
+        spark.read.parquet(vp2).filter(col("doc_id").isInCollection(qIds)),
+        "doc_id", "text", dim = 16)
+      .select(col("doc_id").as("vec_id"),
+        col("hvec").cast("array<float>").as("embedding"))
+    val qPath2 = s"$dir/rel-qvecs.parquet"
+    qVecs.write.mode("overwrite").parquet(qPath2)
+    val served = Main.run(spark, Seq("ivf-search", "--index", idxOut,
+      "--query", qPath2, "--k", "3", "--n-probe", "8"))
+    val byQ = served.collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, _, nid) => assert(selIds.contains(nid)) }
+    qIds.foreach { q =>
+      assert(byQ.contains((q, 1, q)), s"query $q should find itself at rank 1")
+    }
   }
 
   test("hybrid-ann: filtered search respects the predicate; --probes yields the card") {
@@ -671,6 +692,19 @@ class CliSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(card.keySet == Set("stale", "retrained"))
     assert(card.values.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
+  test("rankeval computes MRR/nDCG from ranked + truth parquets") {
+    import spark.implicits._
+    val rp = s"$dir/rank.parquet"; val tp = s"$dir/rank-truth.parquet"
+    Seq((1L, 10L, 1), (1L, 99L, 2), (2L, 98L, 1), (2L, 20L, 2))
+      .toDF("query_id", "neighbor_id", "rank").write.mode("overwrite").parquet(rp)
+    Seq((1L, 10L), (2L, 20L)).toDF("query_id", "neighbor_id")
+      .write.mode("overwrite").parquet(tp)
+    val row = Main.run(spark, Seq("rankeval", "--ranked", rp, "--truth", tp,
+      "--k", "2")).collect()(0)
+    assert(row.getLong(0) == 2)
+    assert(row.getDouble(1) == 0.75) // (1/1 + 1/2) / 2
   }
 
   test("binary-topk ranks by XOR-popcount via the CLI") {
