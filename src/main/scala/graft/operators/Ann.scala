@@ -366,6 +366,23 @@ object Ann {
       readQuantizer(queries.sparkSession, path), k, nProbe, metric,
       idCol, vecCol, excludeSelf)
 
+  /** Append a vector slice to a PERSISTED bundle in place: the slice is
+    * assigned against the bundle's own quantizer and written with
+    * partitioned APPEND — parquet adds files only under the slice's
+    * `cell=` directories, so the write cost is O(|slice|) and untouched
+    * cells' files never move (the [[ivfAppend]] maintenance contract at
+    * rest). Deletes stay a read-side anti-join ([[ivfDelete]] over
+    * `readIndex`) until a compaction rewrite — the slab-delete discipline.
+    */
+  def appendToBundle(newVecs: DataFrame, path: String,
+      metric: String = "COSINE", idCol: String = "vec_id",
+      vecCol: String = "embedding", metaCols: Seq[String] = Nil): Unit = {
+    val quant = readQuantizer(newVecs.sparkSession, path)
+    ivfIndexWithMeta(newVecs, quant, metric, idCol, vecCol, metaCols)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** The distinct cells a query batch will probe — one map-side pass over
     * the queries against the broadcast centroids (the index is never
     * touched), collected driver-side. Bounded by nList regardless of the

@@ -100,4 +100,40 @@ class IvfIndexPersistenceSpec extends graft.SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == want)
   }
+
+  test("bundle: write 80%, appendToBundle 20%, serve == full in-memory search; append touches only slice cells") {
+    import graft.operators.Ann
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+    val old = emb.filter(col("vec_id") < 400)
+    val slice = emb.filter(col("vec_id") >= 400)
+    val path = s"target/ivf-bundle-${System.nanoTime()}"
+    Ann.writeIndexBundle(Ann.ivfIndex(old, centroids), centroids, path)
+
+    def cellFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$path/cells").listFiles()
+        .filter(_.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = cellFiles()
+
+    Ann.appendToBundle(slice, path)
+    val after = cellFiles()
+    // untouched cells keep their exact file sets; the slice's cells gain
+    val sliceCells = Ann.ivfIndex(slice, centroids)
+      .select("cell").distinct().collect().map("cell=" + _.getLong(0)).toSet
+    before.foreach { case (cell, files) =>
+      if (sliceCells.contains(cell))
+        assert(files.subsetOf(after(cell)) && after(cell).size > files.size, cell)
+      else assert(after(cell) == files, s"$cell changed without appended rows")
+    }
+
+    val q = emb.filter(col("vec_id") < 3)
+    val got = Ann.searchBundle(q, path, k = 4, nProbe = 3, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Ann.ivfSearch(q, Ann.ivfIndex(emb, centroids), centroids,
+        k = 4, nProbe = 3, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
 }

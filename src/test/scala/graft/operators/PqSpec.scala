@@ -244,6 +244,20 @@ class PqSpec extends SparkSpec {
     narrow.foreach(r => assert(pool.contains((r.getLong(0), r.getLong(1)))))
   }
 
+  test("maintained IVF-PQ codes table (build -> append -> delete) equals a rebuild") {
+    val cents = base.filter(col("vec_id") < 4)
+    val old = Pq.ivfPqIndex(base.filter(col("vec_id") < 48), cents, cbs)
+    val maintained = Pq.ivfPqDelete(
+      Pq.ivfPqAppend(old, base.filter(col("vec_id") >= 48), cents, cbs),
+      base.filter(col("vec_id") % 7 === 0))
+    val rebuilt = Pq.ivfPqIndex(base.filter(col("vec_id") % 7 =!= 0), cents, cbs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Int](2).toList)).toSet
+    assert(rows(maintained) == rows(rebuilt))
+    assert(rows(maintained).size == 64 - 64 / 7 - 1) // 10 ids are %7==0
+  }
+
   test("codebook validation rejects sparse layouts and bad dims") {
     val sparse = cbs.filter(!(col("subspace") === 0 && col("code") === 0))
     intercept[IllegalArgumentException](Pq.encode(base, sparse).collect())
