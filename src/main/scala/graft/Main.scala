@@ -328,6 +328,11 @@ object Main {
         flags.get("delete").foreach { p =>
           mIndex = graft.operators.Ann.ivfDelete(mIndex, spark.read.parquet(p))
         }
+        // --out persists the maintained result as a servable bundle
+        // (cells + the frozen quantizer)
+        flags.get("out").foreach { out =>
+          graft.operators.Ann.writeIndexBundle(mIndex, mCents, out)
+        }
         if (flags.contains("occupancy")) graft.operators.Ann.cellOccupancy(mIndex)
         else mIndex
 
@@ -1008,7 +1013,7 @@ object Main {
       |  pq-encode --input PATH --out DIR [--m N] [--ksub N] [--seed S]
       |  pq-search --index DIR --query PATH [--k N] [--chunks N | --strategy auto]
       |  hybrid-ann --base PARQUET --query PARQUET --meta C1,C2 --predicate JSON [--k N] [--n-list N] [--n-probe N [--guaranteed | --adaptive [--safety S]]] [--probes N,N,...] [--exclude-self]
-      |  ivf-maintain --base PARQUET [--add PARQUET] [--delete PARQUET] [--meta C1,C2] [--n-list N] [--occupancy]
+      |  ivf-maintain --base PARQUET [--add PARQUET] [--delete PARQUET] [--meta C1,C2] [--n-list N] [--out BUNDLE] [--occupancy]
       |  ivf-staleness --old PARQUET --new PARQUET --queries PARQUET [--cells N] [--iters N] [--k N] [--n-probe N] [--exclude-self]
       |  rankeval --ranked PARQUET --truth PARQUET [--k N]
       |  ivf-search --index BUNDLE --query PARQUET [--k N] [--n-probe N] [--metric M] [--exclude-self]
