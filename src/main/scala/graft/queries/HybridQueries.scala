@@ -531,5 +531,116 @@ object HybridQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"))
     },
+
+    // The planner's REPORT CARD: per selectivity tier, the mean planned
+    // width and the recall the adaptive search actually achieved against
+    // the filtered exact truth — the artifact that says whether
+    // stats-planned widths hit target quality with fewer probes than a
+    // fixed worst-case nProbe. The oracle replays widths, the adaptive
+    // ranking, the exact filtered truth and both rollups.
+    GQuery(
+      "q246_adaptive_report_card",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v, label FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, base.v, base.label, c.cell,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${cosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, label, cell FROM assignr WHERE rn = 1),
+         |stats AS (SELECT cell, label, count(*) AS n FROM assign GROUP BY cell, label),
+         |q AS (SELECT vec_id AS qid, embedding AS qv,
+         |        CASE vec_id % 3 WHEN 0 THEN 'sel_10pct'
+         |                        WHEN 1 THEN 'sel_50pct'
+         |                        ELSE 'sel_20pct' END AS tier
+         |      FROM embeddings WHERE vec_id >= 100 AND vec_id < 130),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${cosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qv, cell, rn FROM probr WHERE rn <= 8),
+         |percell AS (
+         |  SELECT p.qid, p.rn,
+         |         sum(CASE WHEN s.n IS NOT NULL AND
+         |                       CASE p.qid % 3 WHEN 0 THEN s.label IN (0)
+         |                                      WHEN 1 THEN s.label >= 5
+         |                                      ELSE s.label IN (0, 1) END
+         |                  THEN s.n ELSE 0 END) AS elig
+         |  FROM probes p LEFT JOIN stats s ON s.cell = p.cell
+         |  GROUP BY p.qid, p.rn),
+         |cumt AS (SELECT qid, rn,
+         |                sum(elig) OVER (PARTITION BY qid ORDER BY rn) AS cum
+         |         FROM percell),
+         |widths AS (
+         |  SELECT qid,
+         |         greatest(coalesce(min(CASE WHEN cum >= 10 THEN rn END), 8), 1)
+         |           AS n_probe
+         |  FROM cumt GROUP BY qid),
+         |cand AS (
+         |  SELECT p.qid, a.id AS nid, ${cosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN widths w ON w.qid = p.qid AND p.rn <= w.n_probe
+         |       JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid
+         |    AND CASE p.qid % 3 WHEN 0 THEN a.label IN (0)
+         |                       WHEN 1 THEN a.label >= 5
+         |                       ELSE a.label IN (0, 1) END),
+         |pred AS (SELECT qid, nid FROM (
+         |           SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+         |           FROM cand) WHERE rk <= 5),
+         |elig2 AS (
+         |  SELECT q.qid, b.id, ${cosDist("q.qv", "b.v")} AS d
+         |  FROM q CROSS JOIN base b
+         |  WHERE b.id <> q.qid
+         |    AND CASE q.qid % 3 WHEN 0 THEN b.label IN (0)
+         |                       WHEN 1 THEN b.label >= 5
+         |                       ELSE b.label IN (0, 1) END),
+         |truth AS (SELECT qid, id AS nid FROM (
+         |            SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rk
+         |            FROM elig2) WHERE rk <= 5),
+         |tn AS (SELECT qid, count(*) AS truth_n FROM truth GROUP BY qid),
+         |hits AS (SELECT p.qid, count(*) AS h FROM pred p
+         |         JOIN truth t ON t.qid = p.qid AND t.nid = p.nid GROUP BY p.qid)
+         |SELECT q.tier, round(avg(w.n_probe), 4) AS avg_n_probe,
+         |       count(*) AS n_queries,
+         |       round(sum(coalesce(h.h, 0))::DOUBLE / sum(tn.truth_n), 6) AS recall
+         |FROM q JOIN widths w ON w.qid = q.qid
+         |       JOIN tn ON tn.qid = q.qid
+         |       LEFT JOIN hits h ON h.qid = q.qid
+         |GROUP BY q.tier""".stripMargin) { (s, dir) =>
+      import graft.operators.{Ann, HybridGroundTruth}
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val blobUdf = udf((qid: Long) => statsBlobFor(qid % 3))
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 130)
+        .withColumn("predicate", blobUdf(col("vec_id")))
+        .withColumn("tier",
+          when(pmod(col("vec_id"), lit(3)) === 0, "sel_10pct")
+            .when(pmod(col("vec_id"), lit(3)) === 1, "sel_50pct")
+            .otherwise("sel_20pct"))
+      val index = Ann.ivfIndexWithMeta(emb, centroids, metaCols = Seq("label"))
+      val stats = Ann.cellSelectivityStats(index, "label")
+      val widths = Ann.adaptiveProbeWidths(queries, centroids, stats, "label",
+        k = 5, safety = 2.0, minProbe = 1, maxProbe = 8)
+      val pred = Ann.ivfSearchFilteredAdaptive(queries, index, centroids,
+        stats, "label", k = 5, safety = 2.0, minProbe = 1, maxProbe = 8,
+        metadataCols = Seq("label"), excludeSelf = true)
+      val truth = HybridGroundTruth.knnWithPerQueryPredicates(
+        queries, emb, k = 5, metadataCols = Seq("label"), excludeSelf = true)
+      val truthN = truth.groupBy("query_id").agg(count(lit(1)).as("truth_n"))
+      val hits = pred.select("query_id", "neighbor_id")
+        .join(truth.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      queries.select(col("vec_id").as("query_id"), col("tier"))
+        .join(widths.select("query_id", "n_probe"), Seq("query_id"))
+        .join(truthN, Seq("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .groupBy("tier")
+        .agg(round(avg("n_probe"), 4).as("avg_n_probe"),
+          count(lit(1)).as("n_queries"),
+          round(sum(coalesce(col("h"), lit(0L))).cast("double") /
+            sum("truth_n"), 6).as("recall"))
+    },
   )
 }
