@@ -11,11 +11,12 @@ import graft.sources.xvec.XvecIO
 /** X2: the thin CLI over the engine — the `nbvectors <command>` surface
   * (reference README.md:34-110; services/BundledCommand.java dispatch) with
   * each subcommand delegating to an existing operator; see [[usage]] for the
-  * full 26-command inventory (dataset description, KNN/ground truth, PQ,
+  * full 67-command inventory (dataset description, KNN/ground truth, PQ,
   * slab I/O, dedup/decontamination — n-gram and embedding-space — as-of
   * join, sampling/splits, chunking, quality rules, PII redaction, sequence
   * packing, duplicated spans, semantic dedup, BM25, mixture
-  * materialization, unigram surprisal).
+  * materialization, unigram surprisal, tokenizers, sketches, selection,
+  * release, and the hybrid/maintained-ANN serving family).
   *
   * Vector PATHs accept .fvec/.ivec/.bvec/.dvec/.svec/.mvec or .parquet
   * (columns ordinal/vector or vec_id/embedding).

@@ -541,6 +541,38 @@ object Pq {
     * LUTs and per-partition heaps as [[ivfPqSearch]]; trees decode ONCE on
     * the driver and ride the same broadcast as the LUTs.
     */
+  /** GUARANTEED-k on the filtered COMPRESSED path — the
+    * [[Ann.ivfSearchFilteredGuaranteed]] escalation policy over
+    * [[ivfPqSearchFiltered]]: queries whose pass-1 list is short re-run at
+    * nProbe = nList (an exhaustive ADC scan of the codes table, never a
+    * base rejoin), so every query returns min(k, |eligible|) rows;
+    * `escalated` marks the path. ADC distances stay approximate either
+    * way — the guarantee is about list COMPLETENESS under selective
+    * predicates, not about rank exactness (that is [[refine]]'s job).
+    */
+  def ivfPqSearchFilteredGuaranteed(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      predicateCol: String = "predicate", metadataCols: Seq[String] = Nil,
+      excludeSelf: Boolean = false): DataFrame = {
+    val nList = centroids.count().toInt
+    val approx = ivfPqSearchFiltered(queries, index, centroids, codebooks,
+      k, nProbe, idCol, vecCol, predicateCol, metadataCols, excludeSelf)
+      .localCheckpoint()
+    val starvedIds = queries.select(col(idCol).cast("long").as("query_id"))
+      .join(approx.groupBy("query_id").agg(count(lit(1)).as("n_got")),
+        Seq("query_id"), "left")
+      .filter(coalesce(col("n_got"), lit(0L)) < k)
+      .select("query_id").localCheckpoint()
+    val starved = queries.join(
+      starvedIds.withColumnRenamed("query_id", idCol), Seq(idCol), "left_semi")
+    val exact = ivfPqSearchFiltered(starved, index, centroids, codebooks,
+      k, nList, idCol, vecCol, predicateCol, metadataCols, excludeSelf)
+    approx.join(starvedIds, Seq("query_id"), "left_anti")
+      .withColumn("escalated", lit(false))
+      .unionByName(exact.withColumn("escalated", lit(true)))
+  }
+
   def ivfPqSearchFiltered(queries: DataFrame, index: DataFrame,
       centroids: DataFrame, codebooks: DataFrame, k: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -207,6 +207,41 @@ class FilteredAnnSpec extends SparkSpec {
     Seq(staleSkew, freshSkew).foreach(s => assert(s > 0.0 && s <= 1.0))
   }
 
+  test("guaranteed-k on the filtered IVF-PQ path: lists fill; escalated == exhaustive-probe") {
+    val cbs = Pq.subsetCodebooks(base.filter(col("vec_id") < 16), m = 4)
+    val index = Pq.ivfPqIndex(base, centroids, cbs)
+      .join(base.select(col("vec_id").as("id"), col("label")), Seq("id"))
+    val k = 5
+    val out = Pq.ivfPqSearchFilteredGuaranteed(queries, index, centroids, cbs,
+      k = k, nProbe = 1, metadataCols = Seq("label"), excludeSelf = true)
+      .localCheckpoint()
+    val escalatedIds = out.filter(col("escalated")).select("query_id").distinct()
+    assert(escalatedIds.count() > 0, "nProbe=1 should starve someone")
+    // escalated rows equal the exhaustive-probe filtered run
+    def keyPq(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rank").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exhaustive = Pq.ivfPqSearchFiltered(queries, index, centroids, cbs,
+        k = k, nProbe = 8, metadataCols = Seq("label"), excludeSelf = true)
+      .join(escalatedIds, Seq("query_id"), "left_semi")
+    assert(keyPq(out.filter(col("escalated"))) == keyPq(exhaustive))
+    // row-count guarantee: min(k, |eligible|) per query
+    val nElig = queries.select(col("vec_id").as("query_id"))
+      .join(base.select(col("vec_id").as("nid"), col("label").as("nlab")),
+        col("query_id") =!= col("nid"))
+      .filter(
+        when(pmod(col("query_id"), lit(3)) === 0, col("nlab").isin(0, 1, 2))
+          .when(pmod(col("query_id"), lit(3)) === 1, col("nlab") >= 7)
+          .otherwise(lit(true)))
+      .groupBy("query_id").agg(count(lit(1)).as("n_elig"))
+    queries.select(col("vec_id").as("query_id")).join(nElig, Seq("query_id"), "left")
+      .join(out.groupBy("query_id").agg(count(lit(1)).as("n_got")),
+        Seq("query_id"), "left")
+      .select(coalesce(col("n_elig"), lit(0L)), coalesce(col("n_got"), lit(0L)))
+      .as[(Long, Long)].collect()
+      .foreach { case (ne, ng) => assert(ng == math.min(k.toLong, ne)) }
+  }
+
   test("adaptive probe planning: widths hit the eligible target; search matches fixed-width runs") {
     val index = Ann.ivfIndexWithMeta(base, centroids, metaCols = Seq("label"))
     val stats = Ann.cellSelectivityStats(index, "label")
