@@ -357,14 +357,112 @@ object Ann {
 
   /** Serve a [[writeIndexBundle]] directory: quantizer read from the
     * bundle, probed-cell static pruning on the cells table
-    * ([[ivfSearchPersisted]]'s guarantee). One argument to search.
+    * ([[ivfSearchPersisted]]'s guarantee), tombstones
+    * ([[deleteFromBundle]]) hidden by one anti-join. One argument to
+    * search.
     */
   def searchBundle(queries: DataFrame, path: String, k: Int, nProbe: Int,
       metric: String = "COSINE", idCol: String = "vec_id",
-      vecCol: String = "embedding", excludeSelf: Boolean = false): DataFrame =
-    ivfSearchPersisted(queries, s"$path/cells",
-      readQuantizer(queries.sparkSession, path), k, nProbe, metric,
-      idCol, vecCol, excludeSelf)
+      vecCol: String = "embedding", excludeSelf: Boolean = false): DataFrame = {
+    recoverBundle(path)
+    val spark = queries.sparkSession
+    val quant = readQuantizer(spark, path)
+    val cells = probedCells(queries, quant, nProbe, metric, idCol, vecCol)
+    val live = liveRows(spark, path,
+      readIndex(spark, s"$path/cells").filter(col("cell").isin(cells: _*)))
+    ivfSearch(queries, live, quant, k, nProbe, metric, idCol, vecCol,
+      excludeSelf)
+  }
+
+  /** Tombstone ids in a persisted bundle (one parquet append under
+    * `path/tombstones`): [[searchBundle]] hides them immediately;
+    * [[compactBundle]] reclaims the space. The slab-delete discipline
+    * applied to the index at rest.
+    */
+  def deleteFromBundle(removedIds: DataFrame, path: String,
+      idCol: String = "vec_id"): Unit =
+    removedIds.select(col(idCol).cast("long").as("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/tombstones")
+
+  private def liveRows(spark: SparkSession, path: String,
+      cells: DataFrame): DataFrame = {
+    val t = new java.io.File(s"$path/tombstones")
+    if (t.exists()) cells.join(
+      spark.read.parquet(t.toString).select(col("id").cast("long").as("id")),
+      Seq("id"), "left_anti")
+    else cells
+  }
+
+  /** All live rows of a bundle (cells minus tombstones) — the relation
+    * maintenance reads back (e.g. to seed a retrain or verify occupancy).
+    */
+  def readBundleLive(spark: SparkSession, path: String): DataFrame = {
+    recoverBundle(path)
+    liveRows(spark, path, readIndex(spark, s"$path/cells"))
+  }
+
+  /** Heal the one crash window [[compactBundle]] leaves: cells renamed
+    * aside but the new generation not yet renamed in — rename the newest
+    * complete tmp generation live. Idempotent, called by every read
+    * entry point.
+    */
+  private def recoverBundle(path: String): Unit = {
+    val cells = new java.io.File(s"$path/cells")
+    if (!cells.exists()) {
+      val root = new java.io.File(path)
+      // only COMPLETE generations qualify (a crash mid-write leaves no
+      // _SUCCESS); constant-width nanoTime stamps make name order = age
+      val tmps = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(".cells-compact-") &&
+          new java.io.File(f, "_SUCCESS").exists())
+      if (tmps.nonEmpty) {
+        val newest = tmps.maxBy(_.getName)
+        require(newest.renameTo(cells),
+          s"bundle recover: cannot rename $newest to $cells")
+      }
+    }
+  }
+
+  /** Reclaim tombstoned rows: rewrite the live rows as a fresh cells
+    * generation and swap it in with the slab compact discipline (tmp
+    * written → live renamed aside → tmp renamed in → aside deleted →
+    * tombstones dropped), so a crash at any step leaves a complete old or
+    * new generation ([[recoverBundle]] heals the one in-between window).
+    */
+  def compactBundle(spark: SparkSession, path: String): Unit =
+    compactBundleWithFailpoint(spark, path, Int.MaxValue)
+
+  private[graft] def compactBundleWithFailpoint(spark: SparkSession,
+      path: String, failAfter: Int): Unit = {
+    recoverBundle(path)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    // GC orphans of earlier crashed compacts (never referenced once live)
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(".cells-compact-") ||
+        f.getName.startsWith(".cells-old-"))
+      .foreach(rmTree)
+    def crash(step: Int): Unit =
+      if (failAfter == step) throw new RuntimeException(s"injected crash after step $step")
+    val stamp = System.nanoTime()
+    val tmp = s"$path/.cells-compact-$stamp"
+    liveRows(spark, path, readIndex(spark, s"$path/cells"))
+      .write.partitionBy("cell").parquet(tmp)
+    crash(1)
+    val live = new java.io.File(s"$path/cells")
+    val aside = new java.io.File(s"$path/.cells-old-$stamp")
+    require(live.renameTo(aside), s"bundle compact: cannot rename $live aside")
+    crash(2)
+    require(new java.io.File(tmp).renameTo(live),
+      s"bundle compact: cannot rename $tmp live")
+    crash(3)
+    rmTree(aside)
+    crash(4)
+    rmTree(new java.io.File(s"$path/tombstones"))
+  }
 
   /** Append a vector slice to a PERSISTED bundle in place: the slice is
     * assigned against the bundle's own quantizer and written with

@@ -136,4 +136,50 @@ class IvfIndexPersistenceSpec extends graft.SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == want)
   }
+
+  test("bundle tombstones hide immediately; compact reclaims; every crash step recovers") {
+    import graft.operators.Ann
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+    val q = emb.filter(col("vec_id") < 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = key(Ann.ivfSearch(q,
+      Ann.ivfIndex(emb.filter(col("vec_id") % 5 =!= 4), centroids), centroids,
+      k = 4, nProbe = 3, excludeSelf = true))
+
+    def freshBundle(): String = {
+      val p = s"target/ivf-tomb-${System.nanoTime()}"
+      Ann.writeIndexBundle(Ann.ivfIndex(emb, centroids), centroids, p)
+      Ann.deleteFromBundle(emb.filter(col("vec_id") % 5 === 4), p)
+      p
+    }
+
+    // deletes hide immediately (same search results as a rebuild without
+    // the tombstoned rows), live rows shrink, cells files untouched
+    val p0 = freshBundle()
+    assert(key(Ann.searchBundle(q, p0, k = 4, nProbe = 3, excludeSelf = true)) == want)
+    assert(Ann.readBundleLive(spark, p0).count() == 400)
+
+    // clean compact: results unchanged, tombstones gone, rows reclaimed
+    Ann.compactBundle(spark, p0)
+    assert(!new java.io.File(s"$p0/tombstones").exists())
+    assert(spark.read.parquet(s"$p0/cells").count() == 400)
+    assert(key(Ann.searchBundle(q, p0, k = 4, nProbe = 3, excludeSelf = true)) == want)
+
+    // crash injected after EVERY step: reads recover, a rerun converges
+    for (step <- 1 to 4) {
+      val p = freshBundle()
+      intercept[RuntimeException] {
+        Ann.compactBundleWithFailpoint(spark, p, step)
+      }
+      assert(key(Ann.searchBundle(q, p, k = 4, nProbe = 3, excludeSelf = true)) == want,
+        s"read after crash at step $step")
+      Ann.compactBundle(spark, p) // rerun completes
+      assert(!new java.io.File(s"$p/tombstones").exists(), s"step $step rerun")
+      assert(spark.read.parquet(s"$p/cells").count() == 400, s"step $step rerun")
+      assert(key(Ann.searchBundle(q, p, k = 4, nProbe = 3, excludeSelf = true)) == want,
+        s"post-compact after crash at step $step")
+    }
+  }
 }
