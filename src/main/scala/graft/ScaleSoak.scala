@@ -308,6 +308,23 @@ object ScaleSoak {
       val parity = srch(maintained) == srch(rebuilt)
       println(s"[soak] maintained-index search parity vs rebuild: $parity")
       require(parity, "maintained IVF index diverged from rebuild")
+
+      // persisted-bundle lifecycle at 1M: write, tombstone 5%, compact
+      // (the rewrite IS the operation — one pass over live rows), serve
+      val bPath = java.nio.file.Files.createTempDirectory("soak-bundle")
+        .toString + "/ix"
+      timed(s"bundle write ($nBase rows, cell-partitioned + quantizer)") {
+        operators.Ann.writeIndexBundle(fIndex, centroids, bPath)
+      }
+      timed("bundle tombstone 5% + compact (rewrite live generation)") {
+        operators.Ann.deleteFromBundle(
+          metaBase.filter(col("vec_id") % 20 === 0), bPath)
+        operators.Ann.compactBundle(spark, bPath)
+      }
+      val served = timed("bundle serve (static-pruned probe over compacted cells)") {
+        operators.Ann.searchBundle(queries, bPath, k = 10, nProbe = 16).count()
+      }
+      println(s"[soak] bundle serve rows: $served")
       Seq(fIndex, oldIndex, maintained, rebuilt).foreach(_.unpersist())
     }
 
