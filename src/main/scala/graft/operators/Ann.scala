@@ -799,6 +799,61 @@ object Ann {
         col("total_est").as("est_eligible"))
   }
 
+  /** Safety-calibration card — the instrument q246's honest finding asks
+    * for: the expected-candidate target `ceil(safety·k)` is a lower-bound
+    * proxy, so recall at a given safety is an EMPIRICAL question. For each
+    * (tier, safety) the card reports the mean planned width and achieved
+    * recall vs the filtered exact truth; `chosen` marks, per tier, the
+    * SMALLEST safety whose recall reaches `targetRecall` (no row marked if
+    * none does — escalate via the guaranteed-k path instead). Run once per
+    * index generation; serve with the chosen factors.
+    *
+    * Scale shape: ONE truth pass shared across the grid; each grid cell
+    * is one width plan + one filtered probe join.
+    */
+  def safetyCalibrationCard(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, stats: DataFrame, metaCol: String, k: Int,
+      safeties: Seq[Double], minProbe: Int, maxProbe: Int, tierCol: String,
+      targetRecall: Double, metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      predicateCol: String = "predicate", metadataCols: Seq[String] = Nil,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(safeties.nonEmpty, "safetyCalibrationCard needs at least one safety")
+    val truth = HybridGroundTruth.knnWithPerQueryPredicates(
+        queries, index.select((Seq(col("id").as(idCol),
+          col("vec").as(vecCol)) ++ metadataCols.map(col)): _*),
+        k, metric, idCol, vecCol, predicateCol, metadataCols, excludeSelf)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val truthN = truth.groupBy("query_id").agg(count(lit(1)).as("truth_n"))
+    val tiers = queries.select(col(idCol).cast("long").as("query_id"),
+      col(tierCol).as("tier"))
+    val grid = safeties.map { s =>
+      val widths = adaptiveProbeWidths(queries, centroids, stats, metaCol,
+        k, s, minProbe, maxProbe, metric, idCol, vecCol, predicateCol)
+      val pred = ivfSearchFilteredAdaptive(queries, index, centroids, stats,
+        metaCol, k, s, minProbe, maxProbe, metric, idCol, vecCol,
+        predicateCol, metadataCols, excludeSelf)
+      val hits = pred.select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      tiers.join(widths.select("query_id", "n_probe"), Seq("query_id"))
+        .join(truthN, Seq("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .groupBy("tier")
+        .agg(round(avg("n_probe"), 4).as("avg_n_probe"),
+          round(sum(coalesce(col("h"), lit(0L))).cast("double") /
+            sum("truth_n"), 6).as("recall"))
+        .select(col("tier"), lit(s).as("safety"), col("avg_n_probe"),
+          col("recall"))
+    }.reduce(_ unionAll _)
+    val chosen = grid.filter(col("recall") >= targetRecall)
+      .groupBy("tier").agg(min("safety").as("chosen_safety"))
+    grid.join(chosen, Seq("tier"), "left")
+      .select(col("tier"), col("safety"), col("avg_n_probe"), col("recall"),
+        coalesce(col("safety") === col("chosen_safety"), lit(false))
+          .as("chosen"))
+  }
+
   /** Filtered IVF search with PER-QUERY probe widths from
     * [[adaptiveProbeWidths]]: each query keeps the `cell_rank <= n_probe`
     * prefix of its ranked probe list, then the standard pre-filter

@@ -642,5 +642,106 @@ object HybridQueries {
           round(sum(coalesce(col("h"), lit(0L))).cast("double") /
             sum("truth_n"), 6).as("recall"))
     },
+
+    // SAFETY CALIBRATION — q246's finding closed: sweep the safety factor
+    // (1/2/6), measure per-tier width + recall across the grid, and mark
+    // per tier the SMALLEST safety reaching the 0.5 recall target (none
+    // marked = escalate via q237 instead). One truth pass shared by the
+    // grid. The oracle replays the whole sweep: per-safety targets, the
+    // gated cumulative walks, each adaptive ranking, the shared truth,
+    // the per-(tier, safety) rollups and the argmin-safety choice.
+    GQuery(
+      "q247_safety_calibration",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v, label FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, base.v, base.label, c.cell,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${cosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, label, cell FROM assignr WHERE rn = 1),
+         |stats AS (SELECT cell, label, count(*) AS n FROM assign GROUP BY cell, label),
+         |q AS (SELECT vec_id AS qid, embedding AS qv,
+         |        CASE vec_id % 3 WHEN 0 THEN 'sel_10pct'
+         |                        WHEN 1 THEN 'sel_50pct'
+         |                        ELSE 'sel_20pct' END AS tier
+         |      FROM embeddings WHERE vec_id >= 100 AND vec_id < 130),
+         |sf AS (SELECT unnest([1.0, 2.0, 6.0]) AS s),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${cosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qv, cell, rn FROM probr WHERE rn <= 8),
+         |percell AS (
+         |  SELECT p.qid, p.rn,
+         |         sum(CASE WHEN s.n IS NOT NULL AND
+         |                       CASE p.qid % 3 WHEN 0 THEN s.label IN (0)
+         |                                      WHEN 1 THEN s.label >= 5
+         |                                      ELSE s.label IN (0, 1) END
+         |                  THEN s.n ELSE 0 END) AS elig
+         |  FROM probes p LEFT JOIN stats s ON s.cell = p.cell
+         |  GROUP BY p.qid, p.rn),
+         |cumt AS (SELECT qid, rn,
+         |                sum(elig) OVER (PARTITION BY qid ORDER BY rn) AS cum
+         |         FROM percell),
+         |widths AS (
+         |  SELECT sf.s, qid,
+         |         greatest(coalesce(min(CASE WHEN cum >= ceil(sf.s * 5) THEN rn END), 8), 1)
+         |           AS n_probe
+         |  FROM cumt CROSS JOIN sf GROUP BY sf.s, qid),
+         |cand AS (
+         |  SELECT w.s, p.qid, a.id AS nid, ${cosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN widths w ON w.qid = p.qid AND p.rn <= w.n_probe
+         |       JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid
+         |    AND CASE p.qid % 3 WHEN 0 THEN a.label IN (0)
+         |                       WHEN 1 THEN a.label >= 5
+         |                       ELSE a.label IN (0, 1) END),
+         |pred AS (SELECT s, qid, nid FROM (
+         |           SELECT s, qid, nid,
+         |                  row_number() OVER (PARTITION BY s, qid ORDER BY d, nid) AS rk
+         |           FROM cand) WHERE rk <= 5),
+         |elig2 AS (
+         |  SELECT q.qid, b.id, ${cosDist("q.qv", "b.v")} AS d
+         |  FROM q CROSS JOIN base b
+         |  WHERE b.id <> q.qid
+         |    AND CASE q.qid % 3 WHEN 0 THEN b.label IN (0)
+         |                       WHEN 1 THEN b.label >= 5
+         |                       ELSE b.label IN (0, 1) END),
+         |truth AS (SELECT qid, id AS nid FROM (
+         |            SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rk
+         |            FROM elig2) WHERE rk <= 5),
+         |tn AS (SELECT qid, count(*) AS truth_n FROM truth GROUP BY qid),
+         |hits AS (SELECT p.s, p.qid, count(*) AS h FROM pred p
+         |         JOIN truth t ON t.qid = p.qid AND t.nid = p.nid GROUP BY p.s, p.qid),
+         |grid AS (
+         |  SELECT q.tier, w.s AS safety, round(avg(w.n_probe), 4) AS avg_n_probe,
+         |         round(sum(coalesce(h.h, 0))::DOUBLE / sum(tn.truth_n), 6) AS recall
+         |  FROM q JOIN widths w ON w.qid = q.qid
+         |         JOIN tn ON tn.qid = q.qid
+         |         LEFT JOIN hits h ON h.qid = q.qid AND h.s = w.s
+         |  GROUP BY q.tier, w.s),
+         |ch AS (SELECT tier, min(safety) AS cs FROM grid WHERE recall >= 0.5 GROUP BY tier)
+         |SELECT g.tier, g.safety, g.avg_n_probe, g.recall,
+         |       coalesce(g.safety = ch.cs, FALSE) AS chosen
+         |FROM grid g LEFT JOIN ch ON ch.tier = g.tier""".stripMargin) { (s, dir) =>
+      import graft.operators.Ann
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val blobUdf = udf((qid: Long) => statsBlobFor(qid % 3))
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 130)
+        .withColumn("predicate", blobUdf(col("vec_id")))
+        .withColumn("tier",
+          when(pmod(col("vec_id"), lit(3)) === 0, "sel_10pct")
+            .when(pmod(col("vec_id"), lit(3)) === 1, "sel_50pct")
+            .otherwise("sel_20pct"))
+      val index = Ann.ivfIndexWithMeta(emb, centroids, metaCols = Seq("label"))
+      val stats = Ann.cellSelectivityStats(index, "label")
+      Ann.safetyCalibrationCard(queries, index, centroids, stats, "label",
+        k = 5, safeties = Seq(1.0, 2.0, 6.0), minProbe = 1, maxProbe = 8,
+        tierCol = "tier", targetRecall = 0.5,
+        metadataCols = Seq("label"), excludeSelf = true)
+    },
   )
 }

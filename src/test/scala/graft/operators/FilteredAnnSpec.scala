@@ -287,6 +287,33 @@ class FilteredAnnSpec extends SparkSpec {
     assert(wNone.length == 2 && wNone.forall(_ == (8L, 0L)))
   }
 
+  test("safety calibration: widths nondecreasing in safety; chosen = min safety at target") {
+    val index = Ann.ivfIndexWithMeta(base, centroids, metaCols = Seq("label"))
+    val stats = Ann.cellSelectivityStats(index, "label")
+    val tq = queries.withColumn("tier",
+      when(pmod(col("vec_id"), lit(3)) === 0, "a")
+        .when(pmod(col("vec_id"), lit(3)) === 1, "b").otherwise("c"))
+    val card = Ann.safetyCalibrationCard(tq, index, centroids, stats, "label",
+        k = 3, safeties = Seq(1.0, 3.0, 8.0), minProbe = 1, maxProbe = 8,
+        tierCol = "tier", targetRecall = 0.5,
+        metadataCols = Seq("label"), excludeSelf = true)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(card.length == 9)
+    card.groupBy(_._1).foreach { case (tier, rows) =>
+      val bySafety = rows.sortBy(_._2)
+      // wider safety targets more candidates -> never narrower plans
+      bySafety.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo._3 <= hi._3, s"$tier: width shrank ${lo._3} -> ${hi._3}")
+      }
+      val reaching = bySafety.filter(_._4 >= 0.5).map(_._2)
+      val chosen = bySafety.filter(_._5).map(_._2)
+      if (reaching.nonEmpty) assert(chosen.toSeq == Seq(reaching.min),
+        s"$tier: chosen $chosen vs min reaching ${reaching.min}")
+      else assert(chosen.isEmpty, s"$tier: chose $chosen with nothing at target")
+    }
+  }
+
   test("staleness card mechanics: identical configs tie; clean split is exact") {
     // identical centroid sets must produce identical measurements
     val cents = base.filter(col("vec_id") < 8).select("vec_id", "embedding")
