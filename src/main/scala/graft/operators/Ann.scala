@@ -933,4 +933,128 @@ object Ann {
       .withColumn("escalated", lit(false))
       .unionByName(exact.withColumn("escalated", lit(true)))
   }
+
+  /** Per-query ROUTE choice for filtered serving — the dispatcher the
+    * q247 calibration sweep showed is needed: no single probe policy wins
+    * across predicate selectivities. The estimate is the query's GLOBAL
+    * eligible mass (its predicate evaluated over the per-value rollup of
+    * [[cellSelectivityStats]] — one broadcast join, no index touch):
+    *
+    *   - `exact`   (est ≤ exactMax): the eligible set is so small an
+    *     exhaustive FILTERED scan of the index is cheaper than any probe
+    *     plan — and recall is 1.0 by construction. This is the regime
+    *     where IVF probing is pure overhead (q229's 1%-tier starvation).
+    *   - `wide`    (est ≥ wideFraction·N): eligible mass is dense in
+    *     every cell, so width planning saturates (q247's 50%-tier finding)
+    *     — a fixed base nProbe behaves like unfiltered search.
+    *   - `planned` (between): stats-planned adaptive widths earn their
+    *     keep — selective enough that fixed nProbe starves, broad enough
+    *     that exhaustive scan wastes.
+    *
+    * Output: (query_id, est_eligible, route). Stats size is
+    * |distinct metaCol| after the rollup — the categorical-column
+    * broadcast-scale contract [[cellSelectivityStats]] documents.
+    */
+  def routePlan(queries: DataFrame, stats: DataFrame, metaCol: String,
+      exactMax: Long, wideFraction: Double, idCol: String = "vec_id",
+      predicateCol: String = "predicate"): DataFrame = {
+    require(exactMax >= 0, s"exactMax must be >= 0, got $exactMax")
+    require(wideFraction > 0 && wideFraction <= 1,
+      s"wideFraction must be in (0, 1], got $wideFraction")
+    val globalStats = stats.groupBy(col(metaCol)).agg(sum("n").as("n"))
+      .localCheckpoint() // tiny: one row per distinct metadata value
+    val totalN = globalStats.agg(sum("n").as("total"))
+    queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(predicateCol).cast("binary").as("_pred"))
+      .crossJoin(broadcast(globalStats))
+      .withColumn("elig_n",
+        when(HybridGroundTruth.matchesColumn(col("_pred"),
+          struct(col(metaCol).as(metaCol))), col("n")).otherwise(lit(0L)))
+      .groupBy("query_id").agg(sum("elig_n").as("est_eligible"))
+      .crossJoin(broadcast(totalN))
+      .select(col("query_id"), col("est_eligible"),
+        when(col("est_eligible") <= exactMax, lit("exact"))
+          .when(col("est_eligible") >=
+            col("total").cast("double") * wideFraction, lit("wide"))
+          .otherwise(lit("planned")).as("route"))
+  }
+
+  /** ROUTED filtered search: [[routePlan]] splits the query load, each
+    * slice runs the policy that wins in its selectivity regime, and the
+    * union carries the route taken. `exact` queries run the exhaustive
+    * filtered scan (nProbe = nList — the cost is their tiny eligible set,
+    * not the corpus); `planned` queries run the stats-planned adaptive
+    * search; `wide` queries run fixed-`nProbeWide` pre-filter search.
+    * Same predicate evaluator, candidate join and bounded heap on every
+    * path — only the probe-set policy differs.
+    *
+    * Scale shape: three searches each sized by its slice (empty slices
+    * plan to empty scans), one broadcast-stats route pass upfront. The
+    * route column makes serving cost attributable per policy — the
+    * report card [[routerReportCard]] reads it.
+    */
+  def hybridSearchRouted(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, stats: DataFrame, metaCol: String, k: Int,
+      exactMax: Long, wideFraction: Double, nProbeWide: Int, safety: Double,
+      minProbe: Int, maxProbe: Int, metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      predicateCol: String = "predicate", metadataCols: Seq[String] = Nil,
+      excludeSelf: Boolean = false): DataFrame = {
+    val nList = centroids.count().toInt
+    val routes = routePlan(queries, stats, metaCol, exactMax, wideFraction,
+      idCol, predicateCol).localCheckpoint()
+    def slice(route: String): DataFrame = queries.join(
+      routes.filter(col("route") === route)
+        .select(col("query_id").as(idCol)), Seq(idCol), "left_semi")
+    val exact = ivfSearchFiltered(slice("exact"), index, centroids, k, nList,
+      metric, idCol, vecCol, predicateCol, metadataCols, excludeSelf)
+      .withColumn("route", lit("exact"))
+    val planned = ivfSearchFilteredAdaptive(slice("planned"), index,
+      centroids, stats, metaCol, k, safety, minProbe, maxProbe, metric,
+      idCol, vecCol, predicateCol, metadataCols, excludeSelf)
+      .withColumn("route", lit("planned"))
+    val wide = ivfSearchFiltered(slice("wide"), index, centroids, k,
+      nProbeWide, metric, idCol, vecCol, predicateCol, metadataCols,
+      excludeSelf)
+      .withColumn("route", lit("wide"))
+    exact.unionByName(planned).unionByName(wide)
+  }
+
+  /** Router report card: per route — query count, mean estimated eligible
+    * mass, and recall vs the filtered exact truth. The `exact` row must
+    * read 1.0 (structural — its scan IS the truth); the `planned` and
+    * `wide` rows are the empirical halves the q246/q247 cards measured
+    * tier-by-tier, now attributed to the dispatcher's actual slices. One
+    * truth pass, one routed search.
+    */
+  def routerReportCard(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, stats: DataFrame, metaCol: String, k: Int,
+      exactMax: Long, wideFraction: Double, nProbeWide: Int, safety: Double,
+      minProbe: Int, maxProbe: Int, metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      predicateCol: String = "predicate", metadataCols: Seq[String] = Nil,
+      excludeSelf: Boolean = false): DataFrame = {
+    val routes = routePlan(queries, stats, metaCol, exactMax, wideFraction,
+      idCol, predicateCol).localCheckpoint()
+    val pred = hybridSearchRouted(queries, index, centroids, stats, metaCol,
+      k, exactMax, wideFraction, nProbeWide, safety, minProbe, maxProbe,
+      metric, idCol, vecCol, predicateCol, metadataCols, excludeSelf)
+    val truth = HybridGroundTruth.knnWithPerQueryPredicates(
+        queries, index.select((Seq(col("id").as(idCol),
+          col("vec").as(vecCol)) ++ metadataCols.map(col)): _*),
+        k, metric, idCol, vecCol, predicateCol, metadataCols, excludeSelf)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val truthN = truth.groupBy("query_id").agg(count(lit(1)).as("truth_n"))
+    val hits = pred.select("query_id", "neighbor_id")
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("h"))
+    routes.join(truthN, Seq("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .groupBy("route")
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg("est_eligible"), 4).as("avg_est_eligible"),
+        round(sum(coalesce(col("h"), lit(0L))).cast("double") /
+          sum("truth_n"), 6).as("recall"))
+  }
 }

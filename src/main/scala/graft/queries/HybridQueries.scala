@@ -743,5 +743,237 @@ object HybridQueries {
         tierCol = "tier", targetRecall = 0.5,
         metadataCols = Seq("label"), excludeSelf = true)
     },
+
+    // ROUTED filtered search — the dispatcher the q247 sweep showed is
+    // needed: per query, the GLOBAL eligible-mass estimate (predicate over
+    // the broadcast per-value stats rollup) picks the policy. Narrow
+    // (est ≤ 60) → exhaustive filtered scan (recall 1.0, cost = the tiny
+    // eligible set); wide (est ≥ 0.4·N) → fixed nProbe=4 pre-filter (width
+    // planning saturates there); between → stats-planned adaptive widths.
+    // The oracle replays the stats rollups, the route CASE, and all three
+    // search policies (exact ranking / q241's gated walk / q228's fixed
+    // probe cut) from first principles.
+    GQuery(
+      "q248_routed_filtered_search",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v, label FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, base.v, base.label, c.cell,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${cosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, label, cell FROM assignr WHERE rn = 1),
+         |stats AS (SELECT cell, label, count(*) AS n FROM assign GROUP BY cell, label),
+         |gstats AS (SELECT label, sum(n) AS n FROM stats GROUP BY label),
+         |tot AS (SELECT sum(n) AS total FROM gstats),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 130),
+         |est AS (
+         |  SELECT q.qid,
+         |         sum(CASE WHEN CASE q.qid % 3 WHEN 0 THEN g.label IN (0)
+         |                                      WHEN 1 THEN g.label >= 5
+         |                                      ELSE g.label IN (0, 1) END
+         |                  THEN g.n ELSE 0 END) AS est
+         |  FROM q CROSS JOIN gstats g GROUP BY q.qid),
+         |routes AS (
+         |  SELECT est.qid, est.est,
+         |         CASE WHEN est.est <= 60 THEN 'exact'
+         |              WHEN est.est >= 0.4 * (SELECT total FROM tot) THEN 'wide'
+         |              ELSE 'planned' END AS route
+         |  FROM est),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${cosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qv, cell, rn FROM probr WHERE rn <= 8),
+         |percell AS (
+         |  SELECT p.qid, p.rn,
+         |         sum(CASE WHEN s.n IS NOT NULL AND
+         |                       CASE p.qid % 3 WHEN 0 THEN s.label IN (0)
+         |                                      WHEN 1 THEN s.label >= 5
+         |                                      ELSE s.label IN (0, 1) END
+         |                  THEN s.n ELSE 0 END) AS elig
+         |  FROM probes p LEFT JOIN stats s ON s.cell = p.cell
+         |  GROUP BY p.qid, p.rn),
+         |cumt AS (SELECT qid, rn,
+         |                sum(elig) OVER (PARTITION BY qid ORDER BY rn) AS cum
+         |         FROM percell),
+         |widths AS (
+         |  SELECT qid,
+         |         greatest(coalesce(min(CASE WHEN cum >= 10 THEN rn END), 8), 1)
+         |           AS n_probe
+         |  FROM cumt GROUP BY qid),
+         |ex_cand AS (
+         |  SELECT q.qid, a.id AS nid, ${cosDist("q.qv", "a.v")} AS d
+         |  FROM q JOIN routes r ON r.qid = q.qid AND r.route = 'exact'
+         |       CROSS JOIN assign a
+         |  WHERE a.id <> q.qid
+         |    AND CASE q.qid % 3 WHEN 0 THEN a.label IN (0)
+         |                       WHEN 1 THEN a.label >= 5
+         |                       ELSE a.label IN (0, 1) END),
+         |pl_cand AS (
+         |  SELECT p.qid, a.id AS nid, ${cosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN routes r ON r.qid = p.qid AND r.route = 'planned'
+         |       JOIN widths w ON w.qid = p.qid AND p.rn <= w.n_probe
+         |       JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid
+         |    AND CASE p.qid % 3 WHEN 0 THEN a.label IN (0)
+         |                       WHEN 1 THEN a.label >= 5
+         |                       ELSE a.label IN (0, 1) END),
+         |wd_cand AS (
+         |  SELECT p.qid, a.id AS nid, ${cosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN routes r ON r.qid = p.qid AND r.route = 'wide'
+         |       JOIN assign a ON a.cell = p.cell AND p.rn <= 4
+         |  WHERE a.id <> p.qid
+         |    AND CASE p.qid % 3 WHEN 0 THEN a.label IN (0)
+         |                       WHEN 1 THEN a.label >= 5
+         |                       ELSE a.label IN (0, 1) END),
+         |ex_rank AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank,
+         |                   'exact' AS route FROM ex_cand),
+         |pl_rank AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank,
+         |                   'planned' AS route FROM pl_cand),
+         |wd_rank AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank,
+         |                   'wide' AS route FROM wd_cand)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank, route
+         |FROM (SELECT * FROM ex_rank UNION ALL SELECT * FROM pl_rank
+         |      UNION ALL SELECT * FROM wd_rank)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      import graft.operators.Ann
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val blobUdf = udf((qid: Long) => statsBlobFor(qid % 3))
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 130)
+        .withColumn("predicate", blobUdf(col("vec_id")))
+      val index = Ann.ivfIndexWithMeta(emb, centroids, metaCols = Seq("label"))
+      val stats = Ann.cellSelectivityStats(index, "label")
+      Ann.hybridSearchRouted(queries, index, centroids, stats, "label",
+          k = 5, exactMax = 60L, wideFraction = 0.4, nProbeWide = 4,
+          safety = 2.0, minProbe = 1, maxProbe = 8,
+          metadataCols = Seq("label"), excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("route"))
+    },
+
+    // The router's REPORT CARD: per route — query count, mean estimated
+    // eligible mass, recall vs the filtered exact truth. The exact row is
+    // structurally 1.0 (its scan IS the truth); the planned/wide rows are
+    // the dispatcher-attributed versions of the q246/q247 tier measurements.
+    // The oracle replays routes, all three policies, the shared truth and
+    // the per-route rollup.
+    GQuery(
+      "q249_router_report_card",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v, label FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, base.v, base.label, c.cell,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${cosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, label, cell FROM assignr WHERE rn = 1),
+         |stats AS (SELECT cell, label, count(*) AS n FROM assign GROUP BY cell, label),
+         |gstats AS (SELECT label, sum(n) AS n FROM stats GROUP BY label),
+         |tot AS (SELECT sum(n) AS total FROM gstats),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 130),
+         |est AS (
+         |  SELECT q.qid,
+         |         sum(CASE WHEN CASE q.qid % 3 WHEN 0 THEN g.label IN (0)
+         |                                      WHEN 1 THEN g.label >= 5
+         |                                      ELSE g.label IN (0, 1) END
+         |                  THEN g.n ELSE 0 END) AS est
+         |  FROM q CROSS JOIN gstats g GROUP BY q.qid),
+         |routes AS (
+         |  SELECT est.qid, est.est,
+         |         CASE WHEN est.est <= 60 THEN 'exact'
+         |              WHEN est.est >= 0.4 * (SELECT total FROM tot) THEN 'wide'
+         |              ELSE 'planned' END AS route
+         |  FROM est),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${cosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qv, cell, rn FROM probr WHERE rn <= 8),
+         |percell AS (
+         |  SELECT p.qid, p.rn,
+         |         sum(CASE WHEN s.n IS NOT NULL AND
+         |                       CASE p.qid % 3 WHEN 0 THEN s.label IN (0)
+         |                                      WHEN 1 THEN s.label >= 5
+         |                                      ELSE s.label IN (0, 1) END
+         |                  THEN s.n ELSE 0 END) AS elig
+         |  FROM probes p LEFT JOIN stats s ON s.cell = p.cell
+         |  GROUP BY p.qid, p.rn),
+         |cumt AS (SELECT qid, rn,
+         |                sum(elig) OVER (PARTITION BY qid ORDER BY rn) AS cum
+         |         FROM percell),
+         |widths AS (
+         |  SELECT qid,
+         |         greatest(coalesce(min(CASE WHEN cum >= 10 THEN rn END), 8), 1)
+         |           AS n_probe
+         |  FROM cumt GROUP BY qid),
+         |ex_cand AS (
+         |  SELECT q.qid, a.id AS nid, ${cosDist("q.qv", "a.v")} AS d
+         |  FROM q JOIN routes r ON r.qid = q.qid AND r.route = 'exact'
+         |       CROSS JOIN assign a
+         |  WHERE a.id <> q.qid
+         |    AND CASE q.qid % 3 WHEN 0 THEN a.label IN (0)
+         |                       WHEN 1 THEN a.label >= 5
+         |                       ELSE a.label IN (0, 1) END),
+         |pl_cand AS (
+         |  SELECT p.qid, a.id AS nid, ${cosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN routes r ON r.qid = p.qid AND r.route = 'planned'
+         |       JOIN widths w ON w.qid = p.qid AND p.rn <= w.n_probe
+         |       JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid
+         |    AND CASE p.qid % 3 WHEN 0 THEN a.label IN (0)
+         |                       WHEN 1 THEN a.label >= 5
+         |                       ELSE a.label IN (0, 1) END),
+         |wd_cand AS (
+         |  SELECT p.qid, a.id AS nid, ${cosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN routes r ON r.qid = p.qid AND r.route = 'wide'
+         |       JOIN assign a ON a.cell = p.cell AND p.rn <= 4
+         |  WHERE a.id <> p.qid
+         |    AND CASE p.qid % 3 WHEN 0 THEN a.label IN (0)
+         |                       WHEN 1 THEN a.label >= 5
+         |                       ELSE a.label IN (0, 1) END),
+         |ex_rank AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank FROM ex_cand),
+         |pl_rank AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank FROM pl_cand),
+         |wd_rank AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank FROM wd_cand),
+         |pred AS (SELECT qid, nid FROM (
+         |           SELECT * FROM ex_rank UNION ALL SELECT * FROM pl_rank
+         |           UNION ALL SELECT * FROM wd_rank) WHERE rank <= 5),
+         |elig2 AS (
+         |  SELECT q.qid, b.id, ${cosDist("q.qv", "b.v")} AS d
+         |  FROM q CROSS JOIN base b
+         |  WHERE b.id <> q.qid
+         |    AND CASE q.qid % 3 WHEN 0 THEN b.label IN (0)
+         |                       WHEN 1 THEN b.label >= 5
+         |                       ELSE b.label IN (0, 1) END),
+         |truth AS (SELECT qid, id AS nid FROM (
+         |            SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rk
+         |            FROM elig2) WHERE rk <= 5),
+         |tn AS (SELECT qid, count(*) AS truth_n FROM truth GROUP BY qid),
+         |hits AS (SELECT p.qid, count(*) AS h FROM pred p
+         |         JOIN truth t ON t.qid = p.qid AND t.nid = p.nid GROUP BY p.qid)
+         |SELECT r.route, count(*) AS n_queries,
+         |       round(avg(r.est), 4) AS avg_est_eligible,
+         |       round(sum(coalesce(h.h, 0))::DOUBLE / sum(tn.truth_n), 6) AS recall
+         |FROM routes r JOIN tn ON tn.qid = r.qid
+         |     LEFT JOIN hits h ON h.qid = r.qid
+         |GROUP BY r.route""".stripMargin) { (s, dir) =>
+      import graft.operators.Ann
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val blobUdf = udf((qid: Long) => statsBlobFor(qid % 3))
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 130)
+        .withColumn("predicate", blobUdf(col("vec_id")))
+      val index = Ann.ivfIndexWithMeta(emb, centroids, metaCols = Seq("label"))
+      val stats = Ann.cellSelectivityStats(index, "label")
+      Ann.routerReportCard(queries, index, centroids, stats, "label",
+        k = 5, exactMax = 60L, wideFraction = 0.4, nProbeWide = 4,
+        safety = 2.0, minProbe = 1, maxProbe = 8,
+        metadataCols = Seq("label"), excludeSelf = true)
+    },
   )
 }

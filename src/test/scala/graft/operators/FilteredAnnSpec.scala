@@ -341,6 +341,75 @@ class FilteredAnnSpec extends SparkSpec {
     assert(card._2 == 0.75) // 30 of 40 in the origin blob's cell
   }
 
+  test("routed search: routes match the eligible estimate; exact slice is the truth; all neighbors eligible") {
+    // labels are 0..9 × 20 rows: IN(0) → est 20, GE 5 → est 100, IN(0,1) → 40
+    def rBlob(mod: Long): Array[Byte] = PNodeCodec.encodeFramed(mod match {
+      case 0 => PredicateNode.namedTyped("label", OpType.IN, IntVal(0))
+      case 1 => PredicateNode.namedTyped("label", OpType.GE, IntVal(5))
+      case _ => PredicateNode.namedTyped("label", OpType.IN, IntVal(0), IntVal(1))
+    }, PNodeCodec.Mode.NamedTyped)
+    val rUdf = udf((qid: Long) => rBlob(qid % 3))
+    val q = base.filter(col("vec_id") >= 150).withColumn("predicate", rUdf(col("vec_id")))
+    val index = Ann.ivfIndexWithMeta(base, centroids, metaCols = Seq("label"))
+    val stats = Ann.cellSelectivityStats(index, "label")
+
+    // exactMax 25 → IN(0) exact; wideFraction 0.4 (80 of 200) → GE 5 wide;
+    // IN(0,1) in between → planned
+    val routes = Ann.routePlan(q, stats, "label", exactMax = 25L,
+        wideFraction = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(routes.length == 50)
+    routes.foreach { case (qid, est, route) =>
+      val (wantEst, wantRoute) = (qid % 3) match {
+        case 0 => (20L, "exact")
+        case 1 => (100L, "wide")
+        case _ => (40L, "planned")
+      }
+      assert(est == wantEst && route == wantRoute, s"q$qid: ($est, $route)")
+    }
+
+    val got = Ann.hybridSearchRouted(q, index, centroids, stats, "label",
+      k = 5, exactMax = 25L, wideFraction = 0.4, nProbeWide = 4,
+      safety = 2.0, minProbe = 1, maxProbe = 8,
+      metadataCols = Seq("label"), excludeSelf = true)
+    val rows = got.collect()
+    // route column agrees with the plan, for every returned row
+    val routeOf = routes.map(r => r._1 -> r._3).toMap
+    rows.foreach { r =>
+      assert(r.getString(r.fieldIndex("route")) == routeOf(r.getLong(0)))
+    }
+    // every neighbor satisfies its query's predicate
+    val labelOf = base.select(col("vec_id"), col("label"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(r.fieldIndex("neighbor_id")))
+      val ok = (qid % 3) match {
+        case 0 => labelOf(nid) == 0L
+        case 1 => labelOf(nid) >= 5L
+        case _ => labelOf(nid) <= 1L
+      }
+      assert(ok, s"q$qid neighbor $nid label ${labelOf(nid)}")
+    }
+    // the exact slice equals the filtered exact ground truth
+    val want = key(HybridGroundTruth.knnWithPerQueryPredicates(
+      q.filter(pmod(col("vec_id"), lit(3)) === 0), base, k = 5,
+      metadataCols = Seq("label"), excludeSelf = true))
+    val gotExact = key(got.filter(col("route") === "exact"))
+    assert(gotExact == want)
+
+    // report card: one row per route, exact recall structurally 1.0,
+    // query counts sum to the load
+    val card = Ann.routerReportCard(q, index, centroids, stats, "label",
+        k = 5, exactMax = 25L, wideFraction = 0.4, nProbeWide = 4,
+        safety = 2.0, minProbe = 1, maxProbe = 8,
+        metadataCols = Seq("label"), excludeSelf = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    assert(card.keySet == Set("exact", "planned", "wide"))
+    assert(card("exact")._2 == 1.0, s"exact route must be the truth: $card")
+    assert(card.values.map(_._1).sum == 50L)
+  }
+
   test("predicate naming a missing metadata column fails loudly") {
     val badBlob = PNodeCodec.encodeFramed(
       PredicateNode.namedTyped("nope", OpType.GE, IntVal(1)),
