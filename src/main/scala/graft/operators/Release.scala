@@ -194,6 +194,70 @@ object Release {
       metric = "EUCLIDEAN")
   }
 
+  /** TAKEDOWN sweep (right-to-be-forgotten): remove a set of doc ids from
+    * the release AND every derived artifact, with zero text rescans — a
+    * takedown is pure PRUNING, which is what makes it affordable at 100 TB
+    * (cost is O(artifact rows touched), never a corpus pass):
+    *
+    *  - pairs: any pair touching a removed id is dropped. This is also
+    *    where RESURRECTION comes from — a doc that was deduped away only
+    *    because of a removed near-duplicate re-enters the candidate set
+    *    (the kept copy must not vanish with the removed one).
+    *  - index / contam / scores: per-doc rows anti-joined away, so the
+    *    NEXT incremental release (and every band probe) can never match
+    *    against removed content.
+    *  - selection: re-run over the pruned scalars (one range shuffle; the
+    *    freed budget re-fills from the remaining density order).
+    *
+    * Returns (new selection, pruned artifacts). Invariant (q250's oracle):
+    * the new selection EQUALS the from-scratch pipeline on corpus ∖
+    * removals — pairs are a pairwise property and contam/scores are
+    * per-doc, so pruning commutes with recomputation.
+    */
+  def takedown(corpus: DataFrame, art: Artifacts, removals: DataFrame,
+      idCol: String, p: Params): (DataFrame, Artifacts) = {
+    val rem = removals.select(col(idCol).cast("long").as("id")).localCheckpoint()
+    val keepIds = corpus.select(col(idCol).cast("long").as("id"))
+      .join(rem, Seq("id"), "left_anti")
+    val pairs = art.pairs
+      .join(rem.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_anti")
+      .join(rem.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_anti")
+    val pruned = Artifacts(
+      art.index.join(rem, Seq("id"), "left_anti"),
+      pairs,
+      art.contam.join(rem, Seq("id"), "left_anti"),
+      art.scores.join(rem, Seq("id"), "left_anti"))
+    (select(keepIds, pruned.pairs, pruned.contam, pruned.scores, p), pruned)
+  }
+
+  /** Takedown COMPLETENESS audit — the card a compliance review reads:
+    * per artifact, how many rows referenced a removed id BEFORE the sweep
+    * (`refs_before`, the exposure) and how many still do AFTER
+    * (`leftover`, which must be 0 — computed by actually scanning the
+    * pruned outputs, not assumed). `selection` rows compare the old and
+    * new release sets the same way.
+    */
+  def takedownAudit(oldSel: DataFrame, newSel: DataFrame, oldArt: Artifacts,
+      prunedArt: Artifacts, removals: DataFrame, idCol: String): DataFrame = {
+    val spark = removals.sparkSession
+    import spark.implicits._
+    val rem = removals.select(col(idCol).cast("long").as("id")).localCheckpoint()
+    def refs(df: DataFrame, c: String): Long =
+      df.join(rem.withColumnRenamed("id", c), Seq(c), "left_semi").count()
+    def pairRefs(df: DataFrame): Long =
+      df.join(rem.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+        .unionByName(
+          df.join(rem.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi"))
+        .distinct().count()
+    Seq(
+      ("pairs", pairRefs(oldArt.pairs), pairRefs(prunedArt.pairs)),
+      ("index", refs(oldArt.index, "id"), refs(prunedArt.index, "id")),
+      ("contam", refs(oldArt.contam, "id"), refs(prunedArt.contam, "id")),
+      ("scores", refs(oldArt.scores, "id"), refs(prunedArt.scores, "id")),
+      ("selection", refs(oldSel, "id"), refs(newSel, "id")))
+      .toDF("artifact", "refs_before", "leftover")
+  }
+
   /** The release-set datasheet (what the selection ships with): doc count,
     * token volume, vocabulary size, mean chars — over the SELECTED docs.
     */

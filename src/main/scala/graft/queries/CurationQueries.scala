@@ -1446,6 +1446,86 @@ object CurationQueries {
         .select(col("cell"), col("doc_id"), col("n_tokens"), col("tok_start"),
           col("seq_first"), col("seq_last"), col("seq_offset"))
     },
+
+    // TAKEDOWN sweep (right-to-be-forgotten): remove doc_id % 9 == 4 from a
+    // released corpus by PRUNING the cached artifacts — no text is ever
+    // rescanned (the 100 TB affordability claim: a takedown costs the
+    // artifact anti-joins, not a corpus pass). The oracle replays the
+    // FROM-SCRATCH release on corpus ∖ removals; the hash equality is the
+    // commutation invariant (pairs are pairwise, contam/scores per-doc).
+    // Resurrection is inside it: docs deduped away only against a removed
+    // near-duplicate re-enter the selection.
+    GQuery(
+      "q250_takedown_release",
+      s"""WITH kept AS (SELECT doc_id, text FROM documents WHERE doc_id % 9 != 4),
+         |${benchShingleSql}
+         |${releaseSelSql("t_", "kept", 8000L)}
+         |SELECT doc_id, score, cost AS n_tok, cum_before FROM t_sel""".stripMargin) {
+      (s, dir) =>
+      import graft.operators.Release
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+      val p = Release.Params(budget = 8000L)
+      val art = Release.materialized(
+        Release.artifacts(docs, bench, "doc_id", "text", p))
+      val removals = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select("doc_id")
+      val (sel, _) = Release.takedown(docs, art, removals, "doc_id", p)
+      sel.select(col("id").as("doc_id"), col("score"),
+        col("cost").as("n_tok"), col("cum_before"))
+    },
+
+    // Takedown COMPLETENESS audit: per artifact, rows referencing a removed
+    // id BEFORE the sweep (the exposure a compliance review quantifies) and
+    // AFTER (leftover — computed by scanning the pruned outputs, so a
+    // buggy prune would surface as a non-zero, hash-mismatching row). The
+    // oracle predicts refs_before from first principles: exact-Jaccard
+    // pairs touching removals, per-doc artifact membership rules (index
+    // needs >= 3 tokens, scores >= 1, contam all docs), and the old
+    // selection replay.
+    GQuery(
+      "q251_takedown_audit",
+      s"""WITH rem AS (SELECT doc_id FROM documents WHERE doc_id % 9 = 4),
+         |v AS (SELECT doc_id, text FROM documents),
+         |${benchShingleSql}
+         |${releaseSelSql("o_", "v", 8000L)},
+         |opairs AS (
+         |  SELECT i.ia, i.ib FROM (
+         |    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS cnt
+         |    FROM o_sh a JOIN o_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) i
+         |  JOIN o_sz sa ON sa.doc_id = i.ia JOIN o_sz sb ON sb.doc_id = i.ib
+         |  WHERE cnt::DOUBLE / (sa.sz + sb.sz - cnt) >= 0.8),
+         |toklen AS (SELECT doc_id, len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS n
+         |           FROM documents)
+         |SELECT 'pairs' AS artifact,
+         |       (SELECT count(*) FROM opairs
+         |        WHERE ia IN (SELECT doc_id FROM rem) OR ib IN (SELECT doc_id FROM rem))
+         |         AS refs_before, 0::BIGINT AS leftover
+         |UNION ALL
+         |SELECT 'index',
+         |       (SELECT count(*) FROM toklen JOIN rem USING (doc_id) WHERE n >= 3), 0
+         |UNION ALL
+         |SELECT 'contam', (SELECT count(*) FROM rem), 0
+         |UNION ALL
+         |SELECT 'scores',
+         |       (SELECT count(*) FROM toklen JOIN rem USING (doc_id) WHERE n >= 1), 0
+         |UNION ALL
+         |SELECT 'selection',
+         |       (SELECT count(*) FROM o_sel JOIN rem USING (doc_id)), 0""".stripMargin) {
+      (s, dir) =>
+      import graft.operators.Release
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+      val p = Release.Params(budget = 8000L)
+      val art = Release.materialized(
+        Release.artifacts(docs, bench, "doc_id", "text", p))
+      val oldSel = Release.fromArtifacts(docs, art, "doc_id", p)
+      val removals = docs.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select("doc_id")
+      val (newSel, pruned) = Release.takedown(docs, art, removals, "doc_id", p)
+      Release.takedownAudit(oldSel, newSel, art, pruned, removals, "doc_id")
+    },
   )
 
   /** The q233/q234 version fixture: v2 = the documents table; v1 = v2
