@@ -245,7 +245,21 @@ object Main {
           contamMax = flags.getOrElse("contam-max", "0.5").toDouble,
           budget = flags.getOrElse("budget", "10000").toLong)
         val sel =
-          if (flags.contains("incremental")) {
+          if (flags.contains("takedown")) {
+            // right-to-be-forgotten sweep: prune --takedown ids from the
+            // corpus's artifacts (zero text rescans) and re-select;
+            // --takedown-audit emits the completeness card instead
+            val rm = spark.read.parquet(need("takedown")).select(idCol)
+            val art = graft.operators.Release.materialized(
+              graft.operators.Release.artifacts(newC, bench, idCol, textCol, p))
+            val (nsel, pruned) =
+              graft.operators.Release.takedown(newC, art, rm, idCol, p)
+            if (flags.contains("takedown-audit"))
+              graft.operators.Release.takedownAudit(
+                graft.operators.Release.fromArtifacts(newC, art, idCol, p),
+                nsel, art, pruned, rm, idCol)
+            else nsel
+          } else if (flags.contains("incremental")) {
             val oldC = spark.read.parquet(need("old"))
             val art = graft.operators.Release.artifacts(oldC, bench, idCol, textCol, p)
             graft.operators.Release.incremental(oldC, art, newC, bench, idCol, textCol, p)
@@ -291,7 +305,28 @@ object Main {
             val index = graft.operators.Ann.ivfIndexWithMeta(
               base, centroids, metaCols = metaCols)
             val np = flags.getOrElse("n-probe", "4").toInt
-            if (flags.contains("adaptive")) {
+            if (flags.contains("routed")) {
+              // selectivity-routed dispatch: exact / planned / wide per
+              // query from the global eligible estimate (routes on the
+              // FIRST --meta column); --routed-card reports per-route recall
+              val stats = graft.operators.Ann.cellSelectivityStats(
+                index, metaCols.head)
+              val exactMax = flags.getOrElse("exact-max", (10L * k).toString).toLong
+              val wideFrac = flags.getOrElse("wide-frac", "0.4").toDouble
+              val safety = flags.getOrElse("safety", "2.0").toDouble
+              if (flags.contains("routed-card"))
+                graft.operators.Ann.routerReportCard(queries, index,
+                  centroids, stats, metaCols.head, k, exactMax, wideFrac,
+                  nProbeWide = np, safety = safety, minProbe = 1,
+                  maxProbe = nList min (2 * np), metadataCols = metaCols,
+                  excludeSelf = exclSelf)
+              else
+                graft.operators.Ann.hybridSearchRouted(queries, index,
+                  centroids, stats, metaCols.head, k, exactMax, wideFrac,
+                  nProbeWide = np, safety = safety, minProbe = 1,
+                  maxProbe = nList min (2 * np), metadataCols = metaCols,
+                  excludeSelf = exclSelf)
+            } else if (flags.contains("adaptive")) {
               // stats-planned per-query widths (safety × k expected
               // eligible); plans on the FIRST --meta column
               val stats = graft.operators.Ann.cellSelectivityStats(
@@ -1013,12 +1048,12 @@ object Main {
       |  rrf --inputs A.parquet,B.parquet,... [--k N] [--c N]
       |  pq-encode --input PATH --out DIR [--m N] [--ksub N] [--seed S]
       |  pq-search --index DIR --query PATH [--k N] [--chunks N | --strategy auto]
-      |  hybrid-ann --base PARQUET --query PARQUET --meta C1,C2 --predicate JSON [--k N] [--n-list N] [--n-probe N [--guaranteed | --adaptive [--safety S]]] [--probes N,N,...] [--exclude-self]
+      |  hybrid-ann --base PARQUET --query PARQUET --meta C1,C2 --predicate JSON [--k N] [--n-list N] [--n-probe N [--guaranteed | --adaptive [--safety S] | --routed [--exact-max N] [--wide-frac F] [--routed-card]]] [--probes N,N,...] [--exclude-self]
       |  ivf-maintain --base PARQUET [--add PARQUET] [--delete PARQUET] [--meta C1,C2] [--n-list N] [--out BUNDLE] [--occupancy]
       |  ivf-staleness --old PARQUET --new PARQUET --queries PARQUET [--cells N] [--iters N] [--k N] [--n-probe N] [--exclude-self]
       |  rankeval --ranked PARQUET --truth PARQUET [--k N]
       |  ivf-search --index BUNDLE --query PARQUET [--k N] [--n-probe N] [--metric M] [--exclude-self]
-      |  release --new PARQUET --bench PARQUET [--incremental --old PARQUET] [--index-out PATH] [--budget N] [--threshold T] [--contam-max T] [--id-col C] [--text-col C]
+      |  release --new PARQUET --bench PARQUET [--incremental --old PARQUET | --takedown PARQUET [--takedown-audit]] [--index-out PATH] [--budget N] [--threshold T] [--contam-max T] [--id-col C] [--text-col C]
       |  asof --left PARQUET --right PARQUET --key K --time T --tie C --payload a,b
       |  sample --input PARQUET --key-col K (--strata-col S --fractions n=F,... [--default F] | --weight-col W --n N | --group-col G --n N)
       |  split --input PARQUET --key-col K --splits n=W,... [--out-col C]

@@ -572,6 +572,22 @@ class CliSpec extends SparkSpec {
       "--incremental", "--old", vp1, "--budget", "400")))
     assert(scratch.nonEmpty && incr == scratch)
 
+    // --takedown prunes artifacts and equals from-scratch on the reduced
+    // corpus; --takedown-audit's leftover column is all-zero
+    val rmP = s"$dir/rel-rm.parquet"
+    v2.filter(col("doc_id") % 10 === 0).select("doc_id")
+      .write.mode("overwrite").parquet(rmP)
+    val swept = rows(Main.run(spark, Seq("release", "--new", vp2,
+      "--bench", bp, "--budget", "400", "--takedown", rmP)))
+    val reducedP = s"$dir/rel-v2r.parquet"
+    v2.filter(col("doc_id") % 10 =!= 0).write.mode("overwrite").parquet(reducedP)
+    val reduced = rows(Main.run(spark, Seq("release", "--new", reducedP,
+      "--bench", bp, "--budget", "400")))
+    assert(swept == reduced)
+    val audit = Main.run(spark, Seq("release", "--new", vp2, "--bench", bp,
+      "--budget", "400", "--takedown", rmP, "--takedown-audit")).collect()
+    assert(audit.length == 5 && audit.forall(_.getLong(2) == 0L))
+
     // --index-out ships the selection's serving index as a self-contained
     // BUNDLE: cell-partitioned rows + the frozen quantizer
     val idxOut = s"$dir/rel-index"
@@ -631,6 +647,24 @@ class CliSpec extends SparkSpec {
     assert(card.keySet == Set(2L, 8L))
     assert(card(8L) == 1.0, s"exhaustive probe must hit recall 1.0: $card")
     assert(card(2L) <= card(8L))
+
+    // routed: label GE 3 keeps 1/4 of 120 rows (est 30); --exact-max 40
+    // routes everything exact, so results ARE the filtered truth and the
+    // card's single row reads recall 1.0
+    val routed = Main.run(spark, Seq("hybrid-ann", "--base", input,
+      "--query", qPath, "--meta", "label",
+      "--predicate", """{"field":"label","op":"GE","values":[3]}""",
+      "--k", "3", "--n-list", "8", "--n-probe", "2", "--routed",
+      "--exact-max", "40", "--exclude-self"))
+    assert(routed.select("route").distinct().collect()
+      .map(_.getString(0)).toSet == Set("exact"))
+    val rCard = Main.run(spark, Seq("hybrid-ann", "--base", input,
+      "--query", qPath, "--meta", "label",
+      "--predicate", """{"field":"label","op":"GE","values":[3]}""",
+      "--k", "3", "--n-list", "8", "--n-probe", "2", "--routed",
+      "--exact-max", "40", "--routed-card", "--exclude-self")).collect()
+    assert(rCard.length == 1 && rCard.head.getString(0) == "exact")
+    assert(rCard.head.getDouble(rCard.head.fieldIndex("recall")) == 1.0)
   }
 
   test("hybrid-ann --guaranteed fills short lists; ivf-maintain appends/deletes; ivf-staleness emits both configs") {
