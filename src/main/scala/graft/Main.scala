@@ -538,6 +538,20 @@ object Main {
         spark.read.parquet(need("input")).select(col(idC),
           graft.functions.TextFunctions.redactPii(col(txtC)).as(txtC))
 
+      case "blocklist" =>
+        // Aho-Corasick multi-term tagging: per-(doc, term) overlapping hit
+        // counts; --gate N emits the per-doc rollup with a blocked verdict
+        val bDocs = spark.read.parquet(need("input"))
+        val bId = flags.getOrElse("id-col", "doc_id")
+        val bTxt = flags.getOrElse("text-col", "text")
+        val bTerms = need("terms").split(",", -1).map(_.trim).filter(_.nonEmpty).toSeq
+        flags.get("gate") match {
+          case Some(g) =>
+            operators.Blocklist.hitCounts(bDocs, bId, bTxt, bTerms)
+              .withColumn("blocked", col("total_hits") >= g.toLong)
+          case None => operators.Blocklist.tagMatches(bDocs, bId, bTxt, bTerms)
+        }
+
       case "pack" =>
         // training-sequence packing: --manifest emits per-(sequence, slice)
         // loader rows, --sequences emits content-hashed materialized
@@ -1060,6 +1074,7 @@ object Main {
       |  chunk --input PARQUET [--max-tokens N] [--overlap N]
       |  quality --input PARQUET [--id-col C] [--text-col C]
       |  redact --input PARQUET [--id-col C] [--text-col C]
+      |  blocklist --input PARQUET --terms T1,T2,... [--gate N] [--id-col C] [--text-col C]
       |  pack --input PARQUET [--seq-len N] [--manifest | --sequences | --batches | --report] [--id-col C] [--text-col C]
       |  dupspans --input PARQUET [--width N] [--remove | --char [--min-len N]] [--id-col C] [--text-col C]
       |  semdedup --input PARQUET [--threshold T] [--n-bits N] [--n-tables N] [--cells K] [--iters N] [--id-col C] [--vec-col C]

@@ -1325,5 +1325,52 @@ object TextQueries {
       graft.operators.WordPiece.encodeWords(docs, "text", vocab, maxLen = 2)
         .select(col("word"), col("idx").cast("long").as("idx"), col("piece"))
     },
+
+    // BLOCKLIST tagging (Aho-Corasick): per-doc overlapping occurrence
+    // counts for a multi-term literal list in ONE pass per document —
+    // O(len + hits) independent of |terms|, vs the O(len·terms) per-term
+    // scan the oracle replays (the cross-join + position-scan form is the
+    // semantics spec; the automaton is the scale path). "slow fast" pins
+    // cross-word substring matching.
+    GQuery(
+      "q252_blocklist_tags",
+      """WITH terms AS (SELECT unnest(['table', 'spark', 'slow fast', 'customer', 'vector']) AS term),
+        |m AS (SELECT d.doc_id, t.term,
+        |        len(list_filter(range(1, length(lower(d.text)) - length(t.term) + 2),
+        |            i -> substr(lower(d.text), i::INT, length(t.term)::INT) = t.term)) AS n
+        |      FROM documents d CROSS JOIN terms t)
+        |SELECT doc_id, term, n::BIGINT AS n_hits FROM m WHERE n > 0""".stripMargin) {
+      (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      graft.operators.Blocklist.tagMatches(docs, "doc_id", "text",
+          Seq("table", "spark", "slow fast", "customer", "vector"))
+        .select(col("id").as("doc_id"), col("term"), col("n_hits"))
+    },
+
+    // Blocklist GATE: the per-doc rollup a filter stage reads — total and
+    // distinct hits over ALL docs (zero-hit docs surface with zeros) plus
+    // the gate verdict at a hit budget.
+    GQuery(
+      "q253_blocklist_gate",
+      """WITH terms AS (SELECT unnest(['table', 'spark', 'slow fast', 'customer', 'vector']) AS term),
+        |m AS (SELECT d.doc_id, t.term,
+        |        len(list_filter(range(1, length(lower(d.text)) - length(t.term) + 2),
+        |            i -> substr(lower(d.text), i::INT, length(t.term)::INT) = t.term)) AS n
+        |      FROM documents d CROSS JOIN terms t),
+        |r AS (SELECT doc_id,
+        |        coalesce(sum(CASE WHEN n > 0 THEN n END), 0)::BIGINT AS total_hits,
+        |        coalesce(sum(CASE WHEN n > 0 THEN 1 END), 0)::BIGINT AS distinct_terms
+        |      FROM m GROUP BY doc_id)
+        |SELECT doc_id, total_hits, distinct_terms,
+        |       total_hits >= 8 AS blocked
+        |FROM r""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      graft.operators.Blocklist.hitCounts(docs, "doc_id", "text",
+          Seq("table", "spark", "slow fast", "customer", "vector"))
+        .select(col("id").as("doc_id"), col("total_hits"),
+          col("distinct_terms"), (col("total_hits") >= 8).as("blocked"))
+    },
   )
 }

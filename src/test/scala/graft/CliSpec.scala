@@ -234,6 +234,17 @@ class CliSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(red(1L).contains("<EMAIL>") && !red(1L).contains("example.org"))
     assert(red(2L) == "tiny")
+
+    // blocklist: tag rows only for matched terms; --gate rolls up with the
+    // verdict and keeps zero-hit docs
+    val tags = Main.run(spark, Seq("blocklist", "--input", input,
+      "--terms", "the,tiny")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(tags == Set((1L, "the", 1L), (2L, "tiny", 1L)))
+    val gate = Main.run(spark, Seq("blocklist", "--input", input,
+      "--terms", "the,tiny", "--gate", "1")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("blocked")).toMap
+    assert(gate == Map(1L -> true, 2L -> true))
   }
 
   test("pack, dupspans, bm25 and mix drive the curation operators") {
