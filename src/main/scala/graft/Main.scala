@@ -199,6 +199,25 @@ object Main {
             s"unknown dedup method: $m (exact|minhash|jaccard|simhash)\n$usage")
         }
 
+      case "lsh-calibrate" =>
+        // S-curve calibration card: empirical vs analytic band-collision
+        // detection per (bands, rowsPerBand) config × Jaccard bucket, on a
+        // (sampled) corpus — picks banding geometry before a dedup run
+        val cDocs = spark.read.parquet(need("input"))
+        val cConfigs = need("configs").split(",", -1).map(_.trim).filter(_.nonEmpty)
+          .map { s =>
+            val Array(b, r) = s.split("x", 2)
+            (b.toInt, r.toInt)
+          }.toSeq
+        operators.Dedup.lshCalibrationCard(cDocs,
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("text-col", "text"),
+          n = flags.getOrElse("n", "3").toInt,
+          numPerms = flags.getOrElse("perms", "24").toInt,
+          configs = cConfigs,
+          nBuckets = flags.getOrElse("buckets", "5").toInt,
+          mode = hashMode)
+
       case "decontaminate" =>
         // per-doc n-gram containment of --input against --benchmark
         val docs = spark.read.parquet(need("input"))
@@ -1054,6 +1073,7 @@ object Main {
       |  slab-delete --slab DIR --ns NS --ordinals O1,O2,...
       |  slab-compact --slab DIR --ns NS
       |  dedup --input PARQUET [--method exact|minhash|jaccard|simhash] [--threshold T] [--df-cap N]
+      |  lsh-calibrate --input PARQUET --configs BxR,BxR,... [--perms N] [--n N] [--buckets N] [--hash md5|xx64] [--id-col C] [--text-col C]
       |  linededup --input PARQUET [--id-col C] [--text-col C] [--delim D]
       |  dsir --input PARQUET --target PARQUET [--id-col C] [--text-col C] [--buckets N]
       |  decontaminate --input PARQUET --benchmark PARQUET [--threshold T] [--bloom [--m-bits N] [--k-probes N]]

@@ -1118,4 +1118,99 @@ object Dedup {
         coalesce(col("_c"), col("id")).as("cluster_id"),
         coalesce(col("_k"), lit(true)).as("kept"))
   }
+
+  /** LSH S-CURVE CALIBRATION CARD: measured band-collision detection
+    * probability vs exact Jaccard similarity, per (bands, rowsPerBand)
+    * config — the instrument that picks the banding geometry for a target
+    * similarity threshold BEFORE committing a 100 TB dedup run to it. For
+    * every co-occurring pair (shares ≥ 1 shingle — the same inverted-index
+    * candidate stream the dedup itself uses) the card buckets its exact
+    * Jaccard and reports, per (config, bucket): pair count, the EMPIRICAL
+    * detected fraction (≥ 1 fully-agreeing band on the real signatures),
+    * and the THEORETICAL mean 1-(1-s^r)^b. Empirical vs theory agreement
+    * validates the signature kernel; the curve's position picks (b, r).
+    *
+    * Signatures are min-over-shingles of `mode.hash60(shingle + ":" + p)`
+    * (one hash namespace per permutation) — [[HashMode.Md5]] replays in
+    * DuckDB so the whole card oracles; production calibration can run
+    * [[HashMode.Xx64]] (same statistics, cheaper hash).
+    *
+    * Scale shape: run on a deterministic doc SAMPLE — the card is a
+    * statistical instrument, not a corpus pass. Candidate pairs are the
+    * inverted-index join (bounded by shingle co-occurrence); signatures
+    * are one kernel map over the sample; each config is a Column-side
+    * band comparison on the joined pair stream, no extra shuffle.
+    */
+  def lshCalibrationCard(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerms: Int, configs: Seq[(Int, Int)], nBuckets: Int = 5,
+      mode: HashMode = HashMode.Md5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(configs.nonEmpty, "lshCalibrationCard: no (bands, r) configs")
+    configs.foreach { case (b, r) =>
+      require(b > 0 && r > 0 && b * r <= numPerms,
+        s"config ($b, $r) needs b*r <= numPerms ($numPerms)")
+    }
+    require(nBuckets > 0, "nBuckets must be positive")
+
+    // distinct n-gram shingle STRINGS per doc (order-free set semantics)
+    val toks = filter(split(lower(coalesce(col(textCol), lit(""))), " "),
+      t => t =!= "")
+    val shingleArr = when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val docSh = docs.select(col(idCol).cast("long").as("id"),
+      shingleArr.as("shs")).filter(size(col("shs")) > 0).localCheckpoint()
+
+    // exact Jaccard over co-occurring pairs (the inverted-index stream)
+    val sh = docSh.select(col("id"), explode(col("shs")).as("shingle"))
+    val sizes = docSh.select(col("id"), size(col("shs")).cast("long").as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter"))).as("s"))
+
+    // real minhash signatures: one kernel map over the sample
+    val perms = numPerms
+    val hm = mode
+    val sigs = docSh.as[(Long, Seq[String])].map { case (id, shs) =>
+      val sig = Array.tabulate(perms) { p =>
+        var m = Long.MaxValue
+        shs.foreach { x =>
+          val v = hm.hash60(x + ":" + p)
+          if (v < m) m = v
+        }
+        m
+      }
+      (id, sig)
+    }.toDF("id", "sig")
+
+    val joined = pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("bucket",
+        least(floor(col("s") * nBuckets), lit(nBuckets - 1L)).cast("long"))
+      .localCheckpoint() // shared by every config's band comparison
+
+    configs.map { case (b, r) =>
+      val detected = exists(sequence(lit(0), lit(b - 1)),
+        bi => slice(col("sig_a"), bi * r + 1, lit(r)) ===
+          slice(col("sig_b"), bi * r + 1, lit(r)))
+      joined
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(detected.cast("double")), 6).as("detected_frac"),
+          round(avg(lit(1.0) -
+            pow(lit(1.0) - pow(col("s"), r), b)), 6).as("theory_p"))
+        .select(lit(s"b=$b,r=$r").as("config"), lit(b.toLong).as("bands"),
+          lit(r.toLong).as("rows_per_band"), col("bucket"), col("n_pairs"),
+          col("detected_frac"), col("theory_p"))
+    }.reduce(_ unionAll _)
+  }
 }

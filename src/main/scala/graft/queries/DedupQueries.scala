@@ -822,5 +822,53 @@ object DedupQueries {
           numPerms = 128, bands = 32, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     },
+
+    // LSH S-CURVE CALIBRATION: per (bands, rowsPerBand) config × exact-
+    // Jaccard bucket, the EMPIRICAL band-collision detection fraction on
+    // real minhash signatures beside the theoretical 1-(1-s^r)^b — the
+    // instrument that picks banding geometry for a target similarity
+    // threshold before a full dedup run commits to it. Runs on a
+    // deterministic doc sample (doc_id % 2 = 0); signatures are
+    // min-over-shingles of md5-60(shingle:perm), so the WHOLE card —
+    // shingles, pairs, signatures, band hits, both rollup columns —
+    // replays in DuckDB.
+    GQuery(
+      "q254_lsh_scurve_card",
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |tk AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t FROM d),
+        |shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS sh
+        |        FROM tk WHERE len(t) >= 3),
+        |sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+        |sz AS (SELECT doc_id, len(sh) AS sz FROM shl),
+        |pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pj AS (SELECT ia, ib, inter::DOUBLE / (sa.sz + sb.sz - inter) AS s
+        |       FROM pr JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib),
+        |pp AS (SELECT unnest(range(0, 24)) AS p),
+        |sg0 AS (SELECT sh.doc_id, pp.p,
+        |          min(('0x' || substr(md5(sh.shingle || ':' || pp.p::VARCHAR), 1, 15))::BIGINT) AS h
+        |        FROM sh CROSS JOIN pp GROUP BY 1, 2),
+        |sg AS (SELECT doc_id, list(h ORDER BY p) AS sig FROM sg0 GROUP BY doc_id),
+        |pjs AS (SELECT pj.ia, pj.ib, pj.s, a.sig AS siga, b.sig AS sigb,
+        |               least(floor(pj.s * 5), 4)::BIGINT AS bucket
+        |        FROM pj JOIN sg a ON a.doc_id = pj.ia JOIN sg b ON b.doc_id = pj.ib),
+        |cfg AS (SELECT * FROM (VALUES (8, 3), (4, 6), (12, 2)) AS t(b, r)),
+        |det AS (SELECT cfg.b, cfg.r, pjs.bucket, pjs.s,
+        |               len(list_filter(range(0, cfg.b),
+        |                   bi -> list_slice(siga, bi*cfg.r + 1, bi*cfg.r + cfg.r)
+        |                       = list_slice(sigb, bi*cfg.r + 1, bi*cfg.r + cfg.r))) > 0 AS hit
+        |        FROM pjs CROSS JOIN cfg)
+        |SELECT 'b=' || b::VARCHAR || ',r=' || r::VARCHAR AS config,
+        |       b::BIGINT AS bands, r::BIGINT AS rows_per_band, bucket,
+        |       count(*) AS n_pairs,
+        |       round(avg(CASE WHEN hit THEN 1.0 ELSE 0.0 END), 6) AS detected_frac,
+        |       round(avg(1.0 - pow(1.0 - pow(s, r), b)), 6) AS theory_p
+        |FROM det GROUP BY b, r, bucket""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0)
+      Dedup.lshCalibrationCard(docs, "doc_id", "text", n = 3, numPerms = 24,
+        configs = Seq((8, 3), (4, 6), (12, 2)), nBuckets = 5)
+    },
   )
 }

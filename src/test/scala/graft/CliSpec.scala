@@ -123,6 +123,14 @@ class CliSpec extends SparkSpec {
     val bloom = Main.run(spark, Seq("decontaminate", "--input", corpus,
       "--benchmark", bench, "--threshold", "0.9", "--bloom"))
     assert(bloom.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
+
+    // lsh-calibrate: the exact-dup pair sits in the top bucket and detects
+    // with probability 1 under every config (production xx64 hash default)
+    val cal = Main.run(spark, Seq("lsh-calibrate", "--input", corpus,
+      "--configs", "4x3,12x1", "--perms", "12"))
+    val top = cal.filter(col("bucket") === 4).collect()
+    assert(top.length == 2 && top.forall(r =>
+      r.getDouble(r.fieldIndex("detected_frac")) == 1.0))
   }
 
   test("compute-knn packages a reloadable ground-truth dataset") {
