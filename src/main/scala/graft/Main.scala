@@ -199,6 +199,19 @@ object Main {
             s"unknown dedup method: $m (exact|minhash|jaccard|simhash)\n$usage")
         }
 
+      case "shard" =>
+        // rendezvous (HRW) doc->shard layout; --to N emits the reshard
+        // stability card (HRW vs modulo) instead of assignments
+        val sDocs = spark.read.parquet(need("input"))
+        val sId = flags.getOrElse("id-col", "doc_id")
+        val sN = flags.getOrElse("shards", "16").toInt
+        flags.get("to") match {
+          case Some(m) => graft.layout.Sharding.reshardStabilityCard(
+            sDocs, sId, sN, m.toInt, hashMode)
+          case None =>
+            graft.layout.Sharding.rendezvousAssign(sDocs, sId, sN, hashMode)
+        }
+
       case "lsh-calibrate" =>
         // S-curve calibration card: empirical vs analytic band-collision
         // detection per (bands, rowsPerBand) config × Jaccard bucket, on a
@@ -1074,6 +1087,7 @@ object Main {
       |  slab-compact --slab DIR --ns NS
       |  dedup --input PARQUET [--method exact|minhash|jaccard|simhash] [--threshold T] [--df-cap N]
       |  lsh-calibrate --input PARQUET --configs BxR,BxR,... [--perms N] [--n N] [--buckets N] [--hash md5|xx64] [--id-col C] [--text-col C]
+      |  shard --input PARQUET [--shards N] [--to M] [--hash md5|xx64] [--id-col C]
       |  linededup --input PARQUET [--id-col C] [--text-col C] [--delim D]
       |  dsir --input PARQUET --target PARQUET [--id-col C] [--text-col C] [--buckets N]
       |  decontaminate --input PARQUET --benchmark PARQUET [--threshold T] [--bloom [--m-bits N] [--k-probes N]]

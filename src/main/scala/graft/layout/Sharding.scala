@@ -1,0 +1,71 @@
+package graft.layout
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashMode
+
+/** Rendezvous (highest-random-weight) sharding — STABLE doc→shard
+  * assignment for incremental corpus layout: when the shard count grows
+  * N→M, only the docs whose argmax lands on a NEW shard move (expected
+  * (M−N)/M of them), versus `id % N` sharding where almost everything
+  * moves. At 100 TB "reshard" is a data migration; HRW makes its size
+  * proportional to the growth, not the corpus.
+  *
+  * shard(id) = argmax over s ∈ [0, nShards) of hash60(id + ":" + s); ties
+  * break to the larger shard index (deterministic, and md5-mode replays in
+  * any SQL engine — the [[graft.functions.HashMode]] discipline).
+  *
+  * Scale shape: pure per-row Column arithmetic (one nShards-element
+  * higher-order transform + array_max), no shuffle, codegen-friendly;
+  * a repartition BY the shard column is the materialization step and is
+  * the only data movement.
+  */
+object Sharding {
+
+  /** Input columns + `shard` (long in [0, nShards)). */
+  def rendezvousAssign(df: DataFrame, idCol: String, nShards: Int,
+      mode: HashMode = HashMode.Md5): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    // struct comparison is lexicographic (h, then shard): max = highest
+    // hash, ties to the larger shard index
+    val best = array_max(transform(sequence(lit(0), lit(nShards - 1)),
+      s => struct(
+        mode.col60(concat(col(idCol).cast("string"), lit(":"),
+          s.cast("string"))).as("h"),
+        s.cast("long").as("shard"))))
+    df.withColumn("shard", best.getField("shard"))
+  }
+
+  /** Resharding stability card, `fromShards` → `toShards`: per policy
+    * (`hrw`, `modulo`), how many docs MOVE and the fraction, beside the
+    * analytic HRW expectation (M−N)/M for growth (null when shrinking —
+    * the argmax-removal distribution is not uniform). The modulo row is
+    * the baseline that shows why naive sharding cannot be grown in place.
+    */
+  def reshardStabilityCard(df: DataFrame, idCol: String, fromShards: Int,
+      toShards: Int, mode: HashMode = HashMode.Md5): DataFrame = {
+    require(fromShards > 0 && toShards > 0,
+      s"shard counts must be positive: $fromShards -> $toShards")
+    val ids = df.select(col(idCol))
+    val hrw = rendezvousAssign(ids, idCol, fromShards, mode)
+      .withColumnRenamed("shard", "s_from")
+      .join(rendezvousAssign(ids, idCol, toShards, mode)
+        .withColumnRenamed("shard", "s_to"), Seq(idCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s_from") =!= col("s_to"), 1L).otherwise(0L)).as("moved"))
+      .select(lit("hrw").as("policy"), col("n_docs"), col("moved"),
+        round(col("moved").cast("double") / col("n_docs"), 6).as("moved_frac"),
+        (if (toShards > fromShards)
+           round(lit((toShards - fromShards).toDouble / toShards), 6)
+         else lit(null).cast("double")).as("expected_frac"))
+    val modulo = ids
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(pmod(col(idCol), lit(fromShards)) =!=
+          pmod(col(idCol), lit(toShards)), 1L).otherwise(0L)).as("moved"))
+      .select(lit("modulo").as("policy"), col("n_docs"), col("moved"),
+        round(col("moved").cast("double") / col("n_docs"), 6).as("moved_frac"),
+        lit(null).cast("double").as("expected_frac"))
+    hrw.unionAll(modulo)
+  }
+}

@@ -264,5 +264,65 @@ object Relational {
           pmod(col("l_suppkey"), lit(64L)),
           pmod(col("l_orderkey"), lit(64L))), bits = 6).as("z"))
     },
+
+    // RENDEZVOUS (HRW) sharding: shard = argmax over shards of
+    // md5-60(id:shard), ties to the larger index — the stable doc→shard
+    // layout whose reshard migration is proportional to GROWTH, not corpus
+    // size. Pure per-row Column arithmetic (no shuffle); the oracle
+    // replays hash, argmax and tie-break per doc.
+    GQuery(
+      "q255_rendezvous_shard",
+      """WITH sh AS (SELECT unnest(range(0, 8)) AS s),
+        |h AS (SELECT d.doc_id, sh.s,
+        |        ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || sh.s::VARCHAR), 1, 15))::BIGINT AS h
+        |      FROM documents d CROSS JOIN sh),
+        |r AS (SELECT doc_id, s,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+        |      FROM h)
+        |SELECT doc_id, s::BIGINT AS shard FROM r WHERE rn = 1""".stripMargin) {
+      (s, dir) =>
+      graft.layout.Sharding.rendezvousAssign(
+          Tables.documents(s, dir).select("doc_id"), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"))
+    },
+
+    // Reshard stability card, 8 → 10 shards: HRW moves ~(10−8)/10 of docs
+    // (measured beside the analytic expectation); modulo sharding moves
+    // almost everything — the baseline that shows why naive layout cannot
+    // grow in place. The oracle replays both assignments and both rollups.
+    GQuery(
+      "q256_reshard_stability",
+      """WITH sh8 AS (SELECT unnest(range(0, 8)) AS s),
+        |sh10 AS (SELECT unnest(range(0, 10)) AS s),
+        |h8 AS (SELECT d.doc_id, sh8.s,
+        |        ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || sh8.s::VARCHAR), 1, 15))::BIGINT AS h
+        |      FROM documents d CROSS JOIN sh8),
+        |a8 AS (SELECT doc_id, s FROM (
+        |         SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+        |         FROM h8) WHERE rn = 1),
+        |h10 AS (SELECT d.doc_id, sh10.s,
+        |        ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || sh10.s::VARCHAR), 1, 15))::BIGINT AS h
+        |      FROM documents d CROSS JOIN sh10),
+        |a10 AS (SELECT doc_id, s FROM (
+        |         SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn
+        |         FROM h10) WHERE rn = 1),
+        |hrw AS (SELECT count(*) AS n_docs,
+        |               sum(CASE WHEN a8.s != a10.s THEN 1 ELSE 0 END)::BIGINT AS moved
+        |        FROM a8 JOIN a10 USING (doc_id)),
+        |md AS (SELECT count(*) AS n_docs,
+        |              sum(CASE WHEN doc_id % 8 != doc_id % 10 THEN 1 ELSE 0 END)::BIGINT AS moved
+        |       FROM documents)
+        |SELECT 'hrw' AS policy, n_docs, moved,
+        |       round(moved::DOUBLE / n_docs, 6) AS moved_frac,
+        |       0.2 AS expected_frac
+        |FROM hrw
+        |UNION ALL
+        |SELECT 'modulo', n_docs, moved,
+        |       round(moved::DOUBLE / n_docs, 6), NULL
+        |FROM md""".stripMargin) { (s, dir) =>
+      graft.layout.Sharding.reshardStabilityCard(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        fromShards = 8, toShards = 10)
+    },
   )
 }

@@ -131,6 +131,13 @@ class CliSpec extends SparkSpec {
     val top = cal.filter(col("bucket") === 4).collect()
     assert(top.length == 2 && top.forall(r =>
       r.getDouble(r.fieldIndex("detected_frac")) == 1.0))
+
+    // shard: total assignment in range; --to emits the two-policy card
+    val shd = Main.run(spark, Seq("shard", "--input", corpus, "--shards", "4"))
+    assert(shd.count() == 4 && shd.filter(col("shard") < 0 || col("shard") >= 4).count() == 0)
+    val shCard = Main.run(spark, Seq("shard", "--input", corpus,
+      "--shards", "4", "--to", "5"))
+    assert(shCard.collect().map(_.getString(0)).toSet == Set("hrw", "modulo"))
   }
 
   test("compute-knn packages a reloadable ground-truth dataset") {

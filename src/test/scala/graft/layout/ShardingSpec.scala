@@ -1,0 +1,59 @@
+package graft.layout
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.HashMode
+
+/** Rendezvous sharding: the HRW structural invariant (growth only STEALS
+  * to new shards — no reshuffling among surviving shards), rough balance,
+  * mode-agnostic statistics, and determinism.
+  */
+class ShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int) = (0L until n.toLong).toDF("doc_id")
+
+  test("growth N->M: every moved doc lands on a NEW shard (never old->old)") {
+    Seq(HashMode.Md5, HashMode.Xx64).foreach { m =>
+      val from = Sharding.rendezvousAssign(ids(2000), "doc_id", 8, m)
+        .withColumnRenamed("shard", "s_from")
+      val to = Sharding.rendezvousAssign(ids(2000), "doc_id", 12, m)
+        .withColumnRenamed("shard", "s_to")
+      val moved = from.join(to, "doc_id").filter(col("s_from") =!= col("s_to"))
+      val bad = moved.filter(col("s_to") < 8).count()
+      assert(bad == 0, s"mode ${m.name}: $bad docs moved old->old")
+      // moved fraction near (12-8)/12 = 1/3 (binomial tolerance)
+      val frac = moved.count().toDouble / 2000
+      assert(math.abs(frac - 1.0 / 3) < 0.05, s"mode ${m.name}: moved $frac")
+    }
+  }
+
+  test("assignment is balanced and total") {
+    val a = Sharding.rendezvousAssign(ids(4000), "doc_id", 8)
+    val counts = a.groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0L until 8L).toSet)
+    counts.values.foreach(c => assert(math.abs(c - 500.0) < 150, counts))
+    assert(a.count() == 4000)
+  }
+
+  test("deterministic: same ids, same shards, both modes") {
+    Seq(HashMode.Md5, HashMode.Xx64).foreach { m =>
+      val a = Sharding.rendezvousAssign(ids(500), "doc_id", 5, m)
+        .select("doc_id", "shard").as[(Long, Long)].collect().toSet
+      val b = Sharding.rendezvousAssign(ids(500), "doc_id", 5, m)
+        .select("doc_id", "shard").as[(Long, Long)].collect().toSet
+      assert(a == b)
+    }
+  }
+
+  test("stability card: shrink gives null expectation; bad counts fail loudly") {
+    val card = Sharding.reshardStabilityCard(ids(300), "doc_id", 10, 8)
+      .collect().map(r => r.getString(0) -> r.isNullAt(4)).toMap
+    assert(card("hrw") && card("modulo")) // both expected_frac null on shrink
+    intercept[IllegalArgumentException] {
+      Sharding.rendezvousAssign(ids(10), "doc_id", 0)
+    }
+  }
+}
