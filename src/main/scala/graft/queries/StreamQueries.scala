@@ -347,5 +347,36 @@ object StreamQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"))
     },
+
+    // STREAMING weighted reservoir: q163's Efraimidis–Spirakis sample
+    // built through foreachBatch — the ES key is a pure per-row function,
+    // so top-n of per-batch top-ns equals the batch sample EXACTLY (not
+    // statistically), under any batching. Same oracle as q163; bounded
+    // n-row driver state (ReservoirSpec pins multi-batch + redelivery).
+    GQuery(
+      "q257_stream_weighted_sample",
+      """WITH w AS (SELECT doc_id,
+        |             len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS w
+        |           FROM documents),
+        |k AS (SELECT doc_id, w,
+        |             ln((('0x' || substr(md5(doc_id::VARCHAR || ':wsample'), 1, 15))::BIGINT + 1)
+        |                / 1152921504606846976.0) / w AS es
+        |      FROM w WHERE w > 0)
+        |SELECT doc_id, w, round(es, 6) AS es_key
+        |FROM k ORDER BY es DESC, doc_id LIMIT 50""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("recursiveFileLookup", "false")
+        .parquet(dir)
+        .select(col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(lower(col("text"))))
+            .cast("long").as("w"))
+      graft.streaming.StreamSketch
+        .weightedReservoirFromStream(stream, "doc_id", "w", n = 50)
+        .toDF("doc_id", "w", "es")
+        .select(col("doc_id"), col("w"), round(col("es"), 6).as("es_key"))
+    },
   )
 }

@@ -114,4 +114,59 @@ object StreamSketch {
     q.awaitTermination()
     acc
   }
+
+  /** Bounded weighted RESERVOIR accumulator (Efraimidis–Spirakis): keeps
+    * the global top-`n` rows by the deterministic ES key
+    * `ln((md5_60(key:salt)+1)/2⁶⁰) / weight` — the same key
+    * [[graft.operators.Sampling.weightedSample]] orders by, recomputed
+    * identically on the driver, so streaming == batch EXACTLY (the key is
+    * a pure per-row function; top-n of per-batch top-ns is the global
+    * top-n). Merge is idempotent under redelivery (a retried batch's
+    * duplicate candidates dedupe before the cut), bounded at n rows of
+    * driver state regardless of stream length.
+    */
+  final class ReservoirAcc(n: Int, salt: String) {
+    require(n > 0, s"reservoir size must be positive, got $n")
+    private var buf = Vector.empty[(Long, Long)] // (key, weight)
+    private def es(key: Long, w: Long): Double =
+      math.log((graft.functions.StableHash.md5Hash60(s"$key:$salt") + 1)
+        .toDouble / math.pow(2, 60)) / w
+    def merge(cand: Seq[(Long, Long)]): Unit = {
+      buf = (buf ++ cand).distinct
+        .sortBy { case (k, w) => (-es(k, w), k) }
+        .take(n)
+    }
+    /** (key, weight, es_key) in sample order. */
+    def result: Seq[(Long, Long, Double)] =
+      buf.map { case (k, w) => (k, w, es(k, w)) }
+  }
+
+  /** Drain a STREAMING (key, weight) relation into a weighted sample
+    * without replacement of size `n` — each micro-batch contributes its
+    * own [[graft.operators.Sampling.weightedSample]] top-n, the
+    * accumulator keeps the global cut. Zero-weight rows drop (the batch
+    * operator's documented rule).
+    */
+  def weightedReservoirFromStream(rows: DataFrame, keyCol: String,
+      weightCol: String, n: Int, salt: String = "wsample"): Seq[(Long, Long, Double)] = {
+    val acc = new ReservoirAcc(n, salt)
+    val lock = new Object
+    val q = rows.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.col
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val top = graft.operators.Sampling
+          .weightedSample(batch, keyCol, weightCol, n, salt)
+          .select(col(keyCol).cast("long"), col(weightCol).cast("long"))
+          .as[(Long, Long)].collect().toSeq
+        lock.synchronized { acc.merge(top); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-res-stream").toString)
+      .start()
+    q.awaitTermination()
+    acc.result
+  }
 }
