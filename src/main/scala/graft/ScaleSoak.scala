@@ -350,6 +350,115 @@ object ScaleSoak {
     codes.unpersist()
     }
 
+    // --- round-10 session-3 surface at scale (SOAK_R10S3=0 skips): routed
+    // filtered serving at 1M, blocklist |terms|-independence at 200k docs,
+    // takedown cost vs from-scratch re-selection at 100k docs, HRW reshard
+    // at 10M ids.
+    if (sys.env.getOrElse("SOAK_R10S3", "1") != "0") {
+      import graft.predicates._
+      import graft.functions.HashMode
+
+      // routed dispatch at 1M x 64: three selectivity tiers through ONE
+      // load; the route column attributes cost per policy. lab has 1,000
+      // distinct values — the categorical broadcast-stats contract.
+      locally {
+        val metaBase = base.withColumn("lab", pmod(col("vec_id"), lit(1000)))
+        val cents = metaBase.filter(col("vec_id") < 256)
+          .select("vec_id", "embedding")
+        val rIndex = timed(s"routed: metadata index ($nBase x $dim, 256 cells)") {
+          val i = operators.Ann.ivfIndexWithMeta(metaBase, cents, metaCols = Seq("lab"))
+          i.cache(); i.count(); i
+        }
+        val stats = operators.Ann.cellSelectivityStats(rIndex, "lab")
+          .localCheckpoint()
+        def blob(lt: Long): Array[Byte] = PNodeCodec.encodeFramed(
+          PredicateNode.namedTyped("lab", OpType.LT, Comparand.IntVal(lt)),
+          PNodeCodec.Mode.NamedTyped)
+        val rUdf = udf((qid: Long) => (qid % 3) match {
+          case 0 => blob(1)   // ~0.1% eligible -> exact route
+          case 1 => blob(600) // ~60% -> wide
+          case _ => blob(50)  // ~5% -> planned
+        })
+        val rq = metaBase.filter(col("vec_id") < nQueries)
+          .withColumn("predicate", rUdf(col("vec_id")))
+        val routed = timed("routed filtered search (0.1%/5%/60% tiers, k=10)") {
+          val r = operators.Ann.hybridSearchRouted(rq, rIndex, cents, stats,
+            "lab", k = 10, exactMax = 2000L, wideFraction = 0.5,
+            nProbeWide = 16, safety = 2.0, minProbe = 4, maxProbe = 64,
+            metadataCols = Seq("lab"))
+          r.cache(); r.count(); r
+        }
+        routed.groupBy("route").agg(count_distinct(col("query_id")).as("q"))
+          .collect().sortBy(_.getString(0)).foreach(r =>
+            println(s"[soak] routed: route=${r.getString(0)} queries=${r.getLong(1)}"))
+        routed.unpersist(); rIndex.unpersist()
+      }
+
+      // blocklist: the SAME 200k-doc scan at 100 vs 5,000 distinct terms —
+      // Aho-Corasick cost is O(len + hits) per doc, so wall time must stay
+      // ~flat while a per-term scan would grow 50x
+      locally {
+        val bDocs = spark.range(200000).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 50).map(j =>
+            concat(lit("w"), pmod(col("id") * 31 + j, lit(5000)))): _*).as("text"))
+        bDocs.cache(); bDocs.count()
+        def run(n: Int): Long = timed(s"blocklist AC scan 200k docs x $n terms") {
+          operators.Blocklist.hitCounts(bDocs, "doc_id", "text",
+              (0 until n).map(i => "w" + (i * 7 % 5000)))
+            .agg(sum("total_hits")).collect()(0).getLong(0)
+        }
+        val h1 = run(100)
+        val h2 = run(5000)
+        println(s"[soak] blocklist total hits: 100-term=$h1 5000-term=$h2")
+        bDocs.unpersist()
+      }
+
+      // takedown at 100k docs: the sweep is artifact anti-joins + one
+      // scalar re-selection — measured against the from-scratch pipeline
+      // it replaces (which re-signatures the whole corpus)
+      locally {
+        val nRel = 100000L
+        val tDocs = spark.range(nRel).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 40).map(j =>
+            concat(lit("t"), pmod(col("id") * 13 + j * j, lit(20000)))): _*).as("text"))
+        tDocs.cache(); tDocs.count()
+        val bench = tDocs.filter(col("doc_id") % 97 === 0)
+        val p = operators.Release.Params(budget = nRel * 10)
+        val art = timed(s"takedown: build release artifacts ($nRel docs)") {
+          operators.Release.materialized(
+            operators.Release.artifacts(tDocs, bench, "doc_id", "text", p))
+        }
+        val scratch = timed("takedown baseline: from-scratch re-selection") {
+          operators.Release.fromScratch(
+            tDocs.filter(col("doc_id") % 11 =!= 3), bench, "doc_id", "text", p).count()
+        }
+        val swept = timed("takedown sweep: prune artifacts + re-select (9% removed)") {
+          operators.Release.takedown(tDocs, art,
+            tDocs.filter(col("doc_id") % 11 === 3).select("doc_id"),
+            "doc_id", p)._1.count()
+        }
+        require(swept == scratch,
+          s"takedown selection diverged: $swept vs $scratch")
+        println(s"[soak] takedown == from-scratch on reduced corpus: " +
+          s"$swept selected")
+        tDocs.unpersist()
+      }
+
+      // HRW sharding at 10M ids: pure projection assign + the reshard card
+      locally {
+        val ids = spark.range(10000000).toDF("doc_id")
+        timed("HRW assign 10M ids x 16 shards (xx64)") {
+          graft.layout.Sharding.rendezvousAssign(ids, "doc_id", 16, HashMode.Xx64)
+            .groupBy("shard").count().count()
+        }
+        val card = timed("HRW reshard card 16 -> 20 at 10M ids") {
+          graft.layout.Sharding.reshardStabilityCard(
+            ids, "doc_id", 16, 20, HashMode.Xx64).collect()
+        }
+        card.sortBy(_.getString(0)).foreach(r => println(
+          f"[soak] reshard ${r.getString(0)}: moved_frac=${r.getDouble(3)}%.4f"))
+      }
+    }
     // --- docs: synthetic corpus with planted near-dups (SOAK_DOCS=0 skips)
     val nDocs = sys.env.getOrElse("SOAK_DOCS", "50000").toLong
     if (nDocs == 0) { spark.stop(); return }
@@ -899,6 +1008,7 @@ object ScaleSoak {
       }
       relDocs.unpersist()
     }
+
     spark.stop()
   }
 }

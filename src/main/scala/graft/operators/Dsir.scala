@@ -70,4 +70,37 @@ object Dsir {
       .groupBy(col(idCol))
       .agg(round(sum(col("n") * col("llr")), 6).as("log_weight"))
   }
+
+  /** EFFECTIVE-SAMPLE-SIZE card for importance weights under log-weight
+    * clipping — the instrument that picks the clip BEFORE a resampling run
+    * commits to it: heavy-tailed importance weights make a weighted sample
+    * behave like far fewer documents (ESS = (Σw)²/Σw²), and clipping
+    * trades a little bias for a lot of effective mass. One row per clip:
+    * (clip, n, ess, ess_frac, clipped_frac). Weights are exp(min(lw, clip))
+    * computed as exp(min(lw, clip) − max(lw)) — ESS is scale-invariant, so
+    * the max-shift is pure overflow protection and drops out of the
+    * statistic.
+    *
+    * Scale shape: one max scalar + one aggregate pass per clip over
+    * (id, double) rows — no text, no shuffle beyond the partial aggregate.
+    */
+  def essCard(weights: DataFrame, idCol: String, logWeightCol: String,
+      clips: Seq[Double]): DataFrame = {
+    require(clips.nonEmpty, "essCard needs at least one clip threshold")
+    val lw = weights.select(col(idCol).cast("long").as("id"),
+      col(logWeightCol).cast("double").as("lw"))
+    val m = lw.agg(max("lw").as("m"))
+    val base = lw.crossJoin(broadcast(m))
+    clips.map { c =>
+      base
+        .select(exp(least(col("lw"), lit(c)) - col("m")).as("w"),
+          (col("lw") > c).cast("long").as("cl"))
+        .agg(count(lit(1)).as("n"), sum("w").as("sw"),
+          sum(col("w") * col("w")).as("sw2"), sum("cl").as("ncl"))
+        .select(lit(c).as("clip"), col("n"),
+          round(col("sw") * col("sw") / col("sw2"), 6).as("ess"),
+          round(col("sw") * col("sw") / col("sw2") / col("n"), 6).as("ess_frac"),
+          round(col("ncl").cast("double") / col("n"), 6).as("clipped_frac"))
+    }.reduce(_ unionAll _)
+  }
 }

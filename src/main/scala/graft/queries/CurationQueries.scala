@@ -1526,6 +1526,47 @@ object CurationQueries {
       val (newSel, pruned) = Release.takedown(docs, art, removals, "doc_id", p)
       Release.takedownAudit(oldSel, newSel, art, pruned, removals, "doc_id")
     },
+
+    // EFFECTIVE-SAMPLE-SIZE card for the q157 DSIR weights under log-weight
+    // clipping: heavy-tailed importance weights make a weighted corpus
+    // behave like far fewer documents; the card reports ESS = (Σw)²/Σw²
+    // (max-shifted exp — scale-invariant, so the shift drops out), the ESS
+    // fraction of n, and how much of the corpus each clip touches. The
+    // oracle replays the whole weight pipeline plus the card per clip.
+    GQuery(
+      "q258_ess_card",
+      """WITH tok AS (SELECT doc_id, lang,
+        |                    unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS t
+        |             FROM documents),
+        |b AS (SELECT doc_id, lang, ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS bucket FROM tok),
+        |tgt AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'zh' GROUP BY bucket),
+        |rawm AS (SELECT bucket, count(*) AS cr FROM b GROUP BY bucket),
+        |tt AS (SELECT sum(ct) AS st FROM tgt),
+        |tr AS (SELECT sum(cr) AS sr FROM rawm),
+        |llr AS (SELECT r.bucket,
+        |               ln((coalesce(t.ct, 0) + 1)::DOUBLE / (tt.st + 64)) -
+        |               ln((r.cr + 1)::DOUBLE / (tr.sr + 64)) AS llr
+        |        FROM rawm r LEFT JOIN tgt t USING (bucket) CROSS JOIN tt CROSS JOIN tr),
+        |dc AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY doc_id, bucket),
+        |w AS (SELECT dc.doc_id, round(sum(dc.n * llr.llr), 6) AS lw
+        |      FROM dc JOIN llr USING (bucket) GROUP BY dc.doc_id),
+        |mx AS (SELECT max(lw) AS m FROM w),
+        |cl AS (SELECT unnest([-10.0, 0.0, 10.0, 1000000.0]::DOUBLE[]) AS clip),
+        |e AS (SELECT cl.clip, exp(least(w.lw, cl.clip) - mx.m) AS ww,
+        |             CASE WHEN w.lw > cl.clip THEN 1 ELSE 0 END AS c
+        |      FROM w CROSS JOIN cl CROSS JOIN mx)
+        |SELECT clip, count(*) AS n,
+        |       round(sum(ww) * sum(ww) / sum(ww * ww), 6) AS ess,
+        |       round(sum(ww) * sum(ww) / sum(ww * ww) / count(*), 6) AS ess_frac,
+        |       round(sum(c)::DOUBLE / count(*), 6) AS clipped_frac
+        |FROM e GROUP BY clip""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val w = Dsir.importanceWeights(docs.select("doc_id", "text"),
+        docs.filter(col("lang") === "zh").select("text"),
+        "doc_id", "text", nBuckets = 64)
+      Dsir.essCard(w, "doc_id", "log_weight",
+        clips = Seq(-10.0, 0.0, 10.0, 1000000.0))
+    },
   )
 
   /** The q233/q234 version fixture: v2 = the documents table; v1 = v2

@@ -411,6 +411,25 @@ class PlanShapeSpec extends SparkSpec {
     }.nonEmpty, s"z-value fell out of codegen:\n$plan")
   }
 
+  test("Sharding.rendezvousAssign is a pure projection (ZERO exchanges) inside codegen") {
+    val df = spark.range(1000).toDF("doc_id")
+    val plan = executedPlan(
+      graft.layout.Sharding.rendezvousAssign(df, "doc_id", 16,
+        graft.functions.HashMode.Xx64))
+    assert(shuffleCount(plan) == 0)
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, s"HRW assign fell out of codegen:\n$plan")
+  }
+
+  test("Blocklist.tagMatches executes with ZERO shuffle exchanges (one scan pass)") {
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      concat(lit("alpha beta w"), col("id")).as("text"))
+    val plan = executedPlan(graft.operators.Blocklist.tagMatches(
+      docs, "doc_id", "text", Seq("alpha", "beta", "w1")))
+    assert(shuffleCount(plan) == 0)
+  }
+
   test("budgetSelect: exactly one exchange (the density range shuffle), no Window") {
     val d = spark.range(5000).select(col("id"),
       (pmod(col("id") * 31, lit(100L)) + 1).cast("double").as("score"),
