@@ -358,6 +358,38 @@ object Ranking {
       .drop("_grank", "_goff", "_gn")
   }
 
+  /** Cross-group QUANTILE NORMALIZATION: map each row's score onto the
+    * GLOBAL score distribution at the row's within-group percent rank —
+    * `norm = global_sorted[round(pr·(N−1)) + 1]` (1-based, pr the rounded
+    * [[groupedPercentRank]]). The curation use: per-domain/per-language
+    * quality scorers have incomparable scales; after normalization the
+    * p-th best document of EVERY group carries the same score, so one
+    * global threshold or budget order treats groups fairly (the same
+    * discipline as the q223 fair-budget selection, applied to the score
+    * axis instead of the cost axis).
+    *
+    * Scale shape: one grouped rank (range shuffle), one global rank, one
+    * scalar count, one join on the rank position — no Window, no text.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, outCol: String = "norm_score",
+      numParts: Int = 0): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column; pass a different outCol")
+    val pr = groupedPercentRank(df, groupCol, Seq(scoreCol, idCol), "_pr",
+      numParts)
+    val global = globalRank(
+        df.select(col(scoreCol), col(idCol)), Seq(scoreCol, idCol),
+        "_gpos", numParts)
+      .select(col("_gpos"), col(scoreCol).as(outCol))
+    val n = df.agg(count(lit(1)).as("_N"))
+    pr.crossJoin(broadcast(n))
+      .withColumn("_gpos",
+        (round(col("_pr") * (col("_N") - 1)) + 1).cast("long"))
+      .join(global, Seq("_gpos"))
+      .drop("_pr", "_N", "_gpos")
+  }
+
   /** 1-based in-group `row_number() OVER (PARTITION BY groupCol ORDER BY
     * orderCols)` from ONE global two-pass rank plus broadcast per-group
     * offsets — the window-free form every per-group top-k/sample

@@ -1372,5 +1372,34 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("total_hits"),
           col("distinct_terms"), (col("total_hits") >= 8).as("blocked"))
     },
+
+    // CROSS-GROUP QUANTILE NORMALIZATION: each doc's length score mapped
+    // onto the GLOBAL score distribution at its within-language percent
+    // rank — after this, the p-th longest doc of EVERY language carries
+    // the same score, so one global threshold treats languages fairly
+    // (incomparable per-group scorer scales are the curation problem this
+    // solves). The oracle replays grouped percent rank, the global sorted
+    // lookup position and the join.
+    GQuery(
+      "q259_quantile_normalize",
+      """WITH s AS (SELECT doc_id, lang,
+        |             len(list_filter(string_split(lower(text), ' '), x -> x != ''))::BIGINT AS score
+        |           FROM documents),
+        |n AS (SELECT count(*) AS nn FROM s),
+        |p AS (SELECT doc_id, lang, score,
+        |        round(percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id), 6) AS pr
+        |      FROM s),
+        |g AS (SELECT score, row_number() OVER (ORDER BY score, doc_id) AS r FROM s),
+        |ps AS (SELECT p.doc_id, p.lang, p.score,
+        |              (round(p.pr * (n.nn - 1)) + 1)::BIGINT AS gpos
+        |       FROM p CROSS JOIN n)
+        |SELECT ps.doc_id, ps.lang, ps.score, g.score AS norm_score
+        |FROM ps JOIN g ON g.r = ps.gpos""".stripMargin) { (s, dir) =>
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFunctions.tokens(lower(col("text"))))
+          .cast("long").as("score"))
+      graft.operators.Ranking.quantileNormalize(scored, "lang", "score", "doc_id")
+        .select("doc_id", "lang", "score", "norm_score")
+    },
   )
 }

@@ -251,4 +251,36 @@ class RankingSpec extends SparkSpec {
         "g", Seq("ord"), "v", "cum")
     }
   }
+
+  test("quantileNormalize: extremes map to global extremes; scales become comparable") {
+    import spark.implicits._
+    // group a scores in 1..100, group b in 1000..100000 — incomparable scales
+    val df = ((1L to 100L).map(i => (i, "a", i)) ++
+      (101L to 200L).map(i => (i, "b", (i - 100) * 1000))).toDF("id", "g", "s")
+    val norm = Ranking.quantileNormalize(df, "g", "s", "id")
+      .select(col("id"), col("g"), col("s"), col("norm_score"))
+      .as[(Long, String, Long, Long)].collect()
+    val globalMin = 1L
+    val globalMax = 100000L
+    // each group's best/worst hit the global extremes
+    Seq("a", "b").foreach { g =>
+      val grp = norm.filter(_._2 == g).sortBy(_._3)
+      assert(grp.head._4 == globalMin, s"group $g min -> ${grp.head._4}")
+      assert(grp.last._4 == globalMax, s"group $g max -> ${grp.last._4}")
+      // within-group order preserved under normalization
+      val ns = grp.map(_._4)
+      assert(ns.sorted.sameElements(ns), s"group $g order broken")
+    }
+    // the p-th ranked doc of both groups normalizes to the SAME value
+    val byRank = norm.groupBy(_._2).map { case (_, rows) =>
+      rows.sortBy(_._3).map(_._4).toSeq
+    }.toSeq
+    assert(byRank.head == byRank(1),
+      "equal within-group ranks must map to equal normalized scores")
+    // output column collision fails loudly
+    intercept[IllegalArgumentException] {
+      Ranking.quantileNormalize(
+        df.withColumn("norm_score", lit(0)), "g", "s", "id")
+    }
+  }
 }
