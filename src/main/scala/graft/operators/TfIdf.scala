@@ -100,4 +100,46 @@ object TfIdf {
       }
       .toDF(idCol, "hvec")
   }
+
+  /** PMI collocations: adjacent-token bigrams scored by pointwise mutual
+    * information, PMI = ln((c_ab·Nu²) / (Nb·c_a·c_b)) — the corpus-health
+    * instrument that surfaces boilerplate/templated phrase mass (high-PMI
+    * high-count pairs are glued phrases, not language). Every count is an
+    * exact integer aggregate; the PMI is ONE fixed double expression tree
+    * of those integers (engine-replayable — no fp summation anywhere).
+    * `minCount` bounds the pair relation before scoring; output is the
+    * top-`topK` by PMI (a bounded TakeOrdered, never a global sort of the
+    * vocabulary).
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1,
+      s"need minCount/topK >= 1, got $minCount/$topK")
+    val toks = filter(split(lower(coalesce(col(textCol), lit(""))), " "),
+      t => t =!= "")
+    val tokRel = docs.select(explode(toks).as("t")).localCheckpoint()
+    val bigrams = docs.select(toks.as("ts"))
+      .select(explode(when(size(col("ts")) >= 2,
+        transform(sequence(lit(0), size(col("ts")) - 2),
+          i => struct(element_at(col("ts"), i + 1).as("w1"),
+            element_at(col("ts"), i + 2).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .localCheckpoint()
+    val uni = tokRel.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val nu = tokRel.agg(count(lit(1)).as("nu"))
+    val nb = bigrams.agg(count(lit(1)).as("nb"))
+    val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bi
+      .join(uni.select(col("t").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("_pmi",
+        log((col("c_ab").cast("double") * col("nu") * col("nu")) /
+          (col("nb").cast("double") * col("c_a") * col("c_b"))))
+      .orderBy(col("_pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c_ab"), round(col("_pmi"), 6).as("pmi"))
+  }
 }

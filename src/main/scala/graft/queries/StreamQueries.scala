@@ -378,5 +378,52 @@ object StreamQueries {
         .toDF("doc_id", "w", "es")
         .select(col("doc_id"), col("w"), round(col("es"), 6).as("es_key"))
     },
+
+    // Per-user sliding-window z-score anomalies: each event against its
+    // own trailing 20 events. The frame sums run over integer CENTS, so
+    // the only floating point is the final mean/variance divisions + sqrt
+    // (single correctly-rounded ops) — the oracle replays the identical
+    // expression tree with the identical KEYED window (no global window
+    // anywhere).
+    GQuery(
+      "q260_sliding_zscore",
+      """WITH e AS (SELECT event_id, user_id, ts, round(value * 100)::BIGINT AS x
+        |           FROM events),
+        |w AS (SELECT event_id, user_id, x,
+        |        count(x) OVER win AS n,
+        |        sum(x) OVER win AS s1,
+        |        sum(x * x) OVER win AS s2
+        |      FROM e
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_id, user_id,
+        |        CASE WHEN n >= 5 AND (s2::DOUBLE - s1::DOUBLE * s1 / n) / (n - 1) > 0
+        |             THEN round((x::DOUBLE - s1::DOUBLE / n)
+        |                    / sqrt((s2::DOUBLE - s1::DOUBLE * s1 / n) / (n - 1)), 6)
+        |        END AS z
+        |      FROM w)
+        |SELECT event_id, user_id, z, coalesce(abs(z) > 3.0, FALSE) AS anomaly
+        |FROM z""".stripMargin) { (s, dir) =>
+      EventStreams.slidingZScore(Tables.events(s, dir),
+          window = 20, minPrev = 5, zThreshold = 3.0)
+        .select("event_id", "user_id", "z", "anomaly")
+    },
+
+    // Retention cohort matrix: users grouped by first-seen day, distinct
+    // active users per (cohort, days-since) — the engagement-decay card.
+    GQuery(
+      "q261_retention_cohort",
+      """WITH f AS (SELECT user_id, date_trunc('day', min(ts))::DATE AS cd
+        |           FROM events GROUP BY user_id),
+        |u AS (SELECT e.user_id, f.cd,
+        |             date_diff('day', f.cd, date_trunc('day', e.ts)::DATE) AS age_days
+        |      FROM events e JOIN f USING (user_id))
+        |SELECT strftime(cd, '%Y-%m-%d') AS cohort_day, age_days::BIGINT AS age_days,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM u GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      EventStreams.retentionCohort(Tables.events(s, dir))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("age_days").cast("long").as("age_days"), col("n_users"))
+    },
   )
 }

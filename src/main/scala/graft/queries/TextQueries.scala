@@ -1401,5 +1401,34 @@ object TextQueries {
       graft.operators.Ranking.quantileNormalize(scored, "lang", "score", "doc_id")
         .select("doc_id", "lang", "score", "norm_score")
     },
+
+    // PMI collocations: adjacent-bigram pointwise mutual information over
+    // exact integer counts (the only fp is one fixed expression tree per
+    // pair) — high-PMI high-count pairs are glued/templated phrases, the
+    // corpus-health signal boilerplate detection reads. Top-20 by PMI via
+    // a bounded TakeOrdered; the oracle replays counts, the PMI tree and
+    // the cut (parallel-unnest zip = the adjacent pairing).
+    GQuery(
+      "q262_pmi_collocations",
+      """WITH tk AS (SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |            FROM documents),
+        |un AS (SELECT unnest(t) AS w FROM tk),
+        |uni AS (SELECT w, count(*) AS c FROM un GROUP BY w),
+        |nu AS (SELECT count(*) AS nu FROM un),
+        |bg AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |       FROM tk WHERE len(t) >= 2),
+        |nb AS (SELECT count(*) AS nb FROM bg),
+        |bi AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2
+        |       HAVING count(*) >= 30),
+        |j AS (SELECT bi.w1, bi.w2, bi.c_ab, ua.c AS c_a, ub.c AS c_b
+        |      FROM bi JOIN uni ua ON ua.w = bi.w1 JOIN uni ub ON ub.w = bi.w2),
+        |p AS (SELECT w1, w2, c_ab,
+        |        ln((c_ab::DOUBLE * nu.nu * nu.nu) / (nb.nb::DOUBLE * c_a * c_b)) AS pmi
+        |      FROM j CROSS JOIN nu CROSS JOIN nb)
+        |SELECT w1, w2, c_ab, round(pmi, 6) AS pmi
+        |FROM p ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.operators.TfIdf.pmiCollocations(
+        Tables.documents(s, dir), "text", minCount = 30L, topK = 20)
+    },
   )
 }

@@ -113,4 +113,57 @@ object EventStreams {
         min("ts").as("session_start"), max("ts").as("session_end"),
         count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
   }
+
+  /** Per-key sliding-window ANOMALY flags: each event's value z-scored
+    * against its own trailing window (the `window` preceding events of the
+    * same user, exclusive of self). All window accumulations run over
+    * integer CENTS (`round(value·100)`), so the frame sums are bit-exact
+    * in any engine and only the final mean/variance divisions and the
+    * sqrt are floating point (single correctly-rounded IEEE ops) —
+    * engine-replayable to 6 decimals without fp-summation-order risk.
+    * Rows with fewer than `minPrev` preceding events emit no z (null) —
+    * the warm-up rule. The window is KEYED (one user per frame chain), so
+    * no single-partition global window exists in the plan.
+    */
+  def slidingZScore(events: DataFrame, window: Int = 20, minPrev: Int = 5,
+      zThreshold: Double = 3.0): DataFrame = {
+    require(window >= minPrev && minPrev >= 2,
+      s"need window >= minPrev >= 2, got window=$window minPrev=$minPrev")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-window, -1)
+    val cents = round(col("value") * 100).cast("long")
+    val withSums = events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("_x", cents)
+      .withColumn("_n", count(col("_x")).over(w))
+      .withColumn("_s1", sum(col("_x")).over(w))
+      .withColumn("_s2", sum(col("_x") * col("_x")).over(w))
+    // var in cents²: (s2 − s1²/n)/(n−1); z is scale-free so cents cancel
+    val mean = col("_s1").cast("double") / col("_n")
+    val variance = (col("_s2").cast("double") -
+      col("_s1").cast("double") * col("_s1") / col("_n")) / (col("_n") - 1)
+    val z = (col("_x").cast("double") - mean) / sqrt(variance)
+    withSums
+      .withColumn("z", when(col("_n") >= minPrev && variance > 0,
+        round(z, 6)).otherwise(lit(null).cast("double")))
+      .withColumn("anomaly",
+        coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .drop("_x", "_n", "_s1", "_s2")
+  }
+
+  /** Retention COHORT matrix: users grouped by first-seen day, then per
+    * (cohort_day, days since) the count of distinct users active — the
+    * standard engagement decay card. Two hash aggregates (first-seen per
+    * user, then the matrix); the user-day relation carries only ids and
+    * two dates.
+    */
+  def retentionCohort(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("age_days"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
 }
