@@ -407,13 +407,28 @@ object Main {
       case "ivf-search" =>
         // serve a self-contained index bundle (writeIndexBundle /
         // release --index-out): quantizer comes from the bundle, the scan
-        // reads only the probed cell partitions
-        graft.operators.Ann.searchBundle(
-          spark.read.parquet(need("query")), need("index"),
-          k = flags.getOrElse("k", "10").toInt,
-          nProbe = flags.getOrElse("n-probe", "4").toInt,
-          metric = flags.getOrElse("metric", "EUCLIDEAN"),
-          excludeSelf = flags.contains("exclude-self"))
+        // reads only the probed cell partitions. --predicate (PNode JSON)
+        // + --meta switch to filtered serving over the bundle's metadata
+        // columns; --guaranteed escalates starved lists.
+        val isQ = spark.read.parquet(need("query"))
+        val isK = flags.getOrElse("k", "10").toInt
+        val isNp = flags.getOrElse("n-probe", "4").toInt
+        val isM = flags.getOrElse("metric", "EUCLIDEAN")
+        val isXs = flags.contains("exclude-self")
+        flags.get("predicate") match {
+          case Some(pj) =>
+            val pb = graft.predicates.PNodeCodec.encodeFramed(
+              graft.predicates.PNodeJson.parse(pj),
+              graft.predicates.PNodeCodec.Mode.NamedTyped)
+            val mc = need("meta").split(",", -1).map(_.trim).filter(_.nonEmpty).toSeq
+            graft.operators.Ann.searchBundleFiltered(
+              isQ.withColumn("predicate", udf(() => pb).apply()),
+              need("index"), isK, isNp, metadataCols = mc, metric = isM,
+              excludeSelf = isXs, guaranteed = flags.contains("guaranteed"))
+          case None =>
+            graft.operators.Ann.searchBundle(isQ, need("index"), isK, isNp,
+              isM, excludeSelf = isXs)
+        }
 
       case "rankeval" =>
         // MRR@k + nDCG@k of a ranked parquet (query_id, neighbor_id, rank)
@@ -1100,7 +1115,7 @@ object Main {
       |  ivf-maintain --base PARQUET [--add PARQUET] [--delete PARQUET] [--meta C1,C2] [--n-list N] [--out BUNDLE] [--occupancy]
       |  ivf-staleness --old PARQUET --new PARQUET --queries PARQUET [--cells N] [--iters N] [--k N] [--n-probe N] [--exclude-self]
       |  rankeval --ranked PARQUET --truth PARQUET [--k N]
-      |  ivf-search --index BUNDLE --query PARQUET [--k N] [--n-probe N] [--metric M] [--exclude-self]
+      |  ivf-search --index BUNDLE --query PARQUET [--k N] [--n-probe N] [--metric M] [--predicate JSON --meta C1,C2 [--guaranteed]] [--exclude-self]
       |  release --new PARQUET --bench PARQUET [--incremental --old PARQUET | --takedown PARQUET [--takedown-audit]] [--index-out PATH] [--budget N] [--threshold T] [--contam-max T] [--id-col C] [--text-col C]
       |  asof --left PARQUET --right PARQUET --key K --time T --tie C --payload a,b
       |  sample --input PARQUET --key-col K (--strata-col S --fractions n=F,... [--default F] | --weight-col W --n N | --group-col G --n N)

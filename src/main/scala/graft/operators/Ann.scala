@@ -374,6 +374,40 @@ object Ann {
       excludeSelf)
   }
 
+  /** FILTERED serving from a persisted bundle — the full hybrid serving
+    * story in one call: quantizer from the bundle, probed-cell STATIC
+    * pruning on the cells scan, tombstones hidden, and each query's wire
+    * predicate eliminating candidates before the distance kernel
+    * ([[ivfSearchFiltered]]'s pre-filter semantics over the metadata
+    * columns [[ivfIndexWithMeta]] persisted into the bundle).
+    *
+    * `guaranteed = true` routes through [[ivfSearchFilteredGuaranteed]] —
+    * its escalation pass probes EVERY cell, so the cells scan is then
+    * deliberately unpruned (static pruning would silently empty the
+    * exhaustive pass; completeness beats the scan saving for the starved
+    * tail).
+    */
+  def searchBundleFiltered(queries: DataFrame, path: String, k: Int,
+      nProbe: Int, metadataCols: Seq[String], metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      predicateCol: String = "predicate", excludeSelf: Boolean = false,
+      guaranteed: Boolean = false): DataFrame = {
+    recoverBundle(path)
+    val spark = queries.sparkSession
+    val quant = readQuantizer(spark, path)
+    if (guaranteed) {
+      val live = liveRows(spark, path, readIndex(spark, s"$path/cells"))
+      ivfSearchFilteredGuaranteed(queries, live, quant, k, nProbe, metric,
+        idCol, vecCol, predicateCol, metadataCols, excludeSelf)
+    } else {
+      val cells = probedCells(queries, quant, nProbe, metric, idCol, vecCol)
+      val live = liveRows(spark, path,
+        readIndex(spark, s"$path/cells").filter(col("cell").isin(cells: _*)))
+      ivfSearchFiltered(queries, live, quant, k, nProbe, metric, idCol,
+        vecCol, predicateCol, metadataCols, excludeSelf)
+    }
+  }
+
   /** Tombstone ids in a persisted bundle (one parquet append under
     * `path/tombstones`): [[searchBundle]] hides them immediately;
     * [[compactBundle]] reclaims the space. The slab-delete discipline

@@ -55,6 +55,40 @@ object HybridQueries {
        | / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE*x::DOUBLE)))
        |  * sqrt(list_sum(list_transform($b, x -> x::DOUBLE*x::DOUBLE)))))""".stripMargin
 
+  /** From-first-principles replay of the filtered IVF search (q50 IVF ×
+    * q56 predicate CASE) — shared by q228 (in-memory index) and q263
+    * (the identical search served from a persisted bundle).
+    */
+  private lazy val ivfFilteredOracleSql: String =
+    s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+    |base AS (SELECT vec_id AS id, embedding AS v, label FROM embeddings),
+    |assignr AS (
+    |  SELECT base.id, base.v, base.label, c.cell,
+    |         row_number() OVER (PARTITION BY base.id
+    |                            ORDER BY ${cosDist("base.v", "c.ce")}, c.cell) AS rn
+    |  FROM base CROSS JOIN c),
+    |assign AS (SELECT id, v, label, cell FROM assignr WHERE rn = 1),
+    |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+    |      WHERE vec_id >= 100 AND vec_id < 120),
+    |probr AS (
+    |  SELECT q.qid, q.qv, c.cell,
+    |         row_number() OVER (PARTITION BY q.qid
+    |                            ORDER BY ${cosDist("q.qv", "c.ce")}, c.cell) AS rn
+    |  FROM q CROSS JOIN c),
+    |probes AS (SELECT qid, qv, cell FROM probr WHERE rn <= 4),
+    |cand AS (
+    |  SELECT p.qid, a.id AS nid, ${cosDist("p.qv", "a.v")} AS d
+    |  FROM probes p JOIN assign a ON a.cell = p.cell
+    |  WHERE a.id <> p.qid
+    |    AND CASE p.qid % 3
+    |          WHEN 0 THEN a.label IN (0, 1, 2, 3)
+    |          WHEN 1 THEN a.label >= 5
+    |          ELSE TRUE END)
+    |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+    |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+    |  FROM cand)
+    |WHERE rank <= 5""".stripMargin
+
   val all: Seq[GQuery] = Seq(
     GQuery(
       "q56_hybrid_per_query_pred",
@@ -91,36 +125,12 @@ object HybridQueries {
     // oracle replays q50's from-first-principles IVF with the q56 CASE
     // applied to the candidate set, so assignment, probe selection,
     // predicate semantics and ranking are all checked together.
+    // (The same oracle also pins q263 — the identical search served from a
+    // PERSISTED bundle, where round-tripping the index through the
+    // cell-partitioned parquet must change nothing.)
     GQuery(
       "q228_ivf_filtered",
-      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
-         |base AS (SELECT vec_id AS id, embedding AS v, label FROM embeddings),
-         |assignr AS (
-         |  SELECT base.id, base.v, base.label, c.cell,
-         |         row_number() OVER (PARTITION BY base.id
-         |                            ORDER BY ${cosDist("base.v", "c.ce")}, c.cell) AS rn
-         |  FROM base CROSS JOIN c),
-         |assign AS (SELECT id, v, label, cell FROM assignr WHERE rn = 1),
-         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-         |      WHERE vec_id >= 100 AND vec_id < 120),
-         |probr AS (
-         |  SELECT q.qid, q.qv, c.cell,
-         |         row_number() OVER (PARTITION BY q.qid
-         |                            ORDER BY ${cosDist("q.qv", "c.ce")}, c.cell) AS rn
-         |  FROM q CROSS JOIN c),
-         |probes AS (SELECT qid, qv, cell FROM probr WHERE rn <= 4),
-         |cand AS (
-         |  SELECT p.qid, a.id AS nid, ${cosDist("p.qv", "a.v")} AS d
-         |  FROM probes p JOIN assign a ON a.cell = p.cell
-         |  WHERE a.id <> p.qid
-         |    AND CASE p.qid % 3
-         |          WHEN 0 THEN a.label IN (0, 1, 2, 3)
-         |          WHEN 1 THEN a.label >= 5
-         |          ELSE TRUE END)
-         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
-         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
-         |  FROM cand)
-         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      ivfFilteredOracleSql) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val centroids = emb.filter(col("vec_id") < 16)
       val blobUdf = udf((qid: Long) => blobFor(qid % 3))
@@ -133,6 +143,31 @@ object HybridQueries {
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"))
     },
+
+    // FILTERED serving from a PERSISTED bundle: q228's search with the
+    // index round-tripped through writeIndexBundle (cell-partitioned
+    // parquet + frozen quantizer) and served from the path alone — static
+    // probed-cell pruning, tombstone anti-join (empty here) and the
+    // per-query pre-filter composed in one call. The oracle is q228's:
+    // persistence must change NOTHING.
+    GQuery(
+      "q263_bundle_filtered_search",
+      ivfFilteredOracleSql) { (s, dir) =>
+      import graft.operators.Ann
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val blobUdf = udf((qid: Long) => blobFor(qid % 3))
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+        .withColumn("predicate", blobUdf(col("vec_id")))
+      val index = Ann.ivfIndexWithMeta(emb, centroids, metaCols = Seq("label"))
+      val path = s"${tmpDir()}/bundle-flt-${System.nanoTime()}"
+      Ann.writeIndexBundle(index, centroids, path)
+      Ann.searchBundleFiltered(queries, path, k = 5, nProbe = 4,
+          metadataCols = Seq("label"), excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+    },
+
 
     // Recall-vs-selectivity card for filtered IVF: three selectivity tiers
     // (~10% / ~1% / ~50% of the corpus) × four probe widths, recall

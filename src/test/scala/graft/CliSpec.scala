@@ -745,6 +745,25 @@ class CliSpec extends SparkSpec {
       "--add", addPath, "--delete", delPath, "--occupancy"))
     assert(occ.agg(sum("n")).collect().head.getLong(0) == 108L)
 
+    // filtered serving from a bundle via the CLI: every neighbor satisfies
+    // the predicate; --guaranteed fills lists at a starving probe width
+    val bundlePath = s"$dir/cli-bundle"
+    val bIdx = graft.operators.Ann.ivfIndexWithMeta(
+      spark.read.parquet(input),
+      spark.read.parquet(input).filter(col("vec_id") < 8),
+      metaCols = Seq("label"))
+    graft.operators.Ann.writeIndexBundle(bIdx,
+      spark.read.parquet(input).filter(col("vec_id") < 8), bundlePath)
+    val fServe = Main.run(spark, Seq("ivf-search", "--index", bundlePath,
+      "--query", qPath, "--meta", "label", "--metric", "COSINE",
+      "--predicate", """{"field":"label","op":"GE","values":[3]}""",
+      "--k", "5", "--n-probe", "1", "--guaranteed", "--exclude-self"))
+    val fRows = fServe.join(spark.read.parquet(input)
+        .select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+    assert(fRows.select("label").collect().map(_.getLong(0)).forall(_ >= 3L))
+    val fPerQ = fServe.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(fPerQ.length == 10 && fPerQ.forall(_ == 5L))
+
     // staleness: two configs, sane measurements
     val card = Main.run(spark, Seq("ivf-staleness", "--old", basePath,
       "--new", input, "--queries", qPath, "--cells", "4", "--k", "3",

@@ -183,3 +183,57 @@ class IvfIndexPersistenceSpec extends graft.SparkSpec {
     }
   }
 }
+
+class BundleFilteredSpec extends graft.SparkSpec {
+  import graft.predicates._
+  import Comparand._
+
+  private def blob(ge: Long): Array[Byte] = PNodeCodec.encodeFramed(
+    PredicateNode.namedTyped("label", OpType.GE, IntVal(ge)),
+    PNodeCodec.Mode.NamedTyped)
+
+  test("bundle filtered serving == in-memory filtered search; tombstones drop eligible ids; guaranteed fills lists") {
+    import graft.operators.Ann
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("label", pmod(col("vec_id"), lit(10L)))
+    val centroids = emb.filter(col("vec_id") < 8).select("vec_id", "embedding")
+    val index = Ann.ivfIndexWithMeta(emb, centroids, metaCols = Seq("label"))
+    val path = s"target/bundle-flt-${System.nanoTime()}"
+    Ann.writeIndexBundle(index, centroids, path)
+    val b5: Array[Byte] = blob(5) // capture the value, not the spec instance
+    val bUdf = udf(() => b5)
+    val q = emb.filter(col("vec_id") < 5).withColumn("predicate", bUdf())
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"), col("rank").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = key(Ann.ivfSearchFiltered(q, index, centroids, k = 5,
+      nProbe = 4, metadataCols = Seq("label"), excludeSelf = true))
+    val served = key(Ann.searchBundleFiltered(q, path, k = 5, nProbe = 4,
+      metadataCols = Seq("label"), excludeSelf = true))
+    assert(served == direct && served.nonEmpty)
+    // every served neighbor satisfies the predicate
+    val labelOf = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Long)].collect().toMap
+    served.foreach { case (_, nid, _) => assert(labelOf(nid) >= 5L) }
+
+    // tombstone two previously-returned neighbors: they vanish, parity
+    // with a filtered search over the pruned in-memory index holds
+    val dead = served.map(_._2).take(2).toSeq
+    Ann.deleteFromBundle(dead.toDF("vec_id"), path)
+    val after = key(Ann.searchBundleFiltered(q, path, k = 5, nProbe = 4,
+      metadataCols = Seq("label"), excludeSelf = true))
+    assert(after.forall(r => !dead.contains(r._2)))
+    val prunedIdx = index.filter(!col("id").isInCollection(dead))
+    assert(after == key(Ann.ivfSearchFiltered(q, prunedIdx, centroids, k = 5,
+      nProbe = 4, metadataCols = Seq("label"), excludeSelf = true)))
+
+    // guaranteed through the bundle: nProbe=1 starves under the filter;
+    // every query still returns min(k, |eligible|) rows
+    val g = Ann.searchBundleFiltered(q, path, k = 5, nProbe = 1,
+      metadataCols = Seq("label"), excludeSelf = true, guaranteed = true)
+    val perQ = g.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQ.length == 5 && perQ.forall(_ == 5L))
+  }
+}
