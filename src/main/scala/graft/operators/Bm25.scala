@@ -53,4 +53,47 @@ object Bm25 {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** Dirichlet-smoothed QUERY-LIKELIHOOD retrieval — the language-model
+    * ranker next to [[bm25]] (two independent lexical rankers make ranker
+    * disagreement measurable, [[Eval.rankAgreement]]). Uses the standard
+    * postings-only decomposition
+    * `score(d) = Σ_{t ∈ d∩q} ln(1 + tf/(μ·p(t|C))) + |q_eff|·ln(μ/(len+μ))`
+    * (rank-equivalent to the full Dirichlet query likelihood), where
+    * `p(t|C) = ctf/total` and `|q_eff|` counts query terms that occur in
+    * the collection at all (a ctf=0 term has likelihood 0 under every
+    * document — it carries no ranking signal and is dropped, documented).
+    * Candidates are docs matching ≥ 1 query term (the same candidate
+    * discipline as BM25's postings).
+    *
+    * Scale shape mirrors [[bm25]]: term-filtered postings, broadcast
+    * collection stats, TakeOrdered top-k.
+    */
+  def queryLikelihood(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, mu: Double = 300.0): DataFrame = {
+    require(terms.nonEmpty, "queryLikelihood: at least one query term")
+    require(k > 0 && mu > 0, s"queryLikelihood: bad k=$k or mu=$mu")
+    val qTerms = terms.map(_.toLowerCase).distinct
+    val toks = docs.select(col(idCol).as("id"),
+      TextFunctions.tokens(lower(coalesce(col(textCol), lit("")))).as("toks"))
+    val allToks = toks.select(col("id"), size(col("toks")).cast("double").as("len"),
+      explode(col("toks")).as("tok"))
+    val total = allToks.agg(count(lit(1)).cast("double").as("total"))
+    // collection term frequency of each query term (ctf=0 terms drop)
+    val ctf = allToks.filter(col("tok").isin(qTerms: _*))
+      .groupBy("tok").agg(count(lit(1)).cast("double").as("ctf"))
+    val nEff = ctf.agg(count(lit(1)).cast("double").as("n_eff"))
+    val tf = allToks.filter(col("tok").isin(qTerms: _*))
+      .groupBy("id", "len", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    tf.join(broadcast(ctf), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("_s", log(lit(1.0) +
+        col("tf") * col("total") / (lit(mu) * col("ctf"))))
+      .groupBy("id", "len").agg(sum("_s").as("_hits"))
+      .crossJoin(broadcast(nEff))
+      .select(col("id"), round(col("_hits") +
+        col("n_eff") * log(lit(mu) / (col("len") + mu)), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
 }

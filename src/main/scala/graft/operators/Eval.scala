@@ -162,4 +162,32 @@ object Eval {
         round(avg("mrr_q"), 4).as("mrr"),
         round(avg("ndcg_q"), 4).as("ndcg"))
   }
+
+  /** RANK-AGREEMENT card between two top-k lists (id + 1-based rank each):
+    * overlap size, Jaccard@k, and the Spearman FOOTRULE (mean |rank_a −
+    * rank_b| over the intersection — 0 = identical order on shared items).
+    * The instrument that says whether two rankers (BM25 vs query
+    * likelihood, binary vs exact, stale vs retrained) disagree enough to
+    * be worth fusing (q215's RRF) or auditing. One outer join of two
+    * ≤k-row relations.
+    */
+  def rankAgreement(a: DataFrame, b: DataFrame, k: Int,
+      idCol: String = "id", rankCol: String = "rank"): DataFrame = {
+    require(k > 0, s"rankAgreement: k must be positive, got $k")
+    val aa = a.select(col(idCol).cast("long").as("id"),
+      col(rankCol).cast("long").as("ra")).filter(col("ra") <= k)
+    val bb = b.select(col(idCol).cast("long").as("id"),
+      col(rankCol).cast("long").as("rb")).filter(col("rb") <= k)
+    aa.join(bb, Seq("id"), "full_outer")
+      .agg(
+        sum(when(col("ra").isNotNull && col("rb").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"),
+        count(lit(1)).as("n_union"),
+        coalesce(round(avg(when(col("ra").isNotNull && col("rb").isNotNull,
+          abs(col("ra") - col("rb")))), 6), lit(0.0)).as("footrule"))
+      .select(col("n_common"), col("n_union"),
+        round(col("n_common").cast("double") / col("n_union"), 6)
+          .as("jaccard"),
+        col("footrule"))
+  }
 }

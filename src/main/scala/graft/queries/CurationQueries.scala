@@ -209,6 +209,92 @@ object CurationQueries {
         .select(col("id").as("doc_id"), col("score"))
     },
 
+    // Dirichlet query-likelihood retrieval (the language-model ranker next
+    // to q120's BM25): postings-only decomposition — per-hit ln(1 +
+    // tf·total/(μ·ctf)) plus the per-doc |q_eff|·ln(μ/(len+μ)) length
+    // term. The oracle replays ctf/total, both terms and the tie rule
+    // with the identical expression tree.
+    GQuery(
+      "q264_ql_topk",
+      """WITH toks AS (SELECT doc_id,
+        |                     list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+        |              FROM documents),
+        |lens AS (SELECT doc_id, len(toks)::DOUBLE AS len FROM toks),
+        |alltok AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+        |total AS (SELECT count(*)::DOUBLE AS total FROM alltok),
+        |ctf AS (SELECT tok, count(*)::DOUBLE AS ctf FROM alltok
+        |        WHERE tok IN ('vector', 'hash', 'spark') GROUP BY tok),
+        |neff AS (SELECT count(*)::DOUBLE AS n_eff FROM ctf),
+        |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM alltok
+        |       WHERE tok IN ('vector', 'hash', 'spark') GROUP BY doc_id, tok),
+        |h AS (SELECT doc_id, sum(ln(1.0 + tf * total / (300.0 * ctf))) AS hits
+        |      FROM tf JOIN ctf USING (tok) CROSS JOIN total GROUP BY doc_id),
+        |s AS (SELECT h.doc_id,
+        |             round(h.hits + n_eff * ln(300.0 / (lens.len + 300.0)), 6) AS score
+        |      FROM h JOIN lens USING (doc_id) CROSS JOIN neff)
+        |SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      Bm25.queryLikelihood(Tables.documents(s, dir), "doc_id", "text",
+          terms = Seq("vector", "hash", "spark"), k = 20, mu = 300.0)
+        .select(col("id").as("doc_id"), col("score"))
+    },
+
+    // Ranker-agreement card: BM25 top-20 vs query-likelihood top-20 on the
+    // same query — overlap, Jaccard@k and the Spearman footrule over the
+    // intersection. The instrument that says whether two rankers disagree
+    // enough to fuse (q215's RRF). The oracle replays BOTH retrievals and
+    // the agreement arithmetic.
+    GQuery(
+      "q265_ranker_agreement",
+      """WITH toks AS (SELECT doc_id,
+        |                     list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+        |              FROM documents),
+        |lens AS (SELECT doc_id, len(toks)::DOUBLE AS len FROM toks),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len) AS avg_len FROM lens),
+        |alltok AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+        |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM alltok
+        |       WHERE tok IN ('vector', 'hash', 'spark') GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+        |bs AS (SELECT doc_id,
+        |             round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |                       * tf * (1.2 + 1.0)
+        |                       / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avg_len))), 6) AS score
+        |      FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc_id) CROSS JOIN stats
+        |      GROUP BY doc_id),
+        |br AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+        |       FROM bs ORDER BY score DESC, doc_id LIMIT 20),
+        |total AS (SELECT count(*)::DOUBLE AS total FROM alltok),
+        |ctf AS (SELECT tok, count(*)::DOUBLE AS ctf FROM alltok
+        |        WHERE tok IN ('vector', 'hash', 'spark') GROUP BY tok),
+        |neff AS (SELECT count(*)::DOUBLE AS n_eff FROM ctf),
+        |h AS (SELECT doc_id, sum(ln(1.0 + tf * total / (300.0 * ctf))) AS hits
+        |      FROM tf JOIN ctf USING (tok) CROSS JOIN total GROUP BY doc_id),
+        |ls AS (SELECT h.doc_id,
+        |             round(h.hits + n_eff * ln(300.0 / (lens.len + 300.0)), 6) AS score
+        |      FROM h JOIN lens USING (doc_id) CROSS JOIN neff),
+        |lr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rb
+        |       FROM ls ORDER BY score DESC, doc_id LIMIT 20),
+        |j AS (SELECT coalesce(br.doc_id, lr.doc_id) AS id, br.ra, lr.rb
+        |      FROM br FULL OUTER JOIN lr ON br.doc_id = lr.doc_id)
+        |SELECT sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_common,
+        |       count(*) AS n_union,
+        |       round(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |             / count(*), 6) AS jaccard,
+        |       coalesce(round(avg(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+        |                               THEN abs(ra - rb) END), 6), 0.0) AS footrule
+        |FROM j""".stripMargin) { (s, dir) =>
+      import graft.operators.{Bm25, Eval, Ranking}
+      val docs = Tables.documents(s, dir)
+      def ranked(df: org.apache.spark.sql.DataFrame) =
+        Ranking.globalRank(df.withColumn("_ns", -col("score")),
+          Seq("_ns", "id"), "rank").drop("_ns")
+      val a = ranked(Bm25.bm25(docs, "doc_id", "text",
+        terms = Seq("vector", "hash", "spark"), k = 20))
+      val b = ranked(Bm25.queryLikelihood(docs, "doc_id", "text",
+        terms = Seq("vector", "hash", "spark"), k = 20, mu = 300.0))
+      Eval.rankAgreement(a, b, k = 20)
+    },
+
     // Mixture materialization: per-language repeat factors (en 0.5×, de
     // 2.25×, zh 1×, es dropped, default 1×) expanded to (row, epoch). The
     // oracle replays the whole-epoch + fractional-hash-draw rule per row.

@@ -834,7 +834,7 @@ object DedupQueries {
     // replays in DuckDB.
     GQuery(
       "q254_lsh_scurve_card",
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0 AND doc_id < 500),
         |tk AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS t FROM d),
         |shl AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
         |           i -> array_to_string(t[i:i+2], ' '))) AS sh
@@ -866,7 +866,10 @@ object DedupQueries {
         |       round(avg(CASE WHEN hit THEN 1.0 ELSE 0.0 END), 6) AS detected_frac,
         |       round(avg(1.0 - pow(1.0 - pow(s, r), b)), 6) AS theory_p
         |FROM det GROUP BY b, r, bucket""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0)
+      // FIXED-SIZE calibration sample (the card is a statistical
+      // instrument — its cost must not scale with the corpus)
+      val docs = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(2)) === 0 && col("doc_id") < 500)
       Dedup.lshCalibrationCard(docs, "doc_id", "text", n = 3, numPerms = 24,
         configs = Seq((8, 3), (4, 6), (12, 2)), nBuckets = 5)
     },
