@@ -1430,5 +1430,64 @@ object TextQueries {
       graft.operators.TfIdf.pmiCollocations(
         Tables.documents(s, dir), "text", minCount = 30L, topK = 20)
     },
+
+    // MIXED-LANGUAGE (code-switching) card: chunk each doc into
+    // non-overlapping 32-token windows, langid each chunk, roll up per doc
+    // (chunk count, distinct predicted languages, dominant language with a
+    // deterministic count-then-lexicographic tie rule, mixed flag) — the
+    // signal a per-DOC langid misses when documents code-switch. The
+    // oracle replays chunking (q106's arithmetic at overlap 0), the q42
+    // langid CASE per chunk, and the argmax-with-ties rollup.
+    GQuery(
+      "q266_mixed_language_card",
+      """WITH t AS (SELECT doc_id,
+        |                  list_filter(string_split(text, ' '), x -> x != '') AS toks
+        |           FROM documents),
+        |i AS (SELECT doc_id, toks,
+        |             unnest(range((len(toks) - 1) // 32 + 1)) AS ci
+        |      FROM t WHERE len(toks) > 0),
+        |ch AS (SELECT doc_id, ci,
+        |              array_to_string(toks[(ci*32 + 1):least(len(toks), ci*32 + 32)], ' ') AS chunk
+        |       FROM i),
+        |cl AS (SELECT doc_id, ci, CASE
+        |         WHEN len(regexp_extract_all(lower(chunk), '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+        |         WHEN greatest(en_s, de_s, fr_s, es_s) = 0 THEN 'und'
+        |         WHEN en_s = greatest(en_s, de_s, fr_s, es_s) THEN 'en'
+        |         WHEN de_s = greatest(en_s, de_s, fr_s, es_s) THEN 'de'
+        |         WHEN fr_s = greatest(en_s, de_s, fr_s, es_s) THEN 'fr'
+        |         ELSE 'es' END AS cl
+        |       FROM (
+        |         SELECT doc_id, ci, chunk,
+        |           len(regexp_extract_all(lower(chunk), '\b(the|and|is|of)\b')) AS en_s,
+        |           len(regexp_extract_all(lower(chunk), '\b(der|und|die|nicht)\b')) AS de_s,
+        |           len(regexp_extract_all(lower(chunk), '\b(le|et|les|est)\b')) AS fr_s,
+        |           len(regexp_extract_all(lower(chunk), '\b(el|los|es|una)\b')) AS es_s
+        |         FROM ch)),
+        |cnt AS (SELECT doc_id, cl, count(*) AS n FROM cl GROUP BY doc_id, cl),
+        |mx AS (SELECT doc_id, max(n) AS mn FROM cnt GROUP BY doc_id),
+        |dom AS (SELECT cnt.doc_id, min(cnt.cl) AS dominant_lang
+        |        FROM cnt JOIN mx ON mx.doc_id = cnt.doc_id AND cnt.n = mx.mn
+        |        GROUP BY cnt.doc_id)
+        |SELECT cl.doc_id, count(*) AS n_chunks,
+        |       count(DISTINCT cl.cl) AS n_langs,
+        |       any_value(dom.dominant_lang) AS dominant_lang,
+        |       count(DISTINCT cl.cl) > 1 AS mixed
+        |FROM cl JOIN dom ON dom.doc_id = cl.doc_id
+        |GROUP BY cl.doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val chunks = TextFunctions.chunkByTokens(Tables.documents(s, dir),
+          "doc_id", "text", maxTokens = 32, overlap = 0)
+        .select(col("doc_id"), TextFunctions.langId(col("chunk")).as("cl"))
+      val cnt = chunks.groupBy("doc_id", "cl").agg(count(lit(1)).as("n"))
+      val mx = cnt.groupBy("doc_id").agg(max("n").as("mn"))
+      val dom = cnt.join(mx, "doc_id").filter(col("n") === col("mn"))
+        .groupBy("doc_id").agg(min("cl").as("dominant_lang"))
+      chunks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          count_distinct(col("cl")).as("n_langs"))
+        .join(dom, "doc_id")
+        .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+          col("dominant_lang"), (col("n_langs") > 1).as("mixed"))
+    },
   )
 }
