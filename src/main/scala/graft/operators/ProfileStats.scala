@@ -197,4 +197,53 @@ object ProfileStats {
               col("_med") + col("_mad") * c), 6)))
       .drop("_med", "_mad")
   }
+
+  /** POPULATION STABILITY INDEX between two versions of a per-group score
+    * distribution — the standard release-drift gate next to the K-S test
+    * (A8): PSI = Σ_b (p_new − p_old)·ln(p_new/p_old) over `nBuckets`
+    * fixed-width buckets on [lo, hi) (out-of-range values clamp to the
+    * edge buckets; bucket masses Laplace-smoothed (n+0.5)/(N+0.5k) so
+    * empty buckets stay defined). Rule-of-thumb thresholds ride along:
+    * psi < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted.
+    *
+    * Output: one row per group present in EITHER version — (group, n_old,
+    * n_new, psi, verdict). All bucket masses are exact integer counts;
+    * the only fp is the per-bucket smoothing/ln tree (engine-replayable).
+    *
+    * Scale shape: two bucket aggregates (nBuckets × groups rows) + one
+    * bounded join; corpus text never moves.
+    */
+  def psiDrift(oldDf: DataFrame, newDf: DataFrame, groupCol: String,
+      valueCol: String, nBuckets: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBuckets > 0 && hi > lo,
+      s"psiDrift: need nBuckets > 0 and hi > lo, got $nBuckets [$lo, $hi)")
+    val w = (hi - lo) / nBuckets
+    def buckets(df: DataFrame, cnt: String): DataFrame = df
+      .select(col(groupCol).as("g"),
+        least(greatest(floor((col(valueCol).cast("double") - lo) / w),
+          lit(0L)), lit(nBuckets - 1L)).cast("long").as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as(cnt))
+    val o = buckets(oldDf, "n_o")
+    val n = buckets(newDf, "n_n")
+    val joined = o.join(n, Seq("g", "b"), "full_outer")
+      .select(col("g"), coalesce(col("n_o"), lit(0L)).as("n_o"),
+        coalesce(col("n_n"), lit(0L)).as("n_n"))
+    val tots = joined.groupBy("g")
+      .agg(sum("n_o").as("tot_o"), sum("n_n").as("tot_n"))
+    joined.join(tots, "g")
+      .withColumn("_po",
+        (col("n_o").cast("double") + 0.5) /
+          (col("tot_o").cast("double") + 0.5 * nBuckets))
+      .withColumn("_pn",
+        (col("n_n").cast("double") + 0.5) /
+          (col("tot_n").cast("double") + 0.5 * nBuckets))
+      .groupBy("g")
+      .agg(max("tot_o").as("n_old"), max("tot_n").as("n_new"),
+        round(sum((col("_pn") - col("_po")) * log(col("_pn") / col("_po"))),
+          6).as("psi"))
+      .withColumn("verdict",
+        when(col("psi") < 0.1, "stable")
+          .when(col("psi") <= 0.25, "moderate")
+          .otherwise("shifted"))
+  }
 }

@@ -1403,6 +1403,58 @@ object CurationQueries {
           round(col("mean_chars") - col("o_mean"), 6).as("d_mean_chars"))
     },
 
+    // POPULATION STABILITY INDEX between the q234 corpus versions, per
+    // language — the standard drift gate next to the K-S test: token-count
+    // distributions bucketed into 10 fixed-width bins on [0, 200),
+    // Laplace-smoothed, PSI = Σ (p_new − p_old)·ln(p_new/p_old), with the
+    // rule-of-thumb verdict column. The oracle replays both version
+    // fixtures, the clamped bucketing, the smoothing and the sum.
+    GQuery(
+      "q267_psi_drift",
+      """WITH v2 AS (SELECT doc_id, lang,
+        |              len(list_filter(string_split(lower(text), ' '), x -> x != ''))::DOUBLE AS v
+        |            FROM documents),
+        |v1 AS (SELECT doc_id, lang,
+        |              len(list_filter(string_split(lower(text), ' '), x -> x != ''))::DOUBLE AS v
+        |       FROM (SELECT doc_id, lang,
+        |               CASE WHEN doc_id % 11 = 3 AND doc_id % 7 != 1
+        |                    THEN 'OLDV ' || text ELSE text END AS text
+        |             FROM documents WHERE doc_id % 7 != 1)),
+        |ob AS (SELECT lang AS g, least(greatest(floor((v - 0.0) / 20.0), 0), 9)::BIGINT AS b,
+        |              count(*) AS n_o
+        |       FROM v1 GROUP BY 1, 2),
+        |nb2 AS (SELECT lang AS g, least(greatest(floor((v - 0.0) / 20.0), 0), 9)::BIGINT AS b,
+        |               count(*) AS n_n
+        |        FROM v2 GROUP BY 1, 2),
+        |j AS (SELECT coalesce(ob.g, nb2.g) AS g, coalesce(ob.b, nb2.b) AS b,
+        |             coalesce(n_o, 0) AS n_o, coalesce(n_n, 0) AS n_n
+        |      FROM ob FULL OUTER JOIN nb2 ON ob.g = nb2.g AND ob.b = nb2.b),
+        |t AS (SELECT g, sum(n_o) AS tot_o, sum(n_n) AS tot_n FROM j GROUP BY g),
+        |p AS (SELECT j.g,
+        |             (j.n_o::DOUBLE + 0.5) / (t.tot_o::DOUBLE + 5.0) AS po,
+        |             (j.n_n::DOUBLE + 0.5) / (t.tot_n::DOUBLE + 5.0) AS pn,
+        |             t.tot_o, t.tot_n
+        |      FROM j JOIN t USING (g)),
+        |r AS (SELECT g, max(tot_o)::BIGINT AS n_old, max(tot_n)::BIGINT AS n_new,
+        |             round(sum((pn - po) * ln(pn / po)), 6) AS psi
+        |      FROM p GROUP BY g)
+        |SELECT g AS lang, n_old, n_new, psi,
+        |       CASE WHEN psi < 0.1 THEN 'stable'
+        |            WHEN psi <= 0.25 THEN 'moderate'
+        |            ELSE 'shifted' END AS verdict
+        |FROM r""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val (v1, v2, _, _) = releaseFixture(s, dir)
+      def scored(df: org.apache.spark.sql.DataFrame) =
+        Tables.documents(s, dir).select("doc_id", "lang")
+          .join(df.select(col("doc_id"),
+            size(TextFunctions.tokens(lower(col("text")))).cast("double").as("v")),
+            "doc_id")
+      graft.operators.ProfileStats.psiDrift(
+          scored(v1), scored(v2), "lang", "v", nBuckets = 10, lo = 0.0, hi = 200.0)
+        .withColumnRenamed("g", "lang")
+    },
+
     // RELEASE + SERVING INDEX, end-to-end incremental: the v2 selection
     // comes from the INCREMENTAL release path (q233) and its ANN index
     // from MAINTENANCE deltas (q235) — the previous selection's index is

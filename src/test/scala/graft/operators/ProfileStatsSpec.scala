@@ -121,4 +121,29 @@ class ProfileStatsSpec extends SparkSpec {
     assert(got(-1000.0) == -4.0 && got(1000.0) == 14.0)
     (1 to 9).foreach(i => assert(got(i.toDouble) == i.toDouble))
   }
+
+  test("psiDrift: identical distributions stable, planted shift flags shifted, groups union") {
+    // group a: identical in both versions -> psi ≈ 0 (stable)
+    // group b: mass moves from the low to the high half -> shifted
+    // group c: present only in the NEW version -> still emitted
+    val oldV = ((1 to 100).map(i => ("a", (i % 10).toDouble)) ++
+      (1 to 100).map(_ => ("b", 5.0))).toDF("g", "v")
+    val newV = ((1 to 100).map(i => ("a", (i % 10).toDouble)) ++
+      (1 to 100).map(_ => ("b", 95.0)) ++
+      (1 to 10).map(_ => ("c", 1.0))).toDF("g", "v")
+    val card = ProfileStats.psiDrift(oldV, newV, "g", "v",
+        nBuckets = 10, lo = 0.0, hi = 100.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))).toMap
+    assert(card.keySet == Set("a", "b", "c"))
+    assert(card("a")._4 == "stable" && card("a")._3 < 0.01, card("a"))
+    assert(card("b")._4 == "shifted" && card("b")._3 > 1.0, card("b"))
+    assert(card("c")._1 == 0L && card("c")._2 == 10L) // new-only group survives
+    // out-of-range values clamp to edge buckets rather than vanish
+    val clamped = ProfileStats.psiDrift(
+      Seq(("x", -50.0)).toDF("g", "v"), Seq(("x", 500.0)).toDF("g", "v"),
+      "g", "v", nBuckets = 4, lo = 0.0, hi = 100.0).collect()
+    assert(clamped.length == 1 && clamped.head.getLong(1) == 1L &&
+      clamped.head.getLong(2) == 1L)
+  }
 }
