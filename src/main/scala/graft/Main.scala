@@ -669,15 +669,22 @@ object Main {
 
       case "bm25" =>
         // sparse keyword top-k retrieval; terms are trimmed so
-        // `--terms "a, b"` matches the space-split tokens
+        // `--terms "a, b"` matches the space-split tokens. --ranker ql
+        // switches to Dirichlet query likelihood (--mu).
         val terms = need("terms").split(",").map(_.trim).filter(_.nonEmpty).toSeq
         if (terms.isEmpty) throw new IllegalArgumentException(
           s"--terms must contain at least one non-empty term\n$usage")
-        operators.Bm25.bm25(spark.read.parquet(need("input")),
-          idCol = flags.getOrElse("id-col", "doc_id"),
-          textCol = flags.getOrElse("text-col", "text"),
-          terms = terms,
-          k = flags.getOrElse("k", "10").toInt)
+        val bmIn = spark.read.parquet(need("input"))
+        val bmId = flags.getOrElse("id-col", "doc_id")
+        val bmTxt = flags.getOrElse("text-col", "text")
+        val bmK = flags.getOrElse("k", "10").toInt
+        flags.getOrElse("ranker", "bm25") match {
+          case "ql" => operators.Bm25.queryLikelihood(bmIn, bmId, bmTxt,
+            terms, bmK, mu = flags.getOrElse("mu", "300.0").toDouble)
+          case "bm25" => operators.Bm25.bm25(bmIn, bmId, bmTxt, terms, bmK)
+          case r => throw new IllegalArgumentException(
+            s"unknown ranker: $r (bm25|ql)\n$usage")
+        }
 
       case "surprisal" =>
         // unigram (default), --bigram MLE, or --kn interpolated Kneser-Ney
@@ -1127,7 +1134,7 @@ object Main {
       |  pack --input PARQUET [--seq-len N] [--manifest | --sequences | --batches | --report] [--id-col C] [--text-col C]
       |  dupspans --input PARQUET [--width N] [--remove | --char [--min-len N]] [--id-col C] [--text-col C]
       |  semdedup --input PARQUET [--threshold T] [--n-bits N] [--n-tables N] [--cells K] [--iters N] [--id-col C] [--vec-col C]
-      |  bm25 --input PARQUET --terms a,b,c [--k N] [--id-col C] [--text-col C]
+      |  bm25 --input PARQUET --terms a,b,c [--k N] [--ranker bm25|ql [--mu M]] [--id-col C] [--text-col C]
       |  mix --input PARQUET --domain-col D --key-col K (--factors n=F,... | --balance | --temperature A [--weight-col W]) [--default F]
       |  doremi --input PARQUET --domain-col D --loss-col L [--eta F] [--smoothing F] [--steps N] [--ref-col R]
       |  mmr --input PARQUET [--query-col Q] [--id-col C] [--rel-col R] [--vec-col V] [--lambda F] [--k N]

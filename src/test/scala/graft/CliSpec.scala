@@ -305,6 +305,10 @@ class CliSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](Main.run(spark,
       Seq("bm25", "--input", input, "--terms", " , ", "--k", "2")))
     assert(err.getMessage.contains("non-empty term"))
+    // --ranker ql: the Dirichlet ranker finds the same lone candidate doc
+    val ql = Main.run(spark, Seq("bm25", "--input", input,
+      "--terms", "p,q", "--k", "2", "--ranker", "ql", "--mu", "10")).collect()
+    assert(ql.length == 1 && ql(0).getLong(0) == 3L)
 
     val mixed = Main.run(spark, Seq("mix", "--input", input, "--domain-col",
       "domain", "--key-col", "doc_id", "--factors", "web=2.0,books=1.0"))

@@ -35,6 +35,29 @@ class CurationOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Bm25.bm25(bmDocs, "doc_id", "text", Nil, 1) }
   }
 
+  test("queryLikelihood matches the hand-computed Dirichlet decomposition; ctf=0 terms drop") {
+    // corpus: 16 tokens; ctf(a)=6, ctf(b)=3; 'zzz' absent -> drops from
+    // |q_eff| too. mu=4. Candidates: docs containing a or b (1, 2, 3).
+    val mu = 4.0
+    def hit(tf: Double, ctf: Double) = math.log(1.0 + tf * 16.0 / (mu * ctf))
+    def lenTerm(len: Double) = 2.0 * math.log(mu / (len + mu)) // |q_eff| = 2
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Bm25.queryLikelihood(bmDocs, "doc_id", "text",
+        Seq("a", "b", "zzz"), k = 10, mu = mu)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val want = Map(
+      1L -> r6(hit(2, 6) + hit(1, 3) + lenTerm(4)),
+      2L -> r6(hit(4, 6) + lenTerm(4)),
+      3L -> r6(hit(2, 3) + lenTerm(4)))
+    assert(got == want, s"got $got want $want")
+    // every query term absent from the corpus -> no candidates at all
+    assert(Bm25.queryLikelihood(bmDocs, "doc_id", "text",
+      Seq("zzz"), k = 5).count() == 0)
+    intercept[IllegalArgumentException] {
+      Bm25.queryLikelihood(bmDocs, "doc_id", "text", Nil, 1)
+    }
+  }
+
   test("bm25 treats null text as empty (no poisoned corpus stats)") {
     val withNull = bmDocs.unionByName(
       Seq((9L, null: String)).toDF("doc_id", "text"))
