@@ -612,7 +612,19 @@ object Main {
         else {
           val withCounts = docs.select(col(idC),
             graft.functions.TextFunctions.tokenCount(col(txtC)).as("_n_tok"))
-          if (flags.contains("manifest"))
+          if (flags.contains("whole")) {
+            // no-truncation bin packing (next-fit decreasing) within
+            // --group-col shards; whole docs, padded bins
+            val g = flags.getOrElse("group-col", "lang")
+            val withG = docs.select(col(idC), col(g),
+              graft.functions.TextFunctions.tokenCount(col(txtC)).as("_n_tok"))
+            if (flags.contains("report"))
+              operators.Packing.binPackReport(
+                operators.Packing.nextFitDecreasing(withG, g, idC, "_n_tok",
+                  seqLen), g, seqLen)
+            else operators.Packing.nextFitDecreasing(withG, g, idC, "_n_tok",
+              seqLen)
+          } else if (flags.contains("manifest"))
             operators.Packing.packManifest(withCounts, idC, "_n_tok", seqLen)
           else if (flags.contains("batches"))
             // length-ordered token-budget batches (padding minimizer);
@@ -1131,7 +1143,7 @@ object Main {
       |  quality --input PARQUET [--id-col C] [--text-col C]
       |  redact --input PARQUET [--id-col C] [--text-col C]
       |  blocklist --input PARQUET --terms T1,T2,... [--gate N] [--id-col C] [--text-col C]
-      |  pack --input PARQUET [--seq-len N] [--manifest | --sequences | --batches | --report] [--id-col C] [--text-col C]
+      |  pack --input PARQUET [--seq-len N] [--manifest | --sequences | --batches | --report | --whole [--group-col C] [--report]] [--id-col C] [--text-col C]
       |  dupspans --input PARQUET [--width N] [--remove | --char [--min-len N]] [--id-col C] [--text-col C]
       |  semdedup --input PARQUET [--threshold T] [--n-bits N] [--n-tables N] [--cells K] [--iters N] [--id-col C] [--vec-col C]
       |  bm25 --input PARQUET --terms a,b,c [--k N] [--ranker bm25|ql [--mu M]] [--id-col C] [--text-col C]

@@ -294,4 +294,77 @@ object Packing {
           array_sort(collect_list(struct(col("seq_offset"), col("_slice")))),
           s => s.getField("_slice")), " ")).as("seq_md5"))
   }
+
+  /** NO-TRUNCATION bin packing (next-fit decreasing): documents that must
+    * stay WHOLE (code files, dialogues, anything where a straddled
+    * boundary poisons training) are placed into `seqLen`-capacity bins —
+    * within each group, docs walk in (length desc, id) order and a doc
+    * that doesn't fit the current bin's remainder OPENS a new bin. This is
+    * the complement of [[packCoordinates]] (which fills 100% by splitting);
+    * the price of wholeness is padding, and [[binPackReport]] quantifies
+    * it against the LP lower bound.
+    *
+    * The walk is inherently sequential, so the packing DOMAIN is the
+    * group: one bounded walk per group, run inside `flatMapGroups` —
+    * exactly the shard-local discipline a dataloader uses anyway (group =
+    * shard, e.g. [[graft.layout.Sharding.rendezvousAssign]]'s output, or
+    * language). State per task = the group's (id, len) pairs, never the
+    * corpus. Docs longer than `seqLen` fail loudly (they cannot be packed
+    * whole); zero/negative lengths are excluded like every packer here.
+    *
+    * Output: (groupCol, idCol, n_tokens, bin, bin_offset) — bin is
+    * group-local, 0-based; offsets are the in-bin token coordinates.
+    */
+  def nextFitDecreasing(df: DataFrame, groupCol: String, idCol: String,
+      tokensCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val rows = it.map { case (_, id, n) => (id, n) }.toArray
+        rows.foreach { case (id, n) =>
+          require(n <= seqLen,
+            s"nextFitDecreasing: doc $id has $n tokens > seqLen $seqLen " +
+              "(cannot be packed whole — split it or raise seqLen)")
+        }
+        scala.util.Sorting.stableSort(rows,
+          (a: (Long, Long), b: (Long, Long)) =>
+            a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+        var bin = 0L
+        var used = 0L
+        rows.iterator.map { case (id, n) =>
+          if (used + n > seqLen) { bin += 1; used = 0L }
+          val off = used
+          used += n
+          (g, id, n, bin, off)
+        }
+      }
+      .toDF(groupCol, idCol, "n_tokens", "bin", "bin_offset")
+  }
+
+  /** Efficiency card for [[nextFitDecreasing]]: per group — bins used, the
+    * LP lower bound ceil(Σtokens/seqLen) (no packer can beat it), fill
+    * rate, and the padding fraction wholeness cost. One aggregate over the
+    * packing output.
+    */
+  def binPackReport(packed: DataFrame, groupCol: String,
+      seqLen: Long): DataFrame =
+    packed.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        (max("bin") + 1).as("n_bins"),
+        sum("n_tokens").as("n_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_bins"), col("n_tokens"),
+        ceil(col("n_tokens").cast("double") / seqLen).cast("long")
+          .as("lp_bound"),
+        round(col("n_tokens").cast("double") / (col("n_bins") * seqLen), 6)
+          .as("fill_rate"),
+        round(lit(1.0) -
+          col("n_tokens").cast("double") / (col("n_bins") * seqLen), 6)
+          .as("padding_frac"))
 }

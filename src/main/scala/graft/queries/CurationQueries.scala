@@ -1665,6 +1665,69 @@ object CurationQueries {
       Release.takedownAudit(oldSel, newSel, art, pruned, removals, "doc_id")
     },
 
+    // NO-TRUNCATION bin packing (next-fit decreasing, packing domain =
+    // language shard): whole documents into 256-token bins — the layout
+    // for content a straddled boundary would poison. The oracle replays
+    // the per-group sequential walk with a recursive CTE (length-desc
+    // order, fit-or-open-new-bin), which is exactly the operator's
+    // contract: the walk is sequential BY DESIGN and bounded by the
+    // group, never the corpus.
+    GQuery(
+      "q268_nfd_bin_pack",
+      """WITH RECURSIVE d AS (SELECT lang AS g, doc_id AS id,
+        |             len(list_filter(string_split(lower(text), ' '), x -> x != ''))::BIGINT AS n
+        |           FROM documents),
+        |o AS (SELECT g, id, n, row_number() OVER (PARTITION BY g ORDER BY n DESC, id) AS rn
+        |      FROM d WHERE n > 0),
+        |walk(g, rn, id, n, bin, off, rem) AS (
+        |  SELECT g, rn, id, n, 0::BIGINT, 0::BIGINT, 256 - n FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.g, o.rn, o.id, o.n,
+        |         CASE WHEN o.n <= w.rem THEN w.bin ELSE w.bin + 1 END,
+        |         CASE WHEN o.n <= w.rem THEN 256 - w.rem ELSE 0 END,
+        |         CASE WHEN o.n <= w.rem THEN w.rem - o.n ELSE 256 - o.n END
+        |  FROM walk w JOIN o ON o.g = w.g AND o.rn = w.rn + 1)
+        |SELECT g AS lang, id AS doc_id, n AS n_tokens, bin, off AS bin_offset
+        |FROM walk""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(TextFunctions.tokens(lower(col("text")))).cast("long").as("n"))
+      Packing.nextFitDecreasing(docs, "lang", "doc_id", "n", seqLen = 256L)
+    },
+
+    // The wholeness-cost card: per language — bins used vs the LP lower
+    // bound ceil(Σtokens/256), fill rate and padding fraction (the price
+    // of never splitting a document; packCoordinates' split layout fills
+    // 1.0 by construction). Oracle = the q268 walk + one rollup.
+    GQuery(
+      "q269_bin_pack_report",
+      """WITH RECURSIVE d AS (SELECT lang AS g, doc_id AS id,
+        |             len(list_filter(string_split(lower(text), ' '), x -> x != ''))::BIGINT AS n
+        |           FROM documents),
+        |o AS (SELECT g, id, n, row_number() OVER (PARTITION BY g ORDER BY n DESC, id) AS rn
+        |      FROM d WHERE n > 0),
+        |walk(g, rn, id, n, bin, off, rem) AS (
+        |  SELECT g, rn, id, n, 0::BIGINT, 0::BIGINT, 256 - n FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.g, o.rn, o.id, o.n,
+        |         CASE WHEN o.n <= w.rem THEN w.bin ELSE w.bin + 1 END,
+        |         CASE WHEN o.n <= w.rem THEN 256 - w.rem ELSE 0 END,
+        |         CASE WHEN o.n <= w.rem THEN w.rem - o.n ELSE 256 - o.n END
+        |  FROM walk w JOIN o ON o.g = w.g AND o.rn = w.rn + 1)
+        |SELECT g AS lang, count(*) AS n_docs, max(bin) + 1 AS n_bins,
+        |       sum(n)::BIGINT AS n_tokens,
+        |       ceil(sum(n)::DOUBLE / 256)::BIGINT AS lp_bound,
+        |       round(sum(n)::DOUBLE / ((max(bin) + 1) * 256), 6) AS fill_rate,
+        |       round(1.0 - sum(n)::DOUBLE / ((max(bin) + 1) * 256), 6) AS padding_frac
+        |FROM walk GROUP BY g""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(TextFunctions.tokens(lower(col("text")))).cast("long").as("n"))
+      Packing.binPackReport(
+        Packing.nextFitDecreasing(docs, "lang", "doc_id", "n", seqLen = 256L),
+        "lang", seqLen = 256L)
+    },
+
     // EFFECTIVE-SAMPLE-SIZE card for the q157 DSIR weights under log-weight
     // clipping: heavy-tailed importance weights make a weighted corpus
     // behave like far fewer documents; the card reports ESS = (Σw)²/Σw²

@@ -283,6 +283,16 @@ class CliSpec extends SparkSpec {
       "--seq-len", "8", "--batches"))
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(batches == Map(3L -> 0L, 1L -> 0L, 2L -> 1L)) // 4, then 8s split
+    // --whole: no-truncation bins within --group-col shards; the 8-token
+    // web docs each fill one bin, books' 4-token doc sits alone
+    val whole = Main.run(spark, Seq("pack", "--input", input,
+      "--seq-len", "8", "--whole", "--group-col", "domain"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(whole == Set(("web", 1L, 0L), ("web", 2L, 1L), ("books", 3L, 0L)))
+    val wReport = Main.run(spark, Seq("pack", "--input", input,
+      "--seq-len", "8", "--whole", "--group-col", "domain", "--report"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(wReport == Map("web" -> 2L, "books" -> 1L))
 
     val spans = Main.run(spark, Seq("dupspans", "--input", input, "--width", "4"))
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap

@@ -210,4 +210,38 @@ class PackingSpec extends SparkSpec {
       sorted.foreach { case (_, id, _, start) => assert(solo(id) == start) }
     }
   }
+
+  test("nextFitDecreasing: capacity respected, offsets contiguous, >= LP bound, oversized fails loudly") {
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 7L), ("a", 3L, 7L), ("a", 4L, 4L), ("a", 5L, 2L),
+      ("b", 6L, 16L), ("b", 7L, 1L)).toDF("g", "id", "n")
+    val packed = Packing.nextFitDecreasing(rows, "g", "id", "n", seqLen = 16L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // every bin holds <= capacity; offsets are the contiguous prefix sums
+    packed.groupBy(p => (p._1, p._4)).foreach { case ((_, _), docs) =>
+      val inOrder = docs.sortBy(_._5)
+      assert(inOrder.map(_._3).sum <= 16L)
+      var expect = 0L
+      inOrder.foreach { d => assert(d._5 == expect); expect += d._3 }
+    }
+    // group a: 30 tokens -> LP bound 2 bins; NFD desc = 10,7,7,4,2:
+    // bin0 = 10+7(17>16? 10+7=17 -> no: 10, then 7 fits 10+7=17 > 16 opens bin1)
+    val aBins = packed.filter(_._1 == "a").map(_._4).max + 1
+    assert(aBins >= 2 && aBins <= 3)
+    // group b independent: 16-token doc exactly fills bin 0; the 1-token doc opens bin 1
+    val b = packed.filter(_._1 == "b").sortBy(_._2)
+    assert(b.map(x => (x._2, x._4, x._5)).toSeq == Seq((6L, 0L, 0L), (7L, 1L, 0L)))
+    // the report card agrees with the raw packing and never beats LP
+    val card = Packing.binPackReport(
+      Packing.nextFitDecreasing(rows, "g", "id", "n", 16L), "g", 16L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    card.foreach { case (_, (bins, lp)) => assert(bins >= lp) }
+    // oversized doc fails loudly
+    val ex = intercept[org.apache.spark.SparkException] {
+      Packing.nextFitDecreasing(
+        Seq(("a", 1L, 99L)).toDF("g", "id", "n"), "g", "id", "n", 16L).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
