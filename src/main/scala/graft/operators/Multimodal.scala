@@ -212,6 +212,53 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-FRAME audio features over the decoded PCM stream — the DSP
+    * signals an audio-curation gate reads (silence/clipping detection,
+    * energy-based segmentation): for each `frameSize`-sample window,
+    * ENERGY = Σ s², and the ZERO-CROSSING count (adjacent samples whose
+    * non-negativity differs, the first sample of a frame compared against
+    * the last of the previous — the stream is one signal, frames are just
+    * coordinates). Both are exact integer statistics of the decoded
+    * samples, so the whole card replays in SQL from the generator formula
+    * (the same discipline as [[audioStats]]: real RIFF decode on the
+    * engine side, first-principles replay on the oracle side).
+    */
+  def audioFrameFeatures(media: DataFrame, frameSize: Int,
+      codec: MediaCodec = MediaCodecs.JvmCodec): DataFrame = {
+    require(frameSize > 0, s"frameSize must be positive, got $frameSize")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        codec.decodeAudio(r.getAs[Array[Byte]](bytesIdx)).toSeq.flatMap {
+          case (_, samples) =>
+            val id = r.getLong(idIdx)
+            (0 until (samples.length + frameSize - 1) / frameSize).map { f =>
+              val start = f * frameSize
+              val end = math.min(samples.length, start + frameSize)
+              var energy = 0L
+              var zc = 0L
+              var i = start
+              while (i < end) {
+                val s = samples(i).toLong
+                energy += s * s
+                if (i > 0 && ((samples(i) >= 0) != (samples(i - 1) >= 0))) zc += 1
+                i += 1
+              }
+              Row(id, f, end - start, energy, zc)
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** Synthesize REAL-format payloads from an id column: even ids carry a
     * 16x16 binary PPM whose raster byte j is `(id*2654435761 + j*40503) % 256`;
     * odd ids an `audioSamples`-sample PCM16 WAV at `8000 + (id%8)*1000` Hz

@@ -272,6 +272,31 @@ object TextQueries {
       Multimodal.audioStats(Multimodal.synthesizeReal(ids, "doc_id"))
     },
 
+    // Per-frame audio features over the REAL-decoded PCM stream: frame
+    // energy (Σ s², exact long) and zero-crossing counts (the first
+    // sample of a frame compares against the last of the previous — one
+    // signal, frames are coordinates). The engine walks the RIFF chunks;
+    // the oracle replays the generator formula per (frame, sample) from
+    // first principles.
+    GQuery(
+      "q270_audio_frame_features",
+      """SELECT d.doc_id AS media_id, (t.i // 100)::INT AS frame_idx,
+        |       count(*)::INT AS n_samples,
+        |       sum(((d.doc_id * 40503 + t.i * 69069) % 65536 - 32768)
+        |         * ((d.doc_id * 40503 + t.i * 69069) % 65536 - 32768))::BIGINT AS energy,
+        |       sum(CASE WHEN t.i > 0 AND
+        |                  (((d.doc_id * 40503 + t.i * 69069) % 65536 - 32768 >= 0)
+        |                   <> ((d.doc_id * 40503 + (t.i - 1) * 69069) % 65536 - 32768 >= 0))
+        |                THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |CROSS JOIN range(441) t(i)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ids = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(2)) === 1).select("doc_id")
+      Multimodal.audioFrameFeatures(
+        Multimodal.synthesizeReal(ids, "doc_id"), frameSize = 100)
+    },
+
     // REAL BMP decode: 24bpp BITMAPINFOHEADER payloads (10x7 — row stride
     // 30 pads to 32, odd height exercises the bottom-up flip, BGR order the
     // channel swap). The oracle replays the LOGICAL raster formula; green
