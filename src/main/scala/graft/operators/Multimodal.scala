@@ -181,6 +181,57 @@ object Multimodal {
     }(enc)
   }
 
+  /** ViT-style PATCH grid statistics over the decoded raster — the
+    * patch-embedding plumbing vision-language data prep needs: the image
+    * cut into `patchW`×`patchH` tiles (partial edge tiles kept, their
+    * true pixel counts reported), per-tile exact integer channel sums.
+    * One row per (image, patch_row, patch_col); the downstream embed step
+    * consumes exactly this batch shape. Same codec seam and SQL-replay
+    * discipline as [[imageStats]].
+    */
+  def imagePatchStats(media: DataFrame, patchW: Int, patchH: Int,
+      codec: MediaCodec = MediaCodecs.JvmCodec): DataFrame = {
+    require(patchW > 0 && patchH > 0, s"bad patch size ${patchW}x$patchH")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("patch_row", IntegerType, nullable = false),
+      StructField("patch_col", IntegerType, nullable = false),
+      StructField("n_px", IntegerType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        codec.decodeImage(r.getAs[Array[Byte]](bytesIdx)).toSeq.flatMap {
+          case (w, h, px) =>
+            val id = r.getLong(idIdx)
+            val npr = (h + patchH - 1) / patchH
+            val npc = (w + patchW - 1) / patchW
+            val rs = Array.ofDim[Long](npr * npc)
+            val gs = Array.ofDim[Long](npr * npc)
+            val bs = Array.ofDim[Long](npr * npc)
+            val np = Array.ofDim[Int](npr * npc)
+            var p = 0
+            while (p * 3 < px.length) {
+              val y = p / w
+              val x = p % w
+              val t = (y / patchH) * npc + (x / patchW)
+              rs(t) += (px(p * 3) & 0xff).toLong
+              gs(t) += (px(p * 3 + 1) & 0xff).toLong
+              bs(t) += (px(p * 3 + 2) & 0xff).toLong
+              np(t) += 1
+              p += 1
+            }
+            (0 until npr * npc).map(t =>
+              Row(id, t / npc, t % npc, np(t), rs(t), gs(t), bs(t)))
+        }
+      }
+    }(enc)
+  }
+
   /** Decoded audio stats through the codec seam: one row per truly-decoded
     * payload — (media_id, header sample rate, sample count, signed sum,
     * abs sum). Integer outputs for exact SQL replay, as [[imageStats]].

@@ -272,6 +272,29 @@ object TextQueries {
       Multimodal.audioStats(Multimodal.synthesizeReal(ids, "doc_id"))
     },
 
+    // ViT-style PATCH grid over the REAL-decoded raster: 16x16 PPM cut
+    // into 8x8 tiles, per-tile exact channel sums — the patch-embedding
+    // batch shape vision-language prep feeds downstream. Oracle = the
+    // raster formula replayed per (pixel, channel) with the same
+    // row/col/tile arithmetic.
+    GQuery(
+      "q271_image_patch_stats",
+      """SELECT d.doc_id AS media_id,
+        |       ((t.j // 3) // 16 // 8)::INT AS patch_row,
+        |       (((t.j // 3) % 16) // 8)::INT AS patch_col,
+        |       (count(*) // 3)::INT AS n_px,
+        |       sum(CASE WHEN t.j % 3 = 0 THEN (d.doc_id * 2654435761 + t.j * 40503) % 256 ELSE 0 END)::BIGINT AS r_sum,
+        |       sum(CASE WHEN t.j % 3 = 1 THEN (d.doc_id * 2654435761 + t.j * 40503) % 256 ELSE 0 END)::BIGINT AS g_sum,
+        |       sum(CASE WHEN t.j % 3 = 2 THEN (d.doc_id * 2654435761 + t.j * 40503) % 256 ELSE 0 END)::BIGINT AS b_sum
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+        |CROSS JOIN range(768) t(j)
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val ids = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(2)) === 0).select("doc_id")
+      Multimodal.imagePatchStats(
+        Multimodal.synthesizeReal(ids, "doc_id"), patchW = 8, patchH = 8)
+    },
+
     // Per-frame audio features over the REAL-decoded PCM stream: frame
     // energy (Σ s², exact long) and zero-crossing counts (the first
     // sample of a frame compares against the last of the previous — one
