@@ -64,4 +64,52 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.StubCodec.sampleFrames(payload, everyN = 2)
     assert(frames.size == 2) // 4 chunks of 256 -> every 2nd
   }
+
+  test("imagePatchStats: partial edge tiles keep true pixel counts; sums equal brute force") {
+    // BMP fixture is 10x7 — 4x4 patches -> 3x2 grid with partial edges
+    val ids = Seq(1L, 4L).toDF("doc_id") // % 3 == 1 carries BMP
+    val bmp = Multimodal.synthesizeBmp(ids, "doc_id")
+    val got = Multimodal.imagePatchStats(bmp, patchW = 4, patchH = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        (r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // brute force from the decoded raster
+    val decoded = bmp.collect().map(r =>
+      r.getLong(r.fieldIndex("media_id")) ->
+        MediaCodecs.JvmCodec.decodeImage(
+          r.getAs[Array[Byte]](r.fieldIndex("bytes"))).get)
+    decoded.foreach { case (id, (w, h, px)) =>
+      assert(w == 10 && h == 7)
+      for (pr <- 0 until 2; pc <- 0 until 3) {
+        var n = 0; var rs = 0L; var gs = 0L; var bs = 0L
+        for (y <- pr * 4 until math.min(h, pr * 4 + 4);
+             x <- pc * 4 until math.min(w, pc * 4 + 4)) {
+          val p = y * w + x
+          n += 1
+          rs += px(p * 3) & 0xff; gs += px(p * 3 + 1) & 0xff
+          bs += px(p * 3 + 2) & 0xff
+        }
+        assert(got((id, pr, pc)) == ((n, rs, gs, bs)),
+          s"id=$id patch ($pr,$pc)")
+      }
+      // edge tiles: width-2 last column, height-3 last row
+      assert(got((id, 0, 2))._1 == 8 && got((id, 1, 0))._1 == 12 &&
+        got((id, 1, 2))._1 == 6)
+    }
+  }
+
+  test("audioFrameFeatures: energies sum to the full-signal energy; ZC continuous across frames") {
+    val ids = Seq(3L).toDF("doc_id") // odd id carries WAV (441 samples)
+    val wav = Multimodal.synthesizeReal(ids, "doc_id")
+    val frames = Multimodal.audioFrameFeatures(wav, frameSize = 100)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(frames.map(_._2).sum == 441 && frames.length == 5)
+    val (_, samples) = MediaCodecs.JvmCodec.decodeAudio(
+      wav.collect().head.getAs[Array[Byte]]("bytes")).get
+    val totalEnergy = samples.map(s => s.toLong * s).sum
+    assert(frames.map(_._3).sum == totalEnergy)
+    val totalZc = (1 until samples.length)
+      .count(i => (samples(i) >= 0) != (samples(i - 1) >= 0)).toLong
+    assert(frames.map(_._4).sum == totalZc,
+      "cross-frame crossings must not be dropped or double-counted")
+  }
 }
