@@ -181,6 +181,49 @@ object Multimodal {
     }(enc)
   }
 
+  /** SCENE-CUT signal over a video payload: per consecutive decoded frame
+    * pair, the exact pixel-difference mass Σ|a−b| over raster bytes (the
+    * classic cut detector's statistic) and the flag at `cutThreshold` —
+    * what a video-curation gate reads to segment clips and drop static
+    * filler. Frames come through the same codec seam ([[MediaCodec]]
+    * sampleFrames at stride 1 + real image decode per frame); the
+    * statistic is an exact integer, SQL-replayable. Frames whose raster
+    * sizes differ (format change mid-stream) fail loudly.
+    */
+  def frameDiffs(media: DataFrame, cutThreshold: Long,
+      codec: MediaCodec = MediaCodecs.JvmCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("diff_sum", LongType, nullable = false),
+      StructField("is_cut", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val frames = codec.sampleFrames(r.getAs[Array[Byte]](bytesIdx), 1)
+          .map(f => codec.decodeImage(f).getOrElse(
+            throw new IllegalArgumentException(
+              s"frameDiffs: frame of video $id failed to decode")))
+        frames.sliding(2).zipWithIndex.collect {
+          case (Seq((wa, ha, a), (wb, hb, b)), i) =>
+            require(wa == wb && ha == hb && a.length == b.length,
+              s"frameDiffs: video $id frame ${i + 1} dims changed " +
+                s"(${wa}x$ha -> ${wb}x$hb)")
+            var d = 0L
+            var j = 0
+            while (j < a.length) {
+              d += math.abs((a(j) & 0xff) - (b(j) & 0xff)).toLong
+              j += 1
+            }
+            Row(id, i + 1, d, d >= cutThreshold)
+        }
+      }
+    }(enc)
+  }
+
   /** ViT-style PATCH grid statistics over the decoded raster — the
     * patch-embedding plumbing vision-language data prep needs: the image
     * cut into `patchW`×`patchH` tiles (partial edge tiles kept, their

@@ -272,6 +272,33 @@ object TextQueries {
       Multimodal.audioStats(Multimodal.synthesizeReal(ids, "doc_id"))
     },
 
+    // SCENE-CUT signal over the concatenated-PPM videos: per consecutive
+    // frame pair, the exact Σ|a−b| pixel-difference mass and the flag at
+    // threshold 4560 (the formula rasters differ by a constant 239 mod 256
+    // per byte — |diff| is 239 for ~17/256 of bytes and 17 otherwise, so
+    // the pair mass concentrates near 144·31.7 ≈ 4560 and the median
+    // threshold makes the flag vary per pair). The oracle
+    // replays both frames' raster formulas and the abs-diff sum.
+    GQuery(
+      "q272_video_scene_cuts",
+      """SELECT d.doc_id AS media_id, f.fi::INT AS frame_idx,
+        |       sum(abs((d.doc_id * 2654435761 + f.fi * 7919 + t.j * 40503) % 256
+        |             - (d.doc_id * 2654435761 + (f.fi - 1) * 7919 + t.j * 40503) % 256))::BIGINT
+        |         AS diff_sum,
+        |       sum(abs((d.doc_id * 2654435761 + f.fi * 7919 + t.j * 40503) % 256
+        |             - (d.doc_id * 2654435761 + (f.fi - 1) * 7919 + t.j * 40503) % 256)) >= 4560
+        |         AS is_cut
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+        |CROSS JOIN range(1, 6) f(fi)
+        |CROSS JOIN range(144) t(j)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ids = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id")
+      Multimodal.frameDiffs(
+        Multimodal.synthesizeVideoPpm(ids, "doc_id", frames = 6),
+        cutThreshold = 4560L)
+    },
+
     // ViT-style PATCH grid over the REAL-decoded raster: 16x16 PPM cut
     // into 8x8 tiles, per-tile exact channel sums — the patch-embedding
     // batch shape vision-language prep feeds downstream. Oracle = the
