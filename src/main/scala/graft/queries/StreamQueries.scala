@@ -379,6 +379,30 @@ object StreamQueries {
         .select(col("doc_id"), col("w"), round(col("es"), 6).as("es_key"))
     },
 
+    // Watermarked STREAM-STREAM inner join (the built-in symmetric-hash
+    // join class, distinct from q128's custom-state as-of): clicks of the
+    // same user in the 2 hours before each error. Inner matches emit
+    // eagerly — the watermark exists for state EVICTION — so the
+    // run-to-completion stream equals this batch join (EventStreamsSpec
+    // pins the multi-batch streaming run).
+    GQuery(
+      "q273_stream_stream_join",
+      """WITH e AS (SELECT user_id, ts AS e_ts, event_id AS e_id FROM events
+        |           WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts AS c_ts, event_id AS c_id, value FROM events
+        |      WHERE event_type = 'click')
+        |SELECT e.user_id, e.e_id, c.c_id, round(c.value, 6) AS value
+        |FROM e JOIN c ON c.user_id = e.user_id
+        | AND c.c_ts >= e.e_ts - INTERVAL 120 MINUTE AND c.c_ts <= e.e_ts""".stripMargin) {
+      (s, dir) =>
+      val ev = Tables.events(s, dir)
+      EventStreams.precedingEventsJoin(
+          ev.filter(col("event_type") === "error"),
+          ev.filter(col("event_type") === "click"), windowMinutes = 120)
+        .select(col("user_id"), col("e_id"), col("c_id"),
+          round(col("value"), 6).as("value"))
+    },
+
     // Per-user sliding-window z-score anomalies: each event against its
     // own trailing 20 events. The frame sums run over integer CENTS, so
     // the only floating point is the final mean/variance divisions + sqrt

@@ -152,6 +152,33 @@ object EventStreams {
       .drop("_x", "_n", "_s1", "_s2")
   }
 
+  /** Watermarked STREAM-STREAM inner join: for every left event, the
+    * right-side events of the same user in the `windowMinutes` BEFORE it
+    * ("what preceded this error") — the one Structured Streaming join
+    * class the engine had not yet exercised (q17/q128 use custom state;
+    * this is the built-in symmetric-hash stream-stream join). The SAME
+    * code serves batch frames (`withWatermark` is a no-op there); on
+    * streams the watermark plus the two-sided time bound are exactly what
+    * lets Spark EVICT join state — without them a stream-stream join's
+    * state grows forever. Inner-join matches emit eagerly (the watermark
+    * gates eviction, not output), so a run-to-completion stream equals
+    * the batch join row-for-row (EventStreamsSpec pins it).
+    */
+  def precedingEventsJoin(left: DataFrame, right: DataFrame,
+      windowMinutes: Int, watermark: String = "10 minutes"): DataFrame = {
+    require(windowMinutes > 0, s"windowMinutes must be positive: $windowMinutes")
+    val l = left.select(col("user_id"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+      .withWatermark("e_ts", watermark)
+    val r = right.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"), col("value"))
+      .withWatermark("c_ts", watermark)
+    l.join(r, col("user_id") === col("c_user") &&
+        col("c_ts") >= col("e_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") <= col("e_ts"))
+      .select(col("user_id"), col("e_id"), col("c_id"), col("value"))
+  }
+
   /** Retention COHORT matrix: users grouped by first-seen day, then per
     * (cohort_day, days since) the count of distinct users active — the
     * standard engagement decay card. Two hash aggregates (first-seen per

@@ -26,6 +26,51 @@ class EventStreamsSpec extends SparkSpec {
     Event(4, ts(200), 1, "click", 5.0), // far future event closes watermarks
     Event(5, ts(290), 9, "flush", 0.0))
 
+  test("stream-stream preceding-events join equals batch exactly (multi-batch)") {
+    // errors at 12/75/80; clicks inside and outside the 5-min windows
+    val rows = Seq(
+      Event(10, ts(8), 1, "click", 1.0),   // 4 min before error 11 -> match
+      Event(11, ts(12), 1, "error", 0.0),
+      Event(12, ts(12), 1, "click", 2.0),  // same minute -> match
+      Event(13, ts(40), 1, "click", 3.0),  // 35 min before error 14 -> NO
+      Event(14, ts(75), 1, "error", 0.0),
+      Event(15, ts(74), 3, "click", 4.0),  // in-window time, OTHER user -> NO
+      Event(16, ts(76), 2, "error", 0.0),
+      Event(17, ts(73), 2, "click", 5.0),  // 3 min before error 16 -> match
+      Event(18, ts(300), 9, "flush", 0.0))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val errors = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("event_type") === "error")
+    val clicks = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("event_type") === "click")
+    val batchDf = rows.toDF()
+    val want = canon(EventStreams.precedingEventsJoin(
+      errors(batchDf), clicks(batchDf), windowMinutes = 5))
+    assert(want == Set((1L, 11L, 10L, 1.0), (1L, 11L, 12L, 2.0),
+      (2L, 16L, 17L, 5.0)))
+
+    // multi-batch file stream: three files, maxFilesPerTrigger=1
+    val dir = java.nio.file.Files.createTempDirectory("ss-join").toString
+    rows.grouped(3).zipWithIndex.foreach { case (g, i) =>
+      g.toDF().write.mode("overwrite").parquet(s"$dir/f$i")
+    }
+    def stream() = spark.readStream.schema(batchDf.schema)
+      .option("maxFilesPerTrigger", "1").option("recursiveFileLookup", "true")
+      .parquet(dir)
+    // the watermark must exceed the stream's max DISORDER: click 17
+    // (ts 73) arrives in the batch after one carrying ts 75 — a 1-minute
+    // watermark would discard it as late and silently lose the match
+    val joined = EventStreams.precedingEventsJoin(
+      errors(stream()), clicks(stream()), windowMinutes = 5,
+      watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(canon(spark.table("ssj")) == want,
+      "inner-join matches must emit eagerly; none may be lost to eviction")
+  }
+
   test("streaming hourlyRollup equals batch hourlyRollup") {
     val mem = MemoryStream[Event](spark)
     mem.addData(eventSeq: _*)
