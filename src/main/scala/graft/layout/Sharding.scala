@@ -23,10 +23,19 @@ import graft.functions.HashMode
   */
 object Sharding {
 
-  /** Input columns + `shard` (long in [0, nShards)). */
+  /** Input columns + `shard` (long in [0, nShards)). Cost is O(nShards)
+    * PER ROW (the argmax transform materializes one struct per shard), so
+    * the operator is bounded to the file/bucket-count regime it exists
+    * for; a layout needing ≥ 64k shards should use jump consistent
+    * hashing (O(log n) per key) instead — rejected loudly here rather
+    * than silently burning nShards·rows work.
+    */
   def rendezvousAssign(df: DataFrame, idCol: String, nShards: Int,
       mode: HashMode = HashMode.Md5): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(nShards <= 65536,
+      s"rendezvousAssign is O(nShards) per row — $nShards shards is past " +
+        "the file/bucket regime; use jump consistent hashing for that scale")
     // struct comparison is lexicographic (h, then shard): max = highest
     // hash, ties to the larger shard index
     val best = array_max(transform(sequence(lit(0), lit(nShards - 1)),
