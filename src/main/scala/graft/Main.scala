@@ -208,6 +208,9 @@ object Main {
         flags.get("to") match {
           case Some(m) => graft.layout.Sharding.reshardStabilityCard(
             sDocs, sId, sN, m.toInt, hashMode)
+          case None if flags.contains("jump") =>
+            // O(log n)/key jump hashing — the path past HRW's per-row cost
+            graft.layout.Sharding.jumpAssign(sDocs, sId, sN)
           case None =>
             graft.layout.Sharding.rendezvousAssign(sDocs, sId, sN, hashMode)
         }
@@ -1121,7 +1124,7 @@ object Main {
       |  slab-compact --slab DIR --ns NS
       |  dedup --input PARQUET [--method exact|minhash|jaccard|simhash] [--threshold T] [--df-cap N]
       |  lsh-calibrate --input PARQUET --configs BxR,BxR,... [--perms N] [--n N] [--buckets N] [--hash md5|xx64] [--id-col C] [--text-col C]
-      |  shard --input PARQUET [--shards N] [--to M] [--hash md5|xx64] [--id-col C]
+      |  shard --input PARQUET [--shards N] [--to M] [--jump] [--hash md5|xx64] [--id-col C]
       |  linededup --input PARQUET [--id-col C] [--text-col C] [--delim D]
       |  dsir --input PARQUET --target PARQUET [--id-col C] [--text-col C] [--buckets N]
       |  decontaminate --input PARQUET --benchmark PARQUET [--threshold T] [--bloom [--m-bits N] [--k-probes N]]

@@ -444,6 +444,26 @@ object ScaleSoak {
         tDocs.unpersist()
       }
 
+      // NFD whole-doc packing at 1M docs across 256 HRW shards: the walk
+      // is per-shard (flatMapGroups state = the shard's (id, len) pairs,
+      // ~4k docs each), so the 1M-doc corpus packs in parallel
+      locally {
+        val lens = spark.range(1000000).select(col("id").as("doc_id"),
+          (pmod(xxhash64(col("id")), lit(2000)) + 50).as("n_tok"))
+        val sharded = graft.layout.Sharding.rendezvousAssign(
+          lens, "doc_id", 256, graft.functions.HashMode.Xx64)
+        val packed = timed("NFD whole-doc packing: 1M docs, 256 shards, seqLen 4096") {
+          val pk = operators.Packing.nextFitDecreasing(
+            sharded, "shard", "doc_id", "n_tok", seqLen = 4096L)
+          pk.cache(); pk.count(); pk
+        }
+        val rep = operators.Packing.binPackReport(packed, "shard", 4096L)
+          .agg(sum("n_bins").as("bins"), sum("n_tokens").as("toks")).collect()(0)
+        println(f"[soak] NFD: ${rep.getLong(0)}%,d bins, fill " +
+          f"${rep.getLong(1).toDouble / (rep.getLong(0) * 4096L)}%.4f")
+        packed.unpersist()
+      }
+
       // HRW sharding at 10M ids: pure projection assign + the reshard card
       locally {
         val ids = spark.range(10000000).toDF("doc_id")

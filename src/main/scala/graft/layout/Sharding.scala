@@ -46,6 +46,41 @@ object Sharding {
     df.withColumn("shard", best.getField("shard"))
   }
 
+  /** Jump consistent hashing (the Lamping–Veach algorithm) — the
+    * large-n complement [[rendezvousAssign]]'s guard points at: O(log n)
+    * per key and O(1) memory at ANY shard count, with the same stability
+    * contract (growing n→m moves each key with probability (m−n)/m, and
+    * ONLY onto the new shards). The kernel is 64-bit LCG arithmetic with
+    * wrapping multiplication — not replayable in an ANSI SQL engine, so
+    * this operator is SPEC-verified (balance, stability, never
+    * old→old — ShardingSpec) rather than DuckDB-oracled; [[
+    * rendezvousAssign]] is the oracle-carrying twin of the family.
+    */
+  def jumpAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = nShards
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .map(id => (id, jumpKernel(id, n)))
+      .toDF(idCol, "shard")
+  }
+
+  /** The jump-hash kernel: deterministic per (key, n). */
+  private[layout] def jumpKernel(key: Long, n: Int): Long = {
+    var k = key
+    var b = -1L
+    var j = 0L
+    while (j < n) {
+      b = j
+      k = k * 2862933555777941757L + 1L
+      j = (((b + 1).toDouble * (1L << 31).toDouble) /
+        ((k >>> 33) + 1).toDouble).toLong
+    }
+    b
+  }
+
   /** Resharding stability card, `fromShards` → `toShards`: per policy
     * (`hrw`, `modulo`), how many docs MOVE and the fraction, beside the
     * analytic HRW expectation (M−N)/M for growth (null when shrinking —

@@ -48,6 +48,34 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("jumpAssign: balanced, stable under growth (never old->old), deterministic") {
+    val a16 = Sharding.jumpAssign(ids(20000), "doc_id", 16)
+      .as[(Long, Long)].collect().toMap
+    val a24 = Sharding.jumpAssign(ids(20000), "doc_id", 24)
+      .as[(Long, Long)].collect().toMap
+    // total + in range + balanced
+    assert(a16.size == 20000 && a16.values.forall(s => s >= 0 && s < 16))
+    val counts = a16.values.groupBy(identity).map(_._2.size)
+    counts.foreach(c => assert(math.abs(c - 1250.0) < 400, counts))
+    // growth 16->24: every moved key lands on a NEW shard; moved fraction
+    // near (24-16)/24 = 1/3
+    val moved = a16.keys.filter(k => a16(k) != a24(k))
+    moved.foreach(k => assert(a24(k) >= 16, s"key $k moved old->old"))
+    assert(math.abs(moved.size / 20000.0 - 1.0 / 3) < 0.03)
+    // kernel is deterministic and matches a reference triple
+    assert(Sharding.jumpKernel(0L, 1) == 0L)
+    (1 to 50).foreach { n =>
+      val b = Sharding.jumpKernel(123456789L, n)
+      assert(b >= 0 && b < n)
+    }
+    intercept[IllegalArgumentException](Sharding.jumpAssign(ids(5), "doc_id", 0))
+  }
+
+  test("rendezvousAssign rejects shard counts past the per-row-cost regime") {
+    intercept[IllegalArgumentException](
+      Sharding.rendezvousAssign(ids(5), "doc_id", 100000))
+  }
+
   test("stability card: shrink gives null expectation; bad counts fail loudly") {
     val card = Sharding.reshardStabilityCard(ids(300), "doc_id", 10, 8)
       .collect().map(r => r.getString(0) -> r.isNullAt(4)).toMap
