@@ -138,6 +138,10 @@ class CliSpec extends SparkSpec {
     val shCard = Main.run(spark, Seq("shard", "--input", corpus,
       "--shards", "4", "--to", "5"))
     assert(shCard.collect().map(_.getString(0)).toSet == Set("hrw", "modulo"))
+    val shJump = Main.run(spark, Seq("shard", "--input", corpus,
+      "--shards", "4", "--jump"))
+    assert(shJump.count() == 4 &&
+      shJump.filter(col("shard") < 0 || col("shard") >= 4).count() == 0)
   }
 
   test("compute-knn packages a reloadable ground-truth dataset") {
