@@ -206,10 +206,14 @@ object Main {
         val sId = flags.getOrElse("id-col", "doc_id")
         val sN = flags.getOrElse("shards", "16").toInt
         flags.get("to") match {
+          case Some(m) if flags.contains("jump") =>
+            // jump-hash stability card — the regime HRW's guard refuses
+            graft.layout.Sharding.jumpStabilityCard(sDocs, sId, sN, m.toInt)
           case Some(m) => graft.layout.Sharding.reshardStabilityCard(
             sDocs, sId, sN, m.toInt, hashMode)
           case None if flags.contains("jump") =>
-            // O(log n)/key jump hashing — the path past HRW's per-row cost
+            // O(log n)/key jump hashing — the path past HRW's per-row cost;
+            // carries the input columns through, same contract as HRW
             graft.layout.Sharding.jumpAssign(sDocs, sId, sN)
           case None =>
             graft.layout.Sharding.rendezvousAssign(sDocs, sId, sN, hashMode)

@@ -58,16 +58,22 @@ object Sharding {
     */
   def jumpAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    val spark = df.sparkSession
-    import spark.implicits._
     val n = nShards
-    df.select(col(idCol).cast("long"))
-      .as[Long]
-      .map(id => (id, jumpKernel(id, n)))
-      .toDF(idCol, "shard")
+    // same output contract as rendezvousAssign: input columns + shard.
+    // A scalar UDF (not codegen'd) is acceptable here: the kernel is
+    // O(log n) integer arithmetic per row, and decorating in place avoids
+    // the join-back shuffle a (id, shard)-only projection would force on
+    // every downstream consumer that needs its payload columns.
+    val kernel = udf((id: Long) => jumpKernel(id, n))
+    df.withColumn("shard", kernel(col(idCol).cast("long")))
   }
 
-  /** The jump-hash kernel: deterministic per (key, n). */
+  /** The jump-hash kernel: deterministic per (key, n). Operand order
+    * matches the canonical Lamping–Veach formulation —
+    * `(b+1) * (2^31 / ((key>>>33) + 1))`, the divide FIRST — so
+    * assignments agree bit-for-bit with external jump-consistent-hash
+    * implementations (the fp rounding of multiply-then-divide can differ).
+    */
   private[layout] def jumpKernel(key: Long, n: Int): Long = {
     var k = key
     var b = -1L
@@ -75,10 +81,41 @@ object Sharding {
     while (j < n) {
       b = j
       k = k * 2862933555777941757L + 1L
-      j = (((b + 1).toDouble * (1L << 31).toDouble) /
-        ((k >>> 33) + 1).toDouble).toLong
+      j = ((b + 1).toDouble *
+        ((1L << 31).toDouble / ((k >>> 33) + 1).toDouble)).toLong
     }
     b
+  }
+
+  /** Jump-hash twin of [[reshardStabilityCard]] for the shard-count
+    * regime HRW's guard refuses (e.g. 1M shards): per growth
+    * `fromShards` → `toShards`, the moved count/fraction beside the
+    * analytic expectation (M−N)/M, plus `moved_old_to_old` — the count of
+    * keys that moved between two SURVIVING shards, which jump consistent
+    * hashing guarantees is zero on growth. One pass, no join: both
+    * assignments come from a single kernel evaluation per row.
+    * SPEC-verified (ShardingSpec; the kernel is not ANSI-SQL replayable —
+    * [[reshardStabilityCard]] is the oracle-carrying twin).
+    */
+  def jumpStabilityCard(df: DataFrame, idCol: String, fromShards: Int,
+      toShards: Int): DataFrame = {
+    require(fromShards > 0 && toShards > 0,
+      s"shard counts must be positive: $fromShards -> $toShards")
+    val (n0, n1) = (fromShards, toShards)
+    val both = udf((id: Long) => (jumpKernel(id, n0), jumpKernel(id, n1)))
+    df.select(both(col(idCol).cast("long")).as("s"))
+      .select(col("s._1").as("s_from"), col("s._2").as("s_to"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s_from") =!= col("s_to"), 1L).otherwise(0L)).as("moved"),
+        sum(when(col("s_from") =!= col("s_to") &&
+          col("s_to") < math.min(n0, n1), 1L).otherwise(0L))
+          .as("moved_old_to_old"))
+      .select(lit("jump").as("policy"), col("n_docs"), col("moved"),
+        round(col("moved").cast("double") / col("n_docs"), 6).as("moved_frac"),
+        (if (toShards > fromShards)
+           round(lit((toShards - fromShards).toDouble / toShards), 6)
+         else lit(null).cast("double")).as("expected_frac"),
+        col("moved_old_to_old"))
   }
 
   /** Resharding stability card, `fromShards` → `toShards`: per policy

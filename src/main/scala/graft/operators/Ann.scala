@@ -414,10 +414,15 @@ object Ann {
     * applied to the index at rest.
     */
   def deleteFromBundle(removedIds: DataFrame, path: String,
-      idCol: String = "vec_id"): Unit =
+      idCol: String = "vec_id"): Unit = {
+    // heal any crashed compact FIRST: recovery retires the spent
+    // tombstones of the interrupted compact, so a delete issued after
+    // this point is never mistaken for one of them and dropped
+    recoverBundle(path)
     removedIds.select(col(idCol).cast("long").as("id"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/tombstones")
+  }
 
   private def liveRows(spark: SparkSession, path: String,
       cells: DataFrame): DataFrame = {
@@ -436,33 +441,61 @@ object Ann {
     liveRows(spark, path, readIndex(spark, s"$path/cells"))
   }
 
-  /** Heal the one crash window [[compactBundle]] leaves: cells renamed
-    * aside but the new generation not yet renamed in — rename the newest
-    * complete tmp generation live. Idempotent, called by every read
-    * entry point.
+  /** Heal the crash windows [[compactBundle]] leaves. Cells renamed aside
+    * but the new generation not yet renamed in → rename the newest
+    * complete tmp generation live (numeric stamp order) and retire the
+    * spent tombstones. New generation live with the aside still present →
+    * drop the aside and the spent tombstones. Idempotent, called by every
+    * read entry point and by [[deleteFromBundle]].
     */
   private def recoverBundle(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
     val cells = new java.io.File(s"$path/cells")
+    if (cells.exists()) {
+      // an aside dir beside a live cells dir means a compact crashed AFTER
+      // its new generation went live: the old generation is garbage and
+      // the tombstones are spent (already excluded from the live rows) —
+      // drop both now rather than hiding a re-appended id until the next
+      // compact happens to run
+      val asides = Option(new java.io.File(path).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.startsWith(".cells-old-"))
+      if (asides.nonEmpty) {
+        asides.foreach(rm)
+        rm(new java.io.File(s"$path/tombstones"))
+      }
+    }
     if (!cells.exists()) {
       val root = new java.io.File(path)
       // only COMPLETE generations qualify (a crash mid-write leaves no
-      // _SUCCESS); constant-width nanoTime stamps make name order = age
+      // _SUCCESS); the nanoTime stamp has no width guarantee, so compare
+      // it NUMERICALLY — lexicographic name order can disagree with age
+      // when stamp digit counts differ, reviving a stale generation
       val tmps = Option(root.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith(".cells-compact-") &&
           new java.io.File(f, "_SUCCESS").exists())
       if (tmps.nonEmpty) {
-        val newest = tmps.maxBy(_.getName)
+        val newest =
+          tmps.maxBy(_.getName.stripPrefix(".cells-compact-").toLong)
         require(newest.renameTo(cells),
           s"bundle recover: cannot rename $newest to $cells")
+        // the recovered generation is post-compact (tombstones already
+        // excluded from its rows), so the tombstones file is spent: drop
+        // it now, or a vector re-appended with a previously tombstoned id
+        // would be silently hidden until the next compact
+        rm(new java.io.File(s"$path/tombstones"))
       }
     }
   }
 
   /** Reclaim tombstoned rows: rewrite the live rows as a fresh cells
     * generation and swap it in with the slab compact discipline (tmp
-    * written → live renamed aside → tmp renamed in → aside deleted →
-    * tombstones dropped), so a crash at any step leaves a complete old or
-    * new generation ([[recoverBundle]] heals the one in-between window).
+    * written → live renamed aside → tmp renamed in → tombstones dropped →
+    * aside deleted), so a crash at any step leaves a complete old or
+    * new generation ([[recoverBundle]] heals the in-between windows and
+    * retires spent tombstones while the aside marker is present).
     */
   def compactBundle(spark: SparkSession, path: String): Unit =
     compactBundleWithFailpoint(spark, path, Int.MaxValue)
@@ -493,9 +526,12 @@ object Ann {
     require(new java.io.File(tmp).renameTo(live),
       s"bundle compact: cannot rename $tmp live")
     crash(3)
-    rmTree(aside)
-    crash(4)
+    // tombstones BEFORE the aside: while the aside dir exists it marks
+    // the live tombstones as spent (recoverBundle retires them), so no
+    // crash window leaves spent tombstones with nothing to signal it
     rmTree(new java.io.File(s"$path/tombstones"))
+    crash(4)
+    rmTree(aside)
   }
 
   /** Append a vector slice to a PERSISTED bundle in place: the slice is

@@ -101,11 +101,34 @@ object Blocklist {
   }
 
   // one automaton per distinct term list per executor JVM — builds are
-  // never per-row/per-partition
+  // never per-row/per-partition. BOUNDED: a single job only ever uses one
+  // term list, but executors are long-lived across jobs, so an unbounded
+  // map would accumulate one O(total-term-chars) automaton per blocklist
+  // forever; access-order LRU keeps the working set (current job + a few
+  // recent) and evicts the rest.
+  private val cacheCapacity = 8
   private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[Seq[String], Automaton]()
-  private def automatonFor(terms: Seq[String]): Automaton =
-    cache.computeIfAbsent(terms, ts => new Automaton(ts.distinct.toArray))
+    new java.util.LinkedHashMap[Seq[String], Automaton](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[String], Automaton]): Boolean =
+        size() > cacheCapacity
+    }
+  // lock-free fast path: a broadcast term list deserializes to ONE
+  // instance per executor, so after the first row the `eq` check hits and
+  // the per-row cost is two reads — the synchronized LRU is touched once
+  // per (job, executor), not per row
+  @volatile private var last: (Seq[String], Automaton) = null
+  private def automatonFor(terms: Seq[String]): Automaton = {
+    val l = last
+    if (l != null && (l._1 eq terms)) l._2
+    else cache.synchronized {
+      val a = cache.computeIfAbsent(terms, ts => new Automaton(ts.distinct.toArray))
+      last = (terms, a)
+      a
+    }
+  }
+  private[operators] def cachedAutomatonCount: Int =
+    cache.synchronized(cache.size())
 
   /** Tag every document with its blocklist hits: (id, term, n_hits) rows,
     * only for terms that occur (n_hits >= 1, overlapping counted).

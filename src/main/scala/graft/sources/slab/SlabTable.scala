@@ -25,6 +25,7 @@ class SlabTable(spark: SparkSession, dir: String) {
   private def tombPath(ns: String) = s"$dir/tomb=$ns"
   private def wmPath(ns: String) = s"$dir/wm=$ns"
   private def asidePath(ns: String) = s"$dir/.old-$ns"
+  private def wmAsidePath(ns: String) = s"$dir/.wm-old-$ns"
   private def exists(p: String) = new java.io.File(p).exists()
 
   /** Heal a mid-[[compact]] crash (the reference's write-then-rename
@@ -44,6 +45,19 @@ class SlabTable(spark: SparkSession, dir: String) {
       if (!live.exists())
         require(aside.renameTo(live), s"slab recover: could not restore $aside")
       else rmTree(aside)
+    }
+    // the watermark swap is rename-aside/rename-in/delete-aside, same as
+    // the data swap: a crash between the renames leaves the old watermark
+    // in the aside dir only — restore it so the ceiling never drops even
+    // when a PRIOR compact already reclaimed the top tombstoned ordinals
+    // (raw data max < wm) and the data itself no longer carries it
+    val wmLive = new java.io.File(wmPath(ns))
+    val wmAside = new java.io.File(wmAsidePath(ns))
+    if (wmAside.exists()) {
+      if (!wmLive.exists())
+        require(wmAside.renameTo(wmLive),
+          s"slab recover: could not restore watermark $wmAside")
+      else rmTree(wmAside)
     }
   }
 
@@ -191,8 +205,12 @@ class SlabTable(spark: SparkSession, dir: String) {
 
   /** [[compact]] with a crash injected after `failAfter` completed steps
     * (test hook — production passes MaxValue). Steps: 1 new generation
-    * written to tmp; 2 watermark persisted; 3 live renamed aside;
-    * 4 tmp renamed live; 5 aside deleted; 6 tombstones deleted.
+    * written to tmp; 2 new watermark staged; 3 old watermark renamed
+    * aside; 4 staged watermark renamed live; 5 watermark aside deleted;
+    * 6 live data renamed aside; 7 tmp renamed live; 8 data aside deleted;
+    * 9 tombstones deleted. Both swaps (watermark and data) are
+    * rename-aside/rename-in/delete-aside, so every crash window leaves a
+    * name [[recover]] can heal from.
     */
   private[slab] def compactWithFailpoint(ns: String, failAfter: Int): Unit = {
     recover(ns)
@@ -211,28 +229,40 @@ class SlabTable(spark: SparkSession, dir: String) {
       .sortWithinPartitions("ordinal")
       .write.parquet(tmp)
     crash(1)
-    // watermark FIRST: until the swap below, the live data itself still
-    // carries hw, so a half-written watermark can never lower the ceiling;
-    // once written, the ceiling survives the data swap and tombstone drop
+    // watermark FIRST: until the data swap below, the live data itself
+    // still carries every non-reclaimed ordinal, and hw here folds in any
+    // previously persisted watermark, so the new staged value is >= the
+    // old one; the old watermark goes aside (not deleted) before the new
+    // one renames in, so no crash window loses the persisted ceiling even
+    // when a prior compact already reclaimed the top ordinals
     if (hw >= 0L) {
       import spark.implicits._
       val wmTmp = s"$dir/.wm-$ns-${System.nanoTime()}"
       Seq(hw).toDF("ordinal").coalesce(1).write.parquet(wmTmp)
-      rmTree(new java.io.File(wmPath(ns)))
-      require(new java.io.File(wmTmp).renameTo(new java.io.File(wmPath(ns))),
+      crash(2)
+      val wmLive = new java.io.File(wmPath(ns))
+      val wmAside = new java.io.File(wmAsidePath(ns))
+      require(!wmAside.exists(), s"slab compact: stale wm aside dir $wmAside")
+      if (wmLive.exists())
+        require(wmLive.renameTo(wmAside),
+          s"slab compact: could not move watermark $wmLive aside")
+      crash(3)
+      require(new java.io.File(wmTmp).renameTo(wmLive),
         s"slab compact: could not swap watermark $wmTmp into place")
+      crash(4)
+      rmTree(wmAside)
     }
-    crash(2)
+    crash(5)
     val live = new java.io.File(nsPath(ns))
     val aside = new java.io.File(asidePath(ns))
     require(!aside.exists(), s"slab compact: stale aside dir $aside")
     require(live.renameTo(aside), s"slab compact: could not move $live aside")
-    crash(3)
+    crash(6)
     require(new java.io.File(tmp).renameTo(live),
       s"slab compact: could not swap $tmp into place")
-    crash(4)
+    crash(7)
     rmTree(aside)
-    crash(5)
+    crash(8)
     rmTree(new java.io.File(tombPath(ns)))
   }
 

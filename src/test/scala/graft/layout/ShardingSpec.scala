@@ -50,9 +50,9 @@ class ShardingSpec extends SparkSpec {
 
   test("jumpAssign: balanced, stable under growth (never old->old), deterministic") {
     val a16 = Sharding.jumpAssign(ids(20000), "doc_id", 16)
-      .as[(Long, Long)].collect().toMap
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
     val a24 = Sharding.jumpAssign(ids(20000), "doc_id", 24)
-      .as[(Long, Long)].collect().toMap
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
     // total + in range + balanced
     assert(a16.size == 20000 && a16.values.forall(s => s >= 0 && s < 16))
     val counts = a16.values.groupBy(identity).map(_._2.size)
@@ -69,6 +69,32 @@ class ShardingSpec extends SparkSpec {
       assert(b >= 0 && b < n)
     }
     intercept[IllegalArgumentException](Sharding.jumpAssign(ids(5), "doc_id", 0))
+  }
+
+  test("jumpAssign carries payload columns through (same contract as HRW)") {
+    val df = ids(200).withColumn("payload", col("doc_id") * 2)
+    val a = Sharding.jumpAssign(df, "doc_id", 8)
+    assert(a.columns.toSeq == Seq("doc_id", "payload", "shard"))
+    assert(a.filter(col("payload") =!= col("doc_id") * 2).count() == 0)
+    assert(a.filter(col("shard") < 0 || col("shard") >= 8).count() == 0)
+    assert(a.count() == 200)
+  }
+
+  test("jump stability card holds at 1M shards — the regime HRW's guard refuses") {
+    val row = Sharding.jumpStabilityCard(ids(20000), "doc_id",
+      1000000, 1250000).collect()(0)
+    assert(row.getAs[String]("policy") == "jump")
+    assert(row.getAs[Long]("n_docs") == 20000L)
+    // analytic expectation (M-N)/M = 0.2; binomial sd ~ 0.0028
+    assert(row.getAs[Double]("expected_frac") == 0.2)
+    assert(math.abs(row.getAs[Double]("moved_frac") - 0.2) < 0.02,
+      s"moved_frac ${row.getAs[Double]("moved_frac")}")
+    // growth moves keys ONLY onto the new shards
+    assert(row.getAs[Long]("moved_old_to_old") == 0L)
+    // shrink: expectation null, and every key must land back in range
+    val shrink = Sharding.jumpStabilityCard(ids(5000), "doc_id",
+      1250000, 1000000).collect()(0)
+    assert(shrink.isNullAt(shrink.fieldIndex("expected_frac")))
   }
 
   test("rendezvousAssign rejects shard counts past the per-row-cost regime") {

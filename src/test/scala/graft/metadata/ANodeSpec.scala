@@ -175,12 +175,48 @@ class IvfIndexPersistenceSpec extends graft.SparkSpec {
       }
       assert(key(Ann.searchBundle(q, p, k = 4, nProbe = 3, excludeSelf = true)) == want,
         s"read after crash at step $step")
+      if (step >= 2) {
+        // past step 2 the post-compact generation is (or becomes, via
+        // recovery) the live one, so the spent tombstones must be retired
+        // by the read above — a re-appended previously-tombstoned id must
+        // not be silently hidden in the pre-rerun-compact window
+        assert(!new java.io.File(s"$p/tombstones").exists(),
+          s"step $step: spent tombstones survived recovery")
+      }
       Ann.compactBundle(spark, p) // rerun completes
       assert(!new java.io.File(s"$p/tombstones").exists(), s"step $step rerun")
       assert(spark.read.parquet(s"$p/cells").count() == 400, s"step $step rerun")
       assert(key(Ann.searchBundle(q, p, k = 4, nProbe = 3, excludeSelf = true)) == want,
         s"post-compact after crash at step $step")
     }
+  }
+
+  test("bundle recovery orders generations numerically, not lexicographically") {
+    import graft.operators.Ann
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+    val p = s"target/ivf-stamp-${System.nanoTime()}"
+    Ann.writeIndexBundle(Ann.ivfIndex(emb, centroids), centroids, p)
+    val full = spark.read.parquet(s"$p/cells").count()
+
+    // simulate a crash window with two complete generations whose
+    // nanoTime stamps have DIFFERENT digit widths: lexicographically
+    // "999" > "1000", so a string maxBy would revive the stale (older,
+    // smaller) generation; numeric order must pick the newer full one
+    val stale = Ann.ivfIndex(emb.filter(col("vec_id") < 100), centroids)
+    stale.write.partitionBy("cell").parquet(s"$p/.cells-compact-999")
+    assert(new java.io.File(s"$p/cells")
+      .renameTo(new java.io.File(s"$p/.cells-compact-1000")))
+    // a SPENT tombstone of the interrupted compact (already excluded from
+    // the new generation's rows in a real crash) — must be retired
+    import spark.implicits._
+    Seq(0L).toDF("id").write.parquet(s"$p/tombstones")
+
+    val recovered = Ann.readBundleLive(spark, p)
+    assert(recovered.count() == full,
+      "recovery picked the lexicographically-largest (stale) generation")
+    assert(!new java.io.File(s"$p/tombstones").exists(),
+      "spent tombstones survived generation recovery")
   }
 }
 

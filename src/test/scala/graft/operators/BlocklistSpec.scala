@@ -59,4 +59,18 @@ class BlocklistSpec extends SparkSpec {
     intercept[IllegalArgumentException](new Blocklist.Automaton(Array.empty))
     intercept[IllegalArgumentException](new Blocklist.Automaton(Array("ok", "")))
   }
+
+  test("executor automaton cache is bounded: many distinct blocklists never accumulate") {
+    val docs = Seq((1L, "x0 x1 x2 hit")).toDF("doc_id", "text")
+    // 20 jobs with 20 DIFFERENT term lists on a long-lived JVM (local mode
+    // shares the executor): the LRU must hold at most its capacity (8),
+    // not one automaton per list forever
+    (0 until 20).foreach { i =>
+      val tags = Blocklist.tagMatches(docs, "doc_id", "text", Seq(s"x$i", "hit"))
+        .collect()
+      assert(tags.exists(_.getString(1) == "hit"), s"list $i lost correctness")
+    }
+    assert(Blocklist.cachedAutomatonCount <= 8,
+      s"cache grew to ${Blocklist.cachedAutomatonCount}")
+  }
 }

@@ -26,12 +26,13 @@ class SlabCrashSpec extends SparkSpec {
   private val liveIds = (0L until 40L).filterNot(Set(5L, 17L, 39L)).toSet
 
   test("a crash after every compact step leaves a complete, watermark-safe view") {
-    // steps: 1 tmp written; 2 watermark persisted; 3 live renamed aside;
-    // 4 tmp renamed live; 5 aside deleted; 6 (control) no crash
-    (1 to 6).foreach { step =>
+    // steps: 1 tmp written; 2 wm staged; 3 old wm renamed aside; 4 staged
+    // wm renamed live; 5 wm aside deleted; 6 live data renamed aside;
+    // 7 tmp renamed live; 8 data aside deleted; 9 (control) no crash
+    (1 to 9).foreach { step =>
       val slab = new SlabTable(spark, freshDir(s"slab-crash$step"))
       seed(slab)
-      if (step <= 5)
+      if (step <= 8)
         intercept[RuntimeException](slab.compactWithFailpoint("ns", step))
       else slab.compact("ns")
 
@@ -58,12 +59,37 @@ class SlabCrashSpec extends SparkSpec {
     val dir = freshDir("slab-crash-mid")
     val slab = new SlabTable(spark, dir)
     seed(slab)
-    intercept[RuntimeException](slab.compactWithFailpoint("ns", 3))
+    intercept[RuntimeException](slab.compactWithFailpoint("ns", 6))
     // at this point the live dir is GONE and the aside dir holds the old
     // generation — a fresh handle (new process) must heal on first read
     assert(!new java.io.File(s"$dir/ns=ns").exists())
     val fresh = new SlabTable(spark, dir)
     assert(fresh.read("ns").count() == liveIds.size.toLong)
     assert(!new java.io.File(s"$dir/.old-ns").exists(), "aside dir not cleaned")
+  }
+
+  test("watermark survives a crash mid-swap after a prior compact reclaimed the top ordinal") {
+    // after the FIRST compact the raw data max (38) is below the persisted
+    // watermark (39): the ceiling now lives ONLY in wm=ns, so a crash in
+    // the second compact's watermark swap is the window where a
+    // delete-then-rename scheme would lose it and let ordinal 39 be
+    // re-appended. Every wm-swap failpoint (3 = old wm aside, wm gone;
+    // 4 = new wm live, aside present; 5 = pre-data-swap) must keep 39.
+    (3 to 5).foreach { step =>
+      val dir = freshDir(s"slab-wm-crash$step")
+      val slab = new SlabTable(spark, dir)
+      seed(slab)
+      slab.compact("ns")
+      assert(slab.maxOrdinal("ns") == 39L)
+      intercept[RuntimeException](slab.compactWithFailpoint("ns", step))
+      val fresh = new SlabTable(spark, dir)
+      assert(fresh.maxOrdinal("ns") == 39L, s"step $step: watermark lost")
+      intercept[IllegalArgumentException] {
+        fresh.append("ns", Seq((39L, "again".getBytes)).toDF("ordinal", "data"))
+      }
+      fresh.compact("ns")
+      assert(fresh.maxOrdinal("ns") == 39L)
+      assert(!new java.io.File(s"$dir/.wm-old-ns").exists, s"step $step: wm aside not cleaned")
+    }
   }
 }
