@@ -28,3 +28,24 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// `sbt judge` — one command reproducing the per-round verdict evidence:
+// the full oracle gate (Verify dump at sf0.01 + tools/check.py DuckDB
+// replay) and the two machine-checked plan invariants (PlanShapeSpec's
+// 100TB-posture assertions, WindowSweepSpec's unpartitioned-window
+// allowlist over EVERY SparkEntry query). Fails the build on any red.
+val judge = taskKey[Unit](
+  "oracle gate (Verify + tools/check.py) + plan-shape and window sweeps")
+judge := Def.sequential(
+  (Compile / runMain).toTask(
+    " graft.Verify /root/testdata/sf0.01 /tmp/graft_judge_out"),
+  Def.task {
+    import scala.sys.process._
+    val rc = Process(Seq("python3", "tools/check.py",
+      "/root/testdata/sf0.01", "/tmp/graft_judge_out"),
+      baseDirectory.value).!
+    if (rc != 0) sys.error(s"oracle gate FAILED (tools/check.py exit $rc)")
+    streams.value.log.info("oracle gate ALL GREEN")
+  },
+  (Test / testOnly).toTask(" graft.PlanShapeSpec graft.WindowSweepSpec"),
+).value

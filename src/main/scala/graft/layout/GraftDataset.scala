@@ -42,13 +42,13 @@ class GraftProfile(spark: SparkSession, dir: String, profile: Catalog.Profile) {
       if (fs.path.endsWith(".parquet")) {
         val base = spark.read.parquet(path)
         // contiguous ordinals are the windowing contract; reuse a stored
-        // ordinal column when present, else number rows in file order
-        // (monotonic ids sort by (partition, position) = read order)
+        // ordinal column when present, else number rows in file order via
+        // the two-pass per-partition-offset primitive — an ordinal-less
+        // facet load is a CORE read path, and a global row_number window
+        // here would funnel the whole facet through one partition
         val withOrd =
           if (base.columns.contains("ordinal")) base
-          else base.withColumn("ordinal",
-            (row_number().over(org.apache.spark.sql.expressions.Window
-              .orderBy(monotonically_increasing_id())) - 1).cast("long"))
+          else graft.operators.Ranking.fileOrderOrdinal(base, "ordinal")
         // facet payload column: explicit `vector`, else the first array column
         if (withOrd.columns.contains("vector")) withOrd
         else {

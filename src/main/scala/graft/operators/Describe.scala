@@ -51,9 +51,9 @@ object Describe {
     * constants, both engines use the literals), so every replicate mean
     * and the 5th/95th order statistics replay exactly. The scalable
     * bootstrap shape: B×n weighted rows collapse per replicate with
-    * map-side combine; order statistics come from the window-free global
-    * rank over the B-row relation. Replicates with zero total weight
-    * (vanishing for n ≫ 10) drop out, documented.
+    * map-side combine; order statistics come from ONE bounded sorted
+    * aggregate over the ≤B-row per-replicate relation. Replicates with
+    * zero total weight (vanishing for n ≫ 10) drop out, documented.
     */
   def bootstrapMeanChars(docs: DataFrame, idCol: String, textCol: String,
       b: Int = 100): DataFrame = {
@@ -72,21 +72,25 @@ object Describe {
       .select(col("rep"), (col("wsum").cast("double") / col("wn")).as("m"))
     // order-statistic ranks derive from the SURVIVING replicate count, not
     // the nominal b: if replicates drop out (zero total Poisson weight,
-    // possible for tiny corpora) the 95th rank of b rows may not exist and
-    // a fixed-rank filter would silently empty the whole card through the
-    // crossJoin. The agg(min) frames are total — a fully-degenerate input
-    // yields null CI bounds beside the mean, never an empty card.
-    val nReps = perRep.agg(count(lit(1)).as("n_reps"))
-    val ranked = graft.operators.Ranking.globalRank(perRep, Seq("m", "rep"))
-      .crossJoin(broadcast(nReps))
-    val loRank = greatest(lit(1L), floor(col("n_reps") / 20).cast("long"))
-    val hiRank = col("n_reps") - floor(col("n_reps") / 20).cast("long")
-    val lo = ranked.filter(col("rank") === loRank)
-      .agg(min(round(col("m"), 6)).as("ci_lo"))
-    val hi = ranked.filter(col("rank") === hiRank)
-      .agg(min(round(col("m"), 6)).as("ci_hi"))
+    // possible for tiny corpora) the 95th rank of b rows may not exist.
+    // The per-rep mean frame is <= b rows BY CONTRACT, so both order
+    // statistics come from ONE bounded sorted aggregate (collect_list is
+    // capped at b structs) — the previous distributed-rank form re-ran the
+    // B×n exploded aggregation once per consumer branch (~5 scans; the
+    // 2.6× q227 regression of round 10). A fully-degenerate input yields
+    // null CI bounds beside the mean, never an empty card.
+    val sorted = perRep
+      .agg(sort_array(collect_list(struct(col("m"), col("rep")))).as("ms"))
+      .select(col("ms"), size(col("ms")).cast("long").as("n_reps"))
+    val loIdx = greatest(lit(1L), floor(col("n_reps") / 20).cast("long")).cast("int")
+    val hiIdx = (col("n_reps") - floor(col("n_reps") / 20).cast("long")).cast("int")
+    val ci = sorted.select(
+      when(col("n_reps") > 0,
+        round(element_at(col("ms"), loIdx).getField("m"), 6)).as("ci_lo"),
+      when(col("n_reps") > 0,
+        round(element_at(col("ms"), hiIdx).getField("m"), 6)).as("ci_hi"))
     docs.agg(round(avg(length(col(textCol))), 6).as("mean_chars"))
-      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .crossJoin(broadcast(ci))
   }
 
   def corpusDatasheet(docs: DataFrame, idCol: String, textCol: String,

@@ -75,6 +75,45 @@ object Ranking {
     (out, offsets.last)
   }
 
+  /** Append a 0-based CONTIGUOUS ordinal in the input's EXISTING partition
+    * order — (partition, position-within-partition), i.e. file read order
+    * for a fresh scan — with NO shuffle and NO window: one per-partition
+    * count job plus a numbering pass sharing the same lineage. This is
+    * the scale-safe replacement for
+    * `row_number().over(Window.orderBy(monotonically_increasing_id()))`,
+    * which funnels the whole input through one partition; the ordering it
+    * produces is identical (monotonic ids sort by (partition, position)).
+    * Same input-pinning caveat as [[exclusivePrefixSum]]: the source must
+    * be deterministic across recomputation.
+    */
+  def fileOrderOrdinal(df: DataFrame, outCol: String): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column; pass a different outCol")
+    val spark = df.sparkSession
+    val schema = df.schema
+    val rows = df.queryExecution.toRdd
+    val counts = rows.mapPartitionsWithIndex { case (pid, it) =>
+      Iterator(pid -> it.size.toLong)
+    }.collect().toMap
+    val offsets = (0 until rows.getNumPartitions)
+      .map(p => counts.getOrElse(p, 0L)).scanLeft(0L)(_ + _).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val numbered = rows.mapPartitionsWithIndex { case (pid, it) =>
+      var r = bc.value(pid)
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      it.map { row =>
+        extra.update(0, r); r += 1
+        joined(row, extra): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(
+      spark, numbered,
+      org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** Append an EXCLUSIVE global prefix sum of long column `valueCol` in
     * `orderCols` order as `outCol` — the `Packing.packCoordinates` two-pass
     * range-partition shape exposed as a primitive (one range shuffle, no

@@ -110,4 +110,65 @@ object UnigramLm {
       .agg(round(sum(col("k") * -log(pkn)) / sum(col("k")), 6)
         .as("kn_surprisal"))
   }
+
+  /** Interpolated Kneser–Ney TRIGRAM surprisal — the order the CCNet-style
+    * perplexity filter actually ships (order ≥ 3 separates word salad from
+    * locally-coherent text far better than the bigram, q152). Standard
+    * three-level interpolation with one absolute discount D per level:
+    *
+    *   p₃(w|u,v) = max(c(uvw)−D,0)/c(uv·) + D·N₁₊(uv·)/c(uv·) · p₂(w|v)
+    *   p₂(w|v)   = max(N₁₊(·vw)−D,0)/N₁₊(·v·)
+    *               + D·N₁₊(v·)/N₁₊(·v·) · p₁(w)
+    *   p₁(w)     = N₁₊(·w) / N₁₊(··)
+    *
+    * where the lower levels use CONTINUATION (type) counts from the
+    * trigram type relation, per Kneser–Ney: N₁₊(·vw) = distinct u
+    * preceding vw, N₁₊(·v·) = distinct (u,w) around v, N₁₊(v·) =
+    * distinct w continuing v, N₁₊(·w)/N₁₊(··) over bigram types. Every
+    * scored trigram occurs in the corpus, so c(uv·) > 0 and every
+    * denominator is positive; interpolation keeps p₃ > 0.
+    *
+    * Scale shape, same discipline as the bigram form: ONE per-(doc,
+    * trigram) multiplicity collapse crosses the shuffle with corpus
+    * positions; every LM statistic (5 type-level frames + the 1-row type
+    * total) aggregates from the trigram TYPE relation, which is
+    * vocabulary-cubed-bounded and in practice far smaller than the
+    * corpus; the scoring join shuffles type-keyed rows only. Docs with
+    * < 3 tokens have no trigrams and are absent.
+    */
+  def kneserNeyTrigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    val t = docs.select(col(idCol).as("id"),
+        TextFunctions.tokens(lower(coalesce(col(textCol), lit("")))).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val tg = t.select(col("id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => struct(
+          element_at(col("toks"), i + 1).as("u"),
+          element_at(col("toks"), i + 2).as("v"),
+          element_at(col("toks"), i + 3).as("w")))).as("g"))
+      .select(col("id"), col("g.u").as("u"), col("g.v").as("v"), col("g.w").as("w"))
+    val m = tg.groupBy("id", "u", "v", "w").agg(count(lit(1)).cast("double").as("k"))
+    val c3 = m.groupBy("u", "v", "w").agg(sum(col("k")).as("c3"))
+    val cuv = c3.groupBy("u", "v").agg(sum(col("c3")).as("cuvtot"),
+      count(lit(1)).cast("double").as("nfollow3"))
+    val bt = c3.groupBy("v", "w").agg(count(lit(1)).cast("double").as("contvw"))
+    val nv = c3.groupBy("v").agg(count(lit(1)).cast("double").as("nmid"))
+    val mt = bt.groupBy("v").agg(count(lit(1)).cast("double").as("nfollow2"))
+    val n1w = bt.groupBy("w").agg(count(lit(1)).cast("double").as("nprec"))
+    val tot = bt.agg(count(lit(1)).cast("double").as("ntypes"))
+    val d = lit(discount)
+    val p1 = col("nprec") / col("ntypes")
+    val p2 = greatest(col("contvw") - d, lit(0.0)) / col("nmid") +
+      (d * col("nfollow2") / col("nmid")) * p1
+    val p3 = greatest(col("c3") - d, lit(0.0)) / col("cuvtot") +
+      (d * col("nfollow3") / col("cuvtot")) * p2
+    m.join(c3, Seq("u", "v", "w")).join(cuv, Seq("u", "v")).join(bt, Seq("v", "w"))
+      .join(nv, Seq("v")).join(mt, Seq("v")).join(n1w, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy("id")
+      .agg(round(sum(col("k") * -log(p3)) / sum(col("k")), 6)
+        .as("kn3_surprisal"))
+  }
 }

@@ -691,8 +691,8 @@ object CurationQueries {
     // bootstrap — each (doc, replicate) draws a Poisson(1) weight from
     // the md5 hash unit via FIXED integer CDF thresholds (contract
     // constants), replicate means collapse with map-side combine, and
-    // the 5th/95th order statistics come from the window-free global
-    // rank over the 100-row replicate relation. The oracle replays
+    // the 5th/95th order statistics come from ONE bounded sorted
+    // aggregate over the <=100-row replicate relation. The oracle replays
     // every weight, every replicate mean and both order statistics.
     GQuery(
       "q227_bootstrap_ci",
@@ -1775,7 +1775,7 @@ object CurationQueries {
     * doc_id % 11 == 3 texts (-> "changed"), plus doc_id+20000 copies of
     * doc_id % 13 == 2 (-> "removed"); bench = doc_id % 25 == 0 of v2.
     */
-  private def releaseFixture(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[graft] def releaseFixture(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame, graft.operators.Release.Params) = {
     val v2 = Tables.documents(s, dir).select(col("doc_id"), col("text"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Pq, Sq}
+import graft.operators.{Opq, Pq, Sq}
 
 /** Product-quantization queries: encode assignment and ADC top-k, both with
   * deterministic subset codebooks (codeword c of subspace s = slice s of the
@@ -40,6 +40,29 @@ object PqQueries {
        |           row_number() OVER (PARTITION BY id, sub ORDER BY d, code) AS rn
        |    FROM dd)
        |  WHERE rn = 1)""".stripMargin
+
+  /** Shared oracle CTE text for the OPQ queries: the deterministic
+    * Householder rotation (u from designated row vec_id=0, every sum a
+    * fixed-order list_sum so the float casts replay bit-for-bit) applied
+    * to the whole embeddings table → rot(vec_id, i, r) with r FLOAT.
+    */
+  private val householderSql =
+    """dims AS (SELECT unnest(range(1, 65))::INT AS i),
+      |v0 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+      |nm AS (SELECT sqrt(list_sum(list_transform(v, x -> x::DOUBLE * x::DOUBLE))) AS n FROM v0),
+      |uu AS (SELECT list_transform(range(1, 65),
+      |         i -> v0.v[i]::DOUBLE / nm.n - CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS ul
+      |       FROM v0, nm),
+      |un AS (SELECT sqrt(list_sum(list_transform(ul, x -> x * x))) AS n FROM uu),
+      |hrow AS (SELECT di.i,
+      |           list_transform(range(1, 65), j ->
+      |             ((CASE WHEN di.i = j THEN 1.0 ELSE 0.0 END)
+      |              - 2.0 * (uu.ul[di.i] / un.n) * (uu.ul[j] / un.n))::FLOAT) AS hl
+      |         FROM dims di, uu, un),
+      |rot AS (SELECT e.vec_id, hr.i,
+      |          (list_sum(list_transform(range(1, 65),
+      |             j -> hr.hl[j]::DOUBLE * e.embedding[j]::DOUBLE)))::FLOAT AS r
+      |        FROM embeddings e, hrow hr)""".stripMargin
 
   def all: Seq[GQuery] = Seq(
 
@@ -545,6 +568,193 @@ object PqQueries {
           metadataCols = Seq("label"), excludeSelf = true)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"), col("hamming"))
+    },
+
+    // ——— OPQ (optimized product quantization) ———
+    // Oracled with the DETERMINISTIC Householder rotation (u from the
+    // designated row vec_id=0, the subset-quantizer convention) so DuckDB
+    // replays H entry by entry, every fixed-order float sum included; the
+    // LEARNED rotation (KMeans+SVD alternation, Opq.trainRotation) shares
+    // rotate/encode/adcSearch with this path and is property-checked in
+    // OpqSpec (orthogonality, error descent, recall >= plain PQ).
+
+    // Householder rotation application: H = I - 2uu^T with
+    // u = normalize(normalize(v0) - e1), rotated = H x emitted as FLOAT
+    // (the storage dtype). The oracle rebuilds H from v0 and replays the
+    // matrix multiply per (vector, dim).
+    GQuery(
+      "q274_opq_rotate",
+      s"""WITH $householderSql
+         |SELECT vec_id, (i - 1) AS dim, round(r::DOUBLE, 4) + 0.0 AS rot
+         |FROM rot""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val v0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+      Opq.rotate(emb, Opq.householderRotation(v0))
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "rot")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          round(col("rot").cast("double"), 4).as("rot"))
+    },
+
+    // OPQ ADC top-5: subset codebooks trained on the ROTATED corpus,
+    // encode in rotated space, rotate the queries with the SAME H, ADC —
+    // the full OPQ read path. The oracle replays rotation, codebooks,
+    // argmin codes, LUTs and the (dist, id) ranking from first principles.
+    GQuery(
+      "q275_opq_adc_topk",
+      s"""WITH $householderSql,
+         |rote AS (SELECT vec_id, list(r ORDER BY i) AS embedding
+         |         FROM rot GROUP BY vec_id),
+         |sub AS (SELECT unnest(range($m))::INT AS s),
+         |cb AS (
+         |  SELECT s.s AS sub, e.vec_id::INT AS code,
+         |         list_slice(e.embedding, s.s*$dsub + 1, s.s*$dsub + $dsub) AS cw
+         |  FROM rote e, sub s WHERE e.vec_id < $ksub),
+         |dd AS (
+         |  SELECT sv.id, sv.sub, cb.code,
+         |         list_sum(list_transform(range(1, ${dsub + 1}),
+         |           i -> (sv.v[i]::DOUBLE - cb.cw[i]::DOUBLE)
+         |              * (sv.v[i]::DOUBLE - cb.cw[i]::DOUBLE))) AS d
+         |  FROM (SELECT e.vec_id AS id, s.s AS sub,
+         |               list_slice(e.embedding, s.s*$dsub + 1, s.s*$dsub + $dsub) AS v
+         |        FROM rote e, sub s) sv
+         |  JOIN cb ON cb.sub = sv.sub),
+         |assign AS (
+         |  SELECT id, sub, code FROM (
+         |    SELECT id, sub, code,
+         |           row_number() OVER (PARTITION BY id, sub ORDER BY d, code) AS rn
+         |    FROM dd)
+         |  WHERE rn = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS qid, cb.sub, cb.code,
+         |         list_sum(list_transform(range(1, ${dsub + 1}),
+         |           i -> (list_slice(q.embedding, cb.sub*$dsub + 1, cb.sub*$dsub + $dsub)[i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE)
+         |              * (list_slice(q.embedding, cb.sub*$dsub + 1, cb.sub*$dsub + $dsub)[i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE))) AS d
+         |  FROM rote q, cb WHERE q.vec_id >= 100 AND q.vec_id < 120),
+         |adc AS (
+         |  SELECT l.qid, a.id AS nid, sqrt(sum(l.d)) AS d
+         |  FROM assign a JOIN lut l ON l.sub = a.sub AND l.code = a.code
+         |  WHERE a.id <> l.qid
+         |  GROUP BY l.qid, a.id)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank, round(d, 4) AS adc_dist
+         |FROM (SELECT qid, nid, d,
+         |             row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |      FROM adc)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val v0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+      val r = Opq.householderRotation(v0)
+      val rotBase = Opq.rotate(emb, r)
+      val cbs = Pq.subsetCodebooks(rotBase.filter(col("vec_id") < ksub), m)
+      val codes = Pq.encode(rotBase, cbs)
+      Opq.adcSearch(emb.filter(col("vec_id") >= 100 && col("vec_id") < 120),
+          codes, cbs, r, k = 5, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("adc_dist"), 4).as("adc_dist"))
+    },
+
+    // OPQ vs plain-PQ recall card: recall@10 of both ADC read paths
+    // against the exact-L2 truth, same m/ksub/subset-quantizer budget —
+    // the measurement harness the learned rotation is judged on (OpqSpec
+    // asserts the learned R's inequality; this card oracles the
+    // measurement itself). The oracle replays BOTH chains and the truth.
+    GQuery(
+      "q276_opq_recall_card",
+      s"""WITH $householderSql,
+         |rote AS (SELECT vec_id, list(r ORDER BY i) AS embedding
+         |         FROM rot GROUP BY vec_id),
+         |$assignSql,
+         |cbo AS (
+         |  SELECT s.s AS sub, e.vec_id::INT AS code,
+         |         list_slice(e.embedding, s.s*$dsub + 1, s.s*$dsub + $dsub) AS cw
+         |  FROM rote e, sub s WHERE e.vec_id < $ksub),
+         |ddo AS (
+         |  SELECT sv.id, sv.sub, cb.code,
+         |         list_sum(list_transform(range(1, ${dsub + 1}),
+         |           i -> (sv.v[i]::DOUBLE - cb.cw[i]::DOUBLE)
+         |              * (sv.v[i]::DOUBLE - cb.cw[i]::DOUBLE))) AS d
+         |  FROM (SELECT e.vec_id AS id, s.s AS sub,
+         |               list_slice(e.embedding, s.s*$dsub + 1, s.s*$dsub + $dsub) AS v
+         |        FROM rote e, sub s) sv
+         |  JOIN cbo cb ON cb.sub = sv.sub),
+         |asgo AS (SELECT id, sub, code FROM (
+         |    SELECT id, sub, code,
+         |           row_number() OVER (PARTITION BY id, sub ORDER BY d, code) AS rn
+         |    FROM ddo) WHERE rn = 1),
+         |luto AS (
+         |  SELECT q.vec_id AS qid, cb.sub, cb.code,
+         |         list_sum(list_transform(range(1, ${dsub + 1}),
+         |           i -> (list_slice(q.embedding, cb.sub*$dsub + 1, cb.sub*$dsub + $dsub)[i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE)
+         |              * (list_slice(q.embedding, cb.sub*$dsub + 1, cb.sub*$dsub + $dsub)[i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE))) AS d
+         |  FROM rote q, cbo cb WHERE q.vec_id < 20),
+         |opq10 AS (SELECT qid, nid FROM (
+         |    SELECT l.qid, a.id AS nid,
+         |           row_number() OVER (PARTITION BY l.qid
+         |             ORDER BY sum(l.d), a.id) AS rk
+         |    FROM asgo a JOIN luto l ON l.sub = a.sub AND l.code = a.code
+         |    WHERE a.id <> l.qid GROUP BY l.qid, a.id)
+         |  WHERE rk <= 10),
+         |lutr AS (
+         |  SELECT q.vec_id AS qid, cb.sub, cb.code,
+         |         list_sum(list_transform(range(1, ${dsub + 1}),
+         |           i -> (list_slice(q.embedding, cb.sub*$dsub + 1, cb.sub*$dsub + $dsub)[i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE)
+         |              * (list_slice(q.embedding, cb.sub*$dsub + 1, cb.sub*$dsub + $dsub)[i]::DOUBLE
+         |                   - cb.cw[i]::DOUBLE))) AS d
+         |  FROM embeddings q, cb WHERE q.vec_id < 20),
+         |pq10 AS (SELECT qid, nid FROM (
+         |    SELECT l.qid, a.id AS nid,
+         |           row_number() OVER (PARTITION BY l.qid
+         |             ORDER BY sum(l.d), a.id) AS rk
+         |    FROM assign a JOIN lutr l ON l.sub = a.sub AND l.code = a.code
+         |    WHERE a.id <> l.qid GROUP BY l.qid, a.id)
+         |  WHERE rk <= 10),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         |l2 AS (SELECT q.qid, b.vec_id AS nid,
+         |         list_sum(list_transform(range(1, 65),
+         |           i -> (q.qe[i]::DOUBLE - b.embedding[i]::DOUBLE)
+         |              * (q.qe[i]::DOUBLE - b.embedding[i]::DOUBLE))) AS d
+         |       FROM q CROSS JOIN embeddings b WHERE b.vec_id != q.qid),
+         |truth AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rk
+         |    FROM l2) WHERE rk <= 10),
+         |hp AS (SELECT t.qid, count(*) AS hits FROM truth t
+         |       JOIN pq10 p ON p.qid = t.qid AND p.nid = t.nid GROUP BY t.qid),
+         |ho AS (SELECT t.qid, count(*) AS hits FROM truth t
+         |       JOIN opq10 p ON p.qid = t.qid AND p.nid = t.nid GROUP BY t.qid),
+         |rp AS (SELECT round(avg(coalesce(hits, 0) / 10.0), 4) AS avg_recall
+         |       FROM q LEFT JOIN hp ON hp.qid = q.qid),
+         |ro AS (SELECT round(avg(coalesce(hits, 0) / 10.0), 4) AS avg_recall
+         |       FROM q LEFT JOIN ho ON ho.qid = q.qid)
+         |SELECT 'pq_adc@10' AS method, avg_recall FROM rp
+         |UNION ALL SELECT 'opq_adc@10', avg_recall FROM ro""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 20)
+      val truth = graft.operators.Knn.knn(queries, emb, k = 10, metric = "L2",
+        excludeSelf = true)
+      val v0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+      val r = Opq.householderRotation(v0)
+      val rotBase = Opq.rotate(emb, r)
+      val cbsRaw = Pq.subsetCodebooks(emb.filter(col("vec_id") < ksub), m)
+      val cbsRot = Pq.subsetCodebooks(rotBase.filter(col("vec_id") < ksub), m)
+      val pq10 = Pq.adcSearch(queries, Pq.encode(emb, cbsRaw), cbsRaw, k = 10,
+        excludeSelf = true)
+      val opq10 = Opq.adcSearch(queries, Pq.encode(rotBase, cbsRot), cbsRot, r,
+        k = 10, excludeSelf = true)
+      graft.operators.Knn.avgRecall(pq10, truth, k = 10)
+        .select(lit("pq_adc@10").as("method"), col("avg_recall"))
+        .unionAll(graft.operators.Knn.avgRecall(opq10, truth, k = 10)
+          .select(lit("opq_adc@10").as("method"), col("avg_recall")))
     },
   )
 }

@@ -403,6 +403,31 @@ object StreamQueries {
           round(col("value"), 6).as("value"))
     },
 
+    // LEFT-OUTER stream-stream join: q273's join keeping the UNMATCHED
+    // errors — "no click preceded this error" is the signal a training
+    // pipeline joins FOR, not a row to drop. Null c_id/value rows come
+    // straight from DuckDB's LEFT JOIN; the streaming leg (null rows gated
+    // on watermark EVICTION, unlike inner's eager emission) is pinned by
+    // EventStreamsSpec's held-then-healed case.
+    GQuery(
+      "q277_stream_stream_outer",
+      """WITH e AS (SELECT user_id, ts AS e_ts, event_id AS e_id FROM events
+        |           WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts AS c_ts, event_id AS c_id, value FROM events
+        |      WHERE event_type = 'click')
+        |SELECT e.user_id, e.e_id, c.c_id, round(c.value, 6) AS value
+        |FROM e LEFT JOIN c ON c.user_id = e.user_id
+        | AND c.c_ts >= e.e_ts - INTERVAL 120 MINUTE AND c.c_ts <= e.e_ts""".stripMargin) {
+      (s, dir) =>
+      val ev = Tables.events(s, dir)
+      EventStreams.precedingEventsJoin(
+          ev.filter(col("event_type") === "error"),
+          ev.filter(col("event_type") === "click"), windowMinutes = 120,
+          joinType = "left_outer")
+        .select(col("user_id"), col("e_id"), col("c_id"),
+          round(col("value"), 6).as("value"))
+    },
+
     // Per-user sliding-window z-score anomalies: each event against its
     // own trailing 20 events. The frame sums run over integer CENTS, so
     // the only floating point is the final mean/variance divisions + sqrt

@@ -634,6 +634,50 @@ object TextQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // Interpolated Kneser-Ney TRIGRAM surprisal (the order a CCNet-style
+    // perplexity filter actually ships; q152 is the bigram). The oracle
+    // rebuilds the full three-level interpolation — trigram counts,
+    // context totals, and every continuation TYPE count (distinct-u,
+    // distinct-(u,w), distinct-follower, bigram-type totals) — from first
+    // principles over the same positional trigrams. All six statistics are
+    // WINDOW aggregates over the single trigram-type relation c3, not a
+    // seven-way join of per-key CTEs: the join form handed DuckDB's
+    // join-order optimizer two relations with no shared key (nv keyed v,
+    // n1w keyed w) and its chosen order cross-producted them — ~110 GB of
+    // spill at sf0.01 before filling the disk. Window form: 0.1 s.
+    GQuery(
+      "q280_kn_trigram_surprisal",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+        |           FROM documents),
+        |tg AS (SELECT doc_id, toks[i+1] AS u, toks[i+2] AS v, toks[i+3] AS w
+        |       FROM (SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS i
+        |             FROM t WHERE len(toks) >= 3)),
+        |m AS (SELECT doc_id, u, v, w, count(*)::DOUBLE AS k FROM tg GROUP BY 1, 2, 3, 4),
+        |c3 AS (SELECT u, v, w, sum(k) AS c3 FROM m GROUP BY 1, 2, 3),
+        |p3 AS (SELECT u, v, w, c3,
+        |              sum(c3) OVER (PARTITION BY u, v) AS cuvtot,
+        |              count(*) OVER (PARTITION BY u, v)::DOUBLE AS nfollow3,
+        |              count(*) OVER (PARTITION BY v, w)::DOUBLE AS contvw,
+        |              count(*) OVER (PARTITION BY v)::DOUBLE AS nmid,
+        |              count(DISTINCT w) OVER (PARTITION BY v)::DOUBLE AS nfollow2,
+        |              count(DISTINCT v) OVER (PARTITION BY w)::DOUBLE AS nprec
+        |       FROM c3),
+        |tot AS (SELECT count(*)::DOUBLE AS ntypes
+        |        FROM (SELECT DISTINCT v, w FROM c3))
+        |SELECT doc_id,
+        |       round(sum(k * -ln(
+        |                 greatest(c3 - 0.75, 0) / cuvtot
+        |                 + (0.75 * nfollow3 / cuvtot)
+        |                   * (greatest(contvw - 0.75, 0) / nmid
+        |                      + (0.75 * nfollow2 / nmid) * (nprec / ntypes))))
+        |             / sum(k), 6) AS kn3_surprisal
+        |FROM m JOIN p3 USING (u, v, w) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.UnigramLm
+        .kneserNeyTrigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // CCNet-style perplexity bucketing: every doc into one of 10 equal-size
     // quantile buckets by unigram surprisal — head bucket = boilerplate,
     // tail = garbage vocabulary. Spark side computes ANSI ntile WITHOUT the

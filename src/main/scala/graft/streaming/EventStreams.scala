@@ -163,10 +163,26 @@ object EventStreams {
     * state grows forever. Inner-join matches emit eagerly (the watermark
     * gates eviction, not output), so a run-to-completion stream equals
     * the batch join row-for-row (EventStreamsSpec pins it).
+    *
+    * `joinType = "left_outer"` keeps UNMATCHED left events — the
+    * training-pipeline side every filter needs ("errors with no
+    * preceding click" is a feature, not a dropped row). Outer semantics
+    * change the emission rule: a null-padded row can only emit once the
+    * watermark proves no matching right event can still arrive (i.e.
+    * passes the left event's time), so on a live stream the unmatched
+    * tail is HELD until the watermark advances past it — and the
+    * watermark advances only from event times that flow through the
+    * watermark nodes, which sit AFTER the caller's filters.
+    * EventStreamsSpec pins both halves: held-until-eviction, then
+    * equality with the batch left join once later events push the
+    * watermark across.
     */
   def precedingEventsJoin(left: DataFrame, right: DataFrame,
-      windowMinutes: Int, watermark: String = "10 minutes"): DataFrame = {
+      windowMinutes: Int, watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     require(windowMinutes > 0, s"windowMinutes must be positive: $windowMinutes")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType must be inner or left_outer: $joinType")
     val l = left.select(col("user_id"), col("ts").as("e_ts"),
         col("event_id").as("e_id"))
       .withWatermark("e_ts", watermark)
@@ -175,7 +191,7 @@ object EventStreams {
       .withWatermark("c_ts", watermark)
     l.join(r, col("user_id") === col("c_user") &&
         col("c_ts") >= col("e_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
-        col("c_ts") <= col("e_ts"))
+        col("c_ts") <= col("e_ts"), joinType)
       .select(col("user_id"), col("e_id"), col("c_id"), col("value"))
   }
 

@@ -37,7 +37,32 @@ object StreamAnn {
     * contents are deterministic under AvailableNow), so a retry replaces
     * rather than duplicates, keeping the exact-union contract. Readers
     * see one extra `batch` partition-discovery column.
+    *
+    * CROSS-RUN SAFETY: the checkpoint lives under `outPath/_checkpoint`
+    * (the `_` prefix hides it from parquet partition discovery, like
+    * `_spark_metadata`), so a SECOND invocation over the same outPath is
+    * a true RESUME — same source offsets, same batch numbering, only
+    * unprocessed input drains. Without this, a rerun renumbered batches
+    * from 0 with potentially different batching, and stale `batch=N`
+    * dirs from the first run survived as duplicates. A non-empty outPath
+    * WITHOUT a checkpoint (foreign or pre-contract output) fails loudly
+    * instead of silently double-writing.
     */
+  private def checkpointFor(spark: org.apache.spark.sql.SparkSession,
+      outPath: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    val fs = out.getFileSystem(conf)
+    val ckpt = new org.apache.hadoop.fs.Path(out, "_checkpoint")
+    if (fs.exists(out) && !fs.exists(ckpt) &&
+        fs.listStatus(out).exists(_.getPath.getName.startsWith("batch=")))
+      throw new IllegalStateException(
+        s"$outPath contains batch output but no _checkpoint: a rerun would " +
+          "renumber batches and duplicate rows. Point at a fresh outPath or " +
+          "restore the original checkpoint.")
+    ckpt.toString
+  }
+
   /** Streaming INGEST into a maintained IVF index: each micro-batch of
     * arriving vectors is assigned against the FROZEN quantizer
     * ([[Ann.ivfIndexWithMeta]] — zero-shuffle map-side argmin, metadata
@@ -60,8 +85,7 @@ object StreamAnn {
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-ivf-append").toString)
+      .option("checkpointLocation", checkpointFor(vecStream.sparkSession, outPath))
       .start()
     q.awaitTermination()
   }
@@ -77,8 +101,7 @@ object StreamAnn {
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-ann-stream").toString)
+      .option("checkpointLocation", checkpointFor(queryStream.sparkSession, outPath))
       .start()
     q.awaitTermination()
   }

@@ -36,4 +36,43 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** Drain the listener bus (`private[spark]`) — lets a test that records
+    * plans via a QueryExecutionListener assert AFTER every callback fired.
+    */
+  def waitListenerBusEmpty(spark: org.apache.spark.sql.SparkSession,
+      timeoutMs: Long = 60000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
+  /** Every UNPARTITIONED WindowExec in an executed plan, rendered as its
+    * window-expression SQL — the single-partition-funnel detector behind
+    * the PlanShapeSpec allowlist sweep. Descends into AQE wrappers, query
+    * stages, reused exchanges/subqueries, and subquery expressions, which
+    * a plain `plan.collect` would stop at.
+    */
+  def unpartitionedWindows(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    val here = plan match {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty =>
+        Seq(w.windowExpression.map(_.sql).mkString("; ").take(200))
+      case _ => Nil
+    }
+    val children: Seq[SparkPlan] = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case r: ReusedSubqueryExec => Seq(r.child)
+      case other => other.children
+    }
+    val sub = plan.expressions.flatMap(_.collect {
+      case e: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+        e.plan match {
+          case p: SparkPlan => unpartitionedWindows(p)
+          case _ => Nil
+        }
+    }.flatten)
+    here ++ children.flatMap(unpartitionedWindows) ++ sub
+  }
 }

@@ -31,6 +31,29 @@ class RankingSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("fileOrderOrdinal equals row_number over monotonically_increasing_id, with no shuffle and no window") {
+    val d = df(257)
+    val got = Ranking.fileOrderOrdinal(d, "ordinal")
+    // identical ordering to the single-partition-window form it replaces
+    val want = d.withColumn("ordinal",
+      (row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+        .cast("long"))
+    assert(got.select("v", "id", "ordinal").collect().toSeq.sortBy(_.getLong(2)) ==
+      want.select("v", "id", "ordinal").collect().toSeq.sortBy(_.getLong(2)))
+    // contiguous 0-based
+    val ords = got.select("ordinal").collect().map(_.getLong(0)).sorted
+    assert(ords.toSeq == (0L until 257L))
+    // plan shape: no exchange, no window on the numbering path
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"), plan)
+    // reserved-column guard
+    intercept[IllegalArgumentException](
+      Ranking.fileOrderOrdinal(got, "ordinal"))
+    // empty input
+    assert(Ranking.fileOrderOrdinal(df(5).limit(0), "ordinal").count() == 0)
+  }
+
   test("ntileBuckets equals ntile(k) for ragged, exact and n<k shapes") {
     for ((n, k) <- Seq((101, 10), (100, 10), (7, 10), (1, 3), (64, 8))) {
       val d = df(n)

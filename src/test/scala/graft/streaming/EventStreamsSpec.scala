@@ -71,6 +71,67 @@ class EventStreamsSpec extends SparkSpec {
       "inner-join matches must emit eagerly; none may be lost to eviction")
   }
 
+  test("left-outer stream-stream join: null rows held until watermark eviction, then equal batch") {
+    // error 14 has no in-window click (13 is 35 min early) -> null row;
+    // error 19 sits beyond the phase-1 watermark -> its null row is HELD;
+    // 90/92 + 91/93 are watermark-advancing sentinels on BOTH sides (the
+    // global watermark is the min over both inputs, and each side's
+    // watermark node only sees its own filtered rows)
+    val base = Seq(
+      Event(10, ts(8), 1, "click", 1.0),
+      Event(11, ts(12), 1, "error", 0.0),
+      Event(12, ts(12), 1, "click", 2.0),
+      Event(13, ts(40), 1, "click", 3.0),
+      Event(14, ts(75), 1, "error", 0.0),
+      Event(17, ts(73), 2, "click", 5.0),
+      Event(16, ts(76), 2, "error", 0.0),
+      Event(19, ts(295), 4, "error", 0.0),
+      Event(90, ts(300), 8, "error", 0.0),
+      Event(91, ts(300), 9, "click", 9.0))
+    val tail = Seq(
+      Event(92, ts(400), 8, "error", 0.0),
+      Event(93, ts(400), 9, "click", 9.0))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    def errors(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "error")
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "click")
+    val allDf = (base ++ tail).toDF()
+    val want = canon(EventStreams.precedingEventsJoin(
+      errors(allDf), clicks(allDf), windowMinutes = 5, joinType = "left_outer"))
+    val nullRow = (id: Long, uid: Long) => (uid, id, None, None)
+    assert(want == Set((1L, 11L, Some(10L), Some(1.0)), (1L, 11L, Some(12L), Some(2.0)),
+      (2L, 16L, Some(17L), Some(5.0)),
+      nullRow(14L, 1L), nullRow(19L, 4L), nullRow(90L, 8L), nullRow(92L, 8L)))
+
+    val mem = MemoryStream[Event](spark)
+    val joined = EventStreams.precedingEventsJoin(
+      errors(mem.toDF()), clicks(mem.toDF()), windowMinutes = 5,
+      watermark = "10 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssjo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(base: _*)
+      q.processAllAvailable()
+      // watermark = 300 - 10 = 290: matches emitted eagerly, 14's null row
+      // evicted (75 < 290), but 19 (295) and 90 (300) are still protected —
+      // a premature null row here would be WRONG (a click could still come)
+      assert(canon(spark.table("ssjo")) ==
+        want - nullRow(19L, 4L) - nullRow(90L, 8L) - nullRow(92L, 8L),
+        "unmatched rows at/after the watermark must be held, not null-padded")
+      mem.addData(tail: _*)
+      q.processAllAvailable()
+      // watermark = 390: 19 and 90 evict and emit their null rows; the 400
+      // sentinel error itself stays held — stream == batch minus exactly
+      // the held frontier
+      assert(canon(spark.table("ssjo")) == want - nullRow(92L, 8L),
+        "watermark advance must flush exactly the evicted unmatched rows")
+    } finally q.stop()
+  }
+
   test("streaming hourlyRollup equals batch hourlyRollup") {
     val mem = MemoryStream[Event](spark)
     mem.addData(eventSeq: _*)

@@ -73,4 +73,46 @@ class StreamAnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(again == want)
   }
+
+  test("second invocation over the same outPath after a partial drain RESUMES batch numbering") {
+    val centroids = emb.filter(col("vec_id") < 8)
+    val inDir = java.nio.file.Files.createTempDirectory("ivf-resume-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ivf-resume-out").toString + "/ix"
+    def stream() = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(inDir)
+
+    // run 1: drain the first two thirds (two files => batches 0 and 1)
+    (0 until 2).foreach { i =>
+      emb.filter(col("vec_id") % 3 === i).coalesce(1).write.parquet(s"$inDir/part$i")
+    }
+    StreamAnn.ivfAppendToPath(stream(), centroids, outDir, metaCols = Seq("label"))
+    val afterFirst = spark.read.parquet(outDir)
+      .select("batch").distinct().as[Long].collect().toSet
+    assert(afterFirst == Set(0L, 1L))
+
+    // run 2 over the SAME outPath: the checkpoint under outPath/_checkpoint
+    // makes this a resume — already-drained files are NOT replayed, the new
+    // file lands as batch 2, and the union equals the from-scratch index.
+    emb.filter(col("vec_id") % 3 === 2).coalesce(1).write.parquet(s"$inDir/part2")
+    StreamAnn.ivfAppendToPath(stream(), centroids, outDir, metaCols = Seq("label"))
+    val batches = spark.read.parquet(outDir)
+      .select("batch").distinct().as[Long].collect().toSet
+    assert(batches == Set(0L, 1L, 2L),
+      s"rerun must continue numbering, not restart from 0: $batches")
+    val got = spark.read.parquet(outDir)
+      .select("id", "cell", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Ann.ivfIndexWithMeta(emb, centroids, metaCols = Seq("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
+    assert(got == want)
+
+    // batch output without a checkpoint fails loudly instead of renumbering
+    val foreign = java.nio.file.Files.createTempDirectory("ivf-foreign").toString + "/ix"
+    spark.read.parquet(s"$outDir/batch=0").write.parquet(s"$foreign/batch=0")
+    val e = intercept[IllegalStateException](
+      StreamAnn.ivfAppendToPath(stream(), centroids, foreign))
+    assert(e.getMessage.contains("no _checkpoint"))
+  }
 }
