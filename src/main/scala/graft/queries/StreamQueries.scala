@@ -474,5 +474,25 @@ object StreamQueries {
         .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
           col("age_days").cast("long").as("age_days"), col("n_users"))
     },
+
+    // Streaming ingest dedup, batch twin: FIRST event per (user_id,
+    // event_type) by (ts, event_id) — the deterministic form
+    // dropDuplicatesWithinWatermark converges to when arrival respects
+    // event order (EventStreamsSpec pins the streaming leg, including the
+    // beyond-watermark straggler that gets READMITTED — bounded state is
+    // the trade). The oracle is the same keyed window; no global window
+    // anywhere.
+    GQuery(
+      "q284_stream_dedup_first",
+      """SELECT event_id, user_id, event_type, round(value, 6) AS value
+        |FROM (SELECT event_id, user_id, event_type, value,
+        |             row_number() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      EventStreams.firstEventDedup(Tables.events(s, dir))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+    },
   )
 }

@@ -195,6 +195,39 @@ object EventStreams {
       .select(col("user_id"), col("e_id"), col("c_id"), col("value"))
   }
 
+  /** First-occurrence dedup per (user_id, event_type) — the streaming
+    * ingest-dedup class (`dropDuplicatesWithinWatermark`), the event-log
+    * analogue of the corpus dedup family (`Dedup.exactGroups` keeps one
+    * doc per content key; this keeps one event per behavioral key).
+    *
+    * Batch form (and the q284 oracle): the row with the least (ts,
+    * event_id) per key — a KEYED window, never a global one. Streaming
+    * form: `dropDuplicatesWithinWatermark`, which keeps the first
+    * ARRIVAL and holds per-key state only until the watermark passes the
+    * first row's event time plus the delay — the property that makes
+    * dedup state BOUNDED at 100 TB (plain `dropDuplicates` on a stream
+    * retains every key forever). The two agree exactly when arrival
+    * order respects (ts, event_id) within each key and no duplicate
+    * arrives after its key's state evicted; a straggler duplicate beyond
+    * the watermark is readmitted — that eviction trade is the operator's
+    * contract, and EventStreamsSpec pins BOTH halves (agreement, and the
+    * readmitted straggler).
+    */
+  def firstEventDedup(events: DataFrame, watermark: String = "2 hours",
+      keyCols: Seq[String] = Seq("user_id", "event_type")): DataFrame = {
+    require(keyCols.nonEmpty, "firstEventDedup: need at least one key column")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(col("ts"), col("event_id"))
+      events.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+  }
+
   /** Retention COHORT matrix: users grouped by first-seen day, then per
     * (cohort_day, days since) the count of distinct users active — the
     * standard engagement decay card. Two hash aggregates (first-seen per

@@ -132,6 +132,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("firstEventDedup: stream equals batch, then READMITS a beyond-watermark straggler") {
+    val base = Seq(
+      Event(1, ts(10), 1, "click", 1.0),
+      Event(2, ts(12), 1, "click", 2.0), // in-window duplicate — dropped
+      Event(3, ts(15), 1, "view", 3.0),
+      Event(5, ts(40), 9, "page", 9.0))  // advances the watermark to 30
+    // event time 35 is ABOVE the watermark (30) but its key's dedup state
+    // expired at firstSeen(10) + delay(10) = 20 < 30 — the duplicate is
+    // readmitted. Bounded state is exactly this trade.
+    val straggler = Seq(Event(4, ts(35), 1, "click", 4.0))
+
+    val batchIds = EventStreams.firstEventDedup((base ++ straggler).toDF(),
+        watermark = "10 minutes")
+      .select("event_id").as[Long].collect().toSet
+    assert(batchIds == Set(1L, 3L, 5L), "batch keeps the least (ts, id) per key")
+
+    val mem = MemoryStream[Event](spark)
+    val deduped = EventStreams.firstEventDedup(mem.toDF(), watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_first")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(base: _*)
+      q.processAllAvailable()
+      assert(spark.table("dedup_first").select("event_id").as[Long].collect().toSet
+        == Set(1L, 3L, 5L), "stream == batch when arrival respects event order")
+      mem.addData(straggler: _*)
+      q.processAllAvailable()
+      assert(spark.table("dedup_first").select("event_id").as[Long].collect().toSet
+        == Set(1L, 3L, 5L, 4L),
+        "a duplicate arriving after its key's state evicted must be readmitted")
+    } finally q.stop()
+  }
+
   test("streaming hourlyRollup equals batch hourlyRollup") {
     val mem = MemoryStream[Event](spark)
     mem.addData(eventSeq: _*)
