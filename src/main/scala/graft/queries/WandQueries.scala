@@ -96,5 +96,58 @@ object WandQueries {
       Wand.pruningCard(postings, blockMax, Seq("vector", "hash", "spark"), k = 20,
         seedBlocks = 4)
     },
+
+    // Exact positional phrase match ("slow hash batch", a trigram the
+    // corpus repeats within one doc): term-pruned postings aligned on
+    // (id, pos - k) — the oracle replays positions and the 3-way
+    // intersection from first principles. The L-way join carries only
+    // (long, long) keys; no text shuffles.
+    GQuery(
+      "q289_phrase_search",
+      """WITH toks AS (SELECT doc_id,
+        |                list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |         FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        |m AS (SELECT a.doc_id, a.pos AS start
+        |      FROM p a
+        |      JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |      JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |      WHERE a.tok = 'slow' AND b.tok = 'hash' AND c.tok = 'batch')
+        |SELECT doc_id AS id, count(*) AS n_occurrences, min(start) AS first_pos
+        |FROM m GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val postings = graft.operators.PhraseSearch
+        .positionalPostings(Tables.documents(s, dir), "doc_id", "text")
+      graft.operators.PhraseSearch
+        .phraseOccurrences(postings, Seq("slow", "hash", "batch"))
+        .select(col("id"), col("n_occurrences"),
+          col("first_pos").cast("long").as("first_pos"))
+    },
+
+    // Anchored proximity (slop) search: every 'vector' occurrence that
+    // has a 'spark' witness AND a 'query' witness within 5 tokens. The
+    // oracle's EXISTS-per-term is exactly the operator's fold of
+    // (range-join, distinct-anchor) steps.
+    GQuery(
+      "q290_proximity_search",
+      """WITH toks AS (SELECT doc_id,
+        |                list_filter(string_split(lower(text), ' '), x -> x != '') AS t
+        |         FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        |m AS (SELECT a.doc_id, a.pos
+        |      FROM p a
+        |      WHERE a.tok = 'vector'
+        |        AND EXISTS (SELECT 1 FROM p b WHERE b.doc_id = a.doc_id
+        |                    AND b.tok = 'spark' AND abs(b.pos - a.pos) <= 5)
+        |        AND EXISTS (SELECT 1 FROM p c WHERE c.doc_id = a.doc_id
+        |                    AND c.tok = 'query' AND abs(c.pos - a.pos) <= 5))
+        |SELECT doc_id AS id, count(*) AS n_anchors FROM m GROUP BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val postings = graft.operators.PhraseSearch
+        .positionalPostings(Tables.documents(s, dir), "doc_id", "text")
+      graft.operators.PhraseSearch
+        .proximityDocs(postings, Seq("vector", "spark", "query"), window = 5)
+    },
   )
 }
