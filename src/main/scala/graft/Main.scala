@@ -1109,6 +1109,71 @@ object Main {
             iters = flags.getOrElse("iters", "1").toInt, maxPieceLen = vMax)
         else operators.UnigramSeg.wordBestScores(vIn, vTxt, vMax)
 
+      case "pagerank" =>
+        // damped power iteration over an edge parquet (src, dst)
+        operators.PageRank.pageRank(spark.read.parquet(need("edges")),
+          iters = flags.getOrElse("iters", "10").toInt,
+          damping = flags.getOrElse("damping", "0.85").toDouble,
+          srcCol = flags.getOrElse("src-col", "src"),
+          dstCol = flags.getOrElse("dst-col", "dst"))
+
+      case "phrase" =>
+        // exact positional phrase match; --terms is the space-free CSV form
+        val pIn = spark.read.parquet(need("input"))
+        val post = operators.PhraseSearch.positionalPostings(pIn,
+          flags.getOrElse("id-col", "doc_id"), flags.getOrElse("text-col", "text"))
+        operators.PhraseSearch.phraseOccurrences(post,
+          need("terms").split(",").toSeq)
+
+      case "proximity" =>
+        // anchored slop search: all terms within --window of the first
+        val xIn = spark.read.parquet(need("input"))
+        val post = operators.PhraseSearch.positionalPostings(xIn,
+          flags.getOrElse("id-col", "doc_id"), flags.getOrElse("text-col", "text"))
+        operators.PhraseSearch.proximityDocs(post,
+          need("terms").split(",").toSeq,
+          window = flags.getOrElse("window", "5").toInt)
+
+      case "wand" =>
+        // block-max pruned exact BM25 top-k; --card reports the saving
+        val wIn = spark.read.parquet(need("input"))
+        val (post, bm) = operators.Wand.impactIndex(wIn,
+          flags.getOrElse("id-col", "doc_id"), flags.getOrElse("text-col", "text"),
+          blockSize = flags.getOrElse("block-size", "64").toLong)
+        val wTerms = need("terms").split(",").toSeq
+        val wK = flags.getOrElse("k", "10").toInt
+        if (flags.contains("card")) operators.Wand.pruningCard(post, bm, wTerms, wK)
+        else operators.Wand.topK(post, bm, wTerms, wK)
+
+      case "rvq-encode" =>
+        // residual VQ codes (learned sequential-KMeans stages)
+        val rIn = spark.read.parquet(need("input"))
+        val rCbs = operators.Rvq.trainStageCodebooks(rIn,
+          stages = flags.getOrElse("stages", "2").toInt,
+          k = flags.getOrElse("k", "16").toInt,
+          vecCol = flags.getOrElse("vec-col", "embedding"),
+          seed = flags.getOrElse("seed", "42").toLong)
+        if (flags.contains("error-card"))
+          operators.Rvq.errorCard(rIn, rCbs,
+            idCol = flags.getOrElse("id-col", "vec_id"),
+            vecCol = flags.getOrElse("vec-col", "embedding"))
+        else operators.Rvq.encode(rIn, rCbs,
+          idCol = flags.getOrElse("id-col", "vec_id"),
+          vecCol = flags.getOrElse("vec-col", "embedding"))
+
+      case "url-canon" =>
+        // canonicalize a URL column; --dedup-card groups the collapses
+        val uIn = spark.read.parquet(need("input"))
+        val uCol = flags.getOrElse("url-col", "url")
+        val uId = flags.getOrElse("id-col", "doc_id")
+        val canon = uIn.select(col(uId),
+          graft.functions.UrlFunctions.canonicalizeUrl(col(uCol)).as("canon_url"))
+        if (flags.contains("dedup-card"))
+          canon.groupBy("canon_url")
+            .agg(min(col(uId)).as("keeper"), count(lit(1)).as("n_docs"))
+            .filter(col("n_docs") > 1)
+        else canon
+
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")
     }
@@ -1182,6 +1247,12 @@ object Main {
       |   fast production default, md5 the engine-neutral oracle-parity mode,
       |   poly the rolling-window mode for char-level exactsubstr)
       |  viterbi --input PARQUET [--em [--iters N]] [--max-piece-len N] [--text-col C]
+      |  pagerank --edges PARQUET [--iters N] [--damping D] [--src-col C] [--dst-col C]
+      |  phrase --input PARQUET --terms w1,w2,... [--id-col C] [--text-col C]
+      |  proximity --input PARQUET --terms w1,w2,... [--window N] [--id-col C] [--text-col C]
+      |  wand --input PARQUET --terms w1,w2,... [--k N] [--block-size N] [--card]
+      |  rvq-encode --input PARQUET [--stages N] [--k N] [--seed S] [--error-card] [--id-col C] [--vec-col C]
+      |  url-canon --input PARQUET [--url-col C] [--id-col C] [--dedup-card]
       |  gquantiles --input PARQUET --group-col G --value-col C [--ps P1,P2,...]
       |  curriculum --input PARQUET --difficulty-col C [--k N] [--salt S] [--id-col C]
       |  winsorize --input PARQUET [--value-col C] [--c F] [--group-col G]

@@ -1029,6 +1029,109 @@ object ScaleSoak {
       relDocs.unpersist()
     }
 
+    // --- PageRank at graph scale (SOAK_PR_NODES=0 skips): a 5M-node /
+    // 15M-edge power-law-ish graph (every node 3 out-links, hubs get
+    // quadratically more in-links). Per iteration: one join + one
+    // partial-agg shuffle; localCheckpoint holds lineage flat, so
+    // iteration time must stay ~constant — the soak prints per-iteration
+    // wall time via two runs (5 vs 10 iters).
+    val nPrNodes = sys.env.getOrElse("SOAK_PR_NODES", "5000000").toLong
+    if (nPrNodes > 0) {
+      val edges = spark.range(nPrNodes).select(
+          col("id").as("src"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("j"))
+        .select(col("src"),
+          // hub bias: j=0 links uniformly, j=1/2 link into the id² tail —
+          // low ids accumulate in-degree
+          when(col("j") === 0L, (col("src") * 7 + 1) % nPrNodes)
+            .otherwise((col("src") * col("src") + col("j")) % (nPrNodes / 100))
+            .as("dst"))
+        .filter(col("dst") =!= col("src"))
+      val t5 = System.nanoTime()
+      val r5 = timed(s"pagerank $nPrNodes nodes, 5 iters") {
+        val r = operators.PageRank.pageRank(edges, iters = 5)
+        r.agg(sum("rank")).collect()(0).getDouble(0)
+      }
+      val d5 = (System.nanoTime() - t5) / 1e9
+      val t10 = System.nanoTime()
+      val r10 = timed(s"pagerank $nPrNodes nodes, 10 iters") {
+        val r = operators.PageRank.pageRank(edges, iters = 10)
+        r.agg(sum("rank")).collect()(0).getDouble(0)
+      }
+      val d10 = (System.nanoTime() - t10) / 1e9
+      require(math.abs(r5 - 1.0) < 1e-6 && math.abs(r10 - 1.0) < 1e-6,
+        s"pagerank mass drifted: $r5 / $r10")
+      println(f"[soak] pagerank per-iteration: ${d5 / 5}%.2f s (5it) vs " +
+        f"${d10 / 10}%.2f s (10it) — flat means lineage stayed O(1)")
+    }
+
+    // --- WAND at corpus scale (SOAK_WAND_DOCS=0 skips): 500k docs, the
+    // impact index built once, then the pruned and exhaustive top-k both
+    // timed, equality REQUIRED in-run (the exactness claim at scale, not
+    // just in the spec), skipped fraction printed.
+    val nWandDocs = sys.env.getOrElse("SOAK_WAND_DOCS", "500000").toLong
+    if (nWandDocs > 0) {
+      val vocabArr = (0 until 2000).map(i => s"w$i")
+      // block-max pruning pays only under IMPACT SKEW: docs 0..999 repeat
+      // the query terms (high tf -> high impact, concentrated in ~16
+      // blocks), the long tail mentions one query term once per ~25 docs.
+      // A uniform fixture (first attempt) yields skipped_frac = 0.0 —
+      // every block's UB ties and theta prunes nothing; recorded in
+      // PLANS.md because the lesson generalizes: WAND's win is the skew,
+      // not the mechanism.
+      val wDocs = spark.range(nWandDocs).select(col("id").as("doc_id"),
+        when(col("id") < 1000,
+          concat(lit("w3 w11 w29 w3 w11 w29 w3 w11 "),
+            element_at(typedLit(vocabArr), (pmod(col("id"), lit(1990L)) + 11).cast("int"))))
+          .otherwise(concat_ws(" ",
+            (0 until 12).map(k =>
+              when(pmod(col("id") + k, lit(25L)) === 0 && lit(k < 3),
+                element_at(typedLit(Seq("w3", "w11", "w29")), k + 1))
+                .otherwise(element_at(typedLit(vocabArr),
+                  (pmod(col("id") * (k * 31 + 7), lit(1900L)) + 101).cast("int")))): _*))
+          .as("text"))
+      val (post, bm) = operators.Wand.impactIndex(wDocs, "doc_id", "text")
+      val postC = post.cache(); postC.count()
+      val bmC = bm.cache(); bmC.count()
+      val terms = Seq("w3", "w11", "w29")
+      val pruned = timed(s"wand pruned top-20 over $nWandDocs docs") {
+        operators.Wand.topK(postC, bmC, terms, k = 20).collect()
+      }
+      val exact = timed(s"bm25 exhaustive top-20 over $nWandDocs docs") {
+        operators.Bm25.bm25(wDocs, "doc_id", "text", terms, k = 20).collect()
+      }
+      require(pruned.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        exact.map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+        "wand diverged from exhaustive BM25 at scale")
+      val card = operators.Wand.pruningCard(postC, bmC, terms, k = 20).collect()(0)
+      println(s"[soak] wand skipped_frac=${card.getAs[Double]("skipped_frac")} " +
+        s"(${card.getAs[Long]("postings_scored")}/${card.getAs[Long]("postings_total")} postings scored)")
+      postC.unpersist(); bmC.unpersist()
+    }
+
+    // --- RVQ at corpus scale (SOAK_RVQ=0 skips): 1M x 64 vectors, 2x256
+    // stages — train on a 5% sample, encode everything (map-side), ADC
+    // search 100 queries over the codes.
+    val nRvq = sys.env.getOrElse("SOAK_RVQ", "1000000").toLong
+    if (nRvq > 0) {
+      val base = operators.Generators.gaussianVectors(spark, nRvq, dim, seed = 33)
+        .select(col("ordinal").as("vec_id"), col("vector").as("embedding"))
+      val cbs = timed(s"rvq train 2x256 stages on 5% of $nRvq") {
+        val c = operators.Rvq.trainStageCodebooks(base, stages = 2, k = 256,
+          sampleFraction = 0.05)
+        c.cache(); c.count(); c
+      }
+      val codes = timed(s"rvq encode $nRvq x $dim") {
+        val e = operators.Rvq.encode(base, cbs)
+        e.cache(); e.count(); e
+      }
+      timed(s"rvq adc top-10, $nQueries queries over $nRvq codes") {
+        operators.Rvq.adcSearch(base.filter(col("vec_id") < nQueries),
+          codes, cbs, k = 10).count()
+      }
+      codes.unpersist(); cbs.unpersist()
+    }
+
     spark.stop()
   }
 }

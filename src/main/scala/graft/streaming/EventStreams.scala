@@ -199,6 +199,12 @@ object EventStreams {
     * ingest-dedup class (`dropDuplicatesWithinWatermark`), the event-log
     * analogue of the corpus dedup family (`Dedup.exactGroups` keeps one
     * doc per content key; this keeps one event per behavioral key).
+    * Relation to [[StreamDedup.firstSeen]] (the content-fingerprint
+    * form): same streaming primitive, but THIS operator's batch twin is
+    * DETERMINISTIC — least (ts, event_id) per key — where `firstSeen`'s
+    * batch fallback (`dropDuplicates`) keeps an arbitrary row; that
+    * determinism is what makes q284 oracle-able and what the
+    * straggler-readmission spec pins.
     *
     * Batch form (and the q284 oracle): the row with the least (ts,
     * event_id) per key — a KEYED window, never a global one. Streaming

@@ -1081,6 +1081,51 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("pagerank, phrase, proximity, wand, rvq-encode and url-canon drive the session additions") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cli-s2").toString
+    (0L until 40L).map(i => (i, (i * 7 + 1) % 40))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+      .write.parquet(s"$d/edges.parquet")
+    val pr = Main.run(spark, Seq("pagerank", "--edges", s"$d/edges.parquet",
+      "--iters", "5"))
+    assert(pr.count() == 40)
+    assert(math.abs(pr.agg(sum("rank")).head.getDouble(0) - 1.0) < 1e-9)
+
+    Seq((0L, "slow hash batch here"), (1L, "hash batch"), (2L, "slow batch hash"))
+      .toDF("doc_id", "text").write.parquet(s"$d/docs.parquet")
+    val ph = Main.run(spark, Seq("phrase", "--input", s"$d/docs.parquet",
+      "--terms", "slow,hash,batch"))
+    assert(ph.select("id").as[Long].collect().toSet == Set(0L))
+    val px = Main.run(spark, Seq("proximity", "--input", s"$d/docs.parquet",
+      "--terms", "slow,hash", "--window", "2"))
+    assert(px.select("id").as[Long].collect().toSet == Set(0L, 2L))
+    val wd = Main.run(spark, Seq("wand", "--input", s"$d/docs.parquet",
+      "--terms", "hash,batch", "--k", "2", "--block-size", "2"))
+    assert(wd.count() == 2)
+    val wc = Main.run(spark, Seq("wand", "--input", s"$d/docs.parquet",
+      "--terms", "hash,batch", "--k", "2", "--card"))
+    assert(wc.columns.contains("skipped_frac") && wc.count() == 1)
+
+    val rnd = new scala.util.Random(7)
+    (0L until 64L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$d/vecs.parquet")
+    val rv = Main.run(spark, Seq("rvq-encode", "--input", s"$d/vecs.parquet",
+      "--stages", "2", "--k", "4"))
+    assert(rv.count() == 64)
+    val rc = Main.run(spark, Seq("rvq-encode", "--input", s"$d/vecs.parquet",
+      "--stages", "2", "--k", "4", "--error-card"))
+    assert(rc.count() == 2)
+
+    Seq((0L, "HTTP://A.com:80/x?utm_a=1&b=2"), (1L, "http://a.com/x?b=2"))
+      .toDF("doc_id", "url").write.parquet(s"$d/urls.parquet")
+    val uc = Main.run(spark, Seq("url-canon", "--input", s"$d/urls.parquet"))
+    assert(uc.select("canon_url").as[String].collect().toSet == Set("http://a.com/x?b=2"))
+    val ud = Main.run(spark, Seq("url-canon", "--input", s"$d/urls.parquet",
+      "--dedup-card"))
+    assert(ud.count() == 1 && ud.head.getLong(2) == 2L)
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))
