@@ -41,8 +41,10 @@ object PageRank {
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"pageRank: damping in (0,1), got $damping")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().cache()
+    // id-type-agnostic: hosts/urls rank as naturally as numeric ids —
+    // every step is equality joins and aggregates, no arithmetic on ids
+    val e = edges.select(col(srcCol).as("src"),
+      col(dstCol).as("dst")).distinct().cache()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).cache()
@@ -85,8 +87,8 @@ object PageRank {
     */
   def pageRankStep(edges: DataFrame, ranks: DataFrame, damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct()
+    val e = edges.select(col(srcCol).as("src"),
+      col(dstCol).as("dst")).distinct()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting and clustering coefficients over an undirected edge
+  * list — the density instrumentation for the similarity graphs the
+  * dedup family emits (a near-dup graph whose components are cliques
+  * dedups cleanly; one with low clustering is chains of borderline pairs
+  * where transitive dedup over-merges — this card is how you SEE that
+  * before keep-one collapses a chain). Standard compact-forward /
+  * degree-ordered algorithm (Latapy 2008; Suri & Vassilvitskii 2011 for
+  * the MapReduce form — public literature; the reference has no graph
+  * surface).
+  *
+  * Scale shape: edges are ORIENTED low→high by (degree, id) so every
+  * wedge is generated exactly once at its lowest-degree apex — the
+  * standard skew guard: a star of degree D contributes D·(D−1)/2 wedges
+  * un-oriented but ~0 oriented (the hub outranks its leaves, so wedges
+  * form only at the tiny-degree end). Then one self-join on the apex +
+  * one semi-join against the oriented edge set counts each triangle
+  * exactly once. Two shuffles total beyond the degree computation; the
+  * join keys are (long, long).
+  */
+object Triangles {
+
+  /** Per-triangle rows (a, b, c) — a is the orientation-lowest apex,
+    * b < c by id — each triangle exactly once. `edges` is directed
+    * input; it is symmetrized + deduped internally, so either or both
+    * directions may be present.
+    */
+  def triangles(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = LabelProp.symmetrize(edges, srcCol, dstCol)
+      .filter(col("src") =!= col("dst"))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // orient low -> high by (deg, id): rank(u) < rank(v)
+    val ranked = und
+      .join(deg.select(col("id").as("src"), col("deg").as("sdeg")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("ddeg")), "dst")
+      .filter(col("sdeg") < col("ddeg") ||
+        (col("sdeg") === col("ddeg") && col("src") < col("dst")))
+      .select(col("src"), col("dst"))
+    // wedges at the apex + close with an oriented edge
+    val w = ranked.as("e1").join(ranked.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    // both orientations of the closing edge, columns in (b, c) POSITION
+    // both times — union is positional, a name-swapped select silently
+    // duplicates the first leg instead of flipping it
+    w.join(ranked.select(col("src").as("b"), col("dst").as("c"))
+        .union(ranked.select(col("dst").as("b"), col("src").as("c"))),
+        Seq("b", "c"), "left_semi")
+  }
+
+  /** Per-node triangle count + local clustering coefficient
+    * tri / (deg·(deg−1)/2), 0 when deg < 2. Output:
+    * (id, deg, tri, clustering).
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = LabelProp.symmetrize(edges, srcCol, dstCol)
+      .filter(col("src") =!= col("dst"))
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val tri = triangles(edges, srcCol, dstCol)
+    val perNode = tri.select(col("a").as("id"))
+      .union(tri.select(col("b").as("id")))
+      .union(tri.select(col("c").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(coalesce(col("tri"), lit(0L)).cast("double") * 2.0
+            / (col("deg") * (col("deg") - 1)).cast("double"))
+          .as("clustering"))
+  }
+
+  /** One-row graph density card: nodes, edges (undirected), triangles,
+    * global clustering (3·tri / wedges) and mean local clustering.
+    */
+  def densityCard(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val cc = clusteringCoefficients(edges, srcCol, dstCol).cache()
+    val und = LabelProp.symmetrize(edges, srcCol, dstCol)
+      .filter(col("src") =!= col("dst"))
+    val nTri = triangles(edges, srcCol, dstCol).count()
+    val agg = cc.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"),
+      sum((col("deg") * (col("deg") - 1)) / 2).cast("double").as("wedges"),
+      avg(col("clustering")).as("mean_local"))
+    agg.select(col("n_nodes"), col("n_edges"), lit(nTri).as("n_triangles"),
+      when(col("wedges") > 0, lit(3.0) * nTri / col("wedges"))
+        .otherwise(lit(0.0)).as("global_clustering"),
+      col("mean_local"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Triangles
+
+/** Triangle/clustering queries over a deterministic doc graph that
+  * PLANTS triangles (chain edges d→d+1 plus a d→d+2 shortcut on every
+  * fifth node closes {d, d+1, d+2}) on top of the long-range (3d+7) map.
+  * The oracle counts triangles DIRECTLY — the canonical id-ordered
+  * triple join — so a green row proves the degree-oriented wedge
+  * algorithm loses and double-counts nothing; the canonicalizations
+  * deliberately differ (oracle: x<y<z by id; engine: lowest-degree
+  * apex), which per-node counts are invariant to.
+  */
+object TriangleQueries {
+
+  private def edgeFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    docs.select(col("doc_id").as("src"), ((col("doc_id") * 3 + 7) % n).as("dst"))
+      .union(docs.select(col("doc_id").as("src"), ((col("doc_id") + 1) % n).as("dst")))
+      .union(docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("src"), ((col("doc_id") + 2) % n).as("dst")))
+  }
+
+  private val baseSql =
+    """nn AS (SELECT count(*) AS n FROM documents),
+      |raw AS (SELECT doc_id AS src, (doc_id*3 + 7) % nn.n AS dst FROM documents, nn
+      |        UNION ALL
+      |        SELECT doc_id, (doc_id + 1) % nn.n FROM documents, nn
+      |        UNION ALL
+      |        SELECT doc_id, (doc_id + 2) % nn.n FROM documents, nn
+      |        WHERE doc_id % 5 = 0),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM
+      |    (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
+      |  WHERE src != dst),
+      |deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM und GROUP BY src),
+      |tris AS MATERIALIZED (
+      |  SELECT a.src AS x, a.dst AS y, b.dst AS z
+      |  FROM und a
+      |  JOIN und b ON b.src = a.dst AND b.dst > a.dst
+      |  JOIN und c ON c.src = a.src AND c.dst = b.dst
+      |  WHERE a.dst > a.src),
+      |pernode AS MATERIALIZED (
+      |  SELECT id, count(*) AS tri FROM
+      |    (SELECT x AS id FROM tris UNION ALL SELECT y FROM tris
+      |     UNION ALL SELECT z FROM tris)
+      |  GROUP BY id)""".stripMargin
+
+  def all: Seq[GQuery] = Seq(
+
+    // Per-node degree, triangle count and local clustering coefficient.
+    GQuery(
+      "q293_triangle_clustering",
+      s"""WITH $baseSql
+         |SELECT d.id AS doc_id, d.deg,
+         |       coalesce(p.tri, 0) AS tri,
+         |       round(CASE WHEN d.deg < 2 THEN 0.0
+         |             ELSE coalesce(p.tri, 0)::DOUBLE * 2.0
+         |                  / (d.deg * (d.deg - 1))::DOUBLE END, 6) AS clustering
+         |FROM deg d LEFT JOIN pernode p ON p.id = d.id""".stripMargin) { (s, dir) =>
+      Triangles.clusteringCoefficients(edgeFixture(s, dir))
+        .select(col("id").as("doc_id"), col("deg"), col("tri"),
+          round(col("clustering"), 6).as("clustering"))
+    },
+
+    // One-row density card: the near-dup-graph shape instrument (a
+    // cliquey graph dedups cleanly; a chainy one over-merges under
+    // transitive keep-one).
+    GQuery(
+      "q294_graph_density_card",
+      s"""WITH $baseSql
+         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         |       (SELECT sum(deg) / 2 FROM deg)::BIGINT AS n_edges,
+         |       (SELECT count(*) FROM tris) AS n_triangles,
+         |       round(CASE WHEN (SELECT sum(deg * (deg - 1)) / 2.0 FROM deg) > 0
+         |             THEN 3.0 * (SELECT count(*) FROM tris)
+         |                  / (SELECT sum(deg * (deg - 1)) / 2.0 FROM deg)
+         |             ELSE 0.0 END, 6) AS global_clustering,
+         |       (SELECT round(avg(CASE WHEN d.deg < 2 THEN 0.0
+         |                        ELSE coalesce(p.tri, 0)::DOUBLE * 2.0
+         |                             / (d.deg * (d.deg - 1))::DOUBLE END), 6)
+         |        FROM deg d LEFT JOIN pernode p ON p.id = d.id) AS mean_local""".stripMargin) {
+      (s, dir) =>
+      Triangles.densityCard(edgeFixture(s, dir))
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          round(col("global_clustering"), 6).as("global_clustering"),
+          round(col("mean_local"), 6).as("mean_local"))
+    })
+}

@@ -79,5 +79,58 @@ object UrlQueries {
         .groupBy("canon_url")
         .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("n_docs"))
         .filter(col("n_docs") > 1)
+    },
+
+    // Composition card: canonical HOST graph -> PageRank = the Common-
+    // Crawl-style host authority ranking. Doc d's host links to the host
+    // of doc (3d+7 mod N); rank the ~40 hosts with 10 damped iterations.
+    // The oracle chains the canonicalizer replay, the host extraction,
+    // the edge build and the unrolled MATERIALIZED power iteration —
+    // one green row proves the ops COMPOSE, not just pass alone.
+    GQuery(
+      "q295_host_authority",
+      s"""WITH t AS (SELECT doc_id, $dirtyUrlSql AS url FROM documents),
+         |h AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         regexp_extract(${UrlFunctions.canonicalizeUrlSql("url")},
+         |                        '^[a-z0-9+.-]*://([^/:?]*)', 1) AS host
+         |  FROM t),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT a.host AS src, b.host AS dst
+         |  FROM h a JOIN h b ON b.doc_id = (a.doc_id*3 + 7) % (SELECT n FROM nn)
+         |  WHERE a.host != b.host),
+         |nodes AS MATERIALIZED (SELECT DISTINCT host AS id FROM
+         |  (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+         |odeg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+         |hn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS MATERIALIZED (SELECT id, 1::DOUBLE/hn.n AS rank FROM nodes CROSS JOIN hn),
+         |${(1 to 10).map { i =>
+            val p = s"r${i - 1}"
+            s"""r$i AS MATERIALIZED (
+               |  SELECT n.id,
+               |         (1::DOUBLE - 0.85::DOUBLE)/hn.n
+               |         + 0.85::DOUBLE * (coalesce(c.s, 0::DOUBLE) + dg.m/hn.n) AS rank
+               |  FROM nodes n
+               |  CROSS JOIN hn
+               |  LEFT JOIN (SELECT e.dst AS id, sum(p.rank / od.deg) AS s
+               |             FROM $p p JOIN edges e ON e.src = p.id
+               |             JOIN odeg od ON od.src = e.src
+               |             GROUP BY e.dst) c ON c.id = n.id
+               |  CROSS JOIN (SELECT coalesce(sum(p.rank), 0::DOUBLE) AS m FROM $p p
+               |              WHERE NOT EXISTS (SELECT 1 FROM odeg od WHERE od.src = p.id)) dg)""".stripMargin
+          }.mkString(",\n")}
+         |SELECT id AS host, round(rank, 6) AS rank FROM r10""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val n = docs.count()
+      val hosts = docs.select(col("doc_id"),
+        UrlFunctions.hostOf(UrlFunctions.canonicalizeUrl(dirtyUrl)).as("host"))
+      val edges = hosts.as("a")
+        .join(hosts.as("b"),
+          col("b.doc_id") === (col("a.doc_id") * 3 + 7) % n)
+        .select(col("a.host").as("src"), col("b.host").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.operators.PageRank.pageRank(edges, iters = 10)
+        .select(col("id").as("host"), round(col("rank"), 6).as("rank"))
     })
 }

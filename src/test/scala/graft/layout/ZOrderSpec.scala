@@ -76,39 +76,40 @@ class ZOrderSpec extends SparkSpec {
       pmod(col("id"), lit(32L)).as("z"))
     val zDir = java.nio.file.Files.createTempDirectory("zorder3").toString + "/t"
     ZOrder.zorderWriteN(cube, zDir, Seq("x", "y", "z"), bits = 5, nFiles = 64)
+    // DETERMINISTIC 1-d layout: 64 explicit 512-row slices of the x-major
+    // order via partitionBy (repartitionByRange's SAMPLED boundaries moved
+    // the touched-file count by several files run to run — this test
+    // failed twice on that jitter before the slices were pinned). Each
+    // slice = half an x value (y in [0,16) or [16,32), all z).
     val sDir = java.nio.file.Files.createTempDirectory("xsort3").toString + "/t"
-    cube.repartitionByRange(64, col("x"), col("y"), col("z"))
-      .sortWithinPartitions("x", "y", "z").write.parquet(sDir)
+    cube.withColumn("pid",
+        ((col("x") * 1024 + col("y") * 32 + col("z")) / 512).cast("int"))
+      .repartition(col("pid")).sortWithinPartitions("x", "y", "z")
+      .write.partitionBy("pid").parquet(sDir)
 
     def filesWithMatches(dir: String, pred: org.apache.spark.sql.Column): Int = {
-      val files = new java.io.File(dir).listFiles()
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val files = walk(new java.io.File(dir))
         .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
       assert(files.length == 64, s"$dir: expected 64 files, got ${files.length}")
       files.count(f => spark.read.parquet(f).filter(pred).limit(1).count() > 0)
     }
     // an eighth-slab on each trailing dim (4 of 32 values). The y slab
-    // straddles y=16 because the x-sorted layout's 2-files-per-x-value
-    // happen to split on y — a slab inside one half would get lucky
-    // pruning that says nothing about the sort order.
+    // straddles y=16 so BOTH halves of every x value contain slab rows —
+    // the 1-d layout must touch all 64 files exactly; a slab inside one
+    // half would get lucky pruning that says nothing about the sort order.
     for ((dim, lo) <- Seq(("y", 14), ("z", 8))) {
       val pred = col(dim) >= lo && col(dim) < lo + 4
       val zTouched = filesWithMatches(zDir, pred)
       val sTouched = filesWithMatches(sDir, pred)
-      // >= 60 not == 64: range-partition boundaries are SAMPLED, so a
-      // boundary file can cover an uneven slice that misses the slab; the
-      // same sampling smears the z-layout's ideal tile alignment (the
-      // y-straddling slab covers 2 of 4 cube layers = 32 aligned files,
-      // observed ~39), so the pruning assertion carries slack while still
-      // pinning a large measured asymmetry vs the 1-d sort's ~64.
-      assert(sTouched >= 60,
-        s"$dim: 1-d sort must touch essentially every file, got $sTouched")
+      assert(sTouched == 64,
+        s"$dim: the pinned 1-d slices all contain slab rows, got $sTouched")
+      // the z side still carries sampled-boundary slack (zorderWriteN
+      // range-partitions on the sampled z-value; observed 39..41 for the
+      // ideal 32-file tile set) — the asymmetry vs 64 is what's pinned
       assert(zTouched <= 45,
         s"$dim: 3-D z-layout should prune substantially, got $zTouched")
-      // the ratio carries the same sampled-boundary slack (±2 files on
-      // either side — observed sTouched 61..64, zTouched 39..41): without
-      // it the assert flips on a one-file jitter (41*3=123 vs 61*2=122)
-      assert(zTouched * 3 <= sTouched * 2 + 6,
-        s"$dim: z-layout ($zTouched) must beat the 1-d touch set ($sTouched) by >= 1/3")
     }
   }
 
