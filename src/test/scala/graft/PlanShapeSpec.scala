@@ -465,4 +465,51 @@ class PlanShapeSpec extends SparkSpec {
     // reuse an exchange, so the bound is the worst case
     assert(shuffleCount(plan) <= 4, s"fusion plan over-shuffled:\n$s")
   }
+
+  test("PageRank step: exchanges carry ids and doubles, never a payload; no Window") {
+    val edges = spark.range(2000).select(col("id").as("src"),
+      pmod(col("id") * 7 + 1, lit(2000L)).as("dst"))
+    val ranks = spark.range(2000).select(col("id"), (lit(1.0) / 2000).as("rank"))
+    val plan = executedPlan(graft.operators.PageRank.pageRankStep(edges, ranks))
+    val s = plan.toString
+    assert(!s.contains("Window"), s"window crept into the iteration:\n$s")
+    plan.collect { case ex: ShuffleExchangeExec =>
+      val cols = ex.child.output.map(_.name).toSet
+      assert(cols.subsetOf(Set("src", "dst", "id", "cid", "deg", "rank", "contrib",
+        "sum", "count")),
+        s"pagerank exchange carries unexpected columns: $cols")
+    }
+  }
+
+  test("phrase alignment joins exchange (id, start) keys only — tokens never shuffle") {
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon zeta token"), col("id")).as("text"))
+    val postings = graft.operators.PhraseSearch
+      .positionalPostings(docs, "doc_id", "text")
+    val plan = executedPlan(graft.operators.PhraseSearch
+      .phraseOccurrences(postings, Seq("alpha", "beta", "gamma")))
+    plan.collect { case ex: ShuffleExchangeExec =>
+      val cols = ex.child.output.map(_.name)
+      assert(!cols.contains("tok") && !cols.contains("text"),
+        s"phrase exchange carries token strings: $cols")
+    }
+  }
+
+  test("Wand.topK: survivor set broadcasts; no NestedLoop; text never shuffles") {
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      when(col("id") < 30, lit("vector hash spark vector hash"))
+        .otherwise(concat(lit("plain filler "), col("id"))).as("text"))
+    val (p, b) = graft.operators.Wand.impactIndex(docs, "doc_id", "text")
+    val plan = executedPlan(
+      graft.operators.Wand.topK(p, b, Seq("vector", "hash"), k = 5))
+    val s = plan.toString
+    assert(!s.contains("NestedLoop") || s.contains("BroadcastNestedLoop"),
+      s"non-broadcast nested loop in wand:\n$s")
+    assert(s.contains("BroadcastExchange") || s.contains("broadcast"),
+      s"survivor pruning should broadcast:\n$s")
+    plan.collect { case ex: ShuffleExchangeExec =>
+      val cols = ex.child.output.map(_.name)
+      assert(!cols.contains("text"), s"wand exchange carries raw text: $cols")
+    }
+  }
 }
