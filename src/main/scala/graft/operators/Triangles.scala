@@ -82,17 +82,17 @@ object Triangles {
   def densityCard(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     val cc = clusteringCoefficients(edges, srcCol, dstCol).cache()
-    val und = LabelProp.symmetrize(edges, srcCol, dstCol)
-      .filter(col("src") =!= col("dst"))
-    val nTri = triangles(edges, srcCol, dstCol).count()
-    val agg = cc.agg(
-      count(lit(1)).as("n_nodes"),
-      (sum(col("deg")) / 2).cast("long").as("n_edges"),
-      sum((col("deg") * (col("deg") - 1)) / 2).cast("double").as("wedges"),
-      avg(col("clustering")).as("mean_local"))
-    agg.select(col("n_nodes"), col("n_edges"), lit(nTri).as("n_triangles"),
-      when(col("wedges") > 0, lit(3.0) * nTri / col("wedges"))
-        .otherwise(lit(0.0)).as("global_clustering"),
-      col("mean_local"))
+    try {
+      val nTri = triangles(edges, srcCol, dstCol).count()
+      val agg = cc.agg(
+        count(lit(1)).as("n_nodes"),
+        (sum(col("deg")) / 2).cast("long").as("n_edges"),
+        sum((col("deg") * (col("deg") - 1)) / 2).cast("double").as("wedges"),
+        avg(col("clustering")).as("mean_local"))
+      agg.select(col("n_nodes"), col("n_edges"), lit(nTri).as("n_triangles"),
+        when(col("wedges") > 0, lit(3.0) * nTri / col("wedges"))
+          .otherwise(lit(0.0)).as("global_clustering"),
+        col("mean_local")).localCheckpoint(true)
+    } finally cc.unpersist()
   }
 }
