@@ -81,6 +81,55 @@ object PageRank {
     ranks
   }
 
+  /** Personalized PageRank: teleport (and dangling mass) flow to the
+    * SEED distribution instead of uniformly —
+    * r'(v) = (1−d)·p(v) + d·(Σ_{u→v} r(u)/deg(u) + danglingMass·p(v))
+    * with p the normalized seed weights (0 off-seed). The seed-biased
+    * random walk is the standard graph-expansion primitive: "rank the
+    * corpus by link-proximity to this curated set". Same per-iteration
+    * shape and materialization rule as [[pageRank]]; `seeds` is
+    * (idCol, weightCol ≥ 0), joined once and carried per round.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
+      idCol: String = "id", weightCol: String = "weight"): DataFrame = {
+    require(iters >= 1, s"personalizedPageRank: iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1,
+      s"personalizedPageRank: damping in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    val rawSeeds = seeds.select(col(idCol).as("id"),
+      col(weightCol).cast("double").as("w"))
+    val total = rawSeeds.agg(sum(col("w"))).collect()(0).getDouble(0)
+    require(total > 0, "personalizedPageRank: seed weights must sum > 0")
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .union(rawSeeds.select("id")).distinct()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).cache()
+    val p = nodes.join(rawSeeds, Seq("id"), "left")
+      .select(col("id"), (coalesce(col("w"), lit(0.0)) / total).as("p")).cache()
+    var ranks = p.select(col("id"), col("p").as("rank")).localCheckpoint(true)
+    try for (_ <- 0 until iters) {
+      val contribs = ranks.join(e, col("id") === col("src"))
+        .join(outDeg, "src")
+        .groupBy(col("dst").as("cid"))
+        .agg(sum(col("rank") / col("deg")).as("contrib"))
+      val dangling = ranks.join(outDeg, col("id") === col("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      ranks = p
+        .join(contribs, col("id") === col("cid"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit(1.0 - damping) * col("p") + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dmass") * col("p")))
+            .as("rank"))
+        .localCheckpoint(true)
+    } finally {
+      e.unpersist(); outDeg.unpersist(); p.unpersist()
+    }
+    ranks
+  }
+
   /** Convergence instrument: ‖r_T − r_{T−1}‖₁ — one extra iteration from
     * the returned ranks, one scalar. The number that says whether `iters`
     * was enough.

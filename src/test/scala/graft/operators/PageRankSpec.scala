@@ -56,6 +56,21 @@ class PageRankSpec extends SparkSpec {
       s"delta must contract geometrically: iters=2 -> $early, iters=12 -> $late")
   }
 
+  test("personalized PageRank: mass conserved, seeds and their reach outrank the far side") {
+    // ring 0..19; seed node 0 — rank must decay with ring distance
+    val ring = (0L until 20L).map(i => (i, (i + 1) % 20)).toDF("src", "dst")
+    val seeds = Seq((0L, 1.0)).toDF("id", "weight")
+    val r = PageRank.personalizedPageRank(ring, seeds, iters = 30)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"mass ${r.values.sum}")
+    assert(r(0L) > r(1L) && r(1L) > r(2L) && r(2L) > r(3L),
+      s"rank must decay along the walk direction: $r")
+    assert(r(0L) > r(10L) * 4, s"the seed dominates the antipode: ${r(0L)} vs ${r(10L)}")
+    val e = intercept[IllegalArgumentException](
+      PageRank.personalizedPageRank(ring, Seq((0L, 0.0)).toDF("id", "weight"), 5))
+    assert(e.getMessage.contains("sum > 0"))
+  }
+
   test("lineage is O(1) in the iteration count (checkpointed each step)") {
     val edges = (0L until 30L).map(i => (i, (i + 7) % 30)).toDF("src", "dst")
     val short = PageRank.pageRank(edges, 2).queryExecution.optimizedPlan.toString
