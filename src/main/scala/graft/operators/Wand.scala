@@ -68,7 +68,12 @@ object Wand {
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
     val postings = tf.join(dfreq, Seq("tok"))
       .crossJoin(broadcast(stats))
-      .select(col("tok"), (col("id") / blockSize).cast("long").as("blk"), col("id"),
+      // floor division on longs (matches SQL `id // blockSize` for negative
+      // ids too, exact for the full long range): subtract the non-negative
+      // pmod remainder, then the integral divide is exact by construction.
+      .select(col("tok"),
+        expr(s"(id - pmod(id, ${blockSize}L)) div ${blockSize}L").as("blk"),
+        col("id"),
         (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
           * col("tf") * lit(k1 + 1.0)
           / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avg_len"))))

@@ -77,11 +77,15 @@ final class TpeSampler(
 
   private def tpeSample(): Map[String, String] = {
     if (history.isEmpty) return randomSample()
-    val sorted = history.sortBy(-_.score)
+    // Membership in the good/rest groups is decided by SCORE, but within
+    // each group trials stay in INSERTION order so the recency ramp in
+    // `weights` applies chronologically (oldest ramps up, newest full) —
+    // not to the score ranking.
+    val sorted = history.zipWithIndex.sortBy { case (t, _) => -t.score }
     val n = sorted.size
     val nBelow = math.max(1, math.min(gamma(n), n - 1))
-    val below = sorted.take(nBelow)
-    val above = sorted.drop(nBelow)
+    val below = sorted.take(nBelow).sortBy(_._2).map(_._1)
+    val above = sorted.drop(nBelow).sortBy(_._2).map(_._1)
     val belowMix = mixtureWeights(weights(below.size))
     val aboveMix = mixtureWeights(weights(above.size))
     val perParam = space.map { case (name, values) =>
