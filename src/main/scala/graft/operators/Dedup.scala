@@ -528,7 +528,8 @@ object Dedup {
     * edges. Output: (id, cluster_id = min id reachable).
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
-      driverEdgeThreshold: Long = 200000): DataFrame = {
+      driverEdgeThreshold: Long = 200000,
+      checkpointDir: Option[String] = None): DataFrame = {
     val edges = pairs.select(col("id_a").as("s"), col("id_b").as("t"))
       .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("t")))
       .cache()
@@ -573,7 +574,8 @@ object Dedup {
       edges.unpersist()
       return ids.sorted.map(id => (id, minOfRoot(find(id)))).toSeq.toDF("id", "cluster")
     }
-    val (labels, rounds, converged) = propagateMinLabels(edges, maxIterations)
+    val (labels, rounds, converged) =
+      propagateMinLabels(edges, maxIterations, checkpointDir)
     edges.unpersist()
     // FAIL LOUDLY on non-convergence: a still-changing loop that returns
     // anyway hands back SPLIT clusters (wrong dedup groups) with no error —
@@ -595,12 +597,14 @@ object Dedup {
     * asserts the logarithmic round count on a planted 1,000-node chain.
     */
   private[operators] def propagateMinLabels(edges: DataFrame,
-      maxIterations: Int): (DataFrame, Int, Boolean) = {
-    // localCheckpoint every round: iterative self-referencing plans double
-    // in depth per iteration otherwise (analysis-time blowup, then OOM)
-    var labels = edges.select(col("s").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster"))
-      .localCheckpoint()
+      maxIterations: Int,
+      checkpointDir: Option[String] = None): (DataFrame, Int, Boolean) = {
+    // materialize every round: iterative self-referencing plans double
+    // in depth per iteration otherwise (analysis-time blowup, then OOM);
+    // checkpointDir = reliable-storage backend for real clusters
+    val mat = Materialize.policy(edges.sparkSession, checkpointDir)
+    var labels = mat(edges.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")))
     var iterating = true
     var rounds = 0
     while (iterating && rounds < maxIterations) {
@@ -618,10 +622,10 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nc"), col("cluster")),
             coalesce(col("lc"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+      val nextM = mat(next)
+      val changed = nextM.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).limit(1).count()
-      labels = next
+      labels = nextM
       iterating = changed > 0
       rounds += 1
     }

@@ -15,64 +15,139 @@ import org.apache.spark.sql.functions._
   * Spark shape — iterative peeling with bounded rounds: each round
   * recomputes degrees over the surviving edge set (one partial-agg
   * shuffle) and drops nodes under k (one broadcast-friendly semi-join:
-  * the dropped set is usually tiny). `localCheckpoint` per round — the
+  * the dropped set is usually tiny). [[Materialize]] per round — the
   * survivor relation is referenced twice (degree pass + edge filter),
-  * the same double-reference materialization rule PageRank documents.
-  * Rounds are data-dependent but ≤ the peel depth, which on power-law
-  * graphs is tiny (a planted fixture converges in ≤ 3; the operator
-  * fails loudly at `maxRounds` instead of silently returning a
+  * the same double-reference materialization rule PageRank documents;
+  * pass `checkpointDir` for reliable-storage checkpointing on a real
+  * cluster. Rounds are data-dependent but ≤ the peel depth, which on
+  * power-law graphs is tiny (a planted fixture converges in ≤ 3; the
+  * operator fails loudly at `maxRounds` instead of silently returning a
   * non-core — the [[Dedup.connectedComponents]] discipline).
+  *
+  * Cores are NESTED (k-core ⊆ (k−1)-core), so the multi-k instruments
+  * peel INCREMENTALLY: each threshold starts from the previous core's
+  * surviving edges, never from the original edge set — at a realistic
+  * coreness sweep that saves ~|ks|× the shuffles on the biggest
+  * relation. [[coreness]] is the one-pass form: peel at k = 1, 2, 3, …
+  * on the shrinking survivor set and record each node's removal
+  * threshold — the full core decomposition in Σ peel-depth rounds.
+  *
+  * Ids are type-agnostic (longs, strings/hosts): every step is equality
+  * joins and counts — host-graph cores work directly.
   */
 object KCore {
 
-  /** Surviving (src, dst) edges of the k-core (symmetrized, both
-    * directions present). Returns an empty frame when nothing survives.
+  /** One peel at threshold `k` from an already-symmetrized, self-loop-free
+    * edge frame. Returns (survivingEdges materialized, roundsUsed);
+    * `converged` enforcement is the caller's (budget is shared across a
+    * sweep). The input must already be materialized.
     */
-  def kCoreEdges(edges: DataFrame, k: Int, maxRounds: Int = 50,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    require(k >= 1, s"kCoreEdges: k must be >= 1, got $k")
-    require(maxRounds >= 1, s"kCoreEdges: maxRounds must be >= 1, got $maxRounds")
-    var cur = LabelProp.symmetrize(edges, srcCol, dstCol)
-      .filter(col("src") =!= col("dst"))
-      .localCheckpoint(true)
+  private def peel(start: DataFrame, k: Int, maxRounds: Int,
+      mat: DataFrame => DataFrame): (DataFrame, Int, Boolean) = {
+    var cur = start
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val deg = cur.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("id")
-      val next = cur
+      val next = mat(cur
         .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-        .localCheckpoint(true)
+        .select(col("src"), col("dst")))
       // one aggregate answers "did this round remove anything"
       converged = next.count() == cur.count()
       cur = next
       rounds += 1
     }
+    (cur, rounds, converged)
+  }
+
+  private def undirected(edges: DataFrame, srcCol: String, dstCol: String) =
+    LabelProp.symmetrize(edges, srcCol, dstCol)
+      .filter(col("src") =!= col("dst"))
+
+  /** Surviving (src, dst) edges of the k-core (symmetrized, both
+    * directions present). Returns an empty frame when nothing survives.
+    */
+  def kCoreEdges(edges: DataFrame, k: Int, maxRounds: Int = 50,
+      srcCol: String = "src", dstCol: String = "dst",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"kCoreEdges: k must be >= 1, got $k")
+    require(maxRounds >= 1, s"kCoreEdges: maxRounds must be >= 1, got $maxRounds")
+    val mat = Materialize.policy(edges.sparkSession, checkpointDir)
+    val (core, rounds, converged) =
+      peel(mat(undirected(edges, srcCol, dstCol)), k, maxRounds, mat)
     require(converged,
-      s"kCoreEdges: no fixpoint after $maxRounds rounds — raise maxRounds")
-    cur
+      s"kCoreEdges: no fixpoint after $rounds rounds (maxRounds=$maxRounds) — raise maxRounds")
+    core
   }
 
   /** Per-node core membership card at the given k values: (id, max_core)
     * where max_core is the LARGEST of `ks` whose core contains the node
-    * (0 if none). `ks` must be ascending and small — one peel per k.
+    * (0 if none). `ks` must be ascending; each peel starts from the
+    * PREVIOUS core's surviving edges (nesting), so the sweep costs one
+    * full peel plus |ks|−1 incremental ones.
     */
   def coreMembership(edges: DataFrame, ks: Seq[Int], maxRounds: Int = 50,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks,
       s"coreMembership: ks must be ascending and distinct: $ks")
-    val und = LabelProp.symmetrize(edges, srcCol, dstCol)
-      .filter(col("src") =!= col("dst"))
+    val mat = Materialize.policy(edges.sparkSession, checkpointDir)
+    val und = mat(undirected(edges, srcCol, dstCol))
     val nodes = und.select(col("src").as("id")).distinct()
+    var cur = und
     ks.foldLeft(nodes.select(col("id"), lit(0).as("max_core"))) { (acc, k) =>
-      val core = kCoreEdges(edges, k, maxRounds, srcCol, dstCol)
-        .select(col("src").as("id")).distinct()
-      acc.join(core.withColumn("in_core", lit(1)), Seq("id"), "left")
+      val (core, rounds, converged) = peel(cur, k, maxRounds, mat)
+      require(converged,
+        s"coreMembership: k=$k no fixpoint after $rounds rounds — raise maxRounds")
+      cur = core
+      val members = core.select(col("src").as("id")).distinct()
+      acc.join(members.withColumn("in_core", lit(1)), Seq("id"), "left")
         .select(col("id"),
           when(col("in_core").isNotNull, lit(k)).otherwise(col("max_core"))
             .as("max_core"))
     }
+  }
+
+  /** Full core decomposition in ONE incremental sweep: (id, coreness INT)
+    * for every node with at least one edge, coreness(v) = max{k : v is in
+    * the k-core}. Peels at k = 1, 2, 3, … over the SHRINKING survivor
+    * set; a node removed while peeling at threshold k survived the
+    * (k−1)-peel, so its coreness is exactly k−1. Terminates when the
+    * survivor set empties (the max coreness is reached); total rounds =
+    * Σ_k peel-depth(k), budgeted by `maxRounds` ACROSS the sweep —
+    * failing loudly on exhaustion rather than returning a partial
+    * decomposition.
+    */
+  def coreness(edges: DataFrame, maxRounds: Int = 200,
+      srcCol: String = "src", dstCol: String = "dst",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxRounds >= 1, s"coreness: maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    val mat = Materialize.policy(spark, checkpointDir)
+    var cur = mat(undirected(edges, srcCol, dstCol))
+    var result = cur.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(0).as("coreness"))
+    var budget = maxRounds
+    var k = 1
+    var n = cur.count()
+    while (n > 0) {
+      val (core, rounds, converged) = peel(cur, k, budget, mat)
+      require(converged,
+        s"coreness: k=$k exhausted the $maxRounds-round budget — raise maxRounds")
+      budget -= math.max(rounds - 1, 0) // converged peels spend rounds-1 removing
+      val survivors = core.select(col("src").as("id")).distinct()
+      // survivors of the k-peel have coreness >= k; the k-peel's victims
+      // keep their previous value (k-1 or earlier thresholds)
+      result = mat(result.join(survivors.withColumn("in_core", lit(1)), Seq("id"), "left")
+        .select(col("id"),
+          when(col("in_core").isNotNull, lit(k)).otherwise(col("coreness"))
+            .as("coreness")))
+      cur = core
+      n = cur.count()
+      k += 1
+    }
+    result
   }
 }

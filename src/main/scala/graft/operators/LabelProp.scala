@@ -13,26 +13,54 @@ import org.apache.spark.sql.functions._
   * EXTERNAL signal, anchored at the seeds.
   *
   * Update rule (random-walk normalization, seeds re-injected each round):
-  *   f'(v) = α · Σ_{u→v} f(u)/deg(u) + (1−α) · y(v)
-  * with y the seed label (0 for unlabeled). α < 1 makes the iteration a
-  * contraction, so the fixed point is unique and iteration order is
-  * irrelevant. Pass symmetrized edges for the undirected similarity case
-  * ([[symmetrize]]).
+  *   f'(v) = α · Σ_{u→v} w(u,v)·f(u)/Σ_out w(u) + (1−α) · y(v)
+  * with y the seed label (0 for unlabeled) and w ≡ 1 without `weightCol`
+  * (the uniform 1/deg walk, exactly — w ≡ 1.0 is exact float
+  * arithmetic). α < 1 makes the iteration a contraction, so the fixed
+  * point is unique and iteration order is irrelevant. Pass symmetrized
+  * edges for the undirected similarity case ([[symmetrize]] /
+  * [[symmetrizeWeighted]]). Weighted edges are exactly what the dedup
+  * pair emitters produce (LSH Jaccard, embedding cosine ≥ threshold) —
+  * the propagation then trusts strong similarities more than borderline
+  * ones. Weights must be > 0 (zero-weight edges are dropped); duplicate
+  * (src, dst) rows keep the MAX weight.
+  *
+  * Ids are type-agnostic (longs, strings/hosts, …): every step is
+  * equality joins and aggregates, no arithmetic on ids — the same
+  * discipline as [[PageRank]], so host-graph propagation works directly.
   *
   * Spark shape = the [[PageRank]] discipline: edges/degrees computed once
   * and cached; per round one hash join + one partial-agg shuffle of
   * (dst, contrib) pairs; seeds joined back as a broadcast-size relation;
-  * `localCheckpoint` per round keeps lineage O(1). State per node is one
-  * double — 16 bytes/node cluster-wide.
+  * [[Materialize]] per round keeps lineage O(1) (default
+  * `localCheckpoint`; pass `checkpointDir` for reliable-storage
+  * checkpointing on a real cluster). State per node is one double —
+  * 16 bytes/node cluster-wide.
   */
 object LabelProp {
 
-  /** Union of both edge directions, deduped — the undirected form. */
+  /** Union of both edge directions, deduped — the undirected form.
+    * Id-type-agnostic (no cast): long doc graphs and string host graphs
+    * both symmetrize as-is.
+    */
   def symmetrize(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** Weight-carrying undirected form: both directions, duplicate
+    * (src, dst) rows resolved to the MAX weight (a similarity graph's
+    * weight is symmetric by construction; max is the safe merge when the
+    * two directions disagree — it never drops an edge below either
+    * observation). Output: (src, dst, w DOUBLE).
+    */
+  def symmetrizeWeighted(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", weightCol: String = "w"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("double").as("w"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(max(col("w")).as("w"))
   }
 
   /** `iters` rounds from f₀ = y. `seeds` is (id, label DOUBLE); nodes =
@@ -42,25 +70,36 @@ object LabelProp {
     */
   def propagate(edges: DataFrame, seeds: DataFrame, iters: Int,
       alpha: Double = 0.8, srcCol: String = "src", dstCol: String = "dst",
-      idCol: String = "id", labelCol: String = "label"): DataFrame = {
+      idCol: String = "id", labelCol: String = "label",
+      weightCol: Option[String] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"propagate: iters must be >= 1, got $iters")
     require(alpha > 0 && alpha < 1, s"propagate: alpha in (0,1), got $alpha")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().cache()
-    val y = seeds.select(col(idCol).cast("long").as("id"),
+    val mat = Materialize.policy(edges.sparkSession, checkpointDir)
+    val e = (weightCol match {
+      case None =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .distinct().withColumn("w", lit(1.0))
+      case Some(wc) =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            col(wc).cast("double").as("w"))
+          .filter(col("w") > 0)
+          .groupBy("src", "dst").agg(max(col("w")).as("w"))
+    }).cache()
+    val y = seeds.select(col(idCol).as("id"),
       col(labelCol).cast("double").as("y"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .union(y.select("id")).distinct().cache()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).cache()
+    val outDeg = e.groupBy("src").agg(sum(col("w")).as("deg")).cache()
     val yFull = nodes.join(y, Seq("id"), "left")
       .select(col("id"), coalesce(col("y"), lit(0.0)).as("y")).cache()
-    var f = yFull.select(col("id"), col("y").as("score")).localCheckpoint(true)
-    try for (it <- 0 until iters) {
+    var f = mat(yFull.select(col("id"), col("y").as("score")))
+    try for (_ <- 0 until iters) {
       val contribs = f.join(e, col("id") === col("src"))
         .join(outDeg, "src")
         .groupBy(col("dst").as("cid"))
-        .agg(sum(col("score") / col("deg")).as("contrib"))
+        .agg(sum(col("score") * col("w") / col("deg")).as("contrib"))
       val next = yFull
         .join(contribs, col("id") === col("cid"), "left")
         .select(col("id"),
@@ -69,9 +108,9 @@ object LabelProp {
       // every round, deliberately (the PageRank lesson: the score vector
       // feeds the next round's contribution join AND re-plans against
       // yFull — an unmaterialized chain re-executes its prefix)
-      f = next.localCheckpoint(true)
+      f = mat(next)
     } finally {
-      // f is checkpointed each round — the builder caches must not outlive
+      // f is materialized each round — the builder caches must not outlive
       // the call in a long-lived session
       e.unpersist(); nodes.unpersist(); outDeg.unpersist(); yFull.unpersist()
     }

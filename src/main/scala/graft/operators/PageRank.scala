@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed PageRank over an edge list — the link-centrality pass a
@@ -19,14 +19,24 @@ import org.apache.spark.sql.functions._
   *    never the edge payload;
   *  - the dangling-mass term is a 1-row aggregate crossJoin(broadcast) —
   *    the scalar-attachment idiom used repo-wide;
-  *  - each iteration `localCheckpoint`s the new ranks frame: the rank
-  *    vector is referenced twice per round (contributions + dangling),
-  *    so an unmaterialized chain re-executes its prefix exponentially —
-  *    and lineage/AQE re-planning stays O(1) in the iteration count. At
-  *    production scale swap for `checkpoint` on reliable storage — same
-  *    call site, noted here;
+  *  - each iteration materializes the new ranks frame via [[Materialize]]:
+  *    the rank vector is referenced twice per round (contributions +
+  *    dangling), so an unmaterialized chain re-executes its prefix
+  *    exponentially — and lineage/AQE re-planning stays O(1) in the
+  *    iteration count. Default backend is `localCheckpoint`; pass
+  *    `checkpointDir` for reliable-storage `checkpoint` on a real
+  *    cluster (executor loss survives);
   *  - ranks are (id, double) — 16 bytes/node; a 10⁹-node host graph is
   *    ~16 GB cluster-wide, far under shuffle budgets.
+  *
+  * Weighted graphs: pass `weightCol` and the walk follows edge weights —
+  * contrib(u→v) = r(u)·w(u,v)/Σ_out w(u), the natural ranking over the
+  * similarity graphs the dedup family emits (LSH Jaccard, embedding
+  * cosine). Weights must be > 0 (zero-weight edges are dropped — they
+  * carry no walk mass but would otherwise create spurious out-degree);
+  * duplicate (src, dst) rows keep the MAX weight. `weightCol = None`
+  * reduces to the uniform 1/deg walk exactly (w ≡ 1.0 is exact float
+  * arithmetic).
   *
   * Determinism: the per-iteration update is a fixed arithmetic expression;
   * only float summation ORDER varies across partitionings, so ranks are
@@ -34,51 +44,167 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** `iters` rounds of the damped update
-    * r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)/deg(u) + danglingMass/N)
-    * over `edges(srcCol, dstCol)`. Nodes = src ∪ dst (isolated ids can be
-    * unioned in by the caller). Output: (id, rank DOUBLE), Σ rank = 1.
+  /** Weighted, deduped edge relation (src, dst, w) + out-weight sums
+    * (src, deg = Σw). Unweighted edges take the `distinct` path with
+    * w ≡ 1.0, so deg equals the out-degree count bit-for-bit.
     */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
-    require(damping > 0 && damping < 1, s"pageRank: damping in (0,1), got $damping")
+  private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: Option[String]): (DataFrame, DataFrame) = {
     // id-type-agnostic: hosts/urls rank as naturally as numeric ids —
     // every step is equality joins and aggregates, no arithmetic on ids
-    val e = edges.select(col(srcCol).as("src"),
-      col(dstCol).as("dst")).distinct().cache()
+    val e = weightCol match {
+      case None =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .distinct().withColumn("w", lit(1.0))
+      case Some(wc) =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            col(wc).cast("double").as("w"))
+          .filter(col("w") > 0)
+          .groupBy("src", "dst").agg(max(col("w")).as("w"))
+    }
+    val outDeg = e.groupBy("src").agg(sum(col("w")).as("deg"))
+    (e, outDeg)
+  }
+
+  /** One damped update from `ranks` given prepared (e, outDeg, nodes, n). */
+  private def step(e: DataFrame, outDeg: DataFrame, nodes: DataFrame, n: Long,
+      ranks: DataFrame, damping: Double): DataFrame = {
+    val contribs = ranks.join(e, col("id") === col("src"))
+      .join(outDeg, "src")
+      .groupBy(col("dst").as("cid"))
+      .agg(sum(col("rank") * col("w") / col("deg")).as("contrib"))
+    val dangling = ranks.join(outDeg, col("id") === col("src"), "left_anti")
+      .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+    nodes
+      .join(contribs, col("id") === col("cid"), "left")
+      .crossJoin(broadcast(dangling))
+      .select(col("id"),
+        (lit((1.0 - damping) / n) + lit(damping) *
+          (coalesce(col("contrib"), lit(0.0)) + col("dmass") / n)).as("rank"))
+  }
+
+  /** `iters` rounds of the damped update
+    * r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)·w(u,v)/Σ_out w(u) + danglingMass/N)
+    * over `edges(srcCol, dstCol)` (w ≡ 1 without `weightCol`). Nodes =
+    * src ∪ dst (isolated ids can be unioned in by the caller). Output:
+    * (id, rank DOUBLE), Σ rank = 1.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst",
+      weightCol: Option[String] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"pageRank: damping in (0,1), got $damping")
+    val mat = Materialize.policy(edges.sparkSession, checkpointDir)
+    val (e0, outDeg0) = prepare(edges, srcCol, dstCol, weightCol)
+    val e = e0.cache()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).cache()
+    val outDeg = outDeg0.cache()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
-    var ranks = nodes.select(col("id"), (lit(1.0) / n).as("rank"))
-      .localCheckpoint(true)
-    try for (it <- 0 until iters) {
-      val contribs = ranks.join(e, col("id") === col("src"))
-        .join(outDeg, "src")
-        .groupBy(col("dst").as("cid"))
-        .agg(sum(col("rank") / col("deg")).as("contrib"))
-      val dangling = ranks.join(outDeg, col("id") === col("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
-      val next = nodes
-        .join(contribs, col("id") === col("cid"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("id"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + col("dmass") / n)).as("rank"))
-      // EVERY round checkpoints, deliberately: ranks is referenced TWICE
+    var ranks = mat(nodes.select(col("id"), (lit(1.0) / n).as("rank")))
+    try for (_ <- 0 until iters) {
+      // EVERY round materializes, deliberately: ranks is referenced TWICE
       // per round (contributions + dangling mass), so an un-materialized
       // chain re-executes its whole prefix 2^rounds times — measured
       // q295 5.1 s -> 30.6 s when this was relaxed to every-5th-round.
       // The per-round job overhead is the price of linear work.
-      ranks = next.localCheckpoint(true)
+      ranks = mat(step(e, outDeg, nodes, n, ranks, damping))
     } finally {
-      // every rank frame is checkpointed, so the builder caches can go —
+      // every rank frame is materialized, so the builder caches can go —
       // a long-lived session running many rankings must not accumulate them
       e.unpersist(); nodes.unpersist(); outDeg.unpersist()
     }
     ranks
+  }
+
+  /** Convergence-stopped PageRank: iterate until ‖r_t − r_{t−1}‖₁ < eps,
+    * capped at `maxIters`. The L1 delta is one extra 1-row aggregate per
+    * round over the already-materialized rank frames (the power iteration
+    * contracts geometrically at rate ≤ damping, so the stop round is
+    * ~log(eps)/log(damping) — PageRankSpec pins the bound). Returns
+    * (ranks at the stop round, rounds run, converged) — `converged` false
+    * means the cap hit first; callers that must not ship an unconverged
+    * ranking should fail on it (the connectedComponents discipline).
+    */
+  def pageRankUntil(edges: DataFrame, eps: Double, maxIters: Int = 50,
+      damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
+      weightCol: Option[String] = None,
+      checkpointDir: Option[String] = None): (DataFrame, Int, Boolean) = {
+    require(eps > 0, s"pageRankUntil: eps must be > 0, got $eps")
+    require(maxIters >= 1, s"pageRankUntil: maxIters must be >= 1, got $maxIters")
+    val mat = Materialize.policy(edges.sparkSession, checkpointDir)
+    val (e0, outDeg0) = prepare(edges, srcCol, dstCol, weightCol)
+    val e = e0.cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val outDeg = outDeg0.cache()
+    val n = nodes.count()
+    require(n > 0, "pageRankUntil: empty graph")
+    val init = mat(nodes.select(col("id"), (lit(1.0) / n).as("rank")))
+    try iterateUntil(init, eps, maxIters, mat)(
+      prev => step(e, outDeg, nodes, n, prev, damping))
+    finally { e.unpersist(); nodes.unpersist(); outDeg.unpersist() }
+  }
+
+  /** Warm-start re-ranking: resume the eps-stopped iteration from a PRIOR
+    * rank vector (the previous release's converged ranks) on the CURRENT
+    * edge set — the incremental pass after an append/takedown delta. The
+    * init vector is reconciled to the new node set first: new nodes enter
+    * at 1/N, departed nodes drop, and the vector renormalizes to Σ = 1
+    * (the power iteration's fixed point is scale-sensitive through the
+    * teleport term). On a small perturbation the walk starts near the
+    * fixed point, so it converges in a fraction of the from-scratch
+    * rounds — PageRankSpec measures it, and the final ranks match the
+    * cold start to the eps tolerance. Returns (ranks, rounds, converged).
+    */
+  def pageRankResume(edges: DataFrame, init: DataFrame, eps: Double,
+      maxIters: Int = 50, damping: Double = 0.85, srcCol: String = "src",
+      dstCol: String = "dst", weightCol: Option[String] = None,
+      checkpointDir: Option[String] = None): (DataFrame, Int, Boolean) = {
+    require(eps > 0, s"pageRankResume: eps must be > 0, got $eps")
+    require(maxIters >= 1, s"pageRankResume: maxIters must be >= 1, got $maxIters")
+    val mat = Materialize.policy(edges.sparkSession, checkpointDir)
+    val (e0, outDeg0) = prepare(edges, srcCol, dstCol, weightCol)
+    val e = e0.cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val outDeg = outDeg0.cache()
+    val n = nodes.count()
+    require(n > 0, "pageRankResume: empty graph")
+    try {
+      val joined = nodes.join(
+        init.select(col("id"), col("rank").as("r0")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("r0"), lit(1.0 / n)).as("r0")).cache()
+      val total = joined.agg(sum(col("r0"))).collect()(0).getDouble(0)
+      require(total > 0, "pageRankResume: init ranks must sum > 0 over the node set")
+      val start = mat(joined.select(col("id"), (col("r0") / total).as("rank")))
+      joined.unpersist()
+      iterateUntil(start, eps, maxIters, mat)(
+        prev => step(e, outDeg, nodes, n, prev, damping))
+    } finally { e.unpersist(); nodes.unpersist(); outDeg.unpersist() }
+  }
+
+  /** Shared eps-stopped driver loop: materialize each next frame, compare
+    * L1 against the previous, stop at the first delta < eps.
+    */
+  private def iterateUntil(init: DataFrame, eps: Double, maxIters: Int,
+      mat: DataFrame => DataFrame)(next: DataFrame => DataFrame)
+      : (DataFrame, Int, Boolean) = {
+    var ranks = init
+    var t = 0
+    var converged = false
+    while (!converged && t < maxIters) {
+      val cur = mat(next(ranks))
+      val delta = ranks.select(col("id"), col("rank").as("prev"))
+        .join(cur, "id")
+        .agg(sum(abs(col("rank") - col("prev")))).collect()(0).getDouble(0)
+      ranks = cur
+      t += 1
+      converged = delta < eps
+    }
+    (ranks, t, converged)
   }
 
   /** Personalized PageRank: teleport (and dangling mass) flow to the
@@ -92,10 +218,12 @@ object PageRank {
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
       damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
-      idCol: String = "id", weightCol: String = "weight"): DataFrame = {
+      idCol: String = "id", weightCol: String = "weight",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"personalizedPageRank: iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1,
       s"personalizedPageRank: damping in (0,1), got $damping")
+    val mat = Materialize.policy(edges.sparkSession, checkpointDir)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().cache()
     val rawSeeds = seeds.select(col(idCol).as("id"),
@@ -108,7 +236,7 @@ object PageRank {
     val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).cache()
     val p = nodes.join(rawSeeds, Seq("id"), "left")
       .select(col("id"), (coalesce(col("w"), lit(0.0)) / total).as("p")).cache()
-    var ranks = p.select(col("id"), col("p").as("rank")).localCheckpoint(true)
+    var ranks = mat(p.select(col("id"), col("p").as("rank")))
     try for (_ <- 0 until iters) {
       val contribs = ranks.join(e, col("id") === col("src"))
         .join(outDeg, "src")
@@ -116,14 +244,13 @@ object PageRank {
         .agg(sum(col("rank") / col("deg")).as("contrib"))
       val dangling = ranks.join(outDeg, col("id") === col("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
-      ranks = p
+      ranks = mat(p
         .join(contribs, col("id") === col("cid"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit(1.0 - damping) * col("p") + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dmass") * col("p")))
-            .as("rank"))
-        .localCheckpoint(true)
+            .as("rank")))
     } finally {
       e.unpersist(); outDeg.unpersist(); p.unpersist()
     }
@@ -135,8 +262,9 @@ object PageRank {
     * was enough.
     */
   def l1Delta(edges: DataFrame, ranks: DataFrame, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val next = pageRankStep(edges, ranks, damping, srcCol, dstCol)
+      srcCol: String = "src", dstCol: String = "dst",
+      weightCol: Option[String] = None): DataFrame = {
+    val next = pageRankStep(edges, ranks, damping, srcCol, dstCol, weightCol)
     ranks.select(col("id"), col("rank").as("prev"))
       .join(next.select(col("id"), col("rank").as("cur")), "id")
       .agg(sum(abs(col("cur") - col("prev"))).as("l1_delta"))
@@ -146,24 +274,12 @@ object PageRank {
     * body, exposed for the delta card and for incremental re-ranking).
     */
   def pageRankStep(edges: DataFrame, ranks: DataFrame, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"),
-      col(dstCol).as("dst")).distinct()
+      srcCol: String = "src", dstCol: String = "dst",
+      weightCol: Option[String] = None): DataFrame = {
+    val (e, outDeg) = prepare(edges, srcCol, dstCol, weightCol)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
     val n = nodes.count()
-    val contribs = ranks.join(e, col("id") === col("src"))
-      .join(outDeg, "src")
-      .groupBy(col("dst").as("cid"))
-      .agg(sum(col("rank") / col("deg")).as("contrib"))
-    val dangling = ranks.join(outDeg, col("id") === col("src"), "left_anti")
-      .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
-    nodes
-      .join(contribs, col("id") === col("cid"), "left")
-      .crossJoin(broadcast(dangling))
-      .select(col("id"),
-        (lit((1.0 - damping) / n) + lit(damping) *
-          (coalesce(col("contrib"), lit(0.0)) + col("dmass") / n)).as("rank"))
+    step(e, outDeg, nodes, n, ranks, damping)
   }
 }

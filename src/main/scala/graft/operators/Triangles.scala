@@ -21,19 +21,27 @@ import org.apache.spark.sql.functions._
   * one semi-join against the oriented edge set counts each triangle
   * exactly once. Two shuffles total beyond the degree computation; the
   * join keys are (long, long).
+  *
+  * The shared prefix (symmetrize → degree → oriented edges) is computed
+  * ONCE per public call and threaded through: `clusteringCoefficients`
+  * and `densityCard` reference `ranked` from several join legs, so the
+  * intermediates are `localCheckpoint`ed instead of trusting AQE's
+  * ReusedExchange to dedup identical subtrees (a planner maybe, not a
+  * guarantee — the PageRank materialization lesson). PlanShapeSpec
+  * asserts the executed plan carries no duplicate degree aggregation.
   */
 object Triangles {
 
-  /** Per-triangle rows (a, b, c) — a is the orientation-lowest apex,
-    * b < c by id — each triangle exactly once. `edges` is directed
-    * input; it is symmetrized + deduped internally, so either or both
-    * directions may be present.
+  /** The once-computed prefix: (oriented edges materialized, degrees
+    * materialized). Both frames are localCheckpointed — small (edge ids /
+    * node ids only) and referenced from multiple join legs downstream.
     */
-  def triangles(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+  private def prefix(edges: DataFrame, srcCol: String, dstCol: String)
+      : (DataFrame, DataFrame) = {
     val und = LabelProp.symmetrize(edges, srcCol, dstCol)
       .filter(col("src") =!= col("dst"))
     val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     // orient low -> high by (deg, id): rank(u) < rank(v)
     val ranked = und
       .join(deg.select(col("id").as("src"), col("deg").as("sdeg")), "src")
@@ -41,6 +49,12 @@ object Triangles {
       .filter(col("sdeg") < col("ddeg") ||
         (col("sdeg") === col("ddeg") && col("src") < col("dst")))
       .select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    (ranked, deg)
+  }
+
+  /** Triangle rows from an already-materialized oriented edge frame. */
+  private def trianglesFromRanked(ranked: DataFrame): DataFrame = {
     // wedges at the apex + close with an oriented edge
     val w = ranked.as("e1").join(ranked.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
@@ -53,16 +67,9 @@ object Triangles {
         Seq("b", "c"), "left_semi")
   }
 
-  /** Per-node triangle count + local clustering coefficient
-    * tri / (deg·(deg−1)/2), 0 when deg < 2. Output:
-    * (id, deg, tri, clustering).
-    */
-  def clusteringCoefficients(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
-    val und = LabelProp.symmetrize(edges, srcCol, dstCol)
-      .filter(col("src") =!= col("dst"))
-    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    val tri = triangles(edges, srcCol, dstCol)
+  /** Per-node (id, deg, tri, clustering) from the shared prefix. */
+  private def ccFromPrefix(ranked: DataFrame, deg: DataFrame): DataFrame = {
+    val tri = trianglesFromRanked(ranked)
     val perNode = tri.select(col("a").as("id"))
       .union(tri.select(col("b").as("id")))
       .union(tri.select(col("c").as("id")))
@@ -76,14 +83,39 @@ object Triangles {
           .as("clustering"))
   }
 
+  /** Per-triangle rows (a, b, c) — a is the orientation-lowest apex,
+    * b < c by id — each triangle exactly once. `edges` is directed
+    * input; it is symmetrized + deduped internally, so either or both
+    * directions may be present.
+    */
+  def triangles(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val (ranked, _) = prefix(edges, srcCol, dstCol)
+    trianglesFromRanked(ranked)
+  }
+
+  /** Per-node triangle count + local clustering coefficient
+    * tri / (deg·(deg−1)/2), 0 when deg < 2. Output:
+    * (id, deg, tri, clustering). Symmetrize/degree/orientation run once;
+    * the triangle pass reuses the materialized prefix.
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val (ranked, deg) = prefix(edges, srcCol, dstCol)
+    ccFromPrefix(ranked, deg)
+  }
+
   /** One-row graph density card: nodes, edges (undirected), triangles,
-    * global clustering (3·tri / wedges) and mean local clustering.
+    * global clustering (3·tri / wedges) and mean local clustering. One
+    * prefix + one triangle pass — the per-node card and the global
+    * aggregate share them.
     */
   def densityCard(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
-    val cc = clusteringCoefficients(edges, srcCol, dstCol).cache()
+    val (ranked, deg) = prefix(edges, srcCol, dstCol)
+    val cc = ccFromPrefix(ranked, deg).cache()
     try {
-      val nTri = triangles(edges, srcCol, dstCol).count()
+      val nTri = trianglesFromRanked(ranked).count()
       val agg = cc.agg(
         count(lit(1)).as("n_nodes"),
         (sum(col("deg")) / 2).cast("long").as("n_edges"),

@@ -88,5 +88,37 @@ object KCoreQueries {
       (s, dir) =>
       KCore.coreMembership(edgeFixture(s, dir), ks = Seq(2, 3))
         .select(col("id").as("doc_id"), col("max_core"))
+    },
+
+    // Full core DECOMPOSITION in one incremental sweep: coreness(v) =
+    // max{k : v ∈ k-core}, peeled over the shrinking survivor set (k-core
+    // ⊆ (k−1)-core, so each threshold starts from the previous core's
+    // edges). On this fixture coreness is provably 2 for cycle-only nodes
+    // and 4 for K5 members (internal degree 4); the oracle derives the
+    // same values from from-scratch peels at k = 2..5 (nesting makes the
+    // two formulations equal) with round counts covering the fixture's
+    // provable peel depths (k=5 cascades: corner nodes with a 5th cycle
+    // edge outlive round 1, then fall — 3 rounds + confirmation).
+    GQuery(
+      "q301_coreness",
+      s"""WITH $baseSql,
+         |${peelSql(2, 2)},
+         |${peelSql(3, 3)},
+         |${peelSql(4, 3)},
+         |${peelSql(5, 4)}
+         |SELECT n.id AS doc_id,
+         |       CASE WHEN c5.id IS NOT NULL THEN 5
+         |            WHEN c4.id IS NOT NULL THEN 4
+         |            WHEN c3.id IS NOT NULL THEN 3
+         |            WHEN c2.id IS NOT NULL THEN 2
+         |            ELSE 1 END AS coreness
+         |FROM (SELECT DISTINCT src AS id FROM e0) n
+         |LEFT JOIN (SELECT DISTINCT src AS id FROM e2_2) c2 ON c2.id = n.id
+         |LEFT JOIN (SELECT DISTINCT src AS id FROM e3_3) c3 ON c3.id = n.id
+         |LEFT JOIN (SELECT DISTINCT src AS id FROM e3_4) c4 ON c4.id = n.id
+         |LEFT JOIN (SELECT DISTINCT src AS id FROM e4_5) c5 ON c5.id = n.id""".stripMargin) {
+      (s, dir) =>
+      KCore.coreness(edgeFixture(s, dir))
+        .select(col("id").as("doc_id"), col("coreness"))
     })
 }

@@ -82,5 +82,55 @@ object LabelPropQueries {
           .otherwise(lit(0)).as("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           round(avg(abs(col("score"))), 6).as("mean_abs"))
+    },
+
+    // Edge-WEIGHTED propagation: contributions follow w(u,v)/Σ_out w —
+    // the form that respects the similarity weights the dedup pair
+    // emitters produce (strong cosine pairs conduct labels, borderline
+    // ones barely do). Weights are the deterministic (src+dst)%5+1
+    // (symmetric under direction flip, so the symmetrized graph is
+    // consistent); the oracle is q291's chain with sum(w) degrees and
+    // score·w/Σw contributions.
+    GQuery(
+      "q300_labelprop_weighted", {
+        val wBase =
+          """raw AS (SELECT doc_id AS src,
+            |               (doc_id*3 + 7) % (SELECT count(*) FROM documents) AS dst
+            |        FROM documents),
+            |edges AS MATERIALIZED (
+            |  SELECT DISTINCT src, dst, ((src + dst) % 5 + 1)::DOUBLE AS w FROM
+            |    (SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw)),
+            |odeg AS MATERIALIZED (SELECT src, sum(w) AS deg FROM edges GROUP BY src),
+            |yf AS MATERIALIZED (
+            |  SELECT d.doc_id AS id,
+            |         CASE WHEN d.doc_id < 25 THEN
+            |                CASE WHEN d.doc_id % 2 = 0 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END
+            |              ELSE 0.0::DOUBLE END AS y
+            |  FROM documents d),
+            |f0 AS MATERIALIZED (SELECT id, y AS score FROM yf)""".stripMargin
+        val wSteps = (1 to iters).map { t =>
+          s"""f$t AS MATERIALIZED (
+             |  SELECT yf.id,
+             |         0.8::DOUBLE * coalesce(c.s, 0::DOUBLE)
+             |         + (1::DOUBLE - 0.8::DOUBLE) * yf.y AS score
+             |  FROM yf
+             |  LEFT JOIN (SELECT e.dst AS id, sum(f.score * e.w / od.deg) AS s
+             |             FROM f${t - 1} f JOIN edges e ON e.src = f.id
+             |             JOIN odeg od ON od.src = e.src
+             |             GROUP BY e.dst) c ON c.id = yf.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $wBase,
+           |$wSteps
+           |SELECT id AS doc_id, round(score, 6) AS score FROM f$iters""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.count()
+      val raw = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 7) % n).as("dst"))
+        .withColumn("w", ((col("src") + col("dst")) % 5 + 1).cast("double"))
+      val weighted = LabelProp.symmetrizeWeighted(raw)
+      LabelProp.propagate(weighted, seedFixture(s, dir), iters,
+          weightCol = Some("w"))
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
     })
 }

@@ -481,6 +481,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("clusteringCoefficients: the degree aggregate is NOT recomputed in the final plan") {
+    // symmetrize/degree/orientation are materialized once in the prefix;
+    // the per-node card's executed plan must consume them as RDD scans —
+    // a HashAggregate producing `deg` inside the final plan would mean the
+    // degree pass ran twice (the AQE-ReusedExchange "planner maybe" this
+    // was rewritten to stop relying on)
+    val edges = spark.range(500).select(col("id").as("src"),
+      pmod(col("id") * 7 + 1, lit(500L)).as("dst"))
+    val plan = executedPlan(graft.operators.Triangles.clusteringCoefficients(edges))
+    val degAggs = plan.toString.linesIterator
+      .count(l => l.contains("HashAggregate") && l.contains("deg#"))
+    assert(degAggs == 0,
+      s"degree aggregation recomputed in the consumer plan:\n$plan")
+    val densityPlan = executedPlan(graft.operators.Triangles.densityCard(edges))
+    // densityCard is checkpointed output — a bare scan, nothing recomputed
+    assert(!densityPlan.toString.contains("HashAggregate"),
+      s"densityCard must be a materialized scan:\n$densityPlan")
+  }
+
   test("phrase alignment joins exchange (id, start) keys only — tokens never shuffle") {
     val docs = spark.range(2000).select(col("id").as("doc_id"),
       concat(lit("alpha beta gamma delta epsilon zeta token"), col("id")).as("text"))

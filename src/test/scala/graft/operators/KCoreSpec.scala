@@ -42,4 +42,55 @@ class KCoreSpec extends SparkSpec {
       KCore.coreMembership(edges, ks = Seq(3, 2)))
     assert(e.getMessage.contains("ascending"))
   }
+
+  test("coreness == max{k : node in k-core} on K4 with a pendant tail") {
+    val k4 = (for (i <- 0L until 4L; j <- 0L until 4L if i < j) yield (i, j))
+    val tail = Seq((3L, 10L), (10L, 11L))
+    val edges = (k4 ++ tail).toDF("src", "dst")
+    val c = KCore.coreness(edges)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // K4 members peel at k=4 -> coreness 3; the tail peels at k=2 -> 1
+    assert((0L until 4L).forall(c(_) == 3), c.toString)
+    assert(c(10L) == 1 && c(11L) == 1, c.toString)
+    // cross-check the definition against independent from-scratch peels
+    for (k <- 1 to 4) {
+      val members = KCore.kCoreEdges(edges, k)
+        .select("src").distinct().collect().map(_.getLong(0)).toSet
+      c.foreach { case (id, core) =>
+        assert(members.contains(id) == (core >= k),
+          s"node $id coreness $core vs k=$k membership ${members.contains(id)}")
+      }
+    }
+  }
+
+  test("nested coreMembership equals independent from-scratch peels") {
+    // cycle + K5 (the q296 fixture shape, smaller): peels at each k from
+    // the previous core must match peels from the original edge set
+    val n = 60L
+    val cyc = (0L until n).map(i => (i, (i + 1) % n))
+    val k5 = for (b <- Seq(0L, 20L, 40L); i <- 0L until 5L; j <- 0L until 5L
+      if i < j) yield (b + i, b + j)
+    val edges = (cyc ++ k5).toDF("src", "dst")
+    val nested = KCore.coreMembership(edges, ks = Seq(2, 3, 4))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (k <- Seq(2, 3, 4)) {
+      val members = KCore.kCoreEdges(edges, k)
+        .select("src").distinct().collect().map(_.getLong(0)).toSet
+      nested.foreach { case (id, mc) =>
+        assert(members.contains(id) == (mc >= k),
+          s"node $id max_core $mc vs k=$k membership ${members.contains(id)}")
+      }
+    }
+  }
+
+  test("string ids: host-graph cores peel without casts") {
+    val tri = Seq(("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "a.com"),
+      ("c.com", "tail.net"))
+    val core = KCore.kCoreEdges(tri.toDF("src", "dst"), k = 2)
+      .select("src").distinct().collect().map(_.getString(0)).toSet
+    assert(core == Set("a.com", "b.com", "c.com"), core.toString)
+    val c = KCore.coreness(tri.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(c("a.com") == 2 && c("tail.net") == 1, c.toString)
+  }
 }

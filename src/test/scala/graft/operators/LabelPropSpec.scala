@@ -41,6 +41,46 @@ class LabelPropSpec extends SparkSpec {
     assert(f.forall(s => math.abs(s) <= 1.0 + 1e-12), f.toSeq.toString)
   }
 
+  test("unit weights reduce to the unweighted propagation exactly") {
+    val weighted = twoCommunities.withColumn("wt", lit(1.0))
+    val unw = LabelProp.propagate(twoCommunities, seeds, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = LabelProp.propagate(weighted, seeds, iters = 10,
+        weightCol = Some("wt"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(unw.keySet == w.keySet)
+    unw.foreach { case (id, v) =>
+      assert(math.abs(v - w(id)) < 1e-12, s"node $id: $v vs ${w(id)}")
+    }
+  }
+
+  test("heavier edges conduct more label mass") {
+    // seed 0 reaches 1 over weight 4 and 2 over weight 1: after one round
+    // f(1) = alpha * 4/5 * f0(0), f(2) = alpha * 1/5 * f0(0) — exactly 4:1
+    val e = LabelProp.symmetrizeWeighted(
+      Seq((0L, 1L, 4.0), (0L, 2L, 1.0)).toDF("src", "dst", "w"))
+    val f = LabelProp.propagate(e, Seq((0L, 1.0)).toDF("id", "label"),
+        iters = 1, alpha = 0.8, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(f(1L) - 0.8 * 0.8) < 1e-12, s"heavy leg: ${f(1L)}")
+    assert(math.abs(f(2L) - 0.8 * 0.2) < 1e-12, s"light leg: ${f(2L)}")
+    assert(math.abs(f(1L) / f(2L) - 4.0) < 1e-9, s"conductance ratio: $f")
+  }
+
+  test("string ids: host-graph propagation works without casts") {
+    val hosts = LabelProp.symmetrize(Seq(
+      ("a.com", "b.com"), ("b.com", "c.com"), ("x.org", "y.org"))
+      .toDF("src", "dst"))
+    val f = LabelProp.propagate(hosts,
+        Seq(("a.com", 1.0)).toDF("id", "label"), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(f("a.com") > f("b.com") && f("b.com") > f("c.com"),
+      s"label must decay with hop distance: $f")
+    assert(f("c.com") > 0, s"two hops still reached: $f")
+    assert(f("x.org") == 0.0 && f("y.org") == 0.0,
+      s"disconnected component must stay at zero: $f")
+  }
+
   test("iteration converges geometrically (alpha is the rate)") {
     def at(t: Int) = LabelProp.propagate(twoCommunities, seeds, iters = t)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
