@@ -4,6 +4,33 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    def loadAvg1m(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // pre-sweep idle gate: three rounds running, sweep 1 of the committed
+    // bench carried a machine-load artifact (r11: 302 s vs 181 s at
+    // loadavg 5.02 from the driver's own preceding test/verify runs).
+    // Spin here — BEFORE our own Spark work starts contributing runnable
+    // threads — until the 1-min loadavg drops under the threshold or the
+    // bounded timeout fires; either way the diag line records what the
+    // gate saw, so a contaminated sweep is self-explaining.
+    val gateThreshold = sys.env.getOrElse("SPARK_GRAFT_IDLE_GATE", "4.0").toDouble
+    val gateTimeoutS = sys.env.getOrElse("SPARK_GRAFT_IDLE_TIMEOUT", "150").toLong
+    val gateStartLoad = loadAvg1m()
+    var gateWaitedMs = 0L
+    if (gateThreshold > 0 && gateStartLoad >= 0) {
+      val deadline = System.nanoTime() + gateTimeoutS * 1000L * 1000 * 1000
+      while (loadAvg1m() > gateThreshold && System.nanoTime() < deadline) {
+        Thread.sleep(2000)
+        gateWaitedMs += 2000
+      }
+    }
+    val gateEndLoad = loadAvg1m()
+    val gateTimedOut = gateEndLoad > gateThreshold
+    System.err.println(f"[bench] idle gate: load $gateStartLoad%.2f -> " +
+      f"$gateEndLoad%.2f after ${gateWaitedMs / 1000} s" +
+      (if (gateTimedOut) " (TIMED OUT — sweeps may be contaminated)" else ""))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,10 +86,6 @@ object Bench {
     // load artifact (q185 22.6 s vs 0.56 s idle) that only an external
     // re-run could diagnose. loadavg + GC delta per sweep make the
     // committed artifact self-explaining.
-    def loadAvg1m(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -151,6 +174,8 @@ object Bench {
     println(s"""{"metric":"diag","sweep_totals":$sweepTotals,""" +
       s""""loadavg":${sweepLoad.map(l => f"$l%.2f").mkString("[", ",", "]")},""" +
       s""""gc_ms":${sweepGcMs.mkString("[", ",", "]")},""" +
+      s""""idle_gate":{"threshold":$gateThreshold,"start_load":$gateStartLoad,""" +
+      s""""end_load":$gateEndLoad,"waited_ms":$gateWaitedMs,"timed_out":$gateTimedOut},""" +
       s""""total_min":${f3(totalMin)},"outliers_min_med":$outliers}""")
     // hash-mode rider: the sweeps above run every sketch/window query in
     // md5 (the oracle-parity configuration the correctness gate replays).
