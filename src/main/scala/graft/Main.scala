@@ -1110,12 +1110,64 @@ object Main {
         else operators.UnigramSeg.wordBestScores(vIn, vTxt, vMax)
 
       case "pagerank" =>
-        // damped power iteration over an edge parquet (src, dst)
-        operators.PageRank.pageRank(spark.read.parquet(need("edges")),
-          iters = flags.getOrElse("iters", "10").toInt,
-          damping = flags.getOrElse("damping", "0.85").toDouble,
+        // damped power iteration over an edge parquet (src, dst); --eps
+        // switches to the convergence-stopped form, --weight-col to the
+        // weighted walk (contrib = r·w/Σ_out w)
+        val prEdges = spark.read.parquet(need("edges"))
+        val prW = flags.get("weight-col")
+        val prD = flags.getOrElse("damping", "0.85").toDouble
+        val prSrc = flags.getOrElse("src-col", "src")
+        val prDst = flags.getOrElse("dst-col", "dst")
+        flags.get("eps") match {
+          case Some(eps) =>
+            val (ranks, t, converged) = operators.PageRank.pageRankUntil(
+              prEdges, eps.toDouble,
+              maxIters = flags.getOrElse("iters", "50").toInt,
+              damping = prD, srcCol = prSrc, dstCol = prDst, weightCol = prW)
+            ranks.withColumn("iters_run", lit(t))
+              .withColumn("converged", lit(converged))
+          case None =>
+            operators.PageRank.pageRank(prEdges,
+              iters = flags.getOrElse("iters", "10").toInt,
+              damping = prD, srcCol = prSrc, dstCol = prDst, weightCol = prW)
+        }
+
+      case "coreness" =>
+        // full k-core decomposition: (id, coreness) by incremental peeling
+        operators.KCore.coreness(spark.read.parquet(need("edges")),
+          maxRounds = flags.getOrElse("max-rounds", "200").toInt,
           srcCol = flags.getOrElse("src-col", "src"),
           dstCol = flags.getOrElse("dst-col", "dst"))
+
+      case "hnsw-build" =>
+        // per-cell navigable-graph bundle: KMeans coarse quantizer routes,
+        // each cell carries its own NSW graph; servable by `hnsw-search
+        // --index PATH` alone
+        val hbBase = spark.read.parquet(need("input"))
+        val hbId = flags.getOrElse("id-col", "vec_id")
+        val hbVec = flags.getOrElse("vec-col", "embedding")
+        val hbMetric = flags.getOrElse("metric", "COSINE")
+        val hbCents = operators.Ann.trainCentroids(spark, hbBase,
+          flags.getOrElse("n-list", "16").toInt, hbId, hbVec)
+        val hbIndex = operators.Hnsw.hnswIndex(hbBase, hbCents,
+          m = flags.getOrElse("m", "8").toInt,
+          efConstruction = flags.getOrElse("ef-construction", "32").toInt,
+          metric = hbMetric, idCol = hbId, vecCol = hbVec)
+        operators.Hnsw.writeBundle(hbIndex, hbCents, need("out"), hbId, hbVec)
+        operators.Ann.cellOccupancy(
+          spark.read.parquet(s"${need("out")}/cells"))
+
+      case "hnsw-search" =>
+        // serve a hnsw-build bundle: probed-cell pruning + per-cell beam
+        operators.Hnsw.searchBundle(spark.read.parquet(need("query")),
+          need("index"),
+          k = flags.getOrElse("k", "10").toInt,
+          nProbe = flags.getOrElse("n-probe", "4").toInt,
+          ef = flags.getOrElse("ef", "64").toInt,
+          metric = flags.getOrElse("metric", "COSINE"),
+          idCol = flags.getOrElse("id-col", "vec_id"),
+          vecCol = flags.getOrElse("vec-col", "embedding"),
+          excludeSelf = flags.contains("exclude-self"))
 
       case "phrase" =>
         // exact positional phrase match; --terms is the space-free CSV form
@@ -1247,7 +1299,10 @@ object Main {
       |   fast production default, md5 the engine-neutral oracle-parity mode,
       |   poly the rolling-window mode for char-level exactsubstr)
       |  viterbi --input PARQUET [--em [--iters N]] [--max-piece-len N] [--text-col C]
-      |  pagerank --edges PARQUET [--iters N] [--damping D] [--src-col C] [--dst-col C]
+      |  pagerank --edges PARQUET [--iters N] [--damping D] [--eps E] [--weight-col W] [--src-col C] [--dst-col C]
+      |  coreness --edges PARQUET [--max-rounds N] [--src-col C] [--dst-col C]
+      |  hnsw-build --input PARQUET --out BUNDLE [--n-list N] [--m N] [--ef-construction N] [--metric M] [--id-col C] [--vec-col C]
+      |  hnsw-search --index BUNDLE --query PARQUET [--k N] [--n-probe N] [--ef N] [--metric M] [--exclude-self]
       |  phrase --input PARQUET --terms w1,w2,... [--id-col C] [--text-col C]
       |  proximity --input PARQUET --terms w1,w2,... [--window N] [--id-col C] [--text-col C]
       |  wand --input PARQUET --terms w1,w2,... [--k N] [--block-size N] [--card]

@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Hnsw
+
+/** Graph-ANN queries. The beam search itself is SQL-replayable only in
+  * its saturated form: with ef >= |cell| the beam provably explores the
+  * whole (connected — the prune invariant keeps a lower-index edge per
+  * node) cell graph, so its top-k EQUALS the exhaustive scan over the
+  * probed cells — which is exactly the q50 oracle shape. A green row
+  * therefore hash-checks the full pipeline: cell routing, graph
+  * construction/storage, beam traversal (visit discipline, heap ties)
+  * and ranking. The sub-exhaustive regime (small ef → <10% of the
+  * distance evaluations at recall >= 0.9) is pinned by HnswSpec against
+  * brute-force truth, the learned-path convention (cf. Opq).
+  */
+object HnswQueries {
+
+  private def duckCosDist(a: String, b: String): String =
+    s"""(1.0 - (list_sum(list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       | / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE*x::DOUBLE)))
+       |  * sqrt(list_sum(list_transform($b, x -> x::DOUBLE*x::DOUBLE))))))""".stripMargin
+
+  def all: Seq[GQuery] = Seq(
+
+    // Saturated-beam HNSW == exhaustive-within-probed-cells (the q50 IVF
+    // oracle replayed against the graph path): deterministic 16-cell
+    // quantizer, nProbe=4, k=5, ef far above any cell size.
+    GQuery(
+      "q304_hnsw_saturated",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, base.v, c.cell, ${duckCosDist("base.v", "c.ce")} AS d,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${duckCosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, cell FROM assignr WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 120),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${duckCosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qv, cell FROM probr WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.id AS nid, ${duckCosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      val index = Hnsw.hnswIndex(emb, centroids, m = 8, efConstruction = 32)
+      Hnsw.hnswSearch(queries, index, centroids, k = 5, nProbe = 4,
+          ef = 1 << 20, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+    })
+}

@@ -1126,6 +1126,43 @@ class CliSpec extends SparkSpec {
     assert(ud.count() == 1 && ud.head.getLong(2) == 2L)
   }
 
+  test("pagerank --eps/--weight-col, coreness, hnsw-build/search drive the graph additions") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cli-s3").toString
+    (0L until 40L).flatMap(i => Seq((i, (i * i + 1) % 40), (i, (i * i + 18) % 40)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (a, b, ((a + b) % 3 + 1).toDouble) }
+      .toDF("src", "dst", "w").write.parquet(s"$d/edges.parquet")
+    val pu = Main.run(spark, Seq("pagerank", "--edges", s"$d/edges.parquet",
+      "--eps", "0.01", "--weight-col", "w"))
+    assert(pu.columns.contains("iters_run") && pu.columns.contains("converged"))
+    assert(pu.filter(col("converged")).count() == pu.count())
+    assert(math.abs(pu.agg(sum("rank")).head.getDouble(0) - 1.0) < 1e-9)
+
+    // K4 + tail: coreness 3 inside the clique, 1 on the tail
+    ((for (i <- 0L until 4L; j <- 0L until 4L if i < j) yield (i, j)) ++
+      Seq((3L, 10L), (10L, 11L))).toDF("src", "dst")
+      .write.parquet(s"$d/kedges.parquet")
+    val cn = Main.run(spark, Seq("coreness", "--edges", s"$d/kedges.parquet"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0L until 4L).forall(cn(_) == 3) && cn(11L) == 1, cn.toString)
+
+    val rnd = new scala.util.Random(11)
+    (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(8)(j => (if (j == c) 4f else 0f) + 0.2f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding").write.parquet(s"$d/hvecs.parquet")
+    val occ = Main.run(spark, Seq("hnsw-build", "--input", s"$d/hvecs.parquet",
+      "--out", s"$d/hnsw", "--n-list", "4", "--m", "4", "--ef-construction", "16"))
+    assert(occ.count() == 4, "one occupancy row per cell")
+    val hs = Main.run(spark, Seq("hnsw-search", "--index", s"$d/hnsw",
+      "--query", s"$d/hvecs.parquet", "--k", "3", "--n-probe", "2",
+      "--ef", "8", "--exclude-self"))
+    assert(hs.count() == 200 * 3)
+    assert(hs.columns.toSet == Set("query_id", "neighbor_id", "rank", "dist"))
+    assert(hs.filter(col("neighbor_id") === col("query_id")).count() == 0)
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))
