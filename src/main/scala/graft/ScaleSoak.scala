@@ -1063,6 +1063,29 @@ object ScaleSoak {
         s"pagerank mass drifted: $r5 / $r10")
       println(f"[soak] pagerank per-iteration: ${d5 / 5}%.2f s (5it) vs " +
         f"${d10 / 10}%.2f s (10it) — flat means lineage stayed O(1)")
+      // reliable-storage backend at the same graph scale: the production
+      // Materialize policy (checkpoint(dir) instead of executor-memory
+      // localCheckpoint blocks) must carry the identical ranking, and the
+      // soak prints its per-iteration premium — the number that says what
+      // executor-loss safety costs on a real cluster
+      val ckptDir = java.nio.file.Files
+        .createTempDirectory("graft-soak-ckpt").toString
+      val tC = System.nanoTime()
+      val rC = timed(s"pagerank $nPrNodes nodes, 5 iters, reliable checkpoint") {
+        val r = operators.PageRank.pageRank(edges, iters = 5,
+          checkpointDir = Some(ckptDir))
+        r.agg(sum("rank")).collect()(0).getDouble(0)
+      }
+      val dC = (System.nanoTime() - tC) / 1e9
+      require(math.abs(rC - 1.0) < 1e-6, s"checkpointed pagerank mass drifted: $rC")
+      val ckptFiles = {
+        def walk(f: java.io.File): Int =
+          if (f.isFile) 1 else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        walk(new java.io.File(ckptDir))
+      }
+      require(ckptFiles > 0, "reliable checkpoint wrote no blocks")
+      println(f"[soak] pagerank reliable-checkpoint per-iteration: ${dC / 5}%.2f s " +
+        f"vs ${d5 / 5}%.2f s local ($ckptFiles block files)")
     }
 
     // --- WAND at corpus scale (SOAK_WAND_DOCS=0 skips): 500k docs, the

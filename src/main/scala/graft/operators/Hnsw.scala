@@ -38,12 +38,15 @@ import graft.functions.TopKPairs.topKPairs
   * step is fixed-order arithmetic, so the graph — and therefore search —
   * is deterministic for a given (cell contents, M, efConstruction).
   *
-  * Search quality is NOT SQL-replayable (the greedy walk depends on the
-  * construction order), so the oracle discipline is the learned-path
-  * convention (cf. Opq): q304's card oracles INVARIANTS (results come
-  * from probed cells, beam recall vs the same-cells exhaustive scan,
-  * bounded visit fraction) as booleans; HnswSpec pins recall/cost against
-  * brute-force truth, and the bundle round-trip.
+  * Oracle discipline: the SUB-saturated beam is not SQL-replayable (the
+  * greedy walk depends on construction order), but the SATURATED beam
+  * (ef >= |cell|) provably explores the whole connected cell graph — the
+  * prune invariant below keeps every node linked toward node 0 — so its
+  * top-k EQUALS the exhaustive scan over the probed cells. q304
+  * hash-oracles exactly that (q305 the filtered form); HnswSpec pins the
+  * sub-saturated regime (recall@10 >= 0.9 at < 10% of the exhaustive
+  * distance evaluations) against brute-force truth, plus bundle
+  * round-trip and append/delete == from-scratch parity.
   */
 object Hnsw {
 
@@ -64,10 +67,18 @@ object Hnsw {
     }
 
     /** Bounded beam from `entry` over the current graph: the ef best
-      * (dist, idx) pairs, ascending. Standard HNSW layer-0 search; all
-      * ties break to the lower insertion index (== lower id).
+      * ELIGIBLE (dist, idx) pairs, ascending. Standard HNSW layer-0
+      * search; ties break to the lower insertion index (== lower id).
+      * `eligible` implements the hybrid pre-filter discipline: traversal
+      * walks EVERY visited node (a filtered graph may be disconnected),
+      * but only eligible nodes enter the result heap — so the top-k is
+      * over the eligible set, never "search then discard". Early exit
+      * fires only once the result heap holds ef eligible entries, which
+      * keeps the saturated-beam (ef >= |cell|) == filtered-exhaustive
+      * equality a theorem under any predicate.
       */
-    def beam(qv: Array[Float], entry: Int, ef: Int): Array[(Double, Int)] = {
+    def beam(qv: Array[Float], entry: Int, ef: Int,
+        eligible: Int => Boolean = _ => true): Array[(Double, Int)] = {
       val visited = new java.util.BitSet(n)
       // candidates: nearest-first; results: farthest-first, bounded ef
       val cand = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(
@@ -77,10 +88,10 @@ object Hnsw {
       val d0 = dist(qv, entry)
       visited.set(entry)
       cand.enqueue((d0, entry))
-      res.enqueue((d0, entry))
+      if (eligible(entry)) res.enqueue((d0, entry))
       while (cand.nonEmpty) {
         val (cd, ci) = cand.dequeue()
-        if (cd > res.head._1 && res.size >= ef) {
+        if (res.size >= ef && cd > res.head._1) {
           cand.clear() // nearest candidate can no longer improve the beam
         } else {
           val nbrs = adj(ci)
@@ -92,8 +103,10 @@ object Hnsw {
               val d = dist(qv, nb)
               if (res.size < ef || Ordering.Tuple2[Double, Int].lt((d, nb), res.head)) {
                 cand.enqueue((d, nb))
-                res.enqueue((d, nb))
-                if (res.size > ef) res.dequeue()
+                if (eligible(nb)) {
+                  res.enqueue((d, nb))
+                  if (res.size > ef) res.dequeue()
+                }
               }
             }
             j += 1
@@ -169,10 +182,41 @@ object Hnsw {
     require(m >= 1, s"hnswIndex: m must be >= 1, got $m")
     require(efConstruction >= m,
       s"hnswIndex: efConstruction ($efConstruction) must be >= m ($m)")
-    val spark = base.sparkSession
+    buildGraphs(Ann.ivfIndex(base, centroids, metric, idCol, vecCol),
+      m, efConstruction, metric)
+  }
+
+  /** [[hnswIndex]] carrying metadata columns beside the graph rows — the
+    * shape [[hnswSearchFiltered]] evaluates per-query predicates against.
+    * The graph build is unchanged (metadata never enters the kernel); the
+    * metadata joins back by id afterwards — one equi-join at BUILD time,
+    * amortized over every filtered search. Output:
+    * (id, cell, vec, nbrs, metadataCols…).
+    */
+  def hnswIndexWithMeta(base: DataFrame, centroids: DataFrame, m: Int = 8,
+      efConstruction: Int = 32, metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metaCols: Seq[String] = Nil): DataFrame = {
+    val g = hnswIndex(base, centroids, m, efConstruction, metric, idCol, vecCol)
+    if (metaCols.isEmpty) g
+    else g.join(
+      base.select((col(idCol).cast("long").as("id") +: metaCols.map(col)): _*),
+      "id")
+  }
+
+  /** The shared per-cell graph constructor over an assigned
+    * (id, vec, cell) frame — used by the from-scratch build and by the
+    * append/delete maintenance rebuilds. Insertion order is ascending id,
+    * independent of HOW the points arrived, so maintenance output is
+    * bit-identical to a from-scratch build over the same point set
+    * (HnswSpec pins the parity).
+    */
+  private def buildGraphs(assigned: DataFrame, m: Int, efConstruction: Int,
+      metric: String): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
     val mid = DistanceKernels.metricId(metric)
-    Ann.ivfIndex(base, centroids, metric, idCol, vecCol)
+    assigned
       .select(col("cell"), col("id"), col("vec"))
       .as[(Long, Long, Array[Float])]
       .groupByKey(_._1)
@@ -187,6 +231,48 @@ object Hnsw {
         }
       }
       .toDF("cell", "id", "vec", "nbrs")
+  }
+
+  /** Maintain a graph index under appends: the slice assigns against the
+    * FROZEN quantizer (the Ann maintenance contract), and only the
+    * affected cells' graphs rebuild — untouched cells pass through by
+    * anti-filter on a driver-side cell list (bounded by nList). Because
+    * insertion order is ascending id regardless of arrival,
+    * `hnswAppend(hnswIndex(A), B) == hnswIndex(A ∪ B)` exactly.
+    */
+  def hnswAppend(index: DataFrame, newVecs: DataFrame, centroids: DataFrame,
+      m: Int = 8, efConstruction: Int = 32, metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = Ann.ivfIndex(newVecs, centroids, metric, idCol, vecCol)
+    val affected = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val untouched = index.filter(!col("cell").isin(affected: _*))
+    val touched = index.filter(col("cell").isin(affected: _*))
+      .select(col("cell"), col("id"), col("vec"))
+      .unionByName(assigned.select(col("cell"), col("id"), col("vec")))
+    untouched.select("cell", "id", "vec", "nbrs")
+      .unionByName(buildGraphs(touched, m, efConstruction, metric))
+  }
+
+  /** Delete ids from a graph index: affected cells rebuild WITHOUT the
+    * removed points (a tombstone that merely hides results would still
+    * route beams through stale vectors; rebuilding keeps the graphs clean
+    * and the from-scratch parity exact). Only cells containing removed
+    * ids rebuild. `removedIds` is an (id) frame.
+    */
+  def hnswDelete(index: DataFrame, removedIds: DataFrame,
+      m: Int = 8, efConstruction: Int = 32,
+      metric: String = "COSINE"): DataFrame = {
+    val rm = removedIds.select(col(removedIds.columns.head).cast("long").as("id"))
+    val affected = index.join(rm, "id").select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) return index.select("cell", "id", "vec", "nbrs")
+    val untouched = index.filter(!col("cell").isin(affected: _*))
+    val survivors = index.filter(col("cell").isin(affected: _*))
+      .join(rm, Seq("id"), "left_anti")
+      .select(col("cell"), col("id"), col("vec"))
+    untouched.select("cell", "id", "vec", "nbrs")
+      .unionByName(buildGraphs(survivors, m, efConstruction, metric))
   }
 
   /** Beam-search the probed cells: queries route to their nProbe nearest
@@ -260,6 +346,141 @@ object Hnsw {
         (col("pos") + 1).as("rank"), col("pair.dist").as("dist"))
   }
 
+  /** FILTERED graph search — the hybrid pre-filter discipline
+    * (`Ann.ivfSearchFiltered`'s contract) on the beam path: each query
+    * row carries its own framed PNode blob (`predicateCol`, null =
+    * unfiltered) evaluated against the index metadata DURING the beam —
+    * traversal walks every visited node (the eligible subgraph may be
+    * disconnected), but only predicate-satisfying nodes enter the result
+    * heap, so the returned top-k is over the ELIGIBLE set, never "search
+    * then discard". `index` must come from [[hnswIndexWithMeta]].
+    * Saturated (ef >= |cell|) the result provably equals the filtered
+    * exhaustive scan over the probed cells — q305's oracle. Missing
+    * metadata fields fail loudly (the exact-path semantics).
+    * Output: (query_id, neighbor_id, rank, dist).
+    */
+  def hnswSearchFiltered(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int, ef: Int = 64,
+      metric: String = "COSINE", idCol: String = "vec_id",
+      vecCol: String = "embedding", predicateCol: String = "predicate",
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && ef >= k,
+      s"hnswSearchFiltered: need k >= 1, nProbe >= 1, ef >= k (k=$k nProbe=$nProbe ef=$ef)")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val mid = DistanceKernels.metricId(metric)
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(cents.nonEmpty, "hnswSearchFiltered: empty centroid set")
+    val bc = spark.sparkContext.broadcast(cents)
+    val probes = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"),
+        col(predicateCol).cast("binary"))
+      .as[(Long, Array[Float], Array[Byte])]
+      .flatMap { case (qid, qv, blob) =>
+        val cs = bc.value
+        val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by(p => (p._1, p._2)))
+        var i = 0
+        while (i < cs.length) {
+          val d = DistanceKernels.computeArrays(qv, cs(i)._2, mid)
+          if (heap.size < nProbe) heap.enqueue((d, cs(i)._1))
+          else if (Ordering.Tuple2[Double, Long].lt((d, cs(i)._1), heap.head)) {
+            heap.dequeue(); heap.enqueue((d, cs(i)._1))
+          }
+          i += 1
+        }
+        heap.toSeq.map { case (_, cell) => (cell, qid, qv, blob) }
+      }
+      .toDF("cell", "query_id", "q_vec", "_pred")
+    val cand = probes
+      .groupByKey(_.getLong(0))(org.apache.spark.sql.Encoders.scalaLong)
+      .cogroup(index
+        .groupByKey(_.getAs[Long]("cell"))(org.apache.spark.sql.Encoders.scalaLong)) {
+        (cell, qs, grows) =>
+          val rows = grows.toArray.sortBy(_.getAs[Long]("id"))
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val ids = rows.map(_.getAs[Long]("id"))
+            val vecs = rows.map(_.getAs[Seq[Float]]("vec").toArray)
+            val idToIdx = ids.zipWithIndex.toMap
+            val g = new CellGraph(ids, vecs, mid, 1, 1, None)
+            rows.iterator.zipWithIndex.foreach { case (r, i) =>
+              g.adj(i) ++= r.getAs[Seq[Long]]("nbrs").iterator.flatMap(idToIdx.get(_))
+            }
+            qs.flatMap { q =>
+              val qid = q.getLong(1)
+              val qv = q.getAs[Seq[Float]](2).toArray
+              val blob = q.getAs[Array[Byte]](3)
+              val tree = Option(blob).map(graft.predicates.PNodeCodec.decodeFramed)
+              // memoized per-query eligibility over the cell's rows; a
+              // predicate naming a missing metadata column throws here
+              // (Row.fieldIndex), matching the exact path's loud failure
+              val memo = new Array[Byte](rows.length)
+              def eligible(i: Int): Boolean = {
+                if (excludeSelf && ids(i) == qid) return false
+                tree match {
+                  case None => true
+                  case Some(t) =>
+                    if (memo(i) == 0) memo(i) =
+                      if (graft.predicates.PNodeEvaluator.matchesRow(t, rows(i))) 1
+                      else 2
+                    memo(i) == 1
+                }
+              }
+              g.beam(qv, 0, ef, eligible).iterator
+                .map { case (d, i) => (qid, ids(i), d) }
+            }
+          }
+      }.toDF("query_id", "nid", "d")
+    cand
+      .groupBy("query_id")
+      .agg(topKPairs(col("d"), col("nid"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(col("query_id"), col("pair.id").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("pair.dist").as("dist"))
+  }
+
+  /** Effort/recall curve — the tuning card a serving deployment reads
+    * before fixing ef (the `Ann.recallCurve` discipline for the graph
+    * path): one row (ef, recall, evals_frac) per swept width, recall
+    * against the SATURATED beam over the same probed cells (the provable
+    * exhaustive equivalent, so the curve isolates the beam's loss from
+    * the router's) and the measured distance-evaluation fraction of the
+    * exhaustive scan. The index is built once; each point is one search.
+    */
+  def efRecallCurve(queries: DataFrame, index: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int, efs: Seq[Int], metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    require(efs.nonEmpty, "efRecallCurve needs at least one ef")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val idx = index.cache()
+    try {
+      val nBase = idx.count()
+      val truth = hnswSearch(queries, idx, centroids, k, nProbe,
+          ef = Int.MaxValue, metric = metric, idCol = idCol, vecCol = vecCol,
+          excludeSelf = excludeSelf)
+        .select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val nQ = math.max(1, truth.size)
+      val rows = efs.map { ef =>
+        val counter = spark.sparkContext.longAccumulator(s"hnsw-curve-ef$ef")
+        val got = hnswSearch(queries, idx, centroids, k, nProbe, ef, metric,
+            idCol, vecCol, excludeSelf, counter = Some(counter))
+          .select(col("query_id"), col("neighbor_id"))
+          .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+        val recall = truth.map { case (q, t) =>
+          if (t.isEmpty) 1.0 else (got.getOrElse(q, Set.empty) & t).size.toDouble / t.size
+        }.sum / nQ
+        (ef, recall, counter.value.toDouble / (nQ.toDouble * nBase))
+      }
+      rows.toDF("ef", "recall", "evals_frac")
+    } finally idx.unpersist()
+  }
+
   /** Persist the graph index as a self-contained bundle — the `Ann`
     * bundle layout (`cells/` partitioned BY CELL + the frozen
     * `quantizer/`), so a probe reads nProbe/nList of the data via
@@ -286,5 +507,73 @@ object Hnsw {
     val live = spark.read.parquet(s"$path/cells").filter(col("cell").isin(cells: _*))
     hnswSearch(queries, live, quant, k, nProbe, ef, metric, idCol, vecCol,
       excludeSelf)
+  }
+
+  /** Append a vector slice to a PERSISTED bundle: the slice assigns
+    * against the bundle's frozen quantizer, the AFFECTED cells' graphs
+    * rebuild, and ONLY those `cell=` partitions rewrite (dynamic
+    * partition overwrite) — untouched cells' files never move, and the
+    * on-disk bundle equals a from-scratch build over the union (the
+    * in-memory [[hnswAppend]] parity, at rest). The rebuilt frame is
+    * localCheckpointed before the write because it reads the same path
+    * it overwrites.
+    */
+  def appendToBundle(newVecs: DataFrame, path: String, m: Int = 8,
+      efConstruction: Int = 32, metric: String = "COSINE",
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    val quant = spark.read.parquet(s"$path/quantizer")
+    val assigned = Ann.ivfIndex(newVecs, quant, metric, idCol, vecCol)
+    val affected = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) return
+    val touched = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(affected: _*))
+      .select(col("cell").cast("long").as("cell"), col("id"), col("vec"))
+      .unionByName(assigned.select(col("cell"), col("id"), col("vec")))
+    buildGraphs(touched, m, efConstruction, metric)
+      .localCheckpoint(true)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Delete ids from a PERSISTED bundle: affected cells rebuild without
+    * the removed points and only their partitions rewrite — the
+    * [[hnswDelete]] semantics at rest. A cell whose every point is
+    * removed keeps one tombstone-free rewrite pass: dynamic overwrite
+    * only replaces partitions present in the WRITE, so a fully-emptied
+    * cell is rewritten as an empty partition via an explicit drop list.
+    */
+  def deleteFromBundle(removedIds: DataFrame, path: String, m: Int = 8,
+      efConstruction: Int = 32, metric: String = "COSINE"): Unit = {
+    val spark = removedIds.sparkSession
+    val rm = removedIds
+      .select(col(removedIds.columns.head).cast("long").as("id"))
+    val cellsDf = spark.read.parquet(s"$path/cells")
+    // the partition column reads back with an inferred (possibly int) type
+    val affected = cellsDf.join(rm, "id")
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (affected.isEmpty) return
+    val survivors = cellsDf.filter(col("cell").isin(affected: _*))
+      .join(rm, Seq("id"), "left_anti")
+      .select(col("cell").cast("long").as("cell"), col("id"), col("vec"))
+    val rebuilt = buildGraphs(survivors, m, efConstruction, metric)
+      .localCheckpoint(true)
+    rebuilt.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$path/cells")
+    // dynamic overwrite cannot express "this cell is now empty" (no rows
+    // → no partition in the write); drop those directories explicitly
+    val stillThere = rebuilt.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    affected.filterNot(stillThere).foreach { c =>
+      val dir = new java.io.File(s"$path/cells/cell=$c")
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      if (dir.exists()) rmTree(dir)
+    }
   }
 }

@@ -110,6 +110,43 @@ object KCore {
     }
   }
 
+  /** Weighted (strength) core — the s-core generalization (Eidsaa &
+    * Almaas 2013 — public literature): peel nodes whose incident weight
+    * SUM falls under `s` until stable. On a similarity graph this keeps
+    * the region that is strongly mutually similar in AGGREGATE — two
+    * borderline edges don't substitute for one strong one the way the
+    * unweighted 2-core pretends. Edges symmetrize with max-merged weights
+    * ([[LabelProp.symmetrizeWeighted]]); weights must be > 0. Same peel
+    * shape as [[kCoreEdges]]: one sum aggregate + two semi-joins per
+    * round, materialized survivors, loud non-convergence. Output:
+    * surviving (src, dst, w), both directions.
+    */
+  def sCoreEdges(edges: DataFrame, s: Double, maxRounds: Int = 50,
+      srcCol: String = "src", dstCol: String = "dst", weightCol: String = "w",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(s > 0, s"sCoreEdges: s must be > 0, got $s")
+    require(maxRounds >= 1, s"sCoreEdges: maxRounds must be >= 1, got $maxRounds")
+    val mat = Materialize.policy(edges.sparkSession, checkpointDir)
+    var cur = mat(LabelProp.symmetrizeWeighted(edges, srcCol, dstCol, weightCol)
+      .filter(col("src") =!= col("dst")).filter(col("w") > 0))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val strength = cur.groupBy(col("src").as("id")).agg(sum(col("w")).as("st"))
+      val keep = strength.filter(col("st") >= s).select("id")
+      val next = mat(cur
+        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"), col("w")))
+      converged = next.count() == cur.count()
+      cur = next
+      rounds += 1
+    }
+    require(converged,
+      s"sCoreEdges: no fixpoint after $rounds rounds (maxRounds=$maxRounds) — raise maxRounds")
+    cur
+  }
+
   /** Full core decomposition in ONE incremental sweep: (id, coreness INT)
     * for every node with at least one edge, coreness(v) = max{k : v is in
     * the k-core}. Peels at k = 1, 2, 3, … over the SHRINKING survivor

@@ -219,13 +219,14 @@ object PageRank {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
       damping: Double = 0.85, srcCol: String = "src", dstCol: String = "dst",
       idCol: String = "id", weightCol: String = "weight",
+      edgeWeightCol: Option[String] = None,
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"personalizedPageRank: iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1,
       s"personalizedPageRank: damping in (0,1), got $damping")
     val mat = Materialize.policy(edges.sparkSession, checkpointDir)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().cache()
+    val (e0, outDeg0) = prepare(edges, srcCol, dstCol, edgeWeightCol)
+    val e = e0.cache()
     val rawSeeds = seeds.select(col(idCol).as("id"),
       col(weightCol).cast("double").as("w"))
     val total = rawSeeds.agg(sum(col("w"))).collect()(0).getDouble(0)
@@ -233,7 +234,7 @@ object PageRank {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .union(rawSeeds.select("id")).distinct()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).cache()
+    val outDeg = outDeg0.cache()
     val p = nodes.join(rawSeeds, Seq("id"), "left")
       .select(col("id"), (coalesce(col("w"), lit(0.0)) / total).as("p")).cache()
     var ranks = mat(p.select(col("id"), col("p").as("rank")))
@@ -241,7 +242,7 @@ object PageRank {
       val contribs = ranks.join(e, col("id") === col("src"))
         .join(outDeg, "src")
         .groupBy(col("dst").as("cid"))
-        .agg(sum(col("rank") / col("deg")).as("contrib"))
+        .agg(sum(col("rank") * col("w") / col("deg")).as("contrib"))
       val dangling = ranks.join(outDeg, col("id") === col("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
       ranks = mat(p

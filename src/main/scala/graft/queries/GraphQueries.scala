@@ -301,5 +301,51 @@ object GraphQueries {
       val (_, coldT, _) =
         PageRank.pageRankUntil(perturbed, eps, maxIters = iters)
       Seq((warmT, coldT)).toDF("warm_rounds", "cold_rounds")
+    },
+
+    // Weighted personalized PageRank: the seed-biased walk following edge
+    // weights — q298's oracle with sum(w) out-degrees and rank·w/Σw
+    // contributions (weights (src+dst)%7+1, the q299 fixture).
+    GQuery(
+      "q307_ppr_weighted",
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst, ((src + dst) % 7 + 1)::DOUBLE AS w FROM (
+         |    SELECT doc_id AS src,
+         |           (doc_id*7 + j*13 + 1) % (SELECT count(*) FROM documents) AS dst
+         |    FROM documents, UNNEST([0,1,2]) AS t(j))
+         |  WHERE dst != src),
+         |nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |odeg AS MATERIALIZED (SELECT src, sum(w) AS deg FROM edges GROUP BY src),
+         |ts AS (SELECT sum(CASE WHEN id < 10 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS t
+         |       FROM nodes),
+         |pv AS MATERIALIZED (
+         |  SELECT id, (CASE WHEN id < 10 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) / ts.t AS p
+         |  FROM nodes CROSS JOIN ts),
+         |r0 AS MATERIALIZED (SELECT id, p AS rank FROM pv),
+         |${(1 to iters).map { i =>
+            val pr = s"r${i - 1}"
+            s"""r$i AS MATERIALIZED (
+               |  SELECT pv.id,
+               |         (1::DOUBLE - 0.85::DOUBLE) * pv.p
+               |         + 0.85::DOUBLE * (coalesce(c.s, 0::DOUBLE) + dg.m * pv.p) AS rank
+               |  FROM pv
+               |  LEFT JOIN (SELECT e.dst AS id, sum(q.rank * e.w / od.deg) AS s
+               |             FROM $pr q JOIN edges e ON e.src = q.id
+               |             JOIN odeg od ON od.src = e.src
+               |             GROUP BY e.dst) c ON c.id = pv.id
+               |  CROSS JOIN (SELECT coalesce(sum(q.rank), 0::DOUBLE) AS m FROM $pr q
+               |              WHERE NOT EXISTS (SELECT 1 FROM odeg od WHERE od.src = q.id)) dg)""".stripMargin
+          }.mkString(",\n")}
+         |SELECT id AS doc_id, round(rank, 8) AS rank FROM r$iters""".stripMargin) {
+      (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val seeds = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("id"), lit(1.0).as("weight"))
+      val weighted = edgeFixture(s, dir)
+        .withColumn("wt", ((col("src") + col("dst")) % 7 + 1).cast("double"))
+      PageRank.personalizedPageRank(weighted, seeds, iters,
+          edgeWeightCol = Some("wt"))
+        .select(col("id").as("doc_id"), round(col("rank"), 8).as("rank"))
     })
 }

@@ -62,5 +62,63 @@ object HnswQueries {
           ef = 1 << 20, excludeSelf = true)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"))
+    },
+
+    // FILTERED saturated beam == filtered exhaustive over probed cells:
+    // the q228 per-query wire-predicate cycle (label IN set / label >= 5 /
+    // unfiltered) pushed through the graph path. Traversal walks the whole
+    // connected cell graph; only eligible nodes enter the result heap, so
+    // the q228/q263 oracle replays it exactly — predicate semantics, beam
+    // admission and ranking checked together.
+    GQuery(
+      "q305_hnsw_filtered",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v, label FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, base.v, base.label, c.cell,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${duckCosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, label, cell FROM assignr WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 120),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${duckCosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qv, cell FROM probr WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.id AS nid, ${duckCosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid
+         |    AND CASE p.qid % 3
+         |          WHEN 0 THEN a.label IN (0, 1, 2, 3)
+         |          WHEN 1 THEN a.label >= 5
+         |          ELSE TRUE END)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      import graft.predicates._
+      import graft.predicates.Comparand.IntVal
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      def tree(mod: Long): PNode = mod match {
+        case 0 => PredicateNode.namedTyped("label", OpType.IN,
+          IntVal(0), IntVal(1), IntVal(2), IntVal(3))
+        case 1 => PredicateNode.namedTyped("label", OpType.GE, IntVal(5))
+        case _ => ConjugateNode.and()
+      }
+      val blobUdf = udf((qid: Long) =>
+        PNodeCodec.encodeFramed(tree(qid % 3), PNodeCodec.Mode.NamedTyped))
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+        .withColumn("predicate", blobUdf(col("vec_id")))
+      val index = Hnsw.hnswIndexWithMeta(emb, centroids, m = 8,
+        efConstruction = 32, metaCols = Seq("label"))
+      Hnsw.hnswSearchFiltered(queries, index, centroids, k = 5, nProbe = 4,
+          ef = 1 << 20, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
     })
 }

@@ -120,5 +120,42 @@ object KCoreQueries {
       (s, dir) =>
       KCore.coreness(edgeFixture(s, dir))
         .select(col("id").as("doc_id"), col("coreness"))
+    },
+
+    // Weighted (strength) core — the s-core: peel nodes whose incident
+    // weight SUM < 7.5 until stable. Weights (src+dst)%3+1 make the
+    // cycle-only nodes (strength <= 6) vanish in round 1 and the K5
+    // blocks cascade by their internal weight sums — measured depth 3 at
+    // sf0.01 AND sf0.1 (1120 -> 134 -> 86 -> 80 edges), oracle unrolls 5.
+    GQuery(
+      "q306_score_edges", {
+        val sBase =
+          """nn AS (SELECT count(*) AS n FROM documents),
+            |m AS (SELECT doc_id, doc_id - doc_id % 50 AS blk FROM documents
+            |      WHERE doc_id % 50 < 5),
+            |raw AS (SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst FROM documents, nn
+            |        UNION ALL
+            |        SELECT a.doc_id, b.doc_id FROM m a JOIN m b
+            |          ON a.blk = b.blk AND a.doc_id < b.doc_id),
+            |e0w AS MATERIALIZED (
+            |  SELECT src, dst, max(w) AS w FROM (
+            |    SELECT src, dst, ((src + dst) % 3 + 1)::DOUBLE AS w FROM raw
+            |    UNION ALL SELECT dst, src, ((src + dst) % 3 + 1)::DOUBLE FROM raw)
+            |  WHERE src != dst GROUP BY src, dst)""".stripMargin
+        val sSteps = (1 to 5).map { r =>
+          s"""dw$r AS (SELECT src AS id, sum(w) AS st FROM e${r - 1}w GROUP BY src),
+             |kw$r AS (SELECT id FROM dw$r WHERE st >= 7.5),
+             |e${r}w AS MATERIALIZED (
+             |  SELECT e.src, e.dst, e.w FROM e${r - 1}w e
+             |  JOIN kw$r a ON a.id = e.src
+             |  JOIN kw$r b ON b.id = e.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $sBase,
+           |$sSteps
+           |SELECT src, dst, w FROM e5w""".stripMargin
+      }) { (s, dir) =>
+      val weighted = edgeFixture(s, dir)
+        .withColumn("w", ((col("src") + col("dst")) % 3 + 1).cast("double"))
+      KCore.sCoreEdges(weighted, s = 7.5)
     })
 }

@@ -109,6 +109,129 @@ class HnswSpec extends SparkSpec {
     assert(cellDirs == nClusters, s"expected $nClusters cell= dirs, got $cellDirs")
   }
 
+  test("filtered beam: pre-filter semantics, saturated == filtered exhaustive") {
+    import graft.predicates._
+    import graft.predicates.Comparand.IntVal
+    // metadata: label = id % 8; predicate keeps labels 0..3 (half the data)
+    val metaBase = base.withColumn("label", pmod(col("vec_id"), lit(8)))
+    val index = Hnsw.hnswIndexWithMeta(metaBase, centroids, m = 6,
+      efConstruction = 24, metaCols = Seq("label")).cache()
+    val blob = PNodeCodec.encodeFramed(
+      PredicateNode.namedTyped("label", OpType.IN,
+        IntVal(0), IntVal(1), IntVal(2), IntVal(3)),
+      PNodeCodec.Mode.NamedTyped)
+    val q = queries.withColumn("predicate",
+      udf(() => blob).apply())
+    // SATURATED: equals the filtered EXHAUSTIVE scan over the same
+    // probed cells (Ann.ivfSearchFiltered — cell assignment and probe
+    // selection are spec-pinned identical), under ANY predicate/cluster
+    // aliasing — the theorem the q305 oracle also replays
+    val got = Hnsw.hnswSearchFiltered(q, index, centroids, k = 10,
+        nProbe = 2, ef = 1 << 20, excludeSelf = true)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivfIdx = Ann.ivfIndexWithMeta(metaBase, centroids, metaCols = Seq("label"))
+    val truth = Ann.ivfSearchFiltered(q, ivfIdx, centroids, k = 10,
+        nProbe = 2, metadataCols = Seq("label"), excludeSelf = true)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == truth, s"saturated filtered beam != filtered exhaustive: " +
+      s"${(got diff truth).take(5)} vs ${(truth diff got).take(5)}")
+    // every neighbor satisfies the predicate — pre-filter, not discard
+    val labels = metaBase.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (_, n, _) => assert(labels(n) < 4, s"ineligible $n returned") }
+    // a predicate naming a missing column fails loudly
+    val badBlob = PNodeCodec.encodeFramed(
+      PredicateNode.namedTyped("nope", OpType.GE, IntVal(0)),
+      PNodeCodec.Mode.NamedTyped)
+    val bad = queries.withColumn("predicate", udf(() => badBlob).apply())
+    val e = intercept[Exception](
+      Hnsw.hnswSearchFiltered(bad, index, centroids, k = 2, nProbe = 1,
+        ef = 4).collect())
+    assert(e.getMessage != null)
+    index.unpersist()
+  }
+
+  test("append/delete maintenance equals the from-scratch build exactly") {
+    val first = base.filter(col("vec_id") < 3000)
+    val slice = base.filter(col("vec_id") >= 3000)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cell"), col("id"), col("nbrs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Seq[Long]](2).sorted.mkString(","))).toSet
+    val appended = Hnsw.hnswAppend(
+      Hnsw.hnswIndex(first, centroids, m = 6, efConstruction = 24),
+      slice, centroids, m = 6, efConstruction = 24)
+    val scratch = Hnsw.hnswIndex(base, centroids, m = 6, efConstruction = 24)
+    assert(canon(appended) == canon(scratch), "append != from-scratch union")
+    val removed = base.filter(col("vec_id") >= 3000).select(col("vec_id"))
+    val deleted = Hnsw.hnswDelete(scratch, removed, m = 6, efConstruction = 24)
+    val scratchFirst = Hnsw.hnswIndex(first, centroids, m = 6, efConstruction = 24)
+    assert(canon(deleted) == canon(scratchFirst), "delete != from-scratch survivor build")
+    // no-op delete passes through untouched
+    val noop = Hnsw.hnswDelete(scratch,
+      spark.range(1).select((col("id") + 1000000).as("vec_id")),
+      m = 6, efConstruction = 24)
+    assert(canon(noop) == canon(scratch))
+  }
+
+  test("bundle append/delete rewrite only affected cell partitions, from-scratch parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-m").toString
+    val first = base.filter(col("vec_id") < 3000)
+    val slice = base.filter(col("vec_id") >= 3000) // clusters touch all cells...
+    Hnsw.writeBundle(
+      Hnsw.hnswIndex(first, centroids, m = 6, efConstruction = 24),
+      centroids, dir)
+    // record per-partition file timestamps, then append a slice touching
+    // only SOME cells (clusters 0..7)
+    val narrowSlice = slice.filter(pmod(col("vec_id"), lit(nClusters.toLong)) < 8)
+    def partFiles(): Map[String, Long] =
+      new java.io.File(s"$dir/cells").listFiles().filter(_.isDirectory)
+        .map(d => d.getName ->
+          Option(d.listFiles()).map(_.map(_.lastModified()).max).getOrElse(0L))
+        .toMap
+    val before = partFiles()
+    Thread.sleep(1100) // lastModified granularity
+    Hnsw.appendToBundle(narrowSlice, dir, m = 6, efConstruction = 24)
+    val after = partFiles()
+    val touched = (0 until 8).map(c => s"cell=$c").toSet
+    after.foreach { case (cell, ts) =>
+      if (touched.contains(cell)) assert(ts > before(cell), s"$cell not rewritten")
+      else assert(ts == before(cell), s"untouched $cell was rewritten")
+    }
+    // the bundle now equals the from-scratch build over the union
+    val expect = Hnsw.hnswIndex(first.unionByName(narrowSlice), centroids,
+      m = 6, efConstruction = 24)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cell").cast("long"), col("id"), col("nbrs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Seq[Long]](2).sorted.mkString(","))).toSet
+    assert(canon(spark.read.parquet(s"$dir/cells")) == canon(expect))
+    // delete the slice back out: bundle returns to the first-build state
+    Hnsw.deleteFromBundle(narrowSlice.select("vec_id"), dir, m = 6,
+      efConstruction = 24)
+    val expectFirst = Hnsw.hnswIndex(first, centroids, m = 6, efConstruction = 24)
+    assert(canon(spark.read.parquet(s"$dir/cells")) == canon(expectFirst))
+  }
+
+  test("efRecallCurve: recall rises to 1.0 with ef, effort rises with it") {
+    val index = Hnsw.hnswIndex(base, centroids, m = 6, efConstruction = 24)
+    val curve = Hnsw.efRecallCurve(queries, index, centroids, k = 10,
+        nProbe = 2, efs = Seq(10, 32, 4096), excludeSelf = true)
+      .orderBy("ef").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(curve.map(_._1).toSeq == Seq(10, 32, 4096))
+    // recall is monotone in ef and saturates at exactly 1.0 (ef = 4096 >=
+    // every cell, where the beam provably equals the saturated truth)
+    assert(curve(0)._2 <= curve(1)._2 + 1e-12 && curve(1)._2 <= curve(2)._2 + 1e-12,
+      s"recall not monotone: ${curve.toSeq}")
+    assert(curve(2)._2 == 1.0, s"saturated point must hit 1.0: ${curve.toSeq}")
+    // effort (distance-eval fraction) strictly grows with ef
+    assert(curve(0)._3 < curve(1)._3 && curve(1)._3 < curve(2)._3,
+      s"effort not increasing: ${curve.toSeq}")
+  }
+
   test("degenerate cells: singletons and near-empty cells still serve") {
     // 3 points, 3 cells: every cell is a singleton graph
     val tiny = Seq((0L, Seq.fill(dim)(0f)), (1L, (4f +: Seq.fill(dim - 1)(0f))),

@@ -83,6 +83,27 @@ class KCoreSpec extends SparkSpec {
     }
   }
 
+  test("s-core: unit weights at s=k equal the k-core; strength respects weights") {
+    val k4 = (for (i <- 0L until 4L; j <- 0L until 4L if i < j) yield (i, j))
+    val tail = Seq((3L, 10L), (10L, 11L))
+    val unit = (k4 ++ tail).map { case (a, b) => (a, b, 1.0) }.toDF("src", "dst", "w")
+    val sCore = KCore.sCoreEdges(unit, s = 3.0)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kCore = KCore.kCoreEdges((k4 ++ tail).toDF("src", "dst"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sCore == kCore, "unit-weight s-core must equal the k-core")
+    // one strong edge outweighs two weak ones: the heavy pair survives a
+    // threshold the unweighted degree could never reach
+    val weighted = Seq((0L, 1L, 10.0), (1L, 2L, 0.5), (2L, 3L, 0.5))
+      .toDF("src", "dst", "w")
+    val strong = KCore.sCoreEdges(weighted, s = 7.5)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong == Set((0L, 1L), (1L, 0L)), strong.toString)
+    // zero/negative weights are dropped, loud bad threshold
+    val e = intercept[IllegalArgumentException](KCore.sCoreEdges(weighted, s = 0.0))
+    assert(e.getMessage.contains("must be > 0"))
+  }
+
   test("string ids: host-graph cores peel without casts") {
     val tri = Seq(("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "a.com"),
       ("c.com", "tail.net"))

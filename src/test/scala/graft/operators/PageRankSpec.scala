@@ -112,6 +112,27 @@ class PageRankSpec extends SparkSpec {
     assert(!z.contains(2L) || z(2L) < z(1L), s"zero-weight edge still walked: $z")
   }
 
+  test("personalized PageRank: unit edge weights reduce to the unweighted walk") {
+    val ring = (0L until 20L).map(i => (i, (i + 1) % 20)).toDF("src", "dst")
+    val seeds = Seq((0L, 1.0)).toDF("id", "weight")
+    val unw = PageRank.personalizedPageRank(ring, seeds, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w = PageRank.personalizedPageRank(ring.withColumn("ew", lit(1.0)),
+        seeds, iters = 10, edgeWeightCol = Some("ew"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    unw.foreach { case (id, v) =>
+      assert(math.abs(v - w(id)) < 1e-12, s"node $id: $v vs ${w(id)}")
+    }
+    // weights steer the personalized walk too: seed 0 points at 1 (heavy)
+    // and 2 (light) — the heavy target inherits more seed mass
+    val fork = Seq((0L, 1L, 9.0), (0L, 2L, 1.0)).toDF("src", "dst", "ew")
+    val r = PageRank.personalizedPageRank(fork, seeds, iters = 20,
+        edgeWeightCol = Some("ew"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(1L) > r(2L) * 5, s"heavy branch must dominate: $r")
+  }
+
   test("pageRankUntil stops at the first sub-eps round, within the contraction bound") {
     val edges = ((0L until 200L).map(i => (i, (i * i + 1) % 200)) ++
       (0L until 200L).map(i => (i, (i * i + 18) % 200)))
