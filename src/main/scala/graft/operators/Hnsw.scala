@@ -527,10 +527,16 @@ object Hnsw {
     val affected = assigned.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return
+    // dropDuplicates(id) makes the append IDEMPOTENT: re-appending rows
+    // already in the bundle (an at-least-once streaming replay, a retried
+    // job) rebuilds the same graphs instead of corrupting them with
+    // duplicate points — the property the streaming ingest
+    // (StreamHnsw.appendToBundle) relies on for exactly-once EFFECT
     val touched = spark.read.parquet(s"$path/cells")
       .filter(col("cell").isin(affected: _*))
       .select(col("cell").cast("long").as("cell"), col("id"), col("vec"))
       .unionByName(assigned.select(col("cell"), col("id"), col("vec")))
+      .dropDuplicates("id")
     buildGraphs(touched, m, efConstruction, metric)
       .localCheckpoint(true)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -120,5 +120,65 @@ object HnswQueries {
           ef = 1 << 20, excludeSelf = true)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"))
+    },
+
+    // Streaming ingest feeding an ORACLED search: the bundle seeds with
+    // the first 300 vectors, the rest arrive as a 2-file stream
+    // (StreamHnsw.appendToBundle — affected cells rebuild per batch,
+    // exactly-once effect), and the saturated search over the final
+    // bundle must match the q304 SQL replay over the WHOLE corpus — the
+    // only way that holds is if the ingest left the graphs identical to
+    // a from-scratch build.
+    GQuery(
+      "q308_hnsw_stream_ingest",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, base.v, c.cell, ${duckCosDist("base.v", "c.ce")} AS d,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${duckCosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, cell FROM assignr WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 120),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${duckCosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qv, cell FROM probr WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.id AS nid, ${duckCosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      val base = s"${tmpDir()}/hnsw-ing-${System.nanoTime()}"
+      val bundle = s"$base/bundle"
+      graft.operators.Hnsw.writeBundle(
+        Hnsw.hnswIndex(emb.filter(col("vec_id") < 300), centroids,
+          m = 8, efConstruction = 32),
+        centroids, bundle)
+      val inDir = s"$base/in"
+      emb.filter(col("vec_id") >= 300 && col("vec_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$inDir/w1")
+      emb.filter(col("vec_id") >= 300 && col("vec_id") % 2 === 1)
+        .coalesce(1).write.parquet(s"$inDir/w2")
+      val stream = s.readStream.schema(emb.select("vec_id", "embedding").schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(inDir)
+        .select("vec_id", "embedding")
+      graft.streaming.StreamHnsw.appendToBundle(stream, bundle,
+        m = 8, efConstruction = 32)
+      Hnsw.searchBundle(queries, bundle, k = 5, nProbe = 4, ef = 1 << 20,
+          excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
     })
 }
