@@ -105,6 +105,57 @@ object Triangles {
     ccFromPrefix(ranked, deg)
   }
 
+  /** WEIGHTED local clustering — Barrat et al. 2004 (public literature):
+    *   C_w(i) = 1/(s_i·(k_i−1)) · Σ_{ordered pairs (j,h)} (w_ij + w_ih)/2 · a_ij·a_ih·a_jh
+    *          = 1/(s_i·(k_i−1)) · Σ_{triangles {i,j,h}} (w_ij + w_ih)
+    * with s_i the strength (incident weight sum) and k_i the degree — the
+    * similarity-graph form of q293's card: a node whose triangles close
+    * over STRONG edges scores higher than one whose triangles are
+    * borderline, even at equal counts (unit weights reduce to the
+    * unweighted coefficient exactly: each triangle contributes
+    * w_ij + w_ih = 2 per triangle and s_i = k_i, recovering
+    * 2·t_i/(k_i(k_i−1))). Same degree-oriented compact-forward
+    * shape; the closing semi-join becomes an inner join carrying the
+    * third weight. Output: (id, deg, strength, tri, clustering_w).
+    */
+  def weightedClusteringCoefficients(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", weightCol: String = "w"): DataFrame = {
+    val und = LabelProp.symmetrizeWeighted(edges, srcCol, dstCol, weightCol)
+      .filter(col("src") =!= col("dst")).filter(col("w") > 0)
+      .localCheckpoint(true)
+    val deg = und.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"), sum(col("w")).as("strength"))
+      .localCheckpoint(true)
+    val ranked = und
+      .join(deg.select(col("id").as("src"), col("deg").as("sdeg")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("ddeg")), "dst")
+      .filter(col("sdeg") < col("ddeg") ||
+        (col("sdeg") === col("ddeg") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("w"))
+      .localCheckpoint(true)
+    val wedge = ranked.as("e1").join(ranked.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"),
+        col("e1.w").as("w_ab"), col("e2.w").as("w_ac"))
+    // the oriented edge set holds each undirected edge once, so exactly
+    // one of the two flips matches a given ordered (b, c) — the inner
+    // join closes the triangle AND delivers w_bc without duplication
+    val closing = ranked.select(col("src").as("b"), col("dst").as("c"), col("w").as("w_bc"))
+      .union(ranked.select(col("dst").as("b"), col("src").as("c"), col("w").as("w_bc")))
+    val tri = wedge.join(closing, Seq("b", "c"))
+    val contrib = tri.select(col("a").as("id"), (col("w_ab") + col("w_ac")).as("cw"))
+      .union(tri.select(col("b").as("id"), (col("w_ab") + col("w_bc")).as("cw")))
+      .union(tri.select(col("c").as("id"), (col("w_ac") + col("w_bc")).as("cw")))
+      .groupBy("id").agg(sum(col("cw")).as("wtri"), count(lit(1)).as("tri"))
+    deg.join(contrib, Seq("id"), "left")
+      .select(col("id"), col("deg"), col("strength"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(coalesce(col("wtri"), lit(0.0))
+            / (col("strength") * (col("deg") - 1)))
+          .as("clustering_w"))
+  }
+
   /** One-row graph density card: nodes, edges (undirected), triangles,
     * global clustering (3·tri / wedges) and mean local clustering. One
     * prefix + one triangle pass — the per-node card and the global

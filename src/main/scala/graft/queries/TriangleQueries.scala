@@ -89,5 +89,55 @@ object TriangleQueries {
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
           round(col("global_clustering"), 6).as("global_clustering"),
           round(col("mean_local"), 6).as("mean_local"))
+    },
+
+    // WEIGHTED clustering (Barrat): per-node strength-normalized triangle
+    // weight — the similarity-graph form where strong closures outrank
+    // borderline ones at equal counts. Weights (src+dst)%4+1 (symmetric
+    // under flip); the oracle recomputes the triple join carrying all
+    // three edge weights and the per-corner w1+w2 contributions (the
+    // ordered-pair sum: unit weights recover 2·tri/(deg·(deg−1))).
+    GQuery(
+      "q309_weighted_clustering",
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |raw AS (SELECT doc_id AS src, (doc_id*3 + 7) % nn.n AS dst FROM documents, nn
+         |        UNION ALL
+         |        SELECT doc_id, (doc_id + 1) % nn.n FROM documents, nn
+         |        UNION ALL
+         |        SELECT doc_id, (doc_id + 2) % nn.n FROM documents, nn
+         |        WHERE doc_id % 5 = 0),
+         |undw AS MATERIALIZED (
+         |  SELECT src, dst, max(w) AS w FROM (
+         |    SELECT src, dst, ((src + dst) % 4 + 1)::DOUBLE AS w FROM raw
+         |    UNION ALL SELECT dst, src, ((src + dst) % 4 + 1)::DOUBLE FROM raw)
+         |  WHERE src != dst GROUP BY src, dst),
+         |degw AS MATERIALIZED (
+         |  SELECT src AS id, count(*) AS deg, sum(w) AS strength
+         |  FROM undw GROUP BY src),
+         |trisw AS MATERIALIZED (
+         |  SELECT a.src AS x, a.dst AS y, b.dst AS z,
+         |         a.w AS wxy, b.w AS wyz, c.w AS wxz
+         |  FROM undw a
+         |  JOIN undw b ON b.src = a.dst AND b.dst > a.dst
+         |  JOIN undw c ON c.src = a.src AND c.dst = b.dst
+         |  WHERE a.dst > a.src),
+         |pw AS MATERIALIZED (
+         |  SELECT id, sum(cw) AS wtri, count(*) AS tri FROM (
+         |    SELECT x AS id, wxy + wxz AS cw FROM trisw
+         |    UNION ALL SELECT y, wxy + wyz FROM trisw
+         |    UNION ALL SELECT z, wxz + wyz FROM trisw)
+         |  GROUP BY id)
+         |SELECT d.id AS doc_id, d.deg, round(d.strength, 6) AS strength,
+         |       coalesce(p.tri, 0) AS tri,
+         |       round(CASE WHEN d.deg < 2 THEN 0.0
+         |             ELSE coalesce(p.wtri, 0.0) / (d.strength * (d.deg - 1)) END,
+         |             6) AS clustering_w
+         |FROM degw d LEFT JOIN pw p ON p.id = d.id""".stripMargin) { (s, dir) =>
+      val weighted = edgeFixture(s, dir)
+        .withColumn("w", ((col("src") + col("dst")) % 4 + 1).cast("double"))
+      Triangles.weightedClusteringCoefficients(weighted)
+        .select(col("id").as("doc_id"), col("deg"),
+          round(col("strength"), 6).as("strength"), col("tri"),
+          round(col("clustering_w"), 6).as("clustering_w"))
     })
 }

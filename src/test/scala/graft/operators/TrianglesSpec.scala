@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Triangle/clustering contracts on closed-form graphs: complete graphs,
@@ -28,6 +30,46 @@ class TrianglesSpec extends SparkSpec {
     val tri = Triangles.triangles(chord).collect()
     assert(tri.length == 1)
     assert(tri(0).toSeq.toSet.asInstanceOf[Set[Long]] == Set(0L, 1L, 2L))
+  }
+
+  test("weighted clustering: unit weights reduce to the unweighted coefficient") {
+    // K4 + chord fixture: every triangle contributes (1+1)/2 = 1 and
+    // strength == degree, so clustering_w == clustering exactly
+    val edges = (for (i <- 0L until 4L; j <- 0L until 4L if i < j) yield (i, j))
+      .toDF("src", "dst")
+    val unw: Map[Long, (Long, Long, Double)] = Triangles.clusteringCoefficients(edges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val w: Map[Long, (Long, Double, Long, Double)] =
+      Triangles.weightedClusteringCoefficients(edges.withColumn("w", lit(1.0)))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(unw.keySet == w.keySet)
+    unw.foreach { case (id, (deg, tri, c)) =>
+      val (wdeg, strength, wtri, cw) = w(id)
+      assert(wdeg == deg && wtri == tri)
+      assert(strength == deg.toDouble, s"unit strength must equal degree: $id")
+      assert(math.abs(cw - c) < 1e-12, s"node $id: $cw vs $c")
+    }
+  }
+
+  test("weighted clustering: strong closures outrank borderline ones at equal counts") {
+    // two disjoint triangles: {0,1,2} all weights 10, {10,11,12} all 0.1,
+    // each node also pends one heavy neutral edge so strengths differ
+    // from pure triangle weight — Barrat normalizes by strength·(deg−1)
+    val edges = Seq(
+      (0L, 1L, 10.0), (1L, 2L, 10.0), (2L, 0L, 10.0),
+      (10L, 11L, 0.1), (11L, 12L, 0.1), (12L, 10L, 0.1),
+      (0L, 100L, 5.0), (10L, 200L, 5.0)).toDF("src", "dst", "w")
+    val c = Triangles.weightedClusteringCoefficients(edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // node 0: one triangle contributing 10+10 = 20; strength 25, deg 3 ->
+    // 20 / (25 * 2) = 0.4; node 10: 0.2 / (5.2 * 2) ~ 0.019
+    assert(math.abs(c(0L) - 20.0 / 50.0) < 1e-12, s"node 0: ${c(0L)}")
+    assert(math.abs(c(10L) - 0.2 / 10.4) < 1e-12, s"node 10: ${c(10L)}")
+    assert(c(0L) > c(10L) * 10, "strong triangle must dominate")
+    // pure-triangle corners score exactly 1 regardless of the weight scale
+    assert(math.abs(c(1L) - 1.0) < 1e-12 && math.abs(c(11L) - 1.0) < 1e-12,
+      s"corner nodes: ${c(1L)} / ${c(11L)}")
   }
 
   test("direction and duplication of input edges never change the count") {
