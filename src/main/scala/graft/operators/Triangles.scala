@@ -156,6 +156,56 @@ object Triangles {
           .as("clustering_w"))
   }
 
+  /** Newman modularity of a node partition — the community-quality
+    * instrument for the partitions the graph family produces
+    * (connectedComponents clusters, thresholded LabelProp scores):
+    *   Q = Σ_c [ e_c/m − (d_c/(2m))² ]
+    * with m the undirected edge count, e_c the intra-community edge count
+    * and d_c the community degree sum (Newman & Girvan 2004 — public
+    * literature). Q ≈ 0 means the partition is no better than random
+    * wiring; well-separated communities land 0.3–0.7.
+    *
+    * Scale shape: one symmetrize, one degree aggregate, one
+    * edge ⋈ assignment join per endpoint (keys only — the exchange
+    * carries (id, community)), two group-bys over |communities| rows.
+    * `assignment` is (idCol, communityCol); nodes missing from it fail
+    * loudly via the inner join count check rather than silently skewing
+    * Q. Output: one row (n_communities, n_edges, modularity).
+    */
+  def modularity(edges: DataFrame, assignment: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst", idCol: String = "id",
+      communityCol: String = "community"): DataFrame = {
+    val und = LabelProp.symmetrize(edges, srcCol, dstCol)
+      .filter(col("src") =!= col("dst")).localCheckpoint(true)
+    val asg = assignment.select(col(idCol).as("id"),
+      col(communityCol).as("community")).localCheckpoint(true)
+    val nNodes = und.select(col("src").as("id")).distinct().count()
+    val covered = und.select(col("src").as("id")).distinct()
+      .join(asg, Seq("id"), "left_semi").count()
+    require(covered == nNodes,
+      s"modularity: assignment covers $covered of $nNodes graph nodes — " +
+        "every node needs a community (unassigned nodes would silently skew Q)")
+    val tagged = und
+      .join(asg.select(col("id").as("src"), col("community").as("c_src")), "src")
+      .join(asg.select(col("id").as("dst"), col("community").as("c_dst")), "dst")
+    // m, e_c, d_c all from the DIRECTED-twice representation: und holds
+    // each undirected edge in both directions, so m = rows/2, intra edges
+    // count twice, and degree sums are exact row counts per community
+    val m = und.count() / 2.0
+    val intra = tagged.filter(col("c_src") === col("c_dst"))
+      .groupBy(col("c_src").as("community"))
+      .agg((count(lit(1)) / 2.0).as("e_c"))
+    val degSum = tagged.groupBy(col("c_src").as("community"))
+      .agg(count(lit(1)).cast("double").as("d_c"))
+    degSum.join(intra, Seq("community"), "left")
+      .select(
+        (coalesce(col("e_c"), lit(0.0)) / m
+          - (col("d_c") / (2.0 * m)) * (col("d_c") / (2.0 * m))).as("q_c"))
+      .agg(count(lit(1)).as("n_communities"),
+        lit(m).cast("long").as("n_edges"),
+        sum(col("q_c")).as("modularity"))
+  }
+
   /** One-row graph density card: nodes, edges (undirected), triangles,
     * global clustering (3·tri / wedges) and mean local clustering. One
     * prefix + one triangle pass — the per-node card and the global

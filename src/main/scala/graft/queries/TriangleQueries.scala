@@ -139,5 +139,44 @@ object TriangleQueries {
         .select(col("id").as("doc_id"), col("deg"),
           round(col("strength"), 6).as("strength"), col("tri"),
           round(col("clustering_w"), 6).as("clustering_w"))
+    },
+
+    // Newman modularity of a 100-doc blocking over the same graph — the
+    // community-quality card for partitions the graph family emits. The
+    // chain edges are intra-block except at boundaries; the (3d+7) map
+    // crosses blocks — Q lands in between, and the oracle recomputes
+    // e_c/m − (d_c/2m)² per community from first principles.
+    GQuery(
+      "q310_modularity",
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (SELECT doc_id AS src, (doc_id*3 + 7) % nn.n AS dst FROM documents, nn
+        |        UNION ALL
+        |        SELECT doc_id, (doc_id + 1) % nn.n FROM documents, nn
+        |        UNION ALL
+        |        SELECT doc_id, (doc_id + 2) % nn.n FROM documents, nn
+        |        WHERE doc_id % 5 = 0),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM
+        |    (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
+        |  WHERE src != dst),
+        |asg AS (SELECT doc_id AS id, doc_id // 100 AS community FROM documents),
+        |tagged AS MATERIALIZED (
+        |  SELECT e.src, e.dst, a.community AS cs, b.community AS cd
+        |  FROM und e JOIN asg a ON a.id = e.src JOIN asg b ON b.id = e.dst),
+        |mm AS (SELECT count(*) / 2.0 AS m FROM und),
+        |ds AS (SELECT cs AS community, count(*)::DOUBLE AS d_c FROM tagged GROUP BY cs),
+        |ic AS (SELECT cs AS community, count(*) / 2.0 AS e_c FROM tagged
+        |       WHERE cs = cd GROUP BY cs)
+        |SELECT (SELECT count(*) FROM ds) AS n_communities,
+        |       (SELECT m FROM mm)::BIGINT AS n_edges,
+        |       round((SELECT sum(coalesce(ic.e_c, 0) / mm.m
+        |                         - (ds.d_c / (2*mm.m)) * (ds.d_c / (2*mm.m)))
+        |              FROM ds LEFT JOIN ic USING (community) CROSS JOIN mm), 6)
+        |         AS modularity""".stripMargin) { (s, dir) =>
+      val assignment = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), (col("doc_id") / 100).cast("long").as("community"))
+      Triangles.modularity(edgeFixture(s, dir), assignment)
+        .select(col("n_communities"), col("n_edges"),
+          round(col("modularity"), 6).as("modularity"))
     })
 }

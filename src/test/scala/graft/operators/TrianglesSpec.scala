@@ -72,6 +72,32 @@ class TrianglesSpec extends SparkSpec {
       s"corner nodes: ${c(1L)} / ${c(11L)}")
   }
 
+  test("modularity: planted communities score high, the trivial partition zero") {
+    // two K5s joined by one bridge edge
+    val k5a = for (i <- 0L until 5L; j <- 0L until 5L if i < j) yield (i, j)
+    val k5b = for (i <- 10L until 15L; j <- 10L until 15L if i < j) yield (i, j)
+    val edges = (k5a ++ k5b :+ ((4L, 10L))).toDF("src", "dst")
+    def q(asg: Seq[(Long, Long)]): (Long, Long, Double) = {
+      val r = Triangles.modularity(edges, asg.toDF("id", "community")).head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    val good = (0L until 5L).map(i => (i, 0L)) ++ (10L until 15L).map(i => (i, 1L))
+    val (nc, ne, qGood) = q(good)
+    assert(nc == 2 && ne == 21, s"$nc communities / $ne edges")
+    // closed form: e_c = 10 intra each, d_c = 21 per side ->
+    // Q = 2 * (10/21 - (21/42)^2) = 20/21 - 1/2
+    assert(math.abs(qGood - (20.0 / 21 - 0.5)) < 1e-12, s"Q = $qGood")
+    // one community holding everything scores exactly 0
+    val (_, _, qAll) = q((0L until 5L).map(i => (i, 0L)) ++
+      (10L until 15L).map(i => (i, 0L)))
+    assert(math.abs(qAll) < 1e-12, s"trivial partition Q = $qAll")
+    assert(qGood > 0.4, s"planted partition must score high: $qGood")
+    // incomplete assignments fail loudly instead of skewing Q
+    val e = intercept[IllegalArgumentException](
+      Triangles.modularity(edges, Seq((0L, 0L)).toDF("id", "community")))
+    assert(e.getMessage.contains("covers"))
+  }
+
   test("direction and duplication of input edges never change the count") {
     val base = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L)).toDF("src", "dst")
     val messy = base
