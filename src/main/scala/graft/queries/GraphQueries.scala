@@ -18,7 +18,7 @@ object GraphQueries {
   private val iters = 10
 
   /** Spark-side deterministic edge fixture. */
-  private def edgeFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[queries] def edgeFixture(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val n = docs.count()
     docs.select(col("doc_id").as("src"),
@@ -35,7 +35,7 @@ object GraphQueries {
     * (> 0) drops the j=0 edge for every multiple of it: the deterministic
     * "small delta" perturbation the warm-start query re-ranks after.
     */
-  private def quadFixture(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[queries] def quadFixture(s: org.apache.spark.sql.SparkSession, dir: String,
       dropJ0Every: Int = 0) = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val n = docs.count()
