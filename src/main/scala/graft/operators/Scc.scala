@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Strongly connected components of a directed graph — the directed twin
+  * of `Dedup.connectedComponents`, and the decomposition a link-corpus
+  * pass runs on its URL/host graph (the web's bow-tie structure IS an
+  * SCC analysis; crawl-frontier and spam-farm heuristics read it).
+  *
+  * Algorithm: iterative trim + forward/backward min-label coloring (the
+  * label-propagation family of parallel SCC algorithms — Slota et al.
+  * 2014's MultiStep, Blelloch et al. — public literature; no Tarjan
+  * stack, which does not distribute):
+  *
+  *  - TRIM: a node with no in-edges or no out-edges in the remaining
+  *    graph is a singleton SCC — assign and remove. This is what makes
+  *    the method practical on web-shaped graphs (the vast DAG periphery
+  *    peels off without any fixpoint work).
+  *  - COLOR: f(v) = min id that can reach v (min-label fixpoint along
+  *    edges), g(v) = min id v can reach (same along reversed edges).
+  *    f(v) = g(v) = m proves v ∈ SCC(m) (m reaches v and v reaches m);
+  *    in particular the SCC of the globally minimal remaining id is
+  *    always assigned, so every wave strictly shrinks the graph.
+  *  - PEEL: remove assigned nodes, repeat.
+  *
+  * Wave count is bounded by the condensation's peel depth — O(1) for
+  * bow-tie-shaped graphs after trimming, linear only for an adversarial
+  * chain of non-trivial SCCs (maxWaves guards loudly, the repo's
+  * non-convergence discipline).
+  *
+  * Spark shape: every step is equality joins + min aggregates on
+  * (id, label) pairs — 16 bytes/node state, edges never carry payload.
+  * The min-label fixpoint is convergence-stopped via a 1-row aggregate
+  * of sum(label): labels are monotone non-increasing, so the sum is
+  * strictly decreasing exactly until the fixpoint (summed as
+  * decimal(38,0) — exact, overflow-proof at any node count). Frames
+  * materialize per round ([[Materialize]]).
+  *
+  * Ids must be numeric (labels are compared with min); hash or
+  * rank-index string ids first. Self-loops are ignored (they never
+  * change SCC membership). Output: (id, scc) with scc = the component's
+  * minimal id; isolated ids never appear (union them in as their own
+  * scc, as with PageRank's node conventions).
+  */
+object Scc {
+
+  /** Exact label sum — the monotone convergence witness. */
+  private def labelSum(lab: DataFrame): java.math.BigDecimal =
+    lab.agg(sum(col("lab").cast("decimal(38,0)")).as("s"))
+      .head().getDecimal(0)
+
+  /** Min-label fixpoint over `e(from, to)`: lab(v) = min id with a
+    * directed path to v (including v). Converges in graph-diameter
+    * rounds; `maxInner` guards loudly.
+    */
+  private def minLabelFixpoint(e: DataFrame, nodes: DataFrame, maxInner: Int,
+      mat: DataFrame => DataFrame): DataFrame = {
+    var lab = mat(nodes.select(col("id"), col("id").as("lab")))
+    var prevSum = labelSum(lab)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxInner) {
+      it += 1
+      val prop = lab.join(e, col("id") === col("from"))
+        .groupBy(col("to").as("pid"))
+        .agg(min(col("lab")).as("cand"))
+      lab = mat(lab.join(prop, col("id") === col("pid"), "left")
+        .select(col("id"), least(col("lab"), coalesce(col("cand"), col("lab"))).as("lab")))
+      val s = labelSum(lab)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+    }
+    require(converged,
+      s"Scc: min-label fixpoint did not converge in $maxInner rounds — " +
+        "graph diameter exceeds the bound; raise maxInner")
+    lab
+  }
+
+  /** SCC assignment (id, scc). */
+  def scc(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      maxWaves: Int = 50, maxInner: Int = 200,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val mat = Materialize.policy(spark, checkpointDir)
+
+    var rem = mat(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    var nodes = mat(rem.select(col("src").as("id"))
+      .union(rem.select(col("dst").as("id"))).distinct())
+    var result: DataFrame = null
+    var remaining = nodes.count()
+    var wave = 0
+
+    def accumulate(a: DataFrame): Unit =
+      result = if (result == null) a else result.unionByName(a)
+
+    while (remaining > 0 && wave < maxWaves) {
+      wave += 1
+      // TRIM to fixpoint: no out-edges or no in-edges → singleton SCC.
+      // Iterated so DAG chains/tails peel completely before any coloring
+      // (each removal can expose the next layer); bounded by maxInner.
+      var live = nodes
+      var liveE = rem
+      var liveN = remaining
+      var trimmed = true
+      var trimIt = 0
+      while (trimmed && trimIt < maxInner) {
+        trimIt += 1
+        val hasOut = liveE.select(col("src").as("id")).distinct()
+        val hasIn = liveE.select(col("dst").as("id")).distinct()
+        val trivial = mat(live.join(hasOut, Seq("id"), "left_anti")
+          .union(live.join(hasIn, Seq("id"), "left_anti")).distinct())
+        val nTrivial = trivial.count()
+        if (nTrivial > 0) {
+          accumulate(trivial.select(col("id"), col("id").as("scc")))
+          live = mat(live.join(trivial, Seq("id"), "left_anti"))
+          liveE = mat(liveE
+            .join(live.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+          liveN -= nTrivial
+        } else trimmed = false
+      }
+
+      if (liveN > 0) {
+        // COLOR both directions on the trimmed graph
+        val f = minLabelFixpoint(
+          liveE.select(col("src").as("from"), col("dst").as("to")), live,
+          maxInner, mat)
+        val g = minLabelFixpoint(
+          liveE.select(col("dst").as("from"), col("src").as("to")), live,
+          maxInner, mat)
+        val assigned = mat(f.join(
+            g.select(col("id").as("gid"), col("lab").as("glab")),
+            col("id") === col("gid"))
+          .filter(col("lab") === col("glab"))
+          .select(col("id"), col("lab").as("scc")))
+        accumulate(assigned)
+
+        // PEEL
+        nodes = mat(live.join(assigned, Seq("id"), "left_anti"))
+        rem = mat(liveE
+          .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+      } else {
+        nodes = live
+        rem = liveE
+      }
+      remaining = nodes.count()
+    }
+    require(remaining == 0,
+      s"Scc: $remaining nodes unassigned after $maxWaves waves — " +
+        "condensation peel depth exceeds the bound; raise maxWaves")
+    result
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import graft.SparkSpec
+
+/** SCC contracts vs an in-test Tarjan reference: exact partition equality
+  * on seeded random digraphs, multi-wave peeling on a chain of cycles,
+  * trim-only resolution of DAGs, and the loud wave guard.
+  */
+class SccSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential Tarjan; components keyed by their min id. */
+  private def tarjan(nodes: Seq[Long], adj: Map[Long, Seq[Long]]): Map[Long, Long] = {
+    val index = mutable.Map[Long, Int]()
+    val low = mutable.Map[Long, Int]()
+    val onStack = mutable.Set[Long]()
+    val stack = mutable.Stack[Long]()
+    val comp = mutable.Map[Long, Long]()
+    var counter = 0
+    def strongConnect(v: Long): Unit = {
+      index(v) = counter; low(v) = counter; counter += 1
+      stack.push(v); onStack += v
+      for (w <- adj.getOrElse(v, Nil)) {
+        if (!index.contains(w)) { strongConnect(w); low(v) = math.min(low(v), low(w)) }
+        else if (onStack(w)) low(v) = math.min(low(v), index(w))
+      }
+      if (low(v) == index(v)) {
+        val members = mutable.Buffer[Long]()
+        var w = -1L
+        do { w = stack.pop(); onStack -= w; members += w } while (w != v)
+        val m = members.min
+        members.foreach(comp(_) = m)
+      }
+    }
+    nodes.foreach(v => if (!index.contains(v)) strongConnect(v))
+    comp.toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Scc.scc(edges.toDF("src", "dst")).as[(Long, Long)].collect().toMap
+
+  private def reference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val clean = edges.filter(e => e._1 != e._2).distinct
+    val nodes = clean.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    tarjan(nodes, clean.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) })
+  }
+
+  test("seeded random digraph matches Tarjan exactly") {
+    // LCG-seeded 60-node digraph, ~150 edges
+    var s = 12345L
+    def next(): Long = { s = (s * 48271) % 2147483647L; s }
+    val edges = (1 to 150).map(_ => (next() % 60, next() % 60))
+    assert(run(edges) == reference(edges))
+  }
+
+  test("denser random digraph (bigger SCCs) matches Tarjan") {
+    var s = 999L
+    def next(): Long = { s = (s * 48271) % 2147483647L; s }
+    val edges = (1 to 400).map(_ => (next() % 50, next() % 50))
+    val got = run(edges)
+    assert(got == reference(edges))
+    // sanity: the dense graph actually has a non-trivial giant SCC
+    assert(got.groupBy(_._2).values.map(_.size).max > 10)
+  }
+
+  test("chain of 3-cycles peels one wave per condensation layer") {
+    val edges = (0 until 8).flatMap { k =>
+      val b = 3L * k
+      Seq((b, b + 1), (b + 1, b + 2), (b + 2, b)) ++
+        (if (k < 7) Seq((b + 2, b + 3)) else Nil)
+    }
+    val got = run(edges)
+    assert(got == reference(edges))
+    (0 until 8).foreach { k =>
+      val b = 3L * k
+      assert(got(b) == b && got(b + 1) == b && got(b + 2) == b)
+    }
+  }
+
+  test("DAG resolves to all-singletons (trim only)") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val got = run(edges)
+    assert(got == (0L to 4L).map(v => v -> v).toMap)
+  }
+
+  test("self-loops and duplicate edges are ignored") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L))
+    assert(run(noisy) == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("wave guard fails loudly on an adversarial chain when bounded") {
+    val edges = (0 until 6).flatMap { k =>
+      val b = 2L * k
+      Seq((b, b + 1), (b + 1, b)) ++ (if (k < 5) Seq((b + 1, b + 2)) else Nil)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      Scc.scc(edges.toDF("src", "dst"), maxWaves = 2)
+    }
+    assert(ex.getMessage.contains("unassigned after"))
+  }
+}
