@@ -1226,6 +1226,84 @@ object Main {
             .filter(col("n_docs") > 1)
         else canon
 
+      case "hits" =>
+        // hub/authority mutual power iteration over an edge parquet
+        operators.Hits.hits(spark.read.parquet(need("edges")),
+          iters = flags.getOrElse("iters", "8").toInt,
+          srcCol = flags.getOrElse("src-col", "src"),
+          dstCol = flags.getOrElse("dst-col", "dst"))
+
+      case "scc" =>
+        // strongly connected components; --condense emits the DAG instead
+        val sccEdges = spark.read.parquet(need("edges"))
+        val sccSrc = flags.getOrElse("src-col", "src")
+        val sccDst = flags.getOrElse("dst-col", "dst")
+        val assign = operators.Scc.scc(sccEdges, sccSrc, sccDst,
+          maxWaves = flags.getOrElse("max-waves", "50").toInt)
+        if (flags.contains("condense"))
+          operators.Scc.condense(sccEdges, assign, sccSrc, sccDst)
+        else assign
+
+      case "katz" =>
+        operators.Katz.katz(spark.read.parquet(need("edges")),
+          iters = flags.getOrElse("iters", "10").toInt,
+          alpha = flags.getOrElse("alpha", "0.2").toDouble,
+          srcCol = flags.getOrElse("src-col", "src"),
+          dstCol = flags.getOrElse("dst-col", "dst"))
+
+      case "harmonic" =>
+        // bounded-radius centrality; --nf emits the shell/ball curve
+        val hEdges = spark.read.parquet(need("edges"))
+        val hR = flags.getOrElse("radius", "3").toInt
+        val hSrc = flags.getOrElse("src-col", "src")
+        val hDst = flags.getOrElse("dst-col", "dst")
+        if (flags.contains("nf"))
+          operators.Neighborhoods.neighborhoodFunction(hEdges, hR, hSrc, hDst)
+        else if (flags.contains("hyperball"))
+          operators.Neighborhoods.hyperBall(hEdges, hR, hSrc, hDst,
+            lgK = flags.getOrElse("lg-k", "12").toInt)
+        else operators.Neighborhoods.harmonicCentrality(hEdges, hR, hSrc, hDst)
+
+      case "walks" =>
+        // deterministic truncated walks; --pairs emits skip-gram pairs
+        val wEdges = spark.read.parquet(need("edges"))
+        val wStarts = spark.read.parquet(need("starts"))
+        val wk = operators.RandomWalks.walks(wEdges, wStarts,
+          length = flags.getOrElse("length", "5").toInt,
+          idCol = flags.getOrElse("id-col", "id"),
+          srcCol = flags.getOrElse("src-col", "src"),
+          dstCol = flags.getOrElse("dst-col", "dst"),
+          seed = flags.getOrElse("seed", "0").toLong)
+        if (flags.contains("pairs"))
+          operators.RandomWalks.skipGramPairs(wk,
+            window = flags.getOrElse("window", "2").toInt)
+        else wk
+
+      case "textrank" =>
+        operators.TextRank.keywords(spark.read.parquet(need("input")),
+          flags.getOrElse("text-col", "text"),
+          topK = flags.getOrElse("k", "20").toInt,
+          window = flags.getOrElse("window", "2").toInt,
+          minCount = flags.getOrElse("min-count", "5").toLong,
+          iters = flags.getOrElse("iters", "10").toInt)
+
+      case "funnel" =>
+        operators.Funnel.funnel(spark.read.parquet(need("events")),
+          need("steps").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          maxGapSeconds = flags.get("max-gap-seconds").map(_.toLong))
+
+      case "transitions" =>
+        operators.Funnel.transitionMatrix(spark.read.parquet(need("events")))
+
+      case "matryoshka" =>
+        // readVectors normalizes any vector source to (ordinal, vector)
+        operators.Matryoshka.recallCurve(
+          readVectors(spark, need("query")), readVectors(spark, need("base")),
+          dims = need("dims").split(",").map(_.trim.toInt).toSeq,
+          k = flags.getOrElse("k", "10").toInt,
+          metric = flags.getOrElse("metric", "COSINE"),
+          idCol = "ordinal", vecCol = "vector")
+
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")
     }
@@ -1314,7 +1392,16 @@ object Main {
       |  novelty --input PARQUET [--n N] [--threshold T] [--id-col C] [--text-col C]
       |  entropy --input PARQUET [--id-col C] [--text-col C]
       |  ensemble --input PARQUET --signals C1,C2 [--id-col C]
-      |  keepbest --input PARQUET --score-col C [--threshold T] [--n N] [--id-col C] [--text-col C]""".stripMargin
+      |  keepbest --input PARQUET --score-col C [--threshold T] [--n N] [--id-col C] [--text-col C]
+      |  hits --edges PARQUET [--iters N] [--src-col C] [--dst-col C]
+      |  scc --edges PARQUET [--max-waves N] [--condense] [--src-col C] [--dst-col C]
+      |  katz --edges PARQUET [--iters N] [--alpha A] [--src-col C] [--dst-col C]
+      |  harmonic --edges PARQUET [--radius N] [--nf | --hyperball [--lg-k N]] [--src-col C] [--dst-col C]
+      |  walks --edges PARQUET --starts PARQUET [--length N] [--seed S] [--pairs [--window N]] [--id-col C]
+      |  textrank --input PARQUET [--k N] [--window N] [--min-count N] [--iters N] [--text-col C]
+      |  funnel --events PARQUET --steps a,b,c [--max-gap-seconds N]
+      |  transitions --events PARQUET
+      |  matryoshka --query PATH --base PATH --dims d1,d2,... [--k N] [--metric M]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

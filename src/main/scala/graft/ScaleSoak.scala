@@ -1088,6 +1088,64 @@ object ScaleSoak {
         f"vs ${d5 / 5}%.2f s local ($ckptFiles block files)")
     }
 
+    // --- HITS / SCC / walks at graph scale (SOAK_GRAPH2_NODES=0 skips).
+    // HITS on the PageRank soak graph: per-round = two join+agg shuffles;
+    // flat per-iteration wall time via the 4-vs-8-iters comparison. SCC on
+    // a 2-wave star-condensation fixture (groups-of-8 cycles with chords,
+    // every group base -> node 0): wave count and inner fixpoint depth are
+    // both INDEPENDENT of node count by construction, so total time must
+    // scale only with the per-round shuffle volume. Walks: 100k starts x
+    // 10 deterministic steps, pair extraction included.
+    val nG2 = sys.env.getOrElse("SOAK_GRAPH2_NODES", "5000000").toLong
+    if (nG2 > 0) {
+      val g2Edges = spark.range(nG2).select(
+          col("id").as("src"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("j"))
+        .select(col("src"),
+          when(col("j") === 0L, (col("src") * 7 + 1) % nG2)
+            .otherwise((col("src") * col("src") + col("j")) % (nG2 / 100))
+            .as("dst"))
+        .filter(col("dst") =!= col("src"))
+      val tH4 = System.nanoTime()
+      timed(s"hits $nG2 nodes, 4 iters") {
+        operators.Hits.hits(g2Edges, iters = 4).agg(sum("auth")).collect()
+      }
+      val dH4 = (System.nanoTime() - tH4) / 1e9
+      val tH8 = System.nanoTime()
+      val hMass = timed(s"hits $nG2 nodes, 8 iters") {
+        operators.Hits.hits(g2Edges, iters = 8)
+          .agg(sum("auth")).collect()(0).getDouble(0)
+      }
+      val dH8 = (System.nanoTime() - tH8) / 1e9
+      require(math.abs(hMass - 1.0) < 1e-6, s"hits auth mass drifted: $hMass")
+      println(f"[soak] hits per-iteration: ${dH4 / 4}%.2f s (4it) vs " +
+        f"${dH8 / 8}%.2f s (8it) — flat means lineage stayed O(1)")
+
+      val sccN = nG2 / 10 // 500k nodes: the peel runs 2 waves regardless of N
+      val sccEdges = spark.range(sccN).select(col("id"))
+        .withColumn("m", expr("(id div 8) * 8"))
+        .withColumn("size", least(lit(8L), lit(sccN) - col("m")))
+        .select(col("id"), col("m"), col("size"),
+          explode(array(lit(1L), lit(2L))).as("o"))
+        .select(col("id").as("src"),
+          (col("m") + pmod(col("id") - col("m") + col("o"), col("size"))).as("dst"))
+        .unionByName(spark.range(1, sccN / 8 + 1).select(
+          (col("id") * 8).as("src")).filter(col("src") < sccN)
+          .select(col("src"), lit(0L).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      val sccOk = timed(s"scc $sccN nodes, star condensation (2 waves)") {
+        val a = operators.Scc.scc(sccEdges)
+        a.filter(col("scc") =!= expr("(id div 8) * 8")).count()
+      }
+      require(sccOk == 0, s"scc soak: $sccOk nodes mis-assigned")
+
+      val wkStarts = spark.range(0, nG2, 50).select(col("id"))
+      timed(s"walks ${nG2 / 50} starts x 10 steps + skip-gram pairs") {
+        val wk = operators.RandomWalks.walks(g2Edges, wkStarts, length = 10)
+        operators.RandomWalks.skipGramPairs(wk, window = 2).count()
+      }
+    }
+
     // --- WAND at corpus scale (SOAK_WAND_DOCS=0 skips): 500k docs, the
     // impact index built once, then the pruned and exhaustive top-k both
     // timed, equality REQUIRED in-run (the exactness claim at scale, not

@@ -63,6 +63,33 @@ object Funnel {
       .withColumn("conversion", round(col("conversion"), 6))
   }
 
+  /** Hourly event-rate anomaly z-scores per event type: for each observed
+    * (event_type, hour) bucket, z = (cnt − mean) / stddev over the
+    * `trailing` PRECEDING observed buckets of the same type (sample
+    * stddev; the current bucket excluded). Buckets with fewer than 2
+    * trailing observations (stddev undefined) or zero variance emit null
+    * — the caller's alerting threshold reads non-null |z|. "Observed
+    * buckets" (not a densified hour grid) is the documented semantics:
+    * deterministic, and the trailing window is a partitioned window over
+    * (type, hour) — never a global sort.
+    */
+  def rateZscores(events: DataFrame, trailing: Int = 24): DataFrame = {
+    require(trailing >= 2, s"rateZscores: trailing >= 2, got $trailing")
+    val hourly = events.groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-trailing, -1)
+    hourly
+      .withColumn("mu", avg(col("cnt")).over(w))
+      .withColumn("sd", stddev_samp(col("cnt")).over(w))
+      .select(col("event_type"), col("hour"), col("cnt"),
+        when(col("sd").isNull || col("sd") === 0.0, lit(null))
+          .otherwise((col("cnt") - col("mu")) / col("sd")).as("z"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * (from_type, to_type, cnt, p) with p = cnt / Σ cnt over from_type,
     * rounded at 6.

@@ -153,4 +153,19 @@ object Scc {
         "condensation peel depth exceeds the bound; raise maxWaves")
     result
   }
+
+  /** Condensation DAG: edges between distinct components with multiplicity
+    * — (scc_src, scc_dst, cnt), intra-component edges dropped. `assign` is
+    * [[scc]]'s output (id, scc). Two hash joins against the 16-byte
+    * assignment + one count aggregate; the condensation is the frame
+    * bow-tie/link-structure analyses read.
+    */
+  def condense(edges: DataFrame, assign: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .join(assign.select(col("id").as("src"), col("scc").as("scc_src")), "src")
+      .join(assign.select(col("id").as("dst"), col("scc").as("scc_dst")), "dst")
+      .filter(col("scc_src") =!= col("scc_dst"))
+      .groupBy(col("scc_src"), col("scc_dst"))
+      .agg(count(lit(1)).as("cnt"))
 }

@@ -1163,6 +1163,71 @@ class CliSpec extends SparkSpec {
     assert(hs.filter(col("neighbor_id") === col("query_id")).count() == 0)
   }
 
+  test("hits, scc, katz, harmonic, walks, textrank, funnel, transitions, matryoshka smoke") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cli-s4").toString
+    (0L until 30L).flatMap(i => Seq(0, 1, 2).map(j => (i, (i * i + 1 + 17 * j) % 30)))
+      .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+      .write.parquet(s"$d/edges.parquet")
+
+    val ht = Main.run(spark, Seq("hits", "--edges", s"$d/edges.parquet", "--iters", "4"))
+    assert(ht.columns.toSet == Set("id", "hub", "auth"))
+    assert(math.abs(ht.agg(sum("hub")).head.getDouble(0) - 1.0) < 1e-9)
+
+    val sc = Main.run(spark, Seq("scc", "--edges", s"$d/edges.parquet"))
+    assert(sc.count() == 30 && sc.columns.toSet == Set("id", "scc"))
+    val cd = Main.run(spark, Seq("scc", "--edges", s"$d/edges.parquet", "--condense"))
+    assert(cd.columns.toSet == Set("scc_src", "scc_dst", "cnt"))
+
+    val kz = Main.run(spark, Seq("katz", "--edges", s"$d/edges.parquet",
+      "--iters", "4", "--alpha", "0.1"))
+    assert(kz.count() == 30)
+    assert(kz.agg(min("katz")).head.getDouble(0) >= 1.0)
+
+    val hc = Main.run(spark, Seq("harmonic", "--edges", s"$d/edges.parquet",
+      "--radius", "2"))
+    assert(hc.columns.toSet == Set("id", "harmonic"))
+    val nf = Main.run(spark, Seq("harmonic", "--edges", s"$d/edges.parquet",
+      "--radius", "2", "--nf"))
+    assert(nf.columns.toSet == Set("id", "dist", "cnt", "ball"))
+    val hb = Main.run(spark, Seq("harmonic", "--edges", s"$d/edges.parquet",
+      "--radius", "2", "--hyperball"))
+    assert(hb.columns.toSet == Set("id", "dist", "est"))
+
+    (0L until 30L by 5L).toDF("id").write.parquet(s"$d/starts.parquet")
+    val wk = Main.run(spark, Seq("walks", "--edges", s"$d/edges.parquet",
+      "--starts", s"$d/starts.parquet", "--length", "3"))
+    assert(wk.filter(col("step") === 0).count() == 6)
+    val wp = Main.run(spark, Seq("walks", "--edges", s"$d/edges.parquet",
+      "--starts", s"$d/starts.parquet", "--length", "3", "--pairs", "--window", "2"))
+    assert(wp.columns.toSet == Set("walk_id", "step", "center", "context"))
+
+    Seq((0L, "alpha beta gamma alpha beta"), (1L, "beta gamma alpha beta gamma"))
+      .toDF("doc_id", "text").write.parquet(s"$d/docs.parquet")
+    val tr = Main.run(spark, Seq("textrank", "--input", s"$d/docs.parquet",
+      "--k", "3", "--min-count", "1"))
+    assert(tr.count() == 3 && tr.columns.toSet == Set("token", "rank"))
+
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (0L until 40L).map(i => (i, i % 10,
+        Seq("view", "click", "purchase", "view")(((i / 10) % 4).toInt),
+        new java.sql.Timestamp(t0.getTime + i * 60000)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.parquet(s"$d/events.parquet")
+    val fn = Main.run(spark, Seq("funnel", "--events", s"$d/events.parquet",
+      "--steps", "view,click,purchase"))
+    assert(fn.count() == 3)
+    val tm = Main.run(spark, Seq("transitions", "--events", s"$d/events.parquet"))
+    assert(tm.columns.toSet == Set("from_type", "to_type", "cnt", "p"))
+
+    (0L until 60L).map(i => (i, Array.tabulate(16)(j =>
+        (if (j < 4) ((i % 5) - 2).toFloat else 0.01f * ((i + j) % 7)))))
+      .toDF("vec_id", "embedding").write.parquet(s"$d/m.parquet")
+    val mk = Main.run(spark, Seq("matryoshka", "--query", s"$d/m.parquet",
+      "--base", s"$d/m.parquet", "--dims", "4,16", "--k", "5"))
+    assert(mk.count() == 2 && mk.columns.toSet == Set("dims", "avg_recall"))
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))
