@@ -514,6 +514,35 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("Hits: every exchange carries at most (id, score)-width frames") {
+    val edges = spark.range(1000).select(col("id").as("src"),
+      pmod(col("id") * col("id") + 1, lit(1000L)).as("dst"))
+    val plan = executedPlan(graft.operators.Hits.hits(edges, iters = 1))
+    plan.collect { case ex: ShuffleExchangeExec =>
+      val cols = ex.child.output.map(_.name)
+      assert(cols.size <= 3,
+        s"hits exchange carries a wide frame: $cols")
+      assert(cols.forall(c => !c.contains("text") && !c.contains("vec")),
+        s"hits exchange carries payload columns: $cols")
+    }
+  }
+
+  test("Cooccur.pairs: per-group self-join is a hash/merge join, never nested-loop") {
+    val df = spark.range(4000).select(
+      pmod(col("id"), lit(200L)).as("g"),
+      pmod(col("id") * 13 + 1, lit(50L)).as("item"))
+    val plan = executedPlan(graft.operators.Cooccur.pairs(df, "g", "item"))
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"),
+      s"cooccur pair join degenerated to a cartesian product:\n$s")
+    assert(!s.contains("BroadcastNestedLoop"),
+      s"cooccur pair join degenerated to a nested loop:\n$s")
+    plan.collect { case ex: ShuffleExchangeExec =>
+      val cols = ex.child.output.map(_.name)
+      assert(cols.size <= 6, s"cooccur exchange carries a wide frame: $cols")
+    }
+  }
+
   test("Wand.topK: survivor set broadcasts; no NestedLoop; text never shuffles") {
     val docs = spark.range(2000).select(col("id").as("doc_id"),
       when(col("id") < 30, lit("vector hash spark vector hash"))
