@@ -1234,15 +1234,20 @@ object Main {
           dstCol = flags.getOrElse("dst-col", "dst"))
 
       case "scc" =>
-        // strongly connected components; --condense emits the DAG instead
+        // strongly connected components; --condense emits the DAG,
+        // --bowtie the core/in/out/other macro-structure classes
         val sccEdges = spark.read.parquet(need("edges"))
         val sccSrc = flags.getOrElse("src-col", "src")
         val sccDst = flags.getOrElse("dst-col", "dst")
-        val assign = operators.Scc.scc(sccEdges, sccSrc, sccDst,
-          maxWaves = flags.getOrElse("max-waves", "50").toInt)
-        if (flags.contains("condense"))
-          operators.Scc.condense(sccEdges, assign, sccSrc, sccDst)
-        else assign
+        val sccW = flags.getOrElse("max-waves", "50").toInt
+        if (flags.contains("bowtie"))
+          operators.Scc.bowTie(sccEdges, sccSrc, sccDst, maxWaves = sccW)
+        else {
+          val assign = operators.Scc.scc(sccEdges, sccSrc, sccDst, maxWaves = sccW)
+          if (flags.contains("condense"))
+            operators.Scc.condense(sccEdges, assign, sccSrc, sccDst)
+          else assign
+        }
 
       case "katz" =>
         operators.Katz.katz(spark.read.parquet(need("edges")),
@@ -1394,7 +1399,7 @@ object Main {
       |  ensemble --input PARQUET --signals C1,C2 [--id-col C]
       |  keepbest --input PARQUET --score-col C [--threshold T] [--n N] [--id-col C] [--text-col C]
       |  hits --edges PARQUET [--iters N] [--src-col C] [--dst-col C]
-      |  scc --edges PARQUET [--max-waves N] [--condense] [--src-col C] [--dst-col C]
+      |  scc --edges PARQUET [--max-waves N] [--condense | --bowtie] [--src-col C] [--dst-col C]
       |  katz --edges PARQUET [--iters N] [--alpha A] [--src-col C] [--dst-col C]
       |  harmonic --edges PARQUET [--radius N] [--nf | --hyperball [--lg-k N]] [--src-col C] [--dst-col C]
       |  walks --edges PARQUET --starts PARQUET [--length N] [--seed S] [--pairs [--window N]] [--id-col C]

@@ -18,7 +18,7 @@ object SparkEntry {
       TextQueries.all ++ DedupQueries.all ++ SourceQueries.all ++ StreamQueries.all ++
       MetadataQueries.all ++ HybridQueries.all ++ CoverageSourceQueries.all ++
       CoverageFunctionQueries.all ++ FitQueries.all ++ PqQueries.all ++ CurationQueries.all ++
-      ClusterQueries.all ++ WandQueries.all ++ RvqQueries.all ++ UrlQueries.all ++ GraphQueries.all ++ LabelPropQueries.all ++ TriangleQueries.all ++ KCoreQueries.all ++ HnswQueries.all ++ HitsQueries.all ++ WalkQueries.all ++ TextRankQueries.all ++ NeighborhoodQueries.all ++ FunnelQueries.all ++ MatryoshkaQueries.all ++ SccQueries.all ++ KatzQueries.all ++ CooccurQueries.all
+      ClusterQueries.all ++ WandQueries.all ++ RvqQueries.all ++ UrlQueries.all ++ GraphQueries.all ++ LabelPropQueries.all ++ TriangleQueries.all ++ KCoreQueries.all ++ HnswQueries.all ++ HitsQueries.all ++ WalkQueries.all ++ TextRankQueries.all ++ NeighborhoodQueries.all ++ FunnelQueries.all ++ MatryoshkaQueries.all ++ SccQueries.all ++ KatzQueries.all ++ CooccurQueries.all // q325 lives in SccQueries
 
   /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
     * SURVEY §7 "hybrid recall check" spine — embeddings → xvec write →

@@ -195,4 +195,32 @@ object Sampling {
       .filter(col("cum_before") + col(costCol) <= budgetPerGroup)
       .drop("_neg_density")
   }
+
+  /** Split-hygiene audit: how many near-duplicate pairs CROSS split
+    * boundaries — the train/test contamination a hash split cannot see
+    * (hash splits are per-document; near-dups are per-PAIR, so a test
+    * document's twin lands in train with probability ≈ the train
+    * fraction). `pairs` is any pair relation (LSH, SimHash, embedding
+    * near-dup); `assign` is [[assignSplit]]'s output. One row per
+    * unordered split pair: (split_a ≤ split_b, pairs, frac of all pairs,
+    * cross_split flag). Two hash joins against the 16-byte assignment +
+    * one count — the pair relation never re-derives.
+    */
+  def splitLeakage(pairs: DataFrame, assign: DataFrame,
+      idACol: String = "id_a", idBCol: String = "id_b",
+      idCol: String = "doc_id", splitCol: String = "split"): DataFrame = {
+    val a = assign.select(col(idCol).as("_ida"), col(splitCol).as("_sa"))
+    val b = assign.select(col(idCol).as("_idb"), col(splitCol).as("_sb"))
+    val byPair = pairs
+      .join(a, col(idACol) === col("_ida"))
+      .join(b, col(idBCol) === col("_idb"))
+      .groupBy(least(col("_sa"), col("_sb")).as("split_a"),
+        greatest(col("_sa"), col("_sb")).as("split_b"))
+      .agg(count(lit(1)).as("pairs"))
+    val tot = byPair.agg(sum(col("pairs")).as("_tot"))
+    byPair.crossJoin(broadcast(tot))
+      .select(col("split_a"), col("split_b"), col("pairs"),
+        round(col("pairs").cast("double") / col("_tot"), 6).as("frac"),
+        (col("split_a") =!= col("split_b")).as("cross_split"))
+  }
 }

@@ -154,6 +154,76 @@ object Scc {
     result
   }
 
+  /** Boolean reachability fixpoint: flag = 1 on `seeds`, propagated along
+    * `e(from, to)` to a fixpoint. Monotone non-decreasing flag sum is the
+    * convergence witness (exact long — flags are 0/1).
+    */
+  private def reachFlag(e: DataFrame, nodes: DataFrame, seeds: DataFrame,
+      maxInner: Int, mat: DataFrame => DataFrame): DataFrame = {
+    var lab = mat(nodes.join(seeds.select(col("id"), lit(1).as("_s")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("_s"), lit(0)).as("flag")))
+    var prev = -1L
+    var cur = lab.agg(sum(col("flag"))).head().getLong(0)
+    var it = 0
+    while (cur != prev && it < maxInner) {
+      it += 1
+      val prop = lab.filter(col("flag") === 1)
+        .join(e, col("id") === col("from"))
+        .select(col("to").as("pid")).distinct()
+      lab = mat(lab.join(prop, col("id") === col("pid"), "left")
+        .select(col("id"),
+          greatest(col("flag"), when(col("pid").isNull, 0).otherwise(1)).as("flag")))
+      prev = cur
+      cur = lab.agg(sum(col("flag"))).head().getLong(0)
+    }
+    require(cur == prev,
+      s"Scc.reachFlag: no fixpoint in $maxInner rounds; raise maxInner")
+    lab
+  }
+
+  /** Bow-tie decomposition (Broder et al. 2000 — public literature): the
+    * web-graph macro-structure around the giant SCC. Classes:
+    * `core` (the largest SCC; ties by minimal component id), `in`
+    * (reaches the core but is not in it), `out` (reachable from the
+    * core), `other` (tendrils, tubes and disconnected mass — not split
+    * further). Cost = one [[scc]] + two boolean reachability fixpoints,
+    * all with the same per-round shapes. Output: (id, cls).
+    */
+  def bowTie(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      maxWaves: Int = 50, maxInner: Int = 200,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val mat = Materialize.policy(spark, checkpointDir)
+    val e = mat(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    val nodes = mat(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val assign = mat(scc(e, "src", "dst", maxWaves, maxInner, checkpointDir))
+
+    val coreId = assign.groupBy(col("scc")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("scc")).limit(1)
+      .head().get(0)
+    val core = assign.filter(col("scc") === lit(coreId)).select(col("id"))
+
+    val fwd = reachFlag(
+      e.select(col("src").as("from"), col("dst").as("to")), nodes, core,
+      maxInner, mat)
+    val bwd = reachFlag(
+      e.select(col("dst").as("from"), col("src").as("to")), nodes, core,
+      maxInner, mat)
+
+    nodes
+      .join(core.select(col("id"), lit(1).as("_c")), Seq("id"), "left")
+      .join(fwd.select(col("id"), col("flag").as("_f")), "id")
+      .join(bwd.select(col("id"), col("flag").as("_b")), "id")
+      .select(col("id"),
+        when(col("_c") === 1, "core")
+          .when(col("_b") === 1, "in")   // reaches the core (bwd from core)
+          .when(col("_f") === 1, "out")  // reached from the core
+          .otherwise("other").as("cls"))
+  }
+
   /** Condensation DAG: edges between distinct components with multiplicity
     * — (scc_src, scc_dst, cnt), intra-component edges dropped. `assign` is
     * [[scc]]'s output (id, scc). Two hash joins against the 16-byte

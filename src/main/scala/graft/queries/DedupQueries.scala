@@ -873,5 +873,38 @@ object DedupQueries {
       Dedup.lshCalibrationCard(docs, "doc_id", "text", n = 3, numPerms = 24,
         configs = Seq((8, 3), (4, 6), (12, 2)), nBuckets = 5)
     },
+
+    // Split-hygiene audit: the q46 near-dup pair relation joined against
+    // the q102 hash split — pairs crossing train/val/test are test-set
+    // contamination a per-document hash split cannot prevent. The oracle
+    // chains both replayed forms (shingle-Jaccard pairs + the md5
+    // cumulative-threshold CASE) and the least/greatest canonicalization.
+    GQuery(
+      "q324_split_leakage",
+      s"""WITH pr AS (${jaccardPairsSql(0.8)}),
+         |asg AS (SELECT doc_id,
+         |          CASE WHEN u < 800000 THEN 'train'
+         |               WHEN u < 900000 THEN 'val'
+         |               ELSE 'test' END AS split
+         |        FROM (SELECT doc_id,
+         |                ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 15))::BIGINT % 1000000 AS u
+         |              FROM documents)),
+         |bp AS (SELECT least(a.split, b.split) AS split_a,
+         |              greatest(a.split, b.split) AS split_b, count(*) AS pairs
+         |       FROM pr JOIN asg a ON a.doc_id = pr.id_a
+         |       JOIN asg b ON b.doc_id = pr.id_b
+         |       GROUP BY 1, 2),
+         |t AS (SELECT sum(pairs) AS tot FROM bp)
+         |SELECT split_a, split_b, pairs,
+         |       round(pairs::DOUBLE / t.tot, 6) AS frac,
+         |       split_a != split_b AS cross_split
+         |FROM bp CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numPerms = 128, bands = 32, threshold = 0.8)
+      val assign = graft.operators.Sampling.assignSplit(docs.select("doc_id"),
+        keyCol = "doc_id", splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      graft.operators.Sampling.splitLeakage(pairs, assign)
+    },
   )
 }

@@ -1178,6 +1178,10 @@ class CliSpec extends SparkSpec {
     assert(sc.count() == 30 && sc.columns.toSet == Set("id", "scc"))
     val cd = Main.run(spark, Seq("scc", "--edges", s"$d/edges.parquet", "--condense"))
     assert(cd.columns.toSet == Set("scc_src", "scc_dst", "cnt"))
+    val bt = Main.run(spark, Seq("scc", "--edges", s"$d/edges.parquet", "--bowtie"))
+    assert(bt.columns.toSet == Set("id", "cls"))
+    assert(bt.select("cls").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("core", "in", "out", "other")))
 
     val kz = Main.run(spark, Seq("katz", "--edges", s"$d/edges.parquet",
       "--iters", "4", "--alpha", "0.1"))

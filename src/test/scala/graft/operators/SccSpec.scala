@@ -90,6 +90,26 @@ class SccSpec extends SparkSpec {
     assert(run(noisy) == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("bow-tie classifies core / in / out / other on a hand graph") {
+    // core 2-cycle {5,6}; 1 -> 5 (in); 6 -> 9 (out); {100,101} a separate
+    // smaller 2-cycle with a tendril 102 -> 100 — all 'other'
+    val edges = Seq((5L, 6L), (6L, 5L), (1L, 5L), (6L, 9L),
+      (100L, 101L), (101L, 100L), (102L, 100L)).toDF("src", "dst")
+    val cls = Scc.bowTie(edges).as[(Long, String)].collect().toMap
+    assert(cls(5L) == "core" && cls(6L) == "core")
+    assert(cls(1L) == "in")
+    assert(cls(9L) == "out")
+    assert(cls(100L) == "other" && cls(101L) == "other" && cls(102L) == "other")
+  }
+
+  test("bow-tie core tie-break: equal-size SCCs pick the minimal component id") {
+    val edges = Seq((10L, 11L), (11L, 10L), (2L, 3L), (3L, 2L), (2L, 10L))
+      .toDF("src", "dst")
+    val cls = Scc.bowTie(edges).as[(Long, String)].collect().toMap
+    assert(cls(2L) == "core" && cls(3L) == "core", cls.toString)
+    assert(cls(10L) == "out" && cls(11L) == "out")
+  }
+
   test("wave guard fails loudly on an adversarial chain when bounded") {
     val edges = (0 until 6).flatMap { k =>
       val b = 2L * k
