@@ -1269,6 +1269,16 @@ object Main {
             lgK = flags.getOrElse("lg-k", "12").toInt)
         else operators.Neighborhoods.harmonicCentrality(hEdges, hR, hSrc, hDst)
 
+      case "sssp" =>
+        // bounded-hop weighted shortest paths from a seed parquet
+        operators.Neighborhoods.boundedWeightedDistances(
+          spark.read.parquet(need("edges")), spark.read.parquet(need("seeds")),
+          rounds = flags.getOrElse("rounds", "4").toInt,
+          srcCol = flags.getOrElse("src-col", "src"),
+          dstCol = flags.getOrElse("dst-col", "dst"),
+          weightCol = flags.getOrElse("weight-col", "w"),
+          seedIdCol = flags.getOrElse("id-col", "id"))
+
       case "walks" =>
         // deterministic truncated walks; --pairs emits skip-gram pairs
         val wEdges = spark.read.parquet(need("edges"))
@@ -1402,6 +1412,7 @@ object Main {
       |  scc --edges PARQUET [--max-waves N] [--condense | --bowtie] [--src-col C] [--dst-col C]
       |  katz --edges PARQUET [--iters N] [--alpha A] [--src-col C] [--dst-col C]
       |  harmonic --edges PARQUET [--radius N] [--nf | --hyperball [--lg-k N]] [--src-col C] [--dst-col C]
+      |  sssp --edges PARQUET --seeds PARQUET [--rounds N] [--weight-col C] [--src-col C] [--dst-col C] [--id-col C]
       |  walks --edges PARQUET --starts PARQUET [--length N] [--seed S] [--pairs [--window N]] [--id-col C]
       |  textrank --input PARQUET [--k N] [--window N] [--min-count N] [--iters N] [--text-col C]
       |  funnel --events PARQUET --steps a,b,c [--max-gap-seconds N]

@@ -86,6 +86,36 @@ object Neighborhoods {
       .groupBy(col("id"))
       .agg(sum(lit(1.0) / col("dist")).as("harmonic"))
 
+  /** Bounded-hop weighted shortest paths from a seed set (Bellman–Ford
+    * relaxation rounds): dist(v) = min cost of a directed path of at most
+    * `rounds` edges from any seed. Weights must be ≥ 0. Each round is one
+    * hash join + one (id, min dist) partial-agg shuffle — the frame
+    * carries only REACHED nodes (16 bytes each) and is materialized per
+    * round. Integer-valued weights make the result exact; the oracle
+    * unrolls the same relaxation. Output: (id, dist) with dist = 0.0 on
+    * seeds.
+    */
+  def boundedWeightedDistances(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst", weightCol: String = "w",
+      seedIdCol: String = "id", checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"boundedWeightedDistances: rounds >= 1, got $rounds")
+    val mat = Materialize.policy(edges.sparkSession, checkpointDir)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("src") =!= col("dst") && col("w") >= 0)
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var d = mat(seeds.select(col(seedIdCol).as("id")).distinct()
+      .select(col("id"), lit(0.0).as("dist")))
+    for (_ <- 1 to rounds) {
+      val relax = d.join(e, col("id") === col("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      d = mat(d.unionByName(relax)
+        .groupBy("id").agg(min(col("dist")).as("dist")))
+    }
+    d
+  }
+
   /** HyperBall: approximate ball sizes via per-node HLL sketches.
     * State is (id, sketch) — one fixed-size binary per node regardless of
     * ball size. Round r unions each node's sketch with its out-neighbors'

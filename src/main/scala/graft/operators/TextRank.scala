@@ -41,18 +41,30 @@ object TextRank {
       minCount: Long): DataFrame = {
     require(window >= 1, s"cooccurrenceEdges: window >= 1, got $window")
     require(minCount >= 1, s"cooccurrenceEdges: minCount >= 1, got $minCount")
-    val ts = graft.functions.TextFunctions.tokens(
-      lower(coalesce(col(textCol), lit(""))))
+    // materialize the token ARRAY first: element_at inside the transform
+    // lambdas otherwise re-evaluates the split-tokenize expression per
+    // element (no cross-lambda subexpression elimination) — O(len²)
+    // re-tokenization per doc, measured 7.7 s -> ~1 s at sf0.1
+    val base = docs.select(graft.functions.TextFunctions.tokens(
+        lower(coalesce(col(textCol), lit("")))).as("ts"))
+      .localCheckpoint(true)
+    val ts = col("ts")
     val allPairs = (1 to window).map(d => pairsAt(ts, d))
       .reduce((x, y) => concat(x, y))
-    val directed = docs.select(explode(allPairs).as("p"))
+    val directed = base.select(explode(allPairs).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .filter(col("a") =!= col("b"))
-    directed.select(col("a"), col("b"))
-      .union(directed.select(col("b").as("a"), col("a").as("b")))
-      .groupBy(col("a").as("src"), col("b").as("dst"))
+    // count CANONICAL pairs once, then mirror the aggregated relation:
+    // w(a→b) = c(a,b) + c(b,a) = the canonical count, so this is exactly
+    // the symmetrized weight while shuffling the raw pair stream ONCE
+    // (union-before-count doubled it; measured on q313 at sf0.1)
+    val canon = directed
+      .groupBy(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y"))
       .agg(count(lit(1)).cast("double").as("w"))
       .filter(col("w") >= minCount)
+    canon.select(col("x").as("src"), col("y").as("dst"), col("w"))
+      .unionByName(canon.select(col("y").as("src"), col("x").as("dst"), col("w")))
   }
 
   /** Full (token, rank) salience vector: `iters` weighted PageRank rounds

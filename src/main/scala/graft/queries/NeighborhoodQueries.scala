@@ -65,5 +65,40 @@ object NeighborhoodQueries {
          |FROM shells GROUP BY id""".stripMargin) { (s, dir) =>
       Neighborhoods.harmonicCentrality(GraphQueries.quadFixture(s, dir), radius)
         .select(col("id").as("doc_id"), round(col("harmonic"), 6).as("harmonic"))
+    },
+
+    // Bounded-hop weighted shortest paths (4 Bellman-Ford rounds) from a
+    // 10-doc seed set over the quadratic graph with (src+dst)%7+1 weights.
+    // Integer weights make every distance exact; the oracle unrolls the
+    // same relaxation rounds.
+    GQuery(
+      "q326_weighted_sssp", {
+        val steps = (1 to 4).map { i =>
+          s"""d$i AS MATERIALIZED (
+             |  SELECT id, min(dist) AS dist FROM (
+             |    SELECT id, dist FROM d${i - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS id, p.dist + e.w AS dist
+             |    FROM d${i - 1} p JOIN edges e ON e.src = p.id)
+             |  GROUP BY id)""".stripMargin
+        }
+        s"""WITH raw AS (
+           |  SELECT DISTINCT doc_id AS src,
+           |         (doc_id*doc_id + 1 + j*17) % (SELECT count(*) FROM documents) AS dst
+           |  FROM documents, UNNEST([0,1,2]) AS t(j)
+           |  WHERE (doc_id*doc_id + 1 + j*17) % (SELECT count(*) FROM documents) != doc_id),
+           |edges AS MATERIALIZED (
+           |  SELECT src, dst, ((src + dst) % 7 + 1)::DOUBLE AS w FROM raw),
+           |d0 AS MATERIALIZED (
+           |  SELECT doc_id AS id, 0.0::DOUBLE AS dist FROM documents WHERE doc_id < 10),
+           |${steps.mkString(",\n")}
+           |SELECT id AS doc_id, round(dist, 6) AS dist FROM d4""".stripMargin
+      }) { (s, dir) =>
+      val weighted = GraphQueries.quadFixture(s, dir)
+        .withColumn("w", ((col("src") + col("dst")) % 7 + 1).cast("double"))
+      val seeds = graft.Tables.documents(s, dir)
+        .filter(col("doc_id") < 10).select(col("doc_id").as("id"))
+      Neighborhoods.boundedWeightedDistances(weighted, seeds, rounds = 4)
+        .select(col("id").as("doc_id"), round(col("dist"), 6).as("dist"))
     })
 }

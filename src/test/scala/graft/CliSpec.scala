@@ -1199,6 +1199,11 @@ class CliSpec extends SparkSpec {
     assert(hb.columns.toSet == Set("id", "dist", "est"))
 
     (0L until 30L by 5L).toDF("id").write.parquet(s"$d/starts.parquet")
+    val ss = Main.run(spark, Seq("sssp", "--edges", s"$d/edges.parquet",
+      "--starts", s"$d/starts.parquet", "--seeds", s"$d/starts.parquet",
+      "--rounds", "2", "--weight-col", "dst"))
+    assert(ss.columns.toSet == Set("id", "dist"))
+    assert(ss.filter(col("dist") === 0.0).count() == 6, "seeds at distance 0")
     val wk = Main.run(spark, Seq("walks", "--edges", s"$d/edges.parquet",
       "--starts", s"$d/starts.parquet", "--length", "3"))
     assert(wk.filter(col("step") === 0).count() == 6)

@@ -47,6 +47,29 @@ class NeighborhoodsSpec extends SparkSpec {
     assert(!d.contains((0L, 3L, 2)))
   }
 
+  test("bounded weighted distances: closed forms, hop bound, cheaper-long-path wins") {
+    // 0 -(5)-> 1 -(1)-> 2, and 0 -(10)-> 2 direct: via-1 path costs 6 < 10
+    val g = Seq((0L, 1L, 5.0), (1L, 2L, 1.0), (0L, 2L, 10.0))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("id")
+    val d2 = Neighborhoods.boundedWeightedDistances(g, seeds, rounds = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(d2 == Map(0L -> 0.0, 1L -> 5.0, 2L -> 6.0), d2.toString)
+    // rounds = 1 cannot take the 2-hop path: direct edge wins
+    val d1 = Neighborhoods.boundedWeightedDistances(g, seeds, rounds = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(d1(2L) == 10.0, d1.toString)
+  }
+
+  test("bounded weighted distances: multi-seed min, duplicate edges keep min weight") {
+    val g = Seq((0L, 5L, 3.0), (0L, 5L, 7.0), (1L, 5L, 1.0))
+      .toDF("src", "dst", "w")
+    val d = Neighborhoods.boundedWeightedDistances(g, Seq(0L, 1L).toDF("id"), 1)
+      .as[(Long, Double)].collect().toMap
+    assert(d(5L) == 1.0, "nearest seed wins; dup edge min-merged")
+    assert(d(0L) == 0.0 && d(1L) == 0.0)
+  }
+
   test("hyperball estimates track the exact neighborhood function") {
     // quadratic graph, 200 nodes: compare est vs exact ball at r=1..3
     val edges = (0L until 200L).flatMap(i => Seq(0, 1, 2).map(j =>
