@@ -1157,15 +1157,20 @@ object Dedup {
     }
     require(nBuckets > 0, "nBuckets must be positive")
 
-    // distinct n-gram shingle STRINGS per doc (order-free set semantics)
-    val toks = filter(split(lower(coalesce(col(textCol), lit(""))), " "),
-      t => t =!= "")
-    val shingleArr = when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    // distinct n-gram shingle STRINGS per doc (order-free set semantics).
+    // Token array materialized FIRST: captured inside the transform lambda
+    // it would re-evaluate the split per element (the q313 lambda-CSE
+    // lesson, PLANS.md) — bounded here by the fixed sample, fixed anyway.
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        filter(split(lower(coalesce(col(textCol), lit(""))), " "),
+          t => t =!= "").as("toks"))
+      .localCheckpoint()
+    val shingleArr = when(size(col("toks")) >= n,
+      array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
       .otherwise(array().cast("array<string>"))
-    val docSh = docs.select(col(idCol).cast("long").as("id"),
-      shingleArr.as("shs")).filter(size(col("shs")) > 0).localCheckpoint()
+    val docSh = base.select(col("id"), shingleArr.as("shs"))
+      .filter(size(col("shs")) > 0).localCheckpoint()
 
     // exact Jaccard over co-occurring pairs (the inverted-index stream)
     val sh = docSh.select(col("id"), explode(col("shs")).as("shingle"))
