@@ -228,4 +228,41 @@ object Triangles {
         col("mean_local")).localCheckpoint(true)
     } finally cc.unpersist()
   }
+
+  /** DIRECTED graph health card — the two structure diagnostics the
+    * undirected [[densityCard]] can't see: `reciprocity` (fraction of
+    * edges whose reverse edge exists — link-exchange/mutual-citation
+    * mass) and `assortativity` (Pearson correlation across edges of
+    * (out-degree(src), in-degree(dst)) — Newman 2002; negative on
+    * hub-and-spoke webs, positive on social-style graphs). One self
+    * left-semi join for reciprocity + two degree aggregates + one corr
+    * aggregate — everything shuffles (id, count) pairs only. Pearson is
+    * scale-free, so sample-vs-population moment conventions cancel and
+    * the SQL twin replays `corr` exactly. Output one row:
+    * (n_nodes, n_edges, reciprocity, assortativity).
+    */
+  def healthCard(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    val nNodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().count()
+    val m = e.count()
+    val nRecip = e.join(
+      e.select(col("dst").as("src2"), col("src").as("dst2")),
+      col("src") === col("src2") && col("dst") === col("dst2"), "left_semi")
+      .count()
+    val outd = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val ind = e.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
+    // Pearson as covar/(sx·sy) with an explicit zero-variance guard —
+    // ANSI mode makes built-in corr THROW on constant degrees (a pure
+    // out-star) instead of returning the conventional null
+    e.join(outd, "src").join(ind, "dst")
+      .agg(covar_samp(col("od"), col("indeg")).as("cv"),
+        stddev_samp(col("od")).as("sx"), stddev_samp(col("indeg")).as("sy"))
+      .select(lit(nNodes).as("n_nodes"), lit(m).as("n_edges"),
+        round(lit(if (m == 0) 0.0 else nRecip.toDouble / m), 6).as("reciprocity"),
+        round(when(col("sx") === 0 || col("sy") === 0, lit(null))
+          .otherwise(col("cv") / (col("sx") * col("sy"))), 6).as("assortativity"))
+  }
 }

@@ -178,5 +178,32 @@ object TriangleQueries {
       Triangles.modularity(edgeFixture(s, dir), assignment)
         .select(col("n_communities"), col("n_edges"),
           round(col("modularity"), 6).as("modularity"))
+    },
+
+    // Directed health card over the quadratic graph: reciprocity (reverse-
+    // edge fraction) + (out,in)-degree assortativity. Pearson is scale-
+    // free so both engines' corr agree; counts are exact.
+    GQuery(
+      "q327_graph_health",
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id AS src,
+        |         (doc_id*doc_id + 1 + j*17) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents, UNNEST([0,1,2]) AS t(j)
+        |  WHERE (doc_id*doc_id + 1 + j*17) % (SELECT count(*) FROM documents) != doc_id),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |m AS (SELECT count(*) AS m FROM e),
+        |rc AS (SELECT count(*) AS r FROM e a
+        |       WHERE EXISTS (SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src)),
+        |od AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+        |ind AS (SELECT dst, count(*) AS ind FROM e GROUP BY dst),
+        |j AS (SELECT od.od AS x, ind.ind AS y FROM e
+        |      JOIN od ON od.src = e.src JOIN ind ON ind.dst = e.dst)
+        |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+        |       (SELECT m FROM m) AS n_edges,
+        |       round((SELECT r FROM rc)::DOUBLE / (SELECT m FROM m), 6) AS reciprocity,
+        |       round((SELECT corr(x, y) FROM j), 6) AS assortativity""".stripMargin) {
+      (s, dir) =>
+      Triangles.healthCard(GraphQueries.quadFixture(s, dir))
     })
 }

@@ -108,4 +108,18 @@ class TrianglesSpec extends SparkSpec {
     assert(card.getLong(0) == 4 && card.getLong(1) == 4 && card.getLong(2) == 1,
       card.toString)
   }
+
+  test("health card: reciprocity and assortativity closed forms") {
+    // 2-cycle {0,1} (both edges reciprocated) + chain 2->3 (not)
+    val g = Seq((0L, 1L), (1L, 0L), (2L, 3L)).toDF("src", "dst")
+    val card = Triangles.healthCard(g).collect()(0)
+    assert(card.getLong(0) == 4 && card.getLong(1) == 3)
+    assert(math.abs(card.getDouble(2) - 2.0 / 3) < 1e-6, card.toString)
+    // star out of one hub: every edge pairs (od=k, ind=1) -> corr undefined
+    // (zero variance both sides) -> null assortativity
+    val star = (1L until 6L).map(i => (0L, i)).toDF("src", "dst")
+    val sc = Triangles.healthCard(star).collect()(0)
+    assert(sc.getDouble(2) == 0.0, "no reciprocated edges")
+    assert(sc.isNullAt(3), "constant degrees: correlation undefined")
+  }
 }
