@@ -174,9 +174,18 @@ object Triangles {
     */
   def modularity(edges: DataFrame, assignment: DataFrame,
       srcCol: String = "src", dstCol: String = "dst", idCol: String = "id",
-      communityCol: String = "community"): DataFrame = {
-    val und = LabelProp.symmetrize(edges, srcCol, dstCol)
-      .filter(col("src") =!= col("dst")).localCheckpoint(true)
+      communityCol: String = "community",
+      weightCol: Option[String] = None): DataFrame = {
+    // weighted form (Newman 2004): Q = Σ_c [w_c/W − (s_c/2W)²] with W the
+    // total undirected weight, w_c the intra-community weight, s_c the
+    // community strength sum — the card that respects the similarity
+    // weights the dedup emitters produce. w ≡ 1.0 (the default) reduces
+    // bit-exactly to the count-based unweighted form.
+    val und = (weightCol match {
+      case None => LabelProp.symmetrize(edges, srcCol, dstCol)
+        .withColumn("w", lit(1.0))
+      case Some(wc) => LabelProp.symmetrizeWeighted(edges, srcCol, dstCol, wc)
+    }).filter(col("src") =!= col("dst")).localCheckpoint(true)
     val asg = assignment.select(col(idCol).as("id"),
       col(communityCol).as("community")).localCheckpoint(true)
     val nNodes = und.select(col("src").as("id")).distinct().count()
@@ -188,15 +197,15 @@ object Triangles {
     val tagged = und
       .join(asg.select(col("id").as("src"), col("community").as("c_src")), "src")
       .join(asg.select(col("id").as("dst"), col("community").as("c_dst")), "dst")
-    // m, e_c, d_c all from the DIRECTED-twice representation: und holds
-    // each undirected edge in both directions, so m = rows/2, intra edges
-    // count twice, and degree sums are exact row counts per community
-    val m = und.count() / 2.0
+    // W, w_c, s_c all from the DIRECTED-twice representation: und holds
+    // each undirected edge in both directions, so W = Σw/2, intra weight
+    // sums twice, and strength sums are exact row sums per community
+    val m = und.agg(sum(col("w"))).head().getDouble(0) / 2.0
     val intra = tagged.filter(col("c_src") === col("c_dst"))
       .groupBy(col("c_src").as("community"))
-      .agg((count(lit(1)) / 2.0).as("e_c"))
+      .agg((sum(col("w")) / 2.0).as("e_c"))
     val degSum = tagged.groupBy(col("c_src").as("community"))
-      .agg(count(lit(1)).cast("double").as("d_c"))
+      .agg(sum(col("w")).as("d_c"))
     degSum.join(intra, Seq("community"), "left")
       .select(
         (coalesce(col("e_c"), lit(0.0)) / m

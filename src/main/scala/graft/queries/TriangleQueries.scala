@@ -205,5 +205,45 @@ object TriangleQueries {
         |       round((SELECT corr(x, y) FROM j), 6) AS assortativity""".stripMargin) {
       (s, dir) =>
       Triangles.healthCard(GraphQueries.quadFixture(s, dir))
+    },
+
+    // WEIGHTED modularity over the quadratic graph with (src+dst)%7+1
+    // weights (symmetric formula, so the max-merge symmetrization is
+    // exact): Q = Σ_c [w_c/W − (s_c/2W)²]. Integer weights keep W and the
+    // community sums exact; the oracle recomputes everything from first
+    // principles like q310's unweighted twin.
+    GQuery(
+      "q328_modularity_weighted",
+      """WITH raw AS (
+        |  SELECT DISTINCT doc_id AS src,
+        |         (doc_id*doc_id + 1 + j*17) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents, UNNEST([0,1,2]) AS t(j)
+        |  WHERE (doc_id*doc_id + 1 + j*17) % (SELECT count(*) FROM documents) != doc_id),
+        |wr AS (SELECT src, dst, ((src + dst) % 7 + 1)::DOUBLE AS w FROM raw),
+        |und AS MATERIALIZED (
+        |  SELECT src, dst, max(w) AS w FROM
+        |    (SELECT src, dst, w FROM wr UNION ALL SELECT dst, src, w FROM wr)
+        |  WHERE src != dst GROUP BY src, dst),
+        |asg AS (SELECT doc_id AS id, doc_id // 100 AS community FROM documents),
+        |tg AS MATERIALIZED (
+        |  SELECT e.w, a.community AS cs, b.community AS cd
+        |  FROM und e JOIN asg a ON a.id = e.src JOIN asg b ON b.id = e.dst),
+        |mm AS (SELECT sum(w) / 2.0 AS m FROM tg),
+        |ds AS (SELECT cs AS community, sum(w) AS d_c FROM tg GROUP BY cs),
+        |ic AS (SELECT cs AS community, sum(w) / 2.0 AS e_c FROM tg
+        |       WHERE cs = cd GROUP BY cs)
+        |SELECT (SELECT count(*) FROM ds) AS n_communities,
+        |       (SELECT m FROM mm)::BIGINT AS n_edges,
+        |       round((SELECT sum(coalesce(ic.e_c, 0) / mm.m
+        |                         - (ds.d_c / (2*mm.m)) * (ds.d_c / (2*mm.m)))
+        |              FROM ds LEFT JOIN ic USING (community) CROSS JOIN mm), 6)
+        |         AS modularity""".stripMargin) { (s, dir) =>
+      val weighted = GraphQueries.quadFixture(s, dir)
+        .withColumn("w", ((col("src") + col("dst")) % 7 + 1).cast("double"))
+      val assignment = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), (col("doc_id") / 100).cast("long").as("community"))
+      Triangles.modularity(weighted, assignment, weightCol = Some("w"))
+        .select(col("n_communities"), col("n_edges"),
+          round(col("modularity"), 6).as("modularity"))
     })
 }

@@ -109,6 +109,24 @@ class TrianglesSpec extends SparkSpec {
       card.toString)
   }
 
+  test("weighted modularity: closed form on heavy triangles over a light bridge; unit weights reduce exactly") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L, 10.0), (1L, 2L, 10.0), (0L, 2L, 10.0),
+      (3L, 4L, 10.0), (4L, 5L, 10.0), (3L, 5L, 10.0), (2L, 3L, 1.0))
+      .toDF("src", "dst", "w")
+    val asg = (0L to 5L).map(i => (i, i / 3)).toDF("id", "community")
+    val q = Triangles.modularity(edges, asg, weightCol = Some("w"))
+      .collect()(0)
+    // W = 61; each side: w_c = 30, s_c = 61 -> Q = 2*(30/61 - 0.25)
+    assert(q.getLong(1) == 61L)
+    assert(math.abs(q.getDouble(2) - 2 * (30.0 / 61 - 0.25)) < 1e-9, q.toString)
+    // w ≡ 1.0 equals the unweighted form bit-for-bit
+    val unit = edges.withColumn("w", lit(1.0))
+    val a = Triangles.modularity(unit, asg, weightCol = Some("w")).collect()(0)
+    val b = Triangles.modularity(edges.drop("w"), asg).collect()(0)
+    assert(a.getDouble(2) == b.getDouble(2))
+  }
+
   test("health card: reciprocity and assortativity closed forms") {
     // 2-cycle {0,1} (both edges reciprocated) + chain 2->3 (not)
     val g = Seq((0L, 1L), (1L, 0L), (2L, 3L)).toDF("src", "dst")
