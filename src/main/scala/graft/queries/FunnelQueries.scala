@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.Tables
 import graft.operators.Funnel
 
@@ -39,6 +41,40 @@ object FunnelQueries {
         |       round(CASE WHEN c2.n = 0 THEN 0::DOUBLE ELSE c3.n::DOUBLE / c2.n END, 6)
         |FROM c2, c3""".stripMargin) { (s, dir) =>
       Funnel.funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
+    },
+
+    // Streaming-funnel twin on the batch frame: the per-user state
+    // machine (EventStreams.streamingFunnel) emits one conversion row per
+    // completed step; greedy-earliest is an online rule, so the oracle is
+    // q316's nested-min chain EXPANDED to per-user conversion times. The
+    // multi-micro-batch == batch property is pinned by EventStreamsSpec.
+    GQuery(
+      "q329_stream_funnel",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+        |SELECT user_id, 1 AS step, 'view' AS event_type,
+        |       strftime(t, '%Y-%m-%d %H:%M:%S') AS conv_ts FROM s1
+        |UNION ALL
+        |SELECT user_id, 2, 'click', strftime(t, '%Y-%m-%d %H:%M:%S') FROM s2
+        |UNION ALL
+        |SELECT user_id, 3, 'purchase', strftime(t, '%Y-%m-%d %H:%M:%S') FROM s3""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      graft.streaming.EventStreams.streamingFunnel(
+          ev, Seq("view", "click", "purchase"))
+        .toDF()
+        .select(col("user_id"), col("step"), col("event_type"),
+          date_format(col("conv_ts"), "yyyy-MM-dd HH:mm:ss").as("conv_ts"))
     },
 
     // P(to | from) over per-user adjacent event pairs.

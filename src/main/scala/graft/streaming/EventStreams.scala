@@ -248,4 +248,44 @@ object EventStreams {
       .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("age_days"))
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
+
+  final case class FunnelState(step: Int, lastMs: Long)
+  final case class Conversion(user_id: Long, step: Int, event_type: String,
+      conv_ts: Timestamp)
+
+  /** Streaming funnel: per-user state machine emitting one [[Conversion]]
+    * per step the user completes. Greedy-earliest (the batch
+    * `Funnel.funnel` semantics) is an ONLINE rule over the time-ordered
+    * event sequence — step i converts at the first step-i event strictly
+    * after the step-(i−1) time — so per-user state is just (step,
+    * last-conversion-ms): 12 bytes, bounded by construction, no event
+    * buffering. Works on batch Datasets identically (one group pass).
+    * Cross-batch parity requires each user's events to ARRIVE in event-
+    * time order across micro-batches (within a batch they are sorted
+    * here) — the same ordered-arrival caveat as [[firstEventDedup]];
+    * EventStreamsSpec pins multi-batch == batch under it.
+    */
+  def streamingFunnel(events: Dataset[Event], steps: Seq[String]): Dataset[Conversion] = {
+    require(steps.nonEmpty, "streamingFunnel: need at least one step")
+    import events.sparkSession.implicits._
+    val stepArr = steps.toArray
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
+          sorted.foreach { e =>
+            if (st.step < stepArr.length && e.event_type == stepArr(st.step) &&
+                (st.step == 0 || e.ts.getTime > st.lastMs)) {
+              st = FunnelState(st.step + 1, e.ts.getTime)
+              out += Conversion(userId, st.step, e.event_type, e.ts)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

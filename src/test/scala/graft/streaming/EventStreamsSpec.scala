@@ -250,4 +250,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions(0).getAs[Long]("n_events") == 2)
     assert(sessions(1).getAs[Long]("n_events") == 1)
   }
+
+  test("streamingFunnel: multi-batch stream equals the batch greedy-earliest walk") {
+    // user 1 converts all three steps; user 2's click precedes its view
+    // (never converts step 2); user 3 stalls after view
+    val funnelEvents: Seq[Event] = Seq(
+      Event(0, ts(1), 1, "view", 0.0), Event(1, ts(5), 1, "click", 0.0),
+      Event(2, ts(9), 1, "buy", 0.0),
+      Event(3, ts(2), 2, "click", 0.0), Event(4, ts(4), 2, "view", 0.0),
+      Event(5, ts(3), 3, "view", 0.0), Event(6, ts(7), 3, "view", 0.0))
+    val steps = Seq("view", "click", "buy")
+
+    // batch path (single group pass)
+    val batch = EventStreams.streamingFunnel(funnelEvents.toDS(), steps)
+      .collect().map(c => (c.user_id, c.step, c.event_type, c.conv_ts.toString)).toSet
+    assert(batch == Set(
+      (1L, 1, "view", ts(1).toString), (1L, 2, "click", ts(5).toString),
+      (1L, 3, "buy", ts(9).toString),
+      (2L, 1, "view", ts(4).toString),
+      (3L, 1, "view", ts(3).toString)), batch.toString)
+    // agreement with Funnel.funnel step counts
+    val counts = graft.operators.Funnel.funnel(funnelEvents.toDF(), steps)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(counts == Map(1 -> 3L, 2 -> 1L, 3 -> 1L), counts.toString)
+
+    // multi-micro-batch stream with per-user ordered arrival: state must
+    // carry the step index ACROSS batches (user 1's click and buy arrive
+    // in later batches)
+    val mem = MemoryStream[Event](spark)
+    val conv = EventStreams.streamingFunnel(mem.toDS(), steps)
+    val query = conv.writeStream.format("memory").queryName("funl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Event(0, ts(1), 1, "view", 0.0), Event(3, ts(2), 2, "click", 0.0))
+      query.processAllAvailable()
+      mem.addData(Event(1, ts(5), 1, "click", 0.0), Event(4, ts(4), 2, "view", 0.0),
+        Event(5, ts(3), 3, "view", 0.0))
+      query.processAllAvailable()
+      mem.addData(Event(2, ts(9), 1, "buy", 0.0), Event(6, ts(7), 3, "view", 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("funl").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getTimestamp(3).toString))
+      .toSet
+    assert(streamed == batch, s"streamed=$streamed")
+  }
 }
