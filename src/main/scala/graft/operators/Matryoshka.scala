@@ -34,13 +34,21 @@ object Matryoshka {
     val truth = Knn.knn(queries, base, k, metric, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
 
-    val rows = dims.map { d =>
-      val qd = queries.withColumn(vecCol, slice(col(vecCol), 1, d))
-      val bd = base.withColumn(vecCol, slice(col(vecCol), 1, d))
-      val pred = Knn.knn(qd, bd, k, metric, idCol, vecCol)
-      val r = Knn.avgRecall(pred, truth, k).head().getDouble(0)
-      (d, r)
+    // sweep points are independent given the materialized truth — submit
+    // all of them concurrently (the SCC coloring trick; measured ~2x on
+    // the 4-point q318 sweep at local[32])
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val futures = dims.map { d =>
+      Future {
+        val qd = queries.withColumn(vecCol, slice(col(vecCol), 1, d))
+        val bd = base.withColumn(vecCol, slice(col(vecCol), 1, d))
+        val pred = Knn.knn(qd, bd, k, metric, idCol, vecCol)
+        (d, Knn.avgRecall(pred, truth, k).head().getDouble(0))
+      }
     }
+    val rows = futures.map(Await.result(_, Duration.Inf))
     rows.toDF("dims", "avg_recall")
   }
 }
