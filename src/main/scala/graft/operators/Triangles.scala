@@ -238,6 +238,35 @@ object Triangles {
     } finally cc.unpersist()
   }
 
+  /** In-degree distribution + log-log power-law fit: (distinct degree
+    * values, least-squares slope/intercept of ln(cnt) over ln(deg) across
+    * the degree histogram). Web-shaped graphs show slope ≈ −2..−3
+    * (Broder et al. 2000 measured ≈ −2.1); a flat or positive slope
+    * flags a non-organic (synthetic/farm) link structure. Two aggregates
+    * — degree histogram then the fit moments — exchanging (deg, cnt)
+    * pairs only; slope = covar/var (sample conventions cancel) with the
+    * zero-variance null guard [[healthCard]] uses.
+    */
+  def degreeCard(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val hist = e.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
+    hist.select(log(col("deg").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+      .agg(count(lit(1)).as("n_degrees"),
+        covar_samp(col("x"), col("y")).as("cv"),
+        var_samp(col("x")).as("vx"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"))
+      .select(col("n_degrees"),
+        when(col("vx").isNull || col("vx") === 0, lit(null))
+          .otherwise(col("cv") / col("vx")).as("slope"),
+        when(col("vx").isNull || col("vx") === 0, lit(null))
+          .otherwise(col("my") - (col("cv") / col("vx")) * col("mx"))
+          .as("intercept"))
+  }
+
   /** DIRECTED graph health card — the two structure diagnostics the
     * undirected [[densityCard]] can't see: `reciprocity` (fraction of
     * edges whose reverse edge exists — link-exchange/mutual-citation

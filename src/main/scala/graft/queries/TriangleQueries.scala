@@ -245,5 +245,31 @@ object TriangleQueries {
       Triangles.modularity(weighted, assignment, weightCol = Some("w"))
         .select(col("n_communities"), col("n_edges"),
           round(col("modularity"), 6).as("modularity"))
+    },
+
+    // In-degree power-law card over the quadratic graph (its in-degrees
+    // vary with the number of square roots per residue). The oracle
+    // recomputes the histogram and the ln-ln least-squares moments.
+    GQuery(
+      "q330_degree_powerlaw",
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id AS src,
+        |         (doc_id*doc_id + 1 + j*17) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents, UNNEST([0,1,2]) AS t(j)
+        |  WHERE (doc_id*doc_id + 1 + j*17) % (SELECT count(*) FROM documents) != doc_id),
+        |h AS (SELECT deg, count(*) AS cnt FROM
+        |        (SELECT dst, count(*) AS deg FROM e GROUP BY dst)
+        |      GROUP BY deg),
+        |p AS (SELECT ln(deg::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM h),
+        |m AS (SELECT count(*) AS n, covar_samp(x, y) AS cv, var_samp(x) AS vx,
+        |             avg(x) AS mx, avg(y) AS my FROM p)
+        |SELECT n AS n_degrees,
+        |       round(CASE WHEN vx IS NULL OR vx = 0 THEN NULL ELSE cv / vx END, 6) AS slope,
+        |       round(CASE WHEN vx IS NULL OR vx = 0 THEN NULL
+        |                  ELSE my - (cv / vx) * mx END, 6) AS intercept
+        |FROM m""".stripMargin) { (s, dir) =>
+      Triangles.degreeCard(GraphQueries.quadFixture(s, dir))
+        .select(col("n_degrees"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))
     })
 }

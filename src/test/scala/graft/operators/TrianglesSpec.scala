@@ -127,6 +127,23 @@ class TrianglesSpec extends SparkSpec {
     assert(a.getDouble(2) == b.getDouble(2))
   }
 
+  test("degree card: exact log-log fit on a constructed two-point histogram") {
+    // 8 nodes of in-degree 1, 2 nodes of in-degree 4:
+    // points (ln1, ln8), (ln4, ln2) -> slope = (ln2-ln8)/(ln4-ln1) = -1
+    val deg1 = (0 until 8).map(i => (100L + i, i.toLong))
+    val deg4 = (0 until 2).flatMap(j => (0 until 4).map(i => (200L + 4 * j + i, 50L + j)))
+    val edges = (deg1 ++ deg4).toDF("src", "dst")
+    val card = Triangles.degreeCard(edges).collect()(0)
+    assert(card.getLong(0) == 2)
+    assert(math.abs(card.getDouble(1) - (-1.0)) < 1e-9, card.toString)
+    // intercept: y = ln8 at x = ln1 = 0 -> intercept = ln8
+    assert(math.abs(card.getDouble(2) - math.log(8)) < 1e-9)
+    // degenerate single-degree histogram: slope undefined -> null
+    val uni = (0 until 5).map(i => (i.toLong, 100L + i)).toDF("src", "dst")
+    val u = Triangles.degreeCard(uni).collect()(0)
+    assert(u.getLong(0) == 1 && u.isNullAt(1) && u.isNullAt(2))
+  }
+
   test("health card: reciprocity and assortativity closed forms") {
     // 2-cycle {0,1} (both edges reciprocated) + chain 2->3 (not)
     val g = Seq((0L, 1L), (1L, 0L), (2L, 3L)).toDF("src", "dst")
