@@ -8,29 +8,37 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
-    // pre-sweep idle gate: three rounds running, sweep 1 of the committed
-    // bench carried a machine-load artifact (r11: 302 s vs 181 s at
-    // loadavg 5.02 from the driver's own preceding test/verify runs).
-    // Spin here — BEFORE our own Spark work starts contributing runnable
-    // threads — until the 1-min loadavg drops under the threshold or the
-    // bounded timeout fires; either way the diag line records what the
-    // gate saw, so a contaminated sweep is self-explaining.
+    // idle gate: four rounds running, committed benches have carried
+    // machine-load artifacts (r11: 302 s vs 181 s at loadavg 5.02; r12:
+    // min-sum 288.6 s committed vs 196.1 s on idle hardware — load that
+    // ARRIVED MID-RUN, after the single pre-sweep gate passed). The gate
+    // therefore runs before EVERY sweep, not just the first: spin until
+    // the 1-min loadavg drops under the threshold or the bounded timeout
+    // fires. Each gate's verdict is recorded per sweep and any timed-out
+    // gate (or any sweep that ENDED over threshold) stamps the committed
+    // artifact `"contaminated": true` — the artifact adjudicates itself
+    // instead of needing an external idle re-run to explain it.
     val gateThreshold = sys.env.getOrElse("SPARK_GRAFT_IDLE_GATE", "4.0").toDouble
     val gateTimeoutS = sys.env.getOrElse("SPARK_GRAFT_IDLE_TIMEOUT", "150").toLong
-    val gateStartLoad = loadAvg1m()
-    var gateWaitedMs = 0L
-    if (gateThreshold > 0 && gateStartLoad >= 0) {
-      val deadline = System.nanoTime() + gateTimeoutS * 1000L * 1000 * 1000
-      while (loadAvg1m() > gateThreshold && System.nanoTime() < deadline) {
-        Thread.sleep(2000)
-        gateWaitedMs += 2000
+    final case class Gate(start: Double, end: Double, waitedMs: Long, timedOut: Boolean)
+    def idleGate(tag: String): Gate = {
+      val start = loadAvg1m()
+      var waited = 0L
+      if (gateThreshold > 0 && start >= 0) {
+        val deadline = System.nanoTime() + gateTimeoutS * 1000L * 1000 * 1000
+        while (loadAvg1m() > gateThreshold && System.nanoTime() < deadline) {
+          Thread.sleep(2000)
+          waited += 2000
+        }
       }
+      val end = loadAvg1m()
+      val timedOut = gateThreshold > 0 && end > gateThreshold
+      System.err.println(f"[bench] idle gate ($tag): load $start%.2f -> " +
+        f"$end%.2f after ${waited / 1000} s" +
+        (if (timedOut) " (TIMED OUT — this sweep may be contaminated)" else ""))
+      Gate(start, end, waited, timedOut)
     }
-    val gateEndLoad = loadAvg1m()
-    val gateTimedOut = gateEndLoad > gateThreshold
-    System.err.println(f"[bench] idle gate: load $gateStartLoad%.2f -> " +
-      f"$gateEndLoad%.2f after ${gateWaitedMs / 1000} s" +
-      (if (gateTimedOut) " (TIMED OUT — sweeps may be contaminated)" else ""))
+    val gate0 = idleGate("startup")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -93,7 +101,11 @@ object Bench {
     }
     val sweepLoad = Array.fill(sweeps)(-1.0)
     val sweepGcMs = Array.fill(sweeps)(0L)
+    val sweepGates = Array.fill(sweeps)(null: Gate)
     val bySweep = (1 to sweeps).map { i =>
+      // re-gate EVERY sweep: load arriving mid-run (the r12 artifact) is
+      // caught at the next sweep boundary instead of poisoning the rest
+      sweepGates(i - 1) = if (i == 1) gate0 else idleGate(s"sweep $i")
       val gc0 = gcMillis()
       val r = runSweep()
       sweepLoad(i - 1) = loadAvg1m()
@@ -156,11 +168,20 @@ object Bench {
     System.err.println(s"""[bench-full] {"queries_med_min":$fullQs}""")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMin = results.map(_._3).filter(_ >= 0).sum
+    // self-adjudication: the artifact declares itself contaminated when
+    // (a) any per-sweep idle gate timed out (external load that 150 s of
+    // our own idleness did not clear), or (b) the sweep totals spread
+    // past 20% — the r12 signature (424→388→349 s on byte-identical
+    // code) that previously needed an external idle re-run to diagnose.
+    val totalsBySweep = bySweep.map(_.map(_._2).filter(_ >= 0).sum)
+    val spreadBad = totalsBySweep.nonEmpty && totalsBySweep.min > 0 &&
+      totalsBySweep.max > 1.2 * totalsBySweep.min
+    val contaminated = sweepGates.exists(g => g != null && g.timedOut) || spreadBad
     val qs = results
       .sortBy { case (_, med, _) => if (med < 0) Double.MaxValue else med }
       .map { case (k, med, _) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(med) }
       .mkString("{", ",", "}")
-    println(s"""{"queries":$qs,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","contaminated":$contaminated}""")
     // outliers: median > 2× min AND > 0.5 s absolute — the per-query form
     // of "this sweep was contaminated". Empty on an idle machine.
     val outliers = results
@@ -169,13 +190,17 @@ object Bench {
       .map { case (k, med, mn) =>
         "\"" + k.takeWhile(_ != '_') + s"""\":[${f3(mn)},${f3(med)}]""" }
       .mkString("{", ",", "}")
-    val sweepTotals = bySweep.map(r => f3(r.map(_._2).filter(_ >= 0).sum))
-      .mkString("[", ",", "]")
+    val sweepTotals = totalsBySweep.map(f3).mkString("[", ",", "]")
+    val gatesJson = sweepGates.map {
+      case null => "null"
+      case g => s"""{"start":${f"${g.start}%.2f"},"end":${f"${g.end}%.2f"},""" +
+        s""""waited_ms":${g.waitedMs},"timed_out":${g.timedOut}}"""
+    }.mkString("[", ",", "]")
     println(s"""{"metric":"diag","sweep_totals":$sweepTotals,""" +
       s""""loadavg":${sweepLoad.map(l => f"$l%.2f").mkString("[", ",", "]")},""" +
       s""""gc_ms":${sweepGcMs.mkString("[", ",", "]")},""" +
-      s""""idle_gate":{"threshold":$gateThreshold,"start_load":$gateStartLoad,""" +
-      s""""end_load":$gateEndLoad,"waited_ms":$gateWaitedMs,"timed_out":$gateTimedOut},""" +
+      s""""gate_threshold":$gateThreshold,"sweep_gates":$gatesJson,""" +
+      s""""contaminated":$contaminated,"spread_bad":$spreadBad,""" +
       s""""total_min":${f3(totalMin)},"outliers_min_med":$outliers}""")
     // hash-mode rider: the sweeps above run every sketch/window query in
     // md5 (the oracle-parity configuration the correctness gate replays).

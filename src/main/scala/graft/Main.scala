@@ -47,7 +47,11 @@ object Main {
   def run(spark: SparkSession, args: Seq[String]): DataFrame = {
     require(args.nonEmpty, usage)
     val cmd = args.head
-    val flags = parseFlags(args.tail)
+    // `huggingface dl` carries the reference's subcommand token
+    val flagArgs =
+      if (cmd == "huggingface" && args.lift(1).contains("dl")) args.drop(2)
+      else args.tail
+    val flags = parseFlags(flagArgs)
     def need(k: String): String =
       flags.getOrElse(k, throw new IllegalArgumentException(s"$cmd requires --$k\n$usage"))
     // sketch/bucketing hash: xx64 (Spark's xxhash64, codegen'd) is the
@@ -1319,6 +1323,29 @@ object Main {
           metric = flags.getOrElse("metric", "COSINE"),
           idCol = "ordinal", vecCol = "vector")
 
+      case "huggingface" =>
+        // S17 (reference 03-cli-reference.md:437-455): --list prints the
+        // repo inventory; otherwise download --file into --output via
+        // distributed ranged GETs, optional --sha256 whole-file verify.
+        // --endpoint overrides the hub base URL (loopback fixture in the
+        // zero-egress sandbox).
+        val hfEndpoint = flags.getOrElse("endpoint", sources.HfFetch.DefaultEndpoint)
+        val hfRev = flags.getOrElse("revision", "main")
+        if (flags.contains("list"))
+          sources.HfFetch.listFiles(spark, need("repo"), hfRev, hfEndpoint)
+        else {
+          val (path, report) = sources.HfFetch.download(spark, need("repo"),
+            need("file"), need("output"), hfRev, hfEndpoint,
+            sha256 = flags.get("sha256"))
+          System.err.println(s"[huggingface] downloaded to $path")
+          report
+        }
+
+      case "check-endian" =>
+        // endianness sanity check over xvec files (reference README.md:45)
+        sources.xvec.CheckEndian.check(spark,
+          need("input").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")
     }
@@ -1417,7 +1444,9 @@ object Main {
       |  textrank --input PARQUET [--k N] [--window N] [--min-count N] [--iters N] [--text-col C]
       |  funnel --events PARQUET --steps a,b,c [--max-gap-seconds N]
       |  transitions --events PARQUET
-      |  matryoshka --query PATH --base PATH --dims d1,d2,... [--k N] [--metric M]""".stripMargin
+      |  matryoshka --query PATH --base PATH --dims d1,d2,... [--k N] [--metric M]
+      |  huggingface [dl] --repo ORG/NAME (--file F --output DIR [--sha256 H] | --list) [--revision R] [--endpoint URL]
+      |  check-endian --input XVEC[,XVEC...]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

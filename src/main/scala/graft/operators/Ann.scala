@@ -448,7 +448,7 @@ object Ann {
     * drop the aside and the spent tombstones. Idempotent, called by every
     * read entry point and by [[deleteFromBundle]].
     */
-  private def recoverBundle(path: String): Unit = {
+  private[operators] def recoverBundle(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete()

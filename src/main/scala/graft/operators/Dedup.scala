@@ -625,6 +625,7 @@ object Dedup {
       val nextM = mat(next)
       val changed = nextM.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).limit(1).count()
+      Materialize.free(labels) // dead once the change probe has read it
       labels = nextM
       iterating = changed > 0
       rounds += 1

@@ -16,29 +16,60 @@ import org.apache.spark.sql.functions._
   */
 object Diversity {
 
+  /** Shared gram generator: one `gram` row per positional n-gram
+    * occurrence (lowercased whitespace tokens, the corpus convention).
+    */
+  private def grams(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs.select(
+        filter(split(lower(col(textCol)), " "), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))))).as("gram"))
+
   /** One row per n: total n-gram occurrences, distinct types, and the
     * distinct ratio (round-6; 0.0 for an empty corpus slice so the card
-    * is total). Tokenization: lowercased whitespace split, the corpus
-    * convention.
+    * is total). EXACT: `count_distinct` partial-aggregates map-side, but
+    * the exchange still carries every n-gram TYPE — at web-corpus scale
+    * the 2/3-gram type space is corpus-sized, so the 100 TB card is
+    * [[distinctNApprox]]; this form is the oracle twin.
     */
   def distinctN(docs: DataFrame, textCol: String,
       ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ > 0), s"ns must be positive, got $ns")
-    val toks = docs.select(
-      filter(split(lower(col(textCol)), " "), t => t =!= "").as("toks"))
     ns.map { n =>
-      val grams = toks
-        .filter(size(col("toks")) >= n)
-        .select(explode(transform(
-          sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))))).as("gram"))
-      grams.agg(
+      grams(docs, textCol, n).agg(
         count(lit(1)).as("total_ngrams"),
         count_distinct(col("gram")).as("distinct_ngrams"))
         .select(lit(n.toLong).as("n"), col("total_ngrams"), col("distinct_ngrams"),
           when(col("total_ngrams") === 0, lit(0.0)) // ANSI-safe on empty slices
             .otherwise(round(col("distinct_ngrams") / col("total_ngrams"), 6))
             .as("distinct_ratio"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The scale path: HLL++ `approx_count_distinct(rsd)` over the same
+    * gram generator — CONSTANT sketch memory per partition and an
+    * exchange carrying one sketch per n instead of the gram-type
+    * universe. Output rows additionally carry the exact count and a
+    * 5σ bound check on the sketch (the q141/q71 card discipline: the
+    * oracle replays the exact side, the bound pins the sketch); a
+    * production run at 100 TB would read `approx_distinct` alone.
+    */
+  def distinctNApprox(docs: DataFrame, textCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3), rsd: Double = 0.02): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ > 0), s"ns must be positive, got $ns")
+    require(rsd > 0 && rsd < 1, s"rsd in (0,1), got $rsd")
+    ns.map { n =>
+      grams(docs, textCol, n).agg(
+        count(lit(1)).as("total_ngrams"),
+        count_distinct(col("gram")).as("distinct_ngrams"),
+        approx_count_distinct(col("gram"), rsd).as("approx"))
+        .select(lit(n.toLong).as("n"), col("total_ngrams"), col("distinct_ngrams"),
+          when(col("distinct_ngrams") === 0, col("approx") === 0)
+            .otherwise(abs(col("approx") - col("distinct_ngrams"))
+              .cast("double") / col("distinct_ngrams") <= rsd * 5)
+            .as("approx_in_bounds"))
     }.reduce(_ unionAll _)
   }
 }

@@ -81,19 +81,31 @@ object Hits {
     for (t <- 1 to iters) {
       val a = halfStep(hub, "src", "dst")
       auth = if (t == iters) mat(a) else a
+      val prevHub = hub
       hub = mat(halfStep(auth, "dst", "src"))
+      // the previous hub frame is dead once the new one is materialized
+      // (the lazy auth half-step that read it is baked into that plan)
+      Materialize.free(prevHub)
     }
 
-    val hz = hub.agg(sum(col("score")).as("hz"))
-    val az = auth.agg(sum(col("score")).as("az"))
+    val hz = hub.agg(sum(col("score"))).head().getDouble(0)
+    val az = auth.agg(sum(col("score"))).head().getDouble(0)
+    // with normalization deferred to the end, unnormalized mass grows
+    // ~(mean degree)^2 per round; deep iters on dense graphs can push the
+    // sums to Infinity and the output would be silent NaN — fail loudly
+    // with the recovery path instead
+    require(java.lang.Double.isFinite(hz) && java.lang.Double.isFinite(az)
+        && hz > 0 && az > 0,
+      s"hits: unnormalized score mass overflowed after $iters rounds " +
+        s"(hub sum $hz, auth sum $az) — split into two shorter hits() " +
+        "calls and renormalize between them")
     nodes
       .join(hub.select(col("id").as("hid"), col("score").as("hs")),
         col("id") === col("hid"), "left")
       .join(auth.select(col("id").as("aid"), col("score").as("as_")),
         col("id") === col("aid"), "left")
-      .crossJoin(broadcast(hz)).crossJoin(broadcast(az))
       .select(col("id"),
-        (coalesce(col("hs"), lit(0.0)) / col("hz")).as("hub"),
-        (coalesce(col("as_"), lit(0.0)) / col("az")).as("auth"))
+        (coalesce(col("hs"), lit(0.0)) / lit(hz)).as("hub"),
+        (coalesce(col("as_"), lit(0.0)) / lit(az)).as("auth"))
   }
 }

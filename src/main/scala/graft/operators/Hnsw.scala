@@ -288,7 +288,8 @@ object Hnsw {
       k: Int, nProbe: Int, ef: Int = 64, metric: String = "COSINE",
       idCol: String = "vec_id", vecCol: String = "embedding",
       excludeSelf: Boolean = false,
-      counter: Option[LongAccumulator] = None): DataFrame = {
+      counter: Option[LongAccumulator] = None,
+      excluded: Set[Long] = Set.empty): DataFrame = {
     require(k >= 1 && nProbe >= 1 && ef >= k,
       s"hnswSearch: need k >= 1, nProbe >= 1, ef >= k (k=$k nProbe=$nProbe ef=$ef)")
     val spark = queries.sparkSession
@@ -320,6 +321,12 @@ object Hnsw {
     val rows = index.select(col("cell"), col("id"),
         col("vec").cast("array<float>"), col("nbrs").cast("array<long>"))
       .as[(Long, Long, Array[Float], Array[Long])]
+    // tombstoned ids stay in the WALK (removing them could disconnect the
+    // graph and break the saturated == exhaustive theorem) but never enter
+    // the result heap — the hybrid pre-filter discipline applied to
+    // deletes-at-rest. The set is bounded by deletes since the last
+    // compact (searchBundle's contract), so the broadcast is tiny.
+    val exB = spark.sparkContext.broadcast(excluded)
     val cand = probes.groupByKey(_._1).cogroup(rows.groupByKey(_._1)) {
       (cell, qs, grows) =>
         val pts = grows.toArray.sortBy(_._2)
@@ -330,8 +337,11 @@ object Hnsw {
           pts.iterator.zipWithIndex.foreach { case (p, i) =>
             g.adj(i) ++= p._4.iterator.flatMap(idToIdx.get(_))
           }
+          val ex = exB.value
+          val elig: Int => Boolean =
+            if (ex.isEmpty) _ => true else i => !ex.contains(g.ids(i))
           qs.flatMap { case (_, qid, qv) =>
-            g.beam(qv, 0, ef).take(ef).iterator
+            g.beam(qv, 0, ef, elig).take(ef).iterator
               .map { case (d, i) => (qid, g.ids(i), d) }
           }
         }
@@ -495,18 +505,113 @@ object Hnsw {
       .parquet(s"$path/quantizer")
   }
 
-  /** Serve a [[writeBundle]] directory: quantizer from the bundle,
-    * probed-cell static pruning on the cells scan, then [[hnswSearch]].
+  /** Serve a [[writeBundle]] directory: heal any crashed compact
+    * ([[Ann.recoverBundle]] — the layouts are identical), quantizer from
+    * the bundle, probed-cell static pruning on the cells scan, then
+    * [[hnswSearch]] with the bundle's tombstones beam-ineligible
+    * (traversed for connectivity, never returned — deletes hide
+    * immediately, [[compactBundle]] reclaims).
     */
   def searchBundle(queries: DataFrame, path: String, k: Int, nProbe: Int,
       ef: Int = 64, metric: String = "COSINE", idCol: String = "vec_id",
       vecCol: String = "embedding", excludeSelf: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
+    Ann.recoverBundle(path)
     val quant = spark.read.parquet(s"$path/quantizer")
     val cells = Ann.probedCells(queries, quant, nProbe, metric, idCol, vecCol)
     val live = spark.read.parquet(s"$path/cells").filter(col("cell").isin(cells: _*))
+    val tombFile = new java.io.File(s"$path/tombstones")
+    val tombs: Set[Long] =
+      if (tombFile.exists())
+        spark.read.parquet(tombFile.toString)
+          .select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+      else Set.empty
     hnswSearch(queries, live, quant, k, nProbe, ef, metric, idCol, vecCol,
-      excludeSelf)
+      excludeSelf, excluded = tombs)
+  }
+
+  /** Tombstone ids in a persisted graph bundle — the `Ann` takedown
+    * discipline at the HNSW layer: one crash-atomic parquet append under
+    * `path/tombstones` (a crashed append commits nothing — the delete
+    * simply has not happened and the caller retries), hidden immediately
+    * by [[searchBundle]] WITHOUT touching any graph (tombstoned nodes
+    * stay walkable, so cell connectivity — the saturated-beam theorem —
+    * survives), reclaimed by [[compactBundle]]. This is the safe
+    * takedown path; [[deleteFromBundle]] is the eager rebuild whose
+    * dynamic partition overwrite can land partially under a crash.
+    */
+  def tombstoneFromBundle(removedIds: DataFrame, path: String,
+      idCol: String = "vec_id"): Unit =
+    Ann.deleteFromBundle(removedIds, path, idCol)
+
+  /** Reclaim tombstoned rows: rebuild the AFFECTED cells' graphs without
+    * the removed points, pass untouched cells through byte-identically,
+    * and swap the whole generation in with the `Ann.compactBundle`
+    * crash discipline (tmp written → live renamed aside → tmp renamed
+    * in → tombstones dropped → aside deleted; [[Ann.recoverBundle]]
+    * heals every in-between window, and a fully-emptied cell simply has
+    * no directory in the new generation — no dynamic-overwrite
+    * empty-partition hole).
+    */
+  def compactBundle(spark: org.apache.spark.sql.SparkSession, path: String,
+      m: Int = 8, efConstruction: Int = 32, metric: String = "COSINE"): Unit =
+    compactBundleWithFailpoint(spark, path, Int.MaxValue, m, efConstruction, metric)
+
+  private[graft] def compactBundleWithFailpoint(
+      spark: org.apache.spark.sql.SparkSession, path: String, failAfter: Int,
+      m: Int = 8, efConstruction: Int = 32, metric: String = "COSINE"): Unit = {
+    Ann.recoverBundle(path)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete()
+    }
+    // GC orphans of earlier crashed compacts (never referenced once live)
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(".cells-compact-") ||
+        f.getName.startsWith(".cells-old-"))
+      .foreach(rmTree)
+    def crash(step: Int): Unit =
+      if (failAfter == step) throw new RuntimeException(s"injected crash after step $step")
+
+    val cellsDf = spark.read.parquet(s"$path/cells")
+    require(cellsDf.columns.toSet == Set("cell", "id", "vec", "nbrs"),
+      "Hnsw.compactBundle supports the plain (cell, id, vec, nbrs) layout; " +
+        s"got ${cellsDf.columns.mkString(", ")} — meta bundles rebuild via hnswIndexWithMeta")
+    val tombFile = new java.io.File(s"$path/tombstones")
+    val out = if (tombFile.exists()) {
+      val rm = spark.read.parquet(tombFile.toString)
+        .select(col("id").cast("long").as("id"))
+      val affected = cellsDf.join(rm, "id")
+        .select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      if (affected.isEmpty) cellsDf
+      else {
+        val survivors = cellsDf.filter(col("cell").isin(affected: _*))
+          .join(rm, Seq("id"), "left_anti")
+          .select(col("cell").cast("long").as("cell"), col("id"), col("vec"))
+        cellsDf.filter(!col("cell").isin(affected: _*))
+          .select(col("cell").cast("long").as("cell"), col("id"), col("vec"),
+            col("nbrs"))
+          .unionByName(buildGraphs(survivors, m, efConstruction, metric))
+      }
+    } else cellsDf
+    val stamp = System.nanoTime()
+    val tmp = s"$path/.cells-compact-$stamp"
+    // reads the path it will replace — materialize before any rename
+    out.localCheckpoint(true).write.partitionBy("cell").parquet(tmp)
+    crash(1)
+    val live = new java.io.File(s"$path/cells")
+    val aside = new java.io.File(s"$path/.cells-old-$stamp")
+    require(live.renameTo(aside), s"hnsw compact: cannot rename $live aside")
+    crash(2)
+    require(new java.io.File(tmp).renameTo(live),
+      s"hnsw compact: cannot rename $tmp live")
+    crash(3)
+    // tombstones BEFORE the aside: while the aside exists it marks the
+    // tombstones as spent (recoverBundle retires them)
+    rmTree(tombFile)
+    crash(4)
+    rmTree(aside)
   }
 
   /** Append a vector slice to a PERSISTED bundle: the slice assigns
@@ -544,12 +649,20 @@ object Hnsw {
       .partitionBy("cell").parquet(s"$path/cells")
   }
 
-  /** Delete ids from a PERSISTED bundle: affected cells rebuild without
-    * the removed points and only their partitions rewrite — the
+  /** Delete ids from a PERSISTED bundle EAGERLY: affected cells rebuild
+    * without the removed points and only their partitions rewrite — the
     * [[hnswDelete]] semantics at rest. A cell whose every point is
     * removed keeps one tombstone-free rewrite pass: dynamic overwrite
     * only replaces partitions present in the WRITE, so a fully-emptied
     * cell is rewritten as an empty partition via an explicit drop list.
+    * NOTE: the multi-partition overwrite commit is not atomic — a crash
+    * mid-commit can leave SOME affected cells rebuilt and others still
+    * holding the removed ids, with nothing marking the miss. Takedowns
+    * (where a half-applied delete must be impossible to mistake for a
+    * complete one) go through [[tombstoneFromBundle]] +
+    * [[compactBundle]], whose every crash window either hides the ids
+    * (tombstones still present) or is healed by recovery
+    * (HnswBundleCrashSpec injects all of them).
     */
   def deleteFromBundle(removedIds: DataFrame, path: String, m: Int = 8,
       efConstruction: Int = 32, metric: String = "COSINE"): Unit = {

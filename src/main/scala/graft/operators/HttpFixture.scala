@@ -108,6 +108,28 @@ object HttpFixture {
     s"http://127.0.0.1:${s.getAddress.getPort}/$key"
   }
 
+  /** Register `path` under an EXACT url path (slashes allowed) and return
+    * its URL — the hermetic stand-in for protocol layouts where the path
+    * IS the contract (the HuggingFace hub tree: `api/datasets/{repo}` and
+    * `datasets/{repo}/resolve/{rev}/{file}`). Re-registering a key
+    * replaces it (a fixture building one repo tree per test run).
+    */
+  def serveAt(key: String, path: String): String = {
+    val p = Paths.get(path)
+    require(Files.exists(p), s"no such file: $path")
+    val k = key.stripPrefix("/")
+    require(k.nonEmpty, "serveAt: empty key")
+    val s = ensureStarted()
+    registry.put(k, p)
+    s"http://127.0.0.1:${s.getAddress.getPort}/$k"
+  }
+
+  /** Base URL of the fixture server (an `endpoint` for [[serveAt]] trees). */
+  def endpoint(): String = {
+    val s = ensureStarted()
+    s"http://127.0.0.1:${s.getAddress.getPort}"
+  }
+
   /** Serve `path` with Range requests IGNORED (always 200 + full body) —
     * the degraded-server case the fetcher must survive by skipping. Uses its
     * own key namespace so a normal `serve()` of the same path keeps range

@@ -56,6 +56,8 @@ object KCore {
         .select(col("src"), col("dst")))
       // one aggregate answers "did this round remove anything"
       converged = next.count() == cur.count()
+      // free superseded rounds, but never the caller-owned `start`
+      if (!(cur eq start)) Materialize.free(cur)
       cur = next
       rounds += 1
     }
@@ -139,6 +141,7 @@ object KCore {
         .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"), col("w")))
       converged = next.count() == cur.count()
+      Materialize.free(cur)
       cur = next
       rounds += 1
     }
@@ -164,8 +167,10 @@ object KCore {
     val spark = edges.sparkSession
     val mat = Materialize.policy(spark, checkpointDir)
     var cur = mat(undirected(edges, srcCol, dstCol))
-    var result = cur.select(col("src").as("id")).distinct()
-      .select(col("id"), lit(0).as("coreness"))
+    // materialized so the later free(result) only ever touches the result
+    // frame's own blocks, never a leaf shared with the live edge frame
+    var result = mat(cur.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(0).as("coreness")))
     var budget = maxRounds
     var k = 1
     var n = cur.count()
@@ -177,10 +182,15 @@ object KCore {
       val survivors = core.select(col("src").as("id")).distinct()
       // survivors of the k-peel have coreness >= k; the k-peel's victims
       // keep their previous value (k-1 or earlier thresholds)
-      result = mat(result.join(survivors.withColumn("in_core", lit(1)), Seq("id"), "left")
+      val newResult = mat(result.join(survivors.withColumn("in_core", lit(1)), Seq("id"), "left")
         .select(col("id"),
           when(col("in_core").isNotNull, lit(k)).otherwise(col("coreness"))
             .as("coreness")))
+      // the old result (and, once newResult is materialized, the old edge
+      // frame unless peel returned it unchanged) are dead — free them
+      Materialize.free(result)
+      if (!(core eq cur)) Materialize.free(cur)
+      result = newResult
       cur = core
       n = cur.count()
       k += 1

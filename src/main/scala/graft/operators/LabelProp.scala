@@ -108,7 +108,9 @@ object LabelProp {
       // every round, deliberately (the PageRank lesson: the score vector
       // feeds the next round's contribution join AND re-plans against
       // yFull — an unmaterialized chain re-executes its prefix)
-      f = mat(next)
+      val nxt = mat(next)
+      Materialize.free(f) // superseded frame's executor blocks go now
+      f = nxt
     } finally {
       // f is materialized each round — the builder caches must not outlive
       // the call in a long-lived session

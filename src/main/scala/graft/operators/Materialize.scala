@@ -27,13 +27,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object Materialize {
 
+  /** Inherited-statistic ceiling per materialized frame: 1 TiB — far above
+    * every broadcast threshold (so a frame the planner would broadcast
+    * keeps its exact, honest estimate) while bounding the size-only
+    * estimator's cross-round growth. Without the cap, checkpoint bakes
+    * the origin plan's JOIN-MULTIPLIED sizeInBytes into each round's
+    * leaf, so a state frame referenced k>=2 times per round grows its
+    * stat's digit count geometrically — by round ~25 the driver burns
+    * minutes multiplying million-digit BigIntegers inside
+    * `rewriteStatsAndConstraints` (see Bridge.capStats).
+    */
+  private val StatCapBytes = 1L << 40
+
   /** The per-round materializer for the given backend. */
   def policy(spark: SparkSession,
       checkpointDir: Option[String]): DataFrame => DataFrame =
     checkpointDir match {
-      case None => _.localCheckpoint(true)
+      case None =>
+        df => org.apache.spark.sql.graftbridge.Bridge.capStats(
+          df.localCheckpoint(true), StatCapBytes)
       case Some(dir) =>
         spark.sparkContext.setCheckpointDir(dir)
-        _.checkpoint(true)
+        df => org.apache.spark.sql.graftbridge.Bridge.capStats(
+          df.checkpoint(true), StatCapBytes)
+    }
+
+  /** Release the executor-storage blocks of a SUPERSEDED materialized
+    * frame. A `localCheckpoint` persists its RDD blocks on executors and
+    * nothing frees them until the driver's ContextCleaner happens to GC
+    * the dropped reference — at maxIters=50 an iterative loop holds up to
+    * 50× its steady-state footprint in dead rank frames. The checkpointed
+    * RDD is the `LogicalRDD` leaf of the returned frame; unpersist it
+    * (non-blocking) as soon as the next round's frame is eagerly
+    * materialized and the delta/convergence aggregate has read the old
+    * one. Reliable `checkpoint(dir)` frames live in external storage, not
+    * executor memory (the cleaner GCs the files) — no-op for them, and for
+    * any frame that is not a materialized leaf.
+    */
+  def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD
+          if l.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
     }
 }

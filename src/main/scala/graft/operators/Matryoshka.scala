@@ -31,6 +31,15 @@ object Matryoshka {
     val spark = queries.sparkSession
     import spark.implicits._
 
+    // slice() clamps past the end of the array, so a dims value larger
+    // than the vector dimension would silently sweep the FULL vector and
+    // report recall 1.0 for a prefix that does not exist — probe the
+    // actual dimension once and fail loudly instead
+    val fullDim = queries.select(size(col(vecCol))).head().getInt(0)
+    require(dims.forall(d => d >= 1 && d <= fullDim),
+      s"recallCurve: dims must be within [1, $fullDim] (the vector " +
+        s"dimension) — got ${dims.filterNot(d => d >= 1 && d <= fullDim).mkString(", ")}")
+
     val truth = Knn.knn(queries, base, k, metric, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
 

@@ -122,8 +122,13 @@ object PageRank {
       // per round (contributions + dangling mass), so an un-materialized
       // chain re-executes its whole prefix 2^rounds times — measured
       // q295 5.1 s -> 30.6 s when this was relaxed to every-5th-round.
-      // The per-round job overhead is the price of linear work.
-      ranks = mat(step(e, outDeg, nodes, n, ranks, damping, hasDangling))
+      // The per-round job overhead is the price of linear work. The
+      // superseded frame's executor blocks are freed immediately — at
+      // 50 rounds the dead frames would otherwise hold ~50× the
+      // steady-state storage until the ContextCleaner got to them.
+      val nxt = mat(step(e, outDeg, nodes, n, ranks, damping, hasDangling))
+      Materialize.free(ranks)
+      ranks = nxt
     } finally {
       // every rank frame is materialized, so the builder caches can go —
       // a long-lived session running many rankings must not accumulate them
@@ -215,6 +220,11 @@ object PageRank {
       val delta = ranks.select(col("id"), col("rank").as("prev"))
         .join(cur, "id")
         .agg(sum(abs(col("rank") - col("prev")))).collect()(0).getDouble(0)
+      // the previous frame is dead once the delta has read it — free its
+      // executor blocks now, not at some future ContextCleaner GC. `init`
+      // belongs to the caller (pageRankResume passes a frame the caller
+      // may still hold); only frames this loop created are freed.
+      if (!(ranks eq init)) Materialize.free(ranks)
       ranks = cur
       t += 1
       converged = delta < eps
@@ -262,6 +272,7 @@ object PageRank {
         .groupBy(col("dst").as("cid"))
         .agg(sum(col("rank") * col("w") / col("deg")).as("contrib"))
       val base = p.join(contribs, col("id") === col("cid"), "left")
+      val prev = ranks
       ranks = mat(
         if (hasDangling) {
           val dangling = ranks.join(outDeg, col("id") === col("src"), "left_anti")
@@ -274,6 +285,7 @@ object PageRank {
         } else base.select(col("id"),
           (lit(1.0 - damping) * col("p") + lit(damping) *
             coalesce(col("contrib"), lit(0.0))).as("rank")))
+      Materialize.free(prev)
     } finally {
       e.unpersist(); outDeg.unpersist(); p.unpersist()
     }

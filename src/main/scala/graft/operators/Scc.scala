@@ -51,8 +51,23 @@ object Scc {
       .head().getDecimal(0)
 
   /** Min-label fixpoint over `e(from, to)`: lab(v) = min id with a
-    * directed path to v (including v). Converges in graph-diameter
-    * rounds; `maxInner` guards loudly.
+    * directed path to v (including v). Each round combines the one-hop
+    * edge propagation with POINTER JUMPING — adopting lab(lab(v)), valid
+    * because lab(v) reaches v and lab(lab(v)) reaches lab(v), so by
+    * transitivity lab(lab(v)) reaches v. When ids decrease along the
+    * propagation path (lab(v) keeps pointing at a strictly farther
+    * reacher), the jump composes covered reach and convergence is
+    * O(log diameter) — SccSpec pins a 300-SCC chain at ≲12 rounds where
+    * one-hop needs ~599. When ids ASCEND along the path, lab(v) stays v
+    * until the frontier arrives and the jump has nothing to compose:
+    * the worst case remains O(diameter), the bound every label-
+    * propagation SCC in the literature shares (directed reachability
+    * has no cheap doubling — squaring the edge relation explodes it).
+    * Labels stay monotone non-increasing and bounded below by the true
+    * min, and a round with no change is still exactly the fixpoint (if
+    * some node had a smaller reacher, the one-hop term would fire
+    * somewhere along its path), so the sum witness is unchanged.
+    * `maxInner` guards the worst case loudly.
     */
   private def minLabelFixpoint(e: DataFrame, nodes: DataFrame, maxInner: Int,
       mat: DataFrame => DataFrame): DataFrame = {
@@ -65,8 +80,18 @@ object Scc {
       val prop = lab.join(e, col("id") === col("from"))
         .groupBy(col("to").as("pid"))
         .agg(min(col("lab")).as("cand"))
-      lab = mat(lab.join(prop, col("id") === col("pid"), "left")
-        .select(col("id"), least(col("lab"), coalesce(col("cand"), col("lab"))).as("lab")))
+      // pointer jump: labels are node ids of this fixpoint's node set
+      // (initialized to id, propagated as mins of ids), so the self-join
+      // always matches; left + coalesce keeps the shape total regardless
+      val jump = lab.select(col("id").as("jid"), col("lab").as("jlab"))
+      val nxt = mat(lab
+        .join(prop, col("id") === col("pid"), "left")
+        .join(jump, col("lab") === col("jid"), "left")
+        .select(col("id"), least(col("lab"),
+          coalesce(col("cand"), col("lab")),
+          coalesce(col("jlab"), col("lab"))).as("lab")))
+      Materialize.free(lab)
+      lab = nxt
       val s = labelSum(lab)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -88,12 +113,14 @@ object Scc {
       .filter(col("src") =!= col("dst")).distinct())
     var nodes = mat(rem.select(col("src").as("id"))
       .union(rem.select(col("dst").as("id"))).distinct())
-    var result: DataFrame = null
+    // empty start (all edges were self-loops / input empty) returns the
+    // empty assignment with the right schema instead of null
+    var result: DataFrame = nodes.select(col("id"), col("id").as("scc")).limit(0)
     var remaining = nodes.count()
     var wave = 0
 
     def accumulate(a: DataFrame): Unit =
-      result = if (result == null) a else result.unionByName(a)
+      result = result.unionByName(a)
 
     while (remaining > 0 && wave < maxWaves) {
       wave += 1
@@ -114,10 +141,16 @@ object Scc {
         val nTrivial = trivial.count()
         if (nTrivial > 0) {
           accumulate(trivial.select(col("id"), col("id").as("scc")))
-          live = mat(live.join(trivial, Seq("id"), "left_anti"))
-          liveE = mat(liveE
-            .join(live.select(col("id").as("src")), Seq("src"), "left_semi")
-            .join(live.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+          val newLive = mat(live.join(trivial, Seq("id"), "left_anti"))
+          val newE = mat(liveE
+            .join(newLive.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(newLive.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+          // superseded trim rounds are dead; the wave-entry frames
+          // (`nodes`/`rem`) are still live outer state — never freed here
+          if (!(live eq nodes)) Materialize.free(live)
+          if (!(liveE eq rem)) Materialize.free(liveE)
+          live = newLive
+          liveE = newE
           liveN -= nTrivial
         } else trimmed = false
       }
@@ -138,21 +171,44 @@ object Scc {
           maxInner, mat))
         val f = Await.result(ff, Duration.Inf)
         val g = Await.result(gf, Duration.Inf)
-        val assigned = mat(f.join(
+        val fg = mat(f.join(
             g.select(col("id").as("gid"), col("lab").as("glab")),
             col("id") === col("gid"))
-          .filter(col("lab") === col("glab"))
-          .select(col("id"), col("lab").as("scc")))
-        accumulate(assigned)
+          .select(col("id"), col("lab").as("flab"), col("glab")))
+        val assigned = fg.filter(col("flab") === col("glab"))
+          .select(col("id"), col("flab").as("scc"))
+        accumulate(mat(assigned))
 
-        // PEEL
-        nodes = mat(live.join(assigned, Seq("id"), "left_anti"))
-        rem = mat(liveE
-          .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
-          .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi"))
+        // PEEL with FW-BW partitioning (Fleischer et al. 2000 — public
+        // literature): every SCC lies entirely within one (f, g) class
+        // (f and g are constant on an SCC — its members all reach each
+        // other), so edges CROSSING classes can never close a cycle and
+        // are dropped, not just edges touching assigned nodes. A chain
+        // of k small SCCs then resolves in 2 waves (wave 1 colors, the
+        // class cut disconnects the chain, wave 2 assigns every piece
+        // in parallel) instead of k waves peeling the minimal SCC only.
+        // The f = g class is exactly the assigned set, so dropping it
+        // subsumes the old anti-join peel.
+        val newNodes = mat(live.join(assigned, Seq("id"), "left_anti"))
+        val newRem = mat(liveE
+          .join(fg.select(col("id").as("src"), col("flab").as("_fs"),
+            col("glab").as("_gs")), "src")
+          .join(fg.select(col("id").as("dst"), col("flab").as("_fd"),
+            col("glab").as("_gd")), "dst")
+          .filter(col("_fs") === col("_fd") && col("_gs") === col("_gd") &&
+            col("_fs") =!= col("_gs"))
+          .select(col("src"), col("dst")))
+        // with the next wave's frames materialized, this wave's working
+        // frames are dead (result holds only its own mat'd union legs)
+        Materialize.free(f); Materialize.free(g); Materialize.free(fg)
+        if (!(live eq nodes)) Materialize.free(live)
+        if (!(liveE eq rem)) Materialize.free(liveE)
+        Materialize.free(nodes); Materialize.free(rem)
+        nodes = newNodes
+        rem = newRem
       } else {
-        nodes = live
-        rem = liveE
+        if (!(live eq nodes)) { Materialize.free(nodes); nodes = live }
+        if (!(liveE eq rem)) { Materialize.free(rem); rem = liveE }
       }
       remaining = nodes.count()
     }
@@ -179,9 +235,11 @@ object Scc {
       val prop = lab.filter(col("flag") === 1)
         .join(e, col("id") === col("from"))
         .select(col("to").as("pid")).distinct()
-      lab = mat(lab.join(prop, col("id") === col("pid"), "left")
+      val nxt = mat(lab.join(prop, col("id") === col("pid"), "left")
         .select(col("id"),
           greatest(col("flag"), when(col("pid").isNull, 0).otherwise(1)).as("flag")))
+      Materialize.free(lab)
+      lab = nxt
       prev = cur
       cur = lab.agg(sum(col("flag"))).head().getLong(0)
     }

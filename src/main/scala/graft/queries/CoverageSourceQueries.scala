@@ -229,6 +229,58 @@ object CoverageSourceQueries {
       prebufferQuery(s, dir, http = true)
     },
 
+    // S17: hermetic HuggingFace fetch — the loopback fixture serves an
+    // HF-style tree (`api/datasets/{repo}` metadata + `resolve/{rev}`
+    // content paths); the query lists the repo, downloads the fvec facet
+    // through the distributed ranged-GET fan-out with whole-file sha256
+    // verify (the sha rides in the metadata, as on the real hub), and
+    // ingests the downloaded file — the green row proves list + resolve +
+    // fetch + verify + ingest end to end. Oracle recomputes the vectors
+    // from the parquet table (q60's pattern: DuckDB never reads the
+    // binary side).
+    GQuery(
+      "q331_hf_fetch",
+      s"""SELECT vec_id AS ordinal, len(embedding) AS dim, $duckNorm AS norm,
+         |       2 AS n_repo_files
+         |FROM embeddings WHERE vec_id < 120""".stripMargin) { (s, dir) =>
+      val base = s"${tmpDir()}/hf-${System.nanoTime()}"
+      Files.createDirectories(Paths.get(base))
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 120)
+        .select(col("vec_id").as("ordinal"), col("embedding").as("vector"))
+      XvecIO.write(emb, s"$base/base_vectors.fvec")
+      val fileSize = Files.size(Paths.get(s"$base/base_vectors.fvec"))
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val sha = md.digest(Files.readAllBytes(Paths.get(s"$base/base_vectors.fvec")))
+        .map("%02x".format(_)).mkString
+      Files.write(Paths.get(s"$base/README.md"),
+        "# graft test vectors\n".getBytes("UTF-8"))
+      Files.write(Paths.get(s"$base/api.json"),
+        (s"""{"id":"graft/test-vectors","sha":"main",""" +
+          s""""siblings":[{"rfilename":"README.md"},""" +
+          s"""{"rfilename":"base_vectors.fvec","size":$fileSize,""" +
+          s""""lfs":{"sha256":"$sha","size":$fileSize}}]}""").getBytes("UTF-8"))
+      val repo = "graft/test-vectors"
+      HttpFixture.serveAt(s"api/datasets/$repo", s"$base/api.json")
+      HttpFixture.serveAt(s"datasets/$repo/resolve/main/base_vectors.fvec",
+        s"$base/base_vectors.fvec")
+      HttpFixture.serveAt(s"datasets/$repo/resolve/main/README.md",
+        s"$base/README.md")
+      val endpoint = HttpFixture.endpoint()
+
+      val listing = graft.sources.HfFetch.listFiles(s, repo, endpoint = endpoint)
+        .collect()
+      val metaSha = listing
+        .find(_.getString(0) == "base_vectors.fvec").get.getString(2)
+      // small chunkBytes → a real multi-chunk distributed fan-out
+      val (path, _) = graft.sources.HfFetch.download(s, repo,
+        "base_vectors.fvec", s"$base/out", endpoint = endpoint,
+        sha256 = Some(metaSha), chunkBytes = 4096)
+      XvecIO.read(s, path)
+        .select(col("ordinal"), size(col("vector")).as("dim"),
+          round(graft.functions.VectorFunctions.vectorNorm(col("vector")), 6).as("norm"),
+          lit(listing.length).as("n_repo_files"))
+    },
+
     // S20: json vector sink round trip (values ride as JSON numbers; the
     // reader infers doubles that are exactly the written floats).
     GQuery(

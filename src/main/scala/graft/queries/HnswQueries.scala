@@ -180,5 +180,74 @@ object HnswQueries {
           excludeSelf = true)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"))
+    },
+
+    // ef-sweep calibration card (Hnsw.efRecallCurve): the artifact a
+    // serving deployment reads before fixing ef. Oracle discipline =
+    // q304's rule — the SATURATED point is replayed EXACTLY (recall 1.0
+    // by the connectivity theorem, and its distance-evaluation fraction
+    // equals the probed-cell mass, which DuckDB recomputes from the
+    // assignment: the saturated beam visits every probed-cell node
+    // exactly once, counted by the kernel accumulator). The measured
+    // sub-saturated rows sit beside it with theorem-backed bound columns:
+    // evals(ef) <= evals(saturated) holds per (query, cell) by the
+    // visit-once bitset, and generous recall floors (≥2x margin at
+    // sf0.01, HnswSpec pins tighter ones on its fixture) catch a beam
+    // regression without pinning float noise.
+    GQuery(
+      "q333_hnsw_ef_card",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, c.cell,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${duckCosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, cell FROM assignr WHERE rn = 1),
+         |csize AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 120),
+         |probr AS (
+         |  SELECT q.qid, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${duckCosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, cell FROM probr WHERE rn <= 4),
+         |ev AS (SELECT sum(coalesce(cs.n, 0))::DOUBLE AS evals,
+         |              count(DISTINCT p.qid)::DOUBLE AS nq
+         |       FROM probes p LEFT JOIN csize cs ON cs.cell = p.cell),
+         |nb AS (SELECT count(*)::DOUBLE AS nbase FROM base)
+         |SELECT 8::BIGINT AS ef, false AS saturated, NULL::DOUBLE AS recall,
+         |       NULL::DOUBLE AS evals_frac, true AS recall_floor_ok,
+         |       true AS evals_le_saturated
+         |UNION ALL SELECT 16, false, NULL, NULL, true, true
+         |UNION ALL SELECT 64, false, NULL, NULL, true, true
+         |UNION ALL
+         |SELECT 1048576, true, 1.0,
+         |       (SELECT round(evals / (nq * nbase), 6) FROM ev, nb),
+         |       true, true""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      val index = Hnsw.hnswIndex(emb, centroids, m = 8, efConstruction = 32)
+      val satEf = 1 << 20
+      val floors = Map(8 -> 0.3, 16 -> 0.45, 64 -> 0.6, satEf -> 1.0)
+      val card = Hnsw.efRecallCurve(queries, index, centroids, k = 5,
+          nProbe = 4, efs = Seq(8, 16, 64, satEf), excludeSelf = true)
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      val satEvals = card.find(_._1 == satEf).get._3
+      card.map { case (ef, recall, evals) =>
+        (ef.toLong, ef == satEf,
+          if (ef == satEf) Some(recall) else None,
+          if (ef == satEf) Some(evals) else None,
+          recall >= floors(ef),
+          evals <= satEvals * (1 + 1e-9))
+      }.toSeq
+        .toDF("ef", "saturated", "recall", "evals_frac",
+          "recall_floor_ok", "evals_le_saturated")
+        .select(col("ef"), col("saturated"), round(col("recall"), 6).as("recall"),
+          round(col("evals_frac"), 6).as("evals_frac"),
+          col("recall_floor_ok"), col("evals_le_saturated"))
     })
 }

@@ -1265,6 +1265,30 @@ object TextQueries {
       graft.operators.Diversity.distinctN(Tables.documents(s, dir), "text")
     },
 
+    // The 100 TB diversity card: HLL++ approx_count_distinct over the
+    // same gram generator — one sketch per n crosses the exchange instead
+    // of the corpus-sized gram-type universe. The q141/q71 discipline:
+    // output carries the EXACT count (oracle-recomputable) plus a 5σ
+    // bound check on the sketch.
+    GQuery(
+      "q332_distinct_n_approx",
+      """WITH t AS (SELECT list_filter(string_split(lower(text), ' '), x -> x != '') AS toks
+        |           FROM documents),
+        |g1 AS (SELECT array_to_string(toks[(i+1):(i+1)], ' ') AS gram
+        |       FROM (SELECT toks, unnest(range(len(toks))) AS i FROM t WHERE len(toks) >= 1)),
+        |g2 AS (SELECT array_to_string(toks[(i+1):(i+2)], ' ') AS gram
+        |       FROM (SELECT toks, unnest(range(len(toks) - 1)) AS i FROM t WHERE len(toks) >= 2)),
+        |g3 AS (SELECT array_to_string(toks[(i+1):(i+3)], ' ') AS gram
+        |       FROM (SELECT toks, unnest(range(len(toks) - 2)) AS i FROM t WHERE len(toks) >= 3))
+        |SELECT 1::BIGINT AS n, count(*) AS total_ngrams,
+        |       count(DISTINCT gram) AS distinct_ngrams, true AS approx_in_bounds FROM g1
+        |UNION ALL
+        |SELECT 2::BIGINT, count(*), count(DISTINCT gram), true FROM g2
+        |UNION ALL
+        |SELECT 3::BIGINT, count(*), count(DISTINCT gram), true FROM g3""".stripMargin) { (s, dir) =>
+      graft.operators.Diversity.distinctNApprox(Tables.documents(s, dir), "text")
+    },
+
     // Signed feature-hashing doc embedding: a MODEL-FREE vector per doc
     // (dim j accumulates ±1 per token, sign = the low hash bit) —
     // integer-exact, so the oracle replays every coordinate from the

@@ -1,6 +1,5 @@
 package graft.sources.slab
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -152,16 +151,19 @@ class SlabTable(spark: SparkSession, dir: String) {
   }
 
   /** S21 import: lines/jsonl/csv → records with ordinals assigned in input
-    * order (file order + line position; a global row_number over a
-    * monotonic id keeps the assignment deterministic).
+    * order via the distributed two-pass numbering
+    * ([[graft.operators.Ranking.fileOrderOrdinal]]: per-partition counts →
+    * broadcast offsets → per-partition numbering — no shuffle, no
+    * single-partition window; the text source's partition order IS file
+    * order, so the total order the ascending-append contract needs is
+    * preserved exactly).
     */
   def importText(ns: String, path: String): Unit = {
-    val raw = spark.read.text(path)
-      .select(col("value"), monotonically_increasing_id().as("mid"))
-    val withOrd = raw.select(
-      (row_number().over(Window.orderBy("mid")) - 1 + (maxOrdinal(ns) + 1)).as("ordinal"),
-      encode(col("value"), "UTF-8").as("data"))
-    append(ns, withOrd)
+    val base = maxOrdinal(ns) + 1
+    val numbered = graft.operators.Ranking.fileOrderOrdinal(
+      spark.read.text(path), "_fo")
+    append(ns, numbered.select((col("_fo") + base).as("ordinal"),
+      encode(col("value"), "UTF-8").as("data")))
   }
 
   /** S22 export: records → text lines (UTF-8 payloads). */

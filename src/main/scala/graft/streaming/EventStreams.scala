@@ -249,7 +249,7 @@ object EventStreams {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
-  final case class FunnelState(step: Int, lastMs: Long)
+  final case class FunnelState(step: Int, lastUs: Long)
   final case class Conversion(user_id: Long, step: Int, event_type: String,
       conv_ts: Timestamp)
 
@@ -274,13 +274,18 @@ object EventStreams {
       .flatMapGroupsWithState[FunnelState, Conversion](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // compare at MICROsecond precision — Spark timestamps carry
+          // micros, and the batch twin (Funnel.funnel) compares full
+          // timestamps, so a millisecond-truncated compare would convert
+          // two same-ms/different-µs events in batch but not here
+          def micros(ts: Timestamp): Long = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
           sorted.foreach { e =>
             if (st.step < stepArr.length && e.event_type == stepArr(st.step) &&
-                (st.step == 0 || e.ts.getTime > st.lastMs)) {
-              st = FunnelState(st.step + 1, e.ts.getTime)
+                (st.step == 0 || micros(e.ts) > st.lastUs)) {
+              st = FunnelState(st.step + 1, micros(e.ts))
               out += Conversion(userId, st.step, e.event_type, e.ts)
             }
           }

@@ -28,6 +28,36 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Re-wrap a checkpointed DataFrame (analyzed plan = one `LogicalRDD`
+    * leaf) with its `sizeInBytes` statistic CAPPED. Why: `checkpoint`/
+    * `localCheckpoint` bake the ORIGIN PLAN's estimated stats into the new
+    * leaf (`LogicalRDD.rewriteStatsAndConstraints`), and the size-only
+    * estimator MULTIPLIES child sizes through every join — so an iterative
+    * operator whose state frame joins itself (or is referenced twice) per
+    * round makes the leaf statistic grow geometrically in the DIGIT COUNT:
+    * by round ~25 the planner is doing Toom-Cook multiplication on
+    * million-digit BigIntegers and each materialization takes longer than
+    * the job it plans (observed: an SCC fixpoint at 6+ s/round of pure
+    * driver CPU). Capping the inherited stat at the leaf bounds every
+    * later product while keeping sub-cap (honest, broadcastable) sizes
+    * exact. Needs `LogicalRDD`'s curried constructor + `Dataset.ofRows`
+    * (`private[sql]`), hence bridged here.
+    */
+  def capStats(df: org.apache.spark.sql.DataFrame,
+      capBytes: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.catalyst.plans.logical.Statistics
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD if l.stats.sizeInBytes > BigInt(capBytes) =>
+        val capped = LogicalRDD(l.output, l.rdd, l.outputPartitioning,
+          l.outputOrdering, l.isStreaming)(
+          cs, Some(Statistics(sizeInBytes = BigInt(capBytes))), None)
+        org.apache.spark.sql.classic.Dataset.ofRows(cs, capped)
+      case _ => df
+    }
+  }
+
   /** Register a SQL function into an EXISTING session's registry
     * (`sessionState` is `private[sql]`) — the ad-hoc path; new sessions
     * should use `spark.sql.extensions=graft.GraftExtensions` instead.

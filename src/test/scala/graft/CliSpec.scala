@@ -1237,6 +1237,81 @@ class CliSpec extends SparkSpec {
     assert(mk.count() == 2 && mk.columns.toSet == Set("dims", "avg_recall"))
   }
 
+  test("check-endian: little-endian, byte-swapped, and garbage fixtures") {
+    // base.fvec is a valid little-endian file (dim 16)
+    val ok = Main.run(spark, Seq("check-endian", "--input", s"$dir/base.fvec"))
+      .collect().head
+    assert(ok.getString(5) == "little-endian", ok.toString)
+
+    // byte-swap every int32 word: an fvec is all 4-byte words (dim
+    // headers + float components), so the swapped file is exactly what a
+    // byte-order-naive writer produces — the check must call it BE
+    val src = Files.readAllBytes(Paths.get(s"$dir/base.fvec"))
+    val swapped = new Array[Byte](src.length)
+    var i = 0
+    while (i < src.length) {
+      swapped(i) = src(i + 3); swapped(i + 1) = src(i + 2)
+      swapped(i + 2) = src(i + 1); swapped(i + 3) = src(i)
+      i += 4
+    }
+    Files.write(Paths.get(s"$dir/swapped.fvec"), swapped)
+    val be = Main.run(spark, Seq("check-endian", "--input", s"$dir/swapped.fvec"))
+      .collect().head
+    assert(be.getString(5) == "big-endian", be.toString)
+
+    // garbage: neither order yields a plausible (dim, stride) pair
+    Files.write(Paths.get(s"$dir/garbage.fvec"),
+      Array.tabulate[Byte](37)(j => (j * 41 + 7).toByte))
+    val bad = Main.run(spark,
+      Seq("check-endian", "--input", s"$dir/garbage.fvec")).collect().head
+    assert(bad.getString(5) == "invalid", bad.toString)
+
+    // multi-file invocation keeps one row per file
+    val multi = Main.run(spark, Seq("check-endian", "--input",
+      s"$dir/base.fvec,$dir/swapped.fvec,$dir/garbage.fvec"))
+    assert(multi.count() == 3)
+  }
+
+  test("huggingface dl + list against the loopback HF tree") {
+    import graft.operators.HttpFixture
+    val d = Files.createTempDirectory("graft-hf-cli").toString
+    val repo = "cli-org/cli-repo"
+    val src = s"$dir/base.fvec"
+    val size = Files.size(Paths.get(src))
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Files.readAllBytes(Paths.get(src))).map("%02x".format(_)).mkString
+    Files.write(Paths.get(d, "api.json"),
+      (s"""{"id":"$repo","sha":"main","siblings":[""" +
+        s"""{"rfilename":"base.fvec","size":$size,""" +
+        s""""lfs":{"sha256":"$sha","size":$size}},""" +
+        s"""{"rfilename":"README.md"}]}""").getBytes("UTF-8"))
+    HttpFixture.serveAt(s"api/datasets/$repo", s"$d/api.json")
+    HttpFixture.serveAt(s"datasets/$repo/resolve/main/base.fvec", src)
+    val endpoint = HttpFixture.endpoint()
+
+    val listing = Main.run(spark, Seq("huggingface", "--repo", repo,
+      "--list", "--endpoint", endpoint)).collect()
+    assert(listing.map(_.getString(0)).toSet == Set("base.fvec", "README.md"))
+    assert(listing.find(_.getString(0) == "base.fvec").get.getString(2) == sha)
+
+    val out = s"$d/out"
+    val report = Main.run(spark, Seq("huggingface", "dl", "--repo", repo,
+      "--file", "base.fvec", "--output", out, "--endpoint", endpoint,
+      "--sha256", sha))
+    assert(report.filter(!col("valid")).count() == 0)
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(s"$out/base.fvec")),
+      Files.readAllBytes(Paths.get(src))), "downloaded bytes differ")
+
+    // corrupted expectation fails loudly, never a silent partial acquire
+    val e = intercept[IllegalArgumentException] {
+      Main.run(spark, Seq("huggingface", "dl", "--repo", repo,
+        "--file", "base.fvec", "--output", s"$d/out2", "--endpoint", endpoint,
+        "--sha256", "0" * 64))
+    }
+    assert(e.getMessage.contains("sha256 mismatch"))
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))

@@ -27,12 +27,6 @@ class WindowSweepSpec extends SparkSpec {
       "global row_number IS the operator under test, over a <=2000-row pre-filtered slice",
     "q14_shuffle_deterministic" ->
       "seeded-shuffle enumeration over a <=2000-row slice",
-    "q61_slab_import" ->
-      "slab import ordinal assignment: the ascending-append contract requires a total order over the single import batch",
-    "q62_slab_export" ->
-      "slab import ordinal assignment inside the fixture (single batch, bounded)",
-    "q216_slab_delete_compact" ->
-      "slab import ordinal assignment inside the fixture (single batch, bounded)",
     "q133_kmeans_assign" ->
       "k-means seed fixture: row_number over an orderBy().limit(k<=8) frame",
     "q134_cluster_sample" ->

@@ -111,13 +111,55 @@ class SccSpec extends SparkSpec {
   }
 
   test("wave guard fails loudly on an adversarial chain when bounded") {
+    // maxWaves = 1: wave 1 assigns only SCC(0) (the f = g class), leaving
+    // the rest of the chain unassigned — the guard must fire
     val edges = (0 until 6).flatMap { k =>
       val b = 2L * k
       Seq((b, b + 1), (b + 1, b)) ++ (if (k < 5) Seq((b + 1, b + 2)) else Nil)
     }
     val ex = intercept[IllegalArgumentException] {
-      Scc.scc(edges.toDF("src", "dst"), maxWaves = 2)
+      Scc.scc(edges.toDF("src", "dst"), maxWaves = 1)
     }
     assert(ex.getMessage.contains("unassigned after"))
+  }
+
+  test("long chain of 2-cycles resolves in 2 waves via FW-BW class cut") {
+    // 300 SCCs chained: wave 1 colors (f ≡ 0, g = per-SCC) and assigns
+    // SCC(0); the (f, g) class cut then DROPS every chain edge, so wave 2
+    // assigns all 299 remaining 2-cycles in parallel. Without the class
+    // cut this is one peeled SCC per wave (300 waves); without pointer
+    // jumping the wave-1 f fixpoint alone needs ~599 one-hop rounds
+    // (> maxInner = 200) — maxWaves = 3 / default maxInner pin both.
+    val n = 300
+    val edges = (0 until n).flatMap { k =>
+      val b = 2L * k
+      Seq((b, b + 1), (b + 1, b)) ++ (if (k < n - 1) Seq((b + 1, b + 2)) else Nil)
+    }
+    val got = Scc.scc(edges.toDF("src", "dst"), maxWaves = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 2 * n)
+    (0 until n).foreach { k =>
+      assert(got(2L * k) == 2L * k && got(2L * k + 1) == 2L * k)
+    }
+  }
+
+  test("single cycle resolves as one SCC (worst-case label direction)") {
+    // one n-node SCC. The f fixpoint (ids DECREASE upstream) doubles via
+    // the jump (~log n rounds); the g fixpoint is the adversarial
+    // direction — ids ASCEND along its propagation path, lab(v) stays v
+    // until the frontier arrives, so the jump has nothing to compose and
+    // it pays one hop per round (the O(diameter) worst case the
+    // literature's label-propagation SCC shares; maxInner guards it
+    // loudly). n stays small so the worst-case path is exercised, not
+    // suffered.
+    val n = 40L
+    val edges = (0L until n).map(i => (i, (i + 1) % n))
+    val got = Scc.scc(edges.toDF("src", "dst")).as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.forall(_ == 0L))
+  }
+
+  test("empty and self-loop-only inputs return an empty assignment") {
+    assert(Scc.scc(Seq((7L, 7L), (9L, 9L)).toDF("src", "dst")).count() == 0)
+    assert(Scc.scc(Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
   }
 }
