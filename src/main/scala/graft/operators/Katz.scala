@@ -36,9 +36,11 @@ object Katz {
       val contribs = c.join(e, col("id") === col("src"))
         .groupBy(col("dst").as("cid"))
         .agg(sum(col("katz")).as("contrib"))
-      c = mat(nodes.join(contribs, col("id") === col("cid"), "left")
+      val nxt = mat(nodes.join(contribs, col("id") === col("cid"), "left")
         .select(col("id"),
           (lit(1.0) + lit(alpha) * coalesce(col("contrib"), lit(0.0))).as("katz")))
+      Materialize.free(c) // superseded round's blocks go now
+      c = nxt
     }
     c
   }

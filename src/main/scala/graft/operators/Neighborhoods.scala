@@ -55,7 +55,11 @@ object Neighborhoods {
         .join(known, Seq("id", "other"), "left_anti"))
       val shell = next.withColumn("dist", lit(d))
       acc = if (acc == null) shell else acc.unionByName(shell)
-      known = mat(known.unionByName(next))
+      val newKnown = mat(known.unionByName(next))
+      // the superseded visited-set frame is dead (acc's legs are the
+      // per-shell `next` frames, never `known`); the shells stay persisted
+      Materialize.free(known)
+      known = newKnown
       frontier = next
     }
     acc
@@ -110,8 +114,10 @@ object Neighborhoods {
     for (_ <- 1 to rounds) {
       val relax = d.join(e, col("id") === col("src"))
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-      d = mat(d.unionByName(relax)
+      val nxt = mat(d.unionByName(relax)
         .groupBy("id").agg(min(col("dist")).as("dist")))
+      Materialize.free(d)
+      d = nxt
     }
     d
   }

@@ -182,6 +182,54 @@ object HnswQueries {
           col("rank").cast("long").as("rank"))
     },
 
+    // Tombstone-first takedown at rest (Hnsw.tombstoneFromBundle): ids
+    // hide IMMEDIATELY — no graph file rewritten — because tombstoned
+    // nodes stay walkable and only drop out of the result heap, so the
+    // saturated beam still provably equals the exhaustive scan over the
+    // SURVIVING rows of the probed cells. The oracle replays exactly
+    // that: the q304 shape with the removed ids filtered from the
+    // candidate set. HnswBundleCrashSpec separately injects crashes into
+    // the compaction that reclaims these tombstones.
+    GQuery(
+      "q334_hnsw_tombstone",
+      s"""WITH c AS (SELECT vec_id AS cell, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |assignr AS (
+         |  SELECT base.id, base.v, c.cell, ${duckCosDist("base.v", "c.ce")} AS d,
+         |         row_number() OVER (PARTITION BY base.id
+         |                            ORDER BY ${duckCosDist("base.v", "c.ce")}, c.cell) AS rn
+         |  FROM base CROSS JOIN c),
+         |assign AS (SELECT id, v, cell FROM assignr WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id >= 100 AND vec_id < 120),
+         |probr AS (
+         |  SELECT q.qid, q.qv, c.cell,
+         |         row_number() OVER (PARTITION BY q.qid
+         |                            ORDER BY ${duckCosDist("q.qv", "c.ce")}, c.cell) AS rn
+         |  FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qv, cell FROM probr WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, a.id AS nid, ${duckCosDist("p.qv", "a.v")} AS d
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.id <> p.qid AND a.id % 5 <> 4)
+         |SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val centroids = emb.filter(col("vec_id") < 16)
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      val bundle = s"${tmpDir()}/hnsw-tomb-${System.nanoTime()}"
+      Hnsw.writeBundle(
+        Hnsw.hnswIndex(emb, centroids, m = 8, efConstruction = 32),
+        centroids, bundle)
+      Hnsw.tombstoneFromBundle(emb.filter(col("vec_id") % 5 === 4), bundle)
+      Hnsw.searchBundle(queries, bundle, k = 5, nProbe = 4, ef = 1 << 20,
+          excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+    },
+
     // ef-sweep calibration card (Hnsw.efRecallCurve): the artifact a
     // serving deployment reads before fixing ef. Oracle discipline =
     // q304's rule — the SATURATED point is replayed EXACTLY (recall 1.0

@@ -204,6 +204,33 @@ class PageRankSpec extends SparkSpec {
     assert(files(new java.io.File(dir)) > 0, s"no checkpoint blocks under $dir")
   }
 
+  test("superseded iteration frames are freed — storage is O(1) in rounds") {
+    // a deep eps-stopped run holds ~1 live rank frame, not one per round:
+    // Materialize.free unpersists each superseded localCheckpoint as soon
+    // as the delta aggregate has read it (the r12 ~50x dead-frame finding)
+    // irregular IN-degrees (a ring is already at the uniform fixed point,
+    // and any bijective second map keeps the graph regular — 6 shares a
+    // factor with 300, so j -> 6j+3 is many-to-one and degrees vary)
+    val edges = (0L until 300L).flatMap(i =>
+        Seq((i, (i + 1) % 300), (i, (i * 6 + 3) % 300)))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val before = spark.sparkContext.getRDDStorageInfo.length
+    val (ranks, t, _) =
+      PageRank.pageRankUntil(edges, eps = 1e-12, maxIters = 25)
+    assert(t >= 20, s"want a deep run, got $t rounds")
+    assert(ranks.count() == 300)
+    // unpersist is async (blocking = false) — poll briefly
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var after = spark.sparkContext.getRDDStorageInfo.length
+    while (after - before > 3 && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      after = spark.sparkContext.getRDDStorageInfo.length
+    }
+    assert(after - before <= 3,
+      s"dead rank frames piled up: $before cached RDDs before, $after after " +
+        s"a $t-round run (expected the returned frame plus slack, not ~$t)")
+  }
+
   test("lineage is O(1) in the iteration count (checkpointed each step)") {
     val edges = (0L until 30L).map(i => (i, (i + 7) % 30)).toDF("src", "dst")
     val short = PageRank.pageRank(edges, 2).queryExecution.optimizedPlan.toString
