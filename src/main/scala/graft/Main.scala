@@ -1173,6 +1173,28 @@ object Main {
           vecCol = flags.getOrElse("vec-col", "embedding"),
           excludeSelf = flags.contains("exclude-self"))
 
+      case "hnsw-maintain" =>
+        // takedown discipline for a hnsw-build bundle: --tombstone hides
+        // ids immediately (no graph file touched; search treats them as
+        // beam-ineligible), --compact rebuilds affected cells and swaps
+        // generations crash-atomically. Report: live/tombstone counts.
+        val hmBundle = need("bundle")
+        flags.get("tombstone").foreach { p =>
+          operators.Hnsw.tombstoneFromBundle(spark.read.parquet(p), hmBundle,
+            flags.getOrElse("id-col", "vec_id"))
+        }
+        if (flags.contains("compact"))
+          operators.Hnsw.compactBundle(spark, hmBundle,
+            m = flags.getOrElse("m", "8").toInt,
+            efConstruction = flags.getOrElse("ef-construction", "32").toInt,
+            metric = flags.getOrElse("metric", "COSINE"))
+        val hmTomb = new java.io.File(s"$hmBundle/tombstones")
+        val hmTn = if (hmTomb.exists())
+          spark.read.parquet(hmTomb.toString).count() else 0L
+        spark.read.parquet(s"$hmBundle/cells")
+          .agg(count(lit(1)).as("rows"))
+          .select(col("rows"), lit(hmTn).as("tombstones"))
+
       case "phrase" =>
         // exact positional phrase match; --terms is the space-free CSV form
         val pIn = spark.read.parquet(need("input"))
@@ -1446,7 +1468,8 @@ object Main {
       |  transitions --events PARQUET
       |  matryoshka --query PATH --base PATH --dims d1,d2,... [--k N] [--metric M]
       |  huggingface [dl] --repo ORG/NAME (--file F --output DIR [--sha256 H] | --list) [--revision R] [--endpoint URL]
-      |  check-endian --input XVEC[,XVEC...]""".stripMargin
+      |  check-endian --input XVEC[,XVEC...]
+      |  hnsw-maintain --bundle DIR [--tombstone PARQUET] [--compact] [--id-col C] [--m N] [--ef-construction N] [--metric M]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sketch-based corpus-overlap card: how much of slice A's vocabulary
+  * (token/n-gram/url/id universe) does slice B share? The question every
+  * mixture/decontamination decision asks first — and at 100 TB the exact
+  * answer (a distinct-intersection join) shuffles two corpus-sized type
+  * universes. The scale path: ONE HLL++ sketch per side plus one for the
+  * union (each a map-side partial aggregate; only three fixed-size
+  * sketches cross an exchange), intersection by inclusion–exclusion
+  * |A∩B| = |A| + |B| − |A∪B|.
+  *
+  * Card discipline (q141/q71): the output carries the EXACT counts
+  * (oracle-recomputable by DuckDB) beside a bound check on the sketch —
+  * the inclusion–exclusion estimate must sit within 5σ of each input
+  * sketch's relative error, i.e. within 5·rsd·(|A|+|B|+|A∪B|) of the
+  * exact intersection. A production run at 100 TB reads the sketch
+  * columns alone.
+  */
+object Overlap {
+
+  /** One-row overlap card between the `keyCol` universes of `a` and `b`:
+    * (n_a, n_b, n_union, n_intersect, jaccard, approx_in_bounds). Exact
+    * side via count_distinct; sketch side via approx_count_distinct(rsd)
+    * over each slice and their union.
+    */
+  def overlapCard(a: DataFrame, b: DataFrame, keyCol: String,
+      rsd: Double = 0.02): DataFrame = {
+    require(rsd > 0 && rsd < 1, s"overlapCard: rsd in (0,1), got $rsd")
+    val ka = a.select(col(keyCol).as("k"))
+    val kb = b.select(col(keyCol).as("k"))
+    val sa = ka.agg(count_distinct(col("k")).as("n_a"),
+      approx_count_distinct(col("k"), rsd).as("apx_a"))
+    val sb = kb.agg(count_distinct(col("k")).as("n_b"),
+      approx_count_distinct(col("k"), rsd).as("apx_b"))
+    val su = ka.unionByName(kb).agg(count_distinct(col("k")).as("n_union"),
+      approx_count_distinct(col("k"), rsd).as("apx_u"))
+    sa.crossJoin(broadcast(sb)).crossJoin(broadcast(su))
+      .select(col("n_a"), col("n_b"), col("n_union"),
+        (col("n_a") + col("n_b") - col("n_union")).as("n_intersect"),
+        when(col("n_union") === 0, lit(0.0))
+          .otherwise(round((col("n_a") + col("n_b") - col("n_union"))
+            .cast("double") / col("n_union"), 6)).as("jaccard"),
+        (abs((col("apx_a") + col("apx_b") - col("apx_u")) -
+            (col("n_a") + col("n_b") - col("n_union"))).cast("double") <=
+          lit(5 * rsd) * (col("n_a") + col("n_b") + col("n_union")))
+          .as("approx_in_bounds"))
+  }
+
+  /** n-gram-vocabulary overlap between two document slices — overlapCard
+    * over the lowercased whitespace n-gram universes (the corpus
+    * convention), the concrete form a mixture/transfer decision reads
+    * ("how much of the new slice's phrasing is already covered?").
+    * `n = 1` is the raw token vocabulary; higher n discriminates corpora
+    * whose token inventories saturate (any two large slices share most
+    * unigrams — the n-gram universe is where the overlap signal lives).
+    */
+  def vocabOverlapCard(docsA: DataFrame, docsB: DataFrame, textCol: String,
+      n: Int = 1, rsd: Double = 0.02): DataFrame = {
+    require(n >= 1, s"vocabOverlapCard: n >= 1, got $n")
+    def grams(d: DataFrame) = d
+      .select(filter(split(lower(col(textCol)), " "), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))))).as("gram"))
+    overlapCard(grams(docsA), grams(docsB), "gram", rsd)
+  }
+}

@@ -1289,6 +1289,44 @@ object TextQueries {
       graft.operators.Diversity.distinctNApprox(Tables.documents(s, dir), "text")
     },
 
+    // Corpus-overlap card: trigram-vocabulary sharing between two source
+    // slices via inclusion-exclusion over three HLL++ sketches — the
+    // mixture/decontamination first-look at 100 TB (the exact
+    // distinct-intersection join would shuffle two corpus-sized type
+    // universes; here three fixed-size sketches cross the exchange).
+    // Trigrams, not unigrams: the synthetic corpus saturates its token
+    // inventory in every slice (any slice pair shares ~all unigrams —
+    // a degenerate card), while the trigram universes genuinely differ
+    // (jaccard ~0.02 at sf0.01). Output carries the exact counts (oracle
+    // side) + the 5σ bound on the sketch estimate (q141/q71 discipline).
+    GQuery(
+      "q335_corpus_overlap",
+      """WITH ga AS (SELECT DISTINCT array_to_string(toks[(i+1):(i+3)], ' ') AS g
+        |            FROM (SELECT list_filter(string_split(lower(text), ' '),
+        |                         x -> x != '') AS toks
+        |                  FROM documents WHERE source = 'src1'),
+        |                 UNNEST(range(len(toks) - 2)) AS t(i)),
+        |gb AS (SELECT DISTINCT array_to_string(toks[(i+1):(i+3)], ' ') AS g
+        |       FROM (SELECT list_filter(string_split(lower(text), ' '),
+        |                    x -> x != '') AS toks
+        |             FROM documents WHERE source = 'src2'),
+        |            UNNEST(range(len(toks) - 2)) AS t(i)),
+        |u AS (SELECT g FROM ga UNION SELECT g FROM gb)
+        |SELECT (SELECT count(*) FROM ga) AS n_a,
+        |       (SELECT count(*) FROM gb) AS n_b,
+        |       (SELECT count(*) FROM u) AS n_union,
+        |       (SELECT count(*) FROM ga) + (SELECT count(*) FROM gb)
+        |         - (SELECT count(*) FROM u) AS n_intersect,
+        |       round(((SELECT count(*) FROM ga) + (SELECT count(*) FROM gb)
+        |         - (SELECT count(*) FROM u))::DOUBLE
+        |         / (SELECT count(*) FROM u), 6) AS jaccard,
+        |       true AS approx_in_bounds""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.operators.Overlap.vocabOverlapCard(
+        docs.filter(col("source") === "src1"),
+        docs.filter(col("source") === "src2"), "text", n = 3)
+    },
+
     // Signed feature-hashing doc embedding: a MODEL-FREE vector per doc
     // (dim j accumulates ±1 per token, sign = the low hash bit) —
     // integer-exact, so the oracle replays every coordinate from the

@@ -1161,6 +1161,21 @@ class CliSpec extends SparkSpec {
     assert(hs.count() == 200 * 3)
     assert(hs.columns.toSet == Set("query_id", "neighbor_id", "rank", "dist"))
     assert(hs.filter(col("neighbor_id") === col("query_id")).count() == 0)
+
+    // hnsw-maintain: tombstones hide immediately (searches return no
+    // removed id, graph files untouched), compact reclaims them
+    (0L until 200L by 10L).toDF("vec_id").write.parquet(s"$d/rm.parquet")
+    val tomb = Main.run(spark, Seq("hnsw-maintain", "--bundle", s"$d/hnsw",
+      "--tombstone", s"$d/rm.parquet")).collect().head
+    assert(tomb.getLong(0) == 200 && tomb.getLong(1) == 20, tomb.toString)
+    val hsAfter = Main.run(spark, Seq("hnsw-search", "--index", s"$d/hnsw",
+      "--query", s"$d/hvecs.parquet", "--k", "3", "--n-probe", "2",
+      "--ef", "1048576", "--exclude-self"))
+    assert(hsAfter.filter(col("neighbor_id") % 10 === 0).count() == 0,
+      "tombstoned ids surfaced in search results")
+    val comp = Main.run(spark, Seq("hnsw-maintain", "--bundle", s"$d/hnsw",
+      "--compact", "--m", "4", "--ef-construction", "16")).collect().head
+    assert(comp.getLong(0) == 180 && comp.getLong(1) == 0, comp.toString)
   }
 
   test("hits, scc, katz, harmonic, walks, textrank, funnel, transitions, matryoshka smoke") {
