@@ -476,18 +476,26 @@ object Hnsw {
         .select(col("query_id"), col("neighbor_id"))
         .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
       val nQ = math.max(1, truth.size)
-      val rows = efs.map { ef =>
-        val counter = spark.sparkContext.longAccumulator(s"hnsw-curve-ef$ef")
-        val got = hnswSearch(queries, idx, centroids, k, nProbe, ef, metric,
-            idCol, vecCol, excludeSelf, counter = Some(counter))
-          .select(col("query_id"), col("neighbor_id"))
-          .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
-        val recall = truth.map { case (q, t) =>
-          if (t.isEmpty) 1.0 else (got.getOrElse(q, Set.empty) & t).size.toDouble / t.size
-        }.sum / nQ
-        (ef, recall, counter.value.toDouble / (nQ.toDouble * nBase))
+      // sweep points are independent given the cached index — submit them
+      // concurrently (the Matryoshka/SCC trick; each point gets its own
+      // accumulator so the eval counts stay attributed)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val futures = efs.map { ef =>
+        Future {
+          val counter = spark.sparkContext.longAccumulator(s"hnsw-curve-ef$ef")
+          val got = hnswSearch(queries, idx, centroids, k, nProbe, ef, metric,
+              idCol, vecCol, excludeSelf, counter = Some(counter))
+            .select(col("query_id"), col("neighbor_id"))
+            .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+          val recall = truth.map { case (q, t) =>
+            if (t.isEmpty) 1.0 else (got.getOrElse(q, Set.empty) & t).size.toDouble / t.size
+          }.sum / nQ
+          (ef, recall, counter.value.toDouble / (nQ.toDouble * nBase))
+        }
       }
-      rows.toDF("ef", "recall", "evals_frac")
+      futures.map(Await.result(_, Duration.Inf)).toDF("ef", "recall", "evals_frac")
     } finally idx.unpersist()
   }
 

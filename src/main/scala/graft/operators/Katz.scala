@@ -31,16 +31,27 @@ object Katz {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
 
-    var c = mat(nodes.select(col("id"), lit(1.0).as("katz")))
-    for (_ <- 1 to iters) {
-      val contribs = c.join(e, col("id") === col("src"))
+    def step(prev: DataFrame): DataFrame = {
+      val contribs = prev.join(e, col("id") === col("src"))
         .groupBy(col("dst").as("cid"))
         .agg(sum(col("katz")).as("contrib"))
-      val nxt = mat(nodes.join(contribs, col("id") === col("cid"), "left")
+      nodes.join(contribs, col("id") === col("cid"), "left")
         .select(col("id"),
-          (lit(1.0) + lit(alpha) * coalesce(col("contrib"), lit(0.0))).as("katz")))
+          (lit(1.0) + lit(alpha) * coalesce(col("contrib"), lit(0.0))).as("katz"))
+    }
+    var c = mat(nodes.select(col("id"), lit(1.0).as("katz")))
+    // the state is referenced ONCE per round, so two rounds fold into one
+    // materialization (the PageRank reference-count rule): same
+    // arithmetic, no recompute, half the checkpoint writes
+    var t = 0
+    while (t < iters) {
+      val steps = math.min(2, iters - t)
+      var nxt: DataFrame = c
+      for (_ <- 0 until steps) nxt = step(nxt)
+      val m = mat(nxt)
       Materialize.free(c) // superseded round's blocks go now
-      c = nxt
+      c = m
+      t += steps
     }
     c
   }

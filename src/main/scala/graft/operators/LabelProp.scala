@@ -94,23 +94,34 @@ object LabelProp {
     val outDeg = e.groupBy("src").agg(sum(col("w")).as("deg")).cache()
     val yFull = nodes.join(y, Seq("id"), "left")
       .select(col("id"), coalesce(col("y"), lit(0.0)).as("y")).cache()
-    var f = mat(yFull.select(col("id"), col("y").as("score")))
-    try for (_ <- 0 until iters) {
-      val contribs = f.join(e, col("id") === col("src"))
+    def step(prev: DataFrame): DataFrame = {
+      val contribs = prev.join(e, col("id") === col("src"))
         .join(outDeg, "src")
         .groupBy(col("dst").as("cid"))
         .agg(sum(col("score") * col("w") / col("deg")).as("contrib"))
-      val next = yFull
+      yFull
         .join(contribs, col("id") === col("cid"), "left")
         .select(col("id"),
           (lit(alpha) * coalesce(col("contrib"), lit(0.0))
             + lit(1.0 - alpha) * col("y")).as("score"))
-      // every round, deliberately (the PageRank lesson: the score vector
-      // feeds the next round's contribution join AND re-plans against
-      // yFull — an unmaterialized chain re-executes its prefix)
-      val nxt = mat(next)
-      Materialize.free(f) // superseded frame's executor blocks go now
-      f = nxt
+    }
+    var f = mat(yFull.select(col("id"), col("y").as("score")))
+    // the score vector is referenced ONCE per round (the contribution
+    // join; yFull is a separate cached base), so two rounds fold into one
+    // materialization — the PageRank reference-count rule: same
+    // arithmetic, no recompute, half the checkpoint writes. The stride
+    // stays at 2: deeper folds buy little and grow the per-job plan.
+    try {
+      var t = 0
+      while (t < iters) {
+        val steps = math.min(2, iters - t)
+        var nxt: DataFrame = f
+        for (_ <- 0 until steps) nxt = step(nxt)
+        val m = mat(nxt)
+        Materialize.free(f) // superseded frame's executor blocks go now
+        f = m
+        t += steps
+      }
     } finally {
       // f is materialized each round — the builder caches must not outlive
       // the call in a long-lived session

@@ -117,18 +117,34 @@ object PageRank {
     require(n > 0, "pageRank: empty graph")
     val hasDangling = outDeg.count() < n
     var ranks = mat(nodes.select(col("id"), (lit(1.0) / n).as("rank")))
-    try for (_ <- 0 until iters) {
-      // EVERY round materializes, deliberately: ranks is referenced TWICE
-      // per round (contributions + dangling mass), so an un-materialized
-      // chain re-executes its whole prefix 2^rounds times — measured
-      // q295 5.1 s -> 30.6 s when this was relaxed to every-5th-round.
-      // The per-round job overhead is the price of linear work. The
-      // superseded frame's executor blocks are freed immediately — at
-      // 50 rounds the dead frames would otherwise hold ~50× the
-      // steady-state storage until the ContextCleaner got to them.
-      val nxt = mat(step(e, outDeg, nodes, n, ranks, damping, hasDangling))
-      Materialize.free(ranks)
-      ranks = nxt
+    // Materialization stride = the REFERENCE COUNT rule. With dangling
+    // nodes the rank frame is referenced TWICE per round (contributions
+    // + dangling mass), so every round must materialize: an
+    // un-materialized chain re-executes its whole prefix 2^rounds times
+    // — measured q295 5.1 s -> 30.6 s when this was relaxed to
+    // every-5th-round. WITHOUT dangling nodes the frame is referenced
+    // exactly ONCE per round (the contribution join), so folding two
+    // rounds per materialization is exact (identical arithmetic, no
+    // recompute) and HALVES the materialization count — locally a small
+    // effect (the per-round stages still run), but on the reliable
+    // `checkpoint(dir)` backend each skipped materialization is one
+    // whole state write+read against cluster storage. Superseded frames'
+    // executor blocks are freed immediately — at 50 rounds the dead
+    // frames would otherwise hold ~50x the steady-state storage until
+    // the ContextCleaner got to them.
+    val stride = if (hasDangling) 1 else 2
+    try {
+      var t = 0
+      while (t < iters) {
+        val steps = math.min(stride, iters - t)
+        var nxt = ranks
+        for (_ <- 0 until steps)
+          nxt = step(e, outDeg, nodes, n, nxt, damping, hasDangling)
+        val m = mat(nxt)
+        Materialize.free(ranks)
+        ranks = m
+        t += steps
+      }
     } finally {
       // every rank frame is materialized, so the builder caches can go —
       // a long-lived session running many rankings must not accumulate them
@@ -265,27 +281,41 @@ object PageRank {
     // same once-per-call dangling detection as [[pageRank]]: nodes here
     // includes seed ids, so count p (== |nodes|) against outDeg
     val hasDangling = outDeg.count() < p.count()
-    var ranks = mat(p.select(col("id"), col("p").as("rank")))
-    try for (_ <- 0 until iters) {
-      val contribs = ranks.join(e, col("id") === col("src"))
+    def pprStep(prev: DataFrame): DataFrame = {
+      val contribs = prev.join(e, col("id") === col("src"))
         .join(outDeg, "src")
         .groupBy(col("dst").as("cid"))
         .agg(sum(col("rank") * col("w") / col("deg")).as("contrib"))
       val base = p.join(contribs, col("id") === col("cid"), "left")
-      val prev = ranks
-      ranks = mat(
-        if (hasDangling) {
-          val dangling = ranks.join(outDeg, col("id") === col("src"), "left_anti")
-            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
-          base.crossJoin(broadcast(dangling))
-            .select(col("id"),
-              (lit(1.0 - damping) * col("p") + lit(damping) *
-                (coalesce(col("contrib"), lit(0.0)) + col("dmass") * col("p")))
-                .as("rank"))
-        } else base.select(col("id"),
-          (lit(1.0 - damping) * col("p") + lit(damping) *
-            coalesce(col("contrib"), lit(0.0))).as("rank")))
-      Materialize.free(prev)
+      if (hasDangling) {
+        val dangling = prev.join(outDeg, col("id") === col("src"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+        base.crossJoin(broadcast(dangling))
+          .select(col("id"),
+            (lit(1.0 - damping) * col("p") + lit(damping) *
+              (coalesce(col("contrib"), lit(0.0)) + col("dmass") * col("p")))
+              .as("rank"))
+      } else base.select(col("id"),
+        (lit(1.0 - damping) * col("p") + lit(damping) *
+          coalesce(col("contrib"), lit(0.0))).as("rank"))
+    }
+    var ranks = mat(p.select(col("id"), col("p").as("rank")))
+    // the [[pageRank]] reference-count rule: without dangling nodes the
+    // rank frame is referenced once per round, so fold two rounds per
+    // materialization job; with dangling it is referenced twice and
+    // every round must materialize
+    val stride = if (hasDangling) 1 else 2
+    try {
+      var t = 0
+      while (t < iters) {
+        val steps = math.min(stride, iters - t)
+        var nxt: DataFrame = ranks
+        for (_ <- 0 until steps) nxt = pprStep(nxt)
+        val m = mat(nxt)
+        Materialize.free(ranks)
+        ranks = m
+        t += steps
+      }
     } finally {
       e.unpersist(); outDeg.unpersist(); p.unpersist()
     }
