@@ -47,9 +47,10 @@ object Main {
   def run(spark: SparkSession, args: Seq[String]): DataFrame = {
     require(args.nonEmpty, usage)
     val cmd = args.head
-    // `huggingface dl` carries the reference's subcommand token
+    // `huggingface dl` / `convert file` carry the reference's subcommand token
     val flagArgs =
-      if (cmd == "huggingface" && args.lift(1).contains("dl")) args.drop(2)
+      if ((cmd == "huggingface" && args.lift(1).contains("dl")) ||
+          (cmd == "convert" && args.lift(1).contains("file"))) args.drop(2)
       else args.tail
     val flags = parseFlags(flagArgs)
     def need(k: String): String =
@@ -1173,6 +1174,33 @@ object Main {
           vecCol = flags.getOrElse("vec-col", "embedding"),
           excludeSelf = flags.contains("exclude-self"))
 
+      case "convert" =>
+        // `convert [file] --input --output` (reference README.md:50,
+        // 03-cli-reference.md:245-251): format from each path's extension.
+        // Readers: xvec family / parquet (readVectors) / csv-json-array /
+        // json; sinks: xvec family / parquet / csv / json / yaml.
+        val cvIn = need("input")
+        val cvOut = need("output")
+        val rows =
+          if (cvIn.endsWith(".csv")) sources.CsvJsonArray.read(spark, cvIn)
+            .select(col("_c0").cast("long").as("ordinal"), col("vector"))
+          else if (cvIn.endsWith(".json"))
+            spark.read.json(cvIn).select(col("ordinal").cast("long"),
+              col("vector").cast("array<float>"))
+          else readVectors(spark, cvIn)
+        val n =
+          if (cvOut.endsWith(".csv")) {
+            sources.VectorSinks.writeCsv(rows, cvOut); rows.count()
+          } else if (cvOut.endsWith(".json")) {
+            sources.VectorSinks.writeJson(rows, cvOut); rows.count()
+          } else if (cvOut.endsWith(".yaml")) {
+            sources.VectorSinks.writeYaml(rows, cvOut); rows.count()
+          } else if (cvOut.endsWith(".parquet")) {
+            rows.write.mode("overwrite").parquet(cvOut); rows.count()
+          } else XvecIO.write(rows, cvOut)
+        import spark.implicits._
+        Seq((cvIn, cvOut, n)).toDF("input", "output", "records")
+
       case "hnsw-maintain" =>
         // takedown discipline for a hnsw-build bundle: --tombstone hides
         // ids immediately (no graph file touched; search treats them as
@@ -1469,6 +1497,7 @@ object Main {
       |  matryoshka --query PATH --base PATH --dims d1,d2,... [--k N] [--metric M]
       |  huggingface [dl] --repo ORG/NAME (--file F --output DIR [--sha256 H] | --list) [--revision R] [--endpoint URL]
       |  check-endian --input XVEC[,XVEC...]
+      |  convert [file] --input PATH --output PATH   (xvec/parquet/csv/json in; xvec/parquet/csv/json/yaml out)
       |  hnsw-maintain --bundle DIR [--tombstone PARQUET] [--compact] [--id-col C] [--m N] [--ef-construction N] [--metric M]""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -1252,6 +1252,33 @@ class CliSpec extends SparkSpec {
     assert(mk.count() == 2 && mk.columns.toSet == Set("dims", "avg_recall"))
   }
 
+  test("convert file round-trips fvec through csv, json and parquet") {
+    val d = Files.createTempDirectory("graft-cli-cv").toString
+    def vecs(path: String): Map[Long, Seq[Float]] =
+      XvecIO.read(spark, path).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val want = vecs(s"$dir/base.fvec")
+
+    val r1 = Main.run(spark, Seq("convert", "file",
+      "--input", s"$dir/base.fvec", "--output", s"$d/v.csv")).collect().head
+    assert(r1.getLong(2) == 100)
+    Main.run(spark, Seq("convert", "--input", s"$d/v.csv",
+      "--output", s"$d/back1.fvec"))
+    assert(vecs(s"$d/back1.fvec") == want, "fvec -> csv -> fvec diverged")
+
+    Main.run(spark, Seq("convert", "--input", s"$dir/base.fvec",
+      "--output", s"$d/v.json"))
+    Main.run(spark, Seq("convert", "--input", s"$d/v.json",
+      "--output", s"$d/back2.fvec"))
+    assert(vecs(s"$d/back2.fvec") == want, "fvec -> json -> fvec diverged")
+
+    Main.run(spark, Seq("convert", "--input", s"$dir/base.fvec",
+      "--output", s"$d/v.parquet"))
+    Main.run(spark, Seq("convert", "--input", s"$d/v.parquet",
+      "--output", s"$d/back3.fvec"))
+    assert(vecs(s"$d/back3.fvec") == want, "fvec -> parquet -> fvec diverged")
+  }
+
   test("check-endian: little-endian, byte-swapped, and garbage fixtures") {
     // base.fvec is a valid little-endian file (dim 16)
     val ok = Main.run(spark, Seq("check-endian", "--input", s"$dir/base.fvec"))
