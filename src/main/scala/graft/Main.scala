@@ -1391,6 +1391,14 @@ object Main {
           report
         }
 
+      case "html-extract" =>
+        // boilerplate removal: block-scored main text from an html column
+        operators.HtmlExtract.extract(spark.read.parquet(need("input")),
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("html-col", "html"),
+          minChars = flags.getOrElse("min-chars", "25").toInt,
+          maxLinkDensity = flags.getOrElse("max-link-density", "0.34").toDouble)
+
       case "check-endian" =>
         // endianness sanity check over xvec files (reference README.md:45)
         sources.xvec.CheckEndian.check(spark,
@@ -1498,6 +1506,7 @@ object Main {
       |  huggingface [dl] --repo ORG/NAME (--file F --output DIR [--sha256 H] | --list) [--revision R] [--endpoint URL]
       |  check-endian --input XVEC[,XVEC...]
       |  convert [file] --input PATH --output PATH   (xvec/parquet/csv/json in; xvec/parquet/csv/json/yaml out)
+      |  html-extract --input PARQUET [--id-col C] [--html-col C] [--min-chars N] [--max-link-density D]
       |  hnsw-maintain --bundle DIR [--tombstone PARQUET] [--compact] [--id-col C] [--m N] [--ef-construction N] [--metric M]""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -1289,6 +1289,25 @@ object TextQueries {
       graft.operators.Diversity.distinctNApprox(Tables.documents(s, dir), "text")
     },
 
+    // HTML main-text extraction (jusText/Arc90-family block scoring):
+    // the raw-crawl → text transform every curation stage downstream
+    // assumes. The oracle is EXTRACTION-EXACT by construction: each doc's
+    // text is wrapped in a chrome template (title/script/nav/footer —
+    // all of which must drop) and the extractor must hand back the
+    // original text byte-for-byte. Per-row map, zero shuffle.
+    GQuery(
+      "q336_html_extract",
+      """SELECT doc_id, text FROM documents WHERE doc_id < 300""") { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val html = docs.select(col("doc_id"), concat(
+        lit("<html><head><title>Page</title><script>var x = '<p>junk</p>';" +
+          "</script></head><body><!-- beacon --><nav><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a></nav><p>"),
+        col("text"),
+        lit("</p><footer>(c) corp</footer></body></html>")).as("html"))
+      graft.operators.HtmlExtract.extract(html, "doc_id", "html")
+    },
+
     // Corpus-overlap card: trigram-vocabulary sharing between two source
     // slices via inclusion-exclusion over three HLL++ sketches — the
     // mixture/decontamination first-look at 100 TB (the exact
