@@ -1391,6 +1391,11 @@ object Main {
           report
         }
 
+      case "warc-read" =>
+        // ISO 28500 crawl container → (file, warc_type, url, content_length,
+        // payload); one task per warc file, HTTP envelopes stripped
+        sources.WarcIO.read(spark, need("input"))
+
       case "html-extract" =>
         // boilerplate removal: block-scored main text from an html column
         operators.HtmlExtract.extract(spark.read.parquet(need("input")),
@@ -1507,6 +1512,7 @@ object Main {
       |  check-endian --input XVEC[,XVEC...]
       |  convert [file] --input PATH --output PATH   (xvec/parquet/csv/json in; xvec/parquet/csv/json/yaml out)
       |  html-extract --input PARQUET [--id-col C] [--html-col C] [--min-chars N] [--max-link-density D]
+      |  warc-read --input WARC|WARC.GZ|DIR
       |  hnsw-maintain --bundle DIR [--tombstone PARQUET] [--compact] [--id-col C] [--m N] [--ef-construction N] [--metric M]""".stripMargin
 
   def main(args: Array[String]): Unit = {

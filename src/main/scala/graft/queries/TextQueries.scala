@@ -1308,6 +1308,34 @@ object TextQueries {
       graft.operators.HtmlExtract.extract(html, "doc_id", "html")
     },
 
+    // The raw-crawl ingestion spine end to end: corpus text → chrome-
+    // wrapped HTML → WARC container (ISO 28500 response records with an
+    // HTTP envelope) → WarcIO.read (file-parallel scan, envelope strip)
+    // → HtmlExtract block scoring → the ORIGINAL text byte-for-byte,
+    // keyed by the doc id carried in the WARC-Target-URI. One oracle
+    // covers the writer, the record scanner, the HTTP strip and the
+    // boilerplate removal in composition.
+    GQuery(
+      "q337_warc_pipeline",
+      """SELECT doc_id, text FROM documents WHERE doc_id < 300""") { (s, dir) =>
+      val base = s"${tmpDir()}/warc-${System.nanoTime()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val pages = docs.select(
+        concat(lit("http://corpus.test/doc/"), col("doc_id")).as("url"),
+        concat(
+          lit("<html><head><title>Page</title><script>var x = '<p>junk</p>';" +
+            "</script></head><body><!-- beacon --><nav><a href=\"/\">Home</a> " +
+            "<a href=\"/about\">About</a></nav><p>"),
+          col("text"),
+          lit("</p><footer>(c) corp</footer></body></html>")).as("payload"))
+      graft.sources.WarcIO.write(pages, s"$base/crawl.warc")
+      val crawled = graft.sources.WarcIO.read(s, s"$base/crawl.warc")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("payload").as("html"))
+      graft.operators.HtmlExtract.extract(crawled, "doc_id", "html")
+    },
+
     // Corpus-overlap card: trigram-vocabulary sharing between two source
     // slices via inclusion-exclusion over three HLL++ sketches — the
     // mixture/decontamination first-look at 100 TB (the exact
