@@ -33,20 +33,53 @@ object HtmlExtract {
       "header|footer|nav|main|title|blockquote|pre|dd|dt|figure|form)\\b[^>]*>").r
   private val AnchorSpan = "(?is)<a\\b[^>]*>(.*?)</a\\s*>".r
   private val AnyTag = "(?s)<[^>]*>".r
-  private val Entities = Map("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+  private val HeadBlock = "(?is)<head\\b[^>]*>.*?</head\\s*>".r
+  private val TitleSpan = "(?is)<title\\b[^>]*>(.*?)</title\\s*>".r
+  // the named entities a crawl corpus actually carries (HTML4 core +
+  // typographic punctuation); unknown names pass through as literal text
+  private val Named = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "shy" -> "", "ensp" -> " ", "emsp" -> " ", "thinsp" -> " ",
+    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+    "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“",
+    "rdquo" -> "”", "sbquo" -> "‚", "bdquo" -> "„",
+    "prime" -> "′", "Prime" -> "″", "dagger" -> "†",
+    "Dagger" -> "‡", "bull" -> "•", "middot" -> "·",
+    "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "deg" -> "°", "plusmn" -> "±", "times" -> "×",
+    "divide" -> "÷", "laquo" -> "«", "raquo" -> "»",
+    "sect" -> "§", "para" -> "¶", "permil" -> "‰",
+    "euro" -> "€", "pound" -> "£", "yen" -> "¥",
+    "cent" -> "¢", "frac12" -> "½", "frac14" -> "¼",
+    "frac34" -> "¾", "sup1" -> "¹", "sup2" -> "²",
+    "sup3" -> "³", "micro" -> "µ", "iexcl" -> "¡",
+    "iquest" -> "¿", "szlig" -> "ß", "larr" -> "←",
+    "rarr" -> "→", "harr" -> "↔", "zwnj" -> "", "zwj" -> "")
+  private val EntityRef = "&(#[xX]?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]{1,31});".r
 
-  private def decodeEntities(s: String): String = {
-    var out = s
-    Entities.foreach { case (k, v) => out = out.replace(k, v) }
-    // numeric character references (decimal + hex)
-    out = "&#(\\d+);".r.replaceAllIn(out,
-      m => java.util.regex.Matcher.quoteReplacement(
-        new String(Character.toChars(m.group(1).toInt))))
-    "&#[xX]([0-9a-fA-F]+);".r.replaceAllIn(out,
-      m => java.util.regex.Matcher.quoteReplacement(
-        new String(Character.toChars(Integer.parseInt(m.group(1), 16)))))
-  }
+  /** Single left-to-right pass (so `&amp;lt;` decodes to the literal text
+    * `&lt;`, never double-decodes to `<`). A malformed numeric reference —
+    * overflow (`&#99999999999;`), out-of-range code point (`&#1114112;`),
+    * hex digits in a decimal form — passes through as its raw text: a
+    * malformed page degrades, never an exception (the operator contract;
+    * one bad crawl page must not kill the task).
+    */
+  private def decodeEntities(s: String): String =
+    EntityRef.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement {
+      val name = m.group(1)
+      if (name.charAt(0) == '#') {
+        val hex = name.length > 1 && (name.charAt(1) == 'x' || name.charAt(1) == 'X')
+        val digits = if (hex) name.substring(2) else name.substring(1)
+        try {
+          val cp = Integer.parseInt(digits, if (hex) 16 else 10)
+          if (Character.isValidCodePoint(cp) && cp != 0)
+            new String(Character.toChars(cp))
+          else m.matched
+        } catch { // overflow or invalid code point → raw entity text
+          case _: IllegalArgumentException => m.matched
+        }
+      } else Named.getOrElse(name, m.matched)
+    })
 
   private def clean(s: String): String =
     decodeEntities(AnyTag.replaceAllIn(s, " "))
@@ -62,7 +95,11 @@ object HtmlExtract {
     if (html == null) return null
     val noScript = ScriptStyle.replaceAllIn(html, " ")
     val noComment = Comment.replaceAllIn(noScript, " ")
-    val blocks = BlockTag.split(noComment)
+    // head content (title/meta/link) is metadata, not main text — a long
+    // <title> must not leak into the extracted body (jusText considers
+    // body blocks only); [[extractTitle]] is the metadata path
+    val noHead = HeadBlock.replaceAllIn(noComment, " ")
+    val blocks = BlockTag.split(noHead)
     val kept = blocks.iterator.map { raw =>
       val anchorChars = AnchorSpan.findAllMatchIn(raw)
         .map(m => clean(m.group(1)).length).sum
@@ -75,6 +112,17 @@ object HtmlExtract {
     kept.mkString("\n")
   }
 
+  /** Page title — the metadata column a curation pipeline keeps beside
+    * the main text (first `<title>` content, entity-decoded, whitespace-
+    * collapsed; null input propagates, no title → empty string).
+    */
+  def extractTitle(html: String): String = {
+    if (html == null) return null
+    val noScript = ScriptStyle.replaceAllIn(html, " ")
+    val noComment = Comment.replaceAllIn(noScript, " ")
+    TitleSpan.findFirstMatchIn(noComment).map(m => clean(m.group(1))).getOrElse("")
+  }
+
   /** DataFrame form: (idCol, textCol = extracted main text). One per-row
     * map over the html column — no shuffle, no state; nulls propagate.
     */
@@ -82,5 +130,14 @@ object HtmlExtract {
       minChars: Int = 25, maxLinkDensity: Double = 0.34): DataFrame = {
     val ex = udf((h: String) => extractText(h, minChars, maxLinkDensity))
     docs.select(col(idCol), ex(col(htmlCol)).as("text"))
+  }
+
+  /** [[extract]] with the title kept as metadata: (idCol, title, text). */
+  def extractWithTitle(docs: DataFrame, idCol: String, htmlCol: String,
+      minChars: Int = 25, maxLinkDensity: Double = 0.34): DataFrame = {
+    val ex = udf((h: String) => extractText(h, minChars, maxLinkDensity))
+    val ti = udf((h: String) => extractTitle(h))
+    docs.select(col(idCol), ti(col(htmlCol)).as("title"),
+      ex(col(htmlCol)).as("text"))
   }
 }

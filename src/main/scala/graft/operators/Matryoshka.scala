@@ -34,8 +34,13 @@ object Matryoshka {
     // slice() clamps past the end of the array, so a dims value larger
     // than the vector dimension would silently sweep the FULL vector and
     // report recall 1.0 for a prefix that does not exist — probe the
-    // actual dimension once and fail loudly instead
-    val fullDim = queries.select(size(col(vecCol))).head().getInt(0)
+    // actual dimension once and fail loudly instead. An EMPTY query frame
+    // has no dimension to check (and no recall to measure): return the
+    // empty curve rather than throwing from head()
+    val fullDimOpt = queries.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0))
+    if (fullDimOpt.isEmpty)
+      return Seq.empty[(Int, Double)].toDF("dims", "avg_recall")
+    val fullDim = fullDimOpt.get
     require(dims.forall(d => d >= 1 && d <= fullDim),
       s"recallCurve: dims must be within [1, $fullDim] (the vector " +
         s"dimension) — got ${dims.filterNot(d => d >= 1 && d <= fullDim).mkString(", ")}")

@@ -114,8 +114,19 @@ object Scc {
     var nodes = mat(rem.select(col("src").as("id"))
       .union(rem.select(col("dst").as("id"))).distinct())
     // empty start (all edges were self-loops / input empty) returns the
-    // empty assignment with the right schema instead of null
-    var result: DataFrame = nodes.select(col("id"), col("id").as("scc")).limit(0)
+    // empty assignment with the right schema instead of null. Seeded from
+    // an explicitly EMPTY frame, not limit(0) over `nodes`: the nodes
+    // frame's executor blocks are freed per wave, and a limit(0) leaf
+    // only stays evaluable because OptimizeLimitZero prunes it — with
+    // that rule excluded the returned frame would chase freed blocks
+    var result: DataFrame = {
+      val idT = nodes.schema("id").dataType
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idT),
+          org.apache.spark.sql.types.StructField("scc", idT))))
+    }
     var remaining = nodes.count()
     var wave = 0
 

@@ -48,45 +48,71 @@ object EventStreams {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
-  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  // STATE-SCHEMA NOTE: startUs/lastUs are event-time MICROseconds (full
+  // Spark timestamp precision). Pre-r14 checkpoints stored milliseconds
+  // under the same (Long, Long, Int, Double) encoder shape, so a stream
+  // restarted from an old checkpoint would silently reinterpret ms as µs
+  // (1000× too small) — restart sessionize streams from FRESH checkpoints
+  // after upgrading.
+  final case class SessionState(startUs: Long, lastUs: Long, n: Int, total: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int, total_value: Double)
 
+  /** Spark timestamps carry microseconds; `getTime` alone truncates to ms.
+    * Every stream/batch parity contract in this file compares at FULL
+    * precision through these two (the q329 lesson: a ms-truncated compare
+    * orders same-ms/different-µs events differently in stream vs batch).
+    */
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+  private def tsFromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000).toInt)
+    t
+  }
+
   /** Gap-based sessionization (30-min inactivity) via
     * flatMapGroupsWithState — the custom-state path (X4-adjacent). Emits a
-    * session when the gap closes it or the state times out.
+    * session when the gap closes it or the state times out. Ordering,
+    * gap math and session bounds are all at MICROsecond precision —
+    * exactly [[sessionizeBatch]]'s semantics (EventStreamsSpec pins
+    * stream == batch on same-millisecond/different-microsecond events).
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60 * 1000L
+    val gapUs = gapMinutes * 60 * 1000000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var cur = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          def emit(st: SessionState): Unit =
+            out += Session(userId, tsFromMicros(st.startUs),
+              tsFromMicros(st.lastUs), st.n, st.total)
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = micros(e.ts)
             cur match {
-              case Some(st) if t - st.last <= gapMs =>
-                cur = Some(st.copy(last = t, n = st.n + 1, total = st.total + e.value))
+              case Some(st) if t - st.lastUs <= gapUs =>
+                cur = Some(st.copy(lastUs = t, n = st.n + 1, total = st.total + e.value))
               case Some(st) =>
-                out += Session(userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
+                emit(st)
                 cur = Some(SessionState(t, t, 1, e.value))
               case None =>
                 cur = Some(SessionState(t, t, 1, e.value))
             }
           }
           if (state.hasTimedOut) {
-            cur.foreach(st =>
-              out += Session(userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total))
+            cur.foreach(emit)
             state.remove()
           } else {
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutTimestamp(st.last + gapMs)
+              // timeout is wall-watermark driven and ms-grained — round UP
+              // so a timeout never fires before the µs-exact gap closes
+              state.setTimeoutTimestamp(Math.floorDiv(st.lastUs + gapUs + 999, 1000))
             }
           }
           out.iterator
@@ -100,12 +126,15 @@ object EventStreams {
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val gapMs = gapMinutes * 60 * 1000L
+    // gap math at MICROsecond precision — the timestamp's full resolution,
+    // and [[sessionize]]'s exact semantics (a ms-grained compare would
+    // merge two events straddling the gap by <1 ms)
+    val gapUs = gapMinutes * 60 * 1000000L
     val marked = events.select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs, 1L).otherwise(0L))
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L).otherwise(0L))
       .withColumn("session_no", sum("new_session").over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
     marked.groupBy("user_id", "session_no")
@@ -249,6 +278,11 @@ object EventStreams {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  // STATE-SCHEMA NOTE: lastUs is MICROseconds (was lastMs pre-r13, same
+  // (Int, Long) encoder shape) — a streaming query restarted from a
+  // pre-change checkpoint would silently reinterpret stored ms as µs and
+  // admit conversions the gap rule should reject; restart funnel streams
+  // from FRESH checkpoints after upgrading.
   final case class FunnelState(step: Int, lastUs: Long)
   final case class Conversion(user_id: Long, step: Int, event_type: String,
       conv_ts: Timestamp)
@@ -274,11 +308,10 @@ object EventStreams {
       .flatMapGroupsWithState[FunnelState, Conversion](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
-          // compare at MICROsecond precision — Spark timestamps carry
-          // micros, and the batch twin (Funnel.funnel) compares full
-          // timestamps, so a millisecond-truncated compare would convert
-          // two same-ms/different-µs events in batch but not here
-          def micros(ts: Timestamp): Long = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+          // compare at MICROsecond precision (the shared [[micros]]) —
+          // the batch twin (Funnel.funnel) compares full timestamps, so a
+          // millisecond-truncated compare would convert two same-ms/
+          // different-µs events in batch but not here
           val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]

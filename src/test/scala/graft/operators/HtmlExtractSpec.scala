@@ -60,4 +60,44 @@ class HtmlExtractSpec extends AnyFunSuite {
       "<div<bad <a href=>broken</p"
     assert(ex(html).startsWith("Unclosed paragraph"))
   }
+
+  test("malformed numeric entities pass through raw instead of throwing") {
+    // overflow (>Int), out-of-range code point, hex digits in a decimal
+    // form, NUL — each would throw from toInt/toChars unguarded and kill
+    // the per-row UDF task on one bad crawl page
+    val html = "<p>bad refs &#99999999999; and &#1114112; and &#ff; " +
+      "and &#x110000; and &#0; in one long enough paragraph.</p>"
+    assert(ex(html) == "bad refs &#99999999999; and &#1114112; and &#ff; " +
+      "and &#x110000; and &#0; in one long enough paragraph.")
+  }
+
+  test("typographic named entities decode; unknown names pass through") {
+    val html = "<p>He said &ldquo;wait&rdquo; &mdash; then&hellip; " +
+      "it&rsquo;s &copy; 2026 &trade; &unknownname; done here now.</p>"
+    assert(ex(html) == "He said “wait” — then… it’s © 2026 ™ &unknownname; done here now.")
+  }
+
+  test("single-pass decode: &amp;lt; is the literal text &lt;, not <") {
+    val html = "<p>Escaped markup literal &amp;lt;p&amp;gt; stays escaped " +
+      "in this long enough paragraph of content text.</p>"
+    assert(ex(html).contains("&lt;p&gt;"))
+    assert(!ex(html).contains("<p>"))
+  }
+
+  test("a long title never leaks into the main text; extractTitle returns it") {
+    val html = "<html><head><title>A Very Long Page Title With Plenty Of " +
+      "Characters To Pass The Block Floor</title></head><body>" +
+      "<p>Body paragraph with enough characters to be kept as content.</p>" +
+      "</body></html>"
+    assert(ex(html) == "Body paragraph with enough characters to be kept as content.")
+    assert(HtmlExtract.extractTitle(html) == "A Very Long Page Title With " +
+      "Plenty Of Characters To Pass The Block Floor")
+  }
+
+  test("extractTitle: entity decode, no title, null") {
+    assert(HtmlExtract.extractTitle(
+      "<title>Tom &amp; Jerry &mdash; S1</title>") == "Tom & Jerry — S1")
+    assert(HtmlExtract.extractTitle("<p>no title here</p>") == "")
+    assert(HtmlExtract.extractTitle(null) == null)
+  }
 }

@@ -30,6 +30,14 @@ class MatryoshkaSpec extends SparkSpec {
     assert(curve(32) == 1.0, curve.toString)
   }
 
+  test("empty query frame returns the empty curve, not an exception") {
+    val q = emb.filter($"vec_id" < 0)
+    val b = emb.filter($"vec_id" >= 10)
+    val curve = Matryoshka.recallCurve(q, b, Seq(4, 32), k = 5)
+    assert(curve.columns.toSeq == Seq("dims", "avg_recall"))
+    assert(curve.count() == 0)
+  }
+
   test("head-loaded embeddings: early prefix already near-perfect, curve monotone-ish") {
     val q = emb.filter($"vec_id" < 10)
     val b = emb.filter($"vec_id" >= 10)

@@ -162,4 +162,25 @@ class SccSpec extends SparkSpec {
     assert(Scc.scc(Seq((7L, 7L), (9L, 9L)).toDF("src", "dst")).count() == 0)
     assert(Scc.scc(Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
   }
+
+  test("result is evaluable with OptimizeLimitZero excluded (seed independence)") {
+    // the pre-r14 seed was limit(0) over the initial materialized nodes
+    // frame, whose executor blocks are freed in wave 1 — evaluating the
+    // result only worked because OptimizeLimitZero pruned the leaf. With
+    // the rule excluded, a seed still referencing freed blocks would fail
+    // with missing-checkpoint errors; the explicit empty-frame seed must
+    // stay evaluable regardless of optimizer configuration.
+    val key = "spark.sql.optimizer.excludedRules"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.catalyst.optimizer.OptimizeLimitZero")
+    try {
+      val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
+      val got = Scc.scc(edges.toDF("src", "dst")).as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L), got.toString)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

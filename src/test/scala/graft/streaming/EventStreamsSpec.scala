@@ -202,6 +202,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.exists(s => s._1 == 2L && s._4 == 1))
   }
 
+  test("sessionize is µs-exact: same-ms/different-µs events, stream == batch") {
+    // two events exactly ONE MICROSECOND past the 30-min gap: a ms-grained
+    // compare (the pre-r14 bug) merges them into one session; µs math
+    // splits them. Bounds must carry micros through to the output.
+    def tsUs(minute: Int, us: Int): Timestamp = {
+      val t = ts(minute)
+      t.setNanos(us * 1000)
+      t
+    }
+    val rows = Seq(
+      Event(0, tsUs(5, 500), 1, "click", 1.0),
+      Event(1, tsUs(35, 501), 1, "click", 2.0), // gap = 30min + 1µs -> split
+      Event(2, tsUs(35, 400), 2, "click", 3.0),
+      Event(3, tsUs(65, 400), 2, "click", 4.0), // gap = exactly 30min -> merge
+      Event(4, ts(400), 9, "flush", 0.0))       // closes all watermarks
+    val batch = EventStreams.sessionizeBatch(rows.toDF(), gapMinutes = 30).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).toString, r.getTimestamp(3).toString,
+        r.getLong(4).toInt)).toSet
+    // user 1 split (two 1-event sessions), user 2 merged (one 2-event session)
+    assert(batch.count(s => s._1 == 1L && s._4 == 1) == 2, s"batch=$batch")
+    assert(batch.exists(s => s._1 == 2L && s._4 == 2), s"batch=$batch")
+    // µs survive into the session bounds
+    assert(batch.exists(s => s._2.endsWith("00:05:00.0005")), s"batch=$batch")
+
+    val mem = MemoryStream[Event](spark)
+    mem.addData(rows: _*)
+    val sessions = EventStreams.sessionize(
+      mem.toDF().withWatermark("ts", "1 minute").as[Event], gapMinutes = 30)
+    val query = sessions.writeStream.format("memory").queryName("sess_us")
+      .outputMode(OutputMode.Append()).start()
+    try { query.processAllAvailable() } finally query.stop()
+    val streamed = spark.table("sess_us").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getInt(3))).toSet
+    assert(streamed.subsetOf(batch), s"streamed=$streamed\nbatch=$batch")
+    assert(streamed.count(s => s._1 == 1L && s._4 == 1) == 2,
+      s"stream must split the 30min+1µs gap: $streamed")
+    assert(streamed.exists(s => s._1 == 2L && s._4 == 2),
+      s"stream must merge the exactly-30min gap: $streamed")
+  }
+
   test("file-source streaming over the events table equals batch (T5)") {
     val dir = "/root/testdata/sf0.001"
     val batchEvents = graft.Tables.events(spark, dir)
