@@ -99,19 +99,37 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    // hypervisor steal time per sweep: the r13 artifacts carried ~3.5%
+    // steal that loadavg could NOT see (the thief was outside the VM) —
+    // an idle-gated, load-clean sweep still inflated 30%+. Reading
+    // /proc/stat's steal jiffies around each sweep names WHICH kind of
+    // contamination a bad artifact carries (host-external vs our own).
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val parts = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (parts.length > 7) parts(7) else 0L, parts.sum)
+      } catch { case _: Throwable => (-1L, -1L) }
     val sweepLoad = Array.fill(sweeps)(-1.0)
     val sweepGcMs = Array.fill(sweeps)(0L)
+    val sweepSteal = Array.fill(sweeps)(-1.0)
     val sweepGates = Array.fill(sweeps)(null: Gate)
     val bySweep = (1 to sweeps).map { i =>
       // re-gate EVERY sweep: load arriving mid-run (the r12 artifact) is
       // caught at the next sweep boundary instead of poisoning the rest
       sweepGates(i - 1) = if (i == 1) gate0 else idleGate(s"sweep $i")
       val gc0 = gcMillis()
+      val (steal0, total0) = cpuJiffies()
       val r = runSweep()
+      val (steal1, total1) = cpuJiffies()
+      sweepSteal(i - 1) =
+        if (steal0 < 0 || total1 <= total0) -1.0
+        else 100.0 * (steal1 - steal0) / (total1 - total0)
       sweepLoad(i - 1) = loadAvg1m()
       sweepGcMs(i - 1) = gcMillis() - gc0
       System.err.println(f"[bench] sweep $i/$sweeps total ${r.map(_._2).filter(_ >= 0).sum}%.1f s " +
-        f"loadavg ${sweepLoad(i - 1)}%.2f gc ${sweepGcMs(i - 1)} ms")
+        f"loadavg ${sweepLoad(i - 1)}%.2f gc ${sweepGcMs(i - 1)} ms " +
+        f"steal ${sweepSteal(i - 1)}%.2f%%")
       // storage-memory snapshot: cached-block pressure in a 124-query JVM is
       // otherwise invisible — an evicted shingle/embedding cache silently
       // turns a 2s query into a recompute (the r6 q46/q45 drift signature)
@@ -198,6 +216,7 @@ object Bench {
     }.mkString("[", ",", "]")
     println(s"""{"metric":"diag","sweep_totals":$sweepTotals,""" +
       s""""loadavg":${sweepLoad.map(l => f"$l%.2f").mkString("[", ",", "]")},""" +
+      s""""steal_pct":${sweepSteal.map(s => f"$s%.2f").mkString("[", ",", "]")},""" +
       s""""gc_ms":${sweepGcMs.mkString("[", ",", "]")},""" +
       s""""gate_threshold":$gateThreshold,"sweep_gates":$gatesJson,""" +
       s""""contaminated":$contaminated,"spread_bad":$spreadBad,""" +

@@ -46,12 +46,28 @@ object Main {
   /** Dispatch one command; returns the result frame (printed by main). */
   def run(spark: SparkSession, args: Seq[String]): DataFrame = {
     require(args.nonEmpty, usage)
-    val cmd = args.head
-    // `huggingface dl` / `convert file` carry the reference's subcommand token
+    val cmd0 = args.head
+    val sub = args.lift(1).filterNot(_.startsWith("--"))
+    // `generate ivec-shuffle` (reference README.md:63) is its own verb
+    val cmd = if (cmd0 == "generate" && sub.contains("ivec-shuffle"))
+      "ivec-shuffle" else cmd0
+    // reference verbs whose first token is a subcommand, not a flag
+    val subVerbs: Map[String, Set[String]] = Map(
+      "huggingface" -> Set("dl"), "convert" -> Set("file"),
+      "cleanup" -> Set("cleanfvec"), "generate" -> Set("ivec-shuffle"),
+      "merkle" -> Set("create", "verify", "diff"),
+      "datasets" -> Set("list", "download", "info"))
+    // jjq takes POSITIONAL operands (`jjq '<expr>' [file]`, the reference
+    // form) — peel them off before flag parsing
+    val positionals =
+      if (cmd0 == "jjq") args.tail.takeWhile(!_.startsWith("--")) else Seq.empty
     val flagArgs =
-      if ((cmd == "huggingface" && args.lift(1).contains("dl")) ||
-          (cmd == "convert" && args.lift(1).contains("file"))) args.drop(2)
+      if (cmd0 == "jjq") args.tail.drop(positionals.length)
+      else if (sub.exists(s => subVerbs.getOrElse(cmd0, Set.empty).contains(s)))
+        args.drop(2)
       else args.tail
+    // the consumed subcommand steers multi-mode verbs (merkle/datasets)
+    val subMode = sub.filter(s => subVerbs.getOrElse(cmd0, Set.empty).contains(s))
     val flags = parseFlags(flagArgs)
     def need(k: String): String =
       flags.getOrElse(k, throw new IllegalArgumentException(s"$cmd requires --$k\n$usage"))
@@ -1409,6 +1425,138 @@ object Main {
         sources.xvec.CheckEndian.check(spark,
           need("input").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+      case "merkle" =>
+        // A12/A13 (reference README.md:88-97, MerkleTreeCLI.java; docs
+        // 03-cli-reference.md:363-392): create builds the flat tree for a
+        // file (--output saves it as parquet), verify re-hashes a file
+        // against a stored tree, diff lists mismatched chunks of two files.
+        import spark.implicits._
+        def treeOf(path: String) = {
+          val (shape, chunks) = operators.Merkle.chunkFile(spark, path)
+          (shape, operators.Merkle.buildTree(chunks, shape))
+        }
+        subMode.getOrElse("create") match {
+          case "create" =>
+            val (shape, tree) = treeOf(need("file"))
+            val df = tree.zipWithIndex
+              .map { case (h, i) => (i.toLong, h) }.toDF("node_idx", "hash")
+            flags.get("output").foreach(df.write.mode("overwrite").parquet(_))
+            System.err.println(s"[merkle] root ${tree.head} " +
+              s"(${shape.chunkCount} chunks × ${shape.chunkSize} B)")
+            df
+          case "verify" =>
+            // re-hash the file's leaves and compare against the stored
+            // tree's leaf band — mismatched chunk rows are the verify/
+            // re-fetch work queue; empty = verified
+            val vFile = need("file")
+            val (shape, chunks) = operators.Merkle.chunkFile(spark, vFile)
+            val fresh = operators.Merkle.leafHashes(chunks)
+            val stored = spark.read.parquet(need("reference"))
+              .filter(col("node_idx") >= shape.offset &&
+                col("node_idx") < shape.offset + shape.chunkCount)
+              .select((col("node_idx") - shape.offset).cast("int").as("chunk_idx"),
+                col("hash"))
+            val bad = operators.Merkle.diffLeaves(fresh, stored)
+            System.err.println(s"[merkle] verify $vFile: " +
+              (if (bad.isEmpty) "OK" else "MISMATCH"))
+            bad
+          case "diff" =>
+            val (_, ca) = operators.Merkle.chunkFile(spark, need("a"))
+            val (_, cb) = operators.Merkle.chunkFile(spark, need("b"))
+            operators.Merkle.diffLeaves(
+              operators.Merkle.leafHashes(ca), operators.Merkle.leafHashes(cb))
+          case other => throw new IllegalArgumentException(
+            s"merkle subcommand must be create|verify|diff, got $other\n$usage")
+        }
+
+      case "jjq" =>
+        // jq-like JSON extraction (reference 03-cli-reference.md:421-434):
+        // one input JSON document per line (the streaming convention),
+        // `.a.b[0]` paths mapped onto Spark's JsonPath (`[]` → `[*]`).
+        val expr = flags.get("expr").orElse(positionals.headOption).getOrElse(
+          throw new IllegalArgumentException(s"jjq requires an expression\n$usage"))
+        val input = flags.get("input").orElse(positionals.lift(1)).getOrElse(
+          throw new IllegalArgumentException(s"jjq requires an input file\n$usage"))
+        val path = "$" + expr.replace("[]", "[*]")
+        spark.read.textFile(input).toDF("json")
+          .filter(length(trim(col("json"))) > 0)
+          .select(get_json_object(col("json"), path).as("value"))
+
+      case "datasets" =>
+        // catalog operations (reference README.md:66-71, 03-cli-reference
+        // .md:266-333): list/info browse a catalog yaml; download resolves
+        // a `dataset[:profile]` spec and pulls its url via the distributed
+        // ranged fetch (S13-S15 transport: file/http schemes alike).
+        val catPath = need("at")
+        val entries = layout.Catalog.parseCatalog(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(catPath)), "UTF-8"))
+        import spark.implicits._
+        subMode.getOrElse("list") match {
+          case "list" =>
+            val matched = flags.get("filter")
+              .map(layout.Catalog.matchGlob(entries, _)).getOrElse(entries)
+            matched.map(e => (e.name, e.url)).toDF("name", "url")
+          case "info" =>
+            val e = layout.Catalog.matchOne(entries, need("name"))
+            e.attributes.toSeq.sortBy(_._1)
+              .map { case (k, v) => (e.name, e.url, k, v) }
+              .toDF("name", "url", "attribute", "value")
+          case "download" =>
+            val (entry, profile) = layout.Catalog.select(entries, need("spec"))
+            val outDir = need("output")
+            val fname = entry.url.split("/").last
+            val out = java.nio.file.Paths.get(outDir, fname).toString
+            val report = sources.HfFetch.fetchUrl(spark, entry.url, out)
+            System.err.println(s"[datasets] ${entry.name}:$profile -> $out")
+            report
+          case other => throw new IllegalArgumentException(
+            s"datasets subcommand must be list|download|info, got $other\n$usage")
+        }
+
+      case "fetch" =>
+        // generic ranged-GET acquisition (reference 03-cli-reference.md:
+        // 333-358 `fetch --url --output`): executor-parallel disjoint
+        // chunks, optional whole-file sha256; shared-FS preflight inside
+        sources.HfFetch.fetchUrl(spark, need("url"), need("output"),
+          sha256 = flags.get("sha256"))
+
+      case "cleanup" =>
+        // `cleanup cleanfvec` (reference README.md:99): drop all-zero and
+        // duplicate vectors, write the cleaned file; summary row back
+        val clIn = need("input")
+        val clRows = readVectors(spark, clIn)
+        val cleaned = operators.Cleanup.clean(clRows, "ordinal", "vector")
+        val clOut = flags.get("output")
+        val kept = clOut match {
+          case Some(p) => XvecIO.write(cleaned.orderBy("ordinal"), p)
+          case None => cleaned.count()
+        }
+        import spark.implicits._
+        Seq((clIn, clRows.count(), kept, clOut.getOrElse("")))
+          .toDF("input", "in_rows", "kept_rows", "output")
+
+      case "ivec-shuffle" =>
+        // `generate ivec-shuffle` (reference README.md:63): seeded
+        // DETERMINISTIC permutation — Knuth multiplicative hash of
+        // (ordinal + seed) as the sort key (the q14 arithmetic), ordinals
+        // renumbered 0..n-1 in shuffled order so the output is a valid
+        // ordinal-ordered xvec file
+        val shIn = need("input")
+        val seed = flags.getOrElse("seed", "0").toLong
+        val h = ((col("ordinal") + lit(seed)) * lit(2654435761L)) % lit(4294967296L)
+        val shuffled = readVectors(spark, shIn)
+          .select(col("ordinal").as("src_ordinal"), col("vector"),
+            row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy(h, col("ordinal")))
+              .cast("long").as("ordinal"))
+          .select(col("ordinal") - 1 as "ordinal", col("vector"), col("src_ordinal"))
+        flags.get("output") match {
+          case Some(p) =>
+            XvecIO.write(shuffled.select("ordinal", "vector").orderBy("ordinal"), p)
+            shuffled.select("ordinal", "src_ordinal")
+          case None => shuffled.select("ordinal", "src_ordinal", "vector")
+        }
+
       case other =>
         throw new IllegalArgumentException(s"unknown command: $other\n$usage")
     }
@@ -1513,7 +1661,13 @@ object Main {
       |  convert [file] --input PATH --output PATH   (xvec/parquet/csv/json in; xvec/parquet/csv/json/yaml out)
       |  html-extract --input PARQUET [--id-col C] [--html-col C] [--min-chars N] [--max-link-density D]
       |  warc-read --input WARC|WARC.GZ|DIR
-      |  hnsw-maintain --bundle DIR [--tombstone PARQUET] [--compact] [--id-col C] [--m N] [--ef-construction N] [--metric M]""".stripMargin
+      |  hnsw-maintain --bundle DIR [--tombstone PARQUET] [--compact] [--id-col C] [--m N] [--ef-construction N] [--metric M]
+      |  merkle create --file PATH [--output PARQUET] | merkle verify --file PATH --reference PARQUET | merkle diff --a PATH --b PATH
+      |  jjq '<expr>' FILE   (or --expr E --input FILE; one JSON doc per line)
+      |  datasets list --at CATALOG.yaml [--filter GLOB] | datasets info --at C --name N | datasets download --at C --spec NAME[:PROFILE] --output DIR
+      |  fetch --url URL --output FILE [--sha256 H]
+      |  cleanup [cleanfvec] --input PATH [--output PATH]
+      |  generate ivec-shuffle --input PATH [--seed S] [--output PATH]""".stripMargin
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -51,25 +51,42 @@ object Diversity {
   /** The scale path: HLL++ `approx_count_distinct(rsd)` over the same
     * gram generator — CONSTANT sketch memory per partition and an
     * exchange carrying one sketch per n instead of the gram-type
-    * universe. Output rows additionally carry the exact count and a
-    * 5σ bound check on the sketch (the q141/q71 card discipline: the
-    * oracle replays the exact side, the bound pins the sketch); a
-    * production run at 100 TB would read `approx_distinct` alone.
+    * universe.
+    *
+    * Two modes. `includeExact = true` (the CARD/oracle mode, q332): rows
+    * additionally carry the exact count and a 5σ bound check on the
+    * sketch (the q141/q71 card discipline: the oracle replays the exact
+    * side, the bound pins the sketch) — this mode still pays the exact
+    * distinct's corpus-sized exchange, by design. `includeExact = false`
+    * (the PRODUCTION mode): the plan contains NO exact distinct
+    * aggregate — only `count` (a plain long) and the sketch cross the
+    * exchange, so the 100 TB run costs one map-side pass; rows carry the
+    * estimate and its 5σ relative-error radius instead of the bound
+    * check (PlanShapeSpec machine-asserts the exact aggregate's absence).
     */
   def distinctNApprox(docs: DataFrame, textCol: String,
-      ns: Seq[Int] = Seq(1, 2, 3), rsd: Double = 0.02): DataFrame = {
+      ns: Seq[Int] = Seq(1, 2, 3), rsd: Double = 0.02,
+      includeExact: Boolean = true): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ > 0), s"ns must be positive, got $ns")
     require(rsd > 0 && rsd < 1, s"rsd in (0,1), got $rsd")
     ns.map { n =>
-      grams(docs, textCol, n).agg(
-        count(lit(1)).as("total_ngrams"),
-        count_distinct(col("gram")).as("distinct_ngrams"),
-        approx_count_distinct(col("gram"), rsd).as("approx"))
-        .select(lit(n.toLong).as("n"), col("total_ngrams"), col("distinct_ngrams"),
-          when(col("distinct_ngrams") === 0, col("approx") === 0)
-            .otherwise(abs(col("approx") - col("distinct_ngrams"))
-              .cast("double") / col("distinct_ngrams") <= rsd * 5)
-            .as("approx_in_bounds"))
+      if (includeExact)
+        grams(docs, textCol, n).agg(
+          count(lit(1)).as("total_ngrams"),
+          count_distinct(col("gram")).as("distinct_ngrams"),
+          approx_count_distinct(col("gram"), rsd).as("approx"))
+          .select(lit(n.toLong).as("n"), col("total_ngrams"), col("distinct_ngrams"),
+            when(col("distinct_ngrams") === 0, col("approx") === 0)
+              .otherwise(abs(col("approx") - col("distinct_ngrams"))
+                .cast("double") / col("distinct_ngrams") <= rsd * 5)
+              .as("approx_in_bounds"))
+      else
+        grams(docs, textCol, n).agg(
+          count(lit(1)).as("total_ngrams"),
+          approx_count_distinct(col("gram"), rsd).as("approx_distinct"))
+          .select(lit(n.toLong).as("n"), col("total_ngrams"),
+            col("approx_distinct"),
+            round(lit(5 * rsd) * col("approx_distinct"), 2).as("abs_error_5sigma"))
     }.reduce(_ unionAll _)
   }
 }

@@ -12,41 +12,67 @@ import org.apache.spark.sql.functions._
   * sketches cross an exchange), intersection by inclusion–exclusion
   * |A∩B| = |A| + |B| − |A∪B|.
   *
-  * Card discipline (q141/q71): the output carries the EXACT counts
-  * (oracle-recomputable by DuckDB) beside a bound check on the sketch —
-  * the inclusion–exclusion estimate must sit within 5σ of each input
-  * sketch's relative error, i.e. within 5·rsd·(|A|+|B|+|A∪B|) of the
-  * exact intersection. A production run at 100 TB reads the sketch
-  * columns alone.
+  * Card discipline (q141/q71): in CARD mode (`includeExact = true`) the
+  * output carries the EXACT counts (oracle-recomputable by DuckDB)
+  * beside a bound check on the sketch — the inclusion–exclusion
+  * estimate must sit within 5σ of each input sketch's relative error,
+  * i.e. within 5·rsd·(|A|+|B|+|A∪B|) of the exact intersection. A
+  * production run at 100 TB uses `includeExact = false`, whose PLAN
+  * contains no exact distinct aggregate at all — the sketches are the
+  * only thing computed, not merely the only thing read.
   */
 object Overlap {
 
-  /** One-row overlap card between the `keyCol` universes of `a` and `b`:
-    * (n_a, n_b, n_union, n_intersect, jaccard, approx_in_bounds). Exact
-    * side via count_distinct; sketch side via approx_count_distinct(rsd)
-    * over each slice and their union.
+  /** One-row overlap card between the `keyCol` universes of `a` and `b`.
+    *
+    * `includeExact = true` (the CARD/oracle mode, q335): (n_a, n_b,
+    * n_union, n_intersect, jaccard, approx_in_bounds) — exact side via
+    * count_distinct (oracle-recomputable), sketch side via
+    * approx_count_distinct(rsd) over each slice and their union; this
+    * mode still pays the exact distinct's corpus-sized exchange, by
+    * design. `includeExact = false` (the PRODUCTION mode): the plan
+    * contains NO exact distinct aggregate — only three fixed-size HLL++
+    * sketches cross an exchange; the row carries the inclusion–exclusion
+    * estimate, the approx jaccard, and the 5σ absolute-error radius
+    * (PlanShapeSpec machine-asserts the exact aggregate's absence).
     */
   def overlapCard(a: DataFrame, b: DataFrame, keyCol: String,
-      rsd: Double = 0.02): DataFrame = {
+      rsd: Double = 0.02, includeExact: Boolean = true): DataFrame = {
     require(rsd > 0 && rsd < 1, s"overlapCard: rsd in (0,1), got $rsd")
     val ka = a.select(col(keyCol).as("k"))
     val kb = b.select(col(keyCol).as("k"))
-    val sa = ka.agg(count_distinct(col("k")).as("n_a"),
-      approx_count_distinct(col("k"), rsd).as("apx_a"))
-    val sb = kb.agg(count_distinct(col("k")).as("n_b"),
-      approx_count_distinct(col("k"), rsd).as("apx_b"))
-    val su = ka.unionByName(kb).agg(count_distinct(col("k")).as("n_union"),
-      approx_count_distinct(col("k"), rsd).as("apx_u"))
-    sa.crossJoin(broadcast(sb)).crossJoin(broadcast(su))
-      .select(col("n_a"), col("n_b"), col("n_union"),
-        (col("n_a") + col("n_b") - col("n_union")).as("n_intersect"),
-        when(col("n_union") === 0, lit(0.0))
-          .otherwise(round((col("n_a") + col("n_b") - col("n_union"))
-            .cast("double") / col("n_union"), 6)).as("jaccard"),
-        (abs((col("apx_a") + col("apx_b") - col("apx_u")) -
-            (col("n_a") + col("n_b") - col("n_union"))).cast("double") <=
-          lit(5 * rsd) * (col("n_a") + col("n_b") + col("n_union")))
-          .as("approx_in_bounds"))
+    if (includeExact) {
+      val sa = ka.agg(count_distinct(col("k")).as("n_a"),
+        approx_count_distinct(col("k"), rsd).as("apx_a"))
+      val sb = kb.agg(count_distinct(col("k")).as("n_b"),
+        approx_count_distinct(col("k"), rsd).as("apx_b"))
+      val su = ka.unionByName(kb).agg(count_distinct(col("k")).as("n_union"),
+        approx_count_distinct(col("k"), rsd).as("apx_u"))
+      sa.crossJoin(broadcast(sb)).crossJoin(broadcast(su))
+        .select(col("n_a"), col("n_b"), col("n_union"),
+          (col("n_a") + col("n_b") - col("n_union")).as("n_intersect"),
+          when(col("n_union") === 0, lit(0.0))
+            .otherwise(round((col("n_a") + col("n_b") - col("n_union"))
+              .cast("double") / col("n_union"), 6)).as("jaccard"),
+          (abs((col("apx_a") + col("apx_b") - col("apx_u")) -
+              (col("n_a") + col("n_b") - col("n_union"))).cast("double") <=
+            lit(5 * rsd) * (col("n_a") + col("n_b") + col("n_union")))
+            .as("approx_in_bounds"))
+    } else {
+      val sa = ka.agg(approx_count_distinct(col("k"), rsd).as("apx_a"))
+      val sb = kb.agg(approx_count_distinct(col("k"), rsd).as("apx_b"))
+      val su = ka.unionByName(kb)
+        .agg(approx_count_distinct(col("k"), rsd).as("apx_u"))
+      sa.crossJoin(broadcast(sb)).crossJoin(broadcast(su))
+        .select(col("apx_a"), col("apx_b"), col("apx_u"),
+          (col("apx_a") + col("apx_b") - col("apx_u")).as("apx_intersect"),
+          when(col("apx_u") === 0, lit(0.0))
+            .otherwise(round((col("apx_a") + col("apx_b") - col("apx_u"))
+              .cast("double") / col("apx_u"), 6)).as("jaccard_approx"),
+          round(lit(5 * rsd) *
+            (col("apx_a") + col("apx_b") + col("apx_u")), 2)
+            .as("abs_error_5sigma"))
+    }
   }
 
   /** n-gram-vocabulary overlap between two document slices — overlapCard
@@ -58,7 +84,7 @@ object Overlap {
     * unigrams — the n-gram universe is where the overlap signal lives).
     */
   def vocabOverlapCard(docsA: DataFrame, docsB: DataFrame, textCol: String,
-      n: Int = 1, rsd: Double = 0.02): DataFrame = {
+      n: Int = 1, rsd: Double = 0.02, includeExact: Boolean = true): DataFrame = {
     require(n >= 1, s"vocabOverlapCard: n >= 1, got $n")
     def grams(d: DataFrame) = d
       .select(filter(split(lower(col(textCol)), " "), t => t =!= "").as("toks"))
@@ -66,6 +92,6 @@ object Overlap {
       .select(explode(transform(
         sequence(lit(0), size(col("toks")) - n),
         i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))))).as("gram"))
-    overlapCard(grams(docsA), grams(docsB), "gram", rsd)
+    overlapCard(grams(docsA), grams(docsB), "gram", rsd, includeExact)
   }
 }

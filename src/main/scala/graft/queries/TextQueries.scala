@@ -1332,8 +1332,89 @@ object TextQueries {
       graft.sources.WarcIO.write(pages, s"$base/crawl.warc")
       val crawled = graft.sources.WarcIO.read(s, s"$base/crawl.warc")
         .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
-          .cast("long").as("doc_id"), col("payload").as("html"))
+          .cast("long").as("doc_id"), col("text").as("html"))
       graft.operators.HtmlExtract.extract(crawled, "doc_id", "html")
+    },
+
+    // Crawl REALITY over the same spine: a mixed WARC where only ~1/3 of
+    // records are UTF-8 HTML — the rest are a binary image (PPM routed
+    // untouched through `payload BINARY` to the MediaCodecs seam; `text`
+    // must be null) and a non-UTF-8 page (ISO-8859-1, decoded via the
+    // HTTP envelope's DECLARED charset — the reason jusText-class
+    // extractors sniff Content-Type). Written through the DISTRIBUTED
+    // shard writer (one WARC per partition, the crawl convention), read
+    // back file-parallel. Every row's `result` is recomputable by the
+    // oracle: extracted text for html, the charset-decoded page for
+    // latin1, and dims+byte-exactness for the image (ok computed by a
+    // genuine byte/raster compare against the regenerated PPM).
+    GQuery(
+      "q338_warc_mixed_media",
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'html' WHEN 1 THEN 'ppm' ELSE 'latin1' END AS kind,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN text
+        |    WHEN 1 THEN 'ppm:' || (2 + doc_id % 5) || 'x' || (2 + doc_id % 4) || ':true'
+        |    ELSE 'café ' || doc_id || ' résumé ±°ß'
+        |  END AS result
+        |FROM documents WHERE doc_id < 150""".stripMargin) { (s, dir) =>
+      val base = s"${tmpDir()}/warcmix-${System.nanoTime()}"
+      def ppmFor(id: Long): Array[Byte] = {
+        val (w, h) = ((2 + id % 5).toInt, (2 + id % 4).toInt)
+        graft.operators.MediaCodecs.encodePpm(w, h,
+          Array.tabulate(w * h * 3)(i => ((id * 7 + i) % 256).toByte))
+      }
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val mkPayload = udf { (id: Long, text: String) =>
+        (id % 3) match {
+          case 0 => ("<html><head><title>Page</title></head><body><nav>" +
+            "<a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><p>" + text +
+            "</p><footer>(c) corp</footer></body></html>")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case 1 => ppmFor(id)
+          case _ => s"café $id résumé ±°ß"
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        }
+      }
+      val pages = docs.select(
+        concat(lit("http://corpus.test/"),
+          when(col("doc_id") % 3 === 0, "html")
+            .when(col("doc_id") % 3 === 1, "ppm").otherwise("latin1"),
+          lit("/"), col("doc_id")).as("url"),
+        mkPayload(col("doc_id"), col("text")).as("payload"),
+        when(col("doc_id") % 3 === 0, "text/html; charset=utf-8")
+          .when(col("doc_id") % 3 === 1, "image/x-portable-pixmap")
+          .otherwise("text/plain; charset=iso-8859-1").as("content_type"))
+      graft.sources.WarcIO.writeShards(pages.repartition(4), base,
+        contentTypeCol = Some("content_type"))
+      val crawled = graft.sources.WarcIO.read(s, base)
+        .select(
+          regexp_extract(col("url"), "/(\\d+)$", 1).cast("long").as("doc_id"),
+          regexp_extract(col("url"), "corpus\\.test/([a-z0-9]+)/", 1).as("kind"),
+          col("payload"), col("text"))
+      // image verification: byte-exact payload round trip + raster decode
+      // match against the regenerated PPM + text routed null
+      val ppmOk = udf { (id: Long, payload: Array[Byte], text: String) =>
+        val expected = ppmFor(id)
+        val decoded = graft.operators.MediaCodecs.decodePpm(payload)
+        val expDec = graft.operators.MediaCodecs.decodePpm(expected)
+        val ok = text == null &&
+          java.util.Arrays.equals(payload, expected) &&
+          decoded.isDefined && expDec.isDefined &&
+          decoded.get._1 == expDec.get._1 && decoded.get._2 == expDec.get._2 &&
+          java.util.Arrays.equals(decoded.get._3, expDec.get._3)
+        s"ppm:${2 + id % 5}x${2 + id % 4}:$ok"
+      }
+      val html = crawled.filter(col("kind") === "html")
+      val extracted = graft.operators.HtmlExtract.extract(
+        html.select(col("doc_id"), col("text").as("html")), "doc_id", "html")
+        .select(col("doc_id"), lit("html").as("kind"), col("text").as("result"))
+      val latin1 = crawled.filter(col("kind") === "latin1")
+        .select(col("doc_id"), col("kind"), col("text").as("result"))
+      val ppm = crawled.filter(col("kind") === "ppm")
+        .select(col("doc_id"), col("kind"),
+          ppmOk(col("doc_id"), col("payload"), col("text")).as("result"))
+      extracted.unionByName(latin1).unionByName(ppm)
     },
 
     // Corpus-overlap card: trigram-vocabulary sharing between two source

@@ -32,7 +32,11 @@ import graft.operators.Prebuffer
   * DISJOINT byte ranges and position-write them into the pre-sized output
   * (the [[Prebuffer.prebuffer]] discipline — disjoint writes never
   * overlap), so a 100 GB shard downloads at aggregate-executor bandwidth
-  * instead of one driver socket. Integrity: optional whole-file sha256
+  * instead of one driver socket. PRECONDITION: the output directory must
+  * be on a filesystem the executors share with the driver (NFS, or local
+  * mode) — probed eagerly by [[preflightSharedFs]] before any byte
+  * moves, failing with a clear message instead of per-chunk
+  * FileChannel.open errors mid-download. Integrity: optional whole-file sha256
   * (the hub publishes per-LFS-file sha256 in its metadata), verified
   * driver-side in one streaming pass after the fan-out.
   *
@@ -90,26 +94,50 @@ object HfFetch {
         .cast("string").as("sha256"))
   }
 
-  /** Download `{repoId}/{filename}` into `outputDir` via distributed
-    * ranged GETs. Returns the local path and the per-chunk report
-    * (chunk_idx, valid, error) — any invalid row fails the call loudly
-    * (a partially-written shard must never look acquired). `sha256`
-    * verifies the assembled file; `chunkBytes` is the per-request range
-    * size (HF shards are GB-scale — 8 MiB ranges keep request count and
-    * per-task memory both bounded).
+  /** PRECONDITION of the distributed fan-out: `dir` must be on a
+    * filesystem every executor shares with the driver (executor tasks
+    * position-write disjoint ranges into one driver-created file — the
+    * aggregate-executor-bandwidth design only exists on a shared FS;
+    * trivially true on local mode). Probed EAGERLY: the driver writes a
+    * marker, one executor task checks it, and a missing marker fails
+    * with a clear message BEFORE any ranged GET is spent — instead of
+    * every remote chunk task failing FileChannel.open mid-download.
     */
-  def download(spark: SparkSession, repoId: String, filename: String,
-      outputDir: String, revision: String = "main",
-      endpoint: String = DefaultEndpoint, sha256: Option[String] = None,
-      chunkBytes: Int = 8 * 1024 * 1024): (String, DataFrame) = {
+  private[sources] def preflightSharedFs(spark: SparkSession, dir: String): Unit = {
+    val marker = Paths.get(dir,
+      s".graft-sharedfs-probe-${java.util.UUID.randomUUID()}")
+    Files.write(marker, Array[Byte](1))
+    try {
+      val markerPath = marker.toString
+      val seen = spark.sparkContext.parallelize(Seq(1), 1)
+        .map(_ => Files.exists(Paths.get(markerPath))).first()
+      require(seen,
+        s"fetch: output dir $dir is not on a filesystem shared with the " +
+          "executors — the distributed ranged-GET fan-out position-writes " +
+          "one file from many executors and requires a shared FS (NFS/" +
+          "local mode). Point --output at shared storage.")
+    } finally Files.deleteIfExists(marker)
+  }
+
+  /** Generic distributed URL fetch (the `fetch --url` verb, and the core
+    * of [[download]]): pull `url` into `outPath` via executor-parallel
+    * disjoint ranged GETs, position-written into the pre-sized output.
+    * REQUIRES `outPath`'s directory on a shared filesystem (see
+    * [[preflightSharedFs]] — probed before any byte moves). Returns the
+    * per-chunk report (chunk_idx, valid, error); any invalid row fails
+    * loudly (a partially-written file must never look acquired).
+    * `sha256` verifies the assembled file driver-side in one streaming
+    * pass.
+    */
+  def fetchUrl(spark: SparkSession, url: String, outPath: String,
+      sha256: Option[String] = None,
+      chunkBytes: Int = 8 * 1024 * 1024): DataFrame = {
     require(chunkBytes > 0, s"chunkBytes must be > 0, got $chunkBytes")
-    val url = resolveUrl(endpoint, repoId, filename, revision)
-    val fetcher = new Prebuffer.HttpRangeFetcher(url)
+    val fetcher = Prebuffer.fetcherFor(url)
     val totalSize = fetcher.size()
-    Files.createDirectories(Paths.get(outputDir))
-    // flat local name (HF rfilenames may carry directories)
-    val outPath = Paths.get(outputDir,
-      Paths.get(filename).getFileName.toString).toString
+    val dir = Option(Paths.get(outPath).getParent).getOrElse(Paths.get("."))
+    Files.createDirectories(dir)
+    preflightSharedFs(spark, dir.toString)
 
     // pre-size so executor positioned writes land in a complete file
     val raf = new java.io.RandomAccessFile(outPath, "rw")
@@ -133,7 +161,7 @@ object HfFetch {
       .localCheckpoint(true) // run the fan-out NOW; the report is the receipt
     val bad = report.filter(!col("valid")).limit(1).collect()
     require(bad.isEmpty,
-      s"huggingface dl $repoId/$filename: chunk ${bad.head.getInt(0)} failed: " +
+      s"fetch $url: chunk ${bad.head.getInt(0)} failed: " +
         s"${bad.head.getString(2)}")
 
     sha256.foreach { expected =>
@@ -146,9 +174,28 @@ object HfFetch {
       } finally in.close()
       val got = md.digest().map("%02x".format(_)).mkString
       require(got == expected.toLowerCase,
-        s"huggingface dl $repoId/$filename: sha256 mismatch — got $got, " +
+        s"fetch $url: sha256 mismatch — got $got, " +
           s"expected $expected (transport corruption or stale metadata)")
     }
-    (outPath, report)
+    report
+  }
+
+  /** Download `{repoId}/{filename}` into `outputDir` via distributed
+    * ranged GETs ([[fetchUrl]] over the HF resolve URL — shared-FS
+    * precondition and preflight included). Returns the local path and
+    * the per-chunk report. `chunkBytes` is the per-request range size
+    * (HF shards are GB-scale — 8 MiB ranges keep request count and
+    * per-task memory both bounded).
+    */
+  def download(spark: SparkSession, repoId: String, filename: String,
+      outputDir: String, revision: String = "main",
+      endpoint: String = DefaultEndpoint, sha256: Option[String] = None,
+      chunkBytes: Int = 8 * 1024 * 1024): (String, DataFrame) = {
+    val url = resolveUrl(endpoint, repoId, filename, revision)
+    Files.createDirectories(Paths.get(outputDir))
+    // flat local name (HF rfilenames may carry directories)
+    val outPath = Paths.get(outputDir,
+      Paths.get(filename).getFileName.toString).toString
+    (outPath, fetchUrl(spark, url, outPath, sha256, chunkBytes))
   }
 }

@@ -1,11 +1,11 @@
 package graft.sources
 
 import java.io.{BufferedInputStream, ByteArrayOutputStream, FileInputStream}
-import java.nio.charset.StandardCharsets
+import java.nio.charset.{Charset, StandardCharsets}
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 /** WARC (ISO 28500 — the Common Crawl container format) read/write: the
   * ingestion seam in front of [[graft.operators.HtmlExtract]], so a raw
@@ -17,7 +17,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and a CRLF CRLF record separator. `response` payloads are full HTTP
   * messages — the reader strips the HTTP status line + headers when the
   * payload starts with `HTTP/`, handing back the body a curation
-  * pipeline wants.
+  * pipeline wants, and KEEPS the envelope's `Content-Type` (real crawls
+  * are ~40% non-HTML: images, PDFs, non-UTF-8 pages — the content type
+  * is what routes each record to the right downstream seam).
+  *
+  * Output columns: `payload BINARY` (the exact body bytes — images and
+  * PDFs route untouched to the [[graft.operators.MediaCodecs]] /
+  * [[graft.operators.Multimodal]] seam) and `text STRING` — the payload
+  * decoded via the content-type's DECLARED charset (fallback UTF-8) for
+  * text-shaped types, null for binary types; jusText-class extractors
+  * sniff `Content-Type` for exactly this reason (a latin-1 page decoded
+  * as UTF-8 mangles silently).
   *
   * Scale shape: crawl corpora ship as MANY ~1 GB WARC files, so
   * FILE-level parallelism is the natural distribution — the reader
@@ -26,12 +36,72 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * tooling does the same). Per-record gzip members (`.warc.gz`) are
   * decompressed via the JDK GZIPInputStream's multi-member mode.
   * Malformed trailing garbage fails LOUDLY (a truncated crawl shard must
-  * not silently shorten the corpus).
+  * not silently shorten the corpus). Writing mirrors it:
+  * [[writeShards]] emits one WARC file PER PARTITION (how crawls
+  * actually shard); [[write]] is the single-file twin for fixtures and
+  * exports.
   */
 object WarcIO {
 
   final case class WarcRecord(file: String, warc_type: String, url: String,
-      content_length: Long, payload: String)
+      content_type: String, content_length: Long, payload: Array[Byte],
+      text: String)
+
+  /** Content types whose payload decodes to the `text` column. Anything
+    * else (images, application/pdf, octet-stream …) keeps `text` null
+    * and routes through `payload` to the codec seam.
+    */
+  private def isTextType(mime: String): Boolean =
+    mime.startsWith("text/") || mime == "application/xhtml+xml" ||
+      mime == "application/json" || mime == "application/xml" ||
+      mime.endsWith("+xml") || mime.endsWith("+json")
+
+  /** `charset=` parameter of a Content-Type value; UTF-8 when absent,
+    * unsupported, or malformed (decode must degrade, never throw —
+    * one bad crawl page must not kill the task).
+    */
+  private[sources] def charsetOf(contentType: String): Charset = {
+    val m = "(?i)charset=\"?([^;\\s\"']+)".r.findFirstMatchIn(
+      Option(contentType).getOrElse(""))
+    m.map(_.group(1)).filter { name =>
+      try Charset.isSupported(name)
+      catch { case _: IllegalArgumentException => false }
+    }.map(Charset.forName).getOrElse(StandardCharsets.UTF_8)
+  }
+
+  /** Decode one payload: (content type from the HTTP envelope or the
+    * WARC header, body bytes after envelope strip, charset-decoded text
+    * or null). HTTP headers themselves are latin-1-safe per RFC 9110.
+    */
+  private def splitPayload(body: Array[Byte], warcContentType: String)
+      : (String, Array[Byte], String) = {
+    val (ctype, payload) =
+      if (body.length >= 5 &&
+          new String(body, 0, 5, StandardCharsets.US_ASCII) == "HTTP/") {
+        // find the CRLF CRLF header/body split on the raw bytes
+        var sep = -1
+        var i = 0
+        while (sep < 0 && i + 3 < body.length) {
+          if (body(i) == '\r' && body(i + 1) == '\n' &&
+              body(i + 2) == '\r' && body(i + 3) == '\n') sep = i
+          i += 1
+        }
+        if (sep < 0) (warcContentType, body)
+        else {
+          val head = new String(body, 0, sep, StandardCharsets.ISO_8859_1)
+          val ct = head.split("\r\n").iterator
+            .filter(_.toLowerCase.startsWith("content-type:"))
+            .map(_.substring("content-type:".length).trim)
+            .nextOption().getOrElse("")
+          (ct, java.util.Arrays.copyOfRange(body, sep + 4, body.length))
+        }
+      } else (warcContentType, body)
+    val mime = Option(ctype).getOrElse("").takeWhile(_ != ';').trim.toLowerCase
+    // no declared type → the pre-binary reader's behavior: treat as text
+    val text = if (mime.isEmpty || isTextType(mime))
+      new String(payload, charsetOf(ctype)) else null
+    (ctype, payload, text)
+  }
 
   private def readRecords(path: String): Iterator[WarcRecord] = {
     val raw = new BufferedInputStream(new FileInputStream(path), 1 << 16)
@@ -73,6 +143,7 @@ object WarcIO {
           s"$path: expected a WARC version line, got: ${line.take(60)}")
         var wtype = ""
         var url = ""
+        var warcCt = ""
         var len = -1L
         var h = readLine()
         while (h != null && h.nonEmpty) {
@@ -82,6 +153,7 @@ object WarcIO {
           k match {
             case "warc-type" => wtype = v
             case "warc-target-uri" => url = v
+            case "content-type" => warcCt = v
             case "content-length" => len = v.toLong
             case _ =>
           }
@@ -89,13 +161,11 @@ object WarcIO {
         }
         require(len >= 0, s"$path: record without Content-Length")
         val body = readFully(len)
-        var payload = new String(body, StandardCharsets.UTF_8)
-        // response records carry a full HTTP message — strip its envelope
-        if (payload.startsWith("HTTP/")) {
-          val sep = payload.indexOf("\r\n\r\n")
-          if (sep >= 0) payload = payload.substring(sep + 4)
-        }
-        WarcRecord(path, wtype, url, len, payload)
+        // the WARC-level content type of a response record describes the
+        // ENVELOPE (application/http); the payload's type lives inside it
+        val (ctype, payload, text) = splitPayload(body,
+          if (warcCt.toLowerCase.startsWith("application/http")) "" else warcCt)
+        WarcRecord(path, wtype, url, ctype, len, payload, text)
       }
       def hasNext: Boolean = nextRec != null
       def next(): WarcRecord = {
@@ -105,8 +175,11 @@ object WarcIO {
   }
 
   /** Read one or more WARC files (a directory lists `*.warc`/`*.warc.gz`)
-    * into (file, warc_type, url, content_length, payload) — one task per
-    * file, the crawl corpus's natural parallelism.
+    * into (file, warc_type, url, content_type, content_length,
+    * payload BINARY, text) — one task per file, the crawl corpus's
+    * natural parallelism. `text` is charset-decoded for text-shaped
+    * content types, null for binary ones (those route through `payload`
+    * to the codec seam).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -122,32 +195,97 @@ object WarcIO {
       .toDF()
   }
 
-  /** Write (url, payload) rows as one WARC file of `response` records
-    * with a minimal HTTP 200 envelope (the round-trip twin of [[read]];
-    * single local file — the xvec writer convention, one partition in
-    * flight via toLocalIterator).
+  private val DefaultContentType = "text/html; charset=utf-8"
+
+  /** One `response` record with a minimal HTTP 200 envelope. */
+  private def writeRecord(out: java.io.OutputStream, url: String,
+      contentType: String, body: Array[Byte]): Unit = {
+    val ct = Option(contentType).filter(_.nonEmpty).getOrElse(DefaultContentType)
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+    val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length + body.length}\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    out.write(head); out.write(http); out.write(body)
+    out.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Bytes of one row's payload column: BINARY passes through exactly;
+    * STRING encodes UTF-8 (write a non-UTF-8 page as binary).
+    */
+  private def payloadBytes(r: Row, i: Int): Array[Byte] = r.get(i) match {
+    case b: Array[Byte] => b
+    case s: String => s.getBytes(StandardCharsets.UTF_8)
+    case null => Array.emptyByteArray
+    case other => throw new IllegalArgumentException(
+      s"payload column must be STRING or BINARY, got ${other.getClass}")
+  }
+
+  /** Write (url, payload[, content_type]) rows as ONE WARC file of
+    * `response` records (the round-trip twin of [[read]]; single local
+    * file — the xvec writer convention, one partition in flight via
+    * toLocalIterator). Payload may be STRING (UTF-8) or BINARY (exact
+    * bytes); `contentTypeCol` (optional) sets each record's HTTP
+    * Content-Type, default `text/html; charset=utf-8`. For corpus-sized
+    * output use [[writeShards]] — this form funnels through the driver.
     */
   def write(df: DataFrame, path: String,
-      urlCol: String = "url", payloadCol: String = "payload"): Long = {
-    val it = df.select(col(urlCol), col(payloadCol)).toLocalIterator()
+      urlCol: String = "url", payloadCol: String = "payload",
+      contentTypeCol: Option[String] = None): Long = {
+    val cols = Seq(col(urlCol), col(payloadCol)) ++ contentTypeCol.map(col)
+    val it = df.select(cols: _*).toLocalIterator()
     val out = new java.io.BufferedOutputStream(
       Files.newOutputStream(Paths.get(path)), 1 << 16)
     var n = 0L
     try {
       while (it.hasNext) {
         val r = it.next()
-        val body = r.getString(1).getBytes(StandardCharsets.UTF_8)
-        val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
-          s"Content-Length: ${body.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8)
-        val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
-          s"WARC-Target-URI: ${r.getString(0)}\r\n" +
-          s"Content-Length: ${http.length + body.length}\r\n\r\n")
-          .getBytes(StandardCharsets.UTF_8)
-        out.write(head); out.write(http); out.write(body)
-        out.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+        writeRecord(out, r.getString(0),
+          if (contentTypeCol.isDefined) r.getString(2) else null,
+          payloadBytes(r, 1))
         n += 1
       }
     } finally out.close()
     n
+  }
+
+  /** Distributed writer: one WARC shard file PER PARTITION (exactly how
+    * crawl corpora ship — many ~1 GB files), written executor-side via
+    * mapPartitionsWithIndex into `dir/part-NNNNN.warc`. Requires `dir`
+    * on a filesystem all executors share (same precondition as any
+    * Spark file sink); on local mode that is trivially true. Returns
+    * (shard, records) — one row per non-empty partition; the receipt is
+    * collected so the write runs eagerly and failures surface here.
+    */
+  def writeShards(df: DataFrame, dir: String,
+      urlCol: String = "url", payloadCol: String = "payload",
+      contentTypeCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Files.createDirectories(Paths.get(dir))
+    val cols = Seq(col(urlCol), col(payloadCol)) ++ contentTypeCol.map(col)
+    val hasCt = contentTypeCol.isDefined
+    val shards = df.select(cols: _*).rdd
+      .mapPartitionsWithIndex { (idx, rows) =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val path = f"$dir/part-$idx%05d.warc"
+          val out = new java.io.BufferedOutputStream(
+            Files.newOutputStream(Paths.get(path)), 1 << 16)
+          var n = 0L
+          try {
+            rows.foreach { r =>
+              writeRecord(out, r.getString(0),
+                if (hasCt) r.getString(2) else null, payloadBytes(r, 1))
+              n += 1
+            }
+          } finally out.close()
+          Iterator((path, n))
+        }
+      }
+      .collect()
+    shards.toSeq.toDF("shard", "records")
   }
 }

@@ -1354,6 +1354,133 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("sha256 mismatch"))
   }
 
+  test("merkle create/verify/diff: intact file verifies, corrupted chunk surfaces") {
+    val d = Files.createTempDirectory("graft-cli-merkle").toString
+    val rnd = new scala.util.Random(11)
+    // >1 MiB so the spec sizing yields MULTIPLE 1 MiB chunks (3 leaves,
+    // capacity 4, 7-node flat tree) — sub-MiB content is one chunk by spec
+    val bytes = Array.fill(3 * 1024 * 1024 - 500)(rnd.nextInt().toByte)
+    Files.write(Paths.get(d, "data.bin"), bytes)
+    val tree = Main.run(spark, Seq("merkle", "create", "--file", s"$d/data.bin",
+      "--output", s"$d/tree.parquet"))
+    assert(tree.count() == 7, "3 leaves pad to capacity 4 -> 7 flat nodes")
+    // intact file → empty mismatch set
+    val ok = Main.run(spark, Seq("merkle", "verify", "--file", s"$d/data.bin",
+      "--reference", s"$d/tree.parquet"))
+    assert(ok.count() == 0, "intact file must verify clean")
+    // corrupt one byte mid-file → exactly that chunk mismatches
+    val corrupted = bytes.clone()
+    corrupted(2 * 1024 * 1024 + 100) = (corrupted(2 * 1024 * 1024 + 100) ^ 0x7f).toByte
+    Files.write(Paths.get(d, "bad.bin"), corrupted)
+    val bad = Main.run(spark, Seq("merkle", "verify", "--file", s"$d/bad.bin",
+      "--reference", s"$d/tree.parquet")).collect()
+    assert(bad.length == 1, s"one corrupted chunk expected: ${bad.mkString}")
+    val diff = Main.run(spark, Seq("merkle", "diff", "--a", s"$d/data.bin",
+      "--b", s"$d/bad.bin")).collect()
+    assert(diff.length == 1 && diff.head.getInt(0) == bad.head.getInt(0))
+  }
+
+  test("jjq extracts json paths from line-delimited docs (positional + flag forms)") {
+    val d = Files.createTempDirectory("graft-cli-jjq").toString
+    Files.write(Paths.get(d, "docs.jsonl"),
+      ("""{"name":"mnist","dims":784,"tags":["img","small"]}""" + "\n" +
+        """{"name":"sift","dims":128,"tags":["img"]}""" + "\n").getBytes("UTF-8"))
+    val names = Main.run(spark, Seq("jjq", ".name", s"$d/docs.jsonl"))
+      .collect().map(_.getString(0)).toSet
+    assert(names == Set("mnist", "sift"))
+    val firstTags = Main.run(spark, Seq("jjq", "--expr", ".tags[0]",
+      "--input", s"$d/docs.jsonl")).collect().map(_.getString(0)).toSet
+    assert(firstTags == Set("img"))
+  }
+
+  test("datasets list/info/download drive the catalog + ranged transport") {
+    val d = Files.createTempDirectory("graft-cli-datasets").toString
+    val payload = "the dataset payload bytes".getBytes("UTF-8")
+    Files.write(Paths.get(d, "blob.bin"), payload)
+    Files.write(Paths.get(d, "catalog.yaml"),
+      (s"""- name: mnist-784-euclidean
+          |  url: file://$d/blob.bin
+          |  attributes: {dims: "784", metric: euclidean}
+          |- name: glove-25-angular
+          |  url: file://$d/blob.bin
+          |  attributes: {dims: "25", metric: angular}
+          |""".stripMargin).getBytes("UTF-8"))
+    val all = Main.run(spark, Seq("datasets", "list", "--at", s"$d/catalog.yaml"))
+      .collect().map(_.getString(0)).toSet
+    assert(all == Set("mnist-784-euclidean", "glove-25-angular"))
+    val filtered = Main.run(spark, Seq("datasets", "list", "--at",
+      s"$d/catalog.yaml", "--filter", "*-euclidean")).collect()
+    assert(filtered.map(_.getString(0)).toSeq == Seq("mnist-784-euclidean"))
+    val info = Main.run(spark, Seq("datasets", "info", "--at",
+      s"$d/catalog.yaml", "--name", "glove*")).collect()
+    assert(info.map(r => r.getString(2) -> r.getString(3)).toMap ==
+      Map("dims" -> "25", "metric" -> "angular"))
+    val report = Main.run(spark, Seq("datasets", "download", "--at",
+      s"$d/catalog.yaml", "--spec", "mnist*:default", "--output", s"$d/dl"))
+    assert(report.filter(!col("valid")).count() == 0)
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(s"$d/dl/blob.bin")), payload))
+  }
+
+  test("fetch --url pulls a file through the ranged transport with sha verify") {
+    val d = Files.createTempDirectory("graft-cli-fetch").toString
+    val rnd = new scala.util.Random(13)
+    val payload = Array.fill(100000)(rnd.nextInt().toByte)
+    Files.write(Paths.get(d, "remote.bin"), payload)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(payload).map("%02x".format(_)).mkString
+    val report = Main.run(spark, Seq("fetch", "--url", s"file://$d/remote.bin",
+      "--output", s"$d/local.bin", "--sha256", sha))
+    assert(report.filter(!col("valid")).count() == 0)
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(s"$d/local.bin")), payload))
+    // preflight marker is cleaned up after the probe
+    assert(!new java.io.File(d).listFiles()
+      .exists(_.getName.startsWith(".graft-sharedfs-probe")),
+      "shared-fs probe marker must not survive the fetch")
+  }
+
+  test("cleanup cleanfvec drops zero and duplicate vectors, writes the cleaned file") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cli-cleanup").toString
+    val vecs = Seq(
+      (0L, Array(1f, 2f)), (1L, Array(0f, 0f)),      // zero → dropped
+      (2L, Array(1f, 2f)),                            // dup of 0 → dropped
+      (3L, Array(3f, 4f)), (4L, Array(0f, 0f)))       // zero → dropped
+    XvecIO.write(vecs.toDF("ordinal", "vector"), s"$d/raw.fvec")
+    val summary = Main.run(spark, Seq("cleanup", "cleanfvec", "--input",
+      s"$d/raw.fvec", "--output", s"$d/clean.fvec")).collect().head
+    assert(summary.getLong(1) == 5 && summary.getLong(2) == 2)
+    val kept = XvecIO.read(spark, s"$d/clean.fvec")
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("vector").toSeq).toSet
+    assert(kept == Set(Seq(1f, 2f), Seq(3f, 4f)))
+  }
+
+  test("generate ivec-shuffle: seeded deterministic permutation, valid xvec out") {
+    val d = Files.createTempDirectory("graft-cli-shuffle").toString
+    val perm1 = Main.run(spark, Seq("generate", "ivec-shuffle", "--input",
+      s"$dir/base.fvec", "--seed", "7", "--output", s"$d/shuf.fvec"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perm2 = Main.run(spark, Seq("ivec-shuffle", "--input",
+      s"$dir/base.fvec", "--seed", "7")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perm1 == perm2, "same seed → same permutation (both spellings)")
+    assert(perm1.keySet == (0L until 100L).toSet)
+    assert(perm1.values.toSet == (0L until 100L).toSet, "a true permutation")
+    assert(perm1 != perm1.map { case (k, _) => k -> k },
+      "seeded shuffle must not be the identity")
+    // the written file is a valid ordinal-ordered xvec: row i carries the
+    // vector of source ordinal perm1(i)
+    val orig = XvecIO.read(spark, s"$dir/base.fvec").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("vector").toSeq).toMap
+    val shuf = XvecIO.read(spark, s"$d/shuf.fvec").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("vector").toSeq).toMap
+    assert(shuf.keySet == (0L until 100L).toSet)
+    (0L until 100L).foreach { i =>
+      assert(shuf(i) == orig(perm1(i)), s"row $i must carry source ${perm1(i)}")
+    }
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))

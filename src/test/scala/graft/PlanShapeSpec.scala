@@ -560,4 +560,48 @@ class PlanShapeSpec extends SparkSpec {
       assert(!cols.contains("text"), s"wand exchange carries raw text: $cols")
     }
   }
+
+  // distinct AggregateExpressions in the optimized logical plan — the
+  // exact-distinct cost the sketch cards' production mode must NOT pay
+  // (a single count(distinct) survives optimization as isDistinct=true;
+  // approx_count_distinct is a plain HLL++ aggregate, isDistinct=false)
+  private def exactDistinctAggs(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.map(_.collect {
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+            if ae.isDistinct => 1
+        }.sum).sum
+    }.sum
+
+  test("Diversity.distinctNApprox production mode: NO exact distinct aggregate") {
+    val docs = (0L until 50L).map(i => (i, s"alpha beta gamma delta token$i"))
+      .toDF("doc_id", "text")
+    val prod = graft.operators.Diversity.distinctNApprox(
+      docs, "text", includeExact = false)
+    assert(exactDistinctAggs(prod) == 0,
+      "production mode's plan must carry only the HLL++ sketch — " +
+        "an exact count_distinct re-introduces the corpus-sized exchange")
+    assert(prod.columns.contains("approx_distinct"))
+    assert(prod.count() == 3)
+    // contrast: card mode keeps the oracle-recomputable exact side
+    val card = graft.operators.Diversity.distinctNApprox(docs, "text")
+    assert(exactDistinctAggs(card) == 3)
+  }
+
+  test("Overlap.overlapCard production mode: NO exact distinct aggregate") {
+    val a = (0L until 40L).map(i => (i, s"shared${i % 10} only_a$i")).toDF("id", "text")
+    val b = (0L until 40L).map(i => (i, s"shared${i % 10} only_b$i")).toDF("id", "text")
+    val prod = graft.operators.Overlap.vocabOverlapCard(
+      a, b, "text", includeExact = false)
+    assert(exactDistinctAggs(prod) == 0,
+      "production mode's plan must carry only the three HLL++ sketches")
+    assert(prod.columns.toSeq == Seq("apx_a", "apx_b", "apx_u",
+      "apx_intersect", "jaccard_approx", "abs_error_5sigma"))
+    val row = prod.collect().head
+    // small-universe sanity: the HLL estimate is near-exact here
+    assert(row.getLong(0) > 0 && row.getLong(3) >= 0)
+    val card = graft.operators.Overlap.vocabOverlapCard(a, b, "text")
+    assert(exactDistinctAggs(card) == 3)
+  }
 }

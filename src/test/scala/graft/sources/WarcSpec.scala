@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
@@ -8,7 +9,9 @@ import graft.SparkSpec
 
 /** WARC container contracts: write→read round trip with the HTTP
   * envelope stripped, gzip members, directory fan-out (one task per
-  * file), and loud failure on truncation.
+  * file), loud failure on truncation, binary payloads routed untouched
+  * (text null), declared-charset decode, and the per-partition shard
+  * writer.
   */
 class WarcSpec extends SparkSpec {
   import spark.implicits._
@@ -22,13 +25,61 @@ class WarcSpec extends SparkSpec {
     val n = WarcIO.write(rows(20, "a").toDF("url", "payload"), s"$d/a.warc")
     assert(n == 20)
     val back = WarcIO.read(spark, s"$d/a.warc")
-      .select("url", "payload", "warc_type").collect()
+      .select("url", "text", "warc_type", "content_type").collect()
     assert(back.length == 20)
     assert(back.forall(_.getString(2) == "response"))
+    assert(back.forall(_.getString(3) == "text/html; charset=utf-8"))
     val byUrl = back.map(r => r.getString(0) -> r.getString(1)).toMap
     rows(20, "a").foreach { case (u, p) =>
       assert(byUrl(u) == p, s"payload mismatch for $u")
     }
+  }
+
+  test("binary payload round-trips byte-exact; text is null (codec-seam routing)") {
+    val d = Files.createTempDirectory("graft-warcbin").toString
+    // bytes that are NOT valid UTF-8 (0xFF 0xFE) and contain CRLF CRLF —
+    // a text-decoding reader would mangle the former and a naive
+    // envelope-search could split on the latter
+    val img = Array[Byte](0xFF.toByte, 0xFE.toByte, '\r', '\n', '\r', '\n',
+      0, 1, 2, 3, 127, 0x80.toByte)
+    val df = Seq(("http://example.com/img/1", img, "image/x-portable-pixmap"))
+      .toDF("url", "payload", "content_type")
+    WarcIO.write(df, s"$d/b.warc", contentTypeCol = Some("content_type"))
+    val back = WarcIO.read(spark, s"$d/b.warc")
+      .select("content_type", "payload", "text").collect()
+    assert(back.length == 1)
+    assert(back.head.getString(0) == "image/x-portable-pixmap")
+    assert(java.util.Arrays.equals(back.head.getAs[Array[Byte]](1), img),
+      "binary payload must round-trip byte-exact")
+    assert(back.head.isNullAt(2), "non-text content type must not decode to text")
+  }
+
+  test("declared charset decodes non-UTF-8 pages; unsupported charset falls back") {
+    val d = Files.createTempDirectory("graft-warccs").toString
+    val s1 = "café résumé ±°ß"
+    val df = Seq(
+      ("http://example.com/l1", s1.getBytes(StandardCharsets.ISO_8859_1),
+        "text/plain; charset=iso-8859-1"),
+      ("http://example.com/u8", s1.getBytes(StandardCharsets.UTF_8),
+        "text/plain; charset=utf-8"),
+      ("http://example.com/bad", "plain ascii page".getBytes(StandardCharsets.UTF_8),
+        "text/plain; charset=no-such-charset"))
+      .toDF("url", "payload", "content_type")
+    WarcIO.write(df, s"$d/c.warc", contentTypeCol = Some("content_type"))
+    val back = WarcIO.read(spark, s"$d/c.warc")
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back("http://example.com/l1") == s1, "latin-1 page must decode via declared charset")
+    assert(back("http://example.com/u8") == s1)
+    assert(back("http://example.com/bad") == "plain ascii page",
+      "unsupported charset falls back to UTF-8 instead of throwing")
+  }
+
+  test("charsetOf: declared, quoted, absent, unsupported, malformed") {
+    assert(WarcIO.charsetOf("text/html; charset=iso-8859-1").name == "ISO-8859-1")
+    assert(WarcIO.charsetOf("text/html; CHARSET=\"UTF-16BE\"").name == "UTF-16BE")
+    assert(WarcIO.charsetOf("text/html").name == "UTF-8")
+    assert(WarcIO.charsetOf(null).name == "UTF-8")
+    assert(WarcIO.charsetOf("text/html; charset=bogus!!").name == "UTF-8")
   }
 
   test("gzipped warc (.warc.gz) reads identically") {
@@ -51,6 +102,21 @@ class WarcSpec extends SparkSpec {
     assert(back.count() == 11)
     assert(back.select("file").distinct().count() == 2)
     assert(back.rdd.getNumPartitions == 2, "one task per file")
+  }
+
+  test("writeShards: one WARC per partition, directory read round-trips") {
+    val d = Files.createTempDirectory("graft-warcshards").toString + "/out"
+    val receipt = WarcIO.writeShards(
+      rows(23, "s").toDF("url", "payload").repartition(4), d).collect()
+    assert(receipt.length == 4, "one shard row per non-empty partition")
+    assert(receipt.map(_.getLong(1)).sum == 23)
+    assert(receipt.forall(r => r.getString(0).matches(".*/part-\\d{5}\\.warc")))
+    val back = WarcIO.read(spark, d)
+    assert(back.count() == 23)
+    assert(back.rdd.getNumPartitions == 4, "one read task per shard")
+    val byUrl = back.select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    rows(23, "s").foreach { case (u, p) => assert(byUrl(u) == p) }
   }
 
   test("truncated payload fails loudly, never silently shortens the corpus") {
