@@ -1408,9 +1408,33 @@ object Main {
         }
 
       case "warc-read" =>
-        // ISO 28500 crawl container → (file, warc_type, url, content_length,
-        // payload); one task per warc file, HTTP envelopes stripped
+        // ISO 28500 crawl container → (file, warc_type, url, content_type,
+        // content_length, warc_date, offset, length, payload BINARY, text);
+        // one task per warc file, HTTP envelopes stripped, charset-aware
         sources.WarcIO.read(spark, need("input"))
+
+      case "cdx-index" =>
+        // sorted CDXJ index over a WARC shard/directory (urlkey timestamp
+        // {json(offset,length,digest,…)}) — the random-access map a 100 TB
+        // crawl is read through; --output writes the sorted text artifact
+        val cdxIdx = sources.CdxIO.index(spark, need("input"))
+        flags.get("output") match {
+          case Some(p) =>
+            val n = sources.CdxIO.writeCdxj(cdxIdx, p)
+            System.err.println(s"[cdx-index] $n records -> $p")
+            sources.CdxIO.readCdxj(spark, p)
+          case None => cdxIdx
+        }
+
+      case "cdx-fetch" =>
+        // index-driven random access: read a CDXJ file, optionally narrow
+        // by urlkey prefix (the sorted-index probe), seek directly to the
+        // selected records — the shard is never scanned
+        val cdxAll = sources.CdxIO.readCdxj(spark, need("index"))
+        val cdxSel = flags.get("urlkey-prefix")
+          .map(p => cdxAll.filter(col("urlkey").startsWith(p)))
+          .getOrElse(cdxAll)
+        sources.CdxIO.fetchRecords(cdxSel).drop("payload")
 
       case "html-extract" =>
         // boilerplate removal: block-scored main text from an html column
@@ -1661,6 +1685,8 @@ object Main {
       |  convert [file] --input PATH --output PATH   (xvec/parquet/csv/json in; xvec/parquet/csv/json/yaml out)
       |  html-extract --input PARQUET [--id-col C] [--html-col C] [--min-chars N] [--max-link-density D]
       |  warc-read --input WARC|WARC.GZ|DIR
+      |  cdx-index --input WARC|DIR [--output CDXJ]
+      |  cdx-fetch --index CDXJ [--urlkey-prefix P]
       |  hnsw-maintain --bundle DIR [--tombstone PARQUET] [--compact] [--id-col C] [--m N] [--ef-construction N] [--metric M]
       |  merkle create --file PATH [--output PARQUET] | merkle verify --file PATH --reference PARQUET | merkle diff --a PATH --b PATH
       |  jjq '<expr>' FILE   (or --expr E --input FILE; one JSON doc per line)

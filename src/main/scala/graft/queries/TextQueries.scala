@@ -1417,6 +1417,41 @@ object TextQueries {
       extracted.unionByName(latin1).unionByName(ppm)
     },
 
+    // CDX-indexed RANDOM ACCESS over the crawl container — the 100 TB
+    // read path: build the sorted CDXJ index (urlkey/digest/offset per
+    // record) from a WARC shard, round-trip it through the text format,
+    // select 1/5th of the records BY INDEX, and pull exactly those via
+    // byte-offset seeks (WarcIO.fetchRecord — the shard is never
+    // re-scanned). Extraction equality against the original text proves
+    // every stored offset byte-exact in composition with the writer,
+    // the HTTP envelope strip and the boilerplate remover.
+    GQuery(
+      "q339_cdx_random_access",
+      """SELECT doc_id, text FROM documents WHERE doc_id < 250 AND doc_id % 5 = 0""") { (s, dir) =>
+      val base = s"${tmpDir()}/cdx-${System.nanoTime()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 250)
+      val pages = docs.select(
+        concat(lit("http://corpus.test/doc/"), col("doc_id")).as("url"),
+        concat(
+          lit("<html><head><title>Page</title><script>var x = '<p>junk</p>';" +
+            "</script></head><body><!-- beacon --><nav><a href=\"/\">Home</a> " +
+            "<a href=\"/about\">About</a></nav><p>"),
+          col("text"),
+          lit("</p><footer>(c) corp</footer></body></html>")).as("payload"))
+      graft.sources.WarcIO.write(pages, s"$base/crawl.warc")
+      val idx = graft.sources.CdxIO.index(s, s"$base/crawl.warc")
+      graft.sources.CdxIO.writeCdxj(idx, s"$base/crawl.cdxj")
+      val selected = graft.sources.CdxIO.readCdxj(s, s"$base/crawl.cdxj")
+        .withColumn("doc_id",
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long"))
+        .filter(col("doc_id") % 5 === 0)
+      val recs = graft.sources.CdxIO.fetchRecords(selected)
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("text").as("html"))
+      graft.operators.HtmlExtract.extract(recs, "doc_id", "html")
+    },
+
     // Corpus-overlap card: trigram-vocabulary sharing between two source
     // slices via inclusion-exclusion over three HLL++ sketches — the
     // mixture/decontamination first-look at 100 TB (the exact

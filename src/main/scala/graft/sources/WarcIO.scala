@@ -44,8 +44,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 object WarcIO {
 
   final case class WarcRecord(file: String, warc_type: String, url: String,
-      content_type: String, content_length: Long, payload: Array[Byte],
-      text: String)
+      content_type: String, content_length: Long, warc_date: String,
+      offset: Long, length: Long, payload: Array[Byte], text: String)
 
   /** Content types whose payload decodes to the `text` column. Anything
     * else (images, application/pdf, octet-stream …) keeps `text` null
@@ -99,19 +99,60 @@ object WarcIO {
     val mime = Option(ctype).getOrElse("").takeWhile(_ != ';').trim.toLowerCase
     // no declared type → the pre-binary reader's behavior: treat as text
     val text = if (mime.isEmpty || isTextType(mime))
-      new String(payload, charsetOf(ctype)) else null
+      new String(payload, charsetFor(ctype, payload)) else null
     (ctype, payload, text)
   }
 
-  private def readRecords(path: String): Iterator[WarcRecord] = {
-    val raw = new BufferedInputStream(new FileInputStream(path), 1 << 16)
-    val in: java.io.InputStream =
-      if (path.endsWith(".gz"))
-        new java.util.zip.GZIPInputStream(raw, 1 << 16)
-      else raw
+  private val MetaCharset =
+    "(?i)<meta[^>]+charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)".r
+
+  /** Charset resolution with the HTML5 prescan fallback: the HTTP
+    * header's declared charset wins; when the header declares NONE, the
+    * first 1024 payload bytes are scanned for a `<meta charset=…>` /
+    * `<meta http-equiv … charset=…>` declaration (exactly what browsers
+    * and production extractors do — many latin-1/windows-1251 pages
+    * declare their encoding only in the markup). UTF-8 when neither
+    * declares, or the name is unsupported.
+    */
+  private def charsetFor(contentType: String, payload: Array[Byte]): Charset = {
+    val headerDeclared = "(?i)charset=".r
+      .findFirstIn(Option(contentType).getOrElse("")).isDefined
+    if (headerDeclared) charsetOf(contentType)
+    else {
+      val prefix = new String(payload, 0, math.min(1024, payload.length),
+        StandardCharsets.ISO_8859_1)
+      MetaCharset.findFirstMatchIn(prefix).map(_.group(1)).filter { name =>
+        try Charset.isSupported(name)
+        catch { case _: IllegalArgumentException => false }
+      }.map(Charset.forName).getOrElse(StandardCharsets.UTF_8)
+    }
+  }
+
+  /** Byte-position-aware stream wrapper — record offsets are what the
+    * CDX index stores, and what random access re-reads from.
+    */
+  private final class CountingInputStream(in: java.io.InputStream)
+      extends java.io.FilterInputStream(in) {
+    var count: Long = 0L
+    override def read(): Int = {
+      val b = super.read(); if (b >= 0) count += 1; b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val r = super.read(b, off, len); if (r > 0) count += r; r
+    }
+  }
+
+  /** One-record-at-a-time WARC parser over a counting stream. Offsets
+    * are positions in the stream as read: raw file bytes for `.warc`,
+    * DECOMPRESSED positions for `.warc.gz` (random access by offset is
+    * therefore a plain-`.warc` capability — Common Crawl solves gz
+    * random access with per-record gzip members; this reader documents
+    * the same limitation instead of faking it).
+    */
+  private final class RecordScanner(path: String, val in: CountingInputStream) {
 
     // line reader over the stream that leaves payload bytes untouched
-    def readLine(): String = {
+    private def readLine(): String = {
       val buf = new ByteArrayOutputStream(128)
       var b = in.read()
       if (b < 0) return null
@@ -120,7 +161,7 @@ object WarcIO {
       if (s.endsWith("\r")) s.dropRight(1) else s
     }
 
-    def readFully(n: Long): Array[Byte] = {
+    private def readFully(n: Long): Array[Byte] = {
       require(n <= Int.MaxValue, s"$path: record payload too large ($n)")
       val out = new Array[Byte](n.toInt)
       var off = 0
@@ -132,46 +173,97 @@ object WarcIO {
       out
     }
 
-    new Iterator[WarcRecord] {
-      private var nextRec: WarcRecord = advance()
-      private def advance(): WarcRecord = {
-        // skip inter-record blank lines
-        var line = readLine()
-        while (line != null && line.isEmpty) line = readLine()
-        if (line == null) { in.close(); return null }
-        require(line.startsWith("WARC/"),
-          s"$path: expected a WARC version line, got: ${line.take(60)}")
-        var wtype = ""
-        var url = ""
-        var warcCt = ""
-        var len = -1L
-        var h = readLine()
-        while (h != null && h.nonEmpty) {
-          val i = h.indexOf(':')
-          require(i > 0, s"$path: malformed WARC header: ${h.take(60)}")
-          val (k, v) = (h.substring(0, i).trim.toLowerCase, h.substring(i + 1).trim)
-          k match {
-            case "warc-type" => wtype = v
-            case "warc-target-uri" => url = v
-            case "content-type" => warcCt = v
-            case "content-length" => len = v.toLong
-            case _ =>
-          }
-          h = readLine()
+    /** Parse the next record; null at clean EOF. `offset` is the byte
+      * position of the record's version line; `length` spans version
+      * line through payload end (the trailing blank separator excluded).
+      */
+    def next(): WarcRecord = {
+      // skip inter-record blank lines, remembering where each line began
+      var lineStart = in.count
+      var line = readLine()
+      while (line != null && line.isEmpty) { lineStart = in.count; line = readLine() }
+      if (line == null) { in.close(); return null }
+      val offset = lineStart
+      require(line.startsWith("WARC/"),
+        s"$path: expected a WARC version line, got: ${line.take(60)}")
+      var wtype = ""
+      var url = ""
+      var warcCt = ""
+      var wdate = ""
+      var len = -1L
+      var h = readLine()
+      while (h != null && h.nonEmpty) {
+        val i = h.indexOf(':')
+        require(i > 0, s"$path: malformed WARC header: ${h.take(60)}")
+        val (k, v) = (h.substring(0, i).trim.toLowerCase, h.substring(i + 1).trim)
+        k match {
+          case "warc-type" => wtype = v
+          case "warc-target-uri" => url = v
+          case "content-type" => warcCt = v
+          case "warc-date" => wdate = v
+          case "content-length" => len = v.toLong
+          case _ =>
         }
-        require(len >= 0, s"$path: record without Content-Length")
-        val body = readFully(len)
-        // the WARC-level content type of a response record describes the
-        // ENVELOPE (application/http); the payload's type lives inside it
-        val (ctype, payload, text) = splitPayload(body,
-          if (warcCt.toLowerCase.startsWith("application/http")) "" else warcCt)
-        WarcRecord(path, wtype, url, ctype, len, payload, text)
+        h = readLine()
       }
+      require(len >= 0, s"$path: record without Content-Length")
+      val body = readFully(len)
+      // the WARC-level content type of a response record describes the
+      // ENVELOPE (application/http); the payload's type lives inside it
+      val (ctype, payload, text) = splitPayload(body,
+        if (warcCt.toLowerCase.startsWith("application/http")) "" else warcCt)
+      WarcRecord(path, wtype, url, ctype, len, wdate, offset,
+        in.count - offset, payload, text)
+    }
+  }
+
+  private def openScanner(path: String): RecordScanner = {
+    val raw = new BufferedInputStream(new FileInputStream(path), 1 << 16)
+    val in: java.io.InputStream =
+      if (path.endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(raw, 1 << 16)
+      else raw
+    new RecordScanner(path, new CountingInputStream(in))
+  }
+
+  /** Sequential record iterator over one file (the per-task scan both the
+    * batch reader and the `warc` streaming source run).
+    */
+  private[sources] def recordsOf(path: String): Iterator[WarcRecord] = {
+    val scanner = openScanner(path)
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = scanner.next()
       def hasNext: Boolean = nextRec != null
       def next(): WarcRecord = {
-        val r = nextRec; nextRec = advance(); r
+        val r = nextRec; nextRec = scanner.next(); r
       }
     }
+  }
+
+  /** RANDOM ACCESS: parse the single record at `offset` of an
+    * UNCOMPRESSED `.warc` file — the CDX-index read path (pull one page
+    * out of a ~1 GB shard without scanning it). O(1) seek + one record's
+    * bytes; loud on `.warc.gz` (see [[RecordScanner]]).
+    */
+  def fetchRecord(path: String, offset: Long): WarcRecord = {
+    require(!path.endsWith(".gz"),
+      s"fetchRecord: random access by byte offset needs an uncompressed " +
+        s".warc (Common Crawl uses per-record gzip members for this): $path")
+    val raw = new FileInputStream(path)
+    try {
+      var toSkip = offset
+      while (toSkip > 0) {
+        val s = raw.skip(toSkip)
+        require(s > 0, s"$path: cannot seek to $offset")
+        toSkip -= s
+      }
+      val scanner = new RecordScanner(path,
+        new CountingInputStream(new BufferedInputStream(raw, 1 << 16)))
+      val rec = scanner.next()
+      require(rec != null, s"$path: no record at offset $offset")
+      // the scanner's count started at the seek point
+      rec.copy(offset = offset, length = rec.length)
+    } finally raw.close()
   }
 
   /** Read one or more WARC files (a directory lists `*.warc`/`*.warc.gz`)
@@ -191,7 +283,7 @@ object WarcIO {
       else Seq(path)
     require(files.nonEmpty, s"no WARC files under $path")
     spark.sparkContext.parallelize(files, files.size)
-      .flatMap(readRecords)
+      .flatMap(recordsOf)
       .toDF()
   }
 

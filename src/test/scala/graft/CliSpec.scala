@@ -1481,6 +1481,25 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("cdx-index and cdx-fetch: sorted index, prefix probe, offset reads") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cli-cdx").toString
+    val rows = Seq(
+      ("http://alpha.example.com/1", "<p>Alpha page one with enough characters to keep.</p>"),
+      ("http://alpha.example.com/2", "<p>Alpha page two with enough characters to keep.</p>"),
+      ("http://beta.example.com/1", "<p>Beta page one with enough characters to keep.</p>"))
+    graft.sources.WarcIO.write(rows.toDF("url", "payload"), s"$d/s.warc")
+    val idx = Main.run(spark, Seq("cdx-index", "--input", s"$d/s.warc",
+      "--output", s"$d/s.cdxj"))
+    assert(idx.count() == 3)
+    val fetched = Main.run(spark, Seq("cdx-fetch", "--index", s"$d/s.cdxj",
+      "--urlkey-prefix", "com,example,alpha)"))
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fetched.keySet ==
+      Set("http://alpha.example.com/1", "http://alpha.example.com/2"))
+    assert(fetched.values.forall(_.contains("Alpha page")))
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))

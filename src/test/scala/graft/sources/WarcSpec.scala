@@ -119,6 +119,49 @@ class WarcSpec extends SparkSpec {
     rows(23, "s").foreach { case (u, p) => assert(byUrl(u) == p) }
   }
 
+  test("offsets are byte-exact: fetchRecord(offset) equals the scanned record") {
+    val d = Files.createTempDirectory("graft-warcoff").toString
+    WarcIO.write(rows(9, "o").toDF("url", "payload"), s"$d/o.warc")
+    val scanned = WarcIO.read(spark, s"$d/o.warc")
+      .select("url", "offset", "length", "text").collect()
+    // offsets strictly increase and lengths tile the record spans
+    val offs = scanned.map(_.getLong(1)).sorted
+    assert(offs.head == 0L)
+    assert(offs.distinct.length == 9, "distinct record offsets")
+    scanned.foreach { r =>
+      val rec = WarcIO.fetchRecord(s"$d/o.warc", r.getLong(1))
+      assert(rec.url == r.getString(0), s"offset ${r.getLong(1)} fetched wrong record")
+      assert(rec.text == r.getString(3))
+      assert(rec.length == r.getLong(2))
+    }
+  }
+
+  test("meta-charset prescan: header without charset defers to <meta charset>") {
+    val d = Files.createTempDirectory("graft-warcmeta").toString
+    val s1 = "café résumé ±°ß"
+    val metaPage = s"""<html><head><meta charset="iso-8859-1"></head>""" +
+      s"<body><p>$s1</p></body></html>"
+    val equivPage = "<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=ISO-8859-1\"></head>" +
+      s"<body><p>$s1</p></body></html>"
+    val df = Seq(
+      ("http://example.com/meta", metaPage.getBytes(StandardCharsets.ISO_8859_1),
+        "text/html"), // header declares NO charset -> prescan finds the meta
+      ("http://example.com/equiv", equivPage.getBytes(StandardCharsets.ISO_8859_1),
+        "text/html"),
+      // header charset WINS over a lying meta tag (the HTTP precedence rule)
+      ("http://example.com/hdr", s"<p>$s1</p>".getBytes(StandardCharsets.UTF_8),
+        "text/html; charset=utf-8"))
+      .toDF("url", "payload", "content_type")
+    WarcIO.write(df, s"$d/m.warc", contentTypeCol = Some("content_type"))
+    val back = WarcIO.read(spark, s"$d/m.warc").select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back("http://example.com/meta").contains(s1),
+      s"meta charset must drive the decode: ${back("http://example.com/meta")}")
+    assert(back("http://example.com/equiv").contains(s1))
+    assert(back("http://example.com/hdr").contains(s1))
+  }
+
   test("truncated payload fails loudly, never silently shortens the corpus") {
     val d = Files.createTempDirectory("graft-warctrunc").toString
     WarcIO.write(rows(3, "t").toDF("url", "payload"), s"$d/t.warc")
