@@ -1413,6 +1413,14 @@ object Main {
         // one task per warc file, HTTP envelopes stripped, charset-aware
         sources.WarcIO.read(spark, need("input"))
 
+      case "link-extract" =>
+        // crawled page → link-graph edges (href resolved RFC 3986 against
+        // the page url, anchor text kept) — the PageRank-family input
+        operators.LinkExtract.extract(spark.read.parquet(need("input")),
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("html-col", "html"),
+          flags.getOrElse("url-col", "url"))
+
       case "cdx-index" =>
         // sorted CDXJ index over a WARC shard/directory (urlkey timestamp
         // {json(offset,length,digest,…)}) — the random-access map a 100 TB
@@ -1685,6 +1693,7 @@ object Main {
       |  convert [file] --input PATH --output PATH   (xvec/parquet/csv/json in; xvec/parquet/csv/json/yaml out)
       |  html-extract --input PARQUET [--id-col C] [--html-col C] [--min-chars N] [--max-link-density D]
       |  warc-read --input WARC|WARC.GZ|DIR
+      |  link-extract --input PARQUET [--id-col C] [--html-col C] [--url-col C]
       |  cdx-index --input WARC|DIR [--output CDXJ]
       |  cdx-fetch --index CDXJ [--urlkey-prefix P]
       |  hnsw-maintain --bundle DIR [--tombstone PARQUET] [--compact] [--id-col C] [--m N] [--ef-construction N] [--metric M]

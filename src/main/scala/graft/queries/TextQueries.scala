@@ -1452,6 +1452,96 @@ object TextQueries {
       graft.operators.HtmlExtract.extract(recs, "doc_id", "html")
     },
 
+    // STREAMING crawl ingest end to end (the q103 discipline applied to
+    // the warc source): two AvailableNow drains over ONE checkpoint, a
+    // new shard landing between them — exactly-once at the shard
+    // granularity means the sink holds each record exactly once, which
+    // the oracle (a plain recompute from documents) only matches if the
+    // second drain picked up ONLY the new shard. Composes the streaming
+    // source with the envelope strip, charset decode and HtmlExtract.
+    GQuery(
+      "q340_warc_stream",
+      """SELECT doc_id, text FROM documents WHERE doc_id < 200""") { (s, dir) =>
+      val base = s"${tmpDir()}/warcstream-${System.nanoTime()}"
+      val inDir = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      def pagesFor(lo: Long, hi: Long) =
+        Tables.documents(s, dir)
+          .filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select(
+            concat(lit("http://corpus.test/doc/"), col("doc_id")).as("url"),
+            concat(
+              lit("<html><head><title>Page</title></head><body><nav>" +
+                "<a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><p>"),
+              col("text"),
+              lit("</p><footer>(c) corp</footer></body></html>")).as("payload"))
+      def drain(): Unit = {
+        val q = s.readStream.format("warc").load(inDir)
+          .select(col("url"), col("text"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(120000)) {
+          q.stop()
+          throw new IllegalStateException("q340: AvailableNow drain timed out")
+        }
+      }
+      graft.sources.WarcIO.write(pagesFor(0, 100), s"$inDir/shard-000.warc")
+      drain()
+      // the crawl produces its next shard (name sorts after, the contract)
+      graft.sources.WarcIO.write(pagesFor(100, 200), s"$inDir/shard-001.warc")
+      drain()
+      val crawled = s.read.parquet(s"$base/out")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("text").as("html"))
+      graft.operators.HtmlExtract.extract(crawled, "doc_id", "html")
+    },
+
+    // Outlink extraction — crawled page → LINK-GRAPH edges (the PageRank
+    // / host-authority input) plus the rel=canonical URL-dedup key. The
+    // fixture exercises the three RFC 3986 resolution classes (rooted,
+    // ../ traversal against the page path, absolute cross-host) and a
+    // dropped mailto:; every resolved URL and anchor is string-exact in
+    // the oracle. One per-row flatMap, zero shuffle.
+    GQuery(
+      "q341_link_extract",
+      """SELECT doc_id, 'link' AS rel,
+        |       'http://corpus.test/doc/' || (doc_id + 1) AS url,
+        |       'next doc' AS anchor
+        |FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT doc_id, 'link', 'http://corpus.test/a/rel/' || (doc_id % 7),
+        |       'up link' FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT doc_id, 'link', 'http://other.site/abs/' || doc_id,
+        |       'elsewhere' FROM documents WHERE doc_id < 300
+        |UNION ALL
+        |SELECT doc_id, 'canonical', 'http://corpus.test/canon/' || doc_id,
+        |       '' FROM documents WHERE doc_id < 300""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val pages = docs.select(col("doc_id"),
+        concat(lit("http://corpus.test/a/b/doc"), col("doc_id")).as("url"),
+        concat(
+          lit("<html><head><link rel=\"canonical\" href=\"/canon/"),
+          col("doc_id"),
+          lit("\"></head><body><a href=\"/doc/"), col("doc_id") + 1,
+          lit("\">next doc</a> <a href=\"../rel/"), col("doc_id") % 7,
+          lit("\">up link</a> <a href=\"http://other.site/abs/"), col("doc_id"),
+          lit("\">elsewhere</a> <a href=\"mailto:x@y.z\">mail</a><p>"),
+          col("text"), lit("</p></body></html>")).as("html"))
+      val links = graft.operators.LinkExtract
+        .extract(pages, "doc_id", "html", "url")
+        .select(col("doc_id"), lit("link").as("rel"),
+          col("link").as("url"), col("anchor"))
+      val canon = graft.operators.LinkExtract
+        .canonical(pages, "doc_id", "html", "url")
+        .select(col("doc_id"), lit("canonical").as("rel"),
+          col("canonical").as("url"), lit("").as("anchor"))
+      links.unionByName(canon)
+    },
+
     // Corpus-overlap card: trigram-vocabulary sharing between two source
     // slices via inclusion-exclusion over three HLL++ sketches — the
     // mixture/decontamination first-look at 100 TB (the exact

@@ -1500,6 +1500,18 @@ class CliSpec extends SparkSpec {
     assert(fetched.values.forall(_.contains("Alpha page")))
   }
 
+  test("link-extract resolves hrefs against the page url via the CLI") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cli-links").toString
+    Seq((1L, "http://h.example.com/a/p",
+        """<a href="/x">root</a> <a href="y">rel</a> <a href="mailto:m@x">m</a>"""))
+      .toDF("doc_id", "url", "html").write.parquet(s"$d/pages.parquet")
+    val links = Main.run(spark, Seq("link-extract", "--input", s"$d/pages.parquet"))
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(links == Map("http://h.example.com/x" -> "root",
+      "http://h.example.com/a/y" -> "rel"))
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))
