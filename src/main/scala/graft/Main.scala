@@ -1421,6 +1421,27 @@ object Main {
           flags.getOrElse("html-col", "html"),
           flags.getOrElse("url-col", "url"))
 
+      case "robots-filter" =>
+        // RFC 9309 compliance verdicts: rules compile once per host,
+        // pages join on the host key (never a per-page re-parse)
+        val rfCompiled = operators.RobotsTxt.compileRules(
+          spark.read.parquet(need("robots")), flags.getOrElse("agent", "*"),
+          flags.getOrElse("host-col", "host"),
+          flags.getOrElse("txt-col", "robots_txt"))
+        operators.RobotsTxt.filterAllowed(
+          spark.read.parquet(need("pages")), rfCompiled,
+          flags.getOrElse("url-col", "url"))
+
+      case "wet-export" =>
+        // extracted text → WET conversion records (.gz = per-record
+        // members, randomly addressable via cdx-index)
+        import spark.implicits._
+        val wetOut = need("output")
+        val wetN = sources.WarcIO.writeWet(spark.read.parquet(need("input")),
+          wetOut, flags.getOrElse("url-col", "url"),
+          flags.getOrElse("text-col", "text"))
+        Seq((wetOut, wetN)).toDF("output", "records")
+
       case "cdx-index" =>
         // sorted CDXJ index over a WARC shard/directory (urlkey timestamp
         // {json(offset,length,digest,…)}) — the random-access map a 100 TB
@@ -1694,6 +1715,8 @@ object Main {
       |  html-extract --input PARQUET [--id-col C] [--html-col C] [--min-chars N] [--max-link-density D]
       |  warc-read --input WARC|WARC.GZ|DIR
       |  link-extract --input PARQUET [--id-col C] [--html-col C] [--url-col C]
+      |  robots-filter --pages PARQUET --robots PARQUET [--agent A] [--url-col C] [--host-col C] [--txt-col C]
+      |  wet-export --input PARQUET --output WET[.warc.gz] [--url-col C] [--text-col C]
       |  cdx-index --input WARC|DIR [--output CDXJ]
       |  cdx-fetch --index CDXJ [--urlkey-prefix P]
       |  hnsw-maintain --bundle DIR [--tombstone PARQUET] [--compact] [--id-col C] [--m N] [--ef-construction N] [--metric M]

@@ -1542,6 +1542,71 @@ object TextQueries {
       links.unionByName(canon)
     },
 
+    // WET export round trip over PER-RECORD gzip members: extracted text
+    // persists as ISO 28500 `conversion` records (no HTTP envelope — the
+    // derived-text artifact crawls ship beside raw WARCs), one gzip
+    // member per record so the COMPRESSED file stays randomly
+    // addressable; the oracle replays text and record typing after a
+    // write → multi-member sequential read round trip.
+    GQuery(
+      "q342_wet_export",
+      """SELECT doc_id, 'conversion' AS warc_type,
+        |       'text/plain; charset=utf-8' AS content_type, text
+        |FROM documents WHERE doc_id < 300""".stripMargin) { (s, dir) =>
+      val base = s"${tmpDir()}/wet-${System.nanoTime()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(concat(lit("http://corpus.test/doc/"), col("doc_id")).as("url"),
+          col("text"))
+      graft.sources.WarcIO.writeWet(docs, s"$base/corpus.wet.warc.gz")
+      graft.sources.WarcIO.read(s, s"$base/corpus.wet.warc.gz")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("warc_type"), col("content_type"),
+          col("text"))
+    },
+
+    // robots.txt compliance (RFC 9309) — the legal filter in front of
+    // every crawl-derived corpus. Three hosts with distinct policies
+    // (longest-match Allow-over-Disallow, an agent-specific total block,
+    // a wildcard-anchored extension rule); rules compile ONCE per host
+    // (per-row map on the 3-row robots table), pages join on the host
+    // key — never a per-page re-parse. Every verdict is recomputable by
+    // the oracle from doc_id arithmetic.
+    GQuery(
+      "q343_robots_filter",
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'h0.test' WHEN 1 THEN 'h1.test'
+        |       ELSE 'h2.test' END AS host,
+        |  CASE WHEN doc_id % 3 = 1 THEN false
+        |       WHEN doc_id % 3 = 0 AND doc_id % 4 = 1 THEN false
+        |       WHEN doc_id % 3 = 2 AND doc_id % 4 = 3 THEN false
+        |       ELSE true END AS allowed
+        |FROM documents WHERE doc_id < 300""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val pages = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, "h0.test")
+          .when(col("doc_id") % 3 === 1, "h1.test")
+          .otherwise("h2.test").as("host"),
+        concat(lit("http://"),
+          when(col("doc_id") % 3 === 0, "h0.test")
+            .when(col("doc_id") % 3 === 1, "h1.test")
+            .otherwise("h2.test"),
+          when(col("doc_id") % 4 === 0, concat(lit("/public/"), col("doc_id")))
+            .when(col("doc_id") % 4 === 1, concat(lit("/private/"), col("doc_id")))
+            .when(col("doc_id") % 4 === 2, concat(lit("/private/ok/"), col("doc_id")))
+            .otherwise(concat(lit("/data/"), col("doc_id"), lit(".bin"))))
+          .as("url"))
+      val robots = Seq(
+        ("h0.test", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"),
+        ("h1.test", "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nDisallow:\n"),
+        ("h2.test", "User-agent: *\nDisallow: /*.bin$\n"))
+        .toDF("host", "robots_txt")
+      val compiled = graft.operators.RobotsTxt.compileRules(robots, "graftbot")
+      graft.operators.RobotsTxt.filterAllowed(pages, compiled)
+        .select(col("doc_id"), col("host"), col("allowed"))
+    },
+
     // Corpus-overlap card: trigram-vocabulary sharing between two source
     // slices via inclusion-exclusion over three HLL++ sketches — the
     // mixture/decontamination first-look at 100 TB (the exact

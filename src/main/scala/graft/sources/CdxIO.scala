@@ -70,12 +70,15 @@ object CdxIO {
 
   /** Build the index frame for one WARC file or a directory of them:
     * (urlkey, timestamp, url, mime, digest, length, offset, filename).
-    * File-parallel scan + per-row projection; zero shuffle.
+    * File-parallel scan + per-row projection; zero shuffle. `.warc.gz`
+    * shards index their COMPRESSED member spans (per-record gzip
+    * framing, the Common Crawl convention — [[WarcIO.readIndexed]]), so
+    * [[fetchRecords]] random access works on compressed shards too.
     */
   def index(spark: SparkSession, warcPath: String): DataFrame = {
     val surt = udf((u: String) => surtKey(u))
     val dig = udf((p: Array[Byte]) => sha1B32(p))
-    WarcIO.read(spark, warcPath).select(
+    WarcIO.readIndexed(spark, warcPath).select(
       surt(col("url")).as("urlkey"),
       // WARC-Date ISO-8601 → the CDX 14-digit form; epoch when absent
       rpad(substring(regexp_replace(col("warc_date"), "[^0-9]", ""), 1, 14),
@@ -133,12 +136,13 @@ object CdxIO {
     * shard. Returns [[WarcIO.WarcRecord]] rows.
     */
   def fetchRecords(cdx: DataFrame, fileCol: String = "filename",
-      offsetCol: String = "offset"): DataFrame = {
+      offsetCol: String = "offset", lengthCol: String = "length"): DataFrame = {
     val spark = cdx.sparkSession
     import spark.implicits._
-    cdx.select(col(fileCol).cast("string"), col(offsetCol).cast("long"))
-      .as[(String, Long)]
-      .mapPartitions(_.map { case (f, o) => WarcIO.fetchRecord(f, o) })
+    cdx.select(col(fileCol).cast("string"), col(offsetCol).cast("long"),
+        col(lengthCol).cast("long"))
+      .as[(String, Long, Long)]
+      .mapPartitions(_.map { case (f, o, l) => WarcIO.fetchRecord(f, o, l) })
       .toDF()
   }
 }

@@ -240,31 +240,85 @@ object WarcIO {
     }
   }
 
-  /** RANDOM ACCESS: parse the single record at `offset` of an
-    * UNCOMPRESSED `.warc` file — the CDX-index read path (pull one page
-    * out of a ~1 GB shard without scanning it). O(1) seek + one record's
-    * bytes; loud on `.warc.gz` (see [[RecordScanner]]).
+  /** RANDOM ACCESS: parse the single record at `offset`. For an
+    * uncompressed `.warc`, `offset` is the record's raw byte position
+    * (O(1) seek + one record's bytes). For `.warc.gz` written with
+    * PER-RECORD gzip members (the Common Crawl convention — [[write]]
+    * produces it), `offset`/`length` are the COMPRESSED member span:
+    * one slice read + one member inflated; `length` is then required.
     */
-  def fetchRecord(path: String, offset: Long): WarcRecord = {
-    require(!path.endsWith(".gz"),
-      s"fetchRecord: random access by byte offset needs an uncompressed " +
-        s".warc (Common Crawl uses per-record gzip members for this): $path")
-    val raw = new FileInputStream(path)
+  private def readSlice(path: String, offset: Long, length: Long): Array[Byte] = {
+    require(length <= Int.MaxValue, s"$path: member too large ($length)")
+    val ch = java.nio.channels.FileChannel.open(Paths.get(path))
+    val buf = java.nio.ByteBuffer.allocate(length.toInt)
     try {
-      var toSkip = offset
-      while (toSkip > 0) {
-        val s = raw.skip(toSkip)
-        require(s > 0, s"$path: cannot seek to $offset")
-        toSkip -= s
+      var read = 0
+      while (read < length) {
+        val r = ch.read(buf, offset + read)
+        require(r > 0, s"$path: EOF reading member at $offset+$read")
+        read += r
       }
-      val scanner = new RecordScanner(path,
-        new CountingInputStream(new BufferedInputStream(raw, 1 << 16)))
-      val rec = scanner.next()
-      require(rec != null, s"$path: no record at offset $offset")
-      // the scanner's count started at the seek point
-      rec.copy(offset = offset, length = rec.length)
-    } finally raw.close()
+    } finally ch.close()
+    buf.array()
   }
+
+  /** Parse one gzip member's record; `expectSingle` guards the index
+    * scan (a member holding several records means the file is NOT
+    * per-record framed — indexing it would silently drop records).
+    */
+  private def parseMember(path: String, offset: Long, length: Long,
+      expectSingle: Boolean): WarcRecord = {
+    val member = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(readSlice(path, offset, length)), 1 << 16)
+    try {
+      val scanner = new RecordScanner(path, new CountingInputStream(member))
+      val rec = scanner.next()
+      require(rec != null, s"$path: no record in member at $offset")
+      if (expectSingle)
+        require(scanner.next() == null,
+          s"$path: gzip member at $offset holds MULTIPLE records — this file " +
+            "is whole-stream-gzipped, not per-record framed; rewrite it with " +
+            "WarcIO.write (which emits one member per record) to index it")
+      rec.copy(offset = offset, length = length)
+    } finally member.close() // release the Inflater promptly (one per fetch)
+  }
+
+  def fetchRecord(path: String, offset: Long, length: Long = -1L): WarcRecord = {
+    if (path.endsWith(".gz")) {
+      require(length > 0,
+        s"fetchRecord on .warc.gz needs the member's compressed length " +
+          s"(the CDX index carries it): $path @ $offset")
+      parseMember(path, offset, length, expectSingle = false)
+    } else {
+      val raw = new FileInputStream(path)
+      try {
+        var toSkip = offset
+        while (toSkip > 0) {
+          val s = raw.skip(toSkip)
+          require(s > 0, s"$path: cannot seek to $offset")
+          toSkip -= s
+        }
+        val scanner = new RecordScanner(path,
+          new CountingInputStream(new BufferedInputStream(raw, 1 << 16)))
+        val rec = scanner.next()
+        require(rec != null, s"$path: no record at offset $offset")
+        // the scanner's count started at the seek point
+        rec.copy(offset = offset, length = rec.length)
+      } finally raw.close()
+    }
+  }
+
+  /** Records of a per-record-member `.warc.gz` with COMPRESSED member
+    * spans as offset/length — the index-building scan for gz shards
+    * (sequential [[recordsOf]] over a gz reports decompressed positions,
+    * which cannot seed random access). Loud when a member holds more
+    * than one record (a whole-file-gzipped warc is not indexable — the
+    * reason the per-record convention exists).
+    */
+  private[sources] def memberRecords(path: String): Iterator[WarcRecord] =
+    GzipMembers.spans(path).iterator.map { case (off, len) =>
+      parseMember(path, off, len, expectSingle = true)
+    }
 
   /** Read one or more WARC files (a directory lists `*.warc`/`*.warc.gz`)
     * into (file, warc_type, url, content_type, content_length,
@@ -273,8 +327,7 @@ object WarcIO {
     * content types, null for binary ones (those route through `payload`
     * to the codec seam).
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
+  private def listWarcFiles(path: String): Seq[String] = {
     val f = new java.io.File(path)
     val files: Seq[String] =
       if (f.isDirectory)
@@ -282,8 +335,29 @@ object WarcIO {
           x.getName.endsWith(".warc.gz")).map(_.getPath).sorted.toSeq
       else Seq(path)
     require(files.nonEmpty, s"no WARC files under $path")
+    files
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = listWarcFiles(path)
     spark.sparkContext.parallelize(files, files.size)
       .flatMap(recordsOf)
+      .toDF()
+  }
+
+  /** [[read]] with RANDOM-ACCESS-USABLE offsets: for `.warc` files the
+    * sequential scan's raw positions (identical to [[read]]); for
+    * `.warc.gz` the COMPRESSED member spans (requires per-record gzip
+    * framing — [[write]] emits it; whole-stream-gzipped files fail
+    * loudly rather than index only each member's first record). The
+    * scan [[graft.sources.CdxIO.index]] builds from.
+    */
+  def readIndexed(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = listWarcFiles(path)
+    spark.sparkContext.parallelize(files, files.size)
+      .flatMap(f => if (f.endsWith(".gz")) memberRecords(f) else recordsOf(f))
       .toDF()
   }
 
@@ -303,6 +377,43 @@ object WarcIO {
     out.write(head); out.write(http); out.write(body)
     out.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
   }
+
+  /** One WET-style `conversion` record: extracted text, no HTTP envelope
+    * (ISO 28500 conversion semantics — the derived-text twin of a
+    * response record; what Common Crawl's .wet files carry).
+    */
+  private def writeConversionRecord(out: java.io.OutputStream, url: String,
+      text: String): Unit = {
+    val body = Option(text).getOrElse("").getBytes(StandardCharsets.UTF_8)
+    val head = (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"Content-Type: text/plain; charset=utf-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    out.write(head); out.write(body)
+    out.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Emit one record, as its OWN gzip member when the target is `.gz`
+    * (the Common Crawl framing — exactly what makes the compressed file
+    * random-accessible through [[graft.sources.CdxIO]]).
+    */
+  private def emitRecord(out: java.io.OutputStream, gzip: Boolean)
+      (writeOne: java.io.OutputStream => Unit): Unit =
+    if (gzip) {
+      // close() (not just finish()) so each member's native Deflater is
+      // released promptly — one member per record means thousands of
+      // deflaters per shard if left to finalization. The shield keeps
+      // the underlying stream open across members.
+      val shield = new java.io.FilterOutputStream(out) {
+        override def write(b: Array[Byte], off: Int, len: Int): Unit =
+          out.write(b, off, len)
+        override def close(): Unit = flush()
+      }
+      val g = new java.util.zip.GZIPOutputStream(shield, 1 << 16)
+      writeOne(g)
+      g.close()
+    } else writeOne(out)
 
   /** Bytes of one row's payload column: BINARY passes through exactly;
     * STRING encodes UTF-8 (write a non-UTF-8 page as binary).
@@ -328,15 +439,38 @@ object WarcIO {
       contentTypeCol: Option[String] = None): Long = {
     val cols = Seq(col(urlCol), col(payloadCol)) ++ contentTypeCol.map(col)
     val it = df.select(cols: _*).toLocalIterator()
+    val gz = path.endsWith(".gz")
     val out = new java.io.BufferedOutputStream(
       Files.newOutputStream(Paths.get(path)), 1 << 16)
     var n = 0L
     try {
       while (it.hasNext) {
         val r = it.next()
-        writeRecord(out, r.getString(0),
+        emitRecord(out, gz)(writeRecord(_, r.getString(0),
           if (contentTypeCol.isDefined) r.getString(2) else null,
-          payloadBytes(r, 1))
+          payloadBytes(r, 1)))
+        n += 1
+      }
+    } finally out.close()
+    n
+  }
+
+  /** WET export: (url, text) rows as `conversion` records (extracted
+    * text, no HTTP envelope) — the derived-text artifact real crawl
+    * pipelines persist next to the raw WARC. Same single-file and `.gz`
+    * per-record-member conventions as [[write]].
+    */
+  def writeWet(df: DataFrame, path: String,
+      urlCol: String = "url", textCol: String = "text"): Long = {
+    val it = df.select(col(urlCol), col(textCol)).toLocalIterator()
+    val gz = path.endsWith(".gz")
+    val out = new java.io.BufferedOutputStream(
+      Files.newOutputStream(Paths.get(path)), 1 << 16)
+    var n = 0L
+    try {
+      while (it.hasNext) {
+        val r = it.next()
+        emitRecord(out, gz)(writeConversionRecord(_, r.getString(0), r.getString(1)))
         n += 1
       }
     } finally out.close()
@@ -353,7 +487,7 @@ object WarcIO {
     */
   def writeShards(df: DataFrame, dir: String,
       urlCol: String = "url", payloadCol: String = "payload",
-      contentTypeCol: Option[String] = None): DataFrame = {
+      contentTypeCol: Option[String] = None, gzip: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     Files.createDirectories(Paths.get(dir))
@@ -363,14 +497,15 @@ object WarcIO {
       .mapPartitionsWithIndex { (idx, rows) =>
         if (!rows.hasNext) Iterator.empty
         else {
-          val path = f"$dir/part-$idx%05d.warc"
+          val ext = if (gzip) "warc.gz" else "warc"
+          val path = f"$dir/part-$idx%05d.$ext"
           val out = new java.io.BufferedOutputStream(
             Files.newOutputStream(Paths.get(path)), 1 << 16)
           var n = 0L
           try {
             rows.foreach { r =>
-              writeRecord(out, r.getString(0),
-                if (hasCt) r.getString(2) else null, payloadBytes(r, 1))
+              emitRecord(out, gzip)(writeRecord(_, r.getString(0),
+                if (hasCt) r.getString(2) else null, payloadBytes(r, 1)))
               n += 1
             }
           } finally out.close()

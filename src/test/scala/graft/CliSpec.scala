@@ -1512,6 +1512,36 @@ class CliSpec extends SparkSpec {
       "http://h.example.com/a/y" -> "rel"))
   }
 
+  test("wet-export writes conversion records readable back via warc-read") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cli-wet").toString
+    Seq((1L, "http://x.example.com/1", "first extracted text"),
+        (2L, "http://x.example.com/2", "second extracted text"))
+      .toDF("doc_id", "url", "text").write.parquet(s"$d/texts.parquet")
+    val receipt = Main.run(spark, Seq("wet-export", "--input",
+      s"$d/texts.parquet", "--output", s"$d/c.wet.warc.gz")).collect().head
+    assert(receipt.getLong(1) == 2)
+    val back = Main.run(spark, Seq("warc-read", "--input", s"$d/c.wet.warc.gz"))
+      .select("warc_type", "text").collect()
+    assert(back.forall(_.getString(0) == "conversion"))
+    assert(back.map(_.getString(1)).toSet ==
+      Set("first extracted text", "second extracted text"))
+  }
+
+  test("robots-filter joins per-host rules and emits verdicts via the CLI") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cli-robots").toString
+    Seq((1L, "http://h.test/ok/1"), (2L, "http://h.test/blocked/2"))
+      .toDF("doc_id", "url").write.parquet(s"$d/pages.parquet")
+    Seq(("h.test", "User-agent: *\nDisallow: /blocked/\n"))
+      .toDF("host", "robots_txt").write.parquet(s"$d/robots.parquet")
+    val got = Main.run(spark, Seq("robots-filter", "--pages", s"$d/pages.parquet",
+      "--robots", s"$d/robots.parquet", "--agent", "graftbot"))
+      .select("doc_id", "allowed").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false))
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))

@@ -85,15 +85,49 @@ class CdxSpec extends SparkSpec {
       CdxIO.sha1B32("identical body text here".getBytes("UTF-8")))
   }
 
-  test("fetchRecord on .warc.gz fails loudly (offsets are a plain-warc capability)") {
-    val (d, warc) = writeFixture(2)
+  test("per-record-member .warc.gz: members tile the file, index-driven fetch works") {
+    val d = Files.createTempDirectory("graft-cdx-gz").toString
+    val rows = (0 until 12).map(i =>
+      (s"http://gz.example.com/page/$i",
+        s"<p>Compressed page $i with enough characters to matter here.</p>"))
+    import spark.implicits._
+    val gz = s"$d/shard.warc.gz"
+    WarcIO.write(rows.toDF("url", "payload"), gz)
+    // the member framing is exact: spans are contiguous and tile the file
+    val spans = GzipMembers.spans(gz)
+    assert(spans.size == 12)
+    assert(spans.head._1 == 0L)
+    spans.sliding(2).foreach { case Seq((o1, l1), (o2, _)) =>
+      assert(o1 + l1 == o2, "members must be contiguous")
+    }
+    assert(spans.last._1 + spans.last._2 ==
+      Files.size(java.nio.file.Paths.get(gz)))
+    // index stores COMPRESSED member spans; fetch inflates ONE member
+    val idx = CdxIO.index(spark, gz)
+    val fetched = CdxIO.fetchRecords(
+        idx.filter(col("url").endsWith("/page/7")))
+      .select("url", "text").collect()
+    assert(fetched.length == 1)
+    assert(fetched.head.getString(1).contains("Compressed page 7"))
+    // sequential read handles the multi-member stream identically
+    assert(WarcIO.read(spark, gz).count() == 12)
+  }
+
+  test("whole-stream-gzipped warc refuses to index (would silently drop records)") {
+    val (d, warc) = writeFixture(3)
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(warc))
     val gz = new java.util.zip.GZIPOutputStream(
-      Files.newOutputStream(java.nio.file.Paths.get(s"$d/shard.warc.gz")))
+      Files.newOutputStream(java.nio.file.Paths.get(s"$d/whole.warc.gz")))
     gz.write(bytes); gz.close()
-    val e = intercept[IllegalArgumentException] {
-      WarcIO.fetchRecord(s"$d/shard.warc.gz", 0L)
+    val e = intercept[org.apache.spark.SparkException] {
+      CdxIO.index(spark, s"$d/whole.warc.gz").count()
     }
-    assert(e.getMessage.contains("uncompressed"))
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("MULTIPLE records"), msg.take(300))
+    // targeted fetch without a length is also loud
+    val e2 = intercept[IllegalArgumentException] {
+      WarcIO.fetchRecord(s"$d/whole.warc.gz", 0L)
+    }
+    assert(e2.getMessage.contains("compressed length"))
   }
 }

@@ -82,6 +82,26 @@ class WarcSpec extends SparkSpec {
     assert(WarcIO.charsetOf("text/html; charset=bogus!!").name == "UTF-8")
   }
 
+  test("writeWet: conversion records round-trip extracted text, no HTTP envelope") {
+    val d = Files.createTempDirectory("graft-wet").toString
+    val texts = (0 until 8).map(i =>
+      (s"http://example.com/w/$i", s"Extracted main text of page $i."))
+    val n = WarcIO.writeWet(texts.toDF("url", "text"), s"$d/x.wet.warc.gz")
+    assert(n == 8)
+    val back = WarcIO.read(spark, s"$d/x.wet.warc.gz")
+      .select("url", "warc_type", "content_type", "text").collect()
+    assert(back.length == 8)
+    assert(back.forall(_.getString(1) == "conversion"))
+    assert(back.forall(_.getString(2) == "text/plain; charset=utf-8"))
+    val byUrl = back.map(r => r.getString(0) -> r.getString(3)).toMap
+    texts.foreach { case (u, t) => assert(byUrl(u) == t) }
+    // per-record gzip framing: the WET file is randomly addressable too
+    val idx = CdxIO.index(spark, s"$d/x.wet.warc.gz")
+    val one = CdxIO.fetchRecords(idx.filter(col("url").endsWith("/w/3")))
+      .select("text").collect()
+    assert(one.length == 1 && one.head.getString(0) == "Extracted main text of page 3.")
+  }
+
   test("gzipped warc (.warc.gz) reads identically") {
     val d = Files.createTempDirectory("graft-warcgz").toString
     WarcIO.write(rows(7, "g").toDF("url", "payload"), s"$d/g.warc")
