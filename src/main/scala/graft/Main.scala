@@ -1421,6 +1421,12 @@ object Main {
           flags.getOrElse("html-col", "html"),
           flags.getOrElse("url-col", "url"))
 
+      case "sitemap-extract" =>
+        // sitemaps.org urlset documents → (id, loc, lastmod) page rows
+        operators.Sitemaps.extract(spark.read.parquet(need("input")),
+          flags.getOrElse("id-col", "host"),
+          flags.getOrElse("xml-col", "xml"))
+
       case "robots-filter" =>
         // RFC 9309 compliance verdicts: rules compile once per host,
         // pages join on the host key (never a per-page re-parse)
@@ -1716,6 +1722,7 @@ object Main {
       |  warc-read --input WARC|WARC.GZ|DIR
       |  link-extract --input PARQUET [--id-col C] [--html-col C] [--url-col C]
       |  robots-filter --pages PARQUET --robots PARQUET [--agent A] [--url-col C] [--host-col C] [--txt-col C]
+      |  sitemap-extract --input PARQUET [--id-col C] [--xml-col C]
       |  wet-export --input PARQUET --output WET[.warc.gz] [--url-col C] [--text-col C]
       |  cdx-index --input WARC|DIR [--output CDXJ]
       |  cdx-fetch --index CDXJ [--urlkey-prefix P]

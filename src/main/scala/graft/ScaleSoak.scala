@@ -1213,6 +1213,42 @@ object ScaleSoak {
       codes.unpersist(); cbs.unpersist()
     }
 
+    // --- WARC container at crawl scale (SOAK_WARC_DOCS=0 skips): write a
+    // sharded PER-RECORD-MEMBER .warc.gz corpus, CDX-index it (compressed
+    // member spans — one spans pass + one per-member inflate per shard),
+    // then pull ~1k records BY INDEX and boilerplate-extract them: the
+    // random-access read path must move only the selected members' bytes,
+    // never re-scan a shard.
+    val nWarc = sys.env.getOrElse("SOAK_WARC_DOCS", "200000").toLong
+    if (nWarc > 0) {
+      val dir = java.nio.file.Files.createTempDirectory("soak-warc").toString
+      val pages = spark.range(nWarc).select(
+        concat(lit("http://soak.test/doc/"), col("id")).as("url"),
+        concat(
+          lit("<html><head><title>t</title></head><body><nav>" +
+            "<a href=\"/\">Home</a></nav><p>Document body "),
+          col("id"), lit(" "), sha2(col("id").cast("string"), 256),
+          lit(" with enough text to pass the extraction floor.</p>" +
+            "<footer>f</footer></body></html>")).as("payload"))
+      timed(s"warc writeShards (per-record gz members): $nWarc pages / 32 shards") {
+        sources.WarcIO.writeShards(pages.repartition(32), dir, gzip = true).count()
+      }
+      val warcIdx = timed(s"cdx index over the gz shards ($nWarc records)") {
+        val i = sources.CdxIO.index(spark, dir)
+        i.cache(); println(s"[soak] indexed ${i.count()} records"); i
+      }
+      timed("cdx random-access fetch of ~1000 records + extraction") {
+        val sel = warcIdx.filter(
+          xxhash64(col("url")) % lit(math.max(1L, nWarc / 1000)) === 0)
+        val n = operators.HtmlExtract.extract(
+            sources.CdxIO.fetchRecords(sel)
+              .select(col("url"), col("text").as("html")), "url", "html")
+          .filter(length(col("text")) > 40).count()
+        println(s"[soak] fetched+extracted $n records by index")
+      }
+      warcIdx.unpersist()
+    }
+
     spark.stop()
   }
 }

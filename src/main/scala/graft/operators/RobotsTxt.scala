@@ -94,6 +94,22 @@ object RobotsTxt {
     chosen.map(g => (g.allows, g.disallows)).getOrElse((Seq.empty, Seq.empty))
   }
 
+  /** `Sitemap:` directives of a robots.txt — group-independent per RFC
+    * 9309 §2.2.4 (they apply to all agents), the crawl-discovery seeds
+    * [[Sitemaps]] expands.
+    */
+  def sitemaps(robotsTxt: String): Seq[String] = {
+    if (robotsTxt == null) return Seq.empty
+    robotsTxt.linesIterator.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0 && line.substring(0, i).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(i + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }.toSeq
+  }
+
   /** Longest-match verdict (Allow wins ties); no matching rule ⇒
     * allowed (the RFC default).
     */

@@ -1607,6 +1607,38 @@ object TextQueries {
         .select(col("doc_id"), col("host"), col("allowed"))
     },
 
+    // Sitemap extraction (sitemaps.org) — the crawl-discovery expansion
+    // robots.txt points at. Five per-host urlset documents are BUILT in
+    // the query (one aggregate over the docs, entries in doc order),
+    // then exploded back through the parser: every loc and lastmod is
+    // string-exact in the oracle. Per-row flatMap over the per-host
+    // table, zero shuffle beyond the fixture's own build aggregate.
+    GQuery(
+      "q344_sitemap_extract",
+      """SELECT doc_id,
+        |  'http://h' || (doc_id % 5) || '.test/page/' || doc_id AS loc,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN '2026-0' || (doc_id % 9 + 1) || '-15' ELSE '' END AS lastmod
+        |FROM documents WHERE doc_id < 300""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), (col("doc_id") % 5).as("h"))
+      val entry = concat(
+        lit("<url><loc>http://h"), col("h"), lit(".test/page/"), col("doc_id"),
+        lit("</loc>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<lastmod>2026-0"), col("doc_id") % 9 + 1,
+            lit("-15</lastmod>"))).otherwise(lit("")),
+        lit("</url>"))
+      val perHost = docs.select(col("h"), struct(col("doc_id"), entry.as("e")).as("s"))
+        .groupBy("h").agg(concat(lit("<urlset>"),
+          concat_ws("", transform(array_sort(collect_list(col("s"))),
+            x => x.getField("e"))),
+          lit("</urlset>")).as("xml"))
+      graft.operators.Sitemaps.extract(perHost, "h", "xml")
+        .select(regexp_extract(col("loc"), "/page/(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("loc"), col("lastmod"))
+    },
+
     // Corpus-overlap card: trigram-vocabulary sharing between two source
     // slices via inclusion-exclusion over three HLL++ sketches — the
     // mixture/decontamination first-look at 100 TB (the exact

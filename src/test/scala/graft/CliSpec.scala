@@ -1542,6 +1542,18 @@ class CliSpec extends SparkSpec {
     assert(got == Map(1L -> true, 2L -> false))
   }
 
+  test("sitemap-extract explodes urlset documents via the CLI") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cli-sitemap").toString
+    Seq(("h.test", "<urlset><url><loc>http://h.test/a</loc>" +
+        "<lastmod>2026-03-01</lastmod></url>" +
+        "<url><loc>http://h.test/b</loc></url></urlset>"))
+      .toDF("host", "xml").write.parquet(s"$d/maps.parquet")
+    val got = Main.run(spark, Seq("sitemap-extract", "--input", s"$d/maps.parquet"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("http://h.test/a", "2026-03-01"), ("http://h.test/b", "")))
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))
