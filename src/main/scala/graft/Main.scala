@@ -1421,6 +1421,19 @@ object Main {
           flags.getOrElse("html-col", "html"),
           flags.getOrElse("url-col", "url"))
 
+      case "image-hash" =>
+        // perceptual dHash per image (null = undecodable); --pairs runs
+        // the pigeonhole near-dup join over the hashes
+        val ihHashes = operators.ImageHash.dHashDf(
+          spark.read.parquet(need("input")),
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("payload-col", "payload"))
+        if (flags.contains("pairs"))
+          operators.ImageHash.nearDupPairs(ihHashes,
+            flags.getOrElse("max-hamming", "6").toInt,
+            flags.getOrElse("chunks", "8").toInt)
+        else ihHashes
+
       case "sitemap-extract" =>
         // sitemaps.org urlset documents → (id, loc, lastmod) page rows
         operators.Sitemaps.extract(spark.read.parquet(need("input")),
@@ -1723,6 +1736,7 @@ object Main {
       |  link-extract --input PARQUET [--id-col C] [--html-col C] [--url-col C]
       |  robots-filter --pages PARQUET --robots PARQUET [--agent A] [--url-col C] [--host-col C] [--txt-col C]
       |  sitemap-extract --input PARQUET [--id-col C] [--xml-col C]
+      |  image-hash --input PARQUET [--id-col C] [--payload-col C] [--pairs [--max-hamming N] [--chunks N]]
       |  wet-export --input PARQUET --output WET[.warc.gz] [--url-col C] [--text-col C]
       |  cdx-index --input WARC|DIR [--output CDXJ]
       |  cdx-fetch --index CDXJ [--urlkey-prefix P]

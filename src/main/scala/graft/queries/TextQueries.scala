@@ -1639,6 +1639,163 @@ object TextQueries {
           .cast("long").as("doc_id"), col("loc"), col("lastmod"))
     },
 
+    // Perceptual image hash (dHash) — every step integer-exact (9x8
+    // grid, (r+g+b)/3 integer grayscale, one bit per adjacent
+    // comparison), so the oracle replays all 64 bits of every image's
+    // hash from the raster formula. The multimodal-dedup key: equal
+    // hashes catch re-encoded duplicates (codec invariance is
+    // spec-pinned across PPM/BMP/PNG).
+    GQuery(
+      "q345_image_dhash",
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+        |g AS (SELECT doc_id, i,
+        |        (((doc_id*31 + (3*i)*7) % 256) + ((doc_id*31 + (3*i+1)*7) % 256)
+        |          + ((doc_id*31 + (3*i+2)*7) % 256)) // 3 AS g
+        |      FROM ids, UNNEST(range(72)) AS t(i)),
+        |bits AS (SELECT a.doc_id, ((a.i // 9) * 8 + (a.i % 9))::INT AS bit
+        |         FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |         WHERE a.i % 9 < 8 AND b.g > a.g)
+        |SELECT ids.doc_id,
+        |       coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775808
+        |                         ELSE (1::BIGINT << bit) END), 0)::BIGINT AS dhash
+        |FROM ids LEFT JOIN bits ON ids.doc_id = bits.doc_id
+        |GROUP BY ids.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select("doc_id")
+      val mk = udf((id: Long) => graft.operators.MediaCodecs.encodePpm(9, 8,
+        Array.tabulate(216)(j => ((id * 31 + j * 7) % 256).toByte)))
+      graft.operators.ImageHash.dHashDf(
+        docs.select(col("doc_id"), mk(col("doc_id")).as("img")), "doc_id", "img")
+    },
+
+    // Image NEAR-DUP pairs: 200 base images + 200 one-byte-perturbed
+    // twins (ids +1000); Spark finds pairs via the pigeonhole
+    // chunk-banded join (never all-pairs), the oracle replays EVERY
+    // hash and brute-forces ALL pairs — the q49-style recall proof that
+    // the banding misses nothing within the Hamming radius.
+    GQuery(
+      "q346_image_near_dup",
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200
+        |             UNION ALL
+        |             SELECT doc_id + 1000 FROM documents WHERE doc_id < 200),
+        |g AS (SELECT id, i,
+        |        ((CASE WHEN id >= 1000 AND i = 0
+        |               THEN (((id-1000)*31) % 256 + 40) % 256
+        |               ELSE ((CASE WHEN id >= 1000 THEN id-1000 ELSE id END)*31
+        |                     + (3*i)*7) % 256 END)
+        |         + ((CASE WHEN id >= 1000 THEN id-1000 ELSE id END)*31 + (3*i+1)*7) % 256
+        |         + ((CASE WHEN id >= 1000 THEN id-1000 ELSE id END)*31 + (3*i+2)*7) % 256) // 3 AS g
+        |      FROM ids, UNNEST(range(72)) AS t(i)),
+        |bits AS (SELECT a.id, ((a.i // 9) * 8 + (a.i % 9))::INT AS bit
+        |         FROM g a JOIN g b ON a.id = b.id AND b.i = a.i + 1
+        |         WHERE a.i % 9 < 8 AND b.g > a.g),
+        |h AS (SELECT ids.id,
+        |        coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775808
+        |                          ELSE (1::BIGINT << bit) END), 0)::BIGINT AS h
+        |      FROM ids LEFT JOIN bits ON ids.id = bits.id GROUP BY ids.id)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       bit_count(xor(a.h, b.h))::BIGINT AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.h, b.h)) <= 6""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select("doc_id")
+      val ids = docs.select(col("doc_id").as("id"))
+        .unionByName(docs.select((col("doc_id") + 1000).as("id")))
+      val mk = udf((id: Long) => {
+        val base = if (id >= 1000) id - 1000 else id
+        val bytes = Array.tabulate(216)(j => ((base * 31 + j * 7) % 256).toByte)
+        if (id >= 1000) bytes(0) = (((base * 31) % 256 + 40) % 256).toByte
+        graft.operators.MediaCodecs.encodePpm(9, 8, bytes)
+      })
+      val hashes = graft.operators.ImageHash.dHashDf(
+        ids.select(col("id"), mk(col("id")).as("img")), "id", "img")
+      graft.operators.ImageHash.nearDupPairs(hashes, maxHamming = 6, chunks = 8)
+    },
+
+    // Per-frame video dHash signatures: 4-frame concatenated-PPM videos
+    // through the splitPpmStream container seam — all 64 bits of every
+    // frame's hash replayed by the oracle from the (id, frame) raster
+    // formula. The video-dedup signature generator.
+    GQuery(
+      "q347_video_frame_hashes",
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
+        |fr AS (SELECT id, f FROM ids, UNNEST(range(4)) AS t(f)),
+        |g AS (SELECT id, f, i,
+        |        (((id*31 + f*101 + (3*i)*7) % 256)
+        |         + ((id*31 + f*101 + (3*i+1)*7) % 256)
+        |         + ((id*31 + f*101 + (3*i+2)*7) % 256)) // 3 AS g
+        |      FROM fr, UNNEST(range(72)) AS t(i)),
+        |bits AS (SELECT a.id, a.f, ((a.i // 9) * 8 + (a.i % 9))::INT AS bit
+        |         FROM g a JOIN g b ON a.id = b.id AND a.f = b.f AND b.i = a.i + 1
+        |         WHERE a.i % 9 < 8 AND b.g > a.g)
+        |SELECT fr.id, fr.f::INT AS frame_idx,
+        |       coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775808
+        |                         ELSE (1::BIGINT << bit) END), 0)::BIGINT AS dhash
+        |FROM fr LEFT JOIN bits ON fr.id = bits.id AND fr.f = bits.f
+        |GROUP BY fr.id, fr.f""".stripMargin) { (s, dir) =>
+      val ids = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("id"))
+      val mkVideo = udf((id: Long) =>
+        (0 until 4).map(f => graft.operators.MediaCodecs.encodePpm(9, 8,
+          Array.tabulate(216)(j => ((id * 31 + f * 101 + j * 7) % 256).toByte)))
+          .reduce(_ ++ _))
+      graft.operators.ImageHash.videoFrameHashes(
+        ids.select(col("id"), mkVideo(col("id")).as("video")), "id", "video")
+    },
+
+    // Video NEAR-DUP pairs: 100 base videos + 100 twins with ONE frame
+    // replaced (ids +1000, frame 3 → seed 9). Spark pairs by the
+    // inverted-index join on frame-hash sets (videos with no shared
+    // frame never pair); the oracle replays EVERY frame hash and
+    // brute-forces ALL pair jaccards — the recall proof at video
+    // granularity.
+    GQuery(
+      "q348_video_near_dup",
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100
+        |             UNION ALL
+        |             SELECT doc_id + 1000 FROM documents WHERE doc_id < 100),
+        |fr AS (SELECT id, f,
+        |         CASE WHEN id >= 1000 THEN id - 1000 ELSE id END AS b,
+        |         CASE WHEN id >= 1000 AND f = 3 THEN 9 ELSE f END AS ef
+        |       FROM ids, UNNEST(range(4)) AS t(f)),
+        |g AS (SELECT id, f, i,
+        |        (((b*31 + ef*101 + (3*i)*7) % 256)
+        |         + ((b*31 + ef*101 + (3*i+1)*7) % 256)
+        |         + ((b*31 + ef*101 + (3*i+2)*7) % 256)) // 3 AS g
+        |      FROM fr, UNNEST(range(72)) AS t(i)),
+        |bits AS (SELECT a.id, a.f, ((a.i // 9) * 8 + (a.i % 9))::INT AS bit
+        |         FROM g a JOIN g b ON a.id = b.id AND a.f = b.f AND b.i = a.i + 1
+        |         WHERE a.i % 9 < 8 AND b.g > a.g),
+        |h AS (SELECT fr.id, fr.f,
+        |        coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775808
+        |                          ELSE (1::BIGINT << bit) END), 0)::BIGINT AS h
+        |      FROM fr LEFT JOIN bits ON fr.id = bits.id AND fr.f = bits.f
+        |      GROUP BY fr.id, fr.f),
+        |d AS (SELECT DISTINCT id, h FROM h),
+        |sz AS (SELECT id, count(*) AS n FROM d GROUP BY id),
+        |sh AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        |       FROM d a JOIN d b ON a.h = b.h AND a.id < b.id
+        |       GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, shared,
+        |       round(shared::DOUBLE / (sa.n + sb.n - shared), 6) AS jaccard
+        |FROM sh JOIN sz sa ON sa.id = sh.id_a JOIN sz sb ON sb.id = sh.id_b
+        |WHERE shared::DOUBLE / (sa.n + sb.n - shared) >= 0.5""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("id"))
+      val ids = docs.unionByName(docs.select((col("id") + 1000).as("id")))
+      val mkVideo = udf((id: Long) => {
+        val base = if (id >= 1000) id - 1000 else id
+        (0 until 4).map { f =>
+          val ef = if (id >= 1000 && f == 3) 9 else f
+          graft.operators.MediaCodecs.encodePpm(9, 8,
+            Array.tabulate(216)(j => ((base * 31 + ef * 101 + j * 7) % 256).toByte))
+        }.reduce(_ ++ _)
+      })
+      val fh = graft.operators.ImageHash.videoFrameHashes(
+        ids.select(col("id"), mkVideo(col("id")).as("video")), "id", "video")
+      graft.operators.ImageHash.videoNearDupPairs(fh, minJaccard = 0.5)
+    },
+
     // Corpus-overlap card: trigram-vocabulary sharing between two source
     // slices via inclusion-exclusion over three HLL++ sketches — the
     // mixture/decontamination first-look at 100 TB (the exact

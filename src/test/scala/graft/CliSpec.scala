@@ -1554,6 +1554,24 @@ class CliSpec extends SparkSpec {
     assert(got == Set(("http://h.test/a", "2026-03-01"), ("http://h.test/b", "")))
   }
 
+  test("image-hash emits dhashes and --pairs finds the planted twin") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cli-imghash").toString
+    def img(seed: Int, tweak: Boolean) = {
+      val px = Array.tabulate(9 * 8 * 3)(j => ((seed * 37 + j * 7) % 256).toByte)
+      if (tweak) px(0) = ((px(0) & 0xff) ^ 0x20).toByte
+      graft.operators.MediaCodecs.encodePpm(9, 8, px)
+    }
+    Seq((1L, img(1, false)), (2L, img(2, false)), (101L, img(1, true)))
+      .toDF("doc_id", "payload").write.parquet(s"$d/imgs.parquet")
+    val hashes = Main.run(spark, Seq("image-hash", "--input", s"$d/imgs.parquet"))
+    assert(hashes.filter(col("dhash").isNotNull).count() == 3)
+    val pairs = Main.run(spark, Seq("image-hash", "--input", s"$d/imgs.parquet",
+      "--pairs", "--max-hamming", "6")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 101L)), s"planted twin only: $pairs")
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))
