@@ -1434,6 +1434,19 @@ object Main {
             flags.getOrElse("chunks", "8").toInt)
         else ihHashes
 
+      case "audio-hash" =>
+        // energy-delta fingerprint per WAV clip (null = undecodable or
+        // too short); --pairs runs the pigeonhole near-dup join
+        val ahHashes = operators.AudioHash.aHashDf(
+          spark.read.parquet(need("input")),
+          flags.getOrElse("id-col", "doc_id"),
+          flags.getOrElse("payload-col", "payload"))
+        if (flags.contains("pairs"))
+          operators.AudioHash.nearDupPairs(ahHashes,
+            flags.getOrElse("max-hamming", "6").toInt,
+            flags.getOrElse("chunks", "8").toInt)
+        else ahHashes
+
       case "sitemap-extract" =>
         // sitemaps.org urlset documents → (id, loc, lastmod) page rows
         operators.Sitemaps.extract(spark.read.parquet(need("input")),
@@ -1737,6 +1750,7 @@ object Main {
       |  robots-filter --pages PARQUET --robots PARQUET [--agent A] [--url-col C] [--host-col C] [--txt-col C]
       |  sitemap-extract --input PARQUET [--id-col C] [--xml-col C]
       |  image-hash --input PARQUET [--id-col C] [--payload-col C] [--pairs [--max-hamming N] [--chunks N]]
+      |  audio-hash --input PARQUET [--id-col C] [--payload-col C] [--pairs [--max-hamming N] [--chunks N]]
       |  wet-export --input PARQUET --output WET[.warc.gz] [--url-col C] [--text-col C]
       |  cdx-index --input WARC|DIR [--output CDXJ]
       |  cdx-fetch --index CDXJ [--urlkey-prefix P]

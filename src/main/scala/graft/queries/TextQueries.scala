@@ -1796,6 +1796,81 @@ object TextQueries {
       graft.operators.ImageHash.videoNearDupPairs(fh, minJaccard = 0.5)
     },
 
+    // Audio energy-delta fingerprint — the audio leg of the multimodal
+    // dedup triple: WAV PCM through the codec seam, one bit per
+    // adjacent-frame energy comparison (Σ s² per 16-sample frame,
+    // integer-exact), so the oracle replays all 64 bits of every hash
+    // from the sample formula.
+    GQuery(
+      "q349_audio_fingerprint",
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+        |e AS (SELECT doc_id, f,
+        |        sum(((doc_id*31 + (f*16 + k)*7) % 2003 - 1001)
+        |            * ((doc_id*31 + (f*16 + k)*7) % 2003 - 1001)) AS e
+        |      FROM ids, UNNEST(range(65)) AS tf(f), UNNEST(range(16)) AS tk(k)
+        |      GROUP BY doc_id, f),
+        |bits AS (SELECT a.doc_id, a.f::INT AS bit
+        |         FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        |         WHERE b.e > a.e)
+        |SELECT ids.doc_id,
+        |       coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775808
+        |                         ELSE (1::BIGINT << bit) END), 0)::BIGINT AS ahash
+        |FROM ids LEFT JOIN bits ON ids.doc_id = bits.doc_id
+        |GROUP BY ids.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select("doc_id")
+      val mkWav = udf((id: Long) => graft.operators.MediaCodecs.encodeWav(8000,
+        Array.tabulate[Short](65 * 16)(i =>
+          ((id * 31 + i * 7) % 2003 - 1001).toShort)))
+      graft.operators.AudioHash.aHashDf(
+        docs.select(col("doc_id"), mkWav(col("doc_id")).as("audio")),
+        "doc_id", "audio")
+    },
+
+    // Audio NEAR-DUP pairs: 150 clips + 150 twins with one frame's
+    // samples shifted (ids +1000, frame 10 + 500) — a contour edit that
+    // flips at most two comparisons. Spark pairs via the pigeonhole
+    // banding; the oracle replays every fingerprint and brute-forces
+    // ALL pair Hamming distances (the recall proof at audio
+    // granularity).
+    GQuery(
+      "q350_audio_near_dup",
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 150
+        |             UNION ALL
+        |             SELECT doc_id + 1000 FROM documents WHERE doc_id < 150),
+        |s AS (SELECT id, f, k,
+        |        ((CASE WHEN id >= 1000 THEN id - 1000 ELSE id END)*31
+        |          + (f*16 + k)*7) % 2003 - 1001
+        |        + CASE WHEN id >= 1000 AND f = 10 THEN 500 ELSE 0 END AS v
+        |      FROM ids, UNNEST(range(65)) AS tf(f), UNNEST(range(16)) AS tk(k)),
+        |e AS (SELECT id, f, sum(v*v) AS e FROM s GROUP BY id, f),
+        |bits AS (SELECT a.id, a.f::INT AS bit
+        |         FROM e a JOIN e b ON a.id = b.id AND b.f = a.f + 1
+        |         WHERE b.e > a.e),
+        |h AS (SELECT ids.id,
+        |        coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775808
+        |                          ELSE (1::BIGINT << bit) END), 0)::BIGINT AS h
+        |      FROM ids LEFT JOIN bits ON ids.id = bits.id GROUP BY ids.id)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       bit_count(xor(a.h, b.h))::BIGINT AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.h, b.h)) <= 6""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id").as("id"))
+      val ids = docs.unionByName(docs.select((col("id") + 1000).as("id")))
+      val mkWav = udf((id: Long) => {
+        val base = if (id >= 1000) id - 1000 else id
+        graft.operators.MediaCodecs.encodeWav(8000,
+          Array.tabulate[Short](65 * 16) { i =>
+            val v = (base * 31 + i * 7) % 2003 - 1001
+            (if (id >= 1000 && i / 16 == 10) v + 500 else v).toShort
+          })
+      })
+      val hashes = graft.operators.AudioHash.aHashDf(
+        ids.select(col("id"), mkWav(col("id")).as("audio")), "id", "audio")
+      graft.operators.AudioHash.nearDupPairs(hashes, maxHamming = 6, chunks = 8)
+    },
+
     // Corpus-overlap card: trigram-vocabulary sharing between two source
     // slices via inclusion-exclusion over three HLL++ sketches — the
     // mixture/decontamination first-look at 100 TB (the exact

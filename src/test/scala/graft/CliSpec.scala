@@ -1572,6 +1572,22 @@ class CliSpec extends SparkSpec {
     assert(pairs == Set((1L, 101L)), s"planted twin only: $pairs")
   }
 
+  test("audio-hash emits fingerprints and --pairs finds the renormalized twin") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cli-audiohash").toString
+    def clip(seed: Int, scale: Int) = graft.operators.MediaCodecs.encodeWav(8000,
+      Array.tabulate[Short](65 * 16)(i =>
+        (((seed * 67 + i * 29) % 1201 - 600) / scale * scale).toShort))
+    Seq((1L, clip(1, 1)), (2L, clip(2, 1)), (101L, clip(1, 2)))
+      .toDF("doc_id", "payload").write.parquet(s"$d/clips.parquet")
+    val hashes = Main.run(spark, Seq("audio-hash", "--input", s"$d/clips.parquet"))
+    assert(hashes.filter(col("ahash").isNotNull).count() == 3)
+    val pairs = Main.run(spark, Seq("audio-hash", "--input", s"$d/clips.parquet",
+      "--pairs", "--max-hamming", "6")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 101L)), s"requantized twin only: $pairs")
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))
