@@ -1434,6 +1434,17 @@ object Main {
             flags.getOrElse("chunks", "8").toInt)
         else ihHashes
 
+      case "frontier" =>
+        // next crawl wave: candidates minus seen, per-host politeness
+        // cap, global budget (TakeOrdered bounded heap)
+        operators.Frontier.select(
+          spark.read.parquet(need("candidates")),
+          spark.read.parquet(need("seen")),
+          perHost = flags.getOrElse("per-host", "10").toInt,
+          total = flags.getOrElse("total", "1000").toInt,
+          urlCol = flags.getOrElse("url-col", "url"),
+          scoreCol = flags.getOrElse("score-col", "score"))
+
       case "audio-hash" =>
         // energy-delta fingerprint per WAV clip (null = undecodable or
         // too short); --pairs runs the pigeonhole near-dup join
@@ -1751,6 +1762,7 @@ object Main {
       |  sitemap-extract --input PARQUET [--id-col C] [--xml-col C]
       |  image-hash --input PARQUET [--id-col C] [--payload-col C] [--pairs [--max-hamming N] [--chunks N]]
       |  audio-hash --input PARQUET [--id-col C] [--payload-col C] [--pairs [--max-hamming N] [--chunks N]]
+      |  frontier --candidates PARQUET --seen PARQUET [--per-host N] [--total N] [--url-col C] [--score-col C]
       |  wet-export --input PARQUET --output WET[.warc.gz] [--url-col C] [--text-col C]
       |  cdx-index --input WARC|DIR [--output CDXJ]
       |  cdx-fetch --index CDXJ [--urlkey-prefix P]

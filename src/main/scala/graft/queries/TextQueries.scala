@@ -1871,6 +1871,41 @@ object TextQueries {
       graft.operators.AudioHash.nearDupPairs(hashes, maxHamming = 6, chunks = 8)
     },
 
+    // Crawl frontier scheduling: scored candidates minus the seen set,
+    // capped per host (politeness, a KEYED window) then globally
+    // budgeted (TakeOrdered bounded heap). Deterministic url tiebreaks
+    // make the wave resumable; every selected row and its host_rank is
+    // recomputable by the oracle.
+    GQuery(
+      "q351_crawl_frontier",
+      """WITH cand AS (SELECT 'http://h' || (doc_id % 7) || '.test/p/' || doc_id AS url,
+        |                     'h' || (doc_id % 7) || '.test' AS host,
+        |                     (doc_id * 37) % 997 AS score
+        |              FROM documents WHERE doc_id < 300),
+        |seen AS (SELECT 'http://h' || (doc_id % 7) || '.test/p/' || doc_id AS url
+        |         FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0),
+        |fresh AS (SELECT c.* FROM cand c LEFT JOIN seen s ON c.url = s.url
+        |          WHERE s.url IS NULL),
+        |ranked AS (SELECT url, host, score,
+        |             row_number() OVER (PARTITION BY host
+        |                                ORDER BY score DESC, url) AS host_rank
+        |           FROM fresh)
+        |SELECT url, host, score, host_rank::BIGINT AS host_rank
+        |FROM ranked WHERE host_rank <= 10
+        |ORDER BY score DESC, url LIMIT 40""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val cand = docs.select(
+        concat(lit("http://h"), col("doc_id") % 7, lit(".test/p/"),
+          col("doc_id")).as("url"),
+        ((col("doc_id") * 37) % 997).as("score"))
+      val seen = docs.filter(col("doc_id") % 5 === 0).select(
+        concat(lit("http://h"), col("doc_id") % 7, lit(".test/p/"),
+          col("doc_id")).as("url"))
+      graft.operators.Frontier.select(cand, seen, perHost = 10, total = 40)
+        .select(col("url"), col("host"), col("score"),
+          col("host_rank").cast("long").as("host_rank"))
+    },
+
     // Corpus-overlap card: trigram-vocabulary sharing between two source
     // slices via inclusion-exclusion over three HLL++ sketches — the
     // mixture/decontamination first-look at 100 TB (the exact

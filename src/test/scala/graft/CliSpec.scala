@@ -1588,6 +1588,24 @@ class CliSpec extends SparkSpec {
     assert(pairs == Set((1L, 101L)), s"requantized twin only: $pairs")
   }
 
+  test("frontier schedules the next wave: seen excluded, caps enforced via the CLI") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cli-frontier").toString
+    (0 until 20).map(i => (s"http://f${i % 2}.test/$i", i))
+      .toDF("url", "score").write.parquet(s"$d/cand.parquet")
+    Seq("http://f0.test/18", "http://f1.test/19")
+      .toDF("url").write.parquet(s"$d/seen.parquet")
+    val wave = Main.run(spark, Seq("frontier", "--candidates", s"$d/cand.parquet",
+      "--seen", s"$d/seen.parquet", "--per-host", "3", "--total", "5"))
+      .collect()
+    assert(wave.length == 5)
+    assert(!wave.exists(r => r.getString(0).endsWith("/18") ||
+      r.getString(0).endsWith("/19")), "seen urls never reschedule")
+    assert(wave.groupBy(_.getString(2)).values.forall(_.length <= 3))
+    // best fresh scores win: 16,17 then 14,15,13
+    assert(wave.map(_.getInt(1)).sorted.reverse.toSeq == Seq(17, 16, 15, 14, 13))
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))
