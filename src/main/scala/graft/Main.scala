@@ -1430,8 +1430,9 @@ object Main {
           flags.getOrElse("payload-col", "payload"))
         if (flags.contains("pairs"))
           operators.ImageHash.nearDupPairs(ihHashes,
-            flags.getOrElse("max-hamming", "6").toInt,
-            flags.getOrElse("chunks", "8").toInt)
+            flags.getOrElse("max-hamming", "3").toInt,
+            flags.getOrElse("chunks", "4").toInt,
+            flags.getOrElse("bucket-cap", "0").toInt)
         else ihHashes
 
       case "frontier" =>
@@ -1454,8 +1455,9 @@ object Main {
           flags.getOrElse("payload-col", "payload"))
         if (flags.contains("pairs"))
           operators.AudioHash.nearDupPairs(ahHashes,
-            flags.getOrElse("max-hamming", "6").toInt,
-            flags.getOrElse("chunks", "8").toInt)
+            flags.getOrElse("max-hamming", "3").toInt,
+            flags.getOrElse("chunks", "4").toInt,
+            flags.getOrElse("bucket-cap", "0").toInt)
         else ahHashes
 
       case "sitemap-extract" =>
@@ -1473,7 +1475,8 @@ object Main {
           flags.getOrElse("txt-col", "robots_txt"))
         operators.RobotsTxt.filterAllowed(
           spark.read.parquet(need("pages")), rfCompiled,
-          flags.getOrElse("url-col", "url"))
+          flags.getOrElse("url-col", "url"),
+          flags.getOrElse("host-col", "host"))
 
       case "wet-export" =>
         // extracted text → WET conversion records (.gz = per-record

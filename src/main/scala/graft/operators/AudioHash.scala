@@ -67,13 +67,20 @@ object AudioHash {
   }
 
   /** Near-duplicate audio pairs within `maxHamming` bits — the same
-    * pigeonhole chunk-banded join as the image family. Output:
-    * (id_a, id_b, hamming).
+    * pigeonhole chunk-banded join as the image family, with the same
+    * scale defaults: 3/4 = 16-bit chunk keys (65,536 buckets per
+    * position); 6/8 (256 buckets, ~n²/32 candidates even on uniform
+    * hashes) is an explicit opt-in for bounded corpora. Energy contours
+    * are skewed in practice (silence and constant tones hash
+    * identically), so set `bucketCap > 0` at corpus scale — over-cap
+    * buckets drop from candidate generation ([[Dedup.simhashNearDupPairs]]
+    * contract; exact-equal fingerprints dedup via `groupBy(ahash)`
+    * first, untouched by the cap). Output: (id_a, id_b, hamming).
     */
-  def nearDupPairs(hashes: DataFrame, maxHamming: Int = 6,
-      chunks: Int = 8): DataFrame =
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+      chunks: Int = 4, bucketCap: Int = 0): DataFrame =
     Dedup.simhashNearDupPairs(
       hashes.filter(col("ahash").isNotNull)
         .select(col(hashes.columns.head).as("id"), col("ahash").as("simhash")),
-      maxHamming, chunks, bits = 64)
+      maxHamming, chunks, bits = 64, bucketCap = bucketCap)
 }

@@ -496,19 +496,44 @@ object Dedup {
     * chunks, so with chunks > maxHamming it shares at least one chunk
     * (pigeonhole) — candidates are bucket joins, verified by bit_count.
     * Input: (id, simhash). Output: (id_a, id_b, hamming).
+    *
+    * Selectivity is `chunks`-vs-key-width: each candidate bucket is a
+    * (chunk position, chunk value) pair, so `chunks` over `bits` gives
+    * `bits/chunks`-bit keys — 4 chunks over 64 bits = 16-bit keys (65,536
+    * buckets per position), while 8 chunks = 8-bit keys (256 buckets) and
+    * expected candidates ~n²·chunks/2^(bits/chunks) even on UNIFORM
+    * hashes. Perceptual hashes are not uniform (flat images, silence,
+    * boilerplate all concentrate on a few hash values), so production
+    * corpora also need `bucketCap`: buckets holding more than `bucketCap`
+    * banded rows are excluded from CANDIDATE GENERATION — the same skew
+    * contract as the Jaccard path's dfCap ([[ngramJaccardPairs]]): one hot
+    * bucket otherwise goes quadratic, and a chunk value shared by
+    * thousands of hashes carries ~zero discriminating signal. The miss
+    * trade is identical: a pair is lost only when EVERY chunk it agrees
+    * on is over-cap — at that bucket mass the pair is a cluster member,
+    * not a discovery (run exact-hash dedup, `groupBy(simhash)`, FIRST;
+    * the cap never affects it). `bucketCap <= 0` disables the guard
+    * (fixture-size corpora; the oracle-pinned exact mode).
     */
   def simhashNearDupPairs(sims: DataFrame, maxHamming: Int = 3, chunks: Int = 4,
-      bits: Int = 60): DataFrame = {
+      bits: Int = 60, bucketCap: Int = 0): DataFrame = {
     require(chunks > maxHamming, "need more chunks than allowed bit flips")
     val w = bits / chunks
     val mask = (1L << w) - 1
     // cache: the self-join would otherwise recompute the full upstream
     // simhash pipeline (explode-by-bit aggregation) once per join side
-    val banded = sims.select(col("id"), col("simhash"),
+    val banded0 = sims.select(col("id"), col("simhash"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
       .select(col("id"), col("simhash"), col("chunk"),
         expr(s"shiftright(simhash, cast(chunk * $w as int)) & $mask").as("ck"))
       .cache()
+    // hot-bucket guard: anti-join against the (tiny by construction) set of
+    // over-cap buckets, mirroring cappedJaccardPairsFromSets — the hot list
+    // broadcasts, the banded frame keeps its partitioning
+    val banded = if (bucketCap > 0)
+      banded0.join(simhashHotBuckets(banded0, bucketCap),
+        Seq("chunk", "ck"), "left_anti")
+    else banded0
     // filter on hamming BEFORE the pair dedup: the chunk join can produce a
     // large candidate multiset on clustered data, and bit_count is a single
     // instruction — dedup then only shuffles the survivors
@@ -519,6 +544,37 @@ object Dedup {
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Over-cap candidate buckets of a banded frame — (chunk, ck, n) rows
+    * with n > bucketCap. Exposed so a pipeline can AUDIT what the
+    * [[simhashNearDupPairs]] skew guard excluded (the no-silent-caps
+    * discipline): a nonempty result names exactly which chunk values were
+    * too hot to join on.
+    */
+  private[graft] def simhashHotBuckets(banded: DataFrame,
+      bucketCap: Int): DataFrame = {
+    require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
+    banded.groupBy("chunk", "ck").agg(count(lit(1)).as("n"))
+      .filter(col("n") > bucketCap).select("chunk", "ck")
+  }
+
+  /** Public audit twin: the over-cap buckets a [[simhashNearDupPairs]]
+    * call at (`chunks`, `bits`, `bucketCap`) would drop, with their sizes
+    * — report these next to the pair output at production scale.
+    */
+  def simhashHotBucketReport(sims: DataFrame, chunks: Int, bits: Int,
+      bucketCap: Int): DataFrame = {
+    require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
+    val w = bits / chunks
+    val mask = (1L << w) - 1
+    sims.select(col("id"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk"),
+        col("simhash"))
+      .select(col("chunk"),
+        expr(s"shiftright(simhash, cast(chunk * $w as int)) & $mask").as("ck"))
+      .groupBy("chunk", "ck").agg(count(lit(1)).as("n"))
+      .filter(col("n") > bucketCap)
   }
 
   /** Dedup cluster formation: connected components over a near-dup pair

@@ -10,30 +10,74 @@ import org.apache.spark.sql.functions._
   * seen, capped PER HOST (politeness — no crawl spends its budget
   * hammering one host) and then globally budgeted.
   *
-  * Spark shape: the seen-set subtraction is one LEFT ANTI hash join on
-  * the url key; the per-host cap is a KEYED window (row_number
-  * partitioned by host — never a global window); the global budget
-  * compiles to TakeOrderedAndProject (a bounded heap per partition +
-  * one merge — no full sort ever materializes). Ties break by url so
-  * the selected set is deterministic, which is what makes the frontier
-  * resumable (the same inputs always schedule the same wave).
+  * Spark shape: candidates DEDUP first (the same URL discovered from
+  * many source pages is one fetch, not many — a keyed row_number over
+  * the url, keeping the best score, so duplicates never occupy extra
+  * politeness slots or trigger double fetches); the seen-set subtraction
+  * is one LEFT ANTI hash join on the url key; the per-host cap is a
+  * KEYED window (row_number partitioned by host — never a global
+  * window); the global budget compiles to TakeOrderedAndProject (a
+  * bounded heap per partition + one merge — no full sort ever
+  * materializes). Ties break by url so the selected set is
+  * deterministic, which is what makes the frontier resumable (the same
+  * inputs always schedule the same wave).
+  *
+  * `hostDelays` (host, crawl_delay seconds — [[RobotsTxt.compileDelays]]
+  * output) turns each host's declared politeness RATE into a per-wave
+  * budget: a wave spanning `waveSeconds` admits at most
+  * `floor(waveSeconds / crawl_delay)` fetches from that host (never
+  * below 1 — a delay longer than the wave still advances one fetch per
+  * wave instead of starving the host forever), further capped by
+  * `perHost`. Hosts without a declared delay use `perHost` alone.
   */
 object Frontier {
 
   def select(candidates: DataFrame, seen: DataFrame, perHost: Int,
       total: Int, urlCol: String = "url",
-      scoreCol: String = "score"): DataFrame = {
+      scoreCol: String = "score",
+      hostDelays: Option[DataFrame] = None,
+      waveSeconds: Double = 0.0): DataFrame = {
     require(perHost > 0, s"frontier: perHost must be positive, got $perHost")
     require(total > 0, s"frontier: total must be positive, got $total")
-    val fresh = candidates.join(
+    require(hostDelays.isEmpty || waveSeconds > 0,
+      s"frontier: hostDelays needs waveSeconds > 0 to derive per-wave " +
+        s"host budgets, got $waveSeconds")
+    // one row per candidate URL, best score wins (a URL found by many
+    // pages would otherwise burn several politeness slots and fetch twice)
+    val dw = Window.partitionBy(urlCol).orderBy(col(scoreCol).desc)
+    val deduped = candidates
+      .withColumn("_dup", row_number().over(dw))
+      .filter(col("_dup") === 1).drop("_dup")
+    val fresh = deduped.join(
       seen.select(col(urlCol)).distinct(), Seq(urlCol), "left_anti")
     val withHost = fresh.withColumn("host",
       lower(regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1)))
+    // per-host cap: the politeness window, tightened by the host's
+    // declared crawl-delay when one exists (rate × wave length = budget)
+    val budgeted = hostDelays match {
+      case None => withHost.withColumn("_cap", lit(perHost))
+      case Some(delays) =>
+        // no broadcast hint: the left join keys on host, the SAME key the
+        // politeness window partitions by — a hash-partitioned join means
+        // the window reuses the exchange instead of adding one (and at
+        // crawl scale the delay table is per-host, not guaranteed tiny)
+        withHost
+          .join(delays.select(col("host"),
+            col("crawl_delay").cast("double").as("_delay")), Seq("host"), "left")
+          .withColumn("_cap",
+            when(col("_delay").isNull || col("_delay") <= 0, lit(perHost))
+              .otherwise(least(lit(perHost),
+                greatest(lit(1L), floor(lit(waveSeconds) / col("_delay"))))))
+          // the host-keyed join moved `host` to the front; restore the
+          // candidates-then-host order the no-delay path emits
+          .select((withHost.columns.map(col) :+ col("_cap")).toSeq: _*)
+    }
     val w = Window.partitionBy("host")
       .orderBy(col(scoreCol).desc, col(urlCol))
-    withHost
+    budgeted
       .withColumn("host_rank", row_number().over(w))
-      .filter(col("host_rank") <= perHost)
+      .filter(col("host_rank") <= col("_cap"))
+      .drop("_cap")
       .orderBy(col(scoreCol).desc, col(urlCol))
       .limit(total)
   }

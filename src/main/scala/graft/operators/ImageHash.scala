@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   * [[MediaCodecs.JvmCodec]] decode seam (PPM/BMP hand-rolled, PNG/JPEG/
   * GIF via ImageIO — undecodable payloads yield null and drop out);
   * near-dup candidate generation reuses the text family's pigeonhole
-  * chunk banding ([[Dedup.simhashNearDupPairs]] at 64 bits) — candidates
-  * are bucket joins on 8-bit chunk keys, exact Hamming verified by
-  * bit_count, NEVER an all-pairs product.
+  * chunk banding ([[Dedup.simhashNearDupPairs]] at 64 bits): candidates
+  * are equality-bucket joins verified by bit_count. The candidate space
+  * is bucket-quadratic, not corpus-quadratic — which is only a useful
+  * bound when the buckets stay small. The defaults (4 chunks = 16-bit
+  * keys, 65,536 buckets per position) and the `bucketCap` skew guard
+  * keep them small: dHash concentrates on few values for flat/smooth
+  * images, and an uncapped hot bucket pairs everything inside it. At
+  * corpus scale ALWAYS set `bucketCap` (and dedup exact-equal hashes by
+  * `groupBy(dhash)` first — the cap never affects exact duplicates).
   */
 object ImageHash {
 
@@ -68,13 +74,21 @@ object ImageHash {
     * `maxHamming`, any qualifying pair agrees exactly on ≥1 chunk, so
     * candidates are equality-bucket joins verified by bit_count.
     * Output: (id_a, id_b, hamming).
+    *
+    * Defaults are the SCALE-SAFE point: 3/4 gives 16-bit chunk keys
+    * (65,536 buckets per position, expected candidates ~n²·4/65,536 on
+    * uniform hashes). 6/8 (8-bit keys, 256 buckets, ~n²/32 candidates)
+    * trades that for recall at higher Hamming radius — an explicit
+    * opt-in for bounded corpora. `bucketCap > 0` additionally drops
+    * over-cap buckets from candidate generation (dHash skew: flat images
+    * collapse onto few hash values) — set it at corpus scale.
     */
-  def nearDupPairs(hashes: DataFrame, maxHamming: Int = 6,
-      chunks: Int = 8): DataFrame =
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+      chunks: Int = 4, bucketCap: Int = 0): DataFrame =
     Dedup.simhashNearDupPairs(
       hashes.filter(col("dhash").isNotNull)
         .select(col(hashes.columns.head).as("id"), col("dhash").as("simhash")),
-      maxHamming, chunks, bits = 64)
+      maxHamming, chunks, bits = 64, bucketCap = bucketCap)
 
   /** Per-frame dHashes of a concatenated-PPM video payload (the
     * [[MediaCodecs.splitPpmStream]] container): (idCol, frame_idx,
@@ -100,19 +114,61 @@ object ImageHash {
     * counts — videos with no common frame never pair, frame payloads
     * never cross an exchange. Input: [[videoFrameHashes]] output.
     * Output: (id_a, id_b, shared, jaccard).
+    *
+    * `frameDfCap > 0` is the hot-key guard production corpora need:
+    * a degenerate common frame (black/monochrome — intros, fades)
+    * hashes identically across UNRELATED videos, and its posting list
+    * pairs everything that shares it. Capped, frame hashes appearing
+    * in more than `frameDfCap` videos are dropped from CANDIDATE
+    * GENERATION only; the emitted jaccard stays EXACT via the dfCap
+    * decomposition (shared = cool-posting pairs + per-video hot-hash
+    * list intersection — the hot lists are tiny by construction, the
+    * [[Dedup.cappedJaccardPairsFromSets]] discipline). Only pairs whose
+    * overlap is EXCLUSIVELY over-cap frames are missed — by definition
+    * frames with no discriminating signal.
+    *
+    * No cache: the distinct frame-set exchange is reused across the
+    * size/posting consumers (ReuseExchange) instead of pinning executor
+    * storage across invocations in a long-lived session.
     */
   def videoNearDupPairs(frameHashes: DataFrame,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, frameDfCap: Int = 0): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1,
       s"videoNearDupPairs: minJaccard in (0,1], got $minJaccard")
     val idCol = frameHashes.columns.head
-    val d = frameHashes.select(col(idCol).as("id"), col("dhash"))
-      .distinct().cache()
+    val d = frameHashes.select(col(idCol).as("id"), col("dhash")).distinct()
     val sizes = d.groupBy("id").agg(count(lit(1)).as("n"))
-    val shared = d.as("a").join(d.as("b"),
-        col("a.dhash") === col("b.dhash") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
+    val shared =
+      if (frameDfCap <= 0) {
+        d.as("a").join(d.as("b"),
+            col("a.dhash") === col("b.dhash") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("shared"))
+      } else {
+        // hot = hashes in > cap videos (tiny: the degenerate-frame set);
+        // the anti-join broadcasts it and the posting keeps partitioning
+        val hot = d.groupBy("dhash").agg(count(lit(1)).as("df"))
+          .filter(col("df") > frameDfCap).select("dhash")
+        val cool = d.join(hot, Seq("dhash"), "left_anti")
+        val sharedCool = cool.as("a").join(cool.as("b"),
+            col("a.dhash") === col("b.dhash") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("shared_cool"))
+        // per-video over-cap hash lists restore the exact intersection:
+        // |A∩B| = shared_cool + |hotA ∩ hotB|
+        val hotLists = d.join(hot, Seq("dhash"))
+          .groupBy("id").agg(collect_list(col("dhash")).as("hs"))
+        sharedCool
+          .join(hotLists.select(col("id").as("id_a"), col("hs").as("_ha")),
+            Seq("id_a"), "left")
+          .join(hotLists.select(col("id").as("id_b"), col("hs").as("_hb")),
+            Seq("id_b"), "left")
+          .select(col("id_a"), col("id_b"),
+            (col("shared_cool") + size(array_intersect(
+              coalesce(col("_ha"), array().cast("array<long>")),
+              coalesce(col("_hb"), array().cast("array<long>"))))
+              .cast("long")).as("shared"))
+      }
     shared
       .join(sizes.select(col("id").as("id_a"), col("n").as("_na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("_nb")), "id_b")

@@ -37,27 +37,31 @@ object RobotsTxt {
     path.matches(body + (if (anchored) "" else ".*"))
   }
 
-  /** Allow/Disallow patterns of the most specific matching group for
-    * `agent` (case-insensitive product-token match; `*` fallback;
-    * empty Disallow = no rule, per RFC).
+  private final case class Group(agents: Seq[String], allows: Seq[String],
+      disallows: Seq[String], crawlDelay: Option[Double])
+
+  /** RFC 9309 §2.2.1 grouping: consecutive `User-agent` lines share one
+    * rule group; a rule line (Allow/Disallow/Crawl-delay) ends the
+    * user-agent run; UNKNOWN directives and `Sitemap` (group-independent
+    * per §2.2.4) are ignored WITHOUT affecting grouping — an unknown or
+    * `Sitemap` line between two `User-agent` lines must not split them
+    * into separate groups (the over-permissive failure: the first agent
+    * would get an empty allow-all rule set).
     */
-  def parse(robotsTxt: String, agent: String): (Seq[String], Seq[String]) = {
-    if (robotsTxt == null) return (Seq.empty, Seq.empty)
-    val agentLc = agent.toLowerCase
-    // split into groups: consecutive user-agent lines share the rules
-    final case class Group(agents: Seq[String], allows: Seq[String],
-        disallows: Seq[String])
+  private def parseGroups(robotsTxt: String): Seq[Group] = {
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var agents = scala.collection.mutable.ArrayBuffer.empty[String]
     var allows = scala.collection.mutable.ArrayBuffer.empty[String]
     var disallows = scala.collection.mutable.ArrayBuffer.empty[String]
+    var delay: Option[Double] = None
     var inAgents = true
     def flush(): Unit = {
       if (agents.nonEmpty)
-        groups += Group(agents.toSeq, allows.toSeq, disallows.toSeq)
+        groups += Group(agents.toSeq, allows.toSeq, disallows.toSeq, delay)
       agents = scala.collection.mutable.ArrayBuffer.empty[String]
       allows = scala.collection.mutable.ArrayBuffer.empty[String]
       disallows = scala.collection.mutable.ArrayBuffer.empty[String]
+      delay = None
     }
     robotsTxt.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -76,22 +80,63 @@ object RobotsTxt {
           case "disallow" =>
             inAgents = false
             if (value.nonEmpty) disallows += value
-          case _ => inAgents = false // sitemap/crawl-delay/unknown: ignored
+          case "crawl-delay" =>
+            // the de-facto politeness-rate extension, parsed first-class:
+            // a RULE line (ends the user-agent run like Allow/Disallow —
+            // a delay-only group must close before the next User-agent,
+            // or `UA: bot / Crawl-delay: 4 / UA: *` would merge bot and *)
+            inAgents = false
+            delay = value.toDoubleOption.filter(_ > 0).orElse(delay)
+          case _ => // sitemap/unknown: no grouping effect (RFC 9309 §2.2.4)
         }
       }
     }
     flush()
-    // most specific group: longest agent token that is a prefix of (or
-    // contained in) the caller's agent; '*' fallback
-    val candidates = groups.flatMap { g =>
-      g.agents.collect {
-        case a if a != "*" && agentLc.contains(a) => (a.length, g)
+    groups.toSeq
+  }
+
+  /** The groups applying to `agent`: all groups whose BEST matching
+    * product token (case-insensitive containment) has the maximal length
+    * — RFC 9309 §2.2.1's "most specific match", with same-specificity
+    * groups MERGED as the RFC requires (two `User-agent: bot` groups
+    * combine; only the single maxBy group would silently drop the
+    * other's Disallow rules). No specific match ⇒ ALL `*` groups merge
+    * (the fallback).
+    */
+  private def matchingGroups(groups: Seq[Group], agent: String): Seq[Group] = {
+    val agentLc = agent.toLowerCase
+    val scored = groups.flatMap { g =>
+      val best = g.agents.collect {
+        case a if a != "*" && agentLc.contains(a) => a.length
       }
+      if (best.isEmpty) None else Some((best.max, g))
     }
-    val chosen =
-      if (candidates.nonEmpty) Some(candidates.maxBy(_._1)._2)
-      else groups.find(_.agents.contains("*"))
-    chosen.map(g => (g.allows, g.disallows)).getOrElse((Seq.empty, Seq.empty))
+    if (scored.nonEmpty) {
+      val top = scored.map(_._1).max
+      scored.collect { case (l, g) if l == top => g }
+    } else groups.filter(_.agents.contains("*"))
+  }
+
+  /** Allow/Disallow patterns applying to `agent`: the most specific
+    * matching groups' rules, UNIONED (case-insensitive product-token
+    * match; merged `*` fallback; empty Disallow = no rule, per RFC).
+    */
+  def parse(robotsTxt: String, agent: String): (Seq[String], Seq[String]) = {
+    if (robotsTxt == null) return (Seq.empty, Seq.empty)
+    val gs = matchingGroups(parseGroups(robotsTxt), agent)
+    (gs.flatMap(_.allows), gs.flatMap(_.disallows))
+  }
+
+  /** The `Crawl-delay` (seconds) applying to `agent` — the per-host
+    * politeness RATE the frontier converts into a per-wave host budget
+    * ([[Frontier.select]]'s `hostDelays`). When merged groups disagree,
+    * the MAXIMUM wins (the most conservative rate). None when no
+    * applicable group declares one.
+    */
+  def crawlDelay(robotsTxt: String, agent: String): Option[Double] = {
+    if (robotsTxt == null) return None
+    matchingGroups(parseGroups(robotsTxt), agent)
+      .flatMap(_.crawlDelay).maxOption
   }
 
   /** `Sitemap:` directives of a robots.txt — group-independent per RFC
@@ -135,6 +180,18 @@ object RobotsTxt {
     })
     robots.select(col(hostCol), parseUdf(col(txtCol)).as("r"))
       .select(col(hostCol), col("r._1").as("allows"), col("r._2").as("disallows"))
+  }
+
+  /** Per-host crawl-delay table: (hostCol, crawl_delay DOUBLE seconds) —
+    * only hosts that DECLARE a delay for `agent` emit a row (join left
+    * and treat null as "no rate limit"). The [[Frontier.select]]
+    * `hostDelays` input. Per-row map over the per-host robots table.
+    */
+  def compileDelays(robots: DataFrame, agent: String,
+      hostCol: String = "host", txtCol: String = "robots_txt"): DataFrame = {
+    val delayUdf = udf((txt: String) => crawlDelay(txt, agent))
+    robots.select(col(hostCol), delayUdf(col(txtCol)).as("crawl_delay"))
+      .filter(col("crawl_delay").isNotNull)
   }
 
   /** Pages → (page columns…, allowed BOOLEAN): host extracted from the

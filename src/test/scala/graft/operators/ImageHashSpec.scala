@@ -117,4 +117,65 @@ class ImageHashSpec extends SparkSpec {
     assert(got == want, s"got=$got\nwant=$want")
     assert(want.size >= 10, "every planted pair is within radius")
   }
+
+  test("bucketCap: a 1k-row identical-hash cluster never floods candidates") {
+    import org.apache.spark.sql.functions._
+    // perceptual-hash skew in miniature: 1000 flat images collapse onto
+    // ONE hash value (the quadratic-bucket trap — uncapped, that single
+    // bucket alone is ~500k candidate pairs); two distinct near-dup
+    // images sit outside the cluster
+    val flat = (0L until 1000L).map(i => (i, 0x0123456789abcdefL))
+    val near = Seq((5000L, 0x00000000000000ffL), (5001L, 0x00000000000000fdL))
+    val sims = (flat ++ near).toDF("id", "simhash")
+    val got = Dedup.simhashNearDupPairs(sims, maxHamming = 3, chunks = 4,
+        bits = 64, bucketCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((5000L, 5001L, 1L)),
+      s"hot cluster excluded from candidate generation, near pair kept: ${got.toSeq}")
+    // the audit twin REPORTS what the cap dropped: the cluster's hash is
+    // over-cap at every chunk position, the near pair's buckets are not
+    val report = Dedup.simhashHotBucketReport(sims, chunks = 4, bits = 64,
+        bucketCap = 100)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(report.length == 4 && report.forall(_._3 == 1000L),
+      s"all 4 chunk positions of the flat cluster are hot: ${report.toSeq}")
+    val h = 0x0123456789abcdefL
+    assert(report.toSet == (0 until 4).map(c =>
+      (c, (h >>> (c * 16)) & 0xffffL, 1000L)).toSet, report.toSeq.toString)
+    // exact-equal dedup is the cap-independent first pass the scaladoc
+    // routes true duplicates through
+    val exact = sims.groupBy("simhash").count().filter(col("count") > 1).collect()
+    assert(exact.length == 1 && exact.head.getLong(1) == 1000L)
+  }
+
+  test("videoNearDupPairs frameDfCap: a shared degenerate frame never pairs " +
+      "disjoint videos; emitted jaccard stays EXACT") {
+    import org.apache.spark.sql.functions._
+    // frame-hash sets built directly: A and B are disjoint except for a
+    // black frame shared by A, B and C; C shares 2 real frames with A
+    val black = 0L
+    val rows = Seq(
+      (1L, 0, 11L), (1L, 1, 12L), (1L, 2, 13L), (1L, 3, black), // A
+      (2L, 0, 21L), (2L, 1, 22L), (2L, 2, 23L), (2L, 3, black), // B
+      (3L, 0, 11L), (3L, 1, 12L), (3L, 2, 33L), (3L, 3, black)) // C
+      .toDF("id", "frame_idx", "dhash")
+      .select(col("id"), col("dhash"))
+    // uncapped at a permissive threshold, the black frame PAIRS the
+    // disjoint videos (jaccard 1/7) — the hot-key failure
+    val uncapped = ImageHash.videoNearDupPairs(rows, minJaccard = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)), s"uncapped baseline: $uncapped")
+    // capped (black appears in 3 > 2 videos): A-B share ONLY the hot
+    // frame -> never a candidate; A-C pair via cool frames with the
+    // EXACT jaccard (2 cool + 1 hot shared = 3 of 5 distinct)
+    val capped = ImageHash.videoNearDupPairs(rows, minJaccard = 0.1,
+        frameDfCap = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(!capped.contains((1L, 2L)),
+      s"hot-frame-only overlap must not generate a candidate: $capped")
+    assert(capped.keySet == Set((1L, 3L)) &&
+      capped((1L, 3L)) == ((3L, 0.6)),
+      s"shared = cool + hot decomposition stays exact: $capped")
+  }
 }
