@@ -199,6 +199,16 @@ object Bench {
       .sortBy { case (_, med, _) => if (med < 0) Double.MaxValue else med }
       .map { case (k, med, _) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(med) }
       .mkString("{", ",", "}")
+    // per-query MIN as its own committed line: on this host the min-sum is
+    // the only cross-round-comparable number when sweeps spread (external
+    // load inflates medians uniformly; the min survives one clean sweep).
+    // Printed BEFORE the contract line so tail-truncation of the combined
+    // artifact eats this first and the medians+diag always survive whole.
+    val qsMin = results
+      .sortBy { case (_, _, mn) => if (mn < 0) Double.MaxValue else mn }
+      .map { case (k, _, mn) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(mn) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"queries_min","total_min":${f3(totalMin)},"queries_min":$qsMin}""")
     println(s"""{"queries":$qs,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","contaminated":$contaminated}""")
     // outliers: median > 2× min AND > 0.5 s absolute — the per-query form
     // of "this sweep was contaminated". Empty on an idle machine.

@@ -1436,15 +1436,18 @@ object Main {
         else ihHashes
 
       case "frontier" =>
-        // next crawl wave: candidates minus seen, per-host politeness
-        // cap, global budget (TakeOrdered bounded heap)
+        // next crawl wave: candidates deduped, minus seen, per-host
+        // politeness cap (tightened by --delays crawl-delay rates over
+        // --wave-seconds), global budget (TakeOrdered bounded heap)
         operators.Frontier.select(
           spark.read.parquet(need("candidates")),
           spark.read.parquet(need("seen")),
           perHost = flags.getOrElse("per-host", "10").toInt,
           total = flags.getOrElse("total", "1000").toInt,
           urlCol = flags.getOrElse("url-col", "url"),
-          scoreCol = flags.getOrElse("score-col", "score"))
+          scoreCol = flags.getOrElse("score-col", "score"),
+          hostDelays = flags.get("delays").map(spark.read.parquet(_)),
+          waveSeconds = flags.getOrElse("wave-seconds", "0").toDouble)
 
       case "audio-hash" =>
         // energy-delta fingerprint per WAV clip (null = undecodable or
@@ -1480,25 +1483,38 @@ object Main {
 
       case "wet-export" =>
         // extracted text → WET conversion records (.gz = per-record
-        // members, randomly addressable via cdx-index)
+        // members, randomly addressable via cdx-index); --shards N writes
+        // one shard per partition (the corpus-scale form)
         import spark.implicits._
+        val wetIn = spark.read.parquet(need("input"))
         val wetOut = need("output")
-        val wetN = sources.WarcIO.writeWet(spark.read.parquet(need("input")),
-          wetOut, flags.getOrElse("url-col", "url"),
-          flags.getOrElse("text-col", "text"))
-        Seq((wetOut, wetN)).toDF("output", "records")
+        flags.get("shards") match {
+          case Some(n) =>
+            sources.WarcIO.writeWetShards(wetIn.repartition(n.toInt), wetOut,
+              flags.getOrElse("url-col", "url"),
+              flags.getOrElse("text-col", "text"))
+          case None =>
+            val wetN = sources.WarcIO.writeWet(wetIn, wetOut,
+              flags.getOrElse("url-col", "url"),
+              flags.getOrElse("text-col", "text"))
+            Seq((wetOut, wetN)).toDF("output", "records")
+        }
 
       case "cdx-index" =>
         // sorted CDXJ index over a WARC shard/directory (urlkey timestamp
         // {json(offset,length,digest,…)}) — the random-access map a 100 TB
         // crawl is read through; --output writes the sorted text artifact
         val cdxIdx = sources.CdxIO.index(spark, need("input"))
-        flags.get("output") match {
-          case Some(p) =>
+        (flags.get("output"), flags.get("shards")) match {
+          case (Some(dir), Some(n)) =>
+            // Common Crawl layout: sorted range-partitioned shards +
+            // cluster.idx; returns the receipt frame
+            sources.CdxIO.writeCdxjShards(cdxIdx, dir, n.toInt)
+          case (Some(p), None) =>
             val n = sources.CdxIO.writeCdxj(cdxIdx, p)
             System.err.println(s"[cdx-index] $n records -> $p")
             sources.CdxIO.readCdxj(spark, p)
-          case None => cdxIdx
+          case _ => cdxIdx
         }
 
       case "cdx-fetch" =>
@@ -1510,6 +1526,14 @@ object Main {
           .map(p => cdxAll.filter(col("urlkey").startsWith(p)))
           .getOrElse(cdxAll)
         sources.CdxIO.fetchRecords(cdxSel).drop("payload")
+
+      case "media-probe" =>
+        // container-metadata probe: MP3 frame-header walk / MP4 box walk
+        // (header-only — decode stays stubbed) + WAV/PPM/BMP; null
+        // container = unprobeable (quarantine)
+        operators.Multimodal.mediaProbe(spark.read.parquet(need("input")),
+          flags.getOrElse("id-col", "media_id"),
+          flags.getOrElse("payload-col", "bytes"))
 
       case "html-extract" =>
         // boilerplate removal: block-scored main text from an html column
@@ -1763,11 +1787,12 @@ object Main {
       |  link-extract --input PARQUET [--id-col C] [--html-col C] [--url-col C]
       |  robots-filter --pages PARQUET --robots PARQUET [--agent A] [--url-col C] [--host-col C] [--txt-col C]
       |  sitemap-extract --input PARQUET [--id-col C] [--xml-col C]
-      |  image-hash --input PARQUET [--id-col C] [--payload-col C] [--pairs [--max-hamming N] [--chunks N]]
-      |  audio-hash --input PARQUET [--id-col C] [--payload-col C] [--pairs [--max-hamming N] [--chunks N]]
-      |  frontier --candidates PARQUET --seen PARQUET [--per-host N] [--total N] [--url-col C] [--score-col C]
-      |  wet-export --input PARQUET --output WET[.warc.gz] [--url-col C] [--text-col C]
-      |  cdx-index --input WARC|DIR [--output CDXJ]
+      |  image-hash --input PARQUET [--id-col C] [--payload-col C] [--pairs [--max-hamming N] [--chunks N] [--bucket-cap N]]
+      |  audio-hash --input PARQUET [--id-col C] [--payload-col C] [--pairs [--max-hamming N] [--chunks N] [--bucket-cap N]]
+      |  frontier --candidates PARQUET --seen PARQUET [--per-host N] [--total N] [--url-col C] [--score-col C] [--delays PARQUET --wave-seconds S]
+      |  wet-export --input PARQUET --output WET[.warc.gz]|DIR [--url-col C] [--text-col C] [--shards N]
+      |  cdx-index --input WARC|DIR [--output CDXJ|DIR [--shards N]]
+      |  media-probe --input PARQUET [--id-col C] [--payload-col C]
       |  cdx-fetch --index CDXJ [--urlkey-prefix P]
       |  hnsw-maintain --bundle DIR [--tombstone PARQUET] [--compact] [--id-col C] [--m N] [--ef-construction N] [--metric M]
       |  merkle create --file PATH [--output PARQUET] | merkle verify --file PATH --reference PARQUET | merkle diff --a PATH --b PATH

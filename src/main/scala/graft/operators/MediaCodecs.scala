@@ -298,6 +298,242 @@ object MediaCodecs {
     if (fmtOk && rate > 0 && data != null) Some((rate, data)) else None
   }
 
+  // -------------------------------------- compressed-media METADATA probes
+  //
+  // MP3/H.264 DECODE stays on the documented stub (no stock-JVM parser),
+  // but the container METADATA is public-spec and header-only: an MP3
+  // frame header names its bitrate/samplerate and an MP4 `moov` box walk
+  // names duration and track dimensions — enough for `describe` and the
+  // multimodal cards to cover compressed assets WITHOUT decoding a
+  // single sample. Header-only means O(frames) byte arithmetic per
+  // asset, zero allocation proportional to media length.
+
+  /** Uniform probe result; fields the container doesn't carry are 0. */
+  final case class MediaInfo(container: String, codec: String,
+      durationMs: Long, sampleRate: Int, channels: Int, bitrateKbps: Int,
+      width: Int, height: Int)
+
+  // MPEG-1 Layer III tables (ISO/IEC 11172-3): bitrate index -> kbps,
+  // samplerate index -> Hz; 1152 samples per frame
+  private val Mp3BitrateV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3SampleRateV1 = Array(44100, 48000, 32000)
+
+  /** MPEG-1 Layer III metadata by frame-header walk: skips a leading
+    * ID3v2 tag (synchsafe size), then counts syncword frames — duration
+    * is frames × 1152 / samplerate (exact for CBR and VBR alike, unlike
+    * the filesize/bitrate estimate), bitrate is the FIRST frame's (the
+    * nominal rate for CBR). Trailing garbage stops the walk without
+    * throwing: the probe reports the frames it verified. None when no
+    * valid first frame exists.
+    */
+  def probeMp3(payload: Array[Byte]): Option[MediaInfo] = {
+    if (payload == null || payload.length < 4) return None
+    var pos = 0
+    if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+        payload(2) == '3') {
+      val size = ((payload(6) & 0x7f) << 21) | ((payload(7) & 0x7f) << 14) |
+        ((payload(8) & 0x7f) << 7) | (payload(9) & 0x7f)
+      pos = 10 + size
+    }
+    var frames = 0L
+    var firstBitrate = 0
+    var rate = 0
+    var channels = 0
+    var done = false
+    while (!done && pos + 4 <= payload.length) {
+      val b1 = payload(pos) & 0xff
+      val b2 = payload(pos + 1) & 0xff
+      val b3 = payload(pos + 2) & 0xff
+      val b4 = payload(pos + 3) & 0xff
+      // 11-bit sync + MPEG1 (version bits 11) + Layer III (layer bits 01)
+      if (b1 != 0xff || (b2 & 0xfe) != 0xfa) done = true
+      else {
+        val bIdx = (b3 >> 4) & 0xf
+        val sIdx = (b3 >> 2) & 0x3
+        val pad = (b3 >> 1) & 1
+        if (bIdx == 0 || bIdx == 15 || sIdx == 3) done = true
+        else {
+          val bitrate = Mp3BitrateV1L3(bIdx)
+          val sr = Mp3SampleRateV1(sIdx)
+          val frameLen = 144 * bitrate * 1000 / sr + pad
+          if (frames == 0) {
+            firstBitrate = bitrate
+            rate = sr
+            channels = if (((b4 >> 6) & 3) == 3) 1 else 2
+          }
+          frames += 1
+          pos += frameLen
+        }
+      }
+    }
+    if (frames == 0) None
+    else Some(MediaInfo("mp3", "mp3", frames * 1152L * 1000L / rate,
+      rate, channels, firstBitrate, 0, 0))
+  }
+
+  /** Synthesize a silent CBR MPEG-1 Layer III stream (valid headers,
+    * zeroed payload) — the deterministic fixture the probe oracle
+    * replays. `bitrateKbps` must be a V1L3 table rate.
+    */
+  def encodeMp3Silence(nFrames: Int, bitrateKbps: Int,
+      sampleRate: Int = 44100, channels: Int = 2): Array[Byte] = {
+    val bIdx = Mp3BitrateV1L3.indexOf(bitrateKbps)
+    val sIdx = Mp3SampleRateV1.indexOf(sampleRate)
+    require(bIdx > 0, s"not a V1L3 bitrate: $bitrateKbps")
+    require(sIdx >= 0, s"not a V1 sample rate: $sampleRate")
+    require(nFrames > 0, s"need at least one frame, got $nFrames")
+    val frameLen = 144 * bitrateKbps * 1000 / sampleRate // no padding bit
+    val out = new Array[Byte](nFrames * frameLen)
+    var f = 0
+    while (f < nFrames) {
+      val p = f * frameLen
+      out(p) = 0xff.toByte
+      out(p + 1) = 0xfb.toByte // MPEG1, Layer III, no CRC
+      out(p + 2) = ((bIdx << 4) | (sIdx << 2)).toByte
+      out(p + 3) = (if (channels == 1) 0xc0 else 0x00).toByte
+      f += 1
+    }
+    out
+  }
+
+  private def be32(p: Array[Byte], at: Int): Long =
+    ((p(at) & 0xffL) << 24) | ((p(at + 1) & 0xffL) << 16) |
+      ((p(at + 2) & 0xffL) << 8) | (p(at + 3) & 0xffL)
+
+  /** ISO BMFF (MP4) metadata by box walk — `ftyp` major brand, `moov/
+    * mvhd` timescale+duration, first `trak/tkhd` 16.16-fixed dimensions
+    * (ISO/IEC 14496-12 layouts, v0 and v1 full boxes). No sample data is
+    * touched. None when the bytes are not a plausible BMFF stream.
+    */
+  def probeMp4(payload: Array[Byte]): Option[MediaInfo] = {
+    if (payload == null || payload.length < 16) return None
+    def boxes(lo: Long, hi: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var pos = lo
+        def hasNext: Boolean = pos + 8 <= hi
+        def next(): (String, Long, Long) = {
+          val size0 = be32(payload, pos.toInt)
+          val tpe = new String(payload, pos.toInt + 4, 4, US_ASCII)
+          val (size, hdr) =
+            if (size0 == 1 && pos + 16 <= hi)
+              ((be32(payload, pos.toInt + 8) << 32) |
+                be32(payload, pos.toInt + 12), 16L)
+            else (size0, 8L)
+          if (size < hdr || pos + size > hi) { pos = hi; (tpe, -1L, -1L) }
+          else { val r = (tpe, pos + hdr, pos + size); pos += size; r }
+        }
+      }
+    val top = boxes(0, payload.length.toLong).toSeq
+    if (!top.headOption.exists(b => b._1 == "ftyp" && b._2 >= 0)) return None
+    val brand = top.headOption.map(b =>
+      new String(payload, b._2.toInt, 4, US_ASCII)).getOrElse("")
+    var durationMs = 0L
+    var width = 0
+    var height = 0
+    top.find(b => b._1 == "moov" && b._2 >= 0).foreach { case (_, lo, hi) =>
+      boxes(lo, hi).foreach {
+        case ("mvhd", blo, _) if blo >= 0 =>
+          val v = payload(blo.toInt) & 0xff
+          val (ts, dur) =
+            if (v == 1) (be32(payload, blo.toInt + 20),
+              (be32(payload, blo.toInt + 24) << 32) |
+                be32(payload, blo.toInt + 28))
+            else (be32(payload, blo.toInt + 12), be32(payload, blo.toInt + 16))
+          if (ts > 0) durationMs = dur * 1000L / ts
+        case ("trak", tlo, thi) if tlo >= 0 && width == 0 =>
+          boxes(tlo, thi).foreach {
+            case ("tkhd", klo, khi) if klo >= 0 =>
+              val v = payload(klo.toInt) & 0xff
+              // width/height are the LAST 8 bytes of the tkhd box
+              val wAt = (khi - 8).toInt
+              if (wAt >= klo + 4) {
+                val w = (be32(payload, wAt) >> 16).toInt
+                val h = (be32(payload, wAt + 4) >> 16).toInt
+                if (v <= 1 && w > 0 && h > 0) { width = w; height = h }
+              }
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    Some(MediaInfo("mp4", brand, durationMs, 0, 0, 0, width, height))
+  }
+
+  /** Synthesize a minimal valid BMFF stream (`ftyp` + `moov{mvhd,
+    * trak{tkhd}}`, no media data) — the deterministic MP4 probe fixture.
+    * Timescale is 1000, so `durationMs` round-trips exactly.
+    */
+  def encodeMp4Stub(durationMs: Long, width: Int, height: Int,
+      brand: String = "isom"): Array[Byte] = {
+    require(brand.length == 4, s"brand must be 4 chars: $brand")
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(tpe.getBytes(US_ASCII)).put(body)
+      bb.array()
+    }
+    val ftyp = box("ftyp",
+      ByteBuffer.allocate(8).put(brand.getBytes(US_ASCII)).putInt(0).array())
+    // mvhd v0: vf + ctime + mtime + timescale + duration + rate + volume
+    // + 10 reserved + 36 matrix + 24 predefined + next_track_id = 100
+    val mvhd = {
+      val bb = ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(durationMs.toInt)
+      bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      bb.position(bb.position() + 8) // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt) // identity matrix
+      bb.position(bb.position() + 24) // pre_defined
+      bb.putInt(2) // next_track_ID
+      box("mvhd", bb.array())
+    }
+    // tkhd v0: vf + ctime + mtime + track_ID + reserved + duration +
+    // 8 reserved + layer/group/volume/reserved + matrix + width + height = 84
+    val tkhd = {
+      val bb = ByteBuffer.allocate(84)
+      bb.putInt(0x00000007).putInt(0).putInt(0).putInt(1).putInt(0)
+      bb.putInt(durationMs.toInt)
+      bb.position(bb.position() + 8)
+      bb.putShort(0).putShort(0).putShort(0).putShort(0)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt)
+      bb.putInt(width << 16).putInt(height << 16)
+      box("tkhd", bb.array())
+    }
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  /** Dispatch a payload to the right metadata probe by magic bytes —
+    * compressed containers (header-only) AND the fully-decoded formats,
+    * so `describe`-style cards cover every asset class uniformly. None
+    * when nothing matches (quarantine, don't guess).
+    */
+  def probe(payload: Array[Byte]): Option[MediaInfo] = {
+    if (payload == null || payload.length < 4) return None
+    val p0 = payload(0) & 0xff
+    val p1 = payload(1) & 0xff
+    if (p0 == 'I' && p1 == 'D' && (payload(2) & 0xff) == '3') probeMp3(payload)
+    else if (p0 == 0xff && ((p1 & 0xfe) == 0xfa)) probeMp3(payload)
+    else if (payload.length >= 12 &&
+      new String(payload, 4, 4, US_ASCII) == "ftyp") probeMp4(payload)
+    else if (p0 == 'R' && payload.length >= 12 &&
+      new String(payload, 0, 4, US_ASCII) == "RIFF" &&
+      new String(payload, 8, 4, US_ASCII) == "WAVE")
+      decodeWav(payload).map { case (rate, samples) =>
+        MediaInfo("wav", "pcm_s16le", samples.length * 1000L / rate,
+          rate, 1, rate * 16 / 1000, 0, 0)
+      }
+    else if (p0 == 'P' && p1 == '6')
+      decodePpm(payload).map { case (w, h, _) =>
+        MediaInfo("ppm", "rgb24", 0, 0, 0, 0, w, h)
+      }
+    else if (p0 == 'B' && p1 == 'M')
+      decodeBmp(payload).map { case (w, h, _) =>
+        MediaInfo("bmp", "rgb24", 0, 0, 0, 0, w, h)
+      }
+    else None
+  }
+
   // ------------------------------------------------------------ the codec
 
   /** The production-shaped codec: real decode where the bytes ARE a format

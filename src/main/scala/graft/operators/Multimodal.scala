@@ -466,6 +466,29 @@ object Multimodal {
     }(enc)
   }
 
+  /** Container-metadata probe over opaque payloads — the `describe` row
+    * for media assets, INCLUDING compressed ones whose decode stays
+    * stubbed (MP3 frame-header walk, MP4 box walk: header-only, public
+    * spec, zero samples touched — [[MediaCodecs.probeMp3]]/[[MediaCodecs.probeMp4]]),
+    * plus the fully-decoded formats (WAV/PPM/BMP) for uniformity. One
+    * row per input: (idCol, container, codec, duration_ms, sample_rate,
+    * channels, bitrate_kbps, width, height) — container null when no
+    * probe matches (quarantine, don't guess). Per-row map, zero shuffle.
+    */
+  def mediaProbe(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "bytes"): DataFrame = {
+    val p = udf((payload: Array[Byte]) =>
+      MediaCodecs.probe(payload).map(i => (i.container, i.codec,
+        i.durationMs, i.sampleRate, i.channels, i.bitrateKbps,
+        i.width, i.height)))
+    media.select(col(idCol), p(col(payloadCol)).as("_p"))
+      .select(col(idCol),
+        col("_p._1").as("container"), col("_p._2").as("codec"),
+        col("_p._3").as("duration_ms"), col("_p._4").as("sample_rate"),
+        col("_p._5").as("channels"), col("_p._6").as("bitrate_kbps"),
+        col("_p._7").as("width"), col("_p._8").as("height"))
+  }
+
   /** Synthesize a media table from any (id, text) source — payload = UTF-8
     * bytes, modality round-robins — so the plumbing is exercisable with the
     * driver testdata.

@@ -2287,5 +2287,193 @@ object TextQueries {
         .select(col("doc_id"), col("n_chunks"), col("n_langs"),
           col("dominant_lang"), (col("n_langs") > 1).as("mixed"))
     },
+
+    // The crawl loop LIVE: two deterministic waves against a loopback
+    // HTTP server — frontier (crawl-delay-budgeted politeness) → real
+    // HTTP fetch → distributed WARC shard write → file-parallel read →
+    // link extraction → robots filter → NEXT frontier wave. Every stage
+    // is the production operator; the oracle is the hand-derived crawl
+    // trace (seeds from the live sitemap, /private/* blocked by the live
+    // robots.txt, the wave-2 budget of 3 = floor(6s / Crawl-delay 2s)
+    // dropping the 4th candidate, duplicate discoveries of /p/2 from two
+    // pages occupying ONE slot).
+    GQuery(
+      "q352_crawl_loop_live",
+      """SELECT wave::BIGINT AS wave, path, ok FROM (VALUES
+        |  (1, '/p/0', true), (1, '/p/1', true),
+        |  (2, '/p/2', true), (2, '/p/3', true), (2, '/p/4', true))
+        |  t(wave, path, ok)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tag = s"c${System.nanoTime()}"
+      val base = s"${tmpDir()}/live-$tag"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      def put(name: String, content: String): String = {
+        val p = java.nio.file.Paths.get(s"$base/$name")
+        java.nio.file.Files.write(p,
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        p.toString
+      }
+      // a 7-page site: page N links its tree children 2N+1/2N+2, a promo
+      // to /p/2 (duplicate discovery), a robots-blocked /private/N; page
+      // 1 also promotes /p/5 (the candidate the wave-2 budget drops)
+      def page(n: Int): String = {
+        val kids = Seq(2 * n + 1, 2 * n + 2).filter(_ <= 6)
+          .map(k => s"""<a href="/$tag/p/$k">child $k</a>""").mkString(" ")
+        val extra = if (n == 1) s"""<a href="/$tag/p/5">promo5</a>""" else ""
+        s"""<html><head><title>p $n</title></head><body>
+           |<p>page $n content</p>$kids
+           |<a href="/$tag/p/2">promo</a>$extra
+           |<a href="/$tag/private/$n">secret</a></body></html>""".stripMargin
+      }
+      val pageUrls = (0 to 6).map { n =>
+        graft.operators.HttpFixture.serveAt(s"$tag/p/$n",
+          put(s"p$n.html", page(n)))
+      }
+      val ep = graft.operators.HttpFixture.endpoint()
+      val host = ep.stripPrefix("http://")
+      val robotsUrl = graft.operators.HttpFixture.serveAt(s"$tag/robots.txt",
+        put("robots.txt",
+          "User-agent: *\nDisallow: */private/\nCrawl-delay: 2\n"))
+      val sitemapUrl = graft.operators.HttpFixture.serveAt(s"$tag/sitemap.xml",
+        put("sitemap.xml", "<urlset>" + (0 to 2).map(n =>
+          s"<url><loc>$ep/$tag/p/$n</loc></url>").mkString + "</urlset>"))
+      require(pageUrls.head == s"$ep/$tag/p/0", "fixture URL layout")
+      // the distributed fetch kernel (executor-side HTTP GET)
+      val fetch = udf((u: String) => {
+        val conn = new java.net.URL(u).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(5000)
+        conn.setReadTimeout(5000)
+        val in = conn.getInputStream
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally { in.close(); conn.disconnect() }
+      })
+      // live compliance surface: robots rules + crawl-delay compiled once
+      val robotsTable = Seq((host, robotsUrl)).toDF("host", "robots_url")
+        .select(col("host"), fetch(col("robots_url")).as("robots_txt"))
+      val compiled = graft.operators.RobotsTxt.compileRules(robotsTable, "graftbot")
+      val delays = graft.operators.RobotsTxt.compileDelays(robotsTable, "graftbot")
+      // seeds from the live sitemap
+      val seeds = graft.operators.Sitemaps.extract(
+          Seq((host, sitemapUrl)).toDF("host", "xml_url")
+            .select(col("host"), fetch(col("xml_url")).as("xml")),
+          "host", "xml")
+        .select(col("loc").as("url"), lit(1L).as("score"))
+      def crawlWave(urls: org.apache.spark.sql.DataFrame, dir: String) = {
+        val fetched = urls.select(col("url"), fetch(col("url")).as("payload"))
+        graft.sources.WarcIO.writeShards(fetched.repartition(2), dir)
+        graft.sources.WarcIO.read(s, dir)
+      }
+      // wave 1: Crawl-delay 2s over a 4s wave = 2 fetches (of 3 seeds)
+      val empty = Seq.empty[String].toDF("url")
+      val wave1 = graft.operators.Frontier.select(seeds, empty,
+        perHost = 5, total = 5, hostDelays = Some(delays), waveSeconds = 4.0)
+      val w1 = crawlWave(wave1.select("url"), s"$base/w1")
+      // discovered links -> robots filter -> wave 2 (budget 3 = floor(6/2))
+      val links = graft.operators.LinkExtract.extract(
+        w1.select(col("url").as("page_url"), col("text").as("html")),
+        "page_url", "html", "page_url")
+      val cand = links.select(col("link").as("url"), lit(1L).as("score"))
+      val allowed = graft.operators.RobotsTxt.filterAllowed(cand, compiled)
+        .filter(col("allowed")).drop("allowed")
+      val wave2 = graft.operators.Frontier.select(allowed, wave1.select("url"),
+        perHost = 5, total = 5, hostDelays = Some(delays), waveSeconds = 6.0)
+      val w2 = crawlWave(wave2.select("url"), s"$base/w2")
+      def waveRows(w: org.apache.spark.sql.DataFrame, wave: Long) =
+        w.select(lit(wave).as("wave"),
+          regexp_extract(col("url"), "(/p/\\d+)$", 1).as("path"),
+          contains(col("text"), concat(lit("page "),
+            regexp_extract(col("url"), "/p/(\\d+)$", 1),
+            lit(" content"))).as("ok"))
+      waveRows(w1, 1L).unionByName(waveRows(w2, 2L))
+    },
+
+    // Compressed-audio metadata probe: MPEG-1 Layer III frame-header walk
+    // (public spec, header-only — decode stays on the documented stub).
+    // The fixture is a synthesized silent CBR stream, so the oracle
+    // replays every field from the generation formula: duration is
+    // frames x 1152 / 44100 (integer-exact), bitrate/channels from the
+    // id arithmetic. Per-row map, zero shuffle.
+    GQuery(
+      "q353_mp3_probe",
+      """SELECT doc_id, 'mp3' AS container, 'mp3' AS codec,
+        |  ((20 + doc_id % 10) * 1152 * 1000) // 44100 AS duration_ms,
+        |  44100 AS sample_rate,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)::INT AS channels,
+        |  (CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 96 WHEN 2 THEN 128
+        |        ELSE 160 END)::INT AS bitrate_kbps,
+        |  0::INT AS width, 0::INT AS height
+        |FROM documents WHERE doc_id < 200""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select("doc_id")
+      val rates = Array(64, 96, 128, 160)
+      val mk = udf((id: Long) => MediaCodecs.encodeMp3Silence(
+        nFrames = (20 + id % 10).toInt,
+        bitrateKbps = rates((id % 4).toInt),
+        sampleRate = 44100,
+        channels = if (id % 2 == 0) 2 else 1))
+      Multimodal.mediaProbe(
+        docs.select(col("doc_id"), mk(col("doc_id")).as("bytes")),
+        "doc_id", "bytes")
+    },
+
+    // Compressed-video metadata probe: ISO BMFF box walk (ftyp brand,
+    // moov/mvhd timescale+duration, trak/tkhd 16.16 dimensions) — no
+    // sample data exists or is touched. Every field replayed by the
+    // oracle from the id arithmetic (timescale 1000 makes duration_ms
+    // round-trip exactly).
+    GQuery(
+      "q354_mp4_probe",
+      """SELECT doc_id, 'mp4' AS container,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS codec,
+        |  1000 + (doc_id * 37) % 9000 AS duration_ms,
+        |  0::INT AS sample_rate, 0::INT AS channels, 0::INT AS bitrate_kbps,
+        |  (160 + (doc_id % 8) * 16)::INT AS width,
+        |  (96 + (doc_id % 5) * 24)::INT AS height
+        |FROM documents WHERE doc_id < 200""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select("doc_id")
+      val mk = udf((id: Long) => MediaCodecs.encodeMp4Stub(
+        durationMs = 1000 + (id * 37) % 9000,
+        width = (160 + (id % 8) * 16).toInt,
+        height = (96 + (id % 5) * 24).toInt,
+        brand = if (id % 2 == 0) "isom" else "mp42"))
+      Multimodal.mediaProbe(
+        docs.select(col("doc_id"), mk(col("doc_id")).as("bytes")),
+        "doc_id", "bytes")
+    },
+
+    // Sharded CDX index — Common Crawl's own layout: the index
+    // range-partitions by urlkey into sorted gzipped shards plus a
+    // driver-side cluster.idx, then reads back file-parallel. Also pins
+    // the ISO 28500 writer conformance upgrade: every record now carries
+    // a caller-supplied WARC-Date (month varies by doc), and the CDX
+    // timestamp is its 14-digit form — not the epoch zero-pad.
+    GQuery(
+      "q355_cdx_sharded",
+      """SELECT doc_id,
+        |  'test,corpus)/doc/' || doc_id AS urlkey,
+        |  '20260' || (doc_id % 8 + 1) || '15000000' AS timestamp,
+        |  'text/html' AS mime
+        |FROM documents WHERE doc_id < 250""".stripMargin) { (s, dir) =>
+      val base = s"${tmpDir()}/cdxshard-${System.nanoTime()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 250)
+      val pages = docs.select(
+        concat(lit("http://corpus.test/doc/"), col("doc_id")).as("url"),
+        concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
+          .as("payload"),
+        concat(lit("2026-0"), col("doc_id") % 8 + 1, lit("-15T00:00:00Z"))
+          .as("warc_date"))
+      graft.sources.WarcIO.writeShards(pages.repartition(3), s"$base/warc",
+        dateCol = Some("warc_date"))
+      val idx = graft.sources.CdxIO.index(s, s"$base/warc")
+      graft.sources.CdxIO.writeCdxjShards(idx, s"$base/cdx", shards = 4)
+      graft.sources.CdxIO.readCdxjShards(s, s"$base/cdx")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+          col("urlkey"), col("timestamp"), col("mime"))
+    },
   )
 }

@@ -192,7 +192,10 @@ class WarcReaderFactory extends PartitionReaderFactory {
         true
       }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      // a no-op here leaks the file descriptor when the query abandons
+      // the scan early (a LIMIT, a killed task) — Spark calls close() on
+      // every code path, so thread it to the scanner's stream
+      override def close(): Unit = it.close()
     }
   }
 }

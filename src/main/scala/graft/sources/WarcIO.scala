@@ -47,6 +47,15 @@ object WarcIO {
       content_type: String, content_length: Long, warc_date: String,
       offset: Long, length: Long, payload: Array[Byte], text: String)
 
+  /** Diagnostic counters for descriptor hygiene: sequential-scan streams
+    * and random-access channels opened/closed. A reader abandoning an
+    * iterator early (a LIMIT, a killed task) must still release its
+    * descriptor — specs assert closed == opened through these.
+    */
+  private[sources] val scanStreamsOpened = new java.util.concurrent.atomic.AtomicLong
+  private[sources] val scanStreamsClosed = new java.util.concurrent.atomic.AtomicLong
+  private[sources] val fetchChannelsOpened = new java.util.concurrent.atomic.AtomicLong
+
   /** Content types whose payload decodes to the `text` column. Anything
     * else (images, application/pdf, octet-stream …) keeps `text` null
     * and routes through `payload` to the codec seam.
@@ -149,7 +158,18 @@ object WarcIO {
     * random access with per-record gzip members; this reader documents
     * the same limitation instead of faking it).
     */
-  private final class RecordScanner(path: String, val in: CountingInputStream) {
+  private final class RecordScanner(path: String, val in: CountingInputStream,
+      counted: Boolean = false) {
+
+    // idempotent close (clean EOF, an abandoning reader and the task-
+    // completion listener may each call it; the descriptor counter must
+    // move exactly once)
+    private var closed = false
+    def close(): Unit = if (!closed) {
+      closed = true
+      if (counted) scanStreamsClosed.incrementAndGet()
+      in.close()
+    }
 
     // line reader over the stream that leaves payload bytes untouched
     private def readLine(): String = {
@@ -182,7 +202,7 @@ object WarcIO {
       var lineStart = in.count
       var line = readLine()
       while (line != null && line.isEmpty) { lineStart = in.count; line = readLine() }
-      if (line == null) { in.close(); return null }
+      if (line == null) { close(); return null }
       val offset = lineStart
       require(line.startsWith("WARC/"),
         s"$path: expected a WARC version line, got: ${line.take(60)}")
@@ -223,20 +243,33 @@ object WarcIO {
       if (path.endsWith(".gz"))
         new java.util.zip.GZIPInputStream(raw, 1 << 16)
       else raw
-    new RecordScanner(path, new CountingInputStream(in))
+    scanStreamsOpened.incrementAndGet()
+    new RecordScanner(path, new CountingInputStream(in), counted = true)
   }
 
-  /** Sequential record iterator over one file (the per-task scan both the
-    * batch reader and the `warc` streaming source run).
+  /** Record iterator over one file that is also Closeable — the contract
+    * the DSv2 reader's close() and an early-abandoning consumer need.
     */
-  private[sources] def recordsOf(path: String): Iterator[WarcRecord] = {
+  private[sources] trait CloseableRecords
+      extends Iterator[WarcRecord] with java.io.Closeable
+
+  /** Sequential record iterator over one file (the per-task scan both the
+    * batch reader and the `warc` streaming source run). The stream closes
+    * at clean EOF; for EARLY abandonment (a LIMIT, a killed task) it also
+    * closes via the registered task-completion listener — and the DSv2
+    * reader threads its close() here, so descriptors never wait for GC.
+    */
+  private[sources] def recordsOf(path: String): CloseableRecords = {
     val scanner = openScanner(path)
-    new Iterator[WarcRecord] {
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => scanner.close()))
+    new CloseableRecords {
       private var nextRec: WarcRecord = scanner.next()
       def hasNext: Boolean = nextRec != null
       def next(): WarcRecord = {
         val r = nextRec; nextRec = scanner.next(); r
       }
+      def close(): Unit = scanner.close()
     }
   }
 
@@ -247,19 +280,33 @@ object WarcIO {
     * produces it), `offset`/`length` are the COMPRESSED member span:
     * one slice read + one member inflated; `length` is then required.
     */
-  private def readSlice(path: String, offset: Long, length: Long): Array[Byte] = {
+  /** One counted channel open — the seam [[graft.sources.CdxIO.fetchRecords]]'
+    * coalesced batch path reuses per (file, partition) instead of paying
+    * an open/close per record (the slab multi-get discipline; reference
+    * analogue SlabReader.java:268-344 sorts and coalesces its point
+    * reads the same way).
+    */
+  private[sources] def openFetchChannel(path: String): java.nio.channels.FileChannel = {
+    fetchChannelsOpened.incrementAndGet()
+    java.nio.channels.FileChannel.open(Paths.get(path))
+  }
+
+  private def readSliceVia(ch: java.nio.channels.FileChannel, path: String,
+      offset: Long, length: Long): Array[Byte] = {
     require(length <= Int.MaxValue, s"$path: member too large ($length)")
-    val ch = java.nio.channels.FileChannel.open(Paths.get(path))
     val buf = java.nio.ByteBuffer.allocate(length.toInt)
-    try {
-      var read = 0
-      while (read < length) {
-        val r = ch.read(buf, offset + read)
-        require(r > 0, s"$path: EOF reading member at $offset+$read")
-        read += r
-      }
-    } finally ch.close()
+    var read = 0
+    while (read < length) {
+      val r = ch.read(buf, offset + read)
+      require(r > 0, s"$path: EOF reading member at $offset+$read")
+      read += r
+    }
     buf.array()
+  }
+
+  private def readSlice(path: String, offset: Long, length: Long): Array[Byte] = {
+    val ch = openFetchChannel(path)
+    try readSliceVia(ch, path, offset, length) finally ch.close()
   }
 
   /** Parse one gzip member's record; `expectSingle` guards the index
@@ -267,9 +314,14 @@ object WarcIO {
     * per-record framed — indexing it would silently drop records).
     */
   private def parseMember(path: String, offset: Long, length: Long,
-      expectSingle: Boolean): WarcRecord = {
+      expectSingle: Boolean): WarcRecord =
+    parseMemberBytes(path, readSlice(path, offset, length), offset, length,
+      expectSingle)
+
+  private def parseMemberBytes(path: String, bytes: Array[Byte], offset: Long,
+      length: Long, expectSingle: Boolean): WarcRecord = {
     val member = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(readSlice(path, offset, length)), 1 << 16)
+      new java.io.ByteArrayInputStream(bytes), 1 << 16)
     try {
       val scanner = new RecordScanner(path, new CountingInputStream(member))
       val rec = scanner.next()
@@ -281,6 +333,29 @@ object WarcIO {
             "WarcIO.write (which emits one member per record) to index it")
       rec.copy(offset = offset, length = length)
     } finally member.close() // release the Inflater promptly (one per fetch)
+  }
+
+  /** Random access through an ALREADY-OPEN channel — the coalesced batch
+    * form: `length` is required (the CDX index carries it for both
+    * `.warc` record spans and `.warc.gz` member spans), so every fetch is
+    * exactly one ranged read + one parse, and the caller amortizes the
+    * channel open over all of a file's fetches in its partition.
+    */
+  private[sources] def fetchRecordVia(ch: java.nio.channels.FileChannel,
+      path: String, offset: Long, length: Long): WarcRecord = {
+    require(length > 0,
+      s"fetchRecordVia needs the record/member byte length from the index: " +
+        s"$path @ $offset")
+    val bytes = readSliceVia(ch, path, offset, length)
+    if (path.endsWith(".gz"))
+      parseMemberBytes(path, bytes, offset, length, expectSingle = false)
+    else {
+      val scanner = new RecordScanner(path,
+        new CountingInputStream(new java.io.ByteArrayInputStream(bytes)))
+      val rec = scanner.next()
+      require(rec != null, s"$path: no record at offset $offset")
+      rec.copy(offset = offset, length = rec.length)
+    }
   }
 
   def fetchRecord(path: String, offset: Long, length: Long = -1L): WarcRecord = {
@@ -363,14 +438,38 @@ object WarcIO {
 
   private val DefaultContentType = "text/html; charset=utf-8"
 
+  /** Default WARC-Date when the caller supplies none: the epoch, the
+    * honest "no capture time known" value (ISO 28500 REQUIRES the header;
+    * CDX timestamps then read 19700101000000 instead of a zero-pad).
+    */
+  private[sources] val EpochDate = "1970-01-01T00:00:00Z"
+
+  /** Mandatory-per-ISO-28500 record headers: WARC-Record-ID (urn:uuid —
+    * NAME-BASED from url+date+payload, so a rewritten corpus is
+    * byte-reproducible; RFC 4122 v3 semantics) and WARC-Date.
+    */
+  private def mandatoryHeaders(url: String, date: String,
+      body: Array[Byte]): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+    digest.update(url.getBytes(StandardCharsets.UTF_8))
+    digest.update(0.toByte)
+    digest.update(date.getBytes(StandardCharsets.UTF_8))
+    digest.update(0.toByte)
+    digest.update(body)
+    val id = java.util.UUID.nameUUIDFromBytes(digest.digest())
+    s"WARC-Record-ID: <urn:uuid:$id>\r\nWARC-Date: $date\r\n"
+  }
+
   /** One `response` record with a minimal HTTP 200 envelope. */
   private def writeRecord(out: java.io.OutputStream, url: String,
-      contentType: String, body: Array[Byte]): Unit = {
+      contentType: String, body: Array[Byte],
+      date: String = EpochDate): Unit = {
     val ct = Option(contentType).filter(_.nonEmpty).getOrElse(DefaultContentType)
     val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes(StandardCharsets.UTF_8)
     val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
       s"WARC-Target-URI: $url\r\n" +
+      mandatoryHeaders(url, date, body) +
       s"Content-Type: application/http; msgtype=response\r\n" +
       s"Content-Length: ${http.length + body.length}\r\n\r\n")
       .getBytes(StandardCharsets.UTF_8)
@@ -383,10 +482,11 @@ object WarcIO {
     * response record; what Common Crawl's .wet files carry).
     */
   private def writeConversionRecord(out: java.io.OutputStream, url: String,
-      text: String): Unit = {
+      text: String, date: String = EpochDate): Unit = {
     val body = Option(text).getOrElse("").getBytes(StandardCharsets.UTF_8)
     val head = (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
       s"WARC-Target-URI: $url\r\n" +
+      mandatoryHeaders(url, date, body) +
       s"Content-Type: text/plain; charset=utf-8\r\n" +
       s"Content-Length: ${body.length}\r\n\r\n")
       .getBytes(StandardCharsets.UTF_8)
@@ -436,8 +536,11 @@ object WarcIO {
     */
   def write(df: DataFrame, path: String,
       urlCol: String = "url", payloadCol: String = "payload",
-      contentTypeCol: Option[String] = None): Long = {
-    val cols = Seq(col(urlCol), col(payloadCol)) ++ contentTypeCol.map(col)
+      contentTypeCol: Option[String] = None,
+      dateCol: Option[String] = None): Long = {
+    val cols = Seq(col(urlCol), col(payloadCol)) ++ contentTypeCol.map(col) ++
+      dateCol.map(col)
+    val dateIdx = 2 + (if (contentTypeCol.isDefined) 1 else 0)
     val it = df.select(cols: _*).toLocalIterator()
     val gz = path.endsWith(".gz")
     val out = new java.io.BufferedOutputStream(
@@ -448,7 +551,8 @@ object WarcIO {
         val r = it.next()
         emitRecord(out, gz)(writeRecord(_, r.getString(0),
           if (contentTypeCol.isDefined) r.getString(2) else null,
-          payloadBytes(r, 1)))
+          payloadBytes(r, 1),
+          if (dateCol.isDefined) r.getString(dateIdx) else EpochDate))
         n += 1
       }
     } finally out.close()
@@ -461,8 +565,10 @@ object WarcIO {
     * per-record-member conventions as [[write]].
     */
   def writeWet(df: DataFrame, path: String,
-      urlCol: String = "url", textCol: String = "text"): Long = {
-    val it = df.select(col(urlCol), col(textCol)).toLocalIterator()
+      urlCol: String = "url", textCol: String = "text",
+      dateCol: Option[String] = None): Long = {
+    val cols = Seq(col(urlCol), col(textCol)) ++ dateCol.map(col)
+    val it = df.select(cols: _*).toLocalIterator()
     val gz = path.endsWith(".gz")
     val out = new java.io.BufferedOutputStream(
       Files.newOutputStream(Paths.get(path)), 1 << 16)
@@ -470,11 +576,51 @@ object WarcIO {
     try {
       while (it.hasNext) {
         val r = it.next()
-        emitRecord(out, gz)(writeConversionRecord(_, r.getString(0), r.getString(1)))
+        emitRecord(out, gz)(writeConversionRecord(_, r.getString(0),
+          r.getString(1),
+          if (dateCol.isDefined) r.getString(2) else EpochDate))
         n += 1
       }
     } finally out.close()
     n
+  }
+
+  /** Distributed WET writer: one `part-NNNNN.wet.warc[.gz]` shard PER
+    * PARTITION (the [[writeShards]] convention applied to conversion
+    * records — a full-crawl WET is corpus-sized and must never funnel
+    * through the driver). Same shared-filesystem precondition; receipt =
+    * (shard, records), one row per non-empty partition, collected so the
+    * write is eager and failures surface here.
+    */
+  def writeWetShards(df: DataFrame, dir: String,
+      urlCol: String = "url", textCol: String = "text",
+      dateCol: Option[String] = None, gzip: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Files.createDirectories(Paths.get(dir))
+    val cols = Seq(col(urlCol), col(textCol)) ++ dateCol.map(col)
+    val hasDate = dateCol.isDefined
+    val shards = df.select(cols: _*).rdd
+      .mapPartitionsWithIndex { (idx, rows) =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val ext = if (gzip) "wet.warc.gz" else "wet.warc"
+          val path = f"$dir/part-$idx%05d.$ext"
+          val out = new java.io.BufferedOutputStream(
+            Files.newOutputStream(Paths.get(path)), 1 << 16)
+          var n = 0L
+          try {
+            rows.foreach { r =>
+              emitRecord(out, gzip)(writeConversionRecord(_, r.getString(0),
+                r.getString(1), if (hasDate) r.getString(2) else EpochDate))
+              n += 1
+            }
+          } finally out.close()
+          Iterator((path, n))
+        }
+      }
+      .collect()
+    shards.toSeq.toDF("shard", "records")
   }
 
   /** Distributed writer: one WARC shard file PER PARTITION (exactly how
@@ -487,12 +633,16 @@ object WarcIO {
     */
   def writeShards(df: DataFrame, dir: String,
       urlCol: String = "url", payloadCol: String = "payload",
-      contentTypeCol: Option[String] = None, gzip: Boolean = false): DataFrame = {
+      contentTypeCol: Option[String] = None, gzip: Boolean = false,
+      dateCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     Files.createDirectories(Paths.get(dir))
-    val cols = Seq(col(urlCol), col(payloadCol)) ++ contentTypeCol.map(col)
+    val cols = Seq(col(urlCol), col(payloadCol)) ++ contentTypeCol.map(col) ++
+      dateCol.map(col)
     val hasCt = contentTypeCol.isDefined
+    val dateIdx = 2 + (if (hasCt) 1 else 0)
+    val hasDate = dateCol.isDefined
     val shards = df.select(cols: _*).rdd
       .mapPartitionsWithIndex { (idx, rows) =>
         if (!rows.hasNext) Iterator.empty
@@ -505,7 +655,8 @@ object WarcIO {
           try {
             rows.foreach { r =>
               emitRecord(out, gzip)(writeRecord(_, r.getString(0),
-                if (hasCt) r.getString(2) else null, payloadBytes(r, 1)))
+                if (hasCt) r.getString(2) else null, payloadBytes(r, 1),
+                if (hasDate) r.getString(dateIdx) else EpochDate))
               n += 1
             }
           } finally out.close()

@@ -1606,6 +1606,50 @@ class CliSpec extends SparkSpec {
     assert(wave.map(_.getInt(1)).sorted.reverse.toSeq == Seq(17, 16, 15, 14, 13))
   }
 
+  test("media-probe names compressed containers without decoding") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cli-probe").toString
+    Seq(
+      (1L, graft.operators.MediaCodecs.encodeMp3Silence(25, 128)),
+      (2L, graft.operators.MediaCodecs.encodeMp4Stub(4200, 320, 240)),
+      (3L, "junk".getBytes("UTF-8")))
+      .toDF("media_id", "bytes").write.parquet(s"$d/media.parquet")
+    val got = Main.run(spark, Seq("media-probe", "--input", s"$d/media.parquet"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(1) == "mp3" && got(1L).getInt(6) == 128)
+    assert(got(2L).getString(1) == "mp4" && got(2L).getLong(3) == 4200)
+    assert(got(3L).isNullAt(1))
+  }
+
+  test("cdx-index --shards and wet-export --shards write the scale layouts") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cli-shards").toString
+    (0 until 30).map(i => (s"http://h${i % 5}.test/p/$i", s"Body text $i."))
+      .toDF("url", "text").write.parquet(s"$d/texts.parquet")
+    val wetReceipt = Main.run(spark, Seq("wet-export", "--input",
+      s"$d/texts.parquet", "--output", s"$d/wet", "--shards", "3")).collect()
+    assert(wetReceipt.length == 3 && wetReceipt.map(_.getLong(1)).sum == 30)
+    val cdxReceipt = Main.run(spark, Seq("cdx-index", "--input", s"$d/wet",
+      "--output", s"$d/cdx", "--shards", "3")).collect()
+    assert(cdxReceipt.map(_.getLong(1)).sum == 30)
+    assert(Files.exists(java.nio.file.Paths.get(s"$d/cdx/cluster.idx")))
+    assert(graft.sources.CdxIO.readCdxjShards(spark, s"$d/cdx").count() == 30)
+  }
+
+  test("frontier --delays converts crawl-delay rates into per-wave budgets") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cli-fdelay").toString
+    (0 until 10).map(i => (s"http://slow.test/$i", 100 - i))
+      .toDF("url", "score").write.parquet(s"$d/cand.parquet")
+    Seq.empty[String].toDF("url").write.parquet(s"$d/seen.parquet")
+    Seq(("slow.test", 3.0)).toDF("host", "crawl_delay")
+      .write.parquet(s"$d/delays.parquet")
+    val wave = Main.run(spark, Seq("frontier", "--candidates", s"$d/cand.parquet",
+      "--seen", s"$d/seen.parquet", "--per-host", "9", "--total", "9",
+      "--delays", s"$d/delays.parquet", "--wave-seconds", "6")).collect()
+    assert(wave.length == 2, s"floor(6s / 3s delay) = 2 fetches, got ${wave.length}")
+  }
+
   test("unknown command fails with usage") {
     val e = intercept[IllegalArgumentException](Main.run(spark, Seq("frobnicate")))
     assert(e.getMessage.contains("usage"))

@@ -130,4 +130,56 @@ class CdxSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("compressed length"))
   }
+
+  test("surtKey: port strip is scheme-aware; spaces percent-encode") {
+    // stripping :443 off an http URL would collide it with https://host —
+    // only the scheme's OWN default port drops
+    assert(CdxIO.surtKey("http://host.org:443/x") == "org,host:443)/x")
+    assert(CdxIO.surtKey("https://host.org:80/x") == "org,host:80)/x")
+    assert(CdxIO.surtKey("http://host.org:80/x") == "org,host)/x")
+    assert(CdxIO.surtKey("https://host.org:443/x") == "org,host)/x")
+    // a literal space would truncate the space-delimited CDXJ line on
+    // read-back (urlkey cut, every field shifted) — encode, loudly not
+    assert(CdxIO.surtKey("http://host.org/a b/c") == "org,host)/a%20b/c")
+    // and the round trip through the text format survives such a key
+    val d = Files.createTempDirectory("graft-cdxsp").toString
+    WarcIO.write(Seq(("http://host.org/a b/c", "<p>spaced</p>"))
+      .toDF("url", "payload"), s"$d/sp.warc")
+    val idx = CdxIO.index(spark, s"$d/sp.warc")
+    CdxIO.writeCdxj(idx, s"$d/sp.cdxj")
+    val back = CdxIO.readCdxj(spark, s"$d/sp.cdxj")
+      .select("urlkey", "url", "mime").collect()
+    assert(back.length == 1)
+    assert(back.head.getString(0) == "org,host)/a%20b/c")
+    assert(back.head.getString(1) == "http://host.org/a b/c",
+      "the json field still carries the original url")
+    assert(back.head.getString(2) == "text/html")
+  }
+
+  test("fetchRecords coalesces: ONE channel per file per partition, " +
+      "records still byte-exact") {
+    // two shards, interleaved request order — the partition-local sort
+    // must group by file so each file opens exactly once
+    val d = Files.createTempDirectory("graft-cdxco").toString
+    def mk(tag: String, n: Int) = {
+      val rows = (0 until n).map(i =>
+        (s"http://$tag.example.com/page/$i",
+          s"<html><body><p>Coalesced $tag page $i body text.</p></body></html>"))
+      WarcIO.write(rows.toDF("url", "payload"), s"$d/$tag.warc")
+    }
+    mk("aa", 12); mk("bb", 12)
+    val idx = CdxIO.index(spark, d)
+    // shuffle request order, single partition: the worst case for a
+    // per-record opener (alternating files), the trivial case for the
+    // sorted+coalesced one
+    val requests = idx.orderBy(rand(7)).coalesce(1)
+    val opened0 = WarcIO.fetchChannelsOpened.get()
+    val got = CdxIO.fetchRecords(requests).select("url", "text").collect()
+    val opened = WarcIO.fetchChannelsOpened.get() - opened0
+    assert(got.length == 24)
+    assert(opened == 2, s"2 files, 1 partition -> 2 channel opens, got $opened")
+    val want = WarcIO.read(spark, d).select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    got.foreach(r => assert(want(r.getString(0)) == r.getString(1)))
+  }
 }

@@ -193,4 +193,61 @@ class WarcSpec extends SparkSpec {
     assert(e.getMessage.contains("EOF inside") ||
       Option(e.getCause).exists(_.getMessage.contains("EOF inside")))
   }
+
+  test("ISO 28500 conformance: every written record carries WARC-Record-ID " +
+      "and WARC-Date; CDX timestamps stop degrading to zero") {
+    val d = Files.createTempDirectory("graft-warchdr").toString
+    val df = Seq(
+      ("http://example.com/h/1", "<p>one</p>", "2026-08-16T12:34:56Z"),
+      ("http://example.com/h/2", "<p>two</p>", "2026-08-16T12:34:57Z"))
+      .toDF("url", "payload", "warc_date")
+    WarcIO.write(df, s"$d/h.warc", dateCol = Some("warc_date"))
+    val raw = new String(Files.readAllBytes(Paths.get(s"$d/h.warc")),
+      StandardCharsets.UTF_8)
+    assert(raw.split("WARC/1.0").count(_.contains("WARC-Record-ID: <urn:uuid:")) == 2,
+      "every record needs a WARC-Record-ID")
+    assert(raw.contains("WARC-Date: 2026-08-16T12:34:56Z"))
+    // record ids are name-based: distinct per record, stable per rewrite
+    val ids = "urn:uuid:([0-9a-f-]+)".r.findAllMatchIn(raw).map(_.group(1)).toSeq
+    assert(ids.length == 2 && ids.distinct.length == 2)
+    WarcIO.write(df, s"$d/h2.warc", dateCol = Some("warc_date"))
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(s"$d/h.warc")),
+      Files.readAllBytes(Paths.get(s"$d/h2.warc"))),
+      "a rewritten corpus must be byte-reproducible (name-based ids)")
+    // the reader surfaces the date; the CDX timestamp is its digit form
+    val back = WarcIO.read(spark, s"$d/h.warc")
+      .select("url", "warc_date").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back("http://example.com/h/1") == "2026-08-16T12:34:56Z")
+    val ts = CdxIO.index(spark, s"$d/h.warc")
+      .select("timestamp").collect().map(_.getString(0)).toSet
+    assert(ts == Set("20260816123456", "20260816123457"), ts.toString)
+    // default (no dateCol): the epoch, not an absent header
+    WarcIO.write(df, s"$d/e.warc")
+    val eTs = CdxIO.index(spark, s"$d/e.warc")
+      .select("timestamp").collect().map(_.getString(0)).toSet
+    assert(eTs == Set("19700101000000"), eTs.toString)
+  }
+
+  test("descriptor hygiene: a LIMIT over the DSv2 scan closes the stream " +
+      "(close() threads through; no FD waits for GC)") {
+    val d = Files.createTempDirectory("graft-warcfd").toString
+    WarcIO.write(rows(50, "fd").toDF("url", "payload"), s"$d/fd.warc")
+    val opened0 = WarcIO.scanStreamsOpened.get()
+    val closed0 = WarcIO.scanStreamsClosed.get()
+    // LIMIT 1 abandons the iterator after the first record — well before
+    // clean EOF would close the stream
+    val one = spark.read.format("warc").load(s"$d/fd.warc").limit(1).collect()
+    assert(one.length == 1)
+    val opened = WarcIO.scanStreamsOpened.get() - opened0
+    val closed = WarcIO.scanStreamsClosed.get() - closed0
+    assert(opened >= 1, "the scan opened at least one stream")
+    assert(closed == opened,
+      s"every opened stream must close at task end: opened=$opened closed=$closed")
+    // the plain iterator path (rdd flatMap) stays clean at EOF too
+    WarcIO.read(spark, s"$d/fd.warc").count()
+    assert(WarcIO.scanStreamsOpened.get() - opened0 ==
+      WarcIO.scanStreamsClosed.get() - closed0)
+  }
 }
