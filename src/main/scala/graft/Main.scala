@@ -199,7 +199,8 @@ object Main {
           case "exact"   => operators.Dedup.exactGroups(docs, idC, txtC)
             .filter(col("multiplicity") > 1)
           case "minhash" => operators.Dedup.minhashLshPairs(docs, idC, txtC,
-            threshold = flags.getOrElse("threshold", "0.8").toDouble)
+            threshold = flags.getOrElse("threshold", "0.8").toDouble,
+            bucketCap = flags.getOrElse("bucket-cap", "0").toInt)
           case "jaccard" =>
             val threshold = flags.getOrElse("threshold", "0.5").toDouble
             val dfCap = flags.getOrElse("df-cap", "0").toInt
@@ -215,7 +216,8 @@ object Main {
             } else operators.Dedup.ngramJaccardPairs(docs, idC, txtC,
               threshold = threshold)
           case "simhash" => operators.Dedup.simhashNearDupPairs(
-            operators.Dedup.simhash(docs, idC, txtC, mode = hashMode))
+            operators.Dedup.simhash(docs, idC, txtC, mode = hashMode),
+            bucketCap = flags.getOrElse("bucket-cap", "0").toInt)
           case m => throw new IllegalArgumentException(
             s"unknown dedup method: $m (exact|minhash|jaccard|simhash)\n$usage")
         }
@@ -1527,6 +1529,16 @@ object Main {
           .getOrElse(cdxAll)
         sources.CdxIO.fetchRecords(cdxSel).drop("payload")
 
+      case "cdx-lookup" =>
+        // shard-pruned point reads: probe cluster.idx, read only covering
+        // shards, filter to the keys; --fetch chases the hits into the
+        // WARC via coalesced byte-range reads
+        val hits = sources.CdxIO.lookupKeys(spark, need("dir"),
+          need("urlkeys").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        if (flags.contains("fetch"))
+          sources.CdxIO.fetchRecords(hits).drop("payload")
+        else hits
+
       case "media-probe" =>
         // container-metadata probe: MP3 frame-header walk / MP4 box walk
         // (header-only — decode stays stubbed) + WAV/PPM/BMP; null
@@ -1697,7 +1709,7 @@ object Main {
       |  slab-analyze --slab DIR
       |  slab-delete --slab DIR --ns NS --ordinals O1,O2,...
       |  slab-compact --slab DIR --ns NS
-      |  dedup --input PARQUET [--method exact|minhash|jaccard|simhash] [--threshold T] [--df-cap N]
+      |  dedup --input PARQUET [--method exact|minhash|jaccard|simhash] [--threshold T] [--df-cap N] [--bucket-cap N]
       |  lsh-calibrate --input PARQUET --configs BxR,BxR,... [--perms N] [--n N] [--buckets N] [--hash md5|xx64] [--id-col C] [--text-col C]
       |  shard --input PARQUET [--shards N] [--to M] [--jump] [--hash md5|xx64] [--id-col C]
       |  linededup --input PARQUET [--id-col C] [--text-col C] [--delim D]
@@ -1794,6 +1806,7 @@ object Main {
       |  cdx-index --input WARC|DIR [--output CDXJ|DIR [--shards N]]
       |  media-probe --input PARQUET [--id-col C] [--payload-col C]
       |  cdx-fetch --index CDXJ [--urlkey-prefix P]
+      |  cdx-lookup --dir CDXDIR --urlkeys K1,K2,... [--fetch]
       |  hnsw-maintain --bundle DIR [--tombstone PARQUET] [--compact] [--id-col C] [--m N] [--ef-construction N] [--metric M]
       |  merkle create --file PATH [--output PARQUET] | merkle verify --file PATH --reference PARQUET | merkle diff --a PATH --b PATH
       |  jjq '<expr>' FILE   (or --expr E --input FILE; one JSON doc per line)

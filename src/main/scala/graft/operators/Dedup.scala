@@ -340,10 +340,19 @@ object Dedup {
     * and both rehydration joins; callers doing repeated passes should
     * persist [[hashedShingleSets]] themselves and unpersist after
     * materializing (the CLI dedup subcommand's pattern).
+    *
+    * `bucketCap > 0` adds the hot-bucket skew guard every banded family
+    * carries (dfCap / [[simhashNearDupPairs]] contract): a (band, bucket)
+    * key holding more than `bucketCap` docs — EXACT duplicates and
+    * boilerplate clusters collide on every band — is dropped from
+    * candidate generation, whose cost is per-bucket quadratic. Run exact
+    * dedup first; a pair is missed only when ALL its collision buckets
+    * are over-cap, i.e. it sits inside a mass-duplicate cluster.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.8, seed: Long = 42L,
+      bucketCap: Int = 0): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val r = numPerms / bands
     val spark = docs.sparkSession
@@ -354,11 +363,17 @@ object Dedup {
       .map { case (id, hs) => (id, signatureKernel(hs, params)) }
       .toDF("id", "sig")
 
-    val banded = sigs.select(col("id"),
+    val banded0 = sigs.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bucket"))))
           .as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val banded = if (bucketCap > 0)
+      banded0.join(banded0.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("n")).filter(col("n") > bucketCap)
+          .select("band", "bucket"),
+        Seq("band", "bucket"), "left_anti")
+    else banded0
 
     val idPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -420,13 +435,23 @@ object Dedup {
     */
   def minhashLshPairsIncremental(oldIndex: DataFrame, newIndex: DataFrame,
       numPerms: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, bucketCap: Int = 0): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val r = numPerms / bands
     val bOld = bandBuckets(oldIndex, bands, r).withColumn("is_new", lit(false))
-    val bNew = bandBuckets(newIndex, bands, r).withColumn("is_new", lit(true))
+    val bNew0 = bandBuckets(newIndex, bands, r).withColumn("is_new", lit(true))
+    // hot-bucket guard over the WHOLE corpus (old ∪ new): a mass-duplicate
+    // bucket costs |new ∩ bucket| × |bucket| per batch — the same
+    // per-bucket quadratic the batch form caps ([[minhashLshPairs]])
+    val all0 = bOld.unionByName(bNew0)
+    val (bNew, all) = if (bucketCap > 0) {
+      val hot = all0.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") > bucketCap).select("band", "bucket")
+      (bNew0.join(hot, Seq("band", "bucket"), "left_anti"),
+        all0.join(hot, Seq("band", "bucket"), "left_anti"))
+    } else (bNew0, all0)
     val idPairs = bNew.as("a")
-      .join(bOld.unionByName(bNew).as("b"),
+      .join(all.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           // new×new once (a.id < b.id); new×old always from the new side
           (!col("b.is_new") && col("a.id") =!= col("b.id") ||
@@ -780,9 +805,17 @@ object Dedup {
     * digit occupancy (nBits ≈ log2(n) + 2; e.g. 1M rows → 22 bits,
     * compensating recall with more tables). The 8-bit default fits the
     * driver testdata (~500 rows); it is NOT a 1M-row setting.
+    *
+    * `bucketCap > 0` adds the hot-bucket guard (the dfCap contract):
+    * sizing nBits bounds the EXPECTED occupancy, but embedding corpora
+    * are not uniform — exact-duplicate vectors and collapsed/zero
+    * embeddings stack one (tbl, bucket) key arbitrarily high regardless
+    * of nBits. Over-cap buckets drop from candidate generation; run
+    * exact-vector dedup first.
     */
   def embeddingNearDupPairsBucketed(embs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 8, nTables: Int = 8, seed: Long = 42L): DataFrame = {
+      threshold: Double, nBits: Int = 8, nTables: Int = 8, seed: Long = 42L,
+      bucketCap: Int = 0): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
     require(nBits <= 60, "bucket id packs into a long")
@@ -811,7 +844,13 @@ object Dedup {
         (id, t, bucket)
       }
     }.toDF("id", "tbl", "bucket")
-    val candidates = buckets.as("a").join(buckets.as("b"),
+    val capped = if (bucketCap > 0)
+      buckets.join(buckets.groupBy("tbl", "bucket")
+          .agg(count(lit(1)).as("n")).filter(col("n") > bucketCap)
+          .select("tbl", "bucket"),
+        Seq("tbl", "bucket"), "left_anti")
+    else buckets
+    val candidates = capped.as("a").join(capped.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

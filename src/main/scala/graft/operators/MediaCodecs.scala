@@ -313,19 +313,36 @@ object MediaCodecs {
       durationMs: Long, sampleRate: Int, channels: Int, bitrateKbps: Int,
       width: Int, height: Int)
 
-  // MPEG-1 Layer III tables (ISO/IEC 11172-3): bitrate index -> kbps,
-  // samplerate index -> Hz; 1152 samples per frame
+  // MPEG Layer III tables (ISO/IEC 11172-3 / 13818-3): bitrate index ->
+  // kbps per version family, samplerate index -> Hz per version; 1152
+  // samples per frame for MPEG-1, 576 for MPEG-2/2.5 (the low-samplerate
+  // extensions speech corpora actually ship)
   private val Mp3BitrateV1L3 =
     Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
   private val Mp3SampleRateV1 = Array(44100, 48000, 32000)
 
-  /** MPEG-1 Layer III metadata by frame-header walk: skips a leading
-    * ID3v2 tag (synchsafe size), then counts syncword frames — duration
-    * is frames × 1152 / samplerate (exact for CBR and VBR alike, unlike
-    * the filesize/bitrate estimate), bitrate is the FIRST frame's (the
-    * nominal rate for CBR). Trailing garbage stops the walk without
-    * throwing: the probe reports the frames it verified. None when no
-    * valid first frame exists.
+  /** Samplerate for (version bits, samplerate index): V1 base rates, V2
+    * halves them, V2.5 quarters them.
+    */
+  private def mp3Rate(verBits: Int, sIdx: Int): Int = {
+    val base = Mp3SampleRateV1(sIdx)
+    verBits match {
+      case 3 => base       // MPEG-1
+      case 2 => base / 2   // MPEG-2
+      case _ => base / 4   // MPEG-2.5
+    }
+  }
+
+  /** MPEG-1/2/2.5 Layer III metadata by frame-header walk: skips a
+    * leading ID3v2 tag (synchsafe size), then counts syncword frames —
+    * duration accumulates samples-per-frame / samplerate per FRAME
+    * (exact for CBR and VBR alike, unlike the filesize/bitrate
+    * estimate); bitrate/rate/channels are the FIRST frame's (the nominal
+    * values for CBR). Trailing garbage stops the walk without throwing:
+    * the probe reports the frames it verified. None when no valid first
+    * frame exists.
     */
   def probeMp3(payload: Array[Byte]): Option[MediaInfo] = {
     if (payload == null || payload.length < 4) return None
@@ -337,6 +354,7 @@ object MediaCodecs {
       pos = 10 + size
     }
     var frames = 0L
+    var durationUs = 0L
     var firstBitrate = 0
     var rate = 0
     var channels = 0
@@ -346,50 +364,67 @@ object MediaCodecs {
       val b2 = payload(pos + 1) & 0xff
       val b3 = payload(pos + 2) & 0xff
       val b4 = payload(pos + 3) & 0xff
-      // 11-bit sync + MPEG1 (version bits 11) + Layer III (layer bits 01)
-      if (b1 != 0xff || (b2 & 0xfe) != 0xfa) done = true
+      val verBits = (b2 >> 3) & 0x3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+      val layerBits = (b2 >> 1) & 0x3 // 1=Layer III
+      // 11-bit sync (incl. the 2.5 extension bit) + valid version + L3
+      if (b1 != 0xff || (b2 & 0xe0) != 0xe0 || verBits == 1 || layerBits != 1)
+        done = true
       else {
         val bIdx = (b3 >> 4) & 0xf
         val sIdx = (b3 >> 2) & 0x3
         val pad = (b3 >> 1) & 1
         if (bIdx == 0 || bIdx == 15 || sIdx == 3) done = true
         else {
-          val bitrate = Mp3BitrateV1L3(bIdx)
-          val sr = Mp3SampleRateV1(sIdx)
-          val frameLen = 144 * bitrate * 1000 / sr + pad
+          val v1 = verBits == 3
+          val bitrate = if (v1) Mp3BitrateV1L3(bIdx) else Mp3BitrateV2L3(bIdx)
+          val sr = mp3Rate(verBits, sIdx)
+          val samples = if (v1) 1152 else 576
+          val frameLen = samples / 8 * bitrate * 1000 / sr + pad
           if (frames == 0) {
             firstBitrate = bitrate
             rate = sr
             channels = if (((b4 >> 6) & 3) == 3) 1 else 2
           }
           frames += 1
+          durationUs += samples.toLong * 1000000L / sr
           pos += frameLen
         }
       }
     }
     if (frames == 0) None
-    else Some(MediaInfo("mp3", "mp3", frames * 1152L * 1000L / rate,
+    else Some(MediaInfo("mp3", "mp3", durationUs / 1000L,
       rate, channels, firstBitrate, 0, 0))
   }
 
-  /** Synthesize a silent CBR MPEG-1 Layer III stream (valid headers,
-    * zeroed payload) — the deterministic fixture the probe oracle
-    * replays. `bitrateKbps` must be a V1L3 table rate.
+  /** Synthesize a silent CBR Layer III stream (valid headers, zeroed
+    * payload) — the deterministic fixture the probe oracle replays.
+    * `version` 1 (default), 2, or 25 (MPEG-2.5); `bitrateKbps` must be in
+    * the version's table and `sampleRate` in its row.
     */
   def encodeMp3Silence(nFrames: Int, bitrateKbps: Int,
-      sampleRate: Int = 44100, channels: Int = 2): Array[Byte] = {
-    val bIdx = Mp3BitrateV1L3.indexOf(bitrateKbps)
-    val sIdx = Mp3SampleRateV1.indexOf(sampleRate)
-    require(bIdx > 0, s"not a V1L3 bitrate: $bitrateKbps")
-    require(sIdx >= 0, s"not a V1 sample rate: $sampleRate")
+      sampleRate: Int = 44100, channels: Int = 2,
+      version: Int = 1): Array[Byte] = {
+    val verBits = version match {
+      case 1 => 3
+      case 2 => 2
+      case 25 => 0
+      case v => throw new IllegalArgumentException(s"mp3 version: $v")
+    }
+    val table = if (version == 1) Mp3BitrateV1L3 else Mp3BitrateV2L3
+    val bIdx = table.indexOf(bitrateKbps)
+    val sIdx = (0 until 3).find(i => mp3Rate(verBits, i) == sampleRate)
+      .getOrElse(-1)
+    require(bIdx > 0, s"not a V${version}L3 bitrate: $bitrateKbps")
+    require(sIdx >= 0, s"not a V$version sample rate: $sampleRate")
     require(nFrames > 0, s"need at least one frame, got $nFrames")
-    val frameLen = 144 * bitrateKbps * 1000 / sampleRate // no padding bit
+    val samples = if (version == 1) 1152 else 576
+    val frameLen = samples / 8 * bitrateKbps * 1000 / sampleRate // no padding
     val out = new Array[Byte](nFrames * frameLen)
     var f = 0
     while (f < nFrames) {
       val p = f * frameLen
       out(p) = 0xff.toByte
-      out(p + 1) = 0xfb.toByte // MPEG1, Layer III, no CRC
+      out(p + 1) = (0xe0 | (verBits << 3) | 0x02 | 0x01).toByte // L3, no CRC
       out(p + 2) = ((bIdx << 4) | (sIdx << 2)).toByte
       out(p + 3) = (if (channels == 1) 0xc0 else 0x00).toByte
       f += 1
@@ -513,7 +548,8 @@ object MediaCodecs {
     val p0 = payload(0) & 0xff
     val p1 = payload(1) & 0xff
     if (p0 == 'I' && p1 == 'D' && (payload(2) & 0xff) == '3') probeMp3(payload)
-    else if (p0 == 0xff && ((p1 & 0xfe) == 0xfa)) probeMp3(payload)
+    else if (p0 == 0xff && (p1 & 0xe0) == 0xe0 &&
+      ((p1 >> 1) & 3) == 1 && ((p1 >> 3) & 3) != 1) probeMp3(payload)
     else if (payload.length >= 12 &&
       new String(payload, 4, 4, US_ASCII) == "ftyp") probeMp4(payload)
     else if (p0 == 'R' && payload.length >= 12 &&

@@ -489,6 +489,24 @@ object Multimodal {
         col("_p._7").as("width"), col("_p._8").as("height"))
   }
 
+  /** Per-container describe card over [[mediaProbe]] output: one row per
+    * container (null = unprobeable/quarantine) with counts, total/max
+    * duration and max dimensions — the first look a multimodal corpus
+    * gets at 100 TB, covering COMPRESSED assets via the header-only
+    * probes. One per-row map + one small aggregation; the payload bytes
+    * never cross an exchange (only the probe's fixed-width fields do).
+    */
+  def mediaCard(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "bytes"): DataFrame =
+    mediaProbe(media, idCol, payloadCol)
+      .groupBy("container")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("codec")).as("n_codecs"),
+        sum(col("duration_ms")).as("total_duration_ms"),
+        max(col("duration_ms")).as("max_duration_ms"),
+        max(col("width")).as("max_width"),
+        max(col("height")).as("max_height"))
+
   /** Synthesize a media table from any (id, text) source — payload = UTF-8
     * bytes, modality round-robins — so the plumbing is exercisable with the
     * driver testdata.

@@ -2475,5 +2475,85 @@ object TextQueries {
           .cast("long").as("doc_id"),
           col("urlkey"), col("timestamp"), col("mime"))
     },
+
+    // Shard-pruned index lookup — the 100 TB point-read path end to end:
+    // a key set (every 10th doc, the takedown-list shape) probes
+    // cluster.idx driver-side, ONLY the covering sorted shards are read,
+    // and the hits chase through the coalesced byte-range fetch into the
+    // WARC — so neither the index nor the corpus is ever scanned.
+    // Extraction equality against the original text proves the whole
+    // chain (surt key arithmetic, cluster ranges, shard filter, offsets).
+    GQuery(
+      "q356_cdx_pruned_lookup",
+      """SELECT doc_id, text FROM documents
+        |WHERE doc_id < 200 AND doc_id % 10 = 0""".stripMargin) { (s, dir) =>
+      val base = s"${tmpDir()}/cdxlkp-${System.nanoTime()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val pages = docs.select(
+        concat(lit("http://corpus.test/doc/"), col("doc_id")).as("url"),
+        concat(
+          lit("<html><head><title>Page</title></head><body><nav>" +
+            "<a href=\"/\">Home</a></nav><p>"),
+          col("text"),
+          lit("</p><footer>(c) corp</footer></body></html>")).as("payload"))
+      graft.sources.WarcIO.writeShards(pages.repartition(3), s"$base/warc")
+      graft.sources.CdxIO.writeCdxjShards(
+        graft.sources.CdxIO.index(s, s"$base/warc"), s"$base/cdx", shards = 5)
+      val keys = (0 until 200 by 10).map(i => s"test,corpus)/doc/$i")
+      val hits = graft.sources.CdxIO.lookupKeys(s, s"$base/cdx", keys)
+      val recs = graft.sources.CdxIO.fetchRecords(hits)
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("text").as("html"))
+      graft.operators.HtmlExtract.extract(recs, "doc_id", "html")
+    },
+
+    // Multimodal describe card over a MIXED corpus (MP3 in both MPEG-1
+    // and MPEG-2 framing, MP4, WAV, and junk that quarantines to the
+    // null-container row): one aggregate over the header-only probes —
+    // the first look a 100 TB media corpus gets, payload bytes never
+    // crossing an exchange. Every aggregate is replayed by the oracle
+    // from the synthesis arithmetic (MP3 duration via the per-frame
+    // floor(samples*1e6/rate) microsecond accumulation, identical for
+    // 1152/44100 and 576/22050).
+    GQuery(
+      "q357_media_card",
+      """WITH m AS (SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp4'
+        |       WHEN 2 THEN 'wav' ELSE NULL END AS container,
+        |  CASE doc_id % 4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp42'
+        |       WHEN 2 THEN 'pcm_s16le' ELSE NULL END AS codec,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN ((20 + doc_id % 10) * 26122) // 1000
+        |    WHEN 1 THEN 1000 + (doc_id * 37) % 9000
+        |    WHEN 2 THEN 100 + (doc_id % 5) * 10
+        |    ELSE NULL END AS duration_ms,
+        |  CASE doc_id % 4 WHEN 1 THEN (160 + (doc_id % 8) * 16)::INT
+        |       WHEN 3 THEN NULL ELSE 0::INT END AS width,
+        |  CASE doc_id % 4 WHEN 1 THEN (96 + (doc_id % 5) * 24)::INT
+        |       WHEN 3 THEN NULL ELSE 0::INT END AS height
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT container, count(*) AS n,
+        |  count(DISTINCT codec) AS n_codecs,
+        |  sum(duration_ms)::BIGINT AS total_duration_ms,
+        |  max(duration_ms)::BIGINT AS max_duration_ms,
+        |  max(width) AS max_width, max(height) AS max_height
+        |FROM m GROUP BY container""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select("doc_id")
+      val mk = udf((id: Long) => ((id % 4) match {
+        case 0 => MediaCodecs.encodeMp3Silence((20 + id % 10).toInt, 128,
+          sampleRate = if (id % 8 == 0) 44100 else 22050,
+          version = if (id % 8 == 0) 1 else 2)
+        case 1 => MediaCodecs.encodeMp4Stub(1000 + (id * 37) % 9000,
+          (160 + (id % 8) * 16).toInt, (96 + (id % 5) * 24).toInt, "mp42")
+        case 2 => MediaCodecs.encodeWav(8000,
+          new Array[Short]((800 + (id % 5) * 80).toInt))
+        case _ => s"just text $id".getBytes("UTF-8")
+      }): Array[Byte])
+      Multimodal.mediaCard(
+        docs.select(col("doc_id"), mk(col("doc_id")).as("bytes")),
+        "doc_id", "bytes")
+    },
   )
 }

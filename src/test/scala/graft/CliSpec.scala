@@ -1567,7 +1567,7 @@ class CliSpec extends SparkSpec {
     val hashes = Main.run(spark, Seq("image-hash", "--input", s"$d/imgs.parquet"))
     assert(hashes.filter(col("dhash").isNotNull).count() == 3)
     val pairs = Main.run(spark, Seq("image-hash", "--input", s"$d/imgs.parquet",
-      "--pairs", "--max-hamming", "6")).collect()
+      "--pairs", "--max-hamming", "6", "--chunks", "8")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 101L)), s"planted twin only: $pairs")
   }
@@ -1583,7 +1583,7 @@ class CliSpec extends SparkSpec {
     val hashes = Main.run(spark, Seq("audio-hash", "--input", s"$d/clips.parquet"))
     assert(hashes.filter(col("ahash").isNotNull).count() == 3)
     val pairs = Main.run(spark, Seq("audio-hash", "--input", s"$d/clips.parquet",
-      "--pairs", "--max-hamming", "6")).collect()
+      "--pairs", "--max-hamming", "6", "--chunks", "8")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 101L)), s"requantized twin only: $pairs")
   }

@@ -159,4 +159,63 @@ class DedupAnnSpec extends SparkSpec {
     assert(oldPairs.intersect(inc).isEmpty, "incremental re-emitted an indexed pair")
     assert(inc.nonEmpty, "vacuous: no pair touches the new batch at sf0.001")
   }
+
+  test("minhashLshPairs bucketCap: a mass-duplicate cluster is excluded " +
+      "from candidate generation; distinct near-dups still pair") {
+    // 300 EXACT copies of one text (every band bucket holds all 300 —
+    // the quadratic-bucket trap: ~45k candidate pairs × 32 bands) plus
+    // one genuine near-dup pair outside the cluster
+    val boiler = (100L until 400L).map(i =>
+      (i, "standard license header text repeated across the whole corpus"))
+    // one-token edit in a 28-token doc -> jaccard ~0.89, caught by
+    // 32x4 banding with p ~ 1 - (1-0.89^4)^32 ~ 1-3e-10 (not flaky)
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one %s"
+    val near = Seq(
+      (1L, base.format("two")),
+      (2L, base.format("three")))
+    val corpus = (boiler ++ near).toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        threshold = 0.5, bucketCap = 50)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)),
+      s"cluster dropped, near pair kept: ${capped.take(5)}")
+    // the exact-dup cluster remains the EXACT pass's job, cap-independent
+    val groups = Dedup.exactGroups(corpus, "doc_id", "text")
+      .filter(col("multiplicity") > 1).collect()
+    assert(groups.length == 1 &&
+      groups.head.getAs[Long]("multiplicity") == 300L)
+    // incremental form honors the same cap over the corpus-wide bucket df
+    val isNew = col("doc_id") >= 390 || col("doc_id") <= 2
+    val oldIdx = Dedup.minhashIndex(corpus.filter(!isNew), "doc_id", "text")
+    val newIdx = Dedup.minhashIndex(corpus.filter(isNew), "doc_id", "text")
+    val inc = Dedup.minhashLshPairsIncremental(oldIdx, newIdx,
+        threshold = 0.5, bucketCap = 50)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == Set((1L, 2L)), s"incremental cap: ${inc.take(5)}")
+  }
+
+  test("embeddingNearDupPairsBucketed bucketCap: stacked identical vectors " +
+      "stop flooding one bucket; distinct near pair survives") {
+    // 200 identical zero-ish vectors collide in ONE bucket of every table
+    // regardless of nBits; a planted near pair sits elsewhere
+    val stack = (100L until 300L).map(i => (i, Array.fill(8)(0.001f)))
+    val near = Seq(
+      (1L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Array(0.99f, 0.05f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    val embs = (stack ++ near).toDF("id", "vec")
+    val capped = Dedup.embeddingNearDupPairsBucketed(embs, "id", "vec",
+        threshold = 0.95, bucketCap = 50)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"stack excluded, near pair kept: ${capped.take(5)}")
+    // uncapped, the stack floods the candidate space (and all verify at
+    // cosine 1.0) — the behavior the cap exists to bound
+    val uncapped = Dedup.embeddingNearDupPairsBucketed(embs, "id", "vec",
+      threshold = 0.95).count()
+    assert(uncapped > 10000, s"uncapped baseline is bucket-quadratic: $uncapped")
+  }
 }

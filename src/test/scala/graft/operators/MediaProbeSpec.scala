@@ -41,6 +41,25 @@ class MediaProbeSpec extends SparkSpec {
     assert(MediaCodecs.probeMp3(Array[Byte](0xff.toByte, 0xfb.toByte)).isEmpty)
   }
 
+  test("probeMp3: MPEG-2 and MPEG-2.5 low-rate framing (576 samples/frame)") {
+    // MPEG-2 @ 22050 Hz: per-frame 576/22050 s = 26122 us
+    val v2 = MediaCodecs.probeMp3(MediaCodecs.encodeMp3Silence(
+      nFrames = 40, bitrateKbps = 64, sampleRate = 22050,
+      channels = 1, version = 2)).get
+    assert(v2.sampleRate == 22050 && v2.channels == 1 && v2.bitrateKbps == 64)
+    assert(v2.durationMs == 40L * (576000000L / 22050) / 1000) // = 1044 ms
+    // MPEG-2.5 @ 8000 Hz (the speech-corpus rate)
+    val v25 = MediaCodecs.probeMp3(MediaCodecs.encodeMp3Silence(
+      nFrames = 40, bitrateKbps = 32, sampleRate = 8000, version = 25)).get
+    assert(v25.sampleRate == 8000)
+    assert(v25.durationMs == 40L * (576000000L / 8000) / 1000) // = 2880 ms
+    // the magic dispatch recognizes the V2/V2.5 sync forms too
+    assert(MediaCodecs.probe(MediaCodecs.encodeMp3Silence(5, 64,
+      sampleRate = 22050, version = 2)).exists(_.container == "mp3"))
+    assert(MediaCodecs.probe(MediaCodecs.encodeMp3Silence(5, 32,
+      sampleRate = 8000, version = 25)).exists(_.container == "mp3"))
+  }
+
   test("probeMp4: ftyp brand, mvhd duration, tkhd 16.16 dims") {
     val mp4 = MediaCodecs.encodeMp4Stub(durationMs = 7321, width = 320,
       height = 240, brand = "mp42")

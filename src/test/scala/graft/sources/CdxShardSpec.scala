@@ -83,6 +83,32 @@ class CdxShardSpec extends SparkSpec {
     assert(CdxIO.probeShards(s"$d/cdx", "aaa)/x").isEmpty)
   }
 
+  test("lookupKeys: only covering shards are READ (inputFiles), hits exact") {
+    val (d, warc) = fixture(90)
+    val idx = CdxIO.index(spark, warc)
+    CdxIO.writeCdxjShards(idx, s"$d/cdx", shards = 5)
+    val all = idx.select("urlkey", "url").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // three keys from (likely) the same region + the full-read baseline
+    val keys = all.keys.toSeq.sorted.take(3)
+    val hits = CdxIO.lookupKeys(spark, s"$d/cdx", keys)
+    val wantShards = keys.flatMap(CdxIO.probeShards(s"$d/cdx", _)).distinct
+    // the plan reads ONLY the covering shards — observable via inputFiles
+    val readFiles = hits.inputFiles.map(_.split('/').last).toSet
+    assert(readFiles == wantShards.toSet,
+      s"pruned read touched $readFiles, cluster.idx said $wantShards")
+    val nShards = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(s"$d/cdx/cluster.idx")), "UTF-8").linesIterator.size
+    assert(wantShards.size < nShards,
+      "vacuous: the key set must not cover every shard")
+    val got = hits.select("urlkey", "url").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == keys.map(k => k -> all(k)).toMap)
+    // keys outside every range return an EMPTY frame with the schema
+    val none = CdxIO.lookupKeys(spark, s"$d/cdx", Seq("zzz,nowhere)/x"))
+    assert(none.columns.toSeq == hits.columns.toSeq && none.count() == 0)
+  }
+
   test("writeWetShards: one conversion-record shard per partition, " +
       "read round-trips, per-record gzip members") {
     val d = Files.createTempDirectory("graft-wetshard").toString
