@@ -1246,6 +1246,24 @@ object ScaleSoak {
           .filter(length(col("text")) > 40).count()
         println(s"[soak] fetched+extracted $n records by index")
       }
+      // the sharded-index layout (Common Crawl form): range-partitioned
+      // sorted gz shards + cluster.idx, then a pruned point lookup —
+      // covering shards only, chased through the coalesced fetch
+      val cdxDir = s"$dir-cdx"
+      timed(s"cdx writeCdxjShards ($nWarc records / 32 shards + cluster.idx)") {
+        sources.CdxIO.writeCdxjShards(warcIdx, cdxDir, shards = 32).count()
+      }
+      timed("cdx shard-pruned lookup of 500 keys + coalesced fetch") {
+        // a lexicographically-contiguous key slice (one takedown batch):
+        // covers O(1) shards of 32 — the pruning, not just the lookup
+        val lo = nWarc / 2
+        val keys = (lo until math.min(nWarc, lo + 500))
+          .map(i => s"test,soak)/doc/$i")
+        val hits = sources.CdxIO.lookupKeys(spark, cdxDir, keys)
+        val n = sources.CdxIO.fetchRecords(hits).count()
+        println(s"[soak] pruned lookup hit $n records " +
+          s"(read ${hits.inputFiles.length} of 32 index shards)")
+      }
       warcIdx.unpersist()
     }
 

@@ -390,10 +390,24 @@ object WarcIO {
     * than one record (a whole-file-gzipped warc is not indexable — the
     * reason the per-record convention exists).
     */
-  private[sources] def memberRecords(path: String): Iterator[WarcRecord] =
-    GzipMembers.spans(path).iterator.map { case (off, len) =>
-      parseMember(path, off, len, expectSingle = true)
+  private[sources] def memberRecords(path: String): Iterator[WarcRecord] = {
+    val spans = GzipMembers.spans(path)
+    if (spans.isEmpty) return Iterator.empty
+    // ONE channel for the whole shard: a 1 GB shard holds ~100k members,
+    // and an open/close per member would dominate the index-build scan
+    // (the same coalescing discipline as CdxIO.fetchRecords)
+    val ch = openFetchChannel(path)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => ch.close()))
+    var remaining = spans.size
+    spans.iterator.map { case (off, len) =>
+      val rec = parseMemberBytes(path, readSliceVia(ch, path, off, len),
+        off, len, expectSingle = true)
+      remaining -= 1
+      if (remaining == 0) ch.close() // eager close at clean exhaustion
+      rec
     }
+  }
 
   /** Read one or more WARC files (a directory lists `*.warc`/`*.warc.gz`)
     * into (file, warc_type, url, content_type, content_length,
