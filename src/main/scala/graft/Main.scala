@@ -1440,16 +1440,39 @@ object Main {
       case "frontier" =>
         // next crawl wave: candidates deduped, minus seen, per-host
         // politeness cap (tightened by --delays crawl-delay rates over
-        // --wave-seconds), global budget (TakeOrdered bounded heap)
-        operators.Frontier.select(
-          spark.read.parquet(need("candidates")),
-          spark.read.parquet(need("seen")),
-          perHost = flags.getOrElse("per-host", "10").toInt,
-          total = flags.getOrElse("total", "1000").toInt,
+        // --wave-seconds), global budget (TakeOrdered bounded heap);
+        // --recrawl-after + --now re-admit stale fetches (seen needs a
+        // fetched_at column then)
+        val frCand = spark.read.parquet(need("candidates"))
+        val frSeen = spark.read.parquet(need("seen"))
+        val frPerHost = flags.getOrElse("per-host", "10").toInt
+        val frTotal = flags.getOrElse("total", "1000").toInt
+        val frUrl = flags.getOrElse("url-col", "url")
+        val frScore = flags.getOrElse("score-col", "score")
+        val frDelays = flags.get("delays").map(spark.read.parquet(_))
+        val frWave = flags.getOrElse("wave-seconds", "0").toDouble
+        flags.get("recrawl-after") match {
+          case Some(after) => operators.Frontier.selectWithRecrawl(
+            frCand, frSeen, frPerHost, frTotal,
+            nowSeconds = need("now").toLong,
+            recrawlAfterSeconds = after.toLong,
+            urlCol = frUrl, scoreCol = frScore,
+            fetchedAtCol = flags.getOrElse("fetched-at-col", "fetched_at"),
+            hostDelays = frDelays, waveSeconds = frWave)
+          case None => operators.Frontier.select(frCand, frSeen,
+            frPerHost, frTotal, frUrl, frScore, frDelays, frWave)
+        }
+
+      case "warc-write-dedup" =>
+        // cross-crawl payload dedup: digest-matched pages persist as
+        // zero-payload revisit records against the prior crawl's index
+        val prevIdx = sources.CdxIO.readCdxj(spark, need("prev-index"))
+        sources.WarcIO.writeShardsWithRevisits(
+          spark.read.parquet(need("input")), need("output"), prevIdx,
           urlCol = flags.getOrElse("url-col", "url"),
-          scoreCol = flags.getOrElse("score-col", "score"),
-          hostDelays = flags.get("delays").map(spark.read.parquet(_)),
-          waveSeconds = flags.getOrElse("wave-seconds", "0").toDouble)
+          payloadCol = flags.getOrElse("payload-col", "payload"),
+          contentTypeCol = flags.get("content-type-col"),
+          gzip = flags.contains("gzip"))
 
       case "audio-hash" =>
         // energy-delta fingerprint per WAV clip (null = undecodable or
@@ -1801,7 +1824,8 @@ object Main {
       |  sitemap-extract --input PARQUET [--id-col C] [--xml-col C]
       |  image-hash --input PARQUET [--id-col C] [--payload-col C] [--pairs [--max-hamming N] [--chunks N] [--bucket-cap N]]
       |  audio-hash --input PARQUET [--id-col C] [--payload-col C] [--pairs [--max-hamming N] [--chunks N] [--bucket-cap N]]
-      |  frontier --candidates PARQUET --seen PARQUET [--per-host N] [--total N] [--url-col C] [--score-col C] [--delays PARQUET --wave-seconds S]
+      |  frontier --candidates PARQUET --seen PARQUET [--per-host N] [--total N] [--url-col C] [--score-col C] [--delays PARQUET --wave-seconds S] [--recrawl-after S --now EPOCH [--fetched-at-col C]]
+      |  warc-write-dedup --input PARQUET --prev-index CDXJ --output DIR [--url-col C] [--payload-col C] [--content-type-col C] [--gzip]
       |  wet-export --input PARQUET --output WET[.warc.gz]|DIR [--url-col C] [--text-col C] [--shards N]
       |  cdx-index --input WARC|DIR [--output CDXJ|DIR [--shards N]]
       |  media-probe --input PARQUET [--id-col C] [--payload-col C]

@@ -55,7 +55,8 @@ object Frontier {
     // per-host cap: the politeness window, tightened by the host's
     // declared crawl-delay when one exists (rate × wave length = budget)
     val budgeted = hostDelays match {
-      case None => withHost.withColumn("_cap", lit(perHost))
+      case None => withHost
+        .withColumn("_cap", lit(perHost)).withColumn("_delay", lit(null))
       case Some(delays) =>
         // no broadcast hint: the left join keys on host, the SAME key the
         // politeness window partitions by — a hash-partitioned join means
@@ -70,15 +71,50 @@ object Frontier {
                 greatest(lit(1L), floor(lit(waveSeconds) / col("_delay"))))))
           // the host-keyed join moved `host` to the front; restore the
           // candidates-then-host order the no-delay path emits
-          .select((withHost.columns.map(col) :+ col("_cap")).toSeq: _*)
+          .select((withHost.columns.map(col) ++
+            Seq(col("_cap"), col("_delay"))).toSeq: _*)
     }
     val w = Window.partitionBy("host")
       .orderBy(col(scoreCol).desc, col(urlCol))
-    budgeted
+    val ranked = budgeted
       .withColumn("host_rank", row_number().over(w))
       .filter(col("host_rank") <= col("_cap"))
-      .drop("_cap")
+    // when delays are declared, emit each fetch's WITHIN-WAVE schedule:
+    // the k-th fetch from a rate-limited host goes out at (k-1)·delay —
+    // the politeness contract is a RATE, not just a count, and the
+    // fetcher consumes these offsets directly
+    val scheduled = if (hostDelays.isDefined)
+      ranked.withColumn("scheduled_offset_ms",
+        ((col("host_rank") - 1) * coalesce(col("_delay"), lit(0.0)) * 1000.0)
+          .cast("long"))
+    else ranked
+    scheduled
+      .drop("_cap", "_delay")
       .orderBy(col(scoreCol).desc, col(urlCol))
       .limit(total)
+  }
+
+  /** [[select]] with RECRAWL: `seen` carries when each URL was last
+    * fetched (`fetchedAtCol`, epoch seconds), and entries older than
+    * `recrawlAfterSeconds` REJOIN the candidate pool — the revisit
+    * policy a continuous crawl runs (pages change; a seen-set that only
+    * grows never refreshes anything). `nowSeconds` is caller-supplied so
+    * waves stay deterministic and resumable (the engine never reads the
+    * clock). The anti-join keys stay url-only: the recency filter is a
+    * per-row predicate pushed into the seen-set scan.
+    */
+  def selectWithRecrawl(candidates: DataFrame, seen: DataFrame,
+      perHost: Int, total: Int, nowSeconds: Long, recrawlAfterSeconds: Long,
+      urlCol: String = "url", scoreCol: String = "score",
+      fetchedAtCol: String = "fetched_at",
+      hostDelays: Option[DataFrame] = None,
+      waveSeconds: Double = 0.0): DataFrame = {
+    require(recrawlAfterSeconds > 0,
+      s"frontier: recrawlAfterSeconds must be positive, got $recrawlAfterSeconds")
+    val stillFresh = seen
+      .filter(col(fetchedAtCol) > nowSeconds - recrawlAfterSeconds)
+      .select(col(urlCol))
+    select(candidates, stillFresh, perHost, total, urlCol, scoreCol,
+      hostDelays, waveSeconds)
   }
 }

@@ -2555,5 +2555,90 @@ object TextQueries {
         docs.select(col("doc_id"), mk(col("doc_id")).as("bytes")),
         "doc_id", "bytes")
     },
+
+    // Frontier RECRAWL: the seen-set carries last-fetch times and only
+    // RECENTLY-fetched URLs stay excluded — pages fetched before the
+    // recrawl horizon rejoin the pool (a continuous crawl refreshes;
+    // a grow-only seen set never would). now/horizon are explicit
+    // inputs, so the wave is deterministic and the oracle replays the
+    // whole schedule including per-host ranks.
+    GQuery(
+      "q358_frontier_recrawl",
+      """WITH cand AS (SELECT 'http://h' || (doc_id % 5) || '.test/p/' || doc_id AS url,
+        |                     'h' || (doc_id % 5) || '.test' AS host,
+        |                     (doc_id * 13) % 97 AS score
+        |              FROM documents WHERE doc_id < 240),
+        |seen AS (SELECT 'http://h' || (doc_id % 5) || '.test/p/' || doc_id AS url,
+        |                1000 + doc_id AS fetched_at
+        |         FROM documents WHERE doc_id < 240 AND doc_id % 3 = 0),
+        |fresh AS (SELECT c.* FROM cand c
+        |          LEFT JOIN (SELECT url FROM seen WHERE fetched_at > 1200 - 150) s
+        |            ON c.url = s.url
+        |          WHERE s.url IS NULL),
+        |ranked AS (SELECT url, host, score,
+        |             row_number() OVER (PARTITION BY host
+        |                                ORDER BY score DESC, url) AS host_rank
+        |           FROM fresh)
+        |SELECT url, host, score, host_rank::BIGINT AS host_rank
+        |FROM ranked WHERE host_rank <= 8
+        |ORDER BY score DESC, url LIMIT 30""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 240)
+      val cand = docs.select(
+        concat(lit("http://h"), col("doc_id") % 5, lit(".test/p/"),
+          col("doc_id")).as("url"),
+        ((col("doc_id") * 13) % 97).as("score"))
+      val seen = docs.filter(col("doc_id") % 3 === 0).select(
+        concat(lit("http://h"), col("doc_id") % 5, lit(".test/p/"),
+          col("doc_id")).as("url"),
+        (lit(1000) + col("doc_id")).as("fetched_at"))
+      graft.operators.Frontier.selectWithRecrawl(cand, seen,
+          perHost = 8, total = 30, nowSeconds = 1200L,
+          recrawlAfterSeconds = 150L)
+        .select(col("url"), col("host"), col("score"),
+          col("host_rank").cast("long").as("host_rank"))
+    },
+
+    // Cross-crawl payload dedup via ISO 28500 `revisit` records: the
+    // current crawl's payloads digest-join against the PREVIOUS crawl's
+    // CDX index; matched fetches persist as zero-payload revisit records
+    // pointing at the prior capture, new pages as full responses. The
+    // oracle replays which third of the corpus re-fetched unchanged
+    // (doc_id % 3 = 0 keeps its old payload; the rest changed or are
+    // new), and the read-back proves revisits carry no body bytes.
+    GQuery(
+      "q359_warc_revisit_dedup",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id < 150 AND doc_id % 3 = 0
+        |       THEN 'revisit' ELSE 'response' END AS warc_type,
+        |  CASE WHEN doc_id < 150 AND doc_id % 3 = 0 THEN ''
+        |       WHEN doc_id < 150 THEN '<p>v2 ' || text || '</p>'
+        |       ELSE '<p>' || text || '</p>' END AS body
+        |FROM documents WHERE doc_id < 200""".stripMargin) { (s, dir) =>
+      val base = s"${tmpDir()}/revisit-${System.nanoTime()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+      val docs = Tables.documents(s, dir)
+      // previous crawl: docs 0..149, payload v1
+      val prev = docs.filter(col("doc_id") < 150).select(
+        concat(lit("http://corpus.test/doc/"), col("doc_id")).as("url"),
+        concat(lit("<p>"), col("text"), lit("</p>")).as("payload"))
+      graft.sources.WarcIO.writeShards(prev.repartition(2), s"$base/prev")
+      val prevIdx = graft.sources.CdxIO.index(s, s"$base/prev")
+      // current crawl: docs 0..199; every 3rd old page is UNCHANGED
+      // (identical payload -> revisit), the others changed (v2) or are new
+      val cur = docs.filter(col("doc_id") < 200).select(
+        concat(lit("http://corpus.test/doc/"), col("doc_id")).as("url"),
+        when(col("doc_id") < 150 && col("doc_id") % 3 =!= 0,
+          concat(lit("<p>v2 "), col("text"), lit("</p>")))
+          .otherwise(concat(lit("<p>"), col("text"), lit("</p>")))
+          .as("payload"))
+      val receipt = graft.sources.WarcIO.writeShardsWithRevisits(
+        cur.repartition(3), s"$base/cur", prevIdx)
+      require(receipt.agg(sum(col("revisits"))).head.getLong(0) == 50L,
+        "every unchanged re-fetch must dedup to a revisit record")
+      graft.sources.WarcIO.read(s, s"$base/cur")
+        .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+          col("warc_type"), col("text").as("body"))
+    },
   )
 }

@@ -599,6 +599,103 @@ object WarcIO {
     n
   }
 
+  /** One `revisit` record (ISO 28500 identical-payload-digest profile):
+    * the crawl re-fetched `url`, the payload's digest matched a prior
+    * capture, and the record keeps PROOF of the visit without storing
+    * the bytes twice — Common Crawl's cross-crawl payload dedup form.
+    */
+  private def writeRevisitRecord(out: java.io.OutputStream, url: String,
+      date: String, digestB32: String, refersToUri: String): Unit = {
+    val head = ("WARC/1.0\r\nWARC-Type: revisit\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      mandatoryHeaders(url, date, Array.emptyByteArray) +
+      s"WARC-Payload-Digest: sha1:$digestB32\r\n" +
+      s"WARC-Refers-To-Target-URI: $refersToUri\r\n" +
+      "WARC-Profile: http://netpreservation.org/warc/1.0/revisit/" +
+      "identical-payload-digest\r\n" +
+      "Content-Length: 0\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    out.write(head)
+    out.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Distributed shard writer with CROSS-CRAWL payload dedup: rows whose
+    * payload digest (SHA-1, the CDX `digest` convention) appears in
+    * `seenDigests` — `(digest, url)` rows from a PRIOR crawl's index,
+    * [[graft.sources.CdxIO.index]] output shape — are written as `revisit`
+    * records (headers only, zero payload bytes) pointing at the prior
+    * capture's URL; everything else writes as a full `response`. This is
+    * how a continuous crawl's storage stays sublinear in fetches: at
+    * Common Crawl scale, ~half of each month's fetches are byte-identical
+    * to the previous month's.
+    *
+    * Shape: one digest projection per row (per-row map), ONE hash join on
+    * the 20-byte digest key against the prior index's (digest, url)
+    * projection, then the same per-partition shard writer as
+    * [[writeShards]]. Receipt: (shard, records, revisits) per non-empty
+    * partition. Intra-batch duplicates are NOT collapsed here — that's
+    * the exact-dedup pass's job; this operator implements the
+    * cross-crawl contract.
+    */
+  def writeShardsWithRevisits(df: DataFrame, dir: String,
+      seenDigests: DataFrame, urlCol: String = "url",
+      payloadCol: String = "payload", contentTypeCol: Option[String] = None,
+      gzip: Boolean = false, dateCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Files.createDirectories(Paths.get(dir))
+    val dig = udf((b: Array[Byte]) =>
+      CdxIO.sha1B32(Option(b).getOrElse(Array.emptyByteArray)))
+    // min(url) per digest: deterministic refers-to when several prior
+    // captures share a payload (mirror pages)
+    val seen = seenDigests.groupBy(col("digest").as("_digest"))
+      .agg(min(col("url")).as("_refers_to"))
+    val cols = Seq(col(urlCol).as("_url"), col(payloadCol).as("_payload")) ++
+      contentTypeCol.map(c => col(c).as("_ct")) ++
+      dateCol.map(c => col(c).as("_date"))
+    val hasCt = contentTypeCol.isDefined
+    val dateIdx = 2 + (if (hasCt) 1 else 0)
+    val marked = df.select(cols: _*)
+      // string payloads digest over their UTF-8 bytes — the exact bytes
+      // the writer emits (cast to binary is that encoding)
+      .withColumn("_digest", dig(col("_payload").cast("binary")))
+      .join(seen, Seq("_digest"), "left")
+    val shards = marked.rdd
+      .mapPartitionsWithIndex { (idx, rows) =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val ext = if (gzip) "warc.gz" else "warc"
+          val path = f"$dir/part-$idx%05d.$ext"
+          val out = new java.io.BufferedOutputStream(
+            Files.newOutputStream(Paths.get(path)), 1 << 16)
+          var n = 0L
+          var nRev = 0L
+          try {
+            rows.foreach { r =>
+              // join put _digest first: (_digest, _url, _payload, [_ct],
+              // [_date], _refers_to)
+              val url = r.getString(1)
+              val date = if (dateCol.isDefined) r.getString(1 + dateIdx)
+                else EpochDate
+              val refersTo = r.getString(r.length - 1)
+              emitRecord(out, gzip) { o =>
+                if (refersTo != null) {
+                  nRev += 1
+                  writeRevisitRecord(o, url, date, r.getString(0), refersTo)
+                } else writeRecord(o, url,
+                  if (hasCt) r.getString(3) else null,
+                  payloadBytes(r, 2), date)
+              }
+              n += 1
+            }
+          } finally out.close()
+          Iterator((path, n, nRev))
+        }
+      }
+      .collect()
+    shards.toSeq.toDF("shard", "records", "revisits")
+  }
+
   /** Distributed WET writer: one `part-NNNNN.wet.warc[.gz]` shard PER
     * PARTITION (the [[writeShards]] convention applied to conversion
     * records — a full-crawl WET is corpus-sized and must never funnel

@@ -84,6 +84,50 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("selectWithRecrawl: stale fetches rejoin the pool, fresh stay out") {
+    val cand = (0 until 12).map(i => (s"http://r.test/$i", 100 - i))
+      .toDF("url", "score")
+    // urls 0..5 seen: 0..2 fetched long ago (stale), 3..5 recent
+    val seen = (0 until 6).map(i =>
+      (s"http://r.test/$i", if (i < 3) 500L else 1190L))
+      .toDF("url", "fetched_at")
+    val wave = Frontier.selectWithRecrawl(cand, seen, perHost = 20,
+        total = 20, nowSeconds = 1200L, recrawlAfterSeconds = 100L)
+      .collect().map(_.getString(0)).toSet
+    val expected = ((0 until 3) ++ (6 until 12)).map(i => s"http://r.test/$i").toSet
+    assert(wave == expected,
+      s"stale (0-2) recrawl, fresh (3-5) excluded: $wave")
+    intercept[IllegalArgumentException] {
+      Frontier.selectWithRecrawl(cand, seen, 5, 5, 1200L,
+        recrawlAfterSeconds = 0L)
+    }
+  }
+
+  test("scheduled_offset_ms: the k-th fetch from a rate-limited host " +
+      "goes out at (k-1) x delay") {
+    val cand = (0 until 4).map(i => (s"http://sched.test/$i", 50 - i))
+      .toDF("url", "score")
+    val empty = Seq.empty[String].toDF("url")
+    val delays = Seq(("sched.test", 1.5)).toDF("host", "crawl_delay")
+    val rows = Frontier.select(cand, empty, perHost = 4, total = 4,
+        hostDelays = Some(delays), waveSeconds = 10.0)
+      .select("url", "host_rank", "scheduled_offset_ms").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    (0 until 4).foreach { i =>
+      assert(rows(s"http://sched.test/$i") == ((i + 1, (i * 1500).toLong)),
+        rows.toString)
+    }
+    // no declared delay -> offset 0 (fetch immediately), column present
+    val free = Frontier.select(cand, empty, perHost = 4, total = 4,
+        hostDelays = Some(Seq(("other.test", 9.0)).toDF("host", "crawl_delay")),
+        waveSeconds = 10.0)
+      .select("scheduled_offset_ms").collect().map(_.getLong(0))
+    assert(free.forall(_ == 0L))
+    // without hostDelays the schema is unchanged (no schedule column)
+    assert(!Frontier.select(cand, empty, 4, 4).columns
+      .contains("scheduled_offset_ms"))
+  }
+
   test("plan: bounded-heap TakeOrdered, keyed window, no global sort") {
     val df = Frontier.select(candidates, seen, perHost = 5, total = 12)
     df.collect()

@@ -230,6 +230,50 @@ class WarcSpec extends SparkSpec {
     assert(eTs == Set("19700101000000"), eTs.toString)
   }
 
+  test("writeShardsWithRevisits: digest-matched payloads become zero-body " +
+      "revisit records; changed/new pages stay full responses") {
+    val d = Files.createTempDirectory("graft-warcrev").toString
+    val prev = Seq(
+      ("http://example.com/a", "<p>alpha body</p>"),
+      ("http://example.com/b", "<p>beta body</p>"))
+      .toDF("url", "payload")
+    WarcIO.write(prev, s"$d/prev.warc")
+    val prevIdx = CdxIO.index(spark, s"$d/prev.warc")
+    val cur = Seq(
+      ("http://example.com/a", "<p>alpha body</p>"),   // unchanged -> revisit
+      ("http://example.com/b", "<p>beta CHANGED</p>"), // changed -> response
+      ("http://example.com/c", "<p>gamma new</p>"),    // new -> response
+      // unchanged content under a NEW url still revisits (mirror page),
+      // pointing at the prior capture
+      ("http://example.com/a2", "<p>alpha body</p>"))
+      .toDF("url", "payload")
+    val receipt = WarcIO.writeShardsWithRevisits(cur.repartition(2),
+      s"$d/cur", prevIdx).collect()
+    assert(receipt.map(_.getLong(1)).sum == 4)
+    assert(receipt.map(_.getLong(2)).sum == 2, "a and a2 revisit")
+    val back = WarcIO.read(spark, s"$d/cur")
+      .select("url", "warc_type", "payload", "text").collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getAs[Array[Byte]](2).length, r.getString(3))).toMap
+    assert(back("http://example.com/a")._1 == "revisit")
+    assert(back("http://example.com/a")._2 == 0, "revisit stores no payload")
+    assert(back("http://example.com/a2")._1 == "revisit")
+    assert(back("http://example.com/b") == (("response",
+      "<p>beta CHANGED</p>".length, "<p>beta CHANGED</p>")))
+    assert(back("http://example.com/c")._1 == "response")
+    // the raw record carries the ISO 28500 revisit contract: profile,
+    // payload digest, refers-to
+    val raw = WarcIO.read(spark, s"$d/cur").select("file").distinct()
+      .collect().map(_.getString(0))
+      .map(f => new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8))
+      .mkString("\n")
+    assert(raw.contains("WARC-Profile: http://netpreservation.org/warc/1.0/" +
+      "revisit/identical-payload-digest"))
+    assert(raw.contains("WARC-Refers-To-Target-URI: http://example.com/a"))
+    val wantDigest = CdxIO.sha1B32("<p>alpha body</p>".getBytes("UTF-8"))
+    assert(raw.contains(s"WARC-Payload-Digest: sha1:$wantDigest"))
+  }
+
   test("descriptor hygiene: a LIMIT over the DSv2 scan closes the stream " +
       "(close() threads through; no FD waits for GC)") {
     val d = Files.createTempDirectory("graft-warcfd").toString
