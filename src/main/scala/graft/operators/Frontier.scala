@@ -94,6 +94,19 @@ object Frontier {
       .limit(total)
   }
 
+  /** Seen-set maintenance for the recrawl loop: fold a fetched wave into
+    * the seen table, keeping the LATEST fetch time per URL — one
+    * url-keyed aggregation, the exact shape [[selectWithRecrawl]]'s
+    * anti-join consumes. `fetched` rows need (urlCol, fetchedAtCol);
+    * pass the wave's fetch timestamps (epoch seconds).
+    */
+  def updateSeen(seen: DataFrame, fetched: DataFrame,
+      urlCol: String = "url", fetchedAtCol: String = "fetched_at"): DataFrame =
+    seen.select(col(urlCol), col(fetchedAtCol))
+      .unionByName(fetched.select(col(urlCol), col(fetchedAtCol)))
+      .groupBy(urlCol)
+      .agg(max(col(fetchedAtCol)).as(fetchedAtCol))
+
   /** [[select]] with RECRAWL: `seen` carries when each URL was last
     * fetched (`fetchedAtCol`, epoch seconds), and entries older than
     * `recrawlAfterSeconds` REJOIN the candidate pool — the revisit

@@ -636,6 +636,13 @@ object WarcIO {
     * partition. Intra-batch duplicates are NOT collapsed here — that's
     * the exact-dedup pass's job; this operator implements the
     * cross-crawl contract.
+    *
+    * Note on indexing the OUTPUT: a revisit record stores no payload, so
+    * [[graft.sources.CdxIO.index]] over the written shard digests the
+    * EMPTY body for those rows (the record itself carries the original
+    * payload's digest in its `WARC-Payload-Digest` header). Cross-crawl
+    * digest lookups should therefore consult the PRIOR crawl's index —
+    * the same frame this writer takes as `seenDigests`.
     */
   def writeShardsWithRevisits(df: DataFrame, dir: String,
       seenDigests: DataFrame, urlCol: String = "url",

@@ -103,6 +103,24 @@ class FrontierSpec extends SparkSpec {
     }
   }
 
+  test("updateSeen keeps the latest fetch per url; feeds recrawl directly") {
+    val seen0 = Seq(("http://u.test/a", 100L), ("http://u.test/b", 200L))
+      .toDF("url", "fetched_at")
+    val wave = Seq(("http://u.test/a", 900L), ("http://u.test/c", 950L))
+      .toDF("url", "fetched_at")
+    val seen1 = Frontier.updateSeen(seen0, wave)
+    val got = seen1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("http://u.test/a" -> 900L, "http://u.test/b" -> 200L,
+      "http://u.test/c" -> 950L))
+    // the folded table drives the next recrawl decision: only b is stale
+    val cand = Seq(("http://u.test/a", 1), ("http://u.test/b", 1),
+      ("http://u.test/c", 1)).toDF("url", "score")
+    val next = Frontier.selectWithRecrawl(cand, seen1, perHost = 9,
+        total = 9, nowSeconds = 1000L, recrawlAfterSeconds = 300L)
+      .collect().map(_.getString(0)).toSet
+    assert(next == Set("http://u.test/b"))
+  }
+
   test("scheduled_offset_ms: the k-th fetch from a rate-limited host " +
       "goes out at (k-1) x delay") {
     val cand = (0 until 4).map(i => (s"http://sched.test/$i", 50 - i))
@@ -136,5 +154,15 @@ class FrontierSpec extends SparkSpec {
       s"global budget must be a bounded heap:\n$plan")
     assert(!plan.contains("Sort [score"), // the only ordering is inside TakeOrdered/window
       s"no standalone global sort:\n$plan")
+    // the crawl-delay path keeps the same shape: the delay join keys on
+    // host (the politeness window's own key) and the budget stays a
+    // bounded heap — no new global sort, no extra window
+    val delays = Seq(("h0.test", 2.0)).toDF("host", "crawl_delay")
+    val dd = Frontier.select(candidates, seen, perHost = 5, total = 12,
+      hostDelays = Some(delays), waveSeconds = 10.0)
+    dd.collect()
+    val dplan = dd.queryExecution.executedPlan.toString
+    assert(dplan.contains("TakeOrderedAndProject"), dplan)
+    assert(!dplan.contains("Sort [score"), dplan)
   }
 }

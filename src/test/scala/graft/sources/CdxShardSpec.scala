@@ -109,6 +109,16 @@ class CdxShardSpec extends SparkSpec {
     assert(none.columns.toSeq == hits.columns.toSeq && none.count() == 0)
   }
 
+  test("fetchRecords plan: NO exchange — the request sort is partition-local") {
+    val (d, warc) = fixture(30)
+    val idx = CdxIO.index(spark, warc)
+    val fetched = CdxIO.fetchRecords(idx)
+    fetched.collect()
+    val plan = fetched.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"coalescing must not buy an exchange — sortWithinPartitions only:\n$plan")
+  }
+
   test("writeWetShards: one conversion-record shard per partition, " +
       "read round-trips, per-record gzip members") {
     val d = Files.createTempDirectory("graft-wetshard").toString
