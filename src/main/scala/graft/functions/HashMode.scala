@@ -51,6 +51,14 @@ object HashMode {
     def col60(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val name = "md5"
+    /** One UTF-8 encode for the whole array + per-window byte-slice md5 —
+      * hash values identical to the default (same bytes), no per-window
+      * String/byte[] churn (the every-position ExactSubstr path).
+      */
+    override def windowHash60(cps: Array[Int], l: Int): Array[Long] = {
+      require(l > 0, s"window length must be positive, got $l")
+      StableHash.md5Window60(cps, l)
+    }
   }
 
   case object Xx64 extends HashMode {

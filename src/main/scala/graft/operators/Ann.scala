@@ -889,18 +889,25 @@ object Ann {
       predicateCol: String = "predicate", metadataCols: Seq[String] = Nil,
       excludeSelf: Boolean = false): DataFrame = {
     require(safeties.nonEmpty, "safetyCalibrationCard needs at least one safety")
+    // the index/queries/stats frames feed the truth pass plus TWO legs per
+    // grid safety — materialize each once (no-op if already materialized;
+    // see materializedView): previously every grid cell re-ran the full
+    // upstream index assignment
+    val idx = materializedView(index)
+    val st = materializedView(stats)
+    val qs = materializedView(queries)
     val truth = HybridGroundTruth.knnWithPerQueryPredicates(
-        queries, index.select((Seq(col("id").as(idCol),
+        qs, idx.select((Seq(col("id").as(idCol),
           col("vec").as(vecCol)) ++ metadataCols.map(col)): _*),
         k, metric, idCol, vecCol, predicateCol, metadataCols, excludeSelf)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()
     val truthN = truth.groupBy("query_id").agg(count(lit(1)).as("truth_n"))
-    val tiers = queries.select(col(idCol).cast("long").as("query_id"),
+    val tiers = qs.select(col(idCol).cast("long").as("query_id"),
       col(tierCol).as("tier"))
     val grid = safeties.map { s =>
-      val widths = adaptiveProbeWidths(queries, centroids, stats, metaCol,
+      val widths = adaptiveProbeWidths(qs, centroids, st, metaCol,
         k, s, minProbe, maxProbe, metric, idCol, vecCol, predicateCol)
-      val pred = ivfSearchFilteredAdaptive(queries, index, centroids, stats,
+      val pred = ivfSearchFilteredAdaptive(qs, idx, centroids, st,
         metaCol, k, s, minProbe, maxProbe, metric, idCol, vecCol,
         predicateCol, metadataCols, excludeSelf)
       val hits = pred.select("query_id", "neighbor_id")
@@ -1064,6 +1071,20 @@ object Ann {
     * route column makes serving cost attributable per policy — the
     * report card [[routerReportCard]] reads it.
     */
+  /** Materialize a frame that is about to be consumed by several
+    * independent legs of one composed plan — UNLESS it already is a
+    * materialized leaf (a prior localCheckpoint / collected relation), in
+    * which case re-checkpointing would only copy it. Catalyst does not
+    * dedupe common subplans across join/union legs, so an unmaterialized
+    * index passed to a 3-route search is re-assigned once per route (the
+    * q249 plan carried 16 parquet scans / 56 exchanges before this).
+    */
+  private def materializedView(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => df
+      case _ => df.localCheckpoint()
+    }
+
   def hybridSearchRouted(queries: DataFrame, index: DataFrame,
       centroids: DataFrame, stats: DataFrame, metaCol: String, k: Int,
       exactMax: Long, wideFraction: Double, nProbeWide: Int, safety: Double,
@@ -1072,19 +1093,25 @@ object Ann {
       predicateCol: String = "predicate", metadataCols: Seq[String] = Nil,
       excludeSelf: Boolean = false): DataFrame = {
     val nList = centroids.count().toInt
-    val routes = routePlan(queries, stats, metaCol, exactMax, wideFraction,
+    // the index feeds all three route searches, the stats feed the route
+    // plan AND the adaptive tier, the queries feed the plan + three
+    // slices: materialize each once (no-op when the caller already did)
+    val idx = materializedView(index)
+    val st = materializedView(stats)
+    val qs = materializedView(queries)
+    val routes = routePlan(qs, st, metaCol, exactMax, wideFraction,
       idCol, predicateCol).localCheckpoint()
-    def slice(route: String): DataFrame = queries.join(
+    def slice(route: String): DataFrame = qs.join(
       routes.filter(col("route") === route)
         .select(col("query_id").as(idCol)), Seq(idCol), "left_semi")
-    val exact = ivfSearchFiltered(slice("exact"), index, centroids, k, nList,
+    val exact = ivfSearchFiltered(slice("exact"), idx, centroids, k, nList,
       metric, idCol, vecCol, predicateCol, metadataCols, excludeSelf)
       .withColumn("route", lit("exact"))
-    val planned = ivfSearchFilteredAdaptive(slice("planned"), index,
-      centroids, stats, metaCol, k, safety, minProbe, maxProbe, metric,
+    val planned = ivfSearchFilteredAdaptive(slice("planned"), idx,
+      centroids, st, metaCol, k, safety, minProbe, maxProbe, metric,
       idCol, vecCol, predicateCol, metadataCols, excludeSelf)
       .withColumn("route", lit("planned"))
-    val wide = ivfSearchFiltered(slice("wide"), index, centroids, k,
+    val wide = ivfSearchFiltered(slice("wide"), idx, centroids, k,
       nProbeWide, metric, idCol, vecCol, predicateCol, metadataCols,
       excludeSelf)
       .withColumn("route", lit("wide"))
@@ -1105,13 +1132,20 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       predicateCol: String = "predicate", metadataCols: Seq[String] = Nil,
       excludeSelf: Boolean = false): DataFrame = {
-    val routes = routePlan(queries, stats, metaCol, exactMax, wideFraction,
+    // one materialization each for the frames every leg below re-reads
+    // (routed search ×3 routes, truth pass, route rollup) — see
+    // materializedView; inner hybridSearchRouted sees the materialized
+    // leaves and does not re-checkpoint
+    val idx = materializedView(index)
+    val st = materializedView(stats)
+    val qs = materializedView(queries)
+    val routes = routePlan(qs, st, metaCol, exactMax, wideFraction,
       idCol, predicateCol).localCheckpoint()
-    val pred = hybridSearchRouted(queries, index, centroids, stats, metaCol,
+    val pred = hybridSearchRouted(qs, idx, centroids, st, metaCol,
       k, exactMax, wideFraction, nProbeWide, safety, minProbe, maxProbe,
       metric, idCol, vecCol, predicateCol, metadataCols, excludeSelf)
     val truth = HybridGroundTruth.knnWithPerQueryPredicates(
-        queries, index.select((Seq(col("id").as(idCol),
+        qs, idx.select((Seq(col("id").as(idCol),
           col("vec").as(vecCol)) ++ metadataCols.map(col)): _*),
         k, metric, idCol, vecCol, predicateCol, metadataCols, excludeSelf)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()

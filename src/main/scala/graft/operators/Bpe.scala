@@ -75,6 +75,35 @@ object Bpe {
     * passes mapped-byte pretoken counts. Same scale shape either way:
     * every iteration runs on the vocabulary relation, never the corpus.
     */
+  /** Vocabulary-size ceiling for the DRIVER merge loop. The merge
+    * iteration is inherently sequential (each merge depends on the last),
+    * and each distributed round costs two jobs over the vocabulary
+    * relation — pure scheduler overhead once the vocabulary fits in
+    * driver memory. Below the threshold the loop runs in-memory on the
+    * collected (word, cnt, syms) rows with EXACTLY the distributed
+    * tie-break (max cnt, then l, r in UTF-8 byte order — Spark's binary
+    * string ordering); above it, the distributed loop is the scale path.
+    * The adaptive-execution discipline (and differential-equality spec
+    * pattern) of `Dedup.connectedComponents`.
+    */
+  private val DriverTrainThreshold = 200000L
+
+  /** Unsigned UTF-8 byte comparison == Spark's binary StringType
+    * ordering (UTF8String.compareTo), NOT String.compareTo (UTF-16 code
+    * units), which disagrees above the BMP.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def trainFromCounts(wc: DataFrame,
       numMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
@@ -88,6 +117,60 @@ object Bpe {
       .as[(String, Long, Array[String])]
       .localCheckpoint() // eager: truncates lineage (see scaladoc)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    if (vocab.count() <= DriverTrainThreshold) {
+      // driver path: one collect, then the whole merge loop in memory —
+      // identical pair sums (exact longs), identical argmax tie-break,
+      // identical applyMerge; 2 jobs total instead of 2 per merge
+      val rows = vocab.collect()
+      vocab.unpersist(blocking = false)
+      val syms = rows.map(_._3)
+      var rank = 1
+      var exhausted = false
+      while (rank <= numMerges && !exhausted) {
+        val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+        var wi = 0
+        while (wi < rows.length) {
+          val cnt = rows(wi)._2
+          val s = syms(wi)
+          var i = 0
+          while (i < s.length - 1) {
+            val key = (s(i), s(i + 1))
+            val prev = counts.get(key)
+            counts.put(key, java.lang.Long.valueOf(
+              (if (prev == null) 0L else prev.longValue) + cnt))
+            i += 1
+          }
+          wi += 1
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          var bl: String = null; var br: String = null; var bc = 0L
+          val it = counts.entrySet().iterator()
+          while (it.hasNext) {
+            val en = it.next()
+            val l = en.getKey._1
+            val r = en.getKey._2
+            val c = en.getValue.longValue
+            val better = bl == null || c > bc ||
+              (c == bc && {
+                val dl = utf8Compare(l, bl)
+                dl < 0 || (dl == 0 && utf8Compare(r, br) < 0)
+              })
+            if (better) { bl = l; br = r; bc = c }
+          }
+          merges += ((rank, bl, br, bc))
+          wi = 0
+          while (wi < rows.length) {
+            syms(wi) = applyMerge(syms(wi), bl, br)
+            wi += 1
+          }
+          rank += 1
+        }
+      }
+      val outRows = rows.indices.map(i => (rows(i)._1, rows(i)._2, syms(i)))
+      return (merges.toSeq,
+        spark.createDataset(outRows).toDF("word", "cnt", "syms"))
+    }
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {

@@ -92,11 +92,14 @@ object LabelProp {
       .union(e.select(col("dst").as("id")))
       .union(y.select("id")).distinct().cache()
     val outDeg = e.groupBy("src").agg(sum(col("w")).as("deg")).cache()
+    // out-weight attached ONCE (the PageRank.attachDeg discipline): one
+    // hash join per round instead of two; `score * w / deg` is unchanged,
+    // so scores are bit-identical
+    val eDeg = e.join(outDeg, "src").cache()
     val yFull = nodes.join(y, Seq("id"), "left")
       .select(col("id"), coalesce(col("y"), lit(0.0)).as("y")).cache()
     def step(prev: DataFrame): DataFrame = {
-      val contribs = prev.join(e, col("id") === col("src"))
-        .join(outDeg, "src")
+      val contribs = prev.join(eDeg, col("id") === col("src"))
         .groupBy(col("dst").as("cid"))
         .agg(sum(col("score") * col("w") / col("deg")).as("contrib"))
       yFull
@@ -126,6 +129,7 @@ object LabelProp {
       // f is materialized each round — the builder caches must not outlive
       // the call in a long-lived session
       e.unpersist(); nodes.unpersist(); outDeg.unpersist(); yFull.unpersist()
+      eDeg.unpersist()
     }
     f
   }

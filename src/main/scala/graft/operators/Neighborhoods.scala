@@ -46,6 +46,12 @@ object Neighborhoods {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
 
+    // `known` is a LAZY union of the already-materialized shells: every
+    // leg is a LogicalRDD, so the anti-join re-reads cached blocks and
+    // the per-round "copy the whole visited set into a fresh
+    // materialization" job (O(Σ shells) per round — quadratic in total
+    // across rounds) is gone. Same BFS set semantics, one materialization
+    // per round instead of two.
     var known = mat(nodes.select(col("id"), col("id").as("other")))
     var frontier = known
     var acc: DataFrame = null
@@ -55,11 +61,7 @@ object Neighborhoods {
         .join(known, Seq("id", "other"), "left_anti"))
       val shell = next.withColumn("dist", lit(d))
       acc = if (acc == null) shell else acc.unionByName(shell)
-      val newKnown = mat(known.unionByName(next))
-      // the superseded visited-set frame is dead (acc's legs are the
-      // per-shell `next` frames, never `known`); the shells stay persisted
-      Materialize.free(known)
-      known = newKnown
+      known = known.unionByName(next)
       frontier = next
     }
     acc

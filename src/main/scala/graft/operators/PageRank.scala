@@ -66,32 +66,52 @@ object PageRank {
     (e, outDeg)
   }
 
-  /** One damped update from `ranks` given prepared (e, outDeg, nodes, n).
+  /** Edge relation with the out-weight sum attached ONCE:
+    * (src, dst, w, deg). Joining `outDeg` here instead of inside [[step]]
+    * removes one hash join from EVERY iteration (10–50 per query; on a
+    * cluster each avoided join is an avoided pass over the edge relation
+    * per round). `outDeg` aggregates from `e`, so the inner join keeps
+    * every edge row; the per-round arithmetic `rank * w / deg` is
+    * unchanged — bit-identical ranks.
+    */
+  private def attachDeg(e: DataFrame, outDeg: DataFrame): DataFrame =
+    e.join(outDeg, "src")
+
+  /** One damped update from `ranks` given prepared (eDeg, outDeg, nodes, n).
     * `hasDangling = false` (every node has out-edges — checked ONCE per
     * call with two cached counts) skips the per-round dangling branch
     * entirely: the left-anti join, its 1-row aggregate and the broadcast
     * all drop, and `contrib + 0.0` is exact float arithmetic (contrib is
     * never -0.0), so the ranks are bit-identical to the general path —
     * measured ~25% off every round on the all-source query fixtures.
+    *
+    * `carryPrev = true` replaces the `nodes` side of the contribution
+    * attach with the rank frame itself (same id set), so the output is
+    * (id, prev, rank) and a convergence delta needs NO extra join — the
+    * [[iterateUntil]] fusion: one aggregate over the already-materialized
+    * frame instead of a per-round join job.
     */
-  private def step(e: DataFrame, outDeg: DataFrame, nodes: DataFrame, n: Long,
-      ranks: DataFrame, damping: Double, hasDangling: Boolean): DataFrame = {
-    val contribs = ranks.join(e, col("id") === col("src"))
-      .join(outDeg, "src")
+  private def step(eDeg: DataFrame, outDeg: DataFrame, nodes: DataFrame, n: Long,
+      ranks: DataFrame, damping: Double, hasDangling: Boolean,
+      carryPrev: Boolean = false): DataFrame = {
+    val contribs = ranks.join(eDeg, col("id") === col("src"))
       .groupBy(col("dst").as("cid"))
       .agg(sum(col("rank") * col("w") / col("deg")).as("contrib"))
-    val base = nodes.join(contribs, col("id") === col("cid"), "left")
+    val left = if (carryPrev) ranks.select(col("id"), col("rank").as("prev"))
+      else nodes
+    val base = left.join(contribs, col("id") === col("cid"), "left")
+    val keep = if (carryPrev) Seq(col("id"), col("prev")) else Seq(col("id"))
     if (hasDangling) {
       val dangling = ranks.join(outDeg, col("id") === col("src"), "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
       base.crossJoin(broadcast(dangling))
-        .select(col("id"),
+        .select(keep :+
           (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + col("dmass") / n)).as("rank"))
+            (coalesce(col("contrib"), lit(0.0)) + col("dmass") / n)).as("rank"): _*)
     } else {
-      base.select(col("id"),
+      base.select(keep :+
         (lit((1.0 - damping) / n) + lit(damping) *
-          coalesce(col("contrib"), lit(0.0))).as("rank"))
+          coalesce(col("contrib"), lit(0.0))).as("rank"): _*)
     }
   }
 
@@ -113,6 +133,7 @@ object PageRank {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     val outDeg = outDeg0.cache()
+    val eDeg = attachDeg(e, outDeg).cache()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     val hasDangling = outDeg.count() < n
@@ -139,7 +160,7 @@ object PageRank {
         val steps = math.min(stride, iters - t)
         var nxt = ranks
         for (_ <- 0 until steps)
-          nxt = step(e, outDeg, nodes, n, nxt, damping, hasDangling)
+          nxt = step(eDeg, outDeg, nodes, n, nxt, damping, hasDangling)
         val m = mat(nxt)
         Materialize.free(ranks)
         ranks = m
@@ -148,7 +169,7 @@ object PageRank {
     } finally {
       // every rank frame is materialized, so the builder caches can go —
       // a long-lived session running many rankings must not accumulate them
-      e.unpersist(); nodes.unpersist(); outDeg.unpersist()
+      e.unpersist(); nodes.unpersist(); outDeg.unpersist(); eDeg.unpersist()
     }
     ranks
   }
@@ -174,13 +195,15 @@ object PageRank {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     val outDeg = outDeg0.cache()
+    val eDeg = attachDeg(e, outDeg).cache()
     val n = nodes.count()
     require(n > 0, "pageRankUntil: empty graph")
     val hasDangling = outDeg.count() < n
     val init = mat(nodes.select(col("id"), (lit(1.0) / n).as("rank")))
     try iterateUntil(init, eps, maxIters, mat)(
-      prev => step(e, outDeg, nodes, n, prev, damping, hasDangling))
-    finally { e.unpersist(); nodes.unpersist(); outDeg.unpersist() }
+      prev => step(eDeg, outDeg, nodes, n, prev, damping, hasDangling,
+        carryPrev = true))
+    finally { e.unpersist(); nodes.unpersist(); outDeg.unpersist(); eDeg.unpersist() }
   }
 
   /** Warm-start re-ranking: resume the eps-stopped iteration from a PRIOR
@@ -206,6 +229,7 @@ object PageRank {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     val outDeg = outDeg0.cache()
+    val eDeg = attachDeg(e, outDeg).cache()
     val n = nodes.count()
     require(n > 0, "pageRankResume: empty graph")
     val hasDangling = outDeg.count() < n
@@ -218,12 +242,17 @@ object PageRank {
       val start = mat(joined.select(col("id"), (col("r0") / total).as("rank")))
       joined.unpersist()
       iterateUntil(start, eps, maxIters, mat)(
-        prev => step(e, outDeg, nodes, n, prev, damping, hasDangling))
-    } finally { e.unpersist(); nodes.unpersist(); outDeg.unpersist() }
+        prev => step(eDeg, outDeg, nodes, n, prev, damping, hasDangling,
+          carryPrev = true))
+    } finally { e.unpersist(); nodes.unpersist(); outDeg.unpersist(); eDeg.unpersist() }
   }
 
-  /** Shared eps-stopped driver loop: materialize each next frame, compare
-    * L1 against the previous, stop at the first delta < eps.
+  /** Shared eps-stopped driver loop. `next` runs one update with
+    * `carryPrev = true`, so each materialized frame is (id, prev, rank)
+    * and the L1 delta is ONE scan-aggregate over it — the per-round
+    * join job the old shape paid (prev ⋈ cur on id) is gone; the pairs
+    * and |r_t − r_{t−1}| terms are identical, only float summation order
+    * can differ (the documented ~1e-12 band; every eps sits far away).
     */
   private def iterateUntil(init: DataFrame, eps: Double, maxIters: Int,
       mat: DataFrame => DataFrame)(next: DataFrame => DataFrame)
@@ -233,15 +262,14 @@ object PageRank {
     var converged = false
     while (!converged && t < maxIters) {
       val cur = mat(next(ranks))
-      val delta = ranks.select(col("id"), col("rank").as("prev"))
-        .join(cur, "id")
-        .agg(sum(abs(col("rank") - col("prev")))).collect()(0).getDouble(0)
+      val delta = cur.agg(sum(abs(col("rank") - col("prev"))))
+        .collect()(0).getDouble(0)
       // the previous frame is dead once the delta has read it — free its
       // executor blocks now, not at some future ContextCleaner GC. `init`
       // belongs to the caller (pageRankResume passes a frame the caller
       // may still hold); only frames this loop created are freed.
       if (!(ranks eq init)) Materialize.free(ranks)
-      ranks = cur
+      ranks = cur.select(col("id"), col("rank"))
       t += 1
       converged = delta < eps
     }
@@ -278,12 +306,12 @@ object PageRank {
     val outDeg = outDeg0.cache()
     val p = nodes.join(rawSeeds, Seq("id"), "left")
       .select(col("id"), (coalesce(col("w"), lit(0.0)) / total).as("p")).cache()
+    val eDeg = attachDeg(e, outDeg).cache()
     // same once-per-call dangling detection as [[pageRank]]: nodes here
     // includes seed ids, so count p (== |nodes|) against outDeg
     val hasDangling = outDeg.count() < p.count()
     def pprStep(prev: DataFrame): DataFrame = {
-      val contribs = prev.join(e, col("id") === col("src"))
-        .join(outDeg, "src")
+      val contribs = prev.join(eDeg, col("id") === col("src"))
         .groupBy(col("dst").as("cid"))
         .agg(sum(col("rank") * col("w") / col("deg")).as("contrib"))
       val base = p.join(contribs, col("id") === col("cid"), "left")
@@ -317,7 +345,7 @@ object PageRank {
         t += steps
       }
     } finally {
-      e.unpersist(); outDeg.unpersist(); p.unpersist()
+      e.unpersist(); outDeg.unpersist(); p.unpersist(); eDeg.unpersist()
     }
     ranks
   }
@@ -347,7 +375,7 @@ object PageRank {
     try {
       val n = nodes.count()
       val hasDangling = outDeg.count() < n
-      step(e, outDeg, nodes, n, ranks, damping, hasDangling)
+      step(attachDeg(e, outDeg), outDeg, nodes, n, ranks, damping, hasDangling)
     } finally nodes.unpersist()
   }
 }

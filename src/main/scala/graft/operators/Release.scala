@@ -73,13 +73,23 @@ object Release {
 
   /** Build the release artifacts for a corpus — the byproducts a release
     * run persists so the NEXT release can be incremental.
+    *
+    * ONE corpus shingle+signature pass: the index is built (and
+    * materialized — it IS the persisted artifact) first, then pairs and
+    * containment DERIVE from it ([[Dedup.minhashPairsFromIndex]] /
+    * [[Dedup.containmentFromIndex]]) instead of re-scanning the corpus
+    * text — previously three independent text scans (index, LSH pairs,
+    * containment), identical kernels so identical outputs. tokenScores
+    * is the one remaining extra text pass (tokens, not shingles).
     */
   def artifacts(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, p: Params): Artifacts = {
     val index = Dedup.minhashIndex(corpus, idCol, textCol, p.n, p.numPerms)
-    val pairs = Dedup.minhashLshPairs(corpus, idCol, textCol, p.n, p.numPerms,
+      .localCheckpoint()
+    val pairs = Dedup.minhashPairsFromIndex(index, p.numPerms,
       p.bands, p.threshold)
-    val contam = Dedup.containmentScores(corpus, bench, idCol, textCol, p.n)
+    val contam = Dedup.containmentFromIndex(corpus.select(col(idCol)), index,
+      bench, idCol, textCol, p.n)
     Artifacts(index, pairs, contam, tokenScores(corpus, idCol, textCol))
   }
 
@@ -153,8 +163,12 @@ object Release {
       Dedup.minhashLshPairsIncremental(prunedIndex, newIndex,
         p.numPerms, p.bands, p.threshold))
 
+    // the new slice's containment derives from newIndex — its shingles
+    // are already computed and materialized two lines up (one text scan
+    // for the slice, not two); identical aggregation expressions
     val contam = oldArt.contam.join(unchanged, Seq("id"), "left_semi")
-      .unionByName(Dedup.containmentScores(newSlice, bench, idCol, textCol, p.n))
+      .unionByName(Dedup.containmentFromIndex(newSlice.select(col(idCol)),
+        newIndex, bench, idCol, textCol, p.n))
     val scores = oldArt.scores.join(unchanged, Seq("id"), "left_semi")
       .unionByName(tokenScores(newSlice, idCol, textCol))
 

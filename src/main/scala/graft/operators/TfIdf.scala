@@ -83,19 +83,44 @@ object TfIdf {
     docs.select(col(idCol).cast("long"),
         coalesce(lower(col(textCol)), lit("")))
       .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val toks = text.split(" ").filter(_.nonEmpty)
-        if (toks.isEmpty) Iterator.empty
-        else {
-          val v = new Array[Long](dim)
-          toks.foreach { t =>
+      .mapPartitions { rows =>
+        // Per-TASK sign-vector memo: token vocabulary is Zipf-shaped, so
+        // the same token re-hashes across (and within) documents ~tf
+        // times; computing its dim signs ONCE per task turns the kernel
+        // from O(tokens·dim) hashes into O(task vocab·dim) — identical
+        // ±1 values, bit-identical sums. Bounded (64k entries) so a
+        // pathological vocabulary cannot OOM the task; over-cap tokens
+        // just hash directly.
+        val memo = new java.util.HashMap[String, Array[Byte]]()
+        val memoCap = 1 << 16
+        def signs(t: String): Array[Byte] = {
+          var s = memo.get(t)
+          if (s == null) {
+            s = new Array[Byte](dim)
             var j = 0
             while (j < dim) {
-              v(j) += (if ((mode.hash60(t + ":" + j) & 1L) == 1L) 1L else -1L)
+              s(j) = (if ((mode.hash60(t + ":" + j) & 1L) == 1L) 1 else -1).toByte
               j += 1
             }
+            if (memo.size < memoCap) memo.put(t, s)
           }
-          Iterator((id, v))
+          s
+        }
+        rows.flatMap { case (id, text) =>
+          val toks = text.split(" ").filter(_.nonEmpty)
+          if (toks.isEmpty) Iterator.empty
+          else {
+            val v = new Array[Long](dim)
+            toks.foreach { t =>
+              val s = signs(t)
+              var j = 0
+              while (j < dim) {
+                v(j) += s(j)
+                j += 1
+              }
+            }
+            Iterator((id, v))
+          }
         }
       }
       .toDF(idCol, "hvec")

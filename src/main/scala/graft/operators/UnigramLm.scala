@@ -25,7 +25,13 @@ object UnigramLm {
   def surprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(TextFunctions.tokens(lower(coalesce(col(textCol), lit(""))))).as("tok"))
+    // materialize the multiplicity relation ONCE: it feeds the
+    // vocabulary aggregate AND the scoring join, and Catalyst does not
+    // dedupe common subplans across join legs — unmaterialized, every
+    // consumer re-runs the corpus tokenize+explode scan (q280's plan
+    // carried 16 parquet scans before this family was materialized)
     val m = toks.groupBy("id", "tok").agg(count(lit(1)).cast("double").as("k"))
+      .localCheckpoint()
     val cnt = m.groupBy("tok").agg(sum(col("k")).as("c"))
     val tot = cnt.agg(sum(col("c")).as("t"))
     m.join(cnt, Seq("tok"))
@@ -56,7 +62,9 @@ object UnigramLm {
         (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
       .select(col("id"), col("p.l").as("l"), col("p.r").as("r"))
     val m = bg.groupBy("id", "l", "r").agg(count(lit(1)).cast("double").as("k"))
+      .localCheckpoint() // shared by clr + the scoring join (see surprisal)
     val clr = m.groupBy("l", "r").agg(sum(col("k")).as("clr"))
+      .localCheckpoint() // shared by cl + the scoring join
     val cl = clr.groupBy("l").agg(sum(col("clr")).as("cltot"))
     m.join(clr, Seq("l", "r")).join(cl, Seq("l"))
       .groupBy("id")
@@ -96,7 +104,9 @@ object UnigramLm {
         (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
       .select(col("id"), col("p.l").as("l"), col("p.r").as("r"))
     val m = bg.groupBy("id", "l", "r").agg(count(lit(1)).cast("double").as("k"))
+      .localCheckpoint() // shared by clr + the scoring join (see surprisal)
     val clr = m.groupBy("l", "r").agg(sum(col("k")).as("clr"))
+      .localCheckpoint() // shared by cl/cont/tot + the scoring join
     val cl = clr.groupBy("l").agg(sum(col("clr")).as("cltot"),
       count(lit(1)).cast("double").as("nfollow"))
     val cont = clr.groupBy("r").agg(count(lit(1)).cast("double").as("nprec"))
@@ -150,10 +160,13 @@ object UnigramLm {
           element_at(col("toks"), i + 3).as("w")))).as("g"))
       .select(col("id"), col("g.u").as("u"), col("g.v").as("v"), col("g.w").as("w"))
     val m = tg.groupBy("id", "u", "v", "w").agg(count(lit(1)).cast("double").as("k"))
+      .localCheckpoint() // shared by c3 + the scoring join (see surprisal)
     val c3 = m.groupBy("u", "v", "w").agg(sum(col("k")).as("c3"))
+      .localCheckpoint() // shared by cuv/bt/nv + the scoring join
     val cuv = c3.groupBy("u", "v").agg(sum(col("c3")).as("cuvtot"),
       count(lit(1)).cast("double").as("nfollow3"))
     val bt = c3.groupBy("v", "w").agg(count(lit(1)).cast("double").as("contvw"))
+      .localCheckpoint() // shared by mt/n1w/tot + the scoring join
     val nv = c3.groupBy("v").agg(count(lit(1)).cast("double").as("nmid"))
     val mt = bt.groupBy("v").agg(count(lit(1)).cast("double").as("nfollow2"))
     val n1w = bt.groupBy("w").agg(count(lit(1)).cast("double").as("nprec"))

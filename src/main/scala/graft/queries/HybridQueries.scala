@@ -647,21 +647,27 @@ object HybridQueries {
       val emb = Tables.embeddings(s, dir)
       val centroids = emb.filter(col("vec_id") < 16)
       val blobUdf = udf((qid: Long) => statsBlobFor(qid % 3))
+      // materialize the shared legs once (results unchanged — Catalyst
+      // has no cross-leg subplan dedup, so the lazy index/stats/queries
+      // would re-run per consumer below)
       val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 130)
         .withColumn("predicate", blobUdf(col("vec_id")))
         .withColumn("tier",
           when(pmod(col("vec_id"), lit(3)) === 0, "sel_10pct")
             .when(pmod(col("vec_id"), lit(3)) === 1, "sel_50pct")
             .otherwise("sel_20pct"))
+        .localCheckpoint()
       val index = Ann.ivfIndexWithMeta(emb, centroids, metaCols = Seq("label"))
-      val stats = Ann.cellSelectivityStats(index, "label")
+        .localCheckpoint()
+      val stats = Ann.cellSelectivityStats(index, "label").localCheckpoint()
       val widths = Ann.adaptiveProbeWidths(queries, centroids, stats, "label",
         k = 5, safety = 2.0, minProbe = 1, maxProbe = 8)
       val pred = Ann.ivfSearchFilteredAdaptive(queries, index, centroids,
         stats, "label", k = 5, safety = 2.0, minProbe = 1, maxProbe = 8,
         metadataCols = Seq("label"), excludeSelf = true)
       val truth = HybridGroundTruth.knnWithPerQueryPredicates(
-        queries, emb, k = 5, metadataCols = Seq("label"), excludeSelf = true)
+          queries, emb, k = 5, metadataCols = Seq("label"), excludeSelf = true)
+        .localCheckpoint()
       val truthN = truth.groupBy("query_id").agg(count(lit(1)).as("truth_n"))
       val hits = pred.select("query_id", "neighbor_id")
         .join(truth.select("query_id", "neighbor_id"),
