@@ -889,13 +889,13 @@ object Ann {
       predicateCol: String = "predicate", metadataCols: Seq[String] = Nil,
       excludeSelf: Boolean = false): DataFrame = {
     require(safeties.nonEmpty, "safetyCalibrationCard needs at least one safety")
-    // the index/queries/stats frames feed the truth pass plus TWO legs per
-    // grid safety — materialize each once (no-op if already materialized;
-    // see materializedView): previously every grid cell re-ran the full
-    // upstream index assignment
+    // the index feeds the truth pass plus one leg per grid safety —
+    // materialize it once (no-op if already materialized; see
+    // materializedView): previously every grid cell re-ran the full
+    // upstream index assignment. stats/queries stay lazy (broadcast-scale).
     val idx = materializedView(index)
-    val st = materializedView(stats)
-    val qs = materializedView(queries)
+    val st = stats
+    val qs = queries
     val truth = HybridGroundTruth.knnWithPerQueryPredicates(
         qs, idx.select((Seq(col("id").as(idCol),
           col("vec").as(vecCol)) ++ metadataCols.map(col)): _*),
@@ -1093,12 +1093,13 @@ object Ann {
       predicateCol: String = "predicate", metadataCols: Seq[String] = Nil,
       excludeSelf: Boolean = false): DataFrame = {
     val nList = centroids.count().toInt
-    // the index feeds all three route searches, the stats feed the route
-    // plan AND the adaptive tier, the queries feed the plan + three
-    // slices: materialize each once (no-op when the caller already did)
+    // the index feeds all three route searches — materialize it once
+    // (no-op when the caller already did). stats/queries are
+    // broadcast-scale relations; re-deriving them per leg is cheaper
+    // than a checkpoint job each (measured on the q246-q249 cards).
     val idx = materializedView(index)
-    val st = materializedView(stats)
-    val qs = materializedView(queries)
+    val st = stats
+    val qs = queries
     val routes = routePlan(qs, st, metaCol, exactMax, wideFraction,
       idCol, predicateCol).localCheckpoint()
     def slice(route: String): DataFrame = qs.join(
@@ -1132,13 +1133,14 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       predicateCol: String = "predicate", metadataCols: Seq[String] = Nil,
       excludeSelf: Boolean = false): DataFrame = {
-    // one materialization each for the frames every leg below re-reads
-    // (routed search ×3 routes, truth pass, route rollup) — see
-    // materializedView; inner hybridSearchRouted sees the materialized
-    // leaves and does not re-checkpoint
+    // materialize the INDEX once for the legs below (routed search ×3
+    // routes, truth pass) — see materializedView; inner hybridSearchRouted
+    // sees the materialized leaf and does not re-checkpoint. stats/queries
+    // stay lazy (broadcast-scale; a checkpoint job each costs more than
+    // re-derivation).
     val idx = materializedView(index)
-    val st = materializedView(stats)
-    val qs = materializedView(queries)
+    val st = stats
+    val qs = queries
     val routes = routePlan(qs, st, metaCol, exactMax, wideFraction,
       idCol, predicateCol).localCheckpoint()
     val pred = hybridSearchRouted(qs, idx, centroids, st, metaCol,

@@ -88,6 +88,15 @@ object Bpe {
     */
   private val DriverTrainThreshold = 200000L
 
+  /** Test seam: run the merge loop with an explicit driver-path threshold
+    * (0 forces the distributed loop) — the differential spec pins the two
+    * paths equal on the same counts.
+    */
+  private[operators] def trainFromCountsWithThreshold(wc: DataFrame,
+      numMerges: Int, driverThreshold: Long)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    trainFromCounts(wc, numMerges, driverThreshold)
+
   /** Unsigned UTF-8 byte comparison == Spark's binary StringType
     * ordering (UTF8String.compareTo), NOT String.compareTo (UTF-16 code
     * units), which disagrees above the BMP.
@@ -104,8 +113,9 @@ object Bpe {
     x.length - y.length
   }
 
-  private def trainFromCounts(wc: DataFrame,
-      numMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+  private def trainFromCounts(wc: DataFrame, numMerges: Int,
+      driverThreshold: Long = DriverTrainThreshold)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     val spark = wc.sparkSession
     import spark.implicits._
@@ -117,7 +127,7 @@ object Bpe {
       .as[(String, Long, Array[String])]
       .localCheckpoint() // eager: truncates lineage (see scaladoc)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    if (vocab.count() <= DriverTrainThreshold) {
+    if (vocab.count() <= driverThreshold) {
       // driver path: one collect, then the whole merge loop in memory —
       // identical pair sums (exact longs), identical argmax tie-break,
       // identical applyMerge; 2 jobs total instead of 2 per merge

@@ -1110,7 +1110,10 @@ object Dedup {
     require(minLen > 0, s"minLen must be positive, got $minLen")
     val base = docs.select(col(idCol).cast("long").as("id"),
       coalesce(col(textCol), lit("")).as("t"))
-    val wins = charWindowHashes(base, minLen, mode)
+    // materialized ONCE: the posting feeds the canonical-pick aggregate
+    // AND the non-canonical join — unmaterialized, the per-character
+    // window-hash kernel (the md5-bound pass in oracle mode) runs twice
+    val wins = charWindowHashes(base, minLen, mode).localCheckpoint()
     // one pass: occurrence count AND the canonical (lowest id, pos)
     // occurrence per window hash
     val firsts = wins.groupBy("h")
@@ -1160,7 +1163,9 @@ object Dedup {
     */
   private def exactSubstrDupStarts(base: DataFrame, l: Int,
       mode: HashMode): DataFrame = {
-    val wins = charWindowHashes(base, l, mode)
+    // materialized ONCE (see removeExactSubstrCharKeepFirst): the dup-
+    // hash aggregate and the semi-join would each re-run the window kernel
+    val wins = charWindowHashes(base, l, mode).localCheckpoint()
     val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("h")
     wins.join(dupHashes, Seq("h"), "left_semi").select("id", "pos")
@@ -1263,8 +1268,12 @@ object Dedup {
   def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.0): DataFrame = {
     val pairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
-    val m = pairs.select(col("id_a").as("id"), col("jaccard"))
-      .unionByName(pairs.select(col("id_b").as("id"), col("jaccard")))
+    // explode instead of union-of-two-projections: the union form runs
+    // the whole pair pipeline once per leg (no cross-leg subplan dedup);
+    // the explode emits the same two (id, jaccard) rows per pair in ONE
+    // pass over it
+    val m = pairs.select(
+        explode(array(col("id_a"), col("id_b"))).as("id"), col("jaccard"))
       .groupBy("id").agg(max(col("jaccard")).as("_mx"))
     docs.select(col(idCol).cast("long").as("id"))
       .join(m, Seq("id"), "left")

@@ -120,9 +120,16 @@ object Release {
     * parquet between releases: every downstream consumer reads the
     * computed relations, never re-runs the corpus text scans.
     */
-  def materialized(a: Artifacts): Artifacts =
-    Artifacts(a.index.localCheckpoint(), a.pairs.localCheckpoint(),
-      a.contam.localCheckpoint(), a.scores.localCheckpoint())
+  def materialized(a: Artifacts): Artifacts = {
+    // skip frames that already ARE materialized leaves (artifacts() now
+    // checkpoints the index itself) — re-checkpointing would copy every
+    // block for nothing
+    def mat(df: DataFrame): DataFrame = df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => df
+      case _ => df.localCheckpoint()
+    }
+    Artifacts(mat(a.index), mat(a.pairs), mat(a.contam), mat(a.scores))
+  }
 
   /** From-scratch release over one corpus (the baseline the incremental
     * path must equal).
@@ -277,8 +284,12 @@ object Release {
     */
   def selectionDatasheet(selected: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    // materialized once: the selected-docs frame feeds the token stats AND
+    // the doc stats below — unmaterialized, the whole upstream selection
+    // pipeline re-runs per aggregate leg
     val docs = corpus.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .join(selected.select("id"), Seq("id"), "left_semi")
+      .localCheckpoint()
     val toks = docs.select(explode(split(lower(col("t")), " ")).as("tok"))
       .filter(col("tok") =!= "")
     val tokStats = toks.agg(count(lit(1)).as("n_tokens"),

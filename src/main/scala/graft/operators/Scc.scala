@@ -77,19 +77,23 @@ object Scc {
     var it = 0
     while (!converged && it < maxInner) {
       it += 1
-      val prop = lab.join(e, col("id") === col("from"))
+      // ONE join per round: the pointer-jump term lab(lab(v)) is exactly
+      // a min-label propagation over the LABEL EDGES (lab(v) → v) — lab
+      // reaches v, so whatever reaches lab reaches v — so e ∪ labEdges
+      // feeds a single propagation join instead of the old prop join +
+      // jump self-join. Every v receives at least its own labEdge
+      // contribution (the self-join-always-matches property), so the
+      // least(...) below sees exactly the old three-way minimum:
+      // min(lab(v), min_{u→v} lab(u), lab(lab(v))) — identical labels,
+      // identical round count, identical convergence witness.
+      val labEdges = lab.select(col("lab").as("from"), col("id").as("to"))
+      val prop = lab.join(e.unionByName(labEdges), col("id") === col("from"))
         .groupBy(col("to").as("pid"))
         .agg(min(col("lab")).as("cand"))
-      // pointer jump: labels are node ids of this fixpoint's node set
-      // (initialized to id, propagated as mins of ids), so the self-join
-      // always matches; left + coalesce keeps the shape total regardless
-      val jump = lab.select(col("id").as("jid"), col("lab").as("jlab"))
       val nxt = mat(lab
         .join(prop, col("id") === col("pid"), "left")
-        .join(jump, col("lab") === col("jid"), "left")
         .select(col("id"), least(col("lab"),
-          coalesce(col("cand"), col("lab")),
-          coalesce(col("jlab"), col("lab"))).as("lab")))
+          coalesce(col("cand"), col("lab"))).as("lab")))
       Materialize.free(lab)
       lab = nxt
       val s = labelSum(lab)
@@ -145,10 +149,15 @@ object Scc {
       var trimIt = 0
       while (trimmed && trimIt < maxInner) {
         trimIt += 1
-        val hasOut = liveE.select(col("src").as("id")).distinct()
-        val hasIn = liveE.select(col("dst").as("id")).distinct()
-        val trivial = mat(live.join(hasOut, Seq("id"), "left_anti")
-          .union(live.join(hasIn, Seq("id"), "left_anti")).distinct())
+        // trivial = live ∖ (hasOut ∩ hasIn): one endpoint aggregate + one
+        // anti-join, replacing the old 2 distincts + 2 anti-joins + union
+        // + distinct — identical set (a node is non-trivial iff it occurs
+        // as BOTH a source and a destination in the remaining edges)
+        val bothEnds = liveE.select(col("src").as("id"), lit(0).as("_e"))
+          .unionByName(liveE.select(col("dst").as("id"), lit(1).as("_e")))
+          .groupBy("id").agg(count_distinct(col("_e")).as("_n"))
+          .filter(col("_n") === 2).select("id")
+        val trivial = mat(live.join(bothEnds, Seq("id"), "left_anti"))
         val nTrivial = trivial.count()
         if (nTrivial > 0) {
           accumulate(trivial.select(col("id"), col("id").as("scc")))

@@ -647,19 +647,19 @@ object HybridQueries {
       val emb = Tables.embeddings(s, dir)
       val centroids = emb.filter(col("vec_id") < 16)
       val blobUdf = udf((qid: Long) => statsBlobFor(qid % 3))
-      // materialize the shared legs once (results unchanged — Catalyst
-      // has no cross-leg subplan dedup, so the lazy index/stats/queries
-      // would re-run per consumer below)
+      // materialize the expensive shared leg once (results unchanged —
+      // Catalyst has no cross-leg subplan dedup, so the lazy index would
+      // re-run its full assignment per consumer below; queries/stats are
+      // broadcast-scale and re-derive cheaply)
       val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 130)
         .withColumn("predicate", blobUdf(col("vec_id")))
         .withColumn("tier",
           when(pmod(col("vec_id"), lit(3)) === 0, "sel_10pct")
             .when(pmod(col("vec_id"), lit(3)) === 1, "sel_50pct")
             .otherwise("sel_20pct"))
-        .localCheckpoint()
       val index = Ann.ivfIndexWithMeta(emb, centroids, metaCols = Seq("label"))
         .localCheckpoint()
-      val stats = Ann.cellSelectivityStats(index, "label").localCheckpoint()
+      val stats = Ann.cellSelectivityStats(index, "label")
       val widths = Ann.adaptiveProbeWidths(queries, centroids, stats, "label",
         k = 5, safety = 2.0, minProbe = 1, maxProbe = 8)
       val pred = Ann.ivfSearchFilteredAdaptive(queries, index, centroids,
