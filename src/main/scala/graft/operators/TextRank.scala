@@ -63,6 +63,7 @@ object TextRank {
         greatest(col("a"), col("b")).as("y"))
       .agg(count(lit(1)).cast("double").as("w"))
       .filter(col("w") >= minCount)
+      .localCheckpoint() // both mirror legs read it — one pair-count pass
     canon.select(col("x").as("src"), col("y").as("dst"), col("w"))
       .unionByName(canon.select(col("y").as("src"), col("x").as("dst"), col("w")))
   }
