@@ -199,17 +199,21 @@ object Bench {
       .sortBy { case (_, med, _) => if (med < 0) Double.MaxValue else med }
       .map { case (k, med, _) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(med) }
       .mkString("{", ",", "}")
+    println(s"""{"queries":$qs,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","contaminated":$contaminated}""")
     // per-query MIN as its own committed line: on this host the min-sum is
     // the only cross-round-comparable number when sweeps spread (external
     // load inflates medians uniformly; the min survives one clean sweep).
-    // Printed BEFORE the contract line so tail-truncation of the combined
-    // artifact eats this first and the medians+diag always survive whole.
+    // Printed AFTER the contract line, sorted fastest-first: the driver
+    // parses the contract line from the full stream but commits only the
+    // last ~2 KB of output, so this order keeps the SLOWEST queries' mins
+    // (the ones a round-over-round comparison needs) inside the committed
+    // tail — round 15 printed it before the contract line and the tail
+    // truncated every per-query min away (VERDICT r15 "what's wrong" #3).
     val qsMin = results
       .sortBy { case (_, _, mn) => if (mn < 0) Double.MaxValue else mn }
       .map { case (k, _, mn) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(mn) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"queries_min","total_min":${f3(totalMin)},"queries_min":$qsMin}""")
-    println(s"""{"queries":$qs,"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","contaminated":$contaminated}""")
     // outliers: median > 2× min AND > 0.5 s absolute — the per-query form
     // of "this sweep was contaminated". Empty on an idle machine.
     val outliers = results

@@ -45,7 +45,12 @@ object StableHash {
     * `conv(substr(md5(s),1,15),16,10)`).
     */
   def md5Hash60(s: String): Long = {
-    val d = md5Local.get().digest(s.getBytes("UTF-8"))
+    val md = md5Local.get()
+    // reset defensively: an exception/interrupt between a previous
+    // caller's update() and digest() would otherwise leave residual
+    // digest state on this thread and silently corrupt every later hash
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
     // 15 hex digits = 7.5 bytes
     var h = 0L
     var i = 0
@@ -103,6 +108,7 @@ object StableHash {
       i += 1
     }
     val md = md5Local.get()
+    md.reset() // see md5Hash60: clear any aborted caller's residual state
     Array.tabulate(n) { w =>
       md.update(bytes, offs(w), offs(w + l) - offs(w))
       val d = md.digest()

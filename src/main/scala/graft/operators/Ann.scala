@@ -1080,10 +1080,7 @@ object Ann {
     * q249 plan carried 16 parquet scans / 56 exchanges before this).
     */
   private def materializedView(df: DataFrame): DataFrame =
-    df.queryExecution.analyzed match {
-      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => df
-      case _ => df.localCheckpoint()
-    }
+    Materialize.view(df)
 
   def hybridSearchRouted(queries: DataFrame, index: DataFrame,
       centroids: DataFrame, stats: DataFrame, metaCol: String, k: Int,

@@ -125,14 +125,18 @@ object Bpe {
         expr("transform(sequence(1, char_length(word)), i -> substring(word, i, 1))")
           .as("syms"))
       .as[(String, Long, Array[String])]
-      .localCheckpoint() // eager: truncates lineage (see scaladoc)
+      // LAZY checkpoint: the driver-path gate's count() below is the job
+      // that computes and persists the blocks — one job, not a
+      // checkpoint job plus a count job (witness fusion; lineage still
+      // truncates at that job's end)
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     if (vocab.count() <= driverThreshold) {
       // driver path: one collect, then the whole merge loop in memory —
       // identical pair sums (exact longs), identical argmax tie-break,
       // identical applyMerge; 2 jobs total instead of 2 per merge
       val rows = vocab.collect()
-      vocab.unpersist(blocking = false)
+      Materialize.free(vocab.toDF()) // Dataset.unpersist misses checkpoint blocks
       val syms = rows.map(_._3)
       var rank = 1
       var exhausted = false
@@ -198,8 +202,8 @@ object Bpe {
           merges += ((rank, l, r, cnt))
           val prev = vocab
           vocab = vocab.map { case (w, c, syms) => (w, c, applyMerge(syms, l, r)) }
-            .localCheckpoint() // eager; prev's RDD is released by the cleaner
-          prev.unpersist(blocking = false)
+            .localCheckpoint() // eager
+          Materialize.free(prev.toDF()) // superseded round's blocks go now
           rank += 1
       }
     }
@@ -214,7 +218,7 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val (merges, vocab) = trainInternal(docs, textCol, numMerges)
-    vocab.unpersist(blocking = false)
+    Materialize.free(vocab)
     merges.map { case (rk, l, r, c) => (rk.toLong, l, r, c) }
       .toDF("merge_rank", "merge_left", "merge_right", "pair_cnt")
   }
@@ -447,7 +451,7 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     val (merges, vocab) = trainFromCounts(pretokenCounts(docs, textCol), numMerges)
-    vocab.unpersist(blocking = false)
+    Materialize.free(vocab)
     merges.map { case (rk, l, r, c) => (rk.toLong, l, r, c) }
       .toDF("merge_rank", "merge_left", "merge_right", "pair_cnt")
   }

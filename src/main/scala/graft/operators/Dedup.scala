@@ -122,9 +122,8 @@ object Dedup {
       // cross-join-leg subplan dedup, so unmaterialized each leg re-runs
       // the corpus tokenize+shingle kernel (q45's plan carried 8 corpus
       // scans before this)
-      val posting = hashedShingleSets(docs, idCol, textCol, n)
-        .select(col("id"), explode(col("shingles")).as("shingle"))
-        .localCheckpoint()
+      val posting = Materialize.view(hashedShingleSets(docs, idCol, textCol, n)
+        .select(col("id"), explode(col("shingles")).as("shingle")))
       val sizes = posting.groupBy("id").agg(count(lit(1)).as("sz"))
       val inter = posting.as("a").join(posting.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -262,13 +261,13 @@ object Dedup {
     // NULL text fingerprints as the empty string: null-text docs are exact
     // duplicates of each other (and of empty docs) rather than silently
     // vanishing through a null-keyed equi-join — every input id gets a row
-    val fp = docs.select(col(idCol).cast("long").as("id"),
+    val fp = Materialize.view(docs.select(col(idCol).cast("long").as("id"),
       TextFunctions.fingerprint(coalesce(col(textCol), lit(""))).as("fingerprint"))
-      .localCheckpoint() // feeds canon + the canon join: one fingerprint scan
+    ) // feeds canon + the canon join: one fingerprint scan
     val canon = fp.groupBy("fingerprint").agg(min("id").as("exact_canonical"))
-    val withCanon = fp.join(canon, "fingerprint")
+    val withCanon = Materialize.view(fp.join(canon, "fingerprint")
       .select(col("id"), col("exact_canonical"))
-      .localCheckpoint() // feeds the survivor filter + the final status join
+    ) // feeds the survivor filter + the final status join
     val survivors = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .join(withCanon.filter(col("id") === col("exact_canonical")).select("id"), "id")
     val pairs = ngramJaccardPairs(survivors, "id", "text", n, threshold, dfCap)
@@ -768,10 +767,16 @@ object Dedup {
       checkpointDir: Option[String] = None): (DataFrame, Int, Boolean) = {
     // materialize every round: iterative self-referencing plans double
     // in depth per iteration otherwise (analysis-time blowup, then OOM);
-    // checkpointDir = reliable-storage backend for real clusters
-    val mat = Materialize.policy(edges.sparkSession, checkpointDir)
+    // checkpointDir = reliable-storage backend for real clusters.
+    // WITNESS FUSION (the PageRank.iterateUntil discipline): frames
+    // materialize LAZILY and the change probe is the job that computes
+    // and persists them — one job per round instead of two.
+    val mat = Materialize.policyLazy(edges.sparkSession, checkpointDir)
     var labels = mat(edges.select(col("s").as("id")).distinct()
       .select(col("id"), col("id").as("cluster")))
+    // NOTE: the Scc-style decimal sum witness does NOT fit here — this
+    // loop is the type-GENERIC path (string ids included), so the change
+    // probe stays a join; it is still the round's materializing job
     var iterating = true
     var rounds = 0
     while (iterating && rounds < maxIterations) {
@@ -790,6 +795,9 @@ object Dedup {
           least(col("cluster"), coalesce(col("nc"), col("cluster")),
             coalesce(col("lc"), col("cluster"))).as("cluster"))
       val nextM = mat(next)
+      // the probe both answers "did anything change" and computes/persists
+      // nextM (any partition its limit short-circuits past is filled in by
+      // Spark's checkpoint completion at job end)
       val changed = nextM.join(labels.withColumnRenamed("cluster", "old"), "id")
         .filter(col("cluster") =!= col("old")).limit(1).count()
       Materialize.free(labels) // dead once the change probe has read it
@@ -1112,8 +1120,12 @@ object Dedup {
       coalesce(col(textCol), lit("")).as("t"))
     // materialized ONCE: the posting feeds the canonical-pick aggregate
     // AND the non-canonical join — unmaterialized, the per-character
-    // window-hash kernel (the md5-bound pass in oracle mode) runs twice
-    val wins = charWindowHashes(base, minLen, mode).localCheckpoint()
+    // window-hash kernel (the md5-bound pass in oracle mode) runs twice.
+    // SIZE-CONDITIONAL: the posting is O(total characters) rows — larger
+    // than the corpus itself at 100 TB — so past the policy ceiling the
+    // frame stays lazy and the kernel's second pass is the cheaper cost
+    val wins = Materialize.view(charWindowHashes(base, minLen, mode),
+      estBytes = charPostingBytes(base))
     // one pass: occurrence count AND the canonical (lowest id, pos)
     // occurrence per window hash
     val firsts = wins.groupBy("h")
@@ -1164,11 +1176,23 @@ object Dedup {
   private def exactSubstrDupStarts(base: DataFrame, l: Int,
       mode: HashMode): DataFrame = {
     // materialized ONCE (see removeExactSubstrCharKeepFirst): the dup-
-    // hash aggregate and the semi-join would each re-run the window kernel
-    val wins = charWindowHashes(base, l, mode).localCheckpoint()
+    // hash aggregate and the semi-join would each re-run the window
+    // kernel; size-conditional for the same O(total chars) reason
+    val wins = Materialize.view(charWindowHashes(base, l, mode),
+      estBytes = charPostingBytes(base))
     val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("h")
     wins.join(dupHashes, Seq("h"), "left_semi").select("id", "pos")
+  }
+
+  /** Estimated bytes of the per-character window posting over `base`
+    * (id, text): one (long, int, long) row per character ≈ 16× the
+    * optimizer's text-size estimate — the size hint that gates the
+    * posting materialization (Materialize.view's 100 TB guard).
+    */
+  private def charPostingBytes(base: DataFrame): Long = {
+    val s = base.queryExecution.optimizedPlan.stats.sizeInBytes * 16
+    if (s > BigInt(Long.MaxValue)) Long.MaxValue else s.toLong
   }
 
   /** (id, pos, hash60) posting per length-`l` char window — the kernel

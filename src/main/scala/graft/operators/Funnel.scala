@@ -50,7 +50,9 @@ object Funnel {
           .filter(col("ts") > col("t") && gapOk)
           .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
       }
-      cur = cur.localCheckpoint(true)
+      // witness fusion (the PageRank.iterateUntil discipline): the count
+      // is the job that computes and persists each step's frame
+      cur = cur.localCheckpoint(false)
       (i + 1, et, cur.count())
     }
     counts.map { case (step, et, n) =>

@@ -54,12 +54,14 @@ object Hits {
     val spark = edges.sparkSession
     val mat = Materialize.policy(spark, checkpointDir)
 
+    // LAZY checkpoints: the n count below computes and persists e AND
+    // nodes in ONE job (witness fusion) instead of two eager jobs + count
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val n = nodes.count()
     require(n > 0, "hits: empty graph")
 

@@ -38,30 +38,43 @@ import org.apache.spark.sql.functions._
 object KCore {
 
   /** One peel at threshold `k` from an already-symmetrized, self-loop-free
-    * edge frame. Returns (survivingEdges materialized, roundsUsed);
-    * `converged` enforcement is the caller's (budget is shared across a
-    * sweep). The input must already be materialized.
+    * edge frame. Returns (survivingEdges materialized, survivingEdgeCount,
+    * roundsUsed); `converged` enforcement is the caller's (budget is
+    * shared across a sweep). The input must already be materialized.
+    * `startCount` (>= 0) is the caller's already-known edge count of
+    * `start` — passing it saves the entry count job on incremental sweeps.
+    *
+    * WITNESS FUSION (the PageRank.iterateUntil discipline): each round's
+    * survivor frame materializes LAZILY and the convergence count is the
+    * job that computes and persists it; the previous round's count is
+    * REMEMBERED instead of re-aggregated — one job per round where the
+    * old shape paid three (materialize + count(next) + count(cur)).
     */
   private def peel(start: DataFrame, k: Int, maxRounds: Int,
-      mat: DataFrame => DataFrame): (DataFrame, Int, Boolean) = {
+      matLazy: DataFrame => DataFrame,
+      startCount: Long = -1L): (DataFrame, Long, Int, Boolean) = {
     var cur = start
+    var curCount = if (startCount >= 0) startCount else start.count()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val deg = cur.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("id")
-      val next = mat(cur
+      val next = matLazy(cur
         .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst")))
-      // one aggregate answers "did this round remove anything"
-      converged = next.count() == cur.count()
+      // one aggregate answers "did this round remove anything" AND
+      // computes/persists the new frame
+      val nextCount = next.count()
+      converged = nextCount == curCount
       // free superseded rounds, but never the caller-owned `start`
       if (!(cur eq start)) Materialize.free(cur)
       cur = next
+      curCount = nextCount
       rounds += 1
     }
-    (cur, rounds, converged)
+    (cur, curCount, rounds, converged)
   }
 
   private def undirected(edges: DataFrame, srcCol: String, dstCol: String) =
@@ -77,8 +90,9 @@ object KCore {
     require(k >= 1, s"kCoreEdges: k must be >= 1, got $k")
     require(maxRounds >= 1, s"kCoreEdges: maxRounds must be >= 1, got $maxRounds")
     val mat = Materialize.policy(edges.sparkSession, checkpointDir)
-    val (core, rounds, converged) =
-      peel(mat(undirected(edges, srcCol, dstCol)), k, maxRounds, mat)
+    val matLazy = Materialize.policyLazy(edges.sparkSession, checkpointDir)
+    val (core, _, rounds, converged) =
+      peel(mat(undirected(edges, srcCol, dstCol)), k, maxRounds, matLazy)
     require(converged,
       s"kCoreEdges: no fixpoint after $rounds rounds (maxRounds=$maxRounds) — raise maxRounds")
     core
@@ -96,14 +110,18 @@ object KCore {
     require(ks.nonEmpty && ks == ks.sorted && ks.distinct == ks,
       s"coreMembership: ks must be ascending and distinct: $ks")
     val mat = Materialize.policy(edges.sparkSession, checkpointDir)
+    val matLazy = Materialize.policyLazy(edges.sparkSession, checkpointDir)
     val und = mat(undirected(edges, srcCol, dstCol))
     val nodes = und.select(col("src").as("id")).distinct()
     var cur = und
+    var curCount = -1L
     ks.foldLeft(nodes.select(col("id"), lit(0).as("max_core"))) { (acc, k) =>
-      val (core, rounds, converged) = peel(cur, k, maxRounds, mat)
+      val (core, coreCount, rounds, converged) =
+        peel(cur, k, maxRounds, matLazy, curCount)
       require(converged,
         s"coreMembership: k=$k no fixpoint after $rounds rounds — raise maxRounds")
       cur = core
+      curCount = coreCount
       val members = core.select(col("src").as("id")).distinct()
       acc.join(members.withColumn("in_core", lit(1)), Seq("id"), "left")
         .select(col("id"),
@@ -129,20 +147,26 @@ object KCore {
     require(s > 0, s"sCoreEdges: s must be > 0, got $s")
     require(maxRounds >= 1, s"sCoreEdges: maxRounds must be >= 1, got $maxRounds")
     val mat = Materialize.policy(edges.sparkSession, checkpointDir)
+    val matLazy = Materialize.policyLazy(edges.sparkSession, checkpointDir)
     var cur = mat(LabelProp.symmetrizeWeighted(edges, srcCol, dstCol, weightCol)
       .filter(col("src") =!= col("dst")).filter(col("w") > 0))
+    var curCount = cur.count()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val strength = cur.groupBy(col("src").as("id")).agg(sum(col("w")).as("st"))
       val keep = strength.filter(col("st") >= s).select("id")
-      val next = mat(cur
+      // witness fusion: the count computes and persists the new frame,
+      // and the previous count is remembered (see peel)
+      val next = matLazy(cur
         .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"), col("w")))
-      converged = next.count() == cur.count()
+      val nextCount = next.count()
+      converged = nextCount == curCount
       Materialize.free(cur)
       cur = next
+      curCount = nextCount
       rounds += 1
     }
     require(converged,
@@ -171,11 +195,12 @@ object KCore {
     // frame's own blocks, never a leaf shared with the live edge frame
     var result = mat(cur.select(col("src").as("id")).distinct()
       .select(col("id"), lit(0).as("coreness")))
+    val matLazy = Materialize.policyLazy(spark, checkpointDir)
     var budget = maxRounds
     var k = 1
     var n = cur.count()
     while (n > 0) {
-      val (core, rounds, converged) = peel(cur, k, budget, mat)
+      val (core, coreCount, rounds, converged) = peel(cur, k, budget, matLazy, n)
       require(converged,
         s"coreness: k=$k exhausted the $maxRounds-round budget — raise maxRounds")
       budget -= math.max(rounds - 1, 0) // converged peels spend rounds-1 removing
@@ -192,7 +217,7 @@ object KCore {
       if (!(core eq cur)) Materialize.free(cur)
       result = newResult
       cur = core
-      n = cur.count()
+      n = coreCount // peel already counted the survivors (witness fusion)
       k += 1
     }
     result

@@ -26,10 +26,12 @@ object Katz {
     require(alpha > 0 && alpha < 1, s"katz: alpha in (0,1), got $alpha")
     val mat = Materialize.policy(edges.sparkSession, checkpointDir)
 
+    // LAZY checkpoints: the init materialization job computes and
+    // persists e AND nodes too (witness fusion) — one job, not three
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(false)
 
     def step(prev: DataFrame): DataFrame = {
       val contribs = prev.join(e, col("id") === col("src"))

@@ -1,23 +1,32 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Shared materialization policy for the iterative operators (PageRank,
-  * LabelProp, KCore, connectedComponents). Every round MUST materialize
+  * LabelProp, KCore, connectedComponents) AND for shared-subplan
+  * materializations ([[view]]). Every iterative round MUST materialize
   * its state frame: the state is referenced at least twice by the next
   * round (contribution join + dangling/fixpoint pass), so an
   * unmaterialized chain re-executes its whole prefix ~2^rounds times —
   * measured in PageRank.scala (q295: 5.1 s → 30.6 s when relaxed).
   *
-  * Two backends:
-  *  - `localCheckpoint` (the default, `checkpointDir = None`): truncates
-  *    lineage into executor-memory blocks — zero external storage, right
-  *    for local mode and short jobs, but NOT fault-tolerant: the blocks
-  *    live only on executors, so an executor loss kills the job;
-  *  - `checkpoint` into `checkpointDir` (reliable storage — HDFS/object
+  * Backends (selected per call via `checkpointDir`, or session-wide via
+  * `spark.graft.materialize.backend` = `local` | `disk` | `reliable` plus
+  * `spark.graft.materialize.dir` for `reliable`):
+  *  - `local` (the default): `localCheckpoint` — truncates lineage into
+  *    executor MEMORY_AND_DISK blocks. Zero external storage, right for
+  *    local mode and short jobs, but NOT fault-tolerant: the blocks live
+  *    only on executors, so an executor loss kills the job;
+  *  - `disk`: `localCheckpoint(StorageLevel.DISK_ONLY)` — same lineage
+  *    truncation, but the blocks spill straight to executor-local disk:
+  *    no storage-memory pressure from large materialized frames (the
+  *    100 TB setting for big shared frames when reliable storage is not
+  *    mounted). Still executor-local, still not fault-tolerant;
+  *  - `reliable`: `checkpoint` into a reliable store (HDFS/object
   *    store): the production setting for long iterative jobs on real
   *    clusters; survives executor loss at the cost of one write+read of
-  *    the (id, double) state per round — 16 bytes/node, far under any
+  *    the state per round — 16 bytes/node for rank frames, far under any
   *    shuffle budget.
   *
   * `policy` prepares the SparkContext ONCE per operator call
@@ -39,18 +48,75 @@ private[graft] object Materialize {
     */
   private val StatCapBytes = 1L << 40
 
-  /** The per-round materializer for the given backend. */
-  def policy(spark: SparkSession,
-      checkpointDir: Option[String]): DataFrame => DataFrame =
+  private def backend(spark: SparkSession): String =
+    spark.conf.get("spark.graft.materialize.backend", "local")
+
+  /** Reliable checkpoint directory: the explicit per-call dir wins, then
+    * the session conf, then an already-set SparkContext checkpoint dir.
+    * Set once per materializer (see object scaladoc).
+    */
+  private def reliableDir(spark: SparkSession, explicit: Option[String]): String =
+    explicit
+      .orElse(Option(spark.conf.get("spark.graft.materialize.dir", null)))
+      .orElse(spark.sparkContext.getCheckpointDir)
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-ckpt")
+
+  /** The per-round materializer for the given backend. `eager = false`
+    * defers the materializing job to the FIRST ACTION that reads the
+    * frame — the witness-fusion contract: an iterative loop whose next
+    * step is a convergence aggregate (`collect`) lets THAT job compute
+    * and persist the blocks, halving the per-round job count (guide §1.2:
+    * don't run two jobs where one suffices). Lineage still truncates at
+    * the end of that first action (Spark fills in any partitions the
+    * action skipped), so the plan-growth guarantee is unchanged.
+    */
+  def policy(spark: SparkSession, checkpointDir: Option[String],
+      eager: Boolean = true): DataFrame => DataFrame =
     checkpointDir match {
-      case None =>
+      case None if backend(spark) == "local" =>
         df => org.apache.spark.sql.graftbridge.Bridge.capStats(
-          df.localCheckpoint(true), StatCapBytes)
-      case Some(dir) =>
-        spark.sparkContext.setCheckpointDir(dir)
+          df.localCheckpoint(eager), StatCapBytes)
+      case None if backend(spark) == "disk" =>
         df => org.apache.spark.sql.graftbridge.Bridge.capStats(
-          df.checkpoint(true), StatCapBytes)
+          df.localCheckpoint(eager, StorageLevel.DISK_ONLY), StatCapBytes)
+      case other =>
+        spark.sparkContext.setCheckpointDir(reliableDir(spark, other))
+        df => org.apache.spark.sql.graftbridge.Bridge.capStats(
+          df.checkpoint(eager), StatCapBytes)
     }
+
+  /** [[policy]] with `eager = false` — the witness-fusion form. */
+  def policyLazy(spark: SparkSession,
+      checkpointDir: Option[String]): DataFrame => DataFrame =
+    policy(spark, checkpointDir, eager = false)
+
+  /** Materialize a SHARED SUBPLAN once (Catalyst has no cross-join-leg
+    * subplan dedup, so an unmaterialized frame referenced by k legs
+    * re-executes its whole pipeline k times). Same backend policy as the
+    * iterative seam; frames that are already materialized leaves pass
+    * through untouched (the Release.materialized leaf-skip rule).
+    *
+    * `estBytes` (> 0) gates the materialization on size: above
+    * `spark.graft.materialize.maxBytes` (default 32 GiB) the frame is
+    * returned UNmaterialized and its consumers recompute it — the scale
+    * guard for frames that grow with the corpus (the ExactSubstr
+    * per-character window posting is LARGER than the corpus at 100 TB;
+    * pinning it into executor storage is worse than the second pass it
+    * saves). Local test SFs sit far under the default, so local plans
+    * keep the materialized leaf.
+    */
+  def view(df: DataFrame, estBytes: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    val isLeaf = df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
+    lazy val maxBytes =
+      spark.conf.get("spark.graft.materialize.maxBytes", (32L << 30).toString).toLong
+    if (isLeaf || (estBytes > 0 && estBytes > maxBytes)) df
+    else policy(spark, None)(df)
+  }
 
   /** Release the executor-storage blocks of a SUPERSEDED materialized
     * frame. A `localCheckpoint` persists its RDD blocks on executors and
@@ -68,7 +134,10 @@ private[graft] object Materialize {
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD
           if l.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE =>
-        l.rdd.unpersist(blocking = false)
+        // quiet form of RDD.unpersist: freeing a dead locally-checkpointed
+        // frame is THE contract here, so the per-call "cannot be
+        // recomputed" warning is noise (CoreBridge scaladoc)
+        org.apache.spark.graftbridge.CoreBridge.unpersistQuietly(l.rdd)
       case _ =>
     }
 }

@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * aggregates, no UDFs) and whose per-round cost is ONE (dst-grouped)
   * sketch-union shuffle, the same shape as a PageRank round.
   *
-  * Both paths materialize per round ([[Materialize]]) — frontier and
-  * known (or the sketch state) are each referenced twice by the next
-  * round, PageRank.scala's 2^T lineage guard.
+  * Both paths materialize per round ([[Materialize]]): the exact path
+  * materializes each round's SHELL once and keeps the visited set as a
+  * lazy union over those materialized shells (the anti-join re-reads
+  * cached blocks; no per-round copy of the whole set), the sketch path
+  * materializes its state frame — PageRank.scala's 2^T lineage guard.
   *
   * Distances follow OUT-edges: d(v, u) = length of the shortest directed
   * path v → u. For undirected semantics pass symmetrized edges
@@ -41,8 +43,10 @@ object Neighborhoods {
       checkpointDir: Option[String] = None): DataFrame = {
     require(radius >= 1, s"boundedDistances: radius >= 1, got $radius")
     val mat = Materialize.policy(edges.sparkSession, checkpointDir)
+    // LAZY checkpoint: the first round's materialization job computes
+    // and persists e too (witness fusion) — one job, not two
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
 
@@ -110,7 +114,7 @@ object Neighborhoods {
         col(weightCol).cast("double").as("w"))
       .filter(col("src") =!= col("dst") && col("w") >= 0)
       .groupBy("src", "dst").agg(min(col("w")).as("w"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // computed+persisted by the first round's job
     var d = mat(seeds.select(col(seedIdCol).as("id")).distinct()
       .select(col("id"), lit(0.0).as("dist")))
     for (_ <- 1 to rounds) {
@@ -138,8 +142,10 @@ object Neighborhoods {
       checkpointDir: Option[String] = None): DataFrame = {
     require(radius >= 1, s"hyperBall: radius >= 1, got $radius")
     val mat = Materialize.policy(edges.sparkSession, checkpointDir)
+    // LAZY checkpoint: the first round's materialization job computes
+    // and persists e too (witness fusion) — one job, not two
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
 

@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   * sketches cross an exchange), intersection by inclusion–exclusion
   * |A∩B| = |A| + |B| − |A∪B|.
   *
+  * Scale shape: ONE pass over each side — the per-side and union
+  * aggregates compute in a single `rollup(side)` grouping-set pass
+  * (previously the union leg re-scanned and re-tokenized both sides), so
+  * each input's key/gram pipeline runs exactly once; the grouping-set
+  * expansion doubles the aggregate's input rows but they partial-combine
+  * map-side, and the final exchange still carries only per-(set, key)
+  * partials. The identical aggregate expressions see the identical key
+  * multisets, so every count and sketch estimate is unchanged.
+  *
   * Card discipline (q141/q71): in CARD mode (`includeExact = true`) the
   * output carries the EXACT counts (oracle-recomputable by DuckDB)
   * beside a bound check on the sketch — the inclusion–exclusion
@@ -39,16 +48,24 @@ object Overlap {
   def overlapCard(a: DataFrame, b: DataFrame, keyCol: String,
       rsd: Double = 0.02, includeExact: Boolean = true): DataFrame = {
     require(rsd > 0 && rsd < 1, s"overlapCard: rsd in (0,1), got $rsd")
-    val ka = a.select(col(keyCol).as("k"))
-    val kb = b.select(col(keyCol).as("k"))
+    // side-tagged single pass: rollup(side) = grouping sets ((side), ())
+    // — the () set IS the union aggregate, so neither input scans twice
+    val tagged = a.select(col(keyCol).as("k"), lit("a").as("side"))
+      .unionByName(b.select(col(keyCol).as("k"), lit("b").as("side")))
+    def pick(side: String, c: String) =
+      max(when(col("side") === side, col(c)))
+    def pickUnion(c: String) = max(when(col("side").isNull, col(c)))
     if (includeExact) {
-      val sa = ka.agg(count_distinct(col("k")).as("n_a"),
-        approx_count_distinct(col("k"), rsd).as("apx_a"))
-      val sb = kb.agg(count_distinct(col("k")).as("n_b"),
-        approx_count_distinct(col("k"), rsd).as("apx_b"))
-      val su = ka.unionByName(kb).agg(count_distinct(col("k")).as("n_union"),
-        approx_count_distinct(col("k"), rsd).as("apx_u"))
-      sa.crossJoin(broadcast(sb)).crossJoin(broadcast(su))
+      val g = tagged.rollup("side").agg(
+        count_distinct(col("k")).as("n"),
+        approx_count_distinct(col("k"), rsd).as("apx"))
+      g.agg(
+          coalesce(pick("a", "n"), lit(0L)).as("n_a"),
+          coalesce(pick("b", "n"), lit(0L)).as("n_b"),
+          coalesce(pickUnion("n"), lit(0L)).as("n_union"),
+          coalesce(pick("a", "apx"), lit(0L)).as("apx_a"),
+          coalesce(pick("b", "apx"), lit(0L)).as("apx_b"),
+          coalesce(pickUnion("apx"), lit(0L)).as("apx_u"))
         .select(col("n_a"), col("n_b"), col("n_union"),
           (col("n_a") + col("n_b") - col("n_union")).as("n_intersect"),
           when(col("n_union") === 0, lit(0.0))
@@ -59,11 +76,12 @@ object Overlap {
             lit(5 * rsd) * (col("n_a") + col("n_b") + col("n_union")))
             .as("approx_in_bounds"))
     } else {
-      val sa = ka.agg(approx_count_distinct(col("k"), rsd).as("apx_a"))
-      val sb = kb.agg(approx_count_distinct(col("k"), rsd).as("apx_b"))
-      val su = ka.unionByName(kb)
-        .agg(approx_count_distinct(col("k"), rsd).as("apx_u"))
-      sa.crossJoin(broadcast(sb)).crossJoin(broadcast(su))
+      val g = tagged.rollup("side").agg(
+        approx_count_distinct(col("k"), rsd).as("apx"))
+      g.agg(
+          coalesce(pick("a", "apx"), lit(0L)).as("apx_a"),
+          coalesce(pick("b", "apx"), lit(0L)).as("apx_b"),
+          coalesce(pickUnion("apx"), lit(0L)).as("apx_u"))
         .select(col("apx_a"), col("apx_b"), col("apx_u"),
           (col("apx_a") + col("apx_b") - col("apx_u")).as("apx_intersect"),
           when(col("apx_u") === 0, lit(0.0))

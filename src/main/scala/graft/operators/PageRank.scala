@@ -73,9 +73,46 @@ object PageRank {
     * per round). `outDeg` aggregates from `e`, so the inner join keeps
     * every edge row; the per-round arithmetic `rank * w / deg` is
     * unchanged — bit-identical ranks.
+    *
+    * SKEW (guide §2.5): the per-round contribution join is deliberately
+    * exchange-free (cached eDeg ⋈ checkpointed ranks reuse their
+    * partitioning), which also takes AQE's runtime skew split off the
+    * table — a hot source's edges all sit in ONE cached partition, and
+    * on a power-law graph at scale that partition is the round's
+    * straggler. `spark.graft.graph.joinSalt` = k > 1 spreads it: the
+    * edge frame carries salt = pmod(xxhash64(dst), k) (DETERMINISTIC, so
+    * task retries re-derive the same placement — guide §2.5's rand()
+    * hazard) and hash-distributes by (src, salt); [[contributions]] then
+    * explodes the 16-byte rank side ×k and joins on (src, salt). The
+    * contribution term multiset is identical — only float summation
+    * order moves (the documented ~1e-12 band). Default 1 = off: the
+    * salt-free plan is byte-identical to the unsalted shape.
     */
-  private def attachDeg(e: DataFrame, outDeg: DataFrame): DataFrame =
-    e.join(outDeg, "src")
+  private def attachDeg(e: DataFrame, outDeg: DataFrame): DataFrame = {
+    val k = joinSalt(e.sparkSession)
+    val j = e.join(outDeg, "src")
+    if (k <= 1) j
+    else j.withColumn("salt", pmod(xxhash64(col("dst")), lit(k)).cast("int"))
+      .repartition(col("src"), col("salt"))
+  }
+
+  private def joinSalt(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.graph.joinSalt", "1").toInt
+
+  /** The per-round contribution relation (cid, contrib) from the rank
+    * frame and the deg-attached (possibly salted) edge frame.
+    */
+  private def contributions(eDeg: DataFrame, ranks: DataFrame): DataFrame = {
+    val joined =
+      if (eDeg.columns.contains("salt")) {
+        val k = joinSalt(eDeg.sparkSession)
+        ranks.select(col("id"), col("rank"),
+            explode(sequence(lit(0), lit(k - 1))).as("_rsalt"))
+          .join(eDeg, col("id") === col("src") && col("_rsalt") === col("salt"))
+      } else ranks.join(eDeg, col("id") === col("src"))
+    joined.groupBy(col("dst").as("cid"))
+      .agg(sum(col("rank") * col("w") / col("deg")).as("contrib"))
+  }
 
   /** One damped update from `ranks` given prepared (eDeg, outDeg, nodes, n).
     * `hasDangling = false` (every node has out-edges — checked ONCE per
@@ -94,9 +131,7 @@ object PageRank {
   private def step(eDeg: DataFrame, outDeg: DataFrame, nodes: DataFrame, n: Long,
       ranks: DataFrame, damping: Double, hasDangling: Boolean,
       carryPrev: Boolean = false): DataFrame = {
-    val contribs = ranks.join(eDeg, col("id") === col("src"))
-      .groupBy(col("dst").as("cid"))
-      .agg(sum(col("rank") * col("w") / col("deg")).as("contrib"))
+    val contribs = contributions(eDeg, ranks)
     val left = if (carryPrev) ranks.select(col("id"), col("rank").as("prev"))
       else nodes
     val base = left.join(contribs, col("id") === col("cid"), "left")
@@ -200,7 +235,8 @@ object PageRank {
     require(n > 0, "pageRankUntil: empty graph")
     val hasDangling = outDeg.count() < n
     val init = mat(nodes.select(col("id"), (lit(1.0) / n).as("rank")))
-    try iterateUntil(init, eps, maxIters, mat)(
+    try iterateUntil(init, eps, maxIters,
+      Materialize.policyLazy(edges.sparkSession, checkpointDir))(
       prev => step(eDeg, outDeg, nodes, n, prev, damping, hasDangling,
         carryPrev = true))
     finally { e.unpersist(); nodes.unpersist(); outDeg.unpersist(); eDeg.unpersist() }
@@ -241,7 +277,8 @@ object PageRank {
       require(total > 0, "pageRankResume: init ranks must sum > 0 over the node set")
       val start = mat(joined.select(col("id"), (col("r0") / total).as("rank")))
       joined.unpersist()
-      iterateUntil(start, eps, maxIters, mat)(
+      iterateUntil(start, eps, maxIters,
+        Materialize.policyLazy(edges.sparkSession, checkpointDir))(
         prev => step(eDeg, outDeg, nodes, n, prev, damping, hasDangling,
           carryPrev = true))
     } finally { e.unpersist(); nodes.unpersist(); outDeg.unpersist(); eDeg.unpersist() }
@@ -253,15 +290,20 @@ object PageRank {
     * join job the old shape paid (prev ⋈ cur on id) is gone; the pairs
     * and |r_t − r_{t−1}| terms are identical, only float summation order
     * can differ (the documented ~1e-12 band; every eps sits far away).
+    *
+    * WITNESS FUSION: the frame materializes LAZILY and the delta
+    * aggregate is the job that computes (and persists) it — one job per
+    * round instead of materialize-then-aggregate (guide §1.2: the
+    * per-round stage shapes are identical, only the job count halves).
     */
   private def iterateUntil(init: DataFrame, eps: Double, maxIters: Int,
-      mat: DataFrame => DataFrame)(next: DataFrame => DataFrame)
+      matLazy: DataFrame => DataFrame)(next: DataFrame => DataFrame)
       : (DataFrame, Int, Boolean) = {
     var ranks = init
     var t = 0
     var converged = false
     while (!converged && t < maxIters) {
-      val cur = mat(next(ranks))
+      val cur = matLazy(next(ranks))
       val delta = cur.agg(sum(abs(col("rank") - col("prev"))))
         .collect()(0).getDouble(0)
       // the previous frame is dead once the delta has read it — free its
@@ -311,9 +353,7 @@ object PageRank {
     // includes seed ids, so count p (== |nodes|) against outDeg
     val hasDangling = outDeg.count() < p.count()
     def pprStep(prev: DataFrame): DataFrame = {
-      val contribs = prev.join(eDeg, col("id") === col("src"))
-        .groupBy(col("dst").as("cid"))
-        .agg(sum(col("rank") * col("w") / col("deg")).as("contrib"))
+      val contribs = contributions(eDeg, prev)
       val base = p.join(contribs, col("id") === col("cid"), "left")
       if (hasDangling) {
         val dangling = prev.join(outDeg, col("id") === col("src"), "left_anti")

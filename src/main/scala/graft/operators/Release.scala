@@ -84,8 +84,8 @@ object Release {
     */
   def artifacts(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, p: Params): Artifacts = {
-    val index = Dedup.minhashIndex(corpus, idCol, textCol, p.n, p.numPerms)
-      .localCheckpoint()
+    val index = Materialize.view(
+      Dedup.minhashIndex(corpus, idCol, textCol, p.n, p.numPerms))
     val pairs = Dedup.minhashPairsFromIndex(index, p.numPerms,
       p.bands, p.threshold)
     val contam = Dedup.containmentFromIndex(corpus.select(col(idCol)), index,
@@ -124,11 +124,8 @@ object Release {
     // skip frames that already ARE materialized leaves (artifacts() now
     // checkpoints the index itself) — re-checkpointing would copy every
     // block for nothing
-    def mat(df: DataFrame): DataFrame = df.queryExecution.analyzed match {
-      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => df
-      case _ => df.localCheckpoint()
-    }
-    Artifacts(mat(a.index), mat(a.pairs), mat(a.contam), mat(a.scores))
+    Artifacts(Materialize.view(a.index), Materialize.view(a.pairs),
+      Materialize.view(a.contam), Materialize.view(a.scores))
   }
 
   /** From-scratch release over one corpus (the baseline the incremental
@@ -151,12 +148,12 @@ object Release {
     // the new slice three — without truncation each consumer re-executes
     // the md5 text scans and the slice semi-join (measured: the composed
     // plan cost 5× the sum of its stages before this)
-    val d = Snapshot.diff(oldCorpus, newCorpus, idCol, textCol).localCheckpoint()
-    val unchanged = d.filter(col("status") === "unchanged")
-      .select(col(idCol).cast("long").as("id")).localCheckpoint()
-    val newSlice = newCorpus.join(
+    val d = Materialize.view(Snapshot.diff(oldCorpus, newCorpus, idCol, textCol))
+    val unchanged = Materialize.view(d.filter(col("status") === "unchanged")
+      .select(col(idCol).cast("long").as("id")))
+    val newSlice = Materialize.view(newCorpus.join(
       d.filter(col("status").isin("added", "changed")).select(idCol),
-      Seq(idCol), "left_semi").localCheckpoint()
+      Seq(idCol), "left_semi"))
 
     // pairs: unchanged×unchanged reused; everything touching the new slice
     // recomputed against the PRUNED index (changed/removed rows ejected)
@@ -164,8 +161,8 @@ object Release {
       .join(unchanged.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
       .join(unchanged.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
     val prunedIndex = oldArt.index.join(unchanged, Seq("id"), "left_semi")
-    val newIndex = Dedup.minhashIndex(newSlice, idCol, textCol, p.n, p.numPerms)
-      .localCheckpoint() // consumed by the band probe AND pair verification
+    val newIndex = Materialize.view( // consumed by band probe AND pair verification
+      Dedup.minhashIndex(newSlice, idCol, textCol, p.n, p.numPerms))
     val pairs = reusedPairs.unionByName(
       Dedup.minhashLshPairsIncremental(prunedIndex, newIndex,
         p.numPerms, p.bands, p.threshold))
@@ -237,7 +234,7 @@ object Release {
     */
   def takedown(corpus: DataFrame, art: Artifacts, removals: DataFrame,
       idCol: String, p: Params): (DataFrame, Artifacts) = {
-    val rem = removals.select(col(idCol).cast("long").as("id")).localCheckpoint()
+    val rem = Materialize.view(removals.select(col(idCol).cast("long").as("id")))
     val keepIds = corpus.select(col(idCol).cast("long").as("id"))
       .join(rem, Seq("id"), "left_anti")
     val pairs = art.pairs
@@ -262,7 +259,7 @@ object Release {
       prunedArt: Artifacts, removals: DataFrame, idCol: String): DataFrame = {
     val spark = removals.sparkSession
     import spark.implicits._
-    val rem = removals.select(col(idCol).cast("long").as("id")).localCheckpoint()
+    val rem = Materialize.view(removals.select(col(idCol).cast("long").as("id")))
     def refs(df: DataFrame, c: String): Long =
       df.join(rem.withColumnRenamed("id", c), Seq(c), "left_semi").count()
     def pairRefs(df: DataFrame): Long =
@@ -287,9 +284,9 @@ object Release {
     // materialized once: the selected-docs frame feeds the token stats AND
     // the doc stats below — unmaterialized, the whole upstream selection
     // pipeline re-runs per aggregate leg
-    val docs = corpus.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
-      .join(selected.select("id"), Seq("id"), "left_semi")
-      .localCheckpoint()
+    val docs = Materialize.view(
+      corpus.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+        .join(selected.select("id"), Seq("id"), "left_semi"))
     val toks = docs.select(explode(split(lower(col("t")), " ")).as("tok"))
       .filter(col("tok") =!= "")
     val tokStats = toks.agg(count(lit(1)).as("n_tokens"),

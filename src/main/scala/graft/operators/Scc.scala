@@ -70,8 +70,11 @@ object Scc {
     * `maxInner` guards the worst case loudly.
     */
   private def minLabelFixpoint(e: DataFrame, nodes: DataFrame, maxInner: Int,
-      mat: DataFrame => DataFrame): DataFrame = {
-    var lab = mat(nodes.select(col("id"), col("id").as("lab")))
+      matLazy: DataFrame => DataFrame): DataFrame = {
+    // WITNESS FUSION (the PageRank.iterateUntil discipline): every round's
+    // frame materializes LAZILY and the labelSum witness is the job that
+    // computes and persists it — one job per round instead of two.
+    var lab = matLazy(nodes.select(col("id"), col("id").as("lab")))
     var prevSum = labelSum(lab)
     var converged = false
     var it = 0
@@ -90,13 +93,13 @@ object Scc {
       val prop = lab.join(e.unionByName(labEdges), col("id") === col("from"))
         .groupBy(col("to").as("pid"))
         .agg(min(col("lab")).as("cand"))
-      val nxt = mat(lab
+      val nxt = matLazy(lab
         .join(prop, col("id") === col("pid"), "left")
         .select(col("id"), least(col("lab"),
           coalesce(col("cand"), col("lab"))).as("lab")))
+      val s = labelSum(nxt) // computes AND persists nxt (witness fusion)
       Materialize.free(lab)
       lab = nxt
-      val s = labelSum(lab)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
     }
@@ -112,6 +115,7 @@ object Scc {
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     val mat = Materialize.policy(spark, checkpointDir)
+    val matLazy = Materialize.policyLazy(spark, checkpointDir)
 
     var rem = mat(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct())
@@ -157,7 +161,8 @@ object Scc {
           .unionByName(liveE.select(col("dst").as("id"), lit(1).as("_e")))
           .groupBy("id").agg(count_distinct(col("_e")).as("_n"))
           .filter(col("_n") === 2).select("id")
-        val trivial = mat(live.join(bothEnds, Seq("id"), "left_anti"))
+        // witness fusion: the count below computes and persists `trivial`
+        val trivial = matLazy(live.join(bothEnds, Seq("id"), "left_anti"))
         val nTrivial = trivial.count()
         if (nTrivial > 0) {
           accumulate(trivial.select(col("id"), col("id").as("scc")))
@@ -185,10 +190,10 @@ object Scc {
         import scala.concurrent.duration.Duration
         val ff = Future(minLabelFixpoint(
           liveE.select(col("src").as("from"), col("dst").as("to")), live,
-          maxInner, mat))
+          maxInner, matLazy))
         val gf = Future(minLabelFixpoint(
           liveE.select(col("dst").as("from"), col("src").as("to")), live,
-          maxInner, mat))
+          maxInner, matLazy))
         val f = Await.result(ff, Duration.Inf)
         val g = Await.result(gf, Duration.Inf)
         val fg = mat(f.join(
@@ -243,8 +248,10 @@ object Scc {
     * convergence witness (exact long — flags are 0/1).
     */
   private def reachFlag(e: DataFrame, nodes: DataFrame, seeds: DataFrame,
-      maxInner: Int, mat: DataFrame => DataFrame): DataFrame = {
-    var lab = mat(nodes.join(seeds.select(col("id"), lit(1).as("_s")),
+      maxInner: Int, matLazy: DataFrame => DataFrame): DataFrame = {
+    // witness fusion: the flag-sum witness computes and persists each
+    // round's frame — one job per round (see minLabelFixpoint)
+    var lab = matLazy(nodes.join(seeds.select(col("id"), lit(1).as("_s")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("_s"), lit(0)).as("flag")))
     var prev = -1L
@@ -255,13 +262,13 @@ object Scc {
       val prop = lab.filter(col("flag") === 1)
         .join(e, col("id") === col("from"))
         .select(col("to").as("pid")).distinct()
-      val nxt = mat(lab.join(prop, col("id") === col("pid"), "left")
+      val nxt = matLazy(lab.join(prop, col("id") === col("pid"), "left")
         .select(col("id"),
           greatest(col("flag"), when(col("pid").isNull, 0).otherwise(1)).as("flag")))
+      prev = cur
+      cur = nxt.agg(sum(col("flag"))).head().getLong(0)
       Materialize.free(lab)
       lab = nxt
-      prev = cur
-      cur = lab.agg(sum(col("flag"))).head().getLong(0)
     }
     require(cur == prev,
       s"Scc.reachFlag: no fixpoint in $maxInner rounds; raise maxInner")
@@ -281,6 +288,7 @@ object Scc {
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     val mat = Materialize.policy(spark, checkpointDir)
+    val matLazy = Materialize.policyLazy(spark, checkpointDir)
     val e = mat(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct())
     val nodes = mat(e.select(col("src").as("id"))
@@ -298,10 +306,10 @@ object Scc {
     import scala.concurrent.duration.Duration
     val fwdF = Future(reachFlag(
       e.select(col("src").as("from"), col("dst").as("to")), nodes, core,
-      maxInner, mat))
+      maxInner, matLazy))
     val bwdF = Future(reachFlag(
       e.select(col("dst").as("from"), col("src").as("to")), nodes, core,
-      maxInner, mat))
+      maxInner, matLazy))
     val fwd = Await.result(fwdF, Duration.Inf)
     val bwd = Await.result(bwdF, Duration.Inf)
 

@@ -58,12 +58,11 @@ object TextRank {
     // w(a→b) = c(a,b) + c(b,a) = the canonical count, so this is exactly
     // the symmetrized weight while shuffling the raw pair stream ONCE
     // (union-before-count doubled it; measured on q313 at sf0.1)
-    val canon = directed
+    val canon = Materialize.view(directed
       .groupBy(least(col("a"), col("b")).as("x"),
         greatest(col("a"), col("b")).as("y"))
       .agg(count(lit(1)).cast("double").as("w"))
-      .filter(col("w") >= minCount)
-      .localCheckpoint() // both mirror legs read it — one pair-count pass
+      .filter(col("w") >= minCount)) // both mirror legs read it — one pass
     canon.select(col("x").as("src"), col("y").as("dst"), col("w"))
       .unionByName(canon.select(col("y").as("src"), col("x").as("dst"), col("w")))
   }

@@ -88,11 +88,12 @@ object TfIdf {
         // the same token re-hashes across (and within) documents ~tf
         // times; computing its dim signs ONCE per task turns the kernel
         // from O(tokens·dim) hashes into O(task vocab·dim) — identical
-        // ±1 values, bit-identical sums. Bounded (64k entries) so a
-        // pathological vocabulary cannot OOM the task; over-cap tokens
-        // just hash directly.
+        // ±1 values, bit-identical sums. BYTE-bounded (64 MiB of sign
+        // vectors per task — cap scales inversely with dim so total memo
+        // memory is independent of the embedding width) so a pathological
+        // vocabulary cannot OOM the task; over-cap tokens hash directly.
         val memo = new java.util.HashMap[String, Array[Byte]]()
-        val memoCap = 1 << 16
+        val memoCap = math.max(1, (64 << 20) / dim)
         def signs(t: String): Array[Byte] = {
           var s = memo.get(t)
           if (s == null) {

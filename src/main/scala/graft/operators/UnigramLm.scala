@@ -30,8 +30,8 @@ object UnigramLm {
     // dedupe common subplans across join legs — unmaterialized, every
     // consumer re-runs the corpus tokenize+explode scan (q280's plan
     // carried 16 parquet scans before this family was materialized)
-    val m = toks.groupBy("id", "tok").agg(count(lit(1)).cast("double").as("k"))
-      .localCheckpoint()
+    val m = Materialize.view(
+      toks.groupBy("id", "tok").agg(count(lit(1)).cast("double").as("k")))
     val cnt = m.groupBy("tok").agg(sum(col("k")).as("c"))
     val tot = cnt.agg(sum(col("c")).as("t"))
     m.join(cnt, Seq("tok"))
@@ -61,10 +61,10 @@ object UnigramLm {
         slice(col("toks"), lit(2), size(col("toks")) - 1),
         (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
       .select(col("id"), col("p.l").as("l"), col("p.r").as("r"))
-    val m = bg.groupBy("id", "l", "r").agg(count(lit(1)).cast("double").as("k"))
-      .localCheckpoint() // shared by clr + the scoring join (see surprisal)
-    val clr = m.groupBy("l", "r").agg(sum(col("k")).as("clr"))
-      .localCheckpoint() // shared by cl + the scoring join
+    val m = Materialize.view( // shared by clr + the scoring join (see surprisal)
+      bg.groupBy("id", "l", "r").agg(count(lit(1)).cast("double").as("k")))
+    val clr = Materialize.view( // shared by cl + the scoring join
+      m.groupBy("l", "r").agg(sum(col("k")).as("clr")))
     val cl = clr.groupBy("l").agg(sum(col("clr")).as("cltot"))
     m.join(clr, Seq("l", "r")).join(cl, Seq("l"))
       .groupBy("id")
@@ -103,10 +103,10 @@ object UnigramLm {
         slice(col("toks"), lit(2), size(col("toks")) - 1),
         (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
       .select(col("id"), col("p.l").as("l"), col("p.r").as("r"))
-    val m = bg.groupBy("id", "l", "r").agg(count(lit(1)).cast("double").as("k"))
-      .localCheckpoint() // shared by clr + the scoring join (see surprisal)
-    val clr = m.groupBy("l", "r").agg(sum(col("k")).as("clr"))
-      .localCheckpoint() // shared by cl/cont/tot + the scoring join
+    val m = Materialize.view( // shared by clr + the scoring join (see surprisal)
+      bg.groupBy("id", "l", "r").agg(count(lit(1)).cast("double").as("k")))
+    val clr = Materialize.view( // shared by cl/cont/tot + the scoring join
+      m.groupBy("l", "r").agg(sum(col("k")).as("clr")))
     val cl = clr.groupBy("l").agg(sum(col("clr")).as("cltot"),
       count(lit(1)).cast("double").as("nfollow"))
     val cont = clr.groupBy("r").agg(count(lit(1)).cast("double").as("nprec"))
@@ -159,14 +159,14 @@ object UnigramLm {
           element_at(col("toks"), i + 2).as("v"),
           element_at(col("toks"), i + 3).as("w")))).as("g"))
       .select(col("id"), col("g.u").as("u"), col("g.v").as("v"), col("g.w").as("w"))
-    val m = tg.groupBy("id", "u", "v", "w").agg(count(lit(1)).cast("double").as("k"))
-      .localCheckpoint() // shared by c3 + the scoring join (see surprisal)
-    val c3 = m.groupBy("u", "v", "w").agg(sum(col("k")).as("c3"))
-      .localCheckpoint() // shared by cuv/bt/nv + the scoring join
+    val m = Materialize.view( // shared by c3 + the scoring join (see surprisal)
+      tg.groupBy("id", "u", "v", "w").agg(count(lit(1)).cast("double").as("k")))
+    val c3 = Materialize.view( // shared by cuv/bt/nv + the scoring join
+      m.groupBy("u", "v", "w").agg(sum(col("k")).as("c3")))
     val cuv = c3.groupBy("u", "v").agg(sum(col("c3")).as("cuvtot"),
       count(lit(1)).cast("double").as("nfollow3"))
-    val bt = c3.groupBy("v", "w").agg(count(lit(1)).cast("double").as("contvw"))
-      .localCheckpoint() // shared by mt/n1w/tot + the scoring join
+    val bt = Materialize.view( // shared by mt/n1w/tot + the scoring join
+      c3.groupBy("v", "w").agg(count(lit(1)).cast("double").as("contvw")))
     val nv = c3.groupBy("v").agg(count(lit(1)).cast("double").as("nmid"))
     val mt = bt.groupBy("v").agg(count(lit(1)).cast("double").as("nfollow2"))
     val n1w = bt.groupBy("w").agg(count(lit(1)).cast("double").as("nprec"))

@@ -584,9 +584,15 @@ class PlanShapeSpec extends SparkSpec {
         "an exact count_distinct re-introduces the corpus-sized exchange")
     assert(prod.columns.contains("approx_distinct"))
     assert(prod.count() == 3)
-    // contrast: card mode keeps the oracle-recomputable exact side
+    // contrast: card mode keeps the oracle-recomputable exact side — as a
+    // TWO-LEVEL group count since the r16 single-scan fusion (no distinct
+    // aggregate node at all: counting (n, gram) groups skips the
+    // distinct-Expand row doubling), so assert the exact column + values
     val card = graft.operators.Diversity.distinctNApprox(docs, "text")
-    assert(exactDistinctAggs(card) == 3)
+    assert(exactDistinctAggs(card) == 0)
+    assert(card.columns.contains("distinct_ngrams"))
+    val byN = card.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byN(1L) == 54L, s"unigram types: got ${byN(1L)}") // 4 shared + 50 tokenN
   }
 
   test("Overlap.overlapCard production mode: NO exact distinct aggregate") {
@@ -601,7 +607,9 @@ class PlanShapeSpec extends SparkSpec {
     val row = prod.collect().head
     // small-universe sanity: the HLL estimate is near-exact here
     assert(row.getLong(0) > 0 && row.getLong(3) >= 0)
+    // card mode: ONE rollup-grouped distinct aggregate since the r16
+    // single-pass fusion (previously one aggregate per side + union = 3)
     val card = graft.operators.Overlap.vocabOverlapCard(a, b, "text")
-    assert(exactDistinctAggs(card) == 3)
+    assert(exactDistinctAggs(card) == 1)
   }
 }
