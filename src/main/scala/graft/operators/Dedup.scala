@@ -982,12 +982,18 @@ object Dedup {
     import spark.implicits._
     val base = docs.select(col(idCol).cast("long").as("id"),
       lower(coalesce(col(textCol), lit(""))).as("t"))
-    val grams = base.as[(Long, String)].flatMap { case (id, text) =>
+    // materialized ONCE (r16, replacing the r15 run-twice choice): the
+    // posting feeds the dup-hash aggregate AND the semi-join — measured
+    // at 4× sf0.1, materializing beats re-running the token-gram hash
+    // kernel per leg; size-conditional like the char path (the posting is
+    // O(corpus tokens) — ~4× the text bytes as (id, hash60) rows)
+    val grams = Materialize.view(base.as[(Long, String)].flatMap { case (id, text) =>
       val toks = text.split(" ").filter(_.nonEmpty)
       if (toks.length < w) Iterator.empty
       else (0 to toks.length - w).iterator
         .map(i => (id, mode.hash60(toks.slice(i, i + w).mkString(" "))))
-    }.toDF("id", "h")
+    }.toDF("id", "h"),
+      estBytes = tokenPostingBytes(base))
     val dupHashes = grams.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select("h")
     val dups = grams.join(dupHashes, Seq("h"), "left_semi")
@@ -1192,6 +1198,14 @@ object Dedup {
     */
   private def charPostingBytes(base: DataFrame): Long = {
     val s = base.queryExecution.optimizedPlan.stats.sizeInBytes * 16
+    if (s > BigInt(Long.MaxValue)) Long.MaxValue else s.toLong
+  }
+
+  /** Token-gram posting estimate: one (long, long) row per token position
+    * ≈ 4× the optimizer's text-size estimate ([[duplicatedSpans]]).
+    */
+  private def tokenPostingBytes(base: DataFrame): Long = {
+    val s = base.queryExecution.optimizedPlan.stats.sizeInBytes * 4
     if (s > BigInt(Long.MaxValue)) Long.MaxValue else s.toLong
   }
 

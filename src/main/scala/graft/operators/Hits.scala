@@ -56,8 +56,9 @@ object Hits {
 
     // LAZY checkpoints: the n count below computes and persists e AND
     // nodes in ONE job (witness fusion) instead of two eager jobs + count
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+    val e = Materialize.sizedByKey(
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct(), "src")
       .localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))

@@ -605,8 +605,11 @@ object Hnsw {
     } else cellsDf
     val stamp = System.nanoTime()
     val tmp = s"$path/.cells-compact-$stamp"
-    // reads the path it will replace — materialize before any rename
-    out.localCheckpoint(true).write.partitionBy("cell").parquet(tmp)
+    // reads the path it will replace — the lineage-truncating checkpoint
+    // dodges the self-overwrite check; LAZY, so the tmp write itself is
+    // the materializing job (every task computes off the still-live old
+    // files; the renames happen only after the write returns)
+    out.localCheckpoint(false).write.partitionBy("cell").parquet(tmp)
     crash(1)
     val live = new java.io.File(s"$path/cells")
     val aside = new java.io.File(s"$path/.cells-old-$stamp")
@@ -636,7 +639,11 @@ object Hnsw {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = newVecs.sparkSession
     val quant = spark.read.parquet(s"$path/quantizer")
+    // LAZY checkpoint: the affected-cell collect below is the job that
+    // computes and persists the assignment — the write's rebuild then
+    // reads the stored blocks instead of re-running the quantizer pass
     val assigned = Ann.ivfIndex(newVecs, quant, metric, idCol, vecCol)
+      .localCheckpoint(false)
     val affected = assigned.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
     if (affected.isEmpty) return
@@ -650,8 +657,15 @@ object Hnsw {
       .select(col("cell").cast("long").as("cell"), col("id"), col("vec"))
       .unionByName(assigned.select(col("cell"), col("id"), col("vec")))
       .dropDuplicates("id")
+    // lazy checkpoint (was eager): the rebuilt frame reads the same path
+    // it overwrites, so it must be fully computed off the OLD files
+    // before any of them move — the write job's TASKS do exactly that
+    // (dynamic partition overwrite only deletes/renames at job COMMIT,
+    // after every task has finished computing), so the write itself is
+    // the materializing job and the rebuild runs ONE pass, not
+    // compute-store-reread-write
     buildGraphs(touched, m, efConstruction, metric)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(s"$path/cells")
@@ -686,8 +700,10 @@ object Hnsw {
     val survivors = cellsDf.filter(col("cell").isin(affected: _*))
       .join(rm, Seq("id"), "left_anti")
       .select(col("cell").cast("long").as("cell"), col("id"), col("vec"))
+    // lazy: the write is the materializing job (see appendToBundle); the
+    // stillThere probe below then reads the persisted blocks
     val rebuilt = buildGraphs(survivors, m, efConstruction, metric)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     rebuilt.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(s"$path/cells")

@@ -28,8 +28,9 @@ object Katz {
 
     // LAZY checkpoints: the init materialization job computes and
     // persists e AND nodes too (witness fusion) — one job, not three
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
+    val e = Materialize.sizedByKey(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct(), "src").localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(false)
 

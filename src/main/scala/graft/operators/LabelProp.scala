@@ -85,7 +85,7 @@ object LabelProp {
             col(wc).cast("double").as("w"))
           .filter(col("w") > 0)
           .groupBy("src", "dst").agg(max(col("w")).as("w"))
-    }).cache()
+    }).transform(d => Materialize.sizedByKey(d, "src")).cache()
     val y = seeds.select(col(idCol).as("id"),
       col(labelCol).cast("double").as("y"))
     val nodes = e.select(col("src").as("id"))
@@ -94,10 +94,11 @@ object LabelProp {
     val outDeg = e.groupBy("src").agg(sum(col("w")).as("deg")).cache()
     // out-weight attached ONCE (the PageRank.attachDeg discipline): one
     // hash join per round instead of two; `score * w / deg` is unchanged,
-    // so scores are bit-identical
-    val eDeg = e.join(outDeg, "src").cache()
-    val yFull = nodes.join(y, Seq("id"), "left")
-      .select(col("id"), coalesce(col("y"), lit(0.0)).as("y")).cache()
+    // so scores are bit-identical. Loop-cached frames are SIZE-partitioned
+    // (Materialize.sizedByKey — cache partitioning is frozen at build)
+    val eDeg = Materialize.sizedByKey(e.join(outDeg, "src"), "src").cache()
+    val yFull = Materialize.sizedByKey(nodes.join(y, Seq("id"), "left")
+      .select(col("id"), coalesce(col("y"), lit(0.0)).as("y")), "id").cache()
     def step(prev: DataFrame): DataFrame = {
       val contribs = prev.join(eDeg, col("id") === col("src"))
         .groupBy(col("dst").as("cid"))

@@ -118,6 +118,32 @@ private[graft] object Materialize {
     else policy(spark, None)(df)
   }
 
+  /** Hash-repartition a frame that is about to be CACHED and re-scanned
+    * every round of an iterative loop, with the partition count derived
+    * from its SIZE instead of the session's core-count default (brief §2 /
+    * guide §2.2: a cached relation's partitioning is frozen at build time
+    * and AQE cannot coalesce a cache scan — at local test SFs a 32-way
+    * cached edge frame makes every round pay 32 task launches for
+    * kilobyte partitions, and at cluster scale the same constant would
+    * under-partition). count = ceil(estimated bytes / advisory partition
+    * size), clamped to [1, spark.sql.shuffle.partitions]; the estimate is
+    * the optimizer's (size-only — partition count only affects cost,
+    * never results). Keyed repartition, so the per-round join against the
+    * frame stays co-partitioned at scale.
+    */
+  def sizedByKey(df: DataFrame, keys: String*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val advisory = spark.conf
+      .get("spark.sql.adaptive.advisoryPartitionSizeInBytes", (64L << 20).toString)
+    val advisoryBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(advisory)
+    val maxP = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (bytes / advisoryBytes + 1).min(BigInt(maxP)).max(BigInt(1)).toInt
+    df.repartition(n, keys.map(col): _*)
+  }
+
   /** Release the executor-storage blocks of a SUPERSEDED materialized
     * frame. A `localCheckpoint` persists its RDD blocks on executors and
     * nothing frees them until the driver's ContextCleaner happens to GC

@@ -45,8 +45,9 @@ object Neighborhoods {
     val mat = Materialize.policy(edges.sparkSession, checkpointDir)
     // LAZY checkpoint: the first round's materialization job computes
     // and persists e too (witness fusion) — one job, not two
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
+    val e = Materialize.sizedByKey(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct(), "src").localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
 
@@ -144,8 +145,9 @@ object Neighborhoods {
     val mat = Materialize.policy(edges.sparkSession, checkpointDir)
     // LAZY checkpoint: the first round's materialization job computes
     // and persists e too (witness fusion) — one job, not two
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(false)
+    val e = Materialize.sizedByKey(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct(), "src").localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
 

@@ -164,11 +164,14 @@ object PageRank {
     require(damping > 0 && damping < 1, s"pageRank: damping in (0,1), got $damping")
     val mat = Materialize.policy(edges.sparkSession, checkpointDir)
     val (e0, outDeg0) = prepare(edges, srcCol, dstCol, weightCol)
-    val e = e0.cache()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().cache()
+    // loop-cached frames get SIZE-derived partition counts (see
+    // Materialize.sizedByKey) — a cache scan's partitioning is frozen at
+    // build time, and these are re-scanned every round
+    val e = Materialize.sizedByKey(e0, "src").cache()
+    val nodes = Materialize.sizedByKey(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct(), "id").cache()
     val outDeg = outDeg0.cache()
-    val eDeg = attachDeg(e, outDeg).cache()
+    val eDeg = Materialize.sizedByKey(attachDeg(e, outDeg), "src").cache()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     val hasDangling = outDeg.count() < n
@@ -226,11 +229,14 @@ object PageRank {
     require(maxIters >= 1, s"pageRankUntil: maxIters must be >= 1, got $maxIters")
     val mat = Materialize.policy(edges.sparkSession, checkpointDir)
     val (e0, outDeg0) = prepare(edges, srcCol, dstCol, weightCol)
-    val e = e0.cache()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().cache()
+    // loop-cached frames get SIZE-derived partition counts (see
+    // Materialize.sizedByKey) — a cache scan's partitioning is frozen at
+    // build time, and these are re-scanned every round
+    val e = Materialize.sizedByKey(e0, "src").cache()
+    val nodes = Materialize.sizedByKey(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct(), "id").cache()
     val outDeg = outDeg0.cache()
-    val eDeg = attachDeg(e, outDeg).cache()
+    val eDeg = Materialize.sizedByKey(attachDeg(e, outDeg), "src").cache()
     val n = nodes.count()
     require(n > 0, "pageRankUntil: empty graph")
     val hasDangling = outDeg.count() < n
@@ -261,11 +267,14 @@ object PageRank {
     require(maxIters >= 1, s"pageRankResume: maxIters must be >= 1, got $maxIters")
     val mat = Materialize.policy(edges.sparkSession, checkpointDir)
     val (e0, outDeg0) = prepare(edges, srcCol, dstCol, weightCol)
-    val e = e0.cache()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().cache()
+    // loop-cached frames get SIZE-derived partition counts (see
+    // Materialize.sizedByKey) — a cache scan's partitioning is frozen at
+    // build time, and these are re-scanned every round
+    val e = Materialize.sizedByKey(e0, "src").cache()
+    val nodes = Materialize.sizedByKey(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct(), "id").cache()
     val outDeg = outDeg0.cache()
-    val eDeg = attachDeg(e, outDeg).cache()
+    val eDeg = Materialize.sizedByKey(attachDeg(e, outDeg), "src").cache()
     val n = nodes.count()
     require(n > 0, "pageRankResume: empty graph")
     val hasDangling = outDeg.count() < n
@@ -337,7 +346,7 @@ object PageRank {
       s"personalizedPageRank: damping in (0,1), got $damping")
     val mat = Materialize.policy(edges.sparkSession, checkpointDir)
     val (e0, outDeg0) = prepare(edges, srcCol, dstCol, edgeWeightCol)
-    val e = e0.cache()
+    val e = Materialize.sizedByKey(e0, "src").cache()
     val rawSeeds = seeds.select(col(idCol).as("id"),
       col(weightCol).cast("double").as("w"))
     val total = rawSeeds.agg(sum(col("w"))).collect()(0).getDouble(0)
@@ -346,9 +355,9 @@ object PageRank {
       .union(e.select(col("dst").as("id")))
       .union(rawSeeds.select("id")).distinct()
     val outDeg = outDeg0.cache()
-    val p = nodes.join(rawSeeds, Seq("id"), "left")
-      .select(col("id"), (coalesce(col("w"), lit(0.0)) / total).as("p")).cache()
-    val eDeg = attachDeg(e, outDeg).cache()
+    val p = Materialize.sizedByKey(nodes.join(rawSeeds, Seq("id"), "left")
+      .select(col("id"), (coalesce(col("w"), lit(0.0)) / total).as("p")), "id").cache()
+    val eDeg = Materialize.sizedByKey(attachDeg(e, outDeg), "src").cache()
     // same once-per-call dangling detection as [[pageRank]]: nodes here
     // includes seed ids, so count p (== |nodes|) against outDeg
     val hasDangling = outDeg.count() < p.count()

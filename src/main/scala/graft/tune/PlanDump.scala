@@ -172,6 +172,48 @@ object PlanDump {
         Files.writeString(outDir.resolve(s"iter_profile_$suffix.txt"),
           sb.toString)
         System.err.println(s"[plandump] wrote iter_profile_$suffix.txt")
+      case name if name.startsWith("profile:") =>
+        // per-JOB wall breakdown of one declared query, with job
+        // descriptions — the q308-style "where do the seconds go" probe
+        val qname = name.stripPrefix("profile:")
+        val fn = graft.SparkEntry.queries(qname)
+        val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, String)]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.put(js.jobId, (System.nanoTime(), 0L,
+              Option(js.properties.getProperty("spark.job.description"))
+                .orElse(Option(js.properties.getProperty("callSite.short")))
+                .getOrElse("")))
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val (st, _, d) = jobs.getOrDefault(je.jobId, (0L, 0L, ""))
+            jobs.put(je.jobId, (st, System.nanoTime(), d))
+          }
+        }
+        // untimed warmup pass so the profile measures the plan, not JIT
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        spark.sparkContext.addSparkListener(listener)
+        val w0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val wall = (System.nanoTime() - w0) / 1e9
+        org.apache.spark.sql.graftbridge.Bridge.waitListenerBusEmpty(spark)
+        spark.sparkContext.removeSparkListener(listener)
+        import scala.jdk.CollectionConverters._
+        val rows = jobs.asScala.toSeq.sortBy(_._1)
+        val sb = new StringBuilder
+        sb.append(f"$qname wall $wall%.2f s, ${rows.size} jobs, " +
+          f"job-time sum ${rows.map(r => r._2._2 - r._2._1).sum / 1e9}%.2f s " +
+          "(2nd run, post-warmup)\n")
+        var prevEnd = w0
+        rows.foreach { case (id, (st, en, d)) =>
+          sb.append(f"job $id%4d gap ${math.max(0, st - prevEnd) / 1e6}%7.1f ms " +
+            f"run ${(en - st) / 1e6}%8.1f ms  ${d.take(110)}\n")
+          prevEnd = en
+        }
+        Files.writeString(outDir.resolve(s"${qname}_jobprofile_$suffix.txt"),
+          sb.toString)
+        System.err.println(s"[plandump] wrote ${qname}_jobprofile_$suffix.txt")
       case name =>
         graft.SparkEntry.queries.get(name) match {
           case Some(fn) => dump(name, fn(spark, sfDir))
